@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "..."}
+
+Each query executes end-to-end into the noop sink (full plan, no driver
+collect overhead).  The set covers the reference's document pipeline
+(e2e_docs = scan -> normalize -> route -> JSON docs, its entire production
+workload) plus the relational + LLM-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from hive2es_offline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "scan_filter",
+    "agg_group",
+    "join_inner",
+    "window_rank",
+    "topk",
+    "sessionize",
+    "tumbling_window",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_search",
+    "partition_counts",
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(
+        "hive2es-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM / codegen warm-up on a tiny table
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    run_noop(entry_mod.entry_docs(spark, SF_DIR))
+    timings["e2e_docs"] = round(time.perf_counter() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        run_noop(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

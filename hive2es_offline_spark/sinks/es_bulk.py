@@ -1,0 +1,127 @@
+"""Live Elasticsearch bulk sink.
+
+Two layers:
+
+* ``es_write_conf`` — the es-hadoop / elasticsearch-spark connector
+  configuration that reproduces the reference's write semantics
+  (``ESContainer.scala:118-151``): id + routing mapping, ``create``
+  operation for idempotency under task retry/speculation, and the bulk
+  flush thresholds (100 actions / 5 MB, ``ArgsParser.scala:21-23``).
+  Usage (cluster with the connector jar):
+      df.write.format("org.elasticsearch.spark.sql") \
+        .options(**es_write_conf(...)).mode("append").save(f"{index}/doc")
+* ``bulk_write_stats`` — a connector-free fallback that exercises the same
+  partition-iterator bulk-batching contract (batch by action count and
+  payload bytes) against a pluggable transport.  The default transport is a
+  no-op counter (tests never need a live cluster); pass an HTTP callable to
+  hit a real ``/_bulk`` endpoint.
+
+The embedded-per-executor-ES trick of the reference (boot a node inside each
+task JVM, build Lucene segments locally) is intentionally NOT reproduced:
+writing through the bulk API from co-located partitions, with refresh/replicas
+disabled until publish, achieves the same write-amplification profile with
+none of the segment-surgery machinery (see SURVEY.md §3.3/§4).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+#: reference bulk defaults (ArgsParser.scala:21-23, ESContainer.scala:135-139)
+DEFAULT_BULK_ACTIONS = 100
+DEFAULT_BULK_BYTES = 5 * 1024 * 1024
+DEFAULT_RETRIES = 3
+
+
+def es_write_conf(
+    index: str,
+    id_col: str = "_id",
+    routing_col: str = "_routing",
+    nodes: str = "localhost:9200",
+    bulk_actions: int = DEFAULT_BULK_ACTIONS,
+    bulk_bytes: int = DEFAULT_BULK_BYTES,
+    retries: int = DEFAULT_RETRIES,
+) -> dict[str, str]:
+    return {
+        "es.nodes": nodes,
+        "es.resource": index,
+        "es.mapping.id": id_col,
+        "es.mapping.routing": routing_col,
+        # create (not index): re-executed tasks can't double-write a doc —
+        # the reference relied on the same flag (ESContainer.scala:150).
+        "es.write.operation": "create",
+        "es.batch.size.entries": str(bulk_actions),
+        "es.batch.size.bytes": str(bulk_bytes),
+        "es.batch.write.retry.count": str(retries),
+        "es.batch.write.retry.wait": "100s",
+        "es.index.auto.create": "false",
+    }
+
+
+def iter_bulk_batches(
+    docs: Iterator[tuple[str, str, str]],
+    index: str,
+    bulk_actions: int = DEFAULT_BULK_ACTIONS,
+    bulk_bytes: int = DEFAULT_BULK_BYTES,
+) -> Iterator[str]:
+    """(id, routing, doc_json) iterator -> NDJSON ``/_bulk`` payloads flushed
+    on action-count OR payload-size, whichever trips first — the reference's
+    BulkProcessor thresholds."""
+    lines: list[str] = []
+    actions = 0
+    size = 0
+    for _id, _routing, doc in docs:
+        meta = json.dumps(
+            {"create": {"_index": index, "_id": _id, "routing": _routing}},
+            separators=(",", ":"),
+        )
+        lines += [meta, doc]
+        actions += 1
+        size += len(meta) + len(doc) + 2
+        if actions >= bulk_actions or size >= bulk_bytes:
+            yield "\n".join(lines) + "\n"
+            lines, actions, size = [], 0, 0
+    if lines:
+        yield "\n".join(lines) + "\n"
+
+
+def bulk_write_stats(
+    docs: DataFrame,
+    index: str,
+    transport: Callable[[str], None] | None = None,
+    bulk_actions: int = DEFAULT_BULK_ACTIONS,
+    bulk_bytes: int = DEFAULT_BULK_BYTES,
+) -> DataFrame:
+    """Run the bulk-batching contract over every partition and return
+    per-partition (partition_id, docs, batches, bytes) stats — the
+    reference's per-partition count log (``Hive2ES.scala:85-90``) plus batch
+    accounting.  ``transport`` receives each NDJSON payload."""
+    spark = docs.sparkSession
+
+    def per_partition(pid: int, rows) -> Iterator[tuple[int, int, int, int]]:
+        n_docs = 0
+        n_batches = 0
+        n_bytes = 0
+
+        def gen():
+            nonlocal n_docs
+            for r in rows:
+                n_docs += 1
+                yield (r["_id"], r["_routing"], r["doc"])
+
+        for payload in iter_bulk_batches(gen(), index, bulk_actions, bulk_bytes):
+            n_batches += 1
+            n_bytes += len(payload)
+            if transport is not None:
+                transport(payload)
+        yield (pid, n_docs, n_batches, n_bytes)
+
+    # mapPartitionsWithIndex is justified here: the bulk protocol is
+    # genuinely per-partition imperative (batching + transport side effects).
+    stats = docs.select("_id", "_routing", "doc").rdd.mapPartitionsWithIndex(per_partition)
+    return spark.createDataFrame(
+        stats, "partition_id int, doc_count long, batch_count long, payload_bytes long"
+    )
