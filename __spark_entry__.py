@@ -198,6 +198,14 @@ def q_partition_counts(spark, sf_dir):
     )
 
 
+def q_map_pivot(spark, sf_dir):
+    """Dynamic map keys promoted to real columns via the flatten operator
+    (discover keys -> getItem columns, reference O6/O8)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select("event_id", F.from_json("props", "map<string,string>").alias("props_m"))
+    return document.flatten_map_column(parsed, "props_m")
+
+
 # ---------------------------------------------------------------------------
 # relational layer
 # ---------------------------------------------------------------------------
@@ -286,6 +294,64 @@ def q_rollup_cube(spark, sf_dir):
         _dec_sum("l_quantity").alias("sum_qty"),
         F.grouping("l_returnflag").alias("g_flag"),
         F.grouping("l_linestatus").alias("g_status"),
+    )
+
+
+def q_pivot_table(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(_dec_sum("l_quantity"))
+    )
+
+
+def q_agg_percentile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+    )
+
+
+def q_window_lead_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_sql_subquery(spark, sf_dir):
+    """Declarative SQL API surface: scalar + IN subqueries through
+    ``spark.sql`` (Catalyst decorrelates them into joins)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM orders_v)
+          AND o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_acctbal > 0)
+        """
     )
 
 
@@ -389,6 +455,31 @@ def q_math_funcs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators
 # ---------------------------------------------------------------------------
+
+
+def q_array_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.element_at(F.sort_array(toks), 1).alias("first_sorted"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("tri_prefix"),
+        F.array_position(toks, "the").alias("pos_the"),
+        F.element_at(F.reverse(toks), 1).alias("last_token"),
+    )
+
+
+def q_higher_order_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+        F.aggregate(lens, F.lit(0), lambda a, b: a + b).cast("bigint").alias("total_chars"),
+        F.exists(toks, lambda x: x == "the").cast("int").alias("has_the"),
+        F.element_at(F.transform(toks, lambda x: F.upper(x)), 1).alias("first_upper"),
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -562,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_normalize": q_type_normalize,
         "null_scrub": q_null_scrub,
         "schema_infer": q_schema_infer,
+        "map_pivot": q_map_pivot,
         "filter_pred": q_filter_pred,
         "es_routing": q_es_routing,
         "partition_counts": q_partition_counts,
@@ -572,14 +664,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_group": q_agg_group,
         "agg_distinct": q_agg_distinct,
         "agg_approx_distinct": q_agg_approx_distinct,
+        "agg_percentile": q_agg_percentile,
         "rollup_cube": q_rollup_cube,
+        "cube_agg": q_cube_agg,
+        "pivot_table": q_pivot_table,
         "window_rank": q_window_rank,
         "window_frame": q_window_frame,
+        "window_lead_lag": q_window_lead_lag,
         "topk": q_topk,
         "set_ops": q_set_ops,
+        "sql_subquery": q_sql_subquery,
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
         "math_funcs": q_math_funcs,
+        "array_funcs": q_array_funcs,
+        "higher_order_funcs": q_higher_order_funcs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -764,6 +863,70 @@ def oracle_sql() -> dict[str, str]:
         "schema_infer": """
             SELECT DISTINCT lower(k) AS es_key
             FROM events, LATERAL unnest(json_keys(props)) AS t(k)
+        """,
+        "map_pivot": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k
+            FROM events
+        """,
+        "pivot_table": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN l_returnflag = 'A'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+                   CAST(sum(CASE WHEN l_returnflag = 'N'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "agg_percentile": """
+            SELECT l_returnflag,
+                   median(l_quantity) AS median_qty,
+                   quantile_cont(l_quantity, 0.9) AS p90_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "window_lead_lag": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   lead(o_totalprice) OVER w AS next_price,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   ntile(4) OVER w AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "sql_subquery": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_totalprice > (
+                SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                FROM orders)
+              AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        """,
+        "array_funcs": """
+            SELECT doc_id,
+                   list_sort(string_split(text, ' '))[1] AS first_sorted,
+                   array_to_string(string_split(text, ' ')[1:3], ' ') AS tri_prefix,
+                   CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT)
+                     AS pos_the,
+                   list_reverse(string_split(text, ' '))[1] AS last_token
+            FROM documents
+        """,
+        "higher_order_funcs": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> length(x) > 4))
+                     AS n_long_tokens,
+                   CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+                        AS BIGINT) AS total_chars,
+                   CAST(list_contains(string_split(text, ' '), 'the') AS INTEGER) AS has_the,
+                   upper(string_split(text, ' ')[1]) AS first_upper
+            FROM documents
         """,
         "filter_pred": """
             SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority

@@ -1,0 +1,185 @@
+"""The end-to-end hive2es job — the engine's equivalent of the reference's
+two entry points (``Hive2ES.main``, generic; ``PAHive2ES.main``, production
+path with inference + metadata overrides).
+
+One declarative pipeline replaces the reference's three table scans
+(metadata job, inference job, transform job — ``PAHive2ES.scala:75,121,202``):
+
+    read(table, where)                          # O1/O2, Catalyst pushdown
+      -> [json-source parse]                    # O5
+      -> [map-column flatten]                   # O6/O8 (1 agg per map col)
+      -> type normalization + overrides         # O9/O10 (O3 via table read)
+      -> null scrub                             # O11
+      -> documents (_id, _routing, doc)         # O4/O15
+      -> shard routing + co-location            # O16 (ES murmur3)
+      -> bundle staging -> publish (alias swap) # O17-O24, O33
+         (or: es-hadoop connector conf for a live cluster)
+
+Config mirrors the reference CLI surface (``ArgsParser.scala:31-128``); the
+ZK/leader/segment-surgery half of the reference is intentionally absent —
+the Spark driver is the coordinator and the publish protocol is the bundle
+sink's atomic rename + alias swap (see SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import document, routing
+from ..plans.mapping import synthesize_mapping
+from ..sinks import bundle
+from ..sinks.es_bulk import es_write_conf
+from ..sources import read_table
+
+
+@dataclass
+class Hive2ESConfig:
+    """Job configuration (reference flags in comments)."""
+
+    table: str  # --hive-table
+    index_name: str  # --index-name
+    sf_dir: str | None = None  # parquet-table root (tests); None = metastore
+    where: str | None = None  # --where
+    id_col: str | None = None  # --id  (None -> synthesized row id)
+    routing_col: str | None = None  # --routing (None -> id)
+    num_shards: int = 3  # --number-of-shards
+    partition_multiple: int = 10  # --partition-multiples
+    alias: str | None = None  # --alias
+    json_source: bool = False  # --json-source (single JSON-string column)
+    type_overrides: dict[str, str] = field(default_factory=dict)  # O3/O9
+    index_hive_fields: frozenset[str] = frozenset()  # --index-hive-fields
+    index_es_fields: frozenset[str] = frozenset()  # --index-es-fields
+    flatten_maps: bool = True  # PA path map handling
+    max_map_keys: int = 1000
+    output_root: str | None = None  # bundle sink root; None = no write
+    es_nodes: str | None = None  # set to write via es-hadoop connector instead
+
+
+def build_documents(spark: SparkSession, cfg: Hive2ESConfig) -> tuple[DataFrame, dict]:
+    """The transform half: (routed documents DataFrame, ES mapping dict)."""
+    df = read_table(spark, cfg.table, cfg.sf_dir, where=cfg.where)
+
+    if cfg.json_source:
+        # reference --json-source: row is one JSON string (Hive2ES.scala:48-49)
+        col0 = df.columns[0]
+        df = document.parse_json_column(df, col0).select(f"{col0}_parsed.*")
+
+    # field-set inference runs on the PRE-flatten schema so the index policy
+    # sees the original column names (`tags_il` -> unindexed keys,
+    # PAHive2ES.scala:53-64); map keys are discovered once and reused for
+    # the flatten below (one aggregation per map column total)
+    keys_cache: dict[str, list[str]] = {}
+    fields = document.infer_field_set(
+        df,
+        set(cfg.index_hive_fields),
+        set(cfg.index_es_fields),
+        max_keys=cfg.max_map_keys,
+        map_keys_cache=keys_cache,
+    )
+    mapping = synthesize_mapping(fields)
+
+    if cfg.flatten_maps:
+        for col, keys in keys_cache.items():
+            df = document.flatten_map_column(df, col, keys=keys)
+
+    df = document.normalize_types(df, cfg.type_overrides)
+    df = document.scrub_nulls(df)
+
+    id_col = cfg.id_col
+    if id_col is None:
+        # deterministic synthesized id: hash of the full row (idempotent
+        # across reruns, unlike the reference's random fallback
+        # Hive2ES.scala:60-62)
+        df = df.withColumn("_gen_id", F.md5(F.to_json(F.struct(*df.columns))))
+        id_col = "_gen_id"
+
+    docs = document.to_documents(
+        df,
+        id_col=id_col,
+        routing_col=cfg.routing_col,
+        doc_columns=[c for c in df.columns if c != "_gen_id"],
+    )
+    routed = routing.repartition_for_shards(
+        docs, "_routing", cfg.num_shards, cfg.partition_multiple
+    )
+    return routed, mapping
+
+
+def run_job(spark: SparkSession, cfg: Hive2ESConfig) -> dict:
+    """Full job: build documents, stage bundle, validate, publish, swap
+    alias.  Returns the published manifest."""
+    routed, mapping = build_documents(spark, cfg)
+    if cfg.es_nodes:
+        conf = es_write_conf(cfg.index_name, nodes=cfg.es_nodes)
+        (
+            routed.drop("_shard")
+            .write.format("org.elasticsearch.spark.sql")
+            .options(**conf)
+            .mode("append")
+            .save(f"{cfg.index_name}/doc")
+        )
+        return {"index": cfg.index_name, "sink": "elasticsearch", "mapping": mapping}
+    if not cfg.output_root:
+        raise ValueError("config needs output_root (bundle sink) or es_nodes")
+    bundle.write_bundle(
+        routed, cfg.output_root, cfg.index_name, cfg.num_shards, mapping=mapping
+    )
+    return bundle.publish_bundle(
+        cfg.output_root, cfg.index_name, alias=cfg.alias or _derive_alias(cfg.index_name)
+    )
+
+
+def _derive_alias(index_name: str) -> str | None:
+    """Reference derives alias by stripping the date suffix
+    (``PAHive2ES.scala:41-42``: ``name_yyyymmdd`` -> ``name``)."""
+    if "_" in index_name:
+        base, suffix = index_name.rsplit("_", 1)
+        if suffix.isdigit():
+            return base
+    return None
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring the reference's scopt surface (``ArgsParser.scala``)."""
+    p = argparse.ArgumentParser(prog="hive2es", description=__doc__)
+    p.add_argument("--table", required=True, help="source table (metastore or name under --sf-dir)")
+    p.add_argument("--index-name", required=True)
+    p.add_argument("--sf-dir", default=None, help="parquet table root (omit for Hive metastore)")
+    p.add_argument("--where", default=None)
+    p.add_argument("--id", dest="id_col", default=None)
+    p.add_argument("--routing", dest="routing_col", default=None)
+    p.add_argument("--number-of-shards", type=int, default=3)
+    p.add_argument("--partition-multiples", type=int, default=10)
+    p.add_argument("--alias", default=None)
+    p.add_argument("--json-source", action="store_true")
+    p.add_argument("--output-root", default=None)
+    p.add_argument("--es-nodes", default=None)
+    a = p.parse_args(argv)
+
+    from ..session import get_spark
+
+    cfg = Hive2ESConfig(
+        table=a.table,
+        index_name=a.index_name,
+        sf_dir=a.sf_dir,
+        where=a.where,
+        id_col=a.id_col,
+        routing_col=a.routing_col,
+        num_shards=a.number_of_shards,
+        partition_multiple=a.partition_multiples,
+        alias=a.alias,
+        json_source=a.json_source,
+        output_root=a.output_root,
+        es_nodes=a.es_nodes,
+    )
+    manifest = run_job(get_spark("hive2es-job"), cfg)
+    print(manifest)
+
+
+if __name__ == "__main__":
+    main()

@@ -240,16 +240,24 @@ def infer_field_set(
     index_hive_fields: set[str] = frozenset(),
     index_es_fields: set[str] = frozenset(),
     max_keys: int = 1000,
+    map_keys_cache: dict[str, list[str]] | None = None,
 ) -> list[tuple[str, str, bool]]:
     """(es_key, es_type, need_index) triples for every document field —
     static schema fields from ``df.schema`` (free), dynamic map keys from one
     aggregation per map column.  Mirrors ``PAHive2ES.scala:100-121`` without
-    the extra full-table pass."""
+    the extra full-table pass.
+
+    ``map_keys_cache`` (column -> discovered keys) is filled in when passed,
+    so a caller that also flattens pays for key discovery once.
+    """
     triples: list[tuple[str, str, bool]] = []
     for f in df.schema.fields:
         if isinstance(f.dataType, T.MapType):
             value_type = es_type_for(f.dataType.valueType)
-            for k in discover_map_keys(df, f.name, max_keys):
+            keys = discover_map_keys(df, f.name, max_keys)
+            if map_keys_cache is not None:
+                map_keys_cache[f.name] = keys
+            for k in keys:
                 es_key = map_field_name(f.name, k)
                 triples.append((es_key, value_type, _need_index(f.name, es_key, index_hive_fields, index_es_fields)))
         elif isinstance(f.dataType, T.ArrayType):

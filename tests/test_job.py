@@ -1,0 +1,130 @@
+"""End-to-end job tests: the Hive2ES/PAHive2ES-equivalent pipeline from a
+source table to a published, alias-addressable bundle."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.jobs import Hive2ESConfig, build_documents, run_job
+from hive2es_offline_spark.sinks import bundle
+
+from conftest import SF_SMOKE
+
+
+def test_run_job_lineitem_bundle(spark, tmp_path):
+    cfg = Hive2ESConfig(
+        table="lineitem",
+        index_name="lineitem_19980101",
+        sf_dir=SF_SMOKE,
+        where="l_quantity < 10",
+        num_shards=3,
+        output_root=str(tmp_path),
+    )
+    manifest = run_job(spark, cfg)
+    assert manifest["state"] == "completed"
+    assert manifest["doc_count"] > 0
+    assert set(map(int, manifest["shard_counts"])) <= {0, 1, 2}
+    # alias derived from the _yyyymmdd suffix (PAHive2ES.scala:41-42)
+    assert bundle.resolve_alias(str(tmp_path), "lineitem") == "lineitem_19980101"
+    # mapping synthesized and staged with the bundle
+    props = manifest["mapping"]["doc"]["properties"]
+    assert props["l_orderkey"] == {"type": "long"}
+    assert props["l_shipdate"] == {"type": "date", "format": "yyyyMMdd"}
+    assert props["l_returnflag"] == {"type": "string", "index": "not_analyzed"}
+    # docs readable back, sparse-JSON bodies, routed
+    back = bundle.read_bundle(spark, str(tmp_path), "lineitem")
+    row = back.first()
+    doc = json.loads(row["doc"])
+    assert doc["l_quantity"] < 10
+    assert len(doc["l_shipdate"]) == 8  # yyyyMMdd
+
+
+def test_build_documents_explicit_id_routing(spark):
+    cfg = Hive2ESConfig(
+        table="orders",
+        index_name="orders_v1",
+        sf_dir=SF_SMOKE,
+        id_col="o_orderkey",
+        routing_col="o_custkey",
+        num_shards=5,
+    )
+    docs, mapping = build_documents(spark, cfg)
+    r = docs.first()
+    assert r["_id"] != r["_routing"]  # routing came from o_custkey
+    assert 0 <= r["_shard"] < 5
+    assert "o_totalprice" in mapping["doc"]["properties"]
+
+
+def test_build_documents_generated_id_is_deterministic(spark):
+    cfg = Hive2ESConfig(table="region", index_name="r_v1", sf_dir=SF_SMOKE)
+    a = {r["_id"] for r in build_documents(spark, cfg)[0].select("_id").collect()}
+    b = {r["_id"] for r in build_documents(spark, cfg)[0].select("_id").collect()}
+    assert a == b  # md5-of-row ids: rerun-idempotent (vs reference's random)
+
+
+def test_json_source_mode(spark, tmp_path):
+    rows = [(f'{{"id": {i}, "name": "n{i}", "score": {i}.5}}',) for i in range(50)]
+    src = str(tmp_path / "json_src.parquet")
+    spark.createDataFrame(rows, "value string").write.parquet(src)
+    cfg = Hive2ESConfig(
+        table="json_src",
+        index_name="js_v1",
+        sf_dir=str(tmp_path),
+        json_source=True,
+        id_col="id",
+        num_shards=2,
+        output_root=str(tmp_path / "out"),
+    )
+    manifest = run_job(spark, cfg)
+    assert manifest["doc_count"] == 50
+    back = bundle.read_bundle(spark, str(tmp_path / "out"), "js_v1")
+    doc = json.loads(back.where("_id = '7'").first()["doc"])
+    assert doc["name"] == "n7"
+
+
+def test_map_flatten_in_job(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, {"Hits&Total": "10", "city": "SF"}), (2, {"city": "NY"})],
+        "uid int, tags_il map<string,string>",
+    )
+    src_dir = tmp_path / "maps"
+    df.write.parquet(str(src_dir / "user_index.parquet"))
+    cfg = Hive2ESConfig(
+        table="user_index",
+        index_name="ui_v1",
+        sf_dir=str(src_dir),
+        id_col="uid",
+        num_shards=2,
+    )
+    docs, mapping = build_documents(spark, cfg)
+    props = mapping["doc"]["properties"]
+    # *_il map keys prefixed + normalized + unindexed (PAHive2ES.scala:53-98)
+    assert props["tags_il-hits-total"] == {"type": "string", "index": "no"}
+    assert props["tags_il-city"] == {"type": "string", "index": "no"}
+    d1 = json.loads(docs.where("_id = '1'").first()["doc"])
+    assert d1["tags_il-city"] == "SF"
+    assert d1["tags_il-hits-total"] == "10"
+    d2 = json.loads(docs.where("_id = '2'").first()["doc"])
+    assert "tags_il-hits-total" not in d2  # sparse doc: absent, not null
+
+
+def test_cli_parses_and_runs(spark, tmp_path, monkeypatch):
+    import hive2es_offline_spark.jobs.hive2es as job_mod
+
+    monkeypatch.setattr(job_mod, "_cli_spark", lambda: spark, raising=False)
+    # run through main() with a tiny table
+    from hive2es_offline_spark.session import get_spark
+
+    monkeypatch.setattr("hive2es_offline_spark.session.get_spark", lambda *a, **k: spark)
+    job_mod.main(
+        [
+            "--table", "region",
+            "--index-name", "region_20240101",
+            "--sf-dir", SF_SMOKE,
+            "--id", "r_regionkey",
+            "--number-of-shards", "2",
+            "--output-root", str(tmp_path),
+        ]
+    )
+    assert bundle.resolve_alias(str(tmp_path), "region") == "region_20240101"
