@@ -19,6 +19,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -41,10 +43,13 @@ def dedup_exact(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
 # ---------------------------------------------------------------------------
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """k-token shingles of a whitespace-tokenized document (array<string>)."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(c, " ")
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-token shingles from an ALREADY-MATERIALIZED token array column.
+
+    Always shingle from a materialized array: passing ``split(text)`` inline
+    makes Catalyst re-inline the split into every ``element_at`` of every
+    shingle lambda — O(tokens^2) work per document (observed in the physical
+    plan before this split)."""
     n = F.size(toks)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
@@ -54,13 +59,27 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles of a whitespace-tokenized document (array<string>).
+    Prefer ``shingles_from_tokens`` over a materialized token column inside
+    larger plans (see its docstring)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return shingles_from_tokens(F.split(c, " "), k)
+
+
 def _doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle_hash32) pairs, distinct per doc.  The 32-bit reduction
-    keeps the MinHash permutation arithmetic inside bigint range."""
+    """(id, shingle_hash32) pairs.  The 32-bit reduction keeps the MinHash
+    permutation arithmetic inside bigint range.
+
+    Deliberately NOT distinct: ``min`` absorbs duplicate shingles, and the
+    dedup shuffle would cost more than it saves — the downstream groupBy
+    already does map-side partial mins, so only O(docs x num_perm) partial
+    rows cross the wire either way."""
+    df = fan_out(df)  # shingling is compute-bound; spread small inputs
     return (
-        df.select(F.col(id_col).alias("_did"), F.explode(shingles(text_col, k)).alias("_sh"))
+        df.select(F.col(id_col).alias("_did"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_did", F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("_sh"))
         .select("_did", F.pmod(F.xxhash64("_sh"), F.lit(1 << 32)).alias("_h"))
-        .distinct()
     )
 
 
@@ -91,6 +110,10 @@ def minhash_signatures(
     exploded (doc, perm) shuffle — 64x less shuffle volume.
     """
     params = _minhash_params(num_perm, seed)
+    # num_perm aggregate expressions overflow the default whole-stage-codegen
+    # field limit (100) and silently fall back to interpreted eval (~3x
+    # slower measured); raise it for this session
+    df.sparkSession.conf.set("spark.sql.codegen.maxFields", str(max(200, 2 * num_perm)))
     pairs = _doc_shingle_hashes(df, id_col, text_col, shingle_k)
     mins = [
         F.min(F.pmod(F.col("_h") * a + b, F.lit(_MH_PRIME))).alias(f"_m{i}")
@@ -179,18 +202,23 @@ def dedup_minhash(
 
 def simhash_votes(text: Column | str, num_bits: int = 64) -> Column:
     """Per-bit token votes (array<int>[num_bits]): each token's 64-bit hash
-    votes +1/-1 on every bit — a single JVM left fold per row."""
+    votes +1/-1 on every bit — a single JVM left fold per row.
+
+    Tokens are hashed ONCE via a ``transform`` before the fold; putting
+    ``xxhash64(t)`` inside the per-bit expression would recompute the hash
+    ``num_bits`` times per token (Catalyst does not CSE across lambda
+    bodies)."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(c, " ")
+    hashes = F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
     return F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), num_bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                     ).otherwise(F.lit(-1))
                     for i in range(num_bits)
                 ]
@@ -226,7 +254,8 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(id, fingerprint-chunk array) per document."""
     return (
-        df.select(F.col(id_col).alias("_did"), simhash_votes(text_col, num_bits).alias("_votes"))
+        fan_out(df)
+        .select(F.col(id_col).alias("_did"), simhash_votes(text_col, num_bits).alias("_votes"))
         .select("_did", votes_to_chunks(F.col("_votes"), num_bits, num_chunks).alias("_fp"))
     )
 
@@ -300,7 +329,9 @@ def ngram_jaccard_pairs(
     exact for pairs that share at least one rare shingle.
     """
     sh = (
-        df.select(F.col(id_col).alias("_did"), F.explode(shingles(text_col, shingle_k)).alias("_sh"))
+        fan_out(df)
+        .select(F.col(id_col).alias("_did"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_did", F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"))
         .distinct()
     )
     sizes = sh.groupBy("_did").agg(F.count(F.lit(1)).alias("_sz"))

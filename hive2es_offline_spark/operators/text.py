@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 #: tiny per-language stopword lists for the n-gram/stopword language
 #: heuristic.  Deliberately small + deterministic (this is a heuristic
 #: operator, not a model); extend per corpus.
@@ -101,14 +103,49 @@ def fingerprint_rolling(text: Column | str) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Standard per-document stat block used by filtering pipelines."""
+    """Standard per-document stat block used by filtering pipelines.
+
+    Two-stage projection: tokens and per-language stopword hits are
+    materialized once in the first select, then every metric reads the
+    materialized columns — instead of re-deriving ``split(text)`` + four
+    list-filters inside each of the six output expressions (codegen CSE
+    doesn't reliably collapse nested higher-order functions)."""
     c = F.col(text_col)
-    return df.select(
-        *[x for x in df.columns if x != text_col],
-        token_count(c).alias("n_tokens"),
+    others = [x for x in df.columns if x != text_col]
+    def hits_col(words: list[str]):
+        # NB: the lambda must be unary — pyspark treats a 2-arg lambda as
+        # (element, index), so a bound default arg would become the index col
+        return F.size(F.filter(tokens(c), lambda t: t.isin(words)))
+
+    staged = df.select(
+        *others,
+        c.alias(text_col),
+        tokens(c).alias("_toks"),
+        *[hits_col(words).alias(f"_h_{code}") for code, words in sorted(STOPWORDS.items())],
+    )
+    n_tok = F.size(F.col("_toks")).cast("double")
+    stop_ratio = F.col("_h_en").cast("double") / F.greatest(n_tok, F.lit(1.0))
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    alpha_ratio = alpha_chars / F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    quality = F.round(
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * alpha_ratio,
+        6,
+    )
+    guess = F.lit("und")
+    best_hits = F.lit(0)
+    for code in sorted(STOPWORDS):  # deterministic tie-break: first max wins
+        hits = F.col(f"_h_{code}")
+        is_better = hits > best_hits
+        guess = F.when(is_better, F.lit(code)).otherwise(guess)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return staged.select(
+        *others,
+        F.size(F.col("_toks")).alias("n_tokens"),
         F.length(c).alias("n_chars_actual"),
         bpe_token_count(c).alias("n_bpe_tokens"),
-        quality_score(c).alias("quality"),
-        lang_guess(c).alias("lang_guess"),
+        quality.alias("quality"),
+        guess.alias("lang_guess"),
         fingerprint_md5(c).alias("fp_md5"),
     )
