@@ -500,6 +500,14 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.dedup_simhash(d, "doc_id", "text", max_hamming=3)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Rows-only: near-dup pairs resolved to keep/drop decisions via
+    min-label propagation (iterative; not SQL-expressible)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.dedup_minhash(d, "doc_id", "text", threshold=0.35)
+    return dedup.connected_components(pairs)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -682,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_cosine": q_dedup_cosine,
         "sim_search": q_sim_search,

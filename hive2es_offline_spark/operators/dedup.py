@@ -195,6 +195,61 @@ def dedup_minhash(
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into keep/drop decisions: every document gets
+    the MINIMUM id of its connected component as ``component``; survivors
+    are rows where ``id == component``.
+
+    Iterative min-label propagation over the edge set (each round: every node
+    takes the min label among itself + neighbors), converging in O(component
+    diameter) rounds — near-dup clusters are shallow, so this terminates in a
+    few joins.  Each iteration is one shuffle; ``localCheckpoint`` truncates
+    the growing lineage so round N doesn't replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn("keep", (F.col("id") == F.col("component")).cast("boolean"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the pure-python cores: hash parity,
+bulk batching invariants, field naming, mapping synthesis."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hive2es_offline_spark.functions.es_hash import (
+    es_routing_hash,
+    hash_key_batch,
+    murmur3_x86_32,
+)
+from hive2es_offline_spark.operators.document import map_field_name, normalize_field_name
+from hive2es_offline_spark.plans.mapping import synthesize_mapping
+from hive2es_offline_spark.sinks.es_bulk import iter_bulk_batches
+
+
+@settings(max_examples=200)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=50)), max_size=40))
+def test_vectorized_hash_matches_scalar(keys):
+    got = hash_key_batch(keys)
+    exp = [None if k is None else es_routing_hash(k) for k in keys]
+    assert got == exp
+
+
+@settings(max_examples=200)
+@given(st.binary(max_size=64), st.integers(min_value=0, max_value=2**32 - 1))
+def test_murmur3_is_int32(data, seed):
+    h = murmur3_x86_32(data, seed)
+    assert -(2**31) <= h < 2**31
+
+
+@settings(max_examples=100)
+@given(st.lists(st.tuples(st.text(min_size=1, max_size=8), st.text(max_size=30)), max_size=60))
+def test_bulk_batches_preserve_every_doc(docs):
+    triples = [(i_id, i_id, json.dumps({"v": body})) for i_id, body in docs]
+    payloads = list(iter_bulk_batches(iter(triples), "idx", bulk_actions=7))
+    metas = []
+    for p in payloads:
+        lines = p.strip().split("\n")
+        assert len(lines) % 2 == 0
+        metas += [json.loads(lines[i])["create"]["_id"] for i in range(0, len(lines), 2)]
+    assert metas == [t[0] for t in triples]  # order + completeness
+    for p in payloads[:-1]:
+        assert len(p.strip().split("\n")) == 14  # 7 actions x 2 lines
+
+
+@settings(max_examples=200)
+@given(st.text(max_size=30))
+def test_normalize_field_name_idempotent_and_clean(name):
+    out = normalize_field_name(name)
+    assert normalize_field_name(out) == out
+    assert "&" not in out and "$" not in out
+    assert out == out.lower()
+
+
+@settings(max_examples=100)
+@given(st.text(min_size=1, max_size=20), st.text(min_size=1, max_size=20))
+def test_il_map_fields_keep_prefix(col, key):
+    out = map_field_name(col + "_il", key)
+    assert out.startswith(normalize_field_name(col + "_il-"))
+
+
+@settings(max_examples=100)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(min_size=1, max_size=10),
+            st.sampled_from(["string", "long", "integer", "double", "date"]),
+            st.booleans(),
+        ),
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_mapping_synthesis_policy(fields):
+    m = synthesize_mapping(fields)["doc"]
+    assert m["_all"] == {"enabled": False}
+    for es_key, es_type, need_index in fields:
+        entry = m["properties"][es_key]
+        assert entry["type"] == es_type
+        if not need_index:
+            assert entry["index"] == "no"
+        elif es_type == "string":
+            assert entry["index"] == "not_analyzed"
+        if es_type == "date":
+            assert entry["format"] == "yyyyMMdd"

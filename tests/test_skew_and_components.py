@@ -1,0 +1,79 @@
+"""Skew utilities + connected-components dedup resolution."""
+
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.operators import dedup
+from hive2es_offline_spark.operators.skew import salted_agg, salted_left_join, with_salt
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    # one hot key (90% of rows) + long tail
+    rows = [("hot", float(i % 7)) for i in range(900)] + [
+        (f"k{i}", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    salted = salted_agg(
+        df,
+        ["k"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_v": (F.sum(F.col("v").cast("decimal(18,2)")).cast("double"),
+                      F.sum(F.col("sum_v").cast("decimal(18,2)")).cast("double")),
+            "max_v": (F.max("v"), F.max("max_v")),
+        },
+        factor=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        F.max("v").alias("max_v"),
+    )
+    s = {r["k"]: (r["n"], r["sum_v"], r["max_v"]) for r in salted.collect()}
+    p = {r["k"]: (r["n"], r["sum_v"], r["max_v"]) for r in plain.collect()}
+    assert s == p
+
+
+def test_salt_is_deterministic(spark):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(200)], "id int, v string")
+    a = {r["id"]: r["_salt"] for r in with_salt(df, 16).collect()}
+    b = {r["id"]: r["_salt"] for r in with_salt(df, 16).collect()}
+    assert a == b
+    assert len(set(a.values())) > 1  # actually spreads
+
+
+def test_salted_left_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(10)],
+        "k string, payload int",
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, label string")
+    salted = salted_left_join(big, small, "k", factor=4).select("k", "payload", "label")
+    plain = big.join(small, "k").select("k", "payload", "label")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_connected_components_chain_and_islands(spark):
+    # components: {1,2,3,4} via chain, {10,11}, isolated nodes absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: (r["component"], r["keep"]) for r in dedup.connected_components(pairs).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (1, False)
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+
+
+def test_minhash_to_components_end_to_end(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(0, base), (1, base), (2, base.replace("kappa", "lambda")), (3, "unrelated text entirely different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.dedup_minhash(df, "doc_id", "text", threshold=0.5)
+    decisions = dedup.connected_components(pairs)
+    kept = {r["id"] for r in decisions.where("keep").collect()}
+    dropped = {r["id"] for r in decisions.where("NOT keep").collect()}
+    assert 0 in kept  # min-id survivor of the dup cluster
+    assert 1 in dropped
+    assert 3 not in kept | dropped  # never paired -> not in decision set
