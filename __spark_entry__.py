@@ -533,6 +533,14 @@ def q_sim_search_lsh(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, qvec, k=10, num_planes=8, probe_hamming=8)
 
 
+def q_sim_search_ivf(spark, sf_dir):
+    """Rows-only: IVF coarse-quantized ANN (probe 2 of 16 cells)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    cents = similarity.seeded_centroids(e, 16)
+    return similarity.ivf_topk(e, qvec, cents, k=10, n_probe=2)
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return text.text_stats(d.select("doc_id", "text"), "text")
@@ -695,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine": q_dedup_cosine,
         "sim_search": q_sim_search,
         "sim_search_lsh": q_sim_search_lsh,
+        "sim_search_ivf": q_sim_search_ivf,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "sessionize": q_sessionize,

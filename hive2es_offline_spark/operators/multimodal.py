@@ -70,3 +70,101 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id long, feature array<float>"
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", dim: int = 16
+) -> DataFrame:
+    """Binary payload -> dense feature vector (Arrow-batched).
+
+    Stub featurizer: a deterministic byte-histogram projection (a real one
+    calls a vision/audio model on the decoded tensor).  Output shape matches
+    the ``embeddings`` table convention (``array<float>``) so the similarity
+    operators compose directly: decode -> features -> ``cosine_topk`` /
+    ``cosine_self_pairs``.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(arr) == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                feats.append((hist / max(len(arr), 1)).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "feature": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary image -> resized binary image (Arrow-batched).
+
+    Stub: a real implementation decodes, resamples, re-encodes (PIL/opencv);
+    the stub truncates/pads the byte stream to the target pixel budget so
+    batch shapes and memory behavior are realistic.  Raise
+    ``NotImplementedError`` here instead if silent fakes are unacceptable.
+    """
+    budget = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [bytes(p)[:budget].ljust(budget, b"\0") for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": out,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_index int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    num_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Opaque video/audio payload -> N evenly-spaced frame payloads
+    (one output row per frame — a flatMap-shaped mapInPandas).
+
+    Stub frame extraction slices the byte stream at even offsets; a real
+    implementation seeks with pyav/ffmpeg.  Demonstrates the 1->N batch
+    shape: output batches are ``num_frames`` x input rows.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                step = max(len(raw) // num_frames, 1)
+                for i in range(num_frames):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    frames.append(raw[i * step : (i + 1) * step])
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)

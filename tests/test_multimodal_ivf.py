@@ -1,0 +1,65 @@
+"""Multimodal pipeline ops (feature/resize/frame-sample plumbing) + IVF ANN."""
+
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.operators import multimodal, similarity
+from hive2es_offline_spark.sources import read_table
+
+from conftest import SF_SMOKE
+
+
+def _payloads(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world " * 20), (2, "tiny"), (3, "")], "doc_id long, text string"
+    )
+    return multimodal.with_binary_payload(df)
+
+
+def test_extract_features_shape_and_determinism(spark):
+    p = _payloads(spark)
+    feats = {r["doc_id"]: r["feature"] for r in multimodal.extract_features(p, dim=16).collect()}
+    assert all(len(v) == 16 for v in feats.values())
+    assert abs(sum(feats[1]) - 1.0) < 1e-5  # normalized histogram
+    assert feats[3] == [0.0] * 16  # empty payload
+    again = {r["doc_id"]: r["feature"] for r in multimodal.extract_features(p, dim=16).collect()}
+    assert feats == again
+
+
+def test_features_compose_with_similarity(spark):
+    p = _payloads(spark)
+    feats = multimodal.extract_features(p, dim=16).withColumnRenamed("feature", "embedding")
+    qvec = [float(x) for x in feats.where("doc_id = 1").first()["embedding"]]
+    top = similarity.cosine_topk(feats, qvec, k=2, id_col="doc_id")
+    assert top.first()["doc_id"] == 1  # self is the best match
+
+
+def test_resize_respects_budget(spark):
+    out = {r["doc_id"]: r for r in multimodal.resize_images(_payloads(spark), 8, 4).collect()}
+    assert all(len(bytes(r["payload"])) == 32 for r in out.values())
+    assert out[2]["width"] == 8 and out[2]["height"] == 4
+
+
+def test_sample_frames_one_to_n(spark):
+    rows = multimodal.sample_frames(_payloads(spark), num_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+
+
+def test_ivf_matches_brute_force_when_probing_all(spark):
+    e = read_table(spark, "embeddings", SF_SMOKE)
+    qvec = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    cents = similarity.seeded_centroids(e, 8)
+    brute = [r["vec_id"] for r in similarity.cosine_topk(e, qvec, k=10).collect()]
+    full_probe = [r["vec_id"] for r in similarity.ivf_topk(e, qvec, cents, k=10, n_probe=8).collect()]
+    assert brute == full_probe  # probing every cell == exact search
+
+
+def test_ivf_narrow_probe_is_subset_quality(spark):
+    e = read_table(spark, "embeddings", SF_SMOKE)
+    qvec = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    cents = similarity.seeded_centroids(e, 8)
+    narrow = similarity.ivf_topk(e, qvec, cents, k=10, n_probe=2).collect()
+    assert 0 < len(narrow) <= 10
+    assert narrow[0]["vec_id"] == 0  # query vector's own cell is probed first
