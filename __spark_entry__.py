@@ -24,7 +24,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive2es_offline_spark.operators import dedup, document, multimodal, routing, similarity, text
+from hive2es_offline_spark.operators import (
+    dedup,
+    document,
+    multimodal,
+    routing,
+    similarity,
+    temporal,
+    text,
+)
 from hive2es_offline_spark.sinks import bundle, es_bulk
 from hive2es_offline_spark.sources import read_table
 from hive2es_offline_spark.streaming import ingest
@@ -457,6 +465,79 @@ def q_math_funcs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of (backward) join: each event gets its user's latest order at or
+    before the event time — composed from an equi-join + window rank."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    )
+    return temporal.asof_join(e, o, on="user_id", left_time="ts", right_time="o_orderdate")
+
+
+def q_range_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 100.0, "high")],
+        "lo double, hi double, label string",
+    )
+    return temporal.range_join(li, bands, "l_quantity").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "label"
+    )
+
+
+def q_agg_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
+    )
+
+
+def q_string_funcs2(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("lev_bt"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_trans"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.instr("p_name", "a").alias("pos_a"),
+    )
+
+
+def q_grouped_pandas(spark, sf_dir):
+    """Pandas UDAF surface (applyInPandas): quantity-weighted mean price per
+    return flag.  math.fsum makes the double sums exact, so the result is
+    row-order independent (shuffle-safe) and oracle-comparable."""
+    import math
+
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def wavg(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        num = math.fsum((pdf["l_extendedprice"] * pdf["l_quantity"]).tolist())
+        den = math.fsum(pdf["l_quantity"].tolist())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "wavg_price": [round(num / den, 4) if den else None],
+                "n": [len(pdf)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        wavg, "l_returnflag string, wavg_price double, n long"
+    )
+
+
 def q_array_funcs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -675,12 +756,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_counts": q_partition_counts,
         "join_inner": q_join_inner,
         "join_left": q_join_left,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
         "agg_group": q_agg_group,
         "agg_distinct": q_agg_distinct,
         "agg_approx_distinct": q_agg_approx_distinct,
         "agg_percentile": q_agg_percentile,
+        "agg_stats": q_agg_stats,
+        "grouped_pandas": q_grouped_pandas,
         "rollup_cube": q_rollup_cube,
         "cube_agg": q_cube_agg,
         "pivot_table": q_pivot_table,
@@ -691,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "sql_subquery": q_sql_subquery,
         "string_funcs": q_string_funcs,
+        "string_funcs2": q_string_funcs2,
         "date_funcs": q_date_funcs,
         "math_funcs": q_math_funcs,
         "array_funcs": q_array_funcs,
@@ -991,6 +1077,54 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "asof_join": """
+            WITH j AS (
+              SELECT e.event_id, e.user_id, e.ts, o.o_orderdate, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT ev.event_id, ev.user_id, ev.ts,
+                   j.o_orderdate AS asof_o_orderdate,
+                   j.o_orderkey AS asof_o_orderkey
+            FROM events ev
+            LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON ev.event_id = j.event_id
+        """,
+        "range_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN 'low'
+                        WHEN l_quantity >= 10 AND l_quantity < 25 THEN 'mid'
+                        WHEN l_quantity >= 25 AND l_quantity < 100 THEN 'high'
+                   END AS label
+            FROM lineitem
+        """,
+        "agg_stats": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   round(corr(l_quantity, l_discount), 6) AS corr_qd,
+                   round(covar_samp(l_quantity, l_discount), 6) AS covar_qd
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "string_funcs2": """
+            SELECT p_partkey,
+                   levenshtein(p_brand, p_type) AS lev_bt,
+                   lpad(p_brand, 12, '*') AS brand_pad,
+                   reverse(p_type) AS type_rev,
+                   translate(p_name, 'aeiou', 'AEIOU') AS name_trans,
+                   split_part(p_name, ' ', 1) AS first_word,
+                   strpos(p_name, 'a') AS pos_a
+            FROM part
+        """,
+        "grouped_pandas": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                     AS wavg_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "agg_distinct": """
             SELECT l_returnflag,

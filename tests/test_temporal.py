@@ -1,0 +1,57 @@
+"""As-of join and range join operator semantics."""
+
+from datetime import datetime
+
+from hive2es_offline_spark.operators import temporal
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-10T00:00:00")), (2, "k", _ts("2024-01-01T00:00:00")),
+         (3, "nokey", _ts("2024-01-10T00:00:00"))],
+        "lid long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-05T00:00:00"), "a"),
+         ("k", _ts("2024-01-09T00:00:00"), "b"),   # latest <= 01-10
+         ("k", _ts("2024-02-01T00:00:00"), "c")],  # after every left row
+        "k string, rt timestamp, v string",
+    )
+    out = {r["lid"]: (r["asof_rt"], r["asof_v"]) for r in
+           temporal.asof_join(left, right, "k", "t", "rt").collect()}
+    assert out[1] == (_ts("2024-01-09T00:00:00"), "b")
+    assert out[2] == (None, None)   # no right row at or before
+    assert out[3] == (None, None)   # key never matches, left join keeps row
+
+
+def test_asof_join_exact_timestamp_is_inclusive(spark):
+    left = spark.createDataFrame([(1, "k", _ts("2024-01-05T00:00:00"))], "lid long, k string, t timestamp")
+    right = spark.createDataFrame([("k", _ts("2024-01-05T00:00:00"), "same")], "k string, rt timestamp, v string")
+    r = temporal.asof_join(left, right, "k", "t", "rt").first()
+    assert r["asof_v"] == "same"
+
+
+def test_range_join_banded_matches_broadcast_range_join(spark):
+    facts = spark.createDataFrame([(i, float(i % 37)) for i in range(300)], "id long, v double")
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 40.0, "high")],
+        "lo double, hi double, label string",
+    )
+    broad = {(r["id"], r["label"]) for r in
+             temporal.range_join(facts, ranges, "v").select("id", "label").collect()}
+    banded = {(r["id"], r["label"]) for r in
+              temporal.range_join_banded(facts, ranges, "v", "lo", "hi", band_width=8.0)
+              .select("id", "label").collect()}
+    assert banded == {p for p in broad if p[1] is not None}
+
+
+def test_range_join_half_open_interval(spark):
+    facts = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    ranges = spark.createDataFrame([(0.0, 10.0, "low"), (10.0, 20.0, "mid")],
+                                   "lo double, hi double, label string")
+    r = temporal.range_join(facts, ranges, "v").first()
+    assert r["label"] == "mid"  # [lo, hi): 10.0 belongs to the upper band
