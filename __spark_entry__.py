@@ -36,6 +36,7 @@ from hive2es_offline_spark.operators import (
 from hive2es_offline_spark.sinks import bundle, es_bulk
 from hive2es_offline_spark.sources import read_table
 from hive2es_offline_spark.streaming import ingest
+from hive2es_offline_spark.streaming.sessionize import streaming_sessionize
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -727,6 +728,34 @@ def q_streaming_ingest(spark, sf_dir):
     )
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Rows-only: custom stateful streaming operator
+    (applyInPandasWithState) — closed sessions from one availableNow drain."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    reader = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out_dir = tempfile.mkdtemp(prefix="sess_out_")
+    q = (
+        streaming_sessionize(events, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(out_dir)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -797,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_write": q_bulk_write,
         "publish_swap": q_publish_swap,
         "streaming_ingest": q_streaming_ingest,
+        "streaming_sessionize": q_streaming_sessionize,
         "multimodal_meta": q_multimodal_meta,
     }
 

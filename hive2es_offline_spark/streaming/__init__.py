@@ -1,3 +1,4 @@
 from .ingest import stream_events, streaming_ingest_once
+from .sessionize import streaming_sessionize
 
-__all__ = ["stream_events", "streaming_ingest_once"]
+__all__ = ["stream_events", "streaming_ingest_once", "streaming_sessionize"]
