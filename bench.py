@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "sim_search",
     "partition_counts",
+    "asof_join",
+    "ngram_jaccard",
+    "rollup_cube",
+    "map_flatten",
 ]
 
 
