@@ -131,10 +131,17 @@ def minhash_candidate_pairs(
     id_col: str,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become a candidate pair.
     Pair similarity is estimated from the signatures (fraction of equal
-    minhash positions) — an unbiased Jaccard estimate."""
+    minhash positions) — an unbiased Jaccard estimate.
+
+    ``max_bucket_size`` bounds pair output at scale: a band bucket with k
+    members emits O(k²) pairs, and buckets beyond a few dozen members are
+    near-certain duplicate *families* — cluster those directly (route the
+    oversized buckets to ``connected_components`` as single-band cliques)
+    instead of scoring every pair.  None = unbounded (exact behavior)."""
     rows_per_band = num_perm // bands
     banded = signatures.select(
         F.col(id_col).alias("_did"),
@@ -157,6 +164,11 @@ def minhash_candidate_pairs(
             )
         ).alias("_band"),
     ).select("_did", "signature", "_band.band", "_band.bh")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_bsz"))
+        banded = banded.join(
+            sizes.where(F.col("_bsz") <= max_bucket_size), ["band", "bh"]
+        ).drop("_bsz")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"),
@@ -186,12 +198,14 @@ def dedup_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs above threshold.  To drop dups: keep min(id) per
-    connected component (single-link via repeated min propagation, or treat
-    pair list as an edge set for graph dedup downstream)."""
+    """Near-dup pairs above threshold.  To drop dups: feed the pairs to
+    ``connected_components`` (keep = min id per component); at large scale
+    set ``max_bucket_size`` so pair output stays bounded by true duplicate
+    mass (see ``minhash_candidate_pairs``)."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
-    pairs = minhash_candidate_pairs(sigs, id_col, num_perm, bands)
+    pairs = minhash_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket_size)
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 

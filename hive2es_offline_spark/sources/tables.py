@@ -42,14 +42,24 @@ def read_table(
     sf_dir: str | None = None,
     where: str | None = None,
     columns: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """Scan a table declaratively (reference O1+O2: scan + WHERE pushdown)."""
+    """Scan a table declaratively (reference O1+O2: scan + WHERE pushdown).
+
+    ``fmt`` selects the file source (parquet/orc push filters down; json/csv
+    only prune columns) — the reference reads Hive tables only; file-format
+    breadth is an engine extension.
+    """
     if sf_dir:
         # the harness events table stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read nanos as long and truncate to
         # micros (same truncation DuckDB applies, so oracle parity holds)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        path = os.path.join(sf_dir, f"{name}.{fmt}")
+        reader = spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = reader.format(fmt).load(path)
         for f in df.schema.fields:
             if f.name == "ts" and f.dataType.simpleString() == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,33 @@
+"""Multi-format source reading + hot-bucket capping."""
+
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.operators import dedup
+from hive2es_offline_spark.sources import read_table
+
+
+def test_read_table_json_and_csv(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)], "id bigint, name string, v double"
+    )
+    src.write.json(str(tmp_path / "t.json"))
+    src.write.option("header", "true").csv(str(tmp_path / "t.csv"))
+    j = read_table(spark, "t", str(tmp_path), fmt="json", where="id > 1")
+    c = read_table(spark, "t", str(tmp_path), fmt="csv", where="id > 1", columns=["id", "name"])
+    assert j.count() == 2
+    assert sorted(r["name"] for r in c.collect()) == ["b", "c"]
+
+
+def test_minhash_bucket_cap_bounds_pairs(spark):
+    # 30 identical docs = one 30-member duplicate family per band bucket
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    df = spark.createDataFrame([(i, text) for i in range(30)], "doc_id long, text string")
+    unbounded = dedup.dedup_minhash(df, "doc_id", "text", threshold=0.9).count()
+    capped = dedup.dedup_minhash(
+        df, "doc_id", "text", threshold=0.9, max_bucket_size=10
+    ).count()
+    assert unbounded == 30 * 29 // 2  # full clique
+    assert capped == 0  # oversized family excluded from pairwise scoring
+    # a small family is unaffected by the cap
+    small = spark.createDataFrame([(i, text) for i in range(5)], "doc_id long, text string")
+    assert dedup.dedup_minhash(small, "doc_id", "text", 0.9, max_bucket_size=10).count() == 10
