@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -30,15 +31,76 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     how: str = "left",
+    strategy: str = "union",
 ) -> DataFrame:
     """For every left row, attach the LATEST right row with
     ``right_time <= left_time`` for the same key (classic as-of / backward
-    join, e.g. order -> last event before the order).
+    join, e.g. event -> the user's last order at or before the event).
 
-    Implementation: equi-join on the key with the time predicate, then keep
-    rank-1 per left row ordered by right_time desc (ties broken by the full
-    right column tuple for determinism)."""
+    ``strategy="union"`` (default, the scalable plan): tag and union both
+    sides, sort each key's timeline once, and carry the latest right row
+    forward with ``last(ignorenulls)`` — ONE shuffle, intermediate size
+    |left| + |right|.  ``strategy="join"`` materializes every (left row x
+    earlier right row) match before rank-1 — O(|left| x avg right rows per
+    key) intermediate; kept for cross-checking.
+    """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_time)]
+    if strategy == "join":
+        return _asof_join_via_join(left, right, on, left_time, right_time, right_cols, how)
+
+    # union plan: right rows sort before left rows at equal timestamps so
+    # the as-of is inclusive (rt == lt matches); later right rows overwrite
+    # earlier ones in the running last().  The carried payload is ONE struct
+    # so the whole right row travels atomically — per-column last() would
+    # stitch values from different right rows when right columns are null.
+    carried = [right_time] + right_cols
+    carry_struct = F.struct(*[F.col(c) for c in carried])
+    null_carry = F.lit(None).cast(
+        T.StructType([right.schema[c] for c in carried])
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),  # right first at equal _t
+        carry_struct.alias("_carry"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_left_{c}") for c in left.columns],
+    )
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        null_carry.alias("_carry"),
+        *[F.col(c).alias(f"_left_{c}") for c in left.columns],
+    )
+    # deterministic tie-break among right rows at identical _t: struct
+    # ordering makes the max carried tuple win (matches the join strategy's
+    # DESC rank-1 choice)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_carry"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    timeline = r_tagged.unionByName(l_tagged).select(
+        "*", F.last(F.col("_carry"), ignorenulls=True).over(w).alias("_asof")
+    )
+    out = timeline.where(F.col("_side") == 1).select(
+        *[F.col(f"_left_{c}").alias(c) for c in left.columns],
+        *[F.col("_asof").getField(c).alias(f"asof_{c}") for c in carried],
+    )
+    if how == "inner":
+        return out.where(F.col(f"asof_{right_time}").isNotNull())
+    return out
+
+
+def _asof_join_via_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    how: str,
+) -> DataFrame:
     l, r = left.alias("l"), right.alias("r")
     joined = l.join(
         r,

@@ -55,3 +55,33 @@ def test_range_join_half_open_interval(spark):
                                    "lo double, hi double, label string")
     r = temporal.range_join(facts, ranges, "v").first()
     assert r["label"] == "mid"  # [lo, hi): 10.0 belongs to the upper band
+
+
+def test_asof_strategies_equivalent(spark):
+    from hive2es_offline_spark.sources import read_table
+    from pyspark.sql import functions as F
+    from conftest import SF_SMOKE
+
+    e = read_table(spark, "events", SF_SMOKE).select("event_id", "user_id", "ts")
+    o = read_table(spark, "orders", SF_SMOKE).select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    u = temporal.asof_join(e, o, "user_id", "ts", "o_orderdate", strategy="union")
+    j = temporal.asof_join(e, o, "user_id", "ts", "o_orderdate", strategy="join")
+    assert sorted(map(tuple, u.collect())) == sorted(map(tuple, j.collect()))
+
+
+def test_asof_union_atomic_carry_with_null_right_cols(spark):
+    # right row with a NULL payload column must not get stitched with an
+    # older row's non-null value (atomic struct carry)
+    from datetime import datetime
+    left = spark.createDataFrame(
+        [(1, "k", datetime(2024, 1, 10))], "lid long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), "old"), ("k", datetime(2024, 1, 5), None)],
+        "k string, rt timestamp, v string",
+    )
+    r = temporal.asof_join(left, right, "k", "t", "rt").first()
+    assert r["asof_rt"] == datetime(2024, 1, 5)
+    assert r["asof_v"] is None  # the latest row's NULL, not 'old'
