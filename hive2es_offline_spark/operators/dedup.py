@@ -29,8 +29,15 @@ from .util import fan_out
 def dedup_exact(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Keep exactly one row per key, chosen by a deterministic tiebreaker
     (NOT ``dropDuplicates``, which keeps an arbitrary row and is therefore
-    not idempotent across reruns)."""
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    not idempotent across reruns).
+
+    The window partitions on a 128-bit hash of the key columns, not the
+    raw values — when the dedup key is document text, the shuffle key drops
+    from kilobytes to 16 bytes per row.  md5 collisions (~2^-64 at corpus
+    scale) conflate two distinct keys; add a post-filter on the raw key if
+    that risk is unacceptable."""
+    key_hash = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
+    w = Window.partitionBy(key_hash).orderBy(*[F.col(c) for c in order_cols])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -397,10 +404,22 @@ def ngram_jaccard_pairs(
     Jaccard denominators still use the FULL shingle-set sizes, so the score is
     exact for pairs that share at least one rare shingle.
     """
+    # shingles reduced to 64-bit hashes before any shuffle: the distinct,
+    # df-count, and blocking join all move 8-byte keys instead of ~40-byte
+    # strings (xxhash64 collisions at corpus scale: ~n^2/2^64, negligible
+    # for exact-Jaccard purposes)
     sh = (
         fan_out(df)
         .select(F.col(id_col).alias("_did"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select("_did", F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"))
+        .select(
+            "_did",
+            F.explode(
+                F.transform(
+                    shingles_from_tokens(F.col("_toks"), shingle_k),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("_sh"),
+        )
         .distinct()
     )
     sizes = sh.groupBy("_did").agg(F.count(F.lit(1)).alias("_sz"))
