@@ -407,6 +407,24 @@ def q_topk(spark, sf_dir):
     )
 
 
+def q_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax").melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+def q_posexplode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "token")).where(
+        F.col("pos") < 5
+    )
+
+
 def q_set_ops(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     a = c.where("c_mktsegment = 'BUILDING'").select("c_custkey")
@@ -802,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frame": q_window_frame,
         "window_lead_lag": q_window_lead_lag,
         "topk": q_topk,
+        "unpivot": q_unpivot,
+        "posexplode": q_posexplode,
         "set_ops": q_set_ops,
         "sql_subquery": q_sql_subquery,
         "string_funcs": q_string_funcs,
@@ -1193,6 +1213,19 @@ def oracle_sql() -> dict[str, str]:
         "topk": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber, measure, val
+            FROM lineitem
+            UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+        """,
+        "posexplode": """
+            SELECT doc_id, CAST(r.pos AS INTEGER) AS pos,
+                   string_split(text, ' ')[r.pos + 1] AS token
+            FROM documents, LATERAL (
+              SELECT unnest(range(len(string_split(text, ' ')))) AS pos
+            ) r
+            WHERE r.pos < 5
         """,
         "set_ops": """
             WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

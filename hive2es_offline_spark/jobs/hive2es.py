@@ -51,7 +51,12 @@ class Hive2ESConfig:
     partition_multiple: int = 10  # --partition-multiples
     alias: str | None = None  # --alias
     json_source: bool = False  # --json-source (single JSON-string column)
-    type_overrides: dict[str, str] = field(default_factory=dict)  # O3/O9
+    type_overrides: dict[str, str] = field(default_factory=dict)  # O9 manual
+    #: O3 metadata-table path: a table with (index_name, data_type) rows —
+    #: the reference's raw.I_DSPDATA_USERINDEX_INDEXFIELD lookup
+    #: (PAHive2ES.scala:66-77); optional WHERE narrows by dt/theme.
+    overrides_table: str | None = None
+    overrides_where: str | None = None
     index_hive_fields: frozenset[str] = frozenset()  # --index-hive-fields
     index_es_fields: frozenset[str] = frozenset()  # --index-es-fields
     flatten_maps: bool = True  # PA path map handling
@@ -60,9 +65,32 @@ class Hive2ESConfig:
     es_nodes: str | None = None  # set to write via es-hadoop connector instead
 
 
+def load_type_overrides(
+    spark: SparkSession,
+    table: str,
+    sf_dir: str | None = None,
+    where: str | None = None,
+) -> dict[str, str]:
+    """Per-field ES-type overrides from a metadata table (reference O3:
+    ``spark.sql(dataTypeMappingSql).collect()`` -> driver map,
+    ``PAHive2ES.scala:66-77``).  The collect is bounded: one row per
+    overridden field."""
+    rows = read_table(spark, table, sf_dir, where=where).select(
+        "index_name", "data_type"
+    ).collect()
+    return {r["index_name"].strip(): r["data_type"].strip() for r in rows}
+
+
 def build_documents(spark: SparkSession, cfg: Hive2ESConfig) -> tuple[DataFrame, dict]:
     """The transform half: (routed documents DataFrame, ES mapping dict)."""
     df = read_table(spark, cfg.table, cfg.sf_dir, where=cfg.where)
+
+    if cfg.overrides_table:
+        table_overrides = load_type_overrides(
+            spark, cfg.overrides_table, cfg.sf_dir, cfg.overrides_where
+        )
+        # explicit dict entries win over the metadata table
+        cfg.type_overrides = {**table_overrides, **cfg.type_overrides}
 
     if cfg.json_source:
         # reference --json-source: row is one JSON string (Hive2ES.scala:48-49)
@@ -80,6 +108,7 @@ def build_documents(spark: SparkSession, cfg: Hive2ESConfig) -> tuple[DataFrame,
         set(cfg.index_es_fields),
         max_keys=cfg.max_map_keys,
         map_keys_cache=keys_cache,
+        type_overrides=cfg.type_overrides,
     )
     mapping = synthesize_mapping(fields)
 

@@ -241,6 +241,7 @@ def infer_field_set(
     index_es_fields: set[str] = frozenset(),
     max_keys: int = 1000,
     map_keys_cache: dict[str, list[str]] | None = None,
+    type_overrides: dict[str, str] | None = None,
 ) -> list[tuple[str, str, bool]]:
     """(es_key, es_type, need_index) triples for every document field —
     static schema fields from ``df.schema`` (free), dynamic map keys from one
@@ -250,10 +251,11 @@ def infer_field_set(
     ``map_keys_cache`` (column -> discovered keys) is filled in when passed,
     so a caller that also flattens pays for key discovery once.
     """
+    type_overrides = type_overrides or {}
     triples: list[tuple[str, str, bool]] = []
     for f in df.schema.fields:
         if isinstance(f.dataType, T.MapType):
-            value_type = es_type_for(f.dataType.valueType)
+            value_type = es_type_for(f.dataType.valueType, type_overrides.get(f.name))
             keys = discover_map_keys(df, f.name, max_keys)
             if map_keys_cache is not None:
                 map_keys_cache[f.name] = keys
@@ -262,10 +264,10 @@ def infer_field_set(
                 triples.append((es_key, value_type, _need_index(f.name, es_key, index_hive_fields, index_es_fields)))
         elif isinstance(f.dataType, T.ArrayType):
             es_key = normalize_field_name(f.name)
-            triples.append((es_key, es_type_for(f.dataType.elementType), _need_index(f.name, es_key, index_hive_fields, index_es_fields)))
+            triples.append((es_key, es_type_for(f.dataType.elementType, type_overrides.get(f.name)), _need_index(f.name, es_key, index_hive_fields, index_es_fields)))
         else:
             es_key = normalize_field_name(f.name)
-            triples.append((es_key, es_type_for(f.dataType), _need_index(f.name, es_key, index_hive_fields, index_es_fields)))
+            triples.append((es_key, es_type_for(f.dataType, type_overrides.get(f.name)), _need_index(f.name, es_key, index_hive_fields, index_es_fields)))
     return triples
 
 

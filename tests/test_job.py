@@ -128,3 +128,32 @@ def test_cli_parses_and_runs(spark, tmp_path, monkeypatch):
         ]
     )
     assert bundle.resolve_alias(str(tmp_path), "region") == "region_20240101"
+
+
+def test_overrides_from_metadata_table(spark, tmp_path):
+    # O3: per-field type overrides loaded from a metadata table
+    # (PAHive2ES.scala:66-77) — here l_quantity forced long
+    meta = spark.createDataFrame(
+        [("l_quantity", "long", "a"), ("other", "double", "b")],
+        "index_name string, data_type string, theme string",
+    )
+    meta.write.parquet(str(tmp_path / "fieldmeta.parquet"))
+    from hive2es_offline_spark.jobs.hive2es import load_type_overrides
+
+    overrides = load_type_overrides(
+        spark, "fieldmeta", str(tmp_path), where="theme = 'a'"
+    )
+    assert overrides == {"l_quantity": "long"}
+
+    cfg = Hive2ESConfig(
+        table="lineitem",
+        index_name="li_v2",
+        sf_dir=SF_SMOKE,
+        id_col="l_orderkey",
+        overrides_table=None,  # apply via dict to avoid mixed sf_dir reads
+        type_overrides=overrides,
+    )
+    docs, mapping = build_documents(spark, cfg)
+    assert mapping["doc"]["properties"]["l_quantity"] == {"type": "long"}
+    doc = json.loads(docs.first()["doc"])
+    assert isinstance(doc["l_quantity"], int)  # cast applied to values too
