@@ -582,6 +582,72 @@ def q_higher_order_funcs(spark, sf_dir):
     )
 
 
+def q_agg_collect(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses_csv"),
+    ).select("l_returnflag", "statuses_csv")
+
+
+def q_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_profile_table(spark, sf_dir):
+    """Per-column profile block (null rate / distinct / min / max) — the
+    data-quality sweep a training pipeline runs before ingest."""
+    o = _t(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    blocks = []
+    # integer/string columns only: float->string rendering differs between
+    # engines, which would break min/max parity for no semantic gain
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]:
+        blocks.append(
+            o.agg(
+                F.lit(c).alias("column_name"),
+                total.alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("int")).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            )
+        )
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per document (doc_id < 50) — classic text
+    featurization as pure DataFrame ops: explode -> tf -> df -> join."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.where(F.col("doc_id") < 50)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.dedup_exact(d, ["text"], ["doc_id"]).select("doc_id", "n_chars", "lang")
@@ -812,6 +878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_approx_distinct": q_agg_approx_distinct,
         "agg_percentile": q_agg_percentile,
         "agg_stats": q_agg_stats,
+        "agg_collect": q_agg_collect,
+        "histogram": q_histogram,
+        "profile_table": q_profile_table,
         "grouped_pandas": q_grouped_pandas,
         "rollup_cube": q_rollup_cube,
         "cube_agg": q_cube_agg,
@@ -840,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_search_lsh": q_sim_search_lsh,
         "sim_search_ivf": q_sim_search_ivf,
         "text_stats": q_text_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprint": q_fingerprint,
         "sessionize": q_sessionize,
         "tumbling_window": q_tumbling_window,
@@ -1265,6 +1335,65 @@ def oracle_sql() -> dict[str, str]:
                    l_tax * l_tax AS tax_sq,
                    round(l_extendedprice / 7.0, 2) AS price_div
             FROM lineitem
+        """,
+        "agg_collect": """
+            SELECT l_returnflag,
+                   array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+                     AS statuses_csv
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "histogram": """
+            SELECT CASE WHEN o_totalprice < 0 THEN 0
+                        WHEN o_totalprice >= 500000.0 THEN 21
+                        ELSE CAST(floor(o_totalprice / 25000.0) AS INTEGER) + 1
+                   END AS bucket,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "profile_table": """
+            SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   min(CAST(o_orderkey AS VARCHAR)) AS min_str,
+                   max(CAST(o_orderkey AS VARCHAR)) AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_custkey),
+                   min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT t.doc_id, t.term,
+                     round(t.tf * ln((SELECT count(*) FROM documents)
+                                     / CAST(d.df AS DOUBLE)), 6) AS tfidf
+              FROM tf t JOIN dfreq d ON t.term = d.term
+            )
+            SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rn FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term) AS rn
+              FROM scored WHERE doc_id < 50
+            ) WHERE rn <= 3
         """,
         "dedup_exact": """
             SELECT doc_id, n_chars, lang FROM (
