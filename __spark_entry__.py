@@ -398,6 +398,20 @@ def q_window_frame(spark, sf_dir):
     )
 
 
+def q_topk_grouped(spark, sf_dir):
+    """Two-phase top-k per low-cardinality group (partition-pruned; the
+    naive window plan serializes each group onto one reducer)."""
+    from hive2es_offline_spark.operators.relational import grouped_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_topk(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=5,
+    )
+
+
 def q_topk(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -889,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frame": q_window_frame,
         "window_lead_lag": q_window_lead_lag,
         "topk": q_topk,
+        "topk_grouped": q_topk_grouped,
         "unpivot": q_unpivot,
         "posexplode": q_posexplode,
         "set_ops": q_set_ops,
@@ -1283,6 +1298,16 @@ def oracle_sql() -> dict[str, str]:
         "topk": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "topk_grouped": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(rn AS INTEGER) AS rn
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY l_returnflag
+                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem
+            ) WHERE rn <= 5
         """,
         "unpivot": """
             SELECT l_orderkey, l_linenumber, measure, val
