@@ -188,6 +188,20 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--json-source", action="store_true")
     p.add_argument("--output-root", default=None)
     p.add_argument("--es-nodes", default=None)
+    p.add_argument(
+        "--index-hive-fields", default="",
+        help="comma list of source fields to force-index despite *_il/*_ex",
+    )
+    p.add_argument(
+        "--index-es-fields", default="",
+        help="comma list of ES field names to force-index",
+    )
+    p.add_argument(
+        "--overrides-table", default=None,
+        help="metadata table with (index_name, data_type) per-field type overrides",
+    )
+    p.add_argument("--overrides-where", default=None)
+    p.add_argument("--no-flatten-maps", action="store_true")
     a = p.parse_args(argv)
 
     from ..session import get_spark
@@ -205,6 +219,11 @@ def main(argv: list[str] | None = None) -> None:
         json_source=a.json_source,
         output_root=a.output_root,
         es_nodes=a.es_nodes,
+        index_hive_fields=frozenset(f for f in a.index_hive_fields.split(",") if f),
+        index_es_fields=frozenset(f for f in a.index_es_fields.split(",") if f),
+        overrides_table=a.overrides_table,
+        overrides_where=a.overrides_where,
+        flatten_maps=not a.no_flatten_maps,
     )
     manifest = run_job(get_spark("hive2es-job"), cfg)
     print(manifest)
