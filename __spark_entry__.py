@@ -123,7 +123,9 @@ def q_json_parse(spark, sf_dir):
 
 
 def q_map_flatten(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    from hive2es_offline_spark.operators.util import fan_out
+
+    e = fan_out(_t(spark, sf_dir, "events"))  # events ships as one file/split
     parsed = e.select(
         "event_id", F.from_json("props", "map<string,string>").alias("m")
     )
