@@ -728,6 +728,17 @@ def q_text_stats(spark, sf_dir):
     return text.text_stats(d.select("doc_id", "text"), "text")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Composed LLM-data-curation pass: text stats -> quality/language
+    filter -> exact dedup by canonical fingerprint.  The shape every
+    training-data pipeline runs before tokenization."""
+    d = _t(spark, sf_dir, "documents")
+    stats = text.text_stats(d.select("doc_id", "text"), "text")
+    filtered = stats.where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    deduped = dedup.dedup_exact(filtered, ["fp_md5"], ["doc_id"])
+    return deduped.select("doc_id", "n_tokens", "quality", "lang_guess", "fp_md5")
+
+
 def q_fingerprint(spark, sf_dir):
     """Rows-only for the rolling hash (xxhash64-based); md5 leg is oracled
     inside text_stats."""
@@ -927,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_search_ivf": q_sim_search_ivf,
         "text_stats": q_text_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "curation_pipeline": q_curation_pipeline,
         "fingerprint": q_fingerprint,
         "sessionize": q_sessionize,
         "tumbling_window": q_tumbling_window,
@@ -1048,8 +1060,22 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+_CURATION_ORACLE = (
+    "WITH stats AS (" + _TEXT_STATS_ORACLE + """
+), filtered AS (
+  SELECT * FROM stats WHERE quality >= 0.5 AND n_tokens >= 10
+)
+SELECT doc_id, n_tokens, quality, lang_guess, fp_md5 FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+  FROM filtered
+) WHERE rn = 1
+"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "curation_pipeline": _CURATION_ORACLE,
         "scan_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
             FROM lineitem
