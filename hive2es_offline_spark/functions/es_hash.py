@@ -165,6 +165,12 @@ def es_shard(key: Column | str, num_shards: int) -> Column:
 
     ``MathUtils.mod`` in the reference is the floor mod — same as Spark's
     ``pmod`` — so ``es_shard(key, n) == ESHashPartitioner(n).getPartition(key)``.
+    Null routing keys land on shard 0, matching the reference partitioner's
+    null handling (``ESHashPartitioner.scala:16``) — without the coalesce a
+    null-routed doc would fall into a ``shard=null`` bucket in the bundle
+    layout instead of shard 0.
     """
     c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(es_hash(c.cast("string")), F.lit(num_shards)).cast("int")
+    return F.coalesce(
+        F.pmod(es_hash(c.cast("string")), F.lit(num_shards)), F.lit(0)
+    ).cast("int")

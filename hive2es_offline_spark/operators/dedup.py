@@ -139,6 +139,7 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    oversized: str = "star",
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become a candidate pair.
     Pair similarity is estimated from the signatures (fraction of equal
@@ -146,9 +147,16 @@ def minhash_candidate_pairs(
 
     ``max_bucket_size`` bounds pair output at scale: a band bucket with k
     members emits O(k²) pairs, and buckets beyond a few dozen members are
-    near-certain duplicate *families* — cluster those directly (route the
-    oversized buckets to ``connected_components`` as single-band cliques)
-    instead of scoring every pair.  None = unbounded (exact behavior)."""
+    near-certain duplicate *families*.  For those, ``oversized`` picks:
+
+    * ``"star"`` (default) — emit only the k-1 (bucket-min, member) pairs,
+      still signature-scored.  Connectivity through the hub is preserved for
+      ``connected_components``, so the family still collapses to one keep,
+      but the pair stage is O(k) per bucket instead of O(k²).
+    * ``"drop"`` — discard oversized buckets entirely (recall loss, but a
+      hard output bound).
+
+    None = unbounded (exact all-pairs behavior in every bucket)."""
     rows_per_band = num_perm // bands
     banded = signatures.select(
         F.col(id_col).alias("_did"),
@@ -171,11 +179,28 @@ def minhash_candidate_pairs(
             )
         ).alias("_band"),
     ).select("_did", "signature", "_band.band", "_band.bh")
+    star_pairs = None
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_bsz"))
-        banded = banded.join(
-            sizes.where(F.col("_bsz") <= max_bucket_size), ["band", "bh"]
-        ).drop("_bsz")
+        sizes = banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("_bsz"), F.min("_did").alias("_bmin")
+        )
+        tagged = banded.join(sizes, ["band", "bh"])
+        if oversized == "star":
+            # hub-and-spoke pairs for hot buckets: (bucket min, member);
+            # one keyed join on (band, bh), O(k) output per bucket
+            big = tagged.where(
+                (F.col("_bsz") > max_bucket_size) & (F.col("_did") != F.col("_bmin"))
+            )
+            hubs = tagged.where(
+                (F.col("_bsz") > max_bucket_size) & (F.col("_did") == F.col("_bmin"))
+            ).select("band", "bh", F.col("signature").alias("sig_a"))
+            star_pairs = big.join(hubs, ["band", "bh"]).select(
+                F.col("_bmin").alias("id_a"),  # bucket min < every member
+                F.col("_did").alias("id_b"),
+                "sig_a",
+                F.col("signature").alias("sig_b"),
+            )
+        banded = tagged.where(F.col("_bsz") <= max_bucket_size).drop("_bsz", "_bmin")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"),
@@ -186,8 +211,10 @@ def minhash_candidate_pairs(
             F.col("a.signature").alias("sig_a"),
             F.col("b.signature").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -205,14 +232,20 @@ def dedup_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 64,
+    oversized: str = "star",
 ) -> DataFrame:
     """Near-dup pairs above threshold.  To drop dups: feed the pairs to
-    ``connected_components`` (keep = min id per component); at large scale
-    set ``max_bucket_size`` so pair output stays bounded by true duplicate
-    mass (see ``minhash_candidate_pairs``)."""
+    ``connected_components`` (keep = min id per component).
+
+    ``max_bucket_size`` defaults to 64 so the pair stage stays bounded on
+    duplicate-family-heavy corpora: hot LSH buckets emit O(k) hub-and-spoke
+    pairs instead of O(k²) (see ``minhash_candidate_pairs``); set it to None
+    for the exact unbounded behavior on small corpora."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
-    pairs = minhash_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket_size)
+    pairs = minhash_candidate_pairs(
+        sigs, id_col, num_perm, bands, max_bucket_size, oversized
+    )
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 
@@ -221,6 +254,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions: every document gets
     the MINIMUM id of its connected component as ``component``; survivors
@@ -231,6 +265,14 @@ def connected_components(
     diameter) rounds — near-dup clusters are shallow, so this terminates in a
     few joins.  Each iteration is one shuffle; ``localCheckpoint`` truncates
     the growing lineage so round N doesn't replay rounds 1..N-1.
+
+    The convergence probe is a driver round-trip (an extra job per check), so
+    it only runs every ``check_every`` iterations — propagation is cheap
+    relative to the probe on shallow graphs, and an extra propagation round
+    past the fixpoint is a no-op.  If the loop exits via ``max_iterations``
+    with labels still changing (a chain longer than the cap), a warning is
+    raised — silently returning split components would make downstream
+    keep/drop retain both halves of one duplicate family.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -242,7 +284,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iterations):
+    converged = False
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -258,16 +301,31 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        last_round = it == max_iterations - 1
+        if it % check_every == check_every - 1 or last_round:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = new_labels
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iterations={max_iterations} without "
+            "converging — some components may be split; raise max_iterations "
+            "(rounds needed ~ max component diameter)",
+            RuntimeWarning,
+            stacklevel=2,
         )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.withColumn("keep", (F.col("id") == F.col("component")).cast("boolean"))
 
 

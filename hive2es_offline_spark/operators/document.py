@@ -55,14 +55,20 @@ def map_field_name(column_name: str, key: str) -> str:
 # type normalization (reference O9/O10)
 # ---------------------------------------------------------------------------
 
-#: Hive type -> ES type rules (``PAHive2ES.scala:82-89``).
+#: Hive type -> ES type rules (``PAHive2ES.scala:82-89``).  The reference
+#: only converts bigint/int/decimal and passes every other Hive type name
+#: through unchanged; ``float``/``double``/``boolean``/``string`` are valid
+#: ES types so pass-through and this table agree for them.  smallint/tinyint
+#: are an INTENTIONAL divergence: pass-through would emit invalid ES types
+#: ("smallint" is not an ES type), so they widen to ``integer`` (documented
+#: in COVERAGE.md).
 ES_TYPE_RULES = {
     "bigint": "long",
     "int": "integer",
     "smallint": "integer",
     "tinyint": "integer",
     "double": "double",
-    "float": "double",
+    "float": "float",
     "boolean": "boolean",
     "string": "string",
 }

@@ -2,10 +2,13 @@
 
 Real pipelines carry image/audio/video as binary columns next to typed
 metadata, and decode/feature-extract with Arrow-batched Python
-(``mapInPandas``) because codecs don't live in the JVM.  The decode libs are
-not in this container, so ``decode_image_meta`` is a clearly-marked
-deterministic fake — but the Spark-side plumbing (schema, batch iterator
-shape, partitioning, column pruning through mapInPandas) is real and tested.
+(``mapInPandas``) because codecs don't live in the JVM.
+``decode_image_meta`` parses PNG/JPEG/GIF dimensions for REAL from the
+header bytes (pure stdlib, no codec lib — see ``parse_image_header``);
+full pixel decode / the featurizer remain clearly-marked deterministic
+stand-ins because no codec library ships in this container.  The Spark-side
+plumbing (schema, batch iterator shape, partitioning, column pruning
+through mapInPandas) is real and tested either way.
 
 Scale notes: binary payloads dominate row size, so (a) the mapInPandas
 schema declares only the columns the stage needs — Spark prunes the rest of
@@ -34,14 +37,61 @@ def with_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "do
     return df.select(F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload"))
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
-    """Deterministic stand-in for an image decoder.
+def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL (pure-stdlib) image dimension parse from header bytes for the
+    common container formats — no codec library needed:
 
-    A real implementation opens the bytes with PIL/ffmpeg; stub dimensions
-    are derived from the content hash so tests are stable.  Raise instead if
-    strict behavior is wanted: ``raise NotImplementedError``.
+    * PNG: 8-byte magic, then the IHDR chunk carries width/height as
+      big-endian u32 at offsets 16/20 (PNG spec §11.2.2).
+    * JPEG: scan marker segments for a start-of-frame marker (SOF0-15 minus
+      DHT/JPG/DAA); height/width are big-endian u16 at segment offset +3/+5
+      (ITU T.81 §B.2.2).
+    * GIF: 6-byte signature, then logical-screen width/height as
+      little-endian u16 (GIF89a spec §18).
+
+    Returns None for anything unrecognized (caller falls back to the
+    deterministic stub so the operator stays total)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return w, h, "png"
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return w, h, "jpeg"
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return w, h, "gif"
+    return None
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
+    """Decode with REAL header parsing for PNG/JPEG/GIF (see
+    ``parse_image_header``); unrecognized payloads fall back to a
+    deterministic stand-in whose dimensions derive from the content hash so
+    tests are stable.  Only the fallback is fake — swap it for
+    ``raise NotImplementedError`` if strict behavior is wanted.
     """
     sha = hashlib.sha1(payload).hexdigest()
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        return sha, parsed[0], parsed[1], parsed[2]
     width = 64 + int(sha[:4], 16) % 1024
     height = 64 + int(sha[4:8], 16) % 1024
     fmt = ["png", "jpeg", "webp"][int(sha[8:10], 16) % 3]
@@ -51,8 +101,9 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
 def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Arrow-batched decode: binary payload -> typed metadata row.
 
-    The canonical multimodal operator shape — swap ``_fake_decode`` for a
-    real codec and the plan/schema/partitioning are unchanged.
+    The canonical multimodal operator shape — header metadata (PNG/JPEG/GIF
+    dimensions) is parsed for real from the binary bytes; only unrecognized
+    formats fall back to the deterministic stub.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -40,13 +40,23 @@ def asof_join(
     ``strategy="union"`` (default, the scalable plan): tag and union both
     sides, sort each key's timeline once, and carry the latest right row
     forward with ``last(ignorenulls)`` — ONE shuffle, intermediate size
-    |left| + |right|.  ``strategy="join"`` materializes every (left row x
-    earlier right row) match before rank-1 — O(|left| x avg right rows per
-    key) intermediate; kept for cross-checking.
+    |left| + |right|.  ``strategy="broadcast"`` is the dim-sized fast path:
+    the right side collapses to one sorted array per key and broadcasts, so
+    the LEFT side never shuffles at all (plan: BroadcastHashJoin) — use when
+    the right table is small enough to broadcast (reference dims, band
+    tables, slowly-changing lookup history).  ``strategy="join"``
+    materializes every (left row x earlier right row) match before rank-1 —
+    O(|left| x avg right rows per key) intermediate; kept for cross-checking.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_time)]
+    # a null right timestamp can never satisfy `rt <= lt`: drop those rows up
+    # front so every strategy agrees (the union plan's nulls-first sort would
+    # otherwise carry them into left rows that have no earlier match)
+    right = right.where(F.col(right_time).isNotNull())
     if strategy == "join":
         return _asof_join_via_join(left, right, on, left_time, right_time, right_cols, how)
+    if strategy == "broadcast":
+        return _asof_join_via_broadcast(left, right, on, left_time, right_time, right_cols, how)
 
     # union plan: right rows sort before left rows at equal timestamps so
     # the as-of is inclusive (rt == lt matches); later right rows overwrite
@@ -121,6 +131,49 @@ def _asof_join_via_join(
     if how == "left":
         return left.join(best, on=left.columns, how="left")
     return best
+
+
+def _asof_join_via_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    how: str,
+) -> DataFrame:
+    """Small-right fast path: collapse the right side to one ascending-sorted
+    array of (t, payload) structs per key, broadcast it, and pick the last
+    element with ``t <= left_time`` per left row — a BroadcastHashJoin with
+    zero shuffle on the left side.
+
+    ``sort_array`` orders structs lexicographically (t first, payload as
+    tiebreaker), and ``element_at(filter(...), -1)`` takes the max qualifying
+    tuple — identical tie-breaking to the union strategy's running
+    ``last()`` over (t, payload)-ordered rows."""
+    carried = [right_time] + right_cols
+    packed = right.groupBy(on).agg(
+        F.sort_array(
+            F.collect_list(F.struct(*[F.col(c) for c in carried]))
+        ).alias("_timeline")
+    )
+    lt = F.col(left_time)
+    # try_element_at: no qualifying element -> null (plain element_at throws
+    # on the empty array under ANSI mode, Spark 4 default)
+    best = F.try_element_at(
+        F.filter(F.col("_timeline"), lambda x: x.getField(right_time) <= lt), F.lit(-1)
+    )
+    out = (
+        left.join(F.broadcast(packed), on=on, how="left")
+        .withColumn("_asof", best)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("_asof").getField(c).alias(f"asof_{c}") for c in carried],
+        )
+    )
+    if how == "inner":
+        return out.where(F.col(f"asof_{right_time}").isNotNull())
+    return out
 
 
 def range_join(

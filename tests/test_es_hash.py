@@ -61,8 +61,9 @@ def test_shard_assignment_matches_reference_partitioner(spark):
         assert got[k] == es_routing_hash(k) % 5, k
 
 
-def test_null_key_hashes_to_null(spark):
+def test_null_key_routes_to_shard_zero(spark):
+    # reference ESHashPartitioner.scala:16: null routing key -> partition 0
     df = spark.createDataFrame([(None,), ("x",)], "k string")
     rows = df.select(es_shard(F.col("k"), 3).alias("s")).collect()
-    assert rows[0]["s"] is None
+    assert rows[0]["s"] == 0
     assert rows[1]["s"] is not None

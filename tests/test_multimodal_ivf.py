@@ -63,3 +63,64 @@ def test_ivf_narrow_probe_is_subset_quality(spark):
     narrow = similarity.ivf_topk(e, qvec, cents, k=10, n_probe=2).collect()
     assert 0 < len(narrow) <= 10
     assert narrow[0]["vec_id"] == 0  # query vector's own cell is probed first
+
+
+def _tiny_png(width, height):
+    """A complete, REAL PNG file built with stdlib only (zlib CRCs + IDAT)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _tiny_jpeg(width, height):
+    """SOI + APP0(JFIF) + SOF0 header bytes (enough of a real JPEG stream
+    for dimension parsing; ITU T.81 B.2.2 layout)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_parse_image_header_real_formats():
+    assert multimodal.parse_image_header(_tiny_png(320, 240)) == (320, 240, "png")
+    assert multimodal.parse_image_header(_tiny_jpeg(640, 480)) == (640, 480, "jpeg")
+    gif = b"GIF89a" + (17).to_bytes(2, "little") + (9).to_bytes(2, "little")
+    assert multimodal.parse_image_header(gif) == (17, 9, "gif")
+    assert multimodal.parse_image_header(b"not an image") is None
+
+
+def test_decode_image_meta_real_png_through_spark(spark):
+    png = _tiny_png(32, 16)
+    jpg = _tiny_jpeg(100, 50)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(b"opaque blob"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_image_meta(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (32, 16, "png")
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (100, 50, "jpeg")
+    assert out[3]["format"] in ("png", "jpeg", "webp")  # deterministic fallback
+    assert out[1]["n_bytes"] == len(png)

@@ -77,3 +77,46 @@ def test_minhash_to_components_end_to_end(spark):
     assert 0 in kept  # min-id survivor of the dup cluster
     assert 1 in dropped
     assert 3 not in kept | dropped  # never paired -> not in decision set
+
+
+def test_connected_components_warns_when_iteration_capped(spark):
+    import pytest
+
+    # a 12-node chain needs ~11 propagation rounds; cap at 2 -> must warn
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="max_iterations"):
+        dedup.connected_components(pairs, max_iterations=2).collect()
+
+
+def test_minhash_oversized_bucket_star_bounds_pairs(spark):
+    # 30 identical docs: unbounded LSH emits 30*29/2 = 435 pairs; the star
+    # route emits only the 29 hub-and-spoke pairs, and components still
+    # collapse the family to a single keeper
+    fam = [(i, "the same exact duplicated document text " * 5) for i in range(30)]
+    other = [(100, "completely different words about another topic entirely")]
+    df = spark.createDataFrame(fam + other, "doc_id long, text string")
+    pairs = dedup.dedup_minhash(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=8, oversized="star"
+    )
+    got = pairs.collect()
+    assert 1 <= len(got) <= 29  # star, not all-pairs
+    assert all(r["id_a"] == 0 for r in got)  # hub is the bucket min
+    decisions = dedup.connected_components(pairs)
+    assert {r["id"] for r in decisions.where("keep").collect()} == {0}
+    assert {r["id"] for r in decisions.where("NOT keep").collect()} == set(range(1, 30))
+
+
+def test_minhash_star_equals_unbounded_on_small_buckets(spark):
+    # when no bucket exceeds the cap, the capped plan is pair-for-pair
+    # identical to the unbounded one
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+        (1, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+        (2, "one two three four five six seven eight nine ten " * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.dedup_minhash(df, "doc_id", "text", threshold=0.5, max_bucket_size=64)
+    unbounded = dedup.dedup_minhash(df, "doc_id", "text", threshold=0.5, max_bucket_size=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, unbounded.collect()))

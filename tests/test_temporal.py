@@ -85,3 +85,48 @@ def test_asof_union_atomic_carry_with_null_right_cols(spark):
     r = temporal.asof_join(left, right, "k", "t", "rt").first()
     assert r["asof_rt"] == datetime(2024, 1, 5)
     assert r["asof_v"] is None  # the latest row's NULL, not 'old'
+
+
+def test_asof_broadcast_matches_union(spark):
+    from hive2es_offline_spark.sources import read_table
+    from pyspark.sql import functions as F
+    from conftest import SF_SMOKE
+
+    e = read_table(spark, "events", SF_SMOKE).select("event_id", "user_id", "ts")
+    o = read_table(spark, "orders", SF_SMOKE).select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    u = temporal.asof_join(e, o, "user_id", "ts", "o_orderdate", strategy="union")
+    b = temporal.asof_join(e, o, "user_id", "ts", "o_orderdate", strategy="broadcast")
+    assert sorted(map(tuple, u.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_asof_broadcast_plan_is_broadcast_join(spark):
+    left = spark.createDataFrame(
+        [(i, "k", _ts("2024-01-10T00:00:00")) for i in range(100)],
+        "lid long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-05T00:00:00"), "a")], "k string, rt timestamp, v string"
+    )
+    out = temporal.asof_join(left, right, "k", "t", "rt", strategy="broadcast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the (dim-sized) right side aggregates + broadcasts; the LEFT side joins
+    # without any shuffle or per-key window sort
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_asof_null_right_time_ignored_by_all_strategies(spark):
+    # a null right timestamp can never satisfy rt <= lt; every strategy
+    # must skip it (the union plan's nulls-first sort used to carry it)
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-10T00:00:00"))], "lid long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", None, "ghost")], "k string, rt timestamp, v string"
+    )
+    for strategy in ("union", "join", "broadcast"):
+        r = temporal.asof_join(left, right, "k", "t", "rt", strategy=strategy).first()
+        assert (r["asof_rt"], r["asof_v"]) == (None, None), strategy
