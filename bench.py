@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "rollup_cube",
     "map_flatten",
+    # the write path: stage a real shard-partitioned bundle + atomic publish
+    # (the reference's actual production job, not just the transforms)
+    "publish_swap",
 ]
 
 

@@ -181,26 +181,33 @@ def minhash_candidate_pairs(
     ).select("_did", "signature", "_band.band", "_band.bh")
     star_pairs = None
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bh").agg(
-            F.count(F.lit(1)).alias("_bsz"), F.min("_did").alias("_bmin")
+        # bucket size, hub id and hub signature in ONE window pass over the
+        # same (band, bh) key the pair self-join shuffles on — the exchange
+        # is shared, so the cap costs no extra shuffle stage
+        wb = Window.partitionBy("band", "bh")
+        tagged = banded.select(
+            "_did",
+            "signature",
+            "band",
+            "bh",
+            F.count(F.lit(1)).over(wb).alias("_bsz"),
+            F.min("_did").over(wb).alias("_bmin"),
+            F.min_by("signature", "_did").over(wb).alias("_hub_sig"),
         )
-        tagged = banded.join(sizes, ["band", "bh"])
         if oversized == "star":
             # hub-and-spoke pairs for hot buckets: (bucket min, member);
-            # one keyed join on (band, bh), O(k) output per bucket
-            big = tagged.where(
+            # O(k) output per bucket, no join needed
+            star_pairs = tagged.where(
                 (F.col("_bsz") > max_bucket_size) & (F.col("_did") != F.col("_bmin"))
-            )
-            hubs = tagged.where(
-                (F.col("_bsz") > max_bucket_size) & (F.col("_did") == F.col("_bmin"))
-            ).select("band", "bh", F.col("signature").alias("sig_a"))
-            star_pairs = big.join(hubs, ["band", "bh"]).select(
+            ).select(
                 F.col("_bmin").alias("id_a"),  # bucket min < every member
                 F.col("_did").alias("id_b"),
-                "sig_a",
+                F.col("_hub_sig").alias("sig_a"),
                 F.col("signature").alias("sig_b"),
             )
-        banded = tagged.where(F.col("_bsz") <= max_bucket_size).drop("_bsz", "_bmin")
+        banded = tagged.where(F.col("_bsz") <= max_bucket_size).select(
+            "_did", "signature", "band", "bh"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"),

@@ -98,30 +98,43 @@ def bulk_write_stats(
     """Run the bulk-batching contract over every partition and return
     per-partition (partition_id, docs, batches, bytes) stats — the
     reference's per-partition count log (``Hive2ES.scala:85-90``) plus batch
-    accounting.  ``transport`` receives each NDJSON payload."""
-    spark = docs.sparkSession
+    accounting.  ``transport`` receives each NDJSON payload.
 
-    def per_partition(pid: int, rows) -> Iterator[tuple[int, int, int, int]]:
+    The bulk protocol is genuinely per-partition imperative (batching +
+    transport side effects), but it stays on the Arrow path: ``mapInPandas``
+    streams columnar batches into the partition-level generator instead of
+    pickling rows through an RDD."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def per_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
         n_docs = 0
         n_batches = 0
         n_bytes = 0
 
         def gen():
             nonlocal n_docs
-            for r in rows:
-                n_docs += 1
-                yield (r["_id"], r["_routing"], r["doc"])
+            for pdf in batches:
+                for _id, _routing, doc in zip(pdf["_id"], pdf["_routing"], pdf["doc"]):
+                    n_docs += 1
+                    yield (_id, _routing, doc)
 
         for payload in iter_bulk_batches(gen(), index, bulk_actions, bulk_bytes):
             n_batches += 1
             n_bytes += len(payload)
             if transport is not None:
                 transport(payload)
-        yield (pid, n_docs, n_batches, n_bytes)
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "doc_count": [n_docs],
+                "batch_count": [n_batches],
+                "payload_bytes": [n_bytes],
+            }
+        )
 
-    # mapPartitionsWithIndex is justified here: the bulk protocol is
-    # genuinely per-partition imperative (batching + transport side effects).
-    stats = docs.select("_id", "_routing", "doc").rdd.mapPartitionsWithIndex(per_partition)
-    return spark.createDataFrame(
-        stats, "partition_id int, doc_count long, batch_count long, payload_bytes long"
+    return docs.select("_id", "_routing", "doc").mapInPandas(
+        per_partition,
+        "partition_id int, doc_count long, batch_count long, payload_bytes long",
     )

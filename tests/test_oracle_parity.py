@@ -65,6 +65,21 @@ def test_rows_only_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_every_oracled_query_is_inside_driver_window():
+    """The driver's CORRECTNESS run evaluates exactly the first 50 entries
+    of queries() in dict order — every oracle-backed query and every
+    rows-only contract entry must sit inside that window."""
+    names = list(entry_mod.queries())
+    window = set(names[:50])
+    missing = set(entry_mod.oracle_sql()) - window
+    assert not missing, f"oracled queries outside the 50-entry window: {missing}"
+    for contract_rows_only in (
+        "es_routing", "partition_counts", "dedup_minhash", "dedup_components",
+        "bulk_write",
+    ):
+        assert contract_rows_only in window
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -22,12 +22,18 @@ def test_minhash_bucket_cap_bounds_pairs(spark):
     # 30 identical docs = one 30-member duplicate family per band bucket
     text = "alpha beta gamma delta epsilon zeta eta theta " * 4
     df = spark.createDataFrame([(i, text) for i in range(30)], "doc_id long, text string")
-    unbounded = dedup.dedup_minhash(df, "doc_id", "text", threshold=0.9).count()
-    capped = dedup.dedup_minhash(
+    unbounded = dedup.dedup_minhash(
+        df, "doc_id", "text", threshold=0.9, max_bucket_size=None
+    ).count()
+    starred = dedup.dedup_minhash(
         df, "doc_id", "text", threshold=0.9, max_bucket_size=10
     ).count()
+    dropped = dedup.dedup_minhash(
+        df, "doc_id", "text", threshold=0.9, max_bucket_size=10, oversized="drop"
+    ).count()
     assert unbounded == 30 * 29 // 2  # full clique
-    assert capped == 0  # oversized family excluded from pairwise scoring
+    assert starred == 29  # hub-and-spoke: O(k) pairs, connectivity kept
+    assert dropped == 0  # hard exclusion mode
     # a small family is unaffected by the cap
     small = spark.createDataFrame([(i, text) for i in range(5)], "doc_id long, text string")
     assert dedup.dedup_minhash(small, "doc_id", "text", 0.9, max_bucket_size=10).count() == 10
