@@ -63,6 +63,21 @@ class Hive2ESConfig:
     max_map_keys: int = 1000
     output_root: str | None = None  # bundle sink root; None = no write
     es_nodes: str | None = None  # set to write via es-hadoop connector instead
+    #: --mapping: user-supplied full mapping JSON.  Reference priority 2
+    #: (``ArgsParser.scala:70-72``, ``Hive2ES.scala:82-84``): a hand-tuned
+    #: mapping WINS over schema synthesis when provided.
+    mapping_json: str | None = None
+    #: --final-index-setting: settings applied at publish, merged over the
+    #: serving defaults (``ArgsParser.scala:74-76``, ``ESClient.java:251-266``)
+    final_index_settings: dict[str, object] = field(default_factory=dict)
+    #: --type-name (``ArgsParser.scala:77-79``); keys the synthesized
+    #: mapping and the legacy typed es resource
+    type_name: str = "doc"
+    #: --bulk-actions / --bulk-size(MB) / --bulk-flush-interval
+    #: (``ArgsParser.scala:94-104``); thresholds for the live bulk sink
+    bulk_actions: int = 100
+    bulk_size_mb: int = 5
+    bulk_flush_interval: str = "5s"
 
 
 def load_type_overrides(
@@ -110,7 +125,14 @@ def build_documents(spark: SparkSession, cfg: Hive2ESConfig) -> tuple[DataFrame,
         map_keys_cache=keys_cache,
         type_overrides=cfg.type_overrides,
     )
-    mapping = synthesize_mapping(fields)
+    if cfg.mapping_json:
+        # user mapping wins over synthesis (reference priority order:
+        # Hive2ES.scala:82-84 uses args.mapping when present)
+        import json as _json
+
+        mapping = _json.loads(cfg.mapping_json)
+    else:
+        mapping = synthesize_mapping(fields, doc_type=cfg.type_name)
 
     if cfg.flatten_maps:
         for col, keys in keys_cache.items():
@@ -144,19 +166,33 @@ def run_job(spark: SparkSession, cfg: Hive2ESConfig) -> dict:
     alias.  Returns the published manifest."""
     routed, mapping = build_documents(spark, cfg)
     if cfg.es_nodes:
-        conf = es_write_conf(cfg.index_name, nodes=cfg.es_nodes)
+        # one resource convention: es_write_conf owns es.resource (typed only
+        # for legacy clusters via type_name); save() takes no path so the
+        # conf is never overridden by a second, inconsistent resource string
+        conf = es_write_conf(
+            cfg.index_name,
+            nodes=cfg.es_nodes,
+            bulk_actions=cfg.bulk_actions,
+            bulk_bytes=cfg.bulk_size_mb * 1024 * 1024,
+            type_name=cfg.type_name if cfg.type_name != "doc" else None,
+        )
         (
             routed.drop("_shard")
             .write.format("org.elasticsearch.spark.sql")
             .options(**conf)
             .mode("append")
-            .save(f"{cfg.index_name}/doc")
+            .save()
         )
         return {"index": cfg.index_name, "sink": "elasticsearch", "mapping": mapping}
     if not cfg.output_root:
         raise ValueError("config needs output_root (bundle sink) or es_nodes")
     bundle.write_bundle(
-        routed, cfg.output_root, cfg.index_name, cfg.num_shards, mapping=mapping
+        routed,
+        cfg.output_root,
+        cfg.index_name,
+        cfg.num_shards,
+        mapping=mapping,
+        final_settings=cfg.final_index_settings,
     )
     return bundle.publish_bundle(
         cfg.output_root, cfg.index_name, alias=cfg.alias or _derive_alias(cfg.index_name)
@@ -202,7 +238,29 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument("--overrides-where", default=None)
     p.add_argument("--no-flatten-maps", action="store_true")
+    p.add_argument(
+        "--mapping", default=None,
+        help="full mapping JSON (or @/path/to/file); wins over schema synthesis",
+    )
+    p.add_argument(
+        "--final-index-setting", action="append", default=[],
+        metavar="KEY=VALUE",
+        help="index setting applied at publish (repeatable), e.g. number_of_replicas=2",
+    )
+    p.add_argument("--type-name", default="doc")
+    p.add_argument("--bulk-actions", type=int, default=100)
+    p.add_argument("--bulk-size", type=int, default=5, help="bulk flush threshold, MB")
+    p.add_argument("--bulk-flush-interval", default="5s")
     a = p.parse_args(argv)
+
+    mapping_json = a.mapping
+    if mapping_json and mapping_json.startswith("@"):
+        with open(mapping_json[1:]) as f:
+            mapping_json = f.read()
+    final_settings: dict[str, object] = {}
+    for kv in a.final_index_setting:
+        k, _, v = kv.partition("=")
+        final_settings[k.strip()] = v.strip()
 
     from ..session import get_spark
 
@@ -224,6 +282,12 @@ def main(argv: list[str] | None = None) -> None:
         overrides_table=a.overrides_table,
         overrides_where=a.overrides_where,
         flatten_maps=not a.no_flatten_maps,
+        mapping_json=mapping_json,
+        final_index_settings=final_settings,
+        type_name=a.type_name,
+        bulk_actions=a.bulk_actions,
+        bulk_size_mb=a.bulk_size,
+        bulk_flush_interval=a.bulk_flush_interval,
     )
     manifest = run_job(get_spark("hive2es-job"), cfg)
     print(manifest)

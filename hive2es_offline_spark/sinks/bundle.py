@@ -43,9 +43,14 @@ def write_bundle(
     num_shards: int,
     mapping: dict | None = None,
     shard_col: str = "_shard",
+    final_settings: dict | None = None,
 ) -> dict:
     """Stage a document bundle.  ``docs`` must already carry ``shard_col``
-    (see ``operators.routing.with_shard``).  Returns the manifest."""
+    (see ``operators.routing.with_shard``).  Returns the manifest.
+
+    ``final_settings`` are user index settings applied at publish, merged
+    OVER the serving defaults (the reference's --final-index-setting,
+    ``ESClient.java:251-266``)."""
     staging = os.path.join(root, f"{index_name}_tmp")
     renamed = docs.withColumnRenamed(shard_col, "shard")
     renamed.write.mode("overwrite").partitionBy("shard").parquet(staging)
@@ -67,7 +72,7 @@ def write_bundle(
         "shard_counts": counts,
         "mapping": mapping or {},
         "settings_load": index_settings_for_load(num_shards),
-        "settings_final": index_settings_final(),
+        "settings_final": {**index_settings_final(), **(final_settings or {})},
         "created_ms": int(time.time() * 1000),
         "state": "started",  # mirrors the ZK started->completed state machine
     }

@@ -44,10 +44,15 @@ def es_write_conf(
     bulk_actions: int = DEFAULT_BULK_ACTIONS,
     bulk_bytes: int = DEFAULT_BULK_BYTES,
     retries: int = DEFAULT_RETRIES,
+    type_name: str | None = None,
 ) -> dict[str, str]:
+    """``type_name`` is only for legacy (pre-8.x) clusters: ES 8 connectors
+    reject typed resources, so the default resource is the bare index and
+    callers use ``save()`` with no path — this conf is the single owner of
+    the resource string."""
     return {
         "es.nodes": nodes,
-        "es.resource": index,
+        "es.resource": f"{index}/{type_name}" if type_name else index,
         "es.mapping.id": id_col,
         "es.mapping.routing": routing_col,
         # create (not index): re-executed tasks can't double-write a doc —

@@ -157,3 +157,87 @@ def test_overrides_from_metadata_table(spark, tmp_path):
     assert mapping["doc"]["properties"]["l_quantity"] == {"type": "long"}
     doc = json.loads(docs.first()["doc"])
     assert isinstance(doc["l_quantity"], int)  # cast applied to values too
+
+
+def test_user_mapping_overrides_synthesis(spark, tmp_path):
+    # reference priority: a user-passed full mapping (--mapping,
+    # Hive2ES.scala:82-84) wins over schema synthesis end-to-end
+    user_mapping = {
+        "doc": {
+            "_all": {"enabled": False},
+            "properties": {"r_name": {"type": "string", "index": "analyzed"}},
+        }
+    }
+    cfg = Hive2ESConfig(
+        table="region",
+        index_name="region_um",
+        sf_dir=SF_SMOKE,
+        id_col="r_regionkey",
+        num_shards=2,
+        output_root=str(tmp_path),
+        mapping_json=json.dumps(user_mapping),
+    )
+    manifest = run_job(spark, cfg)
+    assert manifest["mapping"] == user_mapping  # user mapping, not synthesized
+    staged = bundle.read_manifest(str(tmp_path), "region_um")
+    assert staged["mapping"] == user_mapping
+
+
+def test_final_index_settings_merge_over_defaults(spark, tmp_path):
+    cfg = Hive2ESConfig(
+        table="region",
+        index_name="region_fs",
+        sf_dir=SF_SMOKE,
+        id_col="r_regionkey",
+        num_shards=2,
+        output_root=str(tmp_path),
+        final_index_settings={"number_of_replicas": 3, "refresh_interval": "30s"},
+    )
+    manifest = run_job(spark, cfg)
+    assert manifest["settings_final"]["number_of_replicas"] == 3  # user override
+    assert manifest["settings_final"]["refresh_interval"] == "30s"
+
+
+def test_type_name_keys_mapping_and_resource(spark):
+    cfg = Hive2ESConfig(
+        table="region",
+        index_name="region_tn",
+        sf_dir=SF_SMOKE,
+        id_col="r_regionkey",
+        type_name="mytype",
+    )
+    _, mapping = build_documents(spark, cfg)
+    assert "mytype" in mapping and "doc" not in mapping
+    from hive2es_offline_spark.sinks.es_bulk import es_write_conf
+
+    assert es_write_conf("idx")["es.resource"] == "idx"  # ES 8.x: untyped
+    assert es_write_conf("idx", type_name="mytype")["es.resource"] == "idx/mytype"
+
+
+def test_cli_mapping_and_settings_flags(spark, tmp_path, monkeypatch):
+    import hive2es_offline_spark.jobs.hive2es as job_mod
+
+    monkeypatch.setattr("hive2es_offline_spark.session.get_spark", lambda *a, **k: spark)
+    mapping_file = tmp_path / "user_mapping.json"
+    mapping_file.write_text(
+        '{"doc": {"properties": {"r_name": {"type": "string"}}}}'
+    )
+    job_mod.main(
+        [
+            "--table", "region",
+            "--index-name", "region_cli2",
+            "--sf-dir", SF_SMOKE,
+            "--id", "r_regionkey",
+            "--number-of-shards", "2",
+            "--output-root", str(tmp_path),
+            "--mapping", f"@{mapping_file}",
+            "--final-index-setting", "number_of_replicas=1",
+            "--final-index-setting", "refresh_interval=5s",
+            "--bulk-actions", "200",
+            "--bulk-size", "10",
+        ]
+    )
+    staged = bundle.read_manifest(str(tmp_path), "region_cli2")
+    assert staged["mapping"]["doc"]["properties"]["r_name"] == {"type": "string"}
+    assert staged["settings_final"]["number_of_replicas"] == "1"
+    assert staged["settings_final"]["refresh_interval"] == "5s"
