@@ -267,11 +267,14 @@ def connected_components(
     the MINIMUM id of its connected component as ``component``; survivors
     are rows where ``id == component``.
 
-    Iterative min-label propagation over the edge set (each round: every node
-    takes the min label among itself + neighbors), converging in O(component
-    diameter) rounds — near-dup clusters are shallow, so this terminates in a
-    few joins.  Each iteration is one shuffle; ``localCheckpoint`` truncates
-    the growing lineage so round N doesn't replay rounds 1..N-1.
+    Iterative min-label propagation over the edge set (each round: every
+    node takes the min label among itself + neighbors) followed by a
+    pointer-jump (each node shortcuts to its label's label) — the jump makes
+    the propagation distance grow multiplicatively, so convergence is
+    O(log diameter) rounds instead of O(diameter): a 100-deep chain resolves
+    in ~8 rounds, not 100 (measured in SCALE.md).  Each round is two keyed
+    joins; ``localCheckpoint`` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1.
 
     The convergence probe is a driver round-trip (an extra job per check), so
     it only runs every ``check_every`` iterations — propagation is cheap
@@ -298,7 +301,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -306,6 +309,15 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
+        )
+        # pointer jump: component <- component's component (labels form a
+        # forest pointing at smaller ids, so the shortcut only moves down)
+        lft, rgt = propagated.alias("l"), propagated.alias("r")
+        new_labels = lft.join(
+            rgt, F.col("l.component") == F.col("r.id"), "left"
+        ).select(
+            F.col("l.id").alias("id"),
+            F.coalesce(F.col("r.component"), F.col("l.component")).alias("component"),
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         last_round = it == max_iterations - 1
