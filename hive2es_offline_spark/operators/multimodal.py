@@ -4,11 +4,14 @@ Real pipelines carry image/audio/video as binary columns next to typed
 metadata, and decode/feature-extract with Arrow-batched Python
 (``mapInPandas``) because codecs don't live in the JVM.
 ``decode_image_meta`` parses PNG/JPEG/GIF dimensions for REAL from the
-header bytes (pure stdlib, no codec lib — see ``parse_image_header``);
-full pixel decode / the featurizer remain clearly-marked deterministic
-stand-ins because no codec library ships in this container.  The Spark-side
-plumbing (schema, batch iterator shape, partitioning, column pruning
-through mapInPandas) is real and tested either way.
+header bytes (``parse_image_header``), and PNG payloads get a REAL
+pure-stdlib pixel codec (``decode_png_pixels``/``encode_png``: zlib +
+filter reconstruction per the PNG spec) — so resize and featurize operate
+on actual pixels for PNGs.  Only non-PNG pixel decode and the model-based
+featurizer remain deterministic stand-ins (no JPEG codec library ships in
+this container).  The Spark-side plumbing (schema, batch iterator shape,
+partitioning, column pruning through mapInPandas) is real and tested
+either way.
 
 Scale notes: binary payloads dominate row size, so (a) the mapInPandas
 schema declares only the columns the stage needs — Spark prunes the rest of
@@ -81,6 +84,116 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     return None
 
 
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode — pure stdlib (zlib) + numpy, no codec lib.
+
+    Supports 8-bit grayscale/RGB/RGBA, non-interlaced, all five PNG filter
+    types (None/Sub/Up/Average/Paeth, spec §9).  Returns an
+    ``np.ndarray[h, w, channels]`` (uint8) or None for unsupported/other
+    formats.  Filters Sub/Average/Paeth carry a left-pixel dependency, so
+    those rows reconstruct byte-sequentially — fine for thumbnails and
+    tests; wire PIL/opencv here for production-size rasters.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    width = height = color_type = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                return None
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        return None
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    bpp = channels  # bytes per pixel at bit depth 8
+    stride = width * channels
+    raw = zlib.decompress(idat)
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256, per spec)
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left dependency
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[x - bpp]) if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def encode_png(arr) -> bytes:
+    """REAL PNG encode (filter 0 rows, one zlib IDAT) for an
+    ``np.ndarray[h, w, channels]`` uint8 array — the write half of the
+    stdlib codec, so resize/re-encode round-trips without any image
+    library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
     """Decode with REAL header parsing for PNG/JPEG/GIF (see
     ``parse_image_header``); unrecognized payloads fall back to a
@@ -131,11 +244,12 @@ def extract_features(
 ) -> DataFrame:
     """Binary payload -> dense feature vector (Arrow-batched).
 
-    Stub featurizer: a deterministic byte-histogram projection (a real one
-    calls a vision/audio model on the decoded tensor).  Output shape matches
-    the ``embeddings`` table convention (``array<float>``) so the similarity
-    operators compose directly: decode -> features -> ``cosine_topk`` /
-    ``cosine_self_pairs``.
+    For PNG payloads the histogram is computed over REAL decoded pixel
+    values (``decode_png_pixels``); other payloads get the deterministic
+    byte-histogram stand-in (a production featurizer calls a vision/audio
+    model on the decoded tensor).  Output shape matches the ``embeddings``
+    table convention (``array<float>``) so the similarity operators compose
+    directly: decode -> features -> ``cosine_topk`` / ``cosine_self_pairs``.
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,7 +258,13 @@ def extract_features(
         for pdf in batches:
             feats = []
             for p in pdf[payload_col]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                raw = bytes(p)
+                pixels = decode_png_pixels(raw)
+                arr = (
+                    pixels.reshape(-1)
+                    if pixels is not None
+                    else np.frombuffer(raw, dtype=np.uint8)
+                )
                 if len(arr) == 0:
                     feats.append([0.0] * dim)
                     continue
@@ -167,16 +287,30 @@ def resize_images(
 ) -> DataFrame:
     """Binary image -> resized binary image (Arrow-batched).
 
-    Stub: a real implementation decodes, resamples, re-encodes (PIL/opencv);
-    the stub truncates/pads the byte stream to the target pixel budget so
-    batch shapes and memory behavior are realistic.  Raise
-    ``NotImplementedError`` here instead if silent fakes are unacceptable.
+    PNG payloads are REALLY resized: decode (``decode_png_pixels``) ->
+    nearest-neighbor resample (numpy index grid) -> re-encode
+    (``encode_png``), so the output is a valid PNG at the target size.
+    Unsupported formats fall back to the byte-budget stub (a production
+    path swaps in PIL/opencv); raise ``NotImplementedError`` there instead
+    if silent fakes are unacceptable.
     """
     budget = target_w * target_h
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            out = [bytes(p)[:budget].ljust(budget, b"\0") for p in pdf[payload_col]]
+            out = []
+            for p in pdf[payload_col]:
+                raw = bytes(p)
+                pixels = decode_png_pixels(raw)
+                if pixels is not None:
+                    h, w = pixels.shape[:2]
+                    ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+                    xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+                    out.append(encode_png(pixels[ys][:, xs]))
+                else:
+                    out.append(raw[:budget].ljust(budget, b"\0"))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

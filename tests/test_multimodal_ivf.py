@@ -124,3 +124,85 @@ def test_decode_image_meta_real_png_through_spark(spark):
     assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (100, 50, "jpeg")
     assert out[3]["format"] in ("png", "jpeg", "webp")  # deterministic fallback
     assert out[1]["n_bytes"] == len(png)
+
+
+def test_png_codec_roundtrip_all_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # encoder round-trip (filter 0)
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+    decoded = multimodal.decode_png_pixels(multimodal.encode_png(arr))
+    assert np.array_equal(decoded, arr)
+
+    # hand-built stream exercising Sub(1)/Up(2)/Average(3)/Paeth(4) filters
+    h, w, ch = 4, 5, 3
+    stride = w * ch
+    rows = rng.randint(0, 256, (h, stride), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y, ftype in enumerate([1, 2, 3, 4]):
+        cur = rows[y]
+        line = np.zeros(stride, dtype=np.uint8)
+        for x in range(stride):
+            left = int(cur[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                ul = int(prev[x - ch]) if x >= ch else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw += bytes([ftype]) + line.tobytes()
+        prev = cur
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    decoded = multimodal.decode_png_pixels(png)
+    assert np.array_equal(decoded, rows.reshape(h, w, ch))
+
+
+def test_resize_really_resamples_png(spark):
+    import numpy as np
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    arr[:4, :, 0] = 200  # top half red-ish
+    arr[4:, :, 2] = 150  # bottom half blue-ish
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_png(arr)))], "doc_id long, payload binary"
+    )
+    out = multimodal.resize_images(df, 4, 4).first()
+    resized = multimodal.decode_png_pixels(bytes(out["payload"]))
+    assert resized.shape == (4, 4, 3)
+    assert resized[0, 0, 0] == 200 and resized[3, 3, 2] == 150  # content kept
+
+
+def test_extract_features_uses_real_pixels_for_png(spark):
+    import numpy as np
+
+    # constant-color image: pixel histogram concentrates on value%dim
+    arr = np.full((10, 10, 3), 33, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_png(arr)))], "doc_id long, payload binary"
+    )
+    feats = multimodal.extract_features(df, dim=16).first()["feature"]
+    assert feats[33 % 16] == 1.0  # all mass on the real pixel value
