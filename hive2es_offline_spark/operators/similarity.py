@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,6 +112,46 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch k-NN: exact top-k corpus rows for EVERY query row (the shape a
+    training pipeline runs when matching one dataset against another).
+
+    The query set broadcasts (it is the small side by construction), so the
+    corpus is scored in one narrow pass with no shuffle; per-query top-k
+    then uses the two-phase ``grouped_topk`` plan — a per-input-partition
+    prune to k rows before the per-query exchange — so the shuffle moves
+    O(queries x k x partitions), never the full |corpus| x |queries| score
+    matrix."""
+    from .relational import grouped_topk
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(q)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), round_digits).alias("score"),
+        )
+    )
+    return grouped_topk(
+        scored, ["query_id"], [F.col("score").desc(), F.col(id_col)], k
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -183,26 +223,81 @@ def cosine_self_pairs(
     num_planes: int = 8,
     seed: int = 42,
     blocked: bool = True,
+    num_bands: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold).
 
-    ``blocked=True`` joins on the SRP bucket (sub-quadratic; misses pairs
-    that straddle a hyperplane — acceptable for near-dup thresholds close to
-    1).  ``blocked=False`` is the exact quadratic check for small/offline
+    ``blocked=True`` joins on the SRP bucket (sub-quadratic).  A single
+    signature misses pairs that straddle a hyperplane; ``num_bands`` > 1
+    blocks on several INDEPENDENT signatures (different seeds) and unions
+    the candidates — recall rises like 1-(1-p)^bands for per-band collision
+    probability p, the same banding amplification as MinHash-LSH.  Size
+    ``num_planes`` so the expected bucket is O(100) rows at your corpus
+    size (buckets ~ n/2^planes); ``max_bucket_size`` then catches the
+    degenerate buckets real embedding sets produce (zero vectors, collapsed
+    clusters) by routing them hub-and-spoke (O(k) pairs keyed to the bucket
+    min, same policy as ``dedup.minhash_candidate_pairs``).
+
+    ``blocked=False`` is the exact quadratic check for small/offline
     validation only.
     """
     work = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    if blocked:
-        dim = len(work.select("_v").first()["_v"])
-        planes = _hyperplanes(dim, num_planes, seed)
-        work = work.withColumn("_sig", srp_signature(F.col("_v"), planes))
-        cond = [F.col("a._sig") == F.col("b._sig"), F.col("a._id") < F.col("b._id")]
-    else:
-        cond = [F.col("a._id") < F.col("b._id")]
-    a, b = work.alias("a"), work.alias("b")
-    score = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    if not blocked:
+        a, b = work.alias("a"), work.alias("b")
+        score = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+        return (
+            a.join(b, on=[F.col("a._id") < F.col("b._id")])
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), score.alias("score"))
+            .where(F.col("score") >= threshold)
+        )
+
+    dim = len(work.select("_v").first()["_v"])
+    # one row per (vector, band): band rows carry only (id, band, sig) — the
+    # vectors join back AFTER pair dedup (same narrow-shuffle layout as
+    # minhash banding)
+    sigs = [
+        srp_signature(F.col("_v"), _hyperplanes(dim, num_planes, seed + 7919 * band))
+        for band in range(num_bands)
+    ]
+    banded = work.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(band).alias("band"), sig.alias("sig"))
+                for band, sig in enumerate(sigs)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.sig")
+    star_pairs = None
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "sig")
+        tagged = banded.select(
+            "_id",
+            "band",
+            "sig",
+            F.count(F.lit(1)).over(wb).alias("_bsz"),
+            F.min("_id").over(wb).alias("_bmin"),
+        )
+        star_pairs = tagged.where(
+            (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_bmin"))
+        ).select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
+        banded = tagged.where(F.col("_bsz") <= max_bucket_size).select("_id", "band", "sig")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        on=[F.col("a.band") == F.col("b.band"), F.col("a.sig") == F.col("b.sig"),
+            F.col("a._id") < F.col("b._id")],
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    va = work.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = work.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    score = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
     return (
-        a.join(b, on=cond)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), score.alias("score"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", score.alias("score"))
         .where(F.col("score") >= threshold)
     )

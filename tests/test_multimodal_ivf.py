@@ -206,3 +206,54 @@ def test_extract_features_uses_real_pixels_for_png(spark):
     )
     feats = multimodal.extract_features(df, dim=16).first()["feature"]
     assert feats[33 % 16] == 1.0  # all mass on the real pixel value
+
+
+def test_cosine_topk_join_matches_per_query_topk(spark):
+    e = read_table(spark, "embeddings", SF_SMOKE)
+    queries = e.where("vec_id IN (0, 7, 19)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.cosine_topk_join(e, queries, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rn"], r["vec_id"], r["score"]))
+    for qid in (0, 7, 19):
+        qvec = [float(x) for x in e.where(f"vec_id = {qid}").first()["embedding"]]
+        single = [
+            (i + 1, r["vec_id"], r["score"])
+            for i, r in enumerate(similarity.cosine_topk(e, qvec, k=5).collect())
+        ]
+        assert sorted(got[qid]) == single, qid
+
+
+def test_cosine_self_pairs_banded_recall_and_exactness(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        # planted near-dup: tiny perturbation of each base vector
+        rows.append((i * 2 + 1, [float(x) for x in v + rng.randn(16).astype("float32") * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_self_pairs(df, threshold=0.99, blocked=False).collect()}
+    one = {(r["id_a"], r["id_b"]) for r in
+           similarity.cosine_self_pairs(df, threshold=0.99, num_bands=1).collect()}
+    four = {(r["id_a"], r["id_b"]) for r in
+            similarity.cosine_self_pairs(df, threshold=0.99, num_bands=4).collect()}
+    assert one <= exact and four <= exact  # blocking never invents pairs
+    assert len(four) >= len(one)  # banding amplifies recall
+    assert len(four) >= int(0.9 * len(exact))  # 4 bands ~ near-full recall
+
+
+def test_cosine_self_pairs_bucket_cap_star(spark):
+    # 300 identical vectors: one degenerate SRP bucket
+    rows = [(i, [1.0] * 8) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.cosine_self_pairs(
+        df, threshold=0.9, num_planes=4, max_bucket_size=64
+    ).collect()
+    assert len(capped) == 299  # hub-and-spoke, not 300*299/2
+    assert all(r["id_a"] == 0 and r["score"] == 1.0 for r in capped)
