@@ -725,9 +725,15 @@ def q_dedup_cosine(spark, sf_dir):
 
 
 def q_sim_search(spark, sf_dir):
+    """Batch exact k-NN: top-10 corpus matches for each of three query
+    vectors — broadcast query set, no corpus shuffle, two-phase grouped
+    top-k (the single-query ``cosine_topk`` path is exercised by
+    ``sim_search_lsh``/``sim_search_ivf`` and unit tests)."""
     e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
-    return similarity.cosine_topk(e, qvec, k=10)
+    queries = e.where("vec_id IN (0, 1, 2)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_join(e, queries, k=10)
 
 
 def q_sim_search_lsh(spark, sf_dir):
@@ -1064,16 +1070,22 @@ WHERE round(list_dot_product(a.e, b.e)
 
 _SIM_SEARCH_ORACLE = """
 WITH q AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
 ), scored AS (
-  SELECT vec_id,
-         round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qe)
-               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(q.qe, q.qe))),
                6) AS score
-  FROM embeddings, q
+  FROM embeddings e, q
 )
-SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
 """
 
 _SESSIONIZE_ORACLE = """
