@@ -895,6 +895,18 @@ def q_streaming_sessionize(spark, sf_dir):
     ).parquet(out_dir)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Rows-only: streaming exact dedup (dropDuplicatesWithinWatermark) —
+    bounded state, first occurrence per event_id wins."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    chk = tempfile.mkdtemp(prefix="sdchk_")
+    return ingest.stream_dedup_once(
+        spark, os.path.join(sf_dir, "events.parquet"), raw_schema, ["event_id"], chk
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -986,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_search_lsh": q_sim_search_lsh,
         "sim_search_ivf": q_sim_search_ivf,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
         "multimodal_meta": q_multimodal_meta,
     }
 

@@ -84,3 +84,55 @@ def streaming_ingest_once(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    path: str,
+    schema,
+    key_cols: list[str],
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of every key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming twin of ``dedup.dedup_exact``: state holds one
+    entry per key seen inside the watermark window and is EVICTED once the
+    watermark passes — bounded state, unlike a plain ``dropDuplicates`` on a
+    stream which grows forever.  The standard front door of a streaming
+    training-data ingest (exactly-once doc feed into the bulk/bundle sink).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    stream = reader.parquet(path)
+    if dict(stream.dtypes).get(time_col) == "bigint":
+        stream = stream.withColumn(time_col, F.timestamp_micros(F.expr(f"{time_col} div 1000")))
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_dedup_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """AvailableNow drain of ``stream_dedup`` (harness smoke path)."""
+    deduped = stream_dedup(spark, path, schema, key_cols, time_col, watermark)
+    name = "streaming_dedup_result"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

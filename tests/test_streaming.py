@@ -66,3 +66,26 @@ def test_streaming_agg_matches_batch(spark, tmp_path):
     s = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b
+
+
+def test_stream_dedup_keeps_first_within_watermark(spark, tmp_path):
+    from datetime import datetime
+
+    from hive2es_offline_spark.streaming.ingest import stream_dedup_once
+
+    src = tmp_path / "dup_events"
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0, 0), "a"),
+        (1, 10, datetime(2024, 1, 1, 0, 5, 0), "dup-close"),   # same key, inside watermark
+        (2, 11, datetime(2024, 1, 1, 0, 1, 0), "b"),
+        (3, 12, datetime(2024, 1, 1, 9, 0, 0), "c"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, payload string")
+    df.coalesce(1).write.parquet(str(src))
+    out = stream_dedup_once(
+        spark, str(src), df.schema, ["event_id"],
+        str(tmp_path / "chk"), watermark="1 hour",
+    )
+    got = {r["event_id"]: r["payload"] for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == "a"  # first occurrence kept, in-watermark dup dropped
