@@ -907,6 +907,15 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_data_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) from md5(doc_id) —
+    reproducible across engines/runs; DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d.select("doc_id"), "doc_id")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -999,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_search_ivf": q_sim_search_ivf,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
+        "data_split": q_data_split,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1529,5 +1539,16 @@ def demoted_goldens() -> dict[str, str]:
               SELECT unnest(range(len(string_split(text, ' ')))) AS pos
             ) r
             WHERE r.pos < 5
+        """,
+        # thresholds: 0.90 * 16^8 = 0xE6666666, 0.95 * 16^8 = 0xF3333333 —
+        # fixed-length lower-hex compares like the underlying integer
+        "data_split": """
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'e6666666' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
     }

@@ -1,0 +1,56 @@
+"""Deterministic splits + stratified sampling."""
+
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.operators.sampling import hash_split, stratified_sample
+from hive2es_offline_spark.sources import read_table
+
+from conftest import SF_SMOKE
+
+
+def test_hash_split_distribution_and_determinism(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.90) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.05) < 0.01
+    # stable across runs AND across repartitioning
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(7), "doc_id").collect()}
+    assert a == b
+
+
+def test_hash_split_salt_gives_independent_split(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", salt="epoch2").collect()}
+    assert a != b  # different salt -> different assignment
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 500  # substantially re-drawn, not a near-copy
+
+
+def test_hash_split_normalizes_weights(spark):
+    df = spark.range(2_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", weights={"a": 3, "b": 1})  # 75/25
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["a"] / 2_000 - 0.75) < 0.03
+
+
+def test_stratified_sample_rates(spark):
+    d = read_table(spark, "documents", SF_SMOKE).select("doc_id", "lang")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    fractions = {lg: (0.5 if i % 2 == 0 else 1.0) for i, lg in enumerate(langs)}
+    sampled = stratified_sample(d, "lang", fractions)
+    base = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lg, frac in fractions.items():
+        if frac == 1.0:
+            assert got.get(lg, 0) == base[lg]  # kept whole
+        else:
+            assert 0 < got.get(lg, 0) < base[lg]  # genuinely downsampled
+    # deterministic under the same seed
+    again = {r["lang"]: r["n"] for r in stratified_sample(d, "lang", fractions)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == again
