@@ -916,6 +916,24 @@ def q_data_split(spark, sf_dir):
     return hash_split(d.select("doc_id"), "doc_id")
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-size token chunking with overlap (pre-embedding pass) —
+    narrow codegen explode, DuckDB-checked via demoted_goldens."""
+    d = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_tokens=50, overlap=10)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Rows-only: token-budget bin packing (first-fit-decreasing per
+    partition, mapInPandas); bin contents depend on partitioning, invariants
+    (coverage, budget, fill) are unit-tested."""
+    from hive2es_offline_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    stats = text.text_stats(d.select("doc_id", "text"), "text")
+    return pack_sequences(stats.select("doc_id", "n_tokens"), budget=512)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -1009,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
         "data_split": q_data_split,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1539,6 +1559,20 @@ def demoted_goldens() -> dict[str, str]:
               SELECT unnest(range(len(string_split(text, ' ')))) AS pos
             ) r
             WHERE r.pos < 5
+        """,
+        # chunk_tokens=50, overlap=10 -> starts at 0, 40, 80, ... while
+        # start <= max(n_tokens - overlap - 1, 0)
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s / 40 AS INTEGER) AS chunk_index,
+                   CAST(s AS INTEGER) AS chunk_start,
+                   array_to_string(t[s + 1 : s + 50], ' ') AS chunk_text,
+                   CAST(least(len(t) - s, 50) AS INTEGER) AS n_chunk_tokens
+            FROM toks, LATERAL unnest(
+              range(0, greatest(len(t) - 10 - 1, 0) + 1, 40)) AS r(s)
         """,
         # thresholds: 0.90 * 16^8 = 0xE6666666, 0.95 * 16^8 = 0xF3333333 —
         # fixed-length lower-hex compares like the underlying integer

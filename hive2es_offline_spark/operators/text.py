@@ -149,3 +149,47 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         guess.alias("lang_guess"),
         fingerprint_md5(c).alias("fp_md5"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-embedding / context-window chunking pass.
+
+    Pure DataFrame ops (materialized token array -> ``sequence`` of chunk
+    starts -> ``posexplode`` -> ``slice``), so it is a narrow codegen stage
+    with no shuffle and no Python.  Output: one row per chunk with
+    (id, chunk_index, chunk_start token offset, chunk_text, n_chunk_tokens).
+    A document shorter than ``chunk_tokens`` yields exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    n = F.size(F.col("_toks"))
+    # last start <= max(n - overlap - 1, 0): guarantees the final window
+    # reaches the end without emitting a pure-overlap tail chunk
+    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(overlap) - 1, F.lit(0)), F.lit(step))
+    return (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(starts).alias("chunk_index", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            "chunk_start",
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.size(F.col("_toks")) - F.col("chunk_start"), F.lit(chunk_tokens)
+            ).alias("n_chunk_tokens"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""Document chunking + sequence packing."""
+
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.operators.packing import pack_sequences
+from hive2es_offline_spark.operators.text import chunk_documents
+from hive2es_offline_spark.sources import read_table
+
+from conftest import SF_SMOKE
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(250))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=100, overlap=20).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_index"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_start"] for r in d1] == [0, 80, 160]
+    assert [r["n_chunk_tokens"] for r in d1] == [100, 100, 90]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert d1[0]["chunk_text"].split()[80:] == d1[1]["chunk_text"].split()[:20]
+    # final token is covered
+    assert d1[-1]["chunk_text"].split()[-1] == "t249"
+    # short doc -> one whole chunk
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
+
+
+def test_chunk_documents_on_corpus_is_narrow(spark):
+    d = read_table(spark, "documents", SF_SMOKE)
+    chunked = chunk_documents(d, chunk_tokens=50, overlap=10)
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row explode: no shuffle
+    assert chunked.count() >= d.count()  # every doc yields >= 1 chunk
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    rows = [(i, 100 + (i * 37) % 900) for i in range(500)]  # 100..999 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, budget=2048).collect()
+    all_ids = [d for r in packed for d in r["doc_ids"]]
+    assert sorted(all_ids) == list(range(500))  # every doc exactly once
+    assert all(r["total_tokens"] <= 2048 for r in packed)
+    total_tokens = sum(n for _, n in rows)
+    avg_fill = total_tokens / (len(packed) * 2048)
+    assert avg_fill > 0.75  # FFD packs tightly
+
+
+def test_pack_sequences_oversized_doc_is_own_pack(spark):
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 100)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, budget=2048).collect()
+    solo = [r for r in packed if r["doc_ids"] == [1]]
+    assert len(solo) == 1 and solo[0]["total_tokens"] == 5000
