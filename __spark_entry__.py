@@ -934,6 +934,21 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(stats.select("doc_id", "n_tokens"), budget=512)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction + per-kind hit counts (one chained regexp projection,
+    narrow codegen) — DuckDB-checked via demoted_goldens."""
+    d = _t(spark, sf_dir, "documents")
+    return text.pii_scrub(d.select("doc_id", "text"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: corpus docs sharing any 5-token shingle
+    with the (stand-in) eval set doc_id < 20; broadcast bench shingles, no
+    corpus shuffle for the probe — DuckDB-checked via demoted_goldens."""
+    d = _t(spark, sf_dir, "documents")
+    return text.contamination_check(d, d.where("doc_id < 20"), shingle_k=5)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -1029,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_split": q_data_split,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1559,6 +1576,44 @@ def demoted_goldens() -> dict[str, str]:
               SELECT unnest(range(len(string_split(text, ' ')))) AS pos
             ) r
             WHERE r.pos < 5
+        """,
+        "pii_scrub": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[REDACTED]', 'g'),
+                       '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '[REDACTED]', 'g'),
+                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[REDACTED]', 'g')
+                     AS text_clean,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) AS INTEGER) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INTEGER) AS n_ssn
+            FROM documents
+        """,
+        "contamination": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(range(1, len(t) - 3),
+                                                i -> array_to_string(t[i:i+4], ' '))
+                       END AS ss
+                FROM toks
+              ), unnest(ss) AS u(s)
+            ), bench AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id < 20
+            )
+            SELECT sh.doc_id, count(*) AS n_contaminated_shingles
+            FROM sh JOIN bench USING (s)
+            GROUP BY sh.doc_id
         """,
         # chunk_tokens=50, overlap=10 -> starts at 0, 40, 80, ... while
         # start <= max(n_tokens - overlap - 1, 0)

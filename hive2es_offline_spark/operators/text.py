@@ -193,3 +193,71 @@ def chunk_documents(
             ).alias("n_chunk_tokens"),
         )
     )
+
+
+#: deliberately simple, auditable patterns — a production pass plugs a
+#: proper recognizer; the operator shape (single regexp projection,
+#: per-kind counts) is what matters at scale
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Redact PII-shaped spans and count hits per kind — the mandatory
+    pre-training scrub pass.  One chained ``regexp_replace`` projection
+    (narrow, codegen); per-kind counts come from ``regexp_count`` on the
+    ORIGINAL text so the report is independent of replacement order."""
+    patterns = patterns or PII_PATTERNS
+    scrubbed = F.col(text_col)
+    for pat in patterns.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in patterns.items()
+    ]
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        scrubbed.alias(f"{text_col}_clean"),
+        *counts,
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents contain any
+    k-token shingle of a benchmark/eval set (the standard n-gram-overlap
+    decontamination test before training).
+
+    The benchmark side is tiny by construction, so its distinct shingle
+    hashes BROADCAST and the corpus is scanned once with a broadcast
+    semi-ish join — no corpus shuffle for the probe; the per-doc hit count
+    aggregates on the already-exploded corpus shingles."""
+    from .dedup import shingles_from_tokens
+
+    def doc_shingles(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("_did"), F.split(F.col(text_col), " ").alias("_t"))
+            .select("_did", F.explode(shingles_from_tokens(F.col("_t"), shingle_k)).alias("_sh"))
+        )
+
+    bench_sh = doc_shingles(benchmark).select("_sh").distinct()
+    corpus_sh = doc_shingles(corpus).dropDuplicates(["_did", "_sh"])
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "_sh")
+        .groupBy("_did")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return hits.select(F.col("_did").alias(id_col), "n_contaminated_shingles")

@@ -57,3 +57,42 @@ def test_pack_sequences_oversized_doc_is_own_pack(spark):
     packed = pack_sequences(df, budget=2048).collect()
     solo = [r for r in packed if r["doc_ids"] == [1]]
     assert len(solo) == 1 and solo[0]["total_tokens"] == 5000
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from hive2es_offline_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe@example.com or +1 (555) 123-4567 today"),
+            (2, "ssn 123-45-6789 leaked"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert "@" not in out[1]["text_clean"] and "[REDACTED]" in out[1]["text_clean"]
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_ssn"] == 1 and "123-45-6789" not in out[2]["text_clean"]
+    assert out[3]["text_clean"] == "clean text with no pii at all"
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ssn"] == 0
+
+
+def test_contamination_check_finds_planted_overlap(spark):
+    from hive2es_offline_spark.operators.text import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog tonight copied"),
+            (2, "completely unrelated content about databases and query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_contaminated_shingles"]
+            for r in contamination_check(corpus, bench, shingle_k=5).collect()}
+    assert hits.get(1, 0) > 0  # contaminated doc flagged
+    assert 2 not in hits  # clean doc absent
