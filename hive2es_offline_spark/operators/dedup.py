@@ -506,10 +506,13 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sizes = sh.groupBy("_did").agg(F.count(F.lit(1)).alias("_sz"))
-    rare = sh.join(
-        sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= max_shingle_df),
-        "_sh",
-    ).select("_did", "_sh")
+    # document frequency via a window over the SAME _sh key the blocking
+    # self-join shuffles on — one pass instead of a groupBy + join back
+    rare = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("_sh")))
+        .where(F.col("_df") <= max_shingle_df)
+        .select("_did", "_sh")
+    )
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(b, on=[F.col("a._sh") == F.col("b._sh"), F.col("a._did") < F.col("b._did")])
