@@ -949,6 +949,13 @@ def q_contamination(spark, sf_dir):
     return text.contamination_check(d, d.where("doc_id < 20"), shingle_k=5)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style within-document repetition metrics (distinct-token
+    ratio, top token/bigram share) — DuckDB-checked via demoted_goldens."""
+    d = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(d)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -1046,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
+        "repetition_stats": q_repetition_stats,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1576,6 +1584,36 @@ def demoted_goldens() -> dict[str, str]:
               SELECT unnest(range(len(string_split(text, ' ')))) AS pos
             ) r
             WHERE r.pos < 5
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), base AS (
+              SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks
+            ), uni AS (
+              SELECT doc_id, max(c) AS top1 FROM (
+                SELECT doc_id, u, count(*) AS c
+                FROM toks, unnest(t) AS x(u) GROUP BY 1, 2
+              ) GROUP BY 1
+            ), bi AS (
+              SELECT doc_id, max(c) AS top2 FROM (
+                SELECT doc_id, g, count(*) AS c FROM (
+                  SELECT doc_id,
+                         CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                              ELSE list_transform(range(1, len(t)),
+                                                  i -> t[i] || ' ' || t[i+1])
+                         END AS gs
+                  FROM toks
+                ), unnest(gs) AS y(g) GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+            SELECT base.doc_id,
+                   CAST(n AS INTEGER) AS n_tokens,
+                   round(nd / greatest(CAST(n AS DOUBLE), 1.0), 6) AS distinct_ratio,
+                   round(top1 / greatest(CAST(n AS DOUBLE), 1.0), 6) AS top_token_share,
+                   round(top2 / greatest(greatest(CAST(n AS DOUBLE) - 1.0, 1.0), 1.0), 6)
+                     AS top_bigram_share
+            FROM base JOIN uni USING (doc_id) JOIN bi USING (doc_id)
         """,
         "pii_scrub": """
             SELECT doc_id,

@@ -261,3 +261,64 @@ def contamination_check(
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
     return hits.select(F.col("_did").alias(id_col), "n_contaminated_shingles")
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/C4-style repetition
+    filters): distinct-token ratio, share of the most frequent token, and
+    share of the most frequent 2-gram.  Boilerplate, keyword-stuffed, and
+    auto-generated pages score low distinct ratios / high top-gram shares.
+
+    Exact and shuffle-based (explode -> per-(doc, gram) counts -> per-doc
+    max), NOT a per-row O(tokens²) lambda — the aggregation is map-side
+    combined, and grams are counted once however long the document is."""
+    toks = df.select(F.col(id_col).alias("_did"), F.split(F.col(text_col), " ").alias("_t"))
+    base = toks.select(
+        "_did",
+        F.size(F.col("_t")).alias("_n"),
+        F.size(F.array_distinct(F.col("_t"))).alias("_nd"),
+    )
+    uni = (
+        toks.select("_did", F.explode("_t").alias("_g"))
+        .groupBy("_did", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_did")
+        .agg(F.max("_c").alias("_top1"))
+    )
+    bigrams = F.when(
+        F.size(F.col("_t")) < 2, F.array(F.concat_ws(" ", F.col("_t")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("_t"), i + 1), F.element_at(F.col("_t"), i + 2)
+            ),
+        )
+    )
+    bi = (
+        toks.select("_did", F.explode(bigrams).alias("_g"))
+        .groupBy("_did", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_did")
+        .agg(F.max("_c").alias("_top2"), F.count(F.lit(1)).alias("_nbi"))
+    )
+    n_d = F.col("_n").cast("double")
+    return (
+        base.join(uni, "_did")
+        .join(bi, "_did")
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_n").alias("n_tokens"),
+            F.round(F.col("_nd") / F.greatest(n_d, F.lit(1.0)), 6).alias("distinct_ratio"),
+            F.round(F.col("_top1") / F.greatest(n_d, F.lit(1.0)), 6).alias("top_token_share"),
+            F.round(
+                F.col("_top2")
+                / F.greatest(F.greatest(n_d - 1.0, F.lit(1.0)), F.lit(1.0)),
+                6,
+            ).alias("top_bigram_share"),
+        )
+    )

@@ -96,3 +96,21 @@ def test_contamination_check_finds_planted_overlap(spark):
             for r in contamination_check(corpus, bench, shingle_k=5).collect()}
     assert hits.get(1, 0) > 0  # contaminated doc flagged
     assert 2 not in hits  # clean doc absent
+
+
+def test_repetition_stats_flags_repeated_text(spark):
+    from hive2es_offline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),                      # pathological repetition
+            (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    df = df.withColumn("text", df.text.substr(1, 10_000))
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["distinct_ratio"] < 0.1
+    assert out[1]["top_bigram_share"] > 0.4  # "now buy"/"buy now" dominate
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["top_token_share"] == 0.01
