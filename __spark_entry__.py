@@ -1164,8 +1164,13 @@ WITH gapped AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         -- CAST: DuckDB's windowed sum over INTEGER returns HUGEINT, which
+         -- pandas materializes as float64 (1.0 vs Spark's int64 1) and the
+         -- driver's value hash treats as a mismatch.  Every additive agg in
+         -- this module casts explicitly for the same reason.
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM gapped
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -7,10 +7,13 @@ arithmetic, explicit rounding) to make that hold exactly.
 
 from __future__ import annotations
 
+import decimal
 import math
+import numbers
 
 import os
 
+import numpy as np
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -24,25 +27,57 @@ ORACLED = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
 
 
+def _canon_val(v):
+    """Canonicalize one scalar to a (type-class, value) pair.
+
+    The type-class tag mirrors the driver's value hash, which is dtype
+    sensitive: it saw DuckDB's float64 ``1.0`` != Spark's int64 ``1``
+    (round-2 sessionize red) while plain Python ``==`` said equal.  Tagging
+    int vs float vs bool vs timestamp makes the local gate fail exactly
+    where the driver would.  Decimal is tagged "f": both engines route
+    additive aggs through explicit DOUBLE/decimal casts, and Decimal==float
+    parity is driver-tolerated (all r2 decimal rows were green).
+    """
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, numbers.Integral):
+        return ("i", int(v))
+    if isinstance(v, (numbers.Real, decimal.Decimal)):
+        return ("f", round(float(v), 9))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(_canon_val(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, _canon_val(x)) for k, x in v.items())))
+    return ("s", str(v))
+
+
 def _canon(df):
     """pandas frame -> (sorted col names, sorted row tuples with canonical
-    scalars)."""
+    (type-class, value) scalars)."""
     cols = sorted(df.columns)
     out = []
     for row in df[cols].itertuples(index=False, name=None):
-        canon_row = []
-        for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                canon_row.append(None)
-            elif isinstance(v, float):
-                canon_row.append(round(v, 9))
-            elif hasattr(v, "isoformat"):
-                canon_row.append(v.isoformat())
-            else:
-                canon_row.append(v)
-        out.append(tuple(canon_row))
+        out.append(tuple(_canon_val(v) for v in row))
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return cols, out
+
+
+def test_canon_distinguishes_int_from_float():
+    """Regression for the round-2 sessionize burn: an int column on the
+    Spark side and a float column on the oracle side must NOT compare
+    equal, even when Python == says 1 == 1.0."""
+    import pandas as pd
+
+    a = pd.DataFrame({"x": np.array([1, 2], dtype="int64")})
+    b = pd.DataFrame({"x": np.array([1.0, 2.0], dtype="float64")})
+    assert _canon(a) != _canon(b)
+    assert _canon(a) == _canon(a.copy())
 
 
 @pytest.mark.parametrize("name", ORACLED)
