@@ -33,6 +33,7 @@ from hive2es_offline_spark.operators import (
     temporal,
     text,
 )
+from hive2es_offline_spark.operators.text import PII_PATTERNS as _PII
 from hive2es_offline_spark.sinks import bundle, es_bulk
 from hive2es_offline_spark.sources import read_table
 from hive2es_offline_spark.streaming import ingest
@@ -757,14 +758,42 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_curation_pipeline(spark, sf_dir):
-    """Composed LLM-data-curation pass: text stats -> quality/language
-    filter -> exact dedup by canonical fingerprint.  The shape every
-    training-data pipeline runs before tokenization."""
+    """Composed LLM-data-curation pass, end to end: PII scrub -> text stats
+    -> quality/length filter -> repetition (Gopher/C4) filter -> benchmark
+    decontamination (broadcast anti-join) -> exact dedup by canonical
+    fingerprint -> fixed-size token chunking with metadata passthrough.
+
+    One driver row adjudicates the whole LLM text surface against a single
+    composed DuckDB oracle.  Repetition thresholds sit at the measured
+    p5/p95 of the corpus distribution so both filters actually bite."""
     d = _t(spark, sf_dir, "documents")
-    stats = text.text_stats(d.select("doc_id", "text"), "text")
+    scrubbed = text.pii_scrub(d.select("doc_id", "text")).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    stats = text.text_stats(
+        scrubbed.select("doc_id", F.col("text").alias("_keep"), "text"), "text"
+    )
     filtered = stats.where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
-    deduped = dedup.dedup_exact(filtered, ["fp_md5"], ["doc_id"])
-    return deduped.select("doc_id", "n_tokens", "quality", "lang_guess", "fp_md5")
+    rep_ok = (
+        text.repetition_stats(scrubbed)
+        .where((F.col("distinct_ratio") >= 0.31) & (F.col("top_bigram_share") <= 0.09))
+        .select("doc_id")
+    )
+    cont = text.contamination_check(
+        scrubbed, scrubbed.where("doc_id < 20"), shingle_k=5
+    )
+    keep = filtered.join(rep_ok, "doc_id").join(
+        cont.select("doc_id"), "doc_id", "left_anti"
+    )
+    deduped = dedup.dedup_exact(keep, ["fp_md5"], ["doc_id"])
+    return text.chunk_documents(
+        deduped.select(
+            "doc_id", F.col("_keep").alias("text"), "n_tokens", "quality", "lang_guess"
+        ),
+        chunk_tokens=50,
+        overlap=10,
+        carry_cols=["n_tokens", "quality", "lang_guess"],
+    )
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1063,6 +1092,22 @@ _ES = "'el','la','de','que','y','los'"
 _FR = "'le','la','les','des','est','une'"
 _DE = "'der','die','das','und','ist','ein'"
 
+# PII patterns embedded into oracle SQL straight from the operator's single
+# source of truth (character-class-only regexes: identical semantics in Java
+# regex and DuckDB's RE2; no quotes inside, so safe to inline in '...').
+_PII_EMAIL = _PII["email"]
+_PII_PHONE = _PII["phone"]
+_PII_SSN = _PII["ssn"]
+
+#: DuckDB expression rendering pii_scrub's chained redaction of ``text``
+#: (same order as PII_PATTERNS: email -> phone -> ssn)
+_PII_SCRUB_EXPR = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{_PII_EMAIL}', '[REDACTED]', 'g'), "
+    f"'{_PII_PHONE}', '[REDACTED]', 'g'), "
+    f"'{_PII_SSN}', '[REDACTED]', 'g')"
+)
+
 _TEXT_STATS_ORACLE = f"""
 WITH s AS (
   SELECT doc_id, text,
@@ -1179,17 +1224,90 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
-_CURATION_ORACLE = (
-    "WITH stats AS (" + _TEXT_STATS_ORACLE + """
+# Composed end-to-end curation oracle: pii_scrub -> text_stats -> quality
+# filter -> repetition filter -> contamination anti-join -> exact dedup ->
+# chunking.  Mirrors q_curation_pipeline stage for stage; every rounded
+# comparison uses the same round(_, 6) the Spark side filters on.
+_CURATION_ORACLE = f"""
+WITH scrub AS (
+  SELECT doc_id, {_PII_SCRUB_EXPR} AS text FROM documents
+), s AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text,' '), t -> t IN ({_EN}))) AS h_en,
+         len(list_filter(string_split(text,' '), t -> t IN ({_ES}))) AS h_es,
+         len(list_filter(string_split(text,' '), t -> t IN ({_FR}))) AS h_fr,
+         len(list_filter(string_split(text,' '), t -> t IN ({_DE}))) AS h_de
+  FROM scrub
+), stats AS (
+  SELECT doc_id, text, n_tokens,
+    round(
+      0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (CAST(h_en AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0))
+      + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0)),
+      6) AS quality,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr' END AS lang_guess,
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5
+  FROM s
 ), filtered AS (
   SELECT * FROM stats WHERE quality >= 0.5 AND n_tokens >= 10
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM scrub
+), rbase AS (
+  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks
+), rbi AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id,
+             CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             END AS gs
+      FROM toks
+    ), unnest(gs) AS y(g) GROUP BY 1, 2
+  ) GROUP BY 1
+), rep_ok AS (
+  SELECT rbase.doc_id
+  FROM rbase JOIN rbi USING (doc_id)
+  WHERE round(nd / greatest(CAST(n AS DOUBLE), 1.0), 6) >= 0.31
+    AND round(top2 / greatest(greatest(CAST(n AS DOUBLE) - 1.0, 1.0), 1.0), 6) <= 0.09
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 3),
+                                    i -> array_to_string(t[i:i+4], ' '))
+           END AS ss
+    FROM toks
+  ), unnest(ss) AS u(s)
+), cont AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 20) b USING (s)
+), keep AS (
+  SELECT f.* FROM filtered f
+  JOIN rep_ok USING (doc_id)
+  ANTI JOIN cont USING (doc_id)
+), ded AS (
+  SELECT doc_id, text, n_tokens, quality, lang_guess FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+    FROM keep
+  ) WHERE rn = 1
+), dt AS (
+  SELECT doc_id, n_tokens, quality, lang_guess, string_split(text, ' ') AS t
+  FROM ded
 )
-SELECT doc_id, n_tokens, quality, lang_guess, fp_md5 FROM (
-  SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
-  FROM filtered
-) WHERE rn = 1
+SELECT doc_id,
+       CAST(s / 40 AS INTEGER) AS chunk_index,
+       CAST(s AS INTEGER) AS chunk_start,
+       array_to_string(t[s + 1 : s + 50], ' ') AS chunk_text,
+       CAST(least(len(t) - s, 50) AS INTEGER) AS n_chunk_tokens,
+       n_tokens, quality, lang_guess
+FROM dt, LATERAL unnest(range(0, greatest(len(t) - 10 - 1, 0) + 1, 40)) AS r(s)
 """
-)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1620,23 +1738,21 @@ def demoted_goldens() -> dict[str, str]:
                      AS top_bigram_share
             FROM base JOIN uni USING (doc_id) JOIN bi USING (doc_id)
         """,
-        "pii_scrub": """
+        "pii_scrub": f"""
             SELECT doc_id,
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(text,
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                         '[REDACTED]', 'g'),
-                       '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '[REDACTED]', 'g'),
-                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[REDACTED]', 'g')
+                         '{_PII_EMAIL}', '[REDACTED]', 'g'),
+                       '{_PII_PHONE}', '[REDACTED]', 'g'),
+                     '{_PII_SSN}', '[REDACTED]', 'g')
                      AS text_clean,
                    CAST(len(regexp_extract_all(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
-                     AS n_email,
+                     '{_PII_EMAIL}')) AS INTEGER) AS n_email,
                    CAST(len(regexp_extract_all(text,
-                     '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) AS INTEGER) AS n_phone,
+                     '{_PII_PHONE}')) AS INTEGER) AS n_phone,
                    CAST(len(regexp_extract_all(text,
-                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INTEGER) AS n_ssn
+                     '{_PII_SSN}')) AS INTEGER) AS n_ssn
             FROM documents
         """,
         "contamination": """

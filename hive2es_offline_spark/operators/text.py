@@ -157,6 +157,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 100,
     overlap: int = 20,
+    carry_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap — the
     standard pre-embedding / context-window chunking pass.
@@ -164,7 +165,9 @@ def chunk_documents(
     Pure DataFrame ops (materialized token array -> ``sequence`` of chunk
     starts -> ``posexplode`` -> ``slice``), so it is a narrow codegen stage
     with no shuffle and no Python.  Output: one row per chunk with
-    (id, chunk_index, chunk_start token offset, chunk_text, n_chunk_tokens).
+    (id, chunk_index, chunk_start token offset, chunk_text, n_chunk_tokens)
+    plus ``carry_cols`` replicated per chunk — passthrough beats a
+    post-chunk re-join on id (a full extra shuffle at corpus scale).
     A document shorter than ``chunk_tokens`` yields exactly one chunk.
     """
     if overlap >= chunk_tokens:
@@ -174,10 +177,12 @@ def chunk_documents(
     # last start <= max(n - overlap - 1, 0): guarantees the final window
     # reaches the end without emitting a pure-overlap tail chunk
     starts = F.sequence(F.lit(0), F.greatest(n - F.lit(overlap) - 1, F.lit(0)), F.lit(step))
+    carry = list(carry_cols)
     return (
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        df.select(F.col(id_col), *carry, F.split(F.col(text_col), " ").alias("_toks"))
         .select(
             id_col,
+            *carry,
             "_toks",
             F.posexplode(starts).alias("chunk_index", "chunk_start"),
         )
@@ -191,16 +196,25 @@ def chunk_documents(
             F.least(
                 F.size(F.col("_toks")) - F.col("chunk_start"), F.lit(chunk_tokens)
             ).alias("n_chunk_tokens"),
+            *carry,
         )
     )
 
 
 #: deliberately simple, auditable patterns — a production pass plugs a
 #: proper recognizer; the operator shape (single regexp projection,
-#: per-kind counts) is what matters at scale
+#: per-kind counts) is what matters at scale.
+#:
+#: phone is NANP-shaped (optional country code, optional parenthesised
+#: area code, 3+4 digits, -/./space separators) and structural on purpose:
+#: the oracle engine's regex (RE2) has no lookahead, so "exclude dates"
+#: must come from shape, not negative assertions.  It does NOT match
+#: dashed ISO dates (2024-01-15) or timestamps; known false positives are
+#: bare 8-10 digit runs (compact dates, long numeric IDs), and grouped
+#: international formats outside NANP are missed.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
 }
 
