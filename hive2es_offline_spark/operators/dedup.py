@@ -158,12 +158,23 @@ def minhash_candidate_pairs(
 
     None = unbounded (exact all-pairs behavior in every bucket).
 
+    Output carries an ``is_star`` flag: True marks hub-and-spoke pairs,
+    which exist for CONNECTIVITY, not scoring — a hot-bucket member whose
+    signature agreement with the hub specifically falls below a caller's
+    similarity cut must not lose its only edge (in uncapped mode it would
+    have paired above the cut with a nearer sibling).  ``dedup_minhash``
+    therefore exempts star pairs from its threshold filter.
+
     Shuffle layout: band rows carry ONLY (doc id, band, band-hash) — 24
     bytes — through the banding exchange; signatures (num_perm x 8 bytes)
     are joined back by id AFTER pair dedup.  Carrying the signature on the
     band rows would replicate it ``bands``x through the widest shuffle of
     the pipeline for no benefit (measured 16x payload reduction at the
     default num_perm=64/bands=16)."""
+    if oversized not in ("star", "drop"):
+        raise ValueError(
+            f"oversized must be 'star' or 'drop', got {oversized!r}"
+        )
     rows_per_band = num_perm // bands
     banded = signatures.select(
         F.col(id_col).alias("_did"),
@@ -206,6 +217,7 @@ def minhash_candidate_pairs(
             ).select(
                 F.col("_bmin").alias("id_a"),  # bucket min < every member
                 F.col("_did").alias("id_b"),
+                F.lit(True).alias("is_star"),
             )
         banded = tagged.where(F.col("_bsz") <= max_bucket_size).select(
             "_did", "band", "bh"
@@ -214,11 +226,17 @@ def minhash_candidate_pairs(
     pairs = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"),
                       F.col("a._did") < F.col("b._did")])
-        .select(F.col("a._did").alias("id_a"), F.col("b._did").alias("id_b"))
+        .select(
+            F.col("a._did").alias("id_a"),
+            F.col("b._did").alias("id_b"),
+            F.lit(False).alias("is_star"),
+        )
     )
     if star_pairs is not None:
         pairs = pairs.unionByName(star_pairs)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # a pair seen both via a regular bucket and as a star edge keeps the
+    # star tag (max: True wins) — the connectivity guarantee must survive
+    pairs = pairs.groupBy("id_a", "id_b").agg(F.max("is_star").alias("is_star"))
     # signatures rejoin AFTER dedup: each side is one docs-sized equi-join
     sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -228,7 +246,7 @@ def minhash_candidate_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("double") / F.lit(float(num_perm))
-    return scored.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    return scored.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"), "is_star")
 
 
 def dedup_minhash(
@@ -249,7 +267,16 @@ def dedup_minhash(
     ``max_bucket_size`` defaults to 64 so the pair stage stays bounded on
     duplicate-family-heavy corpora: hot LSH buckets emit O(k) hub-and-spoke
     pairs instead of O(k²) (see ``minhash_candidate_pairs``); set it to None
-    for the exact unbounded behavior on small corpora."""
+    for the exact unbounded behavior on small corpora.
+
+    Star (hub-and-spoke) pairs are EXEMPT from the threshold cut and flow
+    through with ``is_star = True``: they exist to keep a hot bucket's
+    members connected for ``connected_components``, and a member whose
+    signature agreement with the hub specifically dips below threshold
+    would otherwise lose its only edge and split the duplicate family
+    (in uncapped mode it would have paired above threshold with a nearer
+    sibling).  Callers that want scored edges only can filter
+    ``NOT is_star``."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
     # signatures feed three consumers (banding + the two post-dedup score
     # joins); localCheckpoint materializes the shingle+min pipeline ONCE
@@ -259,7 +286,7 @@ def dedup_minhash(
     pairs = minhash_candidate_pairs(
         sigs, id_col, num_perm, bands, max_bucket_size, oversized
     )
-    return pairs.where(F.col("est_jaccard") >= threshold)
+    return pairs.where((F.col("est_jaccard") >= threshold) | F.col("is_star"))
 
 
 def connected_components(

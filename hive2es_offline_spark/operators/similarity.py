@@ -225,6 +225,7 @@ def cosine_self_pairs(
     blocked: bool = True,
     num_bands: int = 1,
     max_bucket_size: int | None = None,
+    oversized: str = "star",
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold).
 
@@ -236,12 +237,25 @@ def cosine_self_pairs(
     ``num_planes`` so the expected bucket is O(100) rows at your corpus
     size (buckets ~ n/2^planes); ``max_bucket_size`` then catches the
     degenerate buckets real embedding sets produce (zero vectors, collapsed
-    clusters) by routing them hub-and-spoke (O(k) pairs keyed to the bucket
-    min, same policy as ``dedup.minhash_candidate_pairs``).
+    clusters) by routing them hub-and-spoke when ``oversized="star"``
+    (O(k) pairs keyed to the bucket min, same policy as
+    ``dedup.minhash_candidate_pairs``) or discarding them with
+    ``oversized="drop"``.
+
+    When ``max_bucket_size`` is set, the output gains an ``is_star``
+    column and star pairs are EXEMPT from the threshold cut — they exist
+    for connectivity (``connected_components`` family collapse), and a
+    hot-bucket member whose cosine to the hub specifically falls below
+    threshold must not lose its only edge.  Uncapped calls keep the plain
+    (id_a, id_b, score) schema.
 
     ``blocked=False`` is the exact quadratic check for small/offline
     validation only.
     """
+    if oversized not in ("star", "drop"):
+        raise ValueError(
+            f"oversized must be 'star' or 'drop', got {oversized!r}"
+        )
     work = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if not blocked:
         a, b = work.alias("a"), work.alias("b")
@@ -270,7 +284,8 @@ def cosine_self_pairs(
         ).alias("_b"),
     ).select("_id", "_b.band", "_b.sig")
     star_pairs = None
-    if max_bucket_size is not None:
+    capped = max_bucket_size is not None
+    if capped:
         wb = Window.partitionBy("band", "sig")
         tagged = banded.select(
             "_id",
@@ -279,25 +294,40 @@ def cosine_self_pairs(
             F.count(F.lit(1)).over(wb).alias("_bsz"),
             F.min("_id").over(wb).alias("_bmin"),
         )
-        star_pairs = tagged.where(
-            (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_bmin"))
-        ).select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
+        if oversized == "star":
+            star_pairs = tagged.where(
+                (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_bmin"))
+            ).select(
+                F.col("_bmin").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(True).alias("is_star"),
+            )
         banded = tagged.where(F.col("_bsz") <= max_bucket_size).select("_id", "band", "sig")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
         on=[F.col("a.band") == F.col("b.band"), F.col("a.sig") == F.col("b.sig"),
             F.col("a._id") < F.col("b._id")],
-    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        *([F.lit(False).alias("is_star")] if capped else []),
+    )
     if star_pairs is not None:
         pairs = pairs.unionByName(star_pairs)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    if capped:
+        # star tag survives a duplicate sighting via a regular bucket
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.max("is_star").alias("is_star"))
+    else:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     va = work.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     vb = work.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     score = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", score.alias("score"))
-        .where(F.col("score") >= threshold)
+    scored = pairs.join(va, "id_a").join(vb, "id_b")
+    if capped:
+        return scored.select("id_a", "id_b", score.alias("score"), "is_star").where(
+            (F.col("score") >= threshold) | F.col("is_star")
+        )
+    return scored.select("id_a", "id_b", score.alias("score")).where(
+        F.col("score") >= threshold
     )

@@ -108,6 +108,44 @@ def test_minhash_oversized_bucket_star_bounds_pairs(spark):
     assert {r["id"] for r in decisions.where("NOT keep").collect()} == set(range(1, 30))
 
 
+def test_minhash_star_edge_survives_subthreshold_hub_similarity(spark):
+    # the r2 recall hole: a hot-bucket member whose signature agreement with
+    # the HUB specifically is below threshold used to lose its only edge and
+    # split off from the duplicate family.  Star pairs are connectivity
+    # edges and must bypass the threshold cut.
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau upsilon"
+    )
+    toks = base.split()
+    variant = " ".join(toks[:-4] + ["zz0", "zz1", "zz2", "zz3"])
+    df = spark.createDataFrame(
+        [(i, base) for i in range(12)] + [(12, variant)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.dedup_minhash(df, "doc_id", "text", threshold=0.9, max_bucket_size=8)
+    edge = [r for r in pairs.collect() if r["id_b"] == 12]
+    assert len(edge) == 1 and edge[0]["is_star"]
+    assert edge[0]["est_jaccard"] < 0.9  # genuinely sub-threshold, kept anyway
+    decisions = dedup.connected_components(pairs)
+    # whole family (including the drifted member) collapses to one keeper
+    assert {r["id"] for r in decisions.where("keep").collect()} == {0}
+    assert {r["id"] for r in decisions.where("NOT keep").collect()} == set(range(1, 13))
+
+
+def test_oversized_mode_is_validated(spark):
+    import pytest as _pytest
+
+    from hive2es_offline_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="oversized"):
+        dedup.dedup_minhash(df, "doc_id", "text", oversized="Star")
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="oversized"):
+        similarity.cosine_self_pairs(vecs, max_bucket_size=4, oversized="DROP")
+
+
 def test_minhash_star_equals_unbounded_on_small_buckets(spark):
     # when no bucket exceeds the cap, the capped plan is pair-for-pair
     # identical to the unbounded one
