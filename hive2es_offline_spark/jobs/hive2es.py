@@ -49,6 +49,15 @@ class Hive2ESConfig:
     routing_col: str | None = None  # --routing (None -> id)
     num_shards: int = 3  # --number-of-shards
     partition_multiple: int = 10  # --partition-multiples
+    #: --repartition (``ArgsParser.scala:9,46-48``): reference default is
+    #: FALSE — the production path (``Hive2ES.scala:68-72``) skips the
+    #: routing shuffle and lets the sink partition locally; True co-locates
+    #: rows by ES shard first (one exchange keyed by a 4-byte int).
+    repartition: bool = False
+    #: --hive-input-fields (``ArgsParser.scala:106-109``): projection
+    #: whitelist over the source columns — only these (plus id/routing)
+    #: reach the documents.  Empty = every column.
+    hive_input_fields: frozenset[str] = frozenset()
     alias: str | None = None  # --alias
     json_source: bool = False  # --json-source (single JSON-string column)
     type_overrides: dict[str, str] = field(default_factory=dict)  # O9 manual
@@ -73,10 +82,17 @@ class Hive2ESConfig:
     #: --type-name (``ArgsParser.scala:77-79``); keys the synthesized
     #: mapping and the legacy typed es resource
     type_name: str = "doc"
-    #: --bulk-actions / --bulk-size(MB) / --bulk-flush-interval
-    #: (``ArgsParser.scala:94-104``); thresholds for the live bulk sink
+    #: --bulk-actions / --bulk-size(MB) (``ArgsParser.scala:94-104``);
+    #: thresholds for the live bulk sink
     bulk_actions: int = 100
     bulk_size_mb: int = 5
+    #: --bulk-flush-interval: accepted for reference-CLI compatibility, but
+    #: TIME-based flushing has no equivalent on this engine's batch sinks —
+    #: the reference's BulkProcessor (``ESContainer.scala:137``) flushes a
+    #: live buffer on a timer; es-hadoop and the bundle sink flush every
+    #: batch synchronously on the size/count thresholds above.  The
+    #: streaming path's trigger interval is the time-based knob.  run_job
+    #: warns when a non-default value is set so the no-op is never silent.
     bulk_flush_interval: str = "5s"
 
 
@@ -99,6 +115,18 @@ def load_type_overrides(
 def build_documents(spark: SparkSession, cfg: Hive2ESConfig) -> tuple[DataFrame, dict]:
     """The transform half: (routed documents DataFrame, ES mapping dict)."""
     df = read_table(spark, cfg.table, cfg.sf_dir, where=cfg.where)
+
+    if cfg.hive_input_fields and not cfg.json_source:
+        # --hive-input-fields projection whitelist: prune at the scan
+        # (Catalyst pushes the select into the parquet ReadSchema).  id and
+        # routing columns are always retained so the document keys survive.
+        keep = set(cfg.hive_input_fields) | {
+            c for c in (cfg.id_col, cfg.routing_col) if c
+        }
+        missing = keep - set(df.columns)
+        if missing:
+            raise ValueError(f"--hive-input-fields not in {cfg.table}: {sorted(missing)}")
+        df = df.select(*[c for c in df.columns if c in keep])
 
     if cfg.overrides_table:
         table_overrides = load_type_overrides(
@@ -155,9 +183,15 @@ def build_documents(spark: SparkSession, cfg: Hive2ESConfig) -> tuple[DataFrame,
         routing_col=cfg.routing_col,
         doc_columns=[c for c in df.columns if c != "_gen_id"],
     )
-    routed = routing.repartition_for_shards(
-        docs, "_routing", cfg.num_shards, cfg.partition_multiple
-    )
+    if cfg.repartition:
+        routed = routing.repartition_for_shards(
+            docs, "_routing", cfg.num_shards, cfg.partition_multiple
+        )
+    else:
+        # reference production default: shard id only, no routing exchange —
+        # pre-clustered input keeps its partitioning and the sink splits by
+        # the _shard column locally per task
+        routed = routing.with_shard(docs, "_routing", cfg.num_shards)
     return routed, mapping
 
 
@@ -165,6 +199,16 @@ def run_job(spark: SparkSession, cfg: Hive2ESConfig) -> dict:
     """Full job: build documents, stage bundle, validate, publish, swap
     alias.  Returns the published manifest."""
     routed, mapping = build_documents(spark, cfg)
+    if cfg.bulk_flush_interval != "5s":
+        import warnings
+
+        warnings.warn(
+            "--bulk-flush-interval is accepted for reference-CLI "
+            "compatibility only: batch sinks flush on --bulk-actions/"
+            "--bulk-size thresholds, not time; use the streaming ingest "
+            "trigger for time-based flushing",
+            stacklevel=2,
+        )
     if cfg.es_nodes:
         # one resource convention: es_write_conf owns es.resource (typed only
         # for legacy clusters via type_name); save() takes no path so the
@@ -219,7 +263,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id", dest="id_col", default=None)
     p.add_argument("--routing", dest="routing_col", default=None)
     p.add_argument("--number-of-shards", type=int, default=3)
+    p.add_argument(
+        "--repartition", choices=["true", "false"], default="false",
+        help="co-locate rows by ES shard before the sink (reference default: false)",
+    )
     p.add_argument("--partition-multiples", type=int, default=10)
+    p.add_argument(
+        "--hive-input-fields", default="",
+        help="comma list restricting which source columns are indexed",
+    )
     p.add_argument("--alias", default=None)
     p.add_argument("--json-source", action="store_true")
     p.add_argument("--output-root", default=None)
@@ -273,6 +325,8 @@ def main(argv: list[str] | None = None) -> None:
         routing_col=a.routing_col,
         num_shards=a.number_of_shards,
         partition_multiple=a.partition_multiples,
+        repartition=a.repartition == "true",
+        hive_input_fields=frozenset(f for f in a.hive_input_fields.split(",") if f),
         alias=a.alias,
         json_source=a.json_source,
         output_root=a.output_root,

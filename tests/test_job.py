@@ -130,6 +130,59 @@ def test_cli_parses_and_runs(spark, tmp_path, monkeypatch):
     assert bundle.resolve_alias(str(tmp_path), "region") == "region_20240101"
 
 
+def test_repartition_toggle_controls_routing_exchange(spark):
+    # reference default (--repartition false, Hive2ES.scala:68-72): no
+    # routing shuffle — pre-clustered input must not pay a pointless
+    # full exchange.  true = one exchange keyed by the shard column.
+    base = dict(table="orders", index_name="o_v1", sf_dir=SF_SMOKE, id_col="o_orderkey")
+    off, _ = build_documents(spark, Hive2ESConfig(**base))
+    on, _ = build_documents(spark, Hive2ESConfig(**base, repartition=True))
+    plan_off = off._jdf.queryExecution().executedPlan().toString()
+    plan_on = on._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_off
+    assert "Exchange" in plan_on
+    # same documents either way, shard column present in both
+    assert off.count() == on.count()
+    assert {r["_shard"] for r in off.select("_shard").distinct().collect()} == {0, 1, 2}
+
+
+def test_hive_input_fields_projects_source_columns(spark):
+    # --hive-input-fields: only whitelisted columns reach mapping + docs;
+    # id/routing survive even when not listed
+    cfg = Hive2ESConfig(
+        table="orders",
+        index_name="o_proj",
+        sf_dir=SF_SMOKE,
+        id_col="o_orderkey",
+        hive_input_fields=frozenset({"o_orderstatus", "o_totalprice"}),
+    )
+    docs, mapping = build_documents(spark, cfg)
+    props = mapping["doc"]["properties"]
+    assert set(props) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
+    doc = json.loads(docs.first()["doc"])
+    assert set(doc) <= {"o_orderkey", "o_orderstatus", "o_totalprice"}
+    # unknown fields fail loudly instead of silently indexing nothing
+    bad = Hive2ESConfig(
+        table="orders", index_name="o_bad", sf_dir=SF_SMOKE,
+        id_col="o_orderkey", hive_input_fields=frozenset({"nope"}),
+    )
+    with pytest.raises(ValueError, match="nope"):
+        build_documents(spark, bad)
+
+
+def test_bulk_flush_interval_warns_as_compat_noop(spark, tmp_path):
+    cfg = Hive2ESConfig(
+        table="region",
+        index_name="region_bfi",
+        sf_dir=SF_SMOKE,
+        id_col="r_regionkey",
+        output_root=str(tmp_path),
+        bulk_flush_interval="30s",
+    )
+    with pytest.warns(UserWarning, match="bulk-flush-interval"):
+        run_job(spark, cfg)
+
+
 def test_overrides_from_metadata_table(spark, tmp_path):
     # O3: per-field type overrides loaded from a metadata table
     # (PAHive2ES.scala:66-77) — here l_quantity forced long
