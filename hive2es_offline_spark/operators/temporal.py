@@ -31,13 +31,19 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     how: str = "left",
-    strategy: str = "union",
+    strategy: str = "auto",
 ) -> DataFrame:
     """For every left row, attach the LATEST right row with
     ``right_time <= left_time`` for the same key (classic as-of / backward
     join, e.g. event -> the user's last order at or before the event).
 
-    ``strategy="union"`` (default, the scalable plan): tag and union both
+    ``strategy="auto"`` (default) picks ``"broadcast"`` when the right
+    side's Catalyst size estimate fits under
+    ``spark.sql.autoBroadcastJoinThreshold`` — the same signal Spark's own
+    join planning uses — and ``"union"`` otherwise, so dim-sized lookups
+    never shuffle the fact side by accident.
+
+    ``strategy="union"`` (the scalable plan): tag and union both
     sides, sort each key's timeline once, and carry the latest right row
     forward with ``last(ignorenulls)`` — ONE shuffle, intermediate size
     |left| + |right|.  ``strategy="broadcast"`` is the dim-sized fast path:
@@ -53,6 +59,8 @@ def asof_join(
     # front so every strategy agrees (the union plan's nulls-first sort would
     # otherwise carry them into left rows that have no earlier match)
     right = right.where(F.col(right_time).isNotNull())
+    if strategy == "auto":
+        strategy = "broadcast" if _fits_broadcast(right) else "union"
     if strategy == "join":
         return _asof_join_via_join(left, right, on, left_time, right_time, right_cols, how)
     if strategy == "broadcast":
@@ -100,6 +108,34 @@ def asof_join(
     if how == "inner":
         return out.where(F.col(f"asof_{right_time}").isNotNull())
     return out
+
+
+def _fits_broadcast(df: DataFrame) -> bool:
+    """True when the plan's Catalyst size estimate is under
+    ``spark.sql.autoBroadcastJoinThreshold`` (disabled/unparseable -> False).
+    Reads the optimizer's own statistics rather than counting rows, so the
+    decision costs no job."""
+    raw = str(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("b", 1),
+                      ("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        threshold = int(raw) * mult
+    except ValueError:
+        return False
+    if threshold <= 0:  # -1 = broadcasting disabled
+        return False
+    try:
+        # py4j hands back a plain int (Spark 4) or a Scala BigInt (older)
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 — stats unavailable (e.g. Connect): stay safe
+        return False
+    return size <= threshold
 
 
 def _asof_join_via_join(

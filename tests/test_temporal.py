@@ -130,3 +130,31 @@ def test_asof_null_right_time_ignored_by_all_strategies(spark):
     for strategy in ("union", "join", "broadcast"):
         r = temporal.asof_join(left, right, "k", "t", "rt", strategy=strategy).first()
         assert (r["asof_rt"], r["asof_v"]) == (None, None), strategy
+
+
+def test_asof_auto_strategy_broadcasts_small_right(spark, tmp_path):
+    left = spark.createDataFrame(
+        [(i, "k", _ts("2024-01-10T00:00:00")) for i in range(100)],
+        "lid long, k string, t timestamp",
+    )
+    # auto reads Catalyst size stats — parquet scans carry real file sizes
+    # (createDataFrame relations have no stats and conservatively stay on
+    # the union plan)
+    spark.createDataFrame(
+        [("k", _ts("2024-01-05T00:00:00"), "a")], "k string, rt timestamp, v string"
+    ).write.parquet(str(tmp_path / "right.parquet"))
+    right = spark.read.parquet(str(tmp_path / "right.parquet"))
+    # default strategy: auto -> small right side broadcasts, left never shuffles
+    out = temporal.asof_join(left, right, "k", "t", "rt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Window" not in plan
+    # broadcasting disabled -> auto falls back to the union/window plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fallback = temporal.asof_join(left, right, "k", "t", "rt")
+        plan2 = fallback._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, fallback.collect()))
