@@ -996,6 +996,26 @@ def q_multimodal_meta(spark, sf_dir):
 # contract
 # ---------------------------------------------------------------------------
 
+#: The driver adjudicates exactly the FIRST 50 entries of ``queries()``.
+#: This list IS that window, spelled out — tests assert
+#: ``list(queries())[:50] == DRIVER_WINDOW`` so an insertion in the wrong
+#: spot fails loudly instead of silently demoting an oracled query out of
+#: external verification.
+DRIVER_WINDOW = [
+    "scan_filter", "scan_project", "json_docs", "json_parse", "map_flatten",
+    "array_ops", "type_normalize", "null_scrub", "schema_infer",
+    "mapping_synthesis", "filter_pred", "es_routing", "partition_counts",
+    "join_inner", "join_left", "join_semi", "join_anti", "asof_join",
+    "range_join", "agg_group", "agg_distinct", "agg_stats", "grouped_pandas",
+    "profile_table", "skew_agg", "rollup_cube", "pivot_table", "window_rank",
+    "window_frame", "topk", "topk_grouped", "set_ops", "sql_subquery",
+    "string_funcs", "date_funcs", "math_funcs", "dedup_exact",
+    "dedup_minhash", "dedup_components", "ngram_jaccard", "dedup_cosine",
+    "sim_search", "text_stats", "tfidf_top_terms", "curation_pipeline",
+    "sessionize", "tumbling_window", "streaming_ingest", "bulk_write",
+    "publish_swap",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ordered for the driver's 50-entry CORRECTNESS

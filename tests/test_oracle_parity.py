@@ -103,9 +103,16 @@ def test_rows_only_runs(spark, name):
 def test_every_oracled_query_is_inside_driver_window():
     """The driver's CORRECTNESS run evaluates exactly the first 50 entries
     of queries() in dict order — every oracle-backed query and every
-    rows-only contract entry must sit inside that window."""
+    rows-only contract entry must sit inside that window.  Membership is
+    EXPLICIT (DRIVER_WINDOW), so a misplaced insertion fails here instead
+    of silently demoting an oracled query out of external verification."""
     names = list(entry_mod.queries())
-    window = set(names[:50])
+    assert len(entry_mod.DRIVER_WINDOW) == 50
+    assert names[:50] == entry_mod.DRIVER_WINDOW, (
+        "first 50 queries() entries drifted from DRIVER_WINDOW: "
+        f"{[(a, b) for a, b in zip(names[:50], entry_mod.DRIVER_WINDOW) if a != b]}"
+    )
+    window = set(entry_mod.DRIVER_WINDOW)
     missing = set(entry_mod.oracle_sql()) - window
     assert not missing, f"oracled queries outside the 50-entry window: {missing}"
     for contract_rows_only in (
