@@ -4,14 +4,16 @@ Real pipelines carry image/audio/video as binary columns next to typed
 metadata, and decode/feature-extract with Arrow-batched Python
 (``mapInPandas``) because codecs don't live in the JVM.
 ``decode_image_meta`` parses PNG/JPEG/GIF dimensions for REAL from the
-header bytes (``parse_image_header``), and PNG payloads get a REAL
+header bytes (``parse_image_header``); PNG payloads get a REAL
 pure-stdlib pixel codec (``decode_png_pixels``/``encode_png``: zlib +
-filter reconstruction per the PNG spec) — so resize and featurize operate
-on actual pixels for PNGs.  Only non-PNG pixel decode and the model-based
-featurizer remain deterministic stand-ins (no JPEG codec library ships in
-this container).  The Spark-side plumbing (schema, batch iterator shape,
-partitioning, column pruning through mapInPandas) is real and tested
-either way.
+filter reconstruction per the PNG spec) and GIF payloads a REAL stdlib
+LZW codec (``decode_gif_frames``/``encode_gif``: variable-width LZW,
+color tables, interlace, frame compositing per GIF89a) — resize and
+featurize operate on actual pixels for both.  Only JPEG pixel decode and
+the model-based featurizer remain deterministic stand-ins (no JPEG codec
+library ships in this container; entropy decode is out of stdlib scope).
+The Spark-side plumbing (schema, batch iterator shape, partitioning,
+column pruning through mapInPandas) is real and tested either way.
 
 Scale notes: binary payloads dominate row size, so (a) the mapInPandas
 schema declares only the columns the stage needs — Spark prunes the rest of
@@ -194,6 +196,250 @@ def encode_png(arr) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-flavor LZW decode (spec appendix F): variable code width starting
+    at ``min_code_size + 1``, growing to 12 bits, little-endian bit packing,
+    clear/end control codes, and the KwKwK self-reference case.  Returns the
+    color-index stream, truncated/padded semantics left to the caller."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    stream = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    pos = 0
+    while pos + code_size <= total_bits and len(out) < expected:
+        code = (stream >> pos) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code:  # KwKwK: code defined by this very step
+            entry = prev + prev[:1]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            break  # corrupt stream
+        out += entry
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:expected])
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encode — the exact inverse of ``_lzw_decode``
+    (emit-then-define order, so the encoder bumps its code width one step
+    after the decoder's next_code would)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    acc = 0
+    nbits = 0
+    buf = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in indices:
+        if ch >= clear:
+            raise ValueError(f"index {ch} needs more than {min_code_size} bits")
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # decoder defines this entry one code LATER, so its width grows one
+        # emission after ours would naively: bump at threshold + 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # table full: reset both sides
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+#: interlaced GIFs store rows in four passes (spec §20)
+_GIF_INTERLACE_PASSES = ((8, 0), (8, 4), (4, 2), (2, 1))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    return [row for step, off in _GIF_INTERLACE_PASSES for row in range(off, height, step)]
+
+
+def decode_gif_frames(payload: bytes):
+    """REAL GIF pixel decode — pure stdlib LZW + numpy, no codec lib.
+
+    Handles global/local color tables, multiple frames with canvas
+    compositing (disposal: leave / restore-background / restore-previous),
+    per-frame transparency, and interlaced images.  Returns a list of
+    ``np.ndarray[h, w, 3]`` uint8 RGB canvases (one per rendered frame) or
+    None for non-GIF/corrupt payloads."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:, :] = gct[bg_index]
+    frames: list = []
+    transparent: int | None = None
+    disposal = 0
+    try:
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: GCE carries disposal/transparency
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9:
+                    flags = payload[pos + 1]
+                    disposal = (flags >> 2) & 7
+                    transparent = payload[pos + 4] if flags & 1 else None
+                while payload[pos] != 0:  # skip sub-blocks (incl. GCE body)
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:  # unknown block: stop cleanly
+                break
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                table = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                size = payload[pos]
+                data += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            raw = _lzw_decode(bytes(data), min_code, w * h)
+            if len(raw) < w * h:
+                return None
+            idx = np.frombuffer(raw, np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: data rows are in pass order
+                deinterlaced = np.empty_like(idx)
+                deinterlaced[_gif_interlace_order(h)] = idx
+                idx = deinterlaced
+            before = canvas.copy()
+            region = canvas[top : top + h, left : left + w]
+            rgb = table[np.minimum(idx, len(table) - 1)]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background
+                canvas[top : top + h, left : left + w] = (
+                    gct[bg_index] if gct is not None and bg_index < len(gct) else 0
+                )
+            elif disposal == 3:  # restore previous
+                canvas = before
+            transparent, disposal = None, 0
+    except IndexError:  # truncated payload
+        return frames or None
+    return frames or None
+
+
+def encode_gif(frames, delay_cs: int = 10, interlace: bool = False) -> bytes:
+    """REAL GIF89a encode (global palette, real LZW) for a list of same-size
+    ``np.ndarray[h, w, 3]`` uint8 frames — the write half of the stdlib GIF
+    codec, so decode/resize round-trips stay GIFs.  The palette is the set
+    of distinct colors across frames (> 256 raises — quantization is a
+    production concern, not a codec one)."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    colors = np.unique(np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif needs <=256 distinct colors, got {len(colors)}")
+    bits = max(1, (len(colors) - 1).bit_length())
+    palette = np.zeros((1 << bits, 3), np.uint8)
+    palette[: len(colors)] = colors
+    lookup = {tuple(int(x) for x in c): i for i, c in enumerate(colors)}
+    min_code = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += palette.tobytes()
+    for frame in frames:
+        if frame.shape[:2] != (h, w):
+            raise ValueError("all frames must share one size")
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)  # GCE
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+        rows = frame[_gif_interlace_order(h)] if interlace else frame
+        idx = bytes(lookup[tuple(int(x) for x in px)] for px in rows.reshape(-1, 3))
+        out.append(min_code)
+        data = _lzw_encode(idx, min_code)
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
     """Decode with REAL header parsing for PNG/JPEG/GIF (see
     ``parse_image_header``); unrecognized payloads fall back to a
@@ -245,11 +491,13 @@ def extract_features(
     """Binary payload -> dense feature vector (Arrow-batched).
 
     For PNG payloads the histogram is computed over REAL decoded pixel
-    values (``decode_png_pixels``); other payloads get the deterministic
-    byte-histogram stand-in (a production featurizer calls a vision/audio
-    model on the decoded tensor).  Output shape matches the ``embeddings``
-    table convention (``array<float>``) so the similarity operators compose
-    directly: decode -> features -> ``cosine_topk`` / ``cosine_self_pairs``.
+    values (``decode_png_pixels``) and for GIFs over every decoded frame
+    (``decode_gif_frames``); remaining payloads (JPEG, unknown) get the
+    deterministic byte-histogram stand-in (a production featurizer calls a
+    vision/audio model on the decoded tensor).  Output shape matches the
+    ``embeddings`` table convention (``array<float>``) so the similarity
+    operators compose directly: decode -> features -> ``cosine_topk`` /
+    ``cosine_self_pairs``.
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -260,6 +508,10 @@ def extract_features(
             for p in pdf[payload_col]:
                 raw = bytes(p)
                 pixels = decode_png_pixels(raw)
+                if pixels is None:
+                    gif = decode_gif_frames(raw)
+                    if gif is not None:
+                        pixels = np.concatenate([f.reshape(-1) for f in gif])
                 arr = (
                     pixels.reshape(-1)
                     if pixels is not None
@@ -290,14 +542,22 @@ def resize_images(
     PNG payloads are REALLY resized: decode (``decode_png_pixels``) ->
     nearest-neighbor resample (numpy index grid) -> re-encode
     (``encode_png``), so the output is a valid PNG at the target size.
-    Unsupported formats fall back to the byte-budget stub (a production
-    path swaps in PIL/opencv); raise ``NotImplementedError`` there instead
-    if silent fakes are unacceptable.
+    GIFs resize every frame and re-encode as GIF (``decode_gif_frames`` /
+    ``encode_gif``) — format-preserving, animation included.  Remaining
+    formats (JPEG, unknown) fall back to the byte-budget stub (a
+    production path swaps in PIL/opencv); raise ``NotImplementedError``
+    there instead if silent fakes are unacceptable.
     """
     budget = target_w * target_h
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        def resample(pixels):
+            h, w = pixels.shape[:2]
+            ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+            xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+            return pixels[ys][:, xs]
 
         for pdf in batches:
             out = []
@@ -305,10 +565,11 @@ def resize_images(
                 raw = bytes(p)
                 pixels = decode_png_pixels(raw)
                 if pixels is not None:
-                    h, w = pixels.shape[:2]
-                    ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
-                    xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
-                    out.append(encode_png(pixels[ys][:, xs]))
+                    out.append(encode_png(resample(pixels)))
+                    continue
+                gif = decode_gif_frames(raw)
+                if gif is not None:
+                    out.append(encode_gif([resample(f) for f in gif]))
                 else:
                     out.append(raw[:budget].ljust(budget, b"\0"))
             yield pd.DataFrame(

@@ -257,3 +257,80 @@ def test_cosine_self_pairs_bucket_cap_star(spark):
     ).collect()
     assert len(capped) == 299  # hub-and-spoke, not 300*299/2
     assert all(r["id_a"] == 0 and r["score"] == 1.0 for r in capped)
+
+
+def test_gif_lzw_codec_roundtrip():
+    import numpy as np
+
+    from hive2es_offline_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    cases = [
+        b"\x01\x02" * 15,  # KwKwK self-reference pattern
+        bytes(np.random.RandomState(0).randint(0, 250, 5000, dtype=np.uint8)),
+        b"\x00" * 1000,  # degenerate run
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        _lzw_encode(b"\xff", 4)  # index outside the code space fails loudly
+
+
+def test_gif_two_frame_roundtrip_and_header():
+    import numpy as np
+
+    from hive2es_offline_spark.operators.multimodal import (
+        decode_gif_frames, encode_gif, parse_image_header)
+
+    rng = np.random.RandomState(7)
+    f1 = rng.randint(0, 4, (5, 7, 3), dtype=np.uint8) * 60
+    f2 = f1.copy()
+    f2[1:3, 2:5] = [255, 0, 0]
+    gif = encode_gif([f1, f2])
+    assert parse_image_header(gif) == (7, 5, "gif")
+    frames = decode_gif_frames(gif)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], f1) and np.array_equal(frames[1], f2)
+    # interlaced storage decodes back to the same raster
+    fi = decode_gif_frames(encode_gif([f1], interlace=True))
+    assert np.array_equal(fi[0], f1)
+    # a wider raster exercises LZW width growth past 9 bits
+    ramp = rng.randint(0, 64, (40, 50), dtype=np.uint8) * 4
+    big = np.stack([ramp, ramp, ramp], axis=-1)
+    assert np.array_equal(decode_gif_frames(encode_gif([big]))[0], big)
+    assert decode_gif_frames(b"not a gif at all") is None
+
+
+def test_resize_images_gif_path_preserves_format(spark):
+    import numpy as np
+
+    from hive2es_offline_spark.operators.multimodal import (
+        decode_gif_frames, encode_gif, resize_images)
+
+    f1 = np.zeros((6, 8, 3), dtype=np.uint8)
+    f1[:3] = [0, 128, 255]
+    f2 = f1[:, ::-1].copy()
+    df = spark.createDataFrame([(1, bytearray(encode_gif([f1, f2])))],
+                               "doc_id long, payload binary")
+    out = resize_images(df, 4, 3).first()
+    frames = decode_gif_frames(bytes(out["payload"]))
+    assert len(frames) == 2 and frames[0].shape == (3, 4, 3)
+    # nearest-neighbor of a half-scale keeps the banded structure
+    assert (frames[0][0] == [0, 128, 255]).all()
+
+
+def test_extract_features_gif_uses_real_pixels(spark):
+    import numpy as np
+
+    from hive2es_offline_spark.operators.multimodal import encode_gif, extract_features
+
+    # single-color frames: the pixel histogram concentrates on known bins,
+    # which a byte-histogram of the compressed GIF container cannot produce
+    f1 = np.full((4, 4, 3), 32, dtype=np.uint8)
+    f2 = np.full((4, 4, 3), 33, dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_gif([f1, f2])))],
+                               "doc_id long, payload binary")
+    feat = extract_features(df, dim=16).first()["feature"]
+    assert abs(feat[0] - 0.5) < 1e-6  # 32 % 16 == 0: half the pixels
+    assert abs(feat[1] - 0.5) < 1e-6  # 33 % 16 == 1: the other half
