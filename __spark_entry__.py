@@ -370,17 +370,27 @@ def q_rollup_cube(spark, sf_dir):
     """Multi-dimensional aggregation via GROUPING SETS — the four sets here
     are exactly CUBE(flag, status), and dropping the (status) set gives
     ROLLUP; one operator covers the whole rollup/cube/grouping-sets
-    surface."""
+    surface.  Runs through the two-phase plan: the direct groupingSets
+    plan Expands every row x4 below the partial aggregate; pre-aggregating
+    to the (flag, status) base grain first keeps the full-table pass at 1x
+    and Expands only the tiny base aggregate."""
+    from hive2es_offline_spark.operators.relational import grouping_sets_preagg
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupingSets(
-        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
-        "l_returnflag",
-        "l_linestatus",
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        _dec_sum("l_quantity").alias("sum_qty"),
-        F.grouping("l_returnflag").alias("g_flag"),
-        F.grouping("l_linestatus").alias("g_status"),
+    return grouping_sets_preagg(
+        li,
+        dims=["l_returnflag", "l_linestatus"],
+        sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        base_aggs=[
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_rows"),
+            F.sum("_sq").cast("double").alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        ],
     )
 
 

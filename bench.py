@@ -64,8 +64,10 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
 
-    def measure(name, plan_fn, runs=2):
-        # steady-state: best of N (first run pays one-time codegen compile)
+    def measure(name, plan_fn, runs=3):
+        # steady-state: best of N (first run pays one-time codegen compile);
+        # n=3 keeps the min column meaningful — the repo's measured run-to-run
+        # variance makes sub-0.5 s deltas at n=2 indistinguishable from noise
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -22,6 +22,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def grouping_sets_preagg(
+    df: DataFrame,
+    dims: list[str],
+    sets: list[list[str]],
+    base_aggs: list[Column],
+    final_aggs: list[Column],
+) -> DataFrame:
+    """Two-phase GROUPING SETS for algebraic aggregates.
+
+    The direct ``groupingSets(...)`` plan puts Expand *below* the partial
+    aggregate, so with S grouping sets every input row is replicated S
+    times before the map-side combine — at 100 TB that is S× the data
+    through the hottest stage.  When every aggregate is algebraic
+    (sum/count/min/max — anything where agg(agg(parts)) == agg(whole)),
+    the super-aggregates can instead be computed FROM the base grain:
+
+      phase 1: ``groupBy(*dims).agg(*base_aggs)`` — one pass, no Expand,
+               output is one row per base group (tiny).
+      phase 2: ``groupingSets(sets, *dims).agg(*final_aggs)`` over the
+               phase-1 result — Expand runs over the pre-aggregate only.
+
+    ``final_aggs`` re-aggregate the phase-1 aliases (count → sum of
+    counts, sum → sum of sums) and may use ``F.grouping(...)`` — grouping
+    flags come from the phase-2 grouping sets exactly as in the direct
+    plan.  avg/stddev must be decomposed by the caller (sum+count);
+    count(DISTINCT x) is NOT algebraic and needs the direct plan.
+    """
+    base = df.groupBy(*dims).agg(*base_aggs)
+    return base.groupingSets(sets, *dims).agg(*final_aggs)
+
+
 def grouped_topk(
     df: DataFrame,
     group_cols: list[str],
