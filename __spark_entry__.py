@@ -995,6 +995,14 @@ def q_repetition_stats(spark, sf_dir):
     return text.repetition_stats(d)
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-trained unigram-LM quality scoring (KenLM-style perplexity
+    proxy): top-256 vocabulary broadcast, OOV floor from the corpus total —
+    DuckDB-checked via demoted_goldens."""
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_lm_score(d, vocab_size=256)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -1113,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
+        "lm_score": q_lm_score,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1828,5 +1837,29 @@ def demoted_goldens() -> dict[str, str]:
                              < 'f3333333' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # vocab_size=256, oov_smoothing=0.5; vocabulary cut by
+        # (count desc, token asc) exactly as the operator's orderBy
+        "lm_score": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents
+            ), counts AS (
+              SELECT t, count(*) AS c FROM tok GROUP BY t
+            ), total AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts
+            ), lm AS (
+              SELECT t, ln(CAST(c AS DOUBLE) / total.n) AS logp
+              FROM (SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT 256),
+                   total
+            )
+            SELECT tok.doc_id,
+                   count(*) AS n_tokens,
+                   round(avg(coalesce(lm.logp, ln(0.5 / total.n))), 6)
+                     AS avg_logp,
+                   round(avg(CASE WHEN lm.logp IS NULL THEN 1.0 ELSE 0.0 END), 6)
+                     AS oov_ratio
+            FROM tok LEFT JOIN lm ON tok.t = lm.t, total
+            GROUP BY tok.doc_id
         """,
     }

@@ -277,6 +277,79 @@ def contamination_check(
     return hits.select(F.col("_did").alias(id_col), "n_contaminated_shingles")
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+    oov_smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained unigram language-model scoring — the classic KenLM-style
+    perplexity-proxy quality filter (CCNet / Gopher pipelines), reduced to
+    the unigram order so it stays exact, deterministic, and model-free.
+
+    Two passes, both scale-safe:
+
+      1. TRAIN: explode tokens -> per-token counts (map-side combined), keep
+         the global top ``vocab_size`` by (count desc, token asc).  The cut
+         runs as TakeOrderedAndProject (per-partition top-K, bounded merge)
+         so the LM side is provably <= vocab_size rows and BROADCASTS no
+         matter how large the corpus vocabulary grows.
+      2. SCORE: explode document tokens, broadcast-join the LM, average
+         ``ln p(tok)`` per document.  Out-of-vocabulary tokens take the
+         floor ``ln(oov_smoothing / N)`` where N is the corpus token count,
+         so rarer-than-vocab text is penalized, not dropped.  The only
+         corpus shuffle is the final per-document aggregate (partial-agg
+         combined on ``id_col``).
+
+    Token counts are localCheckpointed: TRAIN's count table feeds both the
+    vocabulary cut and the corpus-total aggregate, and without truncation
+    the explode+count subtree would execute twice.
+
+    Output: ``(id_col, n_tokens, avg_logp, oov_ratio)`` — ``avg_logp``
+    rounded to 6 (higher = more typical text); ``oov_ratio`` the share of
+    tokens outside the LM vocabulary."""
+    tok_all = df.select(F.explode(tokens(F.col(text_col))).alias("_tok"))
+    counts = (
+        tok_all.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = counts.orderBy(F.desc("_c"), F.asc("_tok")).limit(vocab_size)
+    total = counts.agg(F.sum("_c").alias("_N"))  # one row: corpus token count
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "_tok",
+        F.log(F.col("_c").cast("double") / F.col("_N").cast("double")).alias("_logp"),
+    )
+    doc_toks = df.select(
+        F.col(id_col).alias("_did"), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    scored = doc_toks.join(F.broadcast(lm), "_tok", "left")
+    # the OOV floor depends on the corpus total, so it rides in as a 1-row
+    # broadcast (BroadcastNestedLoopJoin against one row — free) rather than
+    # a driver-side collect
+    with_floor = scored.crossJoin(
+        F.broadcast(
+            total.select(
+                F.log(
+                    F.lit(float(oov_smoothing)) / F.col("_N").cast("double")
+                ).alias("_oov_logp")
+            )
+        )
+    )
+    return (
+        with_floor.groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.coalesce(F.col("_logp"), F.col("_oov_logp"))), 6).alias("avg_logp"),
+            F.round(
+                F.avg(F.when(F.col("_logp").isNull(), 1.0).otherwise(0.0)), 6
+            ).alias("oov_ratio"),
+        )
+        .select(F.col("_did").alias(id_col), "n_tokens", "avg_logp", "oov_ratio")
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -114,3 +114,37 @@ def test_repetition_stats_flags_repeated_text(spark):
     assert out[1]["top_bigram_share"] > 0.4  # "now buy"/"buy now" dominate
     assert out[2]["distinct_ratio"] == 1.0
     assert out[2]["top_token_share"] == 0.01
+
+
+def test_unigram_lm_score_oov_floor_and_vocab_cut(spark):
+    import math
+
+    from hive2es_offline_spark.operators.text import unigram_lm_score
+
+    # corpus: "the" x 6, "cat" x 2, "dog" x 1, "zzz" x 1 -> N = 10.
+    # vocab_size=2 keeps {the, cat} (count desc, token asc); dog/zzz are OOV.
+    df = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the the the cat"), (3, "dog zzz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_score(df, vocab_size=2).collect()}
+    n = 10.0
+    in_vocab_avg = (3 * math.log(6 / n) + math.log(2 / n)) / 4
+    oov_avg = math.log(0.5 / n)
+    assert out[1]["avg_logp"] == round(in_vocab_avg, 6)
+    assert out[1]["oov_ratio"] == 0.0
+    assert out[3]["avg_logp"] == round(oov_avg, 6)  # both tokens take the floor
+    assert out[3]["oov_ratio"] == 1.0
+    # typical text scores strictly higher than all-OOV text
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]
+
+
+def test_unigram_lm_score_vocab_tie_break_deterministic(spark):
+    from hive2es_offline_spark.operators.text import unigram_lm_score
+
+    # four tokens all with count 1: vocab_size=2 must keep the two
+    # lexicographically smallest ("aa", "bb") on the count tie
+    df = spark.createDataFrame([(1, "aa bb"), (2, "cc dd")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_score(df, vocab_size=2).collect()}
+    assert out[1]["oov_ratio"] == 0.0
+    assert out[2]["oov_ratio"] == 1.0
