@@ -755,10 +755,11 @@ def q_sim_search_lsh(spark, sf_dir):
 
 
 def q_sim_search_ivf(spark, sf_dir):
-    """Rows-only: IVF coarse-quantized ANN (probe 2 of 16 cells)."""
+    """Rows-only: IVF coarse-quantized ANN (probe 2 of 16 cells); seeded
+    centroids refined by two Lloyd iterations for cell balance."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
-    cents = similarity.seeded_centroids(e, 16)
+    cents = similarity.kmeans_refine(e, similarity.seeded_centroids(e, 16), iters=2)
     return similarity.ivf_topk(e, qvec, cents, k=10, n_probe=2)
 
 

@@ -65,6 +65,33 @@ def test_ivf_narrow_probe_is_subset_quality(spark):
     assert narrow[0]["vec_id"] == 0  # query vector's own cell is probed first
 
 
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    # two tight clusters around orthogonal axes; seeds start both inside
+    # cluster A — refinement must move one centroid to cluster B
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.02 * (i % 5), 0.0, 0.0]))          # cluster A
+        rows.append((100 + i, [0.0, 0.0, 1.0, 0.02 * (i % 5)]))    # cluster B
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = [[1.0, 0.0, 0.0, 0.0], [1.0, 0.1, 0.0, 0.0]]  # both in A
+    refined = similarity.kmeans_refine(e, seeds, iters=5)
+    # one centroid must now point dominantly along axis 2 (cluster B)
+    axis2 = sorted(c[2] / (sum(x * x for x in c) ** 0.5) for c in refined)
+    assert axis2[-1] > 0.9
+    assert axis2[0] < 0.1  # the other stayed with cluster A
+
+
+def test_kmeans_refine_empty_cell_keeps_position_and_converges(spark):
+    e = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    # centroid 1 is orthogonal to every vector: it attracts nothing and must
+    # keep its position; centroid 0 already is the mean -> early tol exit
+    out = similarity.kmeans_refine(e, [[1.0, 0.0], [0.0, 1.0]], iters=10)
+    assert out[1] == [0.0, 1.0]
+    assert abs(out[0][0] - 1.0) < 1e-9 and abs(out[0][1]) < 1e-9
+
+
 def _tiny_png(width, height):
     """A complete, REAL PNG file built with stdlib only (zlib CRCs + IDAT)."""
     import struct
