@@ -996,6 +996,14 @@ def q_repetition_stats(spark, sf_dir):
     return text.repetition_stats(d)
 
 
+def q_embed_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column
+    (max-abs scale, floor-half-up) — narrow codegen, DuckDB-checked via
+    demoted_goldens."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e)
+
+
 def q_lm_score(spark, sf_dir):
     """Corpus-trained unigram-LM quality scoring (KenLM-style perplexity
     proxy): top-256 vocabulary broadcast, OOV floor from the corpus total —
@@ -1123,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
         "lm_score": q_lm_score,
+        "embed_quantize": q_embed_quantize,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1838,6 +1847,32 @@ def demoted_goldens() -> dict[str, str]:
                              < 'f3333333' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # floor(x + 0.5) half-up in both engines: round() rounding-mode
+        # semantics differ, floor does not
+        "embed_quantize": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), m AS (
+              SELECT vec_id, e,
+                     list_aggregate(list_transform(e, x -> abs(x)), 'max') AS ma
+              FROM v
+            )
+            SELECT vec_id,
+                   CASE WHEN ma = 0
+                        THEN list_transform(e, x -> 0)
+                        ELSE list_transform(e,
+                          x -> CAST(floor(x * 127.0 / ma + 0.5) AS INTEGER))
+                   END AS q,
+                   round(ma / 127.0, 9) AS scale,
+                   round(CASE WHEN ma = 0 THEN 0.0
+                         ELSE list_aggregate(list_transform(e,
+                           x -> abs(x - floor(x * 127.0 / ma + 0.5) * ma / 127.0)),
+                           'max')
+                         END, 6) AS max_err
+            FROM m
         """,
         # vocab_size=256, oov_smoothing=0.5; vocabulary cut by
         # (count desc, token asc) exactly as the operator's orderBy

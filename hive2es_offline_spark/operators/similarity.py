@@ -207,6 +207,60 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scale): the standard
+    4x storage/bandwidth cut for ANN indexes and embedding shipping.
+
+    ``q_i = floor(127 * v_i / max_abs + 0.5)``, ``scale = max_abs / 127`` —
+    the explicit floor(+0.5) half-up form is used instead of ``round()``
+    because rounding-mode semantics differ across engines while ``floor``
+    does not; dequantization is ``q_i * scale``.  A zero vector quantizes
+    to all zeros with scale 0.
+
+    Entirely built-in higher-order functions on the array column (codegen,
+    no Python, no shuffle — at 100 TB this runs inside the scan stage).
+    Output: ``(id_col, q array<int>, scale, max_err)`` where ``max_err`` is
+    the worst per-component dequantization error, ``<= scale / 2`` by
+    construction."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.select(F.col(id_col), vd.alias("_e")).select(
+        id_col,
+        "_e",
+        F.array_max(F.transform(F.col("_e"), F.abs)).alias("_ma"),
+    )
+    quantized = staged.select(
+        id_col,
+        "_e",
+        "_ma",
+        F.when(
+            F.col("_ma") == 0.0, F.transform(F.col("_e"), lambda x: F.lit(0))
+        )
+        .otherwise(
+            F.transform(
+                F.col("_e"),
+                lambda x: F.floor(x * 127.0 / F.col("_ma") + 0.5).cast("int"),
+            )
+        )
+        .alias("q"),
+    )
+    scale = F.col("_ma") / 127.0
+    err = F.when(F.col("_ma") == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with("_e", "q", lambda x, qi: F.abs(x - qi.cast("double") * scale))
+        )
+    )
+    return quantized.select(
+        id_col,
+        "q",
+        F.round(scale, 9).alias("scale"),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
 def kmeans_refine(
     df: DataFrame,
     centroids: list[list[float]],

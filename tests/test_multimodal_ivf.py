@@ -361,3 +361,28 @@ def test_extract_features_gif_uses_real_pixels(spark):
     feat = extract_features(df, dim=16).first()["feature"]
     assert abs(feat[0] - 0.5) < 1e-6  # 32 % 16 == 0: half the pixels
     assert abs(feat[1] - 0.5) < 1e-6  # 33 % 16 == 1: the other half
+
+
+def test_quantize_embeddings_roundtrip_bound_and_zero_vector(spark):
+    e = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector: q=0s, scale=0
+            (3, [3.0]),                   # single component: q=[127]
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(e).collect()}
+    assert out[1]["q"] == [64, -127, 32, 0]  # 0.5/1.0*127 = 63.5 -> half-up 64
+    assert all(-127 <= q <= 127 for q in out[1]["q"])
+    assert out[1]["max_err"] <= out[1]["scale"] / 2 + 1e-9
+    assert out[2]["q"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0
+    assert out[2]["max_err"] == 0.0
+    assert out[3]["q"] == [127] and abs(out[3]["scale"] - 3.0 / 127) < 1e-9
+
+
+def test_quantize_embeddings_is_narrow(spark):
+    e = read_table(spark, "embeddings", SF_SMOKE)
+    qdf = similarity.quantize_embeddings(e)
+    plan = qdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row projection: runs inside the scan
