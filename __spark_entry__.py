@@ -996,6 +996,22 @@ def q_repetition_stats(spark, sf_dir):
     return text.repetition_stats(d)
 
 
+#: target mix for q_source_mix — shared with its demoted golden so the
+#: normalized proportions inlined into the SQL are bit-identical doubles
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_source_mix(spark, sf_dir):
+    """Proportional dataset-mixing resampler: reshape the corpus to a
+    50/30/20 mix of three sources, keeping the binding stratum whole and
+    hash-downsampling the rest (deterministic md5 thresholds, join-free
+    narrow filter) — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.operators.sampling import source_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return source_mix(d, "source", _MIX_TARGETS, "doc_id")
+
+
 def q_embed_quantize(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column
     (max-abs scale, floor-half-up) — narrow codegen, DuckDB-checked via
@@ -1132,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "lm_score": q_lm_score,
         "embed_quantize": q_embed_quantize,
+        "source_mix": q_source_mix,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1729,6 +1746,16 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _mix_target_values() -> str:
+    """Render _MIX_TARGETS as normalized-double VALUES rows for the
+    source_mix golden (repr round-trips the exact IEEE double the operator
+    computes)."""
+    total = sum(_MIX_TARGETS.values())
+    return ", ".join(
+        f"('{s}', CAST({w / total!r} AS DOUBLE))" for s, w in _MIX_TARGETS.items()
+    )
+
+
 def demoted_goldens() -> dict[str, str]:
     """Oracle SQL for queries demoted BELOW the driver's 50-entry
     CORRECTNESS window (their capabilities are already driver-green through
@@ -1847,6 +1874,26 @@ def demoted_goldens() -> dict[str, str]:
                              < 'f3333333' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # rate arithmetic mirrors sampling.mix_rates exactly: n/p double
+        # division, min, (t*p)/n — and the threshold is the same
+        # floor(rate * 16^8) 8-hex-char compare the operator uses
+        "source_mix": f"""
+            WITH tgt(source, p) AS (VALUES {_mix_target_values()}),
+            counts AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), t AS (
+              SELECT min(n / p) AS t FROM counts JOIN tgt USING (source)
+            ), rates AS (
+              SELECT source, least(t.t * p / n, 1.0) AS rate
+              FROM counts JOIN tgt USING (source), t
+            )
+            SELECT d.*
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE r.rate >= 1.0
+               OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+                  lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
+                       8, '0')
         """,
         # floor(x + 0.5) half-up in both engines: round() rounding-mode
         # semantics differ, floor does not

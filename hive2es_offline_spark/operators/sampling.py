@@ -74,6 +74,63 @@ def hash_split(
     return df.withColumn(split_col, hash_split_col(id_col, weights, salt))
 
 
+def mix_rates(counts: dict, targets: dict) -> dict:
+    """Per-stratum keep rates that reshape ``counts`` into the ``targets``
+    mix while keeping as much data as possible: the binding stratum (the
+    one that runs out first relative to its target share) keeps rate 1.0
+    and every other stratum downsamples to match.
+
+    ``targets`` are normalized to proportions; strata absent from
+    ``targets`` get no rate (dropped by ``source_mix``).  Pure driver-side
+    arithmetic on the (tiny) per-stratum count table."""
+    total = sum(targets.values())
+    p = {s: w / total for s, w in targets.items() if w > 0}
+    present = [s for s in p if s in counts]
+    if not present:
+        return {}
+    t = min(counts[s] / p[s] for s in present)
+    return {s: min((t * p[s]) / counts[s], 1.0) for s in present}
+
+
+def source_mix(
+    df: DataFrame,
+    stratum_col: str,
+    targets: dict,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic proportional resampling to a target source mix — the
+    dataset-mixing step of a training pipeline ("50% web, 30% wiki, 20%
+    books"), maximizing retained data (largest output with the exact mix).
+
+    One tiny aggregate (``groupBy(stratum).count`` — map-side combined,
+    one row per stratum; the collect is bounded by stratum cardinality,
+    same class as the reference's per-field metadata lookup), then a pure
+    hash-threshold filter: keep iff ``md5(salt + id)[:8] < hex(rate)``.
+    The assignment is a deterministic function of the row id — stable
+    under repartitioning/retries, reproducible in any engine with md5
+    (DuckDB-oracled), and join-free: rates enter the plan as literals, so
+    the corpus pass is a narrow filter with NO shuffle.  Strata not in
+    ``targets`` are dropped."""
+    counts = {
+        r[stratum_col]: r["_n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    rates = mix_rates(counts, targets)
+    if not rates:
+        return df.where(F.lit(False))
+    h = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    keep = None
+    for s, rate in rates.items():
+        # rate 1.0 keeps ALL rows of the stratum: a `h < "ffffffff"` compare
+        # would drop the 1-in-2^32 hash at the top of the space
+        cond = (F.col(stratum_col) == s) & (
+            F.lit(True) if rate >= 1.0 else h < F.lit(_threshold(rate))
+        )
+        keep = cond if keep is None else keep | cond
+    return df.where(keep)
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -54,3 +54,51 @@ def test_stratified_sample_rates(spark):
     again = {r["lang"]: r["n"] for r in stratified_sample(d, "lang", fractions)
              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == again
+
+
+def test_mix_rates_binding_stratum_and_proportions():
+    from hive2es_offline_spark.operators.sampling import mix_rates
+
+    # wiki is binding: 100 rows must be 30% of the output -> T = 333.3,
+    # web keeps 333.3*0.5/1000 = 1/6, books keeps 333.3*0.2/500 = 2/15
+    rates = mix_rates(
+        {"web": 1000, "wiki": 100, "books": 500},
+        {"web": 0.5, "wiki": 0.3, "books": 0.2},
+    )
+    assert rates["wiki"] == 1.0
+    assert abs(rates["web"] - 1 / 6) < 1e-12
+    assert abs(rates["books"] - 2 / 15) < 1e-12
+    # expected kept counts hit the target mix exactly
+    kept = {s: n * rates[s] for s, n in {"web": 1000, "wiki": 100, "books": 500}.items()}
+    total = sum(kept.values())
+    assert abs(kept["web"] / total - 0.5) < 1e-12
+    # strata missing from targets get no rate
+    assert "books2" not in mix_rates({"books2": 5, "wiki": 1}, {"wiki": 1.0})
+
+
+def test_source_mix_filters_to_target_mix(spark):
+    from hive2es_offline_spark.operators.sampling import source_mix
+
+    # 2000/200/1000 rows; targets 50/30/20 -> src1 binding (kept whole)
+    rows = (
+        [(i, "src0") for i in range(2000)]
+        + [(10_000 + i, "src1") for i in range(200)]
+        + [(20_000 + i, "src2") for i in range(1000)]
+        + [(30_000 + i, "other") for i in range(100)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_mix(d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id")
+    got = {r["source"]: r["n"]
+           for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["src1"] == 200              # binding stratum kept whole
+    assert "other" not in got              # untargeted stratum dropped
+    # hash sampling is approximate: ±15% of the expected kept counts
+    expected0 = (200 / 0.3) * 0.5
+    expected2 = (200 / 0.3) * 0.2
+    assert abs(got["src0"] - expected0) / expected0 < 0.15
+    assert abs(got["src2"] - expected2) / expected2 < 0.15
+    # deterministic: same input -> identical selection
+    again = {r["source"]: r["n"]
+             for r in source_mix(d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id")
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == again
