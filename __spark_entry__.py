@@ -1020,6 +1020,15 @@ def q_embed_quantize(spark, sf_dir):
     return similarity.quantize_embeddings(e)
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style boilerplate-segment removal across the corpus: segments (the
+    synthetic corpus is single-line, so token segments stand in for lines)
+    present in more than 400 of the documents are scrubbed from every
+    document — DuckDB-checked via demoted_goldens."""
+    d = _t(spark, sf_dir, "documents")
+    return text.boilerplate_scrub(d.select("doc_id", "text"), sep=" ", max_df=400)
+
+
 def q_lm_score(spark, sf_dir):
     """Corpus-trained unigram-LM quality scoring (KenLM-style perplexity
     proxy): top-256 vocabulary broadcast, OOV floor from the corpus total —
@@ -1149,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "embed_quantize": q_embed_quantize,
         "source_mix": q_source_mix,
+        "line_dedup": q_line_dedup,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1874,6 +1884,29 @@ def demoted_goldens() -> dict[str, str]:
                              < 'f3333333' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # sep=' ', max_df=400: token segments stand in for lines on the
+        # single-line synthetic corpus
+        "line_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), segs AS (
+              SELECT doc_id, CAST(r.pos AS INTEGER) AS pos,
+                     t[r.pos + 1] AS seg
+              FROM toks, LATERAL (
+                SELECT unnest(range(len(t))) AS pos
+              ) r
+            ), boiler AS (
+              SELECT seg FROM (
+                SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+              ) WHERE df > 400
+            )
+            SELECT doc_id,
+                   string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+                   count(*) AS n_segments_kept
+            FROM segs
+            WHERE seg NOT IN (SELECT seg FROM boiler)
+            GROUP BY doc_id
         """,
         # rate arithmetic mirrors sampling.mix_rates exactly: n/p double
         # division, min, (t*p)/n — and the threshold is the same

@@ -277,6 +277,61 @@ def contamination_check(
     return hits.select(F.col("_did").alias(id_col), "n_contaminated_shingles")
 
 
+def boilerplate_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df: int = 10,
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal: drop every segment
+    (line, by default) whose DOCUMENT frequency exceeds ``max_df`` — nav
+    bars, cookie banners, license footers repeat across thousands of pages
+    and survive per-document dedup — then reassemble each document from its
+    surviving segments in original order.
+
+    ``sep`` is a literal separator (regex-escaped before ``split``).
+
+    Scale shape: explode segments once; document frequency via
+    ``count(DISTINCT id)`` per segment (two-phase partial aggregation, so
+    hot segments combine map-side); the boilerplate set joins back as a
+    LEFT ANTI on the segment value — under AQE a skewed hot segment
+    splits, and the reassembly groupBy carries only surviving segments.
+    Documents whose every segment is boilerplate drop out of the result
+    entirely (both engines agree: GROUP BY over zero rows).
+
+    Output: ``(id_col, {text_col}_clean, n_segments_kept)``."""
+    import re as _re
+
+    segs = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "_pos", "_seg"
+        ),
+    )
+    boiler = (
+        segs.groupBy("_seg")
+        .agg(F.countDistinct("_did").alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("_seg")
+    )
+    kept = segs.join(boiler, "_seg", "left_anti")
+    return (
+        kept.groupBy("_did")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                    lambda s: s["_seg"],
+                ),
+                sep,
+            ).alias(f"{text_col}_clean"),
+            F.count(F.lit(1)).alias("n_segments_kept"),
+        )
+        .select(F.col("_did").alias(id_col), f"{text_col}_clean", "n_segments_kept")
+    )
+
+
 def unigram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",

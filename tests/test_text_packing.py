@@ -148,3 +148,33 @@ def test_unigram_lm_score_vocab_tie_break_deterministic(spark):
     out = {r["doc_id"]: r for r in unigram_lm_score(df, vocab_size=2).collect()}
     assert out[1]["oov_ratio"] == 0.0
     assert out[2]["oov_ratio"] == 1.0
+
+
+def test_boilerplate_scrub_removes_cross_doc_lines(spark):
+    from hive2es_offline_spark.operators.text import boilerplate_scrub
+
+    banner = "accept cookies to continue"
+    docs = [(i, f"unique content {i}\n{banner}\nmore text {i}") for i in range(5)]
+    docs.append((99, banner))  # a doc that is ONLY boilerplate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_scrub(df, max_df=3).collect()}
+    # the banner (df=6 > 3) is scrubbed from every doc, order preserved
+    assert out[0]["text_clean"] == "unique content 0\nmore text 0"
+    assert out[0]["n_segments_kept"] == 2
+    # the all-boilerplate doc drops out entirely
+    assert 99 not in out
+    # unique lines (df=1) all survive
+    assert all(out[i]["n_segments_kept"] == 2 for i in range(5))
+
+
+def test_boilerplate_scrub_literal_separator_not_regex(spark):
+    from hive2es_offline_spark.operators.text import boilerplate_scrub
+
+    # '.' must split literally, not as regex-any-char
+    df = spark.createDataFrame(
+        [(1, "keep me.boiler"), (2, "other text.boiler"), (3, "third bit.boiler")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_clean"]
+           for r in boilerplate_scrub(df, sep=".", max_df=2).collect()}
+    assert out[1] == "keep me"
