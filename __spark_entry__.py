@@ -947,6 +947,21 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Rows-only: stream-static enrichment — events stream LEFT-joined to a
+    broadcast customer dimension (re-resolved per micro-batch)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    chk = tempfile.mkdtemp(prefix="sechk_")
+    return ingest.stream_enrich_once(
+        spark, os.path.join(sf_dir, "events.parquet"), raw_schema, dim, ["user_id"], chk
+    )
+
+
 def q_data_split(spark, sf_dir):
     """Deterministic train/val/test assignment (90/5/5) from md5(doc_id) —
     reproducible across engines/runs; DuckDB-checked via demoted_goldens."""
@@ -1149,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_search_ivf": q_sim_search_ivf,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
         "data_split": q_data_split,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,

@@ -86,6 +86,60 @@ def streaming_ingest_once(
     return spark.table(name)
 
 
+def stream_enrich(
+    spark: SparkSession,
+    path: str,
+    schema,
+    dim_df: DataFrame,
+    on: list[str],
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join: events stream LEFT-joined to a
+    dimension snapshot, the standard lookup step between ingest and sink.
+
+    The static side is re-resolved EVERY micro-batch (stream-static join
+    semantics), so a slowly-changing dimension refreshes without
+    restarting the query; it is explicitly ``broadcast`` — the stream side
+    never shuffles, which is the only sane plan when the stream runs at
+    cluster scale and the dimension is table-sized.  Left join keeps
+    events with no dimension row (enrichment must not drop data)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    stream = reader.parquet(path)
+    if dict(stream.dtypes).get(time_col) == "bigint":
+        stream = stream.withColumn(time_col, F.timestamp_micros(F.expr(f"{time_col} div 1000")))
+    return stream.withWatermark(time_col, watermark).join(F.broadcast(dim_df), on, "left")
+
+
+def stream_enrich_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    dim_df: DataFrame,
+    on: list[str],
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """AvailableNow drain of ``stream_enrich`` (harness smoke path)."""
+    enriched = stream_enrich(spark, path, schema, dim_df, on, time_col, watermark)
+    name = "streaming_enrich_result"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_dedup(
     spark: SparkSession,
     path: str,

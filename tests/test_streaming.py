@@ -89,3 +89,28 @@ def test_stream_dedup_keeps_first_within_watermark(spark, tmp_path):
     got = {r["event_id"]: r["payload"] for r in out.collect()}
     assert set(got) == {1, 2, 3}
     assert got[1] == "a"  # first occurrence kept, in-watermark dup dropped
+
+
+def test_stream_enrich_joins_dim_and_keeps_unmatched(spark, tmp_path):
+    from datetime import datetime
+
+    from hive2es_offline_spark.streaming.ingest import stream_enrich_once
+
+    src = tmp_path / "ev"
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0, 0), "a"),
+        (2, 11, datetime(2024, 1, 1, 0, 1, 0), "b"),
+        (3, 99, datetime(2024, 1, 1, 0, 2, 0), "no-dim"),  # no dim row
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, payload string")
+    df.coalesce(1).write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [(10, "alice"), (11, "bob"), (12, "unused")], "user_id long, name string"
+    )
+    out = stream_enrich_once(
+        spark, str(src), df.schema, dim, ["user_id"], str(tmp_path / "chk")
+    )
+    got = {r["event_id"]: r for r in out.collect()}
+    assert got[1]["name"] == "alice" and got[2]["name"] == "bob"
+    assert got[3]["name"] is None  # left join: unmatched event survives
+    assert len(got) == 3
