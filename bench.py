@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "rollup_cube",
     "map_flatten",
+    # round-3 LLM-pipeline additions: corpus-LM scoring (two corpus passes
+    # + broadcast vocab) and cross-document boilerplate removal
+    "lm_score",
+    "line_dedup",
     # the write path: stage a real shard-partitioned bundle + atomic publish
     # (the reference's actual production job, not just the transforms)
     "publish_swap",
