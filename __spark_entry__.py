@@ -1052,6 +1052,118 @@ def q_lm_score(spark, sf_dir):
     return text.unigram_lm_score(d, vocab_size=256)
 
 
+#: ES search bodies for q_es_search / q_es_match / q_es_aggs — module level
+#: so tests and the demoted goldens stay in lockstep with the queries.
+_ES_SEARCH_BODY = {
+    "query": {"bool": {
+        "filter": [
+            {"terms": {"o_orderstatus": ["O", "F"]}},
+            {"range": {"o_totalprice": {"gte": 100000.0, "lt": 300000.0}}},
+        ],
+        "must_not": [{"term": {"o_orderpriority": "5-LOW"}}],
+        "should": [
+            {"prefix": {"o_orderpriority": "1-"}},
+            {"wildcard": {"o_orderpriority": "*HIGH"}},
+        ],
+        "minimum_should_match": 1,
+    }},
+    "sort": [{"o_totalprice": {"order": "desc"}}, {"o_orderkey": {"order": "asc"}}],
+    "size": 20,
+    "_source": ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+}
+
+_ES_MATCH_BODY = {
+    "query": {"bool": {
+        "must": [{"match": {"text": {"query": "vector merge stream", "operator": "and"}}}],
+        "must_not": [{"match_phrase": {"text": "slow scan"}}],
+    }},
+    "sort": [{"doc_id": {"order": "asc"}}],
+    "size": 40,
+    "_source": ["doc_id", "source", "lang"],
+}
+
+_ES_AGGS_BODY = {
+    "query": {"range": {"o_totalprice": {"gte": 50000.0}}},
+    "size": 0,
+    "aggs": {"by_priority": {
+        "terms": {"field": "o_orderpriority", "size": 3},
+        "aggs": {
+            "price": {"stats": {"field": "o_totalprice"}},
+            "price_pct": {"percentiles": {"field": "o_totalprice",
+                                          "percents": [50, 95]}},
+            "custs": {"cardinality": {"field": "o_custkey"}},
+        },
+    }},
+}
+
+
+def q_es_search(spark, sf_dir):
+    """ES query-DSL parity: a bool body (terms/range/must_not-term/should
+    prefix+wildcard with minimum_should_match) compiled onto the orders
+    table as ONE Catalyst predicate + TakeOrderedAndProject paging — the
+    queries users run against the index the reference loads
+    (``PAHive2ES.scala:126-159`` not_analyzed mapping ⇒ term semantics) —
+    DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_SEARCH_BODY, id_field="o_orderkey")
+
+
+def q_es_match(spark, sf_dir):
+    """ES match / match_phrase parity (whitespace+lowercase analyzer):
+    operator=and term containment plus a phrase must_not, all folded into
+    the scan predicate — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    return es_search(d, _ES_MATCH_BODY, id_field="doc_id")
+
+
+def q_es_aggs(spark, sf_dir):
+    """ES aggregations parity: filtered terms bucket (size 3, doc_count
+    desc) with stats / exact-percentiles / cardinality sub-aggs — compiled
+    to ONE groupBy (single shuffle) + top-k; sums route through
+    DECIMAL(28,6) so the result hash-compares against ANSI SQL — DuckDB-
+    checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_AGGS_BODY, id_field="o_orderkey")
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 over the documents corpus for a 3-term query — the
+    relevance-ranked match retrieval the loaded ES index serves, engine-
+    side (Lucene idf/tf formula, decimal-summed partials) — DuckDB-checked
+    via demoted_goldens."""
+    from hive2es_offline_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "vector merge stream", top_k=10)
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: new batch (doc_id % 5 ≠ 0) anti-joined on
+    canonical md5 fingerprints against the already-kept corpus
+    (doc_id % 5 = 0), then keep-first within the batch — DuckDB-checked via
+    demoted_goldens."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    seen = d.where(F.col("doc_id") % 5 == 0)
+    new = d.where(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup_exact(new, seen).select("doc_id", "source")
+
+
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """Rows-only: near-dup incremental filter (new batch vs seen corpus)
+    via MinHash band blocking with capped per-bucket seen representatives;
+    planted-duplicate recall is unit-tested (test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = d.where(F.col("doc_id") % 5 == 0)
+    new = d.where(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup_minhash(new, seen, threshold=0.8)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -1175,6 +1287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "source_mix": q_source_mix,
         "line_dedup": q_line_dedup,
+        # ES query-surface parity (the DSL users run against the loaded index)
+        "es_search": q_es_search,
+        "es_match": q_es_match,
+        "es_aggs": q_es_aggs,
+        "bm25_search": q_bm25_search,
+        # incremental (batch-vs-corpus) dedup
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1993,5 +2113,111 @@ def demoted_goldens() -> dict[str, str]:
                      AS oov_ratio
             FROM tok LEFT JOIN lm ON tok.t = lm.t, total
             GROUP BY tok.doc_id
+        """,
+        # mirrors _ES_SEARCH_BODY clause by clause: terms -> IN, range ->
+        # comparisons, must_not term -> NOT =, should prefix+wildcard with
+        # minimum_should_match=1 -> CASE-sum >= 1
+        "es_search": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_orderstatus IN ('O', 'F')
+              AND o_totalprice >= 100000.0 AND o_totalprice < 300000.0
+              AND NOT (o_orderpriority = '5-LOW')
+              AND (CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END
+                 + CASE WHEN o_orderpriority LIKE '%HIGH' THEN 1 ELSE 0 END) >= 1
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        # mirrors _ES_MATCH_BODY: match operator=and -> all-terms
+        # containment over the analyzed (lower + whitespace) tokens;
+        # match_phrase must_not -> word-boundary regex
+        "es_match": """
+            SELECT doc_id, source, lang
+            FROM documents
+            WHERE list_has_all(string_split_regex(lower(text), ' +'),
+                               ['vector', 'merge', 'stream'])
+              AND NOT regexp_matches(lower(text), '(^| )slow scan( |$)')
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
+        # mirrors _ES_AGGS_BODY: terms bucket (size 3, doc_count desc, key
+        # asc) + stats/percentiles/cardinality sub-aggs; additive metrics
+        # via DECIMAL(28,6) exactly like compile_aggs
+        "es_aggs": """
+            WITH f AS (SELECT * FROM orders WHERE o_totalprice >= 50000.0)
+            SELECT key, doc_count,
+                   price_count, price_min, price_max, price_avg, price_sum,
+                   price_pct_p50, price_pct_p95, custs
+            FROM (
+              SELECT o_orderpriority AS key,
+                     count(*) AS doc_count,
+                     count(o_totalprice) AS price_count,
+                     min(o_totalprice) AS price_min,
+                     max(o_totalprice) AS price_max,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                                / count(o_totalprice) AS DOUBLE), 6) AS price_avg,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS price_sum,
+                     round(quantile_cont(o_totalprice, 0.50), 6) AS price_pct_p50,
+                     round(quantile_cont(o_totalprice, 0.95), 6) AS price_pct_p95,
+                     count(DISTINCT o_custkey) AS custs
+              FROM f GROUP BY 1
+            )
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 3
+        """,
+        # Lucene BM25 (k1=1.2, b=0.75) for query 'vector merge stream':
+        # idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-(doc,term) partials
+        # rounded to 6 then DECIMAL-summed, exactly like bm25_topk
+        "bm25_search": """
+            WITH base AS (
+              SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM base, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream', 'vector')
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            )
+            SELECT doc_id, CAST(sum(p) AS DOUBLE) AS score,
+                   CAST(row_number() OVER (ORDER BY CAST(sum(p) AS DOUBLE) DESC,
+                                           doc_id ASC) AS INTEGER) AS rank
+            FROM part GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        # seen = doc_id % 5 = 0; new batch anti-joined on the canonical
+        # fingerprint, then keep-first (doc_id asc) within the batch
+        "dedup_incremental": """
+            WITH fp AS (
+              SELECT doc_id, source,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS _fp,
+                     doc_id % 5 = 0 AS is_seen
+              FROM documents
+            ), new AS (
+              SELECT * FROM fp
+              WHERE NOT is_seen
+                AND _fp NOT IN (SELECT _fp FROM fp WHERE is_seen)
+            )
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY _fp ORDER BY doc_id) AS rn
+              FROM new
+            ) WHERE rn = 1
         """,
     }

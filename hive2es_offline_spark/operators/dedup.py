@@ -560,3 +560,135 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs an already-kept corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_exact(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every NEW document whose canonical-form fingerprint already
+    exists in the SEEN corpus, then keep-first within the batch itself.
+
+    The production shape for a training-data pipeline ingesting daily
+    batches against a 100 TB kept-corpus: neither side materializes text
+    through the join — both are reduced to 16-byte md5 fingerprints, the
+    seen side additionally to DISTINCT fingerprints, so the anti-join
+    exchange carries hashes, not documents (AQE broadcasts the seen side
+    whenever a day's fingerprint set fits).  Idempotent: re-running with
+    the output appended to ``seen_df`` yields an empty batch.
+    """
+    from .text import fingerprint_md5
+
+    fp = fingerprint_md5(F.col(text_col))
+    seen_fps = seen_df.select(fp.alias("_fp")).distinct()
+    fresh = (
+        new_df.withColumn("_fp", fp)
+        .join(seen_fps, "_fp", "left_anti")
+    )
+    # within-batch keep-first on the same fingerprint (reuses the _fp column)
+    w = Window.partitionBy("_fp").orderBy(*[F.col(c) for c in new_df.columns[:1]])
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+
+
+def incremental_dedup_minhash(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_band_reps: int = 8,
+    seen_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup filter for a NEW batch against a SEEN corpus via MinHash/LSH
+    band blocking: a new document is dropped when some seen document shares
+    an LSH band with it AND signature agreement estimates Jaccard ≥
+    ``threshold``.  Returns the surviving new rows (cross-corpus filter
+    only; compose with :func:`dedup_minhash` for within-batch near-dups).
+
+    Scale shape mirrors :func:`minhash_candidate_pairs`: band rows carry
+    only (id, band, band-hash) — 24 bytes — through the blocking join;
+    signatures rejoin on the (new, seen) candidate pairs AFTER distinct.
+    The seen side keeps at most ``max_band_reps`` representatives (smallest
+    ids) per band bucket, so a hot bucket — a million near-identical seen
+    docs — contributes a bounded number of verification pairs per new doc
+    instead of an unbounded fan-out.  Recall caveat (same spirit as the
+    star cap): a match hiding behind ``max_band_reps`` dissimilar
+    bucket-mates in every one of its shared bands is missed; with the
+    default 16 bands and the near-identical nature of hot buckets the
+    practical loss is negligible.  In steady state the seen side's
+    signatures should be a PERSISTED table (computed once per batch, not
+    re-derived from text) — pass ``seen_signatures`` to skip re-hashing.
+    """
+    rows_per_band = num_perm // bands
+    sig_new = minhash_signatures(new_df, id_col, text_col, num_perm, shingle_k, seed)
+    sig_seen = (
+        seen_signatures
+        if seen_signatures is not None
+        else minhash_signatures(seen_df, id_col, text_col, num_perm, shingle_k, seed)
+    )
+
+    def banded(sig_df: DataFrame) -> DataFrame:
+        return sig_df.select(
+            F.col(id_col).alias("_did"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        F.col("signature"), b * rows_per_band + j + 1
+                                    )
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    ),
+                )
+            ).alias("_b"),
+        ).select("_did", "_b.band", "_b.bh")
+
+    b_new = banded(sig_new)
+    wb = Window.partitionBy("band", "bh").orderBy("_did")
+    b_seen = (
+        banded(sig_seen)
+        .withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") <= max_band_reps)
+        .select(F.col("_did").alias("_seen"), "band", "bh")
+    )
+    cand = (
+        b_new.join(b_seen, ["band", "bh"])
+        .select(F.col("_did"), F.col("_seen"))
+        .distinct()
+    )
+    sig_a = sig_new.select(F.col(id_col).alias("_did"), F.col("signature").alias("sig_a"))
+    sig_b = sig_seen.select(F.col(id_col).alias("_seen"), F.col("signature").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_perm))
+    dup_ids = (
+        cand.join(sig_a, "_did").join(sig_b, "_seen")
+        .where(F.round(est, 6) >= threshold)
+        .select(F.col("_did").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")

@@ -1,0 +1,312 @@
+"""Elasticsearch query-DSL → Spark compiler.
+
+The reference pipeline exists to make a Hive table queryable through the ES
+query DSL (it builds the index mapping at ``PAHive2ES.scala:126-159`` with
+``not_analyzed`` string fields, i.e. exact *term* semantics, and publishes
+the index behind an alias — ``ESClient.java:154-170`` — for consumers to
+query).  This module closes the loop on the Spark side: it compiles the
+same query bodies users run against the loaded index directly onto the
+source DataFrame, so "every query they run today" works without an ES
+cluster in the path.
+
+Design: a query body compiles to a single boolean ``Column`` (filter
+context) — Catalyst then folds it into the scan (predicate pushdown for
+comparisons on top-level columns), and an aggregation body compiles to one
+``groupBy`` plan.  Nothing here materializes per-clause intermediates, so a
+1000-clause ``bool`` is still one scan at 100 TB.
+
+Supported query clauses: ``match_all``, ``term``, ``terms``, ``range``,
+``exists``, ``prefix``, ``wildcard``, ``ids``, ``match`` (whitespace+
+lowercase analyzer, ``operator`` and ``minimum_should_match``-of-1
+semantics), ``match_phrase``, and ``bool`` with ``must`` / ``filter`` /
+``should`` / ``must_not`` / ``minimum_should_match``.  Relevance-ranked
+``match`` retrieval (BM25) lives in ``operators/retrieval.py`` — this
+module is filter context only, matching how the reference's
+``not_analyzed`` mapping is actually queried.
+
+Supported aggregations: metrics ``avg sum min max value_count cardinality
+stats percentiles`` and buckets ``terms histogram date_histogram`` with
+metric sub-aggs.  ``percentiles`` is EXACT (``F.percentile``) where live ES
+uses TDigest approximation — a documented divergence in the oracle's
+favor.  ``cardinality`` is exact ``count(DISTINCT)`` where ES uses
+HyperLogLog++ (the approximate variant is available separately as the
+``agg_approx_distinct`` query).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["compile_query", "compile_aggs", "es_search"]
+
+
+def _analyze(col: Column) -> Column:
+    """The simple analyzer: lowercase + whitespace split (the only analyzer
+    the reference's generated mappings imply; string fields are
+    ``not_analyzed`` keywords, text matching is opt-in)."""
+    return F.split(F.lower(col), " +")
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    """ES wildcard (``*`` = any run, ``?`` = one char) → anchored Java regex,
+    with every other char escaped literally."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append("\\" + ch if ch in r"\.[]{}()<>*+-=!?^$|" else ch)
+    return "^" + "".join(out) + "$"
+
+
+def _field_spec(body: dict) -> tuple[str, Any]:
+    """Unwrap the ``{field: spec}`` shape shared by term/prefix/etc."""
+    if len(body) != 1:
+        raise ValueError(f"expected exactly one field, got {sorted(body)}")
+    return next(iter(body.items()))
+
+
+def compile_query(q: dict, id_field: str = "_id") -> Column:
+    """Compile one ES query clause (filter context) to a boolean Column."""
+    if len(q) != 1:
+        raise ValueError(f"query clause must have exactly one key, got {sorted(q)}")
+    kind, body = next(iter(q.items()))
+
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "term":
+        field, spec = _field_spec(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field) == F.lit(value)
+    if kind == "terms":
+        field, values = _field_spec(body)
+        return F.col(field).isin(list(values))
+    if kind == "range":
+        field, spec = _field_spec(body)
+        ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        preds = [getattr(F.col(field), ops[op])(F.lit(v))
+                 for op, v in spec.items() if op in ops]
+        if not preds:
+            raise ValueError(f"range on {field} needs gt/gte/lt/lte")
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "ids":
+        return F.col(id_field).isin(list(body["values"]))
+    if kind == "prefix":
+        field, spec = _field_spec(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field).startswith(value)
+    if kind == "wildcard":
+        field, spec = _field_spec(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field).rlike(_wildcard_to_regex(value))
+    if kind == "match":
+        field, spec = _field_spec(body)
+        query = spec["query"] if isinstance(spec, dict) else spec
+        operator = (spec.get("operator", "or") if isinstance(spec, dict) else "or").lower()
+        terms = [t for t in query.lower().split() if t]
+        if not terms:
+            return F.lit(True)
+        toks = _analyze(F.col(field))
+        qarr = F.array(*[F.lit(t) for t in terms])
+        if operator == "and":
+            # every query term present in the analyzed field
+            return F.size(F.array_intersect(F.array_distinct(toks), qarr)) == len(set(terms))
+        return F.arrays_overlap(toks, qarr)
+    if kind == "match_phrase":
+        field, spec = _field_spec(body)
+        query = spec["query"] if isinstance(spec, dict) else spec
+        phrase = " ".join(query.lower().split())
+        # analyzed-adjacency approximation: the normalized phrase appears as
+        # a contiguous token run (word-boundary anchored, regex-escaped)
+        pat = "(^| )" + "".join(
+            "\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in phrase
+        ) + "( |$)"
+        return F.regexp_like(F.lower(F.col(field)), F.lit(pat))
+    if kind == "bool":
+        clauses: list[Column] = []
+        for c in body.get("must", []) if isinstance(body.get("must", []), list) else [body["must"]]:
+            clauses.append(compile_query(c, id_field))
+        for c in body.get("filter", []) if isinstance(body.get("filter", []), list) else [body["filter"]]:
+            clauses.append(compile_query(c, id_field))
+        for c in body.get("must_not", []) if isinstance(body.get("must_not", []), list) else [body["must_not"]]:
+            clauses.append(~compile_query(c, id_field))
+        should = body.get("should", [])
+        should = should if isinstance(should, list) else [should]
+        if should:
+            msm = body.get("minimum_should_match")
+            if msm is None:
+                # ES filter-context default: should is required only when
+                # there is no must/filter clause
+                msm = 0 if (body.get("must") or body.get("filter")) else 1
+            if msm > 0:
+                hits = [compile_query(c, id_field).cast("int") for c in should]
+                total = hits[0]
+                for h in hits[1:]:
+                    total = total + h
+                clauses.append(total >= F.lit(int(msm)))
+        if not clauses:
+            return F.lit(True)
+        out = clauses[0]
+        for c in clauses[1:]:
+            out = out & c
+        return out
+    raise ValueError(f"unsupported query clause: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+_METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
+                 "stats", "percentiles"}
+
+
+def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
+    """One named ES metric agg → aliased Spark aggregate expression(s).
+
+    Additive float metrics (sum, avg) route through DECIMAL(28,6): decimal
+    addition is associative, so partition/merge order can't flip low-order
+    bits and the result hash-compares against an ANSI-SQL oracle (repo-wide
+    convention); avg is decimal-sum / count, rounded to 6."""
+    field = spec["field"]
+    c = F.col(field)
+    dsum = F.sum(c.cast("decimal(28,6)"))
+    davg = F.round((dsum / F.count(c)).cast("double"), 6)
+    if kind == "avg":
+        return [davg.alias(name)]
+    if kind == "sum":
+        return [dsum.cast("double").alias(name)]
+    if kind == "min":
+        return [F.min(c).alias(name)]
+    if kind == "max":
+        return [F.max(c).alias(name)]
+    if kind == "value_count":
+        return [F.count(c).alias(name)]
+    if kind == "cardinality":
+        return [F.countDistinct(c).alias(name)]
+    if kind == "stats":
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            davg.alias(f"{name}_avg"),
+            dsum.cast("double").alias(f"{name}_sum"),
+        ]
+    if kind == "percentiles":
+        pcts = spec.get("percents", [25.0, 50.0, 75.0, 95.0, 99.0])
+        return [
+            F.round(F.percentile(c, float(p) / 100.0), 6)
+             .alias(f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}")
+            for p in pcts
+        ]
+    raise ValueError(f"unsupported metric agg: {kind}")
+
+
+def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
+    """Compile an ES ``aggs`` body to one aggregation DataFrame.
+
+    Shapes supported (one level of nesting, like the common ES usage):
+
+    - metrics only → a single-row DataFrame, one column per metric
+      (``stats`` expands to ``_count/_min/_max/_avg/_sum`` columns,
+      ``percentiles`` to ``_pNN`` columns).
+    - ONE bucket agg (``terms`` / ``histogram`` / ``date_histogram``) whose
+      ``aggs`` hold metric sub-aggs → one row per bucket: ``key``,
+      ``doc_count``, then the sub-agg columns.  ``terms`` honors ``size``
+      (default 10) ordered by doc_count desc, key asc — compiled as
+      aggregate + top-k (TakeOrderedAndProject), never a global sort.
+
+    The whole body compiles to a single shuffle (one groupBy); buckets and
+    all sub-metrics share it.
+    """
+    bucket = [(n, s) for n, s in aggs.items()
+              if set(s) & {"terms", "histogram", "date_histogram"}]
+    if len(bucket) > 1:
+        raise ValueError("at most one bucket agg per body is supported")
+
+    if not bucket:
+        exprs: list[Column] = []
+        for name, spec in aggs.items():
+            (kind, mspec), = [(k, v) for k, v in spec.items() if k in _METRIC_KINDS]
+            exprs.extend(_metric_exprs(name, kind, mspec))
+        return df.agg(*exprs)
+
+    name, spec = bucket[0]
+    (kind, bspec), = [(k, v) for k, v in spec.items()
+                      if k in {"terms", "histogram", "date_histogram"}]
+    field = bspec["field"]
+    if kind == "terms":
+        key = F.col(field).alias("key")
+    elif kind == "histogram":
+        interval = float(bspec["interval"])
+        key = (F.floor(F.col(field) / interval) * interval).alias("key")
+    else:  # date_histogram
+        unit = bspec.get("calendar_interval", "day")
+        if unit not in {"day", "week", "month", "quarter", "year", "hour"}:
+            raise ValueError(f"unsupported calendar_interval: {unit}")
+        key = F.date_trunc(unit, F.col(field)).alias("key")
+
+    exprs = [F.count(F.lit(1)).alias("doc_count")]
+    for sub_name, sub_spec in spec.get("aggs", {}).items():
+        (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
+        exprs.extend(_metric_exprs(sub_name, mkind, mspec))
+    out = df.groupBy(key).agg(*exprs)
+    if kind == "terms":
+        size = int(bspec.get("size", 10))
+        out = out.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
+    return out
+
+
+def es_search(
+    df: DataFrame,
+    body: dict,
+    id_field: str = "_id",
+    default_sort: list | None = None,
+) -> DataFrame:
+    """Run one ES search body against a DataFrame: ``query`` filter +
+    ``sort`` + ``from``/``size`` + ``_source`` projection, or ``aggs``.
+
+    ``from+size`` paging compiles to top-(from+size) via ``orderBy().limit()``
+    (Catalyst plans TakeOrderedAndProject — per-partition heaps, no global
+    sort) followed by a row_number skip over just those k rows.  A body with
+    ``aggs`` and ``size: 0`` returns the aggregation result instead of hits
+    (the common analytics shape).
+    """
+    if "query" in body:
+        df = df.where(compile_query(body["query"], id_field))
+    if body.get("aggs") and body.get("size", 10) == 0:
+        return compile_aggs(df, body["aggs"])
+
+    sort_spec = body.get("sort", default_sort) or []
+    sort_cols: list[Column] = []
+    for s in sort_spec:
+        if isinstance(s, str):
+            sort_cols.append(F.col(s).asc())
+        else:
+            (f_, spec), = s.items()
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            sort_cols.append(F.col(f_).desc() if order == "desc" else F.col(f_).asc())
+    offset = int(body.get("from", 0))
+    size = int(body.get("size", 10))
+    if sort_cols:
+        df = df.orderBy(*sort_cols).limit(offset + size)
+        if offset:
+            from pyspark.sql.window import Window
+            w = Window.orderBy(*sort_cols)
+            df = (df.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") > offset).drop("_rn"))
+    else:
+        df = df.limit(offset + size)  # unordered paging, ES-like best effort
+    if body.get("_source"):
+        df = df.select(*body["_source"])
+    return df

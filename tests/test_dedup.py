@@ -69,3 +69,68 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
     out = df.select(dedup.shingles(F.col("text"), 3).alias("s")).first()["s"]
     assert out == ["two words"]  # shorter than k -> single whole-text shingle
+
+
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    seen = spark.createDataFrame(
+        [(100, BASE), (101, FAR)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (0, BASE),            # exact dup of seen 100 -> dropped
+            (1, "  " + BASE.upper() + "  "),  # canonical-form dup -> dropped (exact)
+            (2, NEAR),            # near-dup of seen 100 -> survives exact, dropped by minhash
+            (3, "fresh document about streaming watermarks and state stores"),
+            (4, "fresh document about streaming watermarks and state stores"),
+        ],
+        "doc_id long, text string",
+    )
+    return new, seen
+
+
+def test_incremental_exact_drops_seen_and_in_batch(spark, batches):
+    new, seen = batches
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup_exact(new, seen).select("doc_id").collect()
+    )
+    # 0 and 1 match seen fingerprints; 4 is an in-batch dup of 3 (keep-first);
+    # 2 is only a NEAR dup, exact keeps it
+    assert kept == [2, 3]
+
+
+def test_incremental_exact_idempotent(spark, batches):
+    new, seen = batches
+    once = dedup.incremental_dedup_exact(new, seen)
+    again = dedup.incremental_dedup_exact(once, seen.unionByName(once))
+    assert again.count() == 0
+
+
+def test_incremental_minhash_drops_near_dup(spark, batches):
+    new, seen = batches
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup_minhash(
+            new, seen, threshold=0.5
+        ).select("doc_id").collect()
+    )
+    # 0 (exact) and 2 (one-token edit) both collide with seen 100; the
+    # uppercase variant 1 shingles differently (minhash is case-sensitive)
+    assert 0 not in kept and 2 not in kept
+    assert 3 in kept and 4 in kept
+
+
+def test_incremental_minhash_accepts_precomputed_signatures(spark, batches):
+    new, seen = batches
+    sigs = dedup.minhash_signatures(seen, "doc_id")
+    out = dedup.incremental_dedup_minhash(
+        new, seen_df=None, seen_signatures=sigs, threshold=0.5
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 0 not in kept and 2 not in kept
