@@ -913,12 +913,9 @@ def q_streaming_sessionize(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    reader = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    events = ingest.load_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), raw_schema, "ts"
     )
-    events = reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out_dir = tempfile.mkdtemp(prefix="sess_out_")
     q = (
         streaming_sessionize(events, gap_seconds=1800)

@@ -19,18 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def stream_events(
-    spark: SparkSession,
-    path: str,
-    schema,
-    watermark: str = "1 hour",
-    window: str = "1 hour",
-) -> DataFrame:
-    """Windowed per-event-type counts with late-data watermarking.
+def load_stream(spark: SparkSession, path: str, schema, time_col: str = "ts") -> DataFrame:
+    """Open a file-source stream and normalize the event-time column.
 
     ``path`` may be a directory (the usual streaming source layout) or a
     single file — file sources must be directories, so a file path becomes
     (parent dir, pathGlobFilter=filename).
+
+    Event-time normalization mirrors ``sources.tables``: nanos-as-long
+    parquet becomes a micros timestamp, and TIMESTAMP_NTZ (tz-less parquet
+    micros, the testdata encoding) is cast to TIMESTAMP — ``withWatermark``
+    only accepts LTZ event time, and the session timezone is pinned to UTC
+    so the cast is a pure type change, never a wall-clock shift.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema)
@@ -38,9 +38,25 @@ def stream_events(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     stream = reader.parquet(path)
-    # nanos-as-long timestamp column -> micros timestamp (see sources.tables)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtype = dict(stream.dtypes).get(time_col)
+    if dtype == "bigint":
+        stream = stream.withColumn(
+            time_col, F.timestamp_micros(F.expr(f"{time_col} div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    return stream
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Windowed per-event-type counts with late-data watermarking."""
+    stream = load_stream(spark, path, schema, "ts")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -104,14 +120,7 @@ def stream_enrich(
     never shuffles, which is the only sane plan when the stream runs at
     cluster scale and the dimension is table-sized.  Left join keeps
     events with no dimension row (enrichment must not drop data)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(schema)
-    if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    stream = reader.parquet(path)
-    if dict(stream.dtypes).get(time_col) == "bigint":
-        stream = stream.withColumn(time_col, F.timestamp_micros(F.expr(f"{time_col} div 1000")))
+    stream = load_stream(spark, path, schema, time_col)
     return stream.withWatermark(time_col, watermark).join(F.broadcast(dim_df), on, "left")
 
 
@@ -157,14 +166,7 @@ def stream_dedup(
     stream which grows forever.  The standard front door of a streaming
     training-data ingest (exactly-once doc feed into the bulk/bundle sink).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(schema)
-    if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    stream = reader.parquet(path)
-    if dict(stream.dtypes).get(time_col) == "bigint":
-        stream = stream.withColumn(time_col, F.timestamp_micros(F.expr(f"{time_col} div 1000")))
+    stream = load_stream(spark, path, schema, time_col)
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
