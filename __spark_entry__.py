@@ -1024,6 +1024,19 @@ def q_source_mix(spark, sf_dir):
     return source_mix(d, "source", _MIX_TARGETS, "doc_id")
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (web-curation "at most N docs per host,
+    best first"): keep the 100 longest docs per source, deterministic
+    tiebreak on doc_id — WindowGroupLimit plan, DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_group(
+        d, "source", [F.col("n_chars").desc(), F.col("doc_id")], 100
+    )
+
+
 def q_embed_quantize(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column
     (max-abs scale, floor-half-up) — narrow codegen, DuckDB-checked via
@@ -1283,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "embed_quantize": q_embed_quantize,
         "source_mix": q_source_mix,
+        "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
         # ES query-surface parity (the DSL users run against the loaded index)
         "es_search": q_es_search,
@@ -2060,6 +2074,14 @@ def demoted_goldens() -> dict[str, str]:
                OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
                   lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
                        8, '0')
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 100
         """,
         # floor(x + 0.5) half-up in both engines: round() rounding-mode
         # semantics differ, floor does not

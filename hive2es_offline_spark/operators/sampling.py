@@ -17,7 +17,7 @@ mixing / rebalancing); seeded and Spark-deterministic, but engine-specific
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 16 ** 8  # compare on the first 8 hex chars (32 bits: plenty)
@@ -141,3 +141,31 @@ def stratified_sample(
     source, keep another whole).  Seeded => reproducible within Spark;
     assignment is per-row hash-based, so it survives repartitioning."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    n: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first — the per-domain cap of
+    a web-crawl curation pipeline ("at most 1000 docs per host, highest
+    quality first"; the reference has no grouped operators at all, so this
+    is north-star surface like topk_grouped in ``relational.py``).
+
+    ``order_cols`` defines "best" and MUST be a total order (add the row id
+    as the last key) or the kept set is nondeterministic under retries.
+
+    One shuffle on ``group_col``, then ``row_number`` — the same two-phase
+    shape as ``topk_grouped``: Spark plans a partial per-partition top-n
+    under the window when the filter is ``row_number <= n`` (WindowGroupLimit
+    pushdown), so a hot domain does NOT pull its full row set through the
+    exchange, only n rows per upstream partition.  ``rank_col`` optionally
+    exposes the rank in the output (dropped by default).
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    rc = rank_col or "_rn"
+    out = df.withColumn(rc, F.row_number().over(w)).where(F.col(rc) <= n)
+    return out if rank_col else out.drop(rc)

@@ -102,3 +102,23 @@ def test_source_mix_filters_to_target_mix(spark):
              for r in source_mix(d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id")
              .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == again
+
+
+def test_cap_per_group_semantics_and_plan(spark):
+    from hive2es_offline_spark.operators.sampling import cap_per_group
+
+    rows = [(g, i, float(100 - i)) for g in ("a", "b") for i in range(50)]
+    rows += [("c", 99, 1.0)]  # under-cap group kept whole
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    out = cap_per_group(df, "grp", [F.col("score").desc(), F.col("id")], 10)
+    pdf = out.toPandas()
+    assert pdf.groupby("grp").size().to_dict() == {"a": 10, "b": 10, "c": 1}
+    # best-first: the 10 highest scores survive per group
+    assert sorted(pdf[pdf.grp == "a"]["id"]) == list(range(10))
+    # rank exposure
+    ranked = cap_per_group(df, "grp", [F.col("score").desc(), F.col("id")], 3, rank_col="r")
+    assert set(ranked.toPandas()["r"]) == {1, 2, 3}
+    # the rank<=n filter must plan as WindowGroupLimit (partial per-partition
+    # top-n below the exchange), not a full per-group sort + filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
