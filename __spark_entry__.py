@@ -1037,6 +1037,39 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_jsonl_export(spark, sf_dir):
+    """Rows-only: sharded gzip JSONL export (staged + atomic publish),
+    returning the manifest — the hand-off format to a trainer."""
+    from hive2es_offline_spark.sinks import export
+
+    d = _t(spark, sf_dir, "documents")
+    dest = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "corpus")
+    m = export.write_jsonl(d, dest, num_shards=8, key_col="doc_id")
+    return spark.createDataFrame(
+        [(m["format"], m["num_shards"], m["row_count"], len(m["shard_counts"]))],
+        "format string, num_shards int, row_count long, n_files int",
+    )
+
+
+def q_webdataset_export(spark, sf_dir):
+    """Rows-only: WebDataset tar-shard export (one .txt/.json member pair
+    per sample, hash-sharded, byte-reproducible), returning the manifest."""
+    from hive2es_offline_spark.sinks import export
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.to_json(F.struct("lang", "source", "n_chars")).alias("meta")
+    )
+    dest = os.path.join(tempfile.mkdtemp(prefix="wds_"), "corpus")
+    m = export.write_webdataset(
+        d, dest, key_col="doc_id",
+        members={"text": ".txt", "meta": ".json"}, num_shards=8,
+    )
+    return spark.createDataFrame(
+        [(m["format"], m["num_shards"], m["sample_count"], len(m["tar_counts"]))],
+        "format string, num_shards int, sample_count long, n_tars int",
+    )
+
+
 def q_embed_quantize(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column
     (max-abs scale, floor-half-up) — narrow codegen, DuckDB-checked via
@@ -1307,6 +1340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "multimodal_meta": q_multimodal_meta,
+        # training-data hand-off sinks
+        "jsonl_export": q_jsonl_export,
+        "webdataset_export": q_webdataset_export,
     }
 
 
