@@ -1037,6 +1037,28 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_compact_table(spark, sf_dir):
+    """Rows-only: small-file compaction — fragment the documents table into
+    32 files, compact back to ~4 range-clustered files sized from measured
+    bytes/row; returns before/after file counts and the clustering metric."""
+    from hive2es_offline_spark.sinks import layout
+
+    work = tempfile.mkdtemp(prefix="compact_")
+    src, dest = os.path.join(work, "frag"), os.path.join(work, "out")
+    _t(spark, sf_dir, "documents").repartition(32).write.parquet(src)
+    stats = layout.compact_parquet(
+        spark, src, dest,
+        target_file_bytes=max(layout.table_stats(spark, src)["bytes"] // 4, 1),
+        sort_cols=["doc_id"], mode="range",
+    )
+    overlap = layout.file_range_overlap(dest, "doc_id")
+    return spark.createDataFrame(
+        [(stats["before"]["files"], stats["after"]["files"], stats["rows"],
+          float(overlap))],
+        "files_before int, files_after int, rows long, range_overlap double",
+    )
+
+
 def q_jsonl_export(spark, sf_dir):
     """Rows-only: sharded gzip JSONL export (staged + atomic publish),
     returning the manifest — the hand-off format to a trainer."""
@@ -1343,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data hand-off sinks
         "jsonl_export": q_jsonl_export,
         "webdataset_export": q_webdataset_export,
+        # table-layout maintenance
+        "compact_table": q_compact_table,
     }
 
 
