@@ -1037,6 +1037,23 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_embed_pca(spark, sf_dir):
+    """Rows-only: distributed PCA — one-pass d×d moments (mapInPandas
+    partials, driver eigh), whitened 8-dim projection back over the corpus.
+    Not SQL-expressible (eigendecomposition); numpy-goldened in
+    tests/test_embeddings_pca.py."""
+    from hive2es_offline_spark.operators import embeddings as E
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = E.pca_fit(emb, k=8)
+    out = E.pca_transform(emb, model, out_col="pca", whiten=True)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+    )
+
+
 def q_compact_table(spark, sf_dir):
     """Rows-only: small-file compaction — fragment the documents table into
     32 files, compact back to ~4 range-clustered files sized from measured
@@ -1350,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "lm_score": q_lm_score,
         "embed_quantize": q_embed_quantize,
+        "embed_pca": q_embed_pca,
         "source_mix": q_source_mix,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,

@@ -1,0 +1,146 @@
+"""Embedding-matrix analytics: distributed moments, PCA fit/transform,
+whitening, L2 normalization.
+
+The classic two-phase shape for covariance-based methods at scale: the
+cluster computes the d×d second-moment matrix in ONE narrow pass (per-batch
+numpy ``X.T @ X`` partials over Arrow batches, combined on the driver — the
+collect is O(partitions × d²), independent of row count), the driver does
+the O(d³) eigendecomposition (d is embedding width, 64–4096: trivial), and
+the projection back over the corpus is another narrow pass with the
+component matrix shipped in the UDF closure.  No shuffle anywhere — both
+corpus passes are map-only.
+
+This is how Spark MLlib's own PCA works internally (RowMatrix Gramian +
+local eigen); re-implemented here over the DataFrame/Arrow path so it works
+on a plain ``array<float>`` column without RDD/Vector conversions, and so
+whitening and reduced-rank re-expansion compose with the rest of the
+pipeline (quantization, ANN, dedup).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> dict:
+    """One corpus pass -> exact (n, mean[d], cov[d,d]) of the embedding
+    column.  Rows with NULL vectors are skipped; all arithmetic in float64."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None]
+            if not vecs:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .collect()  # one row per non-empty partition — O(partitions * d^2)
+    )
+    if not rows:
+        raise ValueError(f"no non-null vectors in column {vec_col!r}")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    # unbiased covariance from raw second moments
+    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    return {"n": int(n), "mean": mean, "cov": cov}
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+) -> dict:
+    """Fit a k-component PCA: distributed moments + driver eigh.
+
+    Components are sign-normalized (largest-magnitude coordinate positive)
+    so the fit is deterministic.  Returns mean[d], components[k,d]
+    (rows = principal axes, descending variance), explained_variance[k],
+    and explained_ratio[k]."""
+    m = embedding_moments(df, vec_col)
+    evals, evecs = np.linalg.eigh(m["cov"])  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = np.maximum(evals[order], 0.0)
+    total = float(np.sum(np.maximum(evals, 0.0))) or 1.0
+    return {
+        "n": m["n"],
+        "mean": m["mean"],
+        "components": comps,
+        "explained_variance": ev,
+        "explained_ratio": ev / total,
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Project the corpus onto the fitted components (map-only pass).
+
+    The (k, d) component matrix and mean ride in the pandas-UDF closure
+    (pickled once per executor, broadcast-equivalent); each Arrow batch is
+    one numpy matmul.  ``whiten=True`` scales scores to unit variance —
+    what cosine-based downstream steps (ANN, near-dup) usually want after
+    reduction."""
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    scale = (
+        1.0 / np.sqrt(np.asarray(model["explained_variance"]) + eps)
+        if whiten
+        else None
+    )
+
+    @F.pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in v])
+        y = (x - mean) @ comps.T
+        if scale is not None:
+            y = y * scale
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def l2_normalize(vec: Column | str, eps: float = 0.0) -> Column:
+    """Unit-norm an array column JVM-side (codegen, no Python): zero/near-zero
+    vectors pass through unchanged rather than dividing by ~0."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    dd = F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.sqrt(dd)
+    return F.when(nrm <= F.lit(eps), c.cast("array<double>")).otherwise(
+        F.transform(c, lambda x: x.cast("double") / nrm)
+    )
