@@ -1037,6 +1037,16 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """Rows-only: SemDeDup-style semantic dedup — k-means cells (seeded +
+    Lloyd refinement), within-cell cosine pairs, component collapse,
+    anti-join.  Planted-family goldens in tests/test_multimodal_ivf.py."""
+    from hive2es_offline_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, num_cells=8, threshold=0.97, kmeans_iters=1)
+
+
 def q_embed_pca(spark, sf_dir):
     """Rows-only: distributed PCA — one-pass d×d moments (mapInPandas
     partials, driver eigh), whitened 8-dim projection back over the corpus.
@@ -1368,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "embed_quantize": q_embed_quantize,
         "embed_pca": q_embed_pca,
+        "semantic_dedup": q_semantic_dedup,
         "source_mix": q_source_mix,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,

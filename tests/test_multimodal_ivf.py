@@ -386,3 +386,36 @@ def test_quantize_embeddings_is_narrow(spark):
     qdf = similarity.quantize_embeddings(e)
     plan = qdf._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # per-row projection: runs inside the scan
+
+
+def test_semantic_dedup_planted_families(spark):
+    import numpy as np
+
+    from hive2es_offline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = []
+    nid = 0
+    # three tight families: near-identical members
+    for fam in range(3):
+        base = rng.normal(size=16)
+        for _ in range(4 + fam):
+            v = base + rng.normal(scale=1e-3, size=16)
+            rows.append((nid, v.tolist()))
+            nid += 1
+    first_singleton = nid
+    for _ in range(8):  # well-separated singletons
+        rows.append((nid, rng.normal(size=16).tolist()))
+        nid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(df, num_cells=4, threshold=0.99, kmeans_iters=2)
+    ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    # one survivor (the min id) per family: 0, 4, 9; all singletons kept
+    assert ids == [0, 4, 9] + list(range(first_singleton, nid))
+    assert kept.columns == df.columns
+    # hot-cell cap: hub-and-spoke edges still collapse each family
+    kept_capped = semantic_dedup(
+        df, num_cells=4, threshold=0.99, kmeans_iters=2, max_cell_size=3
+    )
+    capped_ids = {r["vec_id"] for r in kept_capped.select("vec_id").collect()}
+    assert {0, 4, 9} <= capped_ids
