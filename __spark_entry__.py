@@ -1037,6 +1037,27 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_quality_gate(spark, sf_dir):
+    """Rows-only: observe-based data-quality gate — null-rate/row-count/
+    bounds metrics ride the write action (no second corpus pass), then the
+    gate verdict is checked; returns the verdict row."""
+    from hive2es_offline_spark.operators.quality import quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    gated, check = quality_gate(
+        d, "documents_gate",
+        min_rows=1,
+        max_null_frac={"text": 0.0, "lang": 0.1},
+        bounds={"n_chars": (0, None)},
+    )
+    gated.write.format("noop").mode("overwrite").save()
+    violations = check(strict=False)
+    return spark.createDataFrame(
+        [("documents_gate", len(violations) == 0, len(violations))],
+        "gate string, passed boolean, n_violations int",
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """Rows-only: SemDeDup-style semantic dedup — k-means cells (seeded +
     Lloyd refinement), within-cell cosine pairs, component collapse,
@@ -1379,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "embed_pca": q_embed_pca,
         "semantic_dedup": q_semantic_dedup,
+        "quality_gate": q_quality_gate,
         "source_mix": q_source_mix,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,

@@ -1,0 +1,69 @@
+"""observe-based quality gates: metrics ride the action, no extra pass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.operators.quality import GateViolation, quality_gate
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, None, 25), (3, "c", 40), (4, "d", 55)],
+        "id long, name string, v long",
+    )
+
+
+def test_gate_passes_and_reports_metrics(spark, tmp_path):
+    gated, check = quality_gate(
+        _df(spark),
+        "ok_gate",
+        min_rows=4,
+        max_rows=4,
+        max_null_frac={"name": 0.25},
+        bounds={"v": (0, 100)},
+    )
+    gated.write.format("noop").mode("overwrite").save()
+    assert check() == []
+
+
+def test_gate_raises_with_details(spark):
+    gated, check = quality_gate(
+        _df(spark),
+        "bad_gate",
+        min_rows=10,
+        max_null_frac={"name": 0.0},
+        bounds={"v": (20, None)},
+    )
+    gated.write.format("noop").mode("overwrite").save()
+    with pytest.raises(GateViolation) as ei:
+        check()
+    checks = {c for c, _, _ in ei.value.violations}
+    assert checks == {"min_rows", "null_frac[name]", "min[v]"}
+    # non-strict returns the same list
+    assert len(check(strict=False)) == 3
+
+
+def test_gate_single_pass(spark):
+    # the gate must not add a job: metrics piggyback on the one action
+    sc = spark.sparkContext
+    sc.setJobGroup("gate_one_pass", "single-pass gate check")
+    try:
+        gated, check = quality_gate(
+            _df(spark).where(F.col("v") > 0), "one_pass", min_rows=1
+        )
+        gated.write.format("noop").mode("overwrite").save()
+        check()
+        jobs = sc.statusTracker().getJobIdsForGroup("gate_one_pass")
+        assert len(jobs) == 1
+    finally:
+        sc.setJobGroup(None, None)
+
+
+def test_gate_empty_frame(spark):
+    gated, check = quality_gate(
+        _df(spark).where(F.lit(False)), "empty", min_rows=1,
+        max_null_frac={"name": 0.5},
+    )
+    gated.write.format("noop").mode("overwrite").save()
+    bad = check(strict=False)
+    assert bad == [("min_rows", 0, 1)]
