@@ -62,9 +62,21 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), round_digits).alias("score"),
+        F.round(_cosine_to_literal(F.col(vec_col), q, query_vec), round_digits).alias(
+            "score"
+        ),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def _cosine_to_literal(vec: Column, q: Column, query_vec: list[float]) -> Column:
+    """cosine(vec, literal query) with the query norm folded in Python —
+    one dot + one norm fold per row instead of one dot + two norm folds."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qn == 0.0:
+        return F.lit(None).cast("double")
+    nv = norm(vec)
+    return F.when(nv != 0, dot(vec, q) / (nv * F.lit(qn)))
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
@@ -106,7 +118,10 @@ def lsh_bucket_topk(
     return (
         df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
         .where(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .select(
+            F.col(id_col),
+            F.round(_cosine_to_literal(F.col(vec_col), q, query_vec), 6).alias("score"),
+        )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -133,18 +148,27 @@ def cosine_topk_join(
     matrix."""
     from .relational import grouped_topk
 
+    # norms fold ONCE per side below the cross join — cosine() inline here
+    # would re-fold the corpus norm per (row, query) pair and the query norm
+    # per corpus row
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+            F.col(query_id_col).alias("_qid"),
+            F.col(query_vec_col).alias("_qv"),
+            norm(F.col(query_vec_col)).alias("_qn"),
         )
     )
+    score = F.when(
+        (F.col("_cn") != 0) & (F.col("_qn") != 0),
+        dot(F.col(vec_col), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+    )
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_cn"))
         .crossJoin(q)
         .select(
             F.col("_qid").alias("query_id"),
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_qv")), round_digits).alias("score"),
+            F.round(score, round_digits).alias("score"),
         )
     )
     return grouped_topk(
@@ -214,7 +238,10 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     return (
         assigned.where(F.col("_ivf_cell").isin(probe_cells))
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .select(
+            F.col(id_col),
+            F.round(_cosine_to_literal(F.col(vec_col), q, query_vec), 6).alias("score"),
+        )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -436,9 +463,20 @@ def cosine_self_pairs(
         pairs = pairs.groupBy("id_a", "id_b").agg(F.max("is_star").alias("is_star"))
     else:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    va = work.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = work.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    score = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    # norms fold once per document on the rejoin projections, not per pair
+    va = work.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), norm(F.col("_v")).alias("_na")
+    )
+    vb = work.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), norm(F.col("_v")).alias("_nb")
+    )
+    score = F.round(
+        F.when(
+            (F.col("_na") != 0) & (F.col("_nb") != 0),
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        ),
+        6,
+    )
     scored = pairs.join(va, "id_a").join(vb, "id_b")
     if capped:
         return scored.select("id_a", "id_b", score.alias("score"), "is_star").where(
