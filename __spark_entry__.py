@@ -1037,6 +1037,16 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_quantile_filter(spark, sf_dir):
+    """Top-20%-by-length cut via exact distributed percentile threshold
+    (engine-portable interpolation; at scale use the approx_percentile
+    sketch mode) — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.operators.sampling import quantile_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_filter(d, "n_chars", 0.2, exact=True)
+
+
 def q_quality_gate(spark, sf_dir):
     """Rows-only: observe-based data-quality gate — null-rate/row-count/
     bounds metrics ride the write action (no second corpus pass), then the
@@ -1401,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca": q_embed_pca,
         "semantic_dedup": q_semantic_dedup,
         "quality_gate": q_quality_gate,
+        "quantile_filter": q_quantile_filter,
         "source_mix": q_source_mix,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
@@ -2185,6 +2196,12 @@ def demoted_goldens() -> dict[str, str]:
                OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
                   lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
                        8, '0')
+        """,
+        # Spark exact `percentile` and DuckDB `quantile_cont` share the
+        # linear-interpolation definition, so the threshold matches
+        "quantile_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.8) FROM documents)
         """,
         "domain_cap": """
             SELECT doc_id, source, n_chars FROM (

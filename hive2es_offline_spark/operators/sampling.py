@@ -169,3 +169,35 @@ def cap_per_group(
     rc = rank_col or "_rn"
     out = df.withColumn(rc, F.row_number().over(w)).where(F.col(rc) <= n)
     return out if rank_col else out.drop(rc)
+
+
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep the best ``keep_frac`` fraction of rows by ``score_col`` (the
+    "top 20% by quality score" cut of a curation pipeline): one tiny
+    aggregate computes the (1 - keep_frac) percentile threshold, then the
+    corpus pass is a narrow filter with the threshold as a plan literal —
+    no join, no second shuffle.
+
+    ``exact=False`` (default) uses ``approx_percentile`` — a mergeable
+    sketch, map-side combined, the only sane choice at corpus scale;
+    ``accuracy`` trades sketch size for error (~1/accuracy quantile error).
+    ``exact=True`` uses ``percentile`` (exact sort-based interpolation,
+    engine-portable semantics — DuckDB's ``quantile_cont``) for oracle
+    parity and small inputs.  Rows >= threshold are kept, so marginally
+    MORE than ``keep_frac`` survives under score ties — a deterministic
+    superset, never a lossy undercut."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    p = 1.0 - keep_frac
+    fn = "percentile" if exact else "approx_percentile"
+    args = f"{score_col}, {p!r}" + ("" if exact else f", {accuracy}")
+    thr = df.select(F.expr(f"{fn}({args})").alias("t")).first()["t"]
+    if thr is None:  # empty input or all-NULL scores
+        return df.where(F.lit(False))
+    return df.where(F.col(score_col) >= F.lit(thr))

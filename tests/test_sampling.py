@@ -122,3 +122,22 @@ def test_cap_per_group_semantics_and_plan(spark):
     # top-n below the exchange), not a full per-group sort + filter
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_quantile_filter_exact_and_approx(spark):
+    from hive2es_offline_spark.operators.sampling import quantile_filter
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 97).alias("score"))
+    kept = quantile_filter(df, "score", 0.2, exact=True)
+    n = kept.count()
+    # >= threshold keeps at least 20%, ties may add a little
+    assert 200 <= n <= 240
+    assert kept.agg(F.min("score")).first()[0] >= 77
+    approx = quantile_filter(df, "score", 0.2).count()
+    assert abs(approx - n) <= 25
+    # degenerate inputs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_filter(df, "score", 0.0)
+    assert quantile_filter(df.where(F.lit(False)), "score", 0.5).count() == 0
