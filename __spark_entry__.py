@@ -1037,6 +1037,29 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_snapshot_upsert(spark, sf_dir):
+    """Rows-only: manifest-tracked incremental snapshot — publish documents
+    partitioned by source, upsert a changed batch into ONE partition (other
+    partitions' files carry over untouched), read the merged snapshot back."""
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    root = tempfile.mkdtemp(prefix="snap_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    S.upsert_snapshot(spark, root, d, ["doc_id"], "source")
+    one_source = d.select("source").first()["source"]
+    changed = (
+        d.where(F.col("source") == one_source)
+        .limit(20)
+        .withColumn("text", F.concat(F.lit("edited: "), F.col("text")))
+    )
+    m = S.upsert_snapshot(spark, root, changed, ["doc_id"], "source")
+    merged = S.read_snapshot(spark, root)
+    return spark.createDataFrame(
+        [(m["version"], len(m["rewritten"]), len(m["partitions"]), merged.count())],
+        "version int, rewritten_parts int, total_parts int, rows long",
+    )
+
+
 def q_quantile_filter(spark, sf_dir):
     """Top-20%-by-length cut via exact distributed percentile threshold
     (engine-portable interpolation; at scale use the approx_percentile
@@ -1427,8 +1450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data hand-off sinks
         "jsonl_export": q_jsonl_export,
         "webdataset_export": q_webdataset_export,
-        # table-layout maintenance
+        # table-layout maintenance + incremental snapshots
         "compact_table": q_compact_table,
+        "snapshot_upsert": q_snapshot_upsert,
     }
 
 

@@ -1,0 +1,189 @@
+"""Versioned snapshot tables with partition-pruned upsert (mini table format).
+
+The reference's publish protocol is stage -> validate -> atomic rename
+(``ESContainer.scala:251-285``); its unit of replacement is a whole index.
+A training corpus needs the same atomicity at finer grain: "merge today's
+re-crawl into the 100 TB corpus" must rewrite ONLY the partitions that
+changed, never the whole table, and readers must see either the old or the
+new snapshot — nothing in between.  That is the core idea of the public
+table formats (Iceberg/Delta/Hudi): data files are immutable, a manifest
+maps each partition to the file set that currently owns it, and publishing
+is an atomic swap of a tiny pointer.  This module implements that idea
+directly over parquet dirs + JSON manifests, dependency-free.
+
+Layout::
+
+    root/v{N}/{part_col}={val}/part-*.parquet   immutable data, per version
+    root/_VERSIONS/v{N}.json                    manifest: partition -> owner dir
+    root/CURRENT.json                           atomic pointer to live version
+
+An upsert writes ONLY the affected partitions into a new ``v{N}`` dir
+(merge = updates ∪ (current partition ⟂ updates on the key)), inherits the
+manifest entries of untouched partitions verbatim (no data copied, no file
+moved), then swaps ``CURRENT.json`` via write-to-tmp + rename.  Readers
+assemble the live table from the manifest — one parquet read per version
+referenced, unioned; ``compact`` collapses the history back to one version
+when the read fan-out grows.
+
+Scale: the upsert's cost is O(changed partitions), the publish is O(1), and
+concurrent readers never block.  The partition-values collect is bounded by
+partition cardinality (same class as the reference's metadata lookup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NO_PART = "__table__"  # partition key used for unpartitioned tables
+
+
+def _versions_dir(root: str) -> str:
+    return os.path.join(root, "_VERSIONS")
+
+
+def _current_path(root: str) -> str:
+    return os.path.join(root, "CURRENT.json")
+
+
+def current_version(root: str) -> int | None:
+    p = _current_path(root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["version"]
+
+
+def read_manifest(root: str, version: int | None = None) -> dict | None:
+    version = version if version is not None else current_version(root)
+    if version is None:
+        return None
+    with open(os.path.join(_versions_dir(root), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def _publish(root: str, manifest: dict) -> dict:
+    os.makedirs(_versions_dir(root), exist_ok=True)
+    v = manifest["version"]
+    with open(os.path.join(_versions_dir(root), f"v{v}.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".current_")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": v}, f)
+    os.rename(tmp, _current_path(root))  # atomic pointer swap
+    return manifest
+
+
+def _write_partitioned(df: DataFrame, vdir: str, pcol: str) -> None:
+    """ONE write job for all rewritten partitions: ``partitionBy`` on a
+    duplicated ``_p`` column, so the dir layout is ``{vdir}/_p={val}`` while
+    the real partition column stays IN the data files (per-dir manifest
+    reads then need no partition-discovery basePath gymnastics)."""
+    (
+        df.withColumn("_p", F.col(pcol))
+        .write.mode("overwrite")
+        .partitionBy("_p")
+        .parquet(vdir)
+    )
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> dict:
+    """Merge ``updates`` into the live snapshot; rows matching on
+    ``key_cols`` are replaced, new keys are appended.  With
+    ``partition_col``, only partitions present in ``updates`` are rewritten
+    — every other partition's manifest entry (and its files) carries over
+    untouched.  Updates MUST carry a row's partition value unchanged
+    (cross-partition key moves would leave the old row live).  Returns the
+    published manifest."""
+    prev = read_manifest(root)
+    version = (prev["version"] + 1 if prev else 1)
+    vdir = os.path.join(root, f"v{version}")
+    pcol = partition_col or _NO_PART
+
+    if partition_col is None:
+        affected = [_NO_PART]
+        merged = updates
+        if prev:
+            cur = read_snapshot(spark, root)
+            merged = updates.unionByName(cur.join(updates, key_cols, "left_anti"))
+        merged.write.mode("overwrite").parquet(os.path.join(vdir, _NO_PART))
+        parts = {_NO_PART: f"v{version}/{_NO_PART}"}
+    else:
+        # bounded collect: one row per partition value in the updates batch
+        affected = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        prev_parts = dict(prev["partitions"]) if prev else {}
+        live = [
+            os.path.join(root, prev_parts[str(p)])
+            for p in affected
+            if str(p) in prev_parts
+        ]
+        merged = updates
+        if live:
+            cur = spark.read.parquet(*live)
+            merged = updates.unionByName(cur.join(updates, key_cols, "left_anti"))
+        _write_partitioned(merged, vdir, pcol)
+        parts = prev_parts
+        for p in affected:
+            parts[str(p)] = f"v{version}/_p={p}"
+    manifest = {
+        "version": version,
+        "partition_col": partition_col,
+        "key_cols": key_cols,
+        "partitions": parts,
+        "rewritten": [str(p) for p in affected],
+    }
+    return _publish(root, manifest)
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Assemble the live (or a pinned historical) snapshot from its manifest:
+    one parquet read over all owning dirs.  Old versions stay readable until
+    compacted away — time travel for free."""
+    m = read_manifest(root, version)
+    if m is None:
+        raise FileNotFoundError(f"no snapshot published under {root}")
+    paths = sorted({os.path.join(root, rel) for rel in m["partitions"].values()})
+    return spark.read.parquet(*paths)
+
+
+def compact_snapshot(
+    spark: SparkSession, root: str, partition_col: str | None = None
+) -> dict:
+    """Collapse the version history: rewrite every live partition into one
+    new version so reads touch a single dir tree again.  Superseded version
+    dirs become garbage (safe to delete after readers drain — the vacuum
+    step of the public table formats)."""
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no snapshot published under {root}")
+    df = read_snapshot(spark, root)
+    version = m["version"] + 1
+    vdir = os.path.join(root, f"v{version}")
+    pcol = partition_col or m["partition_col"]
+    if pcol is None:
+        df.write.mode("overwrite").parquet(os.path.join(vdir, _NO_PART))
+        parts = {_NO_PART: f"v{version}/{_NO_PART}"}
+    else:
+        vals = [r[0] for r in df.select(pcol).distinct().collect()]
+        _write_partitioned(df, vdir, pcol)
+        parts = {str(p): f"v{version}/_p={p}" for p in vals}
+    manifest = {
+        "version": version,
+        "partition_col": pcol,
+        "key_cols": m["key_cols"],
+        "partitions": parts,
+        "rewritten": sorted(parts),
+    }
+    return _publish(root, manifest)

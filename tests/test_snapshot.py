@@ -1,0 +1,81 @@
+"""Versioned snapshot tables: partition-pruned upsert, atomic publish,
+time travel, compaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.sinks import snapshot as S
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, part string, val string")
+
+
+def test_first_publish_and_read(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    m = S.upsert_snapshot(
+        spark, root, _batch(spark, [(1, "a", "x"), (2, "b", "y")]), ["id"], "part"
+    )
+    assert m["version"] == 1
+    assert S.current_version(root) == 1
+    got = {r["id"]: r["val"] for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "x", 2: "y"}
+
+
+def test_upsert_replaces_and_appends_only_affected_partition(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    S.upsert_snapshot(
+        spark, root,
+        _batch(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")]),
+        ["id"], "part",
+    )
+    # record partition-b file set before the second upsert
+    m1 = S.read_manifest(root)
+    b_dir = os.path.join(root, m1["partitions"]["b"])
+    b_files_before = sorted(os.listdir(b_dir))
+    m2 = S.upsert_snapshot(
+        spark, root,
+        _batch(spark, [(2, "a", "y2"), (4, "a", "w")]),  # update id=2, add id=4
+        ["id"], "part",
+    )
+    assert m2["version"] == 2
+    assert m2["rewritten"] == ["a"]
+    # partition b inherited: same manifest entry, same files on disk
+    assert m2["partitions"]["b"] == m1["partitions"]["b"]
+    assert sorted(os.listdir(b_dir)) == b_files_before
+    got = {r["id"]: r["val"] for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "x", 2: "y2", 3: "z", 4: "w"}
+    # time travel: v1 still readable, pre-update values
+    old = {r["id"]: r["val"] for r in S.read_snapshot(spark, root, version=1).collect()}
+    assert old == {1: "x", 2: "y", 3: "z"}
+
+
+def test_unpartitioned_upsert_full_rewrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    S.upsert_snapshot(spark, root, _batch(spark, [(1, "a", "x")]), ["id"])
+    S.upsert_snapshot(spark, root, _batch(spark, [(1, "a", "x2"), (2, "b", "y")]), ["id"])
+    got = {r["id"]: r["val"] for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "x2", 2: "y"}
+
+
+def test_compact_collapses_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    S.upsert_snapshot(spark, root, _batch(spark, [(1, "a", "x"), (3, "b", "z")]), ["id"], "part")
+    S.upsert_snapshot(spark, root, _batch(spark, [(2, "a", "y")]), ["id"], "part")
+    m = S.compact_snapshot(spark, root)
+    assert m["version"] == 3
+    # every partition now owned by v3
+    assert all(rel.startswith("v3/") for rel in m["partitions"].values())
+    got = {r["id"]: r["val"] for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "x", 2: "y", 3: "z"}
+
+
+def test_read_missing_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, str(tmp_path / "nope"))
