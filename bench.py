@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     # the write path: stage a real shard-partitioned bundle + atomic publish
     # (the reference's actual production job, not just the transforms)
     "publish_swap",
+    # round-4 additions: embedding-space dedup (k-means cells + in-cell
+    # pairs + components), distributed PCA (moments + driver eigh +
+    # whitened projection), and the trainer hand-off export (sharded gzip
+    # JSONL, staged + atomically published)
+    "semantic_dedup",
+    "embed_pca",
+    "jsonl_export",
 ]
 
 
