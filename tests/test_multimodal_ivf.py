@@ -419,3 +419,21 @@ def test_semantic_dedup_planted_families(spark):
     )
     capped_ids = {r["vec_id"] for r in kept_capped.select("vec_id").collect()}
     assert {0, 4, 9} <= capped_ids
+
+
+def test_ivf_assign_pandas_matches_literal(spark):
+    import numpy as np
+
+    from hive2es_offline_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [rng.normal(size=8).tolist() for _ in range(6)]
+    lit = {r["vec_id"]: r["_ivf_cell"]
+           for r in ivf_assign(df, cents, method="literal").collect()}
+    pnd = {r["vec_id"]: r["_ivf_cell"]
+           for r in ivf_assign(df, cents, method="pandas").collect()}
+    assert lit == pnd
