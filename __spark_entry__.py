@@ -1037,6 +1037,21 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_hash_embed(spark, sf_dir):
+    """Rows-only: hashing-trick featurization (text -> unit bag-of-words
+    vector, all JVM-side) — the model-free bridge from the text surface to
+    the embedding operators (xxhash64 buckets are Spark-specific, so no
+    DuckDB oracle; determinism + composition unit-tested)."""
+    from hive2es_offline_spark.operators.text import hash_embed
+
+    d = _t(spark, sf_dir, "documents")
+    emb = hash_embed(d, "doc_id", dim=64)
+    return emb.select(
+        "doc_id", F.round(F.element_at("embedding", 1), 6).alias("e0"),
+        F.round(F.element_at("embedding", 32), 6).alias("e31"),
+    )
+
+
 def q_snapshot_upsert(spark, sf_dir):
     """Rows-only: manifest-tracked incremental snapshot — publish documents
     partitioned by source, upsert a changed batch into ONE partition (other
@@ -1432,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "embed_quantize": q_embed_quantize,
         "embed_pca": q_embed_pca,
+        "hash_embed": q_hash_embed,
         "semantic_dedup": q_semantic_dedup,
         "quality_gate": q_quality_gate,
         "quantile_filter": q_quantile_filter,

@@ -464,3 +464,47 @@ def repetition_stats(
             ).alias("top_bigram_share"),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = 64,
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-words featurization: text -> dense ``array<double>``
+    of token-frequency buckets (the "hashing trick"; public technique, e.g.
+    scikit-learn's HashingVectorizer / Spark MLlib's HashingTF).  Bridges
+    the text surface to every embedding operator (semantic_dedup, PCA, ANN)
+    without a model: deterministic, engine-stable, no vocabulary state.
+
+    All JVM-side: explode tokens -> bucket = pmod(xxhash64(token), dim) ->
+    per-(doc, bucket) counts (map-side combined) -> dense vector assembled
+    from a bucket->count map.  Two keyed shuffles, both on O(docs x
+    distinct-buckets) rows — never a Python hop.  ``l2_normalize=True``
+    yields unit vectors so downstream cosine is a plain dot."""
+    counts = (
+        df.select(F.col(id_col).alias("_did"), tokens(F.col(text_col)).alias("_t"))
+        .select("_did", F.explode("_t").alias("_tok"))
+        .select("_did", F.pmod(F.xxhash64("_tok"), F.lit(dim)).alias("_b"))
+        .groupBy("_did", "_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    vec = (
+        counts.groupBy("_did")
+        .agg(F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m"))
+        .select(
+            F.col("_did").alias(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                # map lookup by KEY (the bucket id), not array position
+                lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    if l2_normalize:
+        from .embeddings import l2_normalize as _l2
+
+        vec = vec.withColumn("embedding", _l2("embedding"))
+    return vec

@@ -178,3 +178,54 @@ def test_boilerplate_scrub_literal_separator_not_regex(spark):
     out = {r["doc_id"]: r["text_clean"]
            for r in boilerplate_scrub(df, sep=".", max_df=2).collect()}
     assert out[1] == "keep me"
+
+
+def test_hash_embed_deterministic_and_normalized(spark):
+    import math
+
+    from hive2es_offline_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b a c"), (3, "z z z"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed(df, "doc_id", dim=16).collect()}
+    # identical text -> identical vector
+    assert out[1] == out[2]
+    # unit norm for non-empty docs
+    for did in (1, 3):
+        assert abs(math.sqrt(sum(v * v for v in out[did])) - 1.0) < 1e-9
+    # "z z z" concentrates all mass in one bucket
+    assert sorted(out[3])[-1] == 1.0
+    # raw counts mode: "a b a c" has 4 tokens, a counted twice
+    raw = {r["doc_id"]: r["embedding"]
+           for r in hash_embed(df, "doc_id", dim=16, l2_normalize=False).collect()}
+    assert sum(raw[1]) == 4.0 and max(raw[1]) == 2.0
+    # empty text still yields a row ('' splits to one empty token)
+    assert 4 in raw and sum(raw[4]) == 1.0
+
+
+def test_hash_embed_feeds_embedding_operators(spark):
+    from hive2es_offline_spark.operators.similarity import cosine
+    from hive2es_offline_spark.operators.text import hash_embed
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "spark engine for large tables"),
+         (2, "spark engine for large tables"),
+         (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    emb = hash_embed(df, "doc_id", dim=32)
+    a, b = emb.alias("a"), emb.alias("b")
+    sims = {
+        (r["ia"], r["ib"]): r["s"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("s"),
+        )
+        .collect()
+    }
+    assert sims[(1, 2)] == 1.0
+    assert sims[(1, 3)] < 0.5
