@@ -1037,6 +1037,16 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order shuffle key (md5(epoch||id),
+    engine-portable, repartition-stable) — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.operators.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, "doc_id", epoch=3)
+
+
 def q_hash_embed(spark, sf_dir):
     """Rows-only: hashing-trick featurization (text -> unit bag-of-words
     vector, all JVM-side) — the model-free bridge from the text surface to
@@ -1448,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "embed_pca": q_embed_pca,
         "hash_embed": q_hash_embed,
+        "epoch_shuffle": q_epoch_shuffle,
         "semantic_dedup": q_semantic_dedup,
         "quality_gate": q_quality_gate,
         "quantile_filter": q_quantile_filter,
@@ -2236,6 +2247,10 @@ def demoted_goldens() -> dict[str, str]:
                OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
                   lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
                        8, '0')
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
         """,
         # Spark exact `percentile` and DuckDB `quantile_cont` share the
         # linear-interpolation definition, so the threshold matches

@@ -201,3 +201,33 @@ def quantile_filter(
     if thr is None:  # empty input or all-NULL scores
         return df.where(F.lit(False))
     return df.where(F.col(score_col) >= F.lit(thr))
+
+
+def epoch_shuffle_key(id_col: Column | str, epoch: int = 0) -> Column:
+    """Deterministic per-epoch shuffle key: md5(epoch || id).  A pure
+    function of (epoch, id): reproducible across runs/engines, stable
+    under repartition/retries, and a fresh independent permutation per
+    epoch — the training-order shuffle without a stored permutation
+    table."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(F.lit(f"epoch{epoch}:"), c.cast("string")))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Attach the epoch-shuffle key.  To materialize a globally shuffled
+    corpus for a sequential trainer, range-write on the key::
+
+        epoch_shuffle(df, "doc_id", epoch) \\
+            .repartitionByRange(n, "shuffle_key") \\
+            .sortWithinPartitions("shuffle_key") \\
+            .write.parquet(out)
+
+    — shard i then holds keys entirely before shard i+1 (one range
+    exchange; reading shards in name order streams the full permutation).
+    """
+    return df.withColumn(key_col, epoch_shuffle_key(id_col, epoch))

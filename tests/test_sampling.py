@@ -141,3 +141,34 @@ def test_quantile_filter_exact_and_approx(spark):
     with _pytest.raises(ValueError):
         quantile_filter(df, "score", 0.0)
     assert quantile_filter(df.where(F.lit(False)), "score", 0.5).count() == 0
+
+
+def test_epoch_shuffle_deterministic_and_epoch_independent(spark, tmp_path):
+    from hive2es_offline_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    k0 = epoch_shuffle(df, "doc_id", 0).orderBy("doc_id").toPandas()
+    k0b = epoch_shuffle(df.repartition(7), "doc_id", 0).orderBy("doc_id").toPandas()
+    k1 = epoch_shuffle(df, "doc_id", 1).orderBy("doc_id").toPandas()
+    assert (k0["shuffle_key"] == k0b["shuffle_key"]).all()  # layout-stable
+    assert (k0["shuffle_key"] != k1["shuffle_key"]).any()  # new permutation
+    # materialized range write: shards are globally ordered by key
+    out = str(tmp_path / "ep0")
+    (
+        epoch_shuffle(df, "doc_id", 0)
+        .repartitionByRange(4, "shuffle_key")
+        .sortWithinPartitions("shuffle_key")
+        .write.parquet(out)
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        keys = pq.read_table(f, columns=["shuffle_key"])["shuffle_key"].to_pylist()
+        assert keys == sorted(keys)
+        if keys:
+            ranges.append((keys[0], keys[-1]))
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint, ascending shard ranges
