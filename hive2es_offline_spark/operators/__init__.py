@@ -1,3 +1,23 @@
-from . import document, routing, dedup, similarity, text, multimodal
+from . import (
+    dedup,
+    document,
+    embeddings,
+    multimodal,
+    quality,
+    routing,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["document", "routing", "dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "dedup",
+    "document",
+    "embeddings",
+    "multimodal",
+    "quality",
+    "routing",
+    "sampling",
+    "similarity",
+    "text",
+]

@@ -339,13 +339,14 @@ def kmeans_refine(
 ) -> list[list[float]]:
     """Lloyd's k-means refinement of IVF centroids (cosine assignment).
 
-    Per iteration: one narrow assignment pass (``ivf_assign`` — centroids
-    are broadcast plan literals), then a component-wise mean via
-    ``posexplode`` -> ``groupBy(cell, pos).avg`` — map-side combined down to
-    k x dim groups, so the only driver transfer is the k x dim mean table
-    (for k=16, dim=64: 1024 doubles).  A cell that attracts no vectors
-    keeps its previous position.  Early-exits when the largest per-component
-    centroid movement drops below ``tol``.
+    Per iteration: one narrow assignment pass (``ivf_assign``, literal or
+    pandas path by k·dim), then the component-wise mean as a MAP-ONLY
+    numpy-partials pass: each partition accumulates per-cell (count, sum)
+    into a k x dim array and emits one partial row per non-empty cell —
+    no exchange at all; the driver combine is O(partitions x k x dim).
+    A cell that attracts no vectors keeps its previous position.
+    Early-exits when the largest per-component centroid movement drops
+    below ``tol``.
 
     Cosine is scale-invariant, so the un-normalized component mean yields
     the same assignments as the spherical-k-means normalized mean — the
@@ -355,19 +356,46 @@ def kmeans_refine(
     aggregate exchange; no iteration-to-iteration lineage growth (centroids
     re-enter each round as fresh literals)."""
     centroids = [[float(x) for x in c] for c in centroids]
+    k = len(centroids)
+
+    def cell_partials(batches):
+        counts = None
+        sums = None
+        d = None
+        for pdf in batches:
+            cells = pdf["_ivf_cell"].to_numpy()
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            if d is None:
+                d = x.shape[1]
+                counts = np.zeros(k, dtype=np.int64)
+                sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(counts, cells, 1)
+            np.add.at(sums, cells, x)
+        if d is not None:
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype("int32"),
+                    "n": counts[nz],
+                    "s": [sums[c].tolist() for c in nz],
+                }
+            )
+
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col, vec_col)
-        means = (
-            assigned.select(
-                "_ivf_cell", F.posexplode(F.col(vec_col)).alias("_pos", "_v")
-            )
-            .groupBy("_ivf_cell", "_pos")
-            .agg(F.avg("_v").alias("_m"))
-            .collect()
+        partials = (
+            assigned.select(F.col("_ivf_cell"), F.col(vec_col).alias("_v"))
+            .mapInPandas(cell_partials, "cell int, n long, s array<double>")
+            .collect()  # O(partitions x non-empty cells) rows
         )
+        acc: dict[int, tuple[int, list[float]]] = {}
+        for r in partials:
+            n0, s0 = acc.get(r["cell"], (0, None))
+            s = list(r["s"]) if s0 is None else [a + b for a, b in zip(s0, r["s"])]
+            acc[r["cell"]] = (n0 + r["n"], s)
         new = [list(c) for c in centroids]  # empty cells keep old position
-        for r in means:
-            new[r["_ivf_cell"]][r["_pos"]] = float(r["_m"])
+        for cell, (n, s) in acc.items():
+            new[cell] = [v / n for v in s]
         moved = max(
             (abs(a - b) for c_new, c_old in zip(new, centroids) for a, b in zip(c_new, c_old)),
             default=0.0,
