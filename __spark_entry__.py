@@ -1037,6 +1037,47 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_llm_prepare(spark, sf_dir):
+    """Rows-only: the full training-data preparation loop in ONE composed
+    pipeline — quality filter -> exact dedup -> hashing-trick featurization
+    -> semantic dedup -> deterministic split -> epoch shuffle -> sharded
+    JSONL export of the train split.  Returns per-stage counts (each stage
+    is individually oracled/unit-tested; this row proves they compose)."""
+    from hive2es_offline_spark.operators import text as T
+    from hive2es_offline_spark.operators.dedup import dedup_exact
+    from hive2es_offline_spark.operators.sampling import epoch_shuffle, hash_split
+    from hive2es_offline_spark.operators.similarity import semantic_dedup
+    from hive2es_offline_spark.sinks import export
+
+    d = _t(spark, sf_dir, "documents")
+    n0 = d.count()
+    stats = T.text_stats(d, "text")
+    curated = (
+        d.join(stats.select("doc_id", "quality", "n_tokens"), "doc_id")
+        .where((F.col("quality") >= 0.4) & (F.col("n_tokens") >= 5))
+    )
+    deduped = dedup_exact(
+        curated.withColumn("fp", T.fingerprint_md5(F.col("text"))),
+        ["fp"], ["doc_id"],
+    ).drop("fp")
+    n1 = deduped.count()
+    emb = T.hash_embed(deduped, "doc_id", dim=64)
+    kept_ids = semantic_dedup(
+        emb, num_cells=8, threshold=0.995, kmeans_iters=1, id_col="doc_id"
+    ).select("doc_id")
+    sem = deduped.join(kept_ids, "doc_id")
+    n2 = sem.count()
+    split = hash_split(sem, "doc_id")
+    train = epoch_shuffle(split.where(F.col("split") == "train"), "doc_id", epoch=0)
+    dest = os.path.join(tempfile.mkdtemp(prefix="llmprep_"), "train")
+    manifest = export.write_jsonl(train, dest, num_shards=4, key_col="doc_id")
+    return spark.createDataFrame(
+        [(n0, n1, n2, manifest["row_count"], len(manifest["shard_counts"]))],
+        "input long, after_curation long, after_semantic_dedup long, "
+        "train_rows long, train_shards int",
+    )
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch training-order shuffle key (md5(epoch||id),
     engine-portable, repartition-stable) — DuckDB-checked via
@@ -1459,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca": q_embed_pca,
         "hash_embed": q_hash_embed,
         "epoch_shuffle": q_epoch_shuffle,
+        "llm_prepare": q_llm_prepare,
         "semantic_dedup": q_semantic_dedup,
         "quality_gate": q_quality_gate,
         "quantile_filter": q_quantile_filter,
