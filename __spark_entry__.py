@@ -1037,6 +1037,21 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """Hopping event-time windows (1 h window, 30 min slide — each event in
+    exactly 2 windows); same decimal-cast discipline as tumbling_window.
+    DuckDB-checked via demoted_goldens."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
 def q_llm_prepare(spark, sf_dir):
     """Rows-only: the full training-data preparation loop in ONE composed
     pipeline — quality filter -> exact dedup -> hashing-trick featurization
@@ -1501,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": q_hash_embed,
         "epoch_shuffle": q_epoch_shuffle,
         "llm_prepare": q_llm_prepare,
+        "sliding_window": q_sliding_window,
         "semantic_dedup": q_semantic_dedup,
         "quality_gate": q_quality_gate,
         "quantile_filter": q_quantile_filter,
@@ -2293,6 +2309,20 @@ def demoted_goldens() -> dict[str, str]:
         "epoch_shuffle": """
             SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents
+        """,
+        # 1h windows hopping every 30min: each event lands in exactly the
+        # two windows starting at trunc30(ts) and trunc30(ts) - 30min
+        "sliding_window": """
+            SELECT ws AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM (
+              SELECT e.*, u.ws
+              FROM (SELECT *, time_bucket(INTERVAL 30 MINUTE, ts) AS t30
+                    FROM events) e,
+                   LATERAL unnest([t30, t30 - INTERVAL 30 MINUTE]) AS u(ws)
+            )
+            GROUP BY 1, 2
         """,
         # Spark exact `percentile` and DuckDB `quantile_cont` share the
         # linear-interpolation definition, so the threshold matches
