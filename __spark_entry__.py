@@ -1052,6 +1052,24 @@ def q_sliding_window(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    """Gap-based sessionization via the BUILT-IN ``F.session_window`` (the
+    declarative twin of q_sessionize's lag+prefix-sum): window end = last
+    event + gap by definition.  DuckDB-checked via demoted_goldens against
+    the same gap semantics."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_llm_prepare(spark, sf_dir):
     """Rows-only: the full training-data preparation loop in ONE composed
     pipeline — quality filter -> exact dedup -> hashing-trick featurization
@@ -1517,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "llm_prepare": q_llm_prepare,
         "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
         "semantic_dedup": q_semantic_dedup,
         "quality_gate": q_quality_gate,
         "quantile_filter": q_quantile_filter,
@@ -2309,6 +2328,29 @@ def demoted_goldens() -> dict[str, str]:
         "epoch_shuffle": """
             SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents
+        """,
+        # same gap grouping as the sessionize oracle; Spark's session_window
+        # end is last event + gap by definition
+        "session_window": """
+            WITH gapped AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS sid
+              FROM gapped
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         # 1h windows hopping every 30min: each event lands in exactly the
         # two windows starting at trunc30(ts) and trunc30(ts) - 30min
