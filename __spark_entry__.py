@@ -1037,6 +1037,17 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_window_ntile(spark, sf_dir):
+    """ntile fold assignment (cross-validation folds / balanced batch
+    striping) per event_type over event time — DuckDB-checked via
+    demoted_goldens."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "event_type", F.ntile(4).over(w).alias("fold")
+    )
+
+
 def q_sliding_window(spark, sf_dir):
     """Hopping event-time windows (1 h window, 30 min slide — each event in
     exactly 2 windows); same decimal-cast discipline as tumbling_window.
@@ -1536,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_prepare": q_llm_prepare,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
+        "window_ntile": q_window_ntile,
         "semantic_dedup": q_semantic_dedup,
         "quality_gate": q_quality_gate,
         "quantile_filter": q_quantile_filter,
@@ -2328,6 +2340,12 @@ def demoted_goldens() -> dict[str, str]:
         "epoch_shuffle": """
             SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents
+        """,
+        "window_ntile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS INTEGER) AS fold
+            FROM events
         """,
         # same gap grouping as the sessionize oracle; Spark's session_window
         # end is last event + gap by definition
