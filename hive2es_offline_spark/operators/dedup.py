@@ -634,11 +634,19 @@ def incremental_dedup_minhash(
     re-derived from text) — pass ``seen_signatures`` to skip re-hashing.
     """
     rows_per_band = num_perm // bands
-    sig_new = minhash_signatures(new_df, id_col, text_col, num_perm, shingle_k, seed)
+    # each side feeds banding AND the score rejoin: localCheckpoint
+    # materializes the shingle+min pipeline once per side (same reuse
+    # rationale as dedup_minhash — exchange reuse does not fire across the
+    # differing projections)
+    sig_new = minhash_signatures(
+        new_df, id_col, text_col, num_perm, shingle_k, seed
+    ).localCheckpoint(eager=False)
     sig_seen = (
         seen_signatures
         if seen_signatures is not None
-        else minhash_signatures(seen_df, id_col, text_col, num_perm, shingle_k, seed)
+        else minhash_signatures(
+            seen_df, id_col, text_col, num_perm, shingle_k, seed
+        ).localCheckpoint(eager=False)
     )
 
     def banded(sig_df: DataFrame) -> DataFrame:

@@ -122,11 +122,19 @@ def pca_transform(
 
     @F.pandas_udf("array<double>")
     def project(v: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(e, dtype=np.float64) for e in v])
-        y = (x - mean) @ comps.T
-        if scale is not None:
-            y = y * scale
-        return pd.Series(list(y))
+        # NULL vectors project to NULL (pca_fit skips them, so a model fit
+        # on a corpus must be applicable to that same corpus)
+        # element-wise None test (Series.notna is ambiguous for array cells)
+        mask = np.fromiter((e is not None for e in v), dtype=bool, count=len(v))
+        out = np.empty(len(v), dtype=object)
+        if mask.any():
+            x = np.asarray([np.asarray(e, dtype=np.float64) for e in v[mask]])
+            y = (x - mean) @ comps.T
+            if scale is not None:
+                y = y * scale
+            for idx, row in zip(np.nonzero(mask)[0], y):
+                out[idx] = row
+        return pd.Series(out)
 
     return df.withColumn(out_col, project(F.col(vec_col)))
 

@@ -394,7 +394,7 @@ def decode_gif_frames(payload: bytes):
             elif disposal == 3:  # restore previous
                 canvas = before
             transparent, disposal = None, 0
-    except IndexError:  # truncated payload
+    except (IndexError, ValueError):  # truncated payload or out-of-canvas frame rect
         return frames or None
     return frames or None
 

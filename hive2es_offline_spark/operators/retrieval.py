@@ -58,7 +58,11 @@ def bm25_topk(
     if not terms:
         raise ValueError("query has no terms after analysis")
 
-    toks = F.split(F.lower(F.col(text_col)), _SPLIT_PATTERN)
+    # leading/trailing whitespace produces empty tokens that would inflate
+    # dl (and deflate tf-normalization) vs the Lucene analyzer — drop them
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _SPLIT_PATTERN), lambda t: t != ""
+    )
     base = docs.select(
         F.col(id_col).alias("_did"),
         toks.alias("_toks"),
@@ -72,7 +76,6 @@ def bm25_topk(
 
     # Explode → filter to query terms BEFORE any shuffle: the exchange for
     # the (doc, term) tf aggregate only ever carries query-term hits.
-    qarr = F.array(*[F.lit(t) for t in terms])
     hits = (
         base.select("_did", "_dl", F.explode("_toks").alias("_term"))
         .where(F.col("_term").isin(terms))

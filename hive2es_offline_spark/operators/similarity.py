@@ -216,9 +216,15 @@ def ivf_assign(
         cn[cn == 0] = 1.0
         cnorm = (cmat / cn[:, None]).T  # (d, k)
 
+        d = cmat.shape[1]
+
         @F.pandas_udf("int")
         def assign(v: pd.Series) -> pd.Series:
-            x = np.asarray([np.asarray(e, dtype=np.float64) for e in v])
+            # NULL vectors -> cell 0, matching the literal path's coalesce
+            x = np.asarray([
+                np.asarray(e, dtype=np.float64) if e is not None else np.zeros(d)
+                for e in v
+            ])
             return pd.Series(np.argmax(x @ cnorm, axis=1).astype("int32"))
 
         return df.select(
@@ -240,6 +246,10 @@ def ivf_assign(
     )
     scored = with_norm.select(F.col(id_col), F.col(vec_col), scores.alias("_scores"))
     cell = (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1).cast("int")
+    # zero-norm vectors score NULL against every centroid -> NULL position;
+    # pin them to cell 0 (matching the pandas path's argmax-of-zeros) so
+    # downstream numpy indexing never sees NaN cells
+    cell = F.coalesce(cell, F.lit(0))
     return scored.select(F.col(id_col), F.col(vec_col), cell.alias("_ivf_cell"))
 
 
@@ -363,6 +373,9 @@ def kmeans_refine(
         sums = None
         d = None
         for pdf in batches:
+            pdf = pdf[pdf["_v"].notna()]  # NULL vectors contribute to no mean
+            if not len(pdf):
+                continue
             cells = pdf["_ivf_cell"].to_numpy()
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
             if d is None:
@@ -599,9 +612,15 @@ def semantic_dedup(
             # hot cell: hub-and-spoke to the min id — O(n) edges, components
             # still collapse the family
             return pd.DataFrame({"id_a": np.repeat(ids[0], n - 1), "id_b": ids[1:]})
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        dim = next(
+            (len(v) for v in pdf[vec_col] if v is not None), 0
+        )
+        x = np.asarray([
+            np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim)
+            for v in pdf[vec_col]
+        ])
         norms = np.linalg.norm(x, axis=1)
-        norms[norms == 0] = np.inf  # zero vectors match nothing
+        norms[norms == 0] = np.inf  # zero/NULL vectors match nothing
         xn = x / norms[:, None]
         out_a, out_b = [], []
         for i0 in range(0, n, block):

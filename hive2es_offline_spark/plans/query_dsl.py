@@ -305,8 +305,24 @@ def es_search(
             w = Window.orderBy(*sort_cols)
             df = (df.withColumn("_rn", F.row_number().over(w))
                     .where(F.col("_rn") > offset).drop("_rn"))
+    elif offset:
+        # unsorted paging: ES pages by _doc; the deterministic equivalent
+        # here is a monotonic row id over the (bounded) limit prefix — the
+        # first `offset` rows must actually be SKIPPED, not returned
+        df = (
+            df.limit(offset + size)
+            .withColumn("_rn", F.monotonically_increasing_id())
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("_rn")
+        df = (
+            df.withColumn("_pos", F.row_number().over(w))
+            .where(F.col("_pos") > offset)
+            .drop("_rn", "_pos")
+        )
     else:
-        df = df.limit(offset + size)  # unordered paging, ES-like best effort
+        df = df.limit(size)
     if body.get("_source"):
         df = df.select(*body["_source"])
     return df

@@ -14,6 +14,13 @@ re-runs produce identical shard membership (round-robin ``repartition(n)``
 would not).  JSON serialization stays JVM-side (``to_json`` + the json text
 source); only the tar writer drops to Python, via Arrow batches, because
 tar framing is genuinely imperative.
+
+Deployment caveat (tar writer): tasks open ``path`` with the local
+``tarfile``/``os`` API, so on a multi-node cluster ``path`` MUST be a
+shared mount (NFS/FUSE-mounted object store) — unlike the JSONL writer,
+which goes through Hadoop's filesystem layer and accepts any hdfs/s3a URI.
+The JSONL ``_finalize`` rename is atomic on posix and HDFS; on S3-like
+stores pair it with a committer or treat the manifest as the commit marker.
 """
 
 from __future__ import annotations

@@ -78,6 +78,16 @@ def _publish(root: str, manifest: dict) -> dict:
     return manifest
 
 
+def _escape_part(spark: SparkSession, value) -> str:
+    """Partition value -> the dir-name component Spark's ``partitionBy``
+    actually writes (Hive path escaping: ':', '/', '%', ... become %XX).
+    Uses Spark's own escaper so manifest entries can never drift from the
+    on-disk layout."""
+    return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+        str(value)
+    )
+
+
 def _write_partitioned(df: DataFrame, vdir: str, pcol: str) -> None:
     """ONE write job for all rewritten partitions: ``partitionBy`` on a
     duplicated ``_p`` column, so the dir layout is ``{vdir}/_p={val}`` while
@@ -123,6 +133,11 @@ def upsert_snapshot(
         affected = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
+        if any(p is None for p in affected):
+            raise ValueError(
+                f"NULL {partition_col!r} values in updates: NULL partitions "
+                "are not supported by the snapshot layout"
+            )
         prev_parts = dict(prev["partitions"]) if prev else {}
         live = [
             os.path.join(root, prev_parts[str(p)])
@@ -136,7 +151,7 @@ def upsert_snapshot(
         _write_partitioned(merged, vdir, pcol)
         parts = prev_parts
         for p in affected:
-            parts[str(p)] = f"v{version}/_p={p}"
+            parts[str(p)] = f"v{version}/_p={_escape_part(spark, p)}"
     manifest = {
         "version": version,
         "partition_col": partition_col,
@@ -178,7 +193,7 @@ def compact_snapshot(
     else:
         vals = [r[0] for r in df.select(pcol).distinct().collect()]
         _write_partitioned(df, vdir, pcol)
-        parts = {str(p): f"v{version}/_p={p}" for p in vals}
+        parts = {str(p): f"v{version}/_p={_escape_part(spark, p)}" for p in vals}
     manifest = {
         "version": version,
         "partition_col": pcol,
