@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "embed_pca",
     "jsonl_export",
+    # round-5 additions: the daily-maintenance write path a 100 TB lake
+    # actually runs — merge-by-rewrite snapshot upsert (partition-pruned,
+    # atomic CURRENT swap) and small-file compaction (bytes-sized rewrite)
+    "snapshot_upsert",
+    "compact_table",
 ]
 
 
@@ -74,17 +79,23 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
 
     def measure(name, plan_fn, runs=3):
-        # steady-state: best of N (first run pays one-time codegen compile);
-        # n=3 keeps the min column meaningful — the repo's measured run-to-run
-        # variance makes sub-0.5 s deltas at n=2 indistinguishable from noise
-        best = float("inf")
+        # One UNTIMED warm-up run per query (pays whole-stage-codegen compile
+        # and JIT outside the clock — the r4 bench "regression" was exactly
+        # this cost plus machine contention landing in the timed window; see
+        # BENCH_DIAGNOSIS_r05.md), then n timed runs reporting min AND median
+        # so a contended run is visible instead of silently inflating min.
+        run_noop(plan_fn())
+        times = []
         for _ in range(runs):
             t0 = time.perf_counter()
             run_noop(plan_fn())
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        timings[name] = round(times[0], 3)
+        medians[name] = round(times[len(times) // 2], 3)
 
     measure("e2e_docs", lambda: entry_mod.entry_docs(spark, SF_DIR))
     for name in BENCH_QUERIES:
@@ -98,6 +109,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             }
         )

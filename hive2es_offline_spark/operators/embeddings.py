@@ -2,13 +2,13 @@
 whitening, L2 normalization.
 
 The classic two-phase shape for covariance-based methods at scale: the
-cluster computes the d×d second-moment matrix in ONE narrow pass (per-batch
-numpy ``X.T @ X`` partials over Arrow batches, combined on the driver — the
-collect is O(partitions × d²), independent of row count), the driver does
-the O(d³) eigendecomposition (d is embedding width, 64–4096: trivial), and
-the projection back over the corpus is another narrow pass with the
-component matrix shipped in the UDF closure.  No shuffle anywhere — both
-corpus passes are map-only.
+cluster computes the d×d second-moment matrix in ONE pass (per-batch numpy
+``X.T @ X`` partials over Arrow batches, pre-combined JVM-side through a
+map-side-combinable SUM so the driver transfer is O(d²) scalars — INDEPENDENT
+of partition count), the driver does the O(d³) eigendecomposition (d is
+embedding width, 64–4096: trivial), and the projection back over the corpus
+is another narrow pass with the component matrix shipped in the UDF closure.
+The moments pass is map-only + one tiny d²-row aggregate exchange.
 
 This is how Spark MLlib's own PCA works internally (RowMatrix Gramian +
 local eigen); re-implemented here over the DataFrame/Arrow path so it works
@@ -28,9 +28,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _moment_flat(partials: DataFrame) -> DataFrame:
+    """JVM pre-combine of per-partition flat moment vectors: posexplode to
+    (pos, x) scalars, SUM per pos — map-side partial aggregation bounds each
+    shuffle-map task's output at len(m) rows, and the result is exactly one
+    row per vector position regardless of how many partitions contributed."""
+    return (
+        partials.select(F.posexplode("m").alias("_p", "_x"))
+        .groupBy("_p")
+        .agg(F.sum("_x").alias("_x"))
+    )
+
+
 def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> dict:
     """One corpus pass -> exact (n, mean[d], cov[d,d]) of the embedding
-    column.  Rows with NULL vectors are skipped; all arithmetic in float64."""
+    column.  Rows with NULL vectors are skipped; all arithmetic in float64.
+
+    Each partition emits ONE partial row holding the flat vector
+    ``[n, d, sum_0..sum_{d-1}, gram_00..gram_{d-1,d-1}]``; the partials are
+    then pre-combined JVM-SIDE — ``posexplode`` to (pos, x) scalars, SUM per
+    pos (map-side partial aggregation, so each shuffle-map task emits at
+    most d²+d+2 rows) — and the driver collects exactly d²+d+2 scalar rows
+    regardless of partition count.  The old shape collected one d²-array
+    row per partition (≈4.7 MB each at d=768: a driver OOM at 10^5+
+    partitions); this one is O(d²) flat."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
@@ -46,21 +67,25 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> dict:
             g = x.T @ x
             ss = g if ss is None else ss + g
         if n:
-            yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
-            )
+            d = s.shape[0]
+            m = np.concatenate(([float(n), float(d)], s, ss.ravel()))
+            yield pd.DataFrame({"m": [m.tolist()]})
 
-    rows = (
-        df.select(vec_col)
-        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
-        .collect()  # one row per non-empty partition — O(partitions * d^2)
-    )
-    if not rows:
+    flat = _moment_flat(
+        df.select(vec_col).mapInPandas(partials, "m array<double>")
+    ).collect()  # exactly d^2 + d + 2 scalar rows, partition-independent
+    if not flat:
         raise ValueError(f"no non-null vectors in column {vec_col!r}")
-    n = sum(r["n"] for r in rows)
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0)
-    d = s.shape[0]
+    vals = np.zeros(len(flat), dtype=np.float64)
+    for r in flat:
+        vals[r["_p"]] = r["_x"]
+    # element 0 summed across partials gives total n; d comes from the
+    # row-count identity len = d^2 + d + 2 (element 1 is d x #partials,
+    # kept only as a consistency sentinel)
+    d = int(round(math.sqrt(len(flat) - 1.75) - 0.5))
+    n = int(round(vals[0]))
+    s = vals[2 : 2 + d]
+    ss = vals[2 + d :]
     mean = s / n
     # unbiased covariance from raw second moments
     cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)

@@ -339,6 +339,28 @@ def quantize_embeddings(
     )
 
 
+def _combine_cell_partials(partials: DataFrame) -> DataFrame:
+    """JVM pre-combine of per-partition (cell, m[array]) partial rows:
+    element-wise sum per cell via posexplode -> SUM (map-side partial
+    aggregation, so each shuffle-map task emits <= cells x len(m) scalar
+    rows) -> pos-ordered array reassembly.  The result has EXACTLY one row
+    per distinct cell — what the driver collects is O(k), independent of
+    input partition count (the scale fix for the old
+    collect-one-row-per-partition shape)."""
+    return (
+        partials.select("cell", F.posexplode("m").alias("_p", "_x"))
+        .groupBy("cell", "_p")
+        .agg(F.sum("_x").alias("_x"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_x"))),
+                lambda t: t["_x"],
+            ).alias("m")
+        )
+    )
+
+
 def kmeans_refine(
     df: DataFrame,
     centroids: list[list[float]],
@@ -350,10 +372,14 @@ def kmeans_refine(
     """Lloyd's k-means refinement of IVF centroids (cosine assignment).
 
     Per iteration: one narrow assignment pass (``ivf_assign``, literal or
-    pandas path by k·dim), then the component-wise mean as a MAP-ONLY
-    numpy-partials pass: each partition accumulates per-cell (count, sum)
-    into a k x dim array and emits one partial row per non-empty cell —
-    no exchange at all; the driver combine is O(partitions x k x dim).
+    pandas path by k·dim), then the component-wise mean: each partition
+    accumulates per-cell (count, sum) into a k x dim array and emits one
+    partial row per non-empty cell, and the partials PRE-COMBINE JVM-SIDE
+    (posexplode -> map-side-combinable SUM per (cell, component) -> array
+    reassembly) so the driver collects EXACTLY one row per non-empty cell
+    — O(k x dim), independent of input partition count.  At 10^5-10^6
+    partitions the old driver-side combine was a collect of
+    partitions x cells rows; this shape caps driver transfer at k rows.
     A cell that attracts no vectors keeps its previous position.
     Early-exits when the largest per-component centroid movement drops
     below ``tol``.
@@ -386,29 +412,28 @@ def kmeans_refine(
             np.add.at(sums, cells, x)
         if d is not None:
             nz = np.nonzero(counts)[0]
+            # partial row = (cell, [count, sum_0..sum_d-1]): count rides as
+            # element 0 so ONE element-wise sum combines everything
             yield pd.DataFrame(
                 {
                     "cell": nz.astype("int32"),
-                    "n": counts[nz],
-                    "s": [sums[c].tolist() for c in nz],
+                    "m": [
+                        np.concatenate(([float(counts[c])], sums[c])).tolist()
+                        for c in nz
+                    ],
                 }
             )
 
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, id_col, vec_col)
-        partials = (
-            assigned.select(F.col("_ivf_cell"), F.col(vec_col).alias("_v"))
-            .mapInPandas(cell_partials, "cell int, n long, s array<double>")
-            .collect()  # O(partitions x non-empty cells) rows
-        )
-        acc: dict[int, tuple[int, list[float]]] = {}
-        for r in partials:
-            n0, s0 = acc.get(r["cell"], (0, None))
-            s = list(r["s"]) if s0 is None else [a + b for a, b in zip(s0, r["s"])]
-            acc[r["cell"]] = (n0 + r["n"], s)
+        partials = assigned.select(
+            F.col("_ivf_cell"), F.col(vec_col).alias("_v")
+        ).mapInPandas(cell_partials, "cell int, m array<double>")
+        combined = _combine_cell_partials(partials).collect()
         new = [list(c) for c in centroids]  # empty cells keep old position
-        for cell, (n, s) in acc.items():
-            new[cell] = [v / n for v in s]
+        for r in combined:
+            n = r["m"][0]
+            new[r["cell"]] = [v / n for v in r["m"][1:]]
         moved = max(
             (abs(a - b) for c_new, c_old in zip(new, centroids) for a, b in zip(c_new, c_old)),
             default=0.0,
@@ -420,10 +445,17 @@ def kmeans_refine(
 
 
 def seeded_centroids(df: DataFrame, num_cells: int, id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
-    """Deterministic cheap centroids: the vectors with the ``num_cells``
-    smallest ids (a fixed sample; swap for k-means offline when cell balance
-    matters).  One tiny ordered take — no full-corpus collect."""
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(num_cells).collect()
+    """Deterministic cheap centroids: a hash-ordered sample of ``num_cells``
+    vectors — ordering by ``md5(id)`` (id as tie-break) decorrelates the
+    seed set from id order, which the k-smallest-ids take was biased by
+    whenever ids correlate with content (e.g. time-ordered ingest).  Same
+    cost either way: one ``TakeOrderedAndProject``, no full-corpus collect."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(num_cells)
+        .collect()
+    )
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
@@ -584,8 +616,12 @@ def semantic_dedup(
     higher-order dot per candidate pair — measured ~100x slower than the
     matmul on 200k vectors.  ``num_cells`` must grow with the corpus
     (target cells of O(10^3-10^4) vectors); cells beyond ``max_cell_size``
-    degrade to hub-and-spoke edges (O(k) per cell, connectivity only), the
-    same bounded policy as the MinHash/SRP hot-bucket caps, so no unbounded
+    degrade to SCORED hub-and-spoke edges — one O(n·d) matvec against the
+    hub (min-id) vector, keeping only edges whose rounded cosine clears
+    ``threshold`` — so a hot cell stays O(n) edges without the failure mode
+    of collapsing every member into one family regardless of similarity.
+    (Members similar to each other but not to the hub go un-linked in this
+    degraded mode — a recall trade, never silent data loss.)  No unbounded
     all-pairs stage exists at any input."""
     from .dedup import connected_components
 
@@ -608,10 +644,6 @@ def semantic_dedup(
             return empty
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
-        if n > max_cell_size:
-            # hot cell: hub-and-spoke to the min id — O(n) edges, components
-            # still collapse the family
-            return pd.DataFrame({"id_a": np.repeat(ids[0], n - 1), "id_b": ids[1:]})
         dim = next(
             (len(v) for v in pdf[vec_col] if v is not None), 0
         )
@@ -622,6 +654,16 @@ def semantic_dedup(
         norms = np.linalg.norm(x, axis=1)
         norms[norms == 0] = np.inf  # zero/NULL vectors match nothing
         xn = x / norms[:, None]
+        if n > max_cell_size:
+            # hot cell: hub-and-spoke to the min id, SCORED — one O(n·d)
+            # matvec against the hub vector, threshold-filtered so only
+            # genuine near-dups of the hub link (an unscored star here
+            # would drop every member of the cell as a "duplicate")
+            s = np.round(xn[1:] @ xn[0], 6)
+            keep = s >= threshold
+            return pd.DataFrame(
+                {"id_a": np.repeat(ids[0], int(keep.sum())), "id_b": ids[1:][keep]}
+            )
         out_a, out_b = [], []
         for i0 in range(0, n, block):
             s = xn[i0 : i0 + block] @ xn.T  # (block, n)

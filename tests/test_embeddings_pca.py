@@ -30,6 +30,39 @@ def test_moments_partition_invariant(vec_df):
     np.testing.assert_allclose(a["cov"], b["cov"], atol=1e-9)
 
 
+def test_moments_driver_rows_partition_independent(vec_df):
+    # the JVM pre-combine must hand the driver exactly d^2+d+2 scalar rows
+    # (d=8 -> 74), never one d^2-array row per partition
+    import pandas as pd
+
+    df, _ = vec_df
+
+    def partials(batches):
+        import numpy as np
+
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            vecs = [v for v in pdf["embedding"] if v is not None]
+            if not vecs:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            d = s.shape[0]
+            yield pd.DataFrame(
+                {"m": [np.concatenate(([float(n), float(d)], s, ss.ravel())).tolist()]}
+            )
+
+    for parts in (1, 13):
+        p = df.repartition(parts).select("embedding").mapInPandas(
+            partials, "m array<double>"
+        )
+        assert E._moment_flat(p).count() == 8 * 8 + 8 + 2
+
+
 def test_pca_fit_matches_numpy(vec_df):
     df, x = vec_df
     model = E.pca_fit(df, k=4)

@@ -413,12 +413,77 @@ def test_semantic_dedup_planted_families(spark):
     # one survivor (the min id) per family: 0, 4, 9; all singletons kept
     assert ids == [0, 4, 9] + list(range(first_singleton, nid))
     assert kept.columns == df.columns
-    # hot-cell cap: hub-and-spoke edges still collapse each family
+    # hot-cell cap: SCORED hub-and-spoke — family members still collapse
+    # (cosine-to-hub >= threshold), but dissimilar rows sharing a hot cell
+    # must NOT be dropped (the unscored star would have lost every one)
     kept_capped = semantic_dedup(
         df, num_cells=4, threshold=0.99, kmeans_iters=2, max_cell_size=3
     )
     capped_ids = {r["vec_id"] for r in kept_capped.select("vec_id").collect()}
     assert {0, 4, 9} <= capped_ids
+    # every singleton survives even when its cell is hot
+    assert set(range(first_singleton, nid)) <= capped_ids
+
+
+def test_semantic_dedup_hot_cell_keeps_dissimilar_rows(spark):
+    # ONE cell (num_cells=1) far over the cap, containing two tight planted
+    # families and dissimilar singletons: the scored hub must drop exactly
+    # the near-dups of the hub, never the unrelated rows
+    import numpy as np
+
+    from hive2es_offline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=12)
+    rows = [(i, (base + rng.normal(scale=1e-4, size=12)).tolist()) for i in range(6)]
+    rows += [(10 + i, rng.normal(size=12).tolist()) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(
+        df, num_cells=1, threshold=0.99, kmeans_iters=1, max_cell_size=4
+    )
+    ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    # hub = min id 0; rows 1-5 are its near-dups (dropped); singletons kept
+    assert ids == [0] + [10 + i for i in range(8)]
+
+
+def test_kmeans_combine_driver_rows_partition_independent(spark):
+    # the pre-combine must hand the driver one row per non-empty cell,
+    # never one per partition (the 100 TB driver-OOM shape)
+    import numpy as np
+
+    from hive2es_offline_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=6).tolist()) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [rng.normal(size=6).tolist() for _ in range(4)]
+    for parts in (1, 17):
+        assigned = similarity.ivf_assign(df.repartition(parts), cents)
+        partials = assigned.selectExpr("_ivf_cell as cell", "embedding as _v")
+        # rebuild the same partial shape kmeans_refine emits
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        def mk(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                g = {}
+                for c, v in zip(pdf["cell"], pdf["_v"]):
+                    n, s = g.get(c, (0, np.zeros(6)))
+                    g[c] = (n + 1, s + np.asarray(v))
+                yield pd.DataFrame(
+                    {
+                        "cell": list(g),
+                        "m": [np.concatenate(([float(n)], s)).tolist() for n, s in g.values()],
+                    }
+                )
+
+        p = partials.mapInPandas(mk, "cell int, m array<double>")
+        combined = similarity._combine_cell_partials(p)
+        assert combined.count() <= 4  # <= k rows regardless of partitioning
 
 
 def test_ivf_assign_pandas_matches_literal(spark):
