@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = (
-    "doc_id long, n_bytes int, sha1 string, width int, height int, format string"
+    "doc_id long, n_bytes int, sha1 string, width int, height int, "
+    "format string, decode_status string"
 )
 
 
@@ -440,12 +441,24 @@ def encode_gif(frames, delay_cs: int = 10, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+#: valid ``on_undecodable`` policies for the pixel/meta operators
+_UNDECODABLE_POLICIES = ("null", "fake", "raise")
+
+
+def _check_policy(on_undecodable: str) -> None:
+    if on_undecodable not in _UNDECODABLE_POLICIES:
+        raise ValueError(
+            f"on_undecodable must be one of {_UNDECODABLE_POLICIES}, "
+            f"got {on_undecodable!r}"
+        )
+
+
 def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
     """Decode with REAL header parsing for PNG/JPEG/GIF (see
     ``parse_image_header``); unrecognized payloads fall back to a
     deterministic stand-in whose dimensions derive from the content hash so
-    tests are stable.  Only the fallback is fake — swap it for
-    ``raise NotImplementedError`` if strict behavior is wanted.
+    tests are stable.  Reached only under ``on_undecodable="fake"`` — the
+    default policy ("null") never fabricates values.
     """
     sha = hashlib.sha1(payload).hexdigest()
     parsed = parse_image_header(payload)
@@ -457,54 +470,103 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
     return sha, width, height, fmt
 
 
-def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+def decode_image_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_undecodable: str = "null",
+) -> DataFrame:
     """Arrow-batched decode: binary payload -> typed metadata row.
 
     The canonical multimodal operator shape — header metadata (PNG/JPEG/GIF
-    dimensions) is parsed for real from the binary bytes; only unrecognized
-    formats fall back to the deterministic stub.
+    dimensions) is parsed for real from the binary bytes.  Unrecognized
+    formats follow ``on_undecodable``: ``"null"`` (default) emits NULL
+    width/height/format plus a ``decode_status`` reason, so fabricated
+    metadata can never silently flow downstream; ``"fake"`` opts into the
+    deterministic content-hash stand-in (status ``"fake"``); ``"raise"``
+    fails the job on the first unrecognized payload.
     """
+    _check_policy(on_undecodable)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            widths, heights, fmts, status = [], [], [], []
+            for p in pdf[payload_col]:
+                raw = bytes(p)
+                parsed = parse_image_header(raw)
+                if parsed is not None:
+                    widths.append(parsed[0])
+                    heights.append(parsed[1])
+                    fmts.append(parsed[2])
+                    status.append("ok")
+                elif on_undecodable == "fake":
+                    _, w, h, f = _fake_decode(raw)
+                    widths.append(w)
+                    heights.append(h)
+                    fmts.append(f)
+                    status.append("fake")
+                elif on_undecodable == "raise":
+                    raise NotImplementedError(
+                        "unrecognized image payload (no PNG/JPEG/GIF header); "
+                        "on_undecodable='raise' requested strict behavior"
+                    )
+                else:
+                    widths.append(None)
+                    heights.append(None)
+                    fmts.append(None)
+                    status.append("undecodable")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
-                    "sha1": [m[0] for m in metas],
-                    "width": [m[1] for m in metas],
-                    "height": [m[2] for m in metas],
-                    "format": [m[3] for m in metas],
+                    "sha1": [hashlib.sha1(bytes(p)).hexdigest() for p in pdf[payload_col]],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "format": fmts,
+                    "decode_status": status,
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
-FEATURE_SCHEMA = "doc_id long, feature array<float>"
+FEATURE_SCHEMA = "doc_id long, feature array<float>, decode_status string"
 
 
 def extract_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", dim: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    dim: int = 16,
+    on_undecodable: str = "null",
 ) -> DataFrame:
     """Binary payload -> dense feature vector (Arrow-batched).
 
     For PNG payloads the histogram is computed over REAL decoded pixel
     values (``decode_png_pixels``) and for GIFs over every decoded frame
-    (``decode_gif_frames``); remaining payloads (JPEG, unknown) get the
-    deterministic byte-histogram stand-in (a production featurizer calls a
-    vision/audio model on the decoded tensor).  Output shape matches the
-    ``embeddings`` table convention (``array<float>``) so the similarity
-    operators compose directly: decode -> features -> ``cosine_topk`` /
-    ``cosine_self_pairs``.
+    (``decode_gif_frames``).  Payloads with no pixel decoder (JPEG, WebP,
+    unknown) follow ``on_undecodable``: ``"null"`` (default) emits a NULL
+    feature plus a ``decode_status`` reason — a quality filter computed on
+    fabricated pixels is garbage, so fakes must be asked for, never
+    defaulted into; ``"fake"`` opts into the deterministic byte-histogram
+    stand-in (status ``"fake"``); ``"raise"`` fails the job.  Output shape
+    matches the ``embeddings`` table convention (``array<float>``) so the
+    similarity operators compose directly: decode -> features ->
+    ``cosine_topk`` / ``cosine_self_pairs``.
     """
+    _check_policy(on_undecodable)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def hist_of(arr):
+            if len(arr) == 0:
+                return [0.0] * dim
+            h = np.bincount(arr % dim, minlength=dim).astype("float32")
+            return (h / max(len(arr), 1)).tolist()
+
         for pdf in batches:
-            feats = []
+            feats, status = [], []
             for p in pdf[payload_col]:
                 raw = bytes(p)
                 pixels = decode_png_pixels(raw)
@@ -512,22 +574,34 @@ def extract_features(
                     gif = decode_gif_frames(raw)
                     if gif is not None:
                         pixels = np.concatenate([f.reshape(-1) for f in gif])
-                arr = (
-                    pixels.reshape(-1)
-                    if pixels is not None
-                    else np.frombuffer(raw, dtype=np.uint8)
-                )
-                if len(arr) == 0:
-                    feats.append([0.0] * dim)
-                    continue
-                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
-                feats.append((hist / max(len(arr), 1)).tolist())
-            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "feature": feats})
+                if pixels is not None:
+                    feats.append(hist_of(pixels.reshape(-1)))
+                    status.append("ok")
+                elif on_undecodable == "fake":
+                    feats.append(hist_of(np.frombuffer(raw, dtype=np.uint8)))
+                    status.append("fake")
+                elif on_undecodable == "raise":
+                    raise NotImplementedError(
+                        "no pixel decoder for payload (JPEG/WebP/unknown); "
+                        "on_undecodable='raise' requested strict behavior"
+                    )
+                else:
+                    feats.append(None)
+                    status.append("undecodable")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "feature": feats,
+                    "decode_status": status,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(featurize, FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, payload binary, decode_status string"
+)
 
 
 def resize_images(
@@ -536,6 +610,7 @@ def resize_images(
     target_h: int,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    on_undecodable: str = "null",
 ) -> DataFrame:
     """Binary image -> resized binary image (Arrow-batched).
 
@@ -543,11 +618,13 @@ def resize_images(
     nearest-neighbor resample (numpy index grid) -> re-encode
     (``encode_png``), so the output is a valid PNG at the target size.
     GIFs resize every frame and re-encode as GIF (``decode_gif_frames`` /
-    ``encode_gif``) — format-preserving, animation included.  Remaining
-    formats (JPEG, unknown) fall back to the byte-budget stub (a
-    production path swaps in PIL/opencv); raise ``NotImplementedError``
-    there instead if silent fakes are unacceptable.
+    ``encode_gif``) — format-preserving, animation included.  Formats with
+    no pixel decoder (JPEG, unknown) follow ``on_undecodable``: ``"null"``
+    (default) emits a NULL payload plus a ``decode_status`` reason;
+    ``"fake"`` opts into the byte-budget stub (status ``"fake"``; a
+    production path swaps in PIL/opencv); ``"raise"`` fails the job.
     """
+    _check_policy(on_undecodable)
     budget = target_w * target_h
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -560,24 +637,36 @@ def resize_images(
             return pixels[ys][:, xs]
 
         for pdf in batches:
-            out = []
+            out, status = [], []
             for p in pdf[payload_col]:
                 raw = bytes(p)
                 pixels = decode_png_pixels(raw)
                 if pixels is not None:
                     out.append(encode_png(resample(pixels)))
+                    status.append("ok")
                     continue
                 gif = decode_gif_frames(raw)
                 if gif is not None:
                     out.append(encode_gif([resample(f) for f in gif]))
-                else:
+                    status.append("ok")
+                elif on_undecodable == "fake":
                     out.append(raw[:budget].ljust(budget, b"\0"))
+                    status.append("fake")
+                elif on_undecodable == "raise":
+                    raise NotImplementedError(
+                        "no pixel decoder for payload (JPEG/unknown); "
+                        "on_undecodable='raise' requested strict behavior"
+                    )
+                else:
+                    out.append(None)
+                    status.append("undecodable")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "width": target_w,
                     "height": target_h,
                     "payload": out,
+                    "decode_status": status,
                 }
             )
 

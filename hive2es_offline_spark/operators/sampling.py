@@ -195,9 +195,14 @@ def quantile_filter(
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
     p = 1.0 - keep_frac
-    fn = "percentile" if exact else "approx_percentile"
-    args = f"{score_col}, {p!r}" + ("" if exact else f", {accuracy}")
-    thr = df.select(F.expr(f"{fn}({args})").alias("t")).first()["t"]
+    # Column API, not f-string SQL: survives column names needing backticks
+    # (dots/spaces/hyphens) and matches the Column style used everywhere else
+    agg = (
+        F.percentile(F.col(score_col), F.lit(p))
+        if exact
+        else F.percentile_approx(F.col(score_col), F.lit(p), F.lit(accuracy))
+    )
+    thr = df.select(agg.alias("t")).first()["t"]
     if thr is None:  # empty input or all-NULL scores
         return df.where(F.lit(False))
     return df.where(F.col(score_col) >= F.lit(thr))

@@ -483,7 +483,15 @@ def hash_embed(
     per-(doc, bucket) counts (map-side combined) -> dense vector assembled
     from a bucket->count map.  Two keyed shuffles, both on O(docs x
     distinct-buckets) rows — never a Python hop.  ``l2_normalize=True``
-    yields unit vectors so downstream cosine is a plain dot."""
+    yields unit vectors so downstream cosine is a plain dot.
+
+    Row-preservation contract: EVERY distinct input id appears in the
+    output — docs with NULL/empty text get the zero vector (explode drops
+    their token rows, so the vectors left-join back onto the distinct ids;
+    both sides hash on the id, no extra exchange).  Pipelines that
+    inner-join the result back onto the corpus must not silently lose
+    token-less docs."""
+    base = df.select(F.col(id_col).alias("_did")).distinct()
     counts = (
         df.select(F.col(id_col).alias("_did"), tokens(F.col(text_col)).alias("_t"))
         .select("_did", F.explode("_t").alias("_tok"))
@@ -492,13 +500,19 @@ def hash_embed(
         .agg(F.count(F.lit(1)).cast("double").alias("_c"))
     )
     vec = (
-        counts.groupBy("_did")
-        .agg(F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m"))
+        base.join(
+            counts.groupBy("_did").agg(
+                F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m")
+            ),
+            "_did",
+            "left",
+        )
         .select(
             F.col("_did").alias(id_col),
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                # map lookup by KEY (the bucket id), not array position
+                # map lookup by KEY (the bucket id), not array position;
+                # a NULL map (token-less doc) coalesces to the zero vector
                 lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0.0)),
             ).alias("embedding"),
         )

@@ -18,9 +18,11 @@ tar framing is genuinely imperative.
 Deployment caveat (tar writer): tasks open ``path`` with the local
 ``tarfile``/``os`` API, so on a multi-node cluster ``path`` MUST be a
 shared mount (NFS/FUSE-mounted object store) — unlike the JSONL writer,
-which goes through Hadoop's filesystem layer and accepts any hdfs/s3a URI.
-The JSONL ``_finalize`` rename is atomic on posix and HDFS; on S3-like
-stores pair it with a committer or treat the manifest as the commit marker.
+whose data AND manifest/publish steps all go through Hadoop's filesystem
+layer (``_finalize`` resolves the scheme's FileSystem via the JVM), so any
+hdfs/s3a URI works end-to-end.  The publish rename is atomic on posix and
+HDFS; on S3-like stores pair it with a committer or treat the manifest as
+the commit marker.
 """
 
 from __future__ import annotations
@@ -36,7 +38,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _finalize(staging: str, dest: str, manifest: dict, overwrite: bool) -> dict:
+def _finalize(
+    staging: str, dest: str, manifest: dict, overwrite: bool, spark=None
+) -> dict:
+    """Write the manifest into ``staging`` and publish staging -> dest.
+
+    With a ``spark`` session the whole step goes through the Hadoop
+    FileSystem resolved from the path's scheme (hdfs://, s3a://, file:/...),
+    so the writer's any-URI contract holds for the publish too; without one
+    (tar writer: local/shared-posix only by design) it uses the local
+    ``os`` API."""
+    if spark is not None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(staging)
+        dst = jvm.org.apache.hadoop.fs.Path(dest)
+        fs = src.getFileSystem(conf)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(src, "_MANIFEST.json"), True)
+        try:
+            out.write(bytearray(json.dumps(manifest, indent=2, sort_keys=True).encode()))
+        finally:
+            out.close()
+        if overwrite and fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):  # atomic on posix/HDFS-like filesystems
+            raise IOError(f"publish rename failed: {staging} -> {dest}")
+        return manifest
     with open(os.path.join(staging, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     if overwrite and os.path.exists(dest):
@@ -88,7 +115,7 @@ def write_jsonl(
         "row_count": sum(counts.values()),
         "shard_counts": counts,
     }
-    return _finalize(staging, dest, manifest, overwrite)
+    return _finalize(staging, dest, manifest, overwrite, spark=spark)
 
 
 def read_jsonl(spark, path: str, schema=None) -> DataFrame:

@@ -66,6 +66,33 @@ def read_manifest(root: str, version: int | None = None) -> dict | None:
         return json.load(f)
 
 
+def _claim_version(root: str, version: int) -> None:
+    """O_EXCL claim of ``v{version}.json`` BEFORE any data is written
+    (single-writer semantics): two concurrent writers that both read
+    version N race to claim v{N+1} — the loser gets EEXIST and fails
+    loudly before its parquet overwrite could clobber the winner's data
+    dir, so the winner's committed rows are never silently discarded at
+    the CURRENT swap.  A crashed claimant leaves an empty v{N}.json that
+    blocks the next writer with this same error — delete the orphaned
+    claim (no CURRENT.json points at it) to recover."""
+    os.makedirs(_versions_dir(root), exist_ok=True)
+    try:
+        os.close(
+            os.open(
+                os.path.join(_versions_dir(root), f"v{version}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                0o644,
+            )
+        )
+    except FileExistsError:
+        raise RuntimeError(
+            f"snapshot version v{version} already claimed under {root}: "
+            "a concurrent writer won the race (or a crashed one left an "
+            "orphaned claim) — re-read the manifest and retry on top of "
+            "the new version"
+        ) from None
+
+
 def _publish(root: str, manifest: dict) -> dict:
     os.makedirs(_versions_dir(root), exist_ok=True)
     v = manifest["version"]
@@ -117,6 +144,7 @@ def upsert_snapshot(
     published manifest."""
     prev = read_manifest(root)
     version = (prev["version"] + 1 if prev else 1)
+    _claim_version(root, version)  # fail loudly BEFORE writing any data
     vdir = os.path.join(root, f"v{version}")
     pcol = partition_col or _NO_PART
 
@@ -185,6 +213,7 @@ def compact_snapshot(
         raise FileNotFoundError(f"no snapshot published under {root}")
     df = read_snapshot(spark, root)
     version = m["version"] + 1
+    _claim_version(root, version)  # fail loudly BEFORE writing any data
     vdir = os.path.join(root, f"v{version}")
     pcol = partition_col or m["partition_col"]
     if pcol is None:

@@ -16,27 +16,70 @@ def _payloads(spark):
 
 
 def test_extract_features_shape_and_determinism(spark):
+    # synthetic (non-image) payloads: the fake byte-histogram path must be
+    # OPTED INTO — these tests exercise the batch plumbing, not real pixels
     p = _payloads(spark)
-    feats = {r["doc_id"]: r["feature"] for r in multimodal.extract_features(p, dim=16).collect()}
+    feats = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.extract_features(p, dim=16, on_undecodable="fake").collect()
+    }
     assert all(len(v) == 16 for v in feats.values())
     assert abs(sum(feats[1]) - 1.0) < 1e-5  # normalized histogram
     assert feats[3] == [0.0] * 16  # empty payload
-    again = {r["doc_id"]: r["feature"] for r in multimodal.extract_features(p, dim=16).collect()}
+    again = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.extract_features(p, dim=16, on_undecodable="fake").collect()
+    }
     assert feats == again
+
+
+def test_extract_features_null_by_default_for_undecodable(spark):
+    # a payload with no pixel decoder (JPEG/unknown bytes) must yield NULL
+    # features under the default policy — fabricated pixels only on request
+    import pytest
+
+    p = _payloads(spark)
+    rows = {r["doc_id"]: r for r in multimodal.extract_features(p, dim=16).collect()}
+    assert all(r["feature"] is None for r in rows.values())
+    assert all(r["decode_status"] == "undecodable" for r in rows.values())
+    faked = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(p, dim=16, on_undecodable="fake").collect()
+    }
+    assert all(r["feature"] is not None and r["decode_status"] == "fake"
+               for r in faked.values())
+    with pytest.raises(Exception, match="strict behavior"):
+        multimodal.extract_features(p, dim=16, on_undecodable="raise").collect()
+    with pytest.raises(ValueError, match="on_undecodable"):
+        multimodal.extract_features(p, on_undecodable="bogus")
 
 
 def test_features_compose_with_similarity(spark):
     p = _payloads(spark)
-    feats = multimodal.extract_features(p, dim=16).withColumnRenamed("feature", "embedding")
+    feats = (
+        multimodal.extract_features(p, dim=16, on_undecodable="fake")
+        .withColumnRenamed("feature", "embedding")
+    )
     qvec = [float(x) for x in feats.where("doc_id = 1").first()["embedding"]]
     top = similarity.cosine_topk(feats, qvec, k=2, id_col="doc_id")
     assert top.first()["doc_id"] == 1  # self is the best match
 
 
 def test_resize_respects_budget(spark):
-    out = {r["doc_id"]: r for r in multimodal.resize_images(_payloads(spark), 8, 4).collect()}
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_images(
+            _payloads(spark), 8, 4, on_undecodable="fake"
+        ).collect()
+    }
     assert all(len(bytes(r["payload"])) == 32 for r in out.values())
     assert out[2]["width"] == 8 and out[2]["height"] == 4
+
+
+def test_resize_null_by_default_for_undecodable(spark):
+    out = {r["doc_id"]: r for r in multimodal.resize_images(_payloads(spark), 8, 4).collect()}
+    assert all(r["payload"] is None for r in out.values())
+    assert all(r["decode_status"] == "undecodable" for r in out.values())
 
 
 def test_sample_frames_one_to_n(spark):
@@ -149,8 +192,17 @@ def test_decode_image_meta_real_png_through_spark(spark):
     out = {r["doc_id"]: r for r in multimodal.decode_image_meta(df).collect()}
     assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (32, 16, "png")
     assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (100, 50, "jpeg")
-    assert out[3]["format"] in ("png", "jpeg", "webp")  # deterministic fallback
+    assert out[1]["decode_status"] == "ok" and out[2]["decode_status"] == "ok"
+    # unrecognized format: NULL metadata by default, never fabricated
+    assert out[3]["format"] is None and out[3]["width"] is None
+    assert out[3]["decode_status"] == "undecodable"
     assert out[1]["n_bytes"] == len(png)
+    faked = {
+        r["doc_id"]: r
+        for r in multimodal.decode_image_meta(df, on_undecodable="fake").collect()
+    }
+    assert faked[3]["format"] in ("png", "jpeg", "webp")  # deterministic stand-in
+    assert faked[3]["decode_status"] == "fake"
 
 
 def test_png_codec_roundtrip_all_filters():

@@ -79,3 +79,19 @@ def test_compact_collapses_versions(spark, tmp_path):
 def test_read_missing_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         S.read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_concurrent_upsert_loses_race_loudly(spark, tmp_path):
+    # single-writer guard: a second writer targeting an already-claimed
+    # version must fail BEFORE writing data, never clobber the winner
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    S.upsert_snapshot(spark, root, _batch(spark, [(1, "a", "x")]), ["id"])
+    # simulate a concurrent winner that already claimed/committed v2
+    with open(os.path.join(root, "_VERSIONS", "v2.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="already claimed"):
+        S.upsert_snapshot(spark, root, _batch(spark, [(2, "b", "y")]), ["id"])
+    # winner's v1 data untouched and still live
+    got = {r["id"]: r["val"] for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "x"}

@@ -229,3 +229,18 @@ def test_hash_embed_feeds_embedding_operators(spark):
     }
     assert sims[(1, 2)] == 1.0
     assert sims[(1, 3)] < 0.5
+
+
+def test_hash_embed_preserves_null_text_rows(spark):
+    # row-preservation contract: NULL/empty-text docs must appear in the
+    # output with a zero vector, not vanish through the token explode
+    from hive2es_offline_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed(df, "doc_id", dim=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(v == 0.0 for v in out[2])
+    assert all(v == 0.0 for v in out[3])
