@@ -542,10 +542,11 @@ def extract_features(
 ) -> DataFrame:
     """Binary payload -> dense feature vector (Arrow-batched).
 
-    For PNG payloads the histogram is computed over REAL decoded pixel
-    values (``decode_png_pixels``) and for GIFs over every decoded frame
-    (``decode_gif_frames``).  Payloads with no pixel decoder (JPEG, WebP,
-    unknown) follow ``on_undecodable``: ``"null"`` (default) emits a NULL
+    The histogram is computed over REAL decoded pixel values for PNG
+    (``decode_png_pixels``), GIF (every frame, ``decode_gif_frames``) and
+    baseline JPEG (``jpeg.decode_jpeg_pixels`` — stdlib+numpy ITU-T T.81).
+    Payloads with no pixel decoder (progressive JPEG, WebP, unknown)
+    follow ``on_undecodable``: ``"null"`` (default) emits a NULL
     feature plus a ``decode_status`` reason — a quality filter computed on
     fabricated pixels is garbage, so fakes must be asked for, never
     defaulted into; ``"fake"`` opts into the deterministic byte-histogram
@@ -565,6 +566,8 @@ def extract_features(
             h = np.bincount(arr % dim, minlength=dim).astype("float32")
             return (h / max(len(arr), 1)).tolist()
 
+        from .jpeg import decode_jpeg_pixels
+
         for pdf in batches:
             feats, status = [], []
             for p in pdf[payload_col]:
@@ -574,6 +577,8 @@ def extract_features(
                     gif = decode_gif_frames(raw)
                     if gif is not None:
                         pixels = np.concatenate([f.reshape(-1) for f in gif])
+                if pixels is None:
+                    pixels = decode_jpeg_pixels(raw)  # REAL baseline decoder
                 if pixels is not None:
                     feats.append(hist_of(pixels.reshape(-1)))
                     status.append("ok")
@@ -618,8 +623,11 @@ def resize_images(
     nearest-neighbor resample (numpy index grid) -> re-encode
     (``encode_png``), so the output is a valid PNG at the target size.
     GIFs resize every frame and re-encode as GIF (``decode_gif_frames`` /
-    ``encode_gif``) — format-preserving, animation included.  Formats with
-    no pixel decoder (JPEG, unknown) follow ``on_undecodable``: ``"null"``
+    ``encode_gif``) — format-preserving, animation included.  Baseline
+    JPEGs decode/resample/re-encode through the real codec
+    (``jpeg.decode_jpeg_pixels`` / ``jpeg.encode_jpeg``).  Formats with no
+    pixel decoder (progressive JPEG, WebP, unknown) follow
+    ``on_undecodable``: ``"null"``
     (default) emits a NULL payload plus a ``decode_status`` reason;
     ``"fake"`` opts into the byte-budget stub (status ``"fake"``; a
     production path swaps in PIL/opencv); ``"raise"`` fails the job.
@@ -636,6 +644,8 @@ def resize_images(
             xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
             return pixels[ys][:, xs]
 
+        from .jpeg import decode_jpeg_pixels, encode_jpeg
+
         for pdf in batches:
             out, status = [], []
             for p in pdf[payload_col]:
@@ -646,8 +656,13 @@ def resize_images(
                     status.append("ok")
                     continue
                 gif = decode_gif_frames(raw)
+                jpg = None if gif is not None else decode_jpeg_pixels(raw)
                 if gif is not None:
                     out.append(encode_gif([resample(f) for f in gif]))
+                    status.append("ok")
+                elif jpg is not None:
+                    # format-preserving: decode -> resample -> re-encode JPEG
+                    out.append(encode_jpeg(resample(jpg)))
                     status.append("ok")
                 elif on_undecodable == "fake":
                     out.append(raw[:budget].ljust(budget, b"\0"))

@@ -486,11 +486,12 @@ def hash_embed(
     yields unit vectors so downstream cosine is a plain dot.
 
     Row-preservation contract: EVERY distinct input id appears in the
-    output — docs with NULL/empty text get the zero vector (explode drops
-    their token rows, so the vectors left-join back onto the distinct ids;
-    both sides hash on the id, no extra exchange).  Pipelines that
-    inner-join the result back onto the corpus must not silently lose
-    token-less docs."""
+    output — docs with NULL text get the zero vector (explode drops their
+    token rows, so the vectors left-join back onto the distinct ids; both
+    sides hash on the id, no extra exchange).  Empty text tokenizes to
+    ``[""]`` (split semantics shared with the DuckDB oracles) and so gets
+    the one-hot ''-token vector.  Pipelines that inner-join the result
+    back onto the corpus must not silently lose token-less docs."""
     base = df.select(F.col(id_col).alias("_did")).distinct()
     counts = (
         df.select(F.col(id_col).alias("_did"), tokens(F.col(text_col)).alias("_t"))

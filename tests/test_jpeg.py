@@ -1,0 +1,99 @@
+"""Baseline JPEG codec: analytic fixtures + round-trips + Spark integration.
+
+Solid-color images are DC-only and must decode EXACTLY (independent of any
+shared DCT-convention bug between encoder and decoder); gradients bound the
+quantization error; 4:2:0 and restart intervals exercise the decoder's
+dominant real-world paths.
+"""
+
+import numpy as np
+import pytest
+
+from hive2es_offline_spark.operators import multimodal
+from hive2es_offline_spark.operators.jpeg import (
+    _C,
+    decode_jpeg_pixels,
+    encode_jpeg,
+)
+
+
+def test_dct_matrix_is_orthonormal_and_matches_definition():
+    # independent derivation of DCT-II: a(u) cos((2x+1)u pi / 16)
+    ref = np.empty((8, 8))
+    for u in range(8):
+        a = np.sqrt(0.125) if u == 0 else np.sqrt(0.25)
+        for x in range(8):
+            ref[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    np.testing.assert_allclose(_C, ref, atol=1e-12)
+    np.testing.assert_allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+@pytest.mark.parametrize("v", [0, 16, 128, 200, 255])
+def test_solid_color_roundtrip_exact(v):
+    img = np.full((16, 24, 3), v, np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img))
+    assert dec is not None and dec.shape == (16, 24, 3)
+    assert int(np.abs(dec.astype(int) - int(v)).max()) <= 1  # clip boundary
+
+
+def test_solid_gray_128_bit_exact():
+    # 128 level-shifts to all-zero coefficients: must be EXACT end to end
+    img = np.full((24, 24, 3), 128, np.uint8)
+    assert np.array_equal(decode_jpeg_pixels(encode_jpeg(img)), img)
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("restart_interval", [0, 3])
+def test_gradient_roundtrip_all_paths(subsampling, restart_interval):
+    img = np.linspace(0, 255, 33 * 41 * 3).reshape(33, 41, 3).astype(np.uint8)
+    enc = encode_jpeg(img, subsampling=subsampling, restart_interval=restart_interval)
+    dec = decode_jpeg_pixels(enc)
+    assert dec is not None and dec.shape == img.shape  # non-MCU-aligned dims crop
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 8  # quantization-level error
+
+
+def test_solid_420_with_restarts_exact():
+    img = np.full((40, 24, 3), 200, np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, subsampling="420", restart_interval=2))
+    assert int(np.abs(dec.astype(int) - 200).max()) == 0
+
+
+def test_rejects_non_jpeg_and_progressive():
+    assert decode_jpeg_pixels(b"not an image") is None
+    assert decode_jpeg_pixels(b"") is None
+    # flip SOF0 (C0) to SOF2 (C2 = progressive): must refuse, not garble
+    enc = bytearray(encode_jpeg(np.full((8, 8, 3), 99, np.uint8)))
+    i = enc.find(b"\xFF\xC0")
+    enc[i + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(enc)) is None
+
+
+def test_extract_features_uses_real_jpeg_pixels(spark):
+    # a solid-color JPEG's pixel histogram concentrates on one bucket —
+    # the byte-histogram fake could never produce this
+    img = np.full((16, 16, 3), 77, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img)))], "doc_id long, payload binary"
+    )
+    row = multimodal.extract_features(df, dim=16).first()
+    assert row["decode_status"] == "ok"
+    feat = np.asarray(row["feature"])
+    # every decoded pixel shares one value (+-1 quantization), so the
+    # histogram concentrates on one bucket — the byte-histogram fake over
+    # an entropy-coded stream could never produce this
+    assert feat.max() > 0.99
+    dec_val = int(decode_jpeg_pixels(encode_jpeg(img))[0, 0, 0])
+    assert feat[dec_val % 16] == feat.max()
+
+
+def test_resize_jpeg_is_format_preserving(spark):
+    img = np.full((32, 16, 3), 150, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img)))], "doc_id long, payload binary"
+    )
+    row = multimodal.resize_images(df, 8, 8).first()
+    assert row["decode_status"] == "ok"
+    out = decode_jpeg_pixels(bytes(row["payload"]))  # output is a VALID jpeg
+    assert out is not None and out.shape == (8, 8, 3)
+    assert int(np.abs(out.astype(int) - 150).max()) <= 1

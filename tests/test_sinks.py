@@ -80,12 +80,17 @@ def test_multimodal_decode_plumbing(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "another doc")], "doc_id long, text string"
     )
-    meta = multimodal.decode_image_meta(multimodal.with_binary_payload(df))
-    rows = {r["doc_id"]: r for r in meta.collect()}
+    payloads = multimodal.with_binary_payload(df)
+    rows = {r["doc_id"]: r for r in multimodal.decode_image_meta(payloads).collect()}
     assert rows[1]["n_bytes"] == len(b"hello world")
-    assert rows[1]["width"] >= 64 and rows[1]["height"] >= 64
-    assert rows[1]["format"] in ("png", "jpeg", "webp")
-    # deterministic fake: same payload -> same meta
+    # default policy: non-image payloads yield NULL metadata, never fakes
+    assert rows[1]["width"] is None and rows[1]["format"] is None
+    assert rows[1]["decode_status"] == "undecodable"
+    # opt-in fake stand-in stays deterministic: same payload -> same meta
+    faked = {r["doc_id"]: r for r in multimodal.decode_image_meta(
+        payloads, on_undecodable="fake").collect()}
+    assert faked[1]["width"] >= 64 and faked[1]["height"] >= 64
+    assert faked[1]["format"] in ("png", "jpeg", "webp")
     again = {r["doc_id"]: r for r in multimodal.decode_image_meta(
-        multimodal.with_binary_payload(df)).collect()}
-    assert rows[1] == again[1]
+        multimodal.with_binary_payload(df), on_undecodable="fake").collect()}
+    assert faked[1] == again[1]

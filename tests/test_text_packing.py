@@ -242,5 +242,7 @@ def test_hash_embed_preserves_null_text_rows(spark):
     )
     out = {r["doc_id"]: r["embedding"] for r in hash_embed(df, "doc_id", dim=8).collect()}
     assert set(out) == {1, 2, 3}
-    assert all(v == 0.0 for v in out[2])
-    assert all(v == 0.0 for v in out[3])
+    assert all(v == 0.0 for v in out[2])  # NULL text -> zero vector
+    # empty string tokenizes to [""] (split semantics shared with the DuckDB
+    # oracles: n_tokens('') == 1), so doc 3 gets the one-hot ''-token vector
+    assert abs(sum(v * v for v in out[3]) - 1.0) < 1e-9
