@@ -1299,6 +1299,31 @@ def q_compact_table(spark, sf_dir):
     )
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Rows-only: Z-order (Morton) clustered rewrite of the documents table
+    on (doc_id, n_chars) — multi-column scan-pruning layout; returns file
+    counts plus the per-column file-range overlap metrics, both of which
+    must drop below the fragmented baseline (~1.0)."""
+    from hive2es_offline_spark.sinks import layout
+
+    work = tempfile.mkdtemp(prefix="zorder_")
+    src, dest = os.path.join(work, "frag"), os.path.join(work, "out")
+    _t(spark, sf_dir, "documents").repartition(16).write.parquet(src)
+    stats = layout.zorder_parquet(
+        spark, src, dest, ["doc_id", "n_chars"],
+        target_file_bytes=max(layout.table_stats(spark, src)["bytes"] // 8, 1),
+    )
+    return spark.createDataFrame(
+        [(
+            stats["before"]["files"], stats["after"]["files"], stats["rows"],
+            float(layout.file_range_overlap(dest, "doc_id")),
+            float(layout.file_range_overlap(dest, "n_chars")),
+        )],
+        "files_before int, files_after int, rows long, "
+        "overlap_doc_id double, overlap_n_chars double",
+    )
+
+
 def q_jsonl_export(spark, sf_dir):
     """Rows-only: sharded gzip JSONL export (staged + atomic publish),
     returning the manifest — the hand-off format to a trainer."""
@@ -1632,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_export": q_webdataset_export,
         # table-layout maintenance + incremental snapshots
         "compact_table": q_compact_table,
+        "zorder_layout": q_zorder_layout,
         "snapshot_upsert": q_snapshot_upsert,
     }
 

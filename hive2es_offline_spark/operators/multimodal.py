@@ -54,9 +54,14 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
       (ITU T.81 §B.2.2).
     * GIF: 6-byte signature, then logical-screen width/height as
       little-endian u16 (GIF89a spec §18).
+    * WebP: RIFF container; dims from the first chunk by flavor — VP8
+      (lossy: u14 LE at frame-header +6 after the 3-byte start code), VP8L
+      (lossless: 14+14 bits packed LE after the 0x2F signature byte), VP8X
+      (extended: u24 LE canvas-minus-one at +4/+7) (public WebP container
+      and VP8/VP8L bitstream specs).
 
-    Returns None for anything unrecognized (caller falls back to the
-    deterministic stub so the operator stays total)."""
+    Returns None for anything unrecognized (the caller's ``on_undecodable``
+    policy decides what happens)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         w = int.from_bytes(payload[16:20], "big")
         h = int.from_bytes(payload[20:24], "big")
@@ -84,6 +89,26 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
         return w, h, "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and len(payload) >= 30:
+        chunk = payload[12:16]
+        if chunk == b"VP8 ":
+            # lossy: 3-byte frame tag, 3-byte start code 9D 01 2A, then
+            # 14-bit width/height (little-endian u16, low 14 bits)
+            if payload[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+                h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+                return w, h, "webp"
+        elif chunk == b"VP8L":
+            if payload[20] == 0x2F:
+                bits = int.from_bytes(payload[21:25], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                return w, h, "webp"
+        elif chunk == b"VP8X":
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return w, h, "webp"
+        return None
     return None
 
 

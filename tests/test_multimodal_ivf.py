@@ -554,3 +554,27 @@ def test_ivf_assign_pandas_matches_literal(spark):
     pnd = {r["vec_id"]: r["_ivf_cell"]
            for r in ivf_assign(df, cents, method="pandas").collect()}
     assert lit == pnd
+
+
+def test_parse_image_header_webp_all_flavors():
+    # hand-built headers straight from the public container/bitstream specs
+    import struct
+
+    from hive2es_offline_spark.operators.multimodal import parse_image_header
+
+    def riff(chunk_tag, chunk_body):
+        chunk = chunk_tag + struct.pack("<I", len(chunk_body)) + chunk_body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # VP8 lossy: 3-byte frame tag + start code + 14-bit LE dims
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + b"\x00" * 8
+    assert parse_image_header(riff(b"VP8 ", body)) == (320, 240, "webp")
+    # VP8L lossless: 0x2F sig then 14+14 bits packed, stored minus one
+    bits = (199 - 1) | ((99 - 1) << 14)
+    body = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 10
+    assert parse_image_header(riff(b"VP8L", body)) == (199, 99, "webp")
+    # VP8X extended: u24 canvas-minus-one at +4 / +7
+    body = b"\x00\x00\x00\x00" + (511).to_bytes(3, "little") + (255).to_bytes(3, "little") + b"\x00" * 8
+    assert parse_image_header(riff(b"VP8X", body)) == (512, 256, "webp")
+    # truncated / non-webp RIFF stays unrecognized
+    assert parse_image_header(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 20) is None
