@@ -1286,10 +1286,11 @@ def q_compact_table(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="compact_")
     src, dest = os.path.join(work, "frag"), os.path.join(work, "out")
     _t(spark, sf_dir, "documents").repartition(32).write.parquet(src)
+    before = layout.table_stats(spark, src)
     stats = layout.compact_parquet(
         spark, src, dest,
-        target_file_bytes=max(layout.table_stats(spark, src)["bytes"] // 4, 1),
-        sort_cols=["doc_id"], mode="range",
+        target_file_bytes=max(before["bytes"] // 4, 1),
+        sort_cols=["doc_id"], mode="range", before_stats=before,
     )
     overlap = layout.file_range_overlap(dest, "doc_id")
     return spark.createDataFrame(
@@ -1309,9 +1310,10 @@ def q_zorder_layout(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="zorder_")
     src, dest = os.path.join(work, "frag"), os.path.join(work, "out")
     _t(spark, sf_dir, "documents").repartition(16).write.parquet(src)
+    before = layout.table_stats(spark, src)
     stats = layout.zorder_parquet(
         spark, src, dest, ["doc_id", "n_chars"],
-        target_file_bytes=max(layout.table_stats(spark, src)["bytes"] // 8, 1),
+        target_file_bytes=max(before["bytes"] // 8, 1), before_stats=before,
     )
     return spark.createDataFrame(
         [(

@@ -29,15 +29,14 @@ from pyspark.sql import functions as F
 
 
 def _moment_flat(partials: DataFrame) -> DataFrame:
-    """JVM pre-combine of per-partition flat moment vectors: posexplode to
-    (pos, x) scalars, SUM per pos — map-side partial aggregation bounds each
-    shuffle-map task's output at len(m) rows, and the result is exactly one
-    row per vector position regardless of how many partitions contributed."""
-    return (
-        partials.select(F.posexplode("m").alias("_p", "_x"))
-        .groupBy("_p")
-        .agg(F.sum("_x").alias("_x"))
-    )
+    """JVM pre-combine of per-partition flat moment vectors — the un-keyed
+    case of ``util.explode_sum``: exactly one row per vector position
+    regardless of how many partitions contributed.  Stays flat (no array
+    reassembly) deliberately: at large d the d²+d+2 scalars spread over the
+    reduce side instead of one reassembly buffer."""
+    from .util import explode_sum
+
+    return explode_sum(partials)
 
 
 def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> dict:

@@ -261,6 +261,12 @@ def _decode(data: bytes) -> np.ndarray | None:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip them or a legal file mis-parses as a bogus segment
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -298,6 +304,11 @@ def _decode(data: bytes) -> np.ndarray | None:
                 return None
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) would silently decode its
+                # first 3 planes as YCbCr — wrong colors marked "ok"; refuse
+                # so the caller's on_undecodable policy applies instead
+                return None
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -382,7 +393,9 @@ def _decode_scan(data, start, frame, scan, qtables, htables, restart_interval):
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255)
+        # round like the color path — truncation would bias every
+        # grayscale sample down by ~0.5 LSB
+        y = np.clip(full[0], 0, 255).round()
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr

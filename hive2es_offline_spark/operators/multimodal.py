@@ -515,9 +515,12 @@ def decode_image_meta(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n_bytes, sha1s = [], []
             widths, heights, fmts, status = [], [], [], []
             for p in pdf[payload_col]:
-                raw = bytes(p)
+                raw = bytes(p)  # materialize ONCE per payload
+                n_bytes.append(len(raw))
+                sha1s.append(hashlib.sha1(raw).hexdigest())
                 parsed = parse_image_header(raw)
                 if parsed is not None:
                     widths.append(parsed[0])
@@ -543,8 +546,8 @@ def decode_image_meta(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
-                    "sha1": [hashlib.sha1(bytes(p)).hexdigest() for p in pdf[payload_col]],
+                    "n_bytes": n_bytes,
+                    "sha1": sha1s,
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                     "format": fmts,

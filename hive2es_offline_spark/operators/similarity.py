@@ -341,16 +341,15 @@ def quantize_embeddings(
 
 def _combine_cell_partials(partials: DataFrame) -> DataFrame:
     """JVM pre-combine of per-partition (cell, m[array]) partial rows:
-    element-wise sum per cell via posexplode -> SUM (map-side partial
-    aggregation, so each shuffle-map task emits <= cells x len(m) scalar
-    rows) -> pos-ordered array reassembly.  The result has EXACTLY one row
-    per distinct cell — what the driver collects is O(k), independent of
-    input partition count (the scale fix for the old
+    ``util.explode_sum`` (map-side-combinable element-wise sum) followed by
+    pos-ordered array reassembly.  The result has EXACTLY one row per
+    distinct cell — what the driver collects is O(k), independent of input
+    partition count (the scale fix for the old
     collect-one-row-per-partition shape)."""
+    from .util import explode_sum
+
     return (
-        partials.select("cell", F.posexplode("m").alias("_p", "_x"))
-        .groupBy("cell", "_p")
-        .agg(F.sum("_x").alias("_x"))
+        explode_sum(partials, ["cell"])
         .groupBy("cell")
         .agg(
             F.transform(

@@ -2,7 +2,27 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_sum(partials: DataFrame, key_cols: Sequence[str] = ()) -> DataFrame:
+    """Element-wise sum of per-partition vector partials, JVM-side: rows
+    carry a flat double array ``m``; posexplode to (keys..., pos, x)
+    scalars, then SUM per (keys..., pos) — Spark's partial aggregation
+    map-side-combines, so each shuffle-map task emits at most
+    |keys| x len(m) rows and NOTHING in the pipeline grows with the input
+    partition count.  The shared core of the k-means mean step
+    (``similarity._combine_cell_partials``) and the PCA moments pass
+    (``embeddings._moment_flat``) — the scale fix for
+    collect-one-row-per-partition driver combines."""
+    return (
+        partials.select(*key_cols, F.posexplode("m").alias("_p", "_x"))
+        .groupBy(*key_cols, "_p")
+        .agg(F.sum("_x").alias("_x"))
+    )
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

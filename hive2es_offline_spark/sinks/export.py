@@ -59,7 +59,14 @@ def _finalize(
             out.write(bytearray(json.dumps(manifest, indent=2, sort_keys=True).encode()))
         finally:
             out.close()
-        if overwrite and fs.exists(dst):
+        if fs.exists(dst):
+            if not overwrite:
+                # MUST pre-check: Hadoop rename(src, existing-dir) moves src
+                # INSIDE dst and returns true — the export would land at
+                # dest/<staging-name> while readers silently see stale data
+                raise FileExistsError(
+                    f"export destination exists and overwrite=False: {dest}"
+                )
             fs.delete(dst, True)
         if not fs.rename(src, dst):  # atomic on posix/HDFS-like filesystems
             raise IOError(f"publish rename failed: {staging} -> {dest}")

@@ -47,6 +47,7 @@ def compact_parquet(
     target_file_bytes: int = 256 * 1024 * 1024,
     sort_cols: list[str] | None = None,
     mode: str = "coalesce",
+    before_stats: dict | None = None,
 ) -> dict:
     """Rewrite ``src`` into ``dest`` as ~``target_file_bytes`` parquet files.
 
@@ -54,13 +55,16 @@ def compact_parquet(
     additionally clusters rows so each output file covers a disjoint
     ``sort_cols`` range (scan-pruning layout).  ``maxRecordsPerFile`` is
     derived from the source's measured bytes/row as a safety bound so one
-    oversized task can't emit a multi-GB file.
+    oversized task can't emit a multi-GB file.  ``before_stats`` lets a
+    caller that already measured the source (e.g. to size
+    ``target_file_bytes``) pass its ``table_stats`` result instead of
+    paying a second metadata listing.
     """
     if mode not in ("coalesce", "range"):
         raise ValueError(f"mode must be 'coalesce' or 'range', got {mode!r}")
     if mode == "range" and not sort_cols:
         raise ValueError("mode='range' requires sort_cols")
-    before = table_stats(spark, src)
+    before = before_stats or table_stats(spark, src)
     df = spark.read.parquet(src)
     rows = df.count()  # parquet metadata count: footer reads, no data scan
     if rows == 0:
@@ -152,13 +156,14 @@ def zorder_parquet(
     cols: list[str],
     target_file_bytes: int = 256 * 1024 * 1024,
     bits: int = 8,
+    before_stats: dict | None = None,
 ) -> dict:
     """Rewrite ``src`` Z-order-clustered on ``cols`` (the multi-column
     sibling of ``compact_parquet(mode="range")``): one range shuffle on the
     Morton key + in-partition sort, file count sized from measured source
     bytes.  The key column is dropped before the write — it is pure layout,
-    not data."""
-    before = table_stats(spark, src)
+    not data.  ``before_stats`` as in ``compact_parquet``."""
+    before = before_stats or table_stats(spark, src)
     df = spark.read.parquet(src)
     rows = df.count()
     if rows == 0:

@@ -93,6 +93,18 @@ def _claim_version(root: str, version: int) -> None:
         ) from None
 
 
+def _release_claim(root: str, version: int) -> None:
+    """Undo THIS writer's claim after an in-process failure, so a failed
+    upsert/compact doesn't wedge the table (every retry would recompute the
+    same next version and die on the orphaned claim).  CURRENT.json was
+    never swapped, so deleting the claimed/partially-written v{N}.json is
+    safe — no reader can have resolved it."""
+    try:
+        os.unlink(os.path.join(_versions_dir(root), f"v{version}.json"))
+    except OSError:
+        pass  # best effort: the loud already-claimed error remains the backstop
+
+
 def _publish(root: str, manifest: dict) -> dict:
     os.makedirs(_versions_dir(root), exist_ok=True)
     v = manifest["version"]
@@ -144,19 +156,8 @@ def upsert_snapshot(
     published manifest."""
     prev = read_manifest(root)
     version = (prev["version"] + 1 if prev else 1)
-    _claim_version(root, version)  # fail loudly BEFORE writing any data
-    vdir = os.path.join(root, f"v{version}")
-    pcol = partition_col or _NO_PART
-
-    if partition_col is None:
-        affected = [_NO_PART]
-        merged = updates
-        if prev:
-            cur = read_snapshot(spark, root)
-            merged = updates.unionByName(cur.join(updates, key_cols, "left_anti"))
-        merged.write.mode("overwrite").parquet(os.path.join(vdir, _NO_PART))
-        parts = {_NO_PART: f"v{version}/{_NO_PART}"}
-    else:
+    # validate BEFORE claiming so a bad batch never leaves an orphan claim
+    if partition_col is not None:
         # bounded collect: one row per partition value in the updates batch
         affected = [
             r[0] for r in updates.select(partition_col).distinct().collect()
@@ -166,28 +167,44 @@ def upsert_snapshot(
                 f"NULL {partition_col!r} values in updates: NULL partitions "
                 "are not supported by the snapshot layout"
             )
-        prev_parts = dict(prev["partitions"]) if prev else {}
-        live = [
-            os.path.join(root, prev_parts[str(p)])
-            for p in affected
-            if str(p) in prev_parts
-        ]
-        merged = updates
-        if live:
-            cur = spark.read.parquet(*live)
-            merged = updates.unionByName(cur.join(updates, key_cols, "left_anti"))
-        _write_partitioned(merged, vdir, pcol)
-        parts = prev_parts
-        for p in affected:
-            parts[str(p)] = f"v{version}/_p={_escape_part(spark, p)}"
-    manifest = {
-        "version": version,
-        "partition_col": partition_col,
-        "key_cols": key_cols,
-        "partitions": parts,
-        "rewritten": [str(p) for p in affected],
-    }
-    return _publish(root, manifest)
+    _claim_version(root, version)  # fail loudly BEFORE writing any data
+    try:
+        vdir = os.path.join(root, f"v{version}")
+        pcol = partition_col or _NO_PART
+        if partition_col is None:
+            affected = [_NO_PART]
+            merged = updates
+            if prev:
+                cur = read_snapshot(spark, root)
+                merged = updates.unionByName(cur.join(updates, key_cols, "left_anti"))
+            merged.write.mode("overwrite").parquet(os.path.join(vdir, _NO_PART))
+            parts = {_NO_PART: f"v{version}/{_NO_PART}"}
+        else:
+            prev_parts = dict(prev["partitions"]) if prev else {}
+            live = [
+                os.path.join(root, prev_parts[str(p)])
+                for p in affected
+                if str(p) in prev_parts
+            ]
+            merged = updates
+            if live:
+                cur = spark.read.parquet(*live)
+                merged = updates.unionByName(cur.join(updates, key_cols, "left_anti"))
+            _write_partitioned(merged, vdir, pcol)
+            parts = prev_parts
+            for p in affected:
+                parts[str(p)] = f"v{version}/_p={_escape_part(spark, p)}"
+        manifest = {
+            "version": version,
+            "partition_col": partition_col,
+            "key_cols": key_cols,
+            "partitions": parts,
+            "rewritten": [str(p) for p in affected],
+        }
+        return _publish(root, manifest)
+    except BaseException:
+        _release_claim(root, version)
+        raise
 
 
 def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
@@ -214,20 +231,24 @@ def compact_snapshot(
     df = read_snapshot(spark, root)
     version = m["version"] + 1
     _claim_version(root, version)  # fail loudly BEFORE writing any data
-    vdir = os.path.join(root, f"v{version}")
-    pcol = partition_col or m["partition_col"]
-    if pcol is None:
-        df.write.mode("overwrite").parquet(os.path.join(vdir, _NO_PART))
-        parts = {_NO_PART: f"v{version}/{_NO_PART}"}
-    else:
-        vals = [r[0] for r in df.select(pcol).distinct().collect()]
-        _write_partitioned(df, vdir, pcol)
-        parts = {str(p): f"v{version}/_p={_escape_part(spark, p)}" for p in vals}
-    manifest = {
-        "version": version,
-        "partition_col": pcol,
-        "key_cols": m["key_cols"],
-        "partitions": parts,
-        "rewritten": sorted(parts),
-    }
-    return _publish(root, manifest)
+    try:
+        vdir = os.path.join(root, f"v{version}")
+        pcol = partition_col or m["partition_col"]
+        if pcol is None:
+            df.write.mode("overwrite").parquet(os.path.join(vdir, _NO_PART))
+            parts = {_NO_PART: f"v{version}/{_NO_PART}"}
+        else:
+            vals = [r[0] for r in df.select(pcol).distinct().collect()]
+            _write_partitioned(df, vdir, pcol)
+            parts = {str(p): f"v{version}/_p={_escape_part(spark, p)}" for p in vals}
+        manifest = {
+            "version": version,
+            "partition_col": pcol,
+            "key_cols": m["key_cols"],
+            "partitions": parts,
+            "rewritten": sorted(parts),
+        }
+        return _publish(root, manifest)
+    except BaseException:
+        _release_claim(root, version)
+        raise

@@ -88,3 +88,21 @@ def test_write_webdataset_samples_per_tar_rolls(spark, tmp_path):
     # ceil(per-shard count / 5) tars per shard; hash split is not exactly
     # 15/15 so allow the range
     assert 6 <= len(manifest["tar_counts"]) <= 8
+
+
+def test_write_jsonl_refuses_existing_dest_without_overwrite(spark, tmp_path):
+    # Hadoop rename(src, existing-dir) nests src INSIDE dest and reports
+    # success — the sink must pre-check and fail loudly instead
+    import pytest
+
+    from hive2es_offline_spark.sinks import export
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    dest = str(tmp_path / "out")
+    export.write_jsonl(df, dest, num_shards=2, key_col="doc_id")
+    with pytest.raises(Exception, match="overwrite"):
+        export.write_jsonl(df, dest, num_shards=2, key_col="doc_id", overwrite=False)
+    # original export intact, not nested
+    assert export.read_jsonl(spark, dest).count() == 2
+    import os as _os
+    assert not _os.path.exists(_os.path.join(dest, _os.path.basename(dest) + "_tmp"))

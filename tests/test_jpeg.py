@@ -97,3 +97,28 @@ def test_resize_jpeg_is_format_preserving(spark):
     out = decode_jpeg_pixels(bytes(row["payload"]))  # output is a VALID jpeg
     assert out is not None and out.shape == (8, 8, 3)
     assert int(np.abs(out.astype(int) - 150).max()) <= 1
+
+
+def test_rejects_four_component_cmyk():
+    # flip SOF0's component count to 4 (Adobe CMYK shape): must refuse,
+    # never decode the first 3 planes as YCbCr and call it "ok"
+    import struct
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.find(b"\xFF\xC0")
+    # SOF payload: len(2) precision(1) h(2) w(2) ncomp(1)
+    assert enc[i + 9] == 3
+    enc[i + 9] = 4
+    assert decode_jpeg_pixels(bytes(enc)) is None
+
+
+def test_accepts_ff_fill_bytes_before_markers():
+    # T.81 B.1.1.2: markers may be preceded by extra 0xFF fill bytes
+    img = np.full((8, 8, 3), 150, np.uint8)
+    enc = encode_jpeg(img)
+    i = enc.find(b"\xFF\xDB")
+    padded = enc[:i] + b"\xFF\xFF\xFF" + enc[i:]
+    dec = decode_jpeg_pixels(padded)
+    assert dec is not None
+    assert int(np.abs(dec.astype(int) - 150).max()) <= 1

@@ -95,3 +95,19 @@ def test_concurrent_upsert_loses_race_loudly(spark, tmp_path):
     # winner's v1 data untouched and still live
     got = {r["id"]: r["val"] for r in S.read_snapshot(spark, root).collect()}
     assert got == {1: "x"}
+
+
+def test_failed_upsert_releases_claim_and_retry_succeeds(spark, tmp_path):
+    # a bad batch (NULL partition) must not wedge the table: validation
+    # precedes the claim, and an in-flight failure unlinks the claim
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    S.upsert_snapshot(spark, root, _batch(spark, [(1, "a", "x")]), ["id"], "part")
+    bad = spark.createDataFrame([(2, None, "y")], "id long, part string, val string")
+    with pytest.raises(ValueError, match="NULL"):
+        S.upsert_snapshot(spark, root, bad, ["id"], "part")
+    # no orphan claim: the valid retry proceeds at the same version
+    m = S.upsert_snapshot(spark, root, _batch(spark, [(2, "b", "y")]), ["id"], "part")
+    assert m["version"] == 2
+    got = {r["id"]: r["val"] for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "x", 2: "y"}
