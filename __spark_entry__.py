@@ -1219,6 +1219,28 @@ def q_snapshot_upsert(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Rows-only: row-level diff between two snapshot versions (added /
+    removed / updated by key) — the audit primitive after an incremental
+    upsert, and the input to incremental downstream recompute."""
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    root = tempfile.mkdtemp(prefix="snapdiff_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    S.upsert_snapshot(spark, root, d, ["doc_id"], "source")
+    one_source = d.select("source").first()["source"]
+    changed = (
+        d.where(F.col("source") == one_source).limit(10)
+        .withColumn("text", F.concat(F.lit("edited: "), F.col("text")))
+    )
+    S.upsert_snapshot(spark, root, changed, ["doc_id"], "source")
+    return (
+        S.diff_snapshots(spark, root, 1, 2)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_ids"))
+    )
+
+
 def q_quantile_filter(spark, sf_dir):
     """Top-20%-by-length cut via exact distributed percentile threshold
     (engine-portable interpolation; at scale use the approx_percentile
@@ -1661,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_table": q_compact_table,
         "zorder_layout": q_zorder_layout,
         "snapshot_upsert": q_snapshot_upsert,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 

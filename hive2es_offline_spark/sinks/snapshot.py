@@ -252,3 +252,55 @@ def compact_snapshot(
     except BaseException:
         _release_claim(root, version)
         raise
+
+
+def diff_snapshots(
+    spark: SparkSession,
+    root: str,
+    old_version: int,
+    new_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshot versions: one row per key that
+    was ``added``, ``removed``, or ``updated`` (``change`` column), with the
+    new row's columns for added/updated and the old row's for removed.
+    The audit primitive every incremental pipeline needs — "what did
+    yesterday's upsert actually change?" — and the input to incremental
+    downstream recomputation (re-embed only updated docs, re-index only
+    changed keys).
+
+    ``key_cols`` defaults to the manifest's recorded upsert keys.  Plan
+    shape: both sides read partition-pruned parquet (version manifests),
+    full outer join on the keys — ONE shuffle per side, or zero extra
+    exchanges when both sides land co-partitioned — and ``updated`` is
+    decided by comparing the non-key columns as a struct (JVM codegen, no
+    row-wise Python).  At 100 TB, diff cost is bounded by the two
+    snapshots read, not by history length."""
+    new_m = read_manifest(root, new_version)
+    if new_m is None:
+        raise FileNotFoundError(f"no snapshot published under {root}")
+    keys = key_cols or new_m["key_cols"]
+    old = read_snapshot(spark, root, old_version)
+    new = read_snapshot(spark, root, new_version)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.struct(*[old[c] for c in val_cols]).alias("_old")
+    )
+    n = new.select(
+        *keys, F.struct(*[new[c] for c in val_cols]).alias("_new")
+    )
+    joined = o.join(n, on=list(keys), how="full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old") != F.col("_new"), F.lit("updated"))
+    )
+    picked = F.coalesce(F.col("_new"), F.col("_old"))
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())  # unchanged rows drop out
+        .select(
+            "change", *keys,
+            *[picked[c].alias(c) for c in val_cols],
+        )
+    )
