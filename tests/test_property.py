@@ -86,3 +86,40 @@ def test_mapping_synthesis_policy(fields):
             assert entry["index"] == "not_analyzed"
         if es_type == "date":
             assert entry["format"] == "yyyyMMdd"
+
+
+# --- JPEG codec properties (pure python+numpy, no Spark) -------------------
+
+import numpy as np
+from hypothesis import HealthCheck
+
+from hive2es_offline_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(min_value=1, max_value=24),   # height: exercises non-MCU dims
+    st.integers(min_value=1, max_value=24),   # width
+    st.integers(min_value=0, max_value=255),  # base value
+    st.sampled_from(["444", "420"]),
+    st.integers(min_value=0, max_value=3),    # restart interval
+)
+def test_jpeg_roundtrip_dims_and_error_bound(h, w, base, subsampling, rst):
+    # smooth content (solid + mild gradient): round-trip must preserve the
+    # EXACT dimensions for any h/w (crop from MCU padding) and keep error
+    # at the quantization level
+    grad = np.linspace(0, 30, h * w * 3).reshape(h, w, 3)
+    img = np.clip(base + grad, 0, 255).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, subsampling=subsampling, restart_interval=rst))
+    assert dec is not None and dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 16  # solid+mild-gradient quantization bound
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=200))
+def test_jpeg_decoder_total_on_garbage(data):
+    # arbitrary bytes (including FFD8-prefixed garbage) must return None or
+    # a valid array — never raise out of decode_jpeg_pixels
+    out = decode_jpeg_pixels(b"\xff\xd8" + data)
+    assert out is None or (out.ndim == 3 and out.shape[2] == 3)
