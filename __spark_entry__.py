@@ -1220,17 +1220,20 @@ def q_snapshot_upsert(spark, sf_dir):
 
 
 def q_snapshot_diff(spark, sf_dir):
-    """Rows-only: row-level diff between two snapshot versions (added /
-    removed / updated by key) — the audit primitive after an incremental
-    upsert, and the input to incremental downstream recompute."""
+    """Row-level diff between two snapshot versions (added / removed /
+    updated by key) — the audit primitive after an incremental upsert.
+    Deterministic edit set (10 smallest doc_ids of the min source) so the
+    diff summary is DuckDB-checkable via demoted_goldens: exactly one
+    'updated' row with the known count and id checksum."""
     from hive2es_offline_spark.sinks import snapshot as S
 
     root = tempfile.mkdtemp(prefix="snapdiff_")
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     S.upsert_snapshot(spark, root, d, ["doc_id"], "source")
-    one_source = d.select("source").first()["source"]
+    one_source = d.agg(F.min("source")).first()[0]
     changed = (
-        d.where(F.col("source") == one_source).limit(10)
+        d.where(F.col("source") == one_source)
+        .orderBy("doc_id").limit(10)
         .withColumn("text", F.concat(F.lit("edited: "), F.col("text")))
     )
     S.upsert_snapshot(spark, root, changed, ["doc_id"], "source")
@@ -2510,6 +2513,19 @@ def _goldens_b() -> dict[str, str]:
         "epoch_shuffle": """
             SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents
+        """,
+        # q_snapshot_diff edits the 10 smallest doc_ids of the min source
+        # ("edited: " prefix guarantees the struct compare flags them), so
+        # the diff summary is exactly one 'updated' row
+        "snapshot_diff": """
+            WITH sel AS (
+              SELECT doc_id FROM documents
+              WHERE source = (SELECT min(source) FROM documents)
+              ORDER BY doc_id LIMIT 10
+            )
+            SELECT 'updated' AS change, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM sel
         """,
         "window_ntile": """
             SELECT event_id, event_type,

@@ -478,6 +478,38 @@ def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return padded
 
 
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """Encode ``np.ndarray[h, w]`` uint8 grayscale as a 1-component baseline
+    JPEG (luma tables only) — exists so the decoder's grayscale path is
+    round-trip-testable without third-party encoders."""
+    img = np.ascontiguousarray(img, dtype=np.float64)
+    h, w = img.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = _pad_plane(img, ph, pw)
+    lq = STD_LUMA_Q.reshape(8, 8)
+    dc_enc = _build_encode_table(*STD_DC_LUMA)
+    ac_enc = _build_encode_table(*STD_AC_LUMA)
+    out = bytearray(b"\xFF\xD8")
+    zz = STD_LUMA_Q.reshape(-1)[ZIGZAG].astype(np.uint8)
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0]) + zz.tobytes()
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for tc_th, (bits, values) in (((0x00,), STD_DC_LUMA), ((0x10,), STD_AC_LUMA)):
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(values))
+        out += bytes(tc_th) + bytes(bits) + bytes(values)
+    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3F\x00"
+    bw = _BitWriter()
+    pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            pred = _encode_block(bw, blk, lq, dc_enc, ac_enc, pred)
+    bw.flush()
+    out += bw.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 def encode_jpeg(
     img: np.ndarray, subsampling: str = "444", restart_interval: int = 0
 ) -> bytes:

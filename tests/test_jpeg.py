@@ -122,3 +122,19 @@ def test_accepts_ff_fill_bytes_before_markers():
     dec = decode_jpeg_pixels(padded)
     assert dec is not None
     assert int(np.abs(dec.astype(int) - 150).max()) <= 1
+
+
+def test_grayscale_roundtrip():
+    from hive2es_offline_spark.operators.jpeg import encode_jpeg_gray
+
+    # solid gray decodes exactly (rounds, not truncates) and replicates to 3ch
+    img = np.full((16, 24), 160, np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_gray(img))
+    assert dec is not None and dec.shape == (16, 24, 3)
+    assert int(np.abs(dec.astype(int) - 160).max()) == 0
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+    # gradient: quantization-level error
+    grad = np.linspace(0, 255, 24 * 32).reshape(24, 32).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_gray(grad))
+    assert dec.shape == (24, 32, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - grad.astype(int)).max() <= 8
