@@ -2514,6 +2514,30 @@ def _goldens_b() -> dict[str, str]:
             SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents
         """,
+        # independent recomputation of q_quality_gate's observe metrics:
+        # min_rows=1, null_frac(text)<=0.0, null_frac(lang)<=0.1,
+        # n_chars lower bound 0 — violation arithmetic mirrors quality.py
+        "quality_gate": """
+            WITH m AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nt,
+                     sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nl,
+                     min(n_chars) AS mn
+              FROM documents
+            )
+            SELECT 'documents_gate' AS gate, v = 0 AS passed,
+                   CAST(v AS INTEGER) AS n_violations
+            FROM (
+              SELECT (CASE WHEN n < 1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN n > 0 AND CAST(nt AS DOUBLE) / n > 0.0
+                           THEN 1 ELSE 0 END)
+                   + (CASE WHEN n > 0 AND CAST(nl AS DOUBLE) / n > 0.1
+                           THEN 1 ELSE 0 END)
+                   + (CASE WHEN mn IS NOT NULL AND mn < 0 THEN 1 ELSE 0 END)
+                     AS v
+              FROM m
+            )
+        """,
         # q_snapshot_diff edits the 10 smallest doc_ids of the min source
         # ("edited: " prefix guarantees the struct compare flags them), so
         # the diff summary is exactly one 'updated' row
