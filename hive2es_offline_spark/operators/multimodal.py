@@ -716,7 +716,7 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
 
 
-FRAME_SCHEMA = "doc_id long, frame_index int, frame binary"
+FRAME_SCHEMA = "doc_id long, frame_index int, frame binary, frame_status string"
 
 
 def sample_frames(
@@ -725,24 +725,47 @@ def sample_frames(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Opaque video/audio payload -> N evenly-spaced frame payloads
-    (one output row per frame — a flatMap-shaped mapInPandas).
+    """Moving-image payload -> N evenly-spaced frames (one output row per
+    frame — a flatMap-shaped mapInPandas; output batches are
+    ``num_frames`` x input rows).
 
-    Stub frame extraction slices the byte stream at even offsets; a real
-    implementation seeks with pyav/ffmpeg.  Demonstrates the 1->N batch
-    shape: output batches are ``num_frames`` x input rows.
+    Animated GIFs sample REAL frames: ``decode_gif_frames`` decodes the
+    whole animation, N evenly-spaced frames are picked, and each is
+    re-encoded as a standalone PNG (``frame_status="ok"``) — a valid image
+    per row, ready for ``extract_features``/``resize_images``.  Payloads
+    with no frame decoder (video containers — a production path seeks with
+    pyav/ffmpeg) fall back to even-offset byte slices, loudly marked
+    ``frame_status="byte_slice"`` so fabricated frames can never pass as
+    decoded media downstream.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, status = [], [], [], []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(p)
+                gif = decode_gif_frames(raw)
+                if gif is not None and len(gif) > 0:
+                    # evenly-spaced REAL frames (repeats when the clip is
+                    # shorter than num_frames — fixed output arity)
+                    picks = np.linspace(0, len(gif) - 1, num_frames).round().astype(int)
+                    for i, fi in enumerate(picks):
+                        ids.append(int(did))
+                        idxs.append(i)
+                        frames.append(encode_png(gif[fi]))
+                        status.append("ok")
+                    continue
                 step = max(len(raw) // num_frames, 1)
                 for i in range(num_frames):
                     ids.append(int(did))
                     idxs.append(i)
                     frames.append(raw[i * step : (i + 1) * step])
-            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
+                    status.append("byte_slice")
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": idxs, "frame": frames,
+                 "frame_status": status}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)

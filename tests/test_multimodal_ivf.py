@@ -578,3 +578,30 @@ def test_parse_image_header_webp_all_flavors():
     assert parse_image_header(riff(b"VP8X", body)) == (512, 256, "webp")
     # truncated / non-webp RIFF stays unrecognized
     assert parse_image_header(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 20) is None
+
+
+def test_sample_frames_real_gif_frames(spark):
+    # a 6-frame animated GIF: sampling 3 must return REAL decoded frames
+    # (valid standalone PNGs with the right pixels), evenly spaced
+    import numpy as np
+
+    from hive2es_offline_spark.operators.multimodal import (
+        decode_png_pixels, encode_gif)
+
+    frames = [np.full((4, 5, 3), 10 * i, np.uint8) for i in range(6)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(frames)))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        multimodal.sample_frames(df, num_frames=3).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_status"] for r in rows] == ["ok"] * 3
+    # linspace(0, 5, 3) -> frames 0, 2 (2.5 rounds to 2), 5
+    got = [decode_png_pixels(bytes(r["frame"]))[0, 0, 0] for r in rows]
+    assert got[0] == 0 and got[2] == 50 and got[1] in (20, 30)
+
+
+def test_sample_frames_byte_slice_is_marked(spark):
+    rows = multimodal.sample_frames(_payloads(spark), num_frames=4).collect()
+    assert all(r["frame_status"] == "byte_slice" for r in rows)
