@@ -1219,6 +1219,46 @@ def q_snapshot_upsert(spark, sf_dir):
     )
 
 
+def q_multimodal_prepare(spark, sf_dir):
+    """Rows-only: the composed multimodal curation loop over REAL images —
+    deterministic per-doc PNG synthesis -> header meta (all must parse
+    "ok") -> real-pixel featurization -> int8 quantization -> WebDataset
+    export of (image, metadata-json) sample shards.  Proves the image
+    codecs, the feature path, and the tar sink compose end-to-end; returns
+    per-stage counts."""
+    from hive2es_offline_spark.operators.similarity import quantize_embeddings
+    from hive2es_offline_spark.sinks import export
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    payloads = multimodal.with_png_payload(d)
+    meta = multimodal.decode_image_meta(payloads)
+    n_ok = meta.where(F.col("decode_status") == "ok").count()
+    feats = multimodal.extract_features(payloads, dim=16)
+    n_feat = feats.where(F.col("decode_status") == "ok").count()
+    q = quantize_embeddings(
+        feats.select("doc_id", F.col("feature").alias("embedding")), id_col="doc_id"
+    )
+    sample = (
+        payloads.join(
+            meta.select("doc_id", F.to_json(F.struct("width", "height", "format")).alias("meta_json")),
+            "doc_id",
+        )
+    )
+    dest = os.path.join(tempfile.mkdtemp(prefix="mmprep_"), "wds")
+    manifest = export.write_webdataset(
+        sample, dest, key_col="doc_id",
+        members={"payload": ".png", "meta_json": ".json"}, num_shards=4,
+    )
+    return spark.createDataFrame(
+        [(
+            d.count(), n_ok, n_feat, q.count(),
+            int(manifest["sample_count"]), len(manifest["tar_counts"]),
+        )],
+        "input long, meta_ok long, feat_ok long, quantized long, "
+        "exported_samples long, shards int",
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Row-level diff between two snapshot versions (added / removed /
     updated by key) — the audit primitive after an incremental upsert.
@@ -1687,6 +1727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "snapshot_upsert": q_snapshot_upsert,
         "snapshot_diff": q_snapshot_diff,
+        # composed multimodal loop: real PNGs -> meta -> features ->
+        # quantize -> WebDataset shards
+        "multimodal_prepare": q_multimodal_prepare,
     }
 
 

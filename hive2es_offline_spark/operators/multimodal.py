@@ -43,6 +43,34 @@ def with_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "do
     return df.select(F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload"))
 
 
+def with_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL (decodable) PNG payload per row, deterministically
+    derived from the id — a harness stand-in for an actual image column
+    that, unlike ``with_binary_payload``, exercises the genuine pixel path
+    (header parse succeeds, ``decode_png_pixels`` round-trips).  Sizes and
+    pixel patterns vary by id so downstream features differ per doc."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                h, w = 8 + did % 5, 8 + (did // 5) % 5
+                px = ((np.arange(h * w * 3) * (did % 251 + 1)) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, f"{id_col} long, payload binary"
+    )
+
+
 def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     """REAL (pure-stdlib) image dimension parse from header bytes for the
     common container formats — no codec library needed:

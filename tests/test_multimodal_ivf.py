@@ -605,3 +605,26 @@ def test_sample_frames_real_gif_frames(spark):
 def test_sample_frames_byte_slice_is_marked(spark):
     rows = multimodal.sample_frames(_payloads(spark), num_frames=4).collect()
     assert all(r["frame_status"] == "byte_slice" for r in rows)
+
+
+def test_with_png_payload_real_decodable(spark):
+    from hive2es_offline_spark.operators.multimodal import (
+        decode_png_pixels, with_png_payload)
+
+    d = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in with_png_payload(d).collect()}
+    assert set(rows) == set(range(8))
+    pix = {k: decode_png_pixels(v) for k, v in rows.items()}
+    assert all(p is not None for p in pix.values())  # every payload a REAL PNG
+    # deterministic and id-varying
+    assert pix[1].shape != pix[2].shape or not (pix[1] == pix[2]).all()
+    again = {r["doc_id"]: bytes(r["payload"]) for r in with_png_payload(d).collect()}
+    assert rows == again
+
+
+def test_multimodal_prepare_counts(spark):
+    import __spark_entry__ as entry_mod
+
+    r = entry_mod.queries()["multimodal_prepare"](spark, SF_SMOKE).first()
+    assert r["input"] == r["meta_ok"] == r["feat_ok"] == r["quantized"]
+    assert r["exported_samples"] == r["input"] and r["shards"] == 4
