@@ -1507,6 +1507,30 @@ def q_es_search(spark, sf_dir):
     return es_search(o, _ES_SEARCH_BODY, id_field="o_orderkey")
 
 
+def q_es_knn(spark, sf_dir):
+    """ES 8 kNN search-clause parity: ``{"knn": {field, query_vector, k,
+    filter}}`` compiled to an exact pre-filtered cosine top-k
+    (TakeOrderedAndProject; live ES walks HNSW approximately — documented
+    divergence in the oracle's favor), ``_score = (1 + cosine) / 2`` per
+    the dense_vector cosine convention — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    body = {
+        "knn": {
+            "field": "embedding",
+            "query_vector": qvec,
+            "k": 15,
+            "num_candidates": 100,
+            "filter": {"range": {"vec_id": {"gte": 100}}},
+        },
+        "_source": ["vec_id"],
+    }
+    return es_search(e, body, id_field="vec_id")
+
+
 def q_es_match(spark, sf_dir):
     """ES match / match_phrase parity (whitespace+lowercase analyzer):
     operator=and term containment plus a phrase must_not, all folded into
@@ -1714,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search": q_es_search,
         "es_match": q_es_match,
         "es_aggs": q_es_aggs,
+        "es_knn": q_es_knn,
         "bm25_search": q_bm25_search,
         # incremental (batch-vs-corpus) dedup
         "dedup_incremental": q_dedup_incremental,
@@ -2726,6 +2751,25 @@ def _goldens_b() -> dict[str, str]:
               AND NOT regexp_matches(lower(text), '(^| )slow scan( |$)')
             ORDER BY doc_id ASC
             LIMIT 40
+        """,
+        # mirrors q_es_knn: pre-filter vec_id >= 100, exact cosine top-15
+        # against vec_id 0's vector, _score = round((1 + cos) / 2, 6)
+        "es_knn": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+              SELECT e.vec_id,
+                     round((1 + list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                            / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])))
+                               * sqrt(list_dot_product(q.qe, q.qe)))) / 2,
+                           6) AS _score
+              FROM embeddings e, q
+              WHERE e.vec_id >= 100
+            )
+            SELECT vec_id, _score FROM scored
+            ORDER BY _score DESC, vec_id LIMIT 15
         """,
         # mirrors _ES_AGGS_BODY: terms bucket (size 3, doc_count desc, key
         # asc) + stats/percentiles/cardinality sub-aggs; additive metrics

@@ -18,8 +18,10 @@ comparisons on top-level columns), and an aggregation body compiles to one
 Supported query clauses: ``match_all``, ``term``, ``terms``, ``range``,
 ``exists``, ``prefix``, ``wildcard``, ``ids``, ``match`` (whitespace+
 lowercase analyzer, ``operator`` and ``minimum_should_match``-of-1
-semantics), ``match_phrase``, and ``bool`` with ``must`` / ``filter`` /
-``should`` / ``must_not`` / ``minimum_should_match``.  Relevance-ranked
+semantics), ``match_phrase``, ``bool`` with ``must`` / ``filter`` /
+``should`` / ``must_not`` / ``minimum_should_match``, and the ES 8
+top-level ``knn`` search clause (pre-filtered exact cosine top-k,
+``_score = (1 + cosine) / 2``).  Relevance-ranked
 ``match`` retrieval (BM25) lives in ``operators/retrieval.py`` — this
 module is filter context only, matching how the reference's
 ``not_analyzed`` mapping is actually queried.
@@ -284,6 +286,40 @@ def es_search(
     """
     if "query" in body:
         df = df.where(compile_query(body["query"], id_field))
+    if "knn" in body:
+        # ES 8 kNN search clause: {"field", "query_vector", "k",
+        # "num_candidates", "filter"}.  Filter is PRE-filter (ES >= 8.2
+        # semantics: candidates are restricted BEFORE the vector search);
+        # scoring follows ES's cosine dense_vector convention
+        # _score = (1 + cosine) / 2.  This engine computes the EXACT top-k
+        # (brute-force scan -> TakeOrderedAndProject, the same plan as
+        # cosine_topk) where live ES walks an HNSW graph approximately —
+        # num_candidates is accepted and ignored, a documented divergence
+        # in the oracle's favor.  IVF/LSH approximate variants live in
+        # operators/similarity.py for the scale path.
+        from ..operators.similarity import _cosine_to_literal
+
+        spec = body["knn"]
+        field, qv = spec["field"], [float(x) for x in spec["query_vector"]]
+        k = int(spec.get("k", 10))
+        if "filter" in spec:
+            df = df.where(compile_query(spec["filter"], id_field))
+        q = F.array(*[F.lit(x) for x in qv])
+        score = F.round(
+            (F.lit(1.0) + _cosine_to_literal(F.col(field), q, qv)) / F.lit(2.0), 6
+        )
+        tie = (
+            [F.col(id_field)] if id_field in df.columns
+            else [F.col(df.columns[0])]
+        )
+        df = (
+            df.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), *tie)
+            .limit(k)
+        )
+        if body.get("_source"):
+            df = df.select(*body["_source"], "_score")
+        return df
     if body.get("aggs") and body.get("size", 10) == 0:
         return compile_aggs(df, body["aggs"])
 

@@ -60,3 +60,24 @@ def test_cosine_topk_with_zero_vector_rows(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_es_knn_clause_filter_and_small_corpus(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    body = {
+        "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 10,
+                "filter": {"range": {"vec_id": {"lte": 3}}}},
+    }
+    rows = es_search(df, body, id_field="vec_id").collect()
+    # k > candidates: every filtered row returned, scored, ranked
+    assert [r["vec_id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["_score"] == 1.0          # identical vector: (1+1)/2
+    assert abs(rows[2]["_score"] - 0.5) < 1e-9  # orthogonal: (1+0)/2
+    # _source projection keeps _score
+    body["_source"] = ["vec_id"]
+    assert es_search(df, body, id_field="vec_id").columns == ["vec_id", "_score"]
