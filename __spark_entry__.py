@@ -1564,6 +1564,28 @@ def q_bm25_search(spark, sf_dir):
     return bm25_topk(d, "vector merge stream", top_k=10)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25 top-10 and exact cosine top-10
+    fused by reciprocal-rank fusion (k=60, the public RRF recipe ES exposes
+    as its ``rrf`` rank mode) — DuckDB-checked via demoted_goldens.  Each
+    retriever's heavy work is its own already-audited plan; the fusion is a
+    tiny union + groupBy over <= 20 rows."""
+    from pyspark.sql.window import Window
+
+    from hive2es_offline_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from hive2es_offline_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, "vector merge stream", top_k=10)
+    qvec = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    knn = cosine_topk(e, qvec, k=10).select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(w).alias("rank")
+    )
+    return rrf_fuse([lex.select("doc_id", "rank"), knn], top_k=10)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup: new batch (doc_id % 5 ≠ 0) anti-joined on
     canonical md5 fingerprints against the already-kept corpus
@@ -1740,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_aggs": q_es_aggs,
         "es_knn": q_es_knn,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         # incremental (batch-vs-corpus) dedup
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
@@ -1870,6 +1893,40 @@ SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn FROM (
                                ORDER BY score DESC, vec_id) AS rn
   FROM scored
 ) WHERE rn <= 10
+"""
+
+#: Lucene BM25 golden for query 'vector merge stream' — shared by the
+#: bm25_search golden and the hybrid_search RRF fusion golden
+_BM25_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+      FROM base, unnest(toks) AS u(t)
+      WHERE t IN ('merge', 'stream', 'vector')
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), part AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+               6) AS DECIMAL(28,6)) AS p
+      FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+    )
+    SELECT doc_id, CAST(sum(p) AS DOUBLE) AS score,
+           CAST(row_number() OVER (ORDER BY CAST(sum(p) AS DOUBLE) DESC,
+                                   doc_id ASC) AS INTEGER) AS rank
+    FROM part GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
 """
 
 _SESSIONIZE_ORACLE = """
@@ -2800,36 +2857,43 @@ def _goldens_b() -> dict[str, str]:
         # Lucene BM25 (k1=1.2, b=0.75) for query 'vector merge stream':
         # idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-(doc,term) partials
         # rounded to 6 then DECIMAL-summed, exactly like bm25_topk
-        "bm25_search": """
-            WITH base AS (
-              SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
-              FROM documents
-            ), dl AS (
-              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
-            ), s AS (
-              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
-            ), tf AS (
-              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
-              FROM base, unnest(toks) AS u(t)
-              WHERE t IN ('merge', 'stream', 'vector')
-              GROUP BY 1, 2
-            ), dfreq AS (
-              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
-            ), part AS (
-              SELECT tf.doc_id,
-                     CAST(round(
-                       ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                       * (tf.tf * 2.2)
-                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
-                       6) AS DECIMAL(28,6)) AS p
-              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+        "bm25_search": _BM25_ORACLE,
+        # q_hybrid_search: RRF (k=60) fusion of the bm25_search ranking and
+        # the exact cosine-top-10 ranking to vec 0 (cosine_topk rounding)
+        "hybrid_search": f"""
+            WITH bm AS ({_BM25_ORACLE}),
+            q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 0
+            ),
+            knn AS (
+              SELECT vec_id AS doc_id,
+                     CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC)
+                          AS INTEGER) AS rank
+              FROM (
+                SELECT e.vec_id,
+                       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(q.qe, q.qe))),
+                             6) AS score
+                FROM embeddings e, q
+              )
+              ORDER BY score DESC, vec_id ASC
+              LIMIT 10
+            ),
+            u AS (
+              SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rank) FROM knn
+            ),
+            fused AS (
+              SELECT doc_id, round(sum(c), 9) AS rrf_score FROM u GROUP BY doc_id
             )
-            SELECT doc_id, CAST(sum(p) AS DOUBLE) AS score,
-                   CAST(row_number() OVER (ORDER BY CAST(sum(p) AS DOUBLE) DESC,
-                                           doc_id ASC) AS INTEGER) AS rank
-            FROM part GROUP BY doc_id
-            ORDER BY score DESC, doc_id ASC
-            LIMIT 10
+            SELECT doc_id, rrf_score,
+                   CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                        AS INTEGER) AS rank
+            FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
         """,
         # seen = doc_id % 5 = 0; new batch anti-joined on the canonical
         # fingerprint, then keep-first (doc_id asc) within the batch

@@ -122,3 +122,50 @@ def bm25_topk(
         "score",
         F.row_number().over(w).alias("rank"),
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked result lists (the standard hybrid
+    lexical+vector retrieval combiner — Cormack et al. 2009, the same
+    formula behind ES's ``rrf`` rank mode):
+    ``rrf_score(d) = Σ_lists 1 / (k + rank_list(d))``, with a list that
+    does not contain ``d`` contributing 0.
+
+    Each input carries (id_col, rank_col); inputs are typically already
+    tiny top-k frames (bm25_topk, an es_search knn result ranked by
+    ``_score``), so the union + groupBy is a trivially small aggregation —
+    the heavy lifting happened inside each retriever.  ``k`` dampens the
+    head (rank 1 vs 2 differs by ~1/3700 at k=60, so no single list
+    dominates); ties break on id for engine-stable output."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked input")
+    parts = [
+        df.select(
+            F.col(id_col).alias("_did"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias("_c"),
+        )
+        for df in ranked
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = (
+        allc.groupBy("_did")
+        .agg(F.round(F.sum("_c"), 9).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("_did").asc())
+        .limit(top_k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_did").asc())
+    return fused.select(
+        F.col("_did").alias(id_col),
+        "rrf_score",
+        F.row_number().over(w).alias("rank"),
+    )
