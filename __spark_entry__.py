@@ -1631,6 +1631,13 @@ def q_multimodal_meta(spark, sf_dir):
 #: (pii_scrub, chunk_docs, data_split, line_dedup, lm_score,
 #: quantile_filter, domain_cap, session_window, sliding_window) plus the
 #: composed llm_prepare_oracle pipeline get externally adjudicated.
+#:
+#: Round-6 rotation candidates (golden-backed, never driver-adjudicated):
+#: es_search, es_match, es_aggs, es_knn, bm25_search, hybrid_search,
+#: embed_quantize, source_mix, window_ntile, repetition_stats,
+#: contamination, epoch_shuffle, snapshot_diff, quality_gate — swap for
+#: whichever round-5 promotions go green this round (window membership is
+#: just this list; goldens follow automatically).
 DRIVER_WINDOW = [
     "scan_filter", "scan_project", "json_docs", "json_parse", "map_flatten",
     "array_ops", "type_normalize", "null_scrub", "schema_infer",
