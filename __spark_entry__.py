@@ -1315,6 +1315,19 @@ def q_quality_gate(spark, sf_dir):
     )
 
 
+def q_data_drift(spark, sf_dir):
+    """PSI column-drift monitor between two corpus halves (even vs odd
+    doc_ids — deterministic stand-ins for yesterday/today snapshots) over
+    n_chars: per-bin counts, proportions, and PSI terms — DuckDB-checked
+    via demoted_goldens."""
+    from hive2es_offline_spark.operators.quality import column_drift
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    return column_drift(old, new, "n_chars", bins=8)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """Rows-only: SemDeDup-style semantic dedup — k-means cells (seeded +
     Lloyd refinement), within-cell cosine pairs, component collapse,
@@ -1762,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ntile": q_window_ntile,
         "semantic_dedup": q_semantic_dedup,
         "quality_gate": q_quality_gate,
+        "data_drift": q_data_drift,
         "source_mix": q_source_mix,
         # ES query-surface parity (the DSL users run against the loaded index)
         "es_search": q_es_search,
@@ -2669,6 +2683,50 @@ def _goldens_b() -> dict[str, str]:
                      AS v
               FROM m
             )
+        """,
+        # q_data_drift: PSI over n_chars, even vs odd doc_ids, 8 equi-width
+        # bins on the OLD half's [min, max]; same op order as column_drift
+        # so the doubles match bit-for-bit before round(6)
+        "data_drift": """
+            WITH old AS (
+              SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+              WHERE doc_id % 2 = 0
+            ), new AS (
+              SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+              WHERE doc_id % 2 = 1
+            ), s AS (
+              SELECT min(v) AS lo, max(v) AS hi FROM old
+            ), ob AS (
+              SELECT CASE WHEN v IS NULL THEN -1
+                          ELSE CAST(least(greatest(
+                                 floor((v - s.lo) / (s.hi - s.lo) * 8), 0), 7)
+                               AS INTEGER) END AS bin,
+                     count(*) AS n_old
+              FROM old, s GROUP BY 1
+            ), nb AS (
+              SELECT CASE WHEN v IS NULL THEN -1
+                          ELSE CAST(least(greatest(
+                                 floor((v - s.lo) / (s.hi - s.lo) * 8), 0), 7)
+                               AS INTEGER) END AS bin,
+                     count(*) AS n_new
+              FROM new, s GROUP BY 1
+            ), j AS (
+              SELECT coalesce(ob.bin, nb.bin) AS bin,
+                     CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+                     CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+              FROM ob FULL OUTER JOIN nb ON ob.bin = nb.bin
+            ), t AS (
+              SELECT CAST(sum(n_old) AS DOUBLE) AS so,
+                     CAST(sum(n_new) AS DOUBLE) AS sn
+              FROM j
+            )
+            SELECT bin, n_old, n_new,
+                   round(n_old / t.so, 6) AS p_old,
+                   round(n_new / t.sn, 6) AS p_new,
+                   round((n_new / t.sn - n_old / t.so)
+                         * ln((n_new / t.sn + 1e-6) / (n_old / t.so + 1e-6)),
+                         6) AS psi_term
+            FROM j, t
         """,
         # q_snapshot_diff edits the 10 smallest doc_ids of the min source
         # ("edited: " prefix guarantees the struct compare flags them), so

@@ -96,3 +96,75 @@ def quality_gate(
         return bad
 
     return gated, check
+
+
+def column_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two corpus versions for a numeric
+    column — the standard drift monitor ("did yesterday's re-crawl shift
+    the length/quality distribution?").  Returns one row per bin:
+    ``(bin, n_old, n_new, p_old, p_new, psi_term)``; total PSI is the sum
+    of ``psi_term`` (rule of thumb: < 0.1 stable, 0.1-0.25 moderate shift,
+    > 0.25 investigate).
+
+    Bin edges are equi-width over the OLD frame's [min, max] (the reference
+    distribution defines the grid — standard PSI practice); new values
+    outside the old range clamp into the edge bins, NULLs land in bin -1.
+    Both binnings are single JVM-codegen aggregations (one exchange each,
+    map-side combined), the per-bin join is ``bins + 2`` rows — cost at
+    100 TB is two column scans, nothing more.  ``eps`` floors the ratios so
+    an empty bin contributes a finite term (the textbook smoothing)."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    stats = df_old.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None or hi is None or hi <= lo:
+        # degenerate reference (constant / all-NULL): one bin catches all
+        lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.least(
+            F.greatest(
+                F.floor((x - F.lit(lo)) / F.lit(hi - lo) * bins), F.lit(0)
+            ),
+            F.lit(bins - 1),
+        ).cast("int")
+        return (
+            df.select(F.when(x.isNull(), F.lit(-1)).otherwise(b).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    o = binned(df_old, "n_old")
+    n = binned(df_new, "n_new")
+    joined = o.join(n, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    from pyspark.sql.window import Window
+
+    # global-total window over <= bins+2 rows: no scalable-shuffle concern
+    w = Window.partitionBy()
+    p_old = F.col("n_old") / F.sum("n_old").over(w)
+    p_new = F.col("n_new") / F.sum("n_new").over(w)
+    return joined.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round(
+            (p_new - p_old) * F.log((p_new + F.lit(eps)) / (p_old + F.lit(eps))),
+            6,
+        ).alias("psi_term"),
+    )

@@ -67,3 +67,36 @@ def test_gate_empty_frame(spark):
     gated.write.format("noop").mode("overwrite").save()
     bad = check(strict=False)
     assert bad == [("min_rows", 0, 1)]
+
+
+def test_column_drift_identical_distributions_zero_psi(spark):
+    from hive2es_offline_spark.operators.quality import column_drift
+
+    df = spark.createDataFrame([(i, float(i % 50)) for i in range(500)], "id long, v double")
+    rows = column_drift(df, df, "v", bins=5).collect()
+    assert abs(sum(r["psi_term"] for r in rows)) < 1e-9
+    assert all(r["p_old"] == r["p_new"] for r in rows)
+
+
+def test_column_drift_detects_shift_and_handles_nulls(spark):
+    from hive2es_offline_spark.operators.quality import column_drift
+
+    old = spark.createDataFrame([(i, float(i % 100)) for i in range(1000)], "id long, v double")
+    # new: shifted mass + out-of-range values (clamp) + NULLs (bin -1)
+    rows_new = [(i, float(50 + i % 100)) for i in range(900)]
+    rows_new += [(9000 + i, None) for i in range(100)]
+    new = spark.createDataFrame(rows_new, "id long, v double")
+    out = {r["bin"]: r for r in column_drift(old, new, "v", bins=4).collect()}
+    psi = sum(r["psi_term"] for r in out.values())
+    assert psi > 0.25  # clear shift
+    assert out[-1]["n_old"] == 0 and out[-1]["n_new"] == 100  # NULL bin
+    assert out[3]["n_new"] > out[3]["n_old"]  # clamped top bin gained mass
+
+
+def test_column_drift_constant_reference_degrades(spark):
+    from hive2es_offline_spark.operators.quality import column_drift
+
+    old = spark.createDataFrame([(i, 7.0) for i in range(10)], "id long, v double")
+    new = spark.createDataFrame([(i, 7.0 + i) for i in range(10)], "id long, v double")
+    rows = column_drift(old, new, "v", bins=3).collect()
+    assert len(rows) >= 1  # degenerate [min,max] widens to one sane grid
