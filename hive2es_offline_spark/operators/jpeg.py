@@ -6,21 +6,28 @@ baseline sequential DCT JPEG (SOF0) so ``extract_features`` /
 ``resize_images`` compute on REAL pixels for the dominant web image format
 instead of refusing (``on_undecodable="null"``) or faking.
 
-Scope — the baseline profile that covers the overwhelming majority of real
-JPEGs:
+Scope — the two DCT profiles that cover essentially all real JPEGs:
 
 * baseline sequential DCT (SOF0), 8-bit samples
+* PROGRESSIVE DCT (SOF2): spectral selection AND successive approximation
+  (T.81 F.2/G.1 — DC/AC first passes, DC/AC refinement with EOB-run
+  correction bits), interleaved DC + non-interleaved AC scans
 * grayscale (1 component) and YCbCr (3 components)
 * any sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0, 4:4:0)
 * restart intervals (DRI / RSTn)
 
-Progressive (SOF2), arithmetic coding, and 12-bit return None — the caller's
-``on_undecodable`` policy decides what happens (never a silent fake).
+Arithmetic coding, 12-bit, lossless/hierarchical, and 4-component CMYK
+return None — the caller's ``on_undecodable`` policy decides what happens
+(never a silent fake).
 
-The encoder exists for round-trip testing and resize re-encode: baseline,
-4:4:4, standard Annex K quantization/Huffman tables.  Round-trip tests pair
-it with analytic fixtures (solid-color images decode to exact DC values
-independent of DCT convention) so encoder/decoder bugs can't cancel out.
+The encoders exist for round-trip testing and resize re-encode: baseline
+(``encode_jpeg``/``encode_jpeg_gray``, Annex K tables) and progressive
+(``encode_jpeg_progressive``, with and without successive approximation).
+Round-trip tests pair them with analytic fixtures (solid colors are
+DC-only: exact decode independent of DCT convention) and with the
+baseline path as an independent oracle — a progressive file built from the
+same quantized coefficients must decode bit-identical to its baseline
+encoding, so mirrored encoder/decoder bugs can't cancel out.
 
 Reference parity note: the reference system (hive2es-offline) has no image
 path at all — this is engine surface for multimodal training data, cited as
@@ -258,6 +265,7 @@ def _decode(data: bytes) -> np.ndarray | None:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart_interval = 0
+    coef_store: dict[int, np.ndarray] | None = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -298,7 +306,7 @@ def _decode(data: bytes) -> np.ndarray | None:
                 values = list(seg[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 return None
@@ -313,9 +321,19 @@ def _decode(data: bytes) -> np.ndarray | None:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical: unsupported
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                # per-component coefficient store over the MCU-padded block
+                # grid, accumulated across scans
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                coef_store = {
+                    c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    for c in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic / hierarchical: unsupported
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS
@@ -327,11 +345,225 @@ def _decode(data: bytes) -> np.ndarray | None:
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qtables, htables, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qtables, htables, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            end = _decode_progressive_scan(
+                data, pos + seglen, frame, scan, htables, restart_interval,
+                coef_store, ss, se, ah, al,
             )
+            # resume the marker walk at the next marker after the scan data
+            pos = end
+            continue
         pos += seglen
+    if frame is not None and frame["progressive"] and coef_store is not None:
+        return _reconstruct_progressive(frame, qtables, coef_store)
     return None
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker's 0xFF at/after ``pos`` (skipping
+    entropy bytes, 0xFF00 stuffing, fill bytes, and RSTn)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(
+    data, start, frame, scan, htables, restart_interval, coef_store, ss, se, ah, al
+):
+    """One progressive SOS (T.81 F.2 / G.1 decoder): spectral selection
+    [ss, se] at successive-approximation bit position ``al`` (``ah`` == 0
+    for a first pass, else a refinement pass).  Updates ``coef_store`` in
+    place; returns the stream position of the next marker."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    w, h = frame["w"], frame["h"]
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    reader = _BitReader(data, start)
+    state = {"eobrun": 0}
+
+    def refine_nonzero(coef, idx, p1):
+        # transmitted correction bit for a history-nonzero coefficient
+        if reader.read_bits(1) and (coef[idx] & p1) == 0:
+            coef[idx] += p1 if coef[idx] > 0 else -p1
+
+    def decode_dc_first(coef, c, pred):
+        t = reader.decode_symbol(htables[(0, c["dc"])])
+        diff = _extend(reader.read_bits(t), t)
+        pred[c["id"]] += diff
+        coef[0] = pred[c["id"]] << al
+        return pred
+
+    def decode_dc_refine(coef):
+        if reader.read_bits(1):
+            coef[0] |= 1 << al  # two's-complement OR appends the bit
+
+    def decode_ac_first(coef, ac_tbl):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index out of band")
+            coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def decode_ac_refine(coef, ac_tbl):
+        # T.81 G.1.2.3 (the libjpeg decode_mcu_AC_refine control flow)
+        p1 = 1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        # refinement EOB run is (1<<r)+bits — NO -1: the
+                        # current block still consumes correction bits for
+                        # its remaining nonzero-history positions below,
+                        # then the decrement accounts for it
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        break
+                    val = 0  # ZRL in refinement: 16 zero-history coeffs
+                else:
+                    if s != 1:
+                        raise ValueError("invalid refinement magnitude")
+                    val = p1 if reader.read_bits(1) else -p1
+                # advance past r zero-history coeffs, correcting nonzero ones
+                while k <= se:
+                    idx = ZIGZAG[k]
+                    if coef[idx] != 0:
+                        refine_nonzero(coef, idx, p1)
+                    else:
+                        if r == 0:
+                            if val != 0:
+                                coef[idx] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                idx = ZIGZAG[k]
+                if coef[idx] != 0:
+                    refine_nonzero(coef, idx, p1)
+                k += 1
+            state["eobrun"] -= 1
+
+    pred = {c["id"]: 0 for c in scan}
+    unit = 0
+
+    def maybe_restart():
+        nonlocal pred
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.sync_restart()
+            pred = {c["id"]: 0 for c in scan}
+            state["eobrun"] = 0
+
+    if len(scan) > 1:
+        # interleaved (multi-component DC scans): MCU order over the
+        # full-frame grid; single-component scans are ALWAYS non-interleaved
+        if ss != 0 or se != 0:
+            raise ValueError(
+                "progressive interleaved scans must be DC-only (Ss=Se=0)"
+            )
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for c in scan:
+                    store = coef_store[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = store[my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                decode_dc_first(coef, c, pred)
+                            else:
+                                decode_dc_refine(coef)
+                unit += 1
+    else:
+        # non-interleaved: the single component's OWN block grid
+        c = scan[0]
+        store = coef_store[c["id"]]
+        cw = -(-(w * c["h"]) // hmax)
+        ch_ = -(-(h * c["v"]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch_ // 8)
+        ac_tbl = htables.get((1, c["ac"]))
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                coef = store[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        decode_dc_first(coef, c, pred)
+                    else:
+                        decode_dc_refine(coef)
+                elif ah == 0:
+                    decode_ac_first(coef, ac_tbl)
+                else:
+                    decode_ac_refine(coef, ac_tbl)
+                unit += 1
+    return _next_marker(data, reader.pos)
+
+
+def _reconstruct_progressive(frame, qtables, coef_store):
+    """Dequantize + IDCT the accumulated coefficient store, then upsample /
+    color-convert exactly like the baseline path."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    full = []
+    for c in frame["comps"]:
+        store = coef_store[c["id"]]  # natural (row-major) coefficient order
+        bh, bw = store.shape[:2]
+        q = qtables[c["tq"]]
+        plane = np.zeros((bh * 8, bw * 8))
+        flat = store.reshape(bh * bw, 64).astype(np.float64)
+        for i in range(bh * bw):
+            blk = flat[i].reshape(8, 8) * q
+            pix = _C.T @ blk @ _C + 128.0
+            by, bx = divmod(i, bw)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).round()
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
 
 
 def _decode_scan(data, start, frame, scan, qtables, htables, restart_interval):
@@ -590,4 +822,212 @@ def encode_jpeg(
     bw.flush()
     out += bw.buf
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# uniform 8-bit Huffman tables for the progressive TEST encoder: every
+# (run, size) symbol the scans may emit gets an 8-bit code (176/256 < 1
+# satisfies Kraft; legal, merely non-optimal) — needed because the Annex K
+# AC tables lack the EOB_n run symbols progressive AC scans use
+_PROG_DC_TBL = ([0, 0, 0, 0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_PROG_AC_TBL = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _zz_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh*bw, 64) quantized coefficients in ZIGZAG order for a padded
+    plane (the encoder-side block store)."""
+    ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
+    out = np.zeros((bh * bw, 64), np.int32)
+    for i in range(bh * bw):
+        by, bx = divmod(i, bw)
+        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        coefq = np.round((_C @ (blk - 128.0) @ _C.T) / q).astype(np.int32)
+        out[i] = coefq.reshape(-1)[ZIGZAG]
+    return out
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: integer divide by 2^al truncated toward zero."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: EOB-run accumulation plus
+    the refinement correction-bit buffering (G.1.2.2-3 encoder side)."""
+
+    def __init__(self, ac_enc):
+        self.bw = _BitWriter()
+        self.ac_enc = ac_enc
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits buffered under the EOB run
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            length, code = self.ac_enc[(nbits << 4) | 0]
+            self.bw.write(code, length)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.be:
+            self.bw.write(b, 1)
+        self.be = []
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.bw.flush()
+        return bytes(self.bw.buf)
+
+
+def encode_jpeg_progressive(img: np.ndarray, successive: bool = False) -> bytes:
+    """Encode uint8 RGB as a PROGRESSIVE (SOF2) 4:4:4 JPEG — test harness
+    for the progressive decoder.  ``successive=False``: spectral selection
+    only (DC scan + one full AC scan per component, Al=0 — coefficients
+    identical to the baseline encoding, so decode must match
+    ``encode_jpeg`` bit-for-bit).  ``successive=True``: DC and AC first
+    passes at Al=1 followed by AC refinement (Ah=1, Al=0) and a DC
+    refinement scan — exercises every successive-approximation decode
+    path including EOB-run correction bits."""
+    img = np.ascontiguousarray(img, dtype=np.float64)
+    h, w = img.shape[:2]
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qs = [STD_LUMA_Q.reshape(8, 8), STD_CHROMA_Q.reshape(8, 8), STD_CHROMA_Q.reshape(8, 8)]
+    comps = [_zz_blocks(_pad_plane(p, ph, pw), q) for p, q in zip(planes, qs)]
+    dc_enc = _build_encode_table(*_PROG_DC_TBL)
+    ac_enc = _build_encode_table(*_PROG_AC_TBL)
+    al1 = 1 if successive else 0
+
+    out = bytearray(b"\xFF\xD8")
+    for tq, q in ((0, STD_LUMA_Q), (1, STD_CHROMA_Q)):
+        zzq = q.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) + zzq.tobytes()
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for tc_th, (bits, values) in (((0x00,), _PROG_DC_TBL), ((0x10,), _PROG_AC_TBL)):
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(values))
+        out += bytes(tc_th) + bytes(bits) + bytes(values)
+
+    def sos(comp_specs, ss, se, ah, al):
+        o = bytearray(b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(comp_specs), len(comp_specs)))
+        for cid, tt in comp_specs:
+            o += bytes([cid, tt])
+        o += bytes([ss, se, (ah << 4) | al])
+        return o
+
+    # scan 1: interleaved DC first pass
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, al1)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for i in range(comps[0].shape[0]):
+        for ci in range(3):
+            v = int(comps[ci][i, 0]) >> al1  # DC point transform: arith shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            mag = abs(diff)
+            nbits = mag.bit_length()
+            length, code = dc_enc[nbits]
+            bw.write(code, length)
+            if nbits:
+                bw.write(diff if diff >= 0 else diff + (1 << nbits) - 1, nbits)
+    bw.flush()
+    out += bw.buf
+
+    # scans 2-4: per-component AC first pass (spectral 1..63)
+    for ci in range(3):
+        out += sos([(ci + 1, 0x00)], 1, 63, 0, al1)
+        ws = _ProgScanWriter(ac_enc)
+        for i in range(comps[ci].shape[0]):
+            zz = comps[ci][i]
+            vals = [_pt(int(zz[k]), al1) for k in range(64)]
+            last = max((k for k in range(1, 64) if vals[k] != 0), default=0)
+            if last == 0:
+                ws.eobrun += 1
+                if ws.eobrun == 0x7FFF:
+                    ws.flush_eobrun()
+                continue
+            run = 0
+            for k in range(1, last + 1):
+                v = vals[k]
+                if v == 0:
+                    run += 1
+                    continue
+                ws.flush_eobrun()
+                while run > 15:
+                    length, code = ac_enc[0xF0]
+                    ws.bw.write(code, length)
+                    run -= 16
+                mag = abs(v)
+                nbits = mag.bit_length()
+                length, code = ac_enc[(run << 4) | nbits]
+                ws.bw.write(code, length)
+                ws.bw.write(v if v >= 0 else v + (1 << nbits) - 1, nbits)
+                run = 0
+            if last < 63:
+                ws.eobrun += 1
+                if ws.eobrun == 0x7FFF:
+                    ws.flush_eobrun()
+        out += ws.finish()
+
+    if successive:
+        # scans 5-7: per-component AC refinement (Ah=1 -> Al=0)
+        for ci in range(3):
+            out += sos([(ci + 1, 0x00)], 1, 63, 1, 0)
+            ws = _ProgScanWriter(ac_enc)
+            for i in range(comps[ci].shape[0]):
+                zz = comps[ci][i]
+                absv = [abs(int(zz[k])) for k in range(64)]
+                eob = max((k for k in range(1, 64) if absv[k] == 1), default=0)
+                run = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        ws.flush_eobrun()
+                        length, code = ac_enc[0xF0]
+                        ws.bw.write(code, length)
+                        run -= 16
+                        for bit in br:
+                            ws.bw.write(bit, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)  # history-nonzero: correction bit
+                        continue
+                    ws.flush_eobrun()
+                    length, code = ac_enc[(run << 4) | 1]
+                    ws.bw.write(code, length)
+                    ws.bw.write(0 if int(zz[k]) < 0 else 1, 1)
+                    for bit in br:
+                        ws.bw.write(bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    ws.eobrun += 1
+                    ws.be.extend(br)
+                    if ws.eobrun == 0x7FFF:
+                        ws.flush_eobrun()
+            out += ws.finish()
+        # scan 8: interleaved DC refinement — one raw bit per block
+        out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+        bw = _BitWriter()
+        for i in range(comps[0].shape[0]):
+            for ci in range(3):
+                bw.write(int(comps[ci][i, 0]) & 1, 1)
+        bw.flush()
+        out += bw.buf
+
+    out += b"\xFF\xD9"
     return bytes(out)

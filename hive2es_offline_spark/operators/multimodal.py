@@ -3,17 +3,19 @@
 Real pipelines carry image/audio/video as binary columns next to typed
 metadata, and decode/feature-extract with Arrow-batched Python
 (``mapInPandas``) because codecs don't live in the JVM.
-``decode_image_meta`` parses PNG/JPEG/GIF dimensions for REAL from the
-header bytes (``parse_image_header``); PNG payloads get a REAL
-pure-stdlib pixel codec (``decode_png_pixels``/``encode_png``: zlib +
-filter reconstruction per the PNG spec) and GIF payloads a REAL stdlib
-LZW codec (``decode_gif_frames``/``encode_gif``: variable-width LZW,
-color tables, interlace, frame compositing per GIF89a) — resize and
-featurize operate on actual pixels for both.  Only JPEG pixel decode and
-the model-based featurizer remain deterministic stand-ins (no JPEG codec
-library ships in this container; entropy decode is out of stdlib scope).
-The Spark-side plumbing (schema, batch iterator shape, partitioning,
-column pruning through mapInPandas) is real and tested either way.
+``decode_image_meta`` parses PNG/JPEG/GIF/WebP dimensions for REAL from
+the header bytes (``parse_image_header``); pixel paths are REAL codecs
+for PNG (``decode_png_pixels``/``encode_png``: zlib + filter
+reconstruction per the PNG spec), GIF (``decode_gif_frames``/
+``encode_gif``: variable-width LZW, color tables, interlace, frame
+compositing per GIF89a) and JPEG (``jpeg.decode_jpeg_pixels``: baseline
+AND progressive DCT incl. successive approximation, ITU-T T.81) — resize
+and featurize operate on actual pixels for all three.  Payloads with no
+pixel decoder (WebP, CMYK JPEG, video containers, unknown) follow the
+``on_undecodable``/``frame_status`` policies: NULL plus a reason by
+default, fakes only on request.  The Spark-side plumbing (schema, batch
+iterator shape, partitioning, column pruning through mapInPandas) is
+real and tested throughout.
 
 Scale notes: binary payloads dominate row size, so (a) the mapInPandas
 schema declares only the columns the stage needs — Spark prunes the rest of
@@ -600,9 +602,10 @@ def extract_features(
 
     The histogram is computed over REAL decoded pixel values for PNG
     (``decode_png_pixels``), GIF (every frame, ``decode_gif_frames``) and
-    baseline JPEG (``jpeg.decode_jpeg_pixels`` — stdlib+numpy ITU-T T.81).
-    Payloads with no pixel decoder (progressive JPEG, WebP, unknown)
-    follow ``on_undecodable``: ``"null"`` (default) emits a NULL
+    baseline AND progressive JPEG (``jpeg.decode_jpeg_pixels`` —
+    stdlib+numpy ITU-T T.81 incl. successive approximation).  Payloads
+    with no pixel decoder (WebP, CMYK JPEG, unknown) follow
+    ``on_undecodable``: ``"null"`` (default) emits a NULL
     feature plus a ``decode_status`` reason — a quality filter computed on
     fabricated pixels is garbage, so fakes must be asked for, never
     defaulted into; ``"fake"`` opts into the deterministic byte-histogram
@@ -680,10 +683,10 @@ def resize_images(
     (``encode_png``), so the output is a valid PNG at the target size.
     GIFs resize every frame and re-encode as GIF (``decode_gif_frames`` /
     ``encode_gif``) — format-preserving, animation included.  Baseline
-    JPEGs decode/resample/re-encode through the real codec
-    (``jpeg.decode_jpeg_pixels`` / ``jpeg.encode_jpeg``).  Formats with no
-    pixel decoder (progressive JPEG, WebP, unknown) follow
-    ``on_undecodable``: ``"null"``
+    and progressive JPEGs decode/resample/re-encode through the real
+    codec (``jpeg.decode_jpeg_pixels`` / ``jpeg.encode_jpeg``; output is
+    baseline).  Formats with no pixel decoder (WebP, CMYK JPEG, unknown)
+    follow ``on_undecodable``: ``"null"``
     (default) emits a NULL payload plus a ``decode_status`` reason;
     ``"fake"`` opts into the byte-budget stub (status ``"fake"``; a
     production path swaps in PIL/opencv); ``"raise"`` fails the job.

@@ -138,3 +138,39 @@ def test_grayscale_roundtrip():
     dec = decode_jpeg_pixels(encode_jpeg_gray(grad))
     assert dec.shape == (24, 32, 3)
     assert np.abs(dec[:, :, 0].astype(int) - grad.astype(int)).max() <= 8
+
+
+def test_progressive_spectral_matches_baseline_exactly():
+    # same quantized coefficients, different scan organization: progressive
+    # (spectral selection only) must decode BIT-IDENTICAL to baseline
+    from hive2es_offline_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.linspace(0, 255, 24 * 33 * 3).reshape(24, 33, 3).astype(np.uint8)
+    base = decode_jpeg_pixels(encode_jpeg(img))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img))
+    assert prog is not None and np.array_equal(base, prog)
+
+
+def test_progressive_successive_approximation_matches_baseline():
+    # DC/AC first passes at Al=1 + AC refinement (EOB-run correction bits)
+    # + DC refinement must reconstruct the full-precision coefficients
+    from hive2es_offline_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    for img in (
+        np.linspace(0, 255, 24 * 33 * 3).reshape(24, 33, 3).astype(np.uint8),
+        rng.integers(0, 256, (17, 26, 3), dtype=np.uint8),  # dense AC activity
+        np.full((16, 16, 3), 190, np.uint8),
+    ):
+        base = decode_jpeg_pixels(encode_jpeg(img))
+        sa = decode_jpeg_pixels(encode_jpeg_progressive(img, successive=True))
+        assert sa is not None and np.array_equal(base, sa)
+
+
+def test_progressive_illegal_interleaved_ac_scan_refused():
+    # baseline file with SOF0 flipped to SOF2: its interleaved Ss=0,Se=63
+    # scan is illegal in progressive — must refuse, not garble
+    enc = bytearray(encode_jpeg(np.full((8, 8, 3), 99, np.uint8)))
+    i = enc.find(b"\xFF\xC0")
+    enc[i + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(enc)) is None
