@@ -883,26 +883,53 @@ class _ProgScanWriter:
         return bytes(self.bw.buf)
 
 
-def encode_jpeg_progressive(img: np.ndarray, successive: bool = False) -> bytes:
-    """Encode uint8 RGB as a PROGRESSIVE (SOF2) 4:4:4 JPEG — test harness
-    for the progressive decoder.  ``successive=False``: spectral selection
-    only (DC scan + one full AC scan per component, Al=0 — coefficients
+def encode_jpeg_progressive(
+    img: np.ndarray, successive: bool = False, subsampling: str = "444"
+) -> bytes:
+    """Encode uint8 RGB as a PROGRESSIVE (SOF2) JPEG — test harness for the
+    progressive decoder.  ``successive=False``: spectral selection only
+    (DC scan + one full AC scan per component, Al=0 — coefficients
     identical to the baseline encoding, so decode must match
-    ``encode_jpeg`` bit-for-bit).  ``successive=True``: DC and AC first
-    passes at Al=1 followed by AC refinement (Ah=1, Al=0) and a DC
-    refinement scan — exercises every successive-approximation decode
-    path including EOB-run correction bits."""
+    ``encode_jpeg`` on the visible pixels).  ``successive=True``: DC and
+    AC first passes at Al=1 followed by AC refinement (Ah=1, Al=0) and a
+    DC refinement scan — exercises every successive-approximation decode
+    path including EOB-run correction bits.  ``subsampling="420"`` uses
+    2x2 luma MCUs with box-filtered chroma (interleaved DC over the MCU
+    grid, non-interleaved AC over each component's own used-block grid —
+    the dominant real-world progressive layout)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     img = np.ascontiguousarray(img, dtype=np.float64)
     h, w = img.shape[:2]
     r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b,
-        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-    ]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    qs = [STD_LUMA_Q.reshape(8, 8), STD_CHROMA_Q.reshape(8, 8), STD_CHROMA_Q.reshape(8, 8)]
-    comps = [_zz_blocks(_pad_plane(p, ph, pw), q) for p, q in zip(planes, qs)]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    luma_hv = (2, 2) if subsampling == "420" else (1, 1)
+    mcu_px = 8 * luma_hv[0]
+    mcux, mcuy = -(-w // mcu_px), -(-h // mcu_px)
+    yp = _pad_plane(y, mcuy * 8 * luma_hv[1], mcux * 8 * luma_hv[0])
+    if subsampling == "420":
+        cbp = _pad_plane(cb, mcuy * 16, mcux * 16)
+        crp = _pad_plane(cr, mcuy * 16, mcux * 16)
+        cbp = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp = _pad_plane(cb, mcuy * 8, mcux * 8)
+        crp = _pad_plane(cr, mcuy * 8, mcux * 8)
+    lq, cq = STD_LUMA_Q.reshape(8, 8), STD_CHROMA_Q.reshape(8, 8)
+    hvs = [luma_hv, (1, 1), (1, 1)]
+    # per-component block stores shaped (bh, bw, 64) on the padded MCU grid
+    comps = []
+    for plane, q, (hs, vs) in zip((yp, cbp, crp), (lq, cq, cq), hvs):
+        flat = _zz_blocks(plane, q)
+        comps.append(flat.reshape(mcuy * vs, mcux * hs, 64))
+    # used (non-dummy) block dims per component for non-interleaved AC scans
+    used = []
+    for hs, vs in hvs:
+        cw = -(-(w * hs) // luma_hv[0])
+        ch_ = -(-(h * vs) // luma_hv[1])
+        used.append((-(-ch_ // 8), -(-cw // 8)))
     dc_enc = _build_encode_table(*_PROG_DC_TBL)
     ac_enc = _build_encode_table(*_PROG_AC_TBL)
     al1 = 1 if successive else 0
@@ -912,8 +939,8 @@ def encode_jpeg_progressive(img: np.ndarray, successive: bool = False) -> bytes:
         zzq = q.reshape(-1)[ZIGZAG].astype(np.uint8)
         out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) + zzq.tobytes()
     out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])
+    for cid, (hs, vs), tq in ((1, luma_hv, 0), (2, (1, 1), 1), (3, (1, 1), 1)):
+        out += bytes([cid, (hs << 4) | vs, tq])
     for tc_th, (bits, values) in (((0x00,), _PROG_DC_TBL), ((0x10,), _PROG_AC_TBL)):
         out += b"\xFF\xC4" + struct.pack(">H", 19 + len(values))
         out += bytes(tc_th) + bytes(bits) + bytes(values)
@@ -925,30 +952,40 @@ def encode_jpeg_progressive(img: np.ndarray, successive: bool = False) -> bytes:
         o += bytes([ss, se, (ah << 4) | al])
         return o
 
-    # scan 1: interleaved DC first pass
+    # scan 1: interleaved DC first pass (MCU order over the padded grid)
     out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, al1)
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for i in range(comps[0].shape[0]):
-        for ci in range(3):
-            v = int(comps[ci][i, 0]) >> al1  # DC point transform: arith shift
-            diff = v - preds[ci]
-            preds[ci] = v
-            mag = abs(diff)
-            nbits = mag.bit_length()
-            length, code = dc_enc[nbits]
-            bw.write(code, length)
-            if nbits:
-                bw.write(diff if diff >= 0 else diff + (1 << nbits) - 1, nbits)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(hvs):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz0 = int(comps[ci][my * vs + by, mx * hs + bx, 0])
+                        v = zz0 >> al1  # DC point transform: arith shift
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        mag = abs(diff)
+                        nbits = mag.bit_length()
+                        length, code = dc_enc[nbits]
+                        bw.write(code, length)
+                        if nbits:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << nbits) - 1,
+                                nbits,
+                            )
     bw.flush()
     out += bw.buf
 
-    # scans 2-4: per-component AC first pass (spectral 1..63)
+    # scans 2-4: per-component AC first pass (spectral 1..63) over the
+    # component's USED block grid (dummy MCU-padding blocks excluded —
+    # exactly what the non-interleaved decoder iterates)
     for ci in range(3):
         out += sos([(ci + 1, 0x00)], 1, 63, 0, al1)
         ws = _ProgScanWriter(ac_enc)
-        for i in range(comps[ci].shape[0]):
-            zz = comps[ci][i]
+        ubh, ubw = used[ci]
+        for i in (by * ubw + bx for by in range(ubh) for bx in range(ubw)):
+            zz = comps[ci][i // ubw, i % ubw]
             vals = [_pt(int(zz[k]), al1) for k in range(64)]
             last = max((k for k in range(1, 64) if vals[k] != 0), default=0)
             if last == 0:
@@ -984,8 +1021,9 @@ def encode_jpeg_progressive(img: np.ndarray, successive: bool = False) -> bytes:
         for ci in range(3):
             out += sos([(ci + 1, 0x00)], 1, 63, 1, 0)
             ws = _ProgScanWriter(ac_enc)
-            for i in range(comps[ci].shape[0]):
-                zz = comps[ci][i]
+            ubh, ubw = used[ci]
+            for i in (by * ubw + bx for by in range(ubh) for bx in range(ubw)):
+                zz = comps[ci][i // ubw, i % ubw]
                 absv = [abs(int(zz[k])) for k in range(64)]
                 eob = max((k for k in range(1, 64) if absv[k] == 1), default=0)
                 run = 0
@@ -1023,9 +1061,14 @@ def encode_jpeg_progressive(img: np.ndarray, successive: bool = False) -> bytes:
         # scan 8: interleaved DC refinement — one raw bit per block
         out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
         bw = _BitWriter()
-        for i in range(comps[0].shape[0]):
-            for ci in range(3):
-                bw.write(int(comps[ci][i, 0]) & 1, 1)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(hvs):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bw.write(
+                                int(comps[ci][my * vs + by, mx * hs + bx, 0]) & 1, 1
+                            )
         bw.flush()
         out += bw.buf
 

@@ -151,9 +151,12 @@ def test_progressive_spectral_matches_baseline_exactly():
     assert prog is not None and np.array_equal(base, prog)
 
 
-def test_progressive_successive_approximation_matches_baseline():
-    # DC/AC first passes at Al=1 + AC refinement (EOB-run correction bits)
-    # + DC refinement must reconstruct the full-precision coefficients
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("successive", [False, True])
+def test_progressive_matches_baseline_all_layouts(subsampling, successive):
+    # DC/AC first passes (Al=1 when successive) + AC refinement with
+    # EOB-run correction bits + DC refinement must reconstruct the exact
+    # coefficients for both 4:4:4 and the dominant 4:2:0 layout
     from hive2es_offline_spark.operators.jpeg import encode_jpeg_progressive
 
     rng = np.random.default_rng(3)
@@ -162,9 +165,11 @@ def test_progressive_successive_approximation_matches_baseline():
         rng.integers(0, 256, (17, 26, 3), dtype=np.uint8),  # dense AC activity
         np.full((16, 16, 3), 190, np.uint8),
     ):
-        base = decode_jpeg_pixels(encode_jpeg(img))
-        sa = decode_jpeg_pixels(encode_jpeg_progressive(img, successive=True))
-        assert sa is not None and np.array_equal(base, sa)
+        base = decode_jpeg_pixels(encode_jpeg(img, subsampling=subsampling))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, successive=successive, subsampling=subsampling)
+        )
+        assert prog is not None and np.array_equal(base, prog)
 
 
 def test_progressive_illegal_interleaved_ac_scan_refused():
