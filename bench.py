@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     # atomic CURRENT swap) and small-file compaction (bytes-sized rewrite)
     "snapshot_upsert",
     "compact_table",
+    # round-5 retrieval + monitoring surfaces: hybrid BM25+vector RRF
+    # fusion, PSI column-drift between corpus halves, and the composed
+    # multimodal loop (real PNG codecs -> features -> WebDataset shards)
+    "hybrid_search",
+    "data_drift",
+    "multimodal_prepare",
 ]
 
 
