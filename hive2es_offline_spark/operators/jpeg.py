@@ -544,13 +544,15 @@ def _reconstruct_progressive(frame, qtables, coef_store):
         store = coef_store[c["id"]]  # natural (row-major) coefficient order
         bh, bw = store.shape[:2]
         q = qtables[c["tq"]]
-        plane = np.zeros((bh * 8, bw * 8))
-        flat = store.reshape(bh * bw, 64).astype(np.float64)
-        for i in range(bh * bw):
-            blk = flat[i].reshape(8, 8) * q
-            pix = _C.T @ blk @ _C + 128.0
-            by, bx = divmod(i, bw)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        # batched IDCT over all blocks at once (one BLAS einsum, no
+        # per-block Python loop), then scatter the 8x8 tiles into place
+        blocks = store.reshape(bh * bw, 8, 8).astype(np.float64) * q[None, :, :]
+        pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
