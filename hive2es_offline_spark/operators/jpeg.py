@@ -749,31 +749,33 @@ def encode_jpeg(
 ) -> bytes:
     """Encode ``np.ndarray[h, w, 3]`` uint8 RGB as a baseline JPEG with the
     standard Annex K tables (≈quality 50).  ``subsampling`` is ``"444"``
-    (1x1 chroma) or ``"420"`` (2x2 luma MCUs, box-filtered chroma — the
-    dominant real-world layout); ``restart_interval`` > 0 emits DRI/RSTn
-    every N MCUs.  Both exist so the decoder's subsampled and restart
-    paths are testable without third-party encoders."""
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    (1x1 chroma), ``"420"`` (2x2 luma MCUs — the dominant real-world
+    layout), ``"422"`` (2x1: horizontal-only chroma downsample) or
+    ``"440"`` (1x2: vertical-only); chroma is box-filtered on the padded
+    plane.  ``restart_interval`` > 0 emits DRI/RSTn every N MCUs.  All
+    exist so the decoder's subsampled and restart paths are testable
+    without third-party encoders."""
+    luma_by_mode = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in luma_by_mode:
+        raise ValueError(
+            f"subsampling must be one of {sorted(luma_by_mode)}, got {subsampling!r}"
+        )
     img = np.ascontiguousarray(img, dtype=np.float64)
     h, w = img.shape[:2]
     r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    luma_hv = (2, 2) if subsampling == "420" else (1, 1)
-    mcu_px = 8 * luma_hv[0]
-    mcux, mcuy = -(-w // mcu_px), -(-h // mcu_px)
-    yp = _pad_plane(y, mcuy * 8 * luma_hv[1], mcux * 8 * luma_hv[0])
-    if subsampling == "420":
-        # box-filter downsample on the padded plane (even dims guaranteed)
-        cbp = _pad_plane(cb, mcuy * 16, mcux * 16)
-        crp = _pad_plane(cr, mcuy * 16, mcux * 16)
-        cbp = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
-        crp = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
-    else:
-        cbp = _pad_plane(cb, mcuy * 8, mcux * 8)
-        crp = _pad_plane(cr, mcuy * 8, mcux * 8)
+    luma_hv = luma_by_mode[subsampling]
+    fx, fy = luma_hv[0], luma_hv[1]  # chroma downsample factors
+    mcux, mcuy = -(-w // (8 * fx)), -(-h // (8 * fy))
+    yp = _pad_plane(y, mcuy * 8 * fy, mcux * 8 * fx)
+    # box-filter chroma on the padded plane (dims divisible by fx/fy)
+    cbp = _pad_plane(cb, mcuy * 8 * fy, mcux * 8 * fx)
+    crp = _pad_plane(cr, mcuy * 8 * fy, mcux * 8 * fx)
+    if fx > 1 or fy > 1:
+        cbp = cbp.reshape(mcuy * 8, fy, mcux * 8, fx).mean(axis=(1, 3))
+        crp = crp.reshape(mcuy * 8, fy, mcux * 8, fx).mean(axis=(1, 3))
     lq, cq = STD_LUMA_Q.reshape(8, 8), STD_CHROMA_Q.reshape(8, 8)
     comps = [
         (yp, luma_hv, lq, _build_encode_table(*STD_DC_LUMA), _build_encode_table(*STD_AC_LUMA)),

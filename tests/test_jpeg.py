@@ -42,7 +42,7 @@ def test_solid_gray_128_bit_exact():
     assert np.array_equal(decode_jpeg_pixels(encode_jpeg(img)), img)
 
 
-@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "420", "422", "440"])
 @pytest.mark.parametrize("restart_interval", [0, 3])
 def test_gradient_roundtrip_all_paths(subsampling, restart_interval):
     img = np.linspace(0, 255, 33 * 41 * 3).reshape(33, 41, 3).astype(np.uint8)
