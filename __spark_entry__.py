@@ -1024,6 +1024,23 @@ def q_source_mix(spark, sf_dir):
     return source_mix(d, "source", _MIX_TARGETS, "doc_id")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled corpus mixing (T5/mT5/PaLM rule: p_s ∝ n_s^(1/T),
+    T=2 here): targets derived from the observed per-source counts, then
+    the max-retention hash-threshold resample of source_mix — DuckDB-checked
+    via demoted_goldens (sqrt/pow, normalization, and the floor(rate·2³²)
+    8-hex threshold replicated in SQL)."""
+    from hive2es_offline_spark.operators.sampling import (
+        source_mix, temperature_targets)
+
+    d = _t(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return source_mix(d, "source", temperature_targets(counts, 2.0), "doc_id")
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain document cap (web-curation "at most N docs per host,
     best first"): keep the 100 longest docs per source, deterministic
@@ -1777,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "data_drift": q_data_drift,
         "source_mix": q_source_mix,
+        "temperature_mix": q_temperature_mix,
         # ES query-surface parity (the DSL users run against the loaded index)
         "es_search": q_es_search,
         "es_match": q_es_match,
@@ -2659,6 +2677,32 @@ def _goldens_b() -> dict[str, str]:
         "epoch_shuffle": """
             SELECT doc_id, md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents
+        """,
+        # temperature-scaled mixing (T=2): p_s ∝ sqrt(n_s); z summed in
+        # source order via list_aggregate to mirror the operator's
+        # sorted-key float summation; then the same rate arithmetic and
+        # floor(rate * 16^8) 8-hex threshold as source_mix
+        "temperature_mix": """
+            WITH counts AS (
+              SELECT source, CAST(count(*) AS DOUBLE) AS n
+              FROM documents GROUP BY source
+            ), tw AS (
+              SELECT source, n, pow(n, 0.5) AS pw FROM counts
+            ), z AS (
+              SELECT list_aggregate(list(pw ORDER BY source), 'sum') AS z
+              FROM tw
+            ), tgt AS (
+              SELECT source, n, pw / z.z AS p FROM tw, z
+            ), t AS (
+              SELECT min(n / p) AS t FROM tgt
+            ), rates AS (
+              SELECT source, least(t.t * p / n, 1.0) AS rate FROM tgt, t
+            )
+            SELECT d.* FROM documents d JOIN rates r ON d.source = r.source
+            WHERE r.rate >= 1.0
+               OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+                  lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
+                       8, '0')
         """,
         # independent recomputation of q_quality_gate's observe metrics:
         # min_rows=1, null_frac(text)<=0.0, null_frac(lang)<=0.1,

@@ -92,6 +92,29 @@ def mix_rates(counts: dict, targets: dict) -> dict:
     return {s: min((t * p[s]) / counts[s], 1.0) for s in present}
 
 
+def temperature_targets(counts: dict, temperature: float = 1.0) -> dict:
+    """Target mixture proportions from corpus sizes via temperature scaling
+    — the public multilingual/multi-corpus mixing rule (T5 / mT5 / PaLM):
+    ``p_s ∝ n_s^(1/T)``.  T=1 reproduces natural proportions; T>1 flattens
+    the mix toward uniform (up-weighting small sources — the usual choice,
+    e.g. T=3.33 in mT5); T→∞ is uniform.  Compose with :func:`mix_rates` /
+    :func:`source_mix`: ``source_mix(df, col, temperature_targets(counts,
+    T), id)``.  Pure driver arithmetic on the per-stratum count table."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    # sorted-key order so the float summation (non-associative) is
+    # deterministic regardless of the caller's dict/collect order — the
+    # proportions become plan literals, so run-to-run ulp drift would
+    # otherwise flip boundary rows
+    powed = {
+        s: float(n) ** (1.0 / temperature)
+        for s, n in sorted(counts.items())
+        if n > 0
+    }
+    z = sum(powed.values())
+    return {s: v / z for s, v in powed.items()}
+
+
 def source_mix(
     df: DataFrame,
     stratum_col: str,

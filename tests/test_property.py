@@ -123,3 +123,17 @@ def test_jpeg_decoder_total_on_garbage(data):
     # a valid array — never raise out of decode_jpeg_pixels
     out = decode_jpeg_pixels(b"\xff\xd8" + data)
     assert out is None or (out.ndim == 3 and out.shape[2] == 3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=300))
+def test_progressive_decoder_total_on_garbage(data):
+    # a valid progressive header followed by arbitrary bytes must return
+    # None or a valid array — never raise or hang
+    from hive2es_offline_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.full((8, 8, 3), 100, np.uint8)
+    enc = encode_jpeg_progressive(img)
+    i = enc.find(b"\xFF\xDA")  # first SOS: keep headers, fuzz scan data
+    out = decode_jpeg_pixels(enc[:i] + data)
+    assert out is None or (out.ndim == 3 and out.shape[2] == 3)

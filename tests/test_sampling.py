@@ -172,3 +172,28 @@ def test_epoch_shuffle_deterministic_and_epoch_independent(spark, tmp_path):
             ranges.append((keys[0], keys[-1]))
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint, ascending shard ranges
+
+
+def test_temperature_targets_limits_and_flattening():
+    import pytest
+
+    from hive2es_offline_spark.operators.sampling import (
+        mix_rates, temperature_targets)
+
+    counts = {"web": 8000, "wiki": 1000, "books": 1000}
+    # T=1: natural proportions
+    nat = temperature_targets(counts, 1.0)
+    assert abs(nat["web"] - 0.8) < 1e-12
+    # T>1 flattens: small sources gain share, order preserved
+    t3 = temperature_targets(counts, 3.0)
+    assert nat["web"] > t3["web"] > 1 / 3
+    assert t3["wiki"] > nat["wiki"]
+    # huge T -> ~uniform
+    tu = temperature_targets(counts, 1e9)
+    assert all(abs(v - 1 / 3) < 1e-6 for v in tu.values())
+    assert abs(sum(t3.values()) - 1.0) < 1e-12
+    with pytest.raises(ValueError):
+        temperature_targets(counts, 0)
+    # composes with mix_rates: binding stratum keeps rate 1.0
+    rates = mix_rates(counts, t3)
+    assert max(rates.values()) == 1.0 and all(0 < r <= 1 for r in rates.values())
