@@ -867,9 +867,13 @@ def q_tumbling_window(spark, sf_dir):
 
 
 def q_bulk_write(spark, sf_dir):
-    """Rows-only: per-partition bulk batching stats (fixed 8 partitions)."""
-    df = entry_docs(spark, sf_dir).repartition(8, F.col("_shard"))
-    return es_bulk.bulk_write_stats(df, "lineitem_v1")
+    """Rows-only: per-partition bulk batching stats over the production
+    ESHashPartitioner layout — each shard split across ``multiple`` tasks
+    (``ESHashPartitioner.scala:15-19``), so a hot shard never serializes
+    through a single writer."""
+    docs = entry_docs(spark, sf_dir)
+    routed = routing.repartition_for_shards(docs, "_routing", NUM_SHARDS, multiple=4)
+    return es_bulk.bulk_write_stats(routed, "lineitem_v1")
 
 
 def entry_docs(spark, sf_dir):
