@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -24,6 +26,67 @@ import __spark_entry__ as entry_mod
 from hive2es_offline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# JVM log hygiene: route driver/executor log4j output to a file instead of
+# the console so a late log (e.g. the benign accumulator-update race from a
+# just-finished job, seen in BENCH_r05's tail) can never contaminate the
+# bench's output stream.  After the run the file is scanned: benign stacks
+# are counted into the JSON, anything unexpected fails the bench loudly.
+_BENIGN_STACK_MARKERS = (
+    # accumulator updates racing job teardown (SPARK-helpfully logged at
+    # ERROR by DAGScheduler.updateAccumulators but harmless post-completion)
+    "updateAccumulators",
+    "Attempted to access garbage collected accumulator",
+)
+
+
+def _jvm_log_conf() -> tuple[str, str]:
+    """Write a log4j2 config routing everything >=WARN to a temp file;
+    returns (config_path, log_path)."""
+    d = tempfile.mkdtemp(prefix="bench_jvmlog_")
+    log_path = os.path.join(d, "jvm.log")
+    conf_path = os.path.join(d, "log4j2.properties")
+    with open(conf_path, "w") as f:
+        f.write(
+            "rootLogger.level = warn\n"
+            "rootLogger.appenderRef.file.ref = FileAppender\n"
+            "appender.file.type = File\n"
+            "appender.file.name = FileAppender\n"
+            f"appender.file.fileName = {log_path}\n"
+            "appender.file.layout.type = PatternLayout\n"
+            "appender.file.layout.pattern = %d{HH:mm:ss} %p %c: %m%n%ex\n"
+        )
+    return conf_path, log_path
+
+
+def _scan_jvm_log(log_path: str) -> tuple[int, list[str]]:
+    """Split the JVM log into entries; return (benign_stack_count,
+    unexpected_entries).  An entry is 'stacky' if it carries exception
+    frames (\\tat ...) or an exception class name."""
+    if not os.path.exists(log_path):
+        return 0, []
+    entries: list[str] = []
+    cur: list[str] = []
+    ts = re.compile(r"^\d\d:\d\d:\d\d ")
+    with open(log_path, errors="replace") as f:
+        for line in f:
+            if ts.match(line) and cur:
+                entries.append("".join(cur))
+                cur = []
+            cur.append(line)
+    if cur:
+        entries.append("".join(cur))
+    benign = 0
+    unexpected = []
+    for e in entries:
+        stacky = "\tat " in e or "Exception" in e or "Error" in e
+        if not stacky:
+            continue
+        if any(m in e for m in _BENIGN_STACK_MARKERS):
+            benign += 1
+        else:
+            unexpected.append(e)
+    return benign, unexpected
 
 BENCH_QUERIES = [
     "scan_filter",
@@ -75,10 +138,14 @@ def run_noop(df) -> None:
 
 
 def main() -> None:
+    conf_path, log_path = _jvm_log_conf()
     spark = get_spark(
-        "hive2es-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "hive2es-bench",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.extraJavaOptions": f"-Dlog4j2.configurationFile=file:{conf_path}",
+        },
     )
-    spark.sparkContext.setLogLevel("ERROR")
 
     # JVM / codegen warm-up on a tiny table
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
@@ -108,6 +175,15 @@ def main() -> None:
         measure(name, lambda n=name: queries[n](spark, SF_DIR))
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+    benign_stacks, unexpected = _scan_jvm_log(log_path)
+    if unexpected:
+        sys.stderr.write(
+            f"bench: {len(unexpected)} unexpected JVM log entr(ies):\n"
+            + "\n---\n".join(e[:2000] for e in unexpected[:5])
+            + "\n"
+        )
+        raise SystemExit(1)
     print(
         json.dumps(
             {
@@ -116,11 +192,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "jvm_benign_stacks": benign_stacks,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -343,7 +343,12 @@ def main(argv: list[str] | None = None) -> None:
         bulk_size_mb=a.bulk_size,
         bulk_flush_interval=a.bulk_flush_interval,
     )
-    manifest = run_job(get_spark("hive2es-job"), cfg)
+    # metastore input (no --sf-dir) needs a Hive-enabled session, exactly as
+    # the reference always builds one (Hive2ES.scala:33-37); file input
+    # doesn't, and skipping it avoids spinning up a Derby metastore.
+    manifest = run_job(
+        get_spark("hive2es-job", enable_hive=cfg.sf_dir is None), cfg
+    )
     print(manifest)
 
 

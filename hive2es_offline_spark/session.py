@@ -31,7 +31,18 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    enable_hive: bool = False,
 ) -> SparkSession:
+    """Build the engine's SparkSession.
+
+    ``enable_hive=True`` adds ``.enableHiveSupport()`` — the reference
+    session is always Hive-enabled (``Hive2ES.scala:33-37``) because its
+    only input is a metastore table; here it is opt-in since every file
+    source works without it.  The catalog implementation is fixed at the
+    FIRST session in a JVM: if a non-Hive session already exists,
+    ``getOrCreate`` returns it unchanged, so set the flag before any other
+    session is created (production entrypoint ``jobs/hive2es.py`` does).
+    """
     cores = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     shuffle_partitions = shuffle_partitions or cores
@@ -52,4 +63,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    if enable_hive:
+        builder = builder.enableHiveSupport()
     return builder.getOrCreate()

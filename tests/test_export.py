@@ -106,3 +106,39 @@ def test_write_jsonl_refuses_existing_dest_without_overwrite(spark, tmp_path):
     assert export.read_jsonl(spark, dest).count() == 2
     import os as _os
     assert not _os.path.exists(_os.path.join(dest, _os.path.basename(dest) + "_tmp"))
+
+
+def test_write_jsonl_fast_validation(spark, tmp_path):
+    """validate='fast' counts rows during the write (observe) and inventories
+    shard files without a second decompress pass."""
+    df = _docs(spark)
+    dest = str(tmp_path / "corpus_fast")
+    manifest = export.write_jsonl(
+        df, dest, num_shards=4, key_col="doc_id", validate="fast"
+    )
+    assert manifest["validation"] == "fast"
+    assert manifest["row_count"] == 40
+    assert "shard_counts" not in manifest
+    assert len(manifest["shard_bytes"]) >= 1
+    assert all(b > 0 for b in manifest["shard_bytes"].values())
+    # the export itself is identical to the full-validation layout
+    back = export.read_jsonl(spark, dest)
+    assert back.count() == 40
+    disk = json.load(open(os.path.join(dest, "_MANIFEST.json")))
+    assert disk == manifest
+
+
+def test_write_jsonl_full_validation_tagged(spark, tmp_path):
+    manifest = export.write_jsonl(
+        _docs(spark), str(tmp_path / "c2"), num_shards=2, key_col="doc_id"
+    )
+    assert manifest["validation"] == "full"
+
+
+def test_write_jsonl_rejects_bad_validate(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export.write_jsonl(
+            _docs(spark), str(tmp_path / "c3"), 2, "doc_id", validate="nope"
+        )
