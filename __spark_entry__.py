@@ -1657,21 +1657,20 @@ def q_multimodal_meta(spark, sf_dir):
 #: ``list(queries())[:50] == DRIVER_WINDOW`` so an insertion in the wrong
 #: spot fails loudly instead of silently demoting an oracled query out of
 #: external verification.
-#: Round-5 rotation: the 36 SURVEY §2.B contract queries stay pinned; the 10
-#: non-contract variants that had been driver-green for 3 straight rounds
-#: (range_join, asof_join, agg_stats, grouped_pandas, profile_table,
-#: skew_agg, pivot_table, topk_grouped, sql_subquery, tfidf_top_terms)
-#: rotate out to demoted_goldens() so the round-3/4 LLM-pipeline operators
-#: (pii_scrub, chunk_docs, data_split, line_dedup, lm_score,
-#: quantile_filter, domain_cap, session_window, sliding_window) plus the
-#: composed llm_prepare_oracle pipeline get externally adjudicated.
+#: Round-6 rotation: the 36 SURVEY §2.B contract queries stay pinned; the
+#: 10 round-5 promotions (pii_scrub, chunk_docs, data_split, line_dedup,
+#: lm_score, quantile_filter, domain_cap, llm_prepare_oracle,
+#: session_window, sliding_window) went driver-green in CORRECTNESS_r05 and
+#: rotate out to demoted_goldens(); in come the 10 never-adjudicated
+#: ES query-surface + corpus-ops queries — es_search, es_match, es_aggs,
+#: es_knn (the query DSL users actually run against the loaded index,
+#: PAHive2ES.scala:126-159 semantics), bm25_search, hybrid_search,
+#: embed_quantize, source_mix, snapshot_diff, quality_gate.
 #:
-#: Round-6 rotation candidates (golden-backed, never driver-adjudicated):
-#: es_search, es_match, es_aggs, es_knn, bm25_search, hybrid_search,
-#: embed_quantize, source_mix, window_ntile, repetition_stats,
-#: contamination, epoch_shuffle, snapshot_diff, quality_gate — swap for
-#: whichever round-5 promotions go green this round (window membership is
-#: just this list; goldens follow automatically).
+#: Remaining never-adjudicated golden-backed candidates for round 7:
+#: window_ntile, repetition_stats, contamination, epoch_shuffle,
+#: temperature_mix, data_drift (window membership is just this list;
+#: goldens follow automatically).
 DRIVER_WINDOW = [
     "scan_filter", "scan_project", "json_docs", "json_parse", "map_flatten",
     "array_ops", "type_normalize", "null_scrub", "schema_infer",
@@ -1682,9 +1681,10 @@ DRIVER_WINDOW = [
     "string_funcs", "date_funcs", "math_funcs",
     "dedup_exact", "dedup_minhash", "dedup_components", "ngram_jaccard",
     "dedup_cosine", "sim_search", "text_stats", "curation_pipeline",
-    "pii_scrub", "chunk_docs", "data_split", "line_dedup", "lm_score",
-    "quantile_filter", "domain_cap", "llm_prepare_oracle",
-    "sessionize", "session_window", "sliding_window", "tumbling_window",
+    "es_search", "es_match", "es_aggs", "es_knn",
+    "bm25_search", "hybrid_search",
+    "embed_quantize", "source_mix", "snapshot_diff", "quality_gate",
+    "sessionize", "tumbling_window",
     "streaming_ingest", "bulk_write", "publish_swap",
 ]
 
@@ -1744,7 +1744,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_search": q_sim_search,
         "text_stats": q_text_stats,
         "curation_pipeline": q_curation_pipeline,
-        # --- LLM-pipeline: round-5 promoted (previously demoted goldens) ---
+        # --- round-6 promoted: ES query-DSL surface (the queries users run
+        # against the loaded index) + retrieval / corpus-ops goldens ---
+        "es_search": q_es_search,
+        "es_match": q_es_match,
+        "es_aggs": q_es_aggs,
+        "es_knn": q_es_knn,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        "embed_quantize": q_embed_quantize,
+        "source_mix": q_source_mix,
+        "snapshot_diff": q_snapshot_diff,
+        "quality_gate": q_quality_gate,
+        # --- temporal / streaming / sink ---
+        "sessionize": q_sessionize,
+        "tumbling_window": q_tumbling_window,
+        "streaming_ingest": q_streaming_ingest,
+        "bulk_write": q_bulk_write,
+        "publish_swap": q_publish_swap,
+        # ------- driver window ends here (50 entries above) -------
+        # rotated out round 6 (driver-green in r5; goldens now local)
         "pii_scrub": q_pii_scrub,
         "chunk_docs": q_chunk_docs,
         "data_split": q_data_split,
@@ -1753,15 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": q_quantile_filter,
         "domain_cap": q_domain_cap,
         "llm_prepare_oracle": q_llm_prepare_oracle,
-        # --- temporal / streaming / sink ---
-        "sessionize": q_sessionize,
         "session_window": q_session_window,
         "sliding_window": q_sliding_window,
-        "tumbling_window": q_tumbling_window,
-        "streaming_ingest": q_streaming_ingest,
-        "bulk_write": q_bulk_write,
-        "publish_swap": q_publish_swap,
-        # ------- driver window ends here (50 entries above) -------
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1788,24 +1800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
-        "embed_quantize": q_embed_quantize,
         "embed_pca": q_embed_pca,
         "hash_embed": q_hash_embed,
         "epoch_shuffle": q_epoch_shuffle,
         "llm_prepare": q_llm_prepare,
         "window_ntile": q_window_ntile,
         "semantic_dedup": q_semantic_dedup,
-        "quality_gate": q_quality_gate,
         "data_drift": q_data_drift,
-        "source_mix": q_source_mix,
         "temperature_mix": q_temperature_mix,
-        # ES query-surface parity (the DSL users run against the loaded index)
-        "es_search": q_es_search,
-        "es_match": q_es_match,
-        "es_aggs": q_es_aggs,
-        "es_knn": q_es_knn,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
         # incremental (batch-vs-corpus) dedup
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
@@ -1817,7 +1819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_table": q_compact_table,
         "zorder_layout": q_zorder_layout,
         "snapshot_upsert": q_snapshot_upsert,
-        "snapshot_diff": q_snapshot_diff,
         # composed multimodal loop: real PNGs -> meta -> features ->
         # quantize -> WebDataset shards
         "multimodal_prepare": q_multimodal_prepare,
