@@ -246,11 +246,14 @@ def _extend(value: int, nbits: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
-    """Decode a baseline JPEG to an ``np.ndarray[h, w, 3]`` uint8 RGB image
+    """Decode a JPEG to an ``np.ndarray[h, w, 3]`` uint8 RGB image
     (grayscale replicates into 3 channels, matching the PNG decoder's
-    contract).  Returns None for non-JPEG or unsupported profiles
-    (progressive/arithmetic/12-bit) — the caller's ``on_undecodable``
-    policy takes over, never a fake."""
+    contract).  Baseline SOF0/SOF1 (interleaved or one-SOS-per-component)
+    and progressive SOF2 (spectral selection + successive approximation)
+    are fully decoded.  Returns None for non-JPEG input or the genuinely
+    unsupported profiles — arithmetic coding, 12-bit precision,
+    lossless/hierarchical, 4-component (CMYK/YCCK) — so the caller's
+    ``on_undecodable`` policy takes over, never a fake."""
     try:
         return _decode(payload)
     except Exception:
@@ -266,6 +269,7 @@ def _decode(data: bytes) -> np.ndarray | None:
     frame = None
     restart_interval = 0
     coef_store: dict[int, np.ndarray] | None = None
+    scanned_comps: set[int] = set()  # component ids covered by baseline scans
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -322,16 +326,18 @@ def _decode(data: bytes) -> np.ndarray | None:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
-            if marker == 0xC2:
-                # per-component coefficient store over the MCU-padded block
-                # grid, accumulated across scans
-                hmax = max(c["h"] for c in comps)
-                vmax = max(c["v"] for c in comps)
-                mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-                coef_store = {
-                    c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
-                    for c in comps
-                }
+            # per-component coefficient store over the MCU-padded block
+            # grid, accumulated across scans.  Both profiles use it:
+            # progressive by definition, and baseline because T.81 allows
+            # one SOS per component (non-interleaved) — returning after the
+            # first scan would ship the Y plane alone as gray RGB marked ok
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            coef_store = {
+                c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                for c in comps
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # lossless / arithmetic / hierarchical: unsupported
         elif marker == 0xDD:  # DRI
@@ -346,22 +352,32 @@ def _decode(data: bytes) -> np.ndarray | None:
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
             if not frame["progressive"]:
-                return _decode_scan(
-                    data, pos + seglen, frame, scan, qtables, htables, restart_interval
+                end = _decode_baseline_scan(
+                    data, pos + seglen, frame, scan, htables, restart_interval,
+                    coef_store,
                 )
-            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
-            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
-            end = _decode_progressive_scan(
-                data, pos + seglen, frame, scan, htables, restart_interval,
-                coef_store, ss, se, ah, al,
-            )
+                scanned_comps.update(c["id"] for c in scan)
+            else:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                end = _decode_progressive_scan(
+                    data, pos + seglen, frame, scan, htables, restart_interval,
+                    coef_store, ss, se, ah, al,
+                )
             # resume the marker walk at the next marker after the scan data
             pos = end
             continue
         pos += seglen
-    if frame is not None and frame["progressive"] and coef_store is not None:
-        return _reconstruct_progressive(frame, qtables, coef_store)
-    return None
+    if frame is None or coef_store is None:
+        return None
+    if not frame["progressive"] and scanned_comps != {
+        c["id"] for c in frame["comps"]
+    }:
+        # baseline frame whose scans never covered every declared component
+        # (truncated / corrupt): refuse rather than render missing planes
+        # as flat gray
+        return None
+    return _reconstruct(frame, qtables, coef_store)
 
 
 def _next_marker(data: bytes, pos: int) -> int:
@@ -533,9 +549,11 @@ def _decode_progressive_scan(
     return _next_marker(data, reader.pos)
 
 
-def _reconstruct_progressive(frame, qtables, coef_store):
-    """Dequantize + IDCT the accumulated coefficient store, then upsample /
-    color-convert exactly like the baseline path."""
+def _reconstruct(frame, qtables, coef_store):
+    """Dequantize + IDCT the accumulated coefficient store (one batched
+    einsum over all blocks — no per-block Python loop), then upsample and
+    color-convert.  Shared by the baseline and progressive paths: both
+    accumulate entropy-decoded coefficients into the same store layout."""
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -568,74 +586,83 @@ def _reconstruct_progressive(frame, qtables, coef_store):
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
 
 
-def _decode_scan(data, start, frame, scan, qtables, htables, restart_interval):
+def _decode_baseline_scan(
+    data, start, frame, scan, htables, restart_interval, coef_store
+):
+    """One baseline SOS entropy-decoded into the coefficient store.
+
+    Supports both the common interleaved scan (every frame component in one
+    SOS, MCU order) and non-interleaved scans covering a subset — T.81
+    permits one single-component SOS per component, and some encoders emit
+    exactly that for color images.  Returns the position of the next marker
+    after the scan's entropy data."""
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {}
-    for c in scan:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     reader = _BitReader(data, start)
     pred = {c["id"]: 0 for c in scan}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                pred = {c["id"]: 0 for c in scan}
-            for c in scan:
-                dc_tbl = htables[(0, c["dc"])]
-                ac_tbl = htables[(1, c["ac"])]
-                q = qtables[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int32)
-                        t = reader.decode_symbol(dc_tbl)
-                        diff = _extend(reader.read_bits(t), t)
-                        pred[c["id"]] += diff
-                        coef[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(ac_tbl)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            coef[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = coef  # de-zigzag
-                        blk = block.reshape(8, 8) * q
-                        pix = _C.T @ blk @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
-            mcu_count += 1
-    # upsample each plane to full MCU-padded resolution, then crop
-    full = []
-    for c in scan:
-        p = planes[c["id"]]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        # round like the color path — truncation would bias every
-        # grayscale sample down by ~0.5 LSB
-        y = np.clip(full[0], 0, 255).round()
-        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
+
+    def decode_block(c, coef, dc_tbl, ac_tbl):
+        t = reader.decode_symbol(dc_tbl)
+        diff = _extend(reader.read_bits(t), t)
+        pred[c["id"]] += diff
+        zz = np.zeros(64, dtype=np.int32)
+        zz[0] = pred[c["id"]]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index out of range")
+            zz[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        coef[ZIGZAG] = zz  # de-zigzag into natural order
+
+    unit = 0
+    if len(scan) > 1:
+        # interleaved: MCU order over the frame grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.sync_restart()
+                    pred.update({c["id"]: 0 for c in scan})
+                for c in scan:
+                    dc_tbl = htables[(0, c["dc"])]
+                    ac_tbl = htables[(1, c["ac"])]
+                    store = coef_store[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                c,
+                                store[my * c["v"] + by, mx * c["h"] + bx],
+                                dc_tbl,
+                                ac_tbl,
+                            )
+                unit += 1
+    else:
+        # non-interleaved: the single component's own (unpadded) block grid
+        c = scan[0]
+        store = coef_store[c["id"]]
+        cw = -(-(w * c["h"]) // hmax)
+        ch_ = -(-(h * c["v"]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch_ // 8)
+        dc_tbl = htables[(0, c["dc"])]
+        ac_tbl = htables[(1, c["ac"])]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.sync_restart()
+                    pred[c["id"]] = 0
+                decode_block(c, store[by, bx], dc_tbl, ac_tbl)
+                unit += 1
+    return _next_marker(data, reader.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -745,14 +772,20 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
 
 
 def encode_jpeg(
-    img: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+    img: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Encode ``np.ndarray[h, w, 3]`` uint8 RGB as a baseline JPEG with the
     standard Annex K tables (≈quality 50).  ``subsampling`` is ``"444"``
     (1x1 chroma), ``"420"`` (2x2 luma MCUs — the dominant real-world
     layout), ``"422"`` (2x1: horizontal-only chroma downsample) or
     ``"440"`` (1x2: vertical-only); chroma is box-filtered on the padded
-    plane.  ``restart_interval`` > 0 emits DRI/RSTn every N MCUs.  All
+    plane.  ``restart_interval`` > 0 emits DRI/RSTn every N MCUs.
+    ``interleaved=False`` emits one single-component SOS per component
+    (legal per T.81, produced by some encoders) instead of one interleaved
+    scan — exists to test the decoder's multi-scan baseline path.  All
     exist so the decoder's subsampled and restart paths are testable
     without third-party encoders."""
     luma_by_mode = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
@@ -760,6 +793,8 @@ def encode_jpeg(
         raise ValueError(
             f"subsampling must be one of {sorted(luma_by_mode)}, got {subsampling!r}"
         )
+    if restart_interval and not interleaved:
+        raise ValueError("restart markers are only supported for interleaved scans")
     img = np.ascontiguousarray(img, dtype=np.float64)
     h, w = img.shape[:2]
     r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
@@ -798,6 +833,27 @@ def encode_jpeg(
         out += bytes(tc_th) + bytes(bits) + bytes(values)
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    if not interleaved:
+        # one SOS per component over its own (spec, unpadded-ceil) block
+        # grid; DC prediction resets per scan (T.81 non-interleaved layout)
+        fmax_h, fmax_v = luma_hv
+        for ci, (cid, tt) in enumerate(((1, 0x00), (2, 0x11), (3, 0x11))):
+            plane, (hs, vs), q, dc_enc, ac_enc = comps[ci]
+            out += b"\xFF\xDA" + struct.pack(">HB", 8, 1)
+            out += bytes([cid, tt]) + b"\x00\x3F\x00"
+            cw = -(-(w * hs) // fmax_h)
+            ch_ = -(-(h * vs) // fmax_v)
+            bw_n, bh_n = -(-cw // 8), -(-ch_ // 8)
+            bw = _BitWriter()
+            pred = 0
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    pred = _encode_block(bw, blk, q, dc_enc, ac_enc, pred)
+            bw.flush()
+            out += bw.buf
+        out += b"\xFF\xD9"  # EOI
+        return bytes(out)
     out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
     for cid, tt in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tt])

@@ -469,6 +469,7 @@ def cosine_self_pairs(
     num_bands: int = 1,
     max_bucket_size: int | None = None,
     oversized: str = "star",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold).
 
@@ -509,7 +510,10 @@ def cosine_self_pairs(
             .where(F.col("score") >= threshold)
         )
 
-    dim = len(work.select("_v").first()["_v"])
+    if dim is None:
+        # array<> schemas carry no length, so without the caller-supplied
+        # dim this costs one bounded probe job (a single row's vector)
+        dim = len(work.select("_v").first()["_v"])
     # one row per (vector, band): band rows carry only (id, band, sig) — the
     # vectors join back AFTER pair dedup (same narrow-shuffle layout as
     # minhash banding)

@@ -297,6 +297,14 @@ def es_search(
         # num_candidates is accepted and ignored, a documented divergence
         # in the oracle's favor.  IVF/LSH approximate variants live in
         # operators/similarity.py for the scale path.
+        #
+        # Two further documented divergences when 'knn' appears with other
+        # top-level clauses: (1) ES 8 runs 'query' and 'knn' as two result
+        # sets with combined scores; here 'query' (applied above) acts as a
+        # hard pre-filter on the kNN candidates instead — the hybrid
+        # score-combination shape lives in operators/retrieval.py
+        # (hybrid_search / RRF).  (2) a body with both 'knn' and 'aggs'
+        # returns the kNN hits; the aggs branch below is not reached.
         from ..operators.similarity import _cosine_to_literal
 
         spec = body["knn"]

@@ -121,6 +121,15 @@ def zorder_key(
         raise ValueError("zorder_key needs at least one column")
     if not 1 <= bits <= 20:
         raise ValueError(f"bits must be in [1, 20], got {bits}")
+    if bits * len(cols) > 63:
+        # the interleaved key lives in one signed 64-bit long; Java shift
+        # amounts wrap at 64 (shift & 63), so overflowing positions would
+        # silently collide bit planes and corrupt the clustering order
+        raise ValueError(
+            f"bits * len(cols) must be <= 63 to fit a long Morton key, "
+            f"got {bits} * {len(cols)} = {bits * len(cols)}; lower bits "
+            f"(e.g. bits={63 // len(cols)} for {len(cols)} columns)"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_min_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"_max_{i}") for i, c in enumerate(cols)],

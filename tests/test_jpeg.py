@@ -179,3 +179,43 @@ def test_progressive_illegal_interleaved_ac_scan_refused():
     i = enc.find(b"\xFF\xC0")
     enc[i + 1] = 0xC2
     assert decode_jpeg_pixels(bytes(enc)) is None
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_non_interleaved_baseline_matches_interleaved(subsampling):
+    """3-component SOF0 with one single-component SOS per component (legal
+    per T.81, emitted by some encoders) must decode ALL planes — not just Y
+    replicated into gray RGB marked 'ok'."""
+    img = np.linspace(0, 255, 33 * 41 * 3).reshape(33, 41, 3).astype(np.uint8)
+    inter = encode_jpeg(img, subsampling=subsampling)
+    nonin = encode_jpeg(img, subsampling=subsampling, interleaved=False)
+    assert inter != nonin  # genuinely different scan layout
+    di = decode_jpeg_pixels(inter)
+    dn = decode_jpeg_pixels(nonin)
+    assert dn is not None
+    # identical coefficients, identical reconstruction
+    assert np.array_equal(di, dn)
+
+
+def test_non_interleaved_solid_red_keeps_color():
+    """The exact failure mode from review: a solid-red non-interleaved file
+    must come back red, not gray."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :, 0] = 255
+    dec = decode_jpeg_pixels(encode_jpeg(img, interleaved=False))
+    assert dec is not None
+    # red channel dominant, chroma planes clearly decoded
+    assert dec[:, :, 0].mean() > 200
+    assert dec[:, :, 1].mean() < 60 and dec[:, :, 2].mean() < 60
+
+
+def test_baseline_missing_component_scan_refused():
+    """A baseline color frame whose scans never cover Cb/Cr is corrupt —
+    refuse instead of rendering the missing planes flat."""
+    img = np.full((16, 16, 3), 200, np.uint8)
+    data = bytearray(encode_jpeg(img, interleaved=False))
+    # drop everything from the SECOND SOS onward, keep EOI
+    first_sos = data.index(b"\xFF\xDA")
+    second_sos = data.index(b"\xFF\xDA", first_sos + 2)
+    truncated = bytes(data[:second_sos]) + b"\xFF\xD9"
+    assert decode_jpeg_pixels(truncated) is None
