@@ -1632,13 +1632,23 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 def q_dedup_incremental_minhash(spark, sf_dir):
-    """Rows-only: near-dup incremental filter (new batch vs seen corpus)
-    via MinHash band blocking with capped per-bucket seen representatives;
-    planted-duplicate recall is unit-tested (test_dedup.py)."""
+    """Rows-only: the steady-state daily-batch near-dup shape — the SEEN
+    corpus's minhash signatures are computed ONCE, persisted through the
+    snapshot sink, read back from storage, and fed to the banding join
+    (``seen_signatures=``), so each day's batch re-hashes only itself,
+    never the accumulated corpus.  Planted-duplicate recall through this
+    exact loop is unit-tested (test_dedup.py)."""
+    from hive2es_offline_spark.sinks import snapshot as S
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     seen = d.where(F.col("doc_id") % 5 == 0)
     new = d.where(F.col("doc_id") % 5 != 0)
-    return dedup.incremental_dedup_minhash(new, seen, threshold=0.8)
+    root = tempfile.mkdtemp(prefix="sig_store_")
+    S.upsert_snapshot(spark, root, dedup.minhash_signatures(seen, "doc_id"), ["doc_id"])
+    stored_sigs = S.read_snapshot(spark, root)
+    return dedup.incremental_dedup_minhash(
+        new, seen, threshold=0.8, seen_signatures=stored_sigs
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):

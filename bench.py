@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "hybrid_search",
     "data_drift",
     "multimodal_prepare",
+    # round-6 additions: the remaining daily-ops sinks — WebDataset tar
+    # shards (Arrow-batched tar framing) and Morton-key clustering rewrite
+    "webdataset_export",
+    "zorder_layout",
 ]
 
 

@@ -591,9 +591,21 @@ def cosine_self_pairs(
     )
 
 
+#: auto cell sizing target: O(10^3-10^4) vectors per k-means cell keeps the
+#: per-cell BLAS matrix bounded while cells stay dense enough for recall
+_CELL_TARGET = 4000
+_MIN_CELLS = 16
+
+
+def auto_num_cells(n_vectors: int) -> int:
+    """Cell count for a corpus of ``n_vectors``: ~``_CELL_TARGET`` vectors
+    per cell, never fewer than ``_MIN_CELLS`` cells."""
+    return max(_MIN_CELLS, -(-n_vectors // _CELL_TARGET))
+
+
 def semantic_dedup(
     df: DataFrame,
-    num_cells: int = 16,
+    num_cells: int | None = None,
     threshold: float = 0.95,
     kmeans_iters: int = 2,
     id_col: str = "vec_id",
@@ -625,9 +637,17 @@ def semantic_dedup(
     of collapsing every member into one family regardless of similarity.
     (Members similar to each other but not to the hub go un-linked in this
     degraded mode — a recall trade, never silent data loss.)  No unbounded
-    all-pairs stage exists at any input."""
+    all-pairs stage exists at any input.
+
+    ``num_cells=None`` (default) sizes cells from the corpus automatically
+    — ``auto_num_cells(df.count())``, ~4k vectors/cell — at the cost of one
+    count job, so an under-celled corpus can no longer fire the
+    hot-cell degradation silently at scale; pass an explicit value to skip
+    the count when the corpus size is known."""
     from .dedup import connected_components
 
+    if num_cells is None:
+        num_cells = auto_num_cells(df.count())
     cents = kmeans_refine(
         df,
         seeded_centroids(df, num_cells, id_col, vec_col),

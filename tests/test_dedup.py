@@ -134,3 +134,29 @@ def test_incremental_minhash_accepts_precomputed_signatures(spark, batches):
     )
     kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert 0 not in kept and 2 not in kept
+
+
+def test_incremental_minhash_signatures_from_snapshot_store(spark, batches, tmp_path):
+    """Steady-state daily-batch loop: signatures persisted via the snapshot
+    sink, read back from storage, fed to the banding join — planted dups
+    still drop."""
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    new, seen = batches
+    root = str(tmp_path / "sig_store")
+    S.upsert_snapshot(spark, root, dedup.minhash_signatures(seen, "doc_id"), ["doc_id"])
+    stored = S.read_snapshot(spark, root)
+    out = dedup.incremental_dedup_minhash(
+        new, seen_df=None, seen_signatures=stored, threshold=0.5
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 0 not in kept and 2 not in kept
+    assert 3 in kept and 4 in kept
+    # day 2: upsert the surviving batch's signatures into the same store,
+    # then the batch filtered against the grown store drops everything
+    S.upsert_snapshot(spark, root, dedup.minhash_signatures(out, "doc_id"), ["doc_id"])
+    grown = S.read_snapshot(spark, root)
+    again = dedup.incremental_dedup_minhash(
+        out, seen_df=None, seen_signatures=grown, threshold=0.5
+    )
+    assert again.count() == 0

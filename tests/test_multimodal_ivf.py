@@ -628,3 +628,28 @@ def test_multimodal_prepare_counts(spark):
     r = entry_mod.queries()["multimodal_prepare"](spark, SF_SMOKE).first()
     assert r["input"] == r["meta_ok"] == r["feat_ok"] == r["quantized"]
     assert r["exported_samples"] == r["input"] and r["shards"] == 4
+
+
+def test_auto_num_cells_scales_with_corpus():
+    """num_cells=None sizes cells from the corpus (~4k vectors/cell, min
+    16) so an under-celled corpus can't silently degrade at scale."""
+    from hive2es_offline_spark.operators.similarity import auto_num_cells
+
+    assert auto_num_cells(100) == 16
+    assert auto_num_cells(64_000) == 16
+    assert auto_num_cells(200_000) >= 48
+    assert auto_num_cells(1_000_000) == 250
+
+
+def test_semantic_dedup_auto_cells_runs(spark):
+    """Default (auto) cell sizing end-to-end on a small corpus."""
+    import numpy as np
+    from hive2es_offline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]  # dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(df, threshold=0.999)
+    assert kept.count() == 30
