@@ -1528,6 +1528,78 @@ _ES_AGGS_BODY = {
 }
 
 
+_ES_QUERY_EXT_BODY = {
+    "query": {"bool": {
+        "filter": [{"regexp": {"source": {"value": "src1[0-9]"}}}],
+        "should": [
+            {"fuzzy": {"source": {"value": "src7", "fuzziness": 1}}},
+            {"multi_match": {"query": "stream merge", "fields": ["text", "lang"]}},
+        ],
+        "minimum_should_match": 1,
+    }},
+    "sort": [{"doc_id": {"order": "asc"}}],
+    "size": 30,
+    "_source": ["doc_id", "source", "lang", "n_chars"],
+}
+
+_ES_AGGS_RANGE_BODY = {
+    "size": 0,
+    "aggs": {"price_ranges": {
+        "range": {"field": "o_totalprice", "ranges": [
+            {"to": 100000}, {"from": 100000, "to": 200000}, {"from": 200000},
+        ]},
+        "aggs": {"p": {"extended_stats": {"field": "o_totalprice"}}},
+    }},
+}
+
+_ES_AGGS_FILTERS_BODY = {
+    "size": 0,
+    "aggs": {"segments": {
+        "filters": {"filters": {
+            "highval": {"range": {"o_totalprice": {"gte": 200000.0}}},
+            "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+        }},
+        "aggs": {
+            "n": {"value_count": {"field": "o_orderkey"}},
+            "avg_price": {"avg": {"field": "o_totalprice"}},
+        },
+    }},
+}
+
+
+def q_es_query_ext(spark, sf_dir):
+    """ES query-DSL extended clauses: regexp (whole-value anchored) +
+    fuzzy (levenshtein, AUTO ladder) + multi_match (per-field match, OR
+    across fields) composed in one bool — still ONE Catalyst predicate —
+    DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    return es_search(d, _ES_QUERY_EXT_BODY, id_field="doc_id")
+
+
+def q_es_aggs_range(spark, sf_dir):
+    """ES range-bucket aggregation with extended_stats sub-agg: buckets may
+    overlap per ES semantics, so the body compiles to ONE ungrouped gated
+    aggregate (no shuffle key, map-side partials) + a zero-cost inline()
+    reshape into bucket rows — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_AGGS_RANGE_BODY, id_field="o_orderkey")
+
+
+def q_es_aggs_filters(spark, sf_dir):
+    """ES filters-bucket aggregation (named predicates, overlapping
+    membership) with value_count/avg sub-aggs — one gated ungrouped
+    aggregate, same single-scan plan as q_es_aggs_range — DuckDB-checked
+    via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_AGGS_FILTERS_BODY, id_field="o_orderkey")
+
+
 def q_es_search(spark, sf_dir):
     """ES query-DSL parity: a bool body (terms/range/must_not-term/should
     prefix+wildcard with minimum_should_match) compiled onto the orders
@@ -1784,6 +1856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_prepare_oracle": q_llm_prepare_oracle,
         "session_window": q_session_window,
         "sliding_window": q_sliding_window,
+        # round-6 DSL extensions (golden-backed; round-7 window candidates)
+        "es_query_ext": q_es_query_ext,
+        "es_aggs_range": q_es_aggs_range,
+        "es_aggs_filters": q_es_aggs_filters,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2977,6 +3053,80 @@ def _goldens_b() -> dict[str, str]:
             )
             ORDER BY doc_count DESC, key ASC
             LIMIT 3
+        """,
+        # q_es_query_ext: regexp (whole-value anchored) + should-of
+        # [fuzzy levenshtein<=1, multi_match token overlap] with
+        # minimum_should_match=1 (sum of int casts >= 1, same as the bool
+        # compiler)
+        "es_query_ext": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE regexp_matches(source, '^(?:src1[0-9])$')
+              AND (CAST(levenshtein(source, 'src7') <= 1 AS INT)
+                 + CAST((list_has_any(string_split_regex(lower(text), ' +'),
+                                      ['stream', 'merge'])
+                      OR list_has_any(string_split_regex(lower(lang), ' +'),
+                                      ['stream', 'merge'])) AS INT)) >= 1
+            ORDER BY doc_id ASC
+            LIMIT 30
+        """,
+        # q_es_aggs_range: range buckets (from inclusive, to exclusive) with
+        # extended_stats sub-agg; decimal moments, double-on-exact-decimal
+        # divisions, variance rounded before sqrt — mirrors _metric_exprs
+        "es_aggs_range": """
+            WITH b AS (
+              SELECT '*-100000' AS key, o_totalprice AS x
+              FROM orders WHERE o_totalprice < 100000.0
+              UNION ALL
+              SELECT '100000-200000', o_totalprice
+              FROM orders WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+              UNION ALL
+              SELECT '200000-*', o_totalprice
+              FROM orders WHERE o_totalprice >= 200000.0
+            ), m AS (
+              SELECT key, count(*) AS doc_count, count(x) AS p_count,
+                     min(x) AS p_min, max(x) AS p_max,
+                     sum(CAST(x AS DECIMAL(28,6))) AS sd,
+                     -- DECIMAL(19,6) (not 18) forces DuckDB's int128
+                     -- physical type; the exact product value is identical
+                     -- to the engine's DECIMAL(18,6) squares
+                     sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                              AS DECIMAL(38,6))) AS sq
+              FROM b GROUP BY key
+            )
+            -- the sq -> DOUBLE cast goes through VARCHAR: DuckDB's direct
+            -- decimal->double double-rounds for values needing > 53 bits
+            -- (raw int128 then /1e6), while Spark's BigDecimal cast is
+            -- correctly rounded; strtod on the decimal string matches Spark
+            SELECT key, doc_count, p_count, p_min, p_max,
+                   round(CAST(sd / p_count AS DOUBLE), 6) AS p_avg,
+                   CAST(sd AS DOUBLE) AS p_sum,
+                   CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS p_sum_of_squares,
+                   round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / p_count
+                         - (CAST(sd AS DOUBLE) / p_count)
+                           * (CAST(sd AS DOUBLE) / p_count), 6) AS p_variance,
+                   round(sqrt(round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / p_count
+                         - (CAST(sd AS DOUBLE) / p_count)
+                           * (CAST(sd AS DOUBLE) / p_count), 6)), 6)
+                     AS p_std_deviation
+            FROM m
+        """,
+        # q_es_aggs_filters: named overlapping filter buckets with
+        # value_count/avg sub-aggs
+        "es_aggs_filters": """
+            WITH hv AS (
+              SELECT count(*) AS doc_count, count(o_orderkey) AS n,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                                / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+              FROM orders WHERE o_totalprice >= 200000.0
+            ), ur AS (
+              SELECT count(*) AS doc_count, count(o_orderkey) AS n,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                                / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT 'highval' AS key, doc_count, n, avg_price FROM hv
+            UNION ALL
+            SELECT 'urgent', doc_count, n, avg_price FROM ur
         """,
         # Lucene BM25 (k1=1.2, b=0.75) for query 'vector merge stream':
         # idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-(doc,term) partials

@@ -16,23 +16,30 @@ comparisons on top-level columns), and an aggregation body compiles to one
 1000-clause ``bool`` is still one scan at 100 TB.
 
 Supported query clauses: ``match_all``, ``term``, ``terms``, ``range``,
-``exists``, ``prefix``, ``wildcard``, ``ids``, ``match`` (whitespace+
-lowercase analyzer, ``operator`` and ``minimum_should_match``-of-1
-semantics), ``match_phrase``, ``bool`` with ``must`` / ``filter`` /
-``should`` / ``must_not`` / ``minimum_should_match``, and the ES 8
-top-level ``knn`` search clause (pre-filtered exact cosine top-k,
-``_score = (1 + cosine) / 2``).  Relevance-ranked
-``match`` retrieval (BM25) lives in ``operators/retrieval.py`` — this
-module is filter context only, matching how the reference's
-``not_analyzed`` mapping is actually queried.
+``exists``, ``prefix``, ``wildcard``, ``regexp`` (whole-value anchored,
+shared Lucene/Java operator subset), ``fuzzy`` (levenshtein distance with
+the AUTO ladder; ES's Damerau transposition-as-one-edit is a documented
+divergence), ``ids``, ``match`` (whitespace+lowercase analyzer,
+``operator`` and ``minimum_should_match``-of-1 semantics),
+``match_phrase``, ``multi_match`` (per-field match, OR across fields),
+``bool`` with ``must`` / ``filter`` / ``should`` / ``must_not`` /
+``minimum_should_match``, and the ES 8 top-level ``knn`` search clause
+(pre-filtered exact cosine top-k, ``_score = (1 + cosine) / 2``).
+Relevance-ranked ``match`` retrieval (BM25) lives in
+``operators/retrieval.py`` — this module is filter context only, matching
+how the reference's ``not_analyzed`` mapping is actually queried.
 
 Supported aggregations: metrics ``avg sum min max value_count cardinality
-stats percentiles`` and buckets ``terms histogram date_histogram`` with
-metric sub-aggs.  ``percentiles`` is EXACT (``F.percentile``) where live ES
-uses TDigest approximation — a documented divergence in the oracle's
-favor.  ``cardinality`` is exact ``count(DISTINCT)`` where ES uses
-HyperLogLog++ (the approximate variant is available separately as the
-``agg_approx_distinct`` query).
+stats extended_stats percentiles``; group-by buckets ``terms histogram
+date_histogram`` with metric sub-aggs; conditional buckets ``range
+filters missing`` (may overlap, so they compile to one ungrouped gated
+aggregate + an inline() reshape instead of a groupBy).  ``percentiles``
+is EXACT (``F.percentile``) where live ES uses TDigest approximation — a
+documented divergence in the oracle's favor.  ``cardinality`` is exact
+``count(DISTINCT)`` where ES uses HyperLogLog++ (the approximate variant
+is available separately as the ``agg_approx_distinct`` query).
+``extended_stats`` variance/std are population moments from exact decimal
+sums (order-independent bit-stable results).
 """
 
 from __future__ import annotations
@@ -111,6 +118,45 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
         return F.col(field).rlike(_wildcard_to_regex(value))
+    if kind == "regexp":
+        # ES regexp is implicitly anchored (must match the WHOLE value);
+        # basic operators (| * + ? . [] ()) are shared between Lucene and
+        # Java regex syntax — Lucene-only extensions (~ <> @ &) are not
+        # translated, a documented divergence
+        field, spec = _field_spec(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field).rlike(f"^(?:{value})$")
+    if kind == "fuzzy":
+        # edit-distance match; fuzziness AUTO follows ES's length ladder
+        # (0 for len<3, 1 for 3-5, 2 beyond).  Divergence: ES counts a
+        # transposition as ONE edit (Damerau); levenshtein counts 2 — a
+        # transposed pair at fuzziness 1 misses here.  The oracle uses the
+        # same levenshtein, so parity is exact.
+        field, spec = _field_spec(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        fuzz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
+        if isinstance(fuzz, str) and fuzz.upper().startswith("AUTO"):
+            n = len(value)
+            fuzz = 0 if n < 3 else (1 if n <= 5 else 2)
+        return F.levenshtein(F.col(field), F.lit(value)) <= F.lit(int(fuzz))
+    if kind == "multi_match":
+        # filter context: the match clause applied per field, OR across
+        # fields (any best_fields/most_fields type distinction only affects
+        # scoring, which filter context discards)
+        query, fields = body["query"], list(body["fields"])
+        if not fields:
+            raise ValueError("multi_match needs at least one field")
+        operator = body.get("operator", "or")
+        per_field = [
+            compile_query(
+                {"match": {f: {"query": query, "operator": operator}}}, id_field
+            )
+            for f in fields
+        ]
+        out = per_field[0]
+        for p in per_field[1:]:
+            out = out | p
+        return out
     if kind == "match":
         field, spec = _field_spec(body)
         query = spec["query"] if isinstance(spec, dict) else spec
@@ -170,18 +216,27 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
 # ---------------------------------------------------------------------------
 
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
-                 "stats", "percentiles"}
+                 "stats", "extended_stats", "percentiles"}
+_COND_BUCKET_KINDS = {"range", "filters", "missing"}
 
 
-def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
+def _metric_exprs(
+    name: str, kind: str, spec: dict, gate: Column | None = None
+) -> list[Column]:
     """One named ES metric agg → aliased Spark aggregate expression(s).
 
     Additive float metrics (sum, avg) route through DECIMAL(28,6): decimal
     addition is associative, so partition/merge order can't flip low-order
     bits and the result hash-compares against an ANSI-SQL oracle (repo-wide
-    convention); avg is decimal-sum / count, rounded to 6."""
+    convention); avg is decimal-sum / count, rounded to 6.
+
+    With ``gate`` (conditional buckets: range/filters/missing) the metric
+    aggregates ``when(gate, field)`` — NULL outside the bucket, so one
+    ungrouped pass computes every bucket's metrics simultaneously."""
     field = spec["field"]
     c = F.col(field)
+    if gate is not None:
+        c = F.when(gate, c)
     dsum = F.sum(c.cast("decimal(28,6)"))
     davg = F.round((dsum / F.count(c)).cast("double"), 6)
     if kind == "avg":
@@ -204,6 +259,29 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
             davg.alias(f"{name}_avg"),
             dsum.cast("double").alias(f"{name}_sum"),
         ]
+    if kind == "extended_stats":
+        # variance/std from exact decimal moments (sum, sum of squares) so
+        # partition order can't flip low-order float bits: population
+        # variance = E[x²] - E[x]², matching ES's extended_stats.  The
+        # square factors cast to DECIMAL(18,6) (values up to ~1e12) so the
+        # product's precision stays representable in BOTH Spark and an
+        # ANSI oracle; the final divisions are double-on-exact-decimal —
+        # IEEE-deterministic regardless of partition order.
+        d18 = c.cast("decimal(18,6)")
+        dsq = F.sum((d18 * d18).cast("decimal(38,6)"))
+        n = F.count(c)
+        mean = dsum.cast("double") / n
+        var = F.round(dsq.cast("double") / n - mean * mean, 6)
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            davg.alias(f"{name}_avg"),
+            dsum.cast("double").alias(f"{name}_sum"),
+            dsq.cast("double").alias(f"{name}_sum_of_squares"),
+            var.alias(f"{name}_variance"),
+            F.round(F.sqrt(var), 6).alias(f"{name}_std_deviation"),
+        ]
     if kind == "percentiles":
         pcts = spec.get("percents", [25.0, 50.0, 75.0, 95.0, 99.0])
         return [
@@ -214,27 +292,40 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
     raise ValueError(f"unsupported metric agg: {kind}")
 
 
-def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
+def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     """Compile an ES ``aggs`` body to one aggregation DataFrame.
 
     Shapes supported (one level of nesting, like the common ES usage):
 
     - metrics only → a single-row DataFrame, one column per metric
       (``stats`` expands to ``_count/_min/_max/_avg/_sum`` columns,
+      ``extended_stats`` additionally to ``_sum_of_squares/_variance/
+      _std_deviation`` — population moments from exact decimal sums —
       ``percentiles`` to ``_pNN`` columns).
     - ONE bucket agg (``terms`` / ``histogram`` / ``date_histogram``) whose
       ``aggs`` hold metric sub-aggs → one row per bucket: ``key``,
       ``doc_count``, then the sub-agg columns.  ``terms`` honors ``size``
       (default 10) ordered by doc_count desc, key asc — compiled as
       aggregate + top-k (TakeOrderedAndProject), never a global sort.
+    - ONE conditional bucket agg (``range`` / ``filters`` / ``missing``)
+      with metric sub-aggs → one row per bucket.  These buckets may
+      overlap (ES semantics: a doc lands in EVERY matching range/filter),
+      so they compile to one UNGROUPED aggregate whose metrics gate on the
+      bucket predicate (``when(pred, field)``) — a single scan with no
+      shuffle key, then a zero-cost inline() reshape of the one result row
+      into bucket rows.
 
-    The whole body compiles to a single shuffle (one groupBy); buckets and
-    all sub-metrics share it.
+    The whole body compiles to a single shuffle (one groupBy / one global
+    aggregate); buckets and all sub-metrics share it.
     """
     bucket = [(n, s) for n, s in aggs.items()
               if set(s) & {"terms", "histogram", "date_histogram"}]
-    if len(bucket) > 1:
+    cond = [(n, s) for n, s in aggs.items() if set(s) & _COND_BUCKET_KINDS]
+    if len(bucket) + len(cond) > 1:
         raise ValueError("at most one bucket agg per body is supported")
+
+    if cond:
+        return _compile_cond_bucket(df, cond[0][1], id_field)
 
     if not bucket:
         exprs: list[Column] = []
@@ -246,6 +337,10 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     name, spec = bucket[0]
     (kind, bspec), = [(k, v) for k, v in spec.items()
                       if k in {"terms", "histogram", "date_histogram"}]
+    return _compile_groupby_bucket(df, kind, bspec, spec)
+
+
+def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -> DataFrame:
     field = bspec["field"]
     if kind == "terms":
         key = F.col(field).alias("key")
@@ -267,6 +362,61 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         size = int(bspec.get("size", 10))
         out = out.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
     return out
+
+
+def _range_key(r: dict) -> str:
+    lo, hi = r.get("from"), r.get("to")
+    return r.get("key") or (
+        f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+    )
+
+
+def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
+    """range / filters / missing buckets: (key, predicate) pairs evaluated
+    in ONE ungrouped aggregate — every metric gates on its bucket predicate
+    — then the single result row reshapes into bucket rows via inline()."""
+    (kind, bspec), = [(k, v) for k, v in spec.items() if k in _COND_BUCKET_KINDS]
+    buckets: list[tuple[str, Column]] = []
+    if kind == "range":
+        c = F.col(bspec["field"]).cast("double")
+        for r in bspec["ranges"]:
+            pred = F.lit(True)
+            if r.get("from") is not None:
+                pred = pred & (c >= F.lit(float(r["from"])))  # from inclusive
+            if r.get("to") is not None:
+                pred = pred & (c < F.lit(float(r["to"])))  # to exclusive
+            buckets.append((_range_key(r), pred))
+    elif kind == "filters":
+        for bname, clause in bspec["filters"].items():
+            buckets.append((str(bname), compile_query(clause, id_field)))
+    else:  # missing
+        buckets.append(("missing", F.col(bspec["field"]).isNull()))
+    if not buckets:
+        raise ValueError(f"{kind} agg declares no buckets")
+
+    subs = spec.get("aggs", {})
+    exprs: list[Column] = []
+    for bname, pred in buckets:
+        prefix = f"__{bname}__"
+        exprs.append(
+            F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias(prefix + "doc_count")
+        )
+        for sub_name, sub_spec in subs.items():
+            (mkind, mspec), = [
+                (k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS
+            ]
+            exprs.extend(_metric_exprs(prefix + sub_name, mkind, mspec, gate=pred))
+    row = df.agg(*exprs)
+    structs = []
+    for bname, _ in buckets:
+        prefix = f"__{bname}__"
+        fields = [F.lit(bname).alias("key")] + [
+            F.col(f"`{cn}`").alias(cn[len(prefix):])
+            for cn in row.columns
+            if cn.startswith(prefix)
+        ]
+        structs.append(F.struct(*fields))
+    return row.select(F.inline(F.array(*structs)))
 
 
 def es_search(
@@ -329,7 +479,7 @@ def es_search(
             df = df.select(*body["_source"], "_score")
         return df
     if body.get("aggs") and body.get("size", 10) == 0:
-        return compile_aggs(df, body["aggs"])
+        return compile_aggs(df, body["aggs"], id_field)
 
     sort_spec = body.get("sort", default_sort) or []
     sort_cols: list[Column] = []

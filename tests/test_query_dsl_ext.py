@@ -1,0 +1,136 @@
+"""Round-6 query-DSL extensions: regexp / fuzzy / multi_match clauses and
+range / filters / missing conditional-bucket aggregations."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.plans.query_dsl import compile_aggs, compile_query
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "BUILDING", 50.0),
+            (2, "beta delta", "BUILDINS", 150.0),
+            (3, "epsilon", "MACHINERY", 250.0),
+            (4, None, "HOUSEHOLD", None),
+        ],
+        "id long, txt string, seg string, price double",
+    )
+
+
+def ids(df, clause):
+    return sorted(r["id"] for r in df.where(compile_query(clause, "id")).collect())
+
+
+def test_regexp_is_whole_value_anchored(df):
+    assert ids(df, {"regexp": {"seg": {"value": "BUILD.*"}}}) == [1, 2]
+    # substring match alone must NOT hit (anchoring)
+    assert ids(df, {"regexp": {"seg": {"value": "UILD"}}}) == []
+    assert ids(df, {"regexp": {"seg": "B.*G"}}) == [1]
+
+
+def test_fuzzy_explicit_and_auto(df):
+    assert ids(df, {"fuzzy": {"seg": {"value": "BUILDING", "fuzziness": 0}}}) == [1]
+    # BUILDINS is one substitution away
+    assert ids(df, {"fuzzy": {"seg": {"value": "BUILDING", "fuzziness": 1}}}) == [1, 2]
+    # AUTO: len("MACHINERY") > 5 -> fuzziness 2
+    assert ids(df, {"fuzzy": {"seg": "MACHINERZZ"}}) == [3]
+    # AUTO: len < 3 -> exact only
+    assert ids(df, {"fuzzy": {"seg": "BU"}}) == []
+
+
+def test_multi_match_or_across_fields(df):
+    got = ids(df, {"multi_match": {"query": "beta machinery", "fields": ["txt", "seg"]}})
+    assert got == [1, 2, 3]
+    # operator=and applies PER FIELD
+    got = ids(
+        df,
+        {"multi_match": {"query": "alpha beta", "fields": ["txt", "seg"],
+                         "operator": "and"}},
+    )
+    assert got == [1]
+
+
+def test_range_agg_buckets_and_gated_stats(df):
+    out = compile_aggs(
+        df,
+        {"r": {"range": {"field": "price", "ranges": [
+            {"to": 100}, {"from": 100, "to": 200}, {"from": 200},
+        ]},
+            "aggs": {"p": {"stats": {"field": "price"}}}}},
+    ).collect()
+    by_key = {r["key"]: r for r in out}
+    assert set(by_key) == {"*-100", "100-200", "200-*"}
+    assert by_key["*-100"]["doc_count"] == 1
+    assert by_key["100-200"]["p_sum"] == 150.0
+    assert by_key["200-*"]["p_avg"] == 250.0
+    # NULL price doc lands in no range bucket
+    assert sum(r["doc_count"] for r in out) == 3
+
+
+def test_range_agg_from_inclusive_to_exclusive(spark):
+    df2 = spark.createDataFrame([(1, 100.0), (2, 200.0)], "id long, v double")
+    out = compile_aggs(
+        df2, {"r": {"range": {"field": "v", "ranges": [{"from": 100, "to": 200}]}}}
+    ).collect()
+    assert out[0]["doc_count"] == 1  # 100 in, 200 out
+
+
+def test_filters_agg_overlapping_buckets(df):
+    out = compile_aggs(
+        df,
+        {"f": {"filters": {"filters": {
+            "cheap": {"range": {"price": {"lt": 200}}},
+            "b_seg": {"prefix": {"seg": "BUILD"}},
+        }},
+            "aggs": {"n": {"value_count": {"field": "id"}}}}},
+        id_field="id",
+    ).collect()
+    by_key = {r["key"]: r for r in out}
+    # docs 1,2 match BOTH buckets: overlap preserved, unlike a groupBy
+    assert by_key["cheap"]["doc_count"] == 2
+    assert by_key["b_seg"]["doc_count"] == 2
+    assert by_key["b_seg"]["n"] == 2
+
+
+def test_missing_agg(df):
+    out = compile_aggs(df, {"m": {"missing": {"field": "price"}}}).collect()
+    assert len(out) == 1
+    assert out[0]["key"] == "missing" and out[0]["doc_count"] == 1
+
+
+def test_extended_stats_matches_numpy(spark):
+    vals = [3.25, 7.5, 11.0, 42.125, 0.5]
+    df3 = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = compile_aggs(df3, {"s": {"extended_stats": {"field": "v"}}}).collect()[0]
+    arr = np.array(vals)
+    assert row["s_count"] == 5
+    assert row["s_sum"] == pytest.approx(arr.sum(), abs=1e-9)
+    assert row["s_sum_of_squares"] == pytest.approx((arr ** 2).sum(), abs=1e-9)
+    assert row["s_variance"] == pytest.approx(arr.var(), abs=1e-6)
+    assert row["s_std_deviation"] == pytest.approx(arr.std(), abs=1e-6)
+
+
+def test_cond_bucket_plus_groupby_bucket_rejected(df):
+    with pytest.raises(ValueError, match="at most one bucket"):
+        compile_aggs(
+            df,
+            {"a": {"terms": {"field": "seg"}},
+             "b": {"missing": {"field": "price"}}},
+        )
+
+
+def test_cond_bucket_single_scan_plan(df):
+    """The conditional-bucket body must compile to ONE ungrouped aggregate:
+    no shuffle key, no join, one scan."""
+    out = compile_aggs(
+        df,
+        {"r": {"range": {"field": "price", "ranges": [{"to": 100}, {"from": 100}]},
+               "aggs": {"p": {"avg": {"field": "price"}}}}},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # SinglePartition merge only
+    assert "Join" not in plan
