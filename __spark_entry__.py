@@ -1567,6 +1567,32 @@ _ES_AGGS_FILTERS_BODY = {
 }
 
 
+_ES_TOP_HITS_BODY = {
+    "size": 0,
+    "aggs": {"by_priority": {
+        "terms": {"field": "o_orderpriority"},
+        "aggs": {"top": {"top_hits": {
+            "size": 2,
+            "sort": [{"o_totalprice": {"order": "desc"}},
+                     {"o_orderkey": {"order": "asc"}}],
+            "_source": ["o_orderkey", "o_totalprice"],
+        }}},
+    }},
+}
+
+
+def q_es_top_hits(spark, sf_dir):
+    """ES top_hits sub-aggregation: per-bucket top-2 documents by price —
+    rank-within-bucket filtered to size, which Catalyst plans as
+    WindowGroupLimit (per-partition heaps; only 2 rows per bucket survive
+    the shuffle, never a global sort) — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_TOP_HITS_BODY, id_field="o_orderkey")
+
+
 def q_es_query_ext(spark, sf_dir):
     """ES query-DSL extended clauses: regexp (whole-value anchored) +
     fuzzy (levenshtein, AUTO ladder) + multi_match (per-field match, OR
@@ -1860,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_query_ext": q_es_query_ext,
         "es_aggs_range": q_es_aggs_range,
         "es_aggs_filters": q_es_aggs_filters,
+        "es_top_hits": q_es_top_hits,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3053,6 +3080,19 @@ def _goldens_b() -> dict[str, str]:
             )
             ORDER BY doc_count DESC, key ASC
             LIMIT 3
+        """,
+        # q_es_top_hits: per-bucket top-2 by (price desc, key asc);
+        # row_number cast to INT to match Spark's rank type
+        "es_top_hits": """
+            SELECT o_orderpriority AS key, hit_rank, o_orderkey, o_totalprice
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS INT) AS hit_rank
+              FROM orders
+            ) WHERE hit_rank <= 2
         """,
         # q_es_query_ext: regexp (whole-value anchored) + should-of
         # [fuzzy levenshtein<=1, multi_match token overlap] with

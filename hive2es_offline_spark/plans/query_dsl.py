@@ -33,7 +33,11 @@ Supported aggregations: metrics ``avg sum min max value_count cardinality
 stats extended_stats percentiles``; group-by buckets ``terms histogram
 date_histogram`` with metric sub-aggs; conditional buckets ``range
 filters missing`` (may overlap, so they compile to one ungrouped gated
-aggregate + an inline() reshape instead of a groupBy).  ``percentiles``
+aggregate + an inline() reshape instead of a groupBy); ``top_hits`` as
+the sole sub-agg of a group-by bucket (per-bucket top documents via
+rank-within-bucket → Catalyst's WindowGroupLimit; one row per hit, all
+buckets returned — the terms ``size`` bucket cap is not applied in
+top_hits mode, a documented divergence).  ``percentiles``
 is EXACT (``F.percentile``) where live ES uses TDigest approximation — a
 documented divergence in the oracle's favor.  ``cardinality`` is exact
 ``count(DISTINCT)`` where ES uses HyperLogLog++ (the approximate variant
@@ -340,6 +344,20 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     return _compile_groupby_bucket(df, kind, bspec, spec)
 
 
+def _sort_columns(sort_spec: list) -> list[Column]:
+    """ES ``sort`` list → Spark sort Columns (shared by hit paging and
+    top_hits)."""
+    cols: list[Column] = []
+    for s in sort_spec or []:
+        if isinstance(s, str):
+            cols.append(F.col(s).asc())
+        else:
+            (f_, spec), = s.items()
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            cols.append(F.col(f_).desc() if order == "desc" else F.col(f_).asc())
+    return cols
+
+
 def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -> DataFrame:
     field = bspec["field"]
     if kind == "terms":
@@ -353,8 +371,38 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
             raise ValueError(f"unsupported calendar_interval: {unit}")
         key = F.date_trunc(unit, F.col(field)).alias("key")
 
+    subs = spec.get("aggs", {})
+    top_hits = [(n, s["top_hits"]) for n, s in subs.items() if "top_hits" in s]
+    if top_hits:
+        # per-bucket top documents: rank-within-bucket + filter, which
+        # Catalyst plans as WindowGroupLimit (per-partition heaps, only
+        # `size` rows per bucket survive the shuffle) — never a global sort.
+        # One row per HIT (key, hit_rank, _source columns), so top_hits
+        # must be the only sub-agg: bucket-level metrics (one row per
+        # bucket) can't flatten into the same frame.
+        if len(subs) != 1:
+            raise ValueError("top_hits must be the only sub-aggregation")
+        _, h = top_hits[0]
+        size = int(h.get("size", 3))
+        sort_cols = _sort_columns(h.get("sort"))
+        if not sort_cols:
+            raise ValueError(
+                "top_hits needs an explicit sort (ES's _score order has no "
+                "meaning in filter context)"
+            )
+        from pyspark.sql.window import Window
+
+        keyed = df.withColumn("_bucket_key", key)
+        w = Window.partitionBy("_bucket_key").orderBy(*sort_cols)
+        source = h.get("_source") or [c for c in df.columns]
+        return (
+            keyed.withColumn("hit_rank", F.row_number().over(w))
+            .where(F.col("hit_rank") <= size)
+            .select(F.col("_bucket_key").alias("key"), "hit_rank", *source)
+        )
+
     exprs = [F.count(F.lit(1)).alias("doc_count")]
-    for sub_name, sub_spec in spec.get("aggs", {}).items():
+    for sub_name, sub_spec in subs.items():
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
         exprs.extend(_metric_exprs(sub_name, mkind, mspec))
     out = df.groupBy(key).agg(*exprs)
@@ -481,15 +529,7 @@ def es_search(
     if body.get("aggs") and body.get("size", 10) == 0:
         return compile_aggs(df, body["aggs"], id_field)
 
-    sort_spec = body.get("sort", default_sort) or []
-    sort_cols: list[Column] = []
-    for s in sort_spec:
-        if isinstance(s, str):
-            sort_cols.append(F.col(s).asc())
-        else:
-            (f_, spec), = s.items()
-            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-            sort_cols.append(F.col(f_).desc() if order == "desc" else F.col(f_).asc())
+    sort_cols = _sort_columns(body.get("sort", default_sort) or [])
     offset = int(body.get("from", 0))
     size = int(body.get("size", 10))
     if sort_cols:

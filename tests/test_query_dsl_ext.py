@@ -134,3 +134,42 @@ def test_cond_bucket_single_scan_plan(df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # SinglePartition merge only
     assert "Join" not in plan
+
+
+def test_top_hits_per_bucket(df):
+    out = compile_aggs(
+        df,
+        {"b": {"terms": {"field": "seg"},
+               "aggs": {"top": {"top_hits": {
+                   "size": 1,
+                   "sort": [{"price": {"order": "desc"}}],
+                   "_source": ["id", "price"],
+               }}}}},
+    ).collect()
+    assert set(r["key"] for r in out) == {"BUILDING", "BUILDINS", "MACHINERY", "HOUSEHOLD"}
+    assert all(r["hit_rank"] == 1 for r in out)
+    by_key = {r["key"]: r for r in out}
+    assert by_key["MACHINERY"]["id"] == 3 and by_key["MACHINERY"]["price"] == 250.0
+
+
+def test_top_hits_requires_sort_and_solo(df):
+    with pytest.raises(ValueError, match="sort"):
+        compile_aggs(df, {"b": {"terms": {"field": "seg"},
+                                "aggs": {"top": {"top_hits": {"size": 1}}}}})
+    with pytest.raises(ValueError, match="only sub-agg"):
+        compile_aggs(
+            df,
+            {"b": {"terms": {"field": "seg"},
+                   "aggs": {"top": {"top_hits": {"size": 1, "sort": ["id"]}},
+                            "m": {"avg": {"field": "price"}}}}},
+        )
+
+
+def test_top_hits_plans_window_group_limit(df):
+    out = compile_aggs(
+        df,
+        {"b": {"terms": {"field": "seg"},
+               "aggs": {"top": {"top_hits": {"size": 2, "sort": ["id"]}}}}},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
