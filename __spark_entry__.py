@@ -1777,8 +1777,9 @@ def q_multimodal_meta(spark, sf_dir):
 #:
 #: Remaining never-adjudicated golden-backed candidates for round 7:
 #: window_ntile, repetition_stats, contamination, epoch_shuffle,
-#: temperature_mix, data_drift (window membership is just this list;
-#: goldens follow automatically).
+#: temperature_mix, data_drift, and the round-6 DSL extensions
+#: es_query_ext / es_aggs_range / es_aggs_filters / es_top_hits (window
+#: membership is just this list; goldens follow automatically).
 DRIVER_WINDOW = [
     "scan_filter", "scan_project", "json_docs", "json_parse", "map_flatten",
     "array_ops", "type_normalize", "null_scrub", "schema_infer",

@@ -30,8 +30,9 @@ Relevance-ranked ``match`` retrieval (BM25) lives in
 how the reference's ``not_analyzed`` mapping is actually queried.
 
 Supported aggregations: metrics ``avg sum min max value_count cardinality
-stats extended_stats percentiles``; group-by buckets ``terms histogram
-date_histogram`` with metric sub-aggs; conditional buckets ``range
+stats extended_stats percentiles percentile_ranks``; group-by buckets
+``terms histogram date_histogram`` (calendar_interval or epoch-aligned
+fixed_interval) with metric sub-aggs; conditional buckets ``range
 filters missing`` (may overlap, so they compile to one ungrouped gated
 aggregate + an inline() reshape instead of a groupBy); ``top_hits`` as
 the sole sub-agg of a group-by bucket (per-bucket top documents via
@@ -220,7 +221,7 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
 # ---------------------------------------------------------------------------
 
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
-                 "stats", "extended_stats", "percentiles"}
+                 "stats", "extended_stats", "percentiles", "percentile_ranks"}
 _COND_BUCKET_KINDS = {"range", "filters", "missing"}
 
 
@@ -292,6 +293,16 @@ def _metric_exprs(
             F.round(F.percentile(c, float(p) / 100.0), 6)
              .alias(f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}")
             for p in pcts
+        ]
+    if kind == "percentile_ranks":
+        # inverse of percentiles: % of observed values <= v (exact, where
+        # live ES interpolates from the TDigest — oracle-favoring divergence
+        # like `percentiles`)
+        return [
+            F.round(
+                F.avg((c <= F.lit(float(v))).cast("double")) * 100.0, 6
+            ).alias(f"{name}_{str(v).replace('.', '_').removesuffix('_0')}")
+            for v in spec["values"]
         ]
     raise ValueError(f"unsupported metric agg: {kind}")
 
@@ -366,10 +377,24 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         interval = float(bspec["interval"])
         key = (F.floor(F.col(field) / interval) * interval).alias("key")
     else:  # date_histogram
-        unit = bspec.get("calendar_interval", "day")
-        if unit not in {"day", "week", "month", "quarter", "year", "hour"}:
-            raise ValueError(f"unsupported calendar_interval: {unit}")
-        key = F.date_trunc(unit, F.col(field)).alias("key")
+        fixed = bspec.get("fixed_interval")
+        if fixed is not None:
+            # fixed_interval (e.g. "90s", "30m", "6h", "7d"): epoch-aligned
+            # fixed-width buckets, same arithmetic as ES
+            import re as _re
+
+            m = _re.fullmatch(r"(\d+)(s|m|h|d)", str(fixed))
+            if not m:
+                raise ValueError(f"unsupported fixed_interval: {fixed}")
+            secs = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+            key = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(F.col(field)) / secs) * secs
+            ).alias("key")
+        else:
+            unit = bspec.get("calendar_interval", "day")
+            if unit not in {"day", "week", "month", "quarter", "year", "hour"}:
+                raise ValueError(f"unsupported calendar_interval: {unit}")
+            key = F.date_trunc(unit, F.col(field)).alias("key")
 
     subs = spec.get("aggs", {})
     top_hits = [(n, s["top_hits"]) for n, s in subs.items() if "top_hits" in s]

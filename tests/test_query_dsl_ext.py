@@ -173,3 +173,43 @@ def test_top_hits_plans_window_group_limit(df):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_percentile_ranks_exact(spark):
+    df4 = spark.createDataFrame([(v,) for v in [10.0, 20.0, 30.0, 40.0]], "v double")
+    row = compile_aggs(
+        df4, {"r": {"percentile_ranks": {"field": "v", "values": [25, 40]}}}
+    ).collect()[0]
+    assert row["r_25"] == 50.0   # 10, 20 <= 25
+    assert row["r_40"] == 100.0
+
+
+def test_percentile_ranks_gated_in_filters_bucket(spark):
+    df5 = spark.createDataFrame(
+        [("a", 10.0), ("a", 30.0), ("b", 100.0)], "g string, v double"
+    )
+    out = compile_aggs(
+        df5,
+        {"f": {"filters": {"filters": {"only_a": {"term": {"g": "a"}}}},
+               "aggs": {"r": {"percentile_ranks": {"field": "v", "values": [20]}}}}},
+        id_field="g",
+    ).collect()
+    assert out[0]["r_20"] == 50.0  # within bucket a: 10 <= 20, 30 > 20
+
+
+def test_date_histogram_fixed_interval(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df6 = spark.createDataFrame(
+        [("2024-01-01 00:10:00",), ("2024-01-01 00:20:00",), ("2024-01-01 01:05:00",)],
+        "ts string",
+    ).select(F.to_timestamp("ts").alias("ts"))
+    out = compile_aggs(
+        df6, {"h": {"date_histogram": {"field": "ts", "fixed_interval": "30m"}}}
+    ).collect()
+    got = {str(r["key"]): r["doc_count"] for r in out}
+    assert got == {
+        "2024-01-01 00:00:00": 2,
+        "2024-01-01 01:00:00": 1,
+    }
+    with pytest.raises(ValueError, match="fixed_interval"):
+        compile_aggs(df6, {"h": {"date_histogram": {"field": "ts", "fixed_interval": "1w"}}})
