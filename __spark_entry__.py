@@ -1749,6 +1749,33 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_semantic(spark, sf_dir):
+    """Rows-only: the embedding analogue of the minhash store loop — cell
+    centroids are trained ONCE on the seen corpus, persisted through the
+    snapshot sink, read back (k bounded rows), and both sides assign
+    against the frozen cells; per-cell new x seen cosine drops the new
+    near-dups.  Planted-dup recall is unit-tested
+    (test_multimodal_ivf.py)."""
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seen = e.where(F.col("vec_id") % 4 == 0)
+    new = e.where(F.col("vec_id") % 4 != 0)
+    cents = similarity.kmeans_refine(
+        seen, similarity.seeded_centroids(seen, 8), iters=1
+    )
+    root = tempfile.mkdtemp(prefix="cent_store_")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    S.upsert_snapshot(spark, root, cent_df, ["cell"])
+    stored = S.read_snapshot(spark, root).orderBy("cell").collect()  # k rows
+    return similarity.incremental_semantic_dedup(
+        new, seen, [list(r["centroid"]) for r in stored], threshold=0.99
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -1925,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental (batch-vs-corpus) dedup
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "dedup_incremental_semantic": q_dedup_incremental_semantic,
         "multimodal_meta": q_multimodal_meta,
         # training-data hand-off sinks
         "jsonl_export": q_jsonl_export,

@@ -184,6 +184,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "auto",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
     (max cosine).  ``centroids`` are plan literals (typically k-means or, for
@@ -228,11 +229,15 @@ def ivf_assign(
             return pd.Series(np.argmax(x @ cnorm, axis=1).astype("int32"))
 
         return df.select(
-            F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("_ivf_cell")
+            F.col(id_col), F.col(vec_col),
+            *[F.col(c) for c in (extra_cols or [])],
+            assign(F.col(vec_col)).alias("_ivf_cell"),
         )
     cnorms = [math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids]
     with_norm = df.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nv")
+        F.col(id_col), F.col(vec_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        norm(F.col(vec_col)).alias("_nv"),
     )
     scores = F.array(
         *[
@@ -244,13 +249,21 @@ def ivf_assign(
             for cvec, cn in zip(centroids, cnorms)
         ]
     )
-    scored = with_norm.select(F.col(id_col), F.col(vec_col), scores.alias("_scores"))
+    scored = with_norm.select(
+        F.col(id_col), F.col(vec_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        scores.alias("_scores"),
+    )
     cell = (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1).cast("int")
     # zero-norm vectors score NULL against every centroid -> NULL position;
     # pin them to cell 0 (matching the pandas path's argmax-of-zeros) so
     # downstream numpy indexing never sees NaN cells
     cell = F.coalesce(cell, F.lit(0))
-    return scored.select(F.col(id_col), F.col(vec_col), cell.alias("_ivf_cell"))
+    return scored.select(
+        F.col(id_col), F.col(vec_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        cell.alias("_ivf_cell"),
+    )
 
 
 def ivf_topk(
@@ -708,3 +721,80 @@ def semantic_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_seen_per_cell: int = 4096,
+) -> DataFrame:
+    """Cross-corpus embedding near-dup filter: drop a NEW vector when some
+    SEEN vector in its k-means cell has cosine >= ``threshold``.  Returns
+    the surviving new rows (original ``new_df`` schema) — the embedding
+    analogue of :func:`~..dedup.incremental_dedup_minhash`, cross-corpus
+    only; compose with :func:`semantic_dedup` for within-batch families.
+
+    ``centroids`` is the PERSISTED artifact of the steady-state daily loop
+    (computed once on the seen corpus via ``seeded_centroids`` +
+    ``kmeans_refine``, stored — e.g. in a snapshot table — and re-read):
+    both sides assign against the same frozen cells, so a day's batch
+    never re-clusters the accumulated corpus.  Re-train centroids only
+    when corpus drift degrades cell balance (monitor with
+    ``quality.psi_drift``).
+
+    Scale shape: one map-only assignment pass per side (no shuffle), one
+    shuffle on the cell id, then per-cell new x seen cosine as chunked
+    numpy BLAS — peak memory block x |seen-cell|.  A hot seen cell is
+    capped at ``max_seen_per_cell`` smallest ids (bounded recall trade,
+    same spirit as minhash's ``max_band_reps``: a match hiding behind
+    the cap's dissimilar cell-mates is missed; near-identical hot cells
+    make the practical loss negligible).
+    """
+    import pandas as pd
+
+    tagged = new_df.select(
+        F.lit("n").alias("_side"), F.col(id_col), F.col(vec_col)
+    ).unionByName(
+        seen_df.select(F.lit("s").alias("_side"), F.col(id_col), F.col(vec_col))
+    )
+    assigned = ivf_assign(
+        tagged, centroids, id_col, vec_col, extra_cols=["_side"]
+    )
+    id_type = dict(new_df.dtypes)[id_col]
+    block = 1024
+
+    def dups_in_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="object")})
+        new_side = pdf[pdf["_side"] == "n"]
+        seen_side = pdf[pdf["_side"] == "s"]
+        if new_side.empty or seen_side.empty:
+            return empty
+        seen_side = seen_side.sort_values(id_col).head(max_seen_per_cell)
+
+        def matrix(part: "pd.DataFrame") -> np.ndarray:
+            dim = next((len(v) for v in part[vec_col] if v is not None), 0)
+            x = np.asarray([
+                np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim)
+                for v in part[vec_col]
+            ])
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0] = np.inf  # zero/NULL vectors match nothing
+            return x / norms[:, None]
+
+        xn = matrix(new_side)
+        xs = matrix(seen_side)
+        ids = new_side[id_col].to_numpy()
+        hit = np.zeros(len(ids), dtype=bool)
+        for i0 in range(0, len(ids), block):
+            s = xn[i0 : i0 + block] @ xs.T
+            hit[i0 : i0 + block] = (np.round(s, 6) >= threshold).any(axis=1)
+        return pd.DataFrame({id_col: ids[hit]})
+
+    dup_ids = assigned.groupBy("_ivf_cell").applyInPandas(
+        dups_in_cell, f"{id_col} {id_type}"
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")

@@ -653,3 +653,63 @@ def test_semantic_dedup_auto_cells_runs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = semantic_dedup(df, threshold=0.999)
     assert kept.count() == 30
+
+
+def test_incremental_semantic_dedup_drops_cross_corpus_dups(spark):
+    import numpy as np
+
+    from hive2es_offline_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        kmeans_refine,
+        seeded_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 8))
+    seen = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    fresh = rng.normal(size=(5, 8))
+    new = spark.createDataFrame(
+        [(100 + i, [float(x) for x in base[i]]) for i in range(5)]   # dups of seen
+        + [(200 + i, [float(x) for x in fresh[i]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_refine(seen, seeded_centroids(seen, 4), iters=1)
+    kept = incremental_semantic_dedup(new, seen, cents, threshold=0.999)
+    ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    assert ids == [200, 201, 202, 203, 204]
+
+
+def test_incremental_semantic_dedup_hot_cell_cap(spark):
+    from hive2es_offline_spark.operators.similarity import incremental_semantic_dedup
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    seen = spark.createDataFrame(
+        [(i, v) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [(100, v), (101, w)], "vec_id long, embedding array<double>"
+    )
+    # one centroid -> one hot cell; cap keeps 2 seen reps, dup still caught
+    kept = incremental_semantic_dedup(
+        new, seen, [v], threshold=0.99, max_seen_per_cell=2
+    )
+    ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    assert ids == [101]
+
+
+def test_ivf_assign_extra_cols_both_paths(spark):
+    from hive2es_offline_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b")],
+        "vec_id long, embedding array<double>, tag string",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    for method in ("literal", "pandas"):
+        out = ivf_assign(df, cents, method=method, extra_cols=["tag"]).collect()
+        got = {r["vec_id"]: (r["tag"], r["_ivf_cell"]) for r in out}
+        assert got == {1: ("a", 0), 2: ("b", 1)}, method
