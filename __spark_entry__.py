@@ -1593,6 +1593,24 @@ def q_es_top_hits(spark, sf_dir):
     return es_search(o, _ES_TOP_HITS_BODY, id_field="o_orderkey")
 
 
+_ES_COLLAPSE_BODY = {
+    "collapse": {"field": "o_orderpriority"},
+    "sort": [{"o_totalprice": {"order": "desc"}}, {"o_orderkey": {"order": "asc"}}],
+    "size": 5,
+    "_source": ["o_orderkey", "o_orderpriority", "o_totalprice"],
+}
+
+
+def q_es_collapse(spark, sf_dir):
+    """ES field collapsing: best hit per distinct o_orderpriority (by the
+    body's sort), then normal paging — the rank-1 filter plans as
+    WindowGroupLimit — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_COLLAPSE_BODY, id_field="o_orderkey")
+
+
 def q_es_query_ext(spark, sf_dir):
     """ES query-DSL extended clauses: regexp (whole-value anchored) +
     fuzzy (levenshtein, AUTO ladder) + multi_match (per-field match, OR
@@ -1805,8 +1823,9 @@ def q_multimodal_meta(spark, sf_dir):
 #: Remaining never-adjudicated golden-backed candidates for round 7:
 #: window_ntile, repetition_stats, contamination, epoch_shuffle,
 #: temperature_mix, data_drift, and the round-6 DSL extensions
-#: es_query_ext / es_aggs_range / es_aggs_filters / es_top_hits (window
-#: membership is just this list; goldens follow automatically).
+#: es_query_ext / es_aggs_range / es_aggs_filters / es_top_hits /
+#: es_collapse (window membership is just this list; goldens follow
+#: automatically).
 DRIVER_WINDOW = [
     "scan_filter", "scan_project", "json_docs", "json_parse", "map_flatten",
     "array_ops", "type_normalize", "null_scrub", "schema_infer",
@@ -1915,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_aggs_range": q_es_aggs_range,
         "es_aggs_filters": q_es_aggs_filters,
         "es_top_hits": q_es_top_hits,
+        "es_collapse": q_es_collapse,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3109,6 +3129,19 @@ def _goldens_b() -> dict[str, str]:
             )
             ORDER BY doc_count DESC, key ASC
             LIMIT 3
+        """,
+        # q_es_collapse: best hit per o_orderpriority, then top-5 paging
+        "es_collapse": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+              SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rn
+              FROM orders
+            ) WHERE rn = 1
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 5
         """,
         # q_es_top_hits: per-bucket top-2 by (price desc, key asc);
         # row_number cast to INT to match Spark's rank type

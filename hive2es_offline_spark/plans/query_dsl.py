@@ -25,6 +25,9 @@ divergence), ``ids``, ``match`` (whitespace+lowercase analyzer,
 ``bool`` with ``must`` / ``filter`` / ``should`` / ``must_not`` /
 ``minimum_should_match``, and the ES 8 top-level ``knn`` search clause
 (pre-filtered exact cosine top-k, ``_score = (1 + cosine) / 2``).
+Hit-level features: ``sort`` / ``from``+``size`` paging, ``_source``
+projection, and ``collapse`` (best hit per distinct field value by the
+body's sort, WindowGroupLimit plan).
 Relevance-ranked ``match`` retrieval (BM25) lives in
 ``operators/retrieval.py`` — this module is filter context only, matching
 how the reference's ``not_analyzed`` mapping is actually queried.
@@ -555,6 +558,23 @@ def es_search(
         return compile_aggs(df, body["aggs"], id_field)
 
     sort_cols = _sort_columns(body.get("sort", default_sort) or [])
+    if body.get("collapse"):
+        # field collapsing: keep the best hit (per the body's sort) for
+        # each distinct collapse-field value, then page normally — the
+        # rank-1 filter plans as WindowGroupLimit (per-partition heaps),
+        # never a full sort of the collapsed groups
+        if not sort_cols:
+            raise ValueError(
+                "collapse needs an explicit sort (no _score in filter context)"
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(body["collapse"]["field"]).orderBy(*sort_cols)
+        df = (
+            df.withColumn("_collapse_rank", F.row_number().over(w))
+            .where(F.col("_collapse_rank") == 1)
+            .drop("_collapse_rank")
+        )
     offset = int(body.get("from", 0))
     size = int(body.get("size", 10))
     if sort_cols:

@@ -213,3 +213,22 @@ def test_date_histogram_fixed_interval(spark):
     }
     with pytest.raises(ValueError, match="fixed_interval"):
         compile_aggs(df6, {"h": {"date_histogram": {"field": "ts", "fixed_interval": "1w"}}})
+
+
+def test_collapse_keeps_best_hit_per_field_value(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "b", 20.0), (4, "b", 5.0)],
+        "id long, g string, v double",
+    )
+    body = {
+        "collapse": {"field": "g"},
+        "sort": [{"v": {"order": "desc"}}],
+        "size": 10,
+        "_source": ["id", "g", "v"],
+    }
+    out = es_search(df, body, id_field="id").collect()
+    assert [(r["id"], r["g"]) for r in out] == [(2, "a"), (3, "b")]
+    with pytest.raises(ValueError, match="collapse"):
+        es_search(df, {"collapse": {"field": "g"}}, id_field="id")
