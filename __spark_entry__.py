@@ -1593,6 +1593,50 @@ def q_es_top_hits(spark, sf_dir):
     return es_search(o, _ES_TOP_HITS_BODY, id_field="o_orderkey")
 
 
+_ES_SEARCH_AFTER_BODY = {
+    "query": {"range": {"o_totalprice": {"gte": 100000.0}}},
+    "sort": [{"o_totalprice": {"order": "desc"}}, {"o_orderkey": {"order": "asc"}}],
+    "search_after": [400000.0, 0],
+    "size": 20,
+    "_source": ["o_orderkey", "o_totalprice", "o_orderpriority"],
+}
+
+_ES_COMPOSITE_BODY = {
+    "size": 0,
+    "aggs": {"buckets": {
+        "composite": {
+            "size": 8,
+            "sources": [
+                {"priority": {"terms": {"field": "o_orderpriority"}}},
+                {"band": {"histogram": {"field": "o_totalprice", "interval": 100000}}},
+            ],
+            "after": {"priority": "2-HIGH", "band": 100000.0},
+        },
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }},
+}
+
+
+def q_es_search_after(spark, sf_dir):
+    """ES search_after deep paging: lexicographic strict-after filter on
+    the sort tuple + top-size — page N costs page 1 (never offset+size
+    materialization) — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_SEARCH_AFTER_BODY, id_field="o_orderkey")
+
+
+def q_es_composite(spark, sf_dir):
+    """ES composite aggregation: two-source bucket keys (terms x price
+    histogram) with cursor pagination — the `after` cursor prunes ROWS
+    before the single groupBy — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_COMPOSITE_BODY, id_field="o_orderkey")
+
+
 _ES_COLLAPSE_BODY = {
     "collapse": {"field": "o_orderpriority"},
     "sort": [{"o_totalprice": {"order": "desc"}}, {"o_orderkey": {"order": "asc"}}],
@@ -1935,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_aggs_filters": q_es_aggs_filters,
         "es_top_hits": q_es_top_hits,
         "es_collapse": q_es_collapse,
+        "es_search_after": q_es_search_after,
+        "es_composite": q_es_composite,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3129,6 +3175,36 @@ def _goldens_b() -> dict[str, str]:
             )
             ORDER BY doc_count DESC, key ASC
             LIMIT 3
+        """,
+        # q_es_search_after: strict-after on (price desc, key asc) from
+        # (400000.0, 0), filtered to price >= 100000
+        "es_search_after": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_totalprice >= 100000.0
+              AND (o_totalprice < 400000.0
+                   OR (o_totalprice = 400000.0 AND o_orderkey > 0))
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        # q_es_composite: (priority, 100k price band) buckets after the
+        # ('2-HIGH', 100000.0) cursor, key-tuple order, first 8
+        "es_composite": """
+            WITH keyed AS (
+              SELECT o_orderpriority AS priority,
+                     floor(o_totalprice / 100000) * 100000 AS band,
+                     o_totalprice
+              FROM orders
+            )
+            SELECT priority, band, count(*) AS doc_count,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                              / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+            FROM keyed
+            WHERE priority > '2-HIGH'
+               OR (priority = '2-HIGH' AND band > 100000.0)
+            GROUP BY priority, band
+            ORDER BY priority ASC, band ASC
+            LIMIT 8
         """,
         # q_es_collapse: best hit per o_orderpriority, then top-5 paging
         "es_collapse": """

@@ -25,9 +25,11 @@ divergence), ``ids``, ``match`` (whitespace+lowercase analyzer,
 ``bool`` with ``must`` / ``filter`` / ``should`` / ``must_not`` /
 ``minimum_should_match``, and the ES 8 top-level ``knn`` search clause
 (pre-filtered exact cosine top-k, ``_score = (1 + cosine) / 2``).
-Hit-level features: ``sort`` / ``from``+``size`` paging, ``_source``
-projection, and ``collapse`` (best hit per distinct field value by the
-body's sort, WindowGroupLimit plan).
+Hit-level features: ``sort`` / ``from``+``size`` paging, ``search_after``
+cursor paging (lexicographic strict-after filter — page N costs the same
+as page 1, the scale-correct deep-paging shape), ``_source`` projection,
+and ``collapse`` (best hit per distinct field value by the body's sort,
+WindowGroupLimit plan).
 Relevance-ranked ``match`` retrieval (BM25) lives in
 ``operators/retrieval.py`` — this module is filter context only, matching
 how the reference's ``not_analyzed`` mapping is actually queried.
@@ -37,7 +39,10 @@ stats extended_stats percentiles percentile_ranks``; group-by buckets
 ``terms histogram date_histogram`` (calendar_interval or epoch-aligned
 fixed_interval) with metric sub-aggs; conditional buckets ``range
 filters missing`` (may overlap, so they compile to one ungrouped gated
-aggregate + an inline() reshape instead of a groupBy); ``top_hits`` as
+aggregate + an inline() reshape instead of a groupBy); ``composite``
+(multi-source bucket keys with ``after`` cursor pagination — the cursor
+compiles to a pre-groupBy row filter, so deep bucket pages never rescan
+earlier buckets); ``top_hits`` as
 the sole sub-agg of a group-by bucket (per-bucket top documents via
 rank-within-bucket → Catalyst's WindowGroupLimit; one row per hit, all
 buckets returned — the terms ``size`` bucket cap is not applied in
@@ -339,9 +344,12 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     bucket = [(n, s) for n, s in aggs.items()
               if set(s) & {"terms", "histogram", "date_histogram"}]
     cond = [(n, s) for n, s in aggs.items() if set(s) & _COND_BUCKET_KINDS]
-    if len(bucket) + len(cond) > 1:
+    comp = [(n, s) for n, s in aggs.items() if "composite" in s]
+    if len(bucket) + len(cond) + len(comp) > 1:
         raise ValueError("at most one bucket agg per body is supported")
 
+    if comp:
+        return _compile_composite(df, comp[0][1])
     if cond:
         return _compile_cond_bucket(df, cond[0][1], id_field)
 
@@ -358,46 +366,60 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     return _compile_groupby_bucket(df, kind, bspec, spec)
 
 
-def _sort_columns(sort_spec: list) -> list[Column]:
-    """ES ``sort`` list → Spark sort Columns (shared by hit paging and
-    top_hits)."""
-    cols: list[Column] = []
+def _sort_specs(sort_spec: list) -> list[tuple[str, bool]]:
+    """ES ``sort`` list → [(field, is_desc)] pairs."""
+    specs: list[tuple[str, bool]] = []
     for s in sort_spec or []:
         if isinstance(s, str):
-            cols.append(F.col(s).asc())
+            specs.append((s, False))
         else:
             (f_, spec), = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-            cols.append(F.col(f_).desc() if order == "desc" else F.col(f_).asc())
-    return cols
+            specs.append((f_, order == "desc"))
+    return specs
+
+
+def _sort_columns(sort_spec: list) -> list[Column]:
+    """ES ``sort`` list → Spark sort Columns (shared by hit paging and
+    top_hits)."""
+    return [
+        F.col(f).desc() if is_desc else F.col(f).asc()
+        for f, is_desc in _sort_specs(sort_spec)
+    ]
+
+
+def _bucket_key_col(kind: str, bspec: dict) -> Column:
+    """The (unaliased) bucket key expression for terms / histogram /
+    date_histogram — shared by the group-by bucket path and composite
+    sources."""
+    field = bspec["field"]
+    if kind == "terms":
+        return F.col(field)
+    if kind == "histogram":
+        interval = float(bspec["interval"])
+        return F.floor(F.col(field) / interval) * interval
+    # date_histogram
+    fixed = bspec.get("fixed_interval")
+    if fixed is not None:
+        # fixed_interval (e.g. "90s", "30m", "6h", "7d"): epoch-aligned
+        # fixed-width buckets, same arithmetic as ES
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)(s|m|h|d)", str(fixed))
+        if not m:
+            raise ValueError(f"unsupported fixed_interval: {fixed}")
+        secs = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(field)) / secs) * secs
+        )
+    unit = bspec.get("calendar_interval", "day")
+    if unit not in {"day", "week", "month", "quarter", "year", "hour"}:
+        raise ValueError(f"unsupported calendar_interval: {unit}")
+    return F.date_trunc(unit, F.col(field))
 
 
 def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -> DataFrame:
-    field = bspec["field"]
-    if kind == "terms":
-        key = F.col(field).alias("key")
-    elif kind == "histogram":
-        interval = float(bspec["interval"])
-        key = (F.floor(F.col(field) / interval) * interval).alias("key")
-    else:  # date_histogram
-        fixed = bspec.get("fixed_interval")
-        if fixed is not None:
-            # fixed_interval (e.g. "90s", "30m", "6h", "7d"): epoch-aligned
-            # fixed-width buckets, same arithmetic as ES
-            import re as _re
-
-            m = _re.fullmatch(r"(\d+)(s|m|h|d)", str(fixed))
-            if not m:
-                raise ValueError(f"unsupported fixed_interval: {fixed}")
-            secs = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
-            key = F.timestamp_seconds(
-                F.floor(F.unix_timestamp(F.col(field)) / secs) * secs
-            ).alias("key")
-        else:
-            unit = bspec.get("calendar_interval", "day")
-            if unit not in {"day", "week", "month", "quarter", "year", "hour"}:
-                raise ValueError(f"unsupported calendar_interval: {unit}")
-            key = F.date_trunc(unit, F.col(field)).alias("key")
+    key = _bucket_key_col(kind, bspec).alias("key")
 
     subs = spec.get("aggs", {})
     top_hits = [(n, s["top_hits"]) for n, s in subs.items() if "top_hits" in s]
@@ -438,6 +460,59 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         size = int(bspec.get("size", 10))
         out = out.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
     return out
+
+
+def _compile_composite(df: DataFrame, spec: dict) -> DataFrame:
+    """ES ``composite`` aggregation: multi-source bucket keys with cursor
+    pagination.  One row per bucket — one column per source name, then
+    ``doc_count`` and metric sub-aggs — ordered by the key tuple in source
+    order, resumable via ``after``.
+
+    Scale shape: the ``after`` cursor compiles to a lexicographic ROW
+    filter *before* the groupBy (a row's bucket key decides its bucket, so
+    pruning rows at-or-before the cursor is exactly bucket pruning — and
+    the predicate can push into the scan), then ONE shuffle for the
+    aggregate and a top-``size`` TakeOrderedAndProject.  Page N costs the
+    same as page 1.
+    """
+    cspec = spec["composite"]
+    sources: list[tuple[str, Column, bool]] = []  # (name, key col, is_desc)
+    for src in cspec["sources"]:
+        (name, body), = src.items()
+        (kind, bspec), = [
+            (k, v) for k, v in body.items()
+            if k in {"terms", "histogram", "date_histogram"}
+        ]
+        sources.append(
+            (name, _bucket_key_col(kind, bspec), bspec.get("order") == "desc")
+        )
+    keyed = df.select(
+        *[key.alias(name) for name, key, _ in sources],
+        *[c for c in df.columns if c not in {n for n, _, _ in sources}],
+    )
+    after = cspec.get("after")
+    if after is not None:
+        pred = F.lit(False)
+        for i, (name, _, is_desc) in enumerate(sources):
+            ties = F.lit(True)
+            for j in range(i):
+                ties = ties & (F.col(sources[j][0]) == F.lit(after[sources[j][0]]))
+            strict = (
+                F.col(name) < F.lit(after[name])
+                if is_desc
+                else F.col(name) > F.lit(after[name])
+            )
+            pred = pred | (ties & strict)
+        keyed = keyed.where(pred)
+    exprs = [F.count(F.lit(1)).alias("doc_count")]
+    for sub_name, sub_spec in spec.get("aggs", {}).items():
+        (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
+        exprs.extend(_metric_exprs(sub_name, mkind, mspec))
+    out = keyed.groupBy(*[F.col(n) for n, _, _ in sources]).agg(*exprs)
+    order = [
+        F.col(n).desc() if is_desc else F.col(n).asc() for n, _, is_desc in sources
+    ]
+    return out.orderBy(*order).limit(int(cspec.get("size", 10)))
 
 
 def _range_key(r: dict) -> str:
@@ -577,6 +652,34 @@ def es_search(
         )
     offset = int(body.get("from", 0))
     size = int(body.get("size", 10))
+    after = body.get("search_after")
+    if after is not None:
+        # deep paging the scale-correct way: a lexicographic strict-after
+        # filter on the sort tuple + top-size, so page N costs the same as
+        # page 1 (from+size paging materializes offset+size rows — ES caps
+        # it at 10k for the same reason).  The filter is a plain predicate,
+        # pushable/prunable by Catalyst.
+        specs = _sort_specs(body.get("sort", default_sort) or [])
+        if not specs:
+            raise ValueError("search_after needs an explicit sort")
+        if len(after) != len(specs):
+            raise ValueError(
+                f"search_after has {len(after)} values for {len(specs)} sort keys"
+            )
+        if offset:
+            raise ValueError("search_after cannot be combined with from")
+        pred = F.lit(False)
+        for i, (fname, is_desc) in enumerate(specs):
+            ties = F.lit(True)
+            for j in range(i):
+                ties = ties & (F.col(specs[j][0]) == F.lit(after[j]))
+            strict = (
+                F.col(fname) < F.lit(after[i])
+                if is_desc
+                else F.col(fname) > F.lit(after[i])
+            )
+            pred = pred | (ties & strict)
+        df = df.where(pred)
     if sort_cols:
         df = df.orderBy(*sort_cols).limit(offset + size)
         if offset:

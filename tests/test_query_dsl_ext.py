@@ -232,3 +232,55 @@ def test_collapse_keeps_best_hit_per_field_value(spark):
     assert [(r["id"], r["g"]) for r in out] == [(2, "a"), (3, "b")]
     with pytest.raises(ValueError, match="collapse"):
         es_search(df, {"collapse": {"field": "g"}}, id_field="id")
+
+
+def test_search_after_deep_paging(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [(i, float(i % 3), f"d{i}") for i in range(12)],
+        "id long, grp double, name string",
+    )
+    body = {"sort": [{"grp": {"order": "desc"}}, {"id": {"order": "asc"}}],
+            "size": 3, "_source": ["id", "grp"]}
+    page1 = es_search(df, body, id_field="id").collect()
+    assert [(r["grp"], r["id"]) for r in page1] == [(2.0, 2), (2.0, 5), (2.0, 8)]
+    last = page1[-1]
+    body2 = dict(body, search_after=[last["grp"], last["id"]])
+    page2 = es_search(df, body2, id_field="id").collect()
+    assert [(r["grp"], r["id"]) for r in page2] == [(2.0, 11), (1.0, 1), (1.0, 4)]
+    with pytest.raises(ValueError, match="from"):
+        es_search(df, dict(body2, **{"from": 3}), id_field="id")
+    with pytest.raises(ValueError, match="sort"):
+        es_search(df, {"search_after": [1], "size": 2}, id_field="id")
+
+
+def test_composite_agg_pagination(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 30.0), ("b", 20.0), ("c", 5.0), ("c", 7.0)],
+        "g string, v double",
+    )
+    body = {"composite": {"size": 2, "sources": [{"g": {"terms": {"field": "g"}}}]},
+            "aggs": {"total": {"sum": {"field": "v"}}}}
+    p1 = compile_aggs(df, {"b": body}).collect()
+    assert [(r["g"], r["doc_count"], r["total"]) for r in p1] == [
+        ("a", 2, 40.0), ("b", 1, 20.0)]
+    body2 = {"b": {**body, "composite": {**body["composite"], "after": {"g": "b"}}}}
+    p2 = compile_aggs(df, body2).collect()
+    assert [(r["g"], r["doc_count"], r["total"]) for r in p2] == [("c", 2, 12.0)]
+
+
+def test_composite_multi_source_histogram(spark):
+    df = spark.createDataFrame(
+        [("x", 5.0), ("x", 15.0), ("y", 5.0), ("y", 6.0)],
+        "g string, v double",
+    )
+    out = compile_aggs(
+        df,
+        {"b": {"composite": {"size": 10, "sources": [
+            {"g": {"terms": {"field": "g"}}},
+            {"bucket": {"histogram": {"field": "v", "interval": 10}}},
+        ]}}},
+    ).collect()
+    assert [(r["g"], r["bucket"], r["doc_count"]) for r in out] == [
+        ("x", 0.0, 1), ("x", 10.0, 1), ("y", 0.0, 2)]
