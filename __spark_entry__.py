@@ -911,6 +911,28 @@ def q_streaming_ingest(spark, sf_dir):
     )
 
 
+def q_streaming_snapshot(spark, sf_dir):
+    """Rows-only: the CDC ingest loop — one AvailableNow drain of the
+    events stream upserted into the versioned snapshot store as a single
+    version (latest row per event_id), read back from the manifest."""
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    root = tempfile.mkdtemp(prefix="cdc_store_")
+    manifest = ingest.stream_to_snapshot(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        raw_schema,
+        os.path.join(root, "table"),
+        ["event_id"],
+        os.path.join(root, "chk"),
+    )
+    assert manifest is not None and manifest["version"] == 1
+    return S.read_snapshot(spark, os.path.join(root, "table"))
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Rows-only: custom stateful streaming operator
     (applyInPandasWithState) — closed sessions from one availableNow drain."""
@@ -2004,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
         "streaming_enrich": q_streaming_enrich,
+        "streaming_snapshot": q_streaming_snapshot,
         "pack_sequences": q_pack_sequences,
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,

@@ -192,3 +192,83 @@ def stream_dedup_once(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _staging_data_files(staging: str) -> set[str]:
+    files: set[str] = set()
+    for root, dirs, names in os.walk(staging):
+        if "_spark_metadata" in root:
+            continue
+        for n in names:
+            if n.endswith(".parquet"):
+                files.add(os.path.join(root, n))
+    return files
+
+
+def stream_to_snapshot(
+    spark: SparkSession,
+    path: str,
+    schema,
+    snapshot_root: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+    time_col: str = "ts",
+    staging_dir: str | None = None,
+) -> dict | None:
+    """Upsert one drained increment of a stream into the versioned
+    snapshot store — the CDC-shaped ingest loop.  Each call:
+
+    1. drains the currently-available NEW input (``Trigger.AvailableNow``
+       against the checkpoint, so already-processed source files are never
+       re-read) through a parquet file sink into ``staging_dir`` — the
+       only exactly-once streaming sink that recovers from a checkpoint;
+    2. reads back exactly THIS drain's files (staging listing diff),
+       reduces the increment to the latest row per key (``max_by`` on
+       ``time_col`` — an update must supersede the insert that arrived in
+       the same increment, which is why the cross-batch keyed dedup stage
+       is deliberately NOT in this pipeline: it would drop updates as
+       duplicates);
+    3. publishes exactly one ``upsert_snapshot`` version: keys replaced,
+       new keys appended, untouched partitions carried over by manifest
+       reference.
+
+    Returns the published manifest, or None when the increment was empty
+    (no version claimed).  Production shape: run on the micro-batch
+    cadence (scheduler tick, or a ``foreachBatch`` wrapper where the py4j
+    callback server is available — the drain IS the micro-batch).
+    Delivery is effectively-once for keyed data: a retried drain re-reads
+    nothing (checkpoint) or re-applies the same keys onto the previous
+    version (replace, not duplicate), and the version publish is atomic
+    behind an O_EXCL claim.
+    """
+    from ..sinks.snapshot import upsert_snapshot
+
+    staging = staging_dir or checkpoint_dir.rstrip("/") + "_staging"
+    os.makedirs(staging, exist_ok=True)
+    before = _staging_data_files(staging)
+    stream = load_stream(spark, path, schema, time_col)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", staging)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    new_files = sorted(_staging_data_files(staging) - before)
+    if not new_files:
+        return None
+    increment = spark.read.schema(schema).parquet(*new_files)
+    latest = increment.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*[c for c in increment.columns if c not in key_cols]),
+            F.col(time_col),
+        ).alias("_row")
+    ).select(*key_cols, "_row.*")
+    if latest.isEmpty():
+        return None
+    return upsert_snapshot(
+        spark, snapshot_root, latest, key_cols, partition_col=partition_col
+    )

@@ -114,3 +114,46 @@ def test_stream_enrich_joins_dim_and_keeps_unmatched(spark, tmp_path):
     assert got[1]["name"] == "alice" and got[2]["name"] == "bob"
     assert got[3]["name"] is None  # left join: unmatched event survives
     assert len(got) == 3
+
+
+def test_stream_to_snapshot_upserts_each_batch(spark, tmp_path):
+    """CDC-shaped loop: each drained micro-batch becomes one snapshot
+    version; re-keyed rows replace, new keys append, and a second drain
+    picks up only new files."""
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    src = tmp_path / "snap_src"
+    src.mkdir()
+    chk = str(tmp_path / "snap_chk")
+    root = str(tmp_path / "snap_store")
+    schema = "event_id long, user_id long, value double, ts timestamp"
+
+    b1 = spark.createDataFrame(
+        [(1, 10, 1.0, "2024-01-01 00:00:00"), (2, 20, 2.0, "2024-01-01 00:01:00")],
+        "event_id long, user_id long, value double, ts string",
+    ).select("event_id", "user_id", "value", F.to_timestamp("ts").alias("ts"))
+    # file source needs a flat dir of files
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    ingest.stream_to_snapshot(
+        spark, str(src), schema, root, ["event_id"], chk
+    )
+    v1 = S.read_snapshot(spark, root)
+    assert {r["event_id"]: r["value"] for r in v1.collect()} == {1: 1.0, 2: 2.0}
+
+    # batch 2: update key 2, add key 3
+    b2 = spark.createDataFrame(
+        [(2, 20, 99.0, "2024-01-01 00:05:00"), (3, 30, 3.0, "2024-01-01 00:06:00")],
+        "event_id long, user_id long, value double, ts string",
+    ).select("event_id", "user_id", "value", F.to_timestamp("ts").alias("ts"))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    ingest.stream_to_snapshot(
+        spark, str(src), schema, root, ["event_id"], chk
+    )
+    v2 = S.read_snapshot(spark, root)
+    assert {r["event_id"]: r["value"] for r in v2.collect()} == {
+        1: 1.0, 2: 99.0, 3: 3.0,
+    }
+    # versioned history survives: version 1 still readable (time travel)
+    assert S.read_snapshot(spark, root, version=1).count() == 2
