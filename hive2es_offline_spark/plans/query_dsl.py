@@ -194,13 +194,24 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         ) + "( |$)"
         return F.regexp_like(F.lower(F.col(field)), F.lit(pat))
     if kind == "bool":
+        # ES boolean semantics are TWO-valued: a clause over a missing/null
+        # field simply "does not match" — it never poisons siblings the way
+        # SQL NULL does.  Each child therefore coalesces to False before
+        # combination, so (a) one satisfied should-clause rescues the row
+        # even when a sibling evaluates NULL, and (b) must_not of a
+        # non-matching (NULL) clause KEEPS the row (SQL's ~NULL would drop
+        # it).  Found by the random-tree property test
+        # (tests/test_query_dsl_property.py).
+        def child(c: dict) -> Column:
+            return F.coalesce(compile_query(c, id_field), F.lit(False))
+
         clauses: list[Column] = []
         for c in body.get("must", []) if isinstance(body.get("must", []), list) else [body["must"]]:
-            clauses.append(compile_query(c, id_field))
+            clauses.append(child(c))
         for c in body.get("filter", []) if isinstance(body.get("filter", []), list) else [body["filter"]]:
-            clauses.append(compile_query(c, id_field))
+            clauses.append(child(c))
         for c in body.get("must_not", []) if isinstance(body.get("must_not", []), list) else [body["must_not"]]:
-            clauses.append(~compile_query(c, id_field))
+            clauses.append(~child(c))
         should = body.get("should", [])
         should = should if isinstance(should, list) else [should]
         if should:
@@ -210,7 +221,7 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
                 # there is no must/filter clause
                 msm = 0 if (body.get("must") or body.get("filter")) else 1
             if msm > 0:
-                hits = [compile_query(c, id_field).cast("int") for c in should]
+                hits = [child(c).cast("int") for c in should]
                 total = hits[0]
                 for h in hits[1:]:
                     total = total + h
