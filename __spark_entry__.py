@@ -1860,6 +1860,21 @@ def q_dedup_incremental_semantic(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Rows-only: audio modality — deterministic REAL WAV payloads per doc,
+    RIFF/PCM decoded (stdlib+numpy), typed metadata joined with 16-dim
+    spectral features (RMS/ZCR/centroid/rolloff/band energies); feature
+    vectors follow the embeddings convention so audio near-dup composes
+    with cosine_self_pairs directly."""
+    from hive2es_offline_spark.operators import audio
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    payloads = audio.with_wav_payload(d)
+    meta = audio.decode_audio_meta(payloads)
+    feats = audio.extract_audio_features(payloads)
+    return meta.join(feats.select("doc_id", "feature"), "doc_id")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -2043,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_incremental_semantic": q_dedup_incremental_semantic,
         "multimodal_meta": q_multimodal_meta,
+        "audio_features": q_audio_features,
         # training-data hand-off sinks
         "jsonl_export": q_jsonl_export,
         "webdataset_export": q_webdataset_export,
