@@ -1875,6 +1875,26 @@ def q_audio_features(spark, sf_dir):
     return meta.join(feats.select("doc_id", "feature"), "doc_id")
 
 
+def q_video_frames(spark, sf_dir):
+    """Rows-only: video modality — deterministic REAL MJPEG-AVI payloads,
+    container-parsed (RIFF walk), evenly-sampled frames decoded through
+    the JPEG codec and re-encoded as standalone PNGs, then pushed through
+    the image feature extractor — the full video -> frames -> features
+    loop with zero fabricated bytes."""
+    from hive2es_offline_spark.operators import video
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 60)
+    payloads = video.with_avi_payload(d)
+    frames = video.sample_video_frames(payloads, num_frames=3)
+    feats = multimodal.extract_features(
+        frames.select("doc_id", "frame_index", F.col("frame").alias("payload"))
+        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("frame_index"))
+        .select("doc_id", "payload"),
+        dim=8,
+    )
+    return feats
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -2059,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_semantic": q_dedup_incremental_semantic,
         "multimodal_meta": q_multimodal_meta,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         # training-data hand-off sinks
         "jsonl_export": q_jsonl_export,
         "webdataset_export": q_webdataset_export,
