@@ -131,9 +131,13 @@ BENCH_QUERIES = [
     "data_drift",
     "multimodal_prepare",
     # round-6 additions: the remaining daily-ops sinks — WebDataset tar
-    # shards (Arrow-batched tar framing) and Morton-key clustering rewrite
+    # shards (Arrow-batched tar framing) and Morton-key clustering rewrite —
+    # plus the new audio (WAV decode + spectral features) and video (AVI
+    # parse -> MJPEG decode -> PNG frames -> features) modality loops
     "webdataset_export",
     "zorder_layout",
+    "audio_features",
+    "video_frames",
 ]
 
 
