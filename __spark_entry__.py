@@ -1895,6 +1895,36 @@ def q_video_frames(spark, sf_dir):
     return feats
 
 
+def q_snapshot_cdc(spark, sf_dir):
+    """CDC merge (upserts + deletes in one batch) on the snapshot store:
+    publish documents partitioned by source, apply one change batch
+    (doc_id % 7 == 0 deleted, % 7 == 1 updated with n_chars + 1000), read
+    the merged state back — the end state is pure SQL, so this is a FULL
+    oracle over the delete path, not rows-only."""
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = tempfile.mkdtemp(prefix="cdc_q_")
+    S.upsert_snapshot(spark, root, d, ["doc_id"], "source")
+    changes = (
+        d.where(F.col("doc_id") % 7 < 2)
+        .withColumn(
+            "_op",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(F.col("_op") == "upsert", F.col("n_chars") + 1000).otherwise(
+                F.col("n_chars")
+            ),
+        )
+    )
+    S.apply_cdc(spark, root, changes, ["doc_id"], partition_col="source")
+    return S.read_snapshot(spark, root)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Rows-only: binary-column decode plumbing (deterministic fake codec)."""
     d = _t(spark, sf_dir, "documents")
@@ -2087,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_table": q_compact_table,
         "zorder_layout": q_zorder_layout,
         "snapshot_upsert": q_snapshot_upsert,
+        "snapshot_cdc": q_snapshot_cdc,
         # composed multimodal loop: real PNGs -> meta -> features ->
         # quantize -> WebDataset shards
         "multimodal_prepare": q_multimodal_prepare,
@@ -3235,6 +3266,15 @@ def _goldens_b() -> dict[str, str]:
             )
             ORDER BY doc_count DESC, key ASC
             LIMIT 3
+        """,
+        # q_snapshot_cdc: merged end state after delete-(%7==0) and
+        # update-(%7==1, n_chars+1000) applied to the documents snapshot
+        "snapshot_cdc": """
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 = 1 THEN n_chars + 1000
+                        ELSE n_chars END AS n_chars
+            FROM documents
+            WHERE doc_id % 7 != 0
         """,
         # q_es_search_after: strict-after on (price desc, key asc) from
         # (400000.0, 0), filtered to price >= 100000

@@ -304,3 +304,101 @@ def diff_snapshots(
             *[picked[c].alias(c) for c in val_cols],
         )
     )
+
+
+def apply_cdc(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "_op",
+    partition_col: str | None = None,
+) -> dict:
+    """Apply a CDC change batch — upserts AND deletes — as one snapshot
+    version.  ``changes`` carries the table columns plus ``op_col`` with
+    ``"upsert"`` or ``"delete"`` per row; the new version is
+    ``(current ⟂ change-keys) ∪ upsert-rows``, so a delete removes the key
+    and an upsert replaces-or-appends, exactly Delta/Iceberg MERGE's
+    matched-delete / matched-update / not-matched-insert triple in one
+    shape.  With ``partition_col`` only partitions present in the batch
+    are rewritten (delete rows must carry the row's partition value, same
+    contract as upsert).  Idempotent: re-applying the same batch onto the
+    result is a no-op state-wise.  Returns the published manifest.
+    """
+    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
+    bad = [o for o in ops if o not in ("upsert", "delete")]
+    if bad:
+        raise ValueError(f"unknown {op_col} values: {bad} (use upsert/delete)")
+    prev = read_manifest(root)
+    version = (prev["version"] + 1 if prev else 1)
+    if partition_col is not None:
+        affected = [
+            r[0] for r in changes.select(partition_col).distinct().collect()
+        ]
+        if any(p is None for p in affected):
+            raise ValueError(
+                f"NULL {partition_col!r} values in changes: NULL partitions "
+                "are not supported by the snapshot layout"
+            )
+    upserts = changes.where(F.col(op_col) == "upsert").drop(op_col)
+    change_keys = changes.select(*key_cols).distinct()
+    _claim_version(root, version)
+    try:
+        vdir = os.path.join(root, f"v{version}")
+        if partition_col is None:
+            affected = [_NO_PART]
+            merged = upserts
+            if prev:
+                cur = read_snapshot(spark, root)
+                merged = upserts.unionByName(
+                    cur.join(change_keys, key_cols, "left_anti")
+                )
+            if merged.isEmpty():
+                # a fully-emptied table has no data files to anchor a
+                # readable version; surface it instead of publishing a
+                # manifest that cannot be assembled
+                raise ValueError(
+                    "apply_cdc would delete every row of the snapshot; "
+                    "drop/recreate the table instead"
+                )
+            merged.write.mode("overwrite").parquet(os.path.join(vdir, _NO_PART))
+            parts = {_NO_PART: f"v{version}/{_NO_PART}"}
+        else:
+            prev_parts = dict(prev["partitions"]) if prev else {}
+            live = [
+                os.path.join(root, prev_parts[str(p)])
+                for p in affected
+                if str(p) in prev_parts
+            ]
+            merged = upserts
+            if live:
+                cur = spark.read.parquet(*live)
+                merged = upserts.unionByName(
+                    cur.join(change_keys, key_cols, "left_anti")
+                )
+            _write_partitioned(merged, vdir, partition_col)
+            parts = prev_parts
+            for p in affected:
+                pdir = f"v{version}/_p={_escape_part(spark, p)}"
+                if os.path.isdir(os.path.join(root, pdir)):
+                    parts[str(p)] = pdir
+                else:
+                    # every row of this partition was deleted: partitionBy
+                    # wrote no dir — tombstone it out of the manifest
+                    parts.pop(str(p), None)
+            if not parts:
+                raise ValueError(
+                    "apply_cdc would delete every row of the snapshot; "
+                    "drop/recreate the table instead"
+                )
+        manifest = {
+            "version": version,
+            "partition_col": partition_col,
+            "key_cols": key_cols,
+            "partitions": parts,
+            "rewritten": [str(p) for p in affected],
+        }
+        return _publish(root, manifest)
+    except BaseException:
+        _release_claim(root, version)
+        raise

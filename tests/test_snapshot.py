@@ -139,3 +139,67 @@ def test_diff_snapshots_added_removed_updated(spark, tmp_path):
     # of a filtered read is out of scope — assert diff of identical versions
     S.upsert_snapshot(spark, root2, _batch(spark, [(2, "a", "y")]), ["id"])
     assert S.diff_snapshots(spark, root2, 1, 2).count() == 0  # value unchanged
+
+
+def test_apply_cdc_upserts_and_deletes(spark, tmp_path):
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    root = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, part string, v double",
+    )
+    S.upsert_snapshot(spark, root, base, ["id"], "part")
+    changes = spark.createDataFrame(
+        [(2, "a", 99.0, "upsert"),   # update
+         (4, "a", 40.0, "upsert"),   # insert
+         (1, "a", 0.0, "delete")],   # delete (value cols ignored)
+        "id long, part string, v double, _op string",
+    )
+    m = S.apply_cdc(spark, root, changes, ["id"], partition_col="part")
+    assert m["version"] == 2
+    got = {r["id"]: r["v"] for r in S.read_snapshot(spark, root).collect()}
+    assert got == {2: 99.0, 3: 30.0, 4: 40.0}
+    # partition b untouched: manifest still references the v1 files
+    m2 = S.read_manifest(root)
+    assert m2["partitions"]["b"].startswith("v1/")
+    # idempotent: re-applying the same batch changes nothing state-wise
+    S.apply_cdc(spark, root, changes, ["id"], partition_col="part")
+    again = {r["id"]: r["v"] for r in S.read_snapshot(spark, root).collect()}
+    assert again == got
+
+
+def test_apply_cdc_partition_tombstone_and_guards(spark, tmp_path):
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    root = str(tmp_path / "cdc2")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    S.upsert_snapshot(spark, root, base, ["id"], "part")
+    # delete the only row of partition a -> partition drops from manifest
+    S.apply_cdc(
+        spark, root,
+        spark.createDataFrame([(1, "a", 0.0, "delete")],
+                              "id long, part string, v double, _op string"),
+        ["id"], partition_col="part",
+    )
+    assert [r["id"] for r in S.read_snapshot(spark, root).collect()] == [2]
+    assert "a" not in S.read_manifest(root)["partitions"]
+    # refusing to publish an empty table
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="every row"):
+        S.apply_cdc(
+            spark, root,
+            spark.createDataFrame([(2, "b", 0.0, "delete")],
+                                  "id long, part string, v double, _op string"),
+            ["id"], partition_col="part",
+        )
+    # unknown op rejected before any claim
+    with _pytest.raises(ValueError, match="unknown"):
+        S.apply_cdc(
+            spark, root,
+            spark.createDataFrame([(2, "b", 0.0, "merge")],
+                                  "id long, part string, v double, _op string"),
+            ["id"], partition_col="part",
+        )
