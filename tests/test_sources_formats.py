@@ -37,3 +37,39 @@ def test_minhash_bucket_cap_bounds_pairs(spark):
     # a small family is unaffected by the cap
     small = spark.createDataFrame([(i, text) for i in range(5)], "doc_id long, text string")
     assert dedup.dedup_minhash(small, "doc_id", "text", 0.9, max_bucket_size=10).count() == 10
+
+
+def test_read_binary_dir_payloads_and_ids(spark, tmp_path):
+    """binaryFile source: recursive pickup, glob filter, deterministic
+    path-hash ids, oversized-file guard — then straight into the real
+    image decoder."""
+    import numpy as np
+
+    from hive2es_offline_spark.operators import multimodal
+    from hive2es_offline_spark.sources.binary import read_binary_dir
+
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:, :, 0] = 250
+    png = multimodal.encode_png(img)
+    (d / "a.png").write_bytes(png)
+    (d / "sub" / "b.png").write_bytes(png)
+    (d / "notes.txt").write_bytes(b"not an image")
+
+    out = read_binary_dir(spark, str(d), glob="*.png").collect()
+    assert sorted(r["rel_path"] for r in out) == ["a.png", "sub/b.png"]
+    assert all(not r["oversized"] and bytes(r["payload"]) == png for r in out)
+    # ids deterministic across re-reads
+    again = read_binary_dir(spark, str(d), glob="*.png").collect()
+    assert {r["rel_path"]: r["doc_id"] for r in out} == {
+        r["rel_path"]: r["doc_id"] for r in again
+    }
+    # decoded pixels flow straight through the real codec path
+    payloads = read_binary_dir(spark, str(d), glob="*.png")
+    meta = multimodal.decode_image_meta(payloads).collect()
+    assert all(r["width"] == 4 and r["format"] == "png" for r in meta)
+
+    # oversized guard: tiny threshold nulls the payload but keeps the row
+    guarded = read_binary_dir(spark, str(d), glob="*.png", max_bytes_per_file=10).collect()
+    assert all(r["oversized"] and r["payload"] is None for r in guarded)
