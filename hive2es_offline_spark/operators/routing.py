@@ -113,6 +113,15 @@ def repartition_for_shards(
     hashes to slot 0 / shard 0, matching the partitioner's null handling.
     """
     n = num_shards * multiple
+    if n > 1 << 16:
+        # the probe-key array is a plan literal of n ints and the driver
+        # search is O(n log n) murmur evaluations — both fine to 64k
+        # partitions (a 6k-shard index at the default multiple); beyond
+        # that, raise deliberately rather than inflate plans silently
+        raise ValueError(
+            f"num_shards * multiple = {n} exceeds 65536 partitions; "
+            "lower the partition multiple for very-high-shard indexes"
+        )
     h = F.coalesce(es_hash(F.col(routing_col).cast("string")), F.lit(0))
     out = df.withColumn("_es_slot", F.pmod(h, F.lit(n)).cast("int"))
     # slot mod shards == es_hash mod shards (shards divides n), so the

@@ -494,6 +494,14 @@ def _compile_composite(df: DataFrame, spec: dict) -> DataFrame:
             (k, v) for k, v in body.items()
             if k in {"terms", "histogram", "date_histogram"}
         ]
+        if name in df.columns and not (kind == "terms" and name == bspec["field"]):
+            # a transformed key (histogram bucket, truncated date) aliased
+            # onto an existing column would silently shadow the raw values
+            # for every metric sub-agg — refuse instead
+            raise ValueError(
+                f"composite source name {name!r} shadows a column; "
+                f"rename the source"
+            )
         sources.append(
             (name, _bucket_key_col(kind, bspec), bspec.get("order") == "desc")
         )

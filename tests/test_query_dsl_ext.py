@@ -284,3 +284,20 @@ def test_composite_multi_source_histogram(spark):
     ).collect()
     assert [(r["g"], r["bucket"], r["doc_count"]) for r in out] == [
         ("x", 0.0, 1), ("x", 10.0, 1), ("y", 0.0, 2)]
+
+
+def test_composite_rejects_shadowing_source_name(spark):
+    df7 = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    with pytest.raises(ValueError, match="shadows"):
+        compile_aggs(
+            df7,
+            {"b": {"composite": {"sources": [
+                {"v": {"histogram": {"field": "v", "interval": 10}}},
+            ]}}},
+        )
+    # terms source named after its own field is the identity case: allowed
+    out = compile_aggs(
+        df7,
+        {"b": {"composite": {"sources": [{"g": {"terms": {"field": "g"}}}]}}},
+    ).collect()
+    assert out[0]["g"] == "a"

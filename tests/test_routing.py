@@ -111,3 +111,9 @@ def test_with_routing_precedence(spark):
         with_routing(df, id_col="id", routing_col="rt").collect()[0]["_routing"]
         == "r1"
     )
+
+
+def test_repartition_refuses_oversized_partition_count(spark):
+    df = spark.createDataFrame([("k",)], "_routing string")
+    with pytest.raises(ValueError, match="65536"):
+        repartition_for_shards(df, "_routing", 10_000, multiple=10)
