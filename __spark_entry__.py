@@ -3379,12 +3379,12 @@ def _goldens_b() -> dict[str, str]:
                    round(CAST(sd / p_count AS DOUBLE), 6) AS p_avg,
                    CAST(sd AS DOUBLE) AS p_sum,
                    CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS p_sum_of_squares,
-                   round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / p_count
+                   greatest(round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / p_count
                          - (CAST(sd AS DOUBLE) / p_count)
-                           * (CAST(sd AS DOUBLE) / p_count), 6) AS p_variance,
-                   round(sqrt(round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / p_count
+                           * (CAST(sd AS DOUBLE) / p_count), 6), 0) AS p_variance,
+                   round(sqrt(greatest(round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / p_count
                          - (CAST(sd AS DOUBLE) / p_count)
-                           * (CAST(sd AS DOUBLE) / p_count), 6)), 6)
+                           * (CAST(sd AS DOUBLE) / p_count), 6), 0)), 6)
                      AS p_std_deviation
             FROM m
         """,

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .riff import walk_chunks
+
 __all__ = [
     "decode_wav",
     "encode_wav",
@@ -52,14 +54,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
     try:
         if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return None
-        pos = 12
         fmt = None
         data = None
-        n = len(payload)
-        while pos + 8 <= n:
-            cid = payload[pos : pos + 4]
-            (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-            body = payload[pos + 8 : pos + 8 + csize]
+        for cid, body_start, body_end in walk_chunks(payload, 12, len(payload)):
+            body = payload[body_start:body_end]
             if cid == b"fmt ":
                 if len(body) < 16:
                     return None
@@ -75,7 +73,6 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
                 fmt = (afmt, channels, rate, bits)
             elif cid == b"data":
                 data = body
-            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             return None
         afmt, channels, rate, bits = fmt

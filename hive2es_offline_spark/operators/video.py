@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 
 from .jpeg import decode_jpeg_pixels, encode_jpeg
 from .multimodal import encode_png
+from .riff import walk_chunks
 
 __all__ = [
     "encode_avi_mjpeg",
@@ -72,14 +73,6 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _walk_chunks(buf: bytes, pos: int, end: int):
-    while pos + 8 <= end:
-        cid = buf[pos : pos + 4]
-        (csize,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-        yield cid, pos + 8, min(pos + 8 + csize, end)
-        pos += 8 + csize + (csize & 1)  # word-aligned
-
-
 def parse_avi(payload: bytes) -> dict | None:
     """Parse an AVI container: header metadata + the video stream's frame
     chunks (codec-agnostic — frames come back as raw chunk bytes).
@@ -90,7 +83,7 @@ def parse_avi(payload: bytes) -> dict | None:
         meta: dict = {"frames": []}
 
         def walk(pos: int, end: int) -> None:
-            for cid, body_start, body_end in _walk_chunks(payload, pos, end):
+            for cid, body_start, body_end in walk_chunks(payload, pos, end):
                 if cid == b"LIST":
                     walk(body_start + 4, body_end)  # skip the list type tag
                 elif cid == b"avih":

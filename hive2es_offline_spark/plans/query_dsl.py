@@ -287,15 +287,21 @@ def _metric_exprs(
         # variance/std from exact decimal moments (sum, sum of squares) so
         # partition order can't flip low-order float bits: population
         # variance = E[x²] - E[x]², matching ES's extended_stats.  The
-        # square factors cast to DECIMAL(18,6) (values up to ~1e12) so the
-        # product's precision stays representable in BOTH Spark and an
-        # ANSI oracle; the final divisions are double-on-exact-decimal —
-        # IEEE-deterministic regardless of partition order.
-        d18 = c.cast("decimal(18,6)")
-        dsq = F.sum((d18 * d18).cast("decimal(38,6)"))
+        # square factors cast to DECIMAL(19,6) (domain |x| < 1e13 — beyond
+        # that the ANSI cast fails loudly rather than overflowing
+        # silently) so the product stays representable in BOTH Spark and
+        # an ANSI oracle; the final divisions are double-on-exact-decimal
+        # — IEEE-deterministic regardless of partition order.  The
+        # E[x²]-E[x]² difference carries double cancellation noise for
+        # near-constant large-valued fields, so variance clamps at 0
+        # (ES returns 0 there; sqrt of a -1e-6 round would be NaN).
+        d19 = c.cast("decimal(19,6)")
+        dsq = F.sum((d19 * d19).cast("decimal(38,6)"))
         n = F.count(c)
         mean = dsum.cast("double") / n
-        var = F.round(dsq.cast("double") / n - mean * mean, 6)
+        var = F.greatest(
+            F.round(dsq.cast("double") / n - mean * mean, 6), F.lit(0.0)
+        )
         return [
             F.count(c).alias(f"{name}_count"),
             F.min(c).alias(f"{name}_min"),
@@ -399,6 +405,24 @@ def _sort_columns(sort_spec: list) -> list[Column]:
     ]
 
 
+def _strict_after(specs: list[tuple[str, bool]], values: list) -> Column:
+    """Lexicographic strict-after predicate over a sort tuple: row is
+    AFTER ``values`` in ``specs`` order ((field, is_desc) pairs).  Shared
+    by ``search_after`` hit paging and ``composite`` bucket paging."""
+    pred = F.lit(False)
+    for i, (fname, is_desc) in enumerate(specs):
+        ties = F.lit(True)
+        for j in range(i):
+            ties = ties & (F.col(specs[j][0]) == F.lit(values[j]))
+        strict = (
+            F.col(fname) < F.lit(values[i])
+            if is_desc
+            else F.col(fname) > F.lit(values[i])
+        )
+        pred = pred | (ties & strict)
+    return pred
+
+
 def _bucket_key_col(kind: str, bspec: dict) -> Column:
     """The (unaliased) bucket key expression for terms / histogram /
     date_histogram — shared by the group-by bucket path and composite
@@ -488,6 +512,8 @@ def _compile_composite(df: DataFrame, spec: dict) -> DataFrame:
     """
     cspec = spec["composite"]
     sources: list[tuple[str, Column, bool]] = []  # (name, key col, is_desc)
+    null_excluded: list[Column] = []
+    any_missing_bucket = False
     for src in cspec["sources"]:
         (name, body), = src.items()
         (kind, bspec), = [
@@ -502,27 +528,36 @@ def _compile_composite(df: DataFrame, spec: dict) -> DataFrame:
                 f"composite source name {name!r} shadows a column; "
                 f"rename the source"
             )
-        sources.append(
-            (name, _bucket_key_col(kind, bspec), bspec.get("order") == "desc")
-        )
+        key = _bucket_key_col(kind, bspec)
+        if bspec.get("missing_bucket"):
+            any_missing_bucket = True
+        else:
+            # ES default missing_bucket=false: docs without the source
+            # value are excluded from composite buckets entirely
+            null_excluded.append(key.isNotNull())
+        sources.append((name, key, bspec.get("order") == "desc"))
     keyed = df.select(
         *[key.alias(name) for name, key, _ in sources],
         *[c for c in df.columns if c not in {n for n, _, _ in sources}],
     )
-    after = cspec.get("after")
-    if after is not None:
-        pred = F.lit(False)
-        for i, (name, _, is_desc) in enumerate(sources):
-            ties = F.lit(True)
-            for j in range(i):
-                ties = ties & (F.col(sources[j][0]) == F.lit(after[sources[j][0]]))
-            strict = (
-                F.col(name) < F.lit(after[name])
-                if is_desc
-                else F.col(name) > F.lit(after[name])
-            )
-            pred = pred | (ties & strict)
+    for pred in null_excluded:
         keyed = keyed.where(pred)
+    after = cspec.get("after")
+    if after is not None and any_missing_bucket:
+        # the strict-after cursor compares with SQL semantics, where a
+        # NULL key neither precedes nor follows the cursor — a
+        # missing_bucket would appear on page 1 and vanish from later
+        # pages; refuse rather than page inconsistently
+        raise ValueError(
+            "composite 'after' cannot be combined with missing_bucket "
+            "sources (NULL keys page inconsistently)"
+        )
+    if after is not None:
+        keyed = keyed.where(
+            _strict_after(
+                [(n, d) for n, _, d in sources], [after[n] for n, _, _ in sources]
+            )
+        )
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     for sub_name, sub_spec in spec.get("aggs", {}).items():
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
@@ -566,8 +601,12 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
 
     subs = spec.get("aggs", {})
     exprs: list[Column] = []
-    for bname, pred in buckets:
-        prefix = f"__{bname}__"
+    # POSITIONAL prefixes (__b{i}__), never name-derived: a bucket named
+    # "a__b" would make "__a__"-style prefixes ambiguous (startswith
+    # matches across buckets), and duplicate explicit range keys would
+    # alias-collide — indices cannot do either
+    for i, (_, pred) in enumerate(buckets):
+        prefix = f"__b{i}__"
         exprs.append(
             F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias(prefix + "doc_count")
         )
@@ -578,8 +617,8 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
             exprs.extend(_metric_exprs(prefix + sub_name, mkind, mspec, gate=pred))
     row = df.agg(*exprs)
     structs = []
-    for bname, _ in buckets:
-        prefix = f"__{bname}__"
+    for i, (bname, _) in enumerate(buckets):
+        prefix = f"__b{i}__"
         fields = [F.lit(bname).alias("key")] + [
             F.col(f"`{cn}`").alias(cn[len(prefix):])
             for cn in row.columns
@@ -687,18 +726,7 @@ def es_search(
             )
         if offset:
             raise ValueError("search_after cannot be combined with from")
-        pred = F.lit(False)
-        for i, (fname, is_desc) in enumerate(specs):
-            ties = F.lit(True)
-            for j in range(i):
-                ties = ties & (F.col(specs[j][0]) == F.lit(after[j]))
-            strict = (
-                F.col(fname) < F.lit(after[i])
-                if is_desc
-                else F.col(fname) > F.lit(after[i])
-            )
-            pred = pred | (ties & strict)
-        df = df.where(pred)
+        df = df.where(_strict_after(specs, list(after)))
     if sort_cols:
         df = df.orderBy(*sort_cols).limit(offset + size)
         if offset:

@@ -325,6 +325,9 @@ def apply_cdc(
     contract as upsert).  Idempotent: re-applying the same batch onto the
     result is a no-op state-wise.  Returns the published manifest.
     """
+    # one materialization of the change batch: op validation, key distinct,
+    # and the merge all reuse it instead of recomputing the changes plan
+    changes = changes.localCheckpoint(eager=True)
     ops = [r[0] for r in changes.select(op_col).distinct().collect()]
     bad = [o for o in ops if o not in ("upsert", "delete")]
     if bad:
@@ -353,7 +356,12 @@ def apply_cdc(
                 merged = upserts.unionByName(
                     cur.join(change_keys, key_cols, "left_anti")
                 )
-            if merged.isEmpty():
+            tdir = os.path.join(vdir, _NO_PART)
+            merged.write.mode("overwrite").parquet(tdir)
+            # post-write emptiness check (a dir listing, like the
+            # partitioned branch) instead of a pre-write isEmpty() that
+            # would execute the whole merge plan twice
+            if not any(n.endswith(".parquet") for n in os.listdir(tdir)):
                 # a fully-emptied table has no data files to anchor a
                 # readable version; surface it instead of publishing a
                 # manifest that cannot be assembled
@@ -361,7 +369,6 @@ def apply_cdc(
                     "apply_cdc would delete every row of the snapshot; "
                     "drop/recreate the table instead"
                 )
-            merged.write.mode("overwrite").parquet(os.path.join(vdir, _NO_PART))
             parts = {_NO_PART: f"v{version}/{_NO_PART}"}
         else:
             prev_parts = dict(prev["partitions"]) if prev else {}

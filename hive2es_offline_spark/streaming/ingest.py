@@ -205,6 +205,35 @@ def _staging_data_files(staging: str) -> set[str]:
     return files
 
 
+def _merged_marker(staging: str) -> str:
+    return os.path.join(staging, "_MERGED.json")
+
+
+def _read_merged(staging: str) -> set[str]:
+    """Staged files already incorporated into a PUBLISHED snapshot version.
+    This — not 'whatever is in staging' — is the increment baseline: if the
+    upsert fails after the streaming sink committed, the files stay absent
+    from the marker and the next call re-merges them (idempotent: keys
+    replace)."""
+    p = _merged_marker(staging)
+    if not os.path.exists(p):
+        return set()
+    import json
+
+    with open(p) as f:
+        return set(json.load(f)["files"])
+
+
+def _record_merged(staging: str, files: set[str]) -> None:
+    import json
+
+    p = _merged_marker(staging)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": sorted(files)}, f)
+    os.replace(tmp, p)  # atomic on posix
+
+
 def stream_to_snapshot(
     spark: SparkSession,
     path: str,
@@ -223,12 +252,15 @@ def stream_to_snapshot(
        against the checkpoint, so already-processed source files are never
        re-read) through a parquet file sink into ``staging_dir`` — the
        only exactly-once streaming sink that recovers from a checkpoint;
-    2. reads back exactly THIS drain's files (staging listing diff),
-       reduces the increment to the latest row per key (``max_by`` on
-       ``time_col`` — an update must supersede the insert that arrived in
-       the same increment, which is why the cross-batch keyed dedup stage
-       is deliberately NOT in this pipeline: it would drop updates as
-       duplicates);
+    2. reads back every staged file not yet incorporated into a PUBLISHED
+       version (tracked in a ``_MERGED.json`` marker, updated atomically
+       only after a successful publish — so an upsert failure after the
+       sink committed leaves the files pending and the next call re-merges
+       them, never losing an increment), reduced to the latest row per key
+       (``max_by`` on ``time_col`` — an update must supersede the insert
+       that arrived in the same increment, which is why the cross-batch
+       keyed dedup stage is deliberately NOT in this pipeline: it would
+       drop updates as duplicates);
     3. publishes exactly one ``upsert_snapshot`` version: keys replaced,
        new keys appended, untouched partitions carried over by manifest
        reference.
@@ -246,7 +278,6 @@ def stream_to_snapshot(
 
     staging = staging_dir or checkpoint_dir.rstrip("/") + "_staging"
     os.makedirs(staging, exist_ok=True)
-    before = _staging_data_files(staging)
     stream = load_stream(spark, path, schema, time_col)
     q = (
         stream.writeStream.outputMode("append")
@@ -257,10 +288,11 @@ def stream_to_snapshot(
         .start()
     )
     q.awaitTermination()
-    new_files = sorted(_staging_data_files(staging) - before)
-    if not new_files:
+    merged = _read_merged(staging)
+    pending = sorted(_staging_data_files(staging) - merged)
+    if not pending:
         return None
-    increment = spark.read.schema(schema).parquet(*new_files)
+    increment = spark.read.schema(schema).parquet(*pending)
     latest = increment.groupBy(*key_cols).agg(
         F.max_by(
             F.struct(*[c for c in increment.columns if c not in key_cols]),
@@ -268,7 +300,10 @@ def stream_to_snapshot(
         ).alias("_row")
     ).select(*key_cols, "_row.*")
     if latest.isEmpty():
+        _record_merged(staging, merged | set(pending))  # empty files: done
         return None
-    return upsert_snapshot(
+    manifest = upsert_snapshot(
         spark, snapshot_root, latest, key_cols, partition_col=partition_col
     )
+    _record_merged(staging, merged | set(pending))
+    return manifest

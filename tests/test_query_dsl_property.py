@@ -1,15 +1,16 @@
 """Property test: random ES bool-query trees compiled by query_dsl must
 agree with a direct Python evaluator on every row of a fixed corpus.
 
-One Spark evaluation per example would cost ~100 ms each; instead all
-hypothesis-generated trees are COLLECTED first, compiled into one wide
-select (one boolean column per tree), and evaluated in a single Spark
-pass — the property stays per-tree, the Spark cost stays O(1).
+One Spark evaluation per tree would cost ~100 ms each; instead 200
+seeded-random trees compile into ONE wide select (one boolean column per
+tree) evaluated in a single Spark pass — the property stays per-tree, the
+Spark cost stays O(1).  The generator is a plain ``random.Random(seed)``
+recursion (not hypothesis's two-phase collect) so the test is order- and
+selection-independent: it can run alone, sharded, or shuffled.
 """
 
-import pytest
-from hypothesis import given, settings
-from hypothesis import strategies as st
+import random
+
 from pyspark.sql import functions as F
 
 from hive2es_offline_spark.plans.query_dsl import compile_query
@@ -26,42 +27,36 @@ STRINGS = ["alpha", "beta", "gamma", "delta", "omega"]
 TOKENS = ["quick", "brown", "fox", "lazy", "dog", "bear"]
 
 
-def leaf_clauses():
-    return st.one_of(
-        st.just({"match_all": {}}),
-        st.sampled_from(STRINGS).map(lambda v: {"term": {"s": v}}),
-        st.lists(st.sampled_from(STRINGS), min_size=1, max_size=3).map(
-            lambda vs: {"terms": {"s": vs}}
-        ),
-        st.tuples(
-            st.sampled_from(["gt", "gte", "lt", "lte"]),
-            st.sampled_from([0.0, 10.0, 20.0, 30.0, 40.0]),
-        ).map(lambda t: {"range": {"n": {t[0]: t[1]}}}),
-        st.just({"exists": {"field": "n"}}),
-        st.sampled_from(["al", "be", "ga", "x"]).map(lambda p: {"prefix": {"s": p}}),
-        st.sampled_from(TOKENS).map(lambda t: {"match": {"txt": t}}),
-        st.lists(st.sampled_from([0, 1, 2, 3, 4]), min_size=1, max_size=3).map(
-            lambda ids: {"ids": {"values": ids}}
-        ),
-    )
+def random_leaf(rng: random.Random) -> dict:
+    pick = rng.randrange(8)
+    if pick == 0:
+        return {"match_all": {}}
+    if pick == 1:
+        return {"term": {"s": rng.choice(STRINGS)}}
+    if pick == 2:
+        return {"terms": {"s": rng.sample(STRINGS, rng.randint(1, 3))}}
+    if pick == 3:
+        return {"range": {"n": {rng.choice(["gt", "gte", "lt", "lte"]):
+                                rng.choice([0.0, 10.0, 20.0, 30.0, 40.0])}}}
+    if pick == 4:
+        return {"exists": {"field": "n"}}
+    if pick == 5:
+        return {"prefix": {"s": rng.choice(["al", "be", "ga", "x"])}}
+    if pick == 6:
+        return {"match": {"txt": rng.choice(TOKENS)}}
+    return {"ids": {"values": rng.sample([0, 1, 2, 3, 4], rng.randint(1, 3))}}
 
 
-def bool_trees(depth):
-    if depth == 0:
-        return leaf_clauses()
-    sub = st.lists(bool_trees(depth - 1), min_size=0, max_size=2)
-    return st.one_of(
-        leaf_clauses(),
-        st.fixed_dictionaries(
-            {},
-            optional={
-                "must": sub,
-                "filter": sub,
-                "must_not": sub,
-                "should": sub,
-            },
-        ).map(lambda b: {"bool": b}),
-    )
+def random_tree(rng: random.Random, depth: int) -> dict:
+    if depth == 0 or rng.random() < 0.4:
+        return random_leaf(rng)
+    body = {}
+    for section in ("must", "filter", "must_not", "should"):
+        if rng.random() < 0.5:
+            body[section] = [
+                random_tree(rng, depth - 1) for _ in range(rng.randint(0, 2))
+            ]
+    return {"bool": body}
 
 
 def py_eval(q, row):
@@ -100,26 +95,16 @@ def py_eval(q, row):
     raise AssertionError(kind)
 
 
-COLLECTED = []
-
-
-@settings(max_examples=150, deadline=None)
-@given(bool_trees(2))
-def test_collect_trees(q):
-    COLLECTED.append(q)
-
-
 def test_compiled_trees_match_python_eval(spark):
-    assert COLLECTED, "hypothesis collection must run first"
+    rng = random.Random(20260814)
+    trees = [random_tree(rng, 2) for _ in range(200)]
     df = spark.createDataFrame(
         [(r["id"], r["s"], r["n"], r["txt"]) for r in ROWS],
         "id long, s string, n double, txt string",
     )
-    cols = [
-        compile_query(q, "id").alias(f"q{i}") for i, q in enumerate(COLLECTED)
-    ]
+    cols = [compile_query(q, "id").alias(f"q{i}") for i, q in enumerate(trees)]
     got = df.select(F.col("id"), *cols).orderBy("id").collect()
-    for i, q in enumerate(COLLECTED):
+    for i, q in enumerate(trees):
         for row_idx, r in enumerate(ROWS):
             expected = py_eval(q, r)
             # a top-level NULL filters the row exactly like False does, so

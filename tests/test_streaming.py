@@ -157,3 +157,38 @@ def test_stream_to_snapshot_upserts_each_batch(spark, tmp_path):
     }
     # versioned history survives: version 1 still readable (time travel)
     assert S.read_snapshot(spark, root, version=1).count() == 2
+
+
+def test_stream_to_snapshot_recovers_lost_increment(spark, tmp_path, monkeypatch):
+    """If the upsert fails AFTER the streaming sink committed, the staged
+    files stay pending (not in _MERGED.json) and the next call merges
+    them — the increment is never silently lost."""
+    import os as _os
+
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    src = tmp_path / "rec_src"
+    src.mkdir()
+    chk = str(tmp_path / "rec_chk")
+    root = str(tmp_path / "rec_store")
+    schema = "event_id long, value double, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01 00:00:00")], "event_id long, value double, ts string"
+    ).select("event_id", "value", F.to_timestamp("ts").alias("ts"))
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    # sabotage the first upsert: pre-claim v1 so _claim_version raises
+    _os.makedirs(_os.path.join(root, "_VERSIONS"), exist_ok=True)
+    open(_os.path.join(root, "_VERSIONS", "v1.json"), "w").close()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="claimed"):
+        ingest.stream_to_snapshot(spark, str(src), schema, root, ["event_id"], chk)
+
+    # recovery: clear the orphaned claim; the retry re-reads NOTHING from
+    # the source (checkpoint) but still merges the pending staged files
+    _os.unlink(_os.path.join(root, "_VERSIONS", "v1.json"))
+    m = ingest.stream_to_snapshot(spark, str(src), schema, root, ["event_id"], chk)
+    assert m is not None and m["version"] == 1
+    assert S.read_snapshot(spark, root).count() == 1
+    # and a further call with no new input is a no-op
+    assert ingest.stream_to_snapshot(spark, str(src), schema, root, ["event_id"], chk) is None
