@@ -1,0 +1,190 @@
+"""Training-data curation CLI: the end-to-end daily pipeline as one job.
+
+The reference ships as a CLI (``Hive2ES.scala`` main → ``ArgsParser``);
+this is the equivalent entry point for the engine's training-data side:
+
+    read → PII scrub → quality/length filter → boilerplate line dedup →
+    exact dedup → minhash near-dup (optionally against a persisted
+    signature store) → deterministic split → sharded JSONL export,
+    with the seen-signature store updated for the next day's batch.
+
+Every stage is an already-oracled/unit-tested operator; the job composes
+them, reports per-stage counts, and keeps all state (signature store,
+export) in atomic, versioned sinks so reruns are safe.
+
+Usage::
+
+    python -m hive2es_offline_spark.jobs.curate \
+        --input /data/documents.parquet --text-col text --id-col doc_id \
+        --output /out/corpus --num-shards 64 \
+        --signature-store /state/minhash_sigs \
+        --min-quality 0.4 --min-tokens 5 --near-dup-threshold 0.8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurateConfig:
+    input_path: str
+    output_path: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    num_shards: int = 16
+    min_quality: float = 0.4
+    min_tokens: int = 5
+    near_dup_threshold: float = 0.8
+    signature_store: str | None = None  # snapshot root; None = within-batch only
+    pii_scrub: bool = True
+    line_dedup: bool = True
+    splits: bool = True  # attach train/val/test split column
+    export_split: str = "train"  # which split lands in the JSONL export
+    input_format: str = "parquet"
+
+
+def run_curation(spark: SparkSession, cfg: CurateConfig) -> dict:
+    """Run the pipeline; returns a report dict with per-stage counts and
+    the export manifest."""
+    from ..operators import text as T
+    from ..operators.dedup import (
+        connected_components,
+        dedup_exact,
+        dedup_minhash,
+        incremental_dedup_minhash,
+        minhash_signatures,
+    )
+    from ..operators.sampling import hash_split
+    from ..sinks import export
+    from ..sinks import snapshot as S
+
+    df = spark.read.format(cfg.input_format).load(cfg.input_path)
+    report: dict = {"input_rows": df.count()}
+
+    if cfg.pii_scrub:
+        # pii_scrub renames text -> text_clean and adds per-kind hit
+        # counters; fold the scrubbed text back under the original name and
+        # keep the counters as metadata
+        df = T.pii_scrub(df, cfg.text_col)
+        df = df.withColumnRenamed(f"{cfg.text_col}_clean", cfg.text_col)
+    if cfg.line_dedup:
+        # boilerplate_scrub projects to (id, text_clean, n_segments_kept);
+        # join the de-boilerplated text back onto the full row
+        cleaned = T.boilerplate_scrub(
+            df.select(cfg.id_col, cfg.text_col),
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+        )
+        df = df.drop(cfg.text_col).join(
+            cleaned.select(
+                cfg.id_col,
+                F.col(f"{cfg.text_col}_clean").alias(cfg.text_col),
+            ),
+            cfg.id_col,
+        )
+
+    stats = T.text_stats(df.select(cfg.id_col, cfg.text_col), cfg.text_col)
+    df = df.join(
+        stats.select(cfg.id_col, "quality", "n_tokens"), cfg.id_col
+    ).where(
+        (F.col("quality") >= cfg.min_quality)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+    ).drop("quality", "n_tokens")
+    report["after_quality_filter"] = df.count()
+
+    df = dedup_exact(
+        df.withColumn("_fp", T.fingerprint_md5(F.col(cfg.text_col))),
+        ["_fp"], [cfg.id_col],
+    ).drop("_fp")
+    report["after_exact_dedup"] = df.count()
+
+    if cfg.signature_store and S.read_manifest(cfg.signature_store) is not None:
+        # steady-state daily shape: filter against the persisted corpus
+        # signatures, then within-batch near-dup
+        seen_sigs = S.read_snapshot(spark, cfg.signature_store)
+        df = incremental_dedup_minhash(
+            df, None, id_col=cfg.id_col, text_col=cfg.text_col,
+            threshold=cfg.near_dup_threshold, seen_signatures=seen_sigs,
+        )
+        report["after_incremental_near_dup"] = df.count()
+    # within-batch near-dup: minhash pairs -> connected families -> keep
+    # the min-id representative per family
+    pairs = dedup_minhash(
+        df, id_col=cfg.id_col, text_col=cfg.text_col,
+        threshold=cfg.near_dup_threshold,
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    dropped = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(cfg.id_col)
+    )
+    df = df.join(dropped, cfg.id_col, "left_anti")
+    report["after_near_dup"] = df.count()
+
+    if cfg.signature_store:
+        # persist this batch's surviving signatures for tomorrow
+        sigs = minhash_signatures(df, cfg.id_col, cfg.text_col)
+        S.upsert_snapshot(spark, cfg.signature_store, sigs, [cfg.id_col])
+        report["signature_store_version"] = S.read_manifest(
+            cfg.signature_store
+        )["version"]
+
+    if cfg.splits:
+        df = hash_split(df, cfg.id_col)
+        out = df.where(F.col("split") == cfg.export_split).drop("split")
+    else:
+        out = df
+    manifest = export.write_jsonl(
+        out, cfg.output_path, num_shards=cfg.num_shards, key_col=cfg.id_col
+    )
+    report["export"] = manifest
+    return report
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--input", required=True, dest="input_path")
+    p.add_argument("--output", required=True, dest="output_path")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-shards", type=int, default=16)
+    p.add_argument("--min-quality", type=float, default=0.4)
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument("--signature-store", default=None)
+    p.add_argument("--no-pii-scrub", action="store_true")
+    p.add_argument("--no-line-dedup", action="store_true")
+    p.add_argument("--no-splits", action="store_true")
+    p.add_argument("--export-split", default="train")
+    p.add_argument("--input-format", default="parquet")
+    a = p.parse_args(argv)
+
+    from ..session import get_spark
+
+    cfg = CurateConfig(
+        input_path=a.input_path,
+        output_path=a.output_path,
+        id_col=a.id_col,
+        text_col=a.text_col,
+        num_shards=a.num_shards,
+        min_quality=a.min_quality,
+        min_tokens=a.min_tokens,
+        near_dup_threshold=a.near_dup_threshold,
+        signature_store=a.signature_store,
+        pii_scrub=not a.no_pii_scrub,
+        line_dedup=not a.no_line_dedup,
+        splits=not a.no_splits,
+        export_split=a.export_split,
+        input_format=a.input_format,
+    )
+    report = run_curation(get_spark("curate-job"), cfg)
+    print(json.dumps(report, default=str))
+
+
+if __name__ == "__main__":
+    main()

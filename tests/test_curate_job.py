@@ -1,0 +1,74 @@
+"""End-to-end curation CLI job (jobs/curate.py): day-1 cold start and
+day-2 incremental run against the persisted signature store."""
+
+import json
+import os
+
+from hive2es_offline_spark.jobs.curate import CurateConfig, run_curation
+from hive2es_offline_spark.sinks import export
+
+from conftest import SF_SMOKE
+
+
+def test_run_curation_cold_start(spark, tmp_path):
+    cfg = CurateConfig(
+        input_path=f"{SF_SMOKE}/documents.parquet",
+        output_path=str(tmp_path / "corpus"),
+        num_shards=4,
+        signature_store=str(tmp_path / "sigs"),
+    )
+    report = run_curation(spark, cfg)
+    assert report["input_rows"] > 0
+    assert 0 < report["after_quality_filter"] <= report["input_rows"]
+    assert 0 < report["after_exact_dedup"] <= report["after_quality_filter"]
+    assert 0 < report["after_near_dup"] <= report["after_exact_dedup"]
+    assert report["signature_store_version"] == 1
+    assert report["export"]["row_count"] > 0
+    # export is readable and PII-scrub metadata rode along
+    back = export.read_jsonl(spark, str(tmp_path / "corpus"))
+    assert back.count() == report["export"]["row_count"]
+    assert "n_email" in back.columns
+    # train split only: fewer rows than the post-dedup corpus
+    assert report["export"]["row_count"] < report["after_near_dup"]
+
+
+def test_run_curation_day_two_filters_against_store(spark, tmp_path):
+    sigs = str(tmp_path / "sigs2")
+    cfg1 = CurateConfig(
+        input_path=f"{SF_SMOKE}/documents.parquet",
+        output_path=str(tmp_path / "day1"),
+        num_shards=2,
+        signature_store=sigs,
+    )
+    run_curation(spark, cfg1)
+    # day 2: the SAME corpus arrives again — everything is a near-dup of
+    # the stored signatures, so nothing survives the incremental filter
+    cfg2 = CurateConfig(
+        input_path=f"{SF_SMOKE}/documents.parquet",
+        output_path=str(tmp_path / "day2"),
+        num_shards=2,
+        signature_store=sigs,
+    )
+    report2 = run_curation(spark, cfg2)
+    assert report2["after_incremental_near_dup"] == 0
+    assert report2["after_near_dup"] == 0
+    assert report2["export"]["row_count"] == 0
+    assert report2["signature_store_version"] == 2
+
+
+def test_curate_cli_main(spark, tmp_path, capsys):
+    """argparse surface end-to-end (reuses the active session via
+    getOrCreate)."""
+    from hive2es_offline_spark.jobs import curate
+
+    curate.main([
+        "--input", f"{SF_SMOKE}/documents.parquet",
+        "--output", str(tmp_path / "cli_out"),
+        "--num-shards", "2",
+        "--no-splits",
+        "--no-line-dedup",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    report = json.loads(out)
+    assert report["export"]["row_count"] == report["after_near_dup"]
+    assert os.path.exists(str(tmp_path / "cli_out" / "_MANIFEST.json"))
