@@ -1833,6 +1833,22 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+def q_pq_search(spark, sf_dir):
+    """Rows-only: product-quantization ANN — train per-subspace codebooks
+    on a hash-ordered sample, compress embeddings 32x into code arrays
+    (one mapInPandas matmul pass), then ADC top-10 where the query's
+    distance LUT is plan literals and scoring is pure codegen
+    element_at + TakeOrderedAndProject (recall vs exact is unit-tested
+    in test_pq.py)."""
+    from hive2es_offline_spark.operators import pq
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq.pq_train(e, num_subspaces=8, bits=6, sample_size=400)
+    codes = pq.pq_encode(e, books)
+    query = e.where(F.col("vec_id") == 1).first()["embedding"]
+    return pq.pq_search(codes, books, list(query), k=10)
+
+
 def q_dedup_incremental_semantic(spark, sf_dir):
     """Rows-only: the embedding analogue of the minhash store loop — cell
     centroids are trained ONCE on the seen corpus, persisted through the
@@ -2088,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "sim_search_lsh": q_sim_search_lsh,
         "sim_search_ivf": q_sim_search_ivf,
+        "pq_search": q_pq_search,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
         "streaming_enrich": q_streaming_enrich,

@@ -62,7 +62,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compile_query", "compile_aggs", "es_search"]
+__all__ = ["compile_query", "compile_aggs", "es_search", "es_count"]
 
 
 def _analyze(col: Column) -> Column:
@@ -626,6 +626,17 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
         ]
         structs.append(F.struct(*fields))
     return row.select(F.inline(F.array(*structs)))
+
+
+def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> DataFrame:
+    """The ES ``_count`` API: number of documents matching ``body``'s
+    ``query`` (whole index when absent) — one row, one ``count`` column.
+    Compiles to a count-only aggregate over the filtered scan (Catalyst
+    prunes every column; parquet answers from metadata when the predicate
+    allows)."""
+    if body and "query" in body:
+        df = df.where(compile_query(body["query"], id_field))
+    return df.agg(F.count(F.lit(1)).alias("count"))
 
 
 def es_search(

@@ -1,0 +1,76 @@
+"""Product quantization: codebook training, encoding, ADC search recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.operators import pq
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """400 vectors in 16-dim: 20 well-separated cluster centers + noise."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(20, 16)) * 5
+    rows = []
+    for i in range(400):
+        v = centers[i % 20] + rng.normal(size=16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, rows
+
+
+def test_pq_train_shapes(corpus):
+    df, _ = corpus
+    books = pq.pq_train(df, num_subspaces=4, bits=4, sample_size=300)
+    assert len(books) == 4
+    assert all(len(b) <= 16 for b in books)  # 2^4 centroids per subspace
+    assert all(len(c) == 4 for b in books for c in b)  # 16 dim / 4 subspaces
+    with pytest.raises(ValueError, match="divisible"):
+        pq.pq_train(df, num_subspaces=5)
+
+
+def test_pq_encode_codes(corpus):
+    df, _ = corpus
+    books = pq.pq_train(df, num_subspaces=4, bits=4, sample_size=300)
+    codes = pq.pq_encode(df, books).collect()
+    assert len(codes) == 400
+    assert all(len(r["codes"]) == 4 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    # same-cluster vectors compress to identical or near-identical codes
+    by_id = {r["vec_id"]: tuple(r["codes"]) for r in codes}
+    same_cluster_matches = sum(by_id[i] == by_id[i + 20] for i in range(20))
+    assert same_cluster_matches >= 15
+
+
+def test_pq_search_recall_vs_exact(corpus, spark):
+    df, rows = corpus
+    books = pq.pq_train(df, num_subspaces=8, bits=6, sample_size=400)
+    codes = pq.pq_encode(df, books)
+    query = rows[7][1]  # a corpus vector: its cluster should dominate
+
+    got = pq.pq_search(codes, books, query, k=10).collect()
+    assert len(got) == 10
+    assert got[0]["distance"] <= got[-1]["distance"]
+
+    # exact cosine top-10 (numpy oracle)
+    x = np.asarray([r[1] for r in rows])
+    xn = x / np.linalg.norm(x, axis=1)[:, None]
+    qn = np.asarray(query) / np.linalg.norm(query)
+    exact = set(np.argsort(-(xn @ qn))[:10].tolist())
+    pq_ids = set(r["vec_id"] for r in got)
+    recall = len(exact & pq_ids) / 10
+    assert recall >= 0.7, f"recall@10 = {recall}"
+
+
+def test_pq_search_is_jvm_codegen(corpus):
+    """No Python in the scoring path: the plan must be scan -> project ->
+    TakeOrderedAndProject with zero Python evals."""
+    df, _ = corpus
+    books = pq.pq_train(df, num_subspaces=4, bits=4, sample_size=200)
+    codes = pq.pq_encode(df, books)
+    # materialize codes so the search plan stands alone
+    codes = codes.localCheckpoint(eager=True)
+    plan = pq.pq_search(codes, books, [0.1] * 16, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan and "Arrow" not in plan

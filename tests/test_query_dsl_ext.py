@@ -301,3 +301,14 @@ def test_composite_rejects_shadowing_source_name(spark):
         {"b": {"composite": {"sources": [{"g": {"terms": {"field": "g"}}}]}}},
     ).collect()
     assert out[0]["g"] == "a"
+
+
+def test_es_count(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_count
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, g string"
+    )
+    assert es_count(df).collect()[0]["count"] == 3
+    body = {"query": {"term": {"g": "a"}}}
+    assert es_count(df, body, id_field="id").collect()[0]["count"] == 2
