@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_search"]
+__all__ = ["pq_train", "pq_encode", "pq_search", "ivfpq_search"]
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
@@ -169,3 +169,35 @@ def pq_search(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_search(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    cell_col: str = "_ivf_cell",
+) -> DataFrame:
+    """The full FAISS-shaped scale path — IVF coarse pruning + PQ ADC
+    scoring: rank only the codes whose IVF cell is among the ``n_probe``
+    cells nearest the query, with the same codegen LUT scoring as
+    :func:`pq_search`.
+
+    ``codes_df`` carries (id, codes, cell) — produce it ONCE per corpus
+    version with ``similarity.ivf_assign`` + :func:`pq_encode` and persist
+    it partitioned by the cell column, so the cell filter prunes FILES at
+    scan time; the probed fraction of a 100 TB corpus then reads
+    ~n_probe/len(centroids) of the data at 1/32 of the bytes.
+    """
+    qn = np.linalg.norm(query_vec) or 1.0
+    sims = [
+        (i, float(np.dot(query_vec, c)) / (qn * (np.linalg.norm(c) or 1.0)))
+        for i, c in enumerate(np.asarray(centroids, dtype=np.float64))
+    ]
+    probe_cells = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:n_probe]]
+    pruned = codes_df.where(F.col(cell_col).isin(probe_cells))
+    return pq_search(pruned, codebooks, query_vec, k, id_col, codes_col)

@@ -74,3 +74,33 @@ def test_pq_search_is_jvm_codegen(corpus):
     plan = pq.pq_search(codes, books, [0.1] * 16, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_ivfpq_search_prunes_and_ranks(corpus, spark):
+    from hive2es_offline_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_refine,
+        seeded_centroids,
+    )
+
+    df, rows = corpus
+    cents = kmeans_refine(df, seeded_centroids(df, 8), iters=2)
+    books = pq.pq_train(df, num_subspaces=8, bits=6, sample_size=400)
+    codes = pq.pq_encode(df, books).join(
+        ivf_assign(df, cents).select("vec_id", "_ivf_cell"), "vec_id"
+    )
+    query = rows[7][1]
+    got = pq.ivfpq_search(codes, books, cents, query, k=10, n_probe=3)
+    res = got.collect()
+    assert len(res) == 10
+    # the query vector's own id must surface in its probed cell
+    assert 7 in {r["vec_id"] for r in res}
+    # pruning is real: fewer candidate rows scanned than the corpus
+    pruned = codes.where(
+        F.col("_ivf_cell").isin(
+            [r["_ivf_cell"] for r in
+             ivf_assign(spark.createDataFrame([(0, query)], "vec_id long, embedding array<double>"),
+                        cents).collect()]
+        )
+    )
+    assert pruned.count() < 400
