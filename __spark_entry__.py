@@ -1969,10 +1969,11 @@ def q_multimodal_meta(spark, sf_dir):
 #:
 #: Remaining never-adjudicated golden-backed candidates for round 7:
 #: window_ntile, repetition_stats, contamination, epoch_shuffle,
-#: temperature_mix, data_drift, and the round-6 DSL extensions
+#: temperature_mix, data_drift, the round-6 DSL extensions
 #: es_query_ext / es_aggs_range / es_aggs_filters / es_top_hits /
-#: es_collapse (window membership is just this list; goldens follow
-#: automatically).
+#: es_collapse / es_search_after / es_composite, and snapshot_cdc (full
+#: oracle over the CDC delete path).  Window membership is just this
+#: list; goldens follow automatically.
 DRIVER_WINDOW = [
     "scan_filter", "scan_project", "json_docs", "json_parse", "map_flatten",
     "array_ops", "type_normalize", "null_scrub", "schema_infer",

