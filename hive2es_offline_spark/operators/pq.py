@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_search", "ivfpq_search"]
+__all__ = ["pq_train", "opq_train", "pq_encode", "pq_search", "ivfpq_search"]
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
@@ -104,12 +104,16 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Vector -> ``m`` codes (smallint array), one numpy matmul per
     subspace per Arrow batch.  NULL/zero vectors encode against the zero
     vector (their codes are as meaningless as their cosines — compose with
-    a quality filter upstream)."""
+    a quality filter upstream).  ``rotation`` (from :func:`opq_train`)
+    applies the learned orthogonal rotation before quantizing — norms are
+    preserved, so the cosine convention is unchanged."""
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    r_mat = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     sub = books[0].shape[1]
     m = len(books)
 
@@ -120,6 +124,8 @@ def pq_encode(
                 for v in pdf[vec_col]
             ])
             x = _normalize(x)
+            if r_mat is not None:
+                x = x @ r_mat
             codes = np.empty((len(x), m), dtype=np.int32)
             for mi, cb in enumerate(books):
                 xs = x[:, mi * sub : (mi + 1) * sub]
@@ -145,6 +151,7 @@ def pq_search(
     k: int = 10,
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """ADC top-k: the query's m x 256 distance LUT becomes plan-literal
     arrays; each row's distance is ``m`` ``element_at`` lookups summed —
@@ -157,6 +164,8 @@ def pq_search(
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn
+    if rotation is not None:
+        q = q @ np.asarray(rotation, dtype=np.float64)
     luts = []
     for mi, cb in enumerate(books):
         qs = q[mi * sub : (mi + 1) * sub]
@@ -188,6 +197,7 @@ def ivfpq_search(
     id_col: str = "vec_id",
     codes_col: str = "codes",
     cell_col: str = "_ivf_cell",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """The full FAISS-shaped scale path — IVF coarse pruning + PQ ADC
     scoring: rank only the codes whose IVF cell is among the ``n_probe``
@@ -207,4 +217,77 @@ def ivfpq_search(
     ]
     probe_cells = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:n_probe]]
     pruned = codes_df.where(F.col(cell_col).isin(probe_cells))
-    return pq_search(pruned, codebooks, query_vec, k, id_col, codes_col)
+    return pq_search(pruned, codebooks, query_vec, k, id_col, codes_col, rotation)
+
+
+def opq_train(
+    df: DataFrame,
+    num_subspaces: int = 8,
+    bits: int = 8,
+    sample_size: int = 10_000,
+    iters: int = 4,
+    opq_iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Optimized PQ (public recipe: Ge et al., "Optimized Product
+    Quantization", CVPR 2013): learn an orthogonal rotation R that
+    redistributes variance across subspaces before quantizing, closing
+    most of plain PQ's recall gap on correlated/hard manifolds.
+
+    Alternating minimization on the training sample: quantize the rotated
+    sample, then solve the orthogonal Procrustes problem
+    (R = U Vᵀ from SVD of Xᵀ X̂) for the rotation that best aligns data
+    with its reconstruction.  Returns ``(rotation, codebooks)`` — pass
+    both to :func:`pq_encode` / :func:`pq_search` via ``rotation=``.
+
+    Honest caveat (measured, SCALE.md round 6): the best-iterate selection
+    guarantees OPQ is never worse than plain PQ on the SAMPLE objective,
+    but QUERY recall is data-dependent — on a hard synthetic manifold the
+    rotation helped at m=8 and overfit at m=16.  Run a recall eval
+    against :func:`~.similarity.cosine_topk` on your corpus before
+    preferring the rotation.
+    """
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    x = _normalize(np.asarray([list(r[0]) for r in rows], dtype=np.float64))
+    d = x.shape[1]
+    if d % num_subspaces:
+        raise ValueError(f"dim {d} not divisible by num_subspaces {num_subspaces}")
+    sub = d // num_subspaces
+    k = 1 << bits
+    r_mat = np.eye(d)
+    best: tuple[float, np.ndarray, list[np.ndarray]] | None = None
+    for _ in range(opq_iters):
+        # fresh same-seed rng per iteration: Lloyd inits stay comparable
+        # across iterations, and iteration 1 (R = I) reproduces pq_train
+        # exactly — so returning the best iterate by sample quantization
+        # error guarantees OPQ is never worse than plain PQ on the sample
+        rng = np.random.default_rng(seed)
+        xr = x @ r_mat
+        books = [
+            _lloyd(xr[:, mi * sub : (mi + 1) * sub], k, iters, rng)
+            for mi in range(num_subspaces)
+        ]
+        # reconstruct from codes
+        recon = np.empty_like(xr)
+        for mi, cb in enumerate(books):
+            xs = xr[:, mi * sub : (mi + 1) * sub]
+            dmat = -2.0 * (xs @ cb.T) + (cb**2).sum(axis=1)[None, :]
+            recon[:, mi * sub : (mi + 1) * sub] = cb[dmat.argmin(axis=1)]
+        err = float(((xr - recon) ** 2).sum())
+        if best is None or err < best[0]:
+            best = (err, r_mat.copy(), books)
+        # orthogonal Procrustes: rotation aligning x with its reconstruction
+        u, _, vt = np.linalg.svd(x.T @ recon)
+        r_mat = u @ vt
+    _, r_mat, books = best
+    return (
+        [[float(v) for v in row] for row in r_mat],
+        [[[float(v) for v in c] for c in cb] for cb in books],
+    )

@@ -104,3 +104,28 @@ def test_ivfpq_search_prunes_and_ranks(corpus, spark):
         )
     )
     assert pruned.count() < 400
+
+
+def test_opq_rotation_is_orthogonal_and_improves_hard_recall(corpus, spark):
+    df, rows = corpus
+    rot, books = pq.opq_train(df, num_subspaces=8, bits=4, sample_size=400,
+                              opq_iters=4)
+    r = np.asarray(rot)
+    assert np.allclose(r @ r.T, np.eye(len(r)), atol=1e-8)
+
+    def recall(books_, rot_):
+        codes = pq.pq_encode(df, books_, rotation=rot_)
+        query = rows[7][1]
+        got = pq.pq_search(codes, books_, query, k=10, rotation=rot_)
+        x = np.asarray([row[1] for row in rows])
+        xn = x / np.linalg.norm(x, axis=1)[:, None]
+        qn = np.asarray(query) / np.linalg.norm(query)
+        exact = set(np.argsort(-(xn @ qn))[:10].tolist())
+        return len(exact & {r_["vec_id"] for r_ in got.collect()}) / 10
+
+    plain = recall(pq.pq_train(df, num_subspaces=8, bits=4, sample_size=400), None)
+    opq = recall(books, rot)
+    # OPQ must not be worse at equal bit budget; on this clustered corpus
+    # both are decent, the guarantee is non-degradation
+    assert opq >= plain - 0.1
+    assert opq >= 0.6
