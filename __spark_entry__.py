@@ -1659,6 +1659,24 @@ def q_es_composite(spark, sf_dir):
     return es_search(o, _ES_COMPOSITE_BODY, id_field="o_orderkey")
 
 
+_ES_SIG_TERMS_BODY = {
+    "query": {"term": {"o_orderpriority": "1-URGENT"}},
+    "size": 0,
+    "aggs": {"sig": {"significant_terms": {"field": "o_orderstatus", "size": 5}}},
+}
+
+
+def q_es_sig_terms(spark, sf_dir):
+    """ES significant_terms (JLH heuristic): order statuses overrepresented
+    among urgent orders vs the whole table — one groupBy computes both
+    populations (gated foreground count), totals are a 2-scalar collect —
+    DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_SIG_TERMS_BODY, id_field="o_orderkey")
+
+
 _ES_COLLAPSE_BODY = {
     "collapse": {"field": "o_orderpriority"},
     "sort": [{"o_totalprice": {"order": "desc"}}, {"o_orderkey": {"order": "asc"}}],
@@ -2085,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_collapse": q_es_collapse,
         "es_search_after": q_es_search_after,
         "es_composite": q_es_composite,
+        "es_sig_terms": q_es_sig_terms,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3323,6 +3342,31 @@ def _goldens_b() -> dict[str, str]:
             GROUP BY priority, band
             ORDER BY priority ASC, band ASC
             LIMIT 8
+        """,
+        # q_es_sig_terms: JLH = (fg% - bg%) * (fg%/bg%), urgent orders as
+        # foreground, whole table as background, fg-absent terms excluded
+        "es_sig_terms": """
+            WITH g AS (
+              SELECT o_orderstatus AS key, count(*) AS bg_count,
+                     CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS doc_count
+              FROM orders GROUP BY 1
+            ), t AS (
+              SELECT count(*) AS bg_total,
+                     sum(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 1 ELSE 0 END) AS fg_total
+              FROM orders
+            )
+            SELECT key, doc_count, bg_count,
+                   round((doc_count / CAST(fg_total AS DOUBLE)
+                          - bg_count / CAST(bg_total AS DOUBLE))
+                         * ((doc_count / CAST(fg_total AS DOUBLE))
+                            / (bg_count / CAST(bg_total AS DOUBLE))), 6)
+                     AS score
+            FROM g, t
+            WHERE doc_count > 0
+            ORDER BY score DESC, key ASC
+            LIMIT 5
         """,
         # q_es_collapse: best hit per o_orderpriority, then top-5 paging
         "es_collapse": """

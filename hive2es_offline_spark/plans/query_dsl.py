@@ -39,7 +39,9 @@ stats extended_stats percentiles percentile_ranks``; group-by buckets
 ``terms histogram date_histogram`` (calendar_interval or epoch-aligned
 fixed_interval) with metric sub-aggs; conditional buckets ``range
 filters missing`` (may overlap, so they compile to one ungrouped gated
-aggregate + an inline() reshape instead of a groupBy); ``composite``
+aggregate + an inline() reshape instead of a groupBy);
+``significant_terms`` (JLH-scored foreground-vs-background terms: ONE
+groupBy carries both populations via a gated count); ``composite``
 (multi-source bucket keys with ``after`` cursor pagination — the cursor
 compiles to a pre-groupBy row filter, so deep bucket pages never rescan
 earlier buckets); ``top_hits`` as
@@ -62,7 +64,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compile_query", "compile_aggs", "es_search", "es_count"]
+__all__ = ["compile_query", "compile_aggs", "es_search", "es_count", "significant_terms"]
 
 
 def _analyze(col: Column) -> Column:
@@ -628,6 +630,45 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
     return row.select(F.inline(F.array(*structs)))
 
 
+def significant_terms(
+    df: DataFrame,
+    foreground: Column,
+    field: str,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``significant_terms``: terms overrepresented in the foreground
+    subset relative to the whole table, scored with ES's default JLH
+    heuristic ``(fg% - bg%) * (fg% / bg%)`` and returned as
+    ``(key, doc_count, bg_count, score)`` — ``doc_count`` is the
+    foreground count, matching ES's bucket shape.
+
+    ONE groupBy computes both populations (background count + gated
+    foreground count per term — no second scan, no join); the two totals
+    are a bounded 2-scalar collect; ranking is top-``size`` via
+    TakeOrderedAndProject.  Terms absent from the foreground are excluded,
+    as in ES.
+    """
+    fg_int = F.coalesce(foreground.cast("int"), F.lit(0))
+    grouped = df.groupBy(F.col(field).alias("key")).agg(
+        F.count(F.lit(1)).alias("bg_count"),
+        F.sum(fg_int).alias("doc_count"),
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).alias("bg_total"), F.sum(fg_int).alias("fg_total")
+    ).first()
+    bg_total = float(totals["bg_total"] or 0) or 1.0
+    fg_total = float(totals["fg_total"] or 0) or 1.0
+    fg_pct = F.col("doc_count") / F.lit(fg_total)
+    bg_pct = F.col("bg_count") / F.lit(bg_total)
+    score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+    return (
+        grouped.where(F.col("doc_count") > 0)
+        .select("key", "doc_count", "bg_count", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
 def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> DataFrame:
     """The ES ``_count`` API: number of documents matching ``body``'s
     ``query`` (whole index when absent) — one row, one ``count`` column.
@@ -654,6 +695,26 @@ def es_search(
     ``aggs`` and ``size: 0`` returns the aggregation result instead of hits
     (the common analytics shape).
     """
+    # significant_terms needs BOTH populations: the body's query defines
+    # the foreground, the unfiltered table is the background — so it
+    # branches before the query filter collapses them into one
+    sig = [
+        (n, s["significant_terms"])
+        for n, s in (body.get("aggs") or {}).items()
+        if "significant_terms" in s
+    ]
+    if sig:
+        if len(body.get("aggs", {})) != 1:
+            raise ValueError("significant_terms must be the only aggregation")
+        _, spec = sig[0]
+        fg = (
+            compile_query(body["query"], id_field)
+            if "query" in body
+            else F.lit(True)
+        )
+        return significant_terms(
+            df, fg, spec["field"], size=int(spec.get("size", 10))
+        )
     if "query" in body:
         df = df.where(compile_query(body["query"], id_field))
     if "knn" in body:

@@ -312,3 +312,36 @@ def test_es_count(spark):
     assert es_count(df).collect()[0]["count"] == 3
     body = {"query": {"term": {"g": "a"}}}
     assert es_count(df, body, id_field="id").collect()[0]["count"] == 2
+
+
+def test_significant_terms_jlh(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    # 'x' dominates the foreground (hi rows), 'z' the background
+    rows = [(i, "hi" if i < 20 else "lo", "x" if i < 15 else ("y" if i < 40 else "z"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string, term string")
+    body = {
+        "query": {"term": {"grp": "hi"}},
+        "size": 0,
+        "aggs": {"sig": {"significant_terms": {"field": "term", "size": 3}}},
+    }
+    out = es_search(df, body, id_field="id").collect()
+    assert out[0]["key"] == "x"  # 15/20 fg vs 15/100 bg: most significant
+    by_key = {r["key"]: r for r in out}
+    assert by_key["x"]["doc_count"] == 15 and by_key["x"]["bg_count"] == 15
+    # z never appears in the foreground -> excluded entirely
+    assert "z" not in by_key
+    # JLH spot check for x: fg%=0.75, bg%=0.15 -> (0.6)*(5) = 3.0
+    assert by_key["x"]["score"] == 3.0
+
+
+def test_significant_terms_must_be_sole_agg(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame([(1, "a")], "id long, t string")
+    with pytest.raises(ValueError, match="only aggregation"):
+        es_search(df, {"size": 0, "aggs": {
+            "sig": {"significant_terms": {"field": "t"}},
+            "n": {"value_count": {"field": "id"}},
+        }}, id_field="id")
