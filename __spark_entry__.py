@@ -1894,6 +1894,17 @@ def q_dedup_incremental_semantic(spark, sf_dir):
     )
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    """Bigram LM quality scoring (CCNet-style, one order above lm_score):
+    corpus-trained conditional ln P(w2|w1) over the broadcast top-K
+    bigrams, OOV floor from the corpus bigram count — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.operators.text import bigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(d, vocab_size=512)
+
+
 def q_audio_features(spark, sf_dir):
     """Rows-only: audio modality — deterministic REAL WAV payloads per doc,
     RIFF/PCM decoded (stdlib+numpy), typed metadata joined with 16-dim
@@ -2104,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_after": q_es_search_after,
         "es_composite": q_es_composite,
         "es_sig_terms": q_es_sig_terms,
+        "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3232,6 +3244,43 @@ def _goldens_b() -> dict[str, str]:
                      AS oov_ratio
             FROM tok LEFT JOIN lm ON tok.t = lm.t, total
             GROUP BY tok.doc_id
+        """,
+        # q_bigram_lm_score: top-512 bigrams by (count desc, bigram asc),
+        # ln(c12/c1) conditional, OOV floor ln(0.5/N); docs with < 2
+        # tokens keep a (0, NULL, NULL) row
+        "bigram_lm_score": """
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                                           i -> ts[i] || ' ' || ts[i + 1])) AS b
+              FROM tok WHERE len(ts) >= 2
+            ), counts AS (
+              SELECT b, count(*) AS c FROM bg GROUP BY b
+            ), total AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts
+            ), ctx AS (
+              SELECT split_part(b, ' ', 1) AS w1, sum(c) AS c1
+              FROM counts GROUP BY 1
+            ), lm AS (
+              SELECT t.b, ln(CAST(t.c AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)) AS logp
+              FROM (SELECT b, c FROM counts ORDER BY c DESC, b ASC LIMIT 512) t
+              JOIN ctx ON split_part(t.b, ' ', 1) = ctx.w1
+            ), scored AS (
+              SELECT bg.doc_id,
+                     count(*) AS n_bigrams,
+                     round(avg(coalesce(lm.logp, ln(0.5 / total.n))), 6)
+                       AS avg_logp,
+                     round(avg(CASE WHEN lm.logp IS NULL THEN 1.0 ELSE 0.0 END), 6)
+                       AS oov_ratio
+              FROM bg LEFT JOIN lm ON bg.b = lm.b, total
+              GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   s.avg_logp, s.oov_ratio
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
         # mirrors _ES_SEARCH_BODY clause by clause: terms -> IN, range ->
         # comparisons, must_not term -> NOT =, should prefix+wildcard with

@@ -523,3 +523,95 @@ def hash_embed(
 
         vec = vec.withColumn("embedding", _l2("embedding"))
     return vec
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 512,
+    oov_smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model scoring — one order up from
+    :func:`unigram_lm_score`, catching word-order anomalies (shuffled or
+    templated text scores high on unigrams but low here).  Same CCNet-style
+    quality-filter role, same exact/deterministic/model-free contract.
+
+    Conditional model: ``ln P(w2 | w1) = ln(c(w1 w2) / c(w1))`` for the
+    global top ``vocab_size`` bigrams (TakeOrderedAndProject cut — the LM
+    side is provably bounded and broadcasts regardless of corpus size);
+    context counts come from summing the bigram table, so training is ONE
+    explode + count pass.  Out-of-vocabulary bigrams take the floor
+    ``ln(oov_smoothing / N)`` (N = corpus bigram count) via a 1-row
+    broadcast, as in the unigram scorer.
+
+    Output: ``(id_col, n_bigrams, avg_logp, oov_ratio)``; documents with
+    fewer than 2 tokens keep a row with ``n_bigrams = 0`` and NULL scores
+    (they have no word order to judge).
+    """
+    toks = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+            f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
+            f"element_at(split({text_col}, ' '), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_all = df.select(F.col(id_col).alias("_did"), F.explode(pairs).alias("_bg"))
+    counts = (
+        bg_all.groupBy("_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    top = counts.orderBy(F.desc("_c"), F.asc("_bg")).limit(vocab_size)
+    ctx = counts.groupBy(F.split(F.col("_bg"), " ")[0].alias("_w1")).agg(
+        F.sum("_c").alias("_c1")
+    )
+    # top is <= vocab_size rows: broadcast it into the context join so the
+    # unbounded ctx side never shuffles; the result is again <= vocab_size
+    lm = (
+        ctx.join(
+            F.broadcast(top.withColumn("_w1", F.split(F.col("_bg"), " ")[0])),
+            "_w1",
+        )
+        .select(
+            "_bg",
+            F.log(F.col("_c").cast("double") / F.col("_c1").cast("double")).alias(
+                "_logp"
+            ),
+        )
+    )
+    total = counts.agg(F.sum("_c").alias("_N"))
+    scored = (
+        bg_all.join(F.broadcast(lm), "_bg", "left")
+        .crossJoin(
+            F.broadcast(
+                total.select(
+                    F.log(
+                        F.lit(float(oov_smoothing)) / F.col("_N").cast("double")
+                    ).alias("_oov_logp")
+                )
+            )
+        )
+        .groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.coalesce(F.col("_logp"), F.col("_oov_logp"))), 6).alias(
+                "avg_logp"
+            ),
+            F.round(
+                F.avg(F.when(F.col("_logp").isNull(), 1.0).otherwise(0.0)), 6
+            ).alias("oov_ratio"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("_did", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+            "oov_ratio",
+        )
+    )

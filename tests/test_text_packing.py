@@ -246,3 +246,26 @@ def test_hash_embed_preserves_null_text_rows(spark):
     # empty string tokenizes to [""] (split semantics shared with the DuckDB
     # oracles: n_tokens('') == 1), so doc 3 gets the one-hot ''-token vector
     assert abs(sum(v * v for v in out[3]) - 1.0) < 1e-9
+
+
+def test_bigram_lm_score_penalizes_shuffled_word_order(spark):
+    """The bigram scorer's reason to exist: shuffled text keeps its unigram
+    distribution but loses its bigrams."""
+    from hive2es_offline_spark.operators.text import bigram_lm_score, unigram_lm_score
+
+    normal = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, normal) for i in range(20)]
+    rows.append((100, "dog the lazy over jumps fox brown quick the"))  # shuffled
+    rows.append((101, "x"))  # single token: no word order to judge
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, vocab_size=8).collect()}
+    assert len(out) == 22
+    # shuffled doc: all its bigrams are rare/OOV -> far lower avg_logp
+    assert out[100]["avg_logp"] < out[0]["avg_logp"] - 1.0
+    assert out[100]["oov_ratio"] > out[0]["oov_ratio"]
+    # unigram scorer CANNOT tell them apart (same token multiset)
+    uni = {r["doc_id"]: r for r in unigram_lm_score(df, vocab_size=64).collect()}
+    assert abs(uni[100]["avg_logp"] - uni[0]["avg_logp"]) < 1e-6
+    # single-token doc keeps its row with no score
+    assert out[101]["n_bigrams"] == 0 and out[101]["avg_logp"] is None
