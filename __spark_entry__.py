@@ -1666,6 +1666,23 @@ _ES_SIG_TERMS_BODY = {
 }
 
 
+def q_es_count(spark, sf_dir):
+    """ES _count API: matching-document count for a bool body — a
+    count-only aggregate over the filtered scan — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_count
+
+    o = _t(spark, sf_dir, "orders")
+    return es_count(
+        o,
+        {"query": {"bool": {
+            "filter": [{"range": {"o_totalprice": {"gte": 150000.0}}}],
+            "must_not": [{"term": {"o_orderstatus": "F"}}],
+        }}},
+        id_field="o_orderkey",
+    )
+
+
 def q_es_sig_terms(spark, sf_dir):
     """ES significant_terms (JLH heuristic): order statuses overrepresented
     among urgent orders vs the whole table — one groupBy computes both
@@ -2115,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_after": q_es_search_after,
         "es_composite": q_es_composite,
         "es_sig_terms": q_es_sig_terms,
+        "es_count": q_es_count,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -3391,6 +3409,12 @@ def _goldens_b() -> dict[str, str]:
             GROUP BY priority, band
             ORDER BY priority ASC, band ASC
             LIMIT 8
+        """,
+        # q_es_count: filtered count with ES two-valued must_not semantics
+        "es_count": """
+            SELECT count(*) AS count FROM orders
+            WHERE o_totalprice >= 150000.0
+              AND NOT coalesce(o_orderstatus = 'F', false)
         """,
         # q_es_sig_terms: JLH = (fg% - bg%) * (fg%/bg%), urgent orders as
         # foreground, whole table as background, fg-absent terms excluded
