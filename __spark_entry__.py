@@ -1482,10 +1482,21 @@ def q_webdataset_export(spark, sf_dir):
 
 def q_embed_quantize(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column
-    (max-abs scale, floor-half-up) — narrow codegen, DuckDB-checked via
-    demoted_goldens."""
+    (max-abs scale, floor-half-up) — narrow codegen.
+
+    The int8 code array is projected to a comma-joined string for the
+    driver compare: the driver's canonicalizer sorts columns with pandas
+    and dies on array cells (``unhashable type: numpy.ndarray``,
+    CORRECTNESS_r06).  Internal consumers (pq/ivf, webdataset export) keep
+    the array form from ``similarity.quantize_embeddings`` directly."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.quantize_embeddings(e)
+    q = similarity.quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))).alias("q_csv"),
+        "scale",
+        "max_err",
+    )
 
 
 def q_line_dedup(spark, sf_dir):
@@ -3214,7 +3225,10 @@ def _goldens_b() -> dict[str, str]:
             ) WHERE rn <= 100
         """,
         # floor(x + 0.5) half-up in both engines: round() rounding-mode
-        # semantics differ, floor does not
+        # semantics differ, floor does not.  The code array is serialized to
+        # a comma-joined string (q_csv) on BOTH sides so the driver's
+        # pandas-based canonicalizer can hash it (array cells are
+        # unhashable, CORRECTNESS_r06).
         "embed_quantize": """
             WITH v AS (
               SELECT vec_id,
@@ -3227,10 +3241,10 @@ def _goldens_b() -> dict[str, str]:
             )
             SELECT vec_id,
                    CASE WHEN ma = 0
-                        THEN list_transform(e, x -> 0)
-                        ELSE list_transform(e,
-                          x -> CAST(floor(x * 127.0 / ma + 0.5) AS INTEGER))
-                   END AS q,
+                        THEN array_to_string(list_transform(e, x -> 0), ',')
+                        ELSE array_to_string(list_transform(e,
+                          x -> CAST(floor(x * 127.0 / ma + 0.5) AS INTEGER)), ',')
+                   END AS q_csv,
                    round(ma / 127.0, 9) AS scale,
                    round(CASE WHEN ma = 0 THEN 0.0
                          ELSE list_aggregate(list_transform(e,

@@ -80,6 +80,30 @@ def test_canon_distinguishes_int_from_float():
     assert _canon(a) == _canon(a.copy())
 
 
+def test_window_oracled_schemas_driver_hashable(spark):
+    """The driver's canonicalizer pandas-sorts every output column;
+    array/map/struct cells are unhashable there (``unhashable type:
+    numpy.ndarray`` — the embed_quantize red row in CORRECTNESS_r06, which
+    the laxer ``_canon_val`` above tolerated).  Every ORACLED driver-window
+    query must therefore project complex types to scalars (to_json /
+    concat_ws / posexplode) before returning."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name in entry_mod.DRIVER_WINDOW:
+        if name not in entry_mod.oracle_sql():
+            continue  # rows-only: driver never canonicalizes the values
+        schema = entry_mod.queries()[name](spark, PARITY_SF).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"driver-unhashable columns in oracled window queries: {bad}"
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_matches_oracle(spark, name):
     sdf = entry_mod.queries()[name](spark, PARITY_SF).toPandas()
