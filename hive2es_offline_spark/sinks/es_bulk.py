@@ -143,3 +143,139 @@ def bulk_write_stats(
         per_partition,
         "partition_id int, doc_count long, batch_count long, payload_bytes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# live HTTP transport
+# ---------------------------------------------------------------------------
+
+#: reference backoff: BackoffPolicy.exponentialBackoff(100s, 3 retries)
+#: (ESContainer.scala:139).  100 s initial delay is an embedded-node
+#: constant (local bulk queues drain slowly); over HTTP the default here is
+#: sub-second with the same doubling shape and retry count.
+DEFAULT_BACKOFF_S = 0.2
+
+
+class BulkItemFailures(RuntimeError):
+    """Raised by strict callers when a bulk response reports item failures."""
+
+
+def http_bulk_transport(
+    url: str,
+    retries: int = DEFAULT_RETRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
+    timeout_s: float = 30.0,
+    sleep: Callable[[float], None] | None = None,
+) -> Callable[[str], tuple[int, int]]:
+    """A partition-local ``/_bulk`` transport: POST the NDJSON payload,
+    retry the WHOLE request on connection errors / 429 / 5xx with
+    exponential backoff (``backoff_s * 2^attempt``, ``retries`` retries —
+    the reference's BulkProcessor shape, ESContainer.scala:139), then parse
+    the response body and count per-item failures.
+
+    Returns ``transport(payload) -> (failed_actions, http_retries)``:
+
+    * item status >= 300 counts as failed EXCEPT 409 (version conflict):
+      the write operation is ``create`` (ESContainer.scala:150), so a
+      replayed batch — speculative task, request retry after a half-applied
+      bulk — reports 409 for docs that already landed; that is the
+      idempotency working, not a failure.
+    * a request that still fails after the last retry counts every action
+      in the payload as failed (the reference logs-and-continues,
+      ESContainer.scala:132-134 — the job does not abort, the count
+      surfaces in the stats row).
+
+    ``sleep`` is injectable for tests (defaults to ``time.sleep``)."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    do_sleep = sleep if sleep is not None else time.sleep
+
+    def transport(payload: str) -> tuple[int, int]:
+        body = payload.encode("utf-8")
+        n_actions = payload.count("\n") // 2  # meta line + doc line per action
+        attempts = 0
+        while True:
+            try:
+                req = urllib.request.Request(
+                    url,
+                    data=body,
+                    headers={"Content-Type": "application/x-ndjson"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    out = json.loads(resp.read().decode("utf-8"))
+                failed = 0
+                for item in out.get("items", []):
+                    (_op, res), = item.items()
+                    status = int(res.get("status", 200))
+                    if status >= 300 and status != 409:
+                        failed += 1
+                return failed, attempts
+            except (urllib.error.URLError, urllib.error.HTTPError, OSError) as e:
+                status = getattr(e, "code", None)
+                retryable = status is None or status == 429 or status >= 500
+                if not retryable or attempts >= retries:
+                    return n_actions, attempts
+                do_sleep(backoff_s * (2 ** attempts))
+                attempts += 1
+
+    return transport
+
+
+def bulk_write_http(
+    docs: DataFrame,
+    index: str,
+    url: str,
+    bulk_actions: int = DEFAULT_BULK_ACTIONS,
+    bulk_bytes: int = DEFAULT_BULK_BYTES,
+    retries: int = DEFAULT_RETRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
+) -> DataFrame:
+    """``bulk_write_stats`` driving a REAL HTTP round-trip per batch: each
+    partition opens its own transport (executors never share driver state),
+    batches by the reference thresholds, POSTs, retries with backoff, and
+    surfaces per-partition ``failed_actions`` / ``http_retries`` counts —
+    the exercised equivalent of the reference's per-partition BulkProcessor
+    (ESContainer.scala:118-151).
+
+    Expects the ``(_id, _routing, doc)`` projection that
+    ``operators/document.py`` + ``operators/routing.py`` produce."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def per_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        transport = http_bulk_transport(url, retries=retries, backoff_s=backoff_s)
+        n_docs = n_batches = n_bytes = n_failed = n_retries = 0
+
+        def gen():
+            nonlocal n_docs
+            for pdf in batches:
+                for _id, _routing, doc in zip(pdf["_id"], pdf["_routing"], pdf["doc"]):
+                    n_docs += 1
+                    yield (_id, _routing, doc)
+
+        for payload in iter_bulk_batches(gen(), index, bulk_actions, bulk_bytes):
+            n_batches += 1
+            n_bytes += len(payload)
+            failed, attempts = transport(payload)
+            n_failed += failed
+            n_retries += attempts
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "doc_count": [n_docs],
+                "batch_count": [n_batches],
+                "payload_bytes": [n_bytes],
+                "failed_actions": [n_failed],
+                "http_retries": [n_retries],
+            }
+        )
+
+    return docs.select("_id", "_routing", "doc").mapInPandas(
+        per_partition,
+        "partition_id int, doc_count long, batch_count long, "
+        "payload_bytes long, failed_actions long, http_retries long",
+    )
