@@ -3520,13 +3520,16 @@ def _goldens_b() -> dict[str, str]:
             ) WHERE hit_rank <= 2
         """,
         # q_es_query_ext: regexp (whole-value anchored) + should-of
-        # [fuzzy levenshtein<=1, multi_match token overlap] with
+        # [fuzzy damerau<=1, multi_match token overlap] with
         # minimum_should_match=1 (sum of int casts >= 1, same as the bool
-        # compiler)
+        # compiler).  At edit budget 1 DuckDB's unrestricted
+        # damerau_levenshtein and the compiler's restricted (OSA) distance
+        # coincide exactly (one op is one op; the restriction only bites
+        # when a transposed block is ALSO edited, which needs budget >= 2).
         "es_query_ext": """
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE regexp_matches(source, '^(?:src1[0-9])$')
-              AND (CAST(levenshtein(source, 'src7') <= 1 AS INT)
+              AND (CAST(damerau_levenshtein(source, 'src7') <= 1 AS INT)
                  + CAST((list_has_any(string_split_regex(lower(text), ' +'),
                                       ['stream', 'merge'])
                       OR list_has_any(string_split_regex(lower(lang), ' +'),

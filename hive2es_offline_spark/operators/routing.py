@@ -128,7 +128,11 @@ def repartition_for_shards(
     # shard column derived from the slot agrees with es_shard().
     out = out.withColumn(shard_col, F.pmod(F.col("_es_slot"), F.lit(num_shards)).cast("int"))
     keys = _probe_keys(n)
-    probe = F.element_at(F.array(*[F.lit(int(k)) for k in keys]), F.col("_es_slot") + 1)
+    # F.lit(list) is a true array Literal; F.array(*lits) would be a
+    # per-row CreateArray that codegen re-materializes for every row —
+    # measured 3x slower at just m=16 (pq.py), and this is the widest
+    # shuffle in the job at the documented 10k-slot default (ADVICE r6)
+    probe = F.element_at(F.lit([int(k) for k in keys]), F.col("_es_slot") + 1)
     return (
         out.withColumn("_slot_key", probe)
         .repartition(n, F.col("_slot_key"))

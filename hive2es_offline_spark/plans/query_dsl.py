@@ -17,9 +17,11 @@ comparisons on top-level columns), and an aggregation body compiles to one
 
 Supported query clauses: ``match_all``, ``term``, ``terms``, ``range``,
 ``exists``, ``prefix``, ``wildcard``, ``regexp`` (whole-value anchored,
-shared Lucene/Java operator subset), ``fuzzy`` (levenshtein distance with
-the AUTO ladder; ES's Damerau transposition-as-one-edit is a documented
-divergence), ``ids``, ``match`` (whitespace+lowercase analyzer,
+shared Lucene/Java operator subset), ``fuzzy`` (Damerau edit distance —
+adjacent transposition counts ONE edit, matching Lucene's transposition
+automata; AUTO and AUTO:low,high ladders; budget capped at 2 like ES —
+codegen for fuzziness <= 1, Arrow-batched OSA DP behind a pushed-down
+length guard for fuzziness 2), ``ids``, ``match`` (whitespace+lowercase analyzer,
 ``operator`` and ``minimum_should_match``-of-1 semantics),
 ``match_phrase``, ``multi_match`` (per-field match, OR across fields),
 ``bool`` with ``must`` / ``filter`` / ``should`` / ``must_not`` /
@@ -46,9 +48,9 @@ groupBy carries both populations via a gated count); ``composite``
 compiles to a pre-groupBy row filter, so deep bucket pages never rescan
 earlier buckets); ``top_hits`` as
 the sole sub-agg of a group-by bucket (per-bucket top documents via
-rank-within-bucket → Catalyst's WindowGroupLimit; one row per hit, all
-buckets returned — the terms ``size`` bucket cap is not applied in
-top_hits mode, a documented divergence).  ``percentiles``
+rank-within-bucket → Catalyst's WindowGroupLimit; one row per hit; the
+terms ``size`` bucket cap applies — top-N buckets by doc count are kept
+via a broadcast semi-join before the per-bucket limit).  ``percentiles``
 is EXACT (``F.percentile``) where live ES uses TDigest approximation — a
 documented divergence in the oracle's favor.  ``cardinality`` is exact
 ``count(DISTINCT)`` where ES uses HyperLogLog++ (the approximate variant
@@ -93,6 +95,127 @@ def _field_spec(body: dict) -> tuple[str, Any]:
     if len(body) != 1:
         raise ValueError(f"expected exactly one field, got {sorted(body)}")
     return next(iter(body.items()))
+
+
+def _parse_fuzziness(fuzz: Any, term_len: int) -> int:
+    """ES ``fuzziness`` → concrete edit budget for one term.
+
+    ``AUTO`` is the ladder 0 / 1 / 2 at the default thresholds 3,6
+    (len < 3 → 0, 3 ≤ len < 6 → 1, else 2); ``AUTO:low,high`` moves the
+    thresholds.  Malformed custom ladders raise instead of silently
+    falling back to the default (they used to be ignored — ADVICE r6).
+    Explicit budgets are capped at 2, same as ES (Lucene's automata only
+    exist for distance ≤ 2)."""
+    if isinstance(fuzz, str):
+        up = fuzz.upper()
+        if up == "AUTO":
+            low, high = 3, 6
+        elif up.startswith("AUTO:"):
+            parts = up[5:].split(",")
+            try:
+                low, high = int(parts[0]), int(parts[1])
+            except (IndexError, ValueError):
+                raise ValueError(
+                    f"malformed fuzziness {fuzz!r}: want 'AUTO:low,high'"
+                ) from None
+            if len(parts) != 2 or not 0 <= low <= high:
+                raise ValueError(
+                    f"malformed fuzziness {fuzz!r}: want 'AUTO:low,high' "
+                    "with 0 <= low <= high"
+                )
+        else:
+            return _parse_fuzziness(int(fuzz), term_len)
+        return 0 if term_len < low else (1 if term_len < high else 2)
+    f = int(fuzz)
+    if not 0 <= f <= 2:
+        raise ValueError(f"fuzziness {fuzz!r} out of range: ES caps it at 2")
+    return f
+
+
+def _transposition_variants(value: str) -> list[str]:
+    """All distinct strings one adjacent-transposition away from
+    ``value`` (excluding ``value`` itself — equal adjacent chars swap to a
+    no-op)."""
+    return sorted(
+        {
+            value[:i] + value[i + 1] + value[i] + value[i + 2:]
+            for i in range(len(value) - 1)
+        }
+        - {value}
+    )
+
+
+def osa_distance(a: str, b: str, cap: int = 2) -> int:
+    """Restricted Damerau–Levenshtein (optimal string alignment): edit
+    distance where an adjacent transposition costs ONE edit and no
+    substring is edited twice — the classic DP, and the semantics of
+    Lucene's transposition automata (``FuzzyQuery`` default since 4.0).
+    Returns ``min(osa, cap + 1)`` (early-exits on the length gap).
+
+    Pure-Python reference shared by the fuzziness-2 UDF below and the
+    property tests."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        prev2, prev = prev, cur
+    return min(prev[lb], cap + 1)
+
+
+def _fuzzy_predicate(c: Column, value: str, f: int) -> Column:
+    """Damerau (transposition = one edit) fuzzy match at edit budget
+    ``f`` ∈ {0, 1, 2}, matching ES where plain ``levenshtein`` misses
+    transposed pairs (the r6 documented divergence, now closed).
+
+    * f=0: equality.
+    * f=1: pure codegen — ``dam(a,b) <= 1`` ⟺ ``lev(a,b) <= 1`` OR ``a``
+      is one adjacent transposition of the (literal) term, so the
+      transposition variants become an ``isin`` list.  No Python.
+    * f=2: the OSA DP as an Arrow-batched pandas UDF, conjoined with a
+      codegen length-window guard — Catalyst splits the conjunction and
+      evaluates the cheap guard BELOW the Python eval, so only rows
+      within ±2 length ever cross into Arrow.  Fuzzy is ES's
+      expensive-query class; the slow path is confined to exactly this
+      branch."""
+    if f == 0:
+        return c == F.lit(value)
+    if f == 1:
+        # thresholded levenshtein early-exits the DP; it returns -1 when
+        # the distance EXCEEDS the threshold, so "matches" is >= 0
+        pred = F.levenshtein(c, F.lit(value), 1) >= F.lit(0)
+        variants = _transposition_variants(value)
+        if variants:
+            pred = pred | c.isin(variants)
+        return pred
+
+    import pandas as pd  # noqa: F401 — resolved lazily for the UDF hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _osa_ok(s):
+        return s.map(lambda x: x is not None and osa_distance(x, value, 2) <= 2)
+
+    # annotations assigned post-hoc: with `from __future__ import
+    # annotations` in force, inline hints are strings that pandas_udf
+    # cannot resolve against module globals (pandas is function-local)
+    _osa_ok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    osa_leq_2 = pandas_udf(_osa_ok, "boolean")
+
+    guard = F.abs(F.length(c) - F.lit(len(value))) <= F.lit(2)
+    return guard & osa_leq_2(c)
 
 
 def compile_query(q: dict, id_field: str = "_id") -> Column:
@@ -142,18 +265,13 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         value = spec["value"] if isinstance(spec, dict) else spec
         return F.col(field).rlike(f"^(?:{value})$")
     if kind == "fuzzy":
-        # edit-distance match; fuzziness AUTO follows ES's length ladder
-        # (0 for len<3, 1 for 3-5, 2 beyond).  Divergence: ES counts a
-        # transposition as ONE edit (Damerau); levenshtein counts 2 — a
-        # transposed pair at fuzziness 1 misses here.  The oracle uses the
-        # same levenshtein, so parity is exact.
+        # Damerau edit-distance match (transposition = one edit, like ES);
+        # fuzziness AUTO follows the length ladder, AUTO:low,high moves the
+        # thresholds, explicit budgets cap at 2.  See _fuzzy_predicate.
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
         fuzz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
-        if isinstance(fuzz, str) and fuzz.upper().startswith("AUTO"):
-            n = len(value)
-            fuzz = 0 if n < 3 else (1 if n <= 5 else 2)
-        return F.levenshtein(F.col(field), F.lit(value)) <= F.lit(int(fuzz))
+        return _fuzzy_predicate(F.col(field), value, _parse_fuzziness(fuzz, len(value)))
     if kind == "multi_match":
         # filter context: the match clause applied per field, OR across
         # fields (any best_fields/most_fields type distinction only affects
@@ -410,17 +528,32 @@ def _sort_columns(sort_spec: list) -> list[Column]:
 def _strict_after(specs: list[tuple[str, bool]], values: list) -> Column:
     """Lexicographic strict-after predicate over a sort tuple: row is
     AFTER ``values`` in ``specs`` order ((field, is_desc) pairs).  Shared
-    by ``search_after`` hit paging and ``composite`` bucket paging."""
+    by ``search_after`` hit paging and ``composite`` bucket paging.
+
+    NULL sort values are ordered, not dropped: a NULL sorts as -infinity,
+    exactly Spark's default sort placement (asc_nulls_first /
+    desc_nulls_last) — so the cursor order agrees with the page order and
+    every row, nullable sort key or not, is reachable from exactly one
+    page.  (Pre-r7, a NULL on either side made the SQL comparison NULL,
+    silently dropping rows that page 1 had shown — ADVICE r6.)  A NULL
+    cursor value is legal and means "after the NULL group"."""
     pred = F.lit(False)
     for i, (fname, is_desc) in enumerate(specs):
         ties = F.lit(True)
         for j in range(i):
-            ties = ties & (F.col(specs[j][0]) == F.lit(values[j]))
-        strict = (
-            F.col(fname) < F.lit(values[i])
-            if is_desc
-            else F.col(fname) > F.lit(values[i])
-        )
+            jname, jv = specs[j][0], values[j]
+            tie = F.col(jname).isNull() if jv is None else F.col(jname) == F.lit(jv)
+            ties = ties & tie
+        c = F.col(fname)
+        v = values[i]
+        if v is None:
+            # NULL = -inf: on asc everything non-null follows the null
+            # cursor; on desc nothing sorts after it
+            strict = F.lit(False) if is_desc else c.isNotNull()
+        elif is_desc:
+            strict = c.isNull() | (c < F.lit(v))
+        else:
+            strict = c > F.lit(v)  # null row < v: comparison NULL -> filtered
         pred = pred | (ties & strict)
     return pred
 
@@ -480,6 +613,21 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         from pyspark.sql.window import Window
 
         keyed = df.withColumn("_bucket_key", key)
+        if kind == "terms":
+            # ES applies the terms-agg `size` in top_hits mode too: rank
+            # buckets by doc count (key asc tiebreak, same as the metric
+            # path below) and keep the top-N buckets.  The N-row bucket
+            # list broadcasts back onto the rows, so the cap costs one
+            # partial-aggregated count, never a shuffle of the hits.
+            bucket_cap = int(bspec.get("size", 10))
+            top_buckets = (
+                keyed.groupBy("_bucket_key")
+                .agg(F.count(F.lit(1)).alias("_dc"))
+                .orderBy(F.col("_dc").desc(), F.col("_bucket_key").asc())
+                .limit(bucket_cap)
+                .select("_bucket_key")
+            )
+            keyed = keyed.join(F.broadcast(top_buckets), "_bucket_key")
         w = Window.partitionBy("_bucket_key").orderBy(*sort_cols)
         source = h.get("_source") or [c for c in df.columns]
         return (
@@ -515,7 +663,6 @@ def _compile_composite(df: DataFrame, spec: dict) -> DataFrame:
     cspec = spec["composite"]
     sources: list[tuple[str, Column, bool]] = []  # (name, key col, is_desc)
     null_excluded: list[Column] = []
-    any_missing_bucket = False
     for src in cspec["sources"]:
         (name, body), = src.items()
         (kind, bspec), = [
@@ -531,9 +678,7 @@ def _compile_composite(df: DataFrame, spec: dict) -> DataFrame:
                 f"rename the source"
             )
         key = _bucket_key_col(kind, bspec)
-        if bspec.get("missing_bucket"):
-            any_missing_bucket = True
-        else:
+        if not bspec.get("missing_bucket"):
             # ES default missing_bucket=false: docs without the source
             # value are excluded from composite buckets entirely
             null_excluded.append(key.isNotNull())
@@ -544,16 +689,12 @@ def _compile_composite(df: DataFrame, spec: dict) -> DataFrame:
     )
     for pred in null_excluded:
         keyed = keyed.where(pred)
+    # 'after' + missing_bucket now pages consistently: _strict_after
+    # orders NULL keys as -infinity, exactly where the output orderBy
+    # places them (asc_nulls_first / desc_nulls_last) and where ES's
+    # default missing_order puts the missing bucket.  (The pre-r7 guard
+    # that refused the combination is gone.)
     after = cspec.get("after")
-    if after is not None and any_missing_bucket:
-        # the strict-after cursor compares with SQL semantics, where a
-        # NULL key neither precedes nor follows the cursor — a
-        # missing_bucket would appear on page 1 and vanish from later
-        # pages; refuse rather than page inconsistently
-        raise ValueError(
-            "composite 'after' cannot be combined with missing_bucket "
-            "sources (NULL keys page inconsistently)"
-        )
     if after is not None:
         keyed = keyed.where(
             _strict_after(

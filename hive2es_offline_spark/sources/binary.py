@@ -48,10 +48,16 @@ def read_binary_dir(
         reader = reader.option("pathGlobFilter", glob)
     reader = reader.option("recursiveFileLookup", "true")
     df = reader.load(path)
-    base = path.rstrip("/") + "/"
-    rel = F.regexp_replace(
-        F.col("path"), F.lit("^.*?" + _regex_escape(base)), F.lit("")
-    )
+    # Strip the base as an EXACT prefix of the qualified URI Spark reports
+    # in the path column (Hadoop's makeQualified — identical rendering),
+    # not a regex search: a non-greedy '^.*?<base>/' can anchor at the
+    # wrong occurrence when the base dir name recurs in an ancestor prefix
+    # (e.g. /mnt/data/data), silently changing rel_path — and therefore
+    # the xxhash64 doc_id — across mounts (ADVICE r6).
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    jfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    qualified = jfs.makeQualified(jpath).toString().rstrip("/")
+    rel = F.col("path").substr(F.lit(len(qualified) + 2), F.length("path"))
     out = df.select(
         F.xxhash64(rel).alias(id_col),
         rel.alias("rel_path"),
@@ -70,5 +76,3 @@ def read_binary_dir(
     return out
 
 
-def _regex_escape(s: str) -> str:
-    return "".join("\\" + c if c in r"\.[]{}()<>*+-=!?^$|/" else c for c in s)

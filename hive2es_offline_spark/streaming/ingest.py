@@ -195,13 +195,40 @@ def stream_dedup_once(
 
 
 def _staging_data_files(staging: str) -> set[str]:
+    """Staged parquet files COMMITTED by the streaming file sink, read
+    from its ``_spark_metadata`` log rather than a directory walk: a walk
+    would also pick up orphans from crashed or speculative task attempts
+    (ADVICE r6) — duplicate rows would be healed by the max_by merge, but
+    a partially-written file breaks the increment read until manually
+    cleaned.  Files absent from the log are invisible here, exactly as
+    they are to a batch read of the sink directory."""
+    import json
+    from urllib.parse import unquote, urlparse
+
+    meta = os.path.join(staging, "_spark_metadata")
     files: set[str] = set()
-    for root, dirs, names in os.walk(staging):
-        if "_spark_metadata" in root:
+    if not os.path.isdir(meta):
+        return files
+    for name in sorted(os.listdir(meta)):
+        if name.startswith(".") or name.endswith((".crc", ".tmp")):
             continue
-        for n in names:
-            if n.endswith(".parquet"):
-                files.add(os.path.join(root, n))
+        path = os.path.join(meta, name)
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue  # "v1" version header
+                entry = json.loads(line)
+                # compacted logs carry the full history incl. retention
+                # deletes; only "add" actions are live data files
+                if entry.get("action", "add") != "add":
+                    continue
+                p = entry["path"]
+                if p.startswith("file:"):
+                    p = unquote(urlparse(p).path)
+                files.add(p)
     return files
 
 

@@ -36,10 +36,101 @@ def test_fuzzy_explicit_and_auto(df):
     assert ids(df, {"fuzzy": {"seg": {"value": "BUILDING", "fuzziness": 0}}}) == [1]
     # BUILDINS is one substitution away
     assert ids(df, {"fuzzy": {"seg": {"value": "BUILDING", "fuzziness": 1}}}) == [1, 2]
-    # AUTO: len("MACHINERY") > 5 -> fuzziness 2
+    # AUTO: len("MACHINERZZ") >= 6 -> fuzziness 2
     assert ids(df, {"fuzzy": {"seg": "MACHINERZZ"}}) == [3]
     # AUTO: len < 3 -> exact only
     assert ids(df, {"fuzzy": {"seg": "BU"}}) == []
+
+
+def test_fuzzy_transposition_is_one_edit(df):
+    """The r6 documented divergence, closed: ES counts an adjacent
+    transposition as ONE edit where plain levenshtein needs two."""
+    # BUILDIGN: one transposition of BUILDING (levenshtein would be 2)
+    assert ids(df, {"fuzzy": {"seg": {"value": "BUILDIGN", "fuzziness": 1}}}) == [1]
+    # fuzziness 2 (UDF path): one transposition + one substitution
+    assert ids(df, {"fuzzy": {"seg": {"value": "BUILDIGNS", "fuzziness": 2}}}) == [1, 2]
+
+
+def test_fuzzy_auto_custom_ladder(df):
+    # AUTO:1,20 -> len("BU")=2 >= 1 and < 20 -> budget 1: BU ~ B? no seg
+    # within 1 edit; but AUTO:1,2 -> budget 2 reaches nothing either; use a
+    # close term: "BUILDINX" with AUTO:9,20 -> len 8 < 9 -> budget 0 (miss)
+    assert ids(df, {"fuzzy": {"seg": {"value": "BUILDINX", "fuzziness": "AUTO:9,20"}}}) == []
+    # same term with AUTO:3,20 -> budget 1 -> hits BUILDING (1 sub)
+    assert ids(df, {"fuzzy": {"seg": {"value": "BUILDINX", "fuzziness": "AUTO:3,20"}}}) == [1, 2]
+
+
+def test_fuzzy_rejects_bad_fuzziness(df):
+    with pytest.raises(ValueError, match="malformed"):
+        ids(df, {"fuzzy": {"seg": {"value": "X", "fuzziness": "AUTO:high,low"}}})
+    with pytest.raises(ValueError, match="malformed"):
+        ids(df, {"fuzzy": {"seg": {"value": "X", "fuzziness": "AUTO:3"}}})
+    with pytest.raises(ValueError, match="caps"):
+        ids(df, {"fuzzy": {"seg": {"value": "X", "fuzziness": 3}}})
+
+
+def _reference_osa(a: str, b: str) -> int:
+    """Independent full-matrix restricted-Damerau implementation (the
+    Wikipedia OSA pseudocode, no cap, no rolling rows) — the test oracle
+    for ``osa_distance``."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_osa_distance_matches_reference_damerau():
+    """Property: the capped rolling-row OSA used by the fuzziness-2 UDF
+    agrees with an independent reference Damerau implementation on random
+    short strings (and the f<=1 codegen decomposition agrees with both)."""
+    import random
+
+    from hive2es_offline_spark.plans.query_dsl import (
+        _transposition_variants,
+        osa_distance,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcd"  # small alphabet: transpositions/repeats are common
+    for _ in range(3000):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 7)))
+        ref = _reference_osa(a, b)
+        assert osa_distance(a, b, 2) == min(ref, 3), (a, b)
+        # the pure-codegen f=1 decomposition: dam<=1 == lev<=1 or one swap
+        lev1 = _reference_osa_lev(a, b) <= 1
+        assert (ref <= 1) == (lev1 or a in _transposition_variants(b)), (a, b)
+
+
+def _reference_osa_lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, lb + 1):
+            cur = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev, d[j] = d[j], cur
+    return d[lb]
+
+
+def test_fuzzy_guard_pushed_below_python_eval(df):
+    """The fuzziness-2 length guard must evaluate BELOW the Arrow eval so
+    out-of-window rows never cross into Python."""
+    pred = compile_query({"fuzzy": {"seg": {"value": "MACHINERY", "fuzziness": 2}}}, "id")
+    plan = df.where(pred)._jdf.queryExecution().executedPlan().toString()
+    eval_pos = plan.find("ArrowEvalPython")
+    assert eval_pos != -1
+    guard_pos = plan.find("length(seg")
+    assert guard_pos != -1 and guard_pos > eval_pos  # deeper in the tree = earlier
 
 
 def test_multi_match_or_across_fields(df):
@@ -165,6 +256,34 @@ def test_top_hits_requires_sort_and_solo(df):
         )
 
 
+def test_top_hits_applies_terms_bucket_cap(df):
+    """ES's terms `size` caps the BUCKET count in top_hits mode too
+    (pre-r7 documented divergence, closed): buckets ranked by doc count
+    desc, key asc — BUILDING/BUILDINS/MACHINERY/HOUSEHOLD all have 1 doc,
+    so size=2 keeps the 2 lexicographically-first keys."""
+    out = compile_aggs(
+        df,
+        {"b": {"terms": {"field": "seg", "size": 2},
+               "aggs": {"top": {"top_hits": {
+                   "size": 1, "sort": [{"price": {"order": "desc"}}],
+                   "_source": ["id"],
+               }}}}},
+    ).collect()
+    assert sorted(r["key"] for r in out) == ["BUILDING", "BUILDINS"]
+
+
+def test_top_hits_bucket_cap_prefers_big_buckets(spark):
+    rows = [("a", i) for i in range(5)] + [("b", 10)] + [("c", 20), ("c", 21)]
+    df7 = spark.createDataFrame(rows, "g string, v long")
+    out = compile_aggs(
+        df7,
+        {"b": {"terms": {"field": "g", "size": 2},
+               "aggs": {"top": {"top_hits": {"size": 1, "sort": ["v"]}}}}},
+    ).collect()
+    # a (5 docs) and c (2 docs) survive; b is cut
+    assert sorted(r["key"] for r in out) == ["a", "c"]
+
+
 def test_top_hits_plans_window_group_limit(df):
     out = compile_aggs(
         df,
@@ -253,6 +372,61 @@ def test_search_after_deep_paging(spark):
         es_search(df, dict(body2, **{"from": 3}), id_field="id")
     with pytest.raises(ValueError, match="sort"):
         es_search(df, {"search_after": [1], "size": 2}, id_field="id")
+
+
+def test_search_after_pages_through_null_sort_values(spark):
+    """ADVICE r6 (medium): rows with NULL sort keys used to be shown on
+    page 1 and then be unreachable from every later page.  NULL now orders
+    as -infinity (Spark's asc_nulls_first / desc_nulls_last), so walking
+    the cursor visits EVERY row exactly once, in page order."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 10.0), (2, None), (3, 5.0), (4, 20.0), (5, None)],
+        "id long, score double",
+    )
+    for order in ("asc", "desc"):
+        body = {"sort": [{"score": {"order": order}}, {"id": {"order": "asc"}}],
+                "size": 2, "_source": ["id", "score"]}
+        seen, cursor, pages = [], None, 0
+        while pages < 10:
+            b = dict(body) if cursor is None else dict(body, search_after=cursor)
+            page = es_search(df, b, id_field="id").collect()
+            if not page:
+                break
+            seen += [r["id"] for r in page]
+            cursor = [page[-1]["score"], page[-1]["id"]]
+            pages += 1
+        assert sorted(seen) == [0, 1, 2, 3, 4, 5], (order, seen)
+        assert len(seen) == len(set(seen)), (order, seen)  # no row twice
+        # NULLs arrive where the page order put them: first on asc
+        # (nulls_first), last on desc (nulls_last)
+        null_ids = {0, 2, 5}
+        got_null_pos = [i for i, x in enumerate(seen) if x in null_ids]
+        assert got_null_pos == ([0, 1, 2] if order == "asc" else [3, 4, 5])
+
+
+def test_composite_after_with_missing_bucket_pages_consistently(spark):
+    """missing_bucket=true + 'after' (pre-r7: refused): the NULL bucket
+    sorts first on asc and the cursor can step past it."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 10.0), ("b", 20.0)],
+        "g string, v double",
+    )
+    body = {"composite": {
+        "size": 2,
+        "sources": [{"g": {"terms": {"field": "g", "missing_bucket": True}}}],
+    }, "aggs": {"total": {"sum": {"field": "v"}}}}
+    p1 = compile_aggs(df, {"b": body}).collect()
+    assert [(r["g"], r["doc_count"], r["total"]) for r in p1] == [
+        (None, 2, 3.0), ("a", 1, 10.0)]
+    body2 = {"b": {**body, "composite": {**body["composite"], "after": {"g": "a"}}}}
+    p2 = compile_aggs(df, body2).collect()
+    assert [(r["g"], r["doc_count"], r["total"]) for r in p2] == [("b", 1, 20.0)]
+    # a NULL cursor value means "after the missing bucket"
+    body3 = {"b": {**body, "composite": {**body["composite"], "after": {"g": None}}}}
+    p3 = compile_aggs(df, body3).collect()
+    assert [(r["g"], r["doc_count"]) for r in p3] == [("a", 1), ("b", 1)]
 
 
 def test_composite_agg_pagination(spark):

@@ -73,3 +73,25 @@ def test_read_binary_dir_payloads_and_ids(spark, tmp_path):
     # oversized guard: tiny threshold nulls the payload but keeps the row
     guarded = read_binary_dir(spark, str(d), glob="*.png", max_bytes_per_file=10).collect()
     assert all(r["oversized"] and r["payload"] is None for r in guarded)
+
+
+def test_read_binary_dir_rel_path_with_recurring_base_name(spark, tmp_path):
+    """ADVICE r6: the base is stripped as an exact qualified-URI prefix,
+    so a base directory name that recurs inside the tree (data/data/...)
+    or in an ancestor cannot shift the rel_path anchor — doc_ids stay
+    mount-independent."""
+    from hive2es_offline_spark.sources.binary import read_binary_dir
+
+    base = tmp_path / "data"
+    (base / "data" / "data").mkdir(parents=True)
+    (base / "data" / "x.bin").write_bytes(b"one")
+    (base / "data" / "data" / "y.bin").write_bytes(b"two")
+
+    out = {r["rel_path"]: r["doc_id"] for r in read_binary_dir(spark, str(base)).collect()}
+    assert sorted(out) == ["data/data/y.bin", "data/x.bin"]
+    # reading the nested dir re-anchors: same file, rel to the NEW base
+    nested = {
+        r["rel_path"]: r["doc_id"]
+        for r in read_binary_dir(spark, str(base / "data" / "data")).collect()
+    }
+    assert sorted(nested) == ["y.bin"]
