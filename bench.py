@@ -138,6 +138,14 @@ BENCH_QUERIES = [
     "zorder_layout",
     "audio_features",
     "video_frames",
+    # round-7 additions: the composed curation pass (single-action lazy
+    # pipeline over PII scrub -> quality -> repetition -> decontamination
+    # -> dedup -> chunking; guards the persist work in jobs/curate.py from
+    # regressing the composition) and the exercised HTTP bulk transport
+    # (in-process stub /_bulk with injected 503s, so the timed path
+    # includes batch framing + retry/backoff + response parsing)
+    "curation_pipeline",
+    "bulk_write_http",
 ]
 
 
