@@ -781,6 +781,17 @@ def q_curation_pipeline(spark, sf_dir):
     scrubbed = text.pii_scrub(d.select("doc_id", "text")).select(
         "doc_id", F.col("text_clean").alias("text")
     )
+    # Four downstream branches (text_stats, repetition_stats, both sides
+    # of the contamination check) read `scrubbed`; Spark has no logical
+    # common-subexpression reuse across plan branches, so without this
+    # each branch would re-run the 3-regex PII scrub over the corpus.
+    # A LAZY localCheckpoint materializes it once inside the single
+    # action and truncates the lineage — no cross-run cache (each call
+    # builds a fresh checkpoint), so the bench still pays the scrub once
+    # per run, honestly.  The long-lived multi-action variant of this
+    # pattern (persist + explicit release at stage boundaries) is
+    # jobs/curate.py::run_curation.
+    scrubbed = scrubbed.localCheckpoint(eager=False)
     stats = text.text_stats(
         scrubbed.select("doc_id", F.col("text").alias("_keep"), "text"), "text"
     )
