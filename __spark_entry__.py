@@ -1735,6 +1735,61 @@ def q_es_count(spark, sf_dir):
     )
 
 
+_ES_PIPELINE_AGGS_BODY = {
+    "size": 0,
+    "aggs": {"by_month": {
+        "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+        "aggs": {
+            "price": {"sum": {"field": "o_totalprice"}},
+            "d_price": {"derivative": {"buckets_path": "price"}},
+            "c_price": {"cumulative_sum": {"buckets_path": "price"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"p": "price", "n": "_count"},
+                "script": "params.p / params.n"}},
+        },
+    }},
+}
+
+_ES_SIBLING_BUCKET_BODY = {
+    "size": 0,
+    "aggs": {
+        "by_priority": {
+            "terms": {"field": "o_orderpriority"},
+            "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+        },
+        "best": {"max_bucket": {"buckets_path": "by_priority>avg_price"}},
+    },
+}
+
+
+def q_es_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations (round 7): derivative + cumulative_sum +
+    bucket_script over a monthly date_histogram — computed on the reduced
+    bucket frame (one window over #buckets rows, ES's coordinating-node
+    reduce phase) — DuckDB-checked via demoted_goldens.  Derived columns
+    rounded to 6 on both engines (window-sum IEEE parity)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    out = es_search(o, _ES_PIPELINE_AGGS_BODY, id_field="o_orderkey")
+    return out.select(
+        "key", "doc_count", "price",
+        F.round("d_price", 6).alias("d_price"),
+        F.round("c_price", 6).alias("c_price"),
+        F.round("per_doc", 6).alias("per_doc"),
+    )
+
+
+def q_es_sibling_bucket(spark, sf_dir):
+    """ES sibling max_bucket pipeline agg: the best bucket's value + keys
+    broadcast-annotated onto every bucket row — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_SIBLING_BUCKET_BODY, id_field="o_orderkey")
+
+
 def q_es_sig_terms(spark, sf_dir):
     """ES significant_terms (JLH heuristic): order statuses overrepresented
     among urgent orders vs the whole table — one groupBy computes both
@@ -2184,6 +2239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_composite": q_es_composite,
         "es_sig_terms": q_es_sig_terms,
         "es_count": q_es_count,
+        # round-7 DSL extensions: pipeline aggregations (golden-backed;
+        # round-8 window candidates)
+        "es_pipeline_aggs": q_es_pipeline_aggs,
+        "es_sibling_bucket": q_es_sibling_bucket,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -3529,6 +3588,47 @@ def _goldens_b() -> dict[str, str]:
                      ) AS INT) AS hit_rank
               FROM orders
             ) WHERE hit_rank <= 2
+        """,
+        # q_es_pipeline_aggs: pipeline aggs over the reduced monthly
+        # buckets; price sum decimal-routed like every additive metric,
+        # window-derived columns rounded to 6 on both sides
+        "es_pipeline_aggs": """
+            WITH b AS (
+              SELECT date_trunc('month', o_orderdate) AS key,
+                     count(*) AS doc_count,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS price
+              FROM orders GROUP BY 1
+            )
+            SELECT key, doc_count, price,
+                   round(price - lag(price) OVER (ORDER BY key), 6) AS d_price,
+                   round(CAST(sum(CAST(price AS DECIMAL(28,6))) OVER (
+                     ORDER BY key
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE), 6) AS c_price,
+                   round(price / doc_count, 6) AS per_doc
+            FROM b
+        """,
+        # q_es_sibling_bucket: terms buckets + sibling max_bucket scalar
+        # annotated onto every row (value + comma-joined extremum keys)
+        "es_sibling_bucket": """
+            WITH b AS (
+              SELECT key, doc_count, avg_price FROM (
+                SELECT o_orderpriority AS key,
+                       count(*) AS doc_count,
+                       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                             / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+                FROM orders GROUP BY 1
+                ORDER BY doc_count DESC, key ASC
+                LIMIT 10
+              )
+            )
+            SELECT key, doc_count, avg_price,
+                   (SELECT max(avg_price) FROM b) AS best_value,
+                   (SELECT string_agg(key, ',' ORDER BY key) FROM b
+                     WHERE avg_price = (SELECT max(avg_price) FROM b))
+                     AS best_keys
+            FROM b
         """,
         # q_es_query_ext: regexp (whole-value anchored) + should-of
         # [fuzzy damerau<=1, multi_match token overlap] with

@@ -50,7 +50,13 @@ earlier buckets); ``top_hits`` as
 the sole sub-agg of a group-by bucket (per-bucket top documents via
 rank-within-bucket → Catalyst's WindowGroupLimit; one row per hit; the
 terms ``size`` bucket cap applies — top-N buckets by doc count are kept
-via a broadcast semi-join before the per-bucket limit).  ``percentiles``
+via a broadcast semi-join before the per-bucket limit); pipeline
+aggregations over the reduced bucket frame — parent ``derivative``,
+``cumulative_sum`` (histogram parents only, like ES), ``bucket_script`` /
+``bucket_selector`` (arithmetic/comparison Painless subset compiled to a
+Column), ``bucket_sort``, and sibling ``max_bucket`` / ``min_bucket`` /
+``avg_bucket`` / ``sum_bucket`` (scalar + extremum keys,
+broadcast-annotated onto the bucket rows).  ``percentiles``
 is EXACT (``F.percentile``) where live ES uses TDigest approximation — a
 documented divergence in the oracle's favor.  ``cardinality`` is exact
 ``count(DISTINCT)`` where ES uses HyperLogLog++ (the approximate variant
@@ -490,6 +496,21 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     if cond:
         return _compile_cond_bucket(df, cond[0][1], id_field)
 
+    sib = [(n, k, v) for n, s in aggs.items() for k, v in s.items()
+           if k in _SIBLING_PIPELINE_KINDS]
+    if sib:
+        if len(bucket) != 1 or len(sib) != 1:
+            raise ValueError(
+                "a sibling *_bucket agg needs exactly one sibling bucket "
+                "agg (and one *_bucket per body)"
+            )
+        bname, bspec_full = bucket[0]
+        (kind, bspec), = [(k, v) for k, v in bspec_full.items()
+                          if k in {"terms", "histogram", "date_histogram"}]
+        buckets = _compile_groupby_bucket(df, kind, bspec, bspec_full)
+        (pname, pkind, pspec), = sib
+        return _compile_sibling_pipeline(buckets, pname, pkind, pspec, bname)
+
     if not bucket:
         exprs: list[Column] = []
         for name, spec in aggs.items():
@@ -588,6 +609,209 @@ def _bucket_key_col(kind: str, bspec: dict) -> Column:
     return F.date_trunc(unit, F.col(field))
 
 
+#: parent pipeline aggregations: compiled over the reduced BUCKET frame
+#: (cardinality = number of buckets), exactly where ES computes them (the
+#: coordinating node's reduce phase) — so the single-partition window they
+#: need is the same O(buckets) work ES does, not a data-scale sort.
+_PIPELINE_KINDS = {
+    "derivative", "cumulative_sum", "bucket_script", "bucket_selector",
+    "bucket_sort",
+}
+#: sibling pipeline aggregations (computed across a sibling bucket agg's
+#: buckets, declared NEXT TO it, not under it)
+_SIBLING_PIPELINE_KINDS = {"max_bucket", "min_bucket", "avg_bucket", "sum_bucket"}
+
+
+def _script_column(script: str, params: dict[str, Column]) -> Column:
+    """Compile the arithmetic/comparison subset of a Painless bucket
+    script to a Column: numbers, ``params.<name>`` refs, ``+ - * /``,
+    parentheses, comparisons and ``&& ||`` (for bucket_selector).  This is
+    the subset the ES docs use for bucket_script/bucket_selector examples;
+    anything else raises."""
+    import re as _re
+
+    tokens = _re.findall(
+        r"params\.\w+|\d+\.\d+|\d+|&&|\|\||>=|<=|==|!=|[-+*/()<>]", script
+    )
+    # everything in the script must tokenize: unknown identifiers/chars
+    # (function calls, ternaries, field refs) are NOT silently dropped
+    if _re.sub(r"\s+", "", script) != "".join(tokens):
+        raise ValueError(f"unsupported bucket script: {script!r}")
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else None
+
+    def take():
+        nonlocal pos
+        t = tokens[pos]
+        pos += 1
+        return t
+
+    def atom() -> Column:
+        t = take()
+        if t == "(":
+            e = or_()
+            if take() != ")":
+                raise ValueError(f"unbalanced parens in {script!r}")
+            return e
+        if t == "-":
+            return -atom()
+        if t.startswith("params."):
+            name = t[len("params."):]
+            if name not in params:
+                raise ValueError(f"bucket script references unknown param {name!r}")
+            return params[name]
+        return F.lit(float(t))
+
+    def mul() -> Column:
+        e = atom()
+        while peek() in ("*", "/"):
+            e = e * atom() if take() == "*" else e / atom()
+        return e
+
+    def add() -> Column:
+        e = mul()
+        while peek() in ("+", "-"):
+            e = e + mul() if take() == "+" else e - mul()
+        return e
+
+    def cmp() -> Column:
+        e = add()
+        if peek() in (">", "<", ">=", "<=", "==", "!="):
+            op = take()
+            rhs = add()
+            e = {
+                ">": e > rhs, "<": e < rhs, ">=": e >= rhs,
+                "<=": e <= rhs, "==": e == rhs, "!=": e != rhs,
+            }[op]
+        return e
+
+    def and_() -> Column:
+        e = cmp()
+        while peek() == "&&":
+            take()
+            e = e & cmp()
+        return e
+
+    def or_() -> Column:
+        e = and_()
+        while peek() == "||":
+            take()
+            e = e | and_()
+        return e
+
+    out = or_()
+    if pos != len(tokens):
+        raise ValueError(f"trailing tokens in bucket script {script!r}")
+    return out
+
+
+def _buckets_path_col(path: str, columns: list[str]) -> Column:
+    """Resolve an ES ``buckets_path`` against the bucket frame: ``_count``
+    -> doc_count; ``m`` or ``m.value`` -> the metric column ``m``.
+    Nested (``>``) paths are not supported (one bucket level per body)."""
+    if ">" in path:
+        raise ValueError(f"nested buckets_path {path!r} not supported here")
+    name = "doc_count" if path == "_count" else path.split(".")[0]
+    if name not in columns:
+        raise ValueError(f"buckets_path {path!r}: no metric column {name!r}")
+    return F.col(name)
+
+
+def _apply_pipeline_aggs(
+    out: DataFrame, kind: str, pipes: list[tuple[str, str, dict]]
+) -> DataFrame:
+    """Apply parent pipeline aggs to the reduced bucket frame, in
+    declaration order (ES resolves them in dependency order; declaration
+    order is the documented-supported subset here — declare a script after
+    the metrics it reads)."""
+    from pyspark.sql.window import Window
+
+    # the bucket frame is post-aggregation (one row per bucket); a single
+    # partition window over it is exactly ES's reduce-phase shape
+    w = Window.orderBy(F.col("key").asc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for name, pkind, pspec in pipes:
+        if pkind in ("derivative", "cumulative_sum") and kind == "terms":
+            # ES: sequential pipeline aggs need an ordered histogram parent
+            raise ValueError(f"{pkind} requires a histogram/date_histogram parent")
+        if pkind == "derivative":
+            src = _buckets_path_col(pspec["buckets_path"], out.columns)
+            out = out.withColumn(name, src - F.lag(src).over(w))
+        elif pkind == "cumulative_sum":
+            src = _buckets_path_col(pspec["buckets_path"], out.columns)
+            # decimal-routed like every additive float agg (repo
+            # convention): the running sum is order-exact, so it
+            # hash-compares against an ANSI-SQL oracle
+            out = out.withColumn(
+                name, F.sum(src.cast("decimal(28,6)")).over(run).cast("double")
+            )
+        elif pkind == "bucket_script":
+            params = {
+                p: _buckets_path_col(path, out.columns)
+                for p, path in pspec["buckets_path"].items()
+            }
+            out = out.withColumn(name, _script_column(pspec["script"], params))
+        elif pkind == "bucket_selector":
+            params = {
+                p: _buckets_path_col(path, out.columns)
+                for p, path in pspec["buckets_path"].items()
+            }
+            # ES drops buckets where the script is false OR null
+            out = out.where(_script_column(pspec["script"], params))
+        elif pkind == "bucket_sort":
+            sort_cols = _sort_columns(pspec.get("sort"))
+            if sort_cols:
+                out = out.orderBy(*sort_cols)
+            offset = int(pspec.get("from", 0))
+            if offset:
+                raise ValueError("bucket_sort 'from' not supported")
+            if "size" in pspec:
+                out = out.limit(int(pspec["size"]))
+    return out
+
+
+def _compile_sibling_pipeline(
+    buckets: DataFrame, name: str, pkind: str, pspec: dict, bucket_name: str
+) -> DataFrame:
+    """Sibling ``*_bucket`` pipeline agg: a scalar over the sibling bucket
+    agg's frame, broadcast-annotated onto every bucket row (ES returns the
+    buckets AND the sibling value side by side; one frame carries both
+    here).  ``buckets_path`` must be ``<bucket_agg_name>>metric``."""
+    path = pspec["buckets_path"]
+    prefix = bucket_name + ">"
+    if not path.startswith(prefix):
+        raise ValueError(
+            f"sibling buckets_path {path!r} must start with {prefix!r}"
+        )
+    src = _buckets_path_col(path[len(prefix):], buckets.columns)
+    if pkind in ("avg_bucket", "sum_bucket"):
+        fn = F.avg if pkind == "avg_bucket" else F.sum
+        scalar = buckets.agg(fn(src).alias(f"{name}_value"))
+    else:
+        # max/min_bucket: value + the keys attaining it (ES returns a keys
+        # array; comma-joined here so the column stays driver-hashable).
+        # One global-window pass over the bucket frame (reduce-phase sized)
+        # marks the extremum, then one agg collects value + keys.
+        from pyspark.sql.window import Window
+
+        fn = F.max if pkind == "max_bucket" else F.min
+        ext = buckets.withColumn("_ext", fn(src).over(Window.partitionBy()))
+        scalar = ext.agg(
+            F.first("_ext").alias(f"{name}_value"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.when(src == F.col("_ext"), F.col("key").cast("string"))
+                    )
+                ),
+            ).alias(f"{name}_keys"),
+        )
+    return buckets.crossJoin(F.broadcast(scalar))
+
+
 def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -> DataFrame:
     key = _bucket_key_col(kind, bspec).alias("key")
 
@@ -637,13 +861,23 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         )
 
     exprs = [F.count(F.lit(1)).alias("doc_count")]
+    pipes: list[tuple[str, str, dict]] = []
     for sub_name, sub_spec in subs.items():
+        pk = [(k, v) for k, v in sub_spec.items() if k in _PIPELINE_KINDS]
+        if pk:
+            (pkind, pspec), = pk
+            pipes.append((sub_name, pkind, pspec))
+            continue
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
         exprs.extend(_metric_exprs(sub_name, mkind, mspec))
     out = df.groupBy(key).agg(*exprs)
     if kind == "terms":
         size = int(bspec.get("size", 10))
         out = out.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
+    if pipes:
+        # pipeline aggs see the REDUCED buckets (post terms-size cap),
+        # exactly ES's coordinating-node reduce phase
+        out = _apply_pipeline_aggs(out, kind, pipes)
     return out
 
 

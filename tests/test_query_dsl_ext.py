@@ -429,6 +429,83 @@ def test_composite_after_with_missing_bucket_pages_consistently(spark):
     assert [(r["g"], r["doc_count"]) for r in p3] == [("a", 1), ("b", 1)]
 
 
+def test_pipeline_aggs_on_histogram(spark):
+    """derivative / cumulative_sum / bucket_script / bucket_selector over
+    the reduced bucket frame, declaration order (round 7)."""
+    df = spark.createDataFrame(
+        [(float(m), 10.0 * m + i) for m in range(1, 5) for i in range(m)],
+        "band double, v double",
+    )
+    out = compile_aggs(df, {"h": {
+        "histogram": {"field": "band", "interval": 1},
+        "aggs": {
+            "total": {"sum": {"field": "v"}},
+            "d": {"derivative": {"buckets_path": "total"}},
+            "c": {"cumulative_sum": {"buckets_path": "total"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"t": "total", "n": "_count"},
+                "script": "params.t / params.n"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "_count"}, "script": "params.n > 1"}},
+        }}}).orderBy("key").collect()
+    got = [(r["key"], r["doc_count"], r["total"], r["d"], r["c"], r["per_doc"])
+           for r in out]
+    # bucket 1 (n=1) dropped by the selector; derivative/cumsum computed
+    # before it per declaration order (first bucket's derivative is null,
+    # and bucket 2 still sees bucket 1's total)
+    assert got == [
+        (2.0, 2, 41.0, 31.0, 51.0, 20.5),
+        (3.0, 3, 93.0, 52.0, 144.0, 31.0),
+        (4.0, 4, 166.0, 73.0, 310.0, 41.5),
+    ]
+
+
+def test_pipeline_derivative_rejects_terms_parent(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="histogram"):
+        compile_aggs(df, {"t": {"terms": {"field": "g"}, "aggs": {
+            "m": {"sum": {"field": "v"}},
+            "d": {"derivative": {"buckets_path": "m"}}}}}).collect()
+
+
+def test_bucket_script_rejects_unknown_syntax(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="unsupported bucket script"):
+        compile_aggs(df, {"t": {"terms": {"field": "g"}, "aggs": {
+            "m": {"sum": {"field": "v"}},
+            "s": {"bucket_script": {"buckets_path": {"m": "m"},
+                                    "script": "Math.log(params.m)"}}}}})
+
+
+def test_bucket_sort_truncates_buckets(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0), ("c", 4.0)], "g string, v double"
+    )
+    out = compile_aggs(df, {"t": {
+        "terms": {"field": "g"},
+        "aggs": {"m": {"max": {"field": "v"}},
+                 "s": {"bucket_sort": {"sort": [{"m": {"order": "desc"}}],
+                                       "size": 2}}}}}).collect()
+    assert [(r["key"], r["m"]) for r in out] == [("b", 9.0), ("c", 4.0)]
+
+
+def test_sibling_max_bucket_value_and_keys(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 10.0), ("c", 10.0)], "g string, v double"
+    )
+    out = compile_aggs(df, {
+        "t": {"terms": {"field": "g"}, "aggs": {"m": {"max": {"field": "v"}}}},
+        "best": {"max_bucket": {"buckets_path": "t>m"}},
+    }).orderBy("key").collect()
+    assert all(r["best_value"] == 10.0 for r in out)
+    assert all(r["best_keys"] == "b,c" for r in out)  # ties: both keys
+    out2 = compile_aggs(df, {
+        "t": {"terms": {"field": "g"}, "aggs": {"m": {"max": {"field": "v"}}}},
+        "mean": {"avg_bucket": {"buckets_path": "t>m"}},
+    }).collect()
+    assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
+
+
 def test_composite_agg_pagination(spark):
     df = spark.createDataFrame(
         [("a", 10.0), ("a", 30.0), ("b", 20.0), ("c", 5.0), ("c", 7.0)],
