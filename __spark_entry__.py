@@ -1790,6 +1790,67 @@ def q_es_sibling_bucket(spark, sf_dir):
     return es_search(o, _ES_SIBLING_BUCKET_BODY, id_field="o_orderkey")
 
 
+_ES_METRICS_EXT_BODY = {
+    "size": 0,
+    "aggs": {
+        "wavg_price": {"weighted_avg": {"value": {"field": "o_totalprice"},
+                                        "weight": {"field": "o_custkey"}}},
+        "price_box": {"boxplot": {"field": "o_totalprice"}},
+        "prio_str": {"string_stats": {"field": "o_orderpriority"}},
+        "latest": {"top_metrics": {"metrics": {"field": "o_totalprice"},
+                                   "sort": {"o_orderkey": "desc"}}},
+    },
+}
+
+_ES_RARE_TERMS_BODY = {
+    "size": 0,
+    "aggs": {"rare_custs": {
+        "rare_terms": {"field": "o_custkey", "max_doc_count": 2},
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }},
+}
+
+_ES_MULTI_TERMS_BODY = {
+    "size": 0,
+    "aggs": {"prio_status": {
+        "multi_terms": {"terms": [{"field": "o_orderpriority"},
+                                  {"field": "o_orderstatus"}], "size": 8},
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }},
+}
+
+
+def q_es_metrics_ext(spark, sf_dir):
+    """ES round-7 metric extensions in one body: weighted_avg (decimal-
+    routed, value-missing docs skipped), boxplot (exact quartiles),
+    string_stats (length stats), top_metrics (max_by, no window) —
+    DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_METRICS_EXT_BODY, id_field="o_orderkey")
+
+
+def q_es_rare_terms(spark, sf_dir):
+    """ES rare_terms: the long tail (customers with at most 2 orders),
+    exact where live ES approximates with a CuckooFilter — one groupBy +
+    HAVING, ordered count asc — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_RARE_TERMS_BODY, id_field="o_orderkey")
+
+
+def q_es_multi_terms(spark, sf_dir):
+    """ES multi_terms: (priority, status) tuple buckets, top-8 by doc
+    count — one groupBy + TakeOrderedAndProject like single-field terms —
+    DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_MULTI_TERMS_BODY, id_field="o_orderkey")
+
+
 def q_es_sig_terms(spark, sf_dir):
     """ES significant_terms (JLH heuristic): order statuses overrepresented
     among urgent orders vs the whole table — one groupBy computes both
@@ -2239,10 +2300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_composite": q_es_composite,
         "es_sig_terms": q_es_sig_terms,
         "es_count": q_es_count,
-        # round-7 DSL extensions: pipeline aggregations (golden-backed;
-        # round-8 window candidates)
+        # round-7 DSL extensions: pipeline aggregations + metric/bucket
+        # extensions (golden-backed; round-8 window candidates)
         "es_pipeline_aggs": q_es_pipeline_aggs,
         "es_sibling_bucket": q_es_sibling_bucket,
+        "es_metrics_ext": q_es_metrics_ext,
+        "es_rare_terms": q_es_rare_terms,
+        "es_multi_terms": q_es_multi_terms,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -3629,6 +3693,49 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_metrics_ext: weighted_avg / boxplot / string_stats /
+        # top_metrics, mirroring _metric_exprs' decimal routing and
+        # rounding exactly
+        "es_metrics_ext": """
+            SELECT
+              round(CAST(sum(CAST(o_totalprice * o_custkey AS DECIMAL(28,6)))
+                    / sum(CASE WHEN o_totalprice IS NOT NULL
+                          THEN CAST(o_custkey AS DECIMAL(28,6)) END)
+                    AS DOUBLE), 6) AS wavg_price,
+              min(o_totalprice) AS price_box_min,
+              round(quantile_cont(o_totalprice, 0.25), 6) AS price_box_q1,
+              round(quantile_cont(o_totalprice, 0.50), 6) AS price_box_q2,
+              round(quantile_cont(o_totalprice, 0.75), 6) AS price_box_q3,
+              max(o_totalprice) AS price_box_max,
+              count(o_orderpriority) AS prio_str_count,
+              CAST(min(length(o_orderpriority)) AS INT) AS prio_str_min_length,
+              CAST(max(length(o_orderpriority)) AS INT) AS prio_str_max_length,
+              round(CAST(sum(CAST(length(o_orderpriority) AS DECIMAL(28,6)))
+                    AS DOUBLE) / count(o_orderpriority), 6)
+                    AS prio_str_avg_length,
+              arg_max(o_totalprice, o_orderkey) AS latest_o_totalprice
+            FROM orders
+        """,
+        # q_es_rare_terms: exact long tail (HAVING <= cap), count asc
+        "es_rare_terms": """
+            SELECT o_custkey AS key,
+                   count(*) AS doc_count,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                         / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+            FROM orders GROUP BY 1
+            HAVING count(*) <= 2
+            ORDER BY doc_count ASC, key ASC
+        """,
+        # q_es_multi_terms: tuple buckets, top-8 by count then keys
+        "es_multi_terms": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS doc_count,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                         / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+            FROM orders GROUP BY 1, 2
+            ORDER BY doc_count DESC, o_orderpriority ASC, o_orderstatus ASC
+            LIMIT 8
         """,
         # q_es_query_ext: regexp (whole-value anchored) + should-of
         # [fuzzy damerau<=1, multi_match token overlap] with

@@ -37,9 +37,12 @@ Relevance-ranked ``match`` retrieval (BM25) lives in
 how the reference's ``not_analyzed`` mapping is actually queried.
 
 Supported aggregations: metrics ``avg sum min max value_count cardinality
-stats extended_stats percentiles percentile_ranks``; group-by buckets
+stats extended_stats percentiles percentile_ranks weighted_avg
+string_stats boxplot top_metrics``; group-by buckets
 ``terms histogram date_histogram`` (calendar_interval or epoch-aligned
-fixed_interval) with metric sub-aggs; conditional buckets ``range
+fixed_interval) with metric sub-aggs, plus ``rare_terms`` (exact long
+tail where ES approximates with a CuckooFilter) and ``multi_terms``
+(tuple bucket keys, one column per field); conditional buckets ``range
 filters missing`` (may overlap, so they compile to one ungrouped gated
 aggregate + an inline() reshape instead of a groupBy);
 ``significant_terms`` (JLH-scored foreground-vs-background terms: ONE
@@ -366,7 +369,8 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
 # ---------------------------------------------------------------------------
 
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
-                 "stats", "extended_stats", "percentiles", "percentile_ranks"}
+                 "stats", "extended_stats", "percentiles", "percentile_ranks",
+                 "weighted_avg", "string_stats", "boxplot", "top_metrics"}
 _COND_BUCKET_KINDS = {"range", "filters", "missing"}
 
 
@@ -383,8 +387,8 @@ def _metric_exprs(
     With ``gate`` (conditional buckets: range/filters/missing) the metric
     aggregates ``when(gate, field)`` — NULL outside the bucket, so one
     ungrouped pass computes every bucket's metrics simultaneously."""
-    field = spec["field"]
-    c = F.col(field)
+    field = spec.get("field")  # weighted_avg / top_metrics name fields inline
+    c = F.col(field) if field is not None else F.lit(None)
     if gate is not None:
         c = F.when(gate, c)
     dsum = F.sum(c.cast("decimal(28,6)"))
@@ -455,6 +459,54 @@ def _metric_exprs(
             ).alias(f"{name}_{str(v).replace('.', '_').removesuffix('_0')}")
             for v in spec["values"]
         ]
+    if kind == "weighted_avg":
+        # ES: docs whose VALUE is missing are skipped entirely (their
+        # weight does not count); decimal-routed like avg/sum
+        vf, wf = spec["value"]["field"], spec["weight"]["field"]
+        v, w = F.col(vf), F.col(wf)
+        if gate is not None:
+            v, w = F.when(gate, v), F.when(gate, w)
+        num = F.sum((v * w).cast("decimal(28,6)"))
+        den = F.sum(F.when(v.isNotNull(), w).cast("decimal(28,6)"))
+        return [F.round((num / den).cast("double"), 6).alias(name)]
+    if kind == "string_stats":
+        ln = F.length(c)
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(ln).alias(f"{name}_min_length"),
+            F.max(ln).alias(f"{name}_max_length"),
+            F.round(F.sum(ln.cast("decimal(28,6)")).cast("double") / F.count(c), 6)
+            .alias(f"{name}_avg_length"),
+        ]
+    if kind == "boxplot":
+        # exact quartiles (live ES approximates with TDigest — the same
+        # oracle-favoring divergence as `percentiles`)
+        return [
+            F.min(c).alias(f"{name}_min"),
+            F.round(F.percentile(c, 0.25), 6).alias(f"{name}_q1"),
+            F.round(F.percentile(c, 0.50), 6).alias(f"{name}_q2"),
+            F.round(F.percentile(c, 0.75), 6).alias(f"{name}_q3"),
+            F.max(c).alias(f"{name}_max"),
+        ]
+    if kind == "top_metrics":
+        # metrics of the best row per bucket by the sort field — exactly
+        # max_by/min_by, one agg expression, no window (size=1 only; ES's
+        # size>1 returns arrays, which the flat frame doesn't model)
+        sort = spec["sort"]
+        (sf_, is_desc), = _sort_specs(sort if isinstance(sort, list) else [sort])
+        if int(spec.get("size", 1)) != 1:
+            raise ValueError("top_metrics size > 1 not supported")
+        metrics = spec["metrics"]
+        if isinstance(metrics, dict):
+            metrics = [metrics]
+        pick = F.max_by if is_desc else F.min_by
+        out = []
+        for mspec in metrics:
+            mc, sc = F.col(mspec["field"]), F.col(sf_)
+            if gate is not None:
+                mc, sc = F.when(gate, mc), F.when(gate, sc)
+            out.append(pick(mc, sc).alias(f"{name}_{mspec['field']}"))
+        return out
     raise ValueError(f"unsupported metric agg: {kind}")
 
 
@@ -488,13 +540,20 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
               if set(s) & {"terms", "histogram", "date_histogram"}]
     cond = [(n, s) for n, s in aggs.items() if set(s) & _COND_BUCKET_KINDS]
     comp = [(n, s) for n, s in aggs.items() if "composite" in s]
-    if len(bucket) + len(cond) + len(comp) > 1:
+    extra = [(n, s) for n, s in aggs.items()
+             if set(s) & {"rare_terms", "multi_terms"}]
+    if len(bucket) + len(cond) + len(comp) + len(extra) > 1:
         raise ValueError("at most one bucket agg per body is supported")
 
     if comp:
         return _compile_composite(df, comp[0][1])
     if cond:
         return _compile_cond_bucket(df, cond[0][1], id_field)
+    if extra:
+        _, spec = extra[0]
+        if "rare_terms" in spec:
+            return _compile_rare_terms(df, spec)
+        return _compile_multi_terms(df, spec)
 
     sib = [(n, k, v) for n, s in aggs.items() for k, v in s.items()
            if k in _SIBLING_PIPELINE_KINDS]
@@ -810,6 +869,51 @@ def _compile_sibling_pipeline(
             ).alias(f"{name}_keys"),
         )
     return buckets.crossJoin(F.broadcast(scalar))
+
+
+def _sub_agg_exprs(subs: dict) -> list[Column]:
+    """Metric sub-agg expressions for a bucket agg's ``aggs`` block
+    (doc_count first, like every bucket frame)."""
+    exprs = [F.count(F.lit(1)).alias("doc_count")]
+    for sub_name, sub_spec in subs.items():
+        (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
+        exprs.extend(_metric_exprs(sub_name, mkind, mspec))
+    return exprs
+
+
+def _compile_rare_terms(df: DataFrame, spec: dict) -> DataFrame:
+    """ES ``rare_terms``: the LONG TAIL — terms whose doc_count is at most
+    ``max_doc_count`` (default 1), ordered count asc then key asc (live ES
+    uses a CuckooFilter approximation; this is the exact answer, the same
+    oracle-favoring divergence as ``cardinality``/``percentiles``).  One
+    shuffle: groupBy + a post-aggregation HAVING filter."""
+    bspec = spec["rare_terms"]
+    cap = int(bspec.get("max_doc_count", 1))
+    out = (
+        df.groupBy(F.col(bspec["field"]).alias("key"))
+        .agg(*_sub_agg_exprs(spec.get("aggs", {})))
+        .where(F.col("doc_count") <= cap)
+        .orderBy(F.col("doc_count").asc(), F.col("key").asc())
+    )
+    return out
+
+
+def _compile_multi_terms(df: DataFrame, spec: dict) -> DataFrame:
+    """ES ``multi_terms``: bucket key = tuple of fields; one output column
+    per field (flat frame; ES's ``key`` array ≙ the column tuple, its
+    ``key_as_string`` ≙ their join), ``doc_count`` + metric sub-aggs,
+    ordered doc_count desc then keys asc, top-``size`` buckets — compiled
+    as one groupBy + TakeOrderedAndProject like single-field terms."""
+    bspec = spec["multi_terms"]
+    fields = [t["field"] for t in bspec["terms"]]
+    size = int(bspec.get("size", 10))
+    out = (
+        df.groupBy(*[F.col(f) for f in fields])
+        .agg(*_sub_agg_exprs(spec.get("aggs", {})))
+        .orderBy(F.col("doc_count").desc(), *[F.col(f).asc() for f in fields])
+        .limit(size)
+    )
+    return out
 
 
 def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -> DataFrame:

@@ -506,6 +506,52 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_weighted_avg_skips_value_missing_docs(spark):
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (None, 100.0), (20.0, 3.0)], "v double, w double"
+    )
+    row = compile_aggs(df, {"wa": {"weighted_avg": {
+        "value": {"field": "v"}, "weight": {"field": "w"}}}}).collect()[0]
+    # the weight-100 doc has no value: its weight must NOT dilute (ES)
+    assert row["wa"] == (10.0 * 1 + 20.0 * 3) / (1 + 3)
+
+
+def test_rare_terms_exact_long_tail(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)], "g string"
+    )
+    out = compile_aggs(df, {"r": {"rare_terms": {
+        "field": "g", "max_doc_count": 2}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("c", 1), ("b", 2)]
+
+
+def test_multi_terms_tuple_buckets(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 9.0), ("b", "x", 4.0)],
+        "g string, h string, v double",
+    )
+    out = compile_aggs(df, {"m": {
+        "multi_terms": {"terms": [{"field": "g"}, {"field": "h"}], "size": 2},
+        "aggs": {"mx": {"max": {"field": "v"}}}}}).collect()
+    assert [(r["g"], r["h"], r["doc_count"], r["mx"]) for r in out] == [
+        ("a", "x", 2, 2.0), ("a", "y", 1, 9.0)]
+
+
+def test_top_metrics_direction_and_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 5.0)],
+        "g string, ts long, v double",
+    )
+    body = {"t": {"terms": {"field": "g"}, "aggs": {
+        "last": {"top_metrics": {"metrics": {"field": "v"},
+                                 "sort": {"ts": "desc"}}}}}}
+    out = {r["key"]: r["last_v"] for r in compile_aggs(df, body).collect()}
+    assert out == {"a": 20.0, "b": 5.0}
+    body["t"]["aggs"]["last"]["top_metrics"]["sort"] = {"ts": "asc"}
+    out = {r["key"]: r["last_v"] for r in compile_aggs(df, body).collect()}
+    assert out == {"a": 10.0, "b": 5.0}
+
+
 def test_composite_agg_pagination(spark):
     df = spark.createDataFrame(
         [("a", 10.0), ("a", 30.0), ("b", 20.0), ("c", 5.0), ("c", 7.0)],
