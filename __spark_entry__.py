@@ -1790,6 +1790,29 @@ def q_es_sibling_bucket(spark, sf_dir):
     return es_search(o, _ES_SIBLING_BUCKET_BODY, id_field="o_orderkey")
 
 
+_ES_CLAUSE_EXT_BODY = {
+    "query": {"bool": {"filter": [
+        {"terms_set": {"text": {
+            "terms": ["stream", "merge", "data"],
+            "minimum_should_match_script": {"source": "2"}}}},
+        {"match_phrase_prefix": {"text": "table val"}},
+    ]}},
+    "sort": [{"doc_id": {"order": "asc"}}],
+    "size": 40,
+    "_source": ["doc_id", "source", "n_chars"],
+}
+
+
+def q_es_clause_ext(spark, sf_dir):
+    """Round-7 filter clauses: terms_set (>= 2 of 3 terms present in the
+    analyzed text) AND match_phrase_prefix ('table val' as a contiguous
+    run with a prefix last term) — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    return es_search(d, _ES_CLAUSE_EXT_BODY, id_field="doc_id")
+
+
 _ES_METRICS_EXT_BODY = {
     "size": 0,
     "aggs": {
@@ -2307,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_metrics_ext": q_es_metrics_ext,
         "es_rare_terms": q_es_rare_terms,
         "es_multi_terms": q_es_multi_terms,
+        "es_clause_ext": q_es_clause_ext,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -3693,6 +3717,18 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_clause_ext: terms_set (>= 2 of 3 analyzed terms) AND
+        # match_phrase_prefix (contiguous run, prefix last term) — the
+        # same lowercase+whitespace analyzer on both sides
+        "es_clause_ext": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE len(list_filter(['stream', 'merge', 'data'],
+                    t -> list_contains(string_split_regex(lower(text), ' +'), t)
+                  )) >= 2
+              AND regexp_matches(lower(text), '(^| )table val')
+            ORDER BY doc_id ASC
+            LIMIT 40
         """,
         # q_es_metrics_ext: weighted_avg / boxplot / string_stats /
         # top_metrics, mirroring _metric_exprs' decimal routing and

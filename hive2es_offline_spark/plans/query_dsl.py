@@ -23,7 +23,11 @@ automata; AUTO and AUTO:low,high ladders; budget capped at 2 like ES —
 codegen for fuzziness <= 1, Arrow-batched OSA DP behind a pushed-down
 length guard for fuzziness 2), ``ids``, ``match`` (whitespace+lowercase analyzer,
 ``operator`` and ``minimum_should_match``-of-1 semantics),
-``match_phrase``, ``multi_match`` (per-field match, OR across fields),
+``match_phrase``, ``match_phrase_prefix`` (search-as-you-type: last term
+is a prefix), ``terms_set`` (>= N of the terms present; constant
+``params.num_terms`` scripts or a per-document
+``minimum_should_match_field``), ``multi_match`` (per-field match, OR
+across fields),
 ``bool`` with ``must`` / ``filter`` / ``should`` / ``must_not`` /
 ``minimum_should_match``, and the ES 8 top-level ``knn`` search clause
 (pre-filtered exact cosine top-k, ``_score = (1 + cosine) / 2``).
@@ -322,6 +326,38 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
             "\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in phrase
         ) + "( |$)"
         return F.regexp_like(F.lower(F.col(field)), F.lit(pat))
+    if kind == "match_phrase_prefix":
+        # phrase whose LAST term is a prefix (search-as-you-type): same
+        # contiguous-token-run shape as match_phrase, with the trailing
+        # word-boundary anchor dropped from the final term
+        field, spec = _field_spec(body)
+        query = spec["query"] if isinstance(spec, dict) else spec
+        phrase = " ".join(query.lower().split())
+        pat = "(^| )" + "".join(
+            "\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in phrase
+        )
+        return F.regexp_like(F.lower(F.col(field)), F.lit(pat))
+    if kind == "terms_set":
+        # at least minimum_should_match_script/field of the given terms
+        # appear in the analyzed field.  The constant-script form
+        # ("params.num_terms" or an integer literal) covers the common
+        # usage; a per-document field threshold reads that column.
+        field, spec = _field_spec(body)
+        terms = [str(t).lower() for t in spec["terms"]]
+        toks = _analyze(F.col(field))
+        hits: Column = F.lit(0)
+        for t in terms:
+            hits = hits + F.array_contains(toks, t).cast("int")
+        if "minimum_should_match_field" in spec:
+            need = F.col(spec["minimum_should_match_field"])
+        else:
+            script = str(spec.get("minimum_should_match_script", {}).get(
+                "source", len(terms)))
+            need = F.lit(
+                len(terms) if script.strip() == "params.num_terms"
+                else int(script)
+            )
+        return hits >= need
     if kind == "bool":
         # ES boolean semantics are TWO-valued: a clause over a missing/null
         # field simply "does not match" — it never poisons siblings the way

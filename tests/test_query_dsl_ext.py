@@ -133,6 +133,35 @@ def test_fuzzy_guard_pushed_below_python_eval(df):
     assert guard_pos != -1 and guard_pos > eval_pos  # deeper in the tree = earlier
 
 
+def test_match_phrase_prefix(spark):
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick brownie"), (3, "brown quick")],
+        "id long, txt string",
+    )
+    assert ids(df, {"match_phrase_prefix": {"txt": "quick bro"}}) == [1, 2]
+    # full last term still matches as its own prefix
+    assert ids(df, {"match_phrase_prefix": {"txt": "quick brown"}}) == [1, 2]
+    # order matters (phrase, not bag of words)
+    assert ids(df, {"match_phrase_prefix": {"txt": "brown qui"}}) == [3]
+
+
+def test_terms_set_thresholds(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", 2), (2, "a x y", 2), (3, "a b", 1)],
+        "id long, txt string, req long",
+    )
+    terms = {"terms": ["a", "b", "c"]}
+    # constant script: params.num_terms -> all 3 required
+    assert ids(df, {"terms_set": {"txt": {
+        **terms, "minimum_should_match_script": {"source": "params.num_terms"}}}}) == [1]
+    # integer-literal script
+    assert ids(df, {"terms_set": {"txt": {
+        **terms, "minimum_should_match_script": {"source": "2"}}}}) == [1, 3]
+    # per-document threshold column
+    assert ids(df, {"terms_set": {"txt": {
+        **terms, "minimum_should_match_field": "req"}}}) == [1, 3]
+
+
 def test_multi_match_or_across_fields(df):
     got = ids(df, {"multi_match": {"query": "beta machinery", "fields": ["txt", "seg"]}})
     assert got == [1, 2, 3]
