@@ -1813,6 +1813,30 @@ def q_es_clause_ext(spark, sf_dir):
     return es_search(d, _ES_CLAUSE_EXT_BODY, id_field="doc_id")
 
 
+_ES_DATE_MATH_BODY = {
+    "query": {"bool": {"filter": [
+        # whole months via /M interval rounding: gte rounds down to
+        # 1996-01-01, lte rounds up through 1996-03-31T23:59:59.999
+        {"range": {"o_orderdate": {"gte": "1996-01-15||/M",
+                                   "lte": "1996-02-20||+1M/M"}}},
+        {"range": {"o_totalprice": {"gte": 250000.0}}},
+    ]}},
+    "sort": [{"o_orderkey": {"order": "asc"}}],
+    "size": 50,
+    "_source": ["o_orderkey", "o_orderdate", "o_totalprice"],
+}
+
+
+def q_es_date_math(spark, sf_dir):
+    """ES date-math range semantics (round 7): ``||/M`` interval rounding
+    with the per-operator direction (gte down, lte up) — DuckDB-checked
+    via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_DATE_MATH_BODY, id_field="o_orderkey")
+
+
 _ES_METRICS_EXT_BODY = {
     "size": 0,
     "aggs": {
@@ -2331,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_rare_terms": q_es_rare_terms,
         "es_multi_terms": q_es_multi_terms,
         "es_clause_ext": q_es_clause_ext,
+        "es_date_math": q_es_date_math,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -3717,6 +3742,16 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_date_math: gte 1996-01-15||/M rounds DOWN to 1996-01-01;
+        # lte 1996-02-20||+1M/M rounds UP through the end of March
+        "es_date_math": """
+            SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND o_totalprice >= 250000.0
+            ORDER BY o_orderkey ASC
+            LIMIT 50
         """,
         # q_es_clause_ext: terms_set (>= 2 of 3 analyzed terms) AND
         # match_phrase_prefix (contiguous run, prefix last term) — the

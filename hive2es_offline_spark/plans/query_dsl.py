@@ -110,6 +110,115 @@ def _field_spec(body: dict) -> tuple[str, Any]:
     return next(iter(body.items()))
 
 
+_DATE_MATH_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "H": 3600, "d": 86400,
+                           "w": 7 * 86400}
+
+
+def parse_date_math(expr: str, now: "datetime | None" = None) -> tuple:
+    """ES date-math expression → ``(start, next_start)`` datetimes.
+
+    ``<anchor>||<ops>`` or ``now<ops>`` where ops are ``+Nu`` / ``-Nu``
+    arithmetic and ``/u`` rounding (units ``y M w d h H m s``; month adds
+    clamp the day like Java date math: Jan 31 + 1M = Feb 28).  Without
+    rounding, ``next_start == start``; with ``/u``, the pair brackets the
+    rounded interval ``[start, next_start)`` so the caller can apply ES's
+    per-operator rounding (gte→>=start, gt→>=next, lt→<start, lte→<next).
+
+    ``now`` must be injected explicitly — resolving it from the wall
+    clock would make retried/speculative tasks and golden oracles
+    nondeterministic, so an expression using ``now`` without an injected
+    clock raises."""
+    import re as _re
+    from datetime import datetime, timedelta
+
+    if expr.startswith("now"):
+        if now is None:
+            raise ValueError(
+                f"date math {expr!r} uses 'now': inject a deterministic "
+                "clock via the range spec's 'now' key"
+            )
+        anchor, ops = now, expr[3:]
+    else:
+        if "||" not in expr:
+            raise ValueError(f"not a date-math expression: {expr!r}")
+        raw, ops = expr.split("||", 1)
+        anchor = None
+        for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S"):
+            try:
+                anchor = datetime.strptime(raw, fmt)
+                break
+            except ValueError:
+                continue
+        if anchor is None:
+            raise ValueError(f"unparseable date-math anchor: {raw!r}")
+
+    def add_months(dt: datetime, n: int) -> datetime:
+        month0 = dt.month - 1 + n
+        y, m = dt.year + month0 // 12, month0 % 12 + 1
+        # clamp the day-of-month (Java date-math behavior)
+        last = [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+                else 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31][m - 1]
+        return dt.replace(year=y, month=m, day=min(dt.day, last))
+
+    tokens = _re.findall(r"[+-]\d+[yMwdhHms]|/[yMwdhHms]", ops)
+    if "".join(tokens) != ops:
+        raise ValueError(f"unsupported date-math ops in {expr!r}")
+    start, nxt = anchor, anchor
+    for tok in tokens:
+        if tok[0] in "+-":
+            n, unit = int(tok[:-1]), tok[-1]
+            if unit == "y":
+                start = add_months(start, 12 * n)
+            elif unit == "M":
+                start = add_months(start, n)
+            else:
+                start = start + timedelta(seconds=n * _DATE_MATH_UNIT_SECONDS[unit])
+            nxt = start
+        else:
+            unit = tok[1]
+            if unit == "y":
+                start = start.replace(month=1, day=1, hour=0, minute=0,
+                                      second=0, microsecond=0)
+                nxt = add_months(start, 12)
+            elif unit == "M":
+                start = start.replace(day=1, hour=0, minute=0, second=0,
+                                      microsecond=0)
+                nxt = add_months(start, 1)
+            elif unit == "w":
+                start = (start - timedelta(days=start.weekday())).replace(
+                    hour=0, minute=0, second=0, microsecond=0)
+                nxt = start + timedelta(days=7)
+            else:
+                trunc = {"d": timedelta(days=1), "h": timedelta(hours=1),
+                         "H": timedelta(hours=1), "m": timedelta(minutes=1),
+                         "s": timedelta(seconds=1)}[unit]
+                secs = trunc.total_seconds()
+                epoch = datetime(1970, 1, 1)
+                start = epoch + timedelta(
+                    seconds=(start - epoch).total_seconds() // secs * secs)
+                nxt = start + trunc
+    return start, nxt
+
+
+def _date_math_pred(c: Column, op: str, expr: str, now) -> Column:
+    """One range comparison against a date-math expression, with ES's
+    per-operator interval rounding: gte compares the interval start, gt
+    the next interval's start (excludes the whole rounded interval), lt
+    the start (excludes it entirely), lte the next start exclusively
+    (includes through the interval's last instant)."""
+    if isinstance(now, str):
+        if now.startswith("now"):
+            raise ValueError("the range spec's 'now' key must be a concrete timestamp")
+        now, _ = parse_date_math(now if "||" in now else now + "||")
+    start, nxt = parse_date_math(expr, now)
+    return {
+        "gte": c >= F.lit(start),
+        "gt": c >= F.lit(nxt) if nxt != start else c > F.lit(start),
+        "lt": c < F.lit(start),
+        "lte": c < F.lit(nxt) if nxt != start else c <= F.lit(start),
+    }[op]
+
+
 def _parse_fuzziness(fuzz: Any, term_len: int) -> int:
     """ES ``fuzziness`` → concrete edit budget for one term.
 
@@ -249,8 +358,18 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
     if kind == "range":
         field, spec = _field_spec(body)
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
-        preds = [getattr(F.col(field), ops[op])(F.lit(v))
-                 for op, v in spec.items() if op in ops]
+        preds = []
+        for op, v in spec.items():
+            if op not in ops:
+                continue  # e.g. the 'now' clock-injection key, format, boost
+            if isinstance(v, str) and (v.startswith("now") or "||" in v):
+                # ES date math: now-7d, 2024-01-01||+1M/d — with the
+                # per-operator interval rounding (see _date_math_pred);
+                # 'now' must be pinned via the spec's 'now' key so plans
+                # stay deterministic under task retry and in oracles
+                preds.append(_date_math_pred(F.col(field), op, v, spec.get("now")))
+            else:
+                preds.append(getattr(F.col(field), ops[op])(F.lit(v)))
         if not preds:
             raise ValueError(f"range on {field} needs gt/gte/lt/lte")
         out = preds[0]

@@ -133,6 +133,47 @@ def test_fuzzy_guard_pushed_below_python_eval(df):
     assert guard_pos != -1 and guard_pos > eval_pos  # deeper in the tree = earlier
 
 
+def test_date_math_parse_and_rounding():
+    from datetime import datetime
+
+    from hive2es_offline_spark.plans.query_dsl import parse_date_math
+
+    s, n = parse_date_math("2014-11-18||/M")
+    assert s == datetime(2014, 11, 1) and n == datetime(2014, 12, 1)
+    s, n = parse_date_math("2024-01-31||+1M")  # Java clamp: Jan 31 + 1M = Feb 29
+    assert s == datetime(2024, 2, 29) and n == s
+    s, n = parse_date_math("2024-03-15||-2w/d")
+    assert s == datetime(2024, 3, 1) and n == datetime(2024, 3, 2)
+    s, _ = parse_date_math("now-1d", now=datetime(2024, 6, 2, 12))
+    assert s == datetime(2024, 6, 1, 12)
+    with pytest.raises(ValueError, match="inject"):
+        parse_date_math("now-1d")
+    with pytest.raises(ValueError, match="unsupported date-math"):
+        parse_date_math("2024-01-01||+1q")
+
+
+def test_range_date_math_per_operator_rounding(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(i, datetime(2014, 11, 1 + i)) for i in range(8)] +
+        [(99, datetime(2014, 12, 5))],
+        "id long, ts timestamp",
+    )
+    # gte /M rounds DOWN: everything from Nov 1 on
+    assert ids(df, {"range": {"ts": {"gte": "2014-11-18||/M"}}}) == [0, 1, 2, 3, 4, 5, 6, 7, 99]
+    # gt /M rounds UP: excludes the whole of November
+    assert ids(df, {"range": {"ts": {"gt": "2014-11-18||/M"}}}) == [99]
+    # lt /M rounds DOWN: excludes November entirely
+    assert ids(df, {"range": {"ts": {"lt": "2014-11-18||/M"}}}) == []
+    # lte /M rounds UP: includes through Nov 30
+    assert ids(df, {"range": {"ts": {"lte": "2014-11-18||/M"}}}) == [0, 1, 2, 3, 4, 5, 6, 7]
+    # now with an injected clock
+    assert ids(df, {"range": {"ts": {"gte": "now-3d", "now": "2014-12-05"}}}) == [99]
+    with pytest.raises(ValueError, match="inject"):
+        ids(df, {"range": {"ts": {"gte": "now-3d"}}})
+
+
 def test_match_phrase_prefix(spark):
     df = spark.createDataFrame(
         [(1, "quick brown fox"), (2, "quick brownie"), (3, "brown quick")],
