@@ -1837,6 +1837,27 @@ def q_es_date_math(spark, sf_dir):
     return es_search(o, _ES_DATE_MATH_BODY, id_field="o_orderkey")
 
 
+_ES_GAP_FILL_BODY = {
+    "query": {"range": {"o_totalprice": {"gte": 400000.0}}},
+    "size": 0,
+    "aggs": {"by_month": {
+        "date_histogram": {"field": "o_orderdate", "calendar_interval": "month",
+                           "min_doc_count": 0},
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }},
+}
+
+
+def q_es_gap_fill(spark, sf_dir):
+    """date_histogram with min_doc_count=0: the dense month axis with
+    zero-count gap buckets (NULL metrics) — the time-series response
+    shape ES consumers chart — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_GAP_FILL_BODY, id_field="o_orderkey")
+
+
 _ES_METRICS_EXT_BODY = {
     "size": 0,
     "aggs": {
@@ -2356,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_multi_terms": q_es_multi_terms,
         "es_clause_ext": q_es_clause_ext,
         "es_date_math": q_es_date_math,
+        "es_gap_fill": q_es_gap_fill,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -3742,6 +3764,25 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_gap_fill: dense month axis via generate_series; zero-count
+        # gaps carry NULL metrics (ES empty-bucket shape)
+        "es_gap_fill": """
+            WITH b AS (
+              SELECT date_trunc('month', o_orderdate) AS key,
+                     count(*) AS doc_count,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                           / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+              FROM orders WHERE o_totalprice >= 400000.0 GROUP BY 1
+            ), axis AS (
+              SELECT unnest(generate_series(
+                (SELECT min(key) FROM b), (SELECT max(key) FROM b),
+                INTERVAL 1 MONTH)) AS key
+            )
+            SELECT axis.key, coalesce(b.doc_count, 0) AS doc_count,
+                   b.avg_price
+            FROM axis LEFT JOIN b USING (key)
+            ORDER BY axis.key
         """,
         # q_es_date_math: gte 1996-01-15||/M rounds DOWN to 1996-01-01;
         # lte 1996-02-20||+1M/M rounds UP through the end of March

@@ -1071,6 +1071,66 @@ def _compile_multi_terms(df: DataFrame, spec: dict) -> DataFrame:
     return out
 
 
+def _fill_bucket_gaps(out: DataFrame, kind: str, bspec: dict) -> DataFrame:
+    """``min_doc_count: 0`` gap filling for histogram / date_histogram:
+    emit EVERY bucket on the dense key axis from the lowest to the highest
+    observed key (widened by ``extended_bounds`` when given), with
+    ``doc_count`` 0 and NULL metrics for empty buckets — the time-series
+    shape ES consumers expect.  The axis is generated from the 1-row
+    min/max of the REDUCED bucket frame (sequence + explode), so the fill
+    costs O(#buckets) regardless of data scale."""
+    import math
+
+    bounds = dict(bspec.get("extended_bounds") or {})
+    if kind == "histogram":
+        # bounds are raw values: align them onto their bucket start so
+        # the axis stays on the grid (keys themselves are already aligned)
+        interval = float(bspec["interval"])
+        for b in ("min", "max"):
+            if b in bounds:
+                bounds[b] = math.floor(float(bounds[b]) / interval) * interval
+    lo: Column = F.min("key")
+    hi: Column = F.max("key")
+    if "min" in bounds:
+        lo = F.least(lo, F.lit(bounds["min"]).cast(out.schema["key"].dataType))
+    if "max" in bounds:
+        hi = F.greatest(hi, F.lit(bounds["max"]).cast(out.schema["key"].dataType))
+    axis = out.agg(lo.alias("_lo"), hi.alias("_hi")).where(F.col("_lo").isNotNull())
+    if kind == "histogram":
+        interval = float(bspec["interval"])
+        axis = axis.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.round(F.col("_lo") / interval).cast("long"),
+                        F.round(F.col("_hi") / interval).cast("long"),
+                    ),
+                    lambda i: i * F.lit(interval),
+                )
+            ).alias("key")
+        )
+    else:  # date_histogram: keys are interval-aligned, so stepping by the
+        # same interval stays aligned (month starts -> month starts)
+        fixed = bspec.get("fixed_interval")
+        if fixed is not None:
+            import re as _re
+
+            m = _re.fullmatch(r"(\d+)(s|m|h|d)", str(fixed))
+            step = f"INTERVAL {int(m.group(1))} " + {
+                "s": "SECOND", "m": "MINUTE", "h": "HOUR", "d": "DAY"
+            }[m.group(2)]
+        else:
+            unit = bspec.get("calendar_interval", "day")
+            step = f"INTERVAL 1 {unit.upper()}"
+        axis = axis.select(
+            F.explode(F.sequence("_lo", "_hi", F.expr(step))).alias("key")
+        )
+    filled = axis.join(out, "key", "left").withColumn(
+        "doc_count", F.coalesce(F.col("doc_count"), F.lit(0))
+    )
+    return filled.orderBy(F.col("key").asc())
+
+
 def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -> DataFrame:
     key = _bucket_key_col(kind, bspec).alias("key")
 
@@ -1130,12 +1190,20 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
         exprs.extend(_metric_exprs(sub_name, mkind, mspec))
     out = df.groupBy(key).agg(*exprs)
+    mdc = int(bspec.get("min_doc_count", 1))
     if kind == "terms":
+        if mdc > 1:
+            out = out.where(F.col("doc_count") >= mdc)
         size = int(bspec.get("size", 10))
         out = out.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
+    elif mdc == 0:
+        # histogram/date_histogram gap filling (empty buckets emitted)
+        out = _fill_bucket_gaps(out, kind, bspec)
+    elif mdc > 1:
+        out = out.where(F.col("doc_count") >= mdc)
     if pipes:
-        # pipeline aggs see the REDUCED buckets (post terms-size cap),
-        # exactly ES's coordinating-node reduce phase
+        # pipeline aggs see the REDUCED buckets (post terms-size cap and
+        # gap fill), exactly ES's coordinating-node reduce phase
         out = _apply_pipeline_aggs(out, kind, pipes)
     return out
 

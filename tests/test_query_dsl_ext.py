@@ -576,6 +576,42 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_histogram_gap_fill_min_doc_count_zero(spark):
+    df = spark.createDataFrame([(5.0,), (35.0,), (36.0,)], "v double")
+    out = compile_aggs(df, {"h": {"histogram": {
+        "field": "v", "interval": 10, "min_doc_count": 0}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        (0.0, 1), (10.0, 0), (20.0, 0), (30.0, 2)]
+    # extended_bounds widen the axis beyond the data
+    out = compile_aggs(df, {"h": {"histogram": {
+        "field": "v", "interval": 10, "min_doc_count": 0,
+        "extended_bounds": {"min": -10, "max": 55}}}}).collect()
+    assert [r["key"] for r in out] == [-10.0, 0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+
+
+def test_date_histogram_gap_fill_and_empty_metrics(spark):
+    from datetime import datetime
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 5), 10.0), (datetime(2024, 4, 2), 40.0)],
+        "ts timestamp, v double",
+    )
+    out = compile_aggs(df, {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month",
+                           "min_doc_count": 0},
+        "aggs": {"m": {"avg": {"field": "v"}}}}}).collect()
+    assert [(r["key"].month, r["doc_count"], r["m"]) for r in out] == [
+        (1, 1, 10.0), (2, 0, None), (3, 0, None), (4, 1, 40.0)]
+
+
+def test_terms_min_doc_count(spark):
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], "g string")
+    out = compile_aggs(df, {"t": {"terms": {
+        "field": "g", "min_doc_count": 2}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("a", 3)]
+
+
 def test_weighted_avg_skips_value_missing_docs(spark):
     df = spark.createDataFrame(
         [(10.0, 1.0), (None, 100.0), (20.0, 3.0)], "v double, w double"
