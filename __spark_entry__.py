@@ -730,6 +730,21 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022): cross-document repeated
+    >=8-token passages scrubbed from every copy — rolling hashed windows +
+    df join, no suffix array (operators/dedup.py::repeated_ngram_scrub).
+    Returns the affected docs with window/token counts — DuckDB-checked
+    via demoted_goldens (the planted near-dup families share passages)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.repeated_ngram_scrub(
+        d.select("doc_id", "text"), "doc_id", "text", k=8, min_df=2
+    )
+    return out.where(F.col("repeated_windows") > 0).select(
+        "doc_id", "repeated_windows", "tokens_removed"
+    )
+
+
 def q_dedup_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").where("vec_id < 300")
     return similarity.cosine_self_pairs(e, threshold=0.9, blocked=False)
@@ -2378,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_clause_ext": q_es_clause_ext,
         "es_date_math": q_es_date_math,
         "es_gap_fill": q_es_gap_fill,
+        # round-7 corpus op: exact-substring (repeated n-gram) dedup
+        "substring_dedup": q_substring_dedup,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -3764,6 +3781,35 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_substring_dedup: rolling 8-token windows (1-based starts),
+        # windows in >= 2 DISTINCT docs flag their token span; counts per
+        # affected doc.  Window text compared verbatim (Spark hashes it
+        # with xxhash64 — df counts agree absent a 64-bit collision).
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), wins AS (
+              SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS win
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+                    FROM toks WHERE len(t) >= 8)
+            ), hot AS (
+              SELECT win FROM (
+                SELECT win, count(DISTINCT doc_id) AS c FROM wins GROUP BY 1
+              ) WHERE c >= 2
+            ), rep AS (
+              SELECT DISTINCT doc_id, i FROM wins JOIN hot USING (win)
+            ), agg AS (
+              SELECT doc_id, list(i) AS starts,
+                     CAST(count(*) AS INT) AS repeated_windows
+              FROM rep GROUP BY 1
+            )
+            SELECT toks.doc_id, agg.repeated_windows,
+                   CAST(len(list_filter(range(1, len(toks.t) + 1),
+                        p -> len(list_filter(agg.starts,
+                                 s -> s <= p AND p < s + 8)) > 0))
+                        AS INT) AS tokens_removed
+            FROM toks JOIN agg USING (doc_id)
         """,
         # q_es_gap_fill: dense month axis via generate_series; zero-count
         # gaps carry NULL metrics (ES empty-bucket shape)

@@ -719,3 +719,104 @@ def incremental_dedup_minhash(
         .distinct()
     )
     return new_df.join(dup_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (repeated n-gram) dedup — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": passages of
+# >= k tokens appearing in more than one document are removed from every
+# document.  The paper builds a corpus suffix array; the Spark-first
+# equivalent is rolling k-token windows hashed and joined on document
+# frequency — O(total tokens) window rows, one shuffle on an 8-byte hash,
+# no suffix array and no driver-side state.
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """(id, win_start) for every k-token window whose text occurs in at
+    least ``min_df`` DISTINCT documents.  ``win_start`` is 1-based.
+
+    Scale shape: windows are (id, start, xxhash64) triples — the same
+    volume class as the minhash shingle pass; the df-count groups on the
+    8-byte hash (map-side partial distinct via the (h, id) projection)
+    and the hot-hash set joins back on the hash.  Nothing is collected;
+    there is no suffix array.
+    """
+    toks = df.select(F.col(id_col).alias("_did"), F.split(F.col(text_col), " ").alias("_t"))
+    n = F.size("_t")
+    wins = toks.select(
+        "_did",
+        F.explode(
+            F.when(n < k, F.array().cast("array<struct<i:int,h:bigint>>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("i"),
+                        F.xxhash64(F.concat_ws(" ", F.slice("_t", i, k))).alias("h"),
+                    ),
+                )
+            )
+        ).alias("_w"),
+    ).select("_did", "_w.i", "_w.h")
+    hot = (
+        wins.select("h", "_did")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("h")
+    )
+    return wins.join(hot, "h").select(
+        F.col("_did").alias(id_col), F.col("i").alias("win_start")
+    )
+
+
+def repeated_ngram_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Remove every cross-document repeated k-token passage from every
+    document (both/all copies are scrubbed, the paper's policy for exact
+    substring dedup).  Output: the input columns with ``{text_col}_clean``
+    (tokens covered by any repeated window removed), ``repeated_windows``
+    and ``tokens_removed`` counts.
+
+    The span merge is pure codegen: per document the flagged window
+    starts become an array; a token at position p is dropped iff some
+    start s covers it (s <= p < s + k) — an O(tokens x starts)
+    higher-order filter, no Python and no extra shuffle beyond the
+    groupBy that collects the starts."""
+    spans = (
+        repeated_ngram_spans(df, id_col, text_col, k=k, min_df=min_df)
+        .groupBy(id_col)
+        .agg(F.collect_set("win_start").alias("_starts"))
+    )
+    out = df.join(spans, id_col, "left")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    covered = lambda p: F.exists(  # noqa: E731
+        starts, lambda s: (s <= p) & (p < s + k)
+    )
+    kept = F.filter(
+        F.transform(toks, lambda t, idx: F.struct(t.alias("t"), (idx + 1).alias("p"))),
+        lambda st: ~covered(st["p"]),
+    )
+    return (
+        out.withColumn("repeated_windows", F.size(F.col("_starts")))
+        .withColumn("repeated_windows",
+                    F.when(F.col("_starts").isNull(), F.lit(0))
+                     .otherwise(F.col("repeated_windows")))
+        .withColumn(f"{text_col}_clean",
+                    F.concat_ws(" ", F.transform(kept, lambda st: st["t"])))
+        .withColumn("tokens_removed", F.size(toks) - F.size(kept))
+        .drop("_starts")
+    )

@@ -160,3 +160,44 @@ def test_incremental_minhash_signatures_from_snapshot_store(spark, batches, tmp_
         out, seen_df=None, seen_signatures=grown, threshold=0.5
     )
     assert again.count() == 0
+
+
+def test_repeated_ngram_scrub_removes_cross_doc_passages(spark):
+    """Exact-substring dedup (Lee et al. 2022): a >=k-token passage shared
+    by two docs is removed from BOTH; unique text is untouched."""
+    from hive2es_offline_spark.operators import dedup
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta"),
+            (2, "start " + passage + " end words here"),
+            (3, "nothing shared at all in this one document"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.repeated_ngram_scrub(df, "doc_id", "text", k=8, min_df=2).collect()}
+    # 10-token passage -> 3 overlapping 8-token windows, 10 tokens covered
+    assert out[1]["repeated_windows"] == 3 and out[1]["tokens_removed"] == 10
+    assert out[1]["text_clean"] == "alpha beta gamma delta"
+    assert out[2]["text_clean"] == "start end words here"
+    assert out[3]["tokens_removed"] == 0
+    assert out[3]["text_clean"] == out[3]["text"]
+    assert out[4]["repeated_windows"] == 0  # shorter than k: no windows
+
+
+def test_repeated_ngram_scrub_within_doc_repeat_not_flagged(spark):
+    """min_df counts DISTINCT documents: a passage repeated twice inside
+    ONE doc is not cross-document duplication."""
+    from hive2es_offline_spark.operators import dedup
+
+    p = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, p + " x " + p), (2, "totally different words everywhere here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.repeated_ngram_scrub(df, "doc_id", "text", k=8, min_df=2).collect()}
+    assert out[1]["tokens_removed"] == 0
