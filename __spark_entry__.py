@@ -1863,6 +1863,26 @@ _ES_GAP_FILL_BODY = {
 }
 
 
+_ES_TERMS_ORDER_BODY = {
+    "size": 0,
+    "aggs": {"by_priority": {
+        "terms": {"field": "o_orderpriority", "size": 3,
+                  "order": {"avg_price": "desc"}},
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }},
+}
+
+
+def q_es_terms_order(spark, sf_dir):
+    """ES terms ``order`` by a sub-agg metric: top-3 priorities by average
+    price (still aggregate + TakeOrderedAndProject) — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_TERMS_ORDER_BODY, id_field="o_orderkey")
+
+
 def q_es_gap_fill(spark, sf_dir):
     """date_histogram with min_doc_count=0: the dense month axis with
     zero-count gap buckets (NULL metrics) — the time-series response
@@ -2393,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_clause_ext": q_es_clause_ext,
         "es_date_math": q_es_date_math,
         "es_gap_fill": q_es_gap_fill,
+        "es_terms_order": q_es_terms_order,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
         "bigram_lm_score": q_bigram_lm_score,
@@ -3781,6 +3802,16 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_terms_order: terms ordered by the avg_price sub-agg
+        "es_terms_order": """
+            SELECT o_orderpriority AS key,
+                   count(*) AS doc_count,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                         / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+            FROM orders GROUP BY 1
+            ORDER BY avg_price DESC, key ASC
+            LIMIT 3
         """,
         # q_substring_dedup: rolling 8-token windows (1-based starts),
         # windows in >= 2 DISTINCT docs flag their token span; counts per

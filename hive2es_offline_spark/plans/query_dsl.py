@@ -799,9 +799,21 @@ def _bucket_key_col(kind: str, bspec: dict) -> Column:
     sources."""
     field = bspec["field"]
     if kind == "terms":
+        # `missing` buckets docs without the field under the given value
+        # (exact ES semantics).  Without it, NULL keys keep their own
+        # bucket — documented divergence: ES silently drops missing-field
+        # docs from terms; a NULL bucket loses no information and callers
+        # who want ES's drop add an exists filter.
+        if "missing" in bspec:
+            return F.coalesce(F.col(field), F.lit(bspec["missing"]))
         return F.col(field)
     if kind == "histogram":
         interval = float(bspec["interval"])
+        offset = float(bspec.get("offset", 0.0))
+        if offset:
+            return (
+                F.floor((F.col(field) - offset) / interval) * interval + offset
+            )
         return F.floor(F.col(field) / interval) * interval
     # date_histogram
     fixed = bspec.get("fixed_interval")
@@ -1195,7 +1207,18 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         if mdc > 1:
             out = out.where(F.col("doc_count") >= mdc)
         size = int(bspec.get("size", 10))
-        out = out.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
+        # ES terms `order`: _count (default), _key, or a sub-agg metric
+        # name — still aggregate + top-k (TakeOrderedAndProject)
+        (ofield, odir), = (bspec.get("order") or {"_count": "desc"}).items()
+        ocol = {"_count": F.col("doc_count"), "_key": F.col("key")}.get(ofield)
+        if ocol is None:
+            if ofield not in out.columns:
+                raise ValueError(
+                    f"terms order references unknown sub-agg {ofield!r}"
+                )
+            ocol = F.col(ofield)
+        primary = ocol.desc() if odir == "desc" else ocol.asc()
+        out = out.orderBy(primary, F.col("key").asc()).limit(size)
     elif mdc == 0:
         # histogram/date_histogram gap filling (empty buckets emitted)
         out = _fill_bucket_gaps(out, kind, bspec)

@@ -576,6 +576,35 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_terms_order_by_metric_key_and_missing(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), (None, 7.0)],
+        "g string, v double",
+    )
+    body = lambda order, **kw: {"t": {  # noqa: E731
+        "terms": {"field": "g", "order": order, **kw},
+        "aggs": {"m": {"avg": {"field": "v"}}}}}
+    out = compile_aggs(df, body({"m": "desc"})).collect()
+    assert [r["key"] for r in out] == ["b", None, "a"]
+    out = compile_aggs(df, body({"_key": "asc"})).collect()
+    assert [r["key"] for r in out] == [None, "a", "b"]  # NULL sorts first
+    out = compile_aggs(df, body({"_count": "asc"})).collect()
+    assert [r["key"] for r in out] == [None, "b", "a"]
+    # missing: NULL keys land in the named bucket (exact ES semantics)
+    out = compile_aggs(df, body({"_key": "asc"}, missing="N/A")).collect()
+    assert [r["key"] for r in out] == ["N/A", "a", "b"]
+    with pytest.raises(ValueError, match="unknown sub-agg"):
+        compile_aggs(df, body({"nope": "desc"})).collect()
+
+
+def test_histogram_offset(spark):
+    df = spark.createDataFrame([(3.0,), (7.0,), (13.0,)], "v double")
+    out = compile_aggs(df, {"h": {"histogram": {
+        "field": "v", "interval": 10, "offset": 5}}}).collect()
+    assert sorted((r["key"], r["doc_count"]) for r in out) == [
+        (-5.0, 1), (5.0, 2)]  # buckets [-5,5) and [5,15)
+
+
 def test_histogram_gap_fill_min_doc_count_zero(spark):
     df = spark.createDataFrame([(5.0,), (35.0,), (36.0,)], "v double")
     out = compile_aggs(df, {"h": {"histogram": {
