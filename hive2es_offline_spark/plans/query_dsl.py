@@ -893,7 +893,11 @@ def _script_column(script: str, params: dict[str, Column]) -> Column:
     def mul() -> Column:
         e = atom()
         while peek() in ("*", "/"):
-            e = e * atom() if take() == "*" else e / atom()
+            # try_divide: a zero divisor yields NULL (bucket dropped by a
+            # selector, NULL metric from a script) instead of aborting the
+            # whole job under ANSI mode — the right failure mode for one
+            # degenerate bucket at scale
+            e = e * atom() if take() == "*" else F.try_divide(e, atom())
         return e
 
     def add() -> Column:

@@ -530,6 +530,66 @@ def test_pipeline_aggs_on_histogram(spark):
     ]
 
 
+def test_pipeline_over_gap_filled_series(spark):
+    """The classic time-series combo: derivative + cumulative_sum over a
+    min_doc_count=0 gap-filled histogram — empty buckets contribute NULL
+    to the derivative chain and are skipped by the running sum."""
+    df = spark.createDataFrame([(0.0, 2.0), (30.0, 8.0)], "band double, v double")
+    out = compile_aggs(df, {"h": {
+        "histogram": {"field": "band", "interval": 10, "min_doc_count": 0},
+        "aggs": {"s": {"sum": {"field": "v"}},
+                 "d": {"derivative": {"buckets_path": "s"}},
+                 "c": {"cumulative_sum": {"buckets_path": "s"}}}}}
+    ).orderBy("key").collect()
+    assert [(r["key"], r["doc_count"], r["s"], r["d"], r["c"]) for r in out] == [
+        (0.0, 1, 2.0, None, 2.0),
+        (10.0, 0, None, None, 2.0),
+        (20.0, 0, None, None, 2.0),
+        (30.0, 1, 8.0, None, 10.0),  # gap neighbor: lag is NULL, like ES
+    ]
+
+
+def test_bucket_script_property_vs_python_eval(spark):
+    """Property: the Painless-subset parser agrees with Python eval on 120
+    random arithmetic/comparison expressions — evaluated in ONE Spark pass
+    (one boolean/double column per expression over a 1-row frame)."""
+    import random
+
+    from hive2es_offline_spark.plans.query_dsl import _script_column
+
+    rng = random.Random(13)
+    vals = {"a": 7.0, "b": -3.0, "c": 0.5}
+
+    def gen_arith(depth=0):
+        if depth > 2 or rng.random() < 0.4:
+            return rng.choice(["params.a", "params.b", "params.c",
+                               str(rng.randint(0, 9)), "2.5"])
+        op = rng.choice(["+", "-", "*", "/"])
+        return f"({gen_arith(depth + 1)} {op} {gen_arith(depth + 1)})"
+
+    exprs = []
+    for _ in range(120):
+        e = gen_arith()
+        if rng.random() < 0.5:
+            e = f"{e} {rng.choice(['>', '<', '>=', '<=', '==', '!='])} {gen_arith()}"
+        exprs.append(e)
+
+    df = spark.createDataFrame([tuple(vals.values())], "a double, b double, c double")
+    params = {k: F.col(k) for k in vals}
+    cols = [_script_column(e, params).alias(f"e{i}") for i, e in enumerate(exprs)]
+    row = df.select(*cols).collect()[0]
+    for i, e in enumerate(exprs):
+        try:
+            expected = eval(e.replace("params.", ""), {}, dict(vals))  # noqa: S307
+        except ZeroDivisionError:
+            continue  # SQL x/0 is NULL; Python raises — skip those draws
+        got = row[f"e{i}"]
+        if isinstance(expected, bool):
+            assert got == expected, (e, got, expected)
+        elif got is not None:
+            assert abs(got - expected) < 1e-9, (e, got, expected)
+
+
 def test_pipeline_derivative_rejects_terms_parent(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="histogram"):
