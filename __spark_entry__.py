@@ -1863,6 +1863,29 @@ _ES_GAP_FILL_BODY = {
 }
 
 
+_ES_ADJACENCY_BODY = {
+    "size": 0,
+    "aggs": {"m": {
+        "adjacency_matrix": {"filters": {
+            "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+            "highval": {"range": {"o_totalprice": {"gte": 200000.0}}},
+            "open": {"term": {"o_orderstatus": "O"}},
+        }},
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }},
+}
+
+
+def q_es_adjacency(spark, sf_dir):
+    """ES adjacency_matrix: named filters + every pairwise intersection in
+    ONE gated scan (no joins, empty cells omitted) — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_ADJACENCY_BODY, id_field="o_orderkey")
+
+
 _ES_TERMS_ORDER_BODY = {
     "size": 0,
     "aggs": {"by_priority": {
@@ -2414,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_math": q_es_date_math,
         "es_gap_fill": q_es_gap_fill,
         "es_terms_order": q_es_terms_order,
+        "es_adjacency": q_es_adjacency,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
         "bigram_lm_score": q_bigram_lm_score,
@@ -3802,6 +3826,33 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_adjacency: named filters + pairwise intersections (sorted
+        # names joined by '&'), empty cells omitted
+        "es_adjacency": """
+            WITH f AS (
+              SELECT o_totalprice,
+                     (o_orderpriority = '1-URGENT') AS urgent,
+                     (o_totalprice >= 200000.0) AS highval,
+                     (o_orderstatus = 'O') AS open_
+              FROM orders
+            ), cells(key, cond_count, cond_sum) AS (
+              SELECT 'highval', sum(CASE WHEN highval THEN 1 ELSE 0 END),
+                     sum(CASE WHEN highval THEN CAST(o_totalprice AS DECIMAL(28,6)) END) FROM f
+              UNION ALL SELECT 'open', sum(CASE WHEN open_ THEN 1 ELSE 0 END),
+                     sum(CASE WHEN open_ THEN CAST(o_totalprice AS DECIMAL(28,6)) END) FROM f
+              UNION ALL SELECT 'urgent', sum(CASE WHEN urgent THEN 1 ELSE 0 END),
+                     sum(CASE WHEN urgent THEN CAST(o_totalprice AS DECIMAL(28,6)) END) FROM f
+              UNION ALL SELECT 'highval&open', sum(CASE WHEN highval AND open_ THEN 1 ELSE 0 END),
+                     sum(CASE WHEN highval AND open_ THEN CAST(o_totalprice AS DECIMAL(28,6)) END) FROM f
+              UNION ALL SELECT 'highval&urgent', sum(CASE WHEN highval AND urgent THEN 1 ELSE 0 END),
+                     sum(CASE WHEN highval AND urgent THEN CAST(o_totalprice AS DECIMAL(28,6)) END) FROM f
+              UNION ALL SELECT 'open&urgent', sum(CASE WHEN open_ AND urgent THEN 1 ELSE 0 END),
+                     sum(CASE WHEN open_ AND urgent THEN CAST(o_totalprice AS DECIMAL(28,6)) END) FROM f
+            )
+            SELECT key, CAST(cond_count AS BIGINT) AS doc_count,
+                   round(CAST(cond_sum / cond_count AS DOUBLE), 6) AS avg_price
+            FROM cells WHERE cond_count > 0
         """,
         # q_es_terms_order: terms ordered by the avg_price sub-agg
         "es_terms_order": """

@@ -526,7 +526,7 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "percentile_ranks",
                  "weighted_avg", "string_stats", "boxplot", "top_metrics"}
-_COND_BUCKET_KINDS = {"range", "filters", "missing"}
+_COND_BUCKET_KINDS = {"range", "filters", "missing", "adjacency_matrix"}
 
 
 def _metric_exprs(
@@ -1325,6 +1325,21 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
     elif kind == "filters":
         for bname, clause in bspec["filters"].items():
             buckets.append((str(bname), compile_query(clause, id_field)))
+    elif kind == "adjacency_matrix":
+        # every named filter plus every pairwise intersection (keys joined
+        # by the separator, names sorted like ES) — still ONE gated scan;
+        # n filters -> n + n(n-1)/2 gated counts, no joins
+        sep = bspec.get("separator", "&")
+        named = [
+            (str(n), compile_query(q_, id_field))
+            for n, q_ in sorted(bspec["filters"].items())
+        ]
+        buckets = list(named)
+        for i in range(len(named)):
+            for j in range(i + 1, len(named)):
+                buckets.append(
+                    (named[i][0] + sep + named[j][0], named[i][1] & named[j][1])
+                )
     else:  # missing
         buckets.append(("missing", F.col(bspec["field"]).isNull()))
     if not buckets:
@@ -1356,7 +1371,11 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
             if cn.startswith(prefix)
         ]
         structs.append(F.struct(*fields))
-    return row.select(F.inline(F.array(*structs)))
+    out = row.select(F.inline(F.array(*structs)))
+    if kind == "adjacency_matrix":
+        # ES omits empty cells from the matrix response
+        out = out.where(F.col("doc_count") > 0)
+    return out
 
 
 def significant_terms(

@@ -636,6 +636,21 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_adjacency_matrix_pairwise_intersections(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 9.5), ("c", 0.1)], "g string, v double"
+    )
+    out = compile_aggs(df, {"m": {
+        "adjacency_matrix": {"filters": {
+            "is_a": {"term": {"g": "a"}},
+            "high": {"range": {"v": {"gte": 5.0}}},
+        }},
+        "aggs": {"mx": {"max": {"field": "v"}}}}}).collect()
+    got = {r["key"]: (r["doc_count"], r["mx"]) for r in out}
+    # empty cells omitted; pair key joins the sorted names
+    assert got == {"is_a": (2, 9.0), "high": (2, 9.5), "high&is_a": (1, 9.0)}
+
+
 def test_terms_order_by_metric_key_and_missing(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 10.0), (None, 7.0)],
