@@ -1863,6 +1863,30 @@ _ES_GAP_FILL_BODY = {
 }
 
 
+_ES_RUNTIME_FIELDS_BODY = {
+    "runtime_mappings": {"discount_price": {
+        "type": "double",
+        "script": {"source": "emit(doc['o_totalprice'].value * 0.9)"},
+    }},
+    "query": {"range": {"discount_price": {"gte": 300000.0}}},
+    "sort": [{"discount_price": {"order": "desc"}},
+             {"o_orderkey": {"order": "asc"}}],
+    "size": 25,
+    "_source": ["o_orderkey", "discount_price"],
+}
+
+
+def q_es_runtime_fields(spark, sf_dir):
+    """ES runtime_mappings: a query-time computed field (Painless subset,
+    emit + doc refs) used in the query filter, sort, and projection — a
+    plain Catalyst projection, fully codegen — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    return es_search(o, _ES_RUNTIME_FIELDS_BODY, id_field="o_orderkey")
+
+
 _ES_ADJACENCY_BODY = {
     "size": 0,
     "aggs": {"m": {
@@ -2438,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_gap_fill": q_es_gap_fill,
         "es_terms_order": q_es_terms_order,
         "es_adjacency": q_es_adjacency,
+        "es_runtime_fields": q_es_runtime_fields,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
         "bigram_lm_score": q_bigram_lm_score,
@@ -3826,6 +3851,15 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_runtime_fields: the runtime field is the same IEEE double
+        # product on both engines
+        "es_runtime_fields": """
+            SELECT o_orderkey, o_totalprice * 0.9 AS discount_price
+            FROM orders
+            WHERE o_totalprice * 0.9 >= 300000.0
+            ORDER BY discount_price DESC, o_orderkey ASC
+            LIMIT 25
         """,
         # q_es_adjacency: named filters + pairwise intersections (sorted
         # names joined by '&'), empty cells omitted

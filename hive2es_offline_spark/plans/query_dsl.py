@@ -848,16 +848,28 @@ _PIPELINE_KINDS = {
 _SIBLING_PIPELINE_KINDS = {"max_bucket", "min_bucket", "avg_bucket", "sum_bucket"}
 
 
-def _script_column(script: str, params: dict[str, Column]) -> Column:
-    """Compile the arithmetic/comparison subset of a Painless bucket
-    script to a Column: numbers, ``params.<name>`` refs, ``+ - * /``,
-    parentheses, comparisons and ``&& ||`` (for bucket_selector).  This is
-    the subset the ES docs use for bucket_script/bucket_selector examples;
-    anything else raises."""
+def _script_column(
+    script: str,
+    params: dict[str, Column],
+    columns: list[str] | None = None,
+) -> Column:
+    """Compile the arithmetic/comparison subset of a Painless script to a
+    Column: numbers, ``params.<name>`` refs, ``doc['field'].value`` /
+    ``doc.field`` document refs (when ``columns`` is given — runtime
+    fields), ``+ - * /``, parentheses, comparisons and ``&& ||`` (for
+    bucket_selector).  This is the subset the ES docs use for
+    bucket_script / bucket_selector / runtime-field examples; anything
+    else raises.  A wrapping ``emit(...)`` (runtime-field convention) is
+    stripped."""
     import re as _re
 
+    script = script.strip()
+    if script.startswith("emit(") and script.endswith(")"):
+        script = script[len("emit("):-1]
     tokens = _re.findall(
-        r"params\.\w+|\d+\.\d+|\d+|&&|\|\||>=|<=|==|!=|[-+*/()<>]", script
+        r"params\.\w+|doc\['\w+'\]\.value|doc\['\w+'\]|doc\.\w+"
+        r"|\d+\.\d+|\d+|&&|\|\||>=|<=|==|!=|[-+*/()<>]",
+        script,
     )
     # everything in the script must tokenize: unknown identifiers/chars
     # (function calls, ternaries, field refs) are NOT silently dropped
@@ -888,6 +900,11 @@ def _script_column(script: str, params: dict[str, Column]) -> Column:
             if name not in params:
                 raise ValueError(f"bucket script references unknown param {name!r}")
             return params[name]
+        if t.startswith("doc"):
+            name = t.split("'")[1] if "'" in t else t[len("doc."):]
+            if columns is None or name not in columns:
+                raise ValueError(f"script references unknown doc field {name!r}")
+            return F.col(name)
         return F.lit(float(t))
 
     def mul() -> Column:
@@ -1442,7 +1459,18 @@ def es_search(
     sort) followed by a row_number skip over just those k rows.  A body with
     ``aggs`` and ``size: 0`` returns the aggregation result instead of hits
     (the common analytics shape).
+
+    ``runtime_mappings`` define query-time computed fields from the
+    Painless arithmetic subset (``doc['f'].value`` refs, ``emit(...)``
+    wrapper stripped); the field is a plain Catalyst projection, so every
+    clause / agg / sort over it stays codegen and Catalyst still pushes
+    predicates on REAL columns past it into the scan.
     """
+    for rname, rspec in (body.get("runtime_mappings") or {}).items():
+        df = df.withColumn(
+            rname,
+            _script_column(rspec["script"]["source"], {}, columns=df.columns),
+        )
     # significant_terms needs BOTH populations: the body's query defines
     # the foreground, the unfiltered table is the background — so it
     # branches before the query filter collapses them into one

@@ -636,6 +636,36 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_runtime_mappings_field_in_query_agg_and_sort(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [(1, 100.0, 2.0), (2, 300.0, 3.0), (3, 500.0, 1.0)],
+        "id long, price double, qty double",
+    )
+    body = {
+        "runtime_mappings": {"total": {
+            "type": "double",
+            "script": {"source": "emit(doc['price'].value * doc.qty)"}}},
+        "query": {"range": {"total": {"gte": 500.0}}},
+        "sort": [{"total": {"order": "desc"}}],
+        "size": 10,
+        "_source": ["id", "total"],
+    }
+    out = es_search(df, body, id_field="id").collect()
+    assert [(r["id"], r["total"]) for r in out] == [(2, 900.0), (3, 500.0)]
+    # aggs over the runtime field
+    agg_body = {
+        "runtime_mappings": body["runtime_mappings"],
+        "size": 0,
+        "aggs": {"m": {"max": {"field": "total"}}},
+    }
+    assert es_search(df, agg_body, id_field="id").collect()[0]["m"] == 900.0
+    with pytest.raises(ValueError, match="unknown doc field"):
+        es_search(df, {"runtime_mappings": {"x": {
+            "script": {"source": "doc['nope'].value"}}}, "size": 1}, id_field="id")
+
+
 def test_adjacency_matrix_pairwise_intersections(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 9.0), ("b", 9.5), ("c", 0.1)], "g string, v double"
