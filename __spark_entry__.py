@@ -1863,6 +1863,23 @@ _ES_GAP_FILL_BODY = {
 }
 
 
+_ES_SIG_TEXT_BODY = {
+    "query": {"term": {"source": "src3"}},
+    "size": 0,
+    "aggs": {"sig": {"significant_text": {"field": "text", "size": 8}}},
+}
+
+
+def q_es_sig_text(spark, sf_dir):
+    """ES significant_text: JLH-scored tokens overrepresented in one
+    source's documents vs the corpus — analyzed tokens, one count per doc,
+    DOC-level totals — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    return es_search(d, _ES_SIG_TEXT_BODY, id_field="doc_id")
+
+
 _ES_RUNTIME_FIELDS_BODY = {
     "runtime_mappings": {"discount_price": {
         "type": "double",
@@ -2463,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_terms_order": q_es_terms_order,
         "es_adjacency": q_es_adjacency,
         "es_runtime_fields": q_es_runtime_fields,
+        "es_sig_text": q_es_sig_text,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
         "bigram_lm_score": q_bigram_lm_score,
@@ -3851,6 +3869,35 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_sig_text: token-level JLH, one count per doc, DOC totals
+        "es_sig_text": """
+            WITH d AS (
+              SELECT (source = 'src3') AS fg,
+                     list_distinct(string_split_regex(lower(text), ' +')) AS toks
+              FROM documents
+            ), tot AS (
+              SELECT count(*) AS bg_total,
+                     sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_total
+              FROM d
+            ), tok AS (
+              SELECT fg, unnest(toks) AS key FROM d
+            ), g AS (
+              SELECT key, count(*) AS bg_count,
+                     CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT)
+                       AS doc_count
+              FROM tok GROUP BY 1
+            )
+            SELECT key, doc_count, bg_count,
+                   round((doc_count / CAST(fg_total AS DOUBLE)
+                          - bg_count / CAST(bg_total AS DOUBLE))
+                         * ((doc_count / CAST(fg_total AS DOUBLE))
+                            / (bg_count / CAST(bg_total AS DOUBLE))), 6)
+                     AS score
+            FROM g, tot
+            WHERE doc_count > 0
+            ORDER BY score DESC, key ASC
+            LIMIT 8
         """,
         # q_es_runtime_fields: the runtime field is the same IEEE double
         # product on both engines

@@ -1400,6 +1400,7 @@ def significant_terms(
     foreground: Column,
     field: str,
     size: int = 10,
+    totals: tuple[float, float] | None = None,
 ) -> DataFrame:
     """ES ``significant_terms``: terms overrepresented in the foreground
     subset relative to the whole table, scored with ES's default JLH
@@ -1418,11 +1419,13 @@ def significant_terms(
         F.count(F.lit(1)).alias("bg_count"),
         F.sum(fg_int).alias("doc_count"),
     )
-    totals = df.agg(
-        F.count(F.lit(1)).alias("bg_total"), F.sum(fg_int).alias("fg_total")
-    ).first()
-    bg_total = float(totals["bg_total"] or 0) or 1.0
-    fg_total = float(totals["fg_total"] or 0) or 1.0
+    if totals is None:
+        t = df.agg(
+            F.count(F.lit(1)).alias("bg_total"), F.sum(fg_int).alias("fg_total")
+        ).first()
+        totals = (float(t["bg_total"] or 0), float(t["fg_total"] or 0))
+    bg_total = totals[0] or 1.0
+    fg_total = totals[1] or 1.0
     fg_pct = F.col("doc_count") / F.lit(fg_total)
     bg_pct = F.col("bg_count") / F.lit(bg_total)
     score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
@@ -1475,19 +1478,38 @@ def es_search(
     # the foreground, the unfiltered table is the background — so it
     # branches before the query filter collapses them into one
     sig = [
-        (n, s["significant_terms"])
-        for n, s in (body.get("aggs") or {}).items()
-        if "significant_terms" in s
+        (kind, s[kind])
+        for _, s in (body.get("aggs") or {}).items()
+        for kind in ("significant_terms", "significant_text")
+        if kind in s
     ]
     if sig:
         if len(body.get("aggs", {})) != 1:
             raise ValueError("significant_terms must be the only aggregation")
-        _, spec = sig[0]
+        (kind, spec), = sig
         fg = (
             compile_query(body["query"], id_field)
             if "query" in body
             else F.lit(True)
         )
+        if kind == "significant_text":
+            # same JLH machinery over ANALYZED tokens: one distinct token
+            # row per document (a token counts once per doc, ES's
+            # filter_duplicate_text spirit), but the JLH percentages
+            # divide by DOCUMENT totals — fg%/bg% are doc frequencies,
+            # exactly ES's subset/superset sizes — not token-row totals
+            fg_int0 = F.coalesce(fg.cast("int"), F.lit(0))
+            t = df.agg(F.count(F.lit(1)), F.sum(fg_int0)).first()
+            tokens = df.select(
+                fg.alias("_fg"),
+                F.explode(
+                    F.array_distinct(_analyze(F.col(spec["field"])))
+                ).alias("_token"),
+            )
+            return significant_terms(
+                tokens, F.col("_fg"), "_token", size=int(spec.get("size", 10)),
+                totals=(float(t[0] or 0), float(t[1] or 0)),
+            )
         return significant_terms(
             df, fg, spec["field"], size=int(spec.get("size", 10))
         )

@@ -636,6 +636,35 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_significant_text_token_level_jlh(spark):
+    """significant_text: JLH over analyzed tokens, one count per doc (a
+    repeated token inside a doc counts once), totals are DOC counts."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "crash crash stacktrace kernel"),
+            (2, "a", "crash kernel panic"),
+            (3, "b", "picnic sunshine kernel"),
+            (4, "b", "sunshine beach holiday"),
+        ],
+        "id long, grp string, text string",
+    )
+    out = es_search(df, {
+        "query": {"term": {"grp": "a"}},
+        "size": 0,
+        "aggs": {"sig": {"significant_text": {"field": "text", "size": 3}}},
+    }, id_field="id").collect()
+    rows = {r["key"]: r for r in out}
+    # 'crash' appears in both fg docs (once each despite repetition) and
+    # no bg docs -> top score; doc-level totals: fg_total=2, bg_total=4
+    assert out[0]["key"] == "crash"
+    assert rows["crash"]["doc_count"] == 2 and rows["crash"]["bg_count"] == 2
+    # fg%=1.0, bg%=0.5 -> (1-0.5)*(1/0.5) = 1.0
+    assert abs(rows["crash"]["score"] - 1.0) < 1e-9
+    assert "sunshine" not in rows  # absent from the foreground
+
+
 def test_runtime_mappings_field_in_query_agg_and_sort(spark):
     from hive2es_offline_spark.plans.query_dsl import es_search
 
