@@ -841,11 +841,14 @@ def _bucket_key_col(kind: str, bspec: dict) -> Column:
 #: need is the same O(buckets) work ES does, not a data-scale sort.
 _PIPELINE_KINDS = {
     "derivative", "cumulative_sum", "bucket_script", "bucket_selector",
-    "bucket_sort",
+    "bucket_sort", "serial_diff", "moving_fn",
 }
 #: sibling pipeline aggregations (computed across a sibling bucket agg's
 #: buckets, declared NEXT TO it, not under it)
-_SIBLING_PIPELINE_KINDS = {"max_bucket", "min_bucket", "avg_bucket", "sum_bucket"}
+_SIBLING_PIPELINE_KINDS = {
+    "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
+    "stats_bucket", "percentiles_bucket",
+}
 
 
 def _script_column(
@@ -980,12 +983,40 @@ def _apply_pipeline_aggs(
     w = Window.orderBy(F.col("key").asc())
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for name, pkind, pspec in pipes:
-        if pkind in ("derivative", "cumulative_sum") and kind == "terms":
+        if pkind in ("derivative", "cumulative_sum", "serial_diff",
+                     "moving_fn") and kind == "terms":
             # ES: sequential pipeline aggs need an ordered histogram parent
             raise ValueError(f"{pkind} requires a histogram/date_histogram parent")
         if pkind == "derivative":
             src = _buckets_path_col(pspec["buckets_path"], out.columns)
             out = out.withColumn(name, src - F.lag(src).over(w))
+        elif pkind == "serial_diff":
+            src = _buckets_path_col(pspec["buckets_path"], out.columns)
+            out = out.withColumn(
+                name, src - F.lag(src, int(pspec.get("lag", 1))).over(w)
+            )
+        elif pkind == "moving_fn":
+            # the MovingFunctions.{max,min,sum,unweightedAvg} shorthand
+            # scripts; ES's window covers the `window` buckets BEFORE the
+            # current one (shift 0 excludes current; shift slides right)
+            import re as _re
+
+            m = _re.fullmatch(
+                r"MovingFunctions\.(max|min|sum|unweightedAvg)\(values\)",
+                str(pspec.get("script", "")).strip(),
+            )
+            if not m:
+                raise ValueError(
+                    "moving_fn supports the MovingFunctions."
+                    "{max,min,sum,unweightedAvg}(values) shorthand scripts"
+                )
+            fn = {"max": F.max, "min": F.min, "sum": F.sum,
+                  "unweightedAvg": F.avg}[m.group(1)]
+            window = int(pspec["window"])
+            shift = int(pspec.get("shift", 0))
+            frame = w.rowsBetween(-window + shift, -1 + shift)
+            src = _buckets_path_col(pspec["buckets_path"], out.columns)
+            out = out.withColumn(name, fn(src).over(frame))
         elif pkind == "cumulative_sum":
             src = _buckets_path_col(pspec["buckets_path"], out.columns)
             # decimal-routed like every additive float agg (repo
@@ -1033,7 +1064,22 @@ def _compile_sibling_pipeline(
             f"sibling buckets_path {path!r} must start with {prefix!r}"
         )
     src = _buckets_path_col(path[len(prefix):], buckets.columns)
-    if pkind in ("avg_bucket", "sum_bucket"):
+    if pkind == "stats_bucket":
+        scalar = buckets.agg(
+            F.count(src).alias(f"{name}_count"),
+            F.min(src).alias(f"{name}_min"),
+            F.max(src).alias(f"{name}_max"),
+            F.round(F.avg(src), 6).alias(f"{name}_avg"),
+            F.round(F.sum(src), 6).alias(f"{name}_sum"),
+        )
+    elif pkind == "percentiles_bucket":
+        pcts = pspec.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0])
+        scalar = buckets.agg(*[
+            F.round(F.percentile(src, float(p) / 100.0), 6)
+            .alias(f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}")
+            for p in pcts
+        ])
+    elif pkind in ("avg_bucket", "sum_bucket"):
         fn = F.avg if pkind == "avg_bucket" else F.sum
         scalar = buckets.agg(fn(src).alias(f"{name}_value"))
     else:

@@ -590,6 +590,49 @@ def test_bucket_script_property_vs_python_eval(spark):
             assert abs(got - expected) < 1e-9, (e, got, expected)
 
 
+def test_serial_diff_and_moving_fn(spark):
+    df = spark.createDataFrame(
+        [(float(b), float(v)) for b, v in
+         [(0, 1), (1, 4), (2, 9), (3, 16), (4, 25)]],
+        "band double, v double",
+    )
+    out = compile_aggs(df, {"h": {
+        "histogram": {"field": "band", "interval": 1},
+        "aggs": {
+            "s": {"sum": {"field": "v"}},
+            "d2": {"serial_diff": {"buckets_path": "s", "lag": 2}},
+            "mmax": {"moving_fn": {"buckets_path": "s", "window": 2,
+                                   "script": "MovingFunctions.max(values)"}},
+            "mavg": {"moving_fn": {"buckets_path": "s", "window": 2, "shift": 1,
+                                   "script": "MovingFunctions.unweightedAvg(values)"}},
+        }}}).orderBy("key").collect()
+    got = [(r["key"], r["s"], r["d2"], r["mmax"], r["mavg"]) for r in out]
+    assert got == [
+        # mmax: max of the 2 PRIOR buckets (shift 0 excludes current);
+        # mavg: shift 1 slides right to include the current bucket
+        (0.0, 1.0, None, None, 1.0),
+        (1.0, 4.0, None, 1.0, 2.5),
+        (2.0, 9.0, 8.0, 4.0, 6.5),
+        (3.0, 16.0, 12.0, 9.0, 12.5),
+        (4.0, 25.0, 16.0, 16.0, 20.5),
+    ]
+
+
+def test_sibling_stats_and_percentiles_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("c", 5.0)], "g string, v double"
+    )
+    base = {"t": {"terms": {"field": "g"}, "aggs": {"m": {"max": {"field": "v"}}}}}
+    out = compile_aggs(df, {**base, "st": {
+        "stats_bucket": {"buckets_path": "t>m"}}}).collect()
+    r = out[0]
+    assert (r["st_count"], r["st_min"], r["st_max"], r["st_avg"], r["st_sum"]) == \
+        (3, 1.0, 5.0, 3.0, 9.0)
+    out = compile_aggs(df, {**base, "pct": {
+        "percentiles_bucket": {"buckets_path": "t>m", "percents": [50]}}}).collect()
+    assert out[0]["pct_p50"] == 3.0
+
+
 def test_pipeline_derivative_rejects_terms_parent(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="histogram"):
