@@ -2353,8 +2353,12 @@ def q_multimodal_meta(spark, sf_dir):
 #: Remaining never-adjudicated golden-backed candidates for round 8:
 #: window_ntile, repetition_stats, contamination, epoch_shuffle,
 #: temperature_mix, data_drift, es_query_ext, es_aggs_range,
-#: es_aggs_filters, bigram_lm_score.  Window membership is just this
-#: list; goldens follow automatically.
+#: es_aggs_filters, bigram_lm_score, plus the round-7 additions
+#: es_pipeline_aggs, es_sibling_bucket, es_metrics_ext, es_rare_terms,
+#: es_multi_terms, es_clause_ext, es_date_math, es_gap_fill,
+#: es_terms_order, es_adjacency, es_runtime_fields, es_sig_text,
+#: substring_dedup.  Window membership is just this list; goldens follow
+#: automatically.
 DRIVER_WINDOW = [
     "scan_filter", "schema_infer",
     "mapping_synthesis", "filter_pred", "es_routing", "partition_counts",

@@ -59,11 +59,14 @@ rank-within-bucket → Catalyst's WindowGroupLimit; one row per hit; the
 terms ``size`` bucket cap applies — top-N buckets by doc count are kept
 via a broadcast semi-join before the per-bucket limit); pipeline
 aggregations over the reduced bucket frame — parent ``derivative``,
-``cumulative_sum`` (histogram parents only, like ES), ``bucket_script`` /
-``bucket_selector`` (arithmetic/comparison Painless subset compiled to a
-Column), ``bucket_sort``, and sibling ``max_bucket`` / ``min_bucket`` /
-``avg_bucket`` / ``sum_bucket`` (scalar + extremum keys,
-broadcast-annotated onto the bucket rows).  ``percentiles``
+``cumulative_sum``, ``serial_diff``, ``moving_fn`` (histogram parents
+only, like ES), ``bucket_script`` / ``bucket_selector``
+(arithmetic/comparison Painless subset compiled to a Column),
+``bucket_sort``, and sibling ``max_bucket`` / ``min_bucket`` /
+``avg_bucket`` / ``sum_bucket`` / ``stats_bucket`` /
+``percentiles_bucket`` (scalars + extremum keys, broadcast-annotated
+onto the bucket rows); ``adjacency_matrix``; ``significant_text``;
+query-time ``runtime_mappings`` fields.  ``percentiles``
 is EXACT (``F.percentile``) where live ES uses TDigest approximation — a
 documented divergence in the oracle's favor.  ``cardinality`` is exact
 ``count(DISTINCT)`` where ES uses HyperLogLog++ (the approximate variant
