@@ -294,3 +294,43 @@ def test_cli_mapping_and_settings_flags(spark, tmp_path, monkeypatch):
     assert staged["mapping"]["doc"]["properties"]["r_name"] == {"type": "string"}
     assert staged["settings_final"]["number_of_replicas"] == "1"
     assert staged["settings_final"]["refresh_interval"] == "5s"
+
+
+def test_query_cli_main(spark, tmp_path, capsys):
+    """The query CLI: an ES body straight against a parquet path — hits,
+    aggs, _count, @file bodies, and parquet output."""
+    import json
+
+    from hive2es_offline_spark.jobs import query as qjob
+
+    from conftest import SF_SMOKE
+
+    src = f"{SF_SMOKE}/orders.parquet"
+    body = {"query": {"range": {"o_totalprice": {"gte": 100000.0}}},
+            "sort": [{"o_orderkey": {"order": "asc"}}], "size": 5,
+            "_source": ["o_orderkey", "o_totalprice"]}
+    qjob.main(["--input", src, "--body", json.dumps(body),
+               "--id-field", "o_orderkey"])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5
+    assert all(ln["o_totalprice"] >= 100000.0 for ln in lines)
+    assert lines == sorted(lines, key=lambda r: r["o_orderkey"])
+
+    # _count API + @file body
+    bf = tmp_path / "body.json"
+    bf.write_text(json.dumps({"query": body["query"]}))
+    qjob.main(["--input", src, "--body", f"@{bf}", "--count",
+               "--id-field", "o_orderkey"])
+    (count_line,) = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(count_line)["count"] == len(
+        [1 for _ in spark.read.parquet(src)
+         .where("o_totalprice >= 100000.0").collect()]
+    )
+
+    # agg body -> bucket frame; parquet output path
+    agg_body = {"size": 0, "aggs": {"b": {"terms": {"field": "o_orderpriority"}}}}
+    out_dir = str(tmp_path / "out")
+    qjob.main(["--input", src, "--body", json.dumps(agg_body),
+               "--id-field", "o_orderkey", "--output", out_dir])
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["rows"] == spark.read.parquet(out_dir).count() > 0
