@@ -1863,6 +1863,25 @@ _ES_GAP_FILL_BODY = {
 }
 
 
+_ES_HIGHLIGHT_BODY = {
+    "query": {"match": {"text": "stream merge"}},
+    "sort": [{"doc_id": {"order": "asc"}}],
+    "size": 30,
+    "_source": ["doc_id", "source"],
+    "highlight": {"fields": {"text": {}}},
+}
+
+
+def q_es_highlight(spark, sf_dir):
+    """ES highlight: query terms wrapped in <em> tags, case-insensitive on
+    word boundaries — one codegen regexp_replace per field — DuckDB-checked
+    via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    return es_search(d, _ES_HIGHLIGHT_BODY, id_field="doc_id")
+
+
 _ES_SIG_TEXT_BODY = {
     "query": {"term": {"source": "src3"}},
     "size": 0,
@@ -2485,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_adjacency": q_es_adjacency,
         "es_runtime_fields": q_es_runtime_fields,
         "es_sig_text": q_es_sig_text,
+        "es_highlight": q_es_highlight,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
         "bigram_lm_score": q_bigram_lm_score,
@@ -3873,6 +3893,18 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_highlight: same (?i)\b(terms)\b wrap; RE2 replacement
+        # backrefs are \1 where Java's are $1
+        "es_highlight": r"""
+            SELECT doc_id, source,
+                   regexp_replace(text, '(?i)\b(merge|stream)\b',
+                                  '<em>\1</em>', 'g') AS text_highlight
+            FROM documents
+            WHERE list_has_any(string_split_regex(lower(text), ' +'),
+                               ['stream', 'merge'])
+            ORDER BY doc_id ASC
+            LIMIT 30
         """,
         # q_es_sig_text: token-level JLH, one count per doc, DOC totals
         "es_sig_text": """

@@ -1486,6 +1486,60 @@ def significant_terms(
     )
 
 
+def _highlight_terms(q: dict, field: str) -> list[str]:
+    """Positive query terms targeting ``field`` (match / match_phrase /
+    term / terms clauses, recursing through bool must/filter/should —
+    must_not terms by definition don't appear in hits), lowercased by
+    the analyzer."""
+    if not q:
+        return []
+    kind, body = next(iter(q.items()))
+    terms: list[str] = []
+    if kind == "bool":
+        for sec in ("must", "filter", "should"):
+            for sub in body.get(sec) or []:
+                terms += _highlight_terms(sub, field)
+    elif kind in ("match", "match_phrase", "term") and next(iter(body)) == field:
+        spec = body[field]
+        val = (
+            spec.get("query", spec.get("value")) if isinstance(spec, dict) else spec
+        )
+        terms += str(val).lower().split()
+    elif kind == "terms" and next(iter(body)) == field:
+        terms += [str(v).lower() for v in body[field]]
+    return terms
+
+
+def _apply_highlight(df: DataFrame, body: dict) -> tuple[DataFrame, list[str]]:
+    """ES ``highlight``: wrap the query's terms for each requested field
+    in pre/post tags (default ``<em>``/``</em>``), case-insensitively on
+    word boundaries — one regexp_replace per field, codegen.  Emitted as
+    ``<field>_highlight`` columns (ES returns highlight beside _source;
+    a flat frame carries it as a sibling column).  Fields whose query
+    terms are empty get no column, like ES omitting the highlight key."""
+    hspec = body.get("highlight") or {}
+    added: list[str] = []
+    pre_default = (hspec.get("pre_tags") or ["<em>"])[0]
+    post_default = (hspec.get("post_tags") or ["</em>"])[0]
+    for hf, fspec in (hspec.get("fields") or {}).items():
+        terms = sorted(set(_highlight_terms(body.get("query") or {}, hf)))
+        if not terms:
+            continue
+        pre = (fspec.get("pre_tags") or [pre_default])[0]
+        post = (fspec.get("post_tags") or [post_default])[0]
+        escaped = [
+            "".join("\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in t)
+            for t in terms
+        ]
+        pat = r"(?i)\b(" + "|".join(escaped) + r")\b"
+        df = df.withColumn(
+            f"{hf}_highlight",
+            F.regexp_replace(F.col(hf), F.lit(pat), F.lit(pre + "$1" + post)),
+        )
+        added.append(f"{hf}_highlight")
+    return df, added
+
+
 def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> DataFrame:
     """The ES ``_count`` API: number of documents matching ``body``'s
     ``query`` (whole index when absent) — one row, one ``count`` column.
@@ -1671,6 +1725,9 @@ def es_search(
         )
     else:
         df = df.limit(size)
+    hl_cols: list[str] = []
+    if body.get("highlight"):
+        df, hl_cols = _apply_highlight(df, body)
     if body.get("_source"):
-        df = df.select(*body["_source"])
+        df = df.select(*body["_source"], *hl_cols)
     return df

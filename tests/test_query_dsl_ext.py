@@ -679,6 +679,35 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_highlight_wraps_query_terms(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [(1, "Stream and MERGE the stream now"), (2, "merge only"), (3, "none")],
+        "id long, txt string",
+    )
+    body = {
+        "query": {"bool": {"should": [
+            {"match": {"txt": "stream merge"}},
+            {"term": {"id": -1}},  # other-field terms must not highlight txt
+        ], "minimum_should_match": 1}},
+        "sort": [{"id": {"order": "asc"}}],
+        "size": 10,
+        "_source": ["id", "txt"],
+        "highlight": {"fields": {"txt": {}}},
+    }
+    out = es_search(df, body, id_field="id").collect()
+    assert [r["id"] for r in out] == [1, 2]
+    # case-insensitive, every occurrence, original casing preserved
+    assert out[0]["txt_highlight"] == \
+        "<em>Stream</em> and <em>MERGE</em> the <em>stream</em> now"
+    assert out[1]["txt_highlight"] == "<em>merge</em> only"
+    # custom tags
+    body["highlight"] = {"fields": {"txt": {}}, "pre_tags": ["["], "post_tags": ["]"]}
+    out = es_search(df, body, id_field="id").collect()
+    assert out[1]["txt_highlight"] == "[merge] only"
+
+
 def test_significant_text_token_level_jlh(spark):
     """significant_text: JLH over analyzed tokens, one count per doc (a
     repeated token inside a doc counts once), totals are DOC counts."""
