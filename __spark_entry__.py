@@ -1863,6 +1863,33 @@ _ES_GAP_FILL_BODY = {
 }
 
 
+def q_es_nested(spark, sf_dir):
+    """ES nested query over the canonical orders->lineitems shape: orders
+    where a SINGLE item satisfies qty>=48 AND price>=60000 (per-element
+    semantics — a flattened cross-item match would over-hit).  The nested
+    doc column is built with collect_list(struct(...)), the inner bool
+    compiles to one exists() over it — DuckDB-checked via
+    demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_partkey", "l_quantity", "l_extendedprice")
+        ).alias("items")
+    )
+    body = {
+        "query": {"nested": {"path": "items", "query": {"bool": {"filter": [
+            {"range": {"items.l_quantity": {"gte": 48.0}}},
+            {"range": {"items.l_extendedprice": {"gte": 60000.0}}},
+        ]}}}},
+        "sort": [{"l_orderkey": {"order": "asc"}}],
+        "size": 40,
+        "_source": ["l_orderkey"],
+    }
+    return es_search(nested, body, id_field="l_orderkey")
+
+
 _ES_HIGHLIGHT_BODY = {
     "query": {"match": {"text": "stream merge"}},
     "sort": [{"doc_id": {"order": "asc"}}],
@@ -2505,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_runtime_fields": q_es_runtime_fields,
         "es_sig_text": q_es_sig_text,
         "es_highlight": q_es_highlight,
+        "es_nested": q_es_nested,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
         "bigram_lm_score": q_bigram_lm_score,
@@ -3893,6 +3921,21 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_nested: per-element conjunction over the grouped items
+        # list — list_filter mirrors exists()
+        "es_nested": """
+            WITH n AS (
+              SELECT l_orderkey,
+                     list(struct_pack(q := l_quantity,
+                                      p := l_extendedprice)) AS items
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l_orderkey FROM n
+            WHERE len(list_filter(items,
+                      e -> e.q >= 48.0 AND e.p >= 60000.0)) > 0
+            ORDER BY l_orderkey ASC
+            LIMIT 40
         """,
         # q_es_highlight: same (?i)\b(terms)\b wrap; RE2 replacement
         # backrefs are \1 where Java's are $1

@@ -77,6 +77,7 @@ sums (order-independent bit-stable results).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -343,21 +344,46 @@ def _fuzzy_predicate(c: Column, value: str, f: int) -> Column:
     return guard & osa_leq_2(c)
 
 
-def compile_query(q: dict, id_field: str = "_id") -> Column:
-    """Compile one ES query clause (filter context) to a boolean Column."""
+def compile_query(
+    q: dict,
+    id_field: str = "_id",
+    fields: "Callable[[str], Column] | None" = None,
+) -> Column:
+    """Compile one ES query clause (filter context) to a boolean Column.
+
+    ``fields`` overrides field resolution (default ``F.col``): the
+    ``nested`` clause passes a resolver that maps ``path.sub`` names onto
+    the lambda element of an ``exists()`` over the array-of-struct
+    column, so inner clauses evaluate PER ELEMENT — the actual nested
+    semantics (a single element must satisfy the whole inner bool), not
+    the flattened cross-field approximation."""
+    col = fields if fields is not None else F.col
     if len(q) != 1:
         raise ValueError(f"query clause must have exactly one key, got {sorted(q)}")
     kind, body = next(iter(q.items()))
 
     if kind == "match_all":
         return F.lit(True)
+    if kind == "nested":
+        path, inner = body["path"], body["query"]
+        if fields is not None:
+            raise ValueError("nested inside nested is not supported")
+        prefix = path + "."
+
+        def per_element(e: Column) -> Column:
+            resolver = lambda f: e[f[len(prefix):]] if f.startswith(prefix) else e[f]  # noqa: E731
+            return F.coalesce(
+                compile_query(inner, id_field, fields=resolver), F.lit(False)
+            )
+
+        return F.exists(F.col(path), per_element)
     if kind == "term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
-        return F.col(field) == F.lit(value)
+        return col(field) == F.lit(value)
     if kind == "terms":
         field, values = _field_spec(body)
-        return F.col(field).isin(list(values))
+        return col(field).isin(list(values))
     if kind == "range":
         field, spec = _field_spec(body)
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
@@ -370,9 +396,9 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
                 # per-operator interval rounding (see _date_math_pred);
                 # 'now' must be pinned via the spec's 'now' key so plans
                 # stay deterministic under task retry and in oracles
-                preds.append(_date_math_pred(F.col(field), op, v, spec.get("now")))
+                preds.append(_date_math_pred(col(field), op, v, spec.get("now")))
             else:
-                preds.append(getattr(F.col(field), ops[op])(F.lit(v)))
+                preds.append(getattr(col(field), ops[op])(F.lit(v)))
         if not preds:
             raise ValueError(f"range on {field} needs gt/gte/lt/lte")
         out = preds[0]
@@ -380,17 +406,17 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
             out = out & p
         return out
     if kind == "exists":
-        return F.col(body["field"]).isNotNull()
+        return col(body["field"]).isNotNull()
     if kind == "ids":
-        return F.col(id_field).isin(list(body["values"]))
+        return col(id_field).isin(list(body["values"]))
     if kind == "prefix":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
-        return F.col(field).startswith(value)
+        return col(field).startswith(value)
     if kind == "wildcard":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
-        return F.col(field).rlike(_wildcard_to_regex(value))
+        return col(field).rlike(_wildcard_to_regex(value))
     if kind == "regexp":
         # ES regexp is implicitly anchored (must match the WHOLE value);
         # basic operators (| * + ? . [] ()) are shared between Lucene and
@@ -398,7 +424,7 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         # translated, a documented divergence
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
-        return F.col(field).rlike(f"^(?:{value})$")
+        return col(field).rlike(f"^(?:{value})$")
     if kind == "fuzzy":
         # Damerau edit-distance match (transposition = one edit, like ES);
         # fuzziness AUTO follows the length ladder, AUTO:low,high moves the
@@ -406,20 +432,27 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
         fuzz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
-        return _fuzzy_predicate(F.col(field), value, _parse_fuzziness(fuzz, len(value)))
+        budget = _parse_fuzziness(fuzz, len(value))
+        if fields is not None and budget >= 2:
+            raise ValueError(
+                "fuzziness 2 (pandas-UDF path) is not supported inside nested"
+            )
+        return _fuzzy_predicate(col(field), value, budget)
     if kind == "multi_match":
         # filter context: the match clause applied per field, OR across
         # fields (any best_fields/most_fields type distinction only affects
         # scoring, which filter context discards)
-        query, fields = body["query"], list(body["fields"])
-        if not fields:
+        query = body["query"]
+        if not list(body["fields"]):
             raise ValueError("multi_match needs at least one field")
         operator = body.get("operator", "or")
         per_field = [
             compile_query(
-                {"match": {f: {"query": query, "operator": operator}}}, id_field
+                {"match": {f: {"query": query, "operator": operator}}},
+                id_field,
+                fields,
             )
-            for f in fields
+            for f in body["fields"]
         ]
         out = per_field[0]
         for p in per_field[1:]:
@@ -432,7 +465,7 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         terms = [t for t in query.lower().split() if t]
         if not terms:
             return F.lit(True)
-        toks = _analyze(F.col(field))
+        toks = _analyze(col(field))
         qarr = F.array(*[F.lit(t) for t in terms])
         if operator == "and":
             # every query term present in the analyzed field
@@ -447,7 +480,7 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         pat = "(^| )" + "".join(
             "\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in phrase
         ) + "( |$)"
-        return F.regexp_like(F.lower(F.col(field)), F.lit(pat))
+        return F.regexp_like(F.lower(col(field)), F.lit(pat))
     if kind == "match_phrase_prefix":
         # phrase whose LAST term is a prefix (search-as-you-type): same
         # contiguous-token-run shape as match_phrase, with the trailing
@@ -458,7 +491,7 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         pat = "(^| )" + "".join(
             "\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in phrase
         )
-        return F.regexp_like(F.lower(F.col(field)), F.lit(pat))
+        return F.regexp_like(F.lower(col(field)), F.lit(pat))
     if kind == "terms_set":
         # at least minimum_should_match_script/field of the given terms
         # appear in the analyzed field.  The constant-script form
@@ -466,12 +499,12 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         # usage; a per-document field threshold reads that column.
         field, spec = _field_spec(body)
         terms = [str(t).lower() for t in spec["terms"]]
-        toks = _analyze(F.col(field))
+        toks = _analyze(col(field))
         hits: Column = F.lit(0)
         for t in terms:
             hits = hits + F.array_contains(toks, t).cast("int")
         if "minimum_should_match_field" in spec:
-            need = F.col(spec["minimum_should_match_field"])
+            need = col(spec["minimum_should_match_field"])
         else:
             script = str(spec.get("minimum_should_match_script", {}).get(
                 "source", len(terms)))
@@ -490,7 +523,7 @@ def compile_query(q: dict, id_field: str = "_id") -> Column:
         # it).  Found by the random-tree property test
         # (tests/test_query_dsl_property.py).
         def child(c: dict) -> Column:
-            return F.coalesce(compile_query(c, id_field), F.lit(False))
+            return F.coalesce(compile_query(c, id_field, fields), F.lit(False))
 
         clauses: list[Column] = []
         for c in body.get("must", []) if isinstance(body.get("must", []), list) else [body["must"]]:

@@ -679,6 +679,37 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_nested_query_per_element_semantics(spark):
+    """The point of nested vs flattened: ONE element must satisfy the
+    whole inner bool.  Doc 2 has qty>=5 on one item and brand 'acme' on a
+    DIFFERENT item — flattened matching would wrongly hit it."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(id=1, items=[Row(brand="acme", qty=7), Row(brand="x", qty=1)]),
+        Row(id=2, items=[Row(brand="acme", qty=1), Row(brand="x", qty=9)]),
+        Row(id=3, items=[Row(brand="zed", qty=9)]),
+        Row(id=4, items=[]),
+    ])
+    body = {"nested": {"path": "items", "query": {"bool": {"filter": [
+        {"term": {"items.brand": "acme"}},
+        {"range": {"items.qty": {"gte": 5}}},
+    ]}}}}
+    assert ids(df, body) == [1]
+    # single-clause nested, unprefixed field names also resolve
+    assert ids(df, {"nested": {"path": "items",
+                               "query": {"term": {"brand": "zed"}}}}) == [3]
+    # match clause inside nested (analyzer over the element field)
+    assert ids(df, {"nested": {"path": "items",
+                               "query": {"match": {"items.brand": "ACME"}}}}) == [1, 2]
+    with pytest.raises(ValueError, match="inside nested"):
+        ids(df, {"nested": {"path": "items", "query": {
+            "nested": {"path": "items", "query": {"match_all": {}}}}}})
+    with pytest.raises(ValueError, match="not supported inside nested"):
+        ids(df, {"nested": {"path": "items", "query": {
+            "fuzzy": {"items.brand": {"value": "acmebrand", "fuzziness": 2}}}}})
+
+
 def test_highlight_wraps_query_terms(spark):
     from hive2es_offline_spark.plans.query_dsl import es_search
 
