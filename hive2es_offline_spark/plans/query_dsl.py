@@ -344,6 +344,23 @@ def _fuzzy_predicate(c: Column, value: str, f: int) -> Column:
     return guard & osa_leq_2(c)
 
 
+def _nested_element_pred(spec: dict, id_field: str) -> "Callable[[Column], Column]":
+    """The per-element predicate of a ``nested`` clause spec (``path`` +
+    ``query``): inner field names (``path.sub`` or bare ``sub``) resolve
+    onto the lambda element.  Shared by the nested filter (exists) and
+    ``inner_hits`` (filter of the matching elements)."""
+    path, inner = spec["path"], spec["query"]
+    prefix = path + "."
+
+    def per_element(e: Column) -> Column:
+        resolver = lambda f: e[f[len(prefix):]] if f.startswith(prefix) else e[f]  # noqa: E731
+        return F.coalesce(
+            compile_query(inner, id_field, fields=resolver), F.lit(False)
+        )
+
+    return per_element
+
+
 def compile_query(
     q: dict,
     id_field: str = "_id",
@@ -365,18 +382,11 @@ def compile_query(
     if kind == "match_all":
         return F.lit(True)
     if kind == "nested":
-        path, inner = body["path"], body["query"]
         if fields is not None:
             raise ValueError("nested inside nested is not supported")
-        prefix = path + "."
-
-        def per_element(e: Column) -> Column:
-            resolver = lambda f: e[f[len(prefix):]] if f.startswith(prefix) else e[f]  # noqa: E731
-            return F.coalesce(
-                compile_query(inner, id_field, fields=resolver), F.lit(False)
-            )
-
-        return F.exists(F.col(path), per_element)
+        return F.exists(
+            F.col(body["path"]), _nested_element_pred(body, id_field)
+        )
     if kind == "term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
@@ -1649,8 +1659,23 @@ def es_search(
         return significant_terms(
             df, fg, spec["field"], size=int(spec.get("size", 10))
         )
+    extra_cols: list[str] = []
     if "query" in body:
         df = df.where(compile_query(body["query"], id_field))
+        nspec = body["query"].get("nested") if len(body["query"]) == 1 else None
+        if nspec and "inner_hits" in nspec:
+            # the MATCHING elements of each hit, as a JSON column (ES
+            # returns inner_hits beside _source; JSON keeps the flat
+            # frame driver-hashable).  Same per-element predicate as the
+            # filter, evaluated once more over the surviving rows only.
+            path = nspec["path"]
+            df = df.withColumn(
+                f"{path}_inner_hits",
+                F.to_json(
+                    F.filter(F.col(path), _nested_element_pred(nspec, id_field))
+                ),
+            )
+            extra_cols.append(f"{path}_inner_hits")
     if "knn" in body:
         # ES 8 kNN search clause: {"field", "query_vector", "k",
         # "num_candidates", "filter"}.  Filter is PRE-filter (ES >= 8.2
@@ -1758,9 +1783,9 @@ def es_search(
         )
     else:
         df = df.limit(size)
-    hl_cols: list[str] = []
     if body.get("highlight"):
         df, hl_cols = _apply_highlight(df, body)
+        extra_cols += hl_cols
     if body.get("_source"):
-        df = df.select(*body["_source"], *hl_cols)
+        df = df.select(*body["_source"], *extra_cols)
     return df

@@ -710,6 +710,32 @@ def test_nested_query_per_element_semantics(spark):
             "fuzzy": {"items.brand": {"value": "acmebrand", "fuzziness": 2}}}}})
 
 
+def test_nested_inner_hits_returns_matching_elements(spark):
+    import json
+
+    from pyspark.sql import Row
+
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame([
+        Row(id=1, items=[Row(brand="acme", qty=7), Row(brand="acme", qty=1),
+                         Row(brand="x", qty=9)]),
+        Row(id=2, items=[Row(brand="x", qty=9)]),
+    ])
+    body = {
+        "query": {"nested": {"path": "items",
+                             "query": {"term": {"items.brand": "acme"}},
+                             "inner_hits": {}}},
+        "sort": [{"id": {"order": "asc"}}],
+        "size": 10,
+        "_source": ["id"],
+    }
+    out = es_search(df, body, id_field="id").collect()
+    assert [r["id"] for r in out] == [1]
+    hits = json.loads(out[0]["items_inner_hits"])
+    assert hits == [{"brand": "acme", "qty": 7}, {"brand": "acme", "qty": 1}]
+
+
 def test_highlight_wraps_query_terms(spark):
     from hive2es_offline_spark.plans.query_dsl import es_search
 
