@@ -1863,6 +1863,31 @@ _ES_GAP_FILL_BODY = {
 }
 
 
+def q_es_geo(spark, sf_dir):
+    """ES geo_distance over synthetic-but-deterministic customer
+    coordinates (both engines derive lat/lon from c_custkey with the same
+    integer arithmetic): haversine on Lucene's earth radius, codegen trig
+    — DuckDB-checked via demoted_goldens."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    c = _t(spark, sf_dir, "customer")
+    located = c.select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    body = {
+        "query": {"geo_distance": {"distance": "3000km",
+                                   "loc": {"lat": 10.5, "lon": 20.5}}},
+        "sort": [{"c_custkey": {"order": "asc"}}],
+        "size": 3000,
+        "_source": ["c_custkey"],
+    }
+    return es_search(located, body, id_field="c_custkey")
+
+
 def q_es_nested(spark, sf_dir):
     """ES nested query over the canonical orders->lineitems shape: orders
     where a SINGLE item satisfies qty>=48 AND price>=60000 (per-element
@@ -2533,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sig_text": q_es_sig_text,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
+        "es_geo": q_es_geo,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
         "bigram_lm_score": q_bigram_lm_score,
@@ -3921,6 +3947,24 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # q_es_geo: identical haversine formula and earth radius on both
+        # engines (libm trig on the same host: bit-identical doubles)
+        "es_geo": """
+            WITH l AS (
+              SELECT c_custkey,
+                     CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+              FROM customer
+            )
+            SELECT c_custkey FROM l
+            WHERE 2 * 6371008.7714150598 * asin(least(1.0, sqrt(
+                    pow(sin(radians(lat - 10.5) / 2), 2)
+                    + cos(radians(lat)) * cos(radians(10.5))
+                      * pow(sin(radians(lon - 20.5) / 2), 2)
+                  ))) <= 3000000.0
+            ORDER BY c_custkey ASC
+            LIMIT 3000
         """,
         # q_es_nested: per-element conjunction over the grouped items
         # list — list_filter mirrors exists()

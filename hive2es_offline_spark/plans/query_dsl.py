@@ -344,6 +344,37 @@ def _fuzzy_predicate(c: Column, value: str, f: int) -> Column:
     return guard & osa_leq_2(c)
 
 
+_EARTH_RADIUS_M = 6371008.7714150598  # Lucene's mean earth radius (GeoUtils)
+
+
+def _parse_distance(s: Any) -> float:
+    """ES distance string → meters (m / km / mi; bare numbers are
+    meters, the ES default unit)."""
+    import re as _re
+
+    m = _re.fullmatch(r"([\d.]+)\s*(m|km|mi)?", str(s).strip())
+    if not m:
+        raise ValueError(f"unparseable distance: {s!r}")
+    return float(m.group(1)) * {"m": 1.0, "km": 1000.0, "mi": 1609.344,
+                                None: 1.0}[m.group(2)]
+
+
+def haversine_meters(lat_c: Column, lon_c: Column, lat0: float, lon0: float) -> Column:
+    """Great-circle distance (haversine, Lucene's earth radius) from a
+    literal point — pure codegen trig, shared by the geo_distance clause
+    and callers who want the distance itself."""
+    import math
+
+    dphi = F.radians(lat_c - F.lit(lat0))
+    dlam = F.radians(lon_c - F.lit(lon0))
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(F.radians(lat_c)) * F.lit(math.cos(math.radians(lat0)))
+        * F.pow(F.sin(dlam / 2), 2)
+    )
+    return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
 def _nested_element_pred(spec: dict, id_field: str) -> "Callable[[Column], Column]":
     """The per-element predicate of a ``nested`` clause spec (``path`` +
     ``query``): inner field names (``path.sub`` or bare ``sub``) resolve
@@ -386,6 +417,29 @@ def compile_query(
             raise ValueError("nested inside nested is not supported")
         return F.exists(
             F.col(body["path"]), _nested_element_pred(body, id_field)
+        )
+    if kind == "geo_distance":
+        # {"geo_distance": {"distance": "10km", "<field>": {"lat","lon"}}}
+        # over a struct{lat double, lon double} column; haversine on
+        # Lucene's earth radius, all codegen trig
+        dist_m = _parse_distance(body["distance"])
+        (field, point), = [(k, v) for k, v in body.items() if k != "distance"]
+        c = col(field)
+        return haversine_meters(
+            c["lat"], c["lon"], float(point["lat"]), float(point["lon"])
+        ) <= F.lit(dist_m)
+    if kind == "geo_bounding_box":
+        # axis-aligned box (no dateline wrap — boxes crossing ±180 raise)
+        field, spec = _field_spec(body)
+        tl, br = spec["top_left"], spec["bottom_right"]
+        if float(tl["lon"]) > float(br["lon"]):
+            raise ValueError("geo_bounding_box across the dateline not supported")
+        c = col(field)
+        return (
+            (c["lat"] <= F.lit(float(tl["lat"])))
+            & (c["lat"] >= F.lit(float(br["lat"])))
+            & (c["lon"] >= F.lit(float(tl["lon"])))
+            & (c["lon"] <= F.lit(float(br["lon"])))
         )
     if kind == "term":
         field, spec = _field_spec(body)

@@ -679,6 +679,43 @@ def test_sibling_max_bucket_value_and_keys(spark):
     assert all(abs(r["mean_value"] - 25.0 / 3) < 1e-9 for r in out2)
 
 
+def test_geo_distance_and_bounding_box(spark):
+    from pyspark.sql import Row
+
+    # Paris (48.8566, 2.3522) as origin; London ~343 km, Lyon ~392 km,
+    # New York ~5837 km
+    df = spark.createDataFrame([
+        Row(id=1, name="london", loc=Row(lat=51.5074, lon=-0.1278)),
+        Row(id=2, name="lyon", loc=Row(lat=45.7640, lon=4.8357)),
+        Row(id=3, name="nyc", loc=Row(lat=40.7128, lon=-74.0060)),
+    ])
+    near = {"geo_distance": {"distance": "400km",
+                             "loc": {"lat": 48.8566, "lon": 2.3522}}}
+    assert ids(df, near) == [1, 2]
+    assert ids(df, {"geo_distance": {"distance": "350km",
+                                     "loc": {"lat": 48.8566, "lon": 2.3522}}}) == [1]
+    assert ids(df, {"geo_distance": {"distance": "6000km",
+                                     "loc": {"lat": 48.8566, "lon": 2.3522}}}) == [1, 2, 3]
+    # bounding box around western Europe (lat 42..55, lon -5..10)
+    box = {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 55.0, "lon": -5.0},
+        "bottom_right": {"lat": 42.0, "lon": 10.0}}}}
+    assert ids(df, box) == [1, 2]
+    with pytest.raises(ValueError, match="dateline"):
+        ids(df, {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 10.0, "lon": 170.0},
+            "bottom_right": {"lat": -10.0, "lon": -170.0}}}})
+    # sanity: haversine magnitude vs known Paris-London distance (~343.5km)
+    from hive2es_offline_spark.plans.query_dsl import haversine_meters
+    from pyspark.sql import functions as SF
+
+    d = df.where("id = 1").select(
+        haversine_meters(SF.col("loc.lat"), SF.col("loc.lon"),
+                         48.8566, 2.3522).alias("d")
+    ).collect()[0]["d"]
+    assert abs(d - 343_500) < 2_000
+
+
 def test_nested_query_per_element_semantics(spark):
     """The point of nested vs flattened: ONE element must satisfy the
     whole inner bool.  Doc 2 has qty>=5 on one item and brand 'acme' on a
