@@ -27,7 +27,10 @@ length guard for fuzziness 2), ``ids``, ``match`` (whitespace+lowercase analyzer
 is a prefix), ``terms_set`` (>= N of the terms present; constant
 ``params.num_terms`` scripts or a per-document
 ``minimum_should_match_field``), ``multi_match`` (per-field match, OR
-across fields),
+across fields), ``nested`` (true per-element semantics via ``exists()``
+over array-of-struct columns, with ``inner_hits``), ``geo_distance`` /
+``geo_bounding_box`` (haversine on Lucene's earth radius over
+struct{lat,lon} columns),
 ``bool`` with ``must`` / ``filter`` / ``should`` / ``must_not`` /
 ``minimum_should_match``, and the ES 8 top-level ``knn`` search clause
 (pre-filtered exact cosine top-k, ``_score = (1 + cosine) / 2``).
