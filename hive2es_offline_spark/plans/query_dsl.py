@@ -447,6 +447,8 @@ def compile_query(
     if kind == "term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.lower(col(field)) == F.lit(str(value).lower())
         return col(field) == F.lit(value)
     if kind == "terms":
         field, values = _field_spec(body)
@@ -479,10 +481,14 @@ def compile_query(
     if kind == "prefix":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.lower(col(field)).startswith(str(value).lower())
         return col(field).startswith(value)
     if kind == "wildcard":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.lower(col(field)).rlike(_wildcard_to_regex(str(value).lower()))
         return col(field).rlike(_wildcard_to_regex(value))
     if kind == "regexp":
         # ES regexp is implicitly anchored (must match the WHOLE value);
@@ -491,6 +497,8 @@ def compile_query(
         # translated, a documented divergence
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return col(field).rlike(f"(?i)^(?:{value})$")
         return col(field).rlike(f"^(?:{value})$")
     if kind == "fuzzy":
         # Damerau edit-distance match (transposition = one edit, like ES);

@@ -1077,3 +1077,16 @@ def test_significant_terms_must_be_sole_agg(spark):
             "sig": {"significant_terms": {"field": "t"}},
             "n": {"value_count": {"field": "id"}},
         }}, id_field="id")
+
+
+def test_case_insensitive_term_prefix_wildcard_regexp(spark):
+    df = spark.createDataFrame(
+        [(1, "Building"), (2, "BUILDING"), (3, "machinery")], "id long, s string"
+    )
+    ci = {"value": "building", "case_insensitive": True}
+    assert ids(df, {"term": {"s": ci}}) == [1, 2]
+    assert ids(df, {"term": {"s": "building"}}) == []  # default stays exact
+    assert ids(df, {"prefix": {"s": {"value": "BUILD", "case_insensitive": True}}}) == [1, 2]
+    assert ids(df, {"wildcard": {"s": {"value": "b*ing", "case_insensitive": True}}}) == [1, 2]
+    assert ids(df, {"regexp": {"s": {"value": "mach.*", "case_insensitive": True}}}) == [3]
+    assert ids(df, {"regexp": {"s": {"value": "MACH.*", "case_insensitive": True}}}) == [3]
