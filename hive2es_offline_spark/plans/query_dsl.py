@@ -850,13 +850,21 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
 
 
 def _sort_specs(sort_spec: list) -> list[tuple[str, bool]]:
-    """ES ``sort`` list → [(field, is_desc)] pairs."""
+    """ES ``sort`` list → [(field, is_desc)] pairs.  Callers here need
+    PLAIN COLUMN keys (search_after cursors, collapse windows), so a
+    ``_geo_distance`` expression sort raises rather than paging on a
+    value the cursor cannot carry."""
     specs: list[tuple[str, bool]] = []
     for s in sort_spec or []:
         if isinstance(s, str):
             specs.append((s, False))
         else:
             (f_, spec), = s.items()
+            if f_ == "_geo_distance":
+                raise ValueError(
+                    "_geo_distance sort cannot be a search_after/collapse "
+                    "cursor key (expression sorts have no column cursor)"
+                )
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
             specs.append((f_, order == "desc"))
     return specs
@@ -864,11 +872,25 @@ def _sort_specs(sort_spec: list) -> list[tuple[str, bool]]:
 
 def _sort_columns(sort_spec: list) -> list[Column]:
     """ES ``sort`` list → Spark sort Columns (shared by hit paging and
-    top_hits)."""
-    return [
-        F.col(f).desc() if is_desc else F.col(f).asc()
-        for f, is_desc in _sort_specs(sort_spec)
-    ]
+    top_hits).  ``_geo_distance`` entries sort by haversine distance from
+    the given point (an expression sort — cannot be used as a
+    ``search_after`` cursor key, which needs plain columns)."""
+    cols: list[Column] = []
+    for s in sort_spec or []:
+        if isinstance(s, dict) and "_geo_distance" in s:
+            g = dict(s["_geo_distance"])
+            order = g.pop("order", "asc")
+            g.pop("unit", None)  # distance ORDER is unit-independent
+            (field, point), = g.items()
+            d = haversine_meters(
+                F.col(field)["lat"], F.col(field)["lon"],
+                float(point["lat"]), float(point["lon"]),
+            )
+            cols.append(d.desc() if order == "desc" else d.asc())
+            continue
+        (f, is_desc), = [(a, b) for a, b in _sort_specs([s])]
+        cols.append(F.col(f).desc() if is_desc else F.col(f).asc())
+    return cols
 
 
 def _strict_after(specs: list[tuple[str, bool]], values: list) -> Column:

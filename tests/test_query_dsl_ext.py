@@ -1090,3 +1090,24 @@ def test_case_insensitive_term_prefix_wildcard_regexp(spark):
     assert ids(df, {"wildcard": {"s": {"value": "b*ing", "case_insensitive": True}}}) == [1, 2]
     assert ids(df, {"regexp": {"s": {"value": "mach.*", "case_insensitive": True}}}) == [3]
     assert ids(df, {"regexp": {"s": {"value": "MACH.*", "case_insensitive": True}}}) == [3]
+
+
+def test_geo_distance_sort(spark):
+    from pyspark.sql import Row
+
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame([
+        Row(id=1, loc=Row(lat=51.5074, lon=-0.1278)),   # London ~343km
+        Row(id=2, loc=Row(lat=45.7640, lon=4.8357)),    # Lyon ~392km
+        Row(id=3, loc=Row(lat=40.7128, lon=-74.0060)),  # NYC ~5837km
+    ])
+    body = {"sort": [{"_geo_distance": {
+        "loc": {"lat": 48.8566, "lon": 2.3522}, "order": "asc", "unit": "km"}}],
+        "size": 10, "_source": ["id"]}
+    assert [r["id"] for r in es_search(df, body, id_field="id").collect()] == [1, 2, 3]
+    body["sort"][0]["_geo_distance"]["order"] = "desc"
+    assert [r["id"] for r in es_search(df, body, id_field="id").collect()] == [3, 2, 1]
+    # expression sorts cannot be cursor keys
+    with pytest.raises(ValueError, match="cursor"):
+        es_search(df, {**body, "search_after": [1000.0]}, id_field="id")
