@@ -2428,8 +2428,8 @@ def q_multimodal_meta(spark, sf_dir):
 #: es_pipeline_aggs, es_sibling_bucket, es_metrics_ext, es_rare_terms,
 #: es_multi_terms, es_clause_ext, es_date_math, es_gap_fill,
 #: es_terms_order, es_adjacency, es_runtime_fields, es_sig_text,
-#: substring_dedup.  Window membership is just this list; goldens follow
-#: automatically.
+#: es_highlight, es_nested, es_geo, substring_dedup.  Window membership
+#: is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
     "scan_filter", "schema_infer",
     "mapping_synthesis", "filter_pred", "es_routing", "partition_counts",
