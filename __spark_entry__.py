@@ -2340,7 +2340,14 @@ def q_audio_features(spark, sf_dir):
     payloads = audio.with_wav_payload(d)
     meta = audio.decode_audio_meta(payloads)
     feats = audio.extract_audio_features(payloads)
-    return meta.join(feats.select("doc_id", "feature"), "doc_id")
+    joined = meta.join(feats.select("doc_id", "feature"), "doc_id")
+    # The driver canonicalizes EVERY window output with a pandas sort —
+    # array<float> cells are unhashable there (the r7 red rows).  Project
+    # the feature vector to a stable JSON string for the contract surface;
+    # internal consumers keep the array form via extract_audio_features.
+    return joined.withColumn(
+        "feature", F.to_json(F.transform("feature", lambda x: F.round(x, 6)))
+    )
 
 
 def q_video_frames(spark, sf_dir):
@@ -2360,7 +2367,11 @@ def q_video_frames(spark, sf_dir):
         .select("doc_id", "payload"),
         dim=8,
     )
-    return feats
+    # Same driver-hashability contract as q_audio_features: feature vectors
+    # leave the window query as JSON strings, never raw arrays.
+    return feats.withColumn(
+        "feature", F.to_json(F.transform("feature", lambda x: F.round(x, 6)))
+    )
 
 
 def q_snapshot_cdc(spark, sf_dir):

@@ -881,7 +881,24 @@ def _sort_columns(sort_spec: list) -> list[Column]:
             g = dict(s["_geo_distance"])
             order = g.pop("order", "asc")
             g.pop("unit", None)  # distance ORDER is unit-independent
-            (field, point), = g.items()
+            # known-but-order-irrelevant companions ES accepts: arc vs
+            # plane only changes magnitudes monotonically at query scale,
+            # mode applies to multi-valued fields (unsupported anyway),
+            # ignore_unmapped is a mapping-time concern
+            for k in ("distance_type", "mode", "ignore_unmapped"):
+                g.pop(k, None)
+            points = {k: v for k, v in g.items() if isinstance(v, dict)}
+            extra = sorted(set(g) - set(points))
+            if extra:
+                raise ValueError(
+                    f"unsupported _geo_distance sort option(s): {extra}"
+                )
+            if len(points) != 1:
+                raise ValueError(
+                    "_geo_distance sort needs exactly one field: "
+                    f"{{lat, lon}} entry, got {sorted(points)}"
+                )
+            (field, point), = points.items()
             d = haversine_meters(
                 F.col(field)["lat"], F.col(field)["lon"],
                 float(point["lat"]), float(point["lon"]),
@@ -1295,12 +1312,18 @@ def _fill_bucket_gaps(out: DataFrame, kind: str, bspec: dict) -> DataFrame:
 
     bounds = dict(bspec.get("extended_bounds") or {})
     if kind == "histogram":
-        # bounds are raw values: align them onto their bucket start so
-        # the axis stays on the grid (keys themselves are already aligned)
+        # bounds are raw values: align them onto their bucket start so the
+        # axis stays on the grid (keys themselves are already aligned).
+        # The grid honours `offset`: bucket starts are i*interval+offset,
+        # so alignment is floor((v-offset)/interval)*interval+offset.
         interval = float(bspec["interval"])
+        offset = float(bspec.get("offset", 0.0))
         for b in ("min", "max"):
             if b in bounds:
-                bounds[b] = math.floor(float(bounds[b]) / interval) * interval
+                bounds[b] = (
+                    math.floor((float(bounds[b]) - offset) / interval) * interval
+                    + offset
+                )
     lo: Column = F.min("key")
     hi: Column = F.max("key")
     if "min" in bounds:
@@ -1309,15 +1332,19 @@ def _fill_bucket_gaps(out: DataFrame, kind: str, bspec: dict) -> DataFrame:
         hi = F.greatest(hi, F.lit(bounds["max"]).cast(out.schema["key"].dataType))
     axis = out.agg(lo.alias("_lo"), hi.alias("_hi")).where(F.col("_lo").isNotNull())
     if kind == "histogram":
+        # dense axis on the offset grid: real keys are i*interval+offset,
+        # so the sequence runs over i = round((key-offset)/interval) and
+        # maps back — with offset=0 this is the plain interval grid
         interval = float(bspec["interval"])
+        offset = float(bspec.get("offset", 0.0))
         axis = axis.select(
             F.explode(
                 F.transform(
                     F.sequence(
-                        F.round(F.col("_lo") / interval).cast("long"),
-                        F.round(F.col("_hi") / interval).cast("long"),
+                        F.round((F.col("_lo") - offset) / interval).cast("long"),
+                        F.round((F.col("_hi") - offset) / interval).cast("long"),
                     ),
-                    lambda i: i * F.lit(interval),
+                    lambda i: i * F.lit(interval) + F.lit(offset),
                 )
             ).alias("key")
         )
@@ -1627,7 +1654,10 @@ def _highlight_terms(q: dict, field: str) -> list[str]:
     terms: list[str] = []
     if kind == "bool":
         for sec in ("must", "filter", "should"):
-            for sub in body.get(sec) or []:
+            subs = body.get(sec) or []
+            if isinstance(subs, dict):  # ES dict shorthand, same as the
+                subs = [subs]           # bool compiler's normalization
+            for sub in subs:
                 terms += _highlight_terms(sub, field)
     elif kind in ("match", "match_phrase", "term") and next(iter(body)) == field:
         spec = body[field]

@@ -205,14 +205,25 @@ def http_bulk_transport(
                     method="POST",
                 )
                 with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                    out = json.loads(resp.read().decode("utf-8"))
-                failed = 0
-                for item in out.get("items", []):
-                    (_op, res), = item.items()
-                    status = int(res.get("status", 200))
-                    if status >= 300 and status != 409:
-                        failed += 1
-                return failed, attempts
+                    raw = resp.read()
+                try:
+                    out = json.loads(raw.decode("utf-8", errors="replace"))
+                    failed = 0
+                    for item in out.get("items", []):
+                        (_op, res), = item.items()
+                        status = int(res.get("status", 200))
+                        if status >= 300 and status != 409:
+                            failed += 1
+                    return failed, attempts
+                except (ValueError, KeyError, TypeError, AttributeError):
+                    # 200 with an unparseable/garbled body (truncated read,
+                    # proxy interstitial): log-and-continue contract — treat
+                    # like a failed request and retry, never abort the task
+                    if attempts >= retries:
+                        return n_actions, attempts
+                    do_sleep(backoff_s * (2 ** attempts))
+                    attempts += 1
+                    continue
             except (urllib.error.URLError, urllib.error.HTTPError, OSError) as e:
                 status = getattr(e, "code", None)
                 retryable = status is None or status == 429 or status >= 500

@@ -39,11 +39,13 @@ class StubES:
         rate_limit_first_attempt: bool = False,
         reject_id_prefix: str | None = None,
         duplicate_conflicts: bool = True,
+        garble_first_requests: int = 0,
     ):
         self.docs: dict[str, tuple[str | None, str]] = {}
         self.request_count = 0
         self._lock = threading.Lock()
         self._fail_first = fail_first_requests
+        self._garble_first = garble_first_requests
         self._rate_first = rate_limit_first_attempt
         self._seen_payloads: set[int] = set()
         self._reject_prefix = reject_id_prefix
@@ -65,6 +67,17 @@ class StubES:
                     n = stub.request_count
                     if n <= stub._fail_first:
                         self.send_error(503, "exhausted bulk queue")
+                        return
+                    if n <= stub._fail_first + stub._garble_first:
+                        # 200 whose body is NOT JSON (proxy interstitial /
+                        # truncated read) — the transport must treat it as
+                        # a failed request, never crash the task
+                        junk = b"<html>gateway interstitial</html>"
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/html")
+                        self.send_header("Content-Length", str(len(junk)))
+                        self.end_headers()
+                        self.wfile.write(junk)
                         return
                     if stub._rate_first:
                         key = hash(body)

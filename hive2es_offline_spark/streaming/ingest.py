@@ -221,14 +221,19 @@ def _staging_data_files(staging: str) -> set[str]:
                 if not line.startswith("{"):
                     continue  # "v1" version header
                 entry = json.loads(line)
-                # compacted logs carry the full history incl. retention
-                # deletes; only "add" actions are live data files
-                if entry.get("action", "add") != "add":
+                p = entry.get("path")
+                if not p:
                     continue
-                p = entry["path"]
                 if p.startswith("file:"):
                     p = unquote(urlparse(p).path)
-                files.add(p)
+                # compacted logs carry the full history: an "add" followed
+                # by a retention "delete" for the same file means the file
+                # is GONE — process in log order and retract it, or the
+                # increment read fails on a missing file (ADVICE r7)
+                if entry.get("action", "add") == "add":
+                    files.add(p)
+                else:
+                    files.discard(p)
     return files
 
 

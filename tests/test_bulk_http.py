@@ -110,3 +110,28 @@ def test_non_retryable_http_400_gives_up_immediately():
         assert failed == 1
         assert attempts == 0
         assert calls == []  # 404 is not retryable: no backoff sleeps
+
+
+def test_garbled_200_body_is_retried_not_crashed(docs):
+    """A 200 response whose body is not JSON (truncated read, proxy
+    interstitial) must follow the log-and-continue contract: retry the
+    batch, never raise inside the task (ADVICE r7)."""
+    with StubES(garble_first_requests=2) as server:
+        totals = _run(docs, server)
+        assert totals["failed_actions"] == 0
+        assert totals["http_retries"] >= 2
+        assert len(server.docs) == 250
+
+
+def test_garbled_200_exhaustion_counts_actions_failed():
+    delays = []
+    with StubES(garble_first_requests=10_000) as server:
+        t = es_bulk.http_bulk_transport(
+            server.url, retries=2, backoff_s=0.05, sleep=delays.append
+        )
+        payload = "\n".join(['{"create":{"_id":"a"}}', "{}",
+                            '{"create":{"_id":"b"}}', "{}"]) + "\n"
+        failed, attempts = t(payload)
+        assert failed == 2
+        assert attempts == 2
+        assert delays == [0.05, 0.1]

@@ -80,19 +80,18 @@ def test_canon_distinguishes_int_from_float():
     assert _canon(a) == _canon(a.copy())
 
 
-def test_window_oracled_schemas_driver_hashable(spark):
+def test_window_schemas_driver_hashable(spark):
     """The driver's canonicalizer pandas-sorts every output column;
     array/map/struct cells are unhashable there (``unhashable type:
-    numpy.ndarray`` — the embed_quantize red row in CORRECTNESS_r06, which
-    the laxer ``_canon_val`` above tolerated).  Every ORACLED driver-window
-    query must therefore project complex types to scalars (to_json /
-    concat_ws / posexplode) before returning."""
+    numpy.ndarray`` — the embed_quantize red row in CORRECTNESS_r06 and the
+    audio_features/video_frames red rows in r07).  EVERY driver-window
+    query — rows-only included; the driver canonicalizes those too, the
+    r06 exemption here is disproven — must project complex types to
+    scalars (to_json / concat_ws / posexplode) before returning."""
     from pyspark.sql import types as T
 
     bad = {}
     for name in entry_mod.DRIVER_WINDOW:
-        if name not in entry_mod.oracle_sql():
-            continue  # rows-only: driver never canonicalizes the values
         schema = entry_mod.queries()[name](spark, PARITY_SF).schema
         complex_cols = [
             f.name

@@ -800,6 +800,15 @@ def test_highlight_wraps_query_terms(spark):
     body["highlight"] = {"fields": {"txt": {}}, "pre_tags": ["["], "post_tags": ["]"]}
     out = es_search(df, body, id_field="id").collect()
     assert out[1]["txt_highlight"] == "[merge] only"
+    # ES dict shorthand for bool sections (ADVICE r7): {"must": {...}}
+    # instead of {"must": [{...}]} must highlight, not crash
+    body2 = {
+        "query": {"bool": {"must": {"match": {"txt": "merge"}}}},
+        "sort": [{"id": {"order": "asc"}}], "size": 10,
+        "_source": ["id", "txt"], "highlight": {"fields": {"txt": {}}},
+    }
+    out = es_search(df, body2, id_field="id").collect()
+    assert out[1]["txt_highlight"] == "<em>merge</em> only"
 
 
 def test_significant_text_token_level_jlh(spark):
@@ -903,6 +912,23 @@ def test_histogram_offset(spark):
         "field": "v", "interval": 10, "offset": 5}}}).collect()
     assert sorted((r["key"], r["doc_count"]) for r in out) == [
         (-5.0, 1), (5.0, 2)]  # buckets [-5,5) and [5,15)
+
+
+def test_histogram_offset_gap_fill(spark):
+    """offset + min_doc_count=0 together (ADVICE r7 medium): the dense
+    axis must sit on the OFFSET grid (i*interval+offset), or the left join
+    on key silently zeroes every real bucket."""
+    df = spark.createDataFrame([(3.0,), (7.0,), (38.0,)], "v double")
+    out = compile_aggs(df, {"h": {"histogram": {
+        "field": "v", "interval": 10, "offset": 5, "min_doc_count": 0}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        (-5.0, 1), (5.0, 1), (15.0, 0), (25.0, 0), (35.0, 1)]
+    # extended_bounds are raw values aligned onto the OFFSET grid too
+    out = compile_aggs(df, {"h": {"histogram": {
+        "field": "v", "interval": 10, "offset": 5, "min_doc_count": 0,
+        "extended_bounds": {"min": -12, "max": 52}}}}).collect()
+    assert [r["key"] for r in out] == [-15.0, -5.0, 5.0, 15.0, 25.0, 35.0, 45.0]
+    assert [r["doc_count"] for r in out] == [0, 1, 1, 0, 0, 1, 0]
 
 
 def test_histogram_gap_fill_min_doc_count_zero(spark):
@@ -1111,3 +1137,13 @@ def test_geo_distance_sort(spark):
     # expression sorts cannot be cursor keys
     with pytest.raises(ValueError, match="cursor"):
         es_search(df, {**body, "search_after": [1000.0]}, id_field="id")
+    # known-but-order-irrelevant companions are tolerated (ADVICE r7) ...
+    body["sort"][0]["_geo_distance"].update(
+        {"distance_type": "arc", "mode": "min", "ignore_unmapped": True,
+         "order": "asc"})
+    assert [r["id"] for r in es_search(df, body, id_field="id").collect()] == [1, 2, 3]
+    # ... and an unknown option raises naming the offender, not a bare
+    # unpacking ValueError
+    body["sort"][0]["_geo_distance"]["nested_path"] = "x"
+    with pytest.raises(ValueError, match="nested_path"):
+        es_search(df, body, id_field="id")

@@ -192,3 +192,30 @@ def test_stream_to_snapshot_recovers_lost_increment(spark, tmp_path, monkeypatch
     assert S.read_snapshot(spark, root).count() == 1
     # and a further call with no new input is a no-op
     assert ingest.stream_to_snapshot(spark, str(src), schema, root, ["event_id"], chk) is None
+
+
+def test_staging_inventory_retracts_retention_deletes(tmp_path):
+    """A compacted _spark_metadata log carries add AND a later retention
+    'delete' for the same file: the inventory must process entries in log
+    order and retract deleted paths (ADVICE r7), or the increment read
+    fails on a missing file."""
+    import json
+
+    from hive2es_offline_spark.streaming.ingest import _staging_data_files
+
+    meta = tmp_path / "staging" / "_spark_metadata"
+    meta.mkdir(parents=True)
+    (meta / "0").write_text(
+        "v1\n"
+        + json.dumps({"path": "file:///s/part-0.parquet", "action": "add"}) + "\n"
+        + json.dumps({"path": "file:///s/part-1.parquet", "action": "add"}) + "\n"
+    )
+    (meta / "1.compact").write_text(
+        "v1\n"
+        + json.dumps({"path": "file:///s/part-0.parquet", "action": "add"}) + "\n"
+        + json.dumps({"path": "file:///s/part-0.parquet", "action": "delete"}) + "\n"
+        + json.dumps({"path": "file:///s/part-1.parquet", "action": "add"}) + "\n"
+        + json.dumps({"path": "file:///s/part-2.parquet", "action": "add"}) + "\n"
+    )
+    files = _staging_data_files(str(tmp_path / "staging"))
+    assert files == {"/s/part-1.parquet", "/s/part-2.parquet"}
