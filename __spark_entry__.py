@@ -2420,40 +2420,37 @@ def q_multimodal_meta(spark, sf_dir):
 #: ``list(queries())[:50] == DRIVER_WINDOW`` so an insertion in the wrong
 #: spot fails loudly instead of silently demoting an oracled query out of
 #: external verification.
-#: Round-7 rotation (VERDICT r6 #6): 13 long-stable driver-green rows
-#: (scan_project, json_docs, json_parse, map_flatten, array_ops,
-#: type_normalize, null_scrub, string_funcs, date_funcs, math_funcs,
-#: set_ops, window_frame, agg_distinct — green since r1-r5; goldens stay
-#: local via demoted_goldens) rotate out; in come the never-adjudicated
-#: surfaces: the round-6 DSL extensions (es_top_hits, es_search_after,
-#: es_composite, es_sig_terms, es_collapse, es_count — all oracled),
-#: snapshot_cdc + dedup_incremental (oracled), and the rows-only
-#: multimodal/ANN/incremental ops (audio_features, video_frames,
-#: pq_search, dedup_incremental_minhash) plus the new bulk_write_http
-#: (live HTTP bulk transport against an in-process stub ES, rows-only).
-#:
-#: Remaining never-adjudicated golden-backed candidates for round 8:
-#: window_ntile, repetition_stats, contamination, epoch_shuffle,
-#: temperature_mix, data_drift, es_query_ext, es_aggs_range,
-#: es_aggs_filters, bigram_lm_score, plus the round-7 additions
+#: Round-8 rotation (VERDICT r7 #2): 16 long-stable driver-green rows
+#: (join_inner/left/semi/anti, agg_group, rollup_cube, window_rank, topk,
+#: ngram_jaccard, dedup_cosine, sim_search, text_stats, bm25_search,
+#: hybrid_search, source_mix, quality_gate — green r1-r7; goldens stay
+#: local via demoted_goldens) rotate out; in come the 16 round-7 DSL/dedup
+#: surfaces that were locally DuckDB-green but never driver-adjudicated:
 #: es_pipeline_aggs, es_sibling_bucket, es_metrics_ext, es_rare_terms,
 #: es_multi_terms, es_clause_ext, es_date_math, es_gap_fill,
 #: es_terms_order, es_adjacency, es_runtime_fields, es_sig_text,
-#: es_highlight, es_nested, es_geo, substring_dedup.  Window membership
-#: is just this list; goldens follow automatically.
+#: es_highlight, es_nested, es_geo, substring_dedup.
+#:
+#: Remaining never-adjudicated golden-backed candidates for round 9:
+#: window_ntile, repetition_stats, contamination, epoch_shuffle,
+#: temperature_mix, data_drift, es_query_ext, es_aggs_range,
+#: es_aggs_filters, bigram_lm_score, plus whatever round 8 adds
+#: (es_query_string, es_scored_search, es_function_score, es_mget).
+#: Window membership is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
     "scan_filter", "schema_infer",
     "mapping_synthesis", "filter_pred", "es_routing", "partition_counts",
-    "join_inner", "join_left", "join_semi", "join_anti",
-    "agg_group", "rollup_cube",
-    "window_rank", "topk",
-    "dedup_exact", "dedup_minhash", "dedup_components", "ngram_jaccard",
-    "dedup_cosine", "sim_search", "text_stats", "curation_pipeline",
+    "dedup_exact", "dedup_minhash", "dedup_components",
+    "curation_pipeline",
     "es_search", "es_match", "es_aggs", "es_knn",
-    "bm25_search", "hybrid_search",
-    "embed_quantize", "source_mix", "snapshot_diff", "quality_gate",
+    "embed_quantize", "snapshot_diff",
     "es_top_hits", "es_search_after", "es_composite", "es_sig_terms",
     "es_collapse", "es_count",
+    "es_pipeline_aggs", "es_sibling_bucket", "es_metrics_ext",
+    "es_rare_terms", "es_multi_terms", "es_clause_ext", "es_date_math",
+    "es_gap_fill", "es_terms_order", "es_adjacency", "es_runtime_fields",
+    "es_sig_text", "es_highlight", "es_nested", "es_geo",
+    "substring_dedup",
     "snapshot_cdc", "dedup_incremental",
     "audio_features", "video_frames", "pq_search",
     "dedup_incremental_minhash",
