@@ -2411,6 +2411,103 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.decode_image_meta(payloads)
 
 
+def q_es_query_string(spark, sf_dir):
+    """Lucene ``query_string`` syntax — the most-used entry point of the
+    index the reference publishes (``ESClient.java:154-170`` alias
+    consumers type query strings, not structured DSL): field:term,
+    grouped OR, an open-ended range, a prohibited phrase and a prohibited
+    term, all parsed into the same single-predicate Catalyst plan the
+    structured body compiles to."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"query_string": {
+            "query": '(text:merge OR text:stream) AND n_chars:[300 TO *] '
+                     'AND NOT text:"slow scan" AND -source:src7',
+        }},
+        "sort": [{"doc_id": {"order": "asc"}}],
+        "size": 40,
+        "_source": ["doc_id", "source", "n_chars"],
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
+#: scored-search body shared by the query and its docstring: BM25 must
+#: match + a should term (scores idf) + a should constant_score (+0.5)
+_ES_SCORED_BODY = {
+    "query": {"bool": {
+        "must": [{"match": {"text": "merge stream"}}],
+        "should": [
+            {"term": {"source": "src3"}},
+            {"constant_score": {
+                "filter": {"range": {"n_chars": {"gte": 400}}},
+                "boost": 0.5,
+            }},
+        ],
+    }},
+    "size": 25,
+    "_source": ["doc_id"],
+}
+
+
+def q_es_mget(spark, sf_dir):
+    """ES ``_mget`` read path: one row per requested id with ``found``
+    true/false (missing ids carry NULL source columns, exactly ES's
+    per-doc found flag) — the request list broadcasts against the table
+    and the id set is pushed into the scan, so the table side never
+    shuffles.  Completes the consumer API surface beside _search/_count
+    (``ESClient.java:154-170``)."""
+    from hive2es_offline_spark.plans.query_dsl import es_mget
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_chars_d", F.col("n_chars").cast("double")
+    )
+    body = {"ids": [5, 42, 123, 999999, 7, 123456789],
+            "_source": ["source", "n_chars_d"]}
+    return es_mget(d, body, id_field="doc_id")
+
+
+def q_es_scored_search(spark, sf_dir):
+    """Score-context search: Lucene BM25 ``_score`` for the match-family
+    clauses the reference's loaded index ranks with (live ES scores every
+    ``match`` via Lucene's BM25Similarity).  The bool sums must + matching
+    should scores: BM25 over the analyzed text, idf for the keyword term
+    (exact BM25 of a keyword posting), and a constant_score boost — one
+    tokenize pass, term partials joined back as a map column, ranking via
+    TakeOrderedAndProject.  See plans/scoring.py."""
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    d = _t(spark, sf_dir, "documents")
+    return es_scored_search(d, _ES_SCORED_BODY, id_field="doc_id")
+
+
+def q_es_function_score(spark, sf_dir):
+    """``function_score``: the remaining high-traffic scored clause — a
+    BM25 base query transformed by a filtered ``weight`` function and a
+    ``field_value_factor`` (log1p modifier), combined with
+    score_mode=sum / boost_mode=multiply.  All codegen math over the
+    scored frame."""
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"function_score": {
+            "query": {"match": {"text": "merge"}},
+            "functions": [
+                {"filter": {"term": {"source": "src3"}}, "weight": 2.0},
+                {"field_value_factor": {
+                    "field": "n_chars", "factor": 0.001, "modifier": "log1p"}},
+            ],
+            "score_mode": "sum",
+            "boost_mode": "multiply",
+        }},
+        "size": 25,
+        "_source": ["doc_id"],
+    }
+    return es_scored_search(d, body, id_field="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2431,18 +2528,22 @@ def q_multimodal_meta(spark, sf_dir):
 #: es_terms_order, es_adjacency, es_runtime_fields, es_sig_text,
 #: es_highlight, es_nested, es_geo, substring_dedup.
 #:
+#: The round-8 additions es_query_string / es_scored_search /
+#: es_function_score / es_mget also enter the window (es_search /
+#: es_match / es_aggs / dedup_exact rotate out for them — green r5-r7
+#: resp. r1-r7, goldens stay local).
+#:
 #: Remaining never-adjudicated golden-backed candidates for round 9:
 #: window_ntile, repetition_stats, contamination, epoch_shuffle,
 #: temperature_mix, data_drift, es_query_ext, es_aggs_range,
-#: es_aggs_filters, bigram_lm_score, plus whatever round 8 adds
-#: (es_query_string, es_scored_search, es_function_score, es_mget).
+#: es_aggs_filters, bigram_lm_score.
 #: Window membership is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
     "scan_filter", "schema_infer",
     "mapping_synthesis", "filter_pred", "es_routing", "partition_counts",
-    "dedup_exact", "dedup_minhash", "dedup_components",
-    "curation_pipeline",
-    "es_search", "es_match", "es_aggs", "es_knn",
+    "dedup_minhash", "dedup_components",
+    "curation_pipeline", "es_mget",
+    "es_query_string", "es_scored_search", "es_function_score", "es_knn",
     "embed_quantize", "snapshot_diff",
     "es_top_hits", "es_search_after", "es_composite", "es_sig_terms",
     "es_collapse", "es_count",
@@ -2516,6 +2617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match": q_es_match,
         "es_aggs": q_es_aggs,
         "es_knn": q_es_knn,
+        # --- round-8: Lucene query_string syntax + score context + _mget ---
+        "es_query_string": q_es_query_string,
+        "es_scored_search": q_es_scored_search,
+        "es_function_score": q_es_function_score,
+        "es_mget": q_es_mget,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "embed_quantize": q_embed_quantize,
@@ -3747,6 +3853,118 @@ def _goldens_b() -> dict[str, str]:
                    CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    s.avg_logp, s.oov_ratio
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        # mirrors q_es_mget: one row per requested id, found flag, NULL
+        # source columns for misses (n_chars pre-cast to double on both
+        # sides: NULLs turn int64 into float64 in pandas either way)
+        "es_mget": """
+            SELECT CAST(r.rid AS VARCHAR) AS mget_id,
+                   d.doc_id IS NOT NULL AS found,
+                   d.source,
+                   CAST(d.n_chars AS DOUBLE) AS n_chars_d
+            FROM (VALUES (5), (42), (123), (999999), (7), (123456789))
+                 r(rid)
+            LEFT JOIN documents d ON d.doc_id = r.rid
+        """,
+        # mirrors q_es_query_string clause by clause after parsing:
+        # match -> analyzed containment, [300 TO *] -> >=, NOT phrase ->
+        # word-boundary regex, -source:src7 -> NOT containment
+        "es_query_string": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE (list_contains(string_split_regex(lower(text), ' +'), 'merge')
+                   OR list_contains(string_split_regex(lower(text), ' +'), 'stream'))
+              AND n_chars >= 300
+              AND NOT regexp_matches(lower(text), '(^| )slow scan( |$)')
+              AND NOT list_contains(string_split_regex(lower(source), ' +'), 'src7')
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
+        # mirrors _ES_SCORED_BODY: BM25 partials exactly like _BM25_ORACLE
+        # (rounded DECIMAL(28,6) additions), + idf(source='src3') for
+        # matching should-term docs (keyword BM25: tf=1, dl=avgdl => idf),
+        # + 0.5 constant_score when n_chars >= 400; additions in the
+        # engine's must-then-should order, final round(_, 6)
+        "es_scored_search": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), ' +'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM base, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream')
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), bm AS (
+              SELECT doc_id, CAST(sum(p) AS DOUBLE) AS bm25
+              FROM part GROUP BY doc_id
+            ), idf AS (
+              SELECT round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS v
+              FROM (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                           CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)
+                                AS DOUBLE) AS df
+                    FROM documents)
+            )
+            SELECT bm.doc_id,
+                   round(bm.bm25
+                         + CASE WHEN d.source = 'src3' THEN idf.v ELSE 0.0 END
+                         + CASE WHEN d.n_chars >= 400 THEN 0.5 ELSE 0.0 END,
+                         6) AS _score
+            FROM bm JOIN documents d ON bm.doc_id = d.doc_id, idf
+            ORDER BY _score DESC, bm.doc_id ASC
+            LIMIT 25
+        """,
+        # mirrors q_es_function_score: BM25('merge') base * (gated weight
+        # 2.0 + field_value_factor log1p), score_mode=sum /
+        # boost_mode=multiply, engine's function declaration order
+        "es_function_score": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), ' +'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+              FROM base, unnest(toks) AS u(t)
+              WHERE t = 'merge'
+              GROUP BY 1
+            ), dfreq AS (
+              SELECT CAST(count(*) AS DOUBLE) AS df FROM tf
+            ), bm AS (
+              SELECT tf.doc_id,
+                     CAST(CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS DOUBLE) AS bm25
+              FROM tf JOIN dl USING (doc_id), s, dfreq
+            )
+            SELECT bm.doc_id,
+                   round(bm.bm25
+                         * (CASE WHEN d.source = 'src3' THEN 2.0 ELSE 0.0 END
+                            + round(log10(d.n_chars * 0.001 + 1.0), 6)),
+                         6) AS _score
+            FROM bm JOIN documents d ON bm.doc_id = d.doc_id
+            ORDER BY _score DESC, bm.doc_id ASC
+            LIMIT 25
         """,
         # mirrors _ES_SEARCH_BODY clause by clause: terms -> IN, range ->
         # comparisons, must_not term -> NOT =, should prefix+wildcard with

@@ -146,7 +146,29 @@ BENCH_QUERIES = [
     # includes batch framing + retry/backoff + response parsing)
     "curation_pipeline",
     "bulk_write_http",
+    # round-8 additions: the Lucene query_string entry point (parse ->
+    # single-predicate scan) and BM25 score-context ranking (tokenize ->
+    # term-partial map join -> TakeOrderedAndProject)
+    "es_query_string",
+    "es_scored_search",
 ]
+
+
+def _cpu_pressure() -> dict | None:
+    """Sample /proc/pressure/cpu: {'avg10': float, 'total_us': int} for the
+    'some' line, or None where PSI is unavailable.  Stamped into the bench
+    JSON so a loaded-machine run is visible in the artifact itself (the
+    committed BENCH_r07.json was such a run — four phantom regressions)."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            for line in f:
+                if line.startswith("some"):
+                    kv = dict(p.split("=") for p in line.split()[1:])
+                    return {"avg10": float(kv["avg10"]),
+                            "total_us": int(kv["total"])}
+    except OSError:
+        return None
+    return None
 
 
 def run_noop(df) -> None:
@@ -154,6 +176,8 @@ def run_noop(df) -> None:
 
 
 def main() -> None:
+    psi_before = _cpu_pressure()
+    wall_start = time.perf_counter()
     conf_path, log_path = _jvm_log_conf()
     spark = get_spark(
         "hive2es-bench",
@@ -192,6 +216,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     spark.stop()
+    # load attestation: CPU-stall share of the whole bench wall window.
+    # The bench itself saturates local[32] in bursts, so nonzero stall is
+    # normal — the flag key is external load BEFORE the run (avg10_before)
+    # plus an unusually high stall_pct vs the round's baseline.
+    psi_after = _cpu_pressure()
+    wall = time.perf_counter() - wall_start
+    attestation = None
+    if psi_before and psi_after:
+        attestation = {
+            "avg10_before": psi_before["avg10"],
+            "avg10_after": psi_after["avg10"],
+            "stall_pct": round(
+                100.0 * (psi_after["total_us"] - psi_before["total_us"])
+                / (wall * 1e6), 2,
+            ),
+        }
     benign_stacks, unexpected = _scan_jvm_log(log_path)
     if unexpected:
         sys.stderr.write(
@@ -209,6 +249,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "jvm_benign_stacks": benign_stacks,
+                "cpu_pressure": attestation,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             }
         )

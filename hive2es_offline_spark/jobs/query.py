@@ -26,7 +26,7 @@ import sys
 
 def run_query(spark, args: argparse.Namespace):
     """Compile and run the body; returns the result DataFrame."""
-    from ..plans.query_dsl import es_count, es_search
+    from ..plans.query_dsl import es_count, es_mget, es_search
 
     body_src = args.body
     if body_src.startswith("@"):
@@ -38,6 +38,14 @@ def run_query(spark, args: argparse.Namespace):
     df = reader.load(args.input_path) if args.input_path else spark.table(args.table)
     if args.count:
         return es_count(df, body, id_field=args.id_field)
+    if args.mget:
+        return es_mget(
+            df, body, id_field=args.id_field, routing_field=args.routing_field
+        )
+    if args.scored:
+        from ..plans.scoring import es_scored_search
+
+        return es_scored_search(df, body, id_field=args.id_field)
     return es_search(df, body, id_field=args.id_field)
 
 
@@ -52,6 +60,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-field", default="_id")
     p.add_argument("--count", action="store_true",
                    help="run the _count API instead of _search")
+    p.add_argument("--mget", action="store_true",
+                   help="run the _mget API (body: {ids: [...]} or {docs: [...]})")
+    p.add_argument("--routing-field", default=None,
+                   help="column holding the routing value (_mget routing checks)")
+    p.add_argument("--scored", action="store_true",
+                   help="rank hits by BM25 _score (score context) instead of "
+                        "filter-context search")
     p.add_argument("--output", default=None,
                    help="write the result as parquet here instead of printing")
     p.add_argument("--max-print", type=int, default=100,

@@ -32,8 +32,15 @@ over array-of-struct columns, with ``inner_hits``), ``geo_distance`` /
 ``geo_bounding_box`` (haversine on Lucene's earth radius over
 struct{lat,lon} columns),
 ``bool`` with ``must`` / ``filter`` / ``should`` / ``must_not`` /
-``minimum_should_match``, and the ES 8 top-level ``knn`` search clause
-(pre-filtered exact cosine top-k, ``_score = (1 + cosine) / 2``).
+``minimum_should_match``, the ES 8 top-level ``knn`` search clause
+(pre-filtered exact cosine top-k, ``_score = (1 + cosine) / 2``),
+``query_string`` / ``simple_query_string`` (the Lucene mini-syntax,
+parsed by ``plans/query_string.py`` into these same clauses), and the
+score-wrapper clauses ``constant_score`` / ``dis_max`` /
+``function_score`` (as filters here; their score semantics live in
+``plans/scoring.py::es_scored_search``, which ranks match-family
+queries with Lucene BM25 ``_score``).  ``es_mget`` completes the
+consumer read APIs beside ``es_search`` / ``es_count``.
 Hit-level features: ``sort`` / ``from``+``size`` paging, ``search_after``
 cursor paging (lexicographic strict-after filter — page N costs the same
 as page 1, the scale-correct deep-paging shape), ``_source`` projection,
@@ -86,7 +93,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compile_query", "compile_aggs", "es_search", "es_count", "significant_terms"]
+__all__ = ["compile_query", "compile_aggs", "es_search", "es_count",
+           "es_mget", "significant_terms"]
 
 
 def _analyze(col: Column) -> Column:
@@ -415,6 +423,29 @@ def compile_query(
 
     if kind == "match_all":
         return F.lit(True)
+    if kind == "query_string":
+        from .query_string import parse_query_string
+
+        return compile_query(parse_query_string(body), id_field, fields)
+    if kind == "simple_query_string":
+        from .query_string import parse_simple_query_string
+
+        return compile_query(parse_simple_query_string(body), id_field, fields)
+    if kind == "constant_score":
+        # score-only wrapper: in filter context it IS its filter
+        return compile_query(body["filter"], id_field, fields)
+    if kind == "dis_max":
+        # max-of-child-scores; as a FILTER it matches when any child does
+        subs = [compile_query(c, id_field, fields) for c in body["queries"]]
+        out = F.coalesce(subs[0], F.lit(False))
+        for s in subs[1:]:
+            out = out | F.coalesce(s, F.lit(False))
+        return out
+    if kind == "function_score":
+        # scoring wrapper (plans/scoring.py owns the score math); the
+        # filter-context match set is the inner query's — per-function
+        # `filter` entries only gate score functions, never hits
+        return compile_query(body.get("query", {"match_all": {}}), id_field, fields)
     if kind == "nested":
         if fields is not None:
             raise ValueError("nested inside nested is not supported")
@@ -1698,6 +1729,69 @@ def _apply_highlight(df: DataFrame, body: dict) -> tuple[DataFrame, list[str]]:
         )
         added.append(f"{hf}_highlight")
     return df, added
+
+
+def es_mget(
+    df: DataFrame,
+    body: dict,
+    id_field: str = "_id",
+    routing_field: str | None = None,
+) -> DataFrame:
+    """ES ``_mget``: fetch documents by id list — the remaining consumer
+    read API beside ``_search`` / ``_count`` (the reference's loaded index
+    serves all three through the alias, ``ESClient.java:154-170``).
+
+    Body: ``{"ids": [...]}`` or ``{"docs": [{"_id": ..., "routing": ...,
+    "_source": [...]}, ...]}``.  Like ES, the result has ONE row per
+    requested id with ``found`` true/false; a doc requested with a routing
+    that doesn't match the stored routing value is NOT found (ES only
+    searches the routed shard).  ``_source`` (body-level or per-doc — the
+    union is projected) selects columns; missing docs carry NULLs.
+
+    Scale shape: the request list is a handful of literal rows broadcast
+    against the table — the scan side never shuffles, and the id filter is
+    pushed into it (left side of the broadcast join prunes on
+    ``id IN (...)``)."""
+    if "ids" in body:
+        docs = [{"_id": i} for i in body["ids"]]
+    else:
+        docs = list(body["docs"])
+    if not docs:
+        raise ValueError("_mget needs ids or docs")
+    spark = df.sparkSession
+    rows = [
+        (i, d["_id"], d.get("routing") if routing_field else None)
+        for i, d in enumerate(docs)
+    ]
+    req = spark.createDataFrame(
+        [(p, str(v), r) for p, v, r in rows],
+        "_pos int, _mget_id string, _mget_routing string",
+    )
+    id_col = F.col(id_field).cast("string")
+    source = body.get("_source")
+    per_doc = sorted({c for d in docs for c in d.get("_source", [])})
+    cols = list(source or per_doc or [c for c in df.columns])
+    # push the id set into the scan before the join (partition/row-group
+    # pruning) — the filtered table side is at most len(ids) rows, so IT
+    # broadcasts (a broadcast hint cannot apply to the preserved side of
+    # an outer join, and the request rows must all survive)
+    data = df.where(id_col.isin([str(v) for _, v, _ in rows]))
+    joined = req.join(
+        F.broadcast(data), id_col == req["_mget_id"], "left"
+    )
+    valid = F.col(id_field).isNotNull()
+    if routing_field:
+        valid = valid & (
+            F.col("_mget_routing").isNull()
+            | (F.col(routing_field).cast("string") == F.col("_mget_routing"))
+        )
+    out = joined.select(
+        F.col("_pos"),
+        F.col("_mget_id").alias("mget_id"),
+        valid.alias("found"),
+        *[F.when(valid, F.col(c)).alias(c) for c in cols],
+    )
+    return out.orderBy("_pos").drop("_pos")
 
 
 def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> DataFrame:

@@ -1,0 +1,459 @@
+"""Relevance-scored search: a ``_score`` pipeline over the query DSL.
+
+The reference loads a live index consumers query with RANKED searches
+(``ESClient.java:154-170`` — the alias serves ordinary ``match`` queries,
+which Lucene scores with BM25).  ``plans/query_dsl.py`` is filter-context
+only; this module adds the score context on top of the same clause
+compilers:
+
+- ``match`` / ``multi_match`` / ``match_phrase`` score with Lucene's BM25
+  (the exact formula of ``operators/retrieval.py:38``; multi_match is
+  best_fields — max over per-field scores + ``tie_breaker``; match_phrase
+  scores its terms gated on the phrase actually matching — live ES uses
+  position-aware phrase freq, a documented approximation),
+- ``term`` scores idf (the exact BM25 value for a keyword posting:
+  tf=1, dl=avgdl ⇒ score = idf),
+- structural clauses (``range`` / ``exists`` / ``wildcard`` / ``prefix``
+  / ``ids`` / ``fuzzy`` / ``regexp`` / geo) contribute the constant 1.0
+  exactly like live ES's filter-to-query rewrite,
+- ``bool`` sums must + matching should (filter / must_not contribute 0),
+- ``constant_score`` yields its boost, ``dis_max`` the max of child
+  scores plus ``tie_breaker`` times the rest,
+- ``function_score`` transforms the inner score: ``field_value_factor``
+  (all ES modifiers) and ``weight`` functions with optional per-function
+  ``filter``, combined by ``score_mode`` and applied by ``boost_mode``.
+
+Scale shape (100 TB corpus): ONE tokenize+explode pass per scored text
+field, filtered to the query's terms map-side before the only full-width
+shuffle (the per-(doc, term) tf aggregate — carries query-term hits only);
+corpus stats (N, avgdl, per-term df, per-keyword-leaf df) reduce to
+broadcast-size frames; per-doc term partials come back as ONE map column
+per field (one shuffle join on the id), and the whole score expression
+tree is then plain codegen over that map.  No per-clause scans, no Python.
+
+Determinism: per-(doc, term) partials are rounded to 6 decimals (same as
+``bm25_topk``), fixed-shape expression sums, final ``_score`` rounded to
+6 — an ANSI-SQL oracle reproduces the exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .query_dsl import _analyze, _sort_specs, compile_query
+
+__all__ = ["es_scored_search", "score_frame"]
+
+#: clauses that score as the constant 1.0 when they match (ES's
+#: filter-to-query rewrite wraps them in a constant score)
+_CONSTANT_ONE_KINDS = {
+    "range", "exists", "wildcard", "prefix", "ids", "fuzzy", "regexp",
+    "terms", "terms_set", "geo_distance", "geo_bounding_box", "nested",
+    "match_phrase_prefix",
+}
+
+
+def _normalize(q: dict) -> dict:
+    """Expand query_string/simple_query_string into plain clause trees so
+    the collector and the score builder see one grammar."""
+    (kind, body), = q.items()
+    if kind == "query_string":
+        from .query_string import parse_query_string
+
+        return _normalize(parse_query_string(body))
+    if kind == "simple_query_string":
+        from .query_string import parse_simple_query_string
+
+        return _normalize(parse_simple_query_string(body))
+    if kind == "bool":
+        out = {}
+        for sec in ("must", "filter", "should", "must_not"):
+            subs = body.get(sec)
+            if subs is None:
+                continue
+            subs = subs if isinstance(subs, list) else [subs]
+            out[sec] = [_normalize(c) for c in subs]
+        for k in ("minimum_should_match",):
+            if k in body:
+                out[k] = body[k]
+        return {"bool": out}
+    if kind == "constant_score":
+        return {"constant_score": {**body, "filter": _normalize(body["filter"])}}
+    if kind == "dis_max":
+        return {"dis_max": {**body, "queries": [_normalize(c) for c in body["queries"]]}}
+    if kind == "function_score":
+        out = dict(body)
+        out["query"] = _normalize(body.get("query", {"match_all": {}}))
+        return {"function_score": out}
+    return q
+
+
+class _ScoreCompiler:
+    """Two-pass walk of a normalized query tree: ``collect`` gathers the
+    BM25 text-field terms and keyword-idf leaves; after the caller joins
+    the per-field term-score maps and the idf stats row, ``build`` emits
+    the score Column."""
+
+    def __init__(self, id_field: str):
+        self.id_field = id_field
+        self.field_terms: dict[str, set[str]] = {}   # text field -> terms
+        self.term_leaves: list[tuple[str, object]] = []  # (field, value)
+
+    # -- pass 1 -------------------------------------------------------------
+    def collect(self, q: dict) -> None:
+        (kind, body), = q.items()
+        if kind in ("match", "match_phrase"):
+            field, raw = next(iter(body.items()))
+            query = raw["query"] if isinstance(raw, dict) else raw
+            self.field_terms.setdefault(field, set()).update(
+                t for t in str(query).lower().split() if t
+            )
+        elif kind == "multi_match":
+            for f in body["fields"]:
+                f = str(f).partition("^")[0]
+                self.field_terms.setdefault(f, set()).update(
+                    t for t in str(body["query"]).lower().split() if t
+                )
+        elif kind == "term":
+            field, raw = next(iter(body.items()))
+            value = raw["value"] if isinstance(raw, dict) else raw
+            if (field, value) not in self.term_leaves:
+                self.term_leaves.append((field, value))
+        elif kind == "bool":
+            for sec in ("must", "should"):
+                for c in body.get(sec, []):
+                    self.collect(c)
+            # filter / must_not never contribute score — nothing to collect
+        elif kind == "constant_score":
+            pass  # inner filter scores 0; only the boost surfaces
+        elif kind == "dis_max":
+            for c in body["queries"]:
+                self.collect(c)
+        elif kind == "function_score":
+            self.collect(body["query"])
+        elif kind == "knn":
+            raise ValueError(
+                "knn has its own scored path in es_search — not valid here"
+            )
+
+    # -- pass 2 -------------------------------------------------------------
+    def build(self, q: dict) -> Column:
+        (kind, body), = q.items()
+        pred = F.coalesce(compile_query(q, self.id_field), F.lit(False))
+        if kind == "match_all":
+            return F.lit(float(body.get("boost", 1.0)))
+        if kind == "match":
+            field, raw = next(iter(body.items()))
+            spec = raw if isinstance(raw, dict) else {"query": raw}
+            boost = float(spec.get("boost", 1.0))
+            return F.when(pred, self._bm25(field, str(spec["query"])) * boost
+                          ).otherwise(F.lit(0.0))
+        if kind == "match_phrase":
+            field, raw = next(iter(body.items()))
+            spec = raw if isinstance(raw, dict) else {"query": raw}
+            boost = float(spec.get("boost", 1.0))
+            return F.when(pred, self._bm25(field, str(spec["query"])) * boost
+                          ).otherwise(F.lit(0.0))
+        if kind == "multi_match":
+            boost = float(body.get("boost", 1.0))
+            tie = float(body.get("tie_breaker", 0.0))
+            per = []
+            for f in body["fields"]:
+                f2, _, fb = str(f).partition("^")
+                fboost = float(fb) if fb else 1.0
+                sub = {"match": {f2: {"query": body["query"],
+                                      "operator": body.get("operator", "or"),
+                                      "boost": fboost}}}
+                per.append(self.build(sub))
+            best = F.greatest(*per) if len(per) > 1 else per[0]
+            if tie and len(per) > 1:
+                total = per[0]
+                for p in per[1:]:
+                    total = total + p
+                best = best + F.lit(tie) * (total - best)
+            return best * F.lit(boost)
+        if kind == "term":
+            field, raw = next(iter(body.items()))
+            value = raw["value"] if isinstance(raw, dict) else raw
+            boost = float(raw.get("boost", 1.0)) if isinstance(raw, dict) else 1.0
+            i = self.term_leaves.index((field, value))
+            return F.when(pred, F.col(f"_idf_{i}") * boost).otherwise(F.lit(0.0))
+        if kind == "bool":
+            parts: list[Column] = []
+            for c in body.get("must", []):
+                parts.append(self.build(c))
+            for c in body.get("should", []):
+                parts.append(self.build(c))  # build() is already pred-gated
+            if not parts:
+                # filter/must_not-only bool: constant 1.0 like ES's
+                # ConstantScore(…) rewrite of a pure-filter query
+                return F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out + p
+            return out
+        if kind == "constant_score":
+            return F.when(pred, F.lit(float(body.get("boost", 1.0)))
+                          ).otherwise(F.lit(0.0))
+        if kind == "dis_max":
+            subs = [self.build(c) for c in body["queries"]]
+            tie = float(body.get("tie_breaker", 0.0))
+            best = F.greatest(*subs) if len(subs) > 1 else subs[0]
+            if tie and len(subs) > 1:
+                total = subs[0]
+                for s in subs[1:]:
+                    total = total + s
+                best = best + F.lit(tie) * (total - best)
+            return best
+        if kind == "function_score":
+            return self._function_score(body)
+        if kind in _CONSTANT_ONE_KINDS:
+            spec = next(iter(body.values()))
+            boost = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
+            return F.when(pred, F.lit(boost)).otherwise(F.lit(0.0))
+        raise ValueError(f"unsupported clause in score context: {kind}")
+
+    def _bm25(self, field: str, query: str) -> Column:
+        """Sum of the per-term partials from this doc's term-score map for
+        ``field`` (joined in by es_scored_search as ``_tsmap_<field>``)."""
+        terms = sorted({t for t in query.lower().split() if t})
+        m = F.col(f"_tsmap_{field}")
+        # partials are rounded to 6 decimals, so DECIMAL(28,6) addition is
+        # exact and order-independent — same convention as bm25_topk, and
+        # what lets an ANSI-SQL oracle reproduce the sum bit-for-bit
+        out: Column = F.lit(0).cast("decimal(28,6)")
+        for t in terms:
+            out = out + F.coalesce(m.getItem(t), F.lit(0.0)).cast("decimal(28,6)")
+        return out.cast("double")
+
+    # -- function_score ------------------------------------------------------
+    def _function_score(self, body: dict) -> Column:
+        base = self.build(body["query"])
+        funcs = body.get("functions")
+        if funcs is None:
+            # single-function shorthand at the top level
+            funcs = [{k: v for k, v in body.items()
+                      if k in ("field_value_factor", "weight", "filter")}]
+            funcs = [f for f in funcs if set(f) - {"filter"}]
+        vals: list[Column] = []
+        matched: list[Column] = []
+        for fn in funcs:
+            unsupported = set(fn) - {"filter", "weight", "field_value_factor"}
+            if unsupported:
+                raise ValueError(
+                    f"unsupported function_score function(s): {sorted(unsupported)}"
+                )
+            v: Column = F.lit(1.0)
+            if "field_value_factor" in fn:
+                v = _field_value_factor(fn["field_value_factor"])
+            if "weight" in fn:
+                v = v * F.lit(float(fn["weight"]))
+            if "filter" in fn:
+                gate = F.coalesce(
+                    compile_query(fn["filter"], self.id_field), F.lit(False)
+                )
+            else:
+                gate = F.lit(True)
+            vals.append(F.when(gate, v))          # NULL when not matched
+            matched.append(gate.cast("int"))
+        score_mode = str(body.get("score_mode", "multiply"))
+        if not vals:
+            fscore = F.lit(1.0)
+        elif score_mode == "multiply":
+            fscore = F.coalesce(vals[0], F.lit(1.0))
+            for v in vals[1:]:
+                fscore = fscore * F.coalesce(v, F.lit(1.0))
+        elif score_mode == "sum":
+            fscore = F.coalesce(vals[0], F.lit(0.0))
+            for v in vals[1:]:
+                fscore = fscore + F.coalesce(v, F.lit(0.0))
+        elif score_mode == "max":
+            fscore = F.coalesce(F.greatest(*vals) if len(vals) > 1 else vals[0],
+                                F.lit(1.0))
+        elif score_mode == "min":
+            fscore = F.coalesce(F.least(*vals) if len(vals) > 1 else vals[0],
+                                F.lit(1.0))
+        elif score_mode == "avg":
+            total = F.coalesce(vals[0], F.lit(0.0))
+            n = matched[0]
+            for v, m in zip(vals[1:], matched[1:]):
+                total = total + F.coalesce(v, F.lit(0.0))
+                n = n + m
+            fscore = F.when(n > 0, total / n).otherwise(F.lit(1.0))
+        elif score_mode == "first":
+            fscore = F.coalesce(*vals, F.lit(1.0))
+        else:
+            raise ValueError(f"unsupported score_mode: {score_mode}")
+        if "max_boost" in body:
+            fscore = F.least(fscore, F.lit(float(body["max_boost"])))
+        boost_mode = str(body.get("boost_mode", "multiply"))
+        if boost_mode == "multiply":
+            return base * fscore
+        if boost_mode == "sum":
+            return base + fscore
+        if boost_mode == "replace":
+            return fscore
+        if boost_mode == "max":
+            return F.greatest(base, fscore)
+        if boost_mode == "min":
+            return F.least(base, fscore)
+        if boost_mode == "avg":
+            return (base + fscore) / F.lit(2.0)
+        raise ValueError(f"unsupported boost_mode: {boost_mode}")
+
+
+def _field_value_factor(spec: dict) -> Column:
+    """ES ``field_value_factor``: modifier(factor * field), with
+    ``missing`` substituted for NULL — every modifier is codegen math."""
+    v = F.coalesce(
+        F.col(spec["field"]).cast("double"),
+        F.lit(float(spec["missing"])) if "missing" in spec else F.lit(None),
+    ) * F.lit(float(spec.get("factor", 1.0)))
+    modifier = str(spec.get("modifier", "none"))
+    mods = {
+        "none": lambda c: c,
+        "log": F.log10,
+        "log1p": lambda c: F.log10(c + 1.0),
+        "log2p": lambda c: F.log10(c + 2.0),
+        "ln": lambda c: F.log(c),
+        "ln1p": lambda c: F.log(c + 1.0),
+        "ln2p": lambda c: F.log(c + 2.0),
+        "sqrt": F.sqrt,
+        "square": lambda c: c * c,
+        "reciprocal": lambda c: F.lit(1.0) / c,
+    }
+    if modifier not in mods:
+        raise ValueError(f"unsupported field_value_factor modifier: {modifier}")
+    return F.round(mods[modifier](v), 6)
+
+
+def _term_score_map(df: DataFrame, id_field: str, field: str,
+                    terms: set[str], k1: float, b: float) -> DataFrame:
+    """Per-doc BM25 term partials for one text field, as
+    ``(id, _tsmap_<field>: map<term, double>)`` — the single-pass,
+    filter-before-shuffle shape of ``retrieval.bm25_topk``."""
+    toks = F.filter(F.split(F.lower(F.col(field)), " +"), lambda t: t != "")
+    base = df.select(
+        F.col(id_field).alias("_did"), toks.alias("_toks")
+    ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    hits = (
+        base.select("_did", "_dl", F.explode("_toks").alias("_term"))
+        .where(F.col("_term").isin(sorted(terms)))
+    )
+    tf = hits.groupBy("_did", "_term").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.first("_dl").alias("_dl"),
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    partial = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_did", "_term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1.0))
+                / (F.col("_tf")
+                   + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))),
+                6,
+            ).alias("_p"),
+        )
+    )
+    return partial.groupBy("_did").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_term", "_p"))
+        ).alias(f"_tsmap_{field}")
+    ).withColumnRenamed("_did", id_field)
+
+
+def score_frame(
+    df: DataFrame,
+    query: dict,
+    id_field: str = "_id",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``df`` + a ``_score`` column for ``query`` (score context), rounded
+    to 6 decimals.  Rows are NOT filtered — callers apply the filter
+    predicate separately (``es_scored_search`` does both)."""
+    q = _normalize(query)
+    comp = _ScoreCompiler(id_field)
+    comp.collect(q)
+    out = df
+    for field, terms in sorted(comp.field_terms.items()):
+        if not terms:
+            continue
+        out = out.join(
+            _term_score_map(df, id_field, field, terms, k1, b), id_field, "left"
+        )
+    if comp.term_leaves:
+        # exact-keyword idf per term leaf, all in ONE 1-row aggregate,
+        # broadcast back (score = idf: tf=1 and dl=avgdl for a keyword)
+        n = F.count(F.lit(1)).cast("double")
+        aggs = []
+        for i, (field, value) in enumerate(comp.term_leaves):
+            dfc = F.sum((F.col(field) == F.lit(value)).cast("int")).cast("double")
+            aggs.append(
+                F.round(
+                    F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5)), 6
+                ).alias(f"_idf_{i}")
+            )
+        out = out.crossJoin(F.broadcast(df.agg(*aggs)))
+    score = F.round(comp.build(q), 6)
+    drop = [c for c in out.columns if c.startswith(("_tsmap_", "_idf_"))]
+    return out.withColumn("_score", score).drop(*drop)
+
+
+def es_scored_search(
+    df: DataFrame,
+    body: dict,
+    id_field: str = "_id",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES search in SCORE context: filter by the query, rank by BM25
+    ``_score`` (or the body's explicit ``sort``, where ``_score`` is a
+    legal key), apply ``min_score`` / ``from`` / ``size``, project
+    ``_source`` + ``_score``.
+
+    Top-k compiles to TakeOrderedAndProject over the scored frame — the
+    only data-scale shuffles are the term-partial aggregate (query-term
+    hits only) and one id join per scored text field."""
+    query = body.get("query", {"match_all": {}})
+    scored = score_frame(df, query, id_field, k1=k1, b=b)
+    scored = scored.where(F.coalesce(compile_query(_normalize(query), id_field),
+                                     F.lit(False)))
+    if "min_score" in body:
+        scored = scored.where(F.col("_score") >= F.lit(float(body["min_score"])))
+    sort_spec = body.get("sort")
+    if sort_spec:
+        cols = []
+        for f, is_desc in _sort_specs(sort_spec):
+            c = F.col(f)
+            cols.append(c.desc() if is_desc else c.asc())
+    else:
+        cols = [F.col("_score").desc(), F.col(id_field).asc()]
+    offset = int(body.get("from", 0))
+    size = int(body.get("size", 10))
+    scored = scored.orderBy(*cols).limit(offset + size)
+    if offset:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(*cols)
+        scored = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > offset).drop("_rn")
+        )
+    if body.get("_source"):
+        scored = scored.select(*body["_source"], "_score")
+    return scored

@@ -109,3 +109,37 @@ def test_spark_undecodable_policy(spark):
         audio.extract_audio_features(df, on_undecodable="raise").collect()
     with pytest.raises(ValueError):
         audio.extract_audio_features(df, on_undecodable="fake")
+
+
+def test_features_analytic_oracle_rolloff_bands_two_tone():
+    """VERDICT r7 #7: closed-form analytic oracle for the features no
+    external library is needed to derive.  A pure tone at an exact FFT bin
+    concentrates ALL power at that bin, so rolloff85 == f/nyquist and the
+    8-band energy profile is one-hot; two equal-power tones put the
+    centroid at the midpoint and the rolloff at the HIGHER tone (each tone
+    carries 50% < the 85% threshold)."""
+    rate, n = 8000, 4000  # 0.5 s; bin width = rate/n = 2 Hz
+    nyq = rate / 2.0
+
+    # pure tone at 1000 Hz (exact bin: 1000/2 = bin 500)
+    f = 1000.0
+    feats = audio._wav_features(rate, sine(f, rate=rate)[:, None])
+    rolloff, bands = feats[4], feats[8:]
+    assert rolloff == pytest.approx(f / nyq, abs=0.001)
+    # 8 equal bands over [0, nyq]: 1000 Hz lies in band 2 ([1000, 1500))
+    assert int(np.argmax(bands)) == 2
+    others = sum(b for i, b in enumerate(bands) if i != 2)
+    assert others < 0.01 * bands[2]
+
+    # two equal tones at 500 and 3000 Hz
+    f1, f2 = 500.0, 3000.0
+    x = sine(f1, rate=rate, amp=0.35) + sine(f2, rate=rate, amp=0.35)
+    feats = audio._wav_features(rate, x[:, None])
+    centroid, rolloff, bands = feats[3], feats[4], feats[8:]
+    assert centroid == pytest.approx((f1 + f2) / 2.0 / nyq, abs=0.002)
+    assert rolloff == pytest.approx(f2 / nyq, abs=0.001)
+    # bands: 500 Hz -> band 1 ([500,1000)), 3000 Hz -> band 6 ([3000,3500))
+    hot = sorted(np.argsort(bands)[-2:].tolist())
+    assert hot == [1, 6]
+    # equal power split between the two hot bands (log1p of equal energies)
+    assert bands[1] == pytest.approx(bands[6], rel=0.01)

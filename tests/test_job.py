@@ -334,3 +334,29 @@ def test_query_cli_main(spark, tmp_path, capsys):
                "--id-field", "o_orderkey", "--output", out_dir])
     manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert manifest["rows"] == spark.read.parquet(out_dir).count() > 0
+
+
+def test_query_cli_mget_and_scored(spark, capsys):
+    """--mget fetches by id list with found flags; --scored ranks by BM25."""
+    import json
+
+    from hive2es_offline_spark.jobs import query as qjob
+
+    from conftest import SF_SMOKE
+
+    src = f"{SF_SMOKE}/documents.parquet"
+    qjob.main(["--input", src, "--mget", "--id-field", "doc_id",
+               "--body", json.dumps({"ids": [3, 999999],
+                                     "_source": ["source"]})])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert [(ln["mget_id"], ln["found"]) for ln in lines] == [
+        ("3", True), ("999999", False)]
+    assert "source" in lines[0] and "source" not in lines[1]  # NULL omitted by toJSON
+
+    qjob.main(["--input", src, "--scored", "--id-field", "doc_id",
+               "--body", json.dumps({"query": {"match": {"text": "merge"}},
+                                     "size": 3, "_source": ["doc_id"]})])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    scores = [ln["_score"] for ln in lines]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0

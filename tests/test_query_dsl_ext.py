@@ -1147,3 +1147,50 @@ def test_geo_distance_sort(spark):
     body["sort"][0]["_geo_distance"]["nested_path"] = "x"
     with pytest.raises(ValueError, match="nested_path"):
         es_search(df, body, id_field="id")
+
+
+def test_es_mget_found_missing_and_source(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_mget
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, name string, v long",
+    )
+    out = es_mget(
+        df, {"ids": [2, 99, 1], "_source": ["name"]}, id_field="id"
+    ).collect()
+    assert [(r["mget_id"], r["found"], r["name"]) for r in out] == [
+        ("2", True, "b"), ("99", False, None), ("1", True, "a")]
+    # docs form with per-doc _source union; duplicate requests allowed
+    out = es_mget(df, {"docs": [
+        {"_id": 3, "_source": ["v"]}, {"_id": 3, "_source": ["name"]},
+    ]}, id_field="id").collect()
+    assert [(r["mget_id"], r["found"], r["name"], r["v"]) for r in out] == [
+        ("3", True, "c", 30), ("3", True, "c", 30)]
+    with pytest.raises(ValueError, match="ids or docs"):
+        es_mget(df, {"docs": []}, id_field="id")
+
+
+def test_es_mget_routing_mismatch_is_not_found(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_mget
+
+    df = spark.createDataFrame(
+        [(1, "west", "a"), (2, "east", "b")],
+        "id long, shard_key string, name string",
+    )
+    out = es_mget(df, {"docs": [
+        {"_id": 1, "routing": "west"},     # correct routing -> found
+        {"_id": 2, "routing": "west"},     # wrong routing -> NOT found (ES
+        {"_id": 2},                        # only reads the routed shard)
+    ]}, id_field="id", routing_field="shard_key").collect()
+    assert [(r["mget_id"], r["found"], r["name"]) for r in out] == [
+        ("1", True, "a"), ("2", False, None), ("2", True, "b")]
+
+
+def test_es_mget_plan_broadcasts_request(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_mget
+
+    df = spark.createDataFrame([(i, i * 2) for i in range(100)], "id long, v long")
+    out = es_mget(df, {"ids": [1, 2, 3]}, id_field="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,238 @@
+"""Score-context search: BM25 _score parity with operators/retrieval.py,
+bool/constant_score/dis_max composition, and function_score transforms."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.operators.retrieval import bm25_topk
+from hive2es_offline_spark.plans.scoring import es_scored_search, score_frame
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "merge the stream now", "web", 800),
+            (2, "vector index build merge", "web", 300),
+            (3, "merge request merge queue", "api", 900),
+            (4, "stream of vectors", "web", 1200),
+            (5, "nothing relevant here at all", "api", 100),
+        ],
+        "doc_id long, text string, source string, n long",
+    )
+
+
+def _bm25_expected(docs, query_terms, k1=1.2, b=0.75):
+    """Driver-side reference: same formula, rounded like the engine."""
+    toks = {d: t.lower().split() for d, t in docs}
+    n = float(len(toks))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in query_terms:
+        df_t = float(sum(1 for v in toks.values() if term in v))
+        if df_t == 0:
+            continue
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        for d, v in toks.items():
+            tf = float(v.count(term))
+            if not tf:
+                continue
+            dl = float(len(v))
+            p = round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+            scores[d] = round(scores.get(d, 0.0) + p, 6)
+    return scores
+
+
+DOCS = [
+    (1, "merge the stream now"),
+    (2, "vector index build merge"),
+    (3, "merge request merge queue"),
+    (4, "stream of vectors"),
+    (5, "nothing relevant here at all"),
+]
+
+
+def test_match_score_matches_bm25_reference(corpus):
+    out = es_scored_search(
+        corpus,
+        {"query": {"match": {"text": "merge stream"}}, "size": 10,
+         "_source": ["doc_id"]},
+        id_field="doc_id",
+    ).collect()
+    exp = _bm25_expected(DOCS, ["merge", "stream"])
+    assert {r["doc_id"]: r["_score"] for r in out} == pytest.approx(exp)
+    # ranking: score desc, id asc
+    ordered = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r["doc_id"] for r in out] == [d for d, _ in ordered]
+
+
+def test_parity_with_bm25_topk(corpus):
+    """The scored search and operators/retrieval.bm25_topk must agree
+    exactly on scores and ranking for a plain match query."""
+    ranked = bm25_topk(
+        corpus, "merge stream", id_col="doc_id", text_col="text", top_k=10
+    ).collect()
+    scored = es_scored_search(
+        corpus, {"query": {"match": {"text": "merge stream"}}, "size": 10},
+        id_field="doc_id",
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in ranked] == [
+        (r["doc_id"], r["_score"]) for r in scored
+    ]
+
+
+def test_bool_sums_should_and_term_scores_idf(corpus):
+    """bool: must match + matching should term; term leaf scores idf."""
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "merge"}}],
+            "should": [{"term": {"source": "web"}}],
+        }},
+        "size": 10,
+    }
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    base = _bm25_expected(DOCS, ["merge"])
+    df_web = 3.0
+    idf_web = round(math.log(1.0 + (5.0 - df_web + 0.5) / (df_web + 0.5)), 6)
+    exp = {d: round(s + (idf_web if d in (1, 2, 4) else 0.0), 6)
+           for d, s in base.items()}
+    assert out == pytest.approx(exp)
+
+
+def test_constant_score_and_dis_max(corpus):
+    body = {"query": {"constant_score": {
+        "filter": {"range": {"n": {"gte": 500}}}, "boost": 2.5}}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    assert out == {1: 2.5, 3: 2.5, 4: 2.5}
+
+    body = {"query": {"dis_max": {
+        "queries": [{"match": {"text": "merge"}}, {"match": {"text": "stream"}}],
+        "tie_breaker": 0.5,
+    }}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    s_merge = _bm25_expected(DOCS, ["merge"])
+    s_stream = _bm25_expected(DOCS, ["stream"])
+    exp = {}
+    for d in set(s_merge) | set(s_stream):
+        a, b_ = s_merge.get(d, 0.0), s_stream.get(d, 0.0)
+        exp[d] = round(max(a, b_) + 0.5 * min(a, b_), 6)
+    assert out == pytest.approx(exp)
+
+
+def test_structural_clauses_score_one(corpus):
+    out = {r["doc_id"]: r["_score"] for r in es_scored_search(
+        corpus, {"query": {"range": {"n": {"gte": 500}}}, "size": 10},
+        id_field="doc_id").collect()}
+    assert out == {1: 1.0, 3: 1.0, 4: 1.0}
+    # a filter-only bool also scores the ES constant 1.0
+    out = {r["doc_id"]: r["_score"] for r in es_scored_search(
+        corpus, {"query": {"bool": {"filter": [{"term": {"source": "api"}}]}},
+                 "size": 10}, id_field="doc_id").collect()}
+    assert out == {3: 1.0, 5: 1.0}
+
+
+def test_multi_match_best_fields(spark):
+    df = spark.createDataFrame(
+        [(1, "merge stream", "other"), (2, "other", "merge")],
+        "doc_id long, title string, body string",
+    )
+    out = es_scored_search(
+        df,
+        {"query": {"multi_match": {
+            "query": "merge", "fields": ["title", "body"]}}, "size": 10},
+        id_field="doc_id",
+    ).collect()
+    s_title = _bm25_expected([(1, "merge stream"), (2, "other")], ["merge"])
+    s_body = _bm25_expected([(1, "other"), (2, "merge")], ["merge"])
+    exp = {d: max(s_title.get(d, 0.0), s_body.get(d, 0.0)) for d in (1, 2)}
+    assert {r["doc_id"]: r["_score"] for r in out} == pytest.approx(exp)
+
+
+def test_function_score_field_value_factor(corpus):
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "merge"}},
+        "field_value_factor": {"field": "n", "factor": 0.001, "modifier": "log1p"},
+        "boost_mode": "multiply",
+    }}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    base = _bm25_expected(DOCS, ["merge"])
+    ns = {1: 800, 2: 300, 3: 900}
+    exp = {d: round(s * round(math.log10(0.001 * ns[d] + 1.0), 6), 6)
+           for d, s in base.items()}
+    assert out == pytest.approx(exp)
+
+
+def test_function_score_weight_filter_and_modes(corpus):
+    # two functions: weight 3 gated on source=web, weight 5 on n>=900;
+    # score_mode=sum, boost_mode=replace
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "merge"}},
+        "functions": [
+            {"filter": {"term": {"source": "web"}}, "weight": 3.0},
+            {"filter": {"range": {"n": {"gte": 900}}}, "weight": 5.0},
+        ],
+        "score_mode": "sum", "boost_mode": "replace",
+    }}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    assert out == {1: 3.0, 2: 3.0, 3: 5.0}  # doc3: api but n=900
+
+    # no function matches -> neutral 1.0 under multiply boost_mode
+    body["query"]["function_score"]["functions"] = [
+        {"filter": {"term": {"source": "nope"}}, "weight": 9.0}]
+    body["query"]["function_score"]["score_mode"] = "multiply"
+    body["query"]["function_score"]["boost_mode"] = "multiply"
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    assert out == pytest.approx(_bm25_expected(DOCS, ["merge"]))
+
+
+def test_fvf_missing_and_modifier_validation(corpus):
+    from hive2es_offline_spark.plans.scoring import _field_value_factor
+
+    with pytest.raises(ValueError, match="modifier"):
+        _field_value_factor({"field": "n", "modifier": "exp"})
+    with pytest.raises(ValueError, match="score_mode"):
+        es_scored_search(corpus, {"query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"weight": 2.0}], "score_mode": "geometric",
+        }}}, id_field="doc_id").collect()
+
+
+def test_query_string_scores_through_same_pipeline(corpus):
+    body = {"query": {"query_string": {
+        "query": "text:merge OR text:stream"}}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    exp = _bm25_expected(DOCS, ["merge", "stream"])
+    assert out == pytest.approx(exp)
+
+
+def test_min_score_and_paging(corpus):
+    body = {"query": {"match": {"text": "merge stream"}},
+            "min_score": 0.6, "size": 10}
+    out = es_scored_search(corpus, body, id_field="doc_id").collect()
+    exp = _bm25_expected(DOCS, ["merge", "stream"])
+    assert [r["doc_id"] for r in out] == sorted(
+        (d for d, s in exp.items() if s >= 0.6),
+        key=lambda d: (-exp[d], d),
+    )
+    body = {"query": {"match": {"text": "merge stream"}}, "from": 1, "size": 2}
+    out = es_scored_search(corpus, body, id_field="doc_id").collect()
+    full = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r["doc_id"] for r in out] == [d for d, _ in full[1:3]]
+
+
+def test_explicit_sort_overrides_score_order(corpus):
+    body = {"query": {"match": {"text": "merge"}},
+            "sort": [{"n": {"order": "desc"}}], "size": 10,
+            "_source": ["doc_id", "n"]}
+    out = es_scored_search(corpus, body, id_field="doc_id").collect()
+    assert [r["doc_id"] for r in out] == [3, 1, 2]
+    assert "_score" in out[0].asDict()

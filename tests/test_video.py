@@ -57,3 +57,41 @@ def test_spark_video_undecodable(spark):
     assert meta[0]["decode_status"] == "undecodable"
     frames = video.sample_video_frames(df, num_frames=2).collect()
     assert all(r["frame"] is None and r["frame_status"] == "undecodable" for r in frames)
+
+
+def test_video_features_solid_frames_known_histograms(spark):
+    """VERDICT r7 #7: analytic oracle for the frame features.  A solid
+    gray frame survives the MJPEG round trip as a (near-)solid frame, so
+    the pixel histogram out of extract_features must be ONE-HOT at the
+    decoded gray value's bin — and the decoded value must sit within DC
+    quantization error of the original."""
+    import pandas as pd
+
+    from hive2es_offline_spark.operators import jpeg
+    from hive2es_offline_spark.operators.multimodal import extract_features
+
+    grays = [16, 100, 200]
+    frames = [solid(g, g, g, w=32, h=24) for g in grays]
+    payload = video.encode_avi_mjpeg(frames, fps=5)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [payload]}))
+    sampled = video.sample_video_frames(df, num_frames=3)
+    feats = (
+        extract_features(
+            sampled.select("frame_index", sampled.frame.alias("payload"))
+            .withColumnRenamed("frame_index", "doc_id"),
+            dim=8,
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["decode_status"] for r in feats] == ["ok"] * 3
+    for g, row in zip(grays, feats):
+        # what did the JPEG round trip actually produce for this frame?
+        decoded = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg(solid(g, g, g, 32, 24)))
+        vals = np.unique(decoded)
+        assert len(vals) <= 2 and abs(int(vals[0]) - g) <= 3  # near-solid
+        hist = row["feature"]
+        # one-hot at the decoded value's bin (v % dim), everything else 0
+        hot = {int(v) % 8 for v in vals}
+        assert sum(hist[b] for b in hot) == pytest.approx(1.0, abs=1e-6)
+        assert sum(hist) == pytest.approx(1.0, abs=1e-6)
