@@ -37,7 +37,7 @@ struct{lat,lon} columns),
 ``query_string`` / ``simple_query_string`` (the Lucene mini-syntax,
 parsed by ``plans/query_string.py`` into these same clauses), and the
 score-wrapper clauses ``constant_score`` / ``dis_max`` /
-``function_score`` (as filters here; their score semantics live in
+``function_score`` / ``boosting`` (as filters here; their score semantics live in
 ``plans/scoring.py::es_scored_search``, which ranks match-family
 queries with Lucene BM25 ``_score``).  ``es_mget`` completes the
 consumer read APIs beside ``es_search`` / ``es_count``.
@@ -446,6 +446,10 @@ def compile_query(
         # filter-context match set is the inner query's — per-function
         # `filter` entries only gate score functions, never hits
         return compile_query(body.get("query", {"match_all": {}}), id_field, fields)
+    if kind == "boosting":
+        # the negative query only DEMOTES (score context); the match set
+        # is the positive query's alone
+        return compile_query(body["positive"], id_field, fields)
     if kind == "nested":
         if fields is not None:
             raise ValueError("nested inside nested is not supported")

@@ -86,6 +86,10 @@ def _normalize(q: dict) -> dict:
         out = dict(body)
         out["query"] = _normalize(body.get("query", {"match_all": {}}))
         return {"function_score": out}
+    if kind == "boosting":
+        return {"boosting": {**body,
+                             "positive": _normalize(body["positive"]),
+                             "negative": _normalize(body["negative"])}}
     return q
 
 
@@ -132,6 +136,9 @@ class _ScoreCompiler:
                 self.collect(c)
         elif kind == "function_score":
             self.collect(body["query"])
+        elif kind == "boosting":
+            self.collect(body["positive"])
+            # the negative query is only a gate — its own score is unused
         elif kind == "knn":
             raise ValueError(
                 "knn has its own scored path in es_search — not valid here"
@@ -208,6 +215,15 @@ class _ScoreCompiler:
             return best
         if kind == "function_score":
             return self._function_score(body)
+        if kind == "boosting":
+            # ES boosting: positive score, multiplied by negative_boost
+            # when the negative query matches (demotion, never exclusion)
+            pos = self.build(body["positive"])
+            neg = F.coalesce(
+                compile_query(body["negative"], self.id_field), F.lit(False)
+            )
+            nb = float(body.get("negative_boost", 0.5))
+            return F.when(neg, pos * F.lit(nb)).otherwise(pos)
         if kind in _CONSTANT_ONE_KINDS:
             spec = next(iter(body.values()))
             boost = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
@@ -333,7 +349,12 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
     """Per-doc BM25 term partials for one text field, as
     ``(id, _tsmap_<field>: map<term, double>)`` — the single-pass,
     filter-before-shuffle shape of ``retrieval.bm25_topk``."""
-    toks = F.filter(F.split(F.lower(F.col(field)), " +"), lambda t: t != "")
+    # NULL text coalesces to the empty token list — F.size(NULL) is -1,
+    # which would poison avgdl for the whole corpus
+    toks = F.coalesce(
+        F.filter(F.split(F.lower(F.col(field)), " +"), lambda t: t != ""),
+        F.lit([]).cast("array<string>"),
+    )
     base = df.select(
         F.col(id_field).alias("_did"), toks.alias("_toks")
     ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))

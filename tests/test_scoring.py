@@ -236,3 +236,33 @@ def test_explicit_sort_overrides_score_order(corpus):
     out = es_scored_search(corpus, body, id_field="doc_id").collect()
     assert [r["doc_id"] for r in out] == [3, 1, 2]
     assert "_score" in out[0].asDict()
+
+
+def test_boosting_demotes_but_never_excludes(corpus):
+    body = {"query": {"boosting": {
+        "positive": {"match": {"text": "merge"}},
+        "negative": {"term": {"source": "api"}},
+        "negative_boost": 0.2,
+    }}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    base = _bm25_expected(DOCS, ["merge"])
+    # docs 3 (api) demoted by 0.2; docs 1, 2 (web) untouched; doc 3 still
+    # present (demotion, never exclusion)
+    exp = {d: round(s * (0.2 if d == 3 else 1.0), 6) for d, s in base.items()}
+    assert out == pytest.approx(exp)
+    assert 3 in out
+
+
+def test_null_text_rows_do_not_poison_avgdl(spark):
+    """A NULL text cell must count as an empty document (F.size(NULL) is
+    -1 — unguarded it would corrupt avgdl corpus-wide)."""
+    df = spark.createDataFrame(
+        [(1, "merge stream"), (2, None), (3, "merge")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["_score"] for r in es_scored_search(
+        df, {"query": {"match": {"text": "merge"}}, "size": 10},
+        id_field="doc_id").collect()}
+    exp = _bm25_expected([(1, "merge stream"), (2, ""), (3, "merge")], ["merge"])
+    assert out == pytest.approx({d: s for d, s in exp.items() if s})

@@ -12,7 +12,7 @@ min + median reported), so a real regression separates from suite noise.
 
 Usage:
     python tools/probe_drift.py BENCH_r06.json BENCH_r07.json \
-        [--threshold 0.3] [--out PROBE_r07.json]
+        [--threshold 0.15] [--out PROBE_r08.json]
     python tools/probe_drift.py --one <query>      # internal per-query run
 """
 
@@ -72,7 +72,7 @@ def probe_one(name: str, runs: int = 5) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("benches", nargs="*", help="two BENCH_r*.json files (prev, cur)")
-    p.add_argument("--threshold", type=float, default=0.3)
+    p.add_argument("--threshold", type=float, default=0.15)
     p.add_argument("--out", default=None)
     p.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = p.parse_args()
