@@ -2411,6 +2411,24 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.decode_image_meta(payloads)
 
 
+def q_es_agg_filter(spark, sf_dir):
+    """The singular ``filter`` bucket agg (the 1-bucket case of
+    ``filters``, rewritten onto the gated-aggregate machinery — one
+    ungrouped scan, no shuffle key): doc_count + avg/max sub-aggs over
+    the docs passing the bucket predicate."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {"size": 0, "aggs": {"long_docs": {
+        "filter": {"range": {"n_chars": {"gte": 300}}},
+        "aggs": {
+            "avg_chars": {"avg": {"field": "n_chars"}},
+            "max_chars": {"max": {"field": "n_chars"}},
+        },
+    }}}
+    return es_search(d, body, id_field="doc_id")
+
+
 def q_es_query_string(spark, sf_dir):
     """Lucene ``query_string`` syntax — the most-used entry point of the
     index the reference publishes (``ESClient.java:154-170`` alias
@@ -2675,6 +2693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo": q_es_geo,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
+        # round-8 extra (golden-backed; round-9 window candidate)
+        "es_agg_filter": q_es_agg_filter,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -4483,6 +4503,15 @@ def _goldens_b() -> dict[str, str]:
             SELECT 'highval' AS key, doc_count, n, avg_price FROM hv
             UNION ALL
             SELECT 'urgent', doc_count, n, avg_price FROM ur
+        """,
+        # mirrors q_es_agg_filter: the singular filter agg = one gated
+        # bucket row (avg decimal-routed like every avg)
+        "es_agg_filter": """
+            SELECT 'long_docs' AS key, count(*) AS doc_count,
+                   round(CAST(sum(CAST(n_chars AS DECIMAL(28,6)))
+                              / count(n_chars) AS DOUBLE), 6) AS avg_chars,
+                   max(n_chars) AS max_chars
+            FROM documents WHERE n_chars >= 300
         """,
         # Lucene BM25 (k1=1.2, b=0.75) for query 'vector merge stream':
         # idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-(doc,term) partials

@@ -52,7 +52,9 @@ how the reference's ``not_analyzed`` mapping is actually queried.
 
 Supported aggregations: metrics ``avg sum min max value_count cardinality
 stats extended_stats percentiles percentile_ranks weighted_avg
-string_stats boxplot top_metrics``; group-by buckets
+string_stats boxplot top_metrics``; the single-bucket ``filter`` agg
+(rewritten to a 1-entry ``filters``) and ``global`` (sub-aggs escape the
+query filter — branched in ``es_search``); group-by buckets
 ``terms histogram date_histogram`` (calendar_interval or epoch-aligned
 fixed_interval) with metric sub-aggs, plus ``rare_terms`` (exact long
 tail where ES approximates with a CuckooFilter) and ``multi_terms``
@@ -576,6 +578,33 @@ def compile_query(
         if not terms:
             return F.lit(True)
         toks = _analyze(col(field))
+        fuzz = spec.get("fuzziness") if isinstance(spec, dict) else None
+        if fuzz is not None:
+            # per-TOKEN fuzzy matching (ES match fuzziness): each query
+            # term matches if any analyzed token is within its edit
+            # budget — exists() keeps it codegen, which caps the budget
+            # at 1 (the pandas-UDF budget-2 path can't run inside a
+            # lambda; use the whole-value `fuzzy` clause for that)
+            def tok_pred(term: str, budget: int):
+                # a plain unary closure: a default-arg lambda would look
+                # binary to F.exists and receive the element INDEX as the
+                # second argument
+                return lambda x: _fuzzy_predicate(x, term, budget)
+
+            preds = []
+            for t in terms:
+                budget = _parse_fuzziness(fuzz, len(t))
+                if budget >= 2:
+                    raise ValueError(
+                        "match fuzziness resolving to 2 is not supported "
+                        "(per-token budget 2 needs the Python DP; use the "
+                        "fuzzy clause for whole-value matching)"
+                    )
+                preds.append(F.exists(toks, tok_pred(t, budget)))
+            out = preds[0]
+            for p in preds[1:]:
+                out = (out & p) if operator == "and" else (out | p)
+            return out
         qarr = F.array(*[F.lit(t) for t in terms])
         if operator == "and":
             # every query term present in the analyzed field
@@ -837,6 +866,20 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     The whole body compiles to a single shuffle (one groupBy / one global
     aggregate); buckets and all sub-metrics share it.
     """
+    # the singular `filter` agg is the 1-bucket case of `filters`: rewrite
+    # so the gated-aggregate machinery below handles it (ES returns
+    # doc_count + sub-aggs under the agg name; here that's the bucket row
+    # keyed by the name)
+    if any("filter" in s for s in aggs.values()):
+        aggs = {
+            n: (
+                {"filters": {"filters": {n: s["filter"]}},
+                 **({"aggs": s["aggs"]} if "aggs" in s else {})}
+                if "filter" in s
+                else s
+            )
+            for n, s in aggs.items()
+        }
     bucket = [(n, s) for n, s in aggs.items()
               if set(s) & {"terms", "histogram", "date_histogram"}]
     cond = [(n, s) for n, s in aggs.items() if set(s) & _COND_BUCKET_KINDS]
@@ -1835,6 +1878,14 @@ def es_search(
             rname,
             _script_column(rspec["script"]["source"], {}, columns=df.columns),
         )
+    # the `global` agg escapes the query filter entirely (ES: sub-aggs run
+    # over the whole index) — branch before the filter is applied
+    glob = [(n, s) for n, s in (body.get("aggs") or {}).items() if "global" in s]
+    if glob:
+        if len(body.get("aggs", {})) != 1:
+            raise ValueError("global must be the only top-level aggregation")
+        (_, spec), = glob
+        return compile_aggs(df, spec.get("aggs") or {}, id_field)
     # significant_terms needs BOTH populations: the body's query defines
     # the foreground, the unfiltered table is the background — so it
     # branches before the query filter collapses them into one

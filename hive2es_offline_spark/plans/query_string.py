@@ -242,6 +242,20 @@ class _QSParser:
                     if k2 != "word":
                         raise ValueError("query_string: _exists_: needs a field name")
                     return {"exists": {"field": _unescape(v2)}}
+                if self.peek()[0] == "lparen":
+                    # field-scoped group: field:(a OR "b c" -d) — every bare
+                    # value inside targets `field` (Lucene's field scoping)
+                    self.next()
+                    saved = self.default_fields
+                    self.default_fields = [field]
+                    try:
+                        inner = self.or_expr()
+                    finally:
+                        self.default_fields = saved
+                    k2, _ = self.next()
+                    if k2 != "rparen":
+                        raise ValueError("query_string: unbalanced parenthesis")
+                    return inner
                 return self.value_clause([field])
             # bare value against the default field(s)
             self.i -= 1

@@ -1194,3 +1194,49 @@ def test_es_mget_plan_broadcasts_request(spark):
     out = es_mget(df, {"ids": [1, 2, 3]}, id_field="id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_match_fuzziness_per_token(spark):
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick browm dog"), (3, "slow red cat")],
+        "id long, txt string",
+    )
+    # fuzziness 1: "brown" matches the "browm" typo token too
+    assert ids(df, {"match": {"txt": {"query": "brown", "fuzziness": 1}}}) == [1, 2]
+    assert ids(df, {"match": {"txt": {"query": "brown", "fuzziness": 0}}}) == [1]
+    # AUTO ladder per term: len("fox")=3 -> budget 1 ("dog" is 3 subs away,
+    # no hit); operator=and requires every term fuzzily present
+    assert ids(df, {"match": {"txt": {
+        "query": "quick browm", "fuzziness": 1, "operator": "and"}}}) == [1, 2]
+    with pytest.raises(ValueError, match="fuzziness resolving to 2"):
+        ids(df, {"match": {"txt": {"query": "elephant", "fuzziness": 2}}})
+
+
+def test_filter_singular_agg(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 30.0), ("b", 40.0)], "g string, v double")
+    out = compile_aggs(df, {"cheap": {
+        "filter": {"range": {"v": {"lt": 35.0}}},
+        "aggs": {"avg_v": {"avg": {"field": "v"}}},
+    }}).collect()
+    assert [(r["key"], r["doc_count"], r["avg_v"]) for r in out] == [
+        ("cheap", 3, 20.0)]
+    # bare filter agg (no sub-aggs): just the bucket count
+    out = compile_aggs(df, {"bs": {"filter": {"term": {"g": "b"}}}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("bs", 2)]
+
+
+def test_global_agg_escapes_query_filter(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 30.0)], "g string, v double")
+    body = {"query": {"term": {"g": "a"}}, "size": 0,
+            "aggs": {"all": {"global": {}, "aggs": {
+                "n": {"value_count": {"field": "v"}},
+                "avg_v": {"avg": {"field": "v"}}}}}}
+    (row,) = es_search(df, body, id_field="g").collect()
+    assert (row["n"], row["avg_v"]) == (3, 20.0)  # all 3 rows, not just g=a
+    with pytest.raises(ValueError, match="only top-level"):
+        es_search(df, {**body, "aggs": {**body["aggs"],
+                  "x": {"avg": {"field": "v"}}}}, id_field="g")

@@ -181,3 +181,19 @@ def test_end_to_end_filtering(spark):
     # prefix semantics are keyword (whole-value), matching the reference's
     # not_analyzed mapping: doc 2 STARTS with "vector...", doc 4 does not
     assert [r["id"] for r in es_search(df, body, id_field="id").collect()] == [1, 2, 3]
+
+
+def test_field_scoped_group():
+    """Lucene field scoping: field:(a OR b) targets every inner value."""
+    assert qs("text:(merge OR stream)") == qs("text:merge OR text:stream")
+    assert qs('status:(active "on hold")', default_operator="and") == {
+        "bool": {"must": [
+            {"match": {"status": {"query": "active"}}},
+            {"match_phrase": {"status": {"query": "on hold"}}},
+        ]}
+    }
+    # scope pops after the group: the bare term falls back to default_field
+    out = qs("status:(a OR b) c", default_field="text")
+    assert out["bool"]["should"][1] == {"match": {"text": {"query": "c"}}}
+    with pytest.raises(ValueError, match="unbalanced"):
+        qs("status:(a OR b")
