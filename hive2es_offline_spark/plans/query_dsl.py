@@ -655,20 +655,27 @@ def compile_query(
     if kind == "bool":
         # ES boolean semantics are TWO-valued: a clause over a missing/null
         # field simply "does not match" — it never poisons siblings the way
-        # SQL NULL does.  Each child therefore coalesces to False before
-        # combination, so (a) one satisfied should-clause rescues the row
-        # even when a sibling evaluates NULL, and (b) must_not of a
-        # non-matching (NULL) clause KEEPS the row (SQL's ~NULL would drop
-        # it).  Found by the random-tree property test
-        # (tests/test_query_dsl_property.py).
+        # SQL NULL does.  NULL→False coalescing happens exactly where NULL
+        # would change the outcome: (a) should counting, so one satisfied
+        # should-clause rescues the row even when a sibling evaluates NULL,
+        # and (b) must_not, so a non-matching (NULL) clause KEEPS the row
+        # (SQL's ~NULL would drop it).  Found by the random-tree property
+        # test (tests/test_query_dsl_property.py).
+        #
+        # must/filter conjuncts stay RAW: every consumer already treats a
+        # NULL conjunction as "no match" (WHERE drops NULL rows; an
+        # enclosing must_not/should coalesces), and a coalesce() wrapper
+        # here would block parquet predicate pushdown for EVERY bool query
+        # — the r8 plan audit showed range/term conjuncts landing in
+        # DataFilters instead of PushedFilters because of it.
         def child(c: dict) -> Column:
             return F.coalesce(compile_query(c, id_field, fields), F.lit(False))
 
         clauses: list[Column] = []
         for c in body.get("must", []) if isinstance(body.get("must", []), list) else [body["must"]]:
-            clauses.append(child(c))
+            clauses.append(compile_query(c, id_field, fields))
         for c in body.get("filter", []) if isinstance(body.get("filter", []), list) else [body["filter"]]:
-            clauses.append(child(c))
+            clauses.append(compile_query(c, id_field, fields))
         for c in body.get("must_not", []) if isinstance(body.get("must_not", []), list) else [body["must_not"]]:
             clauses.append(~child(c))
         should = body.get("should", [])

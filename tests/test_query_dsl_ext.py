@@ -1240,3 +1240,33 @@ def test_global_agg_escapes_query_filter(spark):
     with pytest.raises(ValueError, match="only top-level"):
         es_search(df, {**body, "aggs": {**body["aggs"],
                   "x": {"avg": {"field": "v"}}}}, id_field="g")
+
+
+def test_bool_conjuncts_push_to_parquet(spark, tmp_path):
+    """must/filter conjuncts must reach the parquet reader as
+    PushedFilters (row-group pruning at scale).  Pre-r8 every bool child
+    was wrapped in coalesce(pred, false), which blocked pushdown for ALL
+    bool queries — only the NULL-semantics-sensitive spots (must_not,
+    should counting) may coalesce."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", i * 10) for i in range(100)],
+        "id long, lang string, n long",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    q = es_search(df, {"query": {"bool": {
+        "must": [{"range": {"n": {"gte": 300}}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "sort": [{"id": {"order": "asc"}}], "size": 5}, id_field="id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "GreaterThanOrEqual(n,300)" in pushed
+    assert "EqualTo(lang,en)" in pushed
+    # and the results still honor ES NULL semantics end-to-end
+    assert [r["id"] for r in q.collect()] == [31, 33, 35, 37, 39]
