@@ -2429,6 +2429,22 @@ def q_es_agg_filter(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_suggest(spark, sf_dir):
+    """ES term suggester ("did you mean"): per-token corrections from the
+    corpus vocabulary, ranked by edit distance then document frequency —
+    one tokenize pass builds the vocabulary, ALL input tokens join it in
+    the same scan (literal-array explode), length/prefix guards ahead of
+    the codegen thresholded levenshtein.  See plans/suggest.py."""
+    from hive2es_offline_spark.plans.suggest import es_suggest
+
+    d = _t(spark, sf_dir, "documents")
+    body = {"suggest": {"fix": {
+        "text": "mrege vectr",
+        "term": {"field": "text", "size": 3},
+    }}}
+    return es_suggest(d, body)
+
+
 def q_es_query_string(spark, sf_dir):
     """Lucene ``query_string`` syntax — the most-used entry point of the
     index the reference publishes (``ESClient.java:154-170`` alias
@@ -2693,8 +2709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo": q_es_geo,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
-        # round-8 extra (golden-backed; round-9 window candidate)
+        # round-8 extras (golden-backed; round-9 window candidates)
         "es_agg_filter": q_es_agg_filter,
+        "es_suggest": q_es_suggest,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -4503,6 +4520,48 @@ def _goldens_b() -> dict[str, str]:
             SELECT 'highval' AS key, doc_count, n, avg_price FROM hv
             UNION ALL
             SELECT 'urgent', doc_count, n, avg_price FROM ur
+        """,
+        # mirrors q_es_suggest: vocabulary (per-doc-distinct tokens ->
+        # doc freq), length/prefix guards, levenshtein <= 2, missing
+        # mode via the dist-0 self row, score = 1 - dist/max(lengths),
+        # rank by score desc / freq desc / term asc, top 3 per input
+        "es_suggest": """
+            WITH vocab AS (
+              SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
+              FROM documents,
+                   unnest(list_distinct(list_filter(
+                     string_split_regex(lower(text), ' +'), x -> x != ''
+                   ))) AS u(t)
+              GROUP BY t
+            ), inputs(input_term) AS (
+              SELECT * FROM (VALUES ('mrege'), ('vectr'))
+            ), cand AS (
+              SELECT i.input_term, v.term, v.freq,
+                     CAST(levenshtein(v.term, i.input_term) AS INTEGER) AS dist
+              FROM vocab v, inputs i
+              WHERE abs(length(v.term) - length(i.input_term)) <= 2
+                AND substr(v.term, 1, 1) = substr(i.input_term, 1, 1)
+                AND levenshtein(v.term, i.input_term) <= 2
+            ), flt AS (
+              SELECT *,
+                     max(CASE WHEN dist = 0 THEN freq END)
+                       OVER (PARTITION BY input_term) AS self_freq
+              FROM cand
+            ), ranked AS (
+              SELECT input_term, term AS suggestion, dist, freq,
+                     round(1.0 - CAST(dist AS DOUBLE)
+                           / greatest(length(input_term), length(term)),
+                           6) AS score
+              FROM flt WHERE self_freq IS NULL AND dist > 0
+            )
+            SELECT 'fix' AS suggest_name, input_term, suggestion, dist,
+                   freq, score, CAST(rn AS INTEGER) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY input_term
+                ORDER BY score DESC, freq DESC, suggestion ASC) AS rn
+              FROM ranked
+            ) WHERE rn <= 3
         """,
         # mirrors q_es_agg_filter: the singular filter agg = one gated
         # bucket row (avg decimal-routed like every avg)

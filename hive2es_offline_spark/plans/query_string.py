@@ -51,9 +51,14 @@ _TOKEN_RE = re.compile(
   | (?P<lparen>\()
   | (?P<rparen>\))
   | (?P<op>&&|\|\||[+\-!|])               # operators
-  | (?P<word>(?:[^\s()\[\]{}"+\-!|^~:\\/]|\\.)+)  # bare word (\-escapes kept;
-                                                  # / excluded: regex literal
-                                                  # delimiter, unsupported)
+  | (?P<word>(?:[^\s()\[\]{}"+\-!|^~:\\/]|\\.)    # bare word: '-' is the
+             (?:[^\s()\[\]{}"+!|^~:\\/]|\\.)*)    # prohibit operator only at
+                                                  # term START (Lucene) — a
+                                                  # mid-word '-' (2024-01-01,
+                                                  # foo-bar) stays in the term.
+                                                  # \-escapes kept; / excluded:
+                                                  # regex literal delimiter,
+                                                  # unsupported
   | (?P<colon>:)
   | (?P<boost>\^\d+(?:\.\d+)?)
   | (?P<fuzz>~\d*(?:\.\d+)?)

@@ -197,3 +197,23 @@ def test_field_scoped_group():
     assert out["bool"]["should"][1] == {"match": {"text": {"query": "c"}}}
     with pytest.raises(ValueError, match="unbalanced"):
         qs("status:(a OR b")
+
+
+def test_hyphen_inside_word_is_not_an_operator():
+    """Lucene: '-' is the prohibit operator only at term START; a
+    mid-word hyphen (dates, foo-bar identifiers) is part of the term —
+    pre-fix this silently misparsed field:2024-01-01 as match 2024 plus
+    a prohibited bare term."""
+    assert qs("d:2024-01-01") == {"match": {"d": {"query": "2024-01-01"}}}
+    assert qs("name:foo-bar") == {"match": {"name": {"query": "foo-bar"}}}
+    assert qs("n:>-5") == {"range": {"n": {"gt": -5}}}
+    assert qs("n:[-10 TO -5]") == {"range": {"n": {"gte": -10, "lte": -5}}}
+    # '-' at term start is still the operator
+    assert qs("-name:foo", default_field="t") == {
+        "bool": {"must_not": [{"match": {"name": {"query": "foo"}}}]}
+    }
+    assert qs("a -b", default_field="t") == {"bool": {
+        "should": [{"match": {"t": {"query": "a"}}}],
+        "must_not": [{"match": {"t": {"query": "b"}}}],
+        "minimum_should_match": 1,
+    }}

@@ -1,0 +1,86 @@
+"""ES term suggester (plans/suggest.py): vocabulary corrections ranked by
+edit distance then document frequency."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.plans.suggest import es_suggest, term_suggest
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = (
+        [("stream processing engine",)] * 5
+        + [("streams of data",)] * 2
+        + [("steam locomotive",)] * 3
+        + [("merge the queue",)] * 4
+    )
+    return spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_missing_mode_suggests_for_typos_only(corpus):
+    out = term_suggest(corpus, "stream mrege", "text").collect()
+    # "stream" IS in the vocabulary -> no suggestions (missing mode);
+    # "mrege" is not -> corrected to "merge" (lev distance 2)
+    assert {r["input_term"] for r in out} == {"mrege"}
+    top = out[0]
+    assert (top["suggestion"], top["dist"], top["freq"], top["rank"]) == (
+        "merge", 2, 4, 1)
+    assert top["score"] == pytest.approx(1 - 2 / 5)
+
+
+def test_ranking_distance_then_freq_and_always_mode(corpus):
+    out = term_suggest(
+        corpus, "strean", "text", suggest_mode="always", size=5
+    ).collect()
+    # dist 1: "stream"(5); dist 2: "streams"(2), "steam"(3)
+    got = [(r["suggestion"], r["dist"], r["freq"], r["rank"]) for r in out]
+    assert got[0] == ("stream", 1, 5, 1)
+    # dist-2 candidates: score 1-2/6 vs 1-2/7 — "streams" (longer) scores
+    # higher because the denominator is max(len_in, len_cand)
+    assert [g[0] for g in got[1:]] == ["streams", "steam"]
+
+
+def test_popular_mode_requires_higher_freq(corpus):
+    # "steam" IS in the vocab (freq 3); popular -> only candidates with
+    # freq > 3 survive: "stream" (5), not "streams" (2)
+    out = term_suggest(corpus, "steam", "text", suggest_mode="popular").collect()
+    assert [(r["suggestion"], r["freq"]) for r in out] == [("stream", 5)]
+
+
+def test_prefix_and_length_guards(corpus):
+    # prefix_length=1 (default): "qerge" shares no first letter with
+    # "merge" -> no candidates; prefix_length=0 lifts the guard
+    assert term_suggest(corpus, "qerge", "text").collect() == []
+    out = term_suggest(corpus, "qerge", "text", prefix_length=0).collect()
+    assert out[0]["suggestion"] == "merge"
+    # min_word_length drops short tokens entirely
+    with pytest.raises(ValueError, match="length >= 4"):
+        term_suggest(corpus, "the of", "text")
+
+
+def test_damerau_distance_counts_transposition_as_one(corpus):
+    # "straem" -> "stream" is one adjacent transposition: damerau dist 1,
+    # levenshtein dist 2 — the damerau option must rank it at distance 1
+    lev = term_suggest(corpus, "straem", "text", suggest_mode="always").collect()
+    dam = term_suggest(corpus, "straem", "text", suggest_mode="always",
+                       string_distance="damerau").collect()
+    assert lev[0]["dist"] == 2
+    assert dam[0]["suggestion"] == "stream" and dam[0]["dist"] == 1
+
+
+def test_es_suggest_body_shape(corpus):
+    body = {"suggest": {"fix_spelling": {
+        "text": "mrege", "term": {"field": "text", "size": 2}}}}
+    out = es_suggest(corpus, body).collect()
+    assert out[0]["suggest_name"] == "fix_spelling"
+    assert out[0]["suggestion"] == "merge"
+    with pytest.raises(ValueError, match="term"):
+        es_suggest(corpus, {"suggest": {"x": {"text": "a",
+                                              "phrase": {"field": "text"}}}})
+    with pytest.raises(ValueError, match="suggest_mode"):
+        term_suggest(corpus, "mrege", "text", suggest_mode="sometimes")
+    with pytest.raises(ValueError, match="max_edits"):
+        term_suggest(corpus, "mrege", "text", max_edits=3)
