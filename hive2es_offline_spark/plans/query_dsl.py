@@ -1822,9 +1822,26 @@ def es_mget(
         "_pos int, _mget_id string, _mget_routing string",
     )
     id_col = F.col(id_field).cast("string")
-    source = body.get("_source")
-    per_doc = sorted({c for d in docs for c in d.get("_source", [])})
-    cols = list(source or per_doc or [c for c in df.columns])
+
+    def _src_list(v):
+        # ES accepts a bare string, a list, or false (= no source fields)
+        if v is None:
+            return None
+        if v is False:
+            return []
+        if isinstance(v, str):
+            return [v]
+        return list(v)
+
+    source = _src_list(body.get("_source"))
+    per_doc_specs = [_src_list(d.get("_source")) for d in docs]
+    per_doc = sorted({c for s in per_doc_specs if s is not None for c in s})
+    if source is not None:
+        cols = source
+    elif any(s is not None for s in per_doc_specs):
+        cols = per_doc
+    else:
+        cols = [c for c in df.columns]
     # push the id set into the scan before the join (partition/row-group
     # pruning) — the filtered table side is at most len(ids) rows, so IT
     # broadcasts (a broadcast hint cannot apply to the preserved side of

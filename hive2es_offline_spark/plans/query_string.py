@@ -398,62 +398,77 @@ def parse_query_string(spec: dict) -> dict:
 
 
 class _SQSParser(_QSParser):
-    """Reduced grammar: ``+`` = AND, ``|`` = OR, ``-`` = negate, quoted
-    phrase, trailing ``*`` = prefix query, parentheses.  No field:value, no
-    ranges, no fuzzy/boost modifiers, whitespace = default_operator."""
+    """Reduced grammar, matching ES's SimpleQueryParser semantics: ``+``
+    is the INFIX AND operator (``a + b`` requires both — it is NOT a
+    Lucene must-prefix), ``|`` is infix OR, ``-`` prefixes a negation
+    (lifted to its group like Lucene's MUST_NOT), quoted phrases,
+    trailing ``*`` = prefix query (``*``/``?`` anywhere else are LITERAL
+    characters in SQS), parentheses.  No field:value, no ranges, no
+    fuzzy/boost modifiers.  Whitespace joins operands with
+    ``default_operator`` at that operator's precedence level (``+``
+    binds tighter than ``|``)."""
 
     def or_expr(self) -> dict:
-        parts = [self.seq()]
-        while self._eat_op("|"):
-            parts.append(self.seq())
-        if len(parts) == 1:
-            return parts[0]
-        return {"bool": {"should": parts, "minimum_should_match": 1}}
-
-    def seq(self) -> dict:
-        items: list[tuple[str, dict]] = [self.prefixed()]
+        groups = [self.and_group()]
         while True:
-            kind, text = self.peek()
-            if kind in ("phrase", "lparen", "word") or (
-                kind == "op" and text in ("+", "-")
-            ):
-                if kind == "op" and text == "+":
-                    self.next()
-                    items.append(("must", self.primary()))
-                elif kind == "op" and text == "-":
-                    self.next()
-                    items.append(("must_not", self.primary()))
-                else:
-                    items.append(("plain", self.primary()))
+            if self._eat_op("|"):
+                groups.append(self.and_group())
+            elif self.default_op == "or" and self._at_operand():
+                groups.append(self.and_group())
             else:
                 break
-        if len(items) == 1 and items[0][0] == "plain":
-            return items[0][1]
-        must, must_not, should = [], [], []
-        for mode, clause in items:
-            if mode == "must":
-                must.append(clause)
-            elif mode == "must_not":
-                must_not.append(clause)
-            elif self.default_op == "and":
-                must.append(clause)
+        if len(groups) == 1:
+            mode, clause = groups[0]
+            if mode == "plain":
+                return clause
+            return {"bool": {"must_not": [clause]}}
+        should = [c for m, c in groups if m == "plain"]
+        must_not = [c for m, c in groups if m == "must_not"]
+        b: dict = {}
+        if should:
+            b["should"] = should
+            b["minimum_should_match"] = 1
+        if must_not:
+            b["must_not"] = must_not
+        return {"bool": b}
+
+    def and_group(self) -> tuple[str, dict]:
+        """Operands joined by ``+`` (or whitespace under
+        default_operator=and); returns (mode, clause) — mode 'must_not'
+        when the whole group is a single negation, so the caller lifts it
+        to ITS bool (Lucene's MUST_NOT placement)."""
+        items = [self.operand()]
+        while True:
+            if self._eat_op("+"):
+                items.append(self.operand())
+            elif self.default_op == "and" and self._at_operand():
+                items.append(self.operand())
             else:
-                should.append(clause)
+                break
+        if len(items) == 1:
+            return items[0]
+        must = [c for m, c in items if m == "plain"]
+        must_not = [c for m, c in items if m == "must_not"]
         b: dict = {}
         if must:
             b["must"] = must
         if must_not:
             b["must_not"] = must_not
-        if should:
-            b["should"] = should
-            b["minimum_should_match"] = 0 if must else 1
-        return {"bool": b}
+        return ("plain", {"bool": b})
 
-    def prefixed(self) -> tuple[str, dict]:
+    def _at_operand(self) -> bool:
         kind, text = self.peek()
-        if kind == "op" and text == "+":
+        return kind in ("phrase", "lparen", "word") or (
+            kind == "op" and text == "-"
+        )
+
+    def operand(self) -> tuple[str, dict]:
+        kind, text = self.peek()
+        while kind == "op" and text == "+":
+            # dangling '+' (leading, or doubled): SQS degrades gracefully
+            # rather than erroring — skip it
             self.next()
-            return ("must", self.primary())
+            kind, text = self.peek()
         if kind == "op" and text == "-":
             self.next()
             return ("must_not", self.primary())
@@ -479,17 +494,13 @@ class _SQSParser(_QSParser):
                     "simple_query_string has no field:value syntax — use the "
                     "'fields' option"
                 )
-            if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
+            if text.endswith("*") and not text.endswith(r"\*"):
+                # ONLY a trailing * is special in SQS; */? anywhere else
+                # are literal characters (unlike query_string)
                 stem = _unescape(text[:-1])
                 return self._per_field(
                     self.default_fields,
                     lambda f, b: {"prefix": {f: {"value": stem, **b}}},
-                )
-            if "*" in text or "?" in text:
-                pat = _unescape(text)
-                return self._per_field(
-                    self.default_fields,
-                    lambda f, b: {"wildcard": {f: {"value": pat, **b}}},
                 )
             word = _unescape(text)
             return self._per_field(

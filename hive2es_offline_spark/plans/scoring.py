@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .query_dsl import _analyze, _sort_specs, compile_query
+from .query_dsl import compile_query
 
 __all__ = ["es_scored_search", "score_frame"]
 
@@ -199,7 +199,12 @@ class _ScoreCompiler:
             out = parts[0]
             for p in parts[1:]:
                 out = out + p
-            return out
+            # gate on the bool's OWN match predicate: a nested bool whose
+            # must/must_not/minimum_should_match fails scores ZERO even
+            # when individual should-children match (code-review r8: the
+            # ungated sum leaked a non-matching inner bool's child scores
+            # into a matching outer should)
+            return F.when(pred, out).otherwise(F.lit(0.0))
         if kind == "constant_score":
             return F.when(pred, F.lit(float(body.get("boost", 1.0)))
                           ).otherwise(F.lit(0.0))
@@ -246,6 +251,16 @@ class _ScoreCompiler:
     # -- function_score ------------------------------------------------------
     def _function_score(self, body: dict) -> Column:
         base = self.build(body["query"])
+        known_body = {"query", "functions", "score_mode", "boost_mode",
+                      "max_boost", "weight", "field_value_factor", "filter"}
+        unknown_body = set(body) - known_body
+        if unknown_body:
+            # loud rejection in the SHORTHAND path too — pre-fix, a
+            # top-level gauss/script_score/random_score was silently
+            # dropped and hits got plain query scores (code-review r8)
+            raise ValueError(
+                f"unsupported function_score function(s): {sorted(unknown_body)}"
+            )
         funcs = body.get("functions")
         if funcs is None:
             # single-function shorthand at the top level
@@ -459,9 +474,18 @@ def es_scored_search(
     sort_spec = body.get("sort")
     if sort_spec:
         cols = []
-        for f, is_desc in _sort_specs(sort_spec):
-            c = F.col(f)
-            cols.append(c.desc() if is_desc else c.asc())
+        for s in sort_spec:
+            if isinstance(s, str):
+                field, order = s, None
+            else:
+                (field, fspec), = s.items()
+                order = (fspec.get("order") if isinstance(fspec, dict)
+                         else fspec)
+            if order is None:
+                # ES defaults _score to DESC, everything else to ASC
+                order = "desc" if field == "_score" else "asc"
+            c = F.col(field)
+            cols.append(c.desc() if order == "desc" else c.asc())
     else:
         cols = [F.col("_score").desc(), F.col(id_field).asc()]
     offset = int(body.get("from", 0))

@@ -1270,3 +1270,18 @@ def test_bool_conjuncts_push_to_parquet(spark, tmp_path):
     assert "EqualTo(lang,en)" in pushed
     # and the results still honor ES NULL semantics end-to-end
     assert [r["id"] for r in q.collect()] == [31, 33, 35, 37, 39]
+
+
+def test_es_mget_source_string_false_and_empty(spark):
+    """ES accepts '_source' as a bare string, false, or [] — a string
+    must select that ONE column, not explode into characters
+    (code-review r8)."""
+    from hive2es_offline_spark.plans.query_dsl import es_mget
+
+    df = spark.createDataFrame([(1, "a", 10)], "id long, name string, v long")
+    out = es_mget(df, {"ids": [1], "_source": "name"}, id_field="id").collect()
+    assert set(out[0].asDict()) == {"mget_id", "found", "name"}
+    out = es_mget(df, {"ids": [1], "_source": False}, id_field="id").collect()
+    assert set(out[0].asDict()) == {"mget_id", "found"}
+    out = es_mget(df, {"ids": [1], "_source": []}, id_field="id").collect()
+    assert set(out[0].asDict()) == {"mget_id", "found"}

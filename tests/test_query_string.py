@@ -140,14 +140,36 @@ def test_simple_query_string_shapes():
         {"match": {"text": {"query": "a"}}},
         {"match": {"text": {"query": "b"}}},
     ], "minimum_should_match": 1}}
-    assert sqs("+a -b") == {"bool": {
-        "must": [{"match": {"text": {"query": "a"}}}],
+    # '+' is the INFIX AND operator in SQS (not a must-prefix): a + b
+    # requires both, even under the OR default
+    assert sqs("a + b") == {"bool": {"must": [
+        {"match": {"text": {"query": "a"}}},
+        {"match": {"text": {"query": "b"}}},
+    ]}}
+    # '+' binds tighter than '|': the code-review case — a doc with only
+    # 'that' must NOT match 'this + (that | thus)'
+    out = sqs("this + (that | thus)")
+    assert out == {"bool": {"must": [
+        {"match": {"text": {"query": "this"}}},
+        {"bool": {"should": [
+            {"match": {"text": {"query": "that"}}},
+            {"match": {"text": {"query": "thus"}}},
+        ], "minimum_should_match": 1}},
+    ]}}
+    # '-' negations lift to the group (Lucene MUST_NOT placement)
+    assert sqs("a -b") == {"bool": {
+        "should": [{"match": {"text": {"query": "a"}}}],
+        "minimum_should_match": 1,
         "must_not": [{"match": {"text": {"query": "b"}}}],
     }}
     assert sqs("a b", default_operator="and") == {"bool": {"must": [
         {"match": {"text": {"query": "a"}}},
         {"match": {"text": {"query": "b"}}},
     ]}}
+    # only a TRAILING * is special in SQS — '?' and mid-word '*' are
+    # literal characters (unlike query_string)
+    assert sqs("te?t") == {"match": {"text": {"query": "te?t"}}}
+    assert sqs("a*b") == {"match": {"text": {"query": "a*b"}}}
     with pytest.raises(ValueError, match="fields"):
         parse_simple_query_string({"query": "a"})
     with pytest.raises(ValueError, match="field:value"):

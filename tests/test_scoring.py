@@ -266,3 +266,47 @@ def test_null_text_rows_do_not_poison_avgdl(spark):
         id_field="doc_id").collect()}
     exp = _bm25_expected([(1, "merge stream"), (2, ""), (3, "merge")], ["merge"])
     assert out == pytest.approx({d: s for d, s in exp.items() if s})
+
+
+def test_non_matching_inner_bool_scores_zero(spark):
+    """Code-review r8 confirmed bug: a nested bool whose must fails must
+    contribute ZERO score even when its should-children match — pre-fix
+    the ungated sum leaked the inner should's BM25 into the outer bool."""
+    df = spark.createDataFrame(
+        [(1, "x x", "b"), (2, "other", "b"), (3, "x", "a")],
+        "doc_id long, text string, source string",
+    )
+    body = {"query": {"bool": {"should": [
+        {"bool": {"must": [{"term": {"source": "a"}}],
+                  "should": [{"match": {"text": "x"}}]}},
+        {"term": {"source": "b"}},
+    ]}}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(df, body, id_field="doc_id").collect()}
+    # docs 1 and 2 fail the inner bool's must -> both score exactly
+    # idf('b'); doc 3 scores idf('a') + its matching inner-should BM25
+    assert out[1] == out[2]
+    idf_b = round(math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5)), 6)
+    assert out[1] == pytest.approx(idf_b)
+    assert out[3] > 0
+
+
+def test_sort_score_defaults_desc_and_function_score_rejects_unknown(corpus):
+    out = es_scored_search(
+        corpus, {"query": {"match": {"text": "merge stream"}},
+                 "sort": ["_score"], "size": 10}, id_field="doc_id"
+    ).collect()
+    scores = [r["_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)  # ES: _score sorts DESC
+    # explicit asc still honored
+    out = es_scored_search(
+        corpus, {"query": {"match": {"text": "merge stream"}},
+                 "sort": [{"_score": {"order": "asc"}}], "size": 10},
+        id_field="doc_id").collect()
+    assert [r["_score"] for r in out] == sorted(scores)
+    # unsupported function kinds raise in the SHORTHAND path too
+    with pytest.raises(ValueError, match="gauss"):
+        es_scored_search(corpus, {"query": {"function_score": {
+            "query": {"match_all": {}},
+            "gauss": {"n": {"origin": 0, "scale": 10}},
+        }}}, id_field="doc_id").collect()
