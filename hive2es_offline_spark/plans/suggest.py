@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["term_suggest", "es_suggest"]
+__all__ = ["term_suggest", "phrase_suggest", "es_suggest"]
 
 
 def _distance_col(cand: Column, inp: Column, max_edits: int,
@@ -184,19 +184,147 @@ def es_suggest(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame:
     if len(spec) != 1:
         raise ValueError("exactly one named suggester per body")
     (name, s), = spec.items()
-    if "term" not in s:
-        raise ValueError("only the `term` suggester is supported")
-    t = s["term"]
-    out = term_suggest(
-        df,
-        s["text"],
-        t["field"],
-        id_col=id_col,
-        size=int(t.get("size", 5)),
-        max_edits=int(t.get("max_edits", 2)),
-        prefix_length=int(t.get("prefix_length", 1)),
-        min_word_length=int(t.get("min_word_length", 4)),
-        suggest_mode=str(t.get("suggest_mode", "missing")),
-        string_distance=str(t.get("string_distance", "levenshtein")),
-    )
+    if "term" in s:
+        t = s["term"]
+        out = term_suggest(
+            df,
+            s["text"],
+            t["field"],
+            id_col=id_col,
+            size=int(t.get("size", 5)),
+            max_edits=int(t.get("max_edits", 2)),
+            prefix_length=int(t.get("prefix_length", 1)),
+            min_word_length=int(t.get("min_word_length", 4)),
+            suggest_mode=str(t.get("suggest_mode", "missing")),
+            string_distance=str(t.get("string_distance", "levenshtein")),
+        )
+    elif "phrase" in s:
+        p = s["phrase"]
+        out = phrase_suggest(
+            df,
+            s["text"],
+            p["field"],
+            id_col=id_col,
+            size=int(p.get("size", 3)),
+            max_candidates=int(p.get("max_candidates", 3)),
+            max_edits=int(p.get("max_edits", 2)),
+            prefix_length=int(p.get("prefix_length", 1)),
+            min_word_length=int(p.get("min_word_length", 4)),
+        )
+    else:
+        raise ValueError("only the `term` and `phrase` suggesters are supported")
     return out.select(F.lit(name).alias("suggest_name"), "*")
+
+
+def phrase_suggest(
+    df: DataFrame,
+    text: str,
+    field: str,
+    *,
+    id_col: str = "doc_id",
+    size: int = 3,
+    max_candidates: int = 3,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    min_word_length: int = 4,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """ES ``phrase`` suggester: whole-phrase corrections ranked by a
+    corpus bigram language model over per-token candidate sets.
+
+    Pipeline (mirrors ES's generator + collate shape):
+
+    1. per-token candidates from the TERM suggester machinery (mode
+       ``always``; the original token is always its own candidate) — top
+       ``max_candidates`` per position,
+    2. corpus statistics restricted to the candidate sets: unigram doc
+       counts for candidate words and bigram counts for adjacent-position
+       candidate pairs — two aggregates whose outputs are bounded by the
+       candidate sets (≤ q·max_candidates and ≤ (q-1)·max_candidates²
+       rows), NOT by the corpus,
+    3. enumerate candidate phrases (≤ max_candidates^q, q capped at 6)
+       and score each with add-``alpha`` smoothed bigram likelihood:
+       ``score = mean_i ln((c(w_i w_{i+1}) + alpha) / (c(w_i) + alpha·V))``
+       with ``V`` the corpus vocabulary size.
+
+    The enumeration is driver-side over BOUNDED candidate data (the same
+    class as k-means centroids / manifest collects documented in
+    COVERAGE.md) — the corpus-scale work is all in steps 1-2.
+
+    Returns ``(suggestion, score, rank)``, the identity phrase excluded,
+    ties broken by suggestion asc.  Rows-only contract (the driver-side
+    enumeration has no single-query SQL shape); unit-tested against a
+    hand-computed LM.
+    """
+    q_tokens = [t for t in text.lower().split() if t]
+    if not (2 <= len(q_tokens) <= 6):
+        raise ValueError("phrase_suggest supports 2..6 input tokens")
+
+    # step 1: candidate sets (term-suggester ranking, identity included)
+    suggestible = [t for t in q_tokens if len(t) >= int(min_word_length)]
+    cands: dict[str, list[str]] = {t: [t] for t in q_tokens}
+    if suggestible:
+        rows = term_suggest(
+            df, " ".join(sorted(set(suggestible))), field,
+            id_col=id_col, size=int(max_candidates), max_edits=max_edits,
+            prefix_length=prefix_length, min_word_length=min_word_length,
+            suggest_mode="always",
+        ).collect()
+        for r in rows:
+            lst = cands[r["input_term"]]
+            if r["suggestion"] not in lst and len(lst) <= int(max_candidates):
+                lst.append(r["suggestion"])
+
+    # step 2: candidate-restricted corpus stats (bounded outputs)
+    words = sorted({w for lst in cands.values() for w in lst})
+    pair_whitelist = sorted({
+        f"{w1} {w2}"
+        for a, b in zip(q_tokens, q_tokens[1:])
+        for w1 in cands[a]
+        for w2 in cands[b]
+    })
+    toks = F.filter(F.split(F.lower(F.col(field)), " +"), lambda t: t != "")
+    base = df.select(toks.alias("_toks"))
+    uni = dict(
+        base.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("w").isin(words))
+        .collect()
+    )
+    vocab_n = base.select(F.explode("_toks").alias("w")).select(
+        F.countDistinct("w").alias("v")
+    ).first()["v"]
+    pairs_col = F.expr(
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+    )
+    bi = dict(
+        base.select(F.explode(pairs_col).alias("b"))
+        .where(F.col("b").isin(pair_whitelist))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+
+    # step 3: enumerate + score (bounded driver work)
+    import itertools
+    import math
+
+    v = float(max(vocab_n, 1))
+    scored = []
+    for combo in itertools.product(*[cands[t] for t in q_tokens]):
+        phrase = " ".join(combo)
+        if phrase == " ".join(q_tokens):
+            continue  # ES returns corrections, not the input
+        lp = 0.0
+        for w1, w2 in zip(combo, combo[1:]):
+            c12 = float(bi.get(f"{w1} {w2}", 0))
+            c1 = float(uni.get(w1, 0))
+            lp += math.log((c12 + alpha) / (c1 + alpha * v))
+        scored.append((phrase, round(lp / (len(combo) - 1), 6)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    out = [(p, s, i + 1) for i, (p, s) in enumerate(scored[: int(size)])]
+    return df.sparkSession.createDataFrame(
+        out or [], "suggestion string, score double, rank int"
+    )

@@ -77,10 +77,61 @@ def test_es_suggest_body_shape(corpus):
     out = es_suggest(corpus, body).collect()
     assert out[0]["suggest_name"] == "fix_spelling"
     assert out[0]["suggestion"] == "merge"
-    with pytest.raises(ValueError, match="term"):
+    with pytest.raises(ValueError, match="term.*phrase"):
         es_suggest(corpus, {"suggest": {"x": {"text": "a",
-                                              "phrase": {"field": "text"}}}})
+                                              "completion": {"field": "text"}}}})
     with pytest.raises(ValueError, match="suggest_mode"):
         term_suggest(corpus, "mrege", "text", suggest_mode="sometimes")
     with pytest.raises(ValueError, match="max_edits"):
         term_suggest(corpus, "mrege", "text", max_edits=3)
+
+
+def test_phrase_suggest_corrects_whole_phrase(corpus):
+    from hive2es_offline_spark.plans.suggest import phrase_suggest
+
+    out = phrase_suggest(corpus, "steam procesing", "text").collect()
+    # "steam" is a real word (freq 3) but the BIGRAM "stream processing"
+    # (freq 5) dominates the LM — the whole-phrase correction wins where
+    # per-token suggest_mode=missing would never touch "steam"
+    assert out[0]["suggestion"] == "stream processing"
+    assert out[0]["rank"] == 1
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # the identity phrase is never suggested
+    assert "steam procesing" not in [r["suggestion"] for r in out]
+
+
+def test_phrase_suggest_lm_math(spark):
+    """Hand-computed add-alpha bigram LM on a tiny corpus."""
+    import math
+
+    from hive2es_offline_spark.plans.suggest import phrase_suggest
+
+    df = spark.createDataFrame(
+        [(0, "good morning"), (1, "good morning"), (2, "good evening")],
+        "doc_id long, text string",
+    )
+    out = phrase_suggest(
+        df, "good morninh", "text", size=10, max_candidates=2
+    ).collect()
+    # vocab = {good, morning, evening}: V=3; c(good)=3,
+    # c(good morning)=2, c(good evening)=1, alpha=0.5
+    top = out[0]
+    assert top["suggestion"] == "good morning"
+    exp = round(math.log((2 + 0.5) / (3 + 0.5 * 3)), 6)
+    assert top["score"] == pytest.approx(exp)
+
+
+def test_phrase_suggest_input_bounds(corpus):
+    from hive2es_offline_spark.plans.suggest import phrase_suggest
+
+    with pytest.raises(ValueError, match="2..6"):
+        phrase_suggest(corpus, "single", "text")
+
+
+def test_es_suggest_phrase_body(corpus):
+    body = {"suggest": {"fix": {
+        "text": "steam procesing", "phrase": {"field": "text", "size": 2}}}}
+    out = es_suggest(corpus, body).collect()
+    assert out[0]["suggest_name"] == "fix"
+    assert out[0]["suggestion"] == "stream processing"
