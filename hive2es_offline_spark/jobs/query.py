@@ -33,6 +33,10 @@ def run_query(spark, args: argparse.Namespace):
         with open(body_src[1:]) as f:
             body_src = f.read()
     body = json.loads(body_src)
+    if args.params:
+        from ..plans.templates import render_search_template
+
+        body = render_search_template(body, json.loads(args.params))
 
     reader = spark.read.format(args.input_format)
     df = reader.load(args.input_path) if args.input_path else spark.table(args.table)
@@ -67,6 +71,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--scored", action="store_true",
                    help="rank hits by BM25 _score (score context) instead of "
                         "filter-context search")
+    p.add_argument("--params", default=None,
+                   help="JSON params: treat --body as a mustache search "
+                        "template ({{var}}, {{#toJson}}, defaults) and "
+                        "render it first")
     p.add_argument("--output", default=None,
                    help="write the result as parquet here instead of printing")
     p.add_argument("--max-print", type=int, default=100,

@@ -462,16 +462,65 @@ def es_scored_search(
     legal key), apply ``min_score`` / ``from`` / ``size``, project
     ``_source`` + ``_score``.
 
+    ``rescore`` re-ranks the top ``window_size`` hits with a second query
+    (both scores computed against CORPUS statistics in the same pass; the
+    window cut is a TakeOrderedAndProject, never a global sort), blended
+    by ``score_mode`` total/multiply/avg/max/min with query_weight /
+    rescore_query_weight.  ``collapse`` keeps the best hit per field value
+    (WindowGroupLimit); ``highlight`` wraps the query's terms (the query
+    is normalized first, so query_string bodies highlight too).
+
     Top-k compiles to TakeOrderedAndProject over the scored frame — the
     only data-scale shuffles are the term-partial aggregate (query-term
     hits only) and one id join per scored text field."""
     query = body.get("query", {"match_all": {}})
     scored = score_frame(df, query, id_field, k1=k1, b=b)
+    rescore = body.get("rescore")
+    if rescore is not None:
+        # second score pass BEFORE any filter/limit: BM25 stats must be
+        # corpus-wide for the rescore query too
+        rspec = rescore["query"]
+        scored = score_frame(
+            scored.withColumnRenamed("_score", "_score0"),
+            rspec["rescore_query"], id_field, k1=k1, b=b,
+        ).withColumnRenamed("_score", "_rescore")
     scored = scored.where(F.coalesce(compile_query(_normalize(query), id_field),
                                      F.lit(False)))
     if "min_score" in body:
-        scored = scored.where(F.col("_score") >= F.lit(float(body["min_score"])))
+        mcol = "_score0" if rescore is not None else "_score"
+        scored = scored.where(F.col(mcol) >= F.lit(float(body["min_score"])))
     sort_spec = body.get("sort")
+    if rescore is not None:
+        if sort_spec:
+            raise ValueError("rescore cannot be combined with an explicit sort")
+        window_size = int(rescore.get("window_size", 10))
+        offset0 = int(body.get("from", 0))
+        size0 = int(body.get("size", 10))
+        if offset0 + size0 > window_size:
+            raise ValueError(
+                f"rescore window_size {window_size} must cover from+size "
+                f"{offset0 + size0} (hits beyond the window keep their "
+                "original order and never reach this page)"
+            )
+        top = scored.orderBy(
+            F.col("_score0").desc(), F.col(id_field).asc()
+        ).limit(window_size)
+        qw = F.lit(float(rspec.get("query_weight", 1.0)))
+        rqw = F.lit(float(rspec.get("rescore_query_weight", 1.0)))
+        a, b_ = qw * F.col("_score0"), rqw * F.col("_rescore")
+        mode = str(rspec.get("score_mode", "total"))
+        blend = {
+            "total": a + b_,
+            "multiply": a * b_,
+            "avg": (a + b_) / F.lit(2.0),
+            "max": F.greatest(a, b_),
+            "min": F.least(a, b_),
+        }.get(mode)
+        if blend is None:
+            raise ValueError(f"unsupported rescore score_mode: {mode}")
+        scored = top.withColumn("_score", F.round(blend, 6)).drop(
+            "_score0", "_rescore"
+        )
     if sort_spec:
         cols = []
         for s in sort_spec:
@@ -488,6 +537,17 @@ def es_scored_search(
             cols.append(c.desc() if order == "desc" else c.asc())
     else:
         cols = [F.col("_score").desc(), F.col(id_field).asc()]
+    if body.get("collapse"):
+        # best hit per distinct field value by the effective sort —
+        # WindowGroupLimit, same shape as the filter-context path
+        from pyspark.sql.window import Window
+
+        cw = Window.partitionBy(body["collapse"]["field"]).orderBy(*cols)
+        scored = (
+            scored.withColumn("_collapse_rank", F.row_number().over(cw))
+            .where(F.col("_collapse_rank") == 1)
+            .drop("_collapse_rank")
+        )
     offset = int(body.get("from", 0))
     size = int(body.get("size", 10))
     scored = scored.orderBy(*cols).limit(offset + size)
@@ -499,6 +559,15 @@ def es_scored_search(
             scored.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") > offset).drop("_rn")
         )
+    extra_cols: list[str] = []
+    if body.get("highlight"):
+        from .query_dsl import _apply_highlight
+
+        # normalize first so query_string / simple_query_string bodies
+        # contribute their parsed terms to the highlighter
+        scored, extra_cols = _apply_highlight(
+            scored, {**body, "query": _normalize(query)}
+        )
     if body.get("_source"):
-        scored = scored.select(*body["_source"], "_score")
+        scored = scored.select(*body["_source"], "_score", *extra_cols)
     return scored

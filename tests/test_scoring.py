@@ -310,3 +310,56 @@ def test_sort_score_defaults_desc_and_function_score_rejects_unknown(corpus):
             "query": {"match_all": {}},
             "gauss": {"n": {"origin": 0, "scale": 10}},
         }}}, id_field="doc_id").collect()
+
+
+def test_rescore_blends_top_window(corpus):
+    """rescore: top window_size hits by the original score re-ranked by
+    qw*score + rqw*rescore_score (corpus-stat BM25 for both)."""
+    body = {
+        "query": {"match": {"text": "merge"}},
+        "rescore": {"window_size": 10, "query": {
+            "rescore_query": {"match": {"text": "stream"}},
+            "query_weight": 0.5, "rescore_query_weight": 2.0,
+        }},
+        "size": 10,
+    }
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    s_merge = _bm25_expected(DOCS, ["merge"])
+    s_stream = _bm25_expected(DOCS, ["stream"])
+    # abs tolerance absorbs Spark's HALF_UP vs Python's banker's rounding
+    # on exact .5e-6 ties (0.2694985 -> 0.269499 vs 0.269498)
+    exp = {d: round(0.5 * s + 2.0 * s_stream.get(d, 0.0), 6)
+           for d, s in s_merge.items()}
+    assert out == pytest.approx(exp, abs=2e-6)
+    # multiply mode; non-matching rescore query zeroes the product
+    body["rescore"]["query"]["score_mode"] = "multiply"
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    exp = {d: round(0.5 * s * 2.0 * s_stream.get(d, 0.0), 6)
+           for d, s in s_merge.items()}
+    assert out == pytest.approx(exp, abs=2e-6)
+    with pytest.raises(ValueError, match="window_size"):
+        es_scored_search(corpus, {**body, "rescore": {
+            "window_size": 2, "query": body["rescore"]["query"]},
+            "size": 5}, id_field="doc_id")
+    with pytest.raises(ValueError, match="explicit sort"):
+        es_scored_search(corpus, {**body, "sort": [{"n": "asc"}]},
+                         id_field="doc_id")
+
+
+def test_scored_collapse_and_highlight(corpus):
+    body = {
+        "query": {"query_string": {"query": "merge stream",
+                                   "default_field": "text"}},
+        "collapse": {"field": "source"},
+        "highlight": {"fields": {"text": {}}},
+        "size": 10,
+        "_source": ["doc_id", "source", "text"],
+    }
+    out = es_scored_search(corpus, body, id_field="doc_id").collect()
+    # one best hit per source value
+    assert len(out) == len({r["source"] for r in out})
+    # query_string terms highlight through the normalized tree
+    hl = {r["doc_id"]: r["text_highlight"] for r in out}
+    assert hl[1] == "<em>merge</em> the <em>stream</em> now"
