@@ -473,8 +473,56 @@ def es_scored_search(
     Top-k compiles to TakeOrderedAndProject over the scored frame — the
     only data-scale shuffles are the term-partial aggregate (query-term
     hits only) and one id join per scored text field."""
+    knn = body.get("knn")
+    knn_only = knn is not None and "query" not in body
     query = body.get("query", {"match_all": {}})
-    scored = score_frame(df, query, id_field, k1=k1, b=b)
+    if knn_only:
+        # a knn-only body returns exactly the top-k — no match_all
+        # baseline score, no non-knn hits
+        scored = df.withColumn("_score", F.lit(0.0))
+    else:
+        scored = score_frame(df, query, id_field, k1=k1, b=b)
+    if knn is not None:
+        # ES 8 combined retrieval: the hit set is the UNION of the query's
+        # matches and the kNN top-k, and _score SUMS both contributions —
+        # this is the true hybrid shape (es_search's filter-context knn
+        # treats `query` as a hard pre-filter instead, documented there).
+        # The top-k cut is a TakeOrderedAndProject on exact cosine; the
+        # k-row id frame broadcasts back, so the knn side adds no shuffle.
+        from ..operators.similarity import _cosine_to_literal
+
+        field, qv = knn["field"], [float(x) for x in knn["query_vector"]]
+        k = int(knn.get("k", 10))
+        qarr = F.array(*[F.lit(x) for x in qv])
+        sim = F.round(
+            (F.lit(1.0) + _cosine_to_literal(F.col(field), qarr, qv))
+            / F.lit(2.0), 6,
+        )
+        cand = df
+        if "filter" in knn:
+            cand = cand.where(
+                F.coalesce(compile_query(knn["filter"], id_field), F.lit(False))
+            )
+        top_ids = (
+            cand.select(F.col(id_field).alias("_knn_id"),
+                        sim.alias("_knn_score"))
+            .orderBy(F.col("_knn_score").desc(), F.col("_knn_id").asc())
+            .limit(k)
+        )
+        scored = scored.join(
+            F.broadcast(top_ids),
+            scored[id_field] == top_ids["_knn_id"], "left",
+        ).drop("_knn_id")
+        if knn_only:
+            qpred = F.lit(False)
+        else:
+            qpred = F.coalesce(compile_query(_normalize(query), id_field),
+                               F.lit(False))
+        scored = scored.where(qpred | F.col("_knn_score").isNotNull())
+        scored = scored.withColumn(
+            "_score",
+            F.round(F.col("_score") + F.coalesce("_knn_score", F.lit(0.0)), 6),
+        ).drop("_knn_score")
     rescore = body.get("rescore")
     if rescore is not None:
         # second score pass BEFORE any filter/limit: BM25 stats must be
@@ -484,8 +532,13 @@ def es_scored_search(
             scored.withColumnRenamed("_score", "_score0"),
             rspec["rescore_query"], id_field, k1=k1, b=b,
         ).withColumnRenamed("_score", "_rescore")
-    scored = scored.where(F.coalesce(compile_query(_normalize(query), id_field),
-                                     F.lit(False)))
+    if knn is None:
+        # with knn, the union filter (query matches OR knn top-k) was
+        # already applied above — re-filtering would drop knn-only hits
+        scored = scored.where(
+            F.coalesce(compile_query(_normalize(query), id_field),
+                       F.lit(False))
+        )
     if "min_score" in body:
         mcol = "_score0" if rescore is not None else "_score"
         scored = scored.where(F.col(mcol) >= F.lit(float(body["min_score"])))

@@ -363,3 +363,48 @@ def test_scored_collapse_and_highlight(corpus):
     # query_string terms highlight through the normalized tree
     hl = {r["doc_id"]: r["text_highlight"] for r in out}
     assert hl[1] == "<em>merge</em> the <em>stream</em> now"
+
+
+def test_combined_query_knn_retrieval(spark):
+    """ES 8 combined retrieval: hit set = query matches UNION knn top-k,
+    _score = BM25 + (1+cos)/2 for docs in both."""
+    import numpy as np
+
+    rows = [
+        (1, "merge stream", [1.0, 0.0]),
+        (2, "other words", [0.9, 0.1]),
+        (3, "merge only", [0.0, 1.0]),
+        (4, "unrelated", [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, embedding array<double>")
+    body = {"query": {"match": {"text": "merge"}},
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 2},
+            "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(df, body, id_field="doc_id").collect()}
+    bm = _bm25_expected([(d, t) for d, t, _ in rows], ["merge"])
+    def knn_score(v):
+        c = np.dot(v, [1.0, 0.0]) / (np.linalg.norm(v) or 1.0)
+        return round((1 + c) / 2, 6)
+    # knn top-2 by cosine to [1,0]: doc 1 (cos 1) and doc 2 (cos ~0.9939)
+    exp = {
+        1: round(bm[1] + knn_score([1.0, 0.0]), 6),
+        2: round(0.0 + knn_score([0.9, 0.1]), 6),   # knn-only hit
+        3: round(bm[3], 6),                          # query-only hit
+    }
+    assert out == pytest.approx(exp, abs=2e-6)
+    assert 4 not in out  # neither side retrieved it
+
+    # knn-only body: exactly the top-k, scored by similarity alone
+    out = es_scored_search(
+        df, {"knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                     "k": 2}, "size": 10}, id_field="doc_id").collect()
+    assert [(r["doc_id"], r["_score"]) for r in out] == [
+        (1, knn_score([1.0, 0.0])), (2, knn_score([0.9, 0.1]))]
+
+    # knn filter pre-restricts the candidate pool (ES >= 8.2 semantics)
+    out = es_scored_search(
+        df, {"knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                     "k": 2, "filter": {"range": {"doc_id": {"gte": 2}}}},
+             "size": 10}, id_field="doc_id").collect()
+    assert [r["doc_id"] for r in out] == [2, 3]
