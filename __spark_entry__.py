@@ -2429,6 +2429,46 @@ def q_es_agg_filter(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_date_range(spark, sf_dir):
+    """``date_range`` bucket agg (from inclusive / to exclusive, date-math
+    bounds resolved driver-side): overlapping-safe gated single-scan
+    aggregate like range/filters."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    body = {"size": 0, "aggs": {"dr": {
+        "date_range": {"field": "o_orderdate", "ranges": [
+            {"to": "1993-01-01", "key": "early"},
+            {"from": "1993-01-01", "to": "1996-01-01", "key": "mid"},
+            {"from": "1992-01-01||+4y", "key": "late"},
+        ]},
+        "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    }}}
+    return es_search(o, body, id_field="o_orderkey")
+
+
+def q_es_nested_agg(spark, sf_dir):
+    """``nested`` aggregation over the orders->items shape: sub-aggs run
+    per ARRAY ELEMENT (explode + recurse) — terms bucket + decimal-routed
+    sum on the element fields."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_partkey", "l_quantity", "l_extendedprice")
+        ).alias("items")
+    )
+    body = {"size": 0, "aggs": {"n": {
+        "nested": {"path": "items"},
+        "aggs": {"by_part": {
+            "terms": {"field": "items.l_partkey", "size": 12},
+            "aggs": {"qty": {"sum": {"field": "items.l_quantity"}}},
+        }},
+    }}}
+    return es_search(nested, body, id_field="l_orderkey")
+
+
 def q_es_suggest(spark, sf_dir):
     """ES term suggester ("did you mean"): per-token corrections from the
     corpus vocabulary, ranked by edit distance then document frequency —
@@ -2570,7 +2610,8 @@ def q_es_function_score(spark, sf_dir):
 #: Remaining never-adjudicated golden-backed candidates for round 9:
 #: window_ntile, repetition_stats, contamination, epoch_shuffle,
 #: temperature_mix, data_drift, es_query_ext, es_aggs_range,
-#: es_aggs_filters, bigram_lm_score.
+#: es_aggs_filters, bigram_lm_score, plus the round-8 extras
+#: es_agg_filter and es_suggest (rotated in as stable rows rotate out).
 #: Window membership is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
     "scan_filter", "schema_infer",
@@ -2712,6 +2753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 extras (golden-backed; round-9 window candidates)
         "es_agg_filter": q_es_agg_filter,
         "es_suggest": q_es_suggest,
+        "es_date_range": q_es_date_range,
+        "es_nested_agg": q_es_nested_agg,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -4520,6 +4563,37 @@ def _goldens_b() -> dict[str, str]:
             SELECT 'highval' AS key, doc_count, n, avg_price FROM hv
             UNION ALL
             SELECT 'urgent', doc_count, n, avg_price FROM ur
+        """,
+        # mirrors q_es_date_range: from inclusive / to exclusive; the
+        # date-math bound 1992-01-01||+4y resolves to 1996-01-01; avg
+        # decimal-routed
+        "es_date_range": """
+            SELECT 'early' AS key, count(*) AS doc_count,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                              / count(o_totalprice) AS DOUBLE), 6) AS avg_price
+            FROM orders WHERE o_orderdate < DATE '1993-01-01'
+            UNION ALL
+            SELECT 'mid', count(*),
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                              / count(o_totalprice) AS DOUBLE), 6)
+            FROM orders WHERE o_orderdate >= DATE '1993-01-01'
+                          AND o_orderdate < DATE '1996-01-01'
+            UNION ALL
+            SELECT 'late', count(*),
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                              / count(o_totalprice) AS DOUBLE), 6)
+            FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+        """,
+        # mirrors q_es_nested_agg: every lineitem row IS one nested
+        # element, so the per-element terms+sum equals a flat group-by
+        "es_nested_agg": """
+            SELECT l_partkey AS key, count(*) AS doc_count,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                     AS qty
+            FROM lineitem
+            GROUP BY l_partkey
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 12
         """,
         # mirrors q_es_suggest: vocabulary (per-doc-distinct tokens ->
         # doc freq), length/prefix guards, levenshtein <= 2, missing

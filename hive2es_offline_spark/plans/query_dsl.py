@@ -54,11 +54,13 @@ Supported aggregations: metrics ``avg sum min max value_count cardinality
 stats extended_stats percentiles percentile_ranks weighted_avg
 string_stats boxplot top_metrics``; the single-bucket ``filter`` agg
 (rewritten to a 1-entry ``filters``) and ``global`` (sub-aggs escape the
-query filter — branched in ``es_search``); group-by buckets
+query filter — branched in ``es_search``); ``nested`` (sub-aggs per
+ARRAY ELEMENT of the path: explode + recurse, ES's nested doc counts);
+group-by buckets
 ``terms histogram date_histogram`` (calendar_interval or epoch-aligned
 fixed_interval) with metric sub-aggs, plus ``rare_terms`` (exact long
 tail where ES approximates with a CuckooFilter) and ``multi_terms``
-(tuple bucket keys, one column per field); conditional buckets ``range
+(tuple bucket keys, one column per field); conditional buckets ``range date_range
 filters missing`` (may overlap, so they compile to one ungrouped gated
 aggregate + an inline() reshape instead of a groupBy);
 ``significant_terms`` (JLH-scored foreground-vs-background terms: ONE
@@ -708,7 +710,8 @@ def compile_query(
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "percentile_ranks",
                  "weighted_avg", "string_stats", "boxplot", "top_metrics"}
-_COND_BUCKET_KINDS = {"range", "filters", "missing", "adjacency_matrix"}
+_COND_BUCKET_KINDS = {"range", "date_range", "filters", "missing",
+                      "adjacency_matrix"}
 
 
 def _metric_exprs(
@@ -873,6 +876,38 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     The whole body compiles to a single shuffle (one groupBy / one global
     aggregate); buckets and all sub-metrics share it.
     """
+    # `nested` agg: sub-aggs run over the ARRAY ELEMENTS of the path (ES:
+    # each nested doc counts once).  Explode the array, flatten the
+    # element struct, strip the "path." prefix from sub-agg field names,
+    # and recurse — every bucket/metric shape below then works per
+    # element.  A bare nested (no sub-aggs) returns the element count.
+    nested_spec = [(n, s) for n, s in aggs.items() if "nested" in s]
+    if nested_spec:
+        if len(aggs) != 1:
+            raise ValueError("nested must be the only top-level aggregation")
+        (name, s), = nested_spec
+        path = s["nested"]["path"]
+        el = df.select(F.explode(F.col(path)).alias("_el")).select("_el.*")
+
+        def _strip(node):
+            if isinstance(node, dict):
+                return {
+                    k: (
+                        v[len(path) + 1:]
+                        if k == "field" and isinstance(v, str)
+                        and v.startswith(path + ".")
+                        else _strip(v)
+                    )
+                    for k, v in node.items()
+                }
+            if isinstance(node, list):
+                return [_strip(x) for x in node]
+            return node
+
+        subs = _strip(s.get("aggs") or {})
+        if not subs:
+            return el.agg(F.count(F.lit(1)).alias("doc_count"))
+        return compile_aggs(el, subs, id_field)
     # the singular `filter` agg is the 1-bucket case of `filters`: rewrite
     # so the gated-aggregate machinery below handles it (ES returns
     # doc_count + sub-aggs under the agg name; here that's the bucket row
@@ -1629,6 +1664,29 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
                 pred = pred & (c >= F.lit(float(r["from"])))  # from inclusive
             if r.get("to") is not None:
                 pred = pred & (c < F.lit(float(r["to"])))  # to exclusive
+            buckets.append((_range_key(r), pred))
+    elif kind == "date_range":
+        # from inclusive / to exclusive like `range`; bounds accept plain
+        # dates or ES date math (now must be pinned via bspec["now"], the
+        # same determinism rule as range-query date math); a /unit
+        # rounding resolves to the interval START for both bounds
+        c = F.col(bspec["field"])
+
+        def _date_bound(v):
+            if isinstance(v, str) and (v.startswith("now") or "||" in v):
+                now = bspec.get("now")
+                if isinstance(now, str):
+                    now, _ = parse_date_math(now if "||" in now else now + "||")
+                start, _ = parse_date_math(v, now=now)
+                return start
+            return v
+
+        for r in bspec["ranges"]:
+            pred = F.lit(True)
+            if r.get("from") is not None:
+                pred = pred & (c >= F.lit(_date_bound(r["from"])))
+            if r.get("to") is not None:
+                pred = pred & (c < F.lit(_date_bound(r["to"])))
             buckets.append((_range_key(r), pred))
     elif kind == "filters":
         for bname, clause in bspec["filters"].items():

@@ -21,7 +21,14 @@ compilers:
   scores plus ``tie_breaker`` times the rest,
 - ``function_score`` transforms the inner score: ``field_value_factor``
   (all ES modifiers) and ``weight`` functions with optional per-function
-  ``filter``, combined by ``score_mode`` and applied by ``boost_mode``.
+  ``filter``, combined by ``score_mode`` and applied by ``boost_mode``,
+- ``boosting`` demotes (never excludes) negative-query matches by
+  ``negative_boost``,
+- ``rescore`` re-ranks the top window with a second query (corpus-wide
+  stats for both, TakeOrderedAndProject window cut),
+- a body with ``knn`` retrieves the UNION of query matches and the
+  exact-cosine top-k, summing BM25 and ``(1 + cos) / 2`` (ES 8 combined
+  retrieval; knn-only bodies return exactly the top-k).
 
 Scale shape (100 TB corpus): ONE tokenize+explode pass per scored text
 field, filtered to the query's terms map-side before the only full-width

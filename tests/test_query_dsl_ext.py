@@ -1285,3 +1285,56 @@ def test_es_mget_source_string_false_and_empty(spark):
     assert set(out[0].asDict()) == {"mget_id", "found"}
     out = es_mget(df, {"ids": [1], "_source": []}, id_field="id").collect()
     assert set(out[0].asDict()) == {"mget_id", "found"}
+
+
+def test_date_range_agg(spark):
+    from datetime import datetime
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [(i, datetime(2024, m, 15), float(i)) for i, m in
+         enumerate([1, 2, 2, 3, 6, 7])],
+        "id long, ts timestamp, v double",
+    )
+    out = compile_aggs(df, {"dr": {"date_range": {
+        "field": "ts",
+        "ranges": [
+            {"to": "2024-02-01"},
+            {"from": "2024-02-01", "to": "2024-04-01", "key": "spring"},
+            {"from": "2024-01-01||+5M", "key": "late"},
+        ],
+        "aggs": {},
+    }, "aggs": {"avg_v": {"avg": {"field": "v"}}}}}).collect()
+    got = {r["key"]: (r["doc_count"], r["avg_v"]) for r in out}
+    assert got["*-2024-02-01"] == (1, 0.0)
+    assert got["spring"] == (3, 2.0)          # Feb, Feb, Mar
+    assert got["late"] == (2, 4.5)            # Jun, Jul (date math bound)
+    # date math with 'now' must be pinned
+    with pytest.raises(ValueError, match="inject"):
+        compile_aggs(df, {"dr": {"date_range": {
+            "field": "ts", "ranges": [{"from": "now-1d"}]}}}).collect()
+
+
+def test_nested_agg_runs_per_element(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(oid=1, items=[Row(sku="a", qty=2), Row(sku="b", qty=3)]),
+        Row(oid=2, items=[Row(sku="a", qty=5)]),
+    ])
+    # bare nested: element count (3 nested docs in 2 parents)
+    (row,) = compile_aggs(df, {"n": {"nested": {"path": "items"}}}).collect()
+    assert row["doc_count"] == 3
+    # metric sub-agg over element fields ("items." prefix stripped)
+    (row,) = compile_aggs(df, {"n": {"nested": {"path": "items"},
+        "aggs": {"total_qty": {"sum": {"field": "items.qty"}}}}}).collect()
+    assert row["total_qty"] == 10
+    # bucket sub-agg per element
+    out = compile_aggs(df, {"n": {"nested": {"path": "items"},
+        "aggs": {"by_sku": {"terms": {"field": "items.sku"},
+                 "aggs": {"q": {"sum": {"field": "items.qty"}}}}}}}).collect()
+    assert {(r["key"], r["doc_count"], r["q"]) for r in out} == {
+        ("a", 2, 7), ("b", 1, 3)}
+    with pytest.raises(ValueError, match="only top-level"):
+        compile_aggs(df, {"n": {"nested": {"path": "items"}},
+                          "m": {"value_count": {"field": "oid"}}})
