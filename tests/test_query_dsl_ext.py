@@ -1338,3 +1338,23 @@ def test_nested_agg_runs_per_element(spark):
     with pytest.raises(ValueError, match="only top-level"):
         compile_aggs(df, {"n": {"nested": {"path": "items"}},
                           "m": {"value_count": {"field": "oid"}}})
+
+
+def test_terms_include_exclude(spark):
+    df = spark.createDataFrame(
+        [("apple",), ("apple",), ("banana",), ("avocado",), (None,)],
+        "fruit string",
+    )
+    body = lambda **kw: {"t": {"terms": {"field": "fruit", **kw}}}
+    out = compile_aggs(df, body(include=["apple", "banana"])).collect()
+    assert sorted((r["key"], r["doc_count"]) for r in out) == [
+        ("apple", 2), ("banana", 1)]
+    # regex include is whole-value anchored
+    out = compile_aggs(df, body(include="a.*")).collect()
+    assert sorted(r["key"] for r in out) == ["apple", "avocado"]
+    # exclude keeps the NULL bucket (documented divergence preserved)
+    out = compile_aggs(df, body(exclude="a.*")).collect()
+    assert sorted((r["key"] or "", r["doc_count"]) for r in out) == [
+        ("", 1), ("banana", 1)]
+    out = compile_aggs(df, body(include="a.*", exclude=["avocado"])).collect()
+    assert [r["key"] for r in out] == ["apple"]
