@@ -50,6 +50,10 @@ def run_query(spark, args: argparse.Namespace):
         from ..plans.scoring import es_scored_search
 
         return es_scored_search(df, body, id_field=args.id_field)
+    if "suggest" in body and "query" not in body and "aggs" not in body:
+        from ..plans.suggest import es_suggest
+
+        return es_suggest(df, body, id_col=args.id_field)
     return es_search(df, body, id_field=args.id_field)
 
 

@@ -360,3 +360,20 @@ def test_query_cli_mget_and_scored(spark, capsys):
     assert len(lines) == 3
     scores = [ln["_score"] for ln in lines]
     assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+
+def test_query_cli_suggest_body(spark, capsys):
+    """A pure suggest body routes to the suggester automatically."""
+    import json
+
+    from hive2es_offline_spark.jobs import query as qjob
+
+    from conftest import SF_SMOKE
+
+    qjob.main(["--input", f"{SF_SMOKE}/documents.parquet",
+               "--id-field", "doc_id",
+               "--body", json.dumps({"suggest": {"fix": {
+                   "text": "mrege",
+                   "term": {"field": "text", "size": 1}}}})])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["suggestion"] == "merge"
