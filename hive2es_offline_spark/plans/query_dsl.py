@@ -1491,6 +1491,32 @@ def _fill_bucket_gaps(out: DataFrame, kind: str, bspec: dict) -> DataFrame:
 
 
 def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -> DataFrame:
+    if kind == "terms" and ("include" in bspec or "exclude" in bspec):
+        # ES terms include/exclude: exact-value lists or a whole-value
+        # anchored regex, applied to the KEY BEFORE aggregation — the
+        # filter rides the scan (pushable for value lists), so excluded
+        # terms never shuffle.  Applied HERE, ahead of BOTH the metric
+        # path and the early-returning top_hits path (code-review r8:
+        # it was silently skipped for top_hits sub-aggs).
+        def _key_filter(spec_val, keep: bool) -> Column:
+            kc = _bucket_key_col(kind, bspec)
+            if isinstance(spec_val, list):
+                # raw-typed isin: Spark coerces the literals to the key
+                # column's type, so include=[1, 2] matches a double key
+                # where a string-cast compare ('1' vs '1.0') would not
+                pred = kc.isin(list(spec_val))
+            else:
+                pred = kc.cast("string").rlike(f"^(?:{spec_val})$")
+            # exclude keeps NULL-key docs (the NULL bucket is this
+            # engine's documented divergence — exclusion shouldn't
+            # silently swallow it); include drops them like any unlisted
+            # value
+            return pred if keep else F.coalesce(~pred, F.lit(True))
+
+        if "include" in bspec:
+            df = df.where(_key_filter(bspec["include"], True))
+        if "exclude" in bspec:
+            df = df.where(_key_filter(bspec["exclude"], False))
     key = _bucket_key_col(kind, bspec).alias("key")
 
     subs = spec.get("aggs", {})
@@ -1548,27 +1574,6 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
             continue
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
         exprs.extend(_metric_exprs(sub_name, mkind, mspec))
-    if kind == "terms" and ("include" in bspec or "exclude" in bspec):
-        # ES terms include/exclude: exact-value lists or a whole-value
-        # anchored regex, applied to the KEY BEFORE aggregation — the
-        # filter rides the scan (pushable for value lists), so excluded
-        # terms never shuffle
-        def _key_filter(spec_val, keep: bool) -> Column:
-            kc = _bucket_key_col(kind, bspec).cast("string")
-            if isinstance(spec_val, list):
-                pred = kc.isin([str(v) for v in spec_val])
-            else:
-                pred = kc.rlike(f"^(?:{spec_val})$")
-            # exclude keeps NULL-key docs (the NULL bucket is this
-            # engine's documented divergence — exclusion shouldn't
-            # silently swallow it); include drops them like any unlisted
-            # value
-            return pred if keep else F.coalesce(~pred, F.lit(True))
-
-        if "include" in bspec:
-            df = df.where(_key_filter(bspec["include"], True))
-        if "exclude" in bspec:
-            df = df.where(_key_filter(bspec["exclude"], False))
     out = df.groupBy(key).agg(*exprs)
     mdc = int(bspec.get("min_doc_count", 1))
     if kind == "terms":

@@ -520,32 +520,39 @@ def es_scored_search(
             F.broadcast(top_ids),
             scored[id_field] == top_ids["_knn_id"], "left",
         ).drop("_knn_id")
-        if knn_only:
-            qpred = F.lit(False)
-        else:
-            qpred = F.coalesce(compile_query(_normalize(query), id_field),
-                               F.lit(False))
-        scored = scored.where(qpred | F.col("_knn_score").isNotNull())
         scored = scored.withColumn(
             "_score",
             F.round(F.col("_score") + F.coalesce("_knn_score", F.lit(0.0)), 6),
-        ).drop("_knn_score")
+        )
     rescore = body.get("rescore")
+    if isinstance(rescore, list):
+        # ES accepts a list of rescorers; one is supported — reject the
+        # chained form loudly instead of a TypeError deep in the dict walk
+        if len(rescore) != 1:
+            raise ValueError("only a single rescorer is supported")
+        rescore = rescore[0]
     if rescore is not None:
-        # second score pass BEFORE any filter/limit: BM25 stats must be
-        # corpus-wide for the rescore query too
+        # second score pass BEFORE the hit-set filter: the rescore
+        # query's BM25 stats (N, avgdl, df) must be corpus-wide — the
+        # frame still carries every row here, knn or not
         rspec = rescore["query"]
         scored = score_frame(
             scored.withColumnRenamed("_score", "_score0"),
             rspec["rescore_query"], id_field, k1=k1, b=b,
         ).withColumnRenamed("_score", "_rescore")
-    if knn is None:
-        # with knn, the union filter (query matches OR knn top-k) was
-        # already applied above — re-filtering would drop knn-only hits
+    # hit-set filter (after the rescore pass, see above): query matches,
+    # or with knn the UNION of query matches and the top-k
+    if knn_only:
+        qpred = F.lit(False)
+    else:
+        qpred = F.coalesce(compile_query(_normalize(query), id_field),
+                           F.lit(False))
+    if knn is not None:
         scored = scored.where(
-            F.coalesce(compile_query(_normalize(query), id_field),
-                       F.lit(False))
-        )
+            qpred | F.col("_knn_score").isNotNull()
+        ).drop("_knn_score")
+    else:
+        scored = scored.where(qpred)
     if "min_score" in body:
         mcol = "_score0" if rescore is not None else "_score"
         scored = scored.where(F.col(mcol) >= F.lit(float(body["min_score"])))
@@ -578,9 +585,17 @@ def es_scored_search(
         }.get(mode)
         if blend is None:
             raise ValueError(f"unsupported rescore score_mode: {mode}")
-        scored = top.withColumn("_score", F.round(blend, 6)).drop(
-            "_score0", "_rescore"
+        # Lucene's QueryRescorer.combine: a window doc the rescore query
+        # does NOT match keeps query_weight * original — the secondary
+        # score is omitted, not treated as 0 (which would zero the doc
+        # under multiply/min and halve it under avg)
+        rpred = F.coalesce(
+            compile_query(_normalize(rspec["rescore_query"]), id_field),
+            F.lit(False),
         )
+        scored = top.withColumn(
+            "_score", F.round(F.when(rpred, blend).otherwise(a), 6)
+        ).drop("_score0", "_rescore")
     if sort_spec:
         cols = []
         for s in sort_spec:

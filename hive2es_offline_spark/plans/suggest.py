@@ -272,7 +272,9 @@ def phrase_suggest(
         ).collect()
         for r in rows:
             lst = cands[r["input_term"]]
-            if r["suggestion"] not in lst and len(lst) <= int(max_candidates):
+            # cap INCLUDES the identity entry, keeping the documented
+            # max_candidates^q enumeration bound honest
+            if r["suggestion"] not in lst and len(lst) < int(max_candidates):
                 lst.append(r["suggestion"])
 
     # step 2: candidate-restricted corpus stats (bounded outputs)
@@ -285,19 +287,25 @@ def phrase_suggest(
     })
     toks = F.filter(F.split(F.lower(F.col(field)), " +"), lambda t: t != "")
     base = df.select(toks.alias("_toks"))
+    # candidate filter BEFORE the groupBy (map-side prune — the shuffle
+    # carries only candidate-word rows, never the full vocabulary)
     uni = dict(
         base.select(F.explode("_toks").alias("w"))
+        .where(F.col("w").isin(words))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("w").isin(words))
         .collect()
     )
     vocab_n = base.select(F.explode("_toks").alias("w")).select(
         F.countDistinct("w").alias("v")
     ).first()["v"]
+    # guard short docs: size<2 yields a DESCENDING sequence(1, size-1)
+    # whose element_at(i+1) indexes out of bounds — they have no bigrams
     pairs_col = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN "
         "transform(sequence(1, size(_toks) - 1), "
-        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) "
+        "ELSE array() END"
     )
     bi = dict(
         base.select(F.explode(pairs_col).alias("b"))

@@ -57,7 +57,18 @@ def _render_value(v, params: dict):
         if name not in params:
             raise ValueError(f"search template: missing param {name!r}")
         return params[name]  # type-preserving
-    return _INLINE.sub(lambda mm: str(params.get(mm.group(1), "")), v)
+    def _text(name: str) -> str:
+        # mustache renders scalars as JSON text, not Python repr: True ->
+        # "true", lists -> '["a", "b"]' — a str() here would silently
+        # mis-render into the query (code-review r8)
+        val = params.get(name)
+        if val is None:
+            return ""  # missing inline param renders empty, like ES
+        if isinstance(val, str):
+            return val
+        return json.dumps(val)
+
+    return _INLINE.sub(lambda mm: _text(mm.group(1)), v)
 
 
 def render_search_template(template: dict | str, params: dict | None = None) -> dict:

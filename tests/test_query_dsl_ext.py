@@ -1358,3 +1358,26 @@ def test_terms_include_exclude(spark):
         ("", 1), ("banana", 1)]
     out = compile_aggs(df, body(include="a.*", exclude=["avocado"])).collect()
     assert [r["key"] for r in out] == ["apple"]
+
+
+def test_terms_include_applies_to_top_hits_and_numeric_keys(spark):
+    # include/exclude must gate the top_hits path too (code-review r8:
+    # the early return skipped it), and numeric include lists must match
+    # non-string key columns without string-cast mismatches
+    df = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 2.0, 20), ("b", 1.0, 30), ("c", 3.0, 40)],
+        "g string, ver double, v long",
+    )
+    out = compile_aggs(df, {"t": {
+        "terms": {"field": "g", "include": ["a", "b"]},
+        "aggs": {"h": {"top_hits": {"size": 1,
+                                    "sort": [{"v": {"order": "desc"}}],
+                                    "_source": ["g", "v"]}}},
+    }}).collect()
+    assert sorted({r["key"] for r in out}) == ["a", "b"]
+    assert {(r["key"], r["v"]) for r in out} == {("a", 20), ("b", 30)}
+    # numeric include on a DOUBLE key: [1, 2] must match 1.0 / 2.0
+    out = compile_aggs(df, {"t": {"terms": {
+        "field": "ver", "include": [1, 2]}}}).collect()
+    assert sorted((r["key"], r["doc_count"]) for r in out) == [
+        (1.0, 2), (2.0, 1)]

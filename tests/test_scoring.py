@@ -332,11 +332,14 @@ def test_rescore_blends_top_window(corpus):
     exp = {d: round(0.5 * s + 2.0 * s_stream.get(d, 0.0), 6)
            for d, s in s_merge.items()}
     assert out == pytest.approx(exp, abs=2e-6)
-    # multiply mode; non-matching rescore query zeroes the product
+    # multiply mode; a window doc NOT matching the rescore query keeps
+    # query_weight * original (Lucene QueryRescorer.combine — never a
+    # zeroing 0 secondary)
     body["rescore"]["query"]["score_mode"] = "multiply"
     out = {r["doc_id"]: r["_score"]
            for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
-    exp = {d: round(0.5 * s * 2.0 * s_stream.get(d, 0.0), 6)
+    exp = {d: round(0.5 * s * 2.0 * s_stream[d], 6) if d in s_stream
+           else round(0.5 * s, 6)
            for d, s in s_merge.items()}
     assert out == pytest.approx(exp, abs=2e-6)
     with pytest.raises(ValueError, match="window_size"):
@@ -408,3 +411,34 @@ def test_combined_query_knn_retrieval(spark):
                      "k": 2, "filter": {"range": {"doc_id": {"gte": 2}}}},
              "size": 10}, id_field="doc_id").collect()
     assert [r["doc_id"] for r in out] == [2, 3]
+
+
+def test_rescore_list_form_and_knn_corpus_stats(spark):
+    """ES's list-form rescore is accepted (single entry); with knn in the
+    body, the rescore query's BM25 stats stay CORPUS-wide — the union
+    filter must not shrink N/avgdl/df (code-review r8)."""
+    rows = [
+        (1, "merge stream", [1.0, 0.0]),
+        (2, "other words", [0.9, 0.1]),
+        (3, "merge only", [0.0, 1.0]),
+        (4, "unrelated stuff here", [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, embedding array<double>")
+    body = {"query": {"match": {"text": "merge"}},
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 1},
+            "rescore": [{"window_size": 10, "query": {
+                "rescore_query": {"match": {"text": "stream"}}}}],
+            "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(df, body, id_field="doc_id").collect()}
+    bm_merge = _bm25_expected([(d, t) for d, t, _ in rows], ["merge"])
+    bm_stream = _bm25_expected([(d, t) for d, t, _ in rows], ["stream"])
+    # hit set: merge matches {1, 3} UNION knn top-1 {1}; doc 1 blends the
+    # knn-combined original with the CORPUS-stat stream score
+    assert set(out) == {1, 3}
+    exp1 = round(round(bm_merge[1] + 1.0, 6) + bm_stream[1], 6)
+    assert out[1] == pytest.approx(exp1, abs=2e-6)
+    assert out[3] == pytest.approx(bm_merge[3], abs=2e-6)  # qw*orig, no zero
+    with pytest.raises(ValueError, match="single rescorer"):
+        es_scored_search(df, {**body, "rescore": [body["rescore"][0]] * 2},
+                         id_field="doc_id")

@@ -135,3 +135,17 @@ def test_es_suggest_phrase_body(corpus):
     out = es_suggest(corpus, body).collect()
     assert out[0]["suggest_name"] == "fix"
     assert out[0]["suggestion"] == "stream processing"
+
+
+def test_phrase_suggest_survives_short_and_empty_docs(spark):
+    """Docs with < 2 tokens have no bigrams — they must not crash the
+    bigram pass (code-review r8: sequence(1, size-1) indexed out of
+    bounds on 1-token docs)."""
+    from hive2es_offline_spark.plans.suggest import phrase_suggest
+
+    df = spark.createDataFrame(
+        [(0, "good morning"), (1, "good morning"), (2, "single"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = phrase_suggest(df, "good morninh", "text").collect()
+    assert out[0]["suggestion"] == "good morning"

@@ -63,3 +63,10 @@ def test_rendered_body_runs_end_to_end(spark):
         {"lang": "en", "min_n": 20, "size": 10},
     )
     assert [r["id"] for r in es_search(df, body, id_field="id").collect()] == [3]
+
+
+def test_inline_non_string_params_render_json_text():
+    out = render_search_template(
+        {"q": "flag:{{b}} n:{{n}} tags:{{t}}"},
+        {"b": True, "n": 2.5, "t": ["a", "b"]})
+    assert out == {"q": 'flag:true n:2.5 tags:["a", "b"]'}
