@@ -98,7 +98,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["compile_query", "compile_aggs", "es_search", "es_count",
-           "es_mget", "significant_terms"]
+           "es_mget", "es_field_caps", "es_analyze", "significant_terms"]
 
 
 def _analyze(col: Column) -> Column:
@@ -1947,6 +1947,53 @@ def es_mget(
         *[F.when(valid, F.col(c)).alias(c) for c in cols],
     )
     return out.orderBy("_pos").drop("_pos")
+
+
+def es_field_caps(df: DataFrame) -> DataFrame:
+    """ES ``_field_caps``: per-field type + capability flags — the schema
+    endpoint consumers (Kibana, client libraries) call before building
+    queries.  Types come from the SAME mapping-synthesis rules the loader
+    uses (``operators/document.py::es_type_for``, the reference's
+    ``PAHive2ES.scala:126-159`` shape), so what field_caps reports is
+    exactly what the loaded index's mapping says.  Driver-only metadata
+    (``df.schema``) — no job runs."""
+    from ..operators.document import es_type_for
+
+    rows = []
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        es_type = es_type_for(f.dataType)
+        complex_ = s.startswith(("array", "map", "struct"))
+        rows.append((
+            f.name,
+            es_type,
+            True,                      # searchable: every mapped field is
+            not complex_,              # aggregatable: scalars only here
+            complex_,                  # nested/object shapes flagged
+        ))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "field string, type string, searchable boolean, "
+        "aggregatable boolean, is_complex boolean",
+    )
+
+
+def es_analyze(spark, text: str) -> DataFrame:
+    """ES ``_analyze``: run the engine's analyzer (lowercase + whitespace,
+    the only analyzer the reference's not_analyzed mapping implies) over a
+    text and return the token stream with positions/offsets — the
+    debugging endpoint consumers use to understand match behavior."""
+    toks = []
+    pos = 0
+    offset = 0
+    for raw in text.split(" "):
+        if raw:
+            toks.append((raw.lower(), pos, offset, offset + len(raw)))
+            pos += 1
+        offset += len(raw) + 1
+    return spark.createDataFrame(
+        toks, "token string, position int, start_offset int, end_offset int"
+    )
 
 
 def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> DataFrame:

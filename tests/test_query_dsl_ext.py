@@ -1381,3 +1381,25 @@ def test_terms_include_applies_to_top_hits_and_numeric_keys(spark):
         "field": "ver", "include": [1, 2]}}}).collect()
     assert sorted((r["key"], r["doc_count"]) for r in out) == [
         (1.0, 2), (2.0, 1)]
+
+
+def test_field_caps_and_analyze(spark):
+    from pyspark.sql import Row
+
+    from hive2es_offline_spark.plans.query_dsl import es_analyze, es_field_caps
+
+    df = spark.createDataFrame([
+        Row(id=1, name="a", price=1.5, ts=None,
+            tags=["x"], loc=Row(lat=0.0, lon=0.0)),
+    ], "id long, name string, price double, ts timestamp, "
+       "tags array<string>, loc struct<lat double, lon double>")
+    caps = {r["field"]: r for r in es_field_caps(df).collect()}
+    assert caps["id"]["type"] == "long" and caps["id"]["aggregatable"]
+    assert caps["ts"]["type"] == "date"
+    assert caps["tags"]["is_complex"] and not caps["tags"]["aggregatable"]
+    assert caps["loc"]["is_complex"]
+
+    toks = es_analyze(spark, "The  Quick brown").collect()
+    assert [(t["token"], t["position"], t["start_offset"], t["end_offset"])
+            for t in toks] == [("the", 0, 0, 3), ("quick", 1, 5, 10),
+                               ("brown", 2, 11, 16)]
