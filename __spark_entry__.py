@@ -2429,6 +2429,16 @@ def q_es_agg_filter(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_field_caps(spark, sf_dir):
+    """``_field_caps`` metadata endpoint: per-field ES types from the
+    loader's own mapping-synthesis rules + capability flags — pure
+    driver-side schema metadata, oracled against the documents table's
+    known shape."""
+    from hive2es_offline_spark.plans.query_dsl import es_field_caps
+
+    return es_field_caps(_t(spark, sf_dir, "documents"))
+
+
 def q_es_date_range(spark, sf_dir):
     """``date_range`` bucket agg (from inclusive / to exclusive, date-math
     bounds resolved driver-side): overlapping-safe gated single-scan
@@ -2755,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_suggest": q_es_suggest,
         "es_date_range": q_es_date_range,
         "es_nested_agg": q_es_nested_agg,
+        "es_field_caps": q_es_field_caps,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -4563,6 +4574,17 @@ def _goldens_b() -> dict[str, str]:
             SELECT 'highval' AS key, doc_count, n, avg_price FROM hv
             UNION ALL
             SELECT 'urgent', doc_count, n, avg_price FROM ur
+        """,
+        # mirrors q_es_field_caps: the documents table's known schema
+        # through the loader's mapping rules
+        "es_field_caps": """
+            SELECT * FROM (VALUES
+              ('doc_id',  'long',   true, true,  false),
+              ('text',    'string', true, true,  false),
+              ('lang',    'string', true, true,  false),
+              ('source',  'string', true, true,  false),
+              ('n_chars', 'long',   true, true,  false)
+            ) t(field, type, searchable, aggregatable, is_complex)
         """,
         # mirrors q_es_date_range: from inclusive / to exclusive; the
         # date-math bound 1992-01-01||+4y resolves to 1996-01-01; avg

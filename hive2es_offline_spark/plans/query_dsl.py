@@ -887,7 +887,38 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             raise ValueError("nested must be the only top-level aggregation")
         (name, s), = nested_spec
         path = s["nested"]["path"]
-        el = df.select(F.explode(F.col(path)).alias("_el")).select("_el.*")
+
+        def _rewrite_reverse(node):
+            # reverse_nested = "how many PARENT docs land in this
+            # element bucket" — exactly count(DISTINCT parent id) over
+            # the exploded frame, so it rewrites to a cardinality agg on
+            # a per-parent row id carried through the explode
+            if isinstance(node, dict):
+                if "reverse_nested" in node:
+                    if node["reverse_nested"]:
+                        raise ValueError(
+                            "reverse_nested with a path is not supported"
+                        )
+                    if "aggs" in node:
+                        raise ValueError(
+                            "reverse_nested sub-aggregations are not supported"
+                        )
+                    return {"cardinality": {"field": "_parent_nested_id"}}
+                return {k: _rewrite_reverse(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [_rewrite_reverse(x) for x in node]
+            return node
+
+        s = _rewrite_reverse(s)
+        has_reverse = "_parent_nested_id" in str(s)
+        if has_reverse:
+            el = (
+                df.withColumn("_parent_nested_id", F.monotonically_increasing_id())
+                .select("_parent_nested_id", F.explode(F.col(path)).alias("_el"))
+                .select("_parent_nested_id", "_el.*")
+            )
+        else:
+            el = df.select(F.explode(F.col(path)).alias("_el")).select("_el.*")
 
         def _strip(node):
             if isinstance(node, dict):

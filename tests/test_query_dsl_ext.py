@@ -1403,3 +1403,22 @@ def test_field_caps_and_analyze(spark):
     assert [(t["token"], t["position"], t["start_offset"], t["end_offset"])
             for t in toks] == [("the", 0, 0, 3), ("quick", 1, 5, 10),
                                ("brown", 2, 11, 16)]
+
+
+def test_reverse_nested_counts_parents(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(oid=1, items=[Row(sku="a", qty=2), Row(sku="a", qty=1),
+                          Row(sku="b", qty=3)]),
+        Row(oid=2, items=[Row(sku="a", qty=5)]),
+    ])
+    out = compile_aggs(df, {"n": {"nested": {"path": "items"},
+        "aggs": {"by_sku": {"terms": {"field": "items.sku"},
+                 "aggs": {"parents": {"reverse_nested": {}}}}}}}).collect()
+    got = {(r["key"], r["doc_count"], r["parents"]) for r in out}
+    # sku a: 3 elements across 2 parents; sku b: 1 element in 1 parent
+    assert got == {("a", 3, 2), ("b", 1, 1)}
+    with pytest.raises(ValueError, match="path is not supported"):
+        compile_aggs(df, {"n": {"nested": {"path": "items"},
+            "aggs": {"p": {"reverse_nested": {"path": "x"}}}}})
