@@ -442,3 +442,17 @@ def test_rescore_list_form_and_knn_corpus_stats(spark):
     with pytest.raises(ValueError, match="single rescorer"):
         es_scored_search(df, {**body, "rescore": [body["rescore"][0]] * 2},
                          id_field="doc_id")
+
+
+def test_scored_search_plan_shape(corpus):
+    """The scale contract, plan-asserted: ranking is TakeOrderedAndProject
+    and NO Python evaluator appears anywhere in the score pipeline (join
+    strategy is AQE's runtime call — a local-relation initial plan may
+    show SortMergeJoin before stats arrive, so it is not asserted)."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "merge stream"}}],
+        "should": [{"term": {"source": "web"}}]}}, "size": 10}
+    plan = (es_scored_search(corpus, body, id_field="doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
