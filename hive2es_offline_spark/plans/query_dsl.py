@@ -1962,6 +1962,18 @@ def es_mget(
     # broadcasts (a broadcast hint cannot apply to the preserved side of
     # an outer join, and the request rows must all survive)
     data = df.where(id_col.isin([str(v) for _, v, _ in rows]))
+    # one row per REQUESTED doc even when the corpus carries duplicate id
+    # values (ADVICE r8): keep the first table row per id in input order
+    # (row_number over monotonically_increasing_id — file order, stable
+    # for a given source layout) before the broadcast join
+    from pyspark.sql.window import Window
+
+    dw = Window.partitionBy(id_col).orderBy(F.monotonically_increasing_id())
+    data = (
+        data.withColumn("_mget_rn", F.row_number().over(dw))
+        .where(F.col("_mget_rn") == 1)
+        .drop("_mget_rn")
+    )
     joined = req.join(
         F.broadcast(data), id_col == req["_mget_id"], "left"
     )

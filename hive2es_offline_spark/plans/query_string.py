@@ -376,7 +376,11 @@ def _with_boost(clause: dict, boost: float) -> dict:
     (field, spec), = body.items()
     if not isinstance(spec, dict):
         spec = {"value": spec}
-    return {kind: {field: {**spec, "boost": boost}}}
+    # a term-level ^n COMPOSES with a per-field boost from the fields
+    # option (ES multiplies them: `term^3` against `title^2` scores 6x) —
+    # overwriting dropped the field boost (ADVICE r8)
+    return {kind: {field: {**spec,
+                           "boost": float(spec.get("boost", 1.0)) * boost}}}
 
 
 def parse_query_string(spec: dict) -> dict:

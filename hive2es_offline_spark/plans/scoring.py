@@ -276,6 +276,7 @@ class _ScoreCompiler:
             funcs = [f for f in funcs if set(f) - {"filter"}]
         vals: list[Column] = []
         matched: list[Column] = []
+        null_poison: Column | None = None
         for fn in funcs:
             unsupported = set(fn) - {"filter", "weight", "field_value_factor"}
             if unsupported:
@@ -295,6 +296,14 @@ class _ScoreCompiler:
                 gate = F.lit(True)
             vals.append(F.when(gate, v))          # NULL when not matched
             matched.append(gate.cast("int"))
+            # a function that MATCHED but produced a NULL factor (missing
+            # field without `missing`, out-of-domain modifier input) must
+            # not be silently coalesced into the neutral element — it
+            # poisons the whole score to NULL (ADVICE r8, documented in
+            # _field_value_factor)
+            poison = gate & v.isNull()
+            null_poison = (poison if null_poison is None
+                           else (null_poison | poison))
         score_mode = str(body.get("score_mode", "multiply"))
         if not vals:
             fscore = F.lit(1.0)
@@ -324,26 +333,42 @@ class _ScoreCompiler:
         else:
             raise ValueError(f"unsupported score_mode: {score_mode}")
         if "max_boost" in body:
+            # least() skips NULLs, so cap before the poison wrap
             fscore = F.least(fscore, F.lit(float(body["max_boost"])))
         boost_mode = str(body.get("boost_mode", "multiply"))
-        if boost_mode == "multiply":
-            return base * fscore
-        if boost_mode == "sum":
-            return base + fscore
-        if boost_mode == "replace":
-            return fscore
-        if boost_mode == "max":
-            return F.greatest(base, fscore)
-        if boost_mode == "min":
-            return F.least(base, fscore)
-        if boost_mode == "avg":
-            return (base + fscore) / F.lit(2.0)
-        raise ValueError(f"unsupported boost_mode: {boost_mode}")
+        combiners = {
+            "multiply": lambda: base * fscore,
+            "sum": lambda: base + fscore,
+            "replace": lambda: fscore,
+            "max": lambda: F.greatest(base, fscore),
+            "min": lambda: F.least(base, fscore),
+            "avg": lambda: (base + fscore) / F.lit(2.0),
+        }
+        if boost_mode not in combiners:
+            raise ValueError(f"unsupported boost_mode: {boost_mode}")
+        out = combiners[boost_mode]()
+        if null_poison is not None:
+            # applied AFTER the boost_mode combine: greatest/least would
+            # otherwise skip the NULL factor and leak the base score
+            out = F.when(null_poison, F.lit(None).cast("double")
+                         ).otherwise(out)
+        return out
 
 
 def _field_value_factor(spec: dict) -> Column:
     """ES ``field_value_factor``: modifier(factor * field), with
-    ``missing`` substituted for NULL — every modifier is codegen math."""
+    ``missing`` substituted for NULL — every modifier is codegen math.
+
+    NULL semantics (documented divergence, ADVICE r8): a NULL field value
+    with no ``missing`` param — or a modifier input outside its domain
+    (log/ln of a non-positive, sqrt of a negative, reciprocal of zero) —
+    yields a NULL factor and therefore a NULL ``_score`` that sorts LAST
+    under the default ``_score desc`` ordering.  Live ES raises a search
+    error for the same inputs; a distributed engine cannot fail one row's
+    query, so the row is deterministically demoted instead (pass
+    ``missing`` to restore ES behavior).  The domain guards are explicit
+    ``when()`` gates so every modifier returns NULL — never NaN or
+    ±Infinity, which would poison the sort order."""
     v = F.coalesce(
         F.col(spec["field"]).cast("double"),
         F.lit(float(spec["missing"])) if "missing" in spec else F.lit(None),
@@ -351,15 +376,15 @@ def _field_value_factor(spec: dict) -> Column:
     modifier = str(spec.get("modifier", "none"))
     mods = {
         "none": lambda c: c,
-        "log": F.log10,
-        "log1p": lambda c: F.log10(c + 1.0),
-        "log2p": lambda c: F.log10(c + 2.0),
-        "ln": lambda c: F.log(c),
-        "ln1p": lambda c: F.log(c + 1.0),
-        "ln2p": lambda c: F.log(c + 2.0),
-        "sqrt": F.sqrt,
+        "log": lambda c: F.when(c > 0, F.log10(c)),
+        "log1p": lambda c: F.when(c > -1, F.log10(c + 1.0)),
+        "log2p": lambda c: F.when(c > -2, F.log10(c + 2.0)),
+        "ln": lambda c: F.when(c > 0, F.log(c)),
+        "ln1p": lambda c: F.when(c > -1, F.log(c + 1.0)),
+        "ln2p": lambda c: F.when(c > -2, F.log(c + 2.0)),
+        "sqrt": lambda c: F.when(c >= 0, F.sqrt(c)),
         "square": lambda c: c * c,
-        "reciprocal": lambda c: F.lit(1.0) / c,
+        "reciprocal": lambda c: F.when(c != 0, F.lit(1.0) / c),
     }
     if modifier not in mods:
         raise ValueError(f"unsupported field_value_factor modifier: {modifier}")
@@ -597,19 +622,26 @@ def es_scored_search(
             "_score", F.round(F.when(rpred, blend).otherwise(a), 6)
         ).drop("_score0", "_rescore")
     if sort_spec:
-        cols = []
+        # reuse es_search's _sort_columns (missing/mode/_geo_distance
+        # handling identical between the filter and scored paths, ADVICE
+        # r8) — only the _score default direction differs: ES defaults
+        # _score to DESC where every plain field defaults to ASC, so
+        # bare/unordered _score entries are normalized before delegating
+        # (_score is an ordinary column of the scored frame by now)
+        from .query_dsl import _sort_columns
+
+        norm = []
         for s in sort_spec:
-            if isinstance(s, str):
-                field, order = s, None
-            else:
-                (field, fspec), = s.items()
+            if s == "_score":
+                norm.append({"_score": {"order": "desc"}})
+            elif isinstance(s, dict) and set(s) == {"_score"}:
+                fspec = s["_score"]
                 order = (fspec.get("order") if isinstance(fspec, dict)
-                         else fspec)
-            if order is None:
-                # ES defaults _score to DESC, everything else to ASC
-                order = "desc" if field == "_score" else "asc"
-            c = F.col(field)
-            cols.append(c.desc() if order == "desc" else c.asc())
+                         else fspec) or "desc"
+                norm.append({"_score": {"order": order}})
+            else:
+                norm.append(s)
+        cols = _sort_columns(norm)
     else:
         cols = [F.col("_score").desc(), F.col(id_field).asc()]
     if body.get("collapse"):

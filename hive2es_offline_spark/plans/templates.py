@@ -29,6 +29,7 @@ __all__ = ["render_search_template"]
 
 _EXACT = re.compile(r"^\{\{(\w+)\}\}$")
 _TOJSON = re.compile(r"^\{\{#toJson\}\}(\w+)\{\{/toJson\}\}$")
+_INLINE_TOJSON = re.compile(r"\{\{#toJson\}\}(\w+)\{\{/toJson\}\}")
 _DEFAULTED = re.compile(r"^\{\{(\w+)\}\}\{\{\^\1\}\}(.*)\{\{/\1\}\}$")
 _INLINE = re.compile(r"\{\{(\w+)\}\}")
 
@@ -68,7 +69,24 @@ def _render_value(v, params: dict):
             return val
         return json.dumps(val)
 
-    return _INLINE.sub(lambda mm: _text(mm.group(1)), v)
+    def _tojson_text(name: str) -> str:
+        if name not in params:
+            raise ValueError(f"search template: missing param {name!r}")
+        return json.dumps(params[name])
+
+    # toJson sections embedded in longer strings interpolate their JSON in
+    # place; any OTHER {{#...}}/{{^...}} section here is unrecognized and
+    # must not leak literal mustache into the rendered query (ADVICE r8) —
+    # matching the module's loud-rejection convention
+    out = _INLINE_TOJSON.sub(lambda mm: _tojson_text(mm.group(1)), v)
+    out = _INLINE.sub(lambda mm: _text(mm.group(1)), out)
+    if re.search(r"\{\{[#^/]", out):
+        raise ValueError(
+            f"search template: unrecognized mustache section in {v!r} "
+            "(only {{#toJson}}var{{/toJson}} and the "
+            "{{var}}{{^var}}default{{/var}} idiom are supported)"
+        )
+    return out
 
 
 def render_search_template(template: dict | str, params: dict | None = None) -> dict:

@@ -1422,3 +1422,18 @@ def test_reverse_nested_counts_parents(spark):
     with pytest.raises(ValueError, match="path is not supported"):
         compile_aggs(df, {"n": {"nested": {"path": "items"},
             "aggs": {"p": {"reverse_nested": {"path": "x"}}}}})
+
+
+def test_es_mget_duplicate_corpus_ids_yield_one_row_per_request(spark):
+    # ADVICE r8: duplicate id VALUES in the corpus must not fan a request
+    # out into multiple result rows — keep the first table row per id
+    # (file order) before the broadcast join.
+    from hive2es_offline_spark.plans.query_dsl import es_mget
+
+    df = spark.createDataFrame(
+        [(1, "first"), (1, "dup"), (2, "only"), (1, "dup2")],
+        "id long, name string",
+    ).coalesce(1)  # single partition pins file order -> "first" wins
+    out = es_mget(df, {"ids": [1, 2, 7]}, id_field="id").collect()
+    assert [(r["mget_id"], r["found"], r["name"]) for r in out] == [
+        ("1", True, "first"), ("2", True, "only"), ("7", False, None)]

@@ -239,3 +239,14 @@ def test_hyphen_inside_word_is_not_an_operator():
         "must_not": [{"match": {"t": {"query": "b"}}}],
         "minimum_should_match": 1,
     }}
+
+
+def test_term_boost_multiplies_field_boost():
+    # ES multiplies a term-level ^n into the fields-option per-field boost
+    # (term^3 against title^2 scores 6x) — overwriting dropped the field
+    # boost (ADVICE r8)
+    out = qs("merge^3", fields=["title^2", "body"])
+    assert out == {"bool": {"should": [
+        {"match": {"title": {"query": "merge", "boost": 6.0}}},
+        {"match": {"body": {"query": "merge", "boost": 3.0}}},
+    ], "minimum_should_match": 1}}

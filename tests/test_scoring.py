@@ -456,3 +456,67 @@ def test_scored_search_plan_shape(corpus):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_fvf_null_and_domain_guards(spark):
+    # ADVICE r8: NULL field without `missing`, and out-of-domain modifier
+    # inputs (log/ln of non-positive, reciprocal of 0), yield a NULL
+    # _score that sorts LAST under _score desc — documented divergence
+    # (ES errors; a distributed engine demotes deterministically), and
+    # never NaN/Infinity which would poison the sort.
+    df = spark.createDataFrame(
+        [(1, "merge", 10.0), (2, "merge", None), (3, "merge", 0.0),
+         (4, "merge", -5.0)],
+        "doc_id long, text string, n double",
+    )
+    for modifier, exp1 in (("log", 1.0), ("ln", math.log(10.0))):
+        out = es_scored_search(df, {"query": {"function_score": {
+            "query": {"match_all": {}},
+            "field_value_factor": {"field": "n", "modifier": modifier},
+        }}, "size": 10}, id_field="doc_id").collect()
+        scores = {r["doc_id"]: r["_score"] for r in out}
+        assert scores[1] == pytest.approx(exp1, abs=2e-6)
+        for d in (2, 3, 4):
+            assert scores[d] is None, (modifier, d)
+        # NULL-score rows sort after every real score
+        assert [r["doc_id"] for r in out][0] == 1
+    out = es_scored_search(df, {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "field_value_factor": {"field": "n", "modifier": "reciprocal"},
+    }}, "size": 10}, id_field="doc_id").collect()
+    scores = {r["doc_id"]: r["_score"] for r in out}
+    assert scores[3] is None and scores[2] is None
+    assert scores[1] == pytest.approx(0.1, abs=2e-6)
+    # `missing` restores ES behavior for the NULL row
+    out = es_scored_search(df, {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "field_value_factor": {"field": "n", "missing": 100.0,
+                               "modifier": "log"},
+    }}, "size": 10}, id_field="doc_id").collect()
+    assert {r["doc_id"]: r["_score"] for r in out}[2] == pytest.approx(
+        2.0, abs=2e-6)
+
+
+def test_scored_sort_reuses_filter_path_parser(corpus):
+    # ADVICE r8: the scored path delegates to query_dsl._sort_columns, so
+    # bare-string entries, order shorthand, and _score mixing behave
+    # identically to es_search — including _score's DESC default inside a
+    # multi-key sort.
+    body = {"query": {"match": {"text": "merge"}},
+            "sort": ["source", "_score"], "size": 10,
+            "_source": ["doc_id", "source"]}
+    out = es_scored_search(corpus, body, id_field="doc_id").collect()
+    exp = _bm25_expected(DOCS, ["merge"])
+    expected = sorted(
+        [(d, s) for d, s in exp.items()],
+        key=lambda kv: ({1: "web", 2: "web", 3: "api"}[kv[0]], -kv[1]),
+    )
+    assert [r["doc_id"] for r in out] == [d for d, _ in expected]
+    # _geo_distance option handling now comes from the shared parser too:
+    # unsupported companions reject loudly instead of silently sorting
+    with pytest.raises(ValueError, match="_geo_distance"):
+        es_scored_search(corpus, {
+            "query": {"match": {"text": "merge"}},
+            "sort": [{"_geo_distance": {"loc": {"lat": 0, "lon": 0},
+                                        "bad_option": 1}}],
+        }, id_field="doc_id")

@@ -70,3 +70,26 @@ def test_inline_non_string_params_render_json_text():
         {"q": "flag:{{b}} n:{{n}} tags:{{t}}"},
         {"b": True, "n": 2.5, "t": ["a", "b"]})
     assert out == {"q": 'flag:true n:2.5 tags:["a", "b"]'}
+
+
+def test_embedded_tojson_interpolates_inline():
+    # {{#toJson}}var{{/toJson}} inside a longer string renders its JSON in
+    # place instead of leaking literal mustache text (ADVICE r8)
+    out = render_search_template(
+        {"q": "tags in {{#toJson}}tags{{/toJson}} now"},
+        {"tags": ["a", "b"]})
+    assert out == {"q": 'tags in ["a", "b"] now'}
+
+
+def test_unrecognized_mustache_section_raises():
+    # an unknown {{#section}} must raise loudly, not leak into the query
+    # (ADVICE r8 — the module's loud-rejection convention)
+    with pytest.raises(ValueError, match="unrecognized mustache section"):
+        render_search_template({"q": "x {{#join}}v{{/join}} y"}, {"v": 1})
+    # embedded inverted-section (default idiom only valid as a whole
+    # string) now raises instead of leaking
+    with pytest.raises(ValueError, match="unrecognized mustache section"):
+        render_search_template({"q": "x {{v}}{{^v}}d{{/v}} y"}, {"v": "a"})
+    # embedded toJson with a missing param still raises the missing error
+    with pytest.raises(ValueError, match="missing param 'gone'"):
+        render_search_template({"q": "x {{#toJson}}gone{{/toJson}}"}, {})
