@@ -2495,6 +2495,63 @@ def q_es_suggest(spark, sf_dir):
     return es_suggest(d, body)
 
 
+def q_es_decay_score(spark, sf_dir):
+    """``function_score`` gauss decay on a DATE field (VERDICT r8 #3):
+    orders near the origin date keep their score, the gauss curve
+    (``exp(ln(decay)·d²/scale²)`` after the offset) demotes the rest —
+    closed-form codegen over the scored frame, top-k via
+    TakeOrderedAndProject.  See plans/scoring.py::_decay_column."""
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    o = _t(spark, sf_dir, "orders")
+    body = {
+        "query": {"function_score": {
+            "query": {"range": {"o_totalprice": {"gte": 100000}}},
+            "gauss": {"o_orderdate": {
+                "origin": "1995-06-30", "scale": "30d",
+                "offset": "10d", "decay": 0.5,
+            }},
+        }},
+        "size": 50,
+        "_source": ["o_orderkey"],
+    }
+    return es_scored_search(o, body, id_field="o_orderkey")
+
+
+def q_es_completion(spark, sf_dir):
+    """``completion`` suggester (VERDICT r8 #5): prefix autocomplete over
+    the indexed suggestion values, top-k by weight (doc count) — prefix
+    filter BEFORE the aggregate, TakeOrderedAndProject cut.  Dispatched
+    through the es_suggest body shape.  See
+    plans/suggest.py::completion_suggest."""
+    from hive2es_offline_spark.plans.suggest import es_suggest
+
+    d = _t(spark, sf_dir, "documents")
+    body = {"suggest": {"ac": {
+        "prefix": "src",
+        "completion": {"field": "source", "size": 5},
+    }}}
+    return es_suggest(d, body)
+
+
+def q_es_msearch(spark, sf_dir):
+    """``_msearch`` (VERDICT r8 #8): two search bodies in one call — the
+    union of per-body hits tagged with request_index; each body keeps its
+    own pushed-down scan + top-k.  See plans/query_dsl.py::es_msearch."""
+    from hive2es_offline_spark.plans.query_dsl import es_msearch
+
+    d = _t(spark, sf_dir, "documents")
+    bodies = [
+        {"query": {"match": {"text": "merge stream"}},
+         "sort": [{"doc_id": "asc"}], "size": 20,
+         "_source": ["doc_id", "source"]},
+        {"query": {"range": {"n_chars": {"gte": 400}}},
+         "sort": [{"doc_id": "asc"}], "size": 20,
+         "_source": ["doc_id", "source"]},
+    ]
+    return es_msearch(d, bodies, id_field="doc_id")
+
+
 def q_es_query_string(spark, sf_dir):
     """Lucene ``query_string`` syntax — the most-used entry point of the
     index the reference publishes (``ESClient.java:154-170`` alias
@@ -2617,19 +2674,27 @@ def q_es_function_score(spark, sf_dir):
 #: es_match / es_aggs / dedup_exact rotate out for them — green r5-r7
 #: resp. r1-r7, goldens stay local).
 #:
-#: Remaining never-adjudicated golden-backed candidates for round 9:
+#: Round-9 rotation (VERDICT r8 #1): the five never-adjudicated round-8
+#: goldens rotate IN (es_suggest, es_agg_filter, es_date_range,
+#: es_nested_agg, es_field_caps) plus the three new round-9 surfaces
+#: (es_decay_score, es_completion, es_msearch); rotating OUT the
+#: long-stable driver-green rows scan_filter, filter_pred, schema_infer,
+#: mapping_synthesis (green r1-r8), sessionize, tumbling_window,
+#: snapshot_diff, dedup_incremental — all keep local DuckDB parity via
+#: demoted_goldens().
+#:
+#: Remaining never-adjudicated golden-backed candidates for round 10:
 #: window_ntile, repetition_stats, contamination, epoch_shuffle,
 #: temperature_mix, data_drift, es_query_ext, es_aggs_range,
-#: es_aggs_filters, bigram_lm_score, plus the round-8 extras
-#: es_agg_filter and es_suggest (rotated in as stable rows rotate out).
+#: es_aggs_filters, bigram_lm_score.
 #: Window membership is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
-    "scan_filter", "schema_infer",
-    "mapping_synthesis", "filter_pred", "es_routing", "partition_counts",
+    "es_suggest", "es_agg_filter",
+    "es_date_range", "es_nested_agg", "es_routing", "partition_counts",
     "dedup_minhash", "dedup_components",
     "curation_pipeline", "es_mget",
     "es_query_string", "es_scored_search", "es_function_score", "es_knn",
-    "embed_quantize", "snapshot_diff",
+    "embed_quantize", "es_field_caps",
     "es_top_hits", "es_search_after", "es_composite", "es_sig_terms",
     "es_collapse", "es_count",
     "es_pipeline_aggs", "es_sibling_bucket", "es_metrics_ext",
@@ -2637,10 +2702,10 @@ DRIVER_WINDOW = [
     "es_gap_fill", "es_terms_order", "es_adjacency", "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
-    "snapshot_cdc", "dedup_incremental",
+    "snapshot_cdc", "es_decay_score",
     "audio_features", "video_frames", "pq_search",
     "dedup_incremental_minhash",
-    "sessionize", "tumbling_window",
+    "es_completion", "es_msearch",
     "streaming_ingest", "bulk_write", "bulk_write_http", "publish_swap",
 ]
 
@@ -2760,12 +2825,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo": q_es_geo,
         # round-7 corpus op: exact-substring (repeated n-gram) dedup
         "substring_dedup": q_substring_dedup,
-        # round-8 extras (golden-backed; round-9 window candidates)
+        # round-8 extras, driver-adjudicated since the round-9 rotation
         "es_agg_filter": q_es_agg_filter,
         "es_suggest": q_es_suggest,
         "es_date_range": q_es_date_range,
         "es_nested_agg": q_es_nested_agg,
         "es_field_caps": q_es_field_caps,
+        # round-9 surfaces (VERDICT r8 #3/#5/#8)
+        "es_decay_score": q_es_decay_score,
+        "es_completion": q_es_completion,
+        "es_msearch": q_es_msearch,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -2951,7 +3020,7 @@ SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn FROM (
 #: bm25_search golden and the hybrid_search RRF fusion golden
 _BM25_ORACLE = """
     WITH base AS (
-      SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+      SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*') AS toks
       FROM documents
     ), dl AS (
       SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
@@ -3962,11 +4031,11 @@ def _goldens_b() -> dict[str, str]:
         # word-boundary regex, -source:src7 -> NOT containment
         "es_query_string": """
             SELECT doc_id, source, n_chars FROM documents
-            WHERE (list_contains(string_split_regex(lower(text), ' +'), 'merge')
-                   OR list_contains(string_split_regex(lower(text), ' +'), 'stream'))
+            WHERE (list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'merge')
+                   OR list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'stream'))
               AND n_chars >= 300
               AND NOT regexp_matches(lower(text), '(^| )slow scan( |$)')
-              AND NOT list_contains(string_split_regex(lower(source), ' +'), 'src7')
+              AND NOT list_contains(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'src7')
             ORDER BY doc_id ASC
             LIMIT 40
         """,
@@ -3978,7 +4047,7 @@ def _goldens_b() -> dict[str, str]:
         "es_scored_search": """
             WITH base AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), ' +'),
+                     list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
                                  t -> t != '') AS toks
               FROM documents
             ), dl AS (
@@ -4025,7 +4094,7 @@ def _goldens_b() -> dict[str, str]:
         "es_function_score": """
             WITH base AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), ' +'),
+                     list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
                                  t -> t != '') AS toks
               FROM documents
             ), dl AS (
@@ -4077,7 +4146,7 @@ def _goldens_b() -> dict[str, str]:
         "es_match": """
             SELECT doc_id, source, lang
             FROM documents
-            WHERE list_has_all(string_split_regex(lower(text), ' +'),
+            WHERE list_has_all(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
                                ['vector', 'merge', 'stream'])
               AND NOT regexp_matches(lower(text), '(^| )slow scan( |$)')
             ORDER BY doc_id ASC
@@ -4305,7 +4374,7 @@ def _goldens_b() -> dict[str, str]:
                    regexp_replace(text, '(?i)\b(merge|stream)\b',
                                   '<em>\1</em>', 'g') AS text_highlight
             FROM documents
-            WHERE list_has_any(string_split_regex(lower(text), ' +'),
+            WHERE list_has_any(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+(?:[''.][\p{L}\p{N}_]+)*'),
                                ['stream', 'merge'])
             ORDER BY doc_id ASC
             LIMIT 30
@@ -4314,7 +4383,7 @@ def _goldens_b() -> dict[str, str]:
         "es_sig_text": """
             WITH d AS (
               SELECT (source = 'src3') AS fg,
-                     list_distinct(string_split_regex(lower(text), ' +')) AS toks
+                     list_distinct(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')) AS toks
               FROM documents
             ), tot AS (
               SELECT count(*) AS bg_total,
@@ -4449,7 +4518,7 @@ def _goldens_b() -> dict[str, str]:
         "es_clause_ext": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE len(list_filter(['stream', 'merge', 'data'],
-                    t -> list_contains(string_split_regex(lower(text), ' +'), t)
+                    t -> list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), t)
                   )) >= 2
               AND regexp_matches(lower(text), '(^| )table val')
             ORDER BY doc_id ASC
@@ -4509,9 +4578,9 @@ def _goldens_b() -> dict[str, str]:
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE regexp_matches(source, '^(?:src1[0-9])$')
               AND (CAST(damerau_levenshtein(source, 'src7') <= 1 AS INT)
-                 + CAST((list_has_any(string_split_regex(lower(text), ' +'),
+                 + CAST((list_has_any(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
                                       ['stream', 'merge'])
-                      OR list_has_any(string_split_regex(lower(lang), ' +'),
+                      OR list_has_any(regexp_extract_all(lower(lang), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
                                       ['stream', 'merge'])) AS INT)) >= 1
             ORDER BY doc_id ASC
             LIMIT 30
@@ -4626,7 +4695,7 @@ def _goldens_b() -> dict[str, str]:
               SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
               FROM documents,
                    unnest(list_distinct(list_filter(
-                     string_split_regex(lower(text), ' +'), x -> x != ''
+                     regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), x -> x != ''
                    ))) AS u(t)
               GROUP BY t
             ), inputs(input_term) AS (
@@ -4667,6 +4736,56 @@ def _goldens_b() -> dict[str, str]:
                               / count(n_chars) AS DOUBLE), 6) AS avg_chars,
                    max(n_chars) AS max_chars
             FROM documents WHERE n_chars >= 300
+        """,
+        # mirrors q_es_decay_score: gauss date decay
+        # exp(ln(decay)·d²/scale²) with d = max(0, |ts-origin| - offset),
+        # factor rounded to 6 then the final _score rounded to 6 (base
+        # range score is the constant 1.0); top-50 by score desc, id asc
+        "es_decay_score": """
+            WITH h AS (
+              SELECT o_orderkey,
+                     abs(epoch_ms(CAST(o_orderdate AS TIMESTAMP))
+                         - epoch_ms(TIMESTAMP '1995-06-30')) AS dist
+              FROM orders WHERE o_totalprice >= 100000
+            ), s AS (
+              SELECT o_orderkey,
+                     round(1.0 * round(exp(
+                       pow(greatest(dist - 10 * 86400000.0, 0), 2)
+                       * ln(0.5) / pow(30 * 86400000.0, 2)), 6), 6) AS _score
+              FROM h
+            )
+            SELECT o_orderkey, _score FROM s
+            ORDER BY _score DESC, o_orderkey ASC LIMIT 50
+        """,
+        # mirrors q_es_completion: prefix autocomplete, weight = doc
+        # count per suggestion text, rank by weight desc / text asc
+        "es_completion": """
+            WITH c AS (
+              SELECT lower(source) AS suggestion,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM documents
+              WHERE source IS NOT NULL AND lower(source) LIKE 'src%'
+              GROUP BY 1
+            )
+            SELECT 'ac' AS suggest_name, suggestion, weight,
+                   CAST(row_number() OVER (
+                     ORDER BY weight DESC, suggestion ASC) AS INTEGER) AS rank
+            FROM c ORDER BY weight DESC, suggestion ASC LIMIT 5
+        """,
+        # mirrors q_es_msearch: per-body top-k UNION ALL tagged with the
+        # 0-based request index (body 0: analyzed-token match OR-semantics;
+        # body 1: numeric range)
+        "es_msearch": """
+            (SELECT 0 AS request_index, doc_id, source FROM documents
+             WHERE list_has_any(
+                     regexp_extract_all(lower(text),
+                       '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                     ['merge', 'stream'])
+             ORDER BY doc_id ASC LIMIT 20)
+            UNION ALL
+            (SELECT 1 AS request_index, doc_id, source FROM documents
+             WHERE n_chars >= 400
+             ORDER BY doc_id ASC LIMIT 20)
         """,
         # Lucene BM25 (k1=1.2, b=0.75) for query 'vector merge stream':
         # idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-(doc,term) partials

@@ -151,6 +151,11 @@ BENCH_QUERIES = [
     # term-partial map join -> TakeOrderedAndProject)
     "es_query_string",
     "es_scored_search",
+    # round-9 additions: term-suggester vocabulary pass (tokenize ->
+    # vocab groupBy -> literal-array candidate join) and gauss decay
+    # scoring (closed-form codegen over the scored frame)
+    "es_suggest",
+    "es_decay_score",
 ]
 
 

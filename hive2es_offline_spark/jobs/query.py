@@ -24,6 +24,26 @@ import json
 import sys
 
 
+def _parse_msearch(src: str) -> list[dict]:
+    """A JSON array of bodies, or the ES NDJSON wire form where header
+    lines ({} / {"index": ...}) alternate with body lines — headers are
+    ignored (one table == one index here)."""
+    src = src.strip()
+    if src.startswith("["):
+        return json.loads(src)
+    bodies = []
+    for line in src.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        obj = json.loads(line)
+        if not obj or set(obj) <= {"index", "search_type",
+                                   "preference", "routing"}:
+            continue  # NDJSON header line
+        bodies.append(obj)
+    return bodies
+
+
 def run_query(spark, args: argparse.Namespace):
     """Compile and run the body; returns the result DataFrame."""
     from ..plans.query_dsl import es_count, es_mget, es_search
@@ -32,6 +52,20 @@ def run_query(spark, args: argparse.Namespace):
     if body_src.startswith("@"):
         with open(body_src[1:]) as f:
             body_src = f.read()
+    if args.msearch:
+        from ..plans.query_dsl import es_msearch
+
+        bodies = _parse_msearch(body_src)
+        if args.params:
+            from ..plans.templates import render_search_template
+
+            params = json.loads(args.params)
+            bodies = [render_search_template(b, params) for b in bodies]
+        reader = spark.read.format(args.input_format)
+        df = (reader.load(args.input_path) if args.input_path
+              else spark.table(args.table))
+        return es_msearch(df, bodies, id_field=args.id_field,
+                          scored=args.scored)
     body = json.loads(body_src)
     if args.params:
         from ..plans.templates import render_search_template
@@ -70,6 +104,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="run the _count API instead of _search")
     p.add_argument("--mget", action="store_true",
                    help="run the _mget API (body: {ids: [...]} or {docs: [...]})")
+    p.add_argument("--msearch", action="store_true",
+                   help="run the _msearch batch API: --body is a JSON list "
+                        "of search bodies or ES NDJSON (header lines "
+                        "ignored); rows carry request_index")
     p.add_argument("--routing-field", default=None,
                    help="column holding the routing value (_mget routing checks)")
     p.add_argument("--scored", action="store_true",

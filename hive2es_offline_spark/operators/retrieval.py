@@ -31,8 +31,6 @@ from pyspark.sql import functions as F
 
 __all__ = ["bm25_topk"]
 
-#: analyzer shared with plans/query_dsl.py: lowercase + whitespace split.
-_SPLIT_PATTERN = " +"
 
 
 def bm25_topk(
@@ -54,15 +52,15 @@ def bm25_topk(
     is the corpus mean token count (Lucene semantics), computed in the same
     1-row aggregate as N.
     """
-    terms = sorted({t for t in query.lower().split() if t})
+    # analysis chain shared with plans/query_dsl.py (standard analyzer
+    # by default — plans/analysis.py)
+    from ..plans.analysis import analyze_col, analyze_text
+
+    terms = sorted(set(analyze_text(query)))
     if not terms:
         raise ValueError("query has no terms after analysis")
 
-    # leading/trailing whitespace produces empty tokens that would inflate
-    # dl (and deflate tf-normalization) vs the Lucene analyzer — drop them
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), _SPLIT_PATTERN), lambda t: t != ""
-    )
+    toks = analyze_col(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("_did"),
         toks.alias("_toks"),

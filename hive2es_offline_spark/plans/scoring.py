@@ -20,8 +20,10 @@ compilers:
 - ``constant_score`` yields its boost, ``dis_max`` the max of child
   scores plus ``tie_breaker`` times the rest,
 - ``function_score`` transforms the inner score: ``field_value_factor``
-  (all ES modifiers) and ``weight`` functions with optional per-function
-  ``filter``, combined by ``score_mode`` and applied by ``boost_mode``,
+  (all ES modifiers), ``gauss``/``exp``/``linear`` decay on
+  numeric/date/geo fields, seeded ``random_score``, and ``weight``
+  functions with optional per-function ``filter``, combined by
+  ``score_mode`` and applied by ``boost_mode``,
 - ``boosting`` demotes (never excludes) negative-query matches by
   ``negative_boost``,
 - ``rescore`` re-ranks the top window with a second query (corpus-wide
@@ -48,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .analysis import analyze_col
+from .analysis import analyze_text as _analyze_terms
 from .query_dsl import compile_query
 
 __all__ = ["es_scored_search", "score_frame"]
@@ -118,13 +122,13 @@ class _ScoreCompiler:
             field, raw = next(iter(body.items()))
             query = raw["query"] if isinstance(raw, dict) else raw
             self.field_terms.setdefault(field, set()).update(
-                t for t in str(query).lower().split() if t
+                _analyze_terms(str(query))
             )
         elif kind == "multi_match":
             for f in body["fields"]:
                 f = str(f).partition("^")[0]
                 self.field_terms.setdefault(f, set()).update(
-                    t for t in str(body["query"]).lower().split() if t
+                    _analyze_terms(str(body["query"]))
                 )
         elif kind == "term":
             field, raw = next(iter(body.items()))
@@ -245,7 +249,7 @@ class _ScoreCompiler:
     def _bm25(self, field: str, query: str) -> Column:
         """Sum of the per-term partials from this doc's term-score map for
         ``field`` (joined in by es_scored_search as ``_tsmap_<field>``)."""
-        terms = sorted({t for t in query.lower().split() if t})
+        terms = sorted(set(_analyze_terms(query)))
         m = F.col(f"_tsmap_{field}")
         # partials are rounded to 6 decimals, so DECIMAL(28,6) addition is
         # exact and order-independent — same convention as bm25_topk, and
@@ -258,13 +262,15 @@ class _ScoreCompiler:
     # -- function_score ------------------------------------------------------
     def _function_score(self, body: dict) -> Column:
         base = self.build(body["query"])
+        fn_kinds = ("field_value_factor", "gauss", "exp", "linear",
+                    "random_score")
         known_body = {"query", "functions", "score_mode", "boost_mode",
-                      "max_boost", "weight", "field_value_factor", "filter"}
+                      "max_boost", "weight", "filter", *fn_kinds}
         unknown_body = set(body) - known_body
         if unknown_body:
             # loud rejection in the SHORTHAND path too — pre-fix, a
-            # top-level gauss/script_score/random_score was silently
-            # dropped and hits got plain query scores (code-review r8)
+            # top-level script_score was silently dropped and hits got
+            # plain query scores (code-review r8)
             raise ValueError(
                 f"unsupported function_score function(s): {sorted(unknown_body)}"
             )
@@ -272,20 +278,30 @@ class _ScoreCompiler:
         if funcs is None:
             # single-function shorthand at the top level
             funcs = [{k: v for k, v in body.items()
-                      if k in ("field_value_factor", "weight", "filter")}]
+                      if k in (*fn_kinds, "weight", "filter")}]
             funcs = [f for f in funcs if set(f) - {"filter"}]
         vals: list[Column] = []
         matched: list[Column] = []
         null_poison: Column | None = None
         for fn in funcs:
-            unsupported = set(fn) - {"filter", "weight", "field_value_factor"}
+            unsupported = set(fn) - {"filter", "weight", *fn_kinds}
             if unsupported:
                 raise ValueError(
                     f"unsupported function_score function(s): {sorted(unsupported)}"
                 )
+            if sum(k in fn for k in fn_kinds) > 1:
+                raise ValueError(
+                    "one scoring function per functions[] entry "
+                    f"(got {sorted(set(fn) & set(fn_kinds))})"
+                )
             v: Column = F.lit(1.0)
             if "field_value_factor" in fn:
                 v = _field_value_factor(fn["field_value_factor"])
+            for dk in ("gauss", "exp", "linear"):
+                if dk in fn:
+                    v = _decay_column(dk, fn[dk])
+            if "random_score" in fn:
+                v = _random_score(fn["random_score"])
             if "weight" in fn:
                 v = v * F.lit(float(fn["weight"]))
             if "filter" in fn:
@@ -391,21 +407,174 @@ def _field_value_factor(spec: dict) -> Column:
     return F.round(mods[modifier](v), 6)
 
 
+_DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                "H": 3_600_000, "d": 86_400_000, "w": 604_800_000}
+_DISTANCE_M = {"mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0,
+               "mi": 1609.344, "yd": 0.9144, "ft": 0.3048, "nmi": 1852.0}
+
+
+def _parse_duration_ms(s) -> float | None:
+    """``"10d"`` → milliseconds, or None if not an ES time unit string."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h|H|d|w)", str(s).strip())
+    return float(m.group(1)) * _DURATION_MS[m.group(2)] if m else None
+
+
+def _parse_distance_m(s) -> float | None:
+    """``"10km"`` → meters, or None if not an ES distance string (a bare
+    number means meters, like ES)."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+(?:\.\d+)?)(mm|cm|m|km|mi|yd|ft|nmi)?",
+                      str(s).strip())
+    if not m:
+        return None
+    return float(m.group(1)) * _DISTANCE_M[m.group(2) or "m"]
+
+
+def _decay_column(kind: str, body: dict) -> Column:
+    """ES ``function_score`` decay functions ``gauss`` / ``exp`` /
+    ``linear`` over numeric, date, or geo-point fields — closed-form
+    codegen math over the scored frame (VERDICT r8 #3):
+
+    - adjusted distance ``d = max(0, |value - origin| - offset)``,
+    - ``gauss``:  ``exp(ln(decay) · d² / scale²)``
+      (ES's ``exp(-d²/2σ²)`` with ``σ² = -scale²/(2·ln decay)``),
+    - ``exp``:    ``exp(ln(decay) · d / scale)``,
+    - ``linear``: ``max(0, (s - d)/s)`` with ``s = scale/(1 - decay)``.
+
+    Field kind is inferred from the spec: a ``{lat, lon}`` origin is geo
+    (haversine distance, ES distance-unit strings), a time-unit ``scale``
+    ("10d") is a date field (origin is a date / date-math expression —
+    ``now`` anchors need the engine's pinned-clock extension key ``now``
+    in the spec, same determinism rule as range date math), anything else
+    is numeric.  A NULL field value scores 1.0, exactly ES's documented
+    decay behavior for missing fields.  Rounded to 6 like every factor."""
+    spec = dict(body)
+    now = spec.pop("now", None)
+    (field, fspec), = spec.items()
+    fspec = dict(fspec)
+    if "multi_value_mode" in fspec:
+        raise ValueError("multi_value_mode is not supported (single-valued "
+                         "fields only)")
+    origin, scale = fspec["origin"], fspec["scale"]
+    offset = fspec.get("offset", 0)
+    decay = float(fspec.get("decay", 0.5))
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if isinstance(origin, dict):  # geo point
+        from .query_dsl import haversine_meters
+
+        # explicit NULL gate: haversine's trig pipeline does not propagate
+        # NULL coordinates, and ES scores missing fields 1.0 (the final
+        # coalesce handles that once dist is properly NULL)
+        dist = F.when(
+            F.col(field)["lat"].isNotNull() & F.col(field)["lon"].isNotNull(),
+            haversine_meters(
+                F.col(field)["lat"], F.col(field)["lon"],
+                float(origin["lat"]), float(origin["lon"]),
+            ),
+        )
+        scale_v = _parse_distance_m(scale)
+        offset_v = _parse_distance_m(offset)
+        if scale_v is None or offset_v is None:
+            raise ValueError(f"bad geo decay scale/offset: {scale!r}/{offset!r}")
+    elif _parse_duration_ms(scale) is not None:  # date field
+        from datetime import datetime
+
+        from .query_dsl import parse_date_math
+
+        o = str(origin)
+        if isinstance(now, str):
+            now, _ = parse_date_math(now if "||" in now else now + "||")
+        anchor, _ = parse_date_math(
+            o if ("||" in o or o.startswith("now")) else o + "||", now=now)
+        origin_ms = (anchor - datetime(1970, 1, 1)).total_seconds() * 1000.0
+        dist = F.abs(
+            F.unix_millis(F.col(field).cast("timestamp")).cast("double")
+            - F.lit(origin_ms)
+        )
+        scale_v = _parse_duration_ms(scale)
+        offset_v = (_parse_duration_ms(offset) if offset != 0 else 0.0)
+        if offset_v is None:
+            raise ValueError(f"bad date decay offset: {offset!r}")
+    else:  # numeric
+        dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+        scale_v, offset_v = float(scale), float(offset)
+    if scale_v <= 0:
+        raise ValueError(f"decay scale must be positive, got {scale!r}")
+    import math as _math
+
+    # greatest() would silently skip a NULL distance and hand the decay a
+    # 0 — keep NULL flowing so the final coalesce applies ES's missing→1.0
+    d = F.when(dist.isNotNull(),
+               F.greatest(dist - F.lit(float(offset_v)), F.lit(0.0)))
+    ln_decay = _math.log(decay)
+    if kind == "gauss":
+        out = F.exp(d * d * F.lit(ln_decay / (scale_v * scale_v)))
+    elif kind == "exp":
+        out = F.exp(d * F.lit(ln_decay / scale_v))
+    else:  # linear
+        s = scale_v / (1.0 - decay)
+        # same NULL guard as d: greatest's zero floor must not swallow a
+        # missing-field NULL before the coalesce
+        out = F.when(d.isNotNull(),
+                     F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0)))
+    # ES: documents missing the field get a decay factor of 1.0
+    return F.round(F.coalesce(out, F.lit(1.0)), 6)
+
+
+def _random_score(spec: dict) -> Column:
+    """ES ``random_score`` with ``seed`` + ``field``: deterministic
+    pseudo-random [0, 1) per document from a 64-bit hash of (field value,
+    seed).  ES requires exactly this pair for reproducible scores; the
+    unseeded form would be nondeterministic across retries/speculative
+    tasks, so it rejects loudly (same determinism convention as date
+    math's pinned now)."""
+    spec = spec or {}
+    if "seed" not in spec or "field" not in spec:
+        raise ValueError(
+            "random_score needs both seed and field for deterministic "
+            "scores (ES's own reproducibility requirement)"
+        )
+    seed = int(spec["seed"])
+    mod = F.lit(1_048_576.0)
+    h = F.pmod(F.xxhash64(F.col(str(spec["field"])), F.lit(seed)),
+               mod.cast("long")).cast("double")
+    return F.round(h / mod, 6)
+
+
 def _term_score_map(df: DataFrame, id_field: str, field: str,
-                    terms: set[str], k1: float, b: float) -> DataFrame:
+                    terms: set[str], k1: float, b: float,
+                    stats_over: DataFrame | None = None) -> DataFrame:
     """Per-doc BM25 term partials for one text field, as
     ``(id, _tsmap_<field>: map<term, double>)`` — the single-pass,
-    filter-before-shuffle shape of ``retrieval.bm25_topk``."""
+    filter-before-shuffle shape of ``retrieval.bm25_topk``.
+
+    ``stats_over`` (rescore, VERDICT r8 #4): compute the CORPUS statistics
+    (N, avgdl, per-term df) over that frame while tf/dl — and therefore
+    the tsmap rows the caller joins back — come from ``df`` only.  Lucene
+    rescores window docs against index-wide stats; with ``df`` = the
+    window frame, the corpus contributes two broadcast-size aggregates
+    (one 1-row stats agg, one per-term df agg, both filtered to the
+    query's terms map-side) and the per-doc join is ≤ window rows."""
     # NULL text coalesces to the empty token list — F.size(NULL) is -1,
     # which would poison avgdl for the whole corpus
     toks = F.coalesce(
-        F.filter(F.split(F.lower(F.col(field)), " +"), lambda t: t != ""),
+        analyze_col(F.col(field)),
         F.lit([]).cast("array<string>"),
     )
     base = df.select(
         F.col(id_field).alias("_did"), toks.alias("_toks")
     ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))
-    stats = base.agg(
+    if stats_over is None:
+        stats_base = base
+    else:
+        stats_base = stats_over.select(toks.alias("_toks")).select(
+            "_toks", F.size("_toks").cast("double").alias("_dl")
+        )
+    stats = stats_base.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
     )
@@ -417,7 +586,19 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
         F.count(F.lit(1)).cast("double").alias("_tf"),
         F.first("_dl").alias("_dl"),
     )
-    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    if stats_over is None:
+        dfreq = tf.groupBy("_term").agg(
+            F.count(F.lit(1)).cast("double").alias("_df"))
+    else:
+        # document frequency over the CORPUS: distinct-term explode,
+        # query-term filter before the (vocab-bounded) shuffle
+        dfreq = (
+            stats_base.select(
+                F.explode(F.array_distinct("_toks")).alias("_term"))
+            .where(F.col("_term").isin(sorted(terms)))
+            .groupBy("_term")
+            .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+        )
     partial = (
         tf.join(F.broadcast(dfreq), "_term")
         .crossJoin(F.broadcast(stats))
@@ -449,6 +630,7 @@ def score_frame(
     *,
     k1: float = 1.2,
     b: float = 0.75,
+    stats_over: DataFrame | None = None,
 ) -> DataFrame:
     """``df`` + a ``_score`` column for ``query`` (score context), rounded
     to 6 decimals.  Rows are NOT filtered — callers apply the filter
@@ -461,7 +643,8 @@ def score_frame(
         if not terms:
             continue
         out = out.join(
-            _term_score_map(df, id_field, field, terms, k1, b), id_field, "left"
+            _term_score_map(df, id_field, field, terms, k1, b, stats_over),
+            id_field, "left",
         )
     if comp.term_leaves:
         # exact-keyword idf per term leaf, all in ONE 1-row aggregate,
@@ -475,13 +658,32 @@ def score_frame(
                     F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5)), 6
                 ).alias(f"_idf_{i}")
             )
-        out = out.crossJoin(F.broadcast(df.agg(*aggs)))
+        out = out.crossJoin(F.broadcast(
+            (stats_over if stats_over is not None else df).agg(*aggs)))
     score = F.round(comp.build(q), 6)
     drop = [c for c in out.columns if c.startswith(("_tsmap_", "_idf_"))]
     return out.withColumn("_score", score).drop(*drop)
 
 
 def es_scored_search(
+    df: DataFrame,
+    body: dict,
+    id_field: str = "_id",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str | None = None,
+) -> DataFrame:
+    """Public entry: scopes the analysis chain (``analyzer`` — standard
+    default / whitespace fallback, ``plans/analysis.py``) around the plan
+    build, then delegates.  Full semantics on ``_es_scored_search_impl``."""
+    from .analysis import using
+
+    with using(analyzer):
+        return _es_scored_search_impl(df, body, id_field, k1=k1, b=b)
+
+
+def _es_scored_search_impl(
     df: DataFrame,
     body: dict,
     id_field: str = "_id",
@@ -495,7 +697,7 @@ def es_scored_search(
     ``_source`` + ``_score``.
 
     ``rescore`` re-ranks the top ``window_size`` hits with a second query
-    (both scores computed against CORPUS statistics in the same pass; the
+    (scored AFTER the window cut against corpus-wide statistics — the
     window cut is a TakeOrderedAndProject, never a global sort), blended
     by ``score_mode`` total/multiply/avg/max/min with query_weight /
     rescore_query_weight.  ``collapse`` keeps the best hit per field value
@@ -557,16 +759,14 @@ def es_scored_search(
             raise ValueError("only a single rescorer is supported")
         rescore = rescore[0]
     if rescore is not None:
-        # second score pass BEFORE the hit-set filter: the rescore
-        # query's BM25 stats (N, avgdl, df) must be corpus-wide — the
-        # frame still carries every row here, knn or not
+        # the rescore query's own scoring is DEFERRED until after the
+        # window cut (VERDICT r8 #4): only the corpus-wide statistics
+        # need a full pass — the per-doc tsmap join happens on the
+        # ≤ window_size frame below
         rspec = rescore["query"]
-        scored = score_frame(
-            scored.withColumnRenamed("_score", "_score0"),
-            rspec["rescore_query"], id_field, k1=k1, b=b,
-        ).withColumnRenamed("_score", "_rescore")
-    # hit-set filter (after the rescore pass, see above): query matches,
-    # or with knn the UNION of query matches and the top-k
+        scored = scored.withColumnRenamed("_score", "_score0")
+    # hit-set filter: query matches, or with knn the UNION of query
+    # matches and the top-k
     if knn_only:
         qpred = F.lit(False)
     else:
@@ -597,6 +797,14 @@ def es_scored_search(
         top = scored.orderBy(
             F.col("_score0").desc(), F.col(id_field).asc()
         ).limit(window_size)
+        # Lucene rescores WINDOW docs against INDEX-wide stats: tf/dl and
+        # the tsmap join cover the ≤ window_size frame only, while
+        # stats_over=df contributes N/avgdl/per-term-df as two
+        # broadcast-size corpus aggregates — no full-corpus id shuffle
+        # (VERDICT r8 #4; plan-asserted in tests/test_scoring.py)
+        top = score_frame(
+            top, rspec["rescore_query"], id_field, k1=k1, b=b, stats_over=df
+        ).withColumnRenamed("_score", "_rescore")
         qw = F.lit(float(rspec.get("query_weight", 1.0)))
         rqw = F.lit(float(rspec.get("rescore_query_weight", 1.0)))
         a, b_ = qw * F.col("_score0"), rqw * F.col("_rescore")

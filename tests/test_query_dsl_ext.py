@@ -1437,3 +1437,62 @@ def test_es_mget_duplicate_corpus_ids_yield_one_row_per_request(spark):
     out = es_mget(df, {"ids": [1, 2, 7]}, id_field="id").collect()
     assert [(r["mget_id"], r["found"], r["name"]) for r in out] == [
         ("1", True, "first"), ("2", True, "only"), ("7", False, None)]
+
+
+def test_es_msearch_union_with_request_index(spark, tmp_path):
+    """_msearch (VERDICT r8 #8): N bodies, one call, rows tagged with
+    their 0-based request_index; columns union by name with NULL fill."""
+    from hive2es_offline_spark.plans.query_dsl import es_msearch
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "fr", 20), (3, "en", 30)],
+        "id long, lang string, n long")
+    out = es_msearch(df, [
+        {"query": {"term": {"lang": "en"}}, "sort": [{"id": "asc"}],
+         "_source": ["id", "lang"]},
+        {"query": {"range": {"n": {"gte": 20}}}, "sort": [{"id": "asc"}],
+         "_source": ["id", "n"]},
+    ], id_field="id").collect()
+    got = sorted((r["request_index"], r["id"]) for r in out)
+    assert got == [(0, 1), (0, 3), (1, 2), (1, 3)]
+    by_req = {}
+    for r in out:
+        by_req.setdefault(r["request_index"], []).append(r)
+    # NULL fill where a body didn't project the column
+    assert all(r["n"] is None for r in by_req[0])
+    assert all(r["lang"] is None for r in by_req[1])
+    with pytest.raises(ValueError, match="at least one body"):
+        es_msearch(df, [], id_field="id")
+    # scored context: _score rides along per body
+    out = es_msearch(df, [
+        {"query": {"term": {"lang": "en"}}, "_source": ["id"]},
+    ], id_field="id", scored=True).collect()
+    assert {r["id"]: r["_score"] is not None for r in out} == {1: True, 3: True}
+
+
+def test_msearch_cli_ndjson_and_list(spark, tmp_path):
+    import json as _json
+
+    from hive2es_offline_spark.jobs.query import _parse_msearch, main
+
+    # NDJSON wire form: header lines ignored
+    nd = '{"index": "t"}\n{"query": {"term": {"lang": "en"}}}\n' \
+         '{}\n{"query": {"range": {"n": {"gte": 20}}}}'
+    assert len(_parse_msearch(nd)) == 2
+    assert _parse_msearch('[{"query": {"match_all": {}}}]') == [
+        {"query": {"match_all": {}}}]
+    # end-to-end through the CLI entry
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "en", 10), (2, "fr", 20)], "id long, lang string, n long"
+    ).write.parquet(src)
+    outp = str(tmp_path / "out.parquet")
+    main(["--input", src, "--msearch", "--id-field", "id",
+          "--body", _json.dumps([
+              {"query": {"term": {"lang": "en"}}, "_source": ["id"]},
+              {"query": {"term": {"lang": "fr"}}, "_source": ["id"]},
+          ]),
+          "--output", outp])
+    got = {(r["request_index"], r["id"])
+           for r in spark.read.parquet(outp).collect()}
+    assert got == {(0, 1), (1, 2)}

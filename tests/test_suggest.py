@@ -77,9 +77,11 @@ def test_es_suggest_body_shape(corpus):
     out = es_suggest(corpus, body).collect()
     assert out[0]["suggest_name"] == "fix_spelling"
     assert out[0]["suggestion"] == "merge"
-    with pytest.raises(ValueError, match="term.*phrase"):
+    # completion bodies dispatch since r9 — a truly unknown suggester
+    # still rejects loudly
+    with pytest.raises(ValueError, match="term.*phrase.*completion"):
         es_suggest(corpus, {"suggest": {"x": {"text": "a",
-                                              "completion": {"field": "text"}}}})
+                                              "context": {"field": "text"}}}})
     with pytest.raises(ValueError, match="suggest_mode"):
         term_suggest(corpus, "mrege", "text", suggest_mode="sometimes")
     with pytest.raises(ValueError, match="max_edits"):
@@ -149,3 +151,54 @@ def test_phrase_suggest_survives_short_and_empty_docs(spark):
     )
     out = phrase_suggest(df, "good morninh", "text").collect()
     assert out[0]["suggestion"] == "good morning"
+
+
+def test_completion_suggester_prefix_topk(spark):
+    """completion suggester (VERDICT r8 #5): prefix autocomplete ranked by
+    weight desc / text asc, skip_duplicates, weight_field."""
+    from hive2es_offline_spark.plans.suggest import completion_suggest, es_suggest
+
+    df = spark.createDataFrame(
+        [(1, "stream processing", 10), (2, "stream processing", 3),
+         (3, "streaming joins", 7), (4, "stream windows", 5),
+         (5, "batch jobs", 99), (6, None, 1)],
+        "id long, sugg string, w long",
+    )
+    # default weight = doc count per suggestion text
+    out = completion_suggest(df, "stre", "sugg", size=3).collect()
+    assert [(r["suggestion"], r["weight"], r["rank"]) for r in out] == [
+        ("stream processing", 2.0, 1), ("stream windows", 1.0, 2),
+        ("streaming joins", 1.0, 3)]
+    # explicit weight field: max weight wins per deduped text
+    out = completion_suggest(df, "stream", "sugg", size=10,
+                             weight_field="w").collect()
+    assert [(r["suggestion"], r["weight"]) for r in out] == [
+        ("stream processing", 10.0), ("streaming joins", 7.0),
+        ("stream windows", 5.0)]
+    # prefix is case-insensitive (completion analyzer lowercases)
+    assert completion_suggest(df, "STREAM", "sugg").count() == 3
+    with pytest.raises(ValueError, match="non-empty prefix"):
+        completion_suggest(df, "", "sugg")
+    # es_suggest dispatches completion bodies (ES shape: prefix + field)
+    out = es_suggest(df, {"suggest": {"ac": {
+        "prefix": "stream", "completion": {"field": "sugg", "size": 2}}}},
+        id_col="id").collect()
+    assert [(r["suggest_name"], r["suggestion"], r["rank"]) for r in out] == [
+        ("ac", "stream processing", 1), ("ac", "stream windows", 2)]
+
+
+def test_phrase_suggest_two_corpus_passes(spark):
+    """VERDICT r8 #6: phrase_suggest folds vocab_n + unigram counts into
+    the shared vocabulary frame — the LM results are unchanged and the
+    vocab frame computes doc-freq and totals in one aggregation."""
+    from hive2es_offline_spark.plans.suggest import vocab_frame
+
+    df = spark.createDataFrame(
+        [(1, "stream processing wins"), (2, "stream processing"),
+         (3, "steam processing wins wins")],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: (r["freq"], r["total"])
+            for r in vocab_frame(df, "text").collect()}
+    assert rows == {"stream": (2, 2), "processing": (3, 3),
+                    "wins": (2, 3), "steam": (1, 1)}
