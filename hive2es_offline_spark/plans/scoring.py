@@ -556,9 +556,9 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
     (N, avgdl, per-term df) over that frame while tf/dl — and therefore
     the tsmap rows the caller joins back — come from ``df`` only.  Lucene
     rescores window docs against index-wide stats; with ``df`` = the
-    window frame, the corpus contributes two broadcast-size aggregates
-    (one 1-row stats agg, one per-term df agg, both filtered to the
-    query's terms map-side) and the per-doc join is ≤ window rows."""
+    window frame, the corpus contributes ONE 1-row broadcast aggregate
+    (N, avgdl, and each query term's doc frequency as array_contains
+    sums) and the per-doc join is ≤ window rows."""
     # NULL text coalesces to the empty token list — F.size(NULL) is -1,
     # which would poison avgdl for the whole corpus
     toks = F.coalesce(
@@ -568,16 +568,6 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
     base = df.select(
         F.col(id_field).alias("_did"), toks.alias("_toks")
     ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))
-    if stats_over is None:
-        stats_base = base
-    else:
-        stats_base = stats_over.select(toks.alias("_toks")).select(
-            "_toks", F.size("_toks").cast("double").alias("_dl")
-        )
-    stats = stats_base.agg(
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.avg("_dl").alias("_avgdl"),
-    )
     hits = (
         base.select("_did", "_dl", F.explode("_toks").alias("_term"))
         .where(F.col("_term").isin(sorted(terms)))
@@ -587,17 +577,37 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
         F.first("_dl").alias("_dl"),
     )
     if stats_over is None:
+        stats = base.agg(
+            F.count(F.lit(1)).cast("double").alias("_n_docs"),
+            F.avg("_dl").alias("_avgdl"),
+        )
         dfreq = tf.groupBy("_term").agg(
             F.count(F.lit(1)).cast("double").alias("_df"))
     else:
-        # document frequency over the CORPUS: distinct-term explode,
-        # query-term filter before the (vocab-bounded) shuffle
-        dfreq = (
-            stats_base.select(
-                F.explode(F.array_distinct("_toks")).alias("_term"))
-            .where(F.col("_term").isin(sorted(terms)))
-            .groupBy("_term")
-            .agg(F.count(F.lit(1)).cast("double").alias("_df"))
+        # corpus stats in ONE pass and ONE row: N, avgdl, and every
+        # query term's document frequency as array_contains sums — no
+        # second scan, no vocab shuffle; the row broadcasts
+        sterms = sorted(terms)
+        stats_base = stats_over.select(toks.alias("_toks")).select(
+            "_toks", F.size("_toks").cast("double").alias("_dl")
+        )
+        corpus = stats_base.agg(
+            F.count(F.lit(1)).cast("double").alias("_n_docs"),
+            F.avg("_dl").alias("_avgdl"),
+            *[
+                F.sum(F.array_contains("_toks", t).cast("int"))
+                .cast("double").alias(f"_df_{i}")
+                for i, t in enumerate(sterms)
+            ],
+        )
+        stats = corpus.select("_n_docs", "_avgdl")
+        dfreq = corpus.select(
+            F.explode(
+                F.map_from_arrays(
+                    F.lit(sterms),
+                    F.array(*[F.col(f"_df_{i}") for i in range(len(sterms))]),
+                )
+            ).alias("_term", "_df")
         )
     partial = (
         tf.join(F.broadcast(dfreq), "_term")
@@ -794,14 +804,19 @@ def _es_scored_search_impl(
                 f"{offset0 + size0} (hits beyond the window keep their "
                 "original order and never reach this page)"
             )
+        # persisted: the window frame has TWO consumers below (the blend
+        # projection and the rescore tf/tsmap subtree) — without the cache
+        # the whole first-pass pipeline would execute twice.  ≤ window
+        # rows, so the cache cost is nil; Spark evicts it LRU.
         top = scored.orderBy(
             F.col("_score0").desc(), F.col(id_field).asc()
-        ).limit(window_size)
+        ).limit(window_size).persist()
         # Lucene rescores WINDOW docs against INDEX-wide stats: tf/dl and
         # the tsmap join cover the ≤ window_size frame only, while
-        # stats_over=df contributes N/avgdl/per-term-df as two
-        # broadcast-size corpus aggregates — no full-corpus id shuffle
-        # (VERDICT r8 #4; plan-asserted in tests/test_scoring.py)
+        # stats_over=df contributes N/avgdl/per-term-df as ONE 1-row
+        # broadcast corpus aggregate — no full-corpus id shuffle
+        # (VERDICT r8 #4; plan-asserted in tests/test_scoring.py,
+        # measured in tools/probe_round9.py)
         top = score_frame(
             top, rspec["rescore_query"], id_field, k1=k1, b=b, stats_over=df
         ).withColumnRenamed("_score", "_rescore")

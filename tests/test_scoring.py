@@ -644,13 +644,15 @@ def test_rescore_tsmap_join_is_post_window_cut(spark):
             "size": 3}
     out = es_scored_search(df, body, id_field="doc_id")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    i = plan.index("_tsmap_text2")
-    # window cut feeds the rescore tf subtree (post-cut scoring) ...
-    assert "GlobalLimit 5" in plan[i:], plan[:2000]
-    # ... while the MAIN query's term map is computed below the cut:
-    # its aggregate subtree never contains the window limit
-    j = plan.index("_tsmap_text#")
-    assert "GlobalLimit" not in plan[j:i] or i < j
+    # the window frame is CACHED (one execution for its two consumers:
+    # the blend projection and the rescore tf subtree) ...
+    assert "InMemoryRelation" in plan
+    assert "TakeOrderedAndProject(limit=5" in plan
+    # ... and the rescore field's term-map aggregate reads the cached
+    # ≤ window_size frame, not a corpus scan: after the aggregate marker
+    # the tf branch hits InMemoryRelation before any fresh corpus relation
+    i = plan.index("AS _tsmap_text2")
+    assert "InMemoryRelation" in plan[i:], plan[i:i + 2000]
     # blend values unchanged by the restructure: window docs combine
     # qw*orig + rqw*rescore, docs outside the window keep original order
     rows = out.collect()
