@@ -217,3 +217,53 @@ FROM p GROUP BY doc_id ORDER BY _score DESC, doc_id
     assert list(got["doc_id"]) == list(oracle["doc_id"])
     assert list(got["_score"]) == pytest.approx(list(oracle["_score"]),
                                                 abs=2e-6)
+
+
+def test_phrase_regex_fast_path_equals_positions_engine(spark):
+    """The slop=0 regexp_like fast path must agree with the positions
+    engine (_phrase_predicate over analyze_col) on adversarial joiner /
+    separator layouts — token bridges (don't, u.s.a), lone joiners,
+    multi-char separators, boundary joiners."""
+    from hive2es_offline_spark.plans.query_dsl import (
+        _phrase_predicate,
+        _phrase_regex_pattern,
+    )
+
+    frags = ["don", "t", "u", "s", "2", "5", "quick", "fox"]
+    seps = ["'", ".", " ", ", ", " '", "' ", "..", ". ", "-", " - ", ""]
+    texts = []
+    import itertools
+    for a, b in itertools.product(frags[:4], frags[:4]):
+        for s1 in seps:
+            texts.append(f"{a}{s1}{b}")
+            texts.append(f"x {a}{s1}{b} y")
+            texts.append(f"x'{a}{s1}{b}.y")
+    texts += ["Don't stop", "u.s.a", "2.5 done", "quick.fox", "quick..fox",
+              "quick 'fox", "a quick fox", "quickfox", "the quick, fox!"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    phrases = [["don", "t"], ["u", "s"], ["2", "5"], ["quick", "fox"],
+               ["don't", "stop"], ["u.s", "a"], ["t", "don"]]
+    for terms in phrases:
+        fast = F.regexp_like(F.lower(F.col("t")),
+                             F.lit(_phrase_regex_pattern(terms)))
+        ref = _phrase_predicate(analyze_col(F.col("t")), terms, 0)
+        rows = df.select(
+            "id", "t",
+            F.coalesce(fast, F.lit(False)).alias("fast"),
+            F.coalesce(ref, F.lit(False)).alias("ref"),
+        ).where(F.col("fast") != F.col("ref")).collect()
+        assert not rows, (terms, [(r["t"], r["fast"], r["ref"])
+                                  for r in rows[:10]])
+    # whitespace analyzer parity too
+    with using("whitespace"):
+        for terms in [["quick", "fox"], ["don't", "stop"]]:
+            fast = F.regexp_like(F.lower(F.col("t")),
+                                 F.lit(_phrase_regex_pattern(terms)))
+            ref = _phrase_predicate(analyze_col(F.col("t")), terms, 0)
+            rows = df.select(
+                "t", F.coalesce(fast, F.lit(False)).alias("fast"),
+                F.coalesce(ref, F.lit(False)).alias("ref"),
+            ).where(F.col("fast") != F.col("ref")).collect()
+            assert not rows, (terms, [(r["t"], r["fast"], r["ref"])
+                                      for r in rows[:10]])
