@@ -583,6 +583,10 @@ def compile_query(
         # the negative query only DEMOTES (score context); the match set
         # is the positive query's alone
         return compile_query(body["positive"], id_field, fields)
+    if kind == "script_score":
+        # scoring wrapper (plans/scoring.py compiles the script); the
+        # filter-context match set is the inner query's
+        return compile_query(body.get("query", {"match_all": {}}), id_field, fields)
     if kind == "nested":
         if fields is not None:
             raise ValueError("nested inside nested is not supported")
@@ -1322,11 +1326,13 @@ def _script_column(
     """Compile the arithmetic/comparison subset of a Painless script to a
     Column: numbers, ``params.<name>`` refs, ``doc['field'].value`` /
     ``doc.field`` document refs (when ``columns`` is given — runtime
-    fields), ``+ - * /``, parentheses, comparisons and ``&& ||`` (for
-    bucket_selector).  This is the subset the ES docs use for
-    bucket_script / bucket_selector / runtime-field examples; anything
-    else raises.  A wrapping ``emit(...)`` (runtime-field convention) is
-    stripped."""
+    fields; pass the string ``"*"`` to defer field checking to Catalyst,
+    the script_score case where the frame isn't in hand), ``Math.<fn>``
+    calls (log ln log10 sqrt abs exp pow max min floor ceil), ``+ - * /``,
+    parentheses, comparisons and ``&& ||`` (for bucket_selector).  This is
+    the subset the ES docs use for bucket_script / bucket_selector /
+    runtime-field / script_score examples; anything else raises.  A
+    wrapping ``emit(...)`` (runtime-field convention) is stripped."""
     import re as _re
 
     script = script.strip()
@@ -1334,7 +1340,7 @@ def _script_column(
         script = script[len("emit("):-1]
     tokens = _re.findall(
         r"params\.\w+|doc\['\w+'\]\.value|doc\['\w+'\]|doc\.\w+"
-        r"|\d+\.\d+|\d+|&&|\|\||>=|<=|==|!=|[-+*/()<>]",
+        r"|Math\.\w+|\d+\.\d+|\d+|&&|\|\||>=|<=|==|!=|[-+*/()<>,]",
         script,
     )
     # everything in the script must tokenize: unknown identifiers/chars
@@ -1368,9 +1374,33 @@ def _script_column(
             return params[name]
         if t.startswith("doc"):
             name = t.split("'")[1] if "'" in t else t[len("doc."):]
-            if columns is None or name not in columns:
+            if columns != "*" and (columns is None or name not in columns):
                 raise ValueError(f"script references unknown doc field {name!r}")
             return F.col(name)
+        if t.startswith("Math."):
+            fname = t[len("Math."):]
+            fns = {
+                "log": (1, F.log), "ln": (1, F.log), "log10": (1, F.log10),
+                "sqrt": (1, F.sqrt), "abs": (1, F.abs), "exp": (1, F.exp),
+                "floor": (1, F.floor), "ceil": (1, F.ceil),
+                "pow": (2, F.pow), "max": (2, F.greatest),
+                "min": (2, F.least),
+            }
+            if fname not in fns:
+                raise ValueError(f"unsupported Math function: Math.{fname}")
+            arity, fn = fns[fname]
+            if take() != "(":
+                raise ValueError(f"Math.{fname} needs parenthesized args")
+            args = [or_()]
+            while peek() == ",":
+                take()
+                args.append(or_())
+            if take() != ")":
+                raise ValueError(f"unbalanced parens in {script!r}")
+            if len(args) != arity:
+                raise ValueError(
+                    f"Math.{fname} takes {arity} arg(s), got {len(args)}")
+            return fn(*args)
         return F.lit(float(t))
 
     def mul() -> Column:

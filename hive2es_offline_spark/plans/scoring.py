@@ -26,6 +26,9 @@ compilers:
   ``score_mode`` and applied by ``boost_mode``,
 - ``boosting`` demotes (never excludes) negative-query matches by
   ``negative_boost``,
+- ``script_score`` (query and function_score function) computes the
+  score from the Painless arithmetic subset (doc refs, params, Math.*)
+  with ``_score`` bound to the inner query's score — all codegen,
 - ``rescore`` re-ranks the top window with a second query (corpus-wide
   stats for both, TakeOrderedAndProject window cut),
 - a body with ``knn`` retrieves the UNION of query matches and the
@@ -101,6 +104,9 @@ def _normalize(q: dict) -> dict:
         return {"boosting": {**body,
                              "positive": _normalize(body["positive"]),
                              "negative": _normalize(body["negative"])}}
+    if kind == "script_score":
+        return {"script_score": {
+            **body, "query": _normalize(body.get("query", {"match_all": {}}))}}
     return q
 
 
@@ -146,6 +152,8 @@ class _ScoreCompiler:
             for c in body["queries"]:
                 self.collect(c)
         elif kind == "function_score":
+            self.collect(body["query"])
+        elif kind == "script_score":
             self.collect(body["query"])
         elif kind == "boosting":
             self.collect(body["positive"])
@@ -231,6 +239,22 @@ class _ScoreCompiler:
             return best
         if kind == "function_score":
             return self._function_score(body)
+        if kind == "script_score":
+            # ES script_score QUERY: hits = inner query's, score = the
+            # script's value with _score bound to the inner score.  Its
+            # min_score param EXCLUDES hits — a score-driven hit-set
+            # change the filter compiler can't see, so reject it loudly
+            # rather than return wrong hit counts (use the body-level
+            # min_score, which es_scored_search applies to the hit set)
+            if "min_score" in body:
+                raise ValueError(
+                    "script_score's min_score param is not supported — "
+                    "use the search body's top-level min_score"
+                )
+            inner = self.build(body["query"])
+            v = _script_score(body, inner)
+            return F.when(pred, F.round(v * F.lit(float(body.get("boost", 1.0))),
+                                        6)).otherwise(F.lit(0.0))
         if kind == "boosting":
             # ES boosting: positive score, multiplied by negative_boost
             # when the negative query matches (demotion, never exclusion)
@@ -263,7 +287,7 @@ class _ScoreCompiler:
     def _function_score(self, body: dict) -> Column:
         base = self.build(body["query"])
         fn_kinds = ("field_value_factor", "gauss", "exp", "linear",
-                    "random_score")
+                    "random_score", "script_score")
         known_body = {"query", "functions", "score_mode", "boost_mode",
                       "max_boost", "weight", "filter", *fn_kinds}
         unknown_body = set(body) - known_body
@@ -302,6 +326,10 @@ class _ScoreCompiler:
                     v = _decay_column(dk, fn[dk])
             if "random_score" in fn:
                 v = _random_score(fn["random_score"])
+            if "script_score" in fn:
+                # inside function_score, the script sees _score = the
+                # INNER QUERY's score (ES semantics)
+                v = _script_score(fn["script_score"], base)
             if "weight" in fn:
                 v = v * F.lit(float(fn["weight"]))
             if "filter" in fn:
@@ -523,6 +551,29 @@ def _decay_column(kind: str, body: dict) -> Column:
                      F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0)))
     # ES: documents missing the field get a decay factor of 1.0
     return F.round(F.coalesce(out, F.lit(1.0)), 6)
+
+
+def _script_score(spec: dict, score: Column) -> Column:
+    """ES ``script_score``: the Painless arithmetic subset
+    (``query_dsl._script_column`` — doc refs, params, Math.* calls)
+    with ``_score`` bound to the inner query's score.  Same codegen
+    class as every other score function; anything outside the subset
+    rejects loudly."""
+    import re as _re
+
+    from .query_dsl import _script_column
+
+    raw = spec.get("script")
+    if isinstance(raw, dict):
+        src = raw.get("source", "")
+        params = {k: F.lit(v) for k, v in (raw.get("params") or {}).items()}
+    else:
+        src, params = str(raw), {}
+    if not src:
+        raise ValueError("script_score needs a script source")
+    src = _re.sub(r"(?<![\w.])_score(?![\w.])", "params.__score", src)
+    params["__score"] = score
+    return F.round(_script_column(src, params, columns="*"), 6)
 
 
 def _random_score(spec: dict) -> Column:

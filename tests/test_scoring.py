@@ -305,11 +305,11 @@ def test_sort_score_defaults_desc_and_function_score_rejects_unknown(corpus):
         id_field="doc_id").collect()
     assert [r["_score"] for r in out] == sorted(scores)
     # unsupported function kinds raise in the SHORTHAND path too
-    # (gauss/exp/linear/random_score are supported since r9)
-    with pytest.raises(ValueError, match="script_score"):
+    # (gauss/exp/linear/random_score/script_score supported since r9)
+    with pytest.raises(ValueError, match="random_walk"):
         es_scored_search(corpus, {"query": {"function_score": {
             "query": {"match_all": {}},
-            "script_score": {"script": {"source": "doc['n'].value"}},
+            "random_walk": {"field": "n"},
         }}}, id_field="doc_id").collect()
 
 
@@ -659,3 +659,48 @@ def test_rescore_tsmap_join_is_post_window_cut(spark):
     assert len(rows) == 3
     scores = [r["_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_script_score_query_and_function(corpus):
+    """script_score: Painless arithmetic subset with _score bound to the
+    inner query's score — as a top-level query and as a function_score
+    function; Math.* calls; loud rejections for the unsupported rest."""
+    # top-level script_score query: hits = inner query's matches
+    body = {"query": {"script_score": {
+        "query": {"match": {"text": "merge"}},
+        "script": {"source": "_score * params.f + Math.log(doc['n'].value)",
+                   "params": {"f": 2.0}},
+    }}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    base = _bm25_expected(DOCS, ["merge"])
+    ns = {1: 800, 2: 300, 3: 900}
+    exp = {d: round(round(s * 2.0 + math.log(ns[d]), 6), 6)
+           for d, s in base.items()}
+    assert out == pytest.approx(exp, abs=2e-6)
+    # as a function inside function_score (boost_mode replace)
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "merge"}},
+        "functions": [{"script_score": {
+            "script": {"source": "Math.sqrt(doc['n'].value)"}}}],
+        "boost_mode": "replace",
+    }}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    assert out == pytest.approx(
+        {d: round(math.sqrt(ns[d]), 6) for d in ns}, abs=2e-6)
+    # rejections: min_score param, unknown Math fn, out-of-subset script
+    with pytest.raises(ValueError, match="min_score"):
+        es_scored_search(corpus, {"query": {"script_score": {
+            "query": {"match_all": {}}, "script": {"source": "_score"},
+            "min_score": 2.0}}}, id_field="doc_id")
+    with pytest.raises(ValueError, match="Math.tanh"):
+        es_scored_search(corpus, {"query": {"script_score": {
+            "query": {"match_all": {}},
+            "script": {"source": "Math.tanh(doc['n'].value)"}}}},
+            id_field="doc_id")
+    with pytest.raises(ValueError, match="unsupported bucket script"):
+        es_scored_search(corpus, {"query": {"script_score": {
+            "query": {"match_all": {}},
+            "script": {"source": "saturation(doc['n'].value, 5)"}}}},
+            id_field="doc_id")
