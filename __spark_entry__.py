@@ -2552,6 +2552,30 @@ def q_es_msearch(spark, sf_dir):
     return es_msearch(d, bodies, id_field="doc_id")
 
 
+def q_es_mlt(spark, sf_dir):
+    """``more_like_this``: Lucene's MLT term selection (like-doc term
+    freqs >= min_term_freq, corpus df via ONE 1-row aggregate, tf·idf
+    ranking, top max_query_terms) rewritten to a match with
+    minimum_should_match — plans/query_dsl.py::expand_more_like_this."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"more_like_this": {
+            "fields": ["text"],
+            "like": [{"_id": 7}],
+            "min_term_freq": 2,
+            "min_doc_freq": 5,
+            "max_query_terms": 5,
+            "minimum_should_match": "50%",
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 30,
+        "_source": ["doc_id", "source"],
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
 def q_es_query_string(spark, sf_dir):
     """Lucene ``query_string`` syntax — the most-used entry point of the
     index the reference publishes (``ESClient.java:154-170`` alias
@@ -2686,7 +2710,7 @@ def q_es_function_score(spark, sf_dir):
 #: Remaining never-adjudicated golden-backed candidates for round 10:
 #: window_ntile, repetition_stats, contamination, epoch_shuffle,
 #: temperature_mix, data_drift, es_query_ext, es_aggs_range,
-#: es_aggs_filters, bigram_lm_score.
+#: es_aggs_filters, bigram_lm_score, es_mlt (new r9 — more_like_this).
 #: Window membership is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
     "es_suggest", "es_agg_filter",
@@ -2831,10 +2855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_range": q_es_date_range,
         "es_nested_agg": q_es_nested_agg,
         "es_field_caps": q_es_field_caps,
-        # round-9 surfaces (VERDICT r8 #3/#5/#8)
+        # round-9 surfaces (VERDICT r8 #3/#5/#8 + more_like_this)
         "es_decay_score": q_es_decay_score,
         "es_completion": q_es_completion,
         "es_msearch": q_es_msearch,
+        "es_mlt": q_es_mlt,
         "bigram_lm_score": q_bigram_lm_score,
         # rotated out round 5 (driver-green r2-r4; goldens now local)
         "asof_join": q_asof_join,
@@ -4771,6 +4796,41 @@ def _goldens_b() -> dict[str, str]:
                    CAST(row_number() OVER (
                      ORDER BY weight DESC, suggestion ASC) AS INTEGER) AS rank
             FROM c ORDER BY weight DESC, suggestion ASC LIMIT 5
+        """,
+
+        # mirrors q_es_mlt: like-doc tf >= 2, corpus doc freq >= 5,
+        # tf*idf top-5 (ties term asc), then >= floor(50%) of the
+        # selected terms present in the analyzed text
+        "es_mlt": """
+            WITH lt AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')) AS term
+              FROM documents WHERE doc_id = 7
+            ), tf AS (
+              SELECT term, count(*) AS tf FROM lt
+              GROUP BY 1 HAVING count(*) >= 2
+            ), nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dx AS (
+              SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')) AS toks FROM documents
+            ), dfreq AS (
+              SELECT t.term, count(*) AS df
+              FROM dx, tf t WHERE list_contains(dx.toks, t.term)
+              GROUP BY 1
+            ), sel AS (
+              SELECT tf.term
+              FROM tf JOIN dfreq USING (term), nn
+              WHERE dfreq.df >= 5
+              ORDER BY tf.tf * ln(1 + (nn.n - dfreq.df + 0.5)
+                                  / (dfreq.df + 0.5)) DESC, term ASC
+              LIMIT 5
+            ), need AS (
+              SELECT CAST(floor(count(*) * 0.5) AS INTEGER) AS k,
+                     list(term) AS terms
+              FROM sel
+            )
+            SELECT doc_id, source
+            FROM dx JOIN documents USING (doc_id), need
+            WHERE len(list_intersect(dx.toks, need.terms)) >= need.k
+            ORDER BY doc_id ASC LIMIT 30
         """,
         # mirrors q_es_msearch: per-body top-k UNION ALL tagged with the
         # 0-based request index (body 0: analyzed-token match OR-semantics;

@@ -693,17 +693,30 @@ def compile_query(
         if not list(body["fields"]):
             raise ValueError("multi_match needs at least one field")
         operator = body.get("operator", "or")
-        inner = {"query": query, "operator": operator}
-        if "minimum_should_match" in body:
-            # ES applies minimum_should_match PER FIELD for best_fields /
-            # most_fields (each field's match clause carries it)
-            inner["minimum_should_match"] = body["minimum_should_match"]
-        per_field = [
-            compile_query(
-                {"match": {str(f).partition("^")[0]: dict(inner)}},
-                id_field,
-                fields,
+        mm_type = str(body.get("type", "best_fields"))
+        if mm_type in ("best_fields", "most_fields"):
+            # identical in filter context (the best/sum distinction only
+            # affects scoring): OR of per-field match clauses
+            inner = {"query": query, "operator": operator}
+            if "minimum_should_match" in body:
+                # ES applies minimum_should_match PER FIELD (each field's
+                # match clause carries it)
+                inner["minimum_should_match"] = body["minimum_should_match"]
+            make = lambda f: {"match": {f: dict(inner)}}  # noqa: E731
+        elif mm_type == "phrase":
+            spec = {"query": query}
+            if "slop" in body:
+                spec["slop"] = body["slop"]
+            make = lambda f: {"match_phrase": {f: dict(spec)}}  # noqa: E731
+        elif mm_type == "phrase_prefix":
+            make = lambda f: {"match_phrase_prefix": {f: query}}  # noqa: E731
+        else:
+            raise ValueError(
+                f"unsupported multi_match type: {mm_type!r} (best_fields | "
+                "most_fields | phrase | phrase_prefix)"
             )
+        per_field = [
+            compile_query(make(str(f).partition("^")[0]), id_field, fields)
             for f in body["fields"]
         ]
         out = per_field[0]
@@ -2184,6 +2197,164 @@ def es_mget(
     return out.orderBy("_pos").drop("_pos")
 
 
+def expand_more_like_this(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
+    """Rewrite every ``more_like_this`` clause in a query tree into the
+    bool-of-selected-terms query Lucene's MLT builds, using CORPUS
+    statistics for term interestingness.
+
+    Per ES semantics (documented approximations noted):
+
+    - ``like``: free text string(s) and/or ``{"_id": ...}`` document refs
+      (fetched with one bounded id-pruned scan) — their ``fields`` text is
+      analyzed and per-term frequencies counted,
+    - candidate terms keep ``min_term_freq`` (default 2) occurrences in
+      the like text, ``min_word_length``/``max_word_length`` bounds, and
+      are ranked by Lucene's MLT tf·idf interestingness
+      ``tf · ln(1 + (N - df + 0.5)/(df + 0.5))`` with document
+      frequencies from ONE corpus aggregate (array_contains sums — a
+      1-row broadcast-size result bounded by the candidate count),
+    - ``min_doc_freq`` (default 5) / ``max_doc_freq`` prune by corpus df,
+    - the top ``max_query_terms`` (default 25, ties by term asc) become a
+      per-field ``match`` with the body's ``minimum_should_match``
+      (default ``"30%"``), OR across ``fields`` — exactly the disjunction
+      Lucene builds, so the SCORED path BM25-ranks the selected terms
+      through the ordinary match machinery.
+
+    This runs at PLAN BUILD time (the same bounded-driver-work class as
+    the suggesters' candidate collects): term selection needs corpus
+    statistics a pure column compiler cannot access, so ``es_search`` /
+    ``es_scored_search`` / ``es_count`` expand MLT nodes before
+    compiling.  ``unlike`` is rejected loudly (not implemented)."""
+    if not isinstance(q, dict):
+        return q
+    (kind, body), = q.items() if len(q) == 1 else (("", None),)
+    if kind == "more_like_this":
+        return _mlt_to_bool(df, body, id_field)
+    if kind == "bool":
+        out = {}
+        for sec in ("must", "filter", "should", "must_not"):
+            subs = body.get(sec)
+            if subs is None:
+                continue
+            subs = subs if isinstance(subs, list) else [subs]
+            out[sec] = [expand_more_like_this(df, c, id_field) for c in subs]
+        for k in set(body) - {"must", "filter", "should", "must_not"}:
+            out[k] = body[k]
+        return {"bool": out}
+    if kind in ("constant_score",):
+        return {kind: {**body,
+                       "filter": expand_more_like_this(df, body["filter"],
+                                                       id_field)}}
+    if kind == "dis_max":
+        return {kind: {**body, "queries": [
+            expand_more_like_this(df, c, id_field) for c in body["queries"]]}}
+    if kind in ("function_score", "script_score"):
+        inner = body.get("query", {"match_all": {}})
+        return {kind: {**body,
+                       "query": expand_more_like_this(df, inner, id_field)}}
+    if kind == "boosting":
+        return {kind: {**body,
+                       "positive": expand_more_like_this(
+                           df, body["positive"], id_field),
+                       "negative": expand_more_like_this(
+                           df, body["negative"], id_field)}}
+    return q
+
+
+def _mlt_to_bool(df: DataFrame, body: dict, id_field: str) -> dict:
+    from .analysis import analyze_text
+
+    fields = list(body.get("fields") or [])
+    if not fields:
+        raise ValueError("more_like_this needs explicit fields")
+    if "unlike" in body:
+        raise ValueError("more_like_this unlike is not supported")
+    like = body.get("like")
+    likes = like if isinstance(like, list) else [like]
+    if not likes or any(x is None for x in likes):
+        raise ValueError("more_like_this needs like text or doc refs")
+    max_query_terms = int(body.get("max_query_terms", 25))
+    min_term_freq = int(body.get("min_term_freq", 2))
+    min_doc_freq = int(body.get("min_doc_freq", 5))
+    max_doc_freq = int(body.get("max_doc_freq", 2 ** 31 - 1))
+    min_wl = int(body.get("min_word_length", 0))
+    max_wl = int(body.get("max_word_length", 2 ** 31 - 1))
+    stop = {str(w).lower() for w in (body.get("stop_words") or [])}
+    msm = body.get("minimum_should_match", "30%")
+
+    texts: list[str] = [x for x in likes if isinstance(x, str)]
+    ids = [x["_id"] for x in likes if isinstance(x, dict) and "_id" in x]
+    for x in likes:
+        if isinstance(x, dict) and "doc" in x:
+            texts += [str(v) for f, v in x["doc"].items() if f in fields]
+    if ids:
+        # one bounded fetch, id filter pushed into the scan
+        id_col = F.col(id_field).cast("string")
+        rows = (
+            df.where(id_col.isin([str(i) for i in ids]))
+            .select(*[f for f in fields if f in df.columns]).collect()
+        )
+        for r in rows:
+            texts += [str(v) for v in r if v is not None]
+
+    # like-text term frequencies (driver-side: the like docs are a
+    # bounded handful by construction)
+    tf: dict[str, int] = {}
+    for t in texts:
+        for tok in analyze_text(t):
+            tf[tok] = tf.get(tok, 0) + 1
+    cand = sorted(
+        t for t, c in tf.items()
+        if c >= min_term_freq and min_wl <= len(t) <= max_wl
+        and t not in stop
+    )
+    if not cand:
+        raise ValueError(
+            "more_like_this selected no terms (check min_term_freq / "
+            "word-length bounds against the like text)"
+        )
+    # corpus doc frequencies for every candidate in ONE 1-row aggregate
+    # per field (array_contains sums — same shape as the rescore stats)
+    from .analysis import analyze_col
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for fi, f in enumerate(fields):
+        toks = analyze_col(F.col(f))
+        for ti, t in enumerate(cand):
+            aggs.append(
+                F.sum(F.coalesce(F.array_contains(toks, t), F.lit(False))
+                      .cast("int")).alias(f"_df_{fi}_{ti}")
+            )
+    stats = df.agg(*aggs).first()
+    n = float(stats["_n"] or 1)
+
+    import math as _math
+
+    per_field_terms: dict[str, list[str]] = {}
+    for fi, f in enumerate(fields):
+        scored = []
+        for ti, t in enumerate(cand):
+            dfreq = int(stats[f"_df_{fi}_{ti}"] or 0)
+            if dfreq < min_doc_freq or dfreq > max_doc_freq:
+                continue
+            idf = _math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            scored.append((-(tf[t] * idf), t))
+        scored.sort()
+        if scored:
+            per_field_terms[f] = [t for _, t in scored[:max_query_terms]]
+    if not per_field_terms:
+        raise ValueError(
+            "more_like_this: every candidate term was pruned by "
+            "min_doc_freq/max_doc_freq"
+        )
+    should = [
+        {"match": {f: {"query": " ".join(terms),
+                       "minimum_should_match": msm}}}
+        for f, terms in per_field_terms.items()
+    ]
+    return {"bool": {"should": should, "minimum_should_match": 1}}
+
+
 def es_msearch(
     df: DataFrame,
     bodies: list[dict],
@@ -2280,7 +2451,8 @@ def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> 
     prunes every column; parquet answers from metadata when the predicate
     allows)."""
     if body and "query" in body:
-        df = df.where(compile_query(body["query"], id_field))
+        df = df.where(compile_query(
+            expand_more_like_this(df, body["query"], id_field), id_field))
     return df.agg(F.count(F.lit(1)).alias("count"))
 
 
@@ -2326,6 +2498,11 @@ def _es_search_impl(
             rname,
             _script_column(rspec["script"]["source"], {}, columns=df.columns),
         )
+    if body.get("query"):
+        # more_like_this needs corpus stats at plan-build time — expand
+        # those nodes into their bool-of-selected-terms form first
+        body = {**body, "query": expand_more_like_this(
+            df, body["query"], id_field)}
     # the `global` agg escapes the query filter entirely (ES: sub-aggs run
     # over the whole index) — branch before the filter is applied
     glob = [(n, s) for n, s in (body.get("aggs") or {}).items() if "global" in s]

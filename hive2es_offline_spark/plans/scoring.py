@@ -184,14 +184,41 @@ class _ScoreCompiler:
         if kind == "multi_match":
             boost = float(body.get("boost", 1.0))
             tie = float(body.get("tie_breaker", 0.0))
+            mm_type = str(body.get("type", "best_fields"))
             per = []
             for f in body["fields"]:
                 f2, _, fb = str(f).partition("^")
                 fboost = float(fb) if fb else 1.0
-                sub = {"match": {f2: {"query": body["query"],
-                                      "operator": body.get("operator", "or"),
-                                      "boost": fboost}}}
+                if mm_type in ("best_fields", "most_fields"):
+                    spec = {"query": body["query"],
+                            "operator": body.get("operator", "or"),
+                            "boost": fboost}
+                    if "minimum_should_match" in body:
+                        spec["minimum_should_match"] = body["minimum_should_match"]
+                    sub = {"match": {f2: spec}}
+                elif mm_type == "phrase":
+                    spec = {"query": body["query"], "boost": fboost}
+                    if "slop" in body:
+                        spec["slop"] = body["slop"]
+                    sub = {"match_phrase": {f2: spec}}
+                elif mm_type == "phrase_prefix":
+                    # constant-one clause (ES scores prefix phrases with
+                    # position data the engine approximates away)
+                    sub = {"match_phrase_prefix": {f2: {"query": body["query"],
+                                                        "boost": fboost}}}
+                else:
+                    raise ValueError(
+                        f"unsupported multi_match type: {mm_type!r} "
+                        "(best_fields | most_fields | phrase | phrase_prefix)"
+                    )
                 per.append(self.build(sub))
+            if mm_type == "most_fields":
+                # most_fields SUMS the per-field scores (ES semantics);
+                # tie_breaker applies to the best_fields family only
+                total = per[0]
+                for p in per[1:]:
+                    total = total + p
+                return total * F.lit(boost)
             best = F.greatest(*per) if len(per) > 1 else per[0]
             if tie and len(per) > 1:
                 total = per[0]
@@ -771,6 +798,9 @@ def _es_scored_search_impl(
     knn = body.get("knn")
     knn_only = knn is not None and "query" not in body
     query = body.get("query", {"match_all": {}})
+    from .query_dsl import expand_more_like_this
+
+    query = expand_more_like_this(df, query, id_field)
     if knn_only:
         # a knn-only body returns exactly the top-k — no match_all
         # baseline score, no non-knn hits

@@ -1,4 +1,6 @@
-"""ES ``suggest`` API: the term suggester ("did you mean") over a corpus.
+"""ES ``suggest`` API over a corpus: term ("did you mean"), phrase
+(bigram-LM whole-phrase correction), and completion (prefix
+autocomplete) suggesters.
 
 The reference's loaded index serves the suggest API like any other
 consumer query (``ESClient.java:154-170`` alias).  The term suggester

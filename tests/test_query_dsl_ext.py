@@ -642,12 +642,22 @@ def test_pipeline_derivative_rejects_terms_parent(spark):
 
 
 def test_bucket_script_rejects_unknown_syntax(spark):
+    # Math.log is SUPPORTED since r9 (script_score shares the subset);
+    # ternaries and unknown function calls still reject loudly
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
-    with pytest.raises(ValueError, match="unsupported bucket script"):
-        compile_aggs(df, {"t": {"terms": {"field": "g"}, "aggs": {
+    def agg(script):
+        return compile_aggs(df, {"t": {"terms": {"field": "g"}, "aggs": {
             "m": {"sum": {"field": "v"}},
             "s": {"bucket_script": {"buckets_path": {"m": "m"},
-                                    "script": "Math.log(params.m)"}}}}})
+                                    "script": script}}}}})
+    out = agg("Math.log(params.m)")  # compiles now
+    assert "s" in out.columns
+    with pytest.raises(ValueError, match="unsupported bucket script"):
+        agg("params.m > 0 ? 1 : 0")
+    with pytest.raises(ValueError, match="unsupported bucket script"):
+        agg("decay(params.m)")
+    with pytest.raises(ValueError, match="Math.cosh"):
+        agg("Math.cosh(params.m)")
 
 
 def test_bucket_sort_truncates_buckets(spark):
@@ -1496,3 +1506,79 @@ def test_msearch_cli_ndjson_and_list(spark, tmp_path):
     got = {(r["request_index"], r["id"])
            for r in spark.read.parquet(outp).collect()}
     assert got == {(0, 1), (1, 2)}
+
+
+def test_more_like_this_selects_interesting_terms(spark):
+    """more_like_this: Lucene's MLT shape — like-text terms with
+    min_term_freq, ranked by tf·idf against corpus doc frequencies,
+    min_doc_freq pruning, top max_query_terms become a match with
+    minimum_should_match; works by _id ref and free text, in filter and
+    scored context."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    rows = [
+        (1, "spark spark shuffle shuffle partition partition"),
+        (2, "spark shuffle partition tuning guide"),
+        (3, "spark shuffle partition basics"),
+        (4, "cooking pasta with tomato sauce"),
+        (5, "gardening tips for spring flowers"),
+        (6, "spark appears everywhere spark"),
+        (7, "shuffle dance moves"),
+        (8, "partition walls for offices"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    body = {"query": {"more_like_this": {
+        "fields": ["text"],
+        "like": [{"_id": 1}],
+        "min_term_freq": 2, "min_doc_freq": 2,
+        "minimum_should_match": "67%",
+    }}, "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"]}
+    got = [r["doc_id"] for r in es_search(df, body, id_field="doc_id").collect()]
+    # selected terms: spark/shuffle/partition (each tf=2 in doc 1, df>=2);
+    # 67% of 3 rounds DOWN to 2 terms required (ES percentage semantics)
+    assert got == [1, 2, 3]
+    # free-text like + scored context: BM25 over the selected terms
+    body = {"query": {"more_like_this": {
+        "fields": ["text"],
+        "like": "spark spark shuffle shuffle",
+        "min_term_freq": 2, "min_doc_freq": 2,
+        "minimum_should_match": 1,
+    }}, "size": 10}
+    out = es_scored_search(df, body, id_field="doc_id").collect()
+    assert all(r["_score"] > 0 for r in out)
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 6, 7}
+    # max_query_terms caps selection by interestingness: "pasta" (df=1
+    # with min_doc_freq=1) beats corpus-common "spark"
+    body = {"query": {"more_like_this": {
+        "fields": ["text"],
+        "like": "pasta pasta spark spark",
+        "min_term_freq": 2, "min_doc_freq": 1, "max_query_terms": 1,
+        "minimum_should_match": 1,
+    }}, "size": 10}
+    got = sorted(r["doc_id"] for r in
+                 es_search(df, body, id_field="doc_id").collect())
+    assert got == [4]  # only the pasta doc
+    # loud rejections
+    with pytest.raises(ValueError, match="explicit fields"):
+        es_search(df, {"query": {"more_like_this": {"like": "x"}}},
+                  id_field="doc_id")
+    with pytest.raises(ValueError, match="unlike"):
+        es_search(df, {"query": {"more_like_this": {
+            "fields": ["text"], "like": "x", "unlike": "y"}}},
+            id_field="doc_id")
+    with pytest.raises(ValueError, match="selected no terms"):
+        es_search(df, {"query": {"more_like_this": {
+            "fields": ["text"], "like": "unique words only once"}}},
+            id_field="doc_id")
+    # nested inside bool + es_count path
+    from hive2es_offline_spark.plans.query_dsl import es_count
+
+    n = es_count(df, {"query": {"bool": {
+        "must": [{"more_like_this": {
+            "fields": ["text"], "like": [{"_id": 1}],
+            "min_term_freq": 2, "min_doc_freq": 2,
+            "minimum_should_match": "100%"}}],
+        "must_not": [{"term": {"doc_id": 1}}],
+    }}}, id_field="doc_id").first()["count"]
+    assert n == 2  # docs 2, 3 carry all three selected terms

@@ -704,3 +704,61 @@ def test_script_score_query_and_function(corpus):
             "query": {"match_all": {}},
             "script": {"source": "saturation(doc['n'].value, 5)"}}}},
             id_field="doc_id")
+
+
+def test_multi_match_types(spark):
+    """multi_match type option: most_fields SUMS per-field scores,
+    phrase runs match_phrase per field (best_fields combine),
+    phrase_prefix matches search-as-you-type; cross_fields rejects."""
+    df = spark.createDataFrame(
+        [(1, "merge stream", "merge alpha"), (2, "other thing", "merge x"),
+         (3, "stream merge", "beta gamma")],
+        "doc_id long, title string, body string",
+    )
+    s_title = _bm25_expected(
+        [(1, "merge stream"), (2, "other thing"), (3, "stream merge")],
+        ["merge"])
+    s_body = _bm25_expected(
+        [(1, "merge alpha"), (2, "merge x"), (3, "beta gamma")], ["merge"])
+    body = {"query": {"multi_match": {
+        "query": "merge", "fields": ["title", "body"],
+        "type": "most_fields"}}, "size": 10}
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(df, body, id_field="doc_id").collect()}
+    exp = {d: round(s_title.get(d, 0.0) + s_body.get(d, 0.0), 6)
+           for d in (1, 2, 3)}
+    assert out == pytest.approx(exp, abs=2e-6)
+    # phrase type: only docs where the phrase is adjacent in SOME field
+    body = {"query": {"multi_match": {
+        "query": "merge stream", "fields": ["title", "body"],
+        "type": "phrase"}}, "size": 10}
+    out = [r["doc_id"] for r in
+           es_scored_search(df, body, id_field="doc_id").collect()]
+    assert out == [1]
+    # slop passthrough: "stream merge" transposed needs slop 2
+    body["query"]["multi_match"]["slop"] = 2
+    out = sorted(r["doc_id"] for r in
+                 es_scored_search(df, body, id_field="doc_id").collect())
+    assert out == [1, 3]
+    # phrase_prefix: last term is a prefix
+    body = {"query": {"multi_match": {
+        "query": "merge st", "fields": ["title", "body"],
+        "type": "phrase_prefix"}}, "size": 10}
+    out = [r["doc_id"] for r in
+           es_scored_search(df, body, id_field="doc_id").collect()]
+    assert out == [1]
+    # filter context honors the type too
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    got = [r["doc_id"] for r in df.where(compile_query(
+        {"multi_match": {"query": "merge stream", "fields": ["title", "body"],
+                         "type": "phrase"}}, "doc_id")).collect()]
+    assert got == [1]
+    with pytest.raises(ValueError, match="cross_fields"):
+        es_scored_search(df, {"query": {"multi_match": {
+            "query": "merge", "fields": ["title", "body"],
+            "type": "cross_fields"}}}, id_field="doc_id")
+    with pytest.raises(ValueError, match="cross_fields"):
+        compile_query({"multi_match": {
+            "query": "merge", "fields": ["title"],
+            "type": "cross_fields"}}, "doc_id")
