@@ -4053,13 +4053,15 @@ def _goldens_b() -> dict[str, str]:
         """,
         # mirrors q_es_query_string clause by clause after parsing:
         # match -> analyzed containment, [300 TO *] -> >=, NOT phrase ->
-        # word-boundary regex, -source:src7 -> NOT containment
+        # analyzed-token bigram adjacency (code-review r9: the engine's
+        # phrase fast path uses analyzer boundaries, not spaces),
+        # -source:src7 -> NOT containment
         "es_query_string": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'merge')
                    OR list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'stream'))
               AND n_chars >= 300
-              AND NOT regexp_matches(lower(text), '(^| )slow scan( |$)')
+              AND NOT list_contains(list_transform(generate_series(1, len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')) - 1), i -> regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')[i] || ' ' || regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')[i + 1]), 'slow scan')
               AND NOT list_contains(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'src7')
             ORDER BY doc_id ASC
             LIMIT 40
@@ -4173,7 +4175,7 @@ def _goldens_b() -> dict[str, str]:
             FROM documents
             WHERE list_has_all(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
                                ['vector', 'merge', 'stream'])
-              AND NOT regexp_matches(lower(text), '(^| )slow scan( |$)')
+              AND NOT list_contains(list_transform(generate_series(1, len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')) - 1), i -> regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')[i] || ' ' || regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')[i + 1]), 'slow scan')
             ORDER BY doc_id ASC
             LIMIT 40
         """,
@@ -4545,7 +4547,7 @@ def _goldens_b() -> dict[str, str]:
             WHERE len(list_filter(['stream', 'merge', 'data'],
                     t -> list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), t)
                   )) >= 2
-              AND regexp_matches(lower(text), '(^| )table val')
+              AND len(list_filter(generate_series(1, len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')) - 1), i -> regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')[i] = 'table' AND starts_with(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')[i + 1], 'val'))) > 0
             ORDER BY doc_id ASC
             LIMIT 40
         """,

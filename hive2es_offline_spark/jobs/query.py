@@ -26,22 +26,31 @@ import sys
 
 def _parse_msearch(src: str) -> list[dict]:
     """A JSON array of bodies, or the ES NDJSON wire form where header
-    lines ({} / {"index": ...}) alternate with body lines — headers are
-    ignored (one table == one index here)."""
+    lines ({} / {"index": ...}) STRICTLY alternate with body lines —
+    headers are ignored (one table == one index here).  Alternation is
+    positional, not content-sniffed: an intentionally empty body ``{}``
+    (match_all with defaults) in body position is kept, never mistaken
+    for a header (code-review r9).  Input without a leading header line
+    is treated as one body per line."""
     src = src.strip()
     if src.startswith("["):
         return json.loads(src)
-    bodies = []
-    for line in src.splitlines():
-        line = line.strip()
-        if not line:
-            continue
-        obj = json.loads(line)
-        if not obj or set(obj) <= {"index", "search_type",
-                                   "preference", "routing"}:
-            continue  # NDJSON header line
-        bodies.append(obj)
-    return bodies
+    lines = [json.loads(x) for x in src.splitlines() if x.strip()]
+    if not lines:
+        return []
+
+    def is_header(obj: dict) -> bool:
+        return not obj or set(obj) <= {"index", "search_type",
+                                       "preference", "routing"}
+
+    if is_header(lines[0]):
+        if len(lines) % 2 != 0:
+            raise ValueError(
+                "_msearch NDJSON must alternate header/body lines "
+                f"(got {len(lines)} lines)"
+            )
+        return lines[1::2]
+    return lines
 
 
 def run_query(spark, args: argparse.Namespace):

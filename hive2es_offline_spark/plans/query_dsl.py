@@ -120,13 +120,18 @@ def _analyze_terms(text: str) -> list[str]:
     return analyze_text(str(text))
 
 
-def _msm_threshold(msm, n: int) -> int:
+def _msm_threshold(msm, n: int, floor: int = 1) -> int:
     """ES ``minimum_should_match`` spec → required count out of ``n``
     optional clauses/terms.  Forms: ``3``, ``-2``, ``"75%"``, ``"-25%"``,
     and the conditional ``"N<spec"`` (space-separated list of conditions —
     the one with the largest N below ``n`` applies; n <= smallest N means
     all are required).  Percentages round DOWN; negative forms count the
-    allowed misses.  Clamped to [0, n]."""
+    allowed misses.  Clamped to [floor, n]: for a match/MLT disjunction
+    ``floor=1`` — Lucene's BooleanQuery still needs >= 1 matching optional
+    clause, so a spec computing to 0 must not turn the match into
+    match_all (code-review r9); bool-should callers pass ``floor=0``
+    (an explicit 0 there legitimately makes should purely optional
+    beside must/filter)."""
     def simple(s: str) -> int:
         s = s.strip()
         if s.endswith("%"):
@@ -135,7 +140,7 @@ def _msm_threshold(msm, n: int) -> int:
         else:
             v = int(s)
             need = (n + v) if v < 0 else v
-        return max(0, min(n, need))
+        return max(floor, min(n, need))
 
     s = str(msm).strip()
     if "<" not in s:
@@ -200,6 +205,15 @@ def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0) -> Column:
     return F.exists(pos[0], lambda p1: nest(1, p1, p1))
 
 
+def _regex_escape(text: str) -> str:
+    """Escape Java-regex metacharacters in a literal term (shared by the
+    phrase fast path, wildcard compilation, and the highlighter — one
+    escape set, one place; code-review r9)."""
+    return "".join(
+        "\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in text
+    )
+
+
 #: standard-analyzer boundary pieces for the phrase fast path (Java
 #: regex).  A phrase term must start at a TOKEN start: not preceded by a
 #: token char, nor by token-char + joiner (which would make it the tail
@@ -224,16 +238,11 @@ def _phrase_regex_pattern(terms: list[str], *, last_is_prefix: bool = False
     the final term only anchors its START (search-as-you-type)."""
     from .analysis import current_analyzer
 
-    def esc(t: str) -> str:
-        return "".join(
-            "\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in t
-        )
-
     if current_analyzer() == "whitespace":
         lb, rb, sep = r"(?<!\S)", r"(?!\S)", r" +"
     else:
         lb, rb, sep = _STD_LB, _STD_RB, _STD_SEP
-    body = sep.join(esc(t) for t in terms)
+    body = sep.join(_regex_escape(t) for t in terms)
     return lb + body + ("" if last_is_prefix else rb)
 
 
@@ -247,7 +256,7 @@ def _wildcard_to_regex(pattern: str) -> str:
         elif ch == "?":
             out.append(".")
         else:
-            out.append("\\" + ch if ch in r"\.[]{}()<>*+-=!?^$|" else ch)
+            out.append(_regex_escape(ch))
     return "^" + "".join(out) + "$"
 
 
@@ -585,7 +594,15 @@ def compile_query(
         return compile_query(body["positive"], id_field, fields)
     if kind == "script_score":
         # scoring wrapper (plans/scoring.py compiles the script); the
-        # filter-context match set is the inner query's
+        # filter-context match set is the inner query's.  min_score would
+        # CHANGE that match set score-dependently — reject loudly here
+        # exactly like the scored path (code-review r9: the silent form
+        # made es_search/es_count disagree with es_scored_search)
+        if "min_score" in body:
+            raise ValueError(
+                "script_score's min_score param is not supported — use "
+                "the search body's top-level min_score"
+            )
         return compile_query(body.get("query", {"match_all": {}}), id_field, fields)
     if kind == "nested":
         if fields is not None:
@@ -866,13 +883,18 @@ def compile_query(
             if msm is None:
                 # ES filter-context default: should is required only when
                 # there is no must/filter clause
-                msm = 0 if (body.get("must") or body.get("filter")) else 1
-            if msm > 0:
+                need = 0 if (body.get("must") or body.get("filter")) else 1
+            else:
+                # full msm grammar (percentage/negative/conditional) with
+                # floor 0: an explicit 0 keeps should purely optional
+                # beside must/filter, per ES bool semantics
+                need = _msm_threshold(msm, len(should), floor=0)
+            if need > 0:
                 hits = [child(c).cast("int") for c in should]
                 total = hits[0]
                 for h in hits[1:]:
                     total = total + h
-                clauses.append(total >= F.lit(int(msm)))
+                clauses.append(total >= F.lit(int(need)))
         if not clauses:
             return F.lit(True)
         out = clauses[0]
@@ -2092,10 +2114,7 @@ def _apply_highlight(df: DataFrame, body: dict) -> tuple[DataFrame, list[str]]:
             continue
         pre = (fspec.get("pre_tags") or [pre_default])[0]
         post = (fspec.get("post_tags") or [post_default])[0]
-        escaped = [
-            "".join("\\" + c if c in r"\.[]{}()<>*+-=!?^$|" else c for c in t)
-            for t in terms
-        ]
+        escaped = [_regex_escape(t) for t in terms]
         pat = r"(?i)\b(" + "|".join(escaped) + r")\b"
         df = df.withColumn(
             f"{hf}_highlight",

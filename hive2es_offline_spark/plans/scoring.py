@@ -885,13 +885,19 @@ def _es_scored_search_impl(
                 f"{offset0 + size0} (hits beyond the window keep their "
                 "original order and never reach this page)"
             )
-        # persisted: the window frame has TWO consumers below (the blend
-        # projection and the rescore tf/tsmap subtree) — without the cache
-        # the whole first-pass pipeline would execute twice.  ≤ window
-        # rows, so the cache cost is nil; Spark evicts it LRU.
-        top = scored.orderBy(
+        # the window frame has TWO consumers below (the blend projection
+        # and the rescore tf/tsmap subtree) — materialize its ≤
+        # window_size rows once into a LocalRelation so the first-pass
+        # pipeline executes exactly once and nothing stays cached after
+        # the call (code-review r9: persist() leaked one cached frame per
+        # rescore query).  The bounded collect is the same driver-work
+        # class as the suggesters' candidate frames; it does make the
+        # rescore path eager at plan-build time.
+        top_plan = scored.orderBy(
             F.col("_score0").desc(), F.col(id_field).asc()
-        ).limit(window_size).persist()
+        ).limit(window_size)
+        top = df.sparkSession.createDataFrame(
+            top_plan.collect(), top_plan.schema)
         # Lucene rescores WINDOW docs against INDEX-wide stats: tf/dl and
         # the tsmap join cover the ≤ window_size frame only, while
         # stats_over=df contributes N/avgdl/per-term-df as ONE 1-row

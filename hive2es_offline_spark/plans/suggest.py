@@ -233,9 +233,11 @@ def completion_suggest(
     Returns ``(suggestion, weight, rank)``, rank 1-based; with
     ``skip_duplicates=False`` duplicate texts keep one row per distinct
     weight (the deduplication ES applies at the shard level)."""
-    p = str(prefix).lower()
-    if not p:
+    if prefix is None or not str(prefix):
+        # a missing body prefix must not degrade into the literal "none"
+        # (str(None)) — code-review r9
         raise ValueError("completion suggester needs a non-empty prefix")
+    p = str(prefix).lower()
     wcol = (F.coalesce(F.col(weight_field).cast("double"), F.lit(0.0))
             if weight_field is not None else F.lit(1.0))
     entries = df.where(F.col(field).isNotNull()).select(

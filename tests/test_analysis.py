@@ -267,3 +267,43 @@ def test_phrase_regex_fast_path_equals_positions_engine(spark):
             ).where(F.col("fast") != F.col("ref")).collect()
             assert not rows, (terms, [(r["t"], r["fast"], r["ref"])
                                       for r in rows[:10]])
+
+
+def test_msm_floor_one_never_matches_all(spark):
+    """code-review r9: an msm spec computing to 0 must keep >=1 required
+    term (Lucene disjunction semantics), never degrade match into
+    match_all — in the plain, fuzzy, and MLT-rewritten paths."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha x"), (3, "none of them")],
+        "id long, t string")
+    # 25% of 3 floors to 0 -> clamped to 1
+    body = {"match": {"t": {"query": "alpha beta gamma",
+                            "minimum_should_match": "25%"}}}
+    got = [r["id"] for r in df.where(compile_query(body, "id"))
+           .orderBy("id").collect()]
+    assert got == [1, 2]
+    # explicit 0 / deeply negative also clamp to 1 in match context
+    for msm in (0, -5):
+        body = {"match": {"t": {"query": "alpha beta",
+                                "minimum_should_match": msm}}}
+        got = [r["id"] for r in df.where(compile_query(body, "id"))
+               .orderBy("id").collect()]
+        assert got == [1, 2], msm
+    # fuzzy path clamps too
+    body = {"match": {"t": {"query": "alpha beta", "fuzziness": 1,
+                            "minimum_should_match": 0}}}
+    got = sorted(r["id"] for r in df.where(compile_query(body, "id")).collect())
+    assert got == [1, 2]
+    # bool keeps floor 0: explicit msm 0 beside must = should optional
+    body = {"bool": {"must": [{"match": {"t": "alpha"}}],
+                     "should": [{"match": {"t": "gamma"}}],
+                     "minimum_should_match": 0}}
+    got = sorted(r["id"] for r in df.where(compile_query(body, "id")).collect())
+    assert got == [1, 2]
+    # bool msm now takes the percentage grammar as well
+    body = {"bool": {"should": [{"match": {"t": "alpha"}},
+                                {"match": {"t": "beta"}},
+                                {"match": {"t": "none"}}],
+                     "minimum_should_match": "67%"}}
+    got = sorted(r["id"] for r in df.where(compile_query(body, "id")).collect())
+    assert got == [1]  # needs 2 of 3

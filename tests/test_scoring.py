@@ -644,15 +644,21 @@ def test_rescore_tsmap_join_is_post_window_cut(spark):
             "size": 3}
     out = es_scored_search(df, body, id_field="doc_id")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # the window frame is CACHED (one execution for its two consumers:
-    # the blend projection and the rescore tf subtree) ...
-    assert "InMemoryRelation" in plan
-    assert "TakeOrderedAndProject(limit=5" in plan
-    # ... and the rescore field's term-map aggregate reads the cached
-    # ≤ window_size frame, not a corpus scan: after the aggregate marker
-    # the tf branch hits InMemoryRelation before any fresh corpus relation
+    # the window frame is MATERIALIZED once (≤ window_size rows collected
+    # into a local frame — one execution for its two consumers: the blend
+    # projection and the rescore tf subtree; nothing stays cached).  It
+    # shows up as the relation carrying the _score0 column ...
+    import re as _re
+
+    win_rel = _re.compile(r"(LocalRelation|LogicalRDD) \[[^\]]*_score0")
+    assert win_rel.search(plan), plan[:1500]
+    # ... and the rescore field's term-map aggregate reads that window
+    # frame, never a fresh corpus scan, for its tf branch
     i = plan.index("AS _tsmap_text2")
-    assert "InMemoryRelation" in plan[i:], plan[i:i + 2000]
+    assert win_rel.search(plan[i:]), plan[i:i + 2000]
+    # no TakeOrderedAndProject/limit below the tsmap aggregate anymore:
+    # the cut already happened before materialization
+    assert "GlobalLimit" not in plan[i:], plan[i:i + 2000]
     # blend values unchanged by the restructure: window docs combine
     # qw*orig + rqw*rescore, docs outside the window keep original order
     rows = out.collect()
