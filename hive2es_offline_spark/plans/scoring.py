@@ -857,15 +857,19 @@ def _es_scored_search_impl(
         rspec = rescore["query"]
         scored = scored.withColumnRenamed("_score", "_score0")
     # hit-set filter: query matches, or with knn the UNION of query
-    # matches and the top-k
+    # matches and the top-k.  The predicate stays RAW in the plain WHERE
+    # (NULL rows drop exactly like false, and a coalesce() wrapper blocks
+    # ALL parquet PushedFilters — the r8 bool-pushdown fix; this path had
+    # kept the wrapper, so every scored search read every row group).
+    # Only the knn-union OR needs NULL→false coalescing (a NULL qpred
+    # would poison the disjunction for knn-only hits).
     if knn_only:
         qpred = F.lit(False)
     else:
-        qpred = F.coalesce(compile_query(_normalize(query), id_field),
-                           F.lit(False))
+        qpred = compile_query(_normalize(query), id_field)
     if knn is not None:
         scored = scored.where(
-            qpred | F.col("_knn_score").isNotNull()
+            F.coalesce(qpred, F.lit(False)) | F.col("_knn_score").isNotNull()
         ).drop("_knn_score")
     else:
         scored = scored.where(qpred)

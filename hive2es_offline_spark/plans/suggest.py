@@ -225,10 +225,12 @@ def completion_suggest(
     case-insensitive (the completion analyzer lowercases).
 
     Scale shape: the prefix filter prunes BEFORE the aggregate, so the
-    groupBy carries only prefix-matching entries (a startswith filter on
-    a plain column — pushable as a >=/< range over the prefix bounds by
-    the caller sorting/partitioning by the field); top-k is a
-    TakeOrderedAndProject, never a global sort.
+    groupBy carries only prefix-matching entries; top-k is a
+    TakeOrderedAndProject, never a global sort.  The case-insensitive
+    startswith runs over lower(field), so it does NOT reach parquet
+    PushedFilters (an expression filter; a case-sensitive range could
+    push, but would miss mixed-case suggestions) — the scan is one
+    column wide and the filter is codegen, which is the honest trade.
 
     Returns ``(suggestion, weight, rank)``, rank 1-based; with
     ``skip_duplicates=False`` duplicate texts keep one row per distinct

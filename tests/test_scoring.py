@@ -768,3 +768,31 @@ def test_multi_match_types(spark):
         compile_query({"multi_match": {
             "query": "merge", "fields": ["title"],
             "type": "cross_fields"}}, "doc_id")
+
+
+def test_scored_hit_filter_pushes_to_parquet(spark, tmp_path):
+    """The scored path's hit-set WHERE keeps the predicate RAW (a
+    coalesce wrapper blocks ALL parquet PushedFilters — the r8 bool fix;
+    this path had kept the wrapper, so every scored search scanned every
+    row group).  Plan-asserted like test_bool_conjuncts_push_to_parquet."""
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"merge doc {i}", i * 10) for i in range(100)],
+        "doc_id long, text string, n long",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    body = {"query": {"function_score": {
+        "query": {"range": {"n": {"gte": 500}}},
+        "gauss": {"n": {"origin": 500, "scale": 100, "decay": 0.5}},
+    }}, "size": 10}
+    out = es_scored_search(df, body, id_field="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(n,500)" in plan, plan[:1500]
+    # bool bodies push their conjuncts too
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "merge"}}],
+        "filter": [{"range": {"n": {"gte": 500}}}],
+    }}, "size": 10}
+    out = es_scored_search(df, body, id_field="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(n,500)" in plan, plan[:1500]
