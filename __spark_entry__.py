@@ -2556,7 +2556,7 @@ def q_es_mlt(spark, sf_dir):
     """``more_like_this``: Lucene's MLT term selection (like-doc term
     freqs >= min_term_freq, corpus df via ONE 1-row aggregate, tf·idf
     ranking, top max_query_terms) rewritten to a match with
-    minimum_should_match — plans/query_dsl.py::expand_more_like_this."""
+    minimum_should_match — plans/query_dsl.py::expand_lookups."""
     from hive2es_offline_spark.plans.query_dsl import es_search
 
     d = _t(spark, sf_dir, "documents")

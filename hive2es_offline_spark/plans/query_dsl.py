@@ -2216,10 +2216,20 @@ def es_mget(
     return out.orderBy("_pos").drop("_pos")
 
 
-def expand_more_like_this(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
-    """Rewrite every ``more_like_this`` clause in a query tree into the
-    bool-of-selected-terms query Lucene's MLT builds, using CORPUS
-    statistics for term interestingness.
+def expand_lookups(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
+    """Resolve the clauses that need DATA at plan-build time — the
+    bounded-driver-work class a pure column compiler cannot serve:
+
+    - ``more_like_this`` → the bool-of-selected-terms query Lucene's MLT
+      builds (corpus statistics for term interestingness, details below),
+    - ``terms`` LOOKUP form (``{"terms": {"<field>": {"index": ...,
+      "id": ..., "path": ...}}}``) → a plain terms list fetched from the
+      referenced document with one id-pruned scan (one table == one
+      index here, so any ``index`` name resolves to this table; a
+      missing lookup doc yields the ES behavior — an empty terms list
+      that matches nothing).
+
+    more_like_this semantics per ES (documented approximations noted):
 
     Per ES semantics (documented approximations noted):
 
@@ -2249,6 +2259,28 @@ def expand_more_like_this(df: DataFrame, q: dict, id_field: str = "_id") -> dict
     (kind, body), = q.items() if len(q) == 1 else (("", None),)
     if kind == "more_like_this":
         return _mlt_to_bool(df, body, id_field)
+    if kind == "terms":
+        field, spec = next(iter(body.items()))
+        if isinstance(spec, dict):
+            extra = set(spec) - {"index", "id", "path", "routing"}
+            if extra:
+                raise ValueError(
+                    f"unsupported terms-lookup option(s): {sorted(extra)}"
+                )
+            if "id" not in spec or "path" not in spec:
+                raise ValueError("terms lookup needs id and path")
+            path = str(spec["path"])
+            id_col = F.col(id_field).cast("string")
+            rows = (
+                df.where(id_col == str(spec["id"])).select(path).limit(1)
+                .collect()
+            )
+            values: list = []
+            if rows and rows[0][0] is not None:
+                v = rows[0][0]
+                values = list(v) if isinstance(v, (list, tuple)) else [v]
+            return {"terms": {field: values}}
+        return q
     if kind == "bool":
         out = {}
         for sec in ("must", "filter", "should", "must_not"):
@@ -2256,26 +2288,26 @@ def expand_more_like_this(df: DataFrame, q: dict, id_field: str = "_id") -> dict
             if subs is None:
                 continue
             subs = subs if isinstance(subs, list) else [subs]
-            out[sec] = [expand_more_like_this(df, c, id_field) for c in subs]
+            out[sec] = [expand_lookups(df, c, id_field) for c in subs]
         for k in set(body) - {"must", "filter", "should", "must_not"}:
             out[k] = body[k]
         return {"bool": out}
     if kind in ("constant_score",):
         return {kind: {**body,
-                       "filter": expand_more_like_this(df, body["filter"],
+                       "filter": expand_lookups(df, body["filter"],
                                                        id_field)}}
     if kind == "dis_max":
         return {kind: {**body, "queries": [
-            expand_more_like_this(df, c, id_field) for c in body["queries"]]}}
+            expand_lookups(df, c, id_field) for c in body["queries"]]}}
     if kind in ("function_score", "script_score"):
         inner = body.get("query", {"match_all": {}})
         return {kind: {**body,
-                       "query": expand_more_like_this(df, inner, id_field)}}
+                       "query": expand_lookups(df, inner, id_field)}}
     if kind == "boosting":
         return {kind: {**body,
-                       "positive": expand_more_like_this(
+                       "positive": expand_lookups(
                            df, body["positive"], id_field),
-                       "negative": expand_more_like_this(
+                       "negative": expand_lookups(
                            df, body["negative"], id_field)}}
     return q
 
@@ -2471,7 +2503,7 @@ def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> 
     allows)."""
     if body and "query" in body:
         df = df.where(compile_query(
-            expand_more_like_this(df, body["query"], id_field), id_field))
+            expand_lookups(df, body["query"], id_field), id_field))
     return df.agg(F.count(F.lit(1)).alias("count"))
 
 
@@ -2520,7 +2552,7 @@ def _es_search_impl(
     if body.get("query"):
         # more_like_this needs corpus stats at plan-build time — expand
         # those nodes into their bool-of-selected-terms form first
-        body = {**body, "query": expand_more_like_this(
+        body = {**body, "query": expand_lookups(
             df, body["query"], id_field)}
     # the `global` agg escapes the query filter entirely (ES: sub-aggs run
     # over the whole index) — branch before the filter is applied

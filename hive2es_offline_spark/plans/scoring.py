@@ -798,9 +798,9 @@ def _es_scored_search_impl(
     knn = body.get("knn")
     knn_only = knn is not None and "query" not in body
     query = body.get("query", {"match_all": {}})
-    from .query_dsl import expand_more_like_this
+    from .query_dsl import expand_lookups
 
-    query = expand_more_like_this(df, query, id_field)
+    query = expand_lookups(df, query, id_field)
     if knn_only:
         # a knn-only body returns exactly the top-k — no match_all
         # baseline score, no non-knn hits

@@ -1582,3 +1582,35 @@ def test_more_like_this_selects_interesting_terms(spark):
         "must_not": [{"term": {"doc_id": 1}}],
     }}}, id_field="doc_id").first()["count"]
     assert n == 2  # docs 2, 3 carry all three selected terms
+
+
+def test_terms_lookup_resolves_from_document(spark):
+    """terms LOOKUP form: the terms list is fetched from a referenced
+    document at plan-build time (one id-pruned scan); a missing lookup
+    doc matches nothing, exactly like ES."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [(1, "alice", ["red", "blue"]), (2, "bob", ["green"]),
+         (3, "red", None), (4, "blue", None), (5, "green", None)],
+        "id long, color string, followed array<string>")
+    body = {"query": {"terms": {"color": {
+        "index": "t", "id": 1, "path": "followed"}}},
+        "sort": [{"id": "asc"}], "_source": ["id"]}
+    got = [r["id"] for r in es_search(df, body, id_field="id").collect()]
+    assert got == [3, 4]
+    # missing lookup doc -> empty terms -> no hits (not an error)
+    body = {"query": {"terms": {"color": {
+        "index": "t", "id": 999, "path": "followed"}}}, "_source": ["id"]}
+    assert es_search(df, body, id_field="id").count() == 0
+    # scalar path value is accepted as a single term
+    body = {"query": {"terms": {"color": {
+        "index": "t", "id": 2, "path": "color"}}}, "_source": ["id"]}
+    got = [r["id"] for r in es_search(df, body, id_field="id").collect()]
+    assert got == [2]
+    with pytest.raises(ValueError, match="id and path"):
+        es_search(df, {"query": {"terms": {"color": {"index": "t"}}}},
+                  id_field="id")
+    with pytest.raises(ValueError, match="terms-lookup option"):
+        es_search(df, {"query": {"terms": {"color": {
+            "id": 1, "path": "followed", "cache": True}}}}, id_field="id")
