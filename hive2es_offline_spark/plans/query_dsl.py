@@ -2103,7 +2103,17 @@ def _apply_highlight(df: DataFrame, body: dict) -> tuple[DataFrame, list[str]]:
     word boundaries — one regexp_replace per field, codegen.  Emitted as
     ``<field>_highlight`` columns (ES returns highlight beside _source;
     a flat frame carries it as a sibling column).  Fields whose query
-    terms are empty get no column, like ES omitting the highlight key."""
+    terms are empty get no column, like ES omitting the highlight key.
+
+    Fragments (opt-in, ES's simple fragmenter approximated): when
+    ``fragment_size`` or ``number_of_fragments`` is present the column
+    becomes a JSON ARRAY of up to ``number_of_fragments`` (default 5)
+    snippets of ~``fragment_size`` (default 100) characters centered on
+    matches — one ``regexp_extract_all`` (left-to-right, non-overlapping
+    windows) + a per-fragment tag wrap, all codegen; JSON-encoded so the
+    flat contract stays scalar (the driver canonicalizer hashes every
+    column).  Without fragment options the whole field is wrapped, as
+    before."""
     hspec = body.get("highlight") or {}
     added: list[str] = []
     pre_default = (hspec.get("pre_tags") or ["<em>"])[0]
@@ -2116,10 +2126,32 @@ def _apply_highlight(df: DataFrame, body: dict) -> tuple[DataFrame, list[str]]:
         post = (fspec.get("post_tags") or [post_default])[0]
         escaped = [_regex_escape(t) for t in terms]
         pat = r"(?i)\b(" + "|".join(escaped) + r")\b"
-        df = df.withColumn(
-            f"{hf}_highlight",
-            F.regexp_replace(F.col(hf), F.lit(pat), F.lit(pre + "$1" + post)),
-        )
+        wrap = pre + "$1" + post
+        frag_size = fspec.get("fragment_size", hspec.get("fragment_size"))
+        n_frags = fspec.get("number_of_fragments",
+                            hspec.get("number_of_fragments"))
+        if frag_size is None and n_frags is None:
+            out_col = F.regexp_replace(F.col(hf), F.lit(pat), F.lit(wrap))
+        else:
+            fs = 100 if frag_size is None else int(frag_size)
+            # `or` would swallow the legitimate 0 (= whole field, ES)
+            nf = 5 if n_frags is None else int(n_frags)
+            if nf == 0:
+                # ES: number_of_fragments 0 = no fragmenting, whole field
+                out_col = F.regexp_replace(F.col(hf), F.lit(pat), F.lit(wrap))
+            else:
+                half = max(1, fs // 2)
+                frag_pat = (r"(?i).{0," + str(half) + r"}\b(?:"
+                            + "|".join(escaped) + r")\b.{0," + str(half) + "}")
+                frags = F.slice(
+                    F.regexp_extract_all(F.col(hf), F.lit(frag_pat), F.lit(0)),
+                    1, nf,
+                )
+                out_col = F.to_json(F.transform(
+                    frags,
+                    lambda x: F.regexp_replace(x, F.lit(pat), F.lit(wrap)),
+                ))
+        df = df.withColumn(f"{hf}_highlight", out_col)
         added.append(f"{hf}_highlight")
     return df, added
 

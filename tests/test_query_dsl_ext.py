@@ -1614,3 +1614,40 @@ def test_terms_lookup_resolves_from_document(spark):
     with pytest.raises(ValueError, match="terms-lookup option"):
         es_search(df, {"query": {"terms": {"color": {
             "id": 1, "path": "followed", "cache": True}}}}, id_field="id")
+
+
+def test_highlight_fragments(spark):
+    """Opt-in highlight fragments: a JSON array of up to
+    number_of_fragments snippets of ~fragment_size chars around matches,
+    terms tag-wrapped inside each; default (no fragment opts) keeps the
+    whole-field behavior; number_of_fragments: 0 = whole field (ES)."""
+    import json as _json
+
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    long_text = ("alpha " + "x " * 40 + "merge point one " + "y " * 40
+                 + "merge point two " + "z " * 40 + "tail")
+    df = spark.createDataFrame([(1, long_text)], "id long, t string")
+    body = {"query": {"match": {"t": "merge"}},
+            "highlight": {"fields": {"t": {
+                "fragment_size": 40, "number_of_fragments": 2}}}}
+    out = es_search(df, body, id_field="id").collect()[0]
+    frags = _json.loads(out["t_highlight"])
+    assert len(frags) == 2
+    for f in frags:
+        assert "<em>merge</em>" in f
+        assert len(f) <= 40 + len("<em></em>") + 10  # window + tags + word run-over
+    # cap: only the first number_of_fragments windows survive
+    body["highlight"]["fields"]["t"]["number_of_fragments"] = 1
+    out = es_search(df, body, id_field="id").collect()[0]
+    assert len(_json.loads(out["t_highlight"])) == 1
+    # number_of_fragments: 0 -> whole field, scalar column (ES semantics)
+    body["highlight"]["fields"]["t"] = {"number_of_fragments": 0}
+    out = es_search(df, body, id_field="id").collect()[0]
+    assert out["t_highlight"].count("<em>merge</em>") == 2
+    assert not out["t_highlight"].startswith("[")
+    # body-level defaults apply per field
+    body = {"query": {"match": {"t": "merge"}},
+            "highlight": {"fragment_size": 30, "fields": {"t": {}}}}
+    out = es_search(df, body, id_field="id").collect()[0]
+    assert isinstance(_json.loads(out["t_highlight"]), list)
