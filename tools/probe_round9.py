@@ -6,10 +6,10 @@
    vocab-sized groupBy) plus a literal-array candidate join whose cost
    scales with VOCABULARY size, not corpus size.  Measured against the
    vocabulary-only pass to show the suggester adds vocab-bounded work.
-2. Phrase suggester pass count: with the round-9 shared-vocabulary
-   restructure the pipeline runs TWO corpus passes (vocab, bigrams) —
-   verified by counting scan-feeding jobs via the Spark status tracker
-   and timed end-to-end on the same corpus.
+2. Phrase suggester timing: with the round-9 shared-vocabulary
+   restructure the pipeline runs TWO corpus passes (vocab, bigrams —
+   structural: the unigram counts and vocabulary size read the persisted
+   vocab frame), timed end-to-end on the same corpus.
 3. Rescore window join (VERDICT r8 #4): scored search + rescore on the
    1M-doc corpus, old shape (full-corpus tsmap join) vs new shape
    (post-window-cut join) — the timed difference is what the deferred
@@ -73,9 +73,7 @@ out = term_suggest(
 results["term_suggest_sec"] = round(time.time() - t0, 3)
 results["term_suggest_rows"] = len(out)
 
-# --- probe 2: phrase suggester = 2 corpus passes --------------------------
-tracker = spark.sparkContext.statusTracker()
-jobs_before = len(tracker.getJobIdsForGroup() or [])
+# --- probe 2: phrase suggester (two corpus passes by construction) -------
 t0 = time.time()
 phr = phrase_suggest(docs, "stremaing merge", "text", size=3).collect()
 results["phrase_suggest_sec"] = round(time.time() - t0, 3)
