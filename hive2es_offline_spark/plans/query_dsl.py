@@ -156,6 +156,51 @@ def _msm_threshold(msm, n: int, floor: int = 1) -> int:
     return simple(best_spec)
 
 
+def _token_positions(toks: Column, term: str) -> Column:
+    """0-based positions of ``term`` in the analyzed token array —
+    the building block of the phrase slop engine and the span queries."""
+    hit = F.transform(
+        toks, lambda x, i: F.when(x == F.lit(term), i).otherwise(F.lit(-1))
+    )
+    return F.filter(hit, lambda p: p >= 0)
+
+
+def _span_terms(q: dict) -> tuple[str, list[str]]:
+    """Flatten a span clause into (field, candidate terms) — span_term
+    yields one term, span_or the union of its span_term children.  Used
+    by span_near/span_first/span_not, which need per-term positions."""
+    (kind, body), = q.items()
+    if kind == "span_term":
+        field, spec = _field_spec(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return field, [str(value).lower()]
+    if kind == "span_or":
+        fields_terms = [_span_terms(c) for c in body["clauses"]]
+        fields = {f for f, _ in fields_terms}
+        if len(fields) != 1:
+            raise ValueError(
+                f"span_or clauses must target one field, got {sorted(fields)}"
+            )
+        return fields_terms[0][0], sorted(
+            {t for _, ts in fields_terms for t in ts})
+    raise ValueError(
+        f"span sub-clause must be span_term or span_or of span_terms, "
+        f"got {kind!r}"
+    )
+
+
+def _span_positions(toks: Column, q: dict) -> Column:
+    """Positions (0-based, sorted) where the span clause matches."""
+    (kind, body), = q.items()
+    _, terms = _span_terms(q)
+    if len(terms) == 1:
+        return _token_positions(toks, terms[0])
+    out = _token_positions(toks, terms[0])
+    for t in terms[1:]:
+        out = F.array_union(out, _token_positions(toks, t))
+    return F.array_sort(out)
+
+
 def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0) -> Column:
     """``match_phrase`` over the ANALYZED token stream via per-term
     position arrays: the query's tokens appear within ``slop`` total
@@ -181,13 +226,7 @@ def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0) -> Column:
     if n > 8:
         raise ValueError("match_phrase supports at most 8 analyzed terms")
 
-    def positions(term: str) -> Column:
-        hit = F.transform(
-            toks, lambda x, i: F.when(x == F.lit(term), i).otherwise(F.lit(-1))
-        )
-        return F.filter(hit, lambda p: p >= 0)
-
-    pos = [positions(t) for t in terms]
+    pos = [_token_positions(toks, t) for t in terms]
     if n == 2:
         return F.exists(pos[0], lambda p1: F.exists(
             pos[1],
@@ -829,6 +868,85 @@ def compile_query(
         return F.regexp_like(
             F.lower(col(field)),
             F.lit(_phrase_regex_pattern(terms, last_is_prefix=True)))
+    if kind == "span_term":
+        field, spec = _field_spec(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.array_contains(_analyze(col(field)), str(value).lower())
+    if kind == "span_or":
+        subs = [compile_query(c, id_field, fields) for c in body["clauses"]]
+        out = F.coalesce(subs[0], F.lit(False))
+        for s in subs[1:]:
+            out = out | F.coalesce(s, F.lit(False))
+        return out
+    if kind == "span_first":
+        # the inner span must END at position <= end (Lucene end is
+        # exclusive; unit spans at 0-based p end at p+1)
+        end = int(body["end"])
+        inner = body["match"]
+        sfield, _ = _span_terms(inner)
+        P = _span_positions(_analyze(col(sfield)), inner)
+        return F.exists(P, lambda p: (p + 1) <= F.lit(end))
+    if kind == "span_not":
+        # an include span that does not overlap any exclude span (unit
+        # spans: an include position absent from the exclude positions)
+        ifield, _ = _span_terms(body["include"])
+        efield, _ = _span_terms(body["exclude"])
+        if ifield != efield:
+            raise ValueError("span_not include/exclude must share a field")
+        toks = _analyze(col(ifield))
+        Pi = _span_positions(toks, body["include"])
+        Pe = _span_positions(toks, body["exclude"])
+        return F.exists(Pi, lambda p: ~F.array_contains(Pe, p))
+    if kind == "span_near":
+        # Lucene SpanNear over unit-length spans (span_term / span_or
+        # children, one field): an occurrence picking one position per
+        # clause with total gap (max - min + 1) - n <= slop; in_order
+        # additionally requires strictly increasing positions.  Same
+        # nested-exists position engine as match_phrase slop.
+        clauses = body["clauses"]
+        if not (2 <= len(clauses) <= 8):
+            raise ValueError("span_near supports 2..8 clauses")
+        slop = int(body.get("slop", 0))
+        in_order = bool(body.get("in_order", True))
+        cfields = {_span_terms(c)[0] for c in clauses}
+        if len(cfields) != 1:
+            raise ValueError(
+                f"span_near clauses must target one field, got {sorted(cfields)}"
+            )
+        toks = _analyze(col(cfields.pop()))
+        pos = [_span_positions(toks, c) for c in clauses]
+        n = len(pos)
+        if in_order:
+            def nest_o(j: int, first, prev) -> Column:
+                if j == n:
+                    return (prev - first - F.lit(n - 1)) <= F.lit(slop)
+                return F.exists(
+                    pos[j],
+                    lambda p: F.when(p > prev, nest_o(j + 1, first, p))
+                    .otherwise(F.lit(False)),
+                )
+
+            return F.exists(pos[0], lambda p1: nest_o(1, p1, p1))
+
+        def taken(chosen: list, p) -> Column:
+            # the same token position cannot serve two clauses
+            out = F.lit(False)
+            for c in chosen:
+                out = out | (c == p)
+            return out
+
+        def nest_u(j: int, chosen: list) -> Column:
+            if j == n:
+                mx = F.greatest(*chosen) if len(chosen) > 1 else chosen[0]
+                mn = F.least(*chosen) if len(chosen) > 1 else chosen[0]
+                return (mx - mn - F.lit(n - 1)) <= F.lit(slop)
+            return F.exists(
+                pos[j],
+                lambda p: F.when(~taken(chosen, p), nest_u(j + 1, chosen + [p])
+                                 ).otherwise(F.lit(False)),
+            )
+
+        return F.exists(pos[0], lambda p1: nest_u(1, [p1]))
     if kind == "terms_set":
         # at least minimum_should_match_script/field of the given terms
         # appear in the analyzed field.  The constant-script form
@@ -2248,6 +2366,77 @@ def es_mget(
     return out.orderBy("_pos").drop("_pos")
 
 
+def _strip_names(q):
+    """Remove every ``_name`` key from a query tree (the compilers treat
+    spec keys positionally; named-query bookkeeping lives in
+    ``collect_named_queries``)."""
+    if isinstance(q, dict):
+        return {k: _strip_names(v) for k, v in q.items() if k != "_name"}
+    if isinstance(q, list):
+        return [_strip_names(x) for x in q]
+    return q
+
+
+def collect_named_queries(q) -> list[tuple[str, dict]]:
+    """ES named queries: clauses carrying ``_name`` (leaf field specs,
+    or body-level on bool/multi_match/wrappers) → ``[(name, clause)]``
+    with the ``_name`` keys stripped from the returned clauses.  Callers
+    compile each clause as an independent predicate and emit the
+    ``matched_queries`` column (JSON array of the names whose clause a
+    hit satisfies, sorted for determinism)."""
+    out: list[tuple[str, dict]] = []
+
+    def walk(node):
+        if not isinstance(node, dict) or len(node) != 1:
+            return
+        (kind, body), = node.items()
+        if not isinstance(body, dict):
+            return
+        if "_name" in body:
+            out.append((str(body["_name"]), _strip_names(node)))
+        for k, v in body.items():
+            if isinstance(v, dict) and "_name" in v and k != "_name":
+                out.append((str(v["_name"]),
+                            _strip_names({kind: {k: v}})))
+        if kind == "bool":
+            for sec in ("must", "filter", "should", "must_not"):
+                subs = body.get(sec) or []
+                subs = subs if isinstance(subs, list) else [subs]
+                for c in subs:
+                    walk(c)
+        elif kind in ("constant_score",):
+            walk(body.get("filter"))
+        elif kind == "dis_max":
+            for c in body.get("queries", []):
+                walk(c)
+        elif kind in ("function_score", "script_score", "boosting"):
+            walk(body.get("query"))
+            walk(body.get("positive"))
+            walk(body.get("negative"))
+
+    walk(q)
+    # one predicate per distinct name (ES allows the same name on several
+    # clauses — it matches if any does)
+    return out
+
+
+def named_queries_column(q, id_field: str) -> Column | None:
+    """``matched_queries`` column for a query tree, or None when the tree
+    carries no ``_name`` markers: a JSON array (sorted) of the names
+    whose clause this row matches — all codegen ``when()`` gates."""
+    named = collect_named_queries(q)
+    if not named:
+        return None
+    by_name: dict[str, Column] = {}
+    for nm, clause in named:
+        pred = F.coalesce(compile_query(clause, id_field), F.lit(False))
+        by_name[nm] = (by_name[nm] | pred) if nm in by_name else pred
+    entries = [F.when(p, F.lit(nm)) for nm, p in sorted(by_name.items())]
+    return F.to_json(
+        F.filter(F.array(*entries), lambda x: x.isNotNull())
+    )
+
+
 def expand_lookups(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
     """Resolve the clauses that need DATA at plan-build time — the
     bounded-driver-work class a pure column compiler cannot serve:
@@ -2635,6 +2824,13 @@ def _es_search_impl(
         )
     extra_cols: list[str] = []
     if "query" in body:
+        # named queries (_name markers): per-name predicates become the
+        # matched_queries JSON column; the compile tree sees a stripped body
+        mq = named_queries_column(body["query"], id_field)
+        if mq is not None:
+            df = df.withColumn("matched_queries", mq)
+            extra_cols.append("matched_queries")
+            body = {**body, "query": _strip_names(body["query"])}
         df = df.where(compile_query(body["query"], id_field))
         nspec = body["query"].get("nested") if len(body["query"]) == 1 else None
         if nspec and "inner_hits" in nspec:

@@ -65,6 +65,7 @@ _CONSTANT_ONE_KINDS = {
     "range", "exists", "wildcard", "prefix", "ids", "fuzzy", "regexp",
     "terms", "terms_set", "geo_distance", "geo_bounding_box", "nested",
     "match_phrase_prefix",
+    "span_term", "span_or", "span_near", "span_first", "span_not",
 }
 
 
@@ -798,9 +799,18 @@ def _es_scored_search_impl(
     knn = body.get("knn")
     knn_only = knn is not None and "query" not in body
     query = body.get("query", {"match_all": {}})
-    from .query_dsl import expand_lookups
+    from .query_dsl import _strip_names, expand_lookups, named_queries_column
 
     query = expand_lookups(df, query, id_field)
+    # named queries ride the scored path too: the column is computed on
+    # the input frame (flows through every downstream join/cut) and the
+    # compile/score tree sees the stripped body
+    mq = named_queries_column(query, id_field) if "query" in body else None
+    extra_named: list[str] = []
+    if mq is not None:
+        df = df.withColumn("matched_queries", mq)
+        extra_named.append("matched_queries")
+        query = _strip_names(query)
     if knn_only:
         # a knn-only body returns exactly the top-k — no match_all
         # baseline score, no non-knn hits
@@ -990,5 +1000,6 @@ def _es_scored_search_impl(
             scored, {**body, "query": _normalize(query)}
         )
     if body.get("_source"):
-        scored = scored.select(*body["_source"], "_score", *extra_cols)
+        scored = scored.select(*body["_source"], "_score", *extra_cols,
+                               *extra_named)
     return scored
