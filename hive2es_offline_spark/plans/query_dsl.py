@@ -1028,7 +1028,8 @@ def compile_query(
 
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "percentile_ranks",
-                 "weighted_avg", "string_stats", "boxplot", "top_metrics"}
+                 "weighted_avg", "string_stats", "boxplot", "top_metrics",
+                 "geo_centroid", "geo_bounds"}
 _COND_BUCKET_KINDS = {"range", "date_range", "filters", "missing",
                       "adjacency_matrix"}
 
@@ -1128,6 +1129,29 @@ def _metric_exprs(
         num = F.sum((v * w).cast("decimal(28,6)"))
         den = F.sum(F.when(v.isNotNull(), w).cast("decimal(28,6)"))
         return [F.round((num / den).cast("double"), 6).alias(name)]
+    if kind == "geo_centroid":
+        # ES geo_centroid: arithmetic mean of the points (the planar
+        # approximation ES itself uses per-shard), + the point count
+        lat, lon = F.col(field)["lat"], F.col(field)["lon"]
+        if gate is not None:
+            lat, lon = F.when(gate, lat), F.when(gate, lon)
+        return [
+            F.round(F.avg(lat), 6).alias(f"{name}_lat"),
+            F.round(F.avg(lon), 6).alias(f"{name}_lon"),
+            F.count(lat).alias(f"{name}_count"),
+        ]
+    if kind == "geo_bounds":
+        # bounding box: top_left = (max lat, min lon), bottom_right =
+        # (min lat, max lon); wrap_longitude/antimeridian not modeled
+        lat, lon = F.col(field)["lat"], F.col(field)["lon"]
+        if gate is not None:
+            lat, lon = F.when(gate, lat), F.when(gate, lon)
+        return [
+            F.max(lat).alias(f"{name}_top"),
+            F.min(lat).alias(f"{name}_bottom"),
+            F.min(lon).alias(f"{name}_left"),
+            F.max(lon).alias(f"{name}_right"),
+        ]
     if kind == "string_stats":
         ln = F.length(c)
         return [
@@ -1169,6 +1193,40 @@ def _metric_exprs(
     raise ValueError(f"unsupported metric agg: {kind}")
 
 
+#: auto_date_histogram interval ladder (ES's own rounding choices):
+#: fixed seconds up to a week, then calendar month/quarter/year.
+_ADH_LADDER = [
+    ("1s", 1), ("5s", 5), ("10s", 10), ("30s", 30),
+    ("1m", 60), ("5m", 300), ("10m", 600), ("30m", 1800),
+    ("1h", 3600), ("3h", 10800), ("12h", 43200),
+    ("1d", 86400), ("7d", 604800),
+]
+
+
+def _auto_date_interval(lo, hi, target: int) -> tuple[str, dict]:
+    """(label, date_histogram spec fragment) for the smallest interval
+    keeping ``ceil(range / interval) <= target``.  Beyond a week the
+    calendar units take over (month/quarter/year; a multi-century range
+    stays on years — the flat contract has no 5y/10y multiples,
+    documented)."""
+    if lo is None or hi is None:
+        return "1d", {"fixed_interval": "1d"}
+    import datetime as _dt
+
+    if isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime):
+        lo = _dt.datetime(lo.year, lo.month, lo.day)
+        hi = _dt.datetime(hi.year, hi.month, hi.day)
+    span = max((hi - lo).total_seconds(), 0.0)
+    for label, secs in _ADH_LADDER:
+        if span / secs <= max(target, 1):
+            return label, {"fixed_interval": label}
+    for label, unit, secs in (("1M", "month", 2_592_000.0),
+                              ("1q", "quarter", 7_776_000.0)):
+        if span / secs <= max(target, 1):
+            return label, {"calendar_interval": unit}
+    return "1y", {"calendar_interval": "year"}
+
+
 def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     """Compile an ES ``aggs`` body to one aggregation DataFrame.
 
@@ -1200,6 +1258,55 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     # element struct, strip the "path." prefix from sub-agg field names,
     # and recurse — every bucket/metric shape below then works per
     # element.  A bare nested (no sub-aggs) returns the element count.
+    sampler_spec = [(n, s) for n, s in aggs.items()
+                    if set(s) & {"sampler", "diversified_sampler"}]
+    if sampler_spec:
+        # ES sampler: sub-aggs run over a bounded, best-effort document
+        # sample.  Engine determinism: "top shard_size by xxhash64(id)"
+        # (a TakeOrderedAndProject — reproducible across runs/retries,
+        # unlike ES's first-N-per-shard which depends on segment order;
+        # documented divergence).  diversified_sampler first caps docs
+        # per field value with a hash-ordered row_number window.
+        if len(aggs) != 1:
+            raise ValueError("sampler must be the only top-level aggregation")
+        (name, s), = sampler_spec
+        kind = "sampler" if "sampler" in s else "diversified_sampler"
+        spec = s[kind] or {}
+        shard_size = int(spec.get("shard_size", 100))
+        h = F.xxhash64(F.col(id_field))
+        base = df
+        if kind == "diversified_sampler":
+            from pyspark.sql.window import Window as _W
+
+            mpv = int(spec.get("max_docs_per_value", 1))
+            dw = _W.partitionBy(spec["field"]).orderBy(h)
+            base = (
+                base.withColumn("_div_rn", F.row_number().over(dw))
+                .where(F.col("_div_rn") <= mpv).drop("_div_rn")
+            )
+        sampled = base.orderBy(h, F.col(id_field)).limit(shard_size)
+        if s.get("aggs"):
+            return compile_aggs(sampled, s["aggs"], id_field)
+        return sampled.agg(F.count(F.lit(1)).alias("doc_count"))
+
+    adh_spec = [(n, s) for n, s in aggs.items() if "auto_date_histogram" in s]
+    if adh_spec:
+        # auto_date_histogram: pick the smallest ladder interval that
+        # keeps the bucket count <= `buckets` — ES's coordinating-node
+        # interval selection, done here with one bounded min/max
+        # aggregate, then compiled as an ordinary date_histogram; the
+        # chosen interval is surfaced as a literal `interval` column
+        # (ES returns it in the response meta).
+        (name, s), = adh_spec
+        adh = s["auto_date_histogram"]
+        field, target = adh["field"], int(adh.get("buckets", 10))
+        mm = df.agg(F.min(field).alias("lo"), F.max(field).alias("hi")).first()
+        label, hspec = _auto_date_interval(mm["lo"], mm["hi"], target)
+        new_s = {k: v for k, v in s.items() if k != "auto_date_histogram"}
+        new_s["date_histogram"] = {"field": field, **hspec}
+        out = compile_aggs(df, {**aggs, name: new_s}, id_field)
+        return out.withColumn("interval", F.lit(label))
+
     nested_spec = [(n, s) for n, s in aggs.items() if "nested" in s]
     if nested_spec:
         if len(aggs) != 1:

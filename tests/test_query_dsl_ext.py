@@ -1752,3 +1752,101 @@ def test_named_queries_matched_queries_column(spark):
     out = es_search(df, {"query": {"match_all": {}}, "_source": ["id"]},
                     id_field="id")
     assert "matched_queries" not in out.columns
+
+
+def test_geo_metric_aggs(spark):
+    """geo_centroid (planar mean + count) and geo_bounds (bounding box)
+    over struct{lat,lon} columns, incl. inside a terms bucket."""
+    df = spark.createDataFrame(
+        [(1, "a", {"lat": 10.0, "lon": 20.0}),
+         (2, "a", {"lat": 30.0, "lon": -40.0}),
+         (3, "b", {"lat": -5.0, "lon": 5.0}),
+         (4, "b", None)],
+        "id long, g string, loc struct<lat: double, lon: double>")
+    out = compile_aggs(df, {
+        "c": {"geo_centroid": {"field": "loc"}},
+        "b": {"geo_bounds": {"field": "loc"}},
+    }, "id").collect()[0]
+    assert (out["c_lat"], out["c_lon"], out["c_count"]) == (
+        pytest.approx(35.0 / 3), pytest.approx(-5.0), 3)
+    assert (out["b_top"], out["b_bottom"], out["b_left"], out["b_right"]) == (
+        30.0, -5.0, -40.0, 20.0)
+    rows = {r["key"]: r for r in compile_aggs(df, {
+        "t": {"terms": {"field": "g"},
+              "aggs": {"c": {"geo_centroid": {"field": "loc"}}}},
+    }, "id").collect()}
+    assert rows["a"]["c_lat"] == pytest.approx(20.0)
+    assert rows["b"]["c_count"] == 1
+
+
+def test_sampler_and_diversified_sampler(spark):
+    """sampler: sub-aggs over a deterministic hash-ordered top
+    shard_size sample; diversified_sampler additionally caps docs per
+    field value."""
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(100)],
+        "id long, g string, v double")
+    out = compile_aggs(df, {"s": {
+        "sampler": {"shard_size": 10},
+        "aggs": {"n": {"value_count": {"field": "v"}}},
+    }}, "id").collect()[0]
+    assert out["n"] == 10
+    # deterministic across invocations
+    out2 = compile_aggs(df, {"s": {
+        "sampler": {"shard_size": 10},
+        "aggs": {"avg_v": {"avg": {"field": "v"}}},
+    }}, "id").collect()[0]
+    out3 = compile_aggs(df, {"s": {
+        "sampler": {"shard_size": 10},
+        "aggs": {"avg_v": {"avg": {"field": "v"}}},
+    }}, "id").collect()[0]
+    assert out2["avg_v"] == out3["avg_v"]
+    # bare sampler returns its doc_count
+    out = compile_aggs(df, {"s": {"sampler": {"shard_size": 7}}}, "id").first()
+    assert out["doc_count"] == 7
+    # diversified: at most max_docs_per_value rows per g before the cut
+    out = compile_aggs(df, {"s": {
+        "diversified_sampler": {"shard_size": 50, "field": "g",
+                                "max_docs_per_value": 2},
+        "aggs": {"n": {"value_count": {"field": "v"}}},
+    }}, "id").first()
+    assert out["n"] == 6  # 3 values x 2 docs
+    with pytest.raises(ValueError, match="only top-level"):
+        compile_aggs(df, {"s": {"sampler": {}},
+                          "other": {"avg": {"field": "v"}}}, "id")
+
+
+def test_auto_date_histogram(spark):
+    """auto_date_histogram picks the smallest ladder interval keeping
+    the bucket count <= `buckets` and surfaces it as `interval`."""
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+            for i in range(48)]  # 2-day span
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = compile_aggs(df, {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 4}}}, "id")
+    got = out.collect()
+    # 47h span / 12h = 4 buckets — the smallest ladder step within target
+    assert all(r["interval"] == "12h" for r in got)
+    assert len(got) == 4 and sorted(r["doc_count"] for r in got) == [12] * 4
+    out = compile_aggs(df, {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 2}}}, "id")
+    got = out.collect()
+    assert all(r["interval"] == "1d" for r in got) and len(got) == 2
+    # tighter target -> weekly; wider -> hourly
+    out = compile_aggs(df, {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 60}}}, "id")
+    assert out.first()["interval"] == "1h"
+    # multi-year span falls back to calendar years
+    rows = [(i, dt.datetime(2000 + i, 6, 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = compile_aggs(df, {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 10}}}, "id")
+    got = out.collect()
+    assert all(r["interval"] == "1y" for r in got) and len(got) == 20
+    # sub-aggs ride along
+    out = compile_aggs(df, {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 10},
+        "aggs": {"m": {"max": {"field": "id"}}}}}, "id")
+    assert "m" in out.columns
