@@ -720,10 +720,18 @@ def score_frame(
     k1: float = 1.2,
     b: float = 0.75,
     stats_over: DataFrame | None = None,
+    explain: bool = False,
 ) -> DataFrame:
     """``df`` + a ``_score`` column for ``query`` (score context), rounded
     to 6 decimals.  Rows are NOT filtered — callers apply the filter
-    predicate separately (``es_scored_search`` does both)."""
+    predicate separately (``es_scored_search`` does both).
+
+    ``explain`` adds an ``_explanation`` JSON column per row: the final
+    value, the BM25 parameters, the normalized clause tree, each scored
+    text field's per-term partial map, and each keyword term leaf's idf —
+    the numbers a consumer needs to audit a score.  (Live ES renders a
+    Lucene explanation TREE; this compact object form is the documented
+    equivalent for a flat frame.)"""
     q = _normalize(query)
     comp = _ScoreCompiler(id_field)
     comp.collect(q)
@@ -750,8 +758,25 @@ def score_frame(
         out = out.crossJoin(F.broadcast(
             (stats_over if stats_over is not None else df).agg(*aggs)))
     score = F.round(comp.build(q), 6)
+    out = out.withColumn("_score", score)
+    if explain:
+        import json as _json
+
+        fields = [f for f in sorted(comp.field_terms) if comp.field_terms[f]]
+        expl = F.to_json(F.struct(
+            F.col("_score").alias("value"),
+            F.lit(f"score(k1={k1}, b={b}), clause tree: "
+                  + _json.dumps(q, sort_keys=True)).alias("description"),
+            *[F.col(f"_tsmap_{f}").alias(f"bm25_partials_{f}")
+              for f in fields],
+            *[F.col(f"_idf_{i}").alias(
+                "idf_" + "".join(ch if ch.isalnum() else "_"
+                                 for ch in f"{fld}_{val}"))
+              for i, (fld, val) in enumerate(comp.term_leaves)],
+        ))
+        out = out.withColumn("_explanation", expl)
     drop = [c for c in out.columns if c.startswith(("_tsmap_", "_idf_"))]
-    return out.withColumn("_score", score).drop(*drop)
+    return out.drop(*drop)
 
 
 def es_scored_search(
@@ -811,12 +836,16 @@ def _es_scored_search_impl(
         df = df.withColumn("matched_queries", mq)
         extra_named.append("matched_queries")
         query = _strip_names(query)
+    want_explain = bool(body.get("explain"))
     if knn_only:
         # a knn-only body returns exactly the top-k — no match_all
-        # baseline score, no non-knn hits
+        # baseline score, no non-knn hits (and nothing to explain)
+        if want_explain:
+            raise ValueError("explain is not supported for knn-only bodies")
         scored = df.withColumn("_score", F.lit(0.0))
     else:
-        scored = score_frame(df, query, id_field, k1=k1, b=b)
+        scored = score_frame(df, query, id_field, k1=k1, b=b,
+                             explain=want_explain)
     if knn is not None:
         # ES 8 combined retrieval: the hit set is the UNION of the query's
         # matches and the kNN top-k, and _score SUMS both contributions —
@@ -1000,6 +1029,8 @@ def _es_scored_search_impl(
             scored, {**body, "query": _normalize(query)}
         )
     if body.get("_source"):
+        expl_cols = (["_explanation"]
+                     if "_explanation" in scored.columns else [])
         scored = scored.select(*body["_source"], "_score", *extra_cols,
-                               *extra_named)
+                               *extra_named, *expl_cols)
     return scored

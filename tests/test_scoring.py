@@ -796,3 +796,32 @@ def test_scored_hit_filter_pushes_to_parquet(spark, tmp_path):
     out = es_scored_search(df, body, id_field="doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(n,500)" in plan, plan[:1500]
+
+
+def test_explain_emits_score_breakdown(corpus):
+    """explain: true adds an _explanation JSON column carrying the final
+    value, the BM25 params + normalized clause tree, per-field term
+    partials, and keyword-leaf idfs — enough to recompute the score."""
+    import json as _json
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "merge stream"}}],
+        "should": [{"term": {"source": "web"}}],
+    }}, "size": 10, "explain": True, "_source": ["doc_id"]}
+    out = es_scored_search(corpus, body, id_field="doc_id").collect()
+    for r in out:
+        e = _json.loads(r["_explanation"])
+        assert e["value"] == r["_score"]
+        assert "k1=1.2" in e["description"]
+        assert "clause tree" in e["description"]
+        parts = e.get("bm25_partials_text") or {}
+        idf = e.get("idf_source_web")
+        # the explanation's numbers recompose to the score
+        total = round(sum(parts.values()), 6)
+        if idf is not None and r["doc_id"] in (1, 2, 4):
+            total = round(total + idf, 6)
+        assert total == pytest.approx(r["_score"], abs=2e-6)
+    # no explain flag -> no column
+    out = es_scored_search(corpus, {"query": {"match": {"text": "merge"}},
+                                    "size": 5}, id_field="doc_id")
+    assert "_explanation" not in out.columns
