@@ -191,7 +191,6 @@ def _span_terms(q: dict) -> tuple[str, list[str]]:
 
 def _span_positions(toks: Column, q: dict) -> Column:
     """Positions (0-based, sorted) where the span clause matches."""
-    (kind, body), = q.items()
     _, terms = _span_terms(q)
     if len(terms) == 1:
         return _token_positions(toks, terms[0])
@@ -680,6 +679,15 @@ def compile_query(
         return col(field) == F.lit(value)
     if kind == "terms":
         field, values = _field_spec(body)
+        if isinstance(values, dict):
+            # the document-LOOKUP form must be resolved by expand_lookups
+            # before compilation — compiling the raw dict would silently
+            # isin() its KEYS (code-review r9); entry points that own a
+            # DataFrame expand it, anything else rejects loudly
+            raise ValueError(
+                "terms lookup form reached the compiler unresolved — "
+                "this context does not support document lookups"
+            )
         return col(field).isin(list(values))
     if kind == "range":
         field, spec = _field_spec(body)
@@ -1130,11 +1138,14 @@ def _metric_exprs(
         den = F.sum(F.when(v.isNotNull(), w).cast("decimal(28,6)"))
         return [F.round((num / den).cast("double"), 6).alias(name)]
     if kind == "geo_centroid":
-        # ES geo_centroid: arithmetic mean of the points (the planar
-        # approximation ES itself uses per-shard), + the point count
-        lat, lon = F.col(field)["lat"], F.col(field)["lon"]
+        # ES geo_centroid: arithmetic mean of the VALID points (both
+        # coordinates present — a half-set point must not skew count vs
+        # means, code-review r9), + the point count
+        raw_lat, raw_lon = F.col(field)["lat"], F.col(field)["lon"]
+        valid = raw_lat.isNotNull() & raw_lon.isNotNull()
         if gate is not None:
-            lat, lon = F.when(gate, lat), F.when(gate, lon)
+            valid = valid & gate
+        lat, lon = F.when(valid, raw_lat), F.when(valid, raw_lon)
         return [
             F.round(F.avg(lat), 6).alias(f"{name}_lat"),
             F.round(F.avg(lon), 6).alias(f"{name}_lon"),
@@ -1205,10 +1216,13 @@ _ADH_LADDER = [
 
 def _auto_date_interval(lo, hi, target: int) -> tuple[str, dict]:
     """(label, date_histogram spec fragment) for the smallest interval
-    keeping ``ceil(range / interval) <= target``.  Beyond a week the
-    calendar units take over (month/quarter/year; a multi-century range
-    stays on years — the flat contract has no 5y/10y multiples,
-    documented)."""
+    whose EPOCH-ALIGNED bucket count stays <= ``target`` — the count is
+    ``floor(hi/interval) - floor(lo/interval) + 1``, exactly what the
+    downstream date_histogram emits, so alignment can never overflow the
+    target (code-review r9: the raw span/interval estimate could return
+    one bucket too many).  Beyond a week the calendar units take over
+    (month/quarter/year; a multi-century range stays on years — the flat
+    contract has no 5y/10y multiples, documented)."""
     if lo is None or hi is None:
         return "1d", {"fixed_interval": "1d"}
     import datetime as _dt
@@ -1216,15 +1230,42 @@ def _auto_date_interval(lo, hi, target: int) -> tuple[str, dict]:
     if isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime):
         lo = _dt.datetime(lo.year, lo.month, lo.day)
         hi = _dt.datetime(hi.year, hi.month, hi.day)
-    span = max((hi - lo).total_seconds(), 0.0)
+    epoch = _dt.datetime(1970, 1, 1)
+    lo_s = (lo - epoch).total_seconds()
+    hi_s = max((hi - epoch).total_seconds(), lo_s)
+    tgt = max(target, 1)
     for label, secs in _ADH_LADDER:
-        if span / secs <= max(target, 1):
+        if (hi_s // secs) - (lo_s // secs) + 1 <= tgt:
             return label, {"fixed_interval": label}
-    for label, unit, secs in (("1M", "month", 2_592_000.0),
-                              ("1q", "quarter", 7_776_000.0)):
-        if span / secs <= max(target, 1):
-            return label, {"calendar_interval": unit}
+    months = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
+    if months <= tgt:
+        return "1M", {"calendar_interval": "month"}
+    quarters = ((hi.year * 4 + (hi.month - 1) // 3)
+                - (lo.year * 4 + (lo.month - 1) // 3) + 1)
+    if quarters <= tgt:
+        return "1q", {"calendar_interval": "quarter"}
     return "1y", {"calendar_interval": "year"}
+
+
+def _expand_agg_filters(df: DataFrame, aggs: dict, id_field: str) -> dict:
+    """Resolve terms-lookup (and MLT) clauses inside filter/filters/
+    adjacency_matrix bucket specs — these are query clauses compiled
+    outside the body['query'] path, so the entry-point expansion misses
+    them (code-review r9)."""
+    out = {}
+    for n, s in aggs.items():
+        s2 = dict(s)
+        if "filter" in s2:
+            s2["filter"] = expand_lookups(df, s2["filter"], id_field)
+        for bk in ("filters", "adjacency_matrix"):
+            if isinstance(s2.get(bk), dict) and "filters" in s2[bk]:
+                s2[bk] = {**s2[bk], "filters": {
+                    bn: expand_lookups(df, c, id_field)
+                    for bn, c in s2[bk]["filters"].items()}}
+        if "aggs" in s2:
+            s2["aggs"] = _expand_agg_filters(df, s2["aggs"], id_field)
+        out[n] = s2
+    return out
 
 
 def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
@@ -1258,6 +1299,7 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     # element struct, strip the "path." prefix from sub-agg field names,
     # and recurse — every bucket/metric shape below then works per
     # element.  A bare nested (no sub-aggs) returns the element count.
+    aggs = _expand_agg_filters(df, aggs, id_field)
     sampler_spec = [(n, s) for n, s in aggs.items()
                     if set(s) & {"sampler", "diversified_sampler"}]
     if sampler_spec:
@@ -2520,6 +2562,8 @@ def collect_named_queries(q) -> list[tuple[str, dict]]:
             walk(body.get("query"))
             walk(body.get("positive"))
             walk(body.get("negative"))
+        elif kind == "nested":
+            walk(body.get("query"))
 
     walk(q)
     # one predicate per distinct name (ES allows the same name on several
@@ -2629,8 +2673,17 @@ def expand_lookups(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
             expand_lookups(df, c, id_field) for c in body["queries"]]}}
     if kind in ("function_score", "script_score"):
         inner = body.get("query", {"match_all": {}})
-        return {kind: {**body,
-                       "query": expand_lookups(df, inner, id_field)}}
+        out = {**body, "query": expand_lookups(df, inner, id_field)}
+        # per-function filters are query clauses too (code-review r9)
+        if out.get("functions"):
+            out["functions"] = [
+                ({**fn, "filter": expand_lookups(df, fn["filter"], id_field)}
+                 if "filter" in fn else fn)
+                for fn in out["functions"]
+            ]
+        if "filter" in out:
+            out["filter"] = expand_lookups(df, out["filter"], id_field)
+        return {kind: out}
     if kind == "boosting":
         return {kind: {**body,
                        "positive": expand_lookups(
@@ -2831,7 +2884,8 @@ def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> 
     allows)."""
     if body and "query" in body:
         df = df.where(compile_query(
-            expand_lookups(df, body["query"], id_field), id_field))
+            _strip_names(expand_lookups(df, body["query"], id_field)),
+            id_field))
     return df.agg(F.count(F.lit(1)).alias("count"))
 
 
@@ -2878,10 +2932,16 @@ def _es_search_impl(
             _script_column(rspec["script"]["source"], {}, columns=df.columns),
         )
     if body.get("query"):
-        # more_like_this needs corpus stats at plan-build time — expand
-        # those nodes into their bool-of-selected-terms form first
-        body = {**body, "query": expand_lookups(
-            df, body["query"], id_field)}
+        # more_like_this / terms lookups need corpus data at plan-build
+        # time — expand those nodes first; then strip _name markers
+        # unconditionally (every downstream branch compiles this tree —
+        # sig_terms/global/knn included — and the compilers treat spec
+        # keys positionally, code-review r9), keeping the pre-strip tree
+        # for the matched_queries column
+        _mq_tree = expand_lookups(df, body["query"], id_field)
+        body = {**body, "query": _strip_names(_mq_tree)}
+    else:
+        _mq_tree = None
     # the `global` agg escapes the query filter entirely (ES: sub-aggs run
     # over the whole index) — branch before the filter is applied
     glob = [(n, s) for n, s in (body.get("aggs") or {}).items() if "global" in s]
@@ -2931,13 +2991,12 @@ def _es_search_impl(
         )
     extra_cols: list[str] = []
     if "query" in body:
-        # named queries (_name markers): per-name predicates become the
-        # matched_queries JSON column; the compile tree sees a stripped body
-        mq = named_queries_column(body["query"], id_field)
+        # named queries (_name markers from the pre-strip tree): per-name
+        # predicates become the matched_queries JSON column
+        mq = named_queries_column(_mq_tree, id_field) if _mq_tree else None
         if mq is not None:
             df = df.withColumn("matched_queries", mq)
             extra_cols.append("matched_queries")
-            body = {**body, "query": _strip_names(body["query"])}
         df = df.where(compile_query(body["query"], id_field))
         nspec = body["query"].get("nested") if len(body["query"]) == 1 else None
         if nspec and "inner_hits" in nspec:
@@ -2993,7 +3052,10 @@ def _es_search_impl(
             .limit(k)
         )
         if body.get("_source"):
-            df = df.select(*body["_source"], "_score")
+            # keep matched_queries/inner_hits columns (code-review r9:
+            # the knn projection silently dropped them)
+            df = df.select(*body["_source"], "_score",
+                           *[c for c in extra_cols if c in df.columns])
         return df
     if body.get("aggs") and body.get("size", 10) == 0:
         return compile_aggs(df, body["aggs"], id_field)

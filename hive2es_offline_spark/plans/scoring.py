@@ -705,9 +705,12 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
             ).alias("_p"),
         )
     )
+    # sort the entries: collect_list order follows shuffle arrival, and
+    # a nondeterministic key order would leak into the _explanation JSON
+    # (map lookups themselves are order-independent)
     return partial.groupBy("_did").agg(
         F.map_from_entries(
-            F.collect_list(F.struct("_term", "_p"))
+            F.array_sort(F.collect_list(F.struct("_term", "_p")))
         ).alias(f"_tsmap_{field}")
     ).withColumnRenamed("_did", id_field)
 
@@ -766,7 +769,8 @@ def score_frame(
         expl = F.to_json(F.struct(
             F.col("_score").alias("value"),
             F.lit(f"score(k1={k1}, b={b}), clause tree: "
-                  + _json.dumps(q, sort_keys=True)).alias("description"),
+                  + _json.dumps(q, sort_keys=True, default=str)
+                  ).alias("description"),
             *[F.col(f"_tsmap_{f}").alias(f"bm25_partials_{f}")
               for f in fields],
             *[F.col(f"_idf_{i}").alias(
@@ -831,12 +835,21 @@ def _es_scored_search_impl(
     # the input frame (flows through every downstream join/cut) and the
     # compile/score tree sees the stripped body
     mq = named_queries_column(query, id_field) if "query" in body else None
+    # stripped unconditionally: a _name the collector's walk misses must
+    # still never reach the positional spec compilers (code-review r9)
+    query = _strip_names(query)
     extra_named: list[str] = []
     if mq is not None:
         df = df.withColumn("matched_queries", mq)
         extra_named.append("matched_queries")
-        query = _strip_names(query)
     want_explain = bool(body.get("explain"))
+    if want_explain and (knn is not None or body.get("rescore") is not None):
+        # the knn/rescore blends rewrite _score AFTER score_frame stamps
+        # the explanation, which would break the value == _score contract
+        # (code-review r9) — reject loudly rather than explain stale math
+        raise ValueError(
+            "explain is not supported together with knn or rescore"
+        )
     if knn_only:
         # a knn-only body returns exactly the top-k — no match_all
         # baseline score, no non-knn hits (and nothing to explain)
@@ -865,7 +878,9 @@ def _es_scored_search_impl(
         cand = df
         if "filter" in knn:
             cand = cand.where(
-                F.coalesce(compile_query(knn["filter"], id_field), F.lit(False))
+                F.coalesce(compile_query(
+                    expand_lookups(df, knn["filter"], id_field), id_field),
+                    F.lit(False))
             )
         top_ids = (
             cand.select(F.col(id_field).alias("_knn_id"),
@@ -893,7 +908,9 @@ def _es_scored_search_impl(
         # window cut (VERDICT r8 #4): only the corpus-wide statistics
         # need a full pass — the per-doc tsmap join happens on the
         # ≤ window_size frame below
-        rspec = rescore["query"]
+        rspec = dict(rescore["query"])
+        rspec["rescore_query"] = expand_lookups(
+            df, rspec["rescore_query"], id_field)
         scored = scored.withColumnRenamed("_score", "_score0")
     # hit-set filter: query matches, or with knn the UNION of query
     # matches and the top-k.  The predicate stays RAW in the plain WHERE

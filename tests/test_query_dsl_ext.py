@@ -1850,3 +1850,70 @@ def test_auto_date_histogram(spark):
         "auto_date_histogram": {"field": "ts", "buckets": 10},
         "aggs": {"m": {"max": {"field": "id"}}}}}, "id")
     assert "m" in out.columns
+
+
+def test_r9_review_fixes_lookup_named_geo(spark):
+    """Second-pass review fixes: terms lookups resolve inside agg
+    filters / function_score filters / knn filters and reject loudly
+    where no frame is in hand; _name markers are stripped on every
+    compile path (es_count, nested); geo_centroid counts only points
+    with both coordinates."""
+    import json as _json
+
+    from hive2es_offline_spark.plans.query_dsl import es_count, es_search
+
+    df = spark.createDataFrame(
+        [(1, "alice", ["red", "blue"], {"lat": 10.0, "lon": 20.0}),
+         (2, "bob", ["green"], {"lat": 30.0, "lon": None}),
+         (3, "red", None, None), (4, "blue", None, None),
+         (5, "green", None, None)],
+        "id long, color string, followed array<string>, "
+        "loc struct<lat: double, lon: double>")
+    # terms lookup inside an aggs filter bucket resolves (was silently
+    # matching the dict KEYS)
+    out = es_search(df, {"size": 0, "aggs": {"b": {
+        "filter": {"terms": {"color": {"index": "t", "id": 1,
+                                       "path": "followed"}}},
+        "aggs": {"n": {"value_count": {"field": "id"}}},
+    }}}, id_field="id").first()
+    assert out["n"] == 2  # docs 3 and 4
+    # ... and inside a function_score per-function filter
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    out = es_scored_search(df, {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"filter": {"terms": {"color": {
+            "index": "t", "id": 1, "path": "followed"}}}, "weight": 5.0}],
+    }}, "size": 10}, id_field="id").collect()
+    assert {r["id"]: r["_score"] for r in out} == {
+        1: 1.0, 2: 1.0, 3: 5.0, 4: 5.0, 5: 1.0}
+    # a lookup reaching the compiler without a frame rejects loudly
+    with pytest.raises(ValueError, match="lookup form reached the compiler"):
+        compile_query({"terms": {"color": {"index": "t", "id": 1,
+                                           "path": "followed"}}}, "id")
+    # _name on es_count path and inside nested bodies no longer breaks
+    n = es_count(df, {"query": {"terms": {"color": ["red", "blue"],
+                                          "_name": "x"}}},
+                 id_field="id").first()["count"]
+    assert n == 2
+    # geo_centroid: doc 2's half point (lon NULL) is excluded everywhere
+    out = compile_aggs(df, {"c": {"geo_centroid": {"field": "loc"}}},
+                       "id").first()
+    assert (out["c_lat"], out["c_lon"], out["c_count"]) == (10.0, 20.0, 1)
+
+
+def test_auto_date_histogram_alignment_never_overflows(spark):
+    """code-review r9: the interval choice counts EPOCH-ALIGNED buckets,
+    so alignment can't yield target+1 buckets (a 46h span crossing two
+    midnight boundaries needs 1d, not 12h, for buckets=4)."""
+    import datetime as dt
+
+    rows = [(0, dt.datetime(2024, 1, 1, 11)), (1, dt.datetime(2024, 1, 3, 9))]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = compile_aggs(df, {"h": {
+        "auto_date_histogram": {"field": "ts", "buckets": 4}}}, "id")
+    got = out.collect()
+    # 12h would produce 5 aligned buckets (01-01T00 .. 01-03T00) — the
+    # aligned count picks 1d (3 buckets <= 4)
+    assert all(r["interval"] == "1d" for r in got)
+    assert len(got) <= 4
