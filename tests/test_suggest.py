@@ -202,3 +202,33 @@ def test_phrase_suggest_two_corpus_passes(spark):
             for r in vocab_frame(df, "text").collect()}
     assert rows == {"stream": (2, 2), "processing": (3, 3),
                     "wins": (2, 3), "steam": (1, 1)}
+
+
+def test_suggest_and_completion_plan_shape(spark, tmp_path):
+    """Scale-shape guards for the round-9 window rows: the term
+    suggester's corpus work is one explode + vocab-sized aggregate with
+    the candidate ranking window over candidates only; the completion
+    suggester cuts with TakeOrderedAndProject; neither plans a Python
+    evaluator."""
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"stream merge vector doc{i}", f"src{i % 7}")
+         for i in range(200)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    from hive2es_offline_spark.plans.suggest import (
+        completion_suggest,
+        term_suggest,
+    )
+
+    plan = (term_suggest(df, "stremaing mrege", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # the ranking window partitions by input_term (candidate-bounded),
+    # never a global single-partition window over corpus rows
+    assert "partitionBy" not in plan or "input_term" in plan
+    plan = (completion_suggest(df, "src", "source")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
