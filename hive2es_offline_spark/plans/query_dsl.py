@@ -2889,6 +2889,33 @@ def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> 
     return df.agg(F.count(F.lit(1)).alias("count"))
 
 
+#: search-body keys the engine compiles
+_BODY_KEYS = {
+    "query", "aggs", "sort", "from", "size", "_source", "knn", "rescore",
+    "collapse", "highlight", "min_score", "search_after",
+    "runtime_mappings", "explain", "suggest",
+}
+#: accepted no-ops: response-shaping hints with no flat-frame meaning
+#: (totals are the row count; every hit always carries live values)
+_BODY_KEYS_IGNORED = {
+    "track_total_hits", "timeout", "preference", "version",
+    "seq_no_primary_term", "track_scores", "terminate_after", "profile",
+    "stored_fields",
+}
+
+
+def validate_body_keys(body: dict) -> None:
+    """Reject unknown top-level search-body keys loudly, like ES's strict
+    body parsing — a typo ("sizee", "qeury") must not silently return
+    the unfiltered table."""
+    unknown = set(body) - _BODY_KEYS - _BODY_KEYS_IGNORED
+    if unknown:
+        raise ValueError(
+            f"unsupported search body key(s): {sorted(unknown)} "
+            f"(compiled: {sorted(_BODY_KEYS)})"
+        )
+
+
 def es_search(
     df: DataFrame,
     body: dict,
@@ -2901,6 +2928,7 @@ def es_search(
     build, then delegates.  Full semantics on ``_es_search_impl``."""
     from .analysis import using
 
+    validate_body_keys(body)
     with using(analyzer):
         return _es_search_impl(df, body, id_field, default_sort)
 

@@ -796,7 +796,9 @@ def es_scored_search(
     default / whitespace fallback, ``plans/analysis.py``) around the plan
     build, then delegates.  Full semantics on ``_es_scored_search_impl``."""
     from .analysis import using
+    from .query_dsl import validate_body_keys
 
+    validate_body_keys(body)
     with using(analyzer):
         return _es_scored_search_impl(df, body, id_field, k1=k1, b=b)
 

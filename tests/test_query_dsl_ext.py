@@ -1917,3 +1917,21 @@ def test_auto_date_histogram_alignment_never_overflows(spark):
     # aligned count picks 1d (3 buckets <= 4)
     assert all(r["interval"] == "1d" for r in got)
     assert len(got) <= 4
+
+
+def test_unknown_body_keys_reject_loudly(spark):
+    """ES-style strict body parsing: a typo'd top-level key must not
+    silently return the unfiltered table; response-shaping hints with no
+    flat-frame meaning are accepted as no-ops."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    df = spark.createDataFrame([(1, "a")], "id long, t string")
+    with pytest.raises(ValueError, match="sizee"):
+        es_search(df, {"query": {"match_all": {}}, "sizee": 5}, id_field="id")
+    with pytest.raises(ValueError, match="qeury"):
+        es_scored_search(df, {"qeury": {"match_all": {}}}, id_field="id")
+    # accepted no-ops pass through
+    assert es_search(df, {"query": {"match_all": {}},
+                          "track_total_hits": True, "timeout": "2s"},
+                     id_field="id").count() == 1
