@@ -2707,21 +2707,26 @@ def q_es_function_score(spark, sf_dir):
 #: snapshot_diff, dedup_incremental — all keep local DuckDB parity via
 #: demoted_goldens().
 #:
-#: Remaining never-adjudicated golden-backed candidates for round 10:
-#: window_ntile, repetition_stats, contamination, epoch_shuffle,
-#: temperature_mix, data_drift, es_query_ext, es_aggs_range,
-#: es_aggs_filters, bigram_lm_score, es_mlt (new r9 — more_like_this).
+#: Round-10 rotation (VERDICT r9 #1): the 11 never-adjudicated
+#: golden-backed queries rotate IN (window_ntile, repetition_stats,
+#: contamination, epoch_shuffle, temperature_mix, data_drift,
+#: es_query_ext, es_aggs_range, es_aggs_filters, bigram_lm_score,
+#: es_mlt); rotating OUT the 11 longest-stable driver-green rows
+#: (es_knn green r6-r9; embed_quantize, es_top_hits, es_search_after,
+#: es_composite, es_sig_terms, es_collapse, es_count green r7-r9;
+#: es_pipeline_aggs, es_sibling_bucket, es_metrics_ext green r8-r9) —
+#: all keep local DuckDB parity via demoted_goldens().
 #: Window membership is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
     "es_suggest", "es_agg_filter",
     "es_date_range", "es_nested_agg", "es_routing", "partition_counts",
     "dedup_minhash", "dedup_components",
     "curation_pipeline", "es_mget",
-    "es_query_string", "es_scored_search", "es_function_score", "es_knn",
-    "embed_quantize", "es_field_caps",
-    "es_top_hits", "es_search_after", "es_composite", "es_sig_terms",
-    "es_collapse", "es_count",
-    "es_pipeline_aggs", "es_sibling_bucket", "es_metrics_ext",
+    "es_query_string", "es_scored_search", "es_function_score",
+    "es_field_caps",
+    "es_mlt", "es_query_ext", "es_aggs_range", "es_aggs_filters",
+    "window_ntile", "repetition_stats", "contamination", "epoch_shuffle",
+    "temperature_mix", "data_drift", "bigram_lm_score",
     "es_rare_terms", "es_multi_terms", "es_clause_ext", "es_date_math",
     "es_gap_fill", "es_terms_order", "es_adjacency", "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
