@@ -2673,6 +2673,56 @@ def q_es_function_score(spark, sf_dir):
     return es_scored_search(d, body, id_field="doc_id")
 
 
+def q_es_multi_match_types(spark, sf_dir):
+    """All six ES ``multi_match`` types over one corpus, one tagged
+    top-5 ranking per type: best_fields (dismax + tie_breaker),
+    most_fields (sum), phrase / phrase_prefix (positional), cross_fields
+    (TERM-centric with Lucene BlendedTermQuery df-blending — per term,
+    dismax across fields on partials whose idf uses the MAX df across
+    the group, so operator=and can match different terms in different
+    fields), and bool_prefix (per-field match_bool_prefix, summed).
+    See plans/scoring.py; the filter-context twins live in
+    plans/query_dsl.py."""
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    d = _t(spark, sf_dir, "documents")
+    bodies = [
+        ("best_fields", {"query": {"multi_match": {
+            "query": "merge stream", "fields": ["text^2", "source"],
+            "type": "best_fields", "tie_breaker": 0.3}},
+            "size": 5, "_source": ["doc_id"]}),
+        ("most_fields", {"query": {"multi_match": {
+            "query": "merge stream", "fields": ["text", "source"],
+            "type": "most_fields"}},
+            "size": 5, "_source": ["doc_id"]}),
+        ("phrase", {"query": {"multi_match": {
+            "query": "slow scan", "fields": ["text^2"], "type": "phrase"}},
+            "size": 5, "_source": ["doc_id"]}),
+        ("phrase_prefix", {"query": {"multi_match": {
+            "query": "slow sc", "fields": ["text"],
+            "type": "phrase_prefix"}},
+            "size": 5, "_source": ["doc_id"]}),
+        ("cross_fields", {"query": {"multi_match": {
+            "query": "merge src3", "fields": ["text", "source"],
+            "type": "cross_fields", "operator": "and",
+            "tie_breaker": 0.3}},
+            "size": 5, "_source": ["doc_id"]}),
+        ("bool_prefix", {"query": {"multi_match": {
+            "query": "merge str", "fields": ["text", "source^3"],
+            "type": "bool_prefix"}},
+            "size": 5, "_source": ["doc_id"]}),
+    ]
+    parts = [
+        es_scored_search(d, body, id_field="doc_id").select(
+            F.lit(label).alias("mm_type"), "doc_id", "_score")
+        for label, body in bodies
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2727,7 +2777,8 @@ DRIVER_WINDOW = [
     "es_mlt", "es_query_ext", "es_aggs_range", "es_aggs_filters",
     "window_ntile", "repetition_stats", "contamination", "epoch_shuffle",
     "temperature_mix", "data_drift", "bigram_lm_score",
-    "es_rare_terms", "es_multi_terms", "es_clause_ext", "es_date_math",
+    "es_multi_match_types",
+    "es_multi_terms", "es_clause_ext", "es_date_math",
     "es_gap_fill", "es_terms_order", "es_adjacency", "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
@@ -2800,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_query_string": q_es_query_string,
         "es_scored_search": q_es_scored_search,
         "es_function_score": q_es_function_score,
+        "es_multi_match_types": q_es_multi_match_types,
         "es_mget": q_es_mget,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
@@ -4157,6 +4209,191 @@ def _goldens_b() -> dict[str, str]:
             FROM bm JOIN documents d ON bm.doc_id = d.doc_id
             ORDER BY _score DESC, bm.doc_id ASC
             LIMIT 25
+        """,
+        # mirrors q_es_multi_match_types type by type: per-field BM25
+        # partials (rounded DECIMAL(28,6)) for text and source; best =
+        # greatest + tie_breaker, most/bool_prefix = field sums, phrase =
+        # bigram adjacency gate, phrase_prefix = token+prefix adjacency,
+        # cross_fields = per-term dismax over partials whose idf uses the
+        # MAX df across the two fields (BlendedTermQuery df blending)
+        "es_multi_match_types": """
+            WITH tok_t AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), tok_s AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), dl_t AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok_t
+            ), dl_s AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok_s
+            ), st_t AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl_t
+            ), st_s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl_s
+            ), tf_t AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok_t, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream', 'slow', 'scan', 'src3')
+              GROUP BY 1, 2
+            ), tf_s AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok_s, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream', 'src3')
+              GROUP BY 1, 2
+            ), df_t AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf_t GROUP BY 1
+            ), df_s AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf_s GROUP BY 1
+            ), part_t AS (
+              SELECT tf_t.doc_id, tf_t.t,
+                     CAST(round(
+                       ln(1.0 + (st_t.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+                       * (tf_t.tf * 2.2)
+                       / (tf_t.tf + 1.2 * (0.25 + 0.75 * dl_t.dl / st_t.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf_t JOIN df_t USING (t) JOIN dl_t USING (doc_id), st_t
+            ), part_s AS (
+              SELECT tf_s.doc_id, tf_s.t,
+                     CAST(round(
+                       ln(1.0 + (st_s.n_docs - df_s.df + 0.5) / (df_s.df + 0.5))
+                       * (tf_s.tf * 2.2)
+                       / (tf_s.tf + 1.2 * (0.25 + 0.75 * dl_s.dl / st_s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf_s JOIN df_s USING (t) JOIN dl_s USING (doc_id), st_s
+            ), bm_t AS (
+              SELECT doc_id, CAST(sum(p) AS DOUBLE) AS v
+              FROM part_t WHERE t IN ('merge', 'stream') GROUP BY 1
+            ), bm_s AS (
+              SELECT doc_id, CAST(sum(p) AS DOUBLE) AS v
+              FROM part_s WHERE t IN ('merge', 'stream') GROUP BY 1
+            ), bf AS (
+              SELECT d.doc_id,
+                     CASE WHEN bm_t.v IS NOT NULL THEN bm_t.v * 2.0 ELSE 0.0 END AS st,
+                     CASE WHEN bm_s.v IS NOT NULL THEN bm_s.v ELSE 0.0 END AS ss
+              FROM documents d
+              LEFT JOIN bm_t ON bm_t.doc_id = d.doc_id
+              LEFT JOIN bm_s ON bm_s.doc_id = d.doc_id
+              WHERE bm_t.v IS NOT NULL OR bm_s.v IS NOT NULL
+            ), q_best AS (
+              SELECT 'best_fields' AS mm_type, doc_id,
+                     round(greatest(st, ss)
+                           + 0.3 * ((st + ss) - greatest(st, ss)), 6) AS _score
+              FROM bf ORDER BY _score DESC, doc_id ASC LIMIT 5
+            ), mf AS (
+              SELECT d.doc_id,
+                     CASE WHEN bm_t.v IS NOT NULL THEN bm_t.v ELSE 0.0 END AS st,
+                     CASE WHEN bm_s.v IS NOT NULL THEN bm_s.v ELSE 0.0 END AS ss
+              FROM documents d
+              LEFT JOIN bm_t ON bm_t.doc_id = d.doc_id
+              LEFT JOIN bm_s ON bm_s.doc_id = d.doc_id
+              WHERE bm_t.v IS NOT NULL OR bm_s.v IS NOT NULL
+            ), q_most AS (
+              SELECT 'most_fields' AS mm_type, doc_id,
+                     round(st + ss, 6) AS _score
+              FROM mf ORDER BY _score DESC, doc_id ASC LIMIT 5
+            ), ph AS (
+              SELECT t.doc_id, CAST(sum(p.p) AS DOUBLE) AS v
+              FROM tok_t t JOIN part_t p ON p.doc_id = t.doc_id
+              WHERE p.t IN ('slow', 'scan')
+                AND list_contains(
+                      list_transform(generate_series(1, len(t.toks) - 1),
+                                     i -> t.toks[i] || ' ' || t.toks[i + 1]),
+                      'slow scan')
+              GROUP BY 1
+            ), q_phrase AS (
+              SELECT 'phrase' AS mm_type, doc_id,
+                     round(v * 2.0, 6) AS _score
+              FROM ph ORDER BY _score DESC, doc_id ASC LIMIT 5
+            ), q_pp AS (
+              SELECT 'phrase_prefix' AS mm_type, doc_id,
+                     CAST(1.0 AS DOUBLE) AS _score
+              FROM tok_t
+              WHERE len(list_filter(generate_series(1, len(toks) - 1),
+                        i -> toks[i] = 'slow'
+                             AND starts_with(toks[i + 1], 'sc'))) > 0
+              ORDER BY doc_id ASC LIMIT 5
+            ), df_x AS (
+              SELECT t, max(df) AS df FROM (
+                SELECT t, df FROM df_t WHERE t IN ('merge', 'src3')
+                UNION ALL
+                SELECT t, df FROM df_s WHERE t IN ('merge', 'src3')
+              ) GROUP BY t
+            ), xpart_t AS (
+              SELECT tf_t.doc_id, tf_t.t,
+                     round(
+                       ln(1.0 + (st_t.n_docs - df_x.df + 0.5) / (df_x.df + 0.5))
+                       * (tf_t.tf * 2.2)
+                       / (tf_t.tf + 1.2 * (0.25 + 0.75 * dl_t.dl / st_t.avgdl)),
+                       6) AS p
+              FROM tf_t JOIN df_x USING (t) JOIN dl_t USING (doc_id), st_t
+              WHERE tf_t.t IN ('merge', 'src3')
+            ), xpart_s AS (
+              SELECT tf_s.doc_id, tf_s.t,
+                     round(
+                       ln(1.0 + (st_s.n_docs - df_x.df + 0.5) / (df_x.df + 0.5))
+                       * (tf_s.tf * 2.2)
+                       / (tf_s.tf + 1.2 * (0.25 + 0.75 * dl_s.dl / st_s.avgdl)),
+                       6) AS p
+              FROM tf_s JOIN df_x USING (t) JOIN dl_s USING (doc_id), st_s
+              WHERE tf_s.t IN ('merge', 'src3')
+            ), xf AS (
+              SELECT d.doc_id,
+                     coalesce(xtm.p, 0.0) AS tm, coalesce(xsm.p, 0.0) AS sm,
+                     coalesce(xtx.p, 0.0) AS tx, coalesce(xsx.p, 0.0) AS sx
+              FROM documents d
+              LEFT JOIN xpart_t xtm ON xtm.doc_id = d.doc_id AND xtm.t = 'merge'
+              LEFT JOIN xpart_s xsm ON xsm.doc_id = d.doc_id AND xsm.t = 'merge'
+              LEFT JOIN xpart_t xtx ON xtx.doc_id = d.doc_id AND xtx.t = 'src3'
+              LEFT JOIN xpart_s xsx ON xsx.doc_id = d.doc_id AND xsx.t = 'src3'
+              WHERE (xtm.p IS NOT NULL OR xsm.p IS NOT NULL)
+                AND (xtx.p IS NOT NULL OR xsx.p IS NOT NULL)
+            ), q_cross AS (
+              SELECT 'cross_fields' AS mm_type, doc_id,
+                     round(CAST(
+                       CAST(round(greatest(tm, sm)
+                                  + 0.3 * ((tm + sm) - greatest(tm, sm)), 6)
+                            AS DECIMAL(28,6))
+                       + CAST(round(greatest(tx, sx)
+                                    + 0.3 * ((tx + sx) - greatest(tx, sx)), 6)
+                              AS DECIMAL(28,6)) AS DOUBLE), 6) AS _score
+              FROM xf ORDER BY _score DESC, doc_id ASC LIMIT 5
+            ), bp AS (
+              SELECT d.doc_id,
+                     coalesce(ptm.p, 0.0) AS tm, coalesce(psm.p, 0.0) AS sm,
+                     len(list_filter(tt.toks, x -> starts_with(x, 'str'))) > 0
+                       AS pre_t,
+                     len(list_filter(ts.toks, x -> starts_with(x, 'str'))) > 0
+                       AS pre_s
+              FROM documents d
+              JOIN tok_t tt ON tt.doc_id = d.doc_id
+              JOIN tok_s ts ON ts.doc_id = d.doc_id
+              LEFT JOIN part_t ptm ON ptm.doc_id = d.doc_id AND ptm.t = 'merge'
+              LEFT JOIN part_s psm ON psm.doc_id = d.doc_id AND psm.t = 'merge'
+            ), q_bp AS (
+              SELECT 'bool_prefix' AS mm_type, doc_id,
+                     round(
+                       (CASE WHEN tm > 0 OR pre_t
+                             THEN tm + CASE WHEN pre_t THEN 1.0 ELSE 0.0 END
+                             ELSE 0.0 END)
+                       + (CASE WHEN sm > 0 OR pre_s
+                               THEN (sm + CASE WHEN pre_s THEN 1.0 ELSE 0.0 END)
+                                    * 3.0
+                               ELSE 0.0 END), 6) AS _score
+              FROM bp
+              WHERE tm > 0 OR pre_t OR sm > 0 OR pre_s
+              ORDER BY _score DESC, doc_id ASC LIMIT 5
+            )
+            SELECT * FROM q_best
+            UNION ALL SELECT * FROM q_most
+            UNION ALL SELECT * FROM q_phrase
+            UNION ALL SELECT * FROM q_pp
+            UNION ALL SELECT * FROM q_cross
+            UNION ALL SELECT * FROM q_bp
         """,
         # mirrors _ES_SEARCH_BODY clause by clause: terms -> IN, range ->
         # comparisons, must_not term -> NOT =, should prefix+wildcard with

@@ -774,10 +774,51 @@ def compile_query(
             make = lambda f: {"match_phrase": {f: dict(spec)}}  # noqa: E731
         elif mm_type == "phrase_prefix":
             make = lambda f: {"match_phrase_prefix": {f: query}}  # noqa: E731
+        elif mm_type == "bool_prefix":
+            # per-field match_bool_prefix, OR across fields (the
+            # sum-of-field-scores distinction only affects scoring)
+            inner = {"query": query, "operator": operator}
+            if "minimum_should_match" in body:
+                inner["minimum_should_match"] = body["minimum_should_match"]
+            make = lambda f: {"match_bool_prefix": {f: dict(inner)}}  # noqa: E731
+        elif mm_type == "cross_fields":
+            # TERM-centric (ES blended term queries): a term matches when
+            # it appears in ANY of the group's fields; the operator /
+            # minimum_should_match then count TERMS, not fields — with
+            # operator=and every term must appear somewhere, possibly in
+            # different fields (the people-name/address shape best_fields
+            # cannot express)
+            terms = _analyze_terms(str(query))
+            if not terms:
+                return F.lit(True)
+            flds = [str(f).partition("^")[0] for f in body["fields"]]
+            per_term: list[Column] = []
+            for t in dict.fromkeys(terms):
+                anyf = F.array_contains(_analyze(col(flds[0])), t)
+                for f in flds[1:]:
+                    anyf = anyf | F.array_contains(_analyze(col(f)), t)
+                per_term.append(anyf)
+            if operator == "and":
+                out = per_term[0]
+                for p in per_term[1:]:
+                    out = out & p
+                return out
+            if "minimum_should_match" in body:
+                need = _msm_threshold(body["minimum_should_match"],
+                                      len(per_term))
+                hits: Column = per_term[0].cast("int")
+                for p in per_term[1:]:
+                    hits = hits + p.cast("int")
+                return hits >= F.lit(need)
+            out = per_term[0]
+            for p in per_term[1:]:
+                out = out | p
+            return out
         else:
             raise ValueError(
                 f"unsupported multi_match type: {mm_type!r} (best_fields | "
-                "most_fields | phrase | phrase_prefix)"
+                "most_fields | phrase | phrase_prefix | cross_fields | "
+                "bool_prefix)"
             )
         per_field = [
             compile_query(make(str(f).partition("^")[0]), id_field, fields)
@@ -876,6 +917,39 @@ def compile_query(
         return F.regexp_like(
             F.lower(col(field)),
             F.lit(_phrase_regex_pattern(terms, last_is_prefix=True)))
+    if kind == "match_bool_prefix":
+        # search-as-you-type: every analyzed term except the last is an
+        # exact token match; the LAST is a prefix over the analyzed
+        # tokens.  Clauses combine as SHOULD under the default OR
+        # operator (minimum_should_match counts them), all-must under AND
+        # — exactly ES's bool-of-term+prefix construction.
+        field, spec = _field_spec(body)
+        query = spec["query"] if isinstance(spec, dict) else spec
+        operator = (spec.get("operator", "or")
+                    if isinstance(spec, dict) else "or").lower()
+        msm = spec.get("minimum_should_match") if isinstance(spec, dict) else None
+        terms = _analyze_terms(query)
+        if not terms:
+            return F.lit(True)
+        toks = _analyze(col(field))
+        *full, last = terms
+        preds = [F.array_contains(toks, t) for t in dict.fromkeys(full)]
+        preds.append(F.exists(toks, lambda x: x.startswith(last)))
+        if operator == "and":
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+            return out
+        if msm is not None:
+            need = _msm_threshold(msm, len(preds))
+            hits: Column = preds[0].cast("int")
+            for p in preds[1:]:
+                hits = hits + p.cast("int")
+            return hits >= F.lit(need)
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
     if kind == "span_term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec

@@ -121,6 +121,9 @@ class _ScoreCompiler:
         self.id_field = id_field
         self.field_terms: dict[str, set[str]] = {}   # text field -> terms
         self.term_leaves: list[tuple[str, object]] = []  # (field, value)
+        #: cross_fields groups: (fields-tuple, sorted-terms-tuple) — each
+        #: gets blended-df maps ``_xfmap_<gi>_<field>`` from score_frame
+        self.xf_groups: list[tuple[tuple[str, ...], tuple[str, ...]]] = []
 
     # -- pass 1 -------------------------------------------------------------
     def collect(self, q: dict) -> None:
@@ -132,11 +135,33 @@ class _ScoreCompiler:
                 _analyze_terms(str(query))
             )
         elif kind == "multi_match":
-            for f in body["fields"]:
-                f = str(f).partition("^")[0]
-                self.field_terms.setdefault(f, set()).update(
-                    _analyze_terms(str(body["query"]))
-                )
+            mm_type = str(body.get("type", "best_fields"))
+            terms = _analyze_terms(str(body["query"]))
+            if mm_type == "cross_fields":
+                # term-centric: one blended-df map group, not per-field
+                # plain maps (per-field idf would break cross-field
+                # score comparability — the point of df blending)
+                flds = tuple(str(f).partition("^")[0] for f in body["fields"])
+                key = (flds, tuple(sorted(set(terms))))
+                if key[1] and key not in self.xf_groups:
+                    self.xf_groups.append(key)
+            elif mm_type == "bool_prefix":
+                # only the full terms score BM25; the trailing prefix is
+                # a constant-score clause (Lucene prefix rewrite)
+                full = list(dict.fromkeys(terms[:-1])) if terms else []
+                for f in body["fields"]:
+                    self.field_terms.setdefault(
+                        str(f).partition("^")[0], set()).update(full)
+            else:
+                for f in body["fields"]:
+                    self.field_terms.setdefault(
+                        str(f).partition("^")[0], set()).update(terms)
+        elif kind == "match_bool_prefix":
+            field, raw = next(iter(body.items()))
+            query = raw["query"] if isinstance(raw, dict) else raw
+            terms = _analyze_terms(str(query))
+            if len(terms) > 1:
+                self.field_terms.setdefault(field, set()).update(terms[:-1])
         elif kind == "term":
             field, raw = next(iter(body.items()))
             value = raw["value"] if isinstance(raw, dict) else raw
@@ -182,10 +207,62 @@ class _ScoreCompiler:
             boost = float(spec.get("boost", 1.0))
             return F.when(pred, self._bm25(field, str(spec["query"])) * boost
                           ).otherwise(F.lit(0.0))
+        if kind == "match_bool_prefix":
+            # bool of term queries + trailing prefix: the full terms sum
+            # their BM25 partials; the prefix clause contributes the
+            # constant 1.0 when it matches (Lucene's constant-score
+            # prefix rewrite), all gated on the clause's own predicate
+            field, raw = next(iter(body.items()))
+            spec = raw if isinstance(raw, dict) else {"query": raw}
+            boost = float(spec.get("boost", 1.0))
+            terms = _analyze_terms(str(spec["query"]))
+            if not terms:
+                return F.when(pred, F.lit(boost)).otherwise(F.lit(0.0))
+            full = list(dict.fromkeys(terms[:-1]))
+            toks = F.coalesce(analyze_col(F.col(field)),
+                              F.lit([]).cast("array<string>"))
+            last = terms[-1]
+            prefix = F.exists(toks, lambda x: x.startswith(last))
+            score = (self._bm25_terms(field, full)
+                     + F.when(prefix, F.lit(1.0)).otherwise(F.lit(0.0)))
+            return F.when(pred, score * boost).otherwise(F.lit(0.0))
         if kind == "multi_match":
             boost = float(body.get("boost", 1.0))
             tie = float(body.get("tie_breaker", 0.0))
             mm_type = str(body.get("type", "best_fields"))
+            if mm_type == "cross_fields":
+                # term-centric scoring over the blended-df maps: per term,
+                # dismax across the group's fields (+ tie_breaker times
+                # the rest, per-field boosts applied to each field's
+                # score), then the per-term contributions sum — rounded
+                # to 6 and DECIMAL-added so the total is order-
+                # independent and oracle-reproducible
+                flds, boosts = [], []
+                for f in body["fields"]:
+                    f2, _, fb = str(f).partition("^")
+                    flds.append(f2)
+                    boosts.append(float(fb) if fb else 1.0)
+                terms = sorted(set(_analyze_terms(str(body["query"]))))
+                if not terms:
+                    return F.when(pred, F.lit(boost)).otherwise(F.lit(0.0))
+                gi = self.xf_groups.index((tuple(flds), tuple(terms)))
+                total: Column = F.lit(0).cast("decimal(28,6)")
+                for t in terms:
+                    per_f = [
+                        F.coalesce(
+                            F.col(f"_xfmap_{gi}_{f}").getItem(t), F.lit(0.0)
+                        ) * F.lit(fb)
+                        for f, fb in zip(flds, boosts)
+                    ]
+                    best = F.greatest(*per_f) if len(per_f) > 1 else per_f[0]
+                    if tie and len(per_f) > 1:
+                        tsum = per_f[0]
+                        for p in per_f[1:]:
+                            tsum = tsum + p
+                        best = best + F.lit(tie) * (tsum - best)
+                    total = total + F.round(best, 6).cast("decimal(28,6)")
+                return F.when(pred, total.cast("double") * F.lit(boost)
+                              ).otherwise(F.lit(0.0))
             per = []
             for f in body["fields"]:
                 f2, _, fb = str(f).partition("^")
@@ -207,14 +284,23 @@ class _ScoreCompiler:
                     # position data the engine approximates away)
                     sub = {"match_phrase_prefix": {f2: {"query": body["query"],
                                                         "boost": fboost}}}
+                elif mm_type == "bool_prefix":
+                    spec = {"query": body["query"],
+                            "operator": body.get("operator", "or"),
+                            "boost": fboost}
+                    if "minimum_should_match" in body:
+                        spec["minimum_should_match"] = body["minimum_should_match"]
+                    sub = {"match_bool_prefix": {f2: spec}}
                 else:
                     raise ValueError(
                         f"unsupported multi_match type: {mm_type!r} "
-                        "(best_fields | most_fields | phrase | phrase_prefix)"
+                        "(best_fields | most_fields | phrase | phrase_prefix"
+                        " | cross_fields | bool_prefix)"
                     )
                 per.append(self.build(sub))
-            if mm_type == "most_fields":
-                # most_fields SUMS the per-field scores (ES semantics);
+            if mm_type in ("most_fields", "bool_prefix"):
+                # most_fields and bool_prefix SUM the per-field scores
+                # (ES's Type enum groups both with tieBreaker 1.0);
                 # tie_breaker applies to the best_fields family only
                 total = per[0]
                 for p in per[1:]:
@@ -301,7 +387,9 @@ class _ScoreCompiler:
     def _bm25(self, field: str, query: str) -> Column:
         """Sum of the per-term partials from this doc's term-score map for
         ``field`` (joined in by es_scored_search as ``_tsmap_<field>``)."""
-        terms = sorted(set(_analyze_terms(query)))
+        return self._bm25_terms(field, sorted(set(_analyze_terms(query))))
+
+    def _bm25_terms(self, field: str, terms: list[str]) -> Column:
         m = F.col(f"_tsmap_{field}")
         # partials are rounded to 6 decimals, so DECIMAL(28,6) addition is
         # exact and order-independent — same convention as bm25_topk, and
@@ -715,6 +803,95 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
     ).withColumnRenamed("_did", id_field)
 
 
+def _xf_term_score_maps(
+    df: DataFrame, id_field: str, fields: tuple[str, ...], terms: set[str],
+    k1: float, b: float, gi: int, stats_over: DataFrame | None = None,
+) -> list[DataFrame]:
+    """Blended-df BM25 partials for one multi_match ``cross_fields``
+    group: one ``(id, _xfmap_<gi>_<field>: map<term, double>)`` frame per
+    field.  Lucene's BlendedTermQuery makes per-field scores comparable
+    by rewriting each term's document frequency to the MAX across the
+    group's fields; tf, dl and avgdl stay per-field (N is the corpus
+    count, identical across fields of one index).
+
+    Scale shape: per field, the same single tokenize+explode pass as
+    ``_term_score_map`` filtered to the query's terms before the
+    per-(doc, term) shuffle; the corpus statistics — N, avgdl, AND every
+    term's per-field df — reduce to ONE 1-row aggregate per field whose
+    union (|fields| × |terms| rows) is the blended-df broadcast.  No
+    extra corpus pass for the blend."""
+    sterms = sorted(terms)
+    per_field: list[tuple[DataFrame, DataFrame]] = []
+    dfreqs: list[DataFrame] = []
+    for f in fields:
+        toks = F.coalesce(
+            analyze_col(F.col(f)), F.lit([]).cast("array<string>"))
+        base = df.select(
+            F.col(id_field).alias("_did"), toks.alias("_toks")
+        ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))
+        hits = (
+            base.select("_did", "_dl", F.explode("_toks").alias("_term"))
+            .where(F.col("_term").isin(sterms))
+        )
+        tf = hits.groupBy("_did", "_term").agg(
+            F.count(F.lit(1)).cast("double").alias("_tf"),
+            F.first("_dl").alias("_dl"),
+        )
+        src = stats_over if stats_over is not None else df
+        stats_base = src.select(toks.alias("_toks")).select(
+            "_toks", F.size("_toks").cast("double").alias("_dl"))
+        corpus = stats_base.agg(
+            F.count(F.lit(1)).cast("double").alias("_n_docs"),
+            F.avg("_dl").alias("_avgdl"),
+            *[
+                F.sum(F.array_contains("_toks", t).cast("int"))
+                .cast("double").alias(f"_df_{i}")
+                for i, t in enumerate(sterms)
+            ],
+        )
+        per_field.append((tf, corpus.select("_n_docs", "_avgdl")))
+        dfreqs.append(corpus.select(
+            F.explode(
+                F.map_from_arrays(
+                    F.lit(sterms),
+                    F.array(*[F.col(f"_df_{i}") for i in range(len(sterms))]),
+                )
+            ).alias("_term", "_df")
+        ))
+    blended = dfreqs[0]
+    for d2 in dfreqs[1:]:
+        blended = blended.unionByName(d2)
+    blended = blended.groupBy("_term").agg(F.max("_df").alias("_df"))
+    maps: list[DataFrame] = []
+    for f, (tf, stats) in zip(fields, per_field):
+        partial = (
+            tf.join(F.broadcast(blended), "_term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "_did", "_term",
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("_n_docs") - F.col("_df") + 0.5)
+                        / (F.col("_df") + 0.5)
+                    )
+                    * (F.col("_tf") * (k1 + 1.0))
+                    / (F.col("_tf")
+                       + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))),
+                    6,
+                ).alias("_p"),
+            )
+        )
+        maps.append(
+            partial.groupBy("_did").agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("_term", "_p")))
+                ).alias(f"_xfmap_{gi}_{f}")
+            ).withColumnRenamed("_did", id_field)
+        )
+    return maps
+
+
 def score_frame(
     df: DataFrame,
     query: dict,
@@ -746,6 +923,10 @@ def score_frame(
             _term_score_map(df, id_field, field, terms, k1, b, stats_over),
             id_field, "left",
         )
+    for gi, (flds, terms) in enumerate(comp.xf_groups):
+        for m in _xf_term_score_maps(df, id_field, flds, set(terms),
+                                     k1, b, gi, stats_over):
+            out = out.join(m, id_field, "left")
     if comp.term_leaves:
         # exact-keyword idf per term leaf, all in ONE 1-row aggregate,
         # broadcast back (score = idf: tf=1 and dl=avgdl for a keyword)
@@ -779,7 +960,8 @@ def score_frame(
               for i, (fld, val) in enumerate(comp.term_leaves)],
         ))
         out = out.withColumn("_explanation", expl)
-    drop = [c for c in out.columns if c.startswith(("_tsmap_", "_idf_"))]
+    drop = [c for c in out.columns
+            if c.startswith(("_tsmap_", "_idf_", "_xfmap_"))]
     return out.drop(*drop)
 
 

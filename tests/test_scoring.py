@@ -825,3 +825,117 @@ def test_explain_emits_score_breakdown(corpus):
     out = es_scored_search(corpus, {"query": {"match": {"text": "merge"}},
                                     "size": 5}, id_field="doc_id")
     assert "_explanation" not in out.columns
+
+
+# --- multi_match cross_fields / bool_prefix (round 10) ----------------------
+
+
+@pytest.fixture()
+def names(spark):
+    return spark.createDataFrame(
+        [
+            (1, "will", "smith"),
+            (2, "smith", "jones"),
+            (3, "bob", "will"),
+        ],
+        "doc_id long, first string, last string",
+    )
+
+
+def test_cross_fields_and_matches_terms_across_fields(names):
+    body = {"query": {"multi_match": {
+        "query": "will smith", "fields": ["first", "last"],
+        "type": "cross_fields", "operator": "and"}},
+        "size": 10, "_source": ["doc_id"]}
+    rows = es_scored_search(names, body, id_field="doc_id").collect()
+    # term-centric AND: doc 1 has will@first + smith@last; no single
+    # field of any doc contains both terms
+    assert [r.doc_id for r in rows] == [1]
+    # every field is one token (tf=1, dl=1, avgdl=1 => tf-part = 1.0) and
+    # each term's blended df = max(1, 1) = 1 over N=3
+    p = round(math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5)), 6)
+    assert rows[0]._score == pytest.approx(round(p + p, 6), abs=2e-6)
+
+
+def test_best_fields_and_does_not_cross(names):
+    body = {"query": {"multi_match": {
+        "query": "will smith", "fields": ["first", "last"],
+        "type": "best_fields", "operator": "and"}},
+        "size": 10, "_source": ["doc_id"]}
+    assert es_scored_search(names, body, id_field="doc_id").count() == 0
+
+
+def test_cross_fields_blends_df_to_the_max(spark):
+    # 'x' fills field a in every doc (df_a = 3) but appears in field b
+    # only in doc 1 (df_b = 1): BlendedTermQuery scores BOTH fields with
+    # df = max = 3, so doc 1's b-occurrence must NOT get the rare-term
+    # idf of its own field
+    df = spark.createDataFrame(
+        [(1, "x", "x"), (2, "x", "q"), (3, "x", "r")],
+        "doc_id long, a string, b string",
+    )
+    blended = round(math.log(1.0 + (3 - 3 + 0.5) / (3 + 0.5)), 6)
+    body = {"query": {"multi_match": {
+        "query": "x", "fields": ["a", "b"], "type": "cross_fields",
+        "tie_breaker": 0.5}},
+        "size": 10, "_source": ["doc_id"]}
+    rows = {r.doc_id: r._score
+            for r in es_scored_search(df, body, id_field="doc_id").collect()}
+    # doc 1: dismax of two equal blended partials + 0.5 * the other
+    assert rows[1] == pytest.approx(round(blended * 1.5, 6), abs=2e-6)
+    # docs 2, 3: only field a matches — the bare blended partial (an
+    # unblended b-side df of 1 would have scored ln(1 + 2.5/1.5) instead)
+    assert rows[2] == pytest.approx(blended, abs=2e-6)
+    assert rows[3] == pytest.approx(blended, abs=2e-6)
+
+
+def test_match_bool_prefix_scores_terms_plus_prefix_constant(corpus):
+    body = {"query": {"match_bool_prefix": {"text": "merge str"}},
+            "size": 10, "_source": ["doc_id"]}
+    rows = {r.doc_id: r._score
+            for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    exp = _bm25_expected(DOCS, ["merge"])
+    # docs 1 and 4 contain a 'str' prefix token (stream): +1.0 constant
+    assert rows[1] == pytest.approx(round(exp[1] + 1.0, 6), abs=2e-6)
+    assert rows[4] == pytest.approx(1.0, abs=2e-6)
+    assert rows[2] == pytest.approx(exp[2], abs=2e-6)
+    assert rows[3] == pytest.approx(exp[3], abs=2e-6)
+    assert 5 not in rows
+
+
+def test_match_bool_prefix_operator_and(corpus):
+    body = {"query": {"match_bool_prefix": {
+        "text": {"query": "merge str", "operator": "and"}}},
+        "size": 10, "_source": ["doc_id"]}
+    rows = es_scored_search(corpus, body, id_field="doc_id").collect()
+    assert [r.doc_id for r in rows] == [1]
+
+
+def test_match_bool_prefix_minimum_should_match(corpus):
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    pred = compile_query(
+        {"match_bool_prefix": {"text": {
+            "query": "merge stream no", "minimum_should_match": 2}}},
+        "doc_id",
+    )
+    got = sorted(r.doc_id for r in corpus.where(pred).collect())
+    # only doc 1 satisfies two of (merge, stream, no*-prefix)
+    assert got == [1]
+
+
+def test_multi_match_bool_prefix_sums_fields_with_boost(corpus):
+    body = {"query": {"multi_match": {
+        "query": "merge we", "fields": ["text", "source^2"],
+        "type": "bool_prefix"}},
+        "size": 10, "_source": ["doc_id"]}
+    rows = {r.doc_id: r._score
+            for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    exp = _bm25_expected(DOCS, ["merge"])
+    # text: BM25(merge) (no 'we' prefix token); source: 'web' matches the
+    # prefix => (0 + 1.0) * 2 for docs 1, 2, 4
+    assert rows[1] == pytest.approx(round(exp[1] + 2.0, 6), abs=2e-6)
+    assert rows[2] == pytest.approx(round(exp[2] + 2.0, 6), abs=2e-6)
+    assert rows[3] == pytest.approx(exp[3], abs=2e-6)
+    assert rows[4] == pytest.approx(2.0, abs=2e-6)
+    assert 5 not in rows
