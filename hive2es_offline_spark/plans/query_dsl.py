@@ -83,9 +83,14 @@ only, like ES), ``bucket_script`` / ``bucket_selector``
 ``avg_bucket`` / ``sum_bucket`` / ``stats_bucket`` /
 ``percentiles_bucket`` (scalars + extremum keys, broadcast-annotated
 onto the bucket rows); ``adjacency_matrix``; ``significant_text``;
-query-time ``runtime_mappings`` fields.  ``percentiles``
-is EXACT (``F.percentile``) where live ES uses TDigest approximation — a
-documented divergence in the oracle's favor.  ``cardinality`` is exact
+query-time ``runtime_mappings`` fields.  ``percentiles`` / ``boxplot``
+are EXACT (``F.percentile``) by default where live ES uses TDigest
+approximation — a documented divergence in the oracle's favor; passing
+ES's own ``tdigest.compression`` (``compression`` on boxplot) routes to
+the bounded-memory ``percentile_approx`` sketch, the right shape for
+100 TB buckets (exact percentile buffers every bucket value in
+aggregation state).  ``percentile_ranks`` is an indicator average —
+bounded memory in both modes.  ``cardinality`` is exact
 ``count(DISTINCT)`` where ES uses HyperLogLog++ (the approximate variant
 is available separately as the ``agg_approx_distinct`` query).
 ``extended_stats`` variance/std are population moments from exact decimal
@@ -1186,6 +1191,26 @@ def _metric_exprs(
         ]
     if kind == "percentiles":
         pcts = spec.get("percents", [25.0, 50.0, 75.0, 95.0, 99.0])
+        td = spec.get("tdigest") or {}
+        if "compression" in td:
+            # ES's own accuracy/memory knob selects the SCALE path:
+            # percentile_approx is a bounded-memory sketch (Greenwald-
+            # Khanna in Spark, TDigest in live ES — both interpolate, so
+            # values agree only within sketch tolerance; see the exact
+            # default below for oracle parity).  compression 100 (the ES
+            # default) maps to Spark's default accuracy 10000.
+            acc = max(100, int(float(td["compression"]) * 100))
+            return [
+                F.round(
+                    F.percentile_approx(c, float(p) / 100.0, acc)
+                    .cast("double"), 6)
+                 .alias(f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}")
+                for p in pcts
+            ]
+        # default: EXACT percentiles (oracle-reproducible; live ES always
+        # approximates).  F.percentile buffers each bucket's values in
+        # aggregation state — an executor-OOM shape for 100 TB buckets,
+        # so large-scale callers should pass tdigest.compression
         return [
             F.round(F.percentile(c, float(p) / 100.0), 6)
              .alias(f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}")
@@ -1247,13 +1272,22 @@ def _metric_exprs(
             .alias(f"{name}_avg_length"),
         ]
     if kind == "boxplot":
-        # exact quartiles (live ES approximates with TDigest — the same
-        # oracle-favoring divergence as `percentiles`)
+        # exact quartiles by default (live ES approximates with TDigest —
+        # the same oracle-favoring divergence as `percentiles`); ES's
+        # `compression` knob routes to the bounded-memory sketch for
+        # 100 TB buckets, same mapping as percentiles' tdigest.compression
+        comp = spec.get("compression")
+        if comp is not None:
+            acc = max(100, int(float(comp) * 100))
+            q = lambda p: F.round(  # noqa: E731
+                F.percentile_approx(c, p, acc).cast("double"), 6)
+        else:
+            q = lambda p: F.round(F.percentile(c, p), 6)  # noqa: E731
         return [
             F.min(c).alias(f"{name}_min"),
-            F.round(F.percentile(c, 0.25), 6).alias(f"{name}_q1"),
-            F.round(F.percentile(c, 0.50), 6).alias(f"{name}_q2"),
-            F.round(F.percentile(c, 0.75), 6).alias(f"{name}_q3"),
+            q(0.25).alias(f"{name}_q1"),
+            q(0.50).alias(f"{name}_q2"),
+            q(0.75).alias(f"{name}_q3"),
             F.max(c).alias(f"{name}_max"),
         ]
     if kind == "top_metrics":

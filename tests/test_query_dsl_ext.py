@@ -1935,3 +1935,46 @@ def test_unknown_body_keys_reject_loudly(spark):
     assert es_search(df, {"query": {"match_all": {}},
                           "track_total_hits": True, "timeout": "2s"},
                      id_field="id").count() == 1
+
+
+# --- approximate percentiles (round 10: tdigest.compression scale path) -----
+
+
+def test_percentiles_tdigest_compression_routes_to_sketch(spark):
+    vals = spark.range(1, 10_001).select(
+        F.col("id").alias("_id"), F.col("id").cast("double").alias("v"))
+    exact = compile_aggs(
+        vals, {"p": {"percentiles": {"field": "v", "percents": [50, 95]}}}
+    )
+    approx = compile_aggs(
+        vals, {"p": {"percentiles": {"field": "v", "percents": [50, 95],
+                                     "tdigest": {"compression": 100}}}}
+    )
+    # the scale path swaps the full-buffer exact aggregate for the
+    # bounded-memory sketch — assert the PLAN, not just the values
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "approx" not in exact_plan.lower()
+    assert "percentile" in exact_plan.lower()
+    assert "approx" in approx_plan.lower()
+    e, a = exact.collect()[0], approx.collect()[0]
+    assert e["p_p50"] == 5000.5  # exact interpolates
+    # sketch tolerance: within 1% of the exact value at compression 100
+    assert abs(a["p_p50"] - e["p_p50"]) <= 0.01 * e["p_p50"]
+    assert abs(a["p_p95"] - e["p_p95"]) <= 0.01 * e["p_p95"]
+    # schema identical either way (doubles)
+    assert exact.schema == approx.schema
+
+
+def test_boxplot_compression_routes_to_sketch(spark):
+    vals = spark.range(1, 1_001).select(
+        F.col("id").alias("_id"), F.col("id").cast("double").alias("v"))
+    exact = compile_aggs(vals, {"b": {"boxplot": {"field": "v"}}})
+    approx = compile_aggs(
+        vals, {"b": {"boxplot": {"field": "v", "compression": 200}}})
+    assert "approx" in approx._jdf.queryExecution().executedPlan().toString().lower()
+    e, a = exact.collect()[0], approx.collect()[0]
+    assert (e["b_min"], e["b_max"]) == (a["b_min"], a["b_max"])  # exact extremes
+    for q in ("b_q1", "b_q2", "b_q3"):
+        assert abs(a[q] - e[q]) <= 0.02 * e[q]
+    assert exact.schema == approx.schema
