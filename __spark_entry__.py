@@ -2723,6 +2723,61 @@ def q_es_multi_match_types(spark, sf_dir):
     return out
 
 
+def q_es_parent_child(spark, sf_dir):
+    """Parent-child join-field queries (plans/join_field.py): documents
+    become a relation tree — every doc_id divisible by 5 is a
+    ``question`` parent, the rest are ``answer`` children of the floored
+    multiple of 5.  Three arms: has_child (parents having >= 2 matching
+    children — ONE child-side filtered aggregate semi-joined back),
+    has_parent (children of matching parents — a unique-id join on
+    parent_id), and a scored has_child (parents ranked by the DECIMAL-
+    summed BM25 of their matching children)."""
+    from hive2es_offline_spark.plans.join_field import es_parent_child
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "relation",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("question"))
+         .otherwise(F.lit("answer")),
+    ).withColumn(
+        "parent_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+         .otherwise(F.col("doc_id") - F.col("doc_id") % 5),
+    )
+    arm1 = es_parent_child(d, {
+        "query": {"has_child": {
+            "type": "answer",
+            "query": {"bool": {
+                "must": [{"match": {"text": "merge"}}],
+                "filter": [{"range": {"n_chars": {"gte": 350}}}],
+            }},
+            "min_children": 2}},
+        "sort": [{"doc_id": "asc"}], "size": 15, "_source": ["doc_id"],
+    }, id_field="doc_id").select(
+        F.lit("has_child").alias("arm"), "doc_id",
+        F.lit(0.0).alias("_score"))
+    arm2 = es_parent_child(d, {
+        "query": {"bool": {
+            "must": [{"has_parent": {
+                "parent_type": "question",
+                "query": {"term": {"source": "src3"}}}}],
+            "filter": [{"range": {"n_chars": {"gte": 450}}}],
+        }},
+        "sort": [{"doc_id": "asc"}], "size": 15, "_source": ["doc_id"],
+    }, id_field="doc_id").select(
+        F.lit("has_parent").alias("arm"), "doc_id",
+        F.lit(0.0).alias("_score"))
+    arm3 = es_parent_child(d, {
+        "query": {"has_child": {
+            "type": "answer",
+            "query": {"match": {"text": "merge"}},
+            "score_mode": "sum"}},
+        "size": 10, "_source": ["doc_id"],
+    }, id_field="doc_id").select(
+        F.lit("scored").alias("arm"), "doc_id", "_score")
+    return arm1.unionByName(arm2).unionByName(arm3)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2777,8 +2832,8 @@ DRIVER_WINDOW = [
     "es_mlt", "es_query_ext", "es_aggs_range", "es_aggs_filters",
     "window_ntile", "repetition_stats", "contamination", "epoch_shuffle",
     "temperature_mix", "data_drift", "bigram_lm_score",
-    "es_multi_match_types",
-    "es_multi_terms", "es_clause_ext", "es_date_math",
+    "es_multi_match_types", "es_parent_child",
+    "es_clause_ext", "es_date_math",
     "es_gap_fill", "es_terms_order", "es_adjacency", "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
@@ -2852,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_scored_search": q_es_scored_search,
         "es_function_score": q_es_function_score,
         "es_multi_match_types": q_es_multi_match_types,
+        "es_parent_child": q_es_parent_child,
         "es_mget": q_es_mget,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
@@ -4394,6 +4450,76 @@ def _goldens_b() -> dict[str, str]:
             UNION ALL SELECT * FROM q_pp
             UNION ALL SELECT * FROM q_cross
             UNION ALL SELECT * FROM q_bp
+        """,
+        # mirrors q_es_parent_child arm by arm: the relation tree is
+        # derived (doc_id % 5 = 0 -> question parent, else answer child
+        # of the floored multiple), has_child -> child-filtered
+        # group-count >= 2 semi-join, has_parent -> join on parent_id,
+        # scored has_child -> per-parent DECIMAL sum of child BM25
+        "es_parent_child": """
+            WITH rel AS (
+              SELECT doc_id, source, n_chars,
+                     CASE WHEN doc_id % 5 = 0 THEN 'question'
+                          ELSE 'answer' END AS relation,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE doc_id - (doc_id % 5) END AS parent_id
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), kids1 AS (
+              SELECT r.parent_id
+              FROM rel r JOIN tok t USING (doc_id)
+              WHERE r.relation = 'answer' AND r.parent_id IS NOT NULL
+                AND list_contains(t.toks, 'merge') AND r.n_chars >= 350
+            ), p1 AS (
+              SELECT parent_id AS doc_id FROM kids1
+              GROUP BY 1 HAVING count(*) >= 2
+            ), a1 AS (
+              SELECT 'has_child' AS arm, r.doc_id,
+                     CAST(0.0 AS DOUBLE) AS _score
+              FROM rel r JOIN p1 USING (doc_id)
+              ORDER BY r.doc_id ASC LIMIT 15
+            ), par2 AS (
+              SELECT doc_id FROM rel
+              WHERE relation = 'question' AND source = 'src3'
+            ), a2 AS (
+              SELECT 'has_parent' AS arm, r.doc_id,
+                     CAST(0.0 AS DOUBLE) AS _score
+              FROM rel r JOIN par2 p ON r.parent_id = p.doc_id
+              WHERE r.n_chars >= 450
+              ORDER BY r.doc_id ASC LIMIT 15
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok, unnest(toks) AS u(t)
+              WHERE t = 'merge' GROUP BY 1
+            ), dfq AS (
+              SELECT CAST(count(*) AS DOUBLE) AS df FROM tf
+            ), bm AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dl USING (doc_id), s, dfq
+            ), a3 AS (
+              SELECT 'scored' AS arm, x.parent_id AS doc_id,
+                     round(CAST(sum(bm.p) AS DOUBLE), 6) AS _score
+              FROM rel x JOIN bm ON bm.doc_id = x.doc_id
+              WHERE x.relation = 'answer' AND x.parent_id IS NOT NULL
+              GROUP BY x.parent_id
+              ORDER BY _score DESC, doc_id ASC LIMIT 10
+            )
+            SELECT * FROM a1
+            UNION ALL SELECT * FROM a2
+            UNION ALL SELECT * FROM a3
         """,
         # mirrors _ES_SEARCH_BODY clause by clause: terms -> IN, range ->
         # comparisons, must_not term -> NOT =, should prefix+wildcard with

@@ -608,6 +608,11 @@ def compile_query(
 
     if kind == "match_all":
         return F.lit(True)
+    if kind == "_pc_flag":
+        # internal marker planted by plans/join_field.es_parent_child:
+        # the has_child/has_parent flag column left-joined onto the
+        # frame (NULL = no matching relative => no match)
+        return F.coalesce(col(body["column"]), F.lit(False))
     if kind == "query_string":
         from .query_string import parse_query_string
 
