@@ -2778,6 +2778,41 @@ def q_es_parent_child(spark, sf_dir):
     return arm1.unionByName(arm2).unionByName(arm3)
 
 
+def q_es_geo_grid(spark, sf_dir):
+    """geohash_grid / geotile_grid bucket aggregations over the same
+    synthetic-but-deterministic customer coordinates as es_geo: the cell
+    keys are pure codegen bit math (base-32 interleave / Web-Mercator
+    slippy tiles — ``geohash_cell`` / ``geotile_cell``), the buckets one
+    groupBy + TakeOrderedAndProject (doc_count desc, key asc, size cap).
+    The DuckDB twin re-implements both key functions in SQL bit
+    arithmetic."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    c = _t(spark, sf_dir, "customer")
+    located = c.select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    gh = es_search(located, {
+        "size": 0,
+        "aggs": {"g": {"geohash_grid": {
+            "field": "loc", "precision": 2, "size": 12}}},
+    }, id_field="c_custkey")
+    gt = es_search(located, {
+        "size": 0,
+        "aggs": {"g": {"geotile_grid": {
+            "field": "loc", "precision": 4, "size": 12}}},
+    }, id_field="c_custkey")
+    return (
+        gh.select(F.lit("geohash").alias("arm"), "key", "doc_count")
+        .unionByName(
+            gt.select(F.lit("geotile").alias("arm"), "key", "doc_count"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2832,8 +2867,8 @@ DRIVER_WINDOW = [
     "es_mlt", "es_query_ext", "es_aggs_range", "es_aggs_filters",
     "window_ntile", "repetition_stats", "contamination", "epoch_shuffle",
     "temperature_mix", "data_drift", "bigram_lm_score",
-    "es_multi_match_types", "es_parent_child",
-    "es_clause_ext", "es_date_math",
+    "es_multi_match_types", "es_parent_child", "es_geo_grid",
+    "es_date_math",
     "es_gap_fill", "es_terms_order", "es_adjacency", "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
@@ -2957,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_adjacency": q_es_adjacency,
         "es_runtime_fields": q_es_runtime_fields,
         "es_sig_text": q_es_sig_text,
+        "es_geo_grid": q_es_geo_grid,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -4728,6 +4764,58 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # mirrors q_es_geo_grid: the geohash interleave (precision 2 =
+        # 10 bits, 5 lon + 5 lat) and the z=4 slippy tile, both as SQL
+        # bit arithmetic over the same derived coordinates; buckets
+        # ordered doc_count desc, key asc, top 12 per arm
+        "es_geo_grid": """
+            WITH pts AS (
+              SELECT c_custkey,
+                     CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+              FROM customer
+            ), q AS (
+              SELECT c_custkey,
+                     least(greatest(CAST(floor((lon + 180.0) / 360.0 * 32.0)
+                                         AS BIGINT), 0), 31) AS loni,
+                     least(greatest(CAST(floor((lat + 90.0) / 180.0 * 32.0)
+                                         AS BIGINT), 0), 31) AS lati
+              FROM pts
+            ), hh AS (
+              SELECT c_custkey,
+                     (((loni >> 4) & 1) << 9) + (((lati >> 4) & 1) << 8)
+                   + (((loni >> 3) & 1) << 7) + (((lati >> 3) & 1) << 6)
+                   + (((loni >> 2) & 1) << 5) + (((lati >> 2) & 1) << 4)
+                   + (((loni >> 1) & 1) << 3) + (((lati >> 1) & 1) << 2)
+                   + (((loni >> 0) & 1) << 1) + (((lati >> 0) & 1) << 0)
+                       AS h
+              FROM q
+            ), gh AS (
+              SELECT 'geohash' AS arm,
+                     substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                            CAST((h >> 5) & 31 AS INT) + 1, 1)
+                     || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                               CAST(h & 31 AS INT) + 1, 1) AS key,
+                     count(*) AS doc_count
+              FROM hh GROUP BY 2
+              ORDER BY doc_count DESC, key ASC LIMIT 12
+            ), tiles AS (
+              SELECT '4/'
+                     || least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16.0)
+                                            AS BIGINT), 0), 15)
+                     || '/'
+                     || least(greatest(CAST(floor(
+                          (1.0 - ln(tan(radians(lat))
+                                    + 1.0 / cos(radians(lat))) / pi())
+                          / 2.0 * 16.0) AS BIGINT), 0), 15) AS key
+              FROM pts
+            ), gt AS (
+              SELECT 'geotile' AS arm, key, count(*) AS doc_count
+              FROM tiles GROUP BY 2
+              ORDER BY doc_count DESC, key ASC LIMIT 12
+            )
+            SELECT * FROM gh UNION ALL SELECT * FROM gt
         """,
         # q_es_geo: identical haversine formula and earth radius on both
         # engines (libm trig on the same host: bit-identical doubles)

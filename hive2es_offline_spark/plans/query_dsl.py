@@ -1122,6 +1122,9 @@ _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "percentile_ranks",
                  "weighted_avg", "string_stats", "boxplot", "top_metrics",
                  "geo_centroid", "geo_bounds"}
+#: bucket aggs compiled as one groupBy over a codegen key expression
+_GROUPBY_BUCKET_KINDS = {"terms", "histogram", "date_histogram",
+                         "geohash_grid", "geotile_grid"}
 _COND_BUCKET_KINDS = {"range", "date_range", "filters", "missing",
                       "adjacency_matrix"}
 
@@ -1535,7 +1538,7 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             for n, s in aggs.items()
         }
     bucket = [(n, s) for n, s in aggs.items()
-              if set(s) & {"terms", "histogram", "date_histogram"}]
+              if set(s) & _GROUPBY_BUCKET_KINDS]
     cond = [(n, s) for n, s in aggs.items() if set(s) & _COND_BUCKET_KINDS]
     comp = [(n, s) for n, s in aggs.items() if "composite" in s]
     extra = [(n, s) for n, s in aggs.items()
@@ -1563,7 +1566,7 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             )
         bname, bspec_full = bucket[0]
         (kind, bspec), = [(k, v) for k, v in bspec_full.items()
-                          if k in {"terms", "histogram", "date_histogram"}]
+                          if k in _GROUPBY_BUCKET_KINDS]
         buckets = _compile_groupby_bucket(df, kind, bspec, bspec_full)
         (pname, pkind, pspec), = sib
         return _compile_sibling_pipeline(buckets, pname, pkind, pspec, bname)
@@ -1577,7 +1580,7 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
 
     name, spec = bucket[0]
     (kind, bspec), = [(k, v) for k, v in spec.items()
-                      if k in {"terms", "histogram", "date_histogram"}]
+                      if k in _GROUPBY_BUCKET_KINDS]
     return _compile_groupby_bucket(df, kind, bspec, spec)
 
 
@@ -1675,11 +1678,115 @@ def _strict_after(specs: list[tuple[str, bool]], values: list) -> Column:
     return pred
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell(lat: Column, lon: Column, precision: int) -> Column:
+    """Base-32 geohash of a point at ``precision`` chars (1..12) — pure
+    codegen bit math: quantize lon/lat to ceil/floor(5p/2) bits (indices
+    clamped into range so the +180/+90 edges land in the last cell),
+    interleave lon-first, then map each 5-bit group through the base-32
+    alphabet.  NULL coordinates yield a NULL key (the bit sum and concat
+    both propagate NULL)."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"geohash precision must be 1..12, got {precision}")
+    nbits = 5 * precision
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    loni = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                    * F.lit(float(2 ** lonbits))).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(2 ** lonbits - 1),
+    )
+    lati = F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                    * F.lit(float(2 ** latbits))).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(2 ** latbits - 1),
+    )
+    h: Column = F.lit(0).cast("long")
+    for k in range(nbits):
+        if k % 2 == 0:
+            src, b = loni, lonbits - 1 - k // 2
+        else:
+            src, b = lati, latbits - 1 - (k - 1) // 2
+        bit = F.shiftright(src, b).bitwiseAND(F.lit(1))
+        h = h + F.shiftleft(bit, nbits - 1 - k)
+    chars = [
+        F.element_at(
+            F.lit(list(_GEOHASH32)),
+            (F.shiftright(h, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31))
+             + F.lit(1)).cast("int"),
+        )
+        for i in range(precision)
+    ]
+    out = F.concat(*chars) if len(chars) > 1 else chars[0]
+    # explicit NULL gate: greatest()/least() SKIP a NULL operand, so the
+    # clamp would silently turn a missing coordinate into index 0 (cell
+    # "000…") instead of propagating NULL
+    return F.when(lat.isNotNull() & lon.isNotNull(), out)
+
+
+def geotile_cell(lat: Column, lon: Column, zoom: int) -> Column:
+    """Slippy-map ``z/x/y`` tile key (OSM Web-Mercator, the ES
+    geotile_grid key format): x from plain longitude, y from the
+    Mercator projection, both clamped into [0, 2^z - 1] (poleward points
+    land in the edge tiles, like ES).  NULL coordinates yield a NULL key
+    (F.concat propagates NULL — concat_ws would silently skip the NULL
+    part and emit a malformed key)."""
+    import math as _math
+
+    if not 0 <= zoom <= 29:
+        raise ValueError(f"geotile precision must be 0..29, got {zoom}")
+    n = float(2 ** zoom)
+    lim = F.lit(int(2 ** zoom - 1))
+    x = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+            .cast("long"),
+            F.lit(0)),
+        lim,
+    )
+    latr = F.radians(lat)
+    y = F.least(
+        F.greatest(
+            F.floor(
+                (F.lit(1.0)
+                 - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr))
+                 / F.lit(_math.pi))
+                / F.lit(2.0) * F.lit(n)
+            ).cast("long"),
+            F.lit(0)),
+        lim,
+    )
+    # same explicit NULL gate as geohash_cell: the clamp's greatest()
+    # skips NULL and would place a missing coordinate in an edge tile
+    return F.when(
+        lat.isNotNull() & lon.isNotNull(),
+        F.concat(F.lit(f"{zoom}/"), x.cast("string"),
+                 F.lit("/"), y.cast("string")),
+    )
+
+
 def _bucket_key_col(kind: str, bspec: dict) -> Column:
     """The (unaliased) bucket key expression for terms / histogram /
-    date_histogram — shared by the group-by bucket path and composite
-    sources."""
+    date_histogram / geohash_grid / geotile_grid — shared by the
+    group-by bucket path and composite sources."""
     field = bspec["field"]
+    if kind in ("geohash_grid", "geotile_grid"):
+        unknown = set(bspec) - {"field", "precision", "size"}
+        if unknown:
+            raise ValueError(
+                f"unsupported {kind} option(s): {sorted(unknown)}")
+        lat, lon = F.col(field)["lat"], F.col(field)["lon"]
+        if kind == "geohash_grid":
+            return geohash_cell(lat, lon, int(bspec.get("precision", 5)))
+        return geotile_cell(lat, lon, int(bspec.get("precision", 7)))
     if kind == "terms":
         # `missing` buckets docs without the field under the given value
         # (exact ES semantics).  Without it, NULL keys keep their own
@@ -2202,6 +2309,11 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
             .select(F.col("_bucket_key").alias("key"), "hit_rank", *source)
         )
 
+    if kind in ("geohash_grid", "geotile_grid"):
+        # docs without a (complete) point have no cell — drop them like
+        # ES does for missing geo fields (the NULL-bucket divergence the
+        # terms agg keeps makes no sense for a computed cell key)
+        df = df.where(key.isNotNull())
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     pipes: list[tuple[str, str, dict]] = []
     for sub_name, sub_spec in subs.items():
@@ -2213,6 +2325,16 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
         exprs.extend(_metric_exprs(sub_name, mkind, mspec))
     out = df.groupBy(key).agg(*exprs)
+    if kind in ("geohash_grid", "geotile_grid"):
+        if pipes:
+            raise ValueError(f"pipeline sub-aggs under {kind} are not "
+                             "supported (cells have no bucket order)")
+        # ES grid buckets: doc_count desc (key asc tiebreak for
+        # determinism), capped at `size` (ES default 10000) — still one
+        # aggregate + TakeOrderedAndProject, never a global sort
+        return out.orderBy(
+            F.col("doc_count").desc(), F.col("key").asc()
+        ).limit(int(bspec.get("size", 10_000)))
     mdc = int(bspec.get("min_doc_count", 1))
     if kind == "terms":
         if mdc > 1:
