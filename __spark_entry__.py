@@ -2519,19 +2519,38 @@ def q_es_decay_score(spark, sf_dir):
 
 
 def q_es_completion(spark, sf_dir):
-    """``completion`` suggester (VERDICT r8 #5): prefix autocomplete over
-    the indexed suggestion values, top-k by weight (doc count) — prefix
-    filter BEFORE the aggregate, TakeOrderedAndProject cut.  Dispatched
-    through the es_suggest body shape.  See
+    """``completion`` suggester (VERDICT r8 #5, fuzzy/contexts r9 #6):
+    prefix autocomplete over the indexed suggestion values, top-k by
+    weight (doc count) — prefix filter BEFORE the aggregate,
+    TakeOrderedAndProject cut.  Three arms: plain prefix, ``fuzzy``
+    (typo-tolerant prefix via thresholded levenshtein over the 2f+1
+    candidate prefix lengths — "sec" matches every "src…" at one edit),
+    and ``contexts`` (an equality gate on the lang column before the
+    aggregate).  Dispatched through the es_suggest body shape.  See
     plans/suggest.py::completion_suggest."""
     from hive2es_offline_spark.plans.suggest import es_suggest
 
     d = _t(spark, sf_dir, "documents")
-    body = {"suggest": {"ac": {
-        "prefix": "src",
-        "completion": {"field": "source", "size": 5},
-    }}}
-    return es_suggest(d, body)
+    arms = [
+        {"suggest": {"ac": {
+            "prefix": "src",
+            "completion": {"field": "source", "size": 5},
+        }}},
+        {"suggest": {"fz": {
+            "prefix": "sec",
+            "completion": {"field": "source", "size": 5,
+                           "fuzzy": {"fuzziness": 1}},
+        }}},
+        {"suggest": {"ctx": {
+            "prefix": "src1",
+            "completion": {"field": "source", "size": 5,
+                           "contexts": {"lang": ["en"]}},
+        }}},
+    ]
+    out = es_suggest(d, arms[0])
+    for body in arms[1:]:
+        out = out.unionByName(es_suggest(d, body))
+    return out
 
 
 def q_es_msearch(spark, sf_dir):
@@ -5240,8 +5259,11 @@ def _goldens_b() -> dict[str, str]:
             SELECT o_orderkey, _score FROM s
             ORDER BY _score DESC, o_orderkey ASC LIMIT 50
         """,
-        # mirrors q_es_completion: prefix autocomplete, weight = doc
-        # count per suggestion text, rank by weight desc / text asc
+        # mirrors q_es_completion arm by arm: prefix autocomplete
+        # (weight = doc count, rank weight desc / text asc), fuzzy =
+        # thresholded levenshtein over candidate prefix lengths 2..4
+        # with the first char pinned (prefix_length 1), contexts =
+        # lang equality gate before the aggregate
         "es_completion": """
             WITH c AS (
               SELECT lower(source) AS suggestion,
@@ -5249,11 +5271,46 @@ def _goldens_b() -> dict[str, str]:
               FROM documents
               WHERE source IS NOT NULL AND lower(source) LIKE 'src%'
               GROUP BY 1
+            ), ac AS (
+              SELECT 'ac' AS suggest_name, suggestion, weight,
+                     CAST(row_number() OVER (
+                       ORDER BY weight DESC, suggestion ASC) AS INTEGER)
+                       AS rank
+              FROM c ORDER BY weight DESC, suggestion ASC LIMIT 5
+            ), f AS (
+              SELECT lower(source) AS suggestion,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM documents
+              WHERE source IS NOT NULL
+                AND (lower(source) LIKE 'sec%'
+                     OR levenshtein(substr(lower(source), 1, 2), 'sec') <= 1
+                     OR levenshtein(substr(lower(source), 1, 3), 'sec') <= 1
+                     OR levenshtein(substr(lower(source), 1, 4), 'sec') <= 1)
+                AND lower(source) LIKE 's%'
+              GROUP BY 1
+            ), fz AS (
+              SELECT 'fz' AS suggest_name, suggestion, weight,
+                     CAST(row_number() OVER (
+                       ORDER BY weight DESC, suggestion ASC) AS INTEGER)
+                       AS rank
+              FROM f ORDER BY weight DESC, suggestion ASC LIMIT 5
+            ), x AS (
+              SELECT lower(source) AS suggestion,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM documents
+              WHERE source IS NOT NULL AND lang = 'en'
+                AND lower(source) LIKE 'src1%'
+              GROUP BY 1
+            ), ctx AS (
+              SELECT 'ctx' AS suggest_name, suggestion, weight,
+                     CAST(row_number() OVER (
+                       ORDER BY weight DESC, suggestion ASC) AS INTEGER)
+                       AS rank
+              FROM x ORDER BY weight DESC, suggestion ASC LIMIT 5
             )
-            SELECT 'ac' AS suggest_name, suggestion, weight,
-                   CAST(row_number() OVER (
-                     ORDER BY weight DESC, suggestion ASC) AS INTEGER) AS rank
-            FROM c ORDER BY weight DESC, suggestion ASC LIMIT 5
+            SELECT * FROM ac
+            UNION ALL SELECT * FROM fz
+            UNION ALL SELECT * FROM ctx
         """,
 
         # mirrors q_es_mlt: like-doc tf >= 2, corpus doc freq >= 5,

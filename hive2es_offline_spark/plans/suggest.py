@@ -212,6 +212,8 @@ def completion_suggest(
     size: int = 5,
     skip_duplicates: bool = True,
     weight_field: str | None = None,
+    fuzzy: dict | None = None,
+    contexts: dict | None = None,
 ) -> DataFrame:
     """ES ``completion`` suggester: prefix autocomplete over the indexed
     suggestion values of ``field``, top-``size`` by weight (VERDICT r8
@@ -232,6 +234,24 @@ def completion_suggest(
     push, but would miss mixed-case suggestions) — the scan is one
     column wide and the filter is codegen, which is the honest trade.
 
+    ``fuzzy`` (ES search-as-you-type typo tolerance): suggestions whose
+    PREFIX is within ``fuzziness`` edits of the typed prefix also match —
+    compiled as an OR over the 2·f+1 candidate prefix lengths of one
+    thresholded ``levenshtein`` each (the term suggester's candidate
+    trick; all codegen).  Options follow ES: ``fuzziness`` (int or
+    ``"AUTO"`` on the term-length ladder, default AUTO),
+    ``prefix_length`` initial chars that must match exactly (default 1),
+    ``min_length`` input length below which matching stays exact
+    (default 3).  ``transpositions`` is accepted but a transposition
+    costs 2 edits here (plain levenshtein — documented divergence from
+    ES's default OSA); ``unicode_aware`` is accepted and moot (Spark
+    strings are unicode).
+
+    ``contexts`` (ES context suggester): ``{"<column>": [values...]}``
+    equality gates applied BEFORE the prefix filter and aggregate, so
+    context pruning rides the scan; boosted/geo context entries reject
+    loudly (plain value lists only).
+
     Returns ``(suggestion, weight, rank)``, rank 1-based; with
     ``skip_duplicates=False`` duplicate texts keep one row per distinct
     weight (the deduplication ES applies at the shard level)."""
@@ -240,12 +260,39 @@ def completion_suggest(
         # (str(None)) — code-review r9
         raise ValueError("completion suggester needs a non-empty prefix")
     p = str(prefix).lower()
+    for ctx_col, vals in (contexts or {}).items():
+        vals = vals if isinstance(vals, list) else [vals]
+        if any(isinstance(v, dict) for v in vals):
+            raise ValueError(
+                "completion contexts with boost/precision are not "
+                "supported (plain value lists only)")
+        df = df.where(F.col(ctx_col).isin(vals))
     wcol = (F.coalesce(F.col(weight_field).cast("double"), F.lit(0.0))
             if weight_field is not None else F.lit(1.0))
     entries = df.where(F.col(field).isNotNull()).select(
         F.lower(F.col(field)).alias("suggestion"), wcol.alias("_w")
     )
-    hits = entries.where(F.col("suggestion").startswith(p))
+    pred = F.col("suggestion").startswith(p)
+    if fuzzy is not None:
+        unknown = set(fuzzy) - {"fuzziness", "transpositions",
+                                "min_length", "prefix_length",
+                                "unicode_aware"}
+        if unknown:
+            raise ValueError(
+                f"unsupported completion fuzzy option(s): {sorted(unknown)}")
+        from .query_dsl import _parse_fuzziness
+
+        budget = _parse_fuzziness(fuzzy.get("fuzziness", "AUTO"), len(p))
+        plen = int(fuzzy.get("prefix_length", 1))
+        if budget > 0 and len(p) >= int(fuzzy.get("min_length", 3)):
+            for ln in range(max(plen, len(p) - budget), len(p) + budget + 1):
+                pred = pred | (
+                    F.levenshtein(F.substring("suggestion", 1, ln), F.lit(p))
+                    <= budget
+                )
+            if plen > 0:
+                pred = pred & F.col("suggestion").startswith(p[:plen])
+    hits = entries.where(pred)
     if skip_duplicates or weight_field is None:
         # one row per text: weight = max indexed weight (ES keeps the
         # best-scoring duplicate), doc count as the default weight
@@ -305,6 +352,11 @@ def es_suggest(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame:
         )
     elif "completion" in s:
         c = s["completion"]
+        unknown = set(c) - {"field", "size", "skip_duplicates",
+                            "weight_field", "fuzzy", "contexts"}
+        if unknown:
+            raise ValueError(
+                f"unsupported completion option(s): {sorted(unknown)}")
         out = completion_suggest(
             df,
             s.get("prefix", s.get("text")),
@@ -312,6 +364,8 @@ def es_suggest(df: DataFrame, body: dict, id_col: str = "doc_id") -> DataFrame:
             size=int(c.get("size", 5)),
             skip_duplicates=bool(c.get("skip_duplicates", True)),
             weight_field=c.get("weight_field"),
+            fuzzy=c.get("fuzzy"),
+            contexts=c.get("contexts"),
         )
     else:
         raise ValueError(

@@ -232,3 +232,64 @@ def test_suggest_and_completion_plan_shape(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+# --- completion fuzzy + contexts (round 10) ---------------------------------
+
+
+@pytest.fixture()
+def completions(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark", "en"), (2, "spark", "en"), (3, "spark", "de"),
+            (4, "shark", "en"), (5, "spur", "en"), (6, "park", "en"),
+        ],
+        "id long, term string, lang string",
+    )
+
+
+def test_completion_fuzzy_matches_one_edit_prefixes(completions):
+    from hive2es_offline_spark.plans.suggest import completion_suggest
+
+    out = completion_suggest(
+        completions, "spar", "term", fuzzy={"fuzziness": 1})
+    rows = {r["suggestion"]: r["weight"] for r in out.collect()}
+    # spark: exact prefix; shark: 'shar' is one edit from 'spar';
+    # spur: 'spur' one edit ('a'->'u', with the trailing r aligned via
+    # length-3 candidate 'spu' needing 2 -> length-4 'spur' = 1);
+    # park fails prefix_length=1 ('p' != 's') despite one-edit distance
+    assert rows == {"spark": 3.0, "shark": 1.0, "spur": 1.0}
+
+
+def test_completion_fuzzy_min_length_keeps_short_prefixes_exact(completions):
+    from hive2es_offline_spark.plans.suggest import completion_suggest
+
+    out = completion_suggest(
+        completions, "sh", "term", fuzzy={"fuzziness": 1, "min_length": 3})
+    assert [r["suggestion"] for r in out.collect()] == ["shark"]
+
+
+def test_completion_contexts_gate_before_aggregate(completions):
+    from hive2es_offline_spark.plans.suggest import completion_suggest
+
+    out = completion_suggest(
+        completions, "spa", "term", contexts={"lang": ["en"]})
+    rows = {r["suggestion"]: r["weight"] for r in out.collect()}
+    assert rows == {"spark": 2.0}  # the de doc is gated out of the weight
+
+
+def test_completion_contexts_reject_boosted_entries(completions):
+    from hive2es_offline_spark.plans.suggest import completion_suggest
+
+    with pytest.raises(ValueError, match="contexts"):
+        completion_suggest(
+            completions, "spa", "term",
+            contexts={"lang": [{"context": "en", "boost": 2}]})
+
+
+def test_completion_fuzzy_unknown_option_rejected(completions):
+    from hive2es_offline_spark.plans.suggest import completion_suggest
+
+    with pytest.raises(ValueError, match="fuzzy option"):
+        completion_suggest(
+            completions, "spa", "term", fuzzy={"fuzzyness": 1})
