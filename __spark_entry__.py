@@ -2832,6 +2832,34 @@ def q_es_geo_grid(spark, sf_dir):
     )
 
 
+def q_es_intervals(spark, sf_dir):
+    """ES ``intervals`` query — the modern position-aware API over the
+    r9 span engine (query_dsl._intervals_predicate): ordered ``match``
+    with ``max_gaps``, and ``all_of`` combining a term source with a
+    ``prefix`` source.  All nested-exists codegen over per-term position
+    arrays; property-tested against the phrase engine
+    (tests/test_intervals.py)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    a1 = es_search(d, {
+        "query": {"intervals": {"text": {"match": {
+            "query": "slow scan", "ordered": True, "max_gaps": 1}}}},
+        "sort": [{"doc_id": "asc"}], "size": 20, "_source": ["doc_id"],
+    }, id_field="doc_id").select(
+        F.lit("ordered_match").alias("arm"), "doc_id")
+    a2 = es_search(d, {
+        "query": {"intervals": {"text": {"all_of": {
+            "ordered": True, "max_gaps": 2,
+            "intervals": [
+                {"match": {"query": "merge"}},
+                {"prefix": {"prefix": "st"}},
+            ]}}}},
+        "sort": [{"doc_id": "asc"}], "size": 20, "_source": ["doc_id"],
+    }, id_field="doc_id").select(F.lit("all_of").alias("arm"), "doc_id")
+    return a1.unionByName(a2)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2887,7 +2915,7 @@ DRIVER_WINDOW = [
     "window_ntile", "repetition_stats", "contamination", "epoch_shuffle",
     "temperature_mix", "data_drift", "bigram_lm_score",
     "es_multi_match_types", "es_parent_child", "es_geo_grid",
-    "es_date_math",
+    "es_intervals",
     "es_gap_fill", "es_terms_order", "es_adjacency", "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
@@ -3012,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_runtime_fields": q_es_runtime_fields,
         "es_sig_text": q_es_sig_text,
         "es_geo_grid": q_es_geo_grid,
+        "es_intervals": q_es_intervals,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -4783,6 +4812,36 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # mirrors q_es_intervals: ordered position chains as nested
+        # list_filter lambdas — slow->scan within j-i <= 2 (max_gaps 1),
+        # merge->st* within j-i <= 3 (all_of max_gaps 2)
+        "es_intervals": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), a1 AS (
+              SELECT 'ordered_match' AS arm, doc_id FROM tok
+              WHERE len(list_filter(
+                      list_filter(generate_series(1, len(toks)),
+                                  i -> toks[i] = 'slow'),
+                      i -> len(list_filter(generate_series(1, len(toks)),
+                               j -> toks[j] = 'scan' AND j > i
+                                    AND j - i <= 2)) > 0)) > 0
+              ORDER BY doc_id ASC LIMIT 20
+            ), a2 AS (
+              SELECT 'all_of' AS arm, doc_id FROM tok
+              WHERE len(list_filter(
+                      list_filter(generate_series(1, len(toks)),
+                                  i -> toks[i] = 'merge'),
+                      i -> len(list_filter(generate_series(1, len(toks)),
+                               j -> starts_with(toks[j], 'st') AND j > i
+                                    AND j - i <= 3)) > 0)) > 0
+              ORDER BY doc_id ASC LIMIT 20
+            )
+            SELECT * FROM a1 UNION ALL SELECT * FROM a2
         """,
         # mirrors q_es_geo_grid: the geohash interleave (precision 2 =
         # 10 bits, 5 lon + 5 lat) and the z=4 slippy tile, both as SQL

@@ -205,6 +205,141 @@ def _span_positions(toks: Column, q: dict) -> Column:
     return F.array_sort(out)
 
 
+def _interval_unit_positions(toks: Column, rule: dict) -> Column:
+    """Sorted positions of a UNIT-width intervals source: a single-term
+    ``match``, a ``prefix``, or an ``any_of`` of those.  all_of children
+    must be unit sources (a multi-term match inside all_of would need
+    materialized (start, end) interval pairs — rejected loudly)."""
+    (rk, rb), = rule.items()
+    if rk == "match":
+        unknown = set(rb) - {"query"}
+        if unknown:
+            raise ValueError(
+                "intervals match inside all_of/any_of supports only "
+                f"`query` (got {sorted(unknown)})")
+        terms = _analyze_terms(str(rb["query"]))
+        if len(terms) != 1:
+            raise ValueError(
+                "intervals all_of/any_of children must be single-term "
+                f"match or prefix sources, got {len(terms)} terms")
+        return _token_positions(toks, terms[0])
+    if rk == "prefix":
+        p = str(rb["prefix"]).lower()
+        hit = F.transform(
+            toks, lambda x, i: F.when(x.startswith(p), i).otherwise(F.lit(-1))
+        )
+        return F.filter(hit, lambda q: q >= 0)
+    if rk == "any_of":
+        subs = [_interval_unit_positions(toks, c) for c in rb["intervals"]]
+        out = subs[0]
+        for s in subs[1:]:
+            out = F.array_union(out, s)
+        return F.array_sort(out)
+    raise ValueError(
+        f"unsupported intervals source inside all_of/any_of: {rk!r} "
+        "(match | prefix | any_of)")
+
+
+def _ordered_chain(positions: list[Column], max_gaps: int) -> Column:
+    """One strictly-increasing position per source with total interior
+    gap ``(p_n - p_1 + 1) - n <= max_gaps`` (max_gaps < 0 = unbounded) —
+    nested exists over the per-source position arrays, same engine as
+    the phrase slop predicate."""
+    n = len(positions)
+
+    def nest(j: int, first, prev) -> Column:
+        if j == n:
+            return (F.lit(True) if max_gaps < 0
+                    else (prev - first + 1 - F.lit(n)) <= F.lit(max_gaps))
+        return F.exists(
+            positions[j],
+            lambda p: F.when(p > prev, nest(j + 1, first, p))
+            .otherwise(F.lit(False)),
+        )
+
+    return F.exists(positions[0], lambda p1: nest(1, p1, p1))
+
+
+def _intervals_predicate(toks: Column, rule: dict) -> Column:
+    """ES ``intervals`` query, filter context (does ANY interval exist):
+    ``match`` (multi-term with ``ordered``/``max_gaps``), ``prefix``,
+    ``any_of``, and ``all_of`` over unit-width sources.  Everything
+    compiles to the span position engine (nested exists over per-term
+    position arrays) — no UDF.  Unordered multi-source matching is
+    supported for two sources (both orders); three-plus unordered
+    sources reject loudly (the re-ordering search space needs
+    materialized intervals).  ``filter`` / ``fuzzy`` / ``wildcard`` /
+    ``regexp`` rules are not supported."""
+    (rk, rb), = rule.items()
+    if rk == "match":
+        unknown = set(rb) - {"query", "max_gaps", "ordered"}
+        if unknown:
+            raise ValueError(
+                f"unsupported intervals match option(s): {sorted(unknown)}")
+        terms = _analyze_terms(str(rb["query"]))
+        max_gaps = int(rb.get("max_gaps", -1))
+        ordered = bool(rb.get("ordered", False))
+        if not terms:
+            return F.lit(True)
+        if len(terms) == 1:
+            return F.array_contains(toks, terms[0])
+        pos = [_token_positions(toks, t) for t in terms]
+        if len(pos) > 8:
+            raise ValueError("intervals match supports at most 8 terms")
+        if ordered:
+            return _ordered_chain(pos, max_gaps)
+        if max_gaps < 0:
+            # unordered + unbounded gaps = every term present somewhere
+            qarr = F.lit(sorted(set(terms)))
+            return F.size(
+                F.array_intersect(F.array_distinct(toks), qarr)
+            ) == len(set(terms))
+        if len(pos) == 2:
+            return F.exists(pos[0], lambda p1: F.exists(
+                pos[1],
+                lambda p2: (p1 != p2)
+                & (F.greatest(p1, p2) - F.least(p1, p2) - 1
+                   <= F.lit(max_gaps)),
+            ))
+        raise ValueError(
+            "unordered intervals match with max_gaps supports at most "
+            "2 terms")
+    if rk == "prefix":
+        p = str(rb["prefix"]).lower()
+        return F.exists(toks, lambda x: x.startswith(p))
+    if rk == "any_of":
+        subs = [_intervals_predicate(toks, c) for c in rb["intervals"]]
+        out = subs[0]
+        for s in subs[1:]:
+            out = out | s
+        return out
+    if rk == "all_of":
+        unknown = set(rb) - {"intervals", "max_gaps", "ordered"}
+        if unknown:
+            raise ValueError(
+                f"unsupported intervals all_of option(s): {sorted(unknown)}")
+        pos = [_interval_unit_positions(toks, c) for c in rb["intervals"]]
+        if not 2 <= len(pos) <= 8:
+            raise ValueError("intervals all_of supports 2..8 sources")
+        max_gaps = int(rb.get("max_gaps", -1))
+        if bool(rb.get("ordered", False)):
+            return _ordered_chain(pos, max_gaps)
+        if len(pos) == 2:
+            gap_ok = (
+                (lambda p1, p2: F.lit(True)) if max_gaps < 0
+                else (lambda p1, p2: F.greatest(p1, p2) - F.least(p1, p2) - 1
+                      <= F.lit(max_gaps))
+            )
+            return F.exists(pos[0], lambda p1: F.exists(
+                pos[1], lambda p2: (p1 != p2) & gap_ok(p1, p2)))
+        raise ValueError(
+            "unordered intervals all_of supports exactly 2 sources "
+            "(use ordered: true for more)")
+    raise ValueError(
+        f"unsupported intervals rule: {rk!r} "
+        "(match | prefix | all_of | any_of)")
+
+
 def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0) -> Column:
     """``match_phrase`` over the ANALYZED token stream via per-term
     position arrays: the query's tokens appear within ``slop`` total
@@ -960,6 +1095,12 @@ def compile_query(
         for p in preds[1:]:
             out = out | p
         return out
+    if kind == "intervals":
+        # the modern position-aware API over the span engine: match /
+        # prefix / all_of / any_of with ordered + max_gaps (see
+        # _intervals_predicate for the supported algebra)
+        field, rule = next(iter(body.items()))
+        return _intervals_predicate(_analyze(col(field)), rule)
     if kind == "span_term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec

@@ -64,7 +64,7 @@ __all__ = ["es_scored_search", "score_frame"]
 _CONSTANT_ONE_KINDS = {
     "range", "exists", "wildcard", "prefix", "ids", "fuzzy", "regexp",
     "terms", "terms_set", "geo_distance", "geo_bounding_box", "nested",
-    "match_phrase_prefix",
+    "match_phrase_prefix", "intervals",
     "span_term", "span_or", "span_near", "span_first", "span_not",
 }
 
