@@ -69,7 +69,15 @@ def current_analyzer() -> str:
 def using(analyzer: str | None):
     """Scope the default analyzer for a plan build.  ``None`` keeps the
     current default (lets entry points forward an optional kwarg
-    unconditionally)."""
+    unconditionally).
+
+    CONCURRENCY: this swaps a process-global default — two threads
+    building plans concurrently with different ``using(...)`` scopes
+    would cross-contaminate each other's token grammar.  Plan builds are
+    driver-side and ordinarily single-threaded; callers who build plans
+    from multiple threads must instead pass ``analyzer=`` explicitly
+    through the entry points (es_search / es_scored_search / es_suggest
+    all accept it), which is the only concurrency-safe form."""
     global _default
     if analyzer is None:
         yield

@@ -2862,12 +2862,22 @@ def es_mget(
     # an outer join, and the request rows must all survive)
     data = df.where(id_col.isin([str(v) for _, v, _ in rows]))
     # one row per REQUESTED doc even when the corpus carries duplicate id
-    # values (ADVICE r8): keep the first table row per id in input order
-    # (row_number over monotonically_increasing_id — file order, stable
-    # for a given source layout) before the broadcast join
+    # values (ADVICE r8): keep ONE deterministic row per id.  The
+    # tiebreak orders by every orderable column in sorted-name order
+    # (VERDICT r9 #8 — the previous monotonically_increasing_id order
+    # was file-layout-dependent: a compaction or repartition changed
+    # which duplicate won).  Rows distinguishable only by a map column
+    # (not orderable in Spark) still collapse to a single winner, just
+    # not a specified one.
+    from pyspark.sql.types import MapType
     from pyspark.sql.window import Window
 
-    dw = Window.partitionBy(id_col).orderBy(F.monotonically_increasing_id())
+    tiebreak = [
+        F.col(c).asc_nulls_first()
+        for c in sorted(data.columns)
+        if not isinstance(data.schema[c].dataType, MapType)
+    ] or [F.lit(1).asc()]
+    dw = Window.partitionBy(id_col).orderBy(*tiebreak)
     data = (
         data.withColumn("_mget_rn", F.row_number().over(dw))
         .where(F.col("_mget_rn") == 1)

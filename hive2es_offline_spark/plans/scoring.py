@@ -976,7 +976,15 @@ def es_scored_search(
 ) -> DataFrame:
     """Public entry: scopes the analysis chain (``analyzer`` — standard
     default / whitespace fallback, ``plans/analysis.py``) around the plan
-    build, then delegates.  Full semantics on ``_es_scored_search_impl``."""
+    build, then delegates.  Full semantics on ``_es_scored_search_impl``.
+
+    NOTE (eager plan build): a body with ``rescore`` runs a bounded
+    Spark job AT PLAN-BUILD TIME — the ≤ ``window_size`` top-window
+    frame is collected once so the rescore corpus reduces to a 1-row
+    broadcast aggregate (VERDICT r8 #4).  Every other body shape is
+    fully lazy; callers scheduling actions should expect the rescore
+    case to touch the cluster before the returned DataFrame is acted
+    on."""
     from .analysis import using
     from .query_dsl import validate_body_keys
 

@@ -1436,17 +1436,18 @@ def test_reverse_nested_counts_parents(spark):
 
 def test_es_mget_duplicate_corpus_ids_yield_one_row_per_request(spark):
     # ADVICE r8: duplicate id VALUES in the corpus must not fan a request
-    # out into multiple result rows — keep the first table row per id
-    # (file order) before the broadcast join.
+    # out into multiple result rows.  VERDICT r9 #8 replaced the file-
+    # order winner with a value-deterministic one: smallest values over
+    # sorted-name columns ("dup" < "dup2" < "first").
     from hive2es_offline_spark.plans.query_dsl import es_mget
 
     df = spark.createDataFrame(
         [(1, "first"), (1, "dup"), (2, "only"), (1, "dup2")],
         "id long, name string",
-    ).coalesce(1)  # single partition pins file order -> "first" wins
+    ).coalesce(1)
     out = es_mget(df, {"ids": [1, 2, 7]}, id_field="id").collect()
     assert [(r["mget_id"], r["found"], r["name"]) for r in out] == [
-        ("1", True, "first"), ("2", True, "only"), ("7", False, None)]
+        ("1", True, "dup"), ("2", True, "only"), ("7", False, None)]
 
 
 def test_es_msearch_union_with_request_index(spark, tmp_path):
@@ -1978,3 +1979,22 @@ def test_boxplot_compression_routes_to_sketch(spark):
     for q in ("b_q1", "b_q2", "b_q3"):
         assert abs(a[q] - e[q]) <= 0.02 * e[q]
     assert exact.schema == approx.schema
+
+
+def test_es_mget_duplicate_winner_is_layout_stable(spark):
+    """VERDICT r9 #8: the duplicate-id winner must not depend on file /
+    partition order — reversing and repartitioning the corpus must pick
+    the same row."""
+    from hive2es_offline_spark.plans.query_dsl import es_mget
+
+    rows = [(1, "b", 20.0), (1, "a", 10.0), (2, "z", 5.0), (1, "c", 30.0)]
+    df_fwd = spark.createDataFrame(rows, "id long, tag string, v double")
+    df_rev = spark.createDataFrame(rows[::-1],
+                                   "id long, tag string, v double")
+    body = {"ids": [1, 2], "_source": ["tag", "v"]}
+    a = es_mget(df_fwd.repartition(4), body, id_field="id").collect()
+    b = es_mget(df_rev.coalesce(1), body, id_field="id").collect()
+    assert [(r["mget_id"], r["tag"], r["v"]) for r in a] \
+        == [(r["mget_id"], r["tag"], r["v"]) for r in b]
+    # sorted-name column order: tag 'a' (then v) wins for id 1
+    assert a[0]["tag"] == "a" and a[0]["v"] == 10.0
