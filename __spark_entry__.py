@@ -2860,6 +2860,30 @@ def q_es_intervals(spark, sf_dir):
     return a1.unionByName(a2)
 
 
+def q_es_scripted_metric(spark, sf_dir):
+    """``scripted_metric`` aggregation over the Painless arithmetic
+    subset (query_dsl._scripted_metric_exprs): a conditional additive
+    map program per lang bucket — Spark's partial aggregation IS the
+    per-shard combine and the exchange merge the reduce, so the additive
+    program compiles to one ordinary gated decimal-sum aggregate; any
+    non-additive init/map/combine/reduce shape rejects loudly."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {"size": 0, "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {"sm": {"scripted_metric": {
+            "init_script": "state.total = 0",
+            "map_script": ("if (doc['n_chars'].value >= params.min) "
+                           "{ state.total += doc['n_chars'].value }"),
+            "combine_script": "return state",
+            "reduce_script": "return states",
+            "params": {"min": 300},
+        }}},
+    }}}
+    return es_search(d, body, id_field="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2916,7 +2940,8 @@ DRIVER_WINDOW = [
     "temperature_mix", "data_drift", "bigram_lm_score",
     "es_multi_match_types", "es_parent_child", "es_geo_grid",
     "es_intervals",
-    "es_gap_fill", "es_terms_order", "es_adjacency", "es_runtime_fields",
+    "es_scripted_metric", "es_terms_order", "es_adjacency",
+    "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
     "snapshot_cdc", "es_decay_score",
@@ -3041,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sig_text": q_es_sig_text,
         "es_geo_grid": q_es_geo_grid,
         "es_intervals": q_es_intervals,
+        "es_scripted_metric": q_es_scripted_metric,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -4812,6 +4838,21 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # mirrors q_es_scripted_metric: the additive map program as a
+        # gated decimal-sum per lang bucket, terms order _count desc /
+        # key asc
+        "es_scripted_metric": """
+            SELECT lang AS key,
+                   count(*) AS doc_count,
+                   CAST(sum(CASE WHEN n_chars >= 300
+                            THEN CAST(round(CAST(n_chars AS DOUBLE), 6)
+                                      AS DECIMAL(28,6)) END)
+                        AS DOUBLE) AS sm
+            FROM documents
+            GROUP BY lang
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 10
         """,
         # mirrors q_es_intervals: ordered position chains as nested
         # list_filter lambdas — slow->scan within j-i <= 2 (max_gaps 1),

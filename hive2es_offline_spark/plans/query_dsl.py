@@ -1262,12 +1262,126 @@ def compile_query(
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "percentile_ranks",
                  "weighted_avg", "string_stats", "boxplot", "top_metrics",
-                 "geo_centroid", "geo_bounds"}
+                 "geo_centroid", "geo_bounds", "scripted_metric"}
 #: bucket aggs compiled as one groupBy over a codegen key expression
 _GROUPBY_BUCKET_KINDS = {"terms", "histogram", "date_histogram",
                          "geohash_grid", "geotile_grid"}
 _COND_BUCKET_KINDS = {"range", "date_range", "filters", "missing",
                       "adjacency_matrix"}
+
+
+def _scripted_metric_exprs(
+    name: str, spec: dict, gate: Column | None = None
+) -> list[Column]:
+    """ES ``scripted_metric`` via the Painless arithmetic subset.  The
+    supported program shape is ADDITIVE state:
+
+    - ``init_script``: ``state.<var> = 0`` (or ``[]``) statements only,
+    - ``map_script``: one or more ``state.<var> += <expr>`` statements
+      (``;``-separated), optionally wrapped in ONE
+      ``if (<cond>) { ... }`` — expr and cond from ``_script_column``'s
+      subset (doc refs, params, numbers, Math.*, comparisons),
+    - ``combine_script``: ``return state`` / ``return state.<var>``
+      (optional),
+    - ``reduce_script``: ``return states`` or the ES docs' canonical
+      accumulation loop
+      ``double total = 0; for (a in states) { total += a } return total``
+      (optional).
+
+    Spark's distributed aggregate IS the combine/reduce (partial
+    aggregation = the per-shard combine, the exchange merge = the
+    reduce), so only additive programs are expressible — any other
+    combine/reduce/init/map shape rejects loudly rather than compute
+    something silently different.  Per-var row contributions round to 6
+    decimals and sum through DECIMAL(28,6) like every additive metric
+    (order-independent, oracle-reproducible).  A single state var
+    aliases the agg name; multiple vars alias ``<name>_<var>``."""
+    import re as _re
+
+    unknown = set(spec) - {"init_script", "map_script", "combine_script",
+                           "reduce_script", "params"}
+    if unknown:
+        raise ValueError(
+            f"unsupported scripted_metric option(s): {sorted(unknown)}")
+    params = {k: F.lit(v) for k, v in (spec.get("params") or {}).items()}
+
+    def norm(s: str) -> str:
+        return _re.sub(r"\s+", " ", str(s).strip())
+
+    init = spec.get("init_script")
+    if init is not None:
+        for stmt in str(init).split(";"):
+            stmt = norm(stmt)
+            if stmt and not _re.fullmatch(
+                    r"state\.\w+ = (0|0\.0|0L|\[\])", stmt):
+                raise ValueError(
+                    f"unsupported scripted_metric init statement: {stmt!r} "
+                    "(zero/empty initialization only)")
+    comb = spec.get("combine_script")
+    if comb is not None and not _re.fullmatch(
+            r"return state(\.\w+)?", norm(comb)):
+        raise ValueError(
+            f"unsupported combine_script: {comb!r} (the distributed "
+            "partial aggregate is the combine — only `return state[.var]`)")
+    red = spec.get("reduce_script")
+    if red is not None:
+        r = norm(red)
+        loop = _re.fullmatch(
+            r"(?:double|long|int) (\w+) = 0(?:\.0)?L? ?; ?"
+            r"for \( ?(\w+) in states ?\) \{ ?\1 \+= \2 ?;? ?\} ?"
+            r"return \1", r)
+        if r != "return states" and not loop:
+            raise ValueError(
+                f"unsupported reduce_script: {red!r} (the exchange merge "
+                "is the reduce — only `return states` or the canonical "
+                "additive loop)")
+
+    map_script = norm(spec["map_script"])
+    m = _re.fullmatch(r"if \((?P<cond>.*?)\) \{ ?(?P<body>.*?) ?\}",
+                      map_script)
+    if m:
+        cond: Column | None = _script_column(
+            m.group("cond"), params, columns="*")
+        body = m.group("body")
+    else:
+        cond, body = None, map_script
+    rowterms: dict[str, list[Column]] = {}
+    for stmt in body.split(";"):
+        stmt = norm(stmt)
+        if not stmt:
+            continue
+        sm = _re.fullmatch(r"state\.(\w+) \+= (.*)", stmt)
+        if not sm:
+            raise ValueError(
+                f"unsupported scripted_metric map statement: {stmt!r} "
+                "(`state.<var> += <expr>` only, optionally inside one "
+                "`if (...) {{ ... }}`)")
+        var, expr_src = sm.group(1), sm.group(2)
+        v = _script_column(expr_src, params, columns="*").cast("double")
+        conds = [c for c in (cond, gate) if c is not None]
+        if conds:
+            acc = conds[0]
+            for c2 in conds[1:]:
+                acc = acc & c2
+            v = F.when(acc, v)
+        rowterms.setdefault(var, []).append(
+            F.round(v, 6).cast("decimal(28,6)"))
+    if not rowterms:
+        raise ValueError("scripted_metric map_script has no statements")
+    out: list[Column] = []
+    zero = F.lit(0).cast("decimal(28,6)")
+    multi = len(rowterms) > 1
+    for var in sorted(rowterms):
+        terms = rowterms[var]
+        if len(terms) == 1:
+            row = terms[0]  # F.sum skips the NULL (non-matching) rows
+        else:
+            row = F.coalesce(terms[0], zero)
+            for t in terms[1:]:
+                row = row + F.coalesce(t, zero)
+        out.append(F.sum(row).cast("double")
+                   .alias(name if not multi else f"{name}_{var}"))
+    return out
 
 
 def _metric_exprs(
@@ -1283,6 +1397,8 @@ def _metric_exprs(
     With ``gate`` (conditional buckets: range/filters/missing) the metric
     aggregates ``when(gate, field)`` — NULL outside the bucket, so one
     ungrouped pass computes every bucket's metrics simultaneously."""
+    if kind == "scripted_metric":
+        return _scripted_metric_exprs(name, spec, gate)
     field = spec.get("field")  # weighted_avg / top_metrics name fields inline
     c = F.col(field) if field is not None else F.lit(None)
     if gate is not None:

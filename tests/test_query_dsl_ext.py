@@ -1998,3 +1998,58 @@ def test_es_mget_duplicate_winner_is_layout_stable(spark):
         == [(r["mget_id"], r["tag"], r["v"]) for r in b]
     # sorted-name column order: tag 'a' (then v) wins for id 1
     assert a[0]["tag"] == "a" and a[0]["v"] == 10.0
+
+
+# --- scripted_metric (round 10) ----------------------------------------------
+
+
+def test_scripted_metric_conditional_sum(spark):
+    d = spark.createDataFrame(
+        [(1, "sale", 10.0), (2, "sale", 30.5), (3, "refund", 5.0)],
+        "id long, kind string, amount double",
+    )
+    out = compile_aggs(d, {"profit": {"scripted_metric": {
+        "init_script": "state.total = 0",
+        "map_script": ("if (doc['kind'].value == params.k) "
+                       "{ state.total += doc['amount'].value }"),
+        "combine_script": "return state.total",
+        "reduce_script": ("double total = 0; for (a in states) "
+                          "{ total += a } return total"),
+        "params": {"k": "sale"},
+    }}}).collect()
+    assert out[0]["profit"] == 40.5
+
+
+def test_scripted_metric_multiple_vars_and_bucket_gate(spark):
+    d = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "id long, seg string, v double",
+    )
+    out = compile_aggs(d, {"m": {
+        "terms": {"field": "seg"},
+        "aggs": {"s": {"scripted_metric": {
+            "map_script": "state.t += doc['v'].value; state.n += 1",
+        }}}}}).collect()
+    by_key = {r["key"]: r for r in out}
+    assert by_key["a"]["s_t"] == 30.0 and by_key["a"]["s_n"] == 2.0
+    assert by_key["b"]["s_t"] == 5.0 and by_key["b"]["s_n"] == 1.0
+
+
+def test_scripted_metric_rejects_non_additive_programs(spark):
+    d = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="init statement"):
+        compile_aggs(d, {"m": {"scripted_metric": {
+            "init_script": "state.t = 5",
+            "map_script": "state.t += doc['v'].value"}}})
+    with pytest.raises(ValueError, match="combine_script"):
+        compile_aggs(d, {"m": {"scripted_metric": {
+            "map_script": "state.t += doc['v'].value",
+            "combine_script": "return state.t * 2"}}})
+    with pytest.raises(ValueError, match="reduce_script"):
+        compile_aggs(d, {"m": {"scripted_metric": {
+            "map_script": "state.t += doc['v'].value",
+            "reduce_script": ("double m = 0; for (a in states) "
+                              "{ m = Math.max(m, a) } return m")}}})
+    with pytest.raises(ValueError, match="map statement"):
+        compile_aggs(d, {"m": {"scripted_metric": {
+            "map_script": "state.t = doc['v'].value"}}})
