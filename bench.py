@@ -156,6 +156,14 @@ BENCH_QUERIES = [
     # scoring (closed-form codegen over the scored frame)
     "es_suggest",
     "es_decay_score",
+    # round-10 additions: the completion-suggester path (prefix +
+    # fuzzy-levenshtein + context gate, three arms), all six multi_match
+    # types in one row (incl. the blended-df cross_fields maps), and the
+    # parent-child join-field arms (child-side aggregate semi-join +
+    # scored has_child)
+    "es_completion",
+    "es_multi_match_types",
+    "es_parent_child",
 ]
 
 
