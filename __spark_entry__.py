@@ -2884,6 +2884,36 @@ def q_es_scripted_metric(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_scroll(spark, sf_dir):
+    """ES ``scroll`` batch-export paging (query_dsl.es_scroll): three
+    15-row pages over a filtered, n_chars-desc-sorted search.  The
+    scroll id is a stateless sort cursor (each page is a fresh
+    search_after whose strict-after predicate pushes into the scan), so
+    page N costs the same as page 1 — no server-side context, nothing
+    to expire."""
+    from hive2es_offline_spark.plans.query_dsl import es_scroll
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"range": {"n_chars": {"gte": 100}}},
+        "sort": [{"n_chars": "desc"}],
+        "scroll": "1m",
+        "size": 15,
+        "_source": ["doc_id", "n_chars"],
+    }
+    pages, sid = [], None
+    for i in range(3):
+        page, sid = es_scroll(d, body, id_field="doc_id", scroll_id=sid)
+        pages.append(page.select(
+            F.lit(i).alias("page"), "doc_id", "n_chars"))
+        if sid is None:
+            break
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2940,7 +2970,7 @@ DRIVER_WINDOW = [
     "temperature_mix", "data_drift", "bigram_lm_score",
     "es_multi_match_types", "es_parent_child", "es_geo_grid",
     "es_intervals",
-    "es_scripted_metric", "es_terms_order", "es_adjacency",
+    "es_scripted_metric", "es_scroll", "es_adjacency",
     "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
@@ -3067,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo_grid": q_es_geo_grid,
         "es_intervals": q_es_intervals,
         "es_scripted_metric": q_es_scripted_metric,
+        "es_scroll": q_es_scroll,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -4838,6 +4869,20 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # mirrors q_es_scroll: the three keyset pages are exactly rows
+        # 1..45 of the total order (n_chars desc, doc_id asc tiebreak)
+        # with page = (rn-1) / 15
+        "es_scroll": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents
+              WHERE n_chars >= 100
+            )
+            SELECT CAST((rn - 1) // 15 AS INTEGER) AS page, doc_id, n_chars
+            FROM r WHERE rn <= 45
         """,
         # mirrors q_es_scripted_metric: the additive map program as a
         # gated decimal-sum per lang bucket, terms order _count desc /

@@ -3335,6 +3335,65 @@ def es_msearch(
     return res
 
 
+def es_scroll(
+    df: DataFrame,
+    body: dict,
+    id_field: str = "_id",
+    scroll_id: str | None = None,
+    analyzer: str | None = None,
+) -> "tuple[DataFrame, str | None]":
+    """ES ``scroll`` paging: ``(page DataFrame, next scroll_id | None)``.
+
+    Live ES freezes a server-side point-in-time context per scroll id; a
+    parquet table IS a frozen snapshot, so the engine's scroll id is just
+    the SORT CURSOR (JSON: the last row's sort values) and every page is
+    a fresh ``search_after`` query whose strict-after predicate pushes
+    into the scan — page N costs the same as page 1 and no server state
+    exists or expires.  This serves the scroll API shape batch exporters
+    still issue while keeping the search_after scale story (the body's
+    ``scroll`` keep-alive duration is accepted and ignored — there is
+    nothing to keep alive).
+
+    The cursor requires a total order: the body's sort is extended with
+    an ``id asc`` tiebreak when missing (exactly what ES recommends for
+    search_after); ``_geo_distance`` expression sorts are rejected by
+    the cursor machinery (no column to resume from).  Building the next
+    id costs one bounded collect of the page's sort columns (≤ ``size``
+    rows of scalars, driver work).  A page shorter than ``size`` is the
+    last one — next id is None, like ES's empty-page termination but one
+    round-trip earlier."""
+    import json as _json
+
+    from .analysis import using
+
+    body = dict(body)
+    body.pop("scroll", None)
+    if "from" in body:
+        raise ValueError("scroll cannot combine with from paging")
+    sort = list(body.get("sort") or [])
+    specs = _sort_specs(sort)
+    if id_field not in [f for f, _ in specs]:
+        sort = sort + [{id_field: "asc"}]
+    body["sort"] = sort
+    if scroll_id is not None:
+        body["search_after"] = _json.loads(scroll_id)["after"]
+    size = int(body.get("size", 10))
+    with using(analyzer):
+        page = es_search(df, body, id_field=id_field)
+    sort_fields = [f for f, _ in _sort_specs(sort)]
+    missing = [f for f in sort_fields if f not in page.columns]
+    if missing:
+        raise ValueError(
+            "scroll builds its cursor from the page's sort columns — "
+            f"add {missing} to _source (the id tiebreak included)")
+    vals = page.select(*sort_fields).collect()
+    if len(vals) < size:
+        return page, None
+    nxt = _json.dumps({"after": [vals[-1][f] for f in sort_fields]},
+                      default=str)
+    return page, nxt
+
+
 def es_field_caps(df: DataFrame) -> DataFrame:
     """ES ``_field_caps``: per-field type + capability flags — the schema
     endpoint consumers (Kibana, client libraries) call before building

@@ -2053,3 +2053,36 @@ def test_scripted_metric_rejects_non_additive_programs(spark):
     with pytest.raises(ValueError, match="map statement"):
         compile_aggs(d, {"m": {"scripted_metric": {
             "map_script": "state.t = doc['v'].value"}}})
+
+
+# --- scroll paging (round 10) -------------------------------------------------
+
+
+def test_es_scroll_pages_are_disjoint_and_ordered(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_scroll
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(1, 11)], "id long, grp long")
+    body = {"sort": [{"grp": "asc"}], "size": 4, "_source": ["id", "grp"],
+            "scroll": "1m"}
+    seen, sid = [], None
+    for _ in range(5):
+        page, sid = es_scroll(df, body, id_field="id", scroll_id=sid)
+        seen.append([(r["grp"], r["id"]) for r in page.collect()])
+        if sid is None:
+            break
+    flat = [x for p in seen for x in p]
+    # full coverage, no duplicates, total order (grp asc, id asc tiebreak)
+    assert flat == sorted([(i % 3, i) for i in range(1, 11)])
+    assert [len(p) for p in seen] == [4, 4, 2]  # short page terminates
+
+
+def test_es_scroll_rejects_from_and_requires_cursor_columns(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_scroll
+
+    df = spark.createDataFrame([(1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="from"):
+        es_scroll(df, {"from": 5, "size": 2}, id_field="id")
+    with pytest.raises(ValueError, match="cursor"):
+        es_scroll(df, {"sort": [{"v": "asc"}], "size": 1,
+                       "_source": ["v"]}, id_field="id")
