@@ -236,10 +236,16 @@ def _scored_has_child(
     from .query_dsl import compile_query
 
     pred = F.coalesce(compile_query(spec["query"], id_field), F.lit(False))
-    kids = score_frame(df, spec["query"], id_field).where(
+    kids_base = df.where(
         (F.col(relation_field) == str(spec["type"])) & pred
         & F.col(parent_field).isNotNull()
     )
+    # score ONLY the matching children; corpus statistics (N, avgdl,
+    # per-term df) come from the WHOLE frame via stats_over's 1-row
+    # broadcast aggregate — same values as scoring the full corpus, but
+    # the per-(doc, term) shuffle and the tsmap join carry child hits
+    # only (probed at 1M docs: 22 s -> ~3 s, tools/probe_round10.py)
+    kids = score_frame(kids_base, spec["query"], id_field, stats_over=df)
     # decimal-routed sum: child scores are 6-dp rounded, so the per-
     # parent aggregate is order-independent (same convention as _bm25)
     dsum = F.sum(F.col("_score").cast("decimal(28,6)"))
