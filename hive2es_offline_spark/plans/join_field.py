@@ -219,6 +219,14 @@ def _scored_has_child(
     aggregate of their matching children's BM25 ``_score``."""
     from .scoring import score_frame
 
+    extra_body = set(body) - {"query", "size", "_source"}
+    if extra_body:
+        # loud-reject convention: a sort/from/aggs on the scored path
+        # would otherwise vanish silently (validate_body_keys passes —
+        # the keys are legal elsewhere; code-review r10)
+        raise ValueError(
+            "scored has_child supports only query/size/_source body keys "
+            f"(got {sorted(extra_body)}); hits rank by _score desc")
     spec = body["query"]["has_child"]
     unknown = set(spec) - _HC_KEYS
     if unknown:

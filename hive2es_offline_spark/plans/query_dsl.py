@@ -289,11 +289,19 @@ def _intervals_predicate(toks: Column, rule: dict) -> Column:
         if ordered:
             return _ordered_chain(pos, max_gaps)
         if max_gaps < 0:
-            # unordered + unbounded gaps = every term present somewhere
-            qarr = F.lit(sorted(set(terms)))
-            return F.size(
-                F.array_intersect(F.array_distinct(toks), qarr)
-            ) == len(set(terms))
+            # unordered + unbounded gaps = one interval per SOURCE, so a
+            # duplicated query term needs that many distinct positions
+            # (code-review r10: the plain containment shortcut let
+            # "foo foo" match a single foo, inconsistent with both the
+            # ordered path and the bounded 2-term path)
+            from collections import Counter
+
+            out: Column | None = None
+            for t, need in sorted(Counter(terms).items()):
+                p = (F.array_contains(toks, t) if need == 1
+                     else F.size(_token_positions(toks, t)) >= need)
+                out = p if out is None else out & p
+            return out
         if len(pos) == 2:
             return F.exists(pos[0], lambda p1: F.exists(
                 pos[1],
@@ -901,7 +909,10 @@ def compile_query(
         query = body["query"]
         if not list(body["fields"]):
             raise ValueError("multi_match needs at least one field")
-        operator = body.get("operator", "or")
+        # ES parses the operator case-insensitively ("AND" is the common
+        # wire form) — lowercase once here; every sub-clause this branch
+        # builds receives the normalized value (code-review r10)
+        operator = str(body.get("operator", "or")).lower()
         mm_type = str(body.get("type", "best_fields"))
         if mm_type in ("best_fields", "most_fields"):
             # identical in filter context (the best/sum distinction only
@@ -1318,11 +1329,15 @@ def _scripted_metric_exprs(
                     f"unsupported scripted_metric init statement: {stmt!r} "
                     "(zero/empty initialization only)")
     comb = spec.get("combine_script")
-    if comb is not None and not _re.fullmatch(
-            r"return state(\.\w+)?", norm(comb)):
-        raise ValueError(
-            f"unsupported combine_script: {comb!r} (the distributed "
-            "partial aggregate is the combine — only `return state[.var]`)")
+    comb_var: str | None = None
+    if comb is not None:
+        cm = _re.fullmatch(r"return state(?:\.(\w+))?", norm(comb))
+        if not cm:
+            raise ValueError(
+                f"unsupported combine_script: {comb!r} (the distributed "
+                "partial aggregate is the combine — only "
+                "`return state[.var]`)")
+        comb_var = cm.group(1)
     red = spec.get("reduce_script")
     if red is not None:
         r = norm(red)
@@ -1368,6 +1383,15 @@ def _scripted_metric_exprs(
             F.round(v, 6).cast("decimal(28,6)"))
     if not rowterms:
         raise ValueError("scripted_metric map_script has no statements")
+    if comb_var is not None:
+        # `return state.<var>` SELECTS that var: ES would surface only
+        # its total, so the other accumulators must not silently become
+        # extra columns (code-review r10)
+        if comb_var not in rowterms:
+            raise ValueError(
+                f"combine_script returns state.{comb_var}, which the "
+                f"map_script never accumulates (has {sorted(rowterms)})")
+        rowterms = {comb_var: rowterms[comb_var]}
     out: list[Column] = []
     zero = F.lit(0).cast("decimal(28,6)")
     multi = len(rowterms) > 1
@@ -2979,19 +3003,30 @@ def es_mget(
     data = df.where(id_col.isin([str(v) for _, v, _ in rows]))
     # one row per REQUESTED doc even when the corpus carries duplicate id
     # values (ADVICE r8): keep ONE deterministic row per id.  The
-    # tiebreak orders by every orderable column in sorted-name order
+    # tiebreak orders by every ORDERABLE column in sorted-name order
     # (VERDICT r9 #8 — the previous monotonically_increasing_id order
     # was file-layout-dependent: a compaction or repartition changed
-    # which duplicate won).  Rows distinguishable only by a map column
-    # (not orderable in Spark) still collapse to a single winner, just
-    # not a specified one.
-    from pyspark.sql.types import MapType
+    # which duplicate won).  Orderability is checked recursively (a map
+    # nested inside an array/struct is just as unsortable as a top-level
+    # one — Spark raises INVALID_ORDERING_TYPE); rows distinguishable
+    # only by unorderable columns still collapse to a single winner,
+    # just not a specified one.
+    from pyspark.sql.types import ArrayType, MapType, StructType
     from pyspark.sql.window import Window
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
 
     tiebreak = [
         F.col(c).asc_nulls_first()
         for c in sorted(data.columns)
-        if not isinstance(data.schema[c].dataType, MapType)
+        if _orderable(data.schema[c].dataType)
     ] or [F.lit(1).asc()]
     dw = Window.partitionBy(id_col).orderBy(*tiebreak)
     data = (
@@ -3357,11 +3392,13 @@ def es_scroll(
     The cursor requires a total order: the body's sort is extended with
     an ``id asc`` tiebreak when missing (exactly what ES recommends for
     search_after); ``_geo_distance`` expression sorts are rejected by
-    the cursor machinery (no column to resume from).  Building the next
-    id costs one bounded collect of the page's sort columns (≤ ``size``
-    rows of scalars, driver work).  A page shorter than ``size`` is the
-    last one — next id is None, like ES's empty-page termination but one
-    round-trip earlier."""
+    the cursor machinery (no column to resume from).  Each call runs
+    EXACTLY ONE Spark job: the page (≤ ``size`` rows) is collected once
+    to build the cursor and returned as a local-relation DataFrame, so
+    the caller acting on it reads driver memory, not the cluster
+    (code-review r10: returning the lazy plan made every page cost two
+    jobs).  A page shorter than ``size`` is the last one — next id is
+    None, like ES's empty-page termination but one round-trip earlier."""
     import json as _json
 
     from .analysis import using
@@ -3386,12 +3423,13 @@ def es_scroll(
         raise ValueError(
             "scroll builds its cursor from the page's sort columns — "
             f"add {missing} to _source (the id tiebreak included)")
-    vals = page.select(*sort_fields).collect()
-    if len(vals) < size:
-        return page, None
-    nxt = _json.dumps({"after": [vals[-1][f] for f in sort_fields]},
+    rows = page.collect()
+    local = df.sparkSession.createDataFrame(rows, page.schema)
+    if len(rows) < size:
+        return local, None
+    nxt = _json.dumps({"after": [rows[-1][f] for f in sort_fields]},
                       default=str)
-    return page, nxt
+    return local, nxt
 
 
 def es_field_caps(df: DataFrame) -> DataFrame:

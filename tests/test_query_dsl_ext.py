@@ -2086,3 +2086,94 @@ def test_es_scroll_rejects_from_and_requires_cursor_columns(spark):
     with pytest.raises(ValueError, match="cursor"):
         es_scroll(df, {"sort": [{"v": "asc"}], "size": 1,
                        "_source": ["v"]}, id_field="id")
+
+
+# --- code-review r10 regressions ---------------------------------------------
+
+
+def test_es_mget_tiebreak_skips_nested_unorderable_columns(spark):
+    # code-review r10: array<map<...>> is as unorderable as a top-level
+    # map — the tiebreak must skip it recursively, not crash
+    from hive2es_offline_spark.plans.query_dsl import es_mget
+
+    df = spark.createDataFrame(
+        [(1, "a", [{"k": "v"}]), (1, "b", [{"k": "w"}]), (2, "c", [])],
+        "id long, tag string, tags array<map<string,string>>",
+    )
+    out = es_mget(df, {"ids": [1, 2], "_source": ["tag"]},
+                  id_field="id").collect()
+    assert [(r["mget_id"], r["tag"]) for r in out] == [("1", "a"), ("2", "c")]
+
+
+def test_cross_fields_operator_is_case_insensitive(spark):
+    # code-review r10: ES sends operator "AND" — must not degrade to OR
+    df = spark.createDataFrame(
+        [(1, "alpha only", "nothing"), (2, "alpha here", "beta there")],
+        "id long, t1 string, t2 string",
+    )
+    got = sorted(r["id"] for r in df.where(compile_query(
+        {"multi_match": {"query": "alpha beta", "fields": ["t1", "t2"],
+                         "type": "cross_fields", "operator": "AND"}},
+        "id")).collect())
+    assert got == [2]
+
+
+def test_intervals_unordered_duplicate_terms_need_distinct_positions(spark):
+    # code-review r10: "foo foo" unordered+unbounded must require two
+    # foo positions (one interval per source), consistent with the
+    # bounded path
+    from hive2es_offline_spark.plans.query_dsl import _intervals_predicate
+
+    df = spark.createDataFrame(
+        [(1, "foo bar"), (2, "foo bar foo")], "id long, txt string")
+    toks = F.split(F.col("txt"), " ")
+    pred = _intervals_predicate(toks, {"match": {"query": "foo foo"}})
+    assert sorted(r["id"] for r in df.where(pred).collect()) == [2]
+
+
+def test_scripted_metric_combine_var_selection(spark):
+    # code-review r10: `return state.a` selects ONE accumulator — the
+    # others must not leak out as extra columns
+    d = spark.createDataFrame([(1, 2.0, 5.0)], "id long, x double, y double")
+    out = compile_aggs(d, {"m": {"scripted_metric": {
+        "map_script": "state.a += doc['x'].value; state.b += doc['y'].value",
+        "combine_script": "return state.a",
+    }}})
+    assert out.columns == ["m"]
+    assert out.collect()[0]["m"] == 2.0
+    with pytest.raises(ValueError, match="never accumulates"):
+        compile_aggs(d, {"m": {"scripted_metric": {
+            "map_script": "state.a += doc['x'].value",
+            "combine_script": "return state.z"}}})
+
+
+def test_scored_has_child_rejects_unsupported_body_keys(spark):
+    from hive2es_offline_spark.plans.join_field import es_parent_child
+
+    df = spark.createDataFrame(
+        [(1, "question", None, "t"), (2, "answer", 1, "t")],
+        "id long, relation string, parent_id long, txt string")
+    with pytest.raises(ValueError, match="scored has_child"):
+        es_parent_child(df, {
+            "query": {"has_child": {"type": "answer",
+                                    "query": {"match_all": {}},
+                                    "score_mode": "sum"}},
+            "sort": [{"id": "asc"}], "size": 5, "_source": ["id"],
+        }, id_field="id")
+
+
+def test_es_scroll_page_is_local_single_job(spark):
+    # code-review r10: each scroll call runs one job; the returned page
+    # is a local relation, so consuming it does not re-run the search
+    from hive2es_offline_spark.plans.query_dsl import es_scroll
+
+    df = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    page, sid = es_scroll(df, {"size": 4, "_source": ["id"]},
+                          id_field="id")
+    # the returned page reads the collected rows (ExistingRDD of driver
+    # data), not the search plan — no sort/filter/limit to re-run
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "TakeOrdered" not in plan and "Sort" not in plan
+    assert [r["id"] for r in page.collect()] == [0, 1, 2, 3]
+    assert sid is not None

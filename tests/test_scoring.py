@@ -715,7 +715,8 @@ def test_script_score_query_and_function(corpus):
 def test_multi_match_types(spark):
     """multi_match type option: most_fields SUMS per-field scores,
     phrase runs match_phrase per field (best_fields combine),
-    phrase_prefix matches search-as-you-type; cross_fields rejects."""
+    phrase_prefix matches search-as-you-type; cross_fields blends df
+    across the fields (supported since round 10)."""
     df = spark.createDataFrame(
         [(1, "merge stream", "merge alpha"), (2, "other thing", "merge x"),
          (3, "stream merge", "beta gamma")],
@@ -760,14 +761,16 @@ def test_multi_match_types(spark):
         {"multi_match": {"query": "merge stream", "fields": ["title", "body"],
                          "type": "phrase"}}, "doc_id")).collect()]
     assert got == [1]
-    with pytest.raises(ValueError, match="cross_fields"):
-        es_scored_search(df, {"query": {"multi_match": {
-            "query": "merge", "fields": ["title", "body"],
-            "type": "cross_fields"}}}, id_field="doc_id")
-    with pytest.raises(ValueError, match="cross_fields"):
-        compile_query({"multi_match": {
-            "query": "merge", "fields": ["title"],
-            "type": "cross_fields"}}, "doc_id")
+    # cross_fields is SUPPORTED since round 10: blended df = max over
+    # the two fields (2 each here), every field one-token-hit with
+    # dl=avgdl=2 => identical partials, dismax picks either
+    p = round(math.log(1.6), 6)  # ln(1 + (3-2+.5)/(2+.5))
+    out = {r["doc_id"]: r["_score"]
+           for r in es_scored_search(df, {"query": {"multi_match": {
+               "query": "merge", "fields": ["title", "body"],
+               "type": "cross_fields"}}, "size": 10,
+               "_source": ["doc_id"]}, id_field="doc_id").collect()}
+    assert out == pytest.approx({1: p, 2: p, 3: p}, abs=2e-6)
 
 
 def test_scored_hit_filter_pushes_to_parquet(spark, tmp_path):
