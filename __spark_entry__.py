@@ -2914,6 +2914,49 @@ def q_es_scroll(spark, sf_dir):
     return out
 
 
+def q_es_feature_queries(spark, sf_dir):
+    """The modern feature-signal clauses (plans/scoring.py, round 10):
+    ``script`` query (Painless boolean predicate, constant-scored),
+    ``rank_feature`` (saturation x/(x+pivot) over a positive feature
+    column), and ``distance_feature`` (boost·pivot/(pivot+haversine)
+    from a geo origin) — all closed-form codegen.  Two arms: a bool of
+    script-must + rank_feature-should over documents, and a geo
+    distance_feature ranking over derived customer coordinates."""
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    d = _t(spark, sf_dir, "documents")
+    a1 = es_scored_search(d, {
+        "query": {"bool": {
+            "must": [{"script": {"script": {
+                "source": "doc['n_chars'].value >= params.lo",
+                "params": {"lo": 200}}}}],
+            "should": [{"rank_feature": {
+                "field": "n_chars", "saturation": {"pivot": 300},
+                "boost": 2.0}}],
+        }},
+        "size": 30, "_source": ["doc_id"],
+    }, id_field="doc_id").select(
+        F.lit("rank_feature").alias("arm"),
+        F.col("doc_id").alias("rid"), "_score")
+    c = _t(spark, sf_dir, "customer")
+    located = c.select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    a2 = es_scored_search(located, {
+        "query": {"distance_feature": {
+            "field": "loc", "origin": {"lat": 10.5, "lon": 20.5},
+            "pivot": "1000km", "boost": 1.5}},
+        "size": 25, "_source": ["c_custkey"],
+    }, id_field="c_custkey").select(
+        F.lit("distance_feature").alias("arm"),
+        F.col("c_custkey").alias("rid"), "_score")
+    return a1.unionByName(a2)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2974,7 +3017,7 @@ DRIVER_WINDOW = [
     "temperature_mix", "data_drift", "bigram_lm_score",
     "es_multi_match_types", "es_parent_child", "es_geo_grid",
     "es_intervals",
-    "es_scripted_metric", "es_scroll", "es_adjacency",
+    "es_scripted_metric", "es_scroll", "es_feature_queries",
     "es_runtime_fields",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
@@ -3102,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_intervals": q_es_intervals,
         "es_scripted_metric": q_es_scripted_metric,
         "es_scroll": q_es_scroll,
+        "es_feature_queries": q_es_feature_queries,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -4873,6 +4917,37 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # mirrors q_es_feature_queries: script gate + saturation
+        # rank_feature (1.0 + round(2·x/(x+300), 6), rounded to 6), and
+        # the geo distance_feature 1000km/(1000km + haversine) · 1.5
+        # with the exact es_geo haversine formula and radius
+        "es_feature_queries": """
+            WITH a1 AS (
+              SELECT 'rank_feature' AS arm, doc_id AS rid,
+                     round(1.0 + round(2.0 * (CAST(n_chars AS DOUBLE)
+                           / (CAST(n_chars AS DOUBLE) + 300.0)), 6), 6)
+                       AS _score
+              FROM documents
+              WHERE n_chars >= 200
+              ORDER BY _score DESC, rid ASC LIMIT 30
+            ), l AS (
+              SELECT c_custkey,
+                     CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+              FROM customer
+            ), a2 AS (
+              SELECT 'distance_feature' AS arm, c_custkey AS rid,
+                     round(round(1000000.0 / (1000000.0
+                       + 2 * 6371008.7714150598 * asin(least(1.0, sqrt(
+                           pow(sin(radians(lat - 10.5) / 2), 2)
+                           + cos(radians(lat)) * cos(radians(10.5))
+                             * pow(sin(radians(lon - 20.5) / 2), 2)
+                         )))) * 1.5, 6), 6) AS _score
+              FROM l
+              ORDER BY _score DESC, rid ASC LIMIT 25
+            )
+            SELECT * FROM a1 UNION ALL SELECT * FROM a2
         """,
         # mirrors q_es_scroll: the three keyset pages are exactly rows
         # 1..45 of the total order (n_chars desc, doc_id asc tiebreak)

@@ -1112,6 +1112,29 @@ def compile_query(
         # _intervals_predicate for the supported algebra)
         field, rule = next(iter(body.items()))
         return _intervals_predicate(_analyze(col(field)), rule)
+    if kind == "script":
+        # ES script query: a Painless boolean over the doc — compiled by
+        # the same arithmetic/comparison subset as bucket_selector /
+        # runtime fields (anything outside it rejects loudly there).
+        # The script must BE a predicate (comparisons / && / ||); a
+        # numeric script is a caller bug the boolean cast would mask, so
+        # require a comparison at the top level
+        raw = body.get("script", body)
+        src = raw.get("source") if isinstance(raw, dict) else str(raw)
+        params = ({k: F.lit(v) for k, v in (raw.get("params") or {}).items()}
+                  if isinstance(raw, dict) else {})
+        import re as _re2
+
+        if not _re2.search(r"==|!=|>=|<=|<|>|&&|\|\|", str(src)):
+            raise ValueError(
+                f"script query must be a boolean expression, got {src!r}")
+        return _script_column(str(src), params, columns="*")
+    if kind == "rank_feature":
+        # filter context: matches docs that HAVE the feature (ES
+        # semantics — the scoring happens in plans/scoring.py)
+        return col(body["field"]).isNotNull()
+    if kind == "distance_feature":
+        return col(body["field"]).isNotNull()
     if kind == "span_term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec

@@ -64,7 +64,7 @@ __all__ = ["es_scored_search", "score_frame"]
 _CONSTANT_ONE_KINDS = {
     "range", "exists", "wildcard", "prefix", "ids", "fuzzy", "regexp",
     "terms", "terms_set", "geo_distance", "geo_bounding_box", "nested",
-    "match_phrase_prefix", "intervals",
+    "match_phrase_prefix", "intervals", "script",
     "span_term", "span_or", "span_near", "span_first", "span_not",
 }
 
@@ -351,6 +351,77 @@ class _ScoreCompiler:
                     total = total + s
                 best = best + F.lit(tie) * (total - best)
             return best
+        if kind == "rank_feature":
+            # ES rank_feature: a monotonic function of a positive
+            # numeric feature field — saturation x/(x+pivot) (pivot
+            # REQUIRED here: live ES defaults to the index's mean
+            # feature value, which a deterministic engine must not
+            # guess), log ln(sf + x), sigmoid x^e/(x^e + pivot^e),
+            # linear x.  All closed-form codegen
+            fns = [k for k in ("saturation", "log", "sigmoid", "linear")
+                   if k in body]
+            unknown = set(body) - {"field", "boost", "saturation", "log",
+                                   "sigmoid", "linear"}
+            if unknown or len(fns) > 1:
+                raise ValueError(
+                    f"bad rank_feature options: {sorted(unknown) or fns}")
+            boost = float(body.get("boost", 1.0))
+            x = F.col(body["field"]).cast("double")
+            fn = fns[0] if fns else "saturation"
+            spec_f = body.get(fn) or {}
+            if fn == "saturation":
+                if "pivot" not in spec_f:
+                    raise ValueError(
+                        "rank_feature saturation needs an explicit pivot "
+                        "(live ES derives one from index statistics — "
+                        "pass it for deterministic scores)")
+                s = x / (x + F.lit(float(spec_f["pivot"])))
+            elif fn == "log":
+                s = F.log(F.lit(float(spec_f["scaling_factor"])) + x)
+            elif fn == "sigmoid":
+                pv = float(spec_f["pivot"])
+                ex = float(spec_f["exponent"])
+                s = F.pow(x, F.lit(ex)) / (F.pow(x, F.lit(ex))
+                                           + F.lit(pv ** ex))
+            else:
+                s = x
+            return F.when(pred, F.round(s * F.lit(boost), 6)
+                          ).otherwise(F.lit(0.0))
+        if kind == "distance_feature":
+            # ES distance_feature: boost * pivot / (pivot + distance)
+            # from origin — geo (haversine meters) or date
+            # (milliseconds); closed-form codegen like the decay family
+            unknown = set(body) - {"field", "origin", "pivot", "boost"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported distance_feature option(s): "
+                    f"{sorted(unknown)}")
+            boost = float(body.get("boost", 1.0))
+            origin, pivot = body["origin"], body["pivot"]
+            if isinstance(origin, dict):
+                from .query_dsl import haversine_meters
+
+                pv = _parse_distance_m(pivot)
+                if pv is None:
+                    raise ValueError(
+                        f"bad distance_feature pivot: {pivot!r}")
+                fld = F.col(body["field"])
+                dist = haversine_meters(
+                    fld["lat"], fld["lon"],
+                    float(origin["lat"]), float(origin["lon"]))
+            else:
+                pv = _parse_duration_ms(pivot)
+                if pv is None:
+                    raise ValueError(
+                        f"bad distance_feature pivot: {pivot!r} "
+                        "(date pivots are ES time units, e.g. '7d')")
+                dist = F.abs(
+                    F.unix_millis(F.col(body["field"]).cast("timestamp"))
+                    - F.unix_millis(F.lit(str(origin)).cast("timestamp"))
+                ).cast("double")
+            s = F.lit(float(pv)) / (F.lit(float(pv)) + dist)
+            return F.when(pred, F.round(s * F.lit(boost), 6)
+                          ).otherwise(F.lit(0.0))
         if kind == "function_score":
             return self._function_score(body)
         if kind == "script_score":

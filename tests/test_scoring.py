@@ -942,3 +942,70 @@ def test_multi_match_bool_prefix_sums_fields_with_boost(corpus):
     assert rows[3] == pytest.approx(exp[3], abs=2e-6)
     assert rows[4] == pytest.approx(2.0, abs=2e-6)
     assert 5 not in rows
+
+
+# --- script / rank_feature / distance_feature (round 10) --------------------
+
+
+def test_script_query_filters_and_scores_constant(corpus):
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    pred = compile_query({"script": {"script": {
+        "source": "doc['n'].value >= params.lo", "params": {"lo": 800}}}},
+        "doc_id")
+    assert sorted(r.doc_id for r in corpus.where(pred).collect()) == [1, 3, 4]
+    out = es_scored_search(corpus, {
+        "query": {"script": {"script": {"source": "doc['n'].value >= 800"}}},
+        "size": 10, "_source": ["doc_id"]}, id_field="doc_id").collect()
+    assert {r._score for r in out} == {1.0}
+
+
+def test_script_query_rejects_non_boolean(corpus):
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    with pytest.raises(ValueError, match="boolean"):
+        compile_query({"script": {"script": {"source": "doc['n'].value"}}},
+                      "doc_id")
+
+
+def test_rank_feature_functions(corpus):
+    body = {"query": {"rank_feature": {
+        "field": "n", "saturation": {"pivot": 800}, "boost": 2.0}},
+        "size": 10, "_source": ["doc_id"]}
+    rows = {r.doc_id: r._score
+            for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    for d, n in [(1, 800), (2, 300), (3, 900), (4, 1200), (5, 100)]:
+        assert rows[d] == pytest.approx(round(2.0 * n / (n + 800), 6), abs=2e-6)
+    body["query"]["rank_feature"] = {"field": "n",
+                                     "log": {"scaling_factor": 1}}
+    rows = {r.doc_id: r._score
+            for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    assert rows[4] == pytest.approx(round(math.log(1 + 1200), 6), abs=2e-6)
+    body["query"]["rank_feature"] = {"field": "n",
+                                     "sigmoid": {"pivot": 800, "exponent": 2}}
+    rows = {r.doc_id: r._score
+            for r in es_scored_search(corpus, body, id_field="doc_id").collect()}
+    assert rows[2] == pytest.approx(
+        round(300.0**2 / (300.0**2 + 800.0**2), 6), abs=2e-6)
+
+
+def test_rank_feature_saturation_requires_pivot(corpus):
+    with pytest.raises(ValueError, match="pivot"):
+        es_scored_search(corpus, {
+            "query": {"rank_feature": {"field": "n"}},
+            "size": 5, "_source": ["doc_id"]}, id_field="doc_id")
+
+
+def test_distance_feature_date(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-08 00:00:00")],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    body = {"query": {"distance_feature": {
+        "field": "ts", "origin": "2024-01-01 00:00:00", "pivot": "7d",
+        "boost": 3.0}},
+        "size": 10, "_source": ["id"]}
+    rows = {r.id: r._score
+            for r in es_scored_search(df, body, id_field="id").collect()}
+    assert rows[1] == pytest.approx(3.0, abs=2e-6)      # at the origin
+    assert rows[2] == pytest.approx(1.5, abs=2e-6)      # one pivot away
