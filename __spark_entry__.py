@@ -2957,6 +2957,42 @@ def q_es_feature_queries(spark, sf_dir):
     return a1.unionByName(a2)
 
 
+def q_es_pit(spark, sf_dir):
+    """Point-in-time search (query_dsl.es_open_pit / es_pit_search):
+    publish documents to the snapshot store, open a PIT, publish a
+    CONCURRENT upsert (+1000 n_chars for every doc_id % 5 == 0), then
+    run the same range search through the PIT (sees the original state)
+    and against the live store (sees the upsert) — version isolation
+    with zero server state, because every published snapshot version
+    stays readable until compaction."""
+    from hive2es_offline_spark.plans.query_dsl import (
+        es_open_pit, es_pit_search, es_search,
+    )
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = tempfile.mkdtemp(prefix="pit_q_")
+    S.upsert_snapshot(spark, root, d, ["doc_id"], "source")
+    pid = es_open_pit(spark, root)
+    changes = d.where(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000)
+    S.upsert_snapshot(spark, root, changes, ["doc_id"], "source")
+    body = {
+        "query": {"range": {"n_chars": {"gte": 450}}},
+        "sort": [{"doc_id": "asc"}], "size": 40,
+        "_source": ["doc_id", "n_chars"],
+    }
+    pit_hits = es_pit_search(spark, {**body, "pit": {"id": pid}},
+                             id_field="doc_id")
+    live_hits = es_search(S.read_snapshot(spark, root), body,
+                          id_field="doc_id")
+    return (
+        pit_hits.select(F.lit("pit").alias("arm"), "doc_id", "n_chars")
+        .unionByName(live_hits.select(
+            F.lit("live").alias("arm"), "doc_id", "n_chars"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3018,7 +3054,7 @@ DRIVER_WINDOW = [
     "es_multi_match_types", "es_parent_child", "es_geo_grid",
     "es_intervals",
     "es_scripted_metric", "es_scroll", "es_feature_queries",
-    "es_runtime_fields",
+    "es_pit",
     "es_sig_text", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
     "snapshot_cdc", "es_decay_score",
@@ -3146,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_scripted_metric": q_es_scripted_metric,
         "es_scroll": q_es_scroll,
         "es_feature_queries": q_es_feature_queries,
+        "es_pit": q_es_pit,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -4917,6 +4954,24 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # mirrors q_es_pit: the pit arm is the ORIGINAL documents state,
+        # the live arm applies the concurrent +1000 upsert to every
+        # doc_id % 5 == 0 before the same filter/sort/limit
+        "es_pit": """
+            WITH live AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                          ELSE n_chars END AS n_chars
+              FROM documents
+            ), a1 AS (
+              SELECT 'pit' AS arm, doc_id, n_chars FROM documents
+              WHERE n_chars >= 450 ORDER BY doc_id ASC LIMIT 40
+            ), a2 AS (
+              SELECT 'live' AS arm, doc_id, n_chars FROM live
+              WHERE n_chars >= 450 ORDER BY doc_id ASC LIMIT 40
+            )
+            SELECT * FROM a1 UNION ALL SELECT * FROM a2
         """,
         # mirrors q_es_feature_queries: script gate + saturation
         # rank_feature (1.0 + round(2·x/(x+300), 6), rounded to 6), and

@@ -3455,6 +3455,52 @@ def es_scroll(
     return local, nxt
 
 
+def es_open_pit(spark, root: str, keep_alive: str | None = None) -> str:
+    """ES ``_pit`` (point in time): pin the snapshot store's CURRENT
+    version and return an opaque pit id for search bodies.
+
+    Live ES holds segment readers open per PIT context; the engine's
+    snapshot store (``sinks/snapshot.py``) keeps every published version
+    readable until compaction, so a PIT is just the version number — no
+    server state, nothing to keep alive (``keep_alive`` accepted and
+    ignored), and a pinned search stays consistent while upserts/CDC
+    publish new versions concurrently.  The id survives process
+    restarts; it only dies when a compaction garbage-collects the
+    version's files (the documented retention trade)."""
+    import json as _json
+
+    from ..sinks.snapshot import current_version
+
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshot published under {root}")
+    return _json.dumps({"root": root, "version": v})
+
+
+def es_pit_search(
+    spark,
+    body: dict,
+    id_field: str = "_id",
+    analyzer: str | None = None,
+) -> DataFrame:
+    """Search a body carrying ``{"pit": {"id": ...}}`` (from
+    ``es_open_pit``): resolves the pinned snapshot version to its
+    manifest's parquet paths and delegates to ``es_search`` — the whole
+    DSL (queries, sorts, aggs, paging) works against the frozen view,
+    with predicate pushdown into the version's own files."""
+    import json as _json
+
+    from ..sinks.snapshot import read_snapshot
+
+    pit = body.get("pit")
+    if not pit or "id" not in pit:
+        raise ValueError("es_pit_search needs body.pit.id from es_open_pit")
+    pid = _json.loads(pit["id"])
+    df = read_snapshot(spark, pid["root"], int(pid["version"]))
+    rest = {k: v for k, v in body.items() if k != "pit"}
+    return es_search(df, rest, id_field=id_field, analyzer=analyzer)
+
+
 def es_field_caps(df: DataFrame) -> DataFrame:
     """ES ``_field_caps``: per-field type + capability flags — the schema
     endpoint consumers (Kibana, client libraries) call before building

@@ -203,3 +203,30 @@ def test_apply_cdc_partition_tombstone_and_guards(spark, tmp_path):
                                   "id long, part string, v double, _op string"),
             ["id"], partition_col="part",
         )
+
+
+def test_pit_search_pins_a_version_across_upserts(spark, tmp_path):
+    from hive2es_offline_spark.plans.query_dsl import (
+        es_open_pit, es_pit_search,
+    )
+    from hive2es_offline_spark.sinks import snapshot as S
+
+    root = str(tmp_path / "pit_store")
+    d = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, part string, v long")
+    S.upsert_snapshot(spark, root, d, ["id"], "part")
+    pid = es_open_pit(spark, root)
+    S.upsert_snapshot(
+        spark, root,
+        spark.createDataFrame([(2, "a", 999)], "id long, part string, v long"),
+        ["id"], "part")
+    body = {"sort": [{"id": "asc"}], "size": 10, "_source": ["id", "v"]}
+    pit = {(r["id"], r["v"]) for r in es_pit_search(
+        spark, {**body, "pit": {"id": pid}}, id_field="id").collect()}
+    assert pit == {(1, 10), (2, 20), (3, 30)}  # pre-upsert state
+    live = {(r["id"], r["v"]) for r in S.read_snapshot(spark, root)
+            .select("id", "v").collect()}
+    assert live == {(1, 10), (2, 999), (3, 30)}
+    with pytest.raises(ValueError, match="pit"):
+        es_pit_search(spark, body, id_field="id")
