@@ -2993,6 +2993,29 @@ def q_es_pit(spark, sf_dir):
     )
 
 
+def q_es_combined_fields(spark, sf_dir):
+    """``combined_fields`` — ES's modern term-centric multi-field query
+    (Lucene CombinedFieldQuery, BM25F): per-field tf and length are
+    boost-weighted and SUMMED into one synthetic field, df counts
+    any-field containment, and operator/minimum_should_match count
+    terms.  One tokenize pass over the group's fields together
+    (plans/scoring.py::_cf_term_score_map).  Two arms: operator and/or
+    over text + source^2."""
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    d = _t(spark, sf_dir, "documents")
+    arms = []
+    for label, op, size in (("and", "and", 20), ("or", "or", 20)):
+        body = {"query": {"combined_fields": {
+            "query": "merge src3", "fields": ["text", "source^2"],
+            "operator": op}},
+            "size": size, "_source": ["doc_id"]}
+        arms.append(
+            es_scored_search(d, body, id_field="doc_id").select(
+                F.lit(label).alias("arm"), "doc_id", "_score"))
+    return arms[0].unionByName(arms[1])
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3055,7 +3078,7 @@ DRIVER_WINDOW = [
     "es_intervals",
     "es_scripted_metric", "es_scroll", "es_feature_queries",
     "es_pit",
-    "es_sig_text", "es_highlight", "es_nested", "es_geo",
+    "es_combined_fields", "es_highlight", "es_nested", "es_geo",
     "substring_dedup",
     "snapshot_cdc", "es_decay_score",
     "audio_features", "video_frames", "pq_search",
@@ -3183,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_scroll": q_es_scroll,
         "es_feature_queries": q_es_feature_queries,
         "es_pit": q_es_pit,
+        "es_combined_fields": q_es_combined_fields,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -4954,6 +4978,73 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # mirrors q_es_combined_fields: BM25F — weighted tf/dl sums over
+        # text (x1) + source (x2), any-field df, per-term 6-dp DECIMAL
+        # partials summed, operator and/or gates term presence
+        "es_combined_fields": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                                 t -> t != '') AS tt,
+                     list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                                 t -> t != '') AS ts
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CAST(len(tt) AS DOUBLE)
+                       + CAST(len(ts) AS DOUBLE) * 2.0 AS dl,
+                     CAST(len(list_filter(tt, x -> x = 'merge')) AS DOUBLE)
+                       + CAST(len(list_filter(ts, x -> x = 'merge'))
+                              AS DOUBLE) * 2.0 AS tf_merge,
+                     CAST(len(list_filter(tt, x -> x = 'src3')) AS DOUBLE)
+                       + CAST(len(list_filter(ts, x -> x = 'src3'))
+                              AS DOUBLE) * 2.0 AS tf_src3,
+                     list_contains(tt, 'merge') OR list_contains(ts, 'merge')
+                       AS has_merge,
+                     list_contains(tt, 'src3') OR list_contains(ts, 'src3')
+                       AS has_src3
+              FROM tok
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                     CAST(sum(CASE WHEN has_merge THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS df_merge,
+                     CAST(sum(CASE WHEN has_src3 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS df_src3
+              FROM m
+            ), sc AS (
+              SELECT m.doc_id, m.has_merge, m.has_src3,
+                     CAST(
+                       (CASE WHEN m.tf_merge > 0 THEN
+                          CAST(round(
+                            ln(1.0 + (s.n_docs - s.df_merge + 0.5)
+                                     / (s.df_merge + 0.5))
+                            * (m.tf_merge * 2.2)
+                            / (m.tf_merge
+                               + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)),
+                            6) AS DECIMAL(28,6))
+                        ELSE CAST(0 AS DECIMAL(28,6)) END
+                        + CASE WHEN m.tf_src3 > 0 THEN
+                            CAST(round(
+                              ln(1.0 + (s.n_docs - s.df_src3 + 0.5)
+                                       / (s.df_src3 + 0.5))
+                              * (m.tf_src3 * 2.2)
+                              / (m.tf_src3
+                                 + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)),
+                              6) AS DECIMAL(28,6))
+                          ELSE CAST(0 AS DECIMAL(28,6)) END)
+                       AS DOUBLE) AS _score
+              FROM m, s
+            ), a1 AS (
+              SELECT 'and' AS arm, doc_id, round(_score, 6) AS _score
+              FROM sc WHERE has_merge AND has_src3
+              ORDER BY _score DESC, doc_id ASC LIMIT 20
+            ), a2 AS (
+              SELECT 'or' AS arm, doc_id, round(_score, 6) AS _score
+              FROM sc WHERE has_merge OR has_src3
+              ORDER BY _score DESC, doc_id ASC LIMIT 20
+            )
+            SELECT * FROM a1 UNION ALL SELECT * FROM a2
         """,
         # mirrors q_es_pit: the pit arm is the ORIGINAL documents state,
         # the live arm applies the concurrent +1000 upsert to every

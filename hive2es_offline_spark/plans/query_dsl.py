@@ -731,6 +731,38 @@ def _nested_element_pred(spec: dict, id_field: str) -> "Callable[[Column], Colum
     return per_element
 
 
+def _term_centric_predicate(
+    terms: list[str], flds: list[str], operator: str, msm,
+    col=F.col,
+) -> Column:
+    """Shared by multi_match ``cross_fields`` and ``combined_fields``:
+    a term matches when it appears in ANY of the group's fields;
+    operator / minimum_should_match count TERMS, not fields."""
+    if not terms:
+        return F.lit(True)
+    per_term: list[Column] = []
+    for t in dict.fromkeys(terms):
+        anyf = F.array_contains(_analyze(col(flds[0])), t)
+        for f in flds[1:]:
+            anyf = anyf | F.array_contains(_analyze(col(f)), t)
+        per_term.append(anyf)
+    if str(operator).lower() == "and":
+        out = per_term[0]
+        for p in per_term[1:]:
+            out = out & p
+        return out
+    if msm is not None:
+        need = _msm_threshold(msm, len(per_term))
+        hits: Column = per_term[0].cast("int")
+        for p in per_term[1:]:
+            hits = hits + p.cast("int")
+        return hits >= F.lit(need)
+    out = per_term[0]
+    for p in per_term[1:]:
+        out = out | p
+    return out
+
+
 def compile_query(
     q: dict,
     id_field: str = "_id",
@@ -944,32 +976,10 @@ def compile_query(
             # operator=and every term must appear somewhere, possibly in
             # different fields (the people-name/address shape best_fields
             # cannot express)
-            terms = _analyze_terms(str(query))
-            if not terms:
-                return F.lit(True)
             flds = [str(f).partition("^")[0] for f in body["fields"]]
-            per_term: list[Column] = []
-            for t in dict.fromkeys(terms):
-                anyf = F.array_contains(_analyze(col(flds[0])), t)
-                for f in flds[1:]:
-                    anyf = anyf | F.array_contains(_analyze(col(f)), t)
-                per_term.append(anyf)
-            if operator == "and":
-                out = per_term[0]
-                for p in per_term[1:]:
-                    out = out & p
-                return out
-            if "minimum_should_match" in body:
-                need = _msm_threshold(body["minimum_should_match"],
-                                      len(per_term))
-                hits: Column = per_term[0].cast("int")
-                for p in per_term[1:]:
-                    hits = hits + p.cast("int")
-                return hits >= F.lit(need)
-            out = per_term[0]
-            for p in per_term[1:]:
-                out = out | p
-            return out
+            return _term_centric_predicate(
+                _analyze_terms(str(query)), flds, operator,
+                body.get("minimum_should_match"), col)
         else:
             raise ValueError(
                 f"unsupported multi_match type: {mm_type!r} (best_fields | "
@@ -1112,6 +1122,28 @@ def compile_query(
         # _intervals_predicate for the supported algebra)
         field, rule = next(iter(body.items()))
         return _intervals_predicate(_analyze(col(field)), rule)
+    if kind == "combined_fields":
+        # ES combined_fields (the modern replacement for cross_fields):
+        # term-centric like cross_fields in filter context; the BM25F
+        # combined-field scoring lives in plans/scoring.py
+        unknown = set(body) - {"query", "fields", "operator",
+                               "minimum_should_match", "boost",
+                               "auto_generate_synonyms_phrase_query"}
+        if unknown:
+            raise ValueError(
+                f"unsupported combined_fields option(s): {sorted(unknown)}")
+        flds = []
+        for f in body["fields"]:
+            f2, _, fb = str(f).partition("^")
+            if fb and float(fb) < 1.0:
+                raise ValueError(
+                    "combined_fields boosts must be >= 1 (ES constraint: "
+                    f"got {f})")
+            flds.append(f2)
+        return _term_centric_predicate(
+            _analyze_terms(str(body["query"])), flds,
+            body.get("operator", "or"),
+            body.get("minimum_should_match"), col)
     if kind == "script":
         # ES script query: a Painless boolean over the doc — compiled by
         # the same arithmetic/comparison subset as bucket_selector /

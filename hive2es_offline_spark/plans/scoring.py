@@ -124,6 +124,11 @@ class _ScoreCompiler:
         #: cross_fields groups: (fields-tuple, sorted-terms-tuple) — each
         #: gets blended-df maps ``_xfmap_<gi>_<field>`` from score_frame
         self.xf_groups: list[tuple[tuple[str, ...], tuple[str, ...]]] = []
+        #: combined_fields groups: (fields, boosts, sorted terms) — each
+        #: gets ONE BM25F map ``_cfmap_<gi>`` from score_frame
+        self.cf_groups: list[
+            tuple[tuple[str, ...], tuple[float, ...], tuple[str, ...]]
+        ] = []
 
     # -- pass 1 -------------------------------------------------------------
     def collect(self, q: dict) -> None:
@@ -162,6 +167,16 @@ class _ScoreCompiler:
             terms = _analyze_terms(str(query))
             if len(terms) > 1:
                 self.field_terms.setdefault(field, set()).update(terms[:-1])
+        elif kind == "combined_fields":
+            flds, boosts = [], []
+            for f in body["fields"]:
+                f2, _, fb = str(f).partition("^")
+                flds.append(f2)
+                boosts.append(float(fb) if fb else 1.0)
+            terms = tuple(sorted(set(_analyze_terms(str(body["query"])))))
+            key = (tuple(flds), tuple(boosts), terms)
+            if terms and key not in self.cf_groups:
+                self.cf_groups.append(key)
         elif kind == "term":
             field, raw = next(iter(body.items()))
             value = raw["value"] if isinstance(raw, dict) else raw
@@ -351,6 +366,31 @@ class _ScoreCompiler:
                     total = total + s
                 best = best + F.lit(tie) * (total - best)
             return best
+        if kind == "combined_fields":
+            # BM25F over the combined field (Lucene CombinedFieldQuery):
+            # tf and dl are per-field values weighted by the field
+            # boosts and SUMMED into one synthetic field; df counts docs
+            # where the term appears in ANY field.  Per-term partials
+            # come from the group's single ``_cfmap_<gi>`` map; terms
+            # sum decimal-rounded like every BM25 family member
+            flds, boosts = [], []
+            for f in body["fields"]:
+                f2, _, fb = str(f).partition("^")
+                flds.append(f2)
+                boosts.append(float(fb) if fb else 1.0)
+            terms = tuple(sorted(set(_analyze_terms(str(body["query"])))))
+            if not terms:
+                return F.when(pred, F.lit(float(body.get("boost", 1.0)))
+                              ).otherwise(F.lit(0.0))
+            gi = self.cf_groups.index((tuple(flds), tuple(boosts), terms))
+            m = F.col(f"_cfmap_{gi}")
+            total: Column = F.lit(0).cast("decimal(28,6)")
+            for t in terms:
+                total = total + F.coalesce(
+                    m.getItem(t), F.lit(0.0)).cast("decimal(28,6)")
+            boost = float(body.get("boost", 1.0))
+            return F.when(pred, total.cast("double") * F.lit(boost)
+                          ).otherwise(F.lit(0.0))
         if kind == "rank_feature":
             # ES rank_feature: a monotonic function of a positive
             # numeric feature field — saturation x/(x+pivot) (pivot
@@ -963,6 +1003,107 @@ def _xf_term_score_maps(
     return maps
 
 
+def _cf_term_score_map(
+    df: DataFrame, id_field: str, fields: tuple[str, ...],
+    boosts: tuple[float, ...], terms: tuple[str, ...],
+    k1: float, b: float, gi: int, stats_over: DataFrame | None = None,
+) -> DataFrame:
+    """BM25F partials for one ``combined_fields`` group, as ONE
+    ``(id, _cfmap_<gi>: map<term, double>)`` frame.  Lucene's
+    CombinedFieldQuery scores a synthetic field whose term frequency is
+    the boost-weighted SUM of the per-field tfs and whose length is the
+    boost-weighted sum of the per-field lengths; document frequency
+    counts docs carrying the term in ANY field.
+
+    Scale shape: ONE tokenize pass over all the group's fields together
+    (each row emits its weighted token stream, term-filtered before the
+    per-(doc, term) shuffle); corpus stats reduce to a 1-row broadcast
+    aggregate exactly like the plain and blended map builders."""
+    sterms = sorted(terms)
+    toks_cols = [
+        F.coalesce(analyze_col(F.col(f)), F.lit([]).cast("array<string>"))
+        for f in fields
+    ]
+    dl_c: Column = F.lit(0.0)
+    for tc, w in zip(toks_cols, boosts):
+        dl_c = dl_c + F.size(tc).cast("double") * F.lit(float(w))
+
+    def _tag(w: float):
+        # closure factory: a default-arg lambda would look binary to
+        # F.transform and receive the element INDEX as the second arg
+        return lambda x: F.struct(x.alias("_t"), F.lit(float(w)).alias("_w"))
+
+    weighted = F.flatten(F.array(*[
+        F.transform(tc, _tag(w)) for tc, w in zip(toks_cols, boosts)
+    ]))
+    base = df.select(
+        F.col(id_field).alias("_did"), dl_c.alias("_dl"),
+        weighted.alias("_tw"),
+    )
+    hits = (
+        base.select("_did", "_dl", F.explode("_tw").alias("_e"))
+        .where(F.col("_e._t").isin(sterms))
+    )
+    tf = hits.groupBy("_did", F.col("_e._t").alias("_term")).agg(
+        F.sum("_e._w").alias("_tf"),
+        F.first("_dl").alias("_dl"),
+    )
+    src = stats_over if stats_over is not None else df
+    corpus = src.select(dl_c.alias("_dl"), *[
+        tc.alias(f"_tk_{i}") for i, tc in enumerate(toks_cols)
+    ]).agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum(
+                _any_tk_contains(len(fields), t)
+            ).cast("double").alias(f"_df_{i}")
+            for i, t in enumerate(sterms)
+        ],
+    )
+    stats = corpus.select("_n_docs", "_avgdl")
+    dfreq = corpus.select(
+        F.explode(
+            F.map_from_arrays(
+                F.lit(sterms),
+                F.array(*[F.col(f"_df_{i}") for i in range(len(sterms))]),
+            )
+        ).alias("_term", "_df")
+    )
+    partial = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_did", "_term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1.0))
+                / (F.col("_tf")
+                   + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))),
+                6,
+            ).alias("_p"),
+        )
+    )
+    return partial.groupBy("_did").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_term", "_p")))
+        ).alias(f"_cfmap_{gi}")
+    ).withColumnRenamed("_did", id_field)
+
+
+def _any_tk_contains(n_fields: int, term: str) -> Column:
+    """OR of array_contains over the projected ``_tk_<i>`` token columns
+    (combined-field document frequency), as an int for summation."""
+    c = F.array_contains(F.col("_tk_0"), term)
+    for i in range(1, n_fields):
+        c = c | F.array_contains(F.col(f"_tk_{i}"), term)
+    return c.cast("int")
+
+
 def score_frame(
     df: DataFrame,
     query: dict,
@@ -998,6 +1139,12 @@ def score_frame(
         for m in _xf_term_score_maps(df, id_field, flds, set(terms),
                                      k1, b, gi, stats_over):
             out = out.join(m, id_field, "left")
+    for gi, (flds, boosts, terms) in enumerate(comp.cf_groups):
+        out = out.join(
+            _cf_term_score_map(df, id_field, flds, boosts, terms,
+                               k1, b, gi, stats_over),
+            id_field, "left",
+        )
     if comp.term_leaves:
         # exact-keyword idf per term leaf, all in ONE 1-row aggregate,
         # broadcast back (score = idf: tf=1 and dl=avgdl for a keyword)
@@ -1032,7 +1179,7 @@ def score_frame(
         ))
         out = out.withColumn("_explanation", expl)
     drop = [c for c in out.columns
-            if c.startswith(("_tsmap_", "_idf_", "_xfmap_"))]
+            if c.startswith(("_tsmap_", "_idf_", "_xfmap_", "_cfmap_"))]
     return out.drop(*drop)
 
 

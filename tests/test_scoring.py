@@ -1009,3 +1009,44 @@ def test_distance_feature_date(spark):
             for r in es_scored_search(df, body, id_field="id").collect()}
     assert rows[1] == pytest.approx(3.0, abs=2e-6)      # at the origin
     assert rows[2] == pytest.approx(1.5, abs=2e-6)      # one pivot away
+
+
+def test_combined_fields_bm25f(spark):
+    # one token per field, boosts 1 and 2: dl_c = 3 for every doc,
+    # avgdl = 3; df('x') = 2 of 3 docs (any-field containment)
+    df = spark.createDataFrame(
+        [(1, "x", "x"), (2, "x", "q"), (3, "q", "q")],
+        "id long, a string, b string",
+    )
+    body = {"query": {"combined_fields": {
+        "query": "x", "fields": ["a", "b^2"]}},
+        "size": 10, "_source": ["id"]}
+    rows = {r.id: r._score
+            for r in es_scored_search(df, body, id_field="id").collect()}
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    # doc 1: weighted tf = 1 + 2 = 3 -> tf part 3*2.2/(3 + 1.2) ; doc 2: tf 1 -> 1.0
+    assert rows[1] == pytest.approx(
+        round(idf * (3 * 2.2) / (3 + 1.2), 6), abs=2e-6)
+    assert rows[2] == pytest.approx(round(idf, 6), abs=2e-6)
+    assert 3 not in rows
+
+
+def test_combined_fields_term_centric_and(spark):
+    df = spark.createDataFrame(
+        [(1, "will", "smith"), (2, "smith", "jones")],
+        "id long, first string, last string",
+    )
+    body = {"query": {"combined_fields": {
+        "query": "will smith", "fields": ["first", "last"],
+        "operator": "and"}},
+        "size": 10, "_source": ["id"]}
+    assert [r.id for r in
+            es_scored_search(df, body, id_field="id").collect()] == [1]
+
+
+def test_combined_fields_rejects_sub_one_boost(spark):
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    with pytest.raises(ValueError, match=">= 1"):
+        compile_query({"combined_fields": {
+            "query": "x", "fields": ["a^0.5"]}}, "id")
