@@ -3054,15 +3054,17 @@ def q_es_combined_fields(spark, sf_dir):
 #: golden-backed queries rotate IN (window_ntile, repetition_stats,
 #: contamination, epoch_shuffle, temperature_mix, data_drift,
 #: es_query_ext, es_aggs_range, es_aggs_filters, bigram_lm_score,
-#: es_mlt), plus the SIX new round-10 surfaces as they landed
+#: es_mlt), plus the NINE new round-10 surfaces as they landed
 #: (es_multi_match_types, es_parent_child, es_geo_grid, es_intervals,
-#: es_scripted_metric, es_scroll) — 17 in total.  Rotating OUT the 17
+#: es_scripted_metric, es_scroll, es_feature_queries, es_pit,
+#: es_combined_fields) — 20 in total.  Rotating OUT the 20
 #: longest-stable driver-green rows: es_knn (green r6-r9);
 #: embed_quantize, es_top_hits, es_search_after, es_composite,
 #: es_sig_terms, es_collapse, es_count (green r7-r9); es_pipeline_aggs,
 #: es_sibling_bucket, es_metrics_ext, es_rare_terms, es_multi_terms,
-#: es_clause_ext, es_date_math, es_gap_fill, es_terms_order (green
-#: r8-r9) — all keep local DuckDB parity via demoted_goldens().
+#: es_clause_ext, es_date_math, es_gap_fill, es_terms_order,
+#: es_adjacency, es_runtime_fields, es_sig_text (green r8-r9) — all
+#: keep local DuckDB parity via demoted_goldens().
 #: Window membership is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
     "es_suggest", "es_agg_filter",
