@@ -280,7 +280,7 @@ def _intervals_predicate(toks: Column, rule: dict) -> Column:
         max_gaps = int(rb.get("max_gaps", -1))
         ordered = bool(rb.get("ordered", False))
         if not terms:
-            return F.lit(True)
+            return F.lit(False)  # no terms -> no intervals -> no match
         if len(terms) == 1:
             return F.array_contains(toks, terms[0])
         pos = [_token_positions(toks, t) for t in terms]
@@ -739,7 +739,7 @@ def _term_centric_predicate(
     a term matches when it appears in ANY of the group's fields;
     operator / minimum_should_match count TERMS, not fields."""
     if not terms:
-        return F.lit(True)
+        return F.lit(False)  # ES zero_terms_query default: none
     per_term: list[Column] = []
     for t in dict.fromkeys(terms):
         anyf = F.array_contains(_analyze(col(flds[0])), t)
@@ -1001,7 +1001,12 @@ def compile_query(
         msm = spec.get("minimum_should_match") if isinstance(spec, dict) else None
         terms = _analyze_terms(query)
         if not terms:
-            return F.lit(True)
+            # ES zero_terms_query: a query that analyzes to nothing
+            # matches NOTHING by default ("none"); "all" opts into
+            # match_all (pre-r10 the engine silently did "all")
+            zq = (spec.get("zero_terms_query", "none")
+                  if isinstance(spec, dict) else "none")
+            return F.lit(str(zq).lower() == "all")
         toks = _analyze(col(field))
         fuzz = spec.get("fuzziness") if isinstance(spec, dict) else None
         if fuzz is not None:
@@ -1060,7 +1065,9 @@ def compile_query(
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
         terms = _analyze_terms(query)
         if not terms:
-            return F.lit(True)
+            zq = (spec.get("zero_terms_query", "none")
+                  if isinstance(spec, dict) else "none")
+            return F.lit(str(zq).lower() == "all")
         if slop == 0:
             # exact analyzed-token adjacency as ONE codegen regexp_like
             # (the boundary/separator classes reproduce the analyzer —
@@ -1079,7 +1086,9 @@ def compile_query(
         query = spec["query"] if isinstance(spec, dict) else spec
         terms = _analyze_terms(query)
         if not terms:
-            return F.lit(True)
+            zq = (spec.get("zero_terms_query", "none")
+                  if isinstance(spec, dict) else "none")
+            return F.lit(str(zq).lower() == "all")
         return F.regexp_like(
             F.lower(col(field)),
             F.lit(_phrase_regex_pattern(terms, last_is_prefix=True)))
@@ -1096,7 +1105,7 @@ def compile_query(
         msm = spec.get("minimum_should_match") if isinstance(spec, dict) else None
         terms = _analyze_terms(query)
         if not terms:
-            return F.lit(True)
+            return F.lit(False)  # ES zero_terms_query default: none
         toks = _analyze(col(field))
         *full, last = terms
         preds = [F.array_contains(toks, t) for t in dict.fromkeys(full)]

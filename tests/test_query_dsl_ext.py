@@ -2177,3 +2177,22 @@ def test_es_scroll_page_is_local_single_job(spark):
     assert "TakeOrdered" not in plan and "Sort" not in plan
     assert [r["id"] for r in page.collect()] == [0, 1, 2, 3]
     assert sid is not None
+
+
+def test_zero_terms_query_defaults_to_none(spark):
+    # ES: a match whose query analyzes to NOTHING matches no documents
+    # by default; zero_terms_query "all" opts into match_all (pre-r10
+    # the engine silently did "all")
+    df = spark.createDataFrame([(1, "alpha")], "id long, txt string")
+    assert df.where(compile_query(
+        {"match": {"txt": "!!!"}}, "id")).count() == 0
+    assert df.where(compile_query(
+        {"match": {"txt": {"query": "!!!", "zero_terms_query": "all"}}},
+        "id")).count() == 1
+    assert df.where(compile_query(
+        {"match_phrase": {"txt": "..."}}, "id")).count() == 0
+    assert df.where(compile_query(
+        {"multi_match": {"query": "%", "fields": ["txt"],
+                         "type": "cross_fields"}}, "id")).count() == 0
+    assert df.where(compile_query(
+        {"intervals": {"txt": {"match": {"query": "~"}}}}, "id")).count() == 0
