@@ -946,6 +946,20 @@ def compile_query(
         # builds receives the normalized value (code-review r10)
         operator = str(body.get("operator", "or")).lower()
         mm_type = str(body.get("type", "best_fields"))
+        unknown = set(body) - {"query", "fields", "type", "operator",
+                               "minimum_should_match", "tie_breaker",
+                               "boost", "slop", "fuzziness",
+                               "zero_terms_query"}
+        if unknown:
+            # a silently-dropped option (analyzer, prefix_length, …)
+            # would return a DIFFERENT hit set than the caller asked for
+            raise ValueError(
+                f"unsupported multi_match option(s): {sorted(unknown)}")
+        if "fuzziness" in body and mm_type not in ("best_fields",
+                                                   "most_fields"):
+            raise ValueError(
+                f"multi_match fuzziness is not supported for type "
+                f"{mm_type!r} (best_fields | most_fields — same as ES)")
         if mm_type in ("best_fields", "most_fields"):
             # identical in filter context (the best/sum distinction only
             # affects scoring): OR of per-field match clauses
@@ -954,6 +968,9 @@ def compile_query(
                 # ES applies minimum_should_match PER FIELD (each field's
                 # match clause carries it)
                 inner["minimum_should_match"] = body["minimum_should_match"]
+            for k in ("fuzziness", "zero_terms_query"):
+                if k in body:
+                    inner[k] = body[k]
             make = lambda f: {"match": {f: dict(inner)}}  # noqa: E731
         elif mm_type == "phrase":
             spec = {"query": query}

@@ -286,8 +286,10 @@ class _ScoreCompiler:
                     spec = {"query": body["query"],
                             "operator": body.get("operator", "or"),
                             "boost": fboost}
-                    if "minimum_should_match" in body:
-                        spec["minimum_should_match"] = body["minimum_should_match"]
+                    for k in ("minimum_should_match", "fuzziness",
+                              "zero_terms_query"):
+                        if k in body:
+                            spec[k] = body[k]
                     sub = {"match": {f2: spec}}
                 elif mm_type == "phrase":
                     spec = {"query": body["query"], "boost": fboost}

@@ -2196,3 +2196,21 @@ def test_zero_terms_query_defaults_to_none(spark):
                          "type": "cross_fields"}}, "id")).count() == 0
     assert df.where(compile_query(
         {"intervals": {"txt": {"match": {"query": "~"}}}}, "id")).count() == 0
+
+
+def test_multi_match_fuzziness_passthrough_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "building", "x"), (2, "buildinx", "y"), (3, "nope", "z")],
+        "id long, a string, b string",
+    )
+    got = sorted(r["id"] for r in df.where(compile_query(
+        {"multi_match": {"query": "building", "fields": ["a", "b"],
+                         "fuzziness": 1}}, "id")).collect())
+    assert got == [1, 2]  # buildinx is one edit away
+    with pytest.raises(ValueError, match="fuzziness"):
+        compile_query({"multi_match": {
+            "query": "building", "fields": ["a"], "type": "phrase",
+            "fuzziness": 1}}, "id")
+    with pytest.raises(ValueError, match="multi_match option"):
+        compile_query({"multi_match": {
+            "query": "x", "fields": ["a"], "analyzer": "keyword"}}, "id")
