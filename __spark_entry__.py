@@ -2954,7 +2954,16 @@ def q_es_feature_queries(spark, sf_dir):
     }, id_field="c_custkey").select(
         F.lit("distance_feature").alias("arm"),
         F.col("c_custkey").alias("rid"), "_score")
-    return a1.unionByName(a2)
+    a3 = es_scored_search(d, {
+        "query": {"pinned": {
+            "ids": [3, 1],
+            "organic": {"rank_feature": {
+                "field": "n_chars", "saturation": {"pivot": 300}}}}},
+        "size": 10, "_source": ["doc_id"],
+    }, id_field="doc_id").select(
+        F.lit("pinned").alias("arm"),
+        F.col("doc_id").alias("rid"), "_score")
+    return a1.unionByName(a2).unionByName(a3)
 
 
 def q_es_pit(spark, sf_dir):
@@ -5094,8 +5103,18 @@ def _goldens_b() -> dict[str, str]:
                          )))) * 1.5, 6), 6) AS _score
               FROM l
               ORDER BY _score DESC, rid ASC LIMIT 25
+            ), a3 AS (
+              SELECT 'pinned' AS arm, doc_id AS rid,
+                     CASE WHEN doc_id = 3 THEN 1e10
+                          WHEN doc_id = 1 THEN 1e10 - 1
+                          ELSE round(round(CAST(n_chars AS DOUBLE)
+                               / (CAST(n_chars AS DOUBLE) + 300.0), 6), 6)
+                     END AS _score
+              FROM documents
+              ORDER BY _score DESC, rid ASC LIMIT 10
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+            UNION ALL SELECT * FROM a3
         """,
         # mirrors q_es_scroll: the three keyset pages are exactly rows
         # 1..45 of the total order (n_chars desc, doc_id asc tiebreak)

@@ -1170,6 +1170,17 @@ def compile_query(
             _analyze_terms(str(body["query"])), flds,
             body.get("operator", "or"),
             body.get("minimum_should_match"), col)
+    if kind == "pinned":
+        # ES pinned query, filter context: hits = pinned ids UNION the
+        # organic query's matches (promotion only affects scoring)
+        unknown = set(body) - {"ids", "organic", "boost"}
+        if unknown:
+            raise ValueError(
+                f"unsupported pinned option(s): {sorted(unknown)}")
+        idc = col(id_field).cast("string")
+        organic = F.coalesce(
+            compile_query(body["organic"], id_field, fields), F.lit(False))
+        return idc.isin([str(v) for v in body["ids"]]) | organic
     if kind == "script":
         # ES script query: a Painless boolean over the doc — compiled by
         # the same arithmetic/comparison subset as bucket_selector /
@@ -3176,10 +3187,12 @@ def collect_named_queries(q) -> list[tuple[str, dict]]:
         elif kind == "dis_max":
             for c in body.get("queries", []):
                 walk(c)
-        elif kind in ("function_score", "script_score", "boosting"):
+        elif kind in ("function_score", "script_score", "boosting",
+                      "pinned"):
             walk(body.get("query"))
             walk(body.get("positive"))
             walk(body.get("negative"))
+            walk(body.get("organic"))
         elif kind == "nested":
             walk(body.get("query"))
 
@@ -3308,6 +3321,10 @@ def expand_lookups(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
                            df, body["positive"], id_field),
                        "negative": expand_lookups(
                            df, body["negative"], id_field)}}
+    if kind == "pinned":
+        return {kind: {**body,
+                       "organic": expand_lookups(
+                           df, body["organic"], id_field)}}
     return q
 
 

@@ -101,6 +101,8 @@ def _normalize(q: dict) -> dict:
         out = dict(body)
         out["query"] = _normalize(body.get("query", {"match_all": {}}))
         return {"function_score": out}
+    if kind == "pinned":
+        return {"pinned": {**body, "organic": _normalize(body["organic"])}}
     if kind == "boosting":
         return {"boosting": {**body,
                              "positive": _normalize(body["positive"]),
@@ -196,6 +198,8 @@ class _ScoreCompiler:
             self.collect(body["query"])
         elif kind == "script_score":
             self.collect(body["query"])
+        elif kind == "pinned":
+            self.collect(body["organic"])
         elif kind == "boosting":
             self.collect(body["positive"])
             # the negative query is only a gate — its own score is unused
@@ -368,6 +372,18 @@ class _ScoreCompiler:
                     total = total + s
                 best = best + F.lit(tie) * (total - best)
             return best
+        if kind == "pinned":
+            # ES pinned: the listed ids sort ABOVE every organic hit, in
+            # list order — live ES pins with scores descending from
+            # Float.MAX_VALUE; the engine uses 1e10 - position, far
+            # above any BM25 value and oracle-expressible
+            ids = [str(v) for v in body["ids"]]
+            organic = self.build(body["organic"])
+            idc = F.col(self.id_field).cast("string")
+            out = organic
+            for i in range(len(ids) - 1, -1, -1):
+                out = F.when(idc == ids[i], F.lit(1e10 - i)).otherwise(out)
+            return out
         if kind == "combined_fields":
             # BM25F over the combined field (Lucene CombinedFieldQuery):
             # tf and dl are per-field values weighted by the field

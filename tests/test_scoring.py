@@ -1050,3 +1050,29 @@ def test_combined_fields_rejects_sub_one_boost(spark):
     with pytest.raises(ValueError, match=">= 1"):
         compile_query({"combined_fields": {
             "query": "x", "fields": ["a^0.5"]}}, "id")
+
+
+def test_pinned_query_promotes_ids_in_order(corpus):
+    body = {"query": {"pinned": {
+        "ids": [5, 4],
+        "organic": {"match": {"text": "merge"}}}},
+        "size": 10, "_source": ["doc_id"]}
+    out = es_scored_search(corpus, body, id_field="doc_id").collect()
+    # pinned docs first in LIST order (5 then 4), then organic by BM25
+    assert [r.doc_id for r in out][:2] == [5, 4]
+    organic = _bm25_expected(DOCS, ["merge"])
+    tail = sorted(organic.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r.doc_id for r in out][2:] == [d for d, _ in tail]
+    scores = {r.doc_id: r._score for r in out}
+    assert scores[5] > scores[4] > max(organic.values())
+    for d, s in organic.items():
+        assert scores[d] == pytest.approx(s, abs=2e-6)
+
+
+def test_pinned_filter_context_unions_ids_and_organic(corpus):
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    pred = compile_query({"pinned": {
+        "ids": [5], "organic": {"match": {"text": "merge"}}}}, "doc_id")
+    got = sorted(r.doc_id for r in corpus.where(pred).collect())
+    assert got == [1, 2, 3, 5]
