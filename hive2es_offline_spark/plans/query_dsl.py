@@ -731,15 +731,52 @@ def _nested_element_pred(spec: dict, id_field: str) -> "Callable[[Column], Colum
     return per_element
 
 
+def _zero_terms_result(spec) -> Column:
+    """ES ``zero_terms_query`` for a query that analyzes to NO terms:
+    ``"none"`` (the default) matches nothing, ``"all"`` matches
+    everything; any other value rejects loudly like ES's enum parse
+    (a typo'd "alll" must not silently become match-nothing).  ``spec``
+    is the clause's option dict (or a non-dict shorthand = default)."""
+    zq = (spec.get("zero_terms_query", "none")
+          if isinstance(spec, dict) else "none")
+    zq = str(zq).lower()
+    if zq not in ("none", "all"):
+        raise ValueError(
+            f"unknown zero_terms_query value: {zq!r} (none | all)")
+    return F.lit(zq == "all")
+
+
+def _split_field_boosts(fields, min_boost: float | None = None
+                        ) -> tuple[list[str], list[float]]:
+    """Parse a ``["title^2", "body"]`` field list into (names, boosts),
+    enforcing a non-empty list and an optional minimum boost (ES rejects
+    combined_fields boosts below 1)."""
+    flds: list[str] = []
+    boosts: list[float] = []
+    for f in fields:
+        f2, _, fb = str(f).partition("^")
+        w = float(fb) if fb else 1.0
+        if min_boost is not None and w < min_boost:
+            raise ValueError(
+                f"field boost must be >= {min_boost} (ES constraint: "
+                f"got {f})")
+        flds.append(f2)
+        boosts.append(w)
+    if not flds:
+        raise ValueError("field list must not be empty")
+    return flds, boosts
+
+
 def _term_centric_predicate(
     terms: list[str], flds: list[str], operator: str, msm,
-    col=F.col,
+    col=F.col, zero_terms: Column | None = None,
 ) -> Column:
     """Shared by multi_match ``cross_fields`` and ``combined_fields``:
     a term matches when it appears in ANY of the group's fields;
     operator / minimum_should_match count TERMS, not fields."""
     if not terms:
-        return F.lit(False)  # ES zero_terms_query default: none
+        # ES zero_terms_query (default none = match nothing)
+        return zero_terms if zero_terms is not None else F.lit(False)
     per_term: list[Column] = []
     for t in dict.fromkeys(terms):
         anyf = F.array_contains(_analyze(col(flds[0])), t)
@@ -974,17 +1011,22 @@ def compile_query(
             make = lambda f: {"match": {f: dict(inner)}}  # noqa: E731
         elif mm_type == "phrase":
             spec = {"query": query}
-            if "slop" in body:
-                spec["slop"] = body["slop"]
+            for k in ("slop", "zero_terms_query"):
+                if k in body:
+                    spec[k] = body[k]
             make = lambda f: {"match_phrase": {f: dict(spec)}}  # noqa: E731
         elif mm_type == "phrase_prefix":
-            make = lambda f: {"match_phrase_prefix": {f: query}}  # noqa: E731
+            spec = {"query": query}
+            if "zero_terms_query" in body:
+                spec["zero_terms_query"] = body["zero_terms_query"]
+            make = lambda f: {"match_phrase_prefix": {f: dict(spec)}}  # noqa: E731
         elif mm_type == "bool_prefix":
             # per-field match_bool_prefix, OR across fields (the
             # sum-of-field-scores distinction only affects scoring)
             inner = {"query": query, "operator": operator}
-            if "minimum_should_match" in body:
-                inner["minimum_should_match"] = body["minimum_should_match"]
+            for k in ("minimum_should_match", "zero_terms_query"):
+                if k in body:
+                    inner[k] = body[k]
             make = lambda f: {"match_bool_prefix": {f: dict(inner)}}  # noqa: E731
         elif mm_type == "cross_fields":
             # TERM-centric (ES blended term queries): a term matches when
@@ -993,10 +1035,11 @@ def compile_query(
             # operator=and every term must appear somewhere, possibly in
             # different fields (the people-name/address shape best_fields
             # cannot express)
-            flds = [str(f).partition("^")[0] for f in body["fields"]]
+            flds, _ = _split_field_boosts(body["fields"])
             return _term_centric_predicate(
                 _analyze_terms(str(query)), flds, operator,
-                body.get("minimum_should_match"), col)
+                body.get("minimum_should_match"), col,
+                zero_terms=_zero_terms_result(body))
         else:
             raise ValueError(
                 f"unsupported multi_match type: {mm_type!r} (best_fields | "
@@ -1021,9 +1064,7 @@ def compile_query(
             # ES zero_terms_query: a query that analyzes to nothing
             # matches NOTHING by default ("none"); "all" opts into
             # match_all (pre-r10 the engine silently did "all")
-            zq = (spec.get("zero_terms_query", "none")
-                  if isinstance(spec, dict) else "none")
-            return F.lit(str(zq).lower() == "all")
+            return _zero_terms_result(spec)
         toks = _analyze(col(field))
         fuzz = spec.get("fuzziness") if isinstance(spec, dict) else None
         if fuzz is not None:
@@ -1082,9 +1123,7 @@ def compile_query(
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
         terms = _analyze_terms(query)
         if not terms:
-            zq = (spec.get("zero_terms_query", "none")
-                  if isinstance(spec, dict) else "none")
-            return F.lit(str(zq).lower() == "all")
+            return _zero_terms_result(spec)
         if slop == 0:
             # exact analyzed-token adjacency as ONE codegen regexp_like
             # (the boundary/separator classes reproduce the analyzer —
@@ -1103,9 +1142,7 @@ def compile_query(
         query = spec["query"] if isinstance(spec, dict) else spec
         terms = _analyze_terms(query)
         if not terms:
-            zq = (spec.get("zero_terms_query", "none")
-                  if isinstance(spec, dict) else "none")
-            return F.lit(str(zq).lower() == "all")
+            return _zero_terms_result(spec)
         return F.regexp_like(
             F.lower(col(field)),
             F.lit(_phrase_regex_pattern(terms, last_is_prefix=True)))
@@ -1122,7 +1159,7 @@ def compile_query(
         msm = spec.get("minimum_should_match") if isinstance(spec, dict) else None
         terms = _analyze_terms(query)
         if not terms:
-            return F.lit(False)  # ES zero_terms_query default: none
+            return _zero_terms_result(spec)
         toks = _analyze(col(field))
         *full, last = terms
         preds = [F.array_contains(toks, t) for t in dict.fromkeys(full)]
@@ -1154,22 +1191,17 @@ def compile_query(
         # combined-field scoring lives in plans/scoring.py
         unknown = set(body) - {"query", "fields", "operator",
                                "minimum_should_match", "boost",
+                               "zero_terms_query",
                                "auto_generate_synonyms_phrase_query"}
         if unknown:
             raise ValueError(
                 f"unsupported combined_fields option(s): {sorted(unknown)}")
-        flds = []
-        for f in body["fields"]:
-            f2, _, fb = str(f).partition("^")
-            if fb and float(fb) < 1.0:
-                raise ValueError(
-                    "combined_fields boosts must be >= 1 (ES constraint: "
-                    f"got {f})")
-            flds.append(f2)
+        flds, _ = _split_field_boosts(body["fields"], min_boost=1.0)
         return _term_centric_predicate(
             _analyze_terms(str(body["query"])), flds,
             body.get("operator", "or"),
-            body.get("minimum_should_match"), col)
+            body.get("minimum_should_match"), col,
+            zero_terms=_zero_terms_result(body))
     if kind == "pinned":
         # ES pinned query, filter context: hits = pinned ids UNION the
         # organic query's matches (promotion only affects scoring)
@@ -1199,9 +1231,14 @@ def compile_query(
                 f"script query must be a boolean expression, got {src!r}")
         return _script_column(str(src), params, columns="*")
     if kind == "rank_feature":
-        # filter context: matches docs that HAVE the feature (ES
-        # semantics — the scoring happens in plans/scoring.py)
-        return col(body["field"]).isNotNull()
+        # filter context: matches docs that HAVE the feature with a
+        # POSITIVE value (ES's rank_feature field type forbids
+        # non-positive values at index time; the flat frame enforces the
+        # domain at query time instead — also what keeps the saturation
+        # denominator x + pivot away from zero).  Scoring in
+        # plans/scoring.py
+        c = col(body["field"])
+        return c.isNotNull() & (c > 0)
     if kind == "distance_feature":
         return col(body["field"]).isNotNull()
     if kind == "span_term":

@@ -13,6 +13,12 @@ compilers:
   position-aware phrase freq, a documented approximation),
 - ``term`` scores idf (the exact BM25 value for a keyword posting:
   tf=1, dl=avgdl ⇒ score = idf),
+- match/multi_match ``fuzziness`` widens the HIT SET (the predicate
+  fuzzy-matches) but scoring stays exact-term BM25: a doc matched only
+  fuzzily is a hit with score 0.0 and ranks last — a documented
+  approximation (live ES scales BM25 by edit distance per fuzzy
+  expansion, which needs per-expansion df the flat frame doesn't
+  carry),
 - structural clauses (``range`` / ``exists`` / ``wildcard`` / ``prefix``
   / ``ids`` / ``fuzzy`` / ``regexp`` / geo) contribute the constant 1.0
   exactly like live ES's filter-to-query rewrite,
@@ -64,7 +70,7 @@ __all__ = ["es_scored_search", "score_frame"]
 _CONSTANT_ONE_KINDS = {
     "range", "exists", "wildcard", "prefix", "ids", "fuzzy", "regexp",
     "terms", "terms_set", "geo_distance", "geo_bounding_box", "nested",
-    "match_phrase_prefix", "intervals", "script",
+    "match_phrase_prefix", "intervals",
     "span_term", "span_or", "span_near", "span_first", "span_not",
 }
 
@@ -148,7 +154,9 @@ class _ScoreCompiler:
                 # term-centric: one blended-df map group, not per-field
                 # plain maps (per-field idf would break cross-field
                 # score comparability — the point of df blending)
-                flds = tuple(str(f).partition("^")[0] for f in body["fields"])
+                from .query_dsl import _split_field_boosts
+
+                flds = tuple(_split_field_boosts(body["fields"])[0])
                 key = (flds, tuple(sorted(set(terms))))
                 if key[1] and key not in self.xf_groups:
                     self.xf_groups.append(key)
@@ -170,11 +178,9 @@ class _ScoreCompiler:
             if len(terms) > 1:
                 self.field_terms.setdefault(field, set()).update(terms[:-1])
         elif kind == "combined_fields":
-            flds, boosts = [], []
-            for f in body["fields"]:
-                f2, _, fb = str(f).partition("^")
-                flds.append(f2)
-                boosts.append(float(fb) if fb else 1.0)
+            from .query_dsl import _split_field_boosts
+
+            flds, boosts = _split_field_boosts(body["fields"], min_boost=1.0)
             terms = tuple(sorted(set(_analyze_terms(str(body["query"])))))
             key = (tuple(flds), tuple(boosts), terms)
             if terms and key not in self.cf_groups:
@@ -256,11 +262,9 @@ class _ScoreCompiler:
                 # score), then the per-term contributions sum — rounded
                 # to 6 and DECIMAL-added so the total is order-
                 # independent and oracle-reproducible
-                flds, boosts = [], []
-                for f in body["fields"]:
-                    f2, _, fb = str(f).partition("^")
-                    flds.append(f2)
-                    boosts.append(float(fb) if fb else 1.0)
+                from .query_dsl import _split_field_boosts
+
+                flds, boosts = _split_field_boosts(body["fields"])
                 terms = sorted(set(_analyze_terms(str(body["query"]))))
                 if not terms:
                     return F.when(pred, F.lit(boost)).otherwise(F.lit(0.0))
@@ -372,6 +376,13 @@ class _ScoreCompiler:
                     total = total + s
                 best = best + F.lit(tie) * (total - best)
             return best
+        if kind == "script":
+            # constant-scored like every structural clause, but script's
+            # boost is a SIBLING of the "script" key (the generic
+            # constant-kind extraction would read the inner spec and
+            # silently drop it — code-review r10)
+            boost = float(body.get("boost", 1.0))
+            return F.when(pred, F.lit(boost)).otherwise(F.lit(0.0))
         if kind == "pinned":
             # ES pinned: the listed ids sort ABOVE every organic hit, in
             # list order — live ES pins with scores descending from
@@ -383,7 +394,10 @@ class _ScoreCompiler:
             out = organic
             for i in range(len(ids) - 1, -1, -1):
                 out = F.when(idc == ids[i], F.lit(1e10 - i)).otherwise(out)
-            return out
+            # the query-level boost multiplies pinned constants and
+            # organic scores alike (code-review r10: it validated as an
+            # allowed key but was silently dropped)
+            return out * F.lit(float(body.get("boost", 1.0)))
         if kind == "combined_fields":
             # BM25F over the combined field (Lucene CombinedFieldQuery):
             # tf and dl are per-field values weighted by the field
@@ -391,11 +405,9 @@ class _ScoreCompiler:
             # where the term appears in ANY field.  Per-term partials
             # come from the group's single ``_cfmap_<gi>`` map; terms
             # sum decimal-rounded like every BM25 family member
-            flds, boosts = [], []
-            for f in body["fields"]:
-                f2, _, fb = str(f).partition("^")
-                flds.append(f2)
-                boosts.append(float(fb) if fb else 1.0)
+            from .query_dsl import _split_field_boosts
+
+            flds, boosts = _split_field_boosts(body["fields"], min_boost=1.0)
             terms = tuple(sorted(set(_analyze_terms(str(body["query"])))))
             if not terms:
                 return F.when(pred, F.lit(float(body.get("boost", 1.0)))
@@ -433,12 +445,21 @@ class _ScoreCompiler:
                         "rank_feature saturation needs an explicit pivot "
                         "(live ES derives one from index statistics — "
                         "pass it for deterministic scores)")
+                if float(spec_f["pivot"]) <= 0:
+                    raise ValueError("rank_feature pivot must be positive")
                 s = x / (x + F.lit(float(spec_f["pivot"])))
             elif fn == "log":
+                if float(spec_f["scaling_factor"]) <= 0:
+                    raise ValueError(
+                        "rank_feature scaling_factor must be positive")
                 s = F.log(F.lit(float(spec_f["scaling_factor"])) + x)
             elif fn == "sigmoid":
                 pv = float(spec_f["pivot"])
                 ex = float(spec_f["exponent"])
+                if pv <= 0 or ex <= 0:
+                    raise ValueError(
+                        "rank_feature sigmoid pivot/exponent must be "
+                        "positive")
                 s = F.pow(x, F.lit(ex)) / (F.pow(x, F.lit(ex))
                                            + F.lit(pv ** ex))
             else:
@@ -473,9 +494,33 @@ class _ScoreCompiler:
                     raise ValueError(
                         f"bad distance_feature pivot: {pivot!r} "
                         "(date pivots are ES time units, e.g. '7d')")
+                # validate the origin DRIVER-SIDE: a bad string cast to
+                # timestamp is NULL in Spark and would silently poison
+                # every _score (code-review r10).  Epoch-millis numbers
+                # are ES-legal; "now" needs the engine's pinned-clock
+                # rule — reject with the fix spelled out
+                if isinstance(origin, (int, float)) and not isinstance(
+                        origin, bool):
+                    ocol = F.timestamp_millis(F.lit(int(origin)))
+                else:
+                    o = str(origin)
+                    if o.strip().lower().startswith("now"):
+                        raise ValueError(
+                            "distance_feature origin 'now' is "
+                            "nondeterministic — pass an explicit "
+                            "timestamp (pinned-clock convention)")
+                    import datetime as _dt
+
+                    try:
+                        _dt.datetime.fromisoformat(o.replace(" ", "T"))
+                    except ValueError:
+                        raise ValueError(
+                            f"bad distance_feature origin: {origin!r} "
+                            "(ISO timestamp or epoch millis)") from None
+                    ocol = F.lit(o).cast("timestamp")
                 dist = F.abs(
                     F.unix_millis(F.col(body["field"]).cast("timestamp"))
-                    - F.unix_millis(F.lit(str(origin)).cast("timestamp"))
+                    - F.unix_millis(ocol)
                 ).cast("double")
             s = F.lit(float(pv)) / (F.lit(float(pv)) + dist)
             return F.when(pred, F.round(s * F.lit(boost), 6)

@@ -2214,3 +2214,23 @@ def test_multi_match_fuzziness_passthrough_and_validation(spark):
     with pytest.raises(ValueError, match="multi_match option"):
         compile_query({"multi_match": {
             "query": "x", "fields": ["a"], "analyzer": "keyword"}}, "id")
+
+
+def test_zero_terms_query_validation_and_type_forwarding(spark):
+    # code-review r10 second pass: bad enum values reject; every
+    # multi_match type forwards zero_terms_query
+    df = spark.createDataFrame([(1, "alpha", "beta")],
+                               "id long, t1 string, t2 string")
+    with pytest.raises(ValueError, match="zero_terms_query"):
+        compile_query({"match": {"t1": {
+            "query": "!!!", "zero_terms_query": "alll"}}}, "id")
+    for t in ("phrase", "phrase_prefix", "bool_prefix", "cross_fields"):
+        q = {"multi_match": {"query": "!!!", "fields": ["t1", "t2"],
+                             "type": t, "zero_terms_query": "all"}}
+        assert df.where(compile_query(q, "id")).count() == 1, t
+    q = {"combined_fields": {"query": "%%", "fields": ["t1"],
+                             "zero_terms_query": "all"}}
+    assert df.where(compile_query(q, "id")).count() == 1
+    with pytest.raises(ValueError, match="not be empty"):
+        compile_query({"combined_fields": {"query": "x", "fields": []}},
+                      "id")

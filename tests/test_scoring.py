@@ -1076,3 +1076,56 @@ def test_pinned_filter_context_unions_ids_and_organic(corpus):
         "ids": [5], "organic": {"match": {"text": "merge"}}}}, "doc_id")
     got = sorted(r.doc_id for r in corpus.where(pred).collect())
     assert got == [1, 2, 3, 5]
+
+
+def test_script_and_pinned_boosts_apply(corpus):
+    out = es_scored_search(corpus, {
+        "query": {"script": {"script": {"source": "doc['n'].value >= 800"},
+                             "boost": 2.0}},
+        "size": 10, "_source": ["doc_id"]}, id_field="doc_id").collect()
+    assert {r._score for r in out} == {2.0}
+    rows = {r.doc_id: r._score for r in es_scored_search(corpus, {
+        "query": {"pinned": {"ids": [5],
+                             "organic": {"match": {"text": "merge"}},
+                             "boost": 2.0}},
+        "size": 10, "_source": ["doc_id"]}, id_field="doc_id").collect()}
+    organic = _bm25_expected(DOCS, ["merge"])
+    assert rows[5] == pytest.approx(2e10)
+    for d, s in organic.items():
+        assert rows[d] == pytest.approx(round(2 * s, 6), abs=4e-6)
+
+
+def test_rank_feature_domain_guards(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -300.0), (3, None)], "id long, x double")
+    body = {"query": {"rank_feature": {
+        "field": "x", "saturation": {"pivot": 300}}},
+        "size": 10, "_source": ["id"]}
+    out = es_scored_search(df, body, id_field="id").collect()
+    # non-positive and NULL features are NOT hits (ES forbids them at
+    # index time) — no NULL/negative scores can poison the sort
+    assert [r.id for r in out] == [1]
+    with pytest.raises(ValueError, match="positive"):
+        es_scored_search(df, {"query": {"rank_feature": {
+            "field": "x", "saturation": {"pivot": 0}}},
+            "size": 5, "_source": ["id"]}, id_field="id")
+
+
+def test_distance_feature_origin_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-08 00:00:00")], "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    # epoch-millis origin is legal
+    body = {"query": {"distance_feature": {
+        "field": "ts", "origin": 1704067200000, "pivot": "7d"}},
+        "size": 5, "_source": ["id"]}
+    out = es_scored_search(df, body, id_field="id").collect()
+    assert out[0]._score == pytest.approx(0.5, abs=2e-6)  # one pivot away
+    with pytest.raises(ValueError, match="nondeterministic"):
+        es_scored_search(df, {"query": {"distance_feature": {
+            "field": "ts", "origin": "now", "pivot": "7d"}},
+            "size": 5, "_source": ["id"]}, id_field="id")
+    with pytest.raises(ValueError, match="origin"):
+        es_scored_search(df, {"query": {"distance_feature": {
+            "field": "ts", "origin": "not-a-date", "pivot": "7d"}},
+            "size": 5, "_source": ["id"]}, id_field="id")
