@@ -120,8 +120,10 @@ class _PCRewriter:
             key = f"_pcj_{len(self.joins)}"
             from .query_dsl import compile_query
 
-            pred = F.coalesce(
-                compile_query(body["query"], self.id_field), F.lit(False))
+            # the predicate compiles RAW: where() already drops NULL
+            # rows, and a coalesce(pred, false) wrapper would block
+            # parquet pushdown of the inner conjuncts (the r8 bool trap)
+            pred = compile_query(body["query"], self.id_field)
             parents = (
                 self.df
                 .where((F.col(self.relation_field) == str(body["parent_type"]))
@@ -161,7 +163,9 @@ class _PCRewriter:
     def _children(self, ctype: str, query: dict) -> DataFrame:
         from .query_dsl import compile_query
 
-        pred = F.coalesce(compile_query(query, self.id_field), F.lit(False))
+        # raw predicate: where() treats NULL as false, and wrapping in
+        # coalesce would block parquet pushdown (the r8 bool trap)
+        pred = compile_query(query, self.id_field)
         return self.df.where(
             (F.col(self.relation_field) == str(ctype)) & pred
             & F.col(self.parent_field).isNotNull()
@@ -243,7 +247,8 @@ def _scored_has_child(
         raise ValueError("min_children must be >= 1")
     from .query_dsl import compile_query
 
-    pred = F.coalesce(compile_query(spec["query"], id_field), F.lit(False))
+    # raw predicate — same pushdown rule as _children
+    pred = compile_query(spec["query"], id_field)
     kids_base = df.where(
         (F.col(relation_field) == str(spec["type"])) & pred
         & F.col(parent_field).isNotNull()

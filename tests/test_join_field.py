@@ -142,3 +142,24 @@ def test_unknown_has_child_option_rejected(df):
         "size": 10, "_source": ["id"]}
     with pytest.raises(ValueError, match="has_child option"):
         es_parent_child(df, body, id_field="id")
+
+
+def test_has_child_inner_filter_pushes_to_parquet(spark, tmp_path):
+    # the child query's range conjunct must reach PushedFilters — a
+    # coalesce(pred, false) wrapper would block it (the r8 bool trap,
+    # re-found here by the r10 plan audit)
+    path = str(tmp_path / "pc_docs")
+    spark.createDataFrame(
+        [(i, "answer" if i % 5 else "question",
+          None if i % 5 == 0 else i - i % 5, i * 10)
+         for i in range(1, 60)],
+        "id long, relation string, parent_id long, n long",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = es_parent_child(df, {
+        "query": {"has_child": {"type": "answer",
+                                "query": {"range": {"n": {"gte": 300}}}}},
+        "sort": [{"id": "asc"}], "size": 10, "_source": ["id"],
+    }, id_field="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(n,300)" in plan, plan
