@@ -3025,6 +3025,58 @@ def q_es_combined_fields(spark, sf_dir):
     return arms[0].unionByName(arms[1])
 
 
+def q_es_rescore(spark, sf_dir):
+    """``rescore``: the top-30 window of a BM25 match re-ranked by a
+    phrase rescorer (query_weight 1, rescore_query_weight 2, score_mode
+    total; window docs the rescorer misses keep query_weight * original
+    — Lucene's QueryRescorer.combine).  The window materializes once
+    (bounded collect) and the rescore corpus reduces to a 1-row
+    broadcast statistics aggregate (VERDICT r8 #4 shape).  First-time
+    golden for the rescore machinery — an r11 window candidate."""
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"match": {"text": "merge"}},
+        "rescore": {
+            "window_size": 30,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": "merge stream"}},
+                "query_weight": 1.0,
+                "rescore_query_weight": 2.0,
+                "score_mode": "total",
+            },
+        },
+        "size": 10,
+        "_source": ["doc_id"],
+    }
+    return es_scored_search(d, body, id_field="doc_id")
+
+
+def q_es_wrapper(spark, sf_dir):
+    """``wrapper`` query: a base64-encoded JSON query (the opaque-string
+    embedding clients use) decoded and compiled like the inline form —
+    here a bool of range + match over documents.  An r11 window
+    candidate."""
+    import base64
+    import json
+
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    inner = {"bool": {
+        "must": [{"match": {"text": "merge"}}],
+        "filter": [{"range": {"n_chars": {"gte": 300}}}],
+    }}
+    payload = base64.b64encode(json.dumps(inner).encode()).decode()
+    body = {
+        "query": {"wrapper": {"query": payload}},
+        "sort": [{"doc_id": "asc"}], "size": 30,
+        "_source": ["doc_id", "n_chars"],
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3218,6 +3270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_feature_queries": q_es_feature_queries,
         "es_pit": q_es_pit,
         "es_combined_fields": q_es_combined_fields,
+        # round-10 out-of-window goldens (r11 rotation candidates,
+        # DuckDB-parity-held by tests/test_demoted_goldens.py)
+        "es_rescore": q_es_rescore,
+        "es_wrapper": q_es_wrapper,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -4989,6 +5045,65 @@ def _goldens_b() -> dict[str, str]:
                      WHERE avg_price = (SELECT max(avg_price) FROM b))
                      AS best_keys
             FROM b
+        """,
+        # mirrors q_es_rescore: top-30 window by BM25('merge'), phrase
+        # rescorer blends 1*s0 + 2*r for window docs with adjacent
+        # "merge stream", others keep 1*s0 (Lucene QueryRescorer.combine)
+        "es_rescore": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream') GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id, tf.t,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), base AS (
+              SELECT doc_id, round(CAST(sum(p) AS DOUBLE), 6) AS s0
+              FROM part WHERE t = 'merge' GROUP BY 1
+            ), w AS (
+              SELECT doc_id, s0,
+                     row_number() OVER (ORDER BY s0 DESC, doc_id ASC) AS rn
+              FROM base
+            ), ph AS (
+              SELECT t.doc_id, round(CAST(sum(p.p) AS DOUBLE), 6) AS r
+              FROM tok t JOIN part p ON p.doc_id = t.doc_id
+              WHERE list_contains(
+                      list_transform(generate_series(1, len(t.toks) - 1),
+                                     i -> t.toks[i] || ' ' || t.toks[i + 1]),
+                      'merge stream')
+              GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   round(CASE WHEN ph.doc_id IS NOT NULL
+                              THEN 1.0 * w.s0 + 2.0 * ph.r
+                              ELSE 1.0 * w.s0 END, 6) AS _score
+            FROM w LEFT JOIN ph ON ph.doc_id = w.doc_id
+            WHERE w.rn <= 30
+            ORDER BY _score DESC, w.doc_id ASC LIMIT 10
+        """,
+        # mirrors q_es_wrapper after base64 decode: match + range
+        "es_wrapper": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'merge')
+              AND n_chars >= 300
+            ORDER BY doc_id ASC LIMIT 30
         """,
         # mirrors q_es_combined_fields: BM25F — weighted tf/dl sums over
         # text (x1) + source (x2), any-field df, per-term 6-dp DECIMAL

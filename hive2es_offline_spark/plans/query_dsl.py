@@ -820,6 +820,19 @@ def compile_query(
 
     if kind == "match_all":
         return F.lit(True)
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query (clients embed
+        # these when a layer only passes opaque strings) — decode and
+        # compile the inner clause
+        import base64 as _b64
+        import json as _json
+
+        raw = body["query"] if isinstance(body, dict) else body
+        try:
+            inner = _json.loads(_b64.b64decode(str(raw)))
+        except Exception as e:
+            raise ValueError(f"wrapper query does not decode to JSON: {e}")
+        return compile_query(inner, id_field, fields)
     if kind == "_pc_flag":
         # internal marker planted by plans/join_field.es_parent_child:
         # the has_child/has_parent flag column left-joined onto the
@@ -3297,6 +3310,15 @@ def expand_lookups(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
     if not isinstance(q, dict):
         return q
     (kind, body), = q.items() if len(q) == 1 else (("", None),)
+    if kind == "wrapper":
+        # decode the base64 payload FIRST so lookups hiding inside a
+        # wrapper still resolve (same every-container rule as bool)
+        import base64 as _b64
+        import json as _json
+
+        raw = body["query"] if isinstance(body, dict) else body
+        return expand_lookups(
+            df, _json.loads(_b64.b64decode(str(raw))), id_field)
     if kind == "more_like_this":
         return _mlt_to_bool(df, body, id_field)
     if kind == "terms":

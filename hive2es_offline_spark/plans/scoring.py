@@ -79,6 +79,12 @@ def _normalize(q: dict) -> dict:
     """Expand query_string/simple_query_string into plain clause trees so
     the collector and the score builder see one grammar."""
     (kind, body), = q.items()
+    if kind == "wrapper":
+        import base64 as _b64
+        import json as _json
+
+        raw = body["query"] if isinstance(body, dict) else body
+        return _normalize(_json.loads(_b64.b64decode(str(raw))))
     if kind == "query_string":
         from .query_string import parse_query_string
 

@@ -1129,3 +1129,23 @@ def test_distance_feature_origin_validation(spark):
         es_scored_search(df, {"query": {"distance_feature": {
             "field": "ts", "origin": "not-a-date", "pivot": "7d"}},
             "size": 5, "_source": ["id"]}, id_field="id")
+
+
+def test_wrapper_query_decodes_and_scores(corpus):
+    import base64 as b64
+    import json as js
+
+    payload = b64.b64encode(js.dumps(
+        {"match": {"text": "merge stream"}}).encode()).decode()
+    out = es_scored_search(corpus, {
+        "query": {"wrapper": {"query": payload}},
+        "size": 10, "_source": ["doc_id"]}, id_field="doc_id").collect()
+    exp = _bm25_expected(DOCS, ["merge", "stream"])
+    assert {r.doc_id: r._score for r in out} == pytest.approx(exp)
+
+
+def test_wrapper_query_bad_payload_rejects(corpus):
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    with pytest.raises(ValueError, match="wrapper"):
+        compile_query({"wrapper": {"query": "!!!not-base64-json"}}, "doc_id")
