@@ -3077,6 +3077,42 @@ def q_es_wrapper(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_named(spark, sf_dir):
+    """Named queries (``_name`` markers): hits carry a
+    ``matched_queries`` JSON column listing which named clauses each hit
+    satisfies (sorted for determinism) — the Kibana-filter-pill
+    machinery.  First-time golden over the r9 named-query surface; an
+    r11 window candidate."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "merge",
+                                     "_name": "has_merge"}}}],
+        "should": [{"range": {"n_chars": {"gte": 400,
+                                          "_name": "long_doc"}}}],
+    }},
+        "sort": [{"doc_id": "asc"}], "size": 40, "_source": ["doc_id"]}
+    return es_search(d, body, id_field="doc_id")
+
+
+def q_es_scored_msearch(spark, sf_dir):
+    """``_msearch`` in SCORE context (scored=True): each body keeps its
+    own BM25 ranking and top-k, the union carries request_index.
+    First-time golden over the scored multi-search path; an r11 window
+    candidate."""
+    from hive2es_offline_spark.plans.query_dsl import es_msearch
+
+    d = _t(spark, sf_dir, "documents")
+    bodies = [
+        {"query": {"match": {"text": "merge stream"}},
+         "size": 10, "_source": ["doc_id"]},
+        {"query": {"term": {"source": "src3"}},
+         "size": 10, "_source": ["doc_id"]},
+    ]
+    return es_msearch(d, bodies, id_field="doc_id", scored=True)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3274,6 +3310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB-parity-held by tests/test_demoted_goldens.py)
         "es_rescore": q_es_rescore,
         "es_wrapper": q_es_wrapper,
+        "es_named": q_es_named,
+        "es_scored_msearch": q_es_scored_msearch,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -5097,6 +5135,66 @@ def _goldens_b() -> dict[str, str]:
             FROM w LEFT JOIN ph ON ph.doc_id = w.doc_id
             WHERE w.rn <= 30
             ORDER BY _score DESC, w.doc_id ASC LIMIT 10
+        """,
+        # mirrors q_es_named: matched_queries as a sorted JSON array of
+        # the named clauses each hit satisfies
+        "es_named": """
+            SELECT doc_id,
+                   to_json(list_sort(list_concat(
+                     CASE WHEN list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'merge')
+                          THEN ['has_merge'] ELSE [] END,
+                     CASE WHEN n_chars >= 400
+                          THEN ['long_doc'] ELSE [] END)))
+                     AS matched_queries
+            FROM documents
+            WHERE list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'), 'merge')
+            ORDER BY doc_id ASC LIMIT 40
+        """,
+        # mirrors q_es_scored_msearch: per-body BM25 / keyword-idf
+        # rankings unioned under request_index
+        "es_scored_msearch": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream') GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), b0 AS (
+              SELECT 0 AS request_index, doc_id,
+                     round(CAST(sum(p) AS DOUBLE), 6) AS _score
+              FROM part GROUP BY doc_id
+              ORDER BY _score DESC, doc_id ASC LIMIT 10
+            ), idf AS (
+              SELECT round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS v
+              FROM (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                           CAST(sum(CASE WHEN source = 'src3' THEN 1
+                                    ELSE 0 END) AS DOUBLE) AS df
+                    FROM documents)
+            ), b1 AS (
+              SELECT 1 AS request_index, doc_id, round(idf.v, 6) AS _score
+              FROM documents, idf
+              WHERE source = 'src3'
+              ORDER BY _score DESC, doc_id ASC LIMIT 10
+            )
+            SELECT * FROM b0 UNION ALL SELECT * FROM b1
         """,
         # mirrors q_es_wrapper after base64 decode: match + range
         "es_wrapper": """
