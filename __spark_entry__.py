@@ -3113,6 +3113,22 @@ def q_es_scored_msearch(spark, sf_dir):
     return es_msearch(d, bodies, id_field="doc_id", scored=True)
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift between corpus halves (even
+    vs odd doc_ids) over n_chars — the distribution-shape complement to
+    data_drift's binned PSI: one union+groupBy shuffle to per-value
+    counts, a cardinality-bounded cumulative window, argmax by
+    TakeOrderedAndProject.  An r11 window candidate."""
+    from hive2es_offline_spark.operators.quality import ks_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_drift(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        "n_chars",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3312,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_wrapper": q_es_wrapper,
         "es_named": q_es_named,
         "es_scored_msearch": q_es_scored_msearch,
+        "ks_drift": q_ks_drift,
         "es_highlight": q_es_highlight,
         "es_nested": q_es_nested,
         "es_geo": q_es_geo,
@@ -5135,6 +5152,44 @@ def _goldens_b() -> dict[str, str]:
             FROM w LEFT JOIN ph ON ph.doc_id = w.doc_id
             WHERE w.rn <= 30
             ORDER BY _score DESC, w.doc_id ASC LIMIT 10
+        """,
+        # mirrors q_ks_drift: per-value counts, cumulative ECDFs over
+        # distinct values, sup |F_old - F_new| with min-value tiebreak
+        "ks_drift": """
+            WITH u AS (
+              SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM documents
+              WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+              UNION ALL
+              SELECT CAST(n_chars AS DOUBLE) AS v, 2 AS s FROM documents
+              WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+            ), c AS (
+              SELECT v,
+                     CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS a_,
+                     CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS b_
+              FROM u GROUP BY v
+            ), t AS (
+              SELECT CAST(sum(a_) AS BIGINT) AS n,
+                     CAST(sum(b_) AS BIGINT) AS m FROM c
+            ), cum AS (
+              SELECT v,
+                     sum(a_) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS ca,
+                     sum(b_) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cb
+              FROM c
+            )
+            SELECT t.n AS n_old, t.m AS n_new,
+                   round(abs(CAST(ca AS DOUBLE) / CAST(t.n AS DOUBLE)
+                             - CAST(cb AS DOUBLE) / CAST(t.m AS DOUBLE)),
+                         6) AS ks,
+                   v AS at_value
+            FROM cum, t
+            ORDER BY abs(CAST(ca AS DOUBLE) / CAST(t.n AS DOUBLE)
+                         - CAST(cb AS DOUBLE) / CAST(t.m AS DOUBLE)) DESC,
+                     v ASC
+            LIMIT 1
         """,
         # mirrors q_es_named: matched_queries as a sorted JSON array of
         # the named clauses each hit satisfies

@@ -168,3 +168,72 @@ def column_drift(
             6,
         ).alias("psi_term"),
     )
+
+
+def ks_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    precision: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic for a numeric
+    column — the distribution-shape complement to ``column_drift``'s
+    binned PSI: ``D = sup_x |F_old(x) - F_new(x)|``, EXACT over the
+    column's distinct values.  Returns ONE row
+    ``(n_old, n_new, ks, at_value)`` with ``at_value`` the smallest
+    value achieving the supremum (deterministic tie-break).
+
+    Scale shape (100 TB): ONE union+groupBy shuffle reduces BOTH samples
+    to per-distinct-value counts — the corpus never sorts.  The
+    cumulative pass is an ordered window over the DISTINCT VALUES only,
+    so its single-partition state is bounded by column CARDINALITY, not
+    corpus size (the n_chars/score/ratio columns this monitors have
+    small cardinality by construction).  For continuous high-cardinality
+    columns pass ``precision`` to round values first — the same
+    accuracy/memory knob convention as percentiles' tdigest mode; the
+    statistic is then exact for the rounded distribution.  Totals come
+    from one 1-row broadcast aggregate; the argmax is a
+    TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    v = F.col(col).cast("double")
+    if precision is not None:
+        v = F.round(v, precision)
+    a = df_old.select(v.alias("_v")).where(F.col("_v").isNotNull()) \
+        .withColumn("_s", F.lit(1))
+    b = df_new.select(v.alias("_v")).where(F.col("_v").isNotNull()) \
+        .withColumn("_s", F.lit(2))
+    counts = (
+        a.unionByName(b)
+        .groupBy("_v")
+        .agg(
+            F.sum((F.col("_s") == 1).cast("long")).alias("_a"),
+            F.sum((F.col("_s") == 2).cast("long")).alias("_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("_a").alias("_n"), F.sum("_b").alias("_m"))
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "_v",
+        F.sum("_a").over(w).alias("_ca"),
+        F.sum("_b").over(w).alias("_cb"),
+    )
+    d = F.abs(
+        F.col("_ca").cast("double") / F.col("_n")
+        - F.col("_cb").cast("double") / F.col("_m")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_n").alias("n_old"),
+            F.col("_m").alias("n_new"),
+            d.alias("_d"),
+            F.col("_v").alias("at_value"),
+        )
+        .orderBy(F.col("_d").desc(), F.col("at_value").asc())
+        .limit(1)
+        .select("n_old", "n_new", F.round(F.col("_d"), 6).alias("ks"),
+                "at_value")
+    )

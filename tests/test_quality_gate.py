@@ -100,3 +100,34 @@ def test_column_drift_constant_reference_degrades(spark):
     new = spark.createDataFrame([(i, 7.0 + i) for i in range(10)], "id long, v double")
     rows = column_drift(old, new, "v", bins=3).collect()
     assert len(rows) >= 1  # degenerate [min,max] widens to one sane grid
+
+
+def test_ks_drift_hand_computed(spark):
+    from hive2es_offline_spark.operators.quality import ks_drift
+
+    old = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    new = spark.createDataFrame([(2.0,), (3.0,), (3.0,), (4.0,)], "v double")
+    r = ks_drift(old, new, "v").collect()[0]
+    # F_old = 1/3, 2/3, 1, 1; F_new = 0, 1/4, 3/4, 1 at v in (1,2,3,4)
+    # -> sup |diff| = |2/3 - 1/4| = 5/12 at v = 2
+    assert (r["n_old"], r["n_new"]) == (3, 4)
+    assert r["ks"] == pytest.approx(round(5 / 12, 6), abs=2e-6)
+    assert r["at_value"] == 2.0
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    from hive2es_offline_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame([(float(i % 7),) for i in range(70)],
+                               "v double")
+    r = ks_drift(df, df, "v").collect()[0]
+    assert r["ks"] == 0.0
+
+
+def test_ks_drift_precision_rounds_values(spark):
+    from hive2es_offline_spark.operators.quality import ks_drift
+
+    old = spark.createDataFrame([(1.0001,), (2.0002,)], "v double")
+    new = spark.createDataFrame([(1.0003,), (2.0001,)], "v double")
+    r = ks_drift(old, new, "v", precision=2).collect()[0]
+    assert r["ks"] == 0.0  # identical after rounding
