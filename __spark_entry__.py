@@ -3178,13 +3178,20 @@ def q_ks_drift(spark, sf_dir):
 #: es_clause_ext, es_date_math, es_gap_fill, es_terms_order,
 #: es_adjacency, es_runtime_fields, es_sig_text (green r8-r9) — all
 #: keep local DuckDB parity via demoted_goldens().
+#: Round-11 rotation (VERDICT r10 #1): the five never-adjudicated
+#: late-round-10 goldens rotate IN (es_rescore, es_wrapper, es_named,
+#: es_scored_msearch, ks_drift — the maintained fodder list), rotating
+#: OUT the five longest-stable driver-green rows es_query_string,
+#: es_scored_search, es_function_score, es_mget, es_highlight (green
+#: r8-r10) — all keep local DuckDB parity via demoted_goldens().
 #: Window membership is just this list; goldens follow automatically.
 DRIVER_WINDOW = [
     "es_suggest", "es_agg_filter",
     "es_date_range", "es_nested_agg", "es_routing", "partition_counts",
     "dedup_minhash", "dedup_components",
-    "curation_pipeline", "es_mget",
-    "es_query_string", "es_scored_search", "es_function_score",
+    "curation_pipeline",
+    "es_rescore", "es_wrapper", "es_named", "es_scored_msearch",
+    "ks_drift",
     "es_field_caps",
     "es_mlt", "es_query_ext", "es_aggs_range", "es_aggs_filters",
     "window_ntile", "repetition_stats", "contamination", "epoch_shuffle",
@@ -3193,7 +3200,7 @@ DRIVER_WINDOW = [
     "es_intervals",
     "es_scripted_metric", "es_scroll", "es_feature_queries",
     "es_pit",
-    "es_combined_fields", "es_highlight", "es_nested", "es_geo",
+    "es_combined_fields", "es_nested", "es_geo",
     "substring_dedup",
     "snapshot_cdc", "es_decay_score",
     "audio_features", "video_frames", "pq_search",
@@ -5484,8 +5491,10 @@ def _goldens_b() -> dict[str, str]:
                                             AS BIGINT), 0), 15)
                      || '/'
                      || least(greatest(CAST(floor(
-                          (1.0 - ln(tan(radians(lat))
-                                    + 1.0 / cos(radians(lat))) / pi())
+                          (1.0 - ln(tan(radians(least(greatest(lat,
+                                        -85.05112878), 85.05112878)))
+                                    + 1.0 / cos(radians(least(greatest(lat,
+                                        -85.05112878), 85.05112878)))) / pi())
                           / 2.0 * 16.0) AS BIGINT), 0), 15) AS key
               FROM pts
             ), gt AS (

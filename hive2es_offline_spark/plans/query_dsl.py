@@ -348,7 +348,20 @@ def _intervals_predicate(toks: Column, rule: dict) -> Column:
         "(match | prefix | all_of | any_of)")
 
 
-def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0) -> Column:
+def _prefix_positions(toks: Column, prefix: str) -> Column:
+    """0-based positions of tokens STARTING WITH ``prefix`` — the last
+    position set of a sloppy ``match_phrase_prefix`` (Lucene
+    MultiPhrasePrefixQuery expands the trailing term to every matching
+    token; positionally that is the union of their positions)."""
+    hit = F.transform(
+        toks,
+        lambda x, i: F.when(x.startswith(prefix), i).otherwise(F.lit(-1)),
+    )
+    return F.filter(hit, lambda p: p >= 0)
+
+
+def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0,
+                      *, last_is_prefix: bool = False) -> Column:
     """``match_phrase`` over the ANALYZED token stream via per-term
     position arrays: the query's tokens appear within ``slop`` total
     position moves (``slop=0`` = exact adjacency).  This is the positions
@@ -369,11 +382,14 @@ def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0) -> Column:
     if n == 0:
         return F.lit(True)
     if n == 1:
-        return F.array_contains(toks, terms[0])
+        return (F.exists(toks, lambda x: x.startswith(terms[0]))
+                if last_is_prefix else F.array_contains(toks, terms[0]))
     if n > 8:
         raise ValueError("match_phrase supports at most 8 analyzed terms")
 
-    pos = [_token_positions(toks, t) for t in terms]
+    pos = [_token_positions(toks, t) for t in terms[:-1]]
+    pos.append(_prefix_positions(toks, terms[-1]) if last_is_prefix
+               else _token_positions(toks, terms[-1]))
     if n == 2:
         return F.exists(pos[0], lambda p1: F.exists(
             pos[1],
@@ -1029,9 +1045,12 @@ def compile_query(
                     spec[k] = body[k]
             make = lambda f: {"match_phrase": {f: dict(spec)}}  # noqa: E731
         elif mm_type == "phrase_prefix":
+            # ES honors slop for phrase_prefix too — forward it (ADVICE
+            # r10: it was allowlisted but silently dropped here)
             spec = {"query": query}
-            if "zero_terms_query" in body:
-                spec["zero_terms_query"] = body["zero_terms_query"]
+            for k in ("slop", "zero_terms_query"):
+                if k in body:
+                    spec[k] = body[k]
             make = lambda f: {"match_phrase_prefix": {f: dict(spec)}}  # noqa: E731
         elif mm_type == "bool_prefix":
             # per-field match_bool_prefix, OR across fields (the
@@ -1153,12 +1172,19 @@ def compile_query(
         # the trailing token-end anchor dropped
         field, spec = _field_spec(body)
         query = spec["query"] if isinstance(spec, dict) else spec
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
         terms = _analyze_terms(query)
         if not terms:
             return _zero_terms_result(spec)
-        return F.regexp_like(
-            F.lower(col(field)),
-            F.lit(_phrase_regex_pattern(terms, last_is_prefix=True)))
+        if slop == 0:
+            return F.regexp_like(
+                F.lower(col(field)),
+                F.lit(_phrase_regex_pattern(terms, last_is_prefix=True)))
+        # sloppy prefix phrase needs positions (ES honors slop here —
+        # MultiPhrasePrefixQuery; ADVICE r10: multi_match phrase_prefix
+        # used to silently drop it)
+        return _phrase_predicate(_analyze(col(field)), terms, slop,
+                                 last_is_prefix=True)
     if kind == "match_bool_prefix":
         # search-as-you-type: every analyzed term except the last is an
         # exact token match; the LAST is a prefix over the analyzed
@@ -2175,7 +2201,16 @@ def geotile_cell(lat: Column, lon: Column, zoom: int) -> Column:
             F.lit(0)),
         lim,
     )
-    latr = F.radians(lat)
+    # Clamp latitude into Web-Mercator bounds FIRST (ES GeoTileUtils'
+    # MAX/MIN_LAT = ±85.05112878): at lat=-90 exactly, tan+sec underflows
+    # to 0.0 in doubles, F.log(0) yields NULL, and the greatest(NULL, 0)
+    # clamp would silently map the south pole to the NORTH edge tile
+    # (y=0).  Clamping poleward latitudes to the Mercator bound sends
+    # them to the correct edge tile (south pole -> y = 2^z - 1), like
+    # ES.  (ADVICE r10)
+    merc = F.least(F.greatest(lat, F.lit(-85.05112878)),
+                   F.lit(85.05112878))
+    latr = F.radians(merc)
     y = F.least(
         F.greatest(
             F.floor(

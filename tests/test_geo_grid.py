@@ -41,8 +41,13 @@ def test_geotile_golden_vectors(pts):
         "id", geotile_cell(F.col("lat"), F.col("lon"), 8).alias("gt")
     ).collect()}
     assert rows[2] == "8/131/84"
-    assert rows[5] == "8/255/0"   # poleward/dateline clamp into edge tile
-    assert rows[6] == "8/0/0"
+    # poleward latitudes clamp into Web-Mercator bounds (±85.05112878,
+    # ES GeoTileUtils) BEFORE the projection: the south pole lands in the
+    # SOUTH edge tile (y = 2^z - 1), not y=0 — at lat=-90 exactly,
+    # tan+sec underflows to 0.0 and log(0)=NULL would otherwise be
+    # silently swallowed by the clamp (ADVICE r10)
+    assert rows[5] == "8/255/0"
+    assert rows[6] == "8/0/255"
     assert rows[7] is None
 
 

@@ -186,6 +186,33 @@ def test_match_phrase_prefix(spark):
     assert ids(df, {"match_phrase_prefix": {"txt": "brown qui"}}) == [3]
 
 
+def test_match_phrase_prefix_slop(spark):
+    """ES honors slop for phrase_prefix (MultiPhrasePrefixQuery); the
+    multi_match phrase_prefix arm used to silently drop it (ADVICE r10)."""
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick red brown fox"),
+         (3, "quick red hot brownie"), (4, "brownie quick")],
+        "id long, txt string",
+    )
+    # slop=0: only the adjacent phrase
+    assert ids(df, {"match_phrase_prefix": {"txt": {
+        "query": "quick bro", "slop": 0}}}) == [1]
+    # slop=1 tolerates one intervening token
+    assert ids(df, {"match_phrase_prefix": {"txt": {
+        "query": "quick bro", "slop": 1}}}) == [1, 2]
+    # slop=2 reaches the doubly-separated prefix token, AND the
+    # reversed pair (Lucene: exact reversed order costs slop 2)
+    assert ids(df, {"match_phrase_prefix": {"txt": {
+        "query": "quick bro", "slop": 2}}}) == [1, 2, 3, 4]
+    # multi_match phrase_prefix forwards slop identically
+    assert ids(df, {"multi_match": {
+        "query": "quick bro", "type": "phrase_prefix",
+        "fields": ["txt"], "slop": 1}}) == [1, 2]
+    # single-term prefix with slop still works (prefix-only path)
+    assert ids(df, {"match_phrase_prefix": {"txt": {
+        "query": "bro", "slop": 1}}}) == [1, 2, 3, 4]
+
+
 def test_terms_set_thresholds(spark):
     df = spark.createDataFrame(
         [(1, "a b c", 2), (2, "a x y", 2), (3, "a b", 1)],
