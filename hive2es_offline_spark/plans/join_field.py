@@ -82,6 +82,14 @@ class _PCRewriter:
         return f"_pc_{len(self.joins)}"
 
     def rewrite(self, q: dict) -> dict:
+        if len(q) != 1 and {"has_child", "has_parent", "parent_id"} & set(q):
+            # a multi-key dict would otherwise fall through the
+            # single-key unpack and smuggle the join clause past the
+            # rewriter into compile_query (VERDICT r10 #9)
+            raise ValueError(
+                "a query object holding has_child/has_parent/parent_id "
+                f"must have exactly one key, got {sorted(q)} — wrap "
+                "sibling clauses in a bool")
         (kind, body), = q.items() if len(q) == 1 else (("", None),)
         if kind == "has_child":
             unknown = set(body) - _HC_KEYS

@@ -3562,6 +3562,51 @@ def es_msearch(
     return res
 
 
+def _cursor_encode(v):
+    """Lossless JSON encoding of one scroll-cursor sort value.  JSON-native
+    types (int/str/bool/None; float round-trips exactly via shortest-repr)
+    pass through; timestamp/date/Decimal carry a type tag so the next page
+    rebuilds the SAME typed Python value — ``default=str`` used to
+    stringify them, and the strict-after predicate then compared
+    ``F.lit('<string>')`` against the typed column through implicit casts,
+    which can lose exactness at a page boundary (ADVICE r10).  Unsupported
+    sort-key types are rejected loudly, like ``_geo_distance``."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):          # before date: datetime IS a date
+        return {"$t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"$t": "d", "v": v.isoformat()}
+    if isinstance(v, _decimal.Decimal):
+        return {"$t": "dec", "v": str(v)}
+    raise ValueError(
+        f"scroll cursor cannot serialize a {type(v).__name__} sort key "
+        "losslessly — sort on a numeric/string/timestamp/date/decimal "
+        "column")
+
+
+def _cursor_decode(v):
+    """Inverse of :func:`_cursor_encode`: rebuild the typed value so
+    ``_strict_after`` gets a literal of the column's own type (exact
+    comparison, and the predicate still folds into parquet pushdown)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, dict) and "$t" in v:
+        t = v["$t"]
+        if t == "ts":
+            return _dt.datetime.fromisoformat(v["v"])
+        if t == "d":
+            return _dt.date.fromisoformat(v["v"])
+        if t == "dec":
+            return _decimal.Decimal(v["v"])
+        raise ValueError(f"unknown scroll cursor tag {t!r}")
+    return v
+
+
 def es_scroll(
     df: DataFrame,
     body: dict,
@@ -3605,7 +3650,8 @@ def es_scroll(
         sort = sort + [{id_field: "asc"}]
     body["sort"] = sort
     if scroll_id is not None:
-        body["search_after"] = _json.loads(scroll_id)["after"]
+        body["search_after"] = [
+            _cursor_decode(v) for v in _json.loads(scroll_id)["after"]]
     size = int(body.get("size", 10))
     with using(analyzer):
         page = es_search(df, body, id_field=id_field)
@@ -3619,8 +3665,8 @@ def es_scroll(
     local = df.sparkSession.createDataFrame(rows, page.schema)
     if len(rows) < size:
         return local, None
-    nxt = _json.dumps({"after": [rows[-1][f] for f in sort_fields]},
-                      default=str)
+    nxt = _json.dumps(
+        {"after": [_cursor_encode(rows[-1][f]) for f in sort_fields]})
     return local, nxt
 
 

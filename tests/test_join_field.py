@@ -163,3 +163,14 @@ def test_has_child_inner_filter_pushes_to_parquet(spark, tmp_path):
     }, id_field="id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(n,300)" in plan, plan
+
+
+def test_multi_key_query_object_rejected(df):
+    # VERDICT r10 #9: a two-key query dict used to fall through the
+    # single-key unpack and smuggle has_child past the rewriter
+    body = {"query": {"has_child": {"type": "answer",
+                                    "query": {"match_all": {}}},
+                      "term": {"relation": "question"}},
+            "size": 10, "_source": ["id"]}
+    with pytest.raises(ValueError, match="exactly one key"):
+        es_parent_child(df, body, id_field="id")

@@ -2104,6 +2104,63 @@ def test_es_scroll_pages_are_disjoint_and_ordered(spark):
     assert [len(p) for p in seen] == [4, 4, 2]  # short page terminates
 
 
+def test_es_scroll_typed_cursor_round_trip(spark):
+    """ADVICE r10 / VERDICT r10 #8: fractional-second timestamp and
+    decimal sort keys must survive the JSON cursor round-trip exactly —
+    ``default=str`` used to stringify them and the implicit string-vs-
+    typed-column cast could skip or duplicate rows at a page boundary.
+    Pages through the whole frame and asserts every row visited once."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    from hive2es_offline_spark.plans.query_dsl import es_scroll
+
+    # adjacent microsecond timestamps that straddle page boundaries, plus
+    # duplicate ts values so the decimal secondary key does real work
+    rows = [
+        (i,
+         datetime(2024, 3, 1, 12, 0, 0, 100000 + (i // 2)),  # dup pairs
+         Decimal(f"{i}.{i:06d}"))
+        for i in range(11)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, amt decimal(18,6)")
+    body = {"sort": [{"ts": "asc"}, {"amt": "desc"}], "size": 3,
+            "_source": ["id", "ts", "amt"]}
+    seen, sid = [], None
+    for _ in range(6):
+        page, sid = es_scroll(df, body, id_field="id", scroll_id=sid)
+        seen.extend(r["id"] for r in page.collect())
+        if sid is None:
+            break
+    # exactly-once coverage in cursor order (ts asc, amt desc, id asc)
+    expect = [r[0] for r in sorted(rows, key=lambda r: (r[1], -r[2], r[0]))]
+    assert seen == expect
+    assert sorted(seen) == list(range(11))
+
+    # date sort keys round-trip too
+    from datetime import date
+
+    df2 = spark.createDataFrame(
+        [(i, date(2024, 1, 1 + i % 3)) for i in range(7)],
+        "id long, d date")
+    seen2, sid2 = [], None
+    for _ in range(5):
+        page, sid2 = es_scroll(
+            df2, {"sort": [{"d": "asc"}], "size": 2, "_source": ["id", "d"]},
+            id_field="id", scroll_id=sid2)
+        seen2.extend(r["id"] for r in page.collect())
+        if sid2 is None:
+            break
+    assert sorted(seen2) == list(range(7)) and len(seen2) == 7
+
+    # unsupported sort-key types are rejected loudly, not stringified
+    from hive2es_offline_spark.plans.query_dsl import _cursor_encode
+
+    with pytest.raises(ValueError, match="losslessly"):
+        _cursor_encode(bytearray(b"\x00"))
+
+
 def test_es_scroll_rejects_from_and_requires_cursor_columns(spark):
     from hive2es_offline_spark.plans.query_dsl import es_scroll
 
