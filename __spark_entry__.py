@@ -2617,6 +2617,29 @@ def q_es_query_string(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_match_english(spark, sf_dir):
+    """Language analysis chain (VERDICT r10 #2): the stock ``english``
+    analyzer — possessive strip, Lucene's 33-word English stop set, the
+    light Porter-class stemmer (plans/analysis.py) — on the match
+    surface.  The query "the merging streams" stems to [merg, stream]
+    with the stopword dropped, so docs saying "merge"/"merged"/
+    "streaming" all hit; the oracle SQL is built from the SAME rule
+    table via ``duckdb_tokens(..., 'english')`` (one-grammar lockstep)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "the merging streams"}}],
+            "filter": [{"range": {"n_chars": {"gte": 200}}}],
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 40,
+        "_source": ["doc_id", "source", "n_chars"],
+    }
+    return es_search(d, body, id_field="doc_id", analyzer="english")
+
+
 #: scored-search body shared by the query and its docstring: BM25 must
 #: match + a should term (scores idf) + a should constant_score (+0.5)
 _ES_SCORED_BODY = {
@@ -3185,8 +3208,12 @@ def q_ks_drift(spark, sf_dir):
 #: es_scored_search, es_function_score, es_mget, es_highlight (green
 #: r8-r10) — all keep local DuckDB parity via demoted_goldens().
 #: Window membership is just this list; goldens follow automatically.
+#: Round-11 new surfaces (VERDICT r10 #2-#7) enter as they land, each
+#: demoting the longest-stable driver-green row (all keep local DuckDB
+#: parity via demoted_goldens()): es_match_english (demotes es_suggest,
+#: green r9-r10).
 DRIVER_WINDOW = [
-    "es_suggest", "es_agg_filter",
+    "es_match_english", "es_agg_filter",
     "es_date_range", "es_nested_agg", "es_routing", "partition_counts",
     "dedup_minhash", "dedup_components",
     "curation_pipeline",
@@ -3347,6 +3374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_range": q_es_date_range,
         "es_nested_agg": q_es_nested_agg,
         "es_field_caps": q_es_field_caps,
+        # round-11 surfaces (VERDICT r10 #2-#7)
+        "es_match_english": q_es_match_english,
         # round-9 surfaces (VERDICT r8 #3/#5/#8 + more_like_this)
         "es_decay_score": q_es_decay_score,
         "es_completion": q_es_completion,
@@ -4118,7 +4147,26 @@ def _goldens_b() -> dict[str, str]:
     """Second half of the golden-SQL registry (historically the demoted
     set).  See ``_goldens_a`` — placement here does NOT decide window
     membership."""
+    from hive2es_offline_spark.plans.analysis import (
+        analyze_text as _an_text,
+        duckdb_tokens as _duck_toks,
+    )
+
+    # es_match_english: the oracle's token fragment AND the query's
+    # analyzed terms both come from plans/analysis.py, so engine and
+    # oracle cannot drift (the one-grammar rule extended to the chain)
+    _en_frag = _duck_toks("text", "english")
+    _en_terms = _an_text("the merging streams", "english")
+    _en_or = " OR ".join(
+        f"list_contains({_en_frag}, '{t}')" for t in _en_terms)
     return {
+        "es_match_english": f"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ({_en_or})
+              AND n_chars >= 200
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
         "map_pivot": """
             SELECT event_id, json_extract_string(props, '$.k') AS k
             FROM events

@@ -16,8 +16,8 @@ definition of "token" across all three execution contexts:
   tokenization stays inside WholeStageCodegen at any scale.
 - **Driver/Python side** (``analyze_text``): the same pattern via ``re``
   for query strings, highlight term lists, and suggester inputs.
-- **Oracle side** (``DUCKDB_TOKEN_RE``): the same pattern in RE2 syntax
-  for DuckDB parity SQL.
+- **Oracle side** (``DUCKDB_TOKEN_RE`` / ``duckdb_tokens``): the same
+  pattern in RE2 syntax for DuckDB parity SQL.
 
 Token grammar (the ``standard`` analyzer, a documented approximation of
 UAX#29 word segmentation): maximal runs of letters / digits / underscore,
@@ -30,6 +30,33 @@ rules), while every other punctuation run splits.  Tokens are lowercased
 ``whitespace`` remains as the fallback analyzer with the historical
 semantics (lowercase + split on space runs) for corpora indexed that way.
 
+Language chains (round 11): an analyzer is a tokenizer plus an ordered
+FILTER CHAIN — possessive strip → stopword removal → stemming → synonym
+rewrite — mirroring ES's stock ``english`` analyzer (standard tokenizer,
+``english_possessive_stemmer``, ``lowercase``, ``english_stop``, stemmer).
+The built-in ``english`` analyzer enables possessive + Lucene's 33-word
+English stop set + the light stemmer; ``register_analyzer`` declares
+custom named chains (the ES ``settings.analysis.analyzer`` surface), e.g.
+a synonym analyzer.  Every filter stays expressible in ALL THREE contexts
+— Spark stays pure codegen (``transform``/``filter`` + regex, no UDF), and
+the DuckDB fragment is machine-generated from the same rule table, so the
+one-grammar rule extends to the whole chain and is property-tested
+three-way.
+
+The stemmer is a LIGHT ENGLISH STEMMER (Porter-class): Porter's step 1a
+(plurals), 1b (eed/ed/ing with the longest-suffix-blocks rule and the
+at/bl/iz + de-double cleanup), a five-row step-2 table (ational→ate,
+ization→ize, iveness→ive, fulness→ful, ousness→ous), 1c (y→i), 5a (final
+-e) and 5b (-ll), with Porter's measure conditions approximated by
+vowel-presence / length guards so every rule is ONE anchored regex that
+means the same thing in Java regex, Python ``re``, and RE2 (no
+lookarounds, no backreferences — RE2 has neither).  It is deliberately
+NOT exact Porter/Snowball (no network, no snowball library in any of the
+three engines): what matters for search is that corpus and query stem
+IDENTICALLY, which holds by construction — "running"→"run", "ponies" and
+"pony"→"poni", "hoping" and "hope"→"hop".  Known, documented departures:
+final-s drop keeps -ss/-us; measure m>0/m>1 become vowel/length guards.
+
 The default is process-wide-per-plan-build (``using()`` context manager /
 the ``analyzer=`` option on the public entry points): the analyzer
 resolves at PLAN BUILD time on the driver, so no executor ever reads this
@@ -39,6 +66,7 @@ module's state.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 from contextlib import contextmanager
 
 from pyspark.sql import Column
@@ -46,7 +74,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "analyze_col", "analyze_text", "using", "current_analyzer",
-    "DUCKDB_TOKEN_RE", "ANALYZERS",
+    "DUCKDB_TOKEN_RE", "ANALYZERS", "register_analyzer", "analyzer_names",
+    "ENGLISH_STOPWORDS", "stem_text",
 ]
 
 #: Java regex (Spark side).  \p{L}/\p{N} are Unicode general categories.
@@ -56,7 +85,298 @@ _PY_TOKEN = re.compile(r"\w+(?:['.]\w+)*")
 #: RE2 (DuckDB regexp_extract_all) — same classes as the Java pattern.
 DUCKDB_TOKEN_RE = r"[\p{L}\p{N}_]+(?:['.][\p{L}\p{N}_]+)*"
 
-ANALYZERS = ("standard", "whitespace")
+#: Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (33 words) — checked
+#: AFTER lowercasing, BEFORE stemming, exactly Lucene's filter order.
+ENGLISH_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+# ---------------------------------------------------------------------------
+# The stemmer rule table — ONE definition, three dialect renderings.
+#
+# Every entry is (anchored condition regex, suffix regex, literal
+# replacement | None).  replacement None = "drop the last character"
+# (rendered as regexp_replace '.{1}$' → '' — the only portable way to
+# halve a doubled consonant, since RE2 patterns have no backreferences).
+# Steps run in order; within a step the FIRST matching row wins and rows
+# marked block=True stop the step even when they change nothing (Porter's
+# longest-suffix rule: "feed" ends -eed with m=0, so the -ed rule must
+# NOT fire).
+# ---------------------------------------------------------------------------
+
+#: step 1a — plurals (first match wins)
+_STEP_1A = (
+    ("^.*sses$", "es$", ""),          # caresses → caress
+    ("^.+ies$", "es$", ""),           # ponies → poni  (ies → i)
+    ("^.+[^su]s$", "s$", ""),         # cats → cat; keeps -ss, -us
+)
+#: step 1b — eed / ed / ing.  Row 2 is the Porter blocker: a word ending
+#: -eed whose prefix lacks a vowel-consonant pair stays UNCHANGED and the
+#: -ed rule never sees it.
+_P_EED_OK = "^.*[aeiouy][^aeiouy].*eed$"
+_P_EED_ANY = "^.*eed$"
+_P_ED = "^.*[aeiouy].*ed$"            # a vowel strictly before the suffix
+_P_ING = "^.*[aeiouy].*ing$"
+#: 1b cleanup (only after -ed/-ing removal; first match wins)
+_P_ATBLIZ = "^.*(at|bl|iz)$"          # conflat(ed) → conflate
+_P_DOUBLE = ("^.*(bb|cc|dd|ff|gg|hh|jj|kk|mm|nn|pp|qq|rr|tt|vv|ww|xx)$")
+#: step 2 (light) — common derivational suffixes (first match wins)
+_STEP_2 = (
+    ("^.{2,}ational$", "ational$", "ate"),
+    ("^.{2,}ization$", "ization$", "ize"),
+    ("^.{2,}iveness$", "iveness$", "ive"),
+    ("^.{2,}fulness$", "fulness$", "ful"),
+    ("^.{2,}ousness$", "ousness$", "ous"),
+)
+#: step 1c — y → i when a TRUE vowel precedes (sky stays sky)
+_P_Y = "^.*[aeiou].*y$"
+#: step 5a / 5b — final -e (len ≥ 4), -ll → -l (len ≥ 5)
+_P_E = "^.{3,}e$"
+_P_LL = "^.{3,}ll$"
+
+#: possessive filter — the token grammar only admits ASCII ' between
+#: alnum runs, so 's can only appear terminally via "john's"
+_P_POSS = "'s$"
+
+
+def stem_text(w: str) -> str:
+    """Python rendering of the light English stemmer (driver-side twin of
+    the column/SQL renderings below; the three are property-tested for
+    parity in ``tests/test_analysis.py``)."""
+    for cond, suf, rep in _STEP_1A:
+        if re.match(cond, w):
+            w = re.sub(suf, rep, w)
+            break
+    if re.match(_P_EED_ANY, w):
+        if re.match(_P_EED_OK, w):
+            w = w[:-1]
+    elif re.match(_P_ED, w) or re.match(_P_ING, w):
+        w = w[:-2] if w.endswith("ed") else w[:-3]
+        if re.match(_P_ATBLIZ, w):
+            w = w + "e"
+        elif re.match(_P_DOUBLE, w):
+            w = w[:-1]
+    for cond, suf, rep in _STEP_2:
+        if re.match(cond, w):
+            w = re.sub(suf, rep, w)
+            break
+    if re.match(_P_Y, w):
+        w = w[:-1] + "i"
+    if re.match(_P_E, w):
+        w = w[:-1]
+    if re.match(_P_LL, w):
+        w = w[:-1]
+    return w
+
+
+def _col_drop1(c: Column) -> Column:
+    return F.regexp_replace(c, ".{1}$", "")
+
+
+def _col_step_table(rows):
+    """One first-match-wins replacement table as a lambda for
+    ``F.transform`` — the lambda variable is a LEAF, so each step's
+    expression tree stays constant-size.  (Chaining all steps inside one
+    lambda re-embeds the previous step's tree at every reference and the
+    node count multiplies into the tens of thousands.)"""
+    def step(t: Column) -> Column:
+        out = None
+        for cond, suf, rep in rows:
+            branch = F.regexp_replace(t, suf, rep)
+            out = (F.when(t.rlike(cond), branch) if out is None
+                   else out.when(t.rlike(cond), branch))
+        return out.otherwise(t)
+    return step
+
+
+def _col_step_1b(t: Column) -> Column:
+    def cleanup(c: Column) -> Column:
+        return (
+            F.when(c.rlike(_P_ATBLIZ), F.concat(c, F.lit("e")))
+            .when(c.rlike(_P_DOUBLE), _col_drop1(c))
+            .otherwise(c)
+        )
+
+    return (
+        F.when(t.rlike(_P_EED_ANY),
+               F.when(t.rlike(_P_EED_OK), _col_drop1(t)).otherwise(t))
+        .when(t.rlike(_P_ED), cleanup(F.regexp_replace(t, "ed$", "")))
+        .when(t.rlike(_P_ING), cleanup(F.regexp_replace(t, "ing$", "")))
+        .otherwise(t)
+    )
+
+
+def _stem_col_steps(toks: Column) -> Column:
+    """Spark rendering of the stemmer over a token ARRAY — six chained
+    ``transform`` passes (one per step), all plain expressions, no UDF."""
+    toks = F.transform(toks, _col_step_table(_STEP_1A))
+    toks = F.transform(toks, _col_step_1b)
+    toks = F.transform(toks, _col_step_table(_STEP_2))
+    toks = F.transform(toks, lambda t: F.when(
+        t.rlike(_P_Y), F.regexp_replace(t, "y$", "i")).otherwise(t))
+    toks = F.transform(toks, lambda t: F.when(
+        t.rlike(_P_E), _col_drop1(t)).otherwise(t))
+    toks = F.transform(toks, lambda t: F.when(
+        t.rlike(_P_LL), _col_drop1(t)).otherwise(t))
+    return toks
+
+
+def _duckdb_stem_steps() -> list[str]:
+    """RE2/SQL rendering — per-step CASE bodies over the lambda variable
+    ``t``, machine-generated from the same rule table (so the oracle
+    cannot drift from the engine by transcription).  The caller wraps
+    each body in its own ``list_transform`` — one pass per step, exactly
+    mirroring the Spark rendering (embedding all steps in one expression
+    would multiply the tree the same way it does in Catalyst)."""
+    def q(pat):
+        return "'" + pat.replace("'", "''") + "'"
+
+    def drop1(expr):
+        return f"regexp_replace({expr}, '.{{1}}$', '')"
+
+    def step_case(rows):
+        whens = "".join(
+            f" WHEN regexp_matches(t, {q(cond)}) "
+            f"THEN regexp_replace(t, {q(suf)}, '{rep}')"
+            for cond, suf, rep in rows)
+        return f"(CASE{whens} ELSE t END)"
+
+    def cleanup(expr):
+        return (f"(CASE WHEN regexp_matches({expr}, {q(_P_ATBLIZ)}) "
+                f"THEN {expr} || 'e' "
+                f"WHEN regexp_matches({expr}, {q(_P_DOUBLE)}) "
+                f"THEN {drop1(expr)} ELSE {expr} END)")
+
+    ed = "regexp_replace(t, 'ed$', '')"
+    ing = "regexp_replace(t, 'ing$', '')"
+    step_1b = (
+        f"(CASE WHEN regexp_matches(t, {q(_P_EED_ANY)}) THEN "
+        f"(CASE WHEN regexp_matches(t, {q(_P_EED_OK)}) "
+        f"THEN {drop1('t')} ELSE t END) "
+        f"WHEN regexp_matches(t, {q(_P_ED)}) THEN {cleanup(ed)} "
+        f"WHEN regexp_matches(t, {q(_P_ING)}) THEN {cleanup(ing)} "
+        f"ELSE t END)")
+    return [
+        step_case(_STEP_1A),
+        step_1b,
+        step_case(_STEP_2),
+        (f"(CASE WHEN regexp_matches(t, {q(_P_Y)}) "
+         f"THEN regexp_replace(t, 'y$', 'i') ELSE t END)"),
+        (f"(CASE WHEN regexp_matches(t, {q(_P_E)}) "
+         f"THEN {drop1('t')} ELSE t END)"),
+        (f"(CASE WHEN regexp_matches(t, {q(_P_LL)}) "
+         f"THEN {drop1('t')} ELSE t END)"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Analyzer registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class _AnalyzerSpec:
+    tokenizer: str = "standard"                # standard | whitespace
+    possessive: bool = False                   # strip trailing 's
+    stopwords: tuple[str, ...] = ()
+    stemmer: bool = False                      # the light English stemmer
+    #: normalized token → canonical token, applied LAST (entries are
+    #: normalized through the chain's own stop/stem filters at
+    #: registration, so surface-form synonym groups keep working when the
+    #: chain also stems)
+    synonyms: tuple[tuple[str, str], ...] = field(default=())
+
+
+_REGISTRY: dict[str, _AnalyzerSpec] = {
+    "standard": _AnalyzerSpec(),
+    "whitespace": _AnalyzerSpec(tokenizer="whitespace"),
+    "english": _AnalyzerSpec(possessive=True, stopwords=ENGLISH_STOPWORDS,
+                             stemmer=True),
+}
+
+#: retained export — the BUILT-IN names (registry adds custom ones)
+ANALYZERS = ("standard", "whitespace", "english")
+
+
+def analyzer_names() -> tuple[str, ...]:
+    return tuple(_REGISTRY)
+
+
+def register_analyzer(
+    name: str,
+    *,
+    tokenizer: str = "standard",
+    possessive: bool = False,
+    stopwords: tuple[str, ...] | list[str] | str = (),
+    stemmer: bool = False,
+    synonyms: dict[str, list[str]] | list[list[str]] | None = None,
+) -> None:
+    """Declare a named custom analyzer (the ES
+    ``settings.analysis.analyzer`` surface).  ``stopwords`` accepts a
+    word list or the ES shorthand ``"_english_"``; ``synonyms`` accepts
+    either ES-style equivalence groups (``[["car","auto","automobile"],
+    …]`` — every member rewrites to the FIRST) or an explicit mapping
+    ``{"canonical": ["variant", …]}``.  Synonym entries are normalized
+    through the chain's own possessive/stop/stem filters at registration
+    time, so groups written in surface forms stay consistent with stemmed
+    corpora.  Re-registering a built-in name is rejected."""
+    if name in ("standard", "whitespace", "english"):
+        raise ValueError(f"cannot redefine built-in analyzer {name!r}")
+    if tokenizer not in ("standard", "whitespace"):
+        raise ValueError(
+            f"unsupported tokenizer: {tokenizer!r} (standard | whitespace)")
+    if stopwords == "_english_":
+        stops: tuple[str, ...] = ENGLISH_STOPWORDS
+    elif isinstance(stopwords, str):
+        raise ValueError(
+            f"unsupported stopword set {stopwords!r} (pass a list or "
+            "'_english_')")
+    else:
+        stops = tuple(str(s).lower() for s in stopwords)
+
+    def norm(tok: str) -> str | None:
+        t = tok.strip().lower()
+        if possessive:
+            t = re.sub(_P_POSS, "", t)
+        if t in stops:
+            return None
+        return stem_text(t) if stemmer else t
+
+    pairs: list[tuple[str, str]] = []
+    if synonyms:
+        groups = (synonyms.items() if isinstance(synonyms, dict)
+                  else [(g[0], g[1:]) for g in synonyms])
+        for canon, variants in groups:
+            c = norm(str(canon))
+            if c is None:
+                raise ValueError(
+                    f"synonym canonical {canon!r} normalizes to a stopword")
+            for v in variants:
+                nv = norm(str(v))
+                if nv is not None and nv != c:
+                    pairs.append((nv, c))
+    dupes = {a for i, (a, _) in enumerate(pairs)
+             if any(a == b and pairs[i][1] != c2
+                    for b, c2 in pairs[:i])}
+    if dupes:
+        raise ValueError(
+            f"synonym token(s) {sorted(dupes)} map to multiple canonicals")
+    _REGISTRY[name] = _AnalyzerSpec(
+        tokenizer=tokenizer, possessive=possessive, stopwords=stops,
+        stemmer=stemmer, synonyms=tuple(dict(pairs).items()))
+
+
+def _spec(name: str) -> _AnalyzerSpec:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unsupported analyzer: {name!r} "
+            f"(one of {' | '.join(_REGISTRY)})") from None
+
 
 _default = "standard"
 
@@ -82,10 +402,7 @@ def using(analyzer: str | None):
     if analyzer is None:
         yield
         return
-    if analyzer not in ANALYZERS:
-        raise ValueError(
-            f"unsupported analyzer: {analyzer!r} (standard | whitespace)"
-        )
+    _spec(analyzer)
     prev = _default
     _default = analyzer
     try:
@@ -94,58 +411,125 @@ def using(analyzer: str | None):
         _default = prev
 
 
+def _tokenize_col(col: Column, tokenizer: str) -> Column:
+    if tokenizer == "standard":
+        return F.regexp_extract_all(F.lower(col), F.lit(_JAVA_TOKEN), 0)
+    return F.filter(F.split(F.lower(col), " +"), lambda t: t != "")
+
+
 def analyze_col(col: Column, analyzer: str | None = None) -> Column:
     """Token array for a text column — codegen only (regexp_extract_all /
-    split), empty tokens dropped.  NULL input stays NULL (callers that
-    aggregate coalesce to the empty array themselves)."""
-    a = analyzer or _default
-    if a == "standard":
-        return F.regexp_extract_all(F.lower(col), F.lit(_JAVA_TOKEN), 0)
-    if a == "whitespace":
-        return F.filter(F.split(F.lower(col), " +"), lambda t: t != "")
-    raise ValueError(f"unsupported analyzer: {a!r} (standard | whitespace)")
+    split + transform/filter for the language chain; no UDF).  NULL input
+    stays NULL (callers that aggregate coalesce to the empty array
+    themselves)."""
+    spec = _spec(analyzer or _default)
+    toks = _tokenize_col(col, spec.tokenizer)
+    if spec.possessive:
+        toks = F.transform(
+            toks, lambda t: F.regexp_replace(t, _P_POSS, ""))
+    if spec.stopwords:
+        stops = F.lit(list(spec.stopwords))
+        toks = F.filter(toks, lambda t: ~F.array_contains(stops, t))
+    if spec.stemmer:
+        toks = _stem_col_steps(toks)
+    if spec.synonyms:
+        syn = dict(spec.synonyms)
+
+        def rewrite(t: Column) -> Column:
+            out = t
+            for frm, to in syn.items():
+                out = F.when(t == frm, F.lit(to)).otherwise(out)
+            return out
+
+        toks = F.transform(toks, rewrite)
+    return toks
+
+
+def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:
+    if spec.tokenizer == "standard":
+        toks = [m.group(0).lower() for m in _PY_TOKEN.finditer(text or "")]
+    else:
+        toks = [t for t in (text or "").lower().split() if t]
+    if spec.possessive:
+        toks = [re.sub(_P_POSS, "", t) for t in toks]
+    if spec.stopwords:
+        stops = set(spec.stopwords)
+        toks = [t for t in toks if t not in stops]
+    if spec.stemmer:
+        toks = [stem_text(t) for t in toks]
+    if spec.synonyms:
+        syn = dict(spec.synonyms)
+        toks = [syn.get(t, t) for t in toks]
+    return toks
 
 
 def analyze_text(text: str, analyzer: str | None = None) -> list[str]:
     """Driver-side twin of ``analyze_col`` for query strings: identical
-    token grammar, so a query tokenizes exactly like the corpus."""
-    a = analyzer or _default
-    if a == "standard":
-        return [m.group(0).lower() for m in _PY_TOKEN.finditer(text or "")]
-    if a == "whitespace":
-        return [t for t in (text or "").lower().split() if t]
-    raise ValueError(f"unsupported analyzer: {a!r} (standard | whitespace)")
+    token grammar and filter chain, so a query tokenizes exactly like the
+    corpus."""
+    return _analyze_tokens(text, _spec(analyzer or _default))
 
 
 def analyze_with_offsets(
     text: str, analyzer: str | None = None
 ) -> list[tuple[str, int, int, int]]:
-    """(token, position, start_offset, end_offset) rows for ``_analyze``."""
-    a = analyzer or _default
+    """(token, position, start_offset, end_offset) rows for ``_analyze``.
+    Offsets span the ORIGINAL surface token; positions are post-filter
+    (gapless), matching the positional arrays the phrase engine builds
+    from ``analyze_col``."""
+    spec = _spec(analyzer or _default)
+    if spec.tokenizer == "standard":
+        raw = [(m.group(0).lower(), m.start(), m.end())
+               for m in _PY_TOKEN.finditer(text or "")]
+    else:
+        raw = []
+        offset = 0
+        for piece in (text or "").split(" "):
+            if piece:
+                raw.append((piece.lower(), offset, offset + len(piece)))
+            offset += len(piece) + 1
     out: list[tuple[str, int, int, int]] = []
-    if a == "standard":
-        for pos, m in enumerate(_PY_TOKEN.finditer(text or "")):
-            out.append((m.group(0).lower(), pos, m.start(), m.end()))
-        return out
-    if a == "whitespace":
-        pos = offset = 0
-        for raw in (text or "").split(" "):
-            if raw:
-                out.append((raw.lower(), pos, offset, offset + len(raw)))
-                pos += 1
-            offset += len(raw) + 1
-        return out
-    raise ValueError(f"unsupported analyzer: {a!r} (standard | whitespace)")
+    pos = 0
+    stops = set(spec.stopwords)
+    syn = dict(spec.synonyms)
+    for tok, start, end in raw:
+        if spec.possessive:
+            tok = re.sub(_P_POSS, "", tok)
+        if spec.stopwords and tok in stops:
+            continue
+        if spec.stemmer:
+            tok = stem_text(tok)
+        if syn:
+            tok = syn.get(tok, tok)
+        out.append((tok, pos, start, end))
+        pos += 1
+    return out
 
 
 def duckdb_tokens(expr: str, analyzer: str = "standard") -> str:
     """SQL fragment producing the token LIST for ``expr`` in DuckDB —
     oracle-side twin of ``analyze_col`` (single-quote in the pattern is
-    doubled for SQL literal quoting)."""
-    if analyzer == "standard":
+    doubled for SQL literal quoting).  The language-chain filters are
+    machine-generated from the same rule table as the Spark/Python
+    renderings."""
+    spec = _spec(analyzer)
+    if spec.tokenizer == "standard":
         pat = DUCKDB_TOKEN_RE.replace("'", "''")
-        return f"regexp_extract_all(lower({expr}), '{pat}')"
-    if analyzer == "whitespace":
-        return (f"list_filter(string_split_regex(lower({expr}), ' +'), "
-                "t -> t != '')")
-    raise ValueError(f"unsupported analyzer: {analyzer!r}")
+        sql = f"regexp_extract_all(lower({expr}), '{pat}')"
+    else:
+        sql = (f"list_filter(string_split_regex(lower({expr}), ' +'), "
+               "t -> t != '')")
+    if spec.possessive:
+        sql = f"list_transform({sql}, t -> regexp_replace(t, '''s$', ''))"
+    if spec.stopwords:
+        inlist = ", ".join("'" + s.replace("'", "''") + "'"
+                           for s in spec.stopwords)
+        sql = f"list_filter({sql}, t -> t NOT IN ({inlist}))"
+    if spec.stemmer:
+        for body in _duckdb_stem_steps():
+            sql = f"list_transform({sql}, t -> {body})"
+    if spec.synonyms:
+        whens = "".join(
+            f" WHEN t = '{a}' THEN '{b}'" for a, b in spec.synonyms)
+        sql = f"list_transform({sql}, t -> (CASE{whens} ELSE t END))"
+    return sql

@@ -307,3 +307,174 @@ def test_msm_floor_one_never_matches_all(spark):
                      "minimum_should_match": "67%"}}
     got = sorted(r["id"] for r in df.where(compile_query(body, "id")).collect())
     assert got == [1]  # needs 2 of 3
+
+
+# --- round 11: language analysis chains (VERDICT r10 #2) ---------------------
+
+
+class TestEnglishChain:
+    def test_stem_vectors(self):
+        from hive2es_offline_spark.plans.analysis import stem_text
+
+        vec = {
+            # Porter step 1a
+            "caresses": "caress", "ponies": "poni", "cats": "cat",
+            "dress": "dress", "virus": "virus",
+            # step 1b + cleanup (and the eed blocker)
+            "running": "run", "hopping": "hop", "falling": "fall",
+            "agreed": "agre", "feed": "feed", "sized": "siz",
+            "troubled": "troubl", "bled": "bled", "sing": "sing",
+            # step 2 lite
+            "relational": "relat", "vietnamization": "vietnamiz",
+            # 1c / 5a / 5b
+            "happy": "happi", "sky": "sky", "hope": "hop",
+            "controlling": "control", "see": "see",
+        }
+        for w, s in vec.items():
+            assert stem_text(w) == s, (w, stem_text(w), s)
+        # query and corpus conflate: the property that matters for search
+        for a, b in [("running", "run"), ("ponies", "pony"),
+                     ("hoping", "hope"), ("agreed", "agree")]:
+            assert stem_text(a) == stem_text(b), (a, b)
+
+    def test_english_chain_order(self):
+        # possessive strip -> stopword (post-lowercase) -> stem
+        # (shoes -> shoe -> sho: step 5a's final-e rule, like Porter's)
+        assert analyze_text("The runner's shoes were THE best", "english") \
+            == ["runner", "sho", "wer", "best"]
+        # an all-stopword query analyzes to [] (zero_terms territory)
+        assert analyze_text("the a an of", "english") == []
+
+    def test_three_way_english_parity_fixed(self):
+        import duckdb
+
+        texts = PUNCT + [
+            "The ponies were running; John's dog agreed!",
+            "hoping, hopped, hopping, hoped",
+            "relational vietnamization happiness controlling",
+            "skies sky say stay busses fusses",
+            "feed agreed freed exceed",
+        ]
+        con = duckdb.connect()
+        for t in texts:
+            py = analyze_text(t, "english")
+            duck = con.execute(
+                f"select {duckdb_tokens('$1', 'english')}", {"1": t}
+            ).fetchone()[0]
+            assert py == duck, (t, py, duck)
+
+    def test_three_way_english_parity_spark(self, spark):
+        import duckdb
+
+        texts = PUNCT + [
+            "The ponies were running; John's dog agreed!",
+            "relational vietnamization happiness controlling",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [r["toks"] for r in df.select(
+            analyze_col(F.col("t"), "english").alias("toks")).collect()]
+        assert got == [analyze_text(t, "english") for t in texts]
+
+    def test_three_way_english_parity_property(self):
+        import duckdb
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        con = duckdb.connect()
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(
+            alphabet=st.sampled_from(
+                list("abcdefghijklmnopqrstuvwxyzAEIOUY' .,-_0123456789")),
+            max_size=40))
+        def check(t):
+            py = analyze_text(t, "english")
+            duck = con.execute(
+                f"select {duckdb_tokens('$1', 'english')}", {"1": t}
+            ).fetchone()[0]
+            assert py == duck, (t, py, duck)
+
+        check()
+
+    def test_match_english_running_matches_run(self, spark):
+        # the VERDICT r10 #2 acceptance example: an index analyzed with
+        # 'english' must hit "running" for query "run" and ignore "the"
+        df = spark.createDataFrame(
+            [(1, "The dogs were running fast"), (2, "a run in the park"),
+             (3, "nothing relevant"), (4, "The The The")],
+            "id long, t string")
+        body = {"query": {"match": {"t": "run"}}, "_source": ["id"]}
+        got = [r["id"] for r in es_search(
+            df, body, id_field="id", analyzer="english")
+            .orderBy("id").collect()]
+        assert got == [1, 2]
+        # stopword-only query = zero terms = no hits (ES default 'none')
+        assert es_search(df, {"query": {"match": {"t": "the"}},
+                              "_source": ["id"]},
+                         id_field="id", analyzer="english").count() == 0
+
+
+class TestCustomAnalyzers:
+    def test_register_synonym_analyzer_three_way(self, spark):
+        import duckdb
+
+        from hive2es_offline_spark.plans.analysis import register_analyzer
+
+        register_analyzer(
+            "english_syn", possessive=True, stopwords="_english_",
+            stemmer=True,
+            synonyms=[["car", "auto", "automobile"],
+                      ["fast", "quick", "speedy"]])
+        texts = ["The automobiles were quick!", "a speedy car", "autos"]
+        py = [analyze_text(t, "english_syn") for t in texts]
+        # every member rewrites to the group head, post-stem
+        assert py[0] == ["car", "wer", "fast"]
+        assert py[1] == ["fast", "car"]
+        assert py[2] == ["car"]
+        con = duckdb.connect()
+        for t, exp in zip(texts, py):
+            duck = con.execute(
+                f"select {duckdb_tokens('$1', 'english_syn')}", {"1": t}
+            ).fetchone()[0]
+            assert duck == exp, (t, duck, exp)
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [r["toks"] for r in df.select(
+            analyze_col(F.col("t"), "english_syn").alias("toks")).collect()]
+        assert got == py
+        # and the match surface composes: query "auto" hits "car" docs
+        df2 = spark.createDataFrame(
+            [(1, "my car is red"), (2, "the bike")], "id long, t string")
+        assert [r["id"] for r in es_search(
+            df2, {"query": {"match": {"t": "auto"}}, "_source": ["id"]},
+            id_field="id", analyzer="english_syn").collect()] == [1]
+
+    def test_register_rejects_bad_specs(self):
+        from hive2es_offline_spark.plans.analysis import register_analyzer
+
+        with pytest.raises(ValueError, match="built-in"):
+            register_analyzer("english", stemmer=True)
+        with pytest.raises(ValueError, match="tokenizer"):
+            register_analyzer("x1", tokenizer="icu")
+        with pytest.raises(ValueError, match="stopword set"):
+            register_analyzer("x2", stopwords="_german_")
+        with pytest.raises(ValueError, match="stopword"):
+            register_analyzer("x3", stopwords="_english_",
+                              synonyms=[["the", "car"]])
+        with pytest.raises(ValueError, match="multiple canonicals"):
+            register_analyzer("x4", synonyms=[["car", "auto"],
+                                              ["lorry", "auto"]])
+
+    def test_stopword_only_custom_chain(self, spark):
+        from hive2es_offline_spark.plans.analysis import register_analyzer
+
+        register_analyzer("nostem_stop", stopwords=["foo", "bar"])
+        assert analyze_text("foo running bar baz", "nostem_stop") == \
+            ["running", "baz"]
+        import duckdb
+
+        con = duckdb.connect()
+        duck = con.execute(
+            f"select {duckdb_tokens('$1', 'nostem_stop')}",
+            {"1": "foo running bar baz"}).fetchone()[0]
+        assert duck == ["running", "baz"]
