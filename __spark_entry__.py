@@ -2617,6 +2617,29 @@ def q_es_query_string(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_percolate(spark, sf_dir):
+    """Percolate / reverse search (VERDICT r10 #3): four stored
+    filter-context bodies — a match, a range, a bool with term+range, a
+    phrase — compile to four gated boolean columns evaluated in ONE scan
+    (plans/percolate.py); output is (doc_id, query_id) match pairs, the
+    hit list ES returns when percolating each document."""
+    from hive2es_offline_spark.plans.percolate import es_percolate
+
+    d = _t(spark, sf_dir, "documents")
+    out = es_percolate(d, _PERCOLATE_QUERIES, id_field="doc_id")
+    return out.orderBy("doc_id", "query_id")
+
+
+_PERCOLATE_QUERIES = {
+    "alert-merge": {"match": {"text": "merge"}},
+    "long-doc": {"range": {"n_chars": {"gte": 900}}},
+    "src3-short": {"bool": {"filter": [
+        {"term": {"source": "src3"}},
+        {"range": {"n_chars": {"lt": 400}}}]}},
+    "phrase-ds": {"match_phrase": {"text": "data stream"}},
+}
+
+
 def q_es_match_english(spark, sf_dir):
     """Language analysis chain (VERDICT r10 #2): the stock ``english``
     analyzer — possessive strip, Lucene's 33-word English stop set, the
@@ -3211,9 +3234,9 @@ def q_ks_drift(spark, sf_dir):
 #: Round-11 new surfaces (VERDICT r10 #2-#7) enter as they land, each
 #: demoting the longest-stable driver-green row (all keep local DuckDB
 #: parity via demoted_goldens()): es_match_english (demotes es_suggest,
-#: green r9-r10).
+#: green r9-r10); es_percolate (demotes es_agg_filter, green r9-r10).
 DRIVER_WINDOW = [
-    "es_match_english", "es_agg_filter",
+    "es_match_english", "es_percolate",
     "es_date_range", "es_nested_agg", "es_routing", "partition_counts",
     "dedup_minhash", "dedup_components",
     "curation_pipeline",
@@ -3376,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_field_caps": q_es_field_caps,
         # round-11 surfaces (VERDICT r10 #2-#7)
         "es_match_english": q_es_match_english,
+        "es_percolate": q_es_percolate,
         # round-9 surfaces (VERDICT r8 #3/#5/#8 + more_like_this)
         "es_decay_score": q_es_decay_score,
         "es_completion": q_es_completion,
@@ -4159,7 +4183,26 @@ def _goldens_b() -> dict[str, str]:
     _en_terms = _an_text("the merging streams", "english")
     _en_or = " OR ".join(
         f"list_contains({_en_frag}, '{t}')" for t in _en_terms)
+    _std_frag = _duck_toks("text")
+    _bigrams = (f"list_transform(generate_series(1, len({_std_frag}) - 1), "
+                f"i -> {_std_frag}[i] || ' ' || {_std_frag}[i + 1])")
     return {
+        "es_percolate": f"""
+            SELECT doc_id, query_id FROM (
+              SELECT doc_id, 'alert-merge' AS query_id FROM documents
+              WHERE list_contains({_std_frag}, 'merge')
+              UNION ALL
+              SELECT doc_id, 'long-doc' FROM documents
+              WHERE n_chars >= 900
+              UNION ALL
+              SELECT doc_id, 'src3-short' FROM documents
+              WHERE source = 'src3' AND n_chars < 400
+              UNION ALL
+              SELECT doc_id, 'phrase-ds' FROM documents
+              WHERE list_contains({_bigrams}, 'data stream')
+            )
+            ORDER BY doc_id, query_id
+        """,
         "es_match_english": f"""
             SELECT doc_id, source, n_chars FROM documents
             WHERE ({_en_or})
