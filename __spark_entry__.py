@@ -2617,6 +2617,68 @@ def q_es_query_string(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+#: quadrilateral over the customer coordinate cloud (all edge latitudes
+#: distinct, so no horizontal edges); shared by query and oracle-builder
+_GEO_POLY = [(-40.0, -60.0), (50.0, -20.0), (60.0, 60.0), (-30.0, 40.0)]
+
+
+def _raycast_sql(pts, lat_expr: str, lon_expr: str) -> str:
+    """Even-odd ray-cast as DuckDB SQL, generated from the SAME vertex
+    list the Spark clause compiles (term-for-term the expression
+    geo_polygon builds: edge slopes are Python floats, the crossing test
+    is (lat-yi)*slope+xi in the same operation order, XOR = odd crossing
+    count)."""
+    terms = []
+    for i, (yi, xi) in enumerate(pts):
+        yj, xj = pts[(i + 1) % len(pts)]
+        if yi == yj:
+            continue
+        slope = (xj - xi) / (yj - yi)
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat_expr}) != ({yj!r} > {lat_expr}))"
+            f" AND ({lon_expr} < ({lat_expr} - {yi!r}) * {slope!r} + {xi!r})"
+            " THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def q_es_geo_rings(spark, sf_dir):
+    """geo_distance aggregation + geo_polygon query (VERDICT r10 #4):
+    customers inside a quadrilateral (even-odd ray cast, pure codegen)
+    bucketed into overlapping distance rings from an origin (haversine
+    once, gated range buckets — the ONE-ungrouped-aggregate shape of the
+    range agg, plans/query_dsl.py::_compile_cond_bucket), each ring
+    carrying a sum sub-metric."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    c = _t(spark, sf_dir, "customer")
+    located = c.select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    body = {
+        "query": {"geo_polygon": {"loc": {"points": [
+            {"lat": la, "lon": lo} for la, lo in _GEO_POLY]}}},
+        "size": 0,
+        "aggs": {"rings": {
+            "geo_distance": {
+                "field": "loc", "origin": {"lat": 10.5, "lon": 20.5},
+                "unit": "km",
+                "ranges": [
+                    {"to": 1500, "key": "r_near"},
+                    {"from": 1500, "to": 4000, "key": "r_mid"},
+                    {"from": 4000, "to": 8000, "key": "r_far"},
+                    {"from": 3000, "key": "r_tail"},
+                ],
+            },
+            "aggs": {"sum_key": {"sum": {"field": "c_custkey"}}},
+        }},
+    }
+    return es_search(located, body, id_field="c_custkey")
+
+
 def q_es_percolate(spark, sf_dir):
     """Percolate / reverse search (VERDICT r10 #3): four stored
     filter-context bodies — a match, a range, a bool with term+range, a
@@ -3234,10 +3296,11 @@ def q_ks_drift(spark, sf_dir):
 #: Round-11 new surfaces (VERDICT r10 #2-#7) enter as they land, each
 #: demoting the longest-stable driver-green row (all keep local DuckDB
 #: parity via demoted_goldens()): es_match_english (demotes es_suggest,
-#: green r9-r10); es_percolate (demotes es_agg_filter, green r9-r10).
+#: green r9-r10); es_percolate (demotes es_agg_filter, green r9-r10);
+#: es_geo_rings (demotes es_date_range, green r9-r10).
 DRIVER_WINDOW = [
     "es_match_english", "es_percolate",
-    "es_date_range", "es_nested_agg", "es_routing", "partition_counts",
+    "es_geo_rings", "es_nested_agg", "es_routing", "partition_counts",
     "dedup_minhash", "dedup_components",
     "curation_pipeline",
     "es_rescore", "es_wrapper", "es_named", "es_scored_msearch",
@@ -3400,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 surfaces (VERDICT r10 #2-#7)
         "es_match_english": q_es_match_english,
         "es_percolate": q_es_percolate,
+        "es_geo_rings": q_es_geo_rings,
         # round-9 surfaces (VERDICT r8 #3/#5/#8 + more_like_this)
         "es_decay_score": q_es_decay_score,
         "es_completion": q_es_completion,
@@ -4186,7 +4250,44 @@ def _goldens_b() -> dict[str, str]:
     _std_frag = _duck_toks("text")
     _bigrams = (f"list_transform(generate_series(1, len({_std_frag}) - 1), "
                 f"i -> {_std_frag}[i] || ' ' || {_std_frag}[i + 1])")
+
+    # es_geo_rings: ray-cast generated from the same vertex list as the
+    # Spark clause; haversine matches q_es_geo's established SQL twin
+    _inside = _raycast_sql(_GEO_POLY, "lat", "lon")
+    _ring_rows = []
+    for key, lo, hi in [("r_near", None, 1500.0), ("r_mid", 1500.0, 4000.0),
+                        ("r_far", 4000.0, 8000.0), ("r_tail", 3000.0, None)]:
+        conds = []
+        if lo is not None:
+            conds.append(f"dist_km >= {lo!r}")
+        if hi is not None:
+            conds.append(f"dist_km < {hi!r}")
+        cond = " AND ".join(conds)
+        _ring_rows.append(
+            f"SELECT '{key}' AS key, "
+            f"CAST(coalesce(sum(CASE WHEN {cond} THEN 1 END), 0) AS BIGINT)"
+            " AS doc_count, "
+            f"CAST(sum(CASE WHEN {cond} THEN CAST(c_custkey AS "
+            "DECIMAL(28,6)) END) AS DOUBLE) AS sum_key FROM p")
+    _geo_rings_sql = f"""
+        WITH l AS (
+          SELECT c_custkey,
+                 CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                 CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM customer
+        ), p AS (
+          SELECT c_custkey,
+                 2 * 6371008.7714150598 * asin(least(1.0, sqrt(
+                   pow(sin(radians(lat - 10.5) / 2), 2)
+                   + cos(radians(lat)) * cos(radians(10.5))
+                     * pow(sin(radians(lon - 20.5) / 2), 2)
+                 ))) / 1000.0 AS dist_km
+          FROM l WHERE {_inside}
+        )
+        {' UNION ALL '.join(_ring_rows)}
+    """
     return {
+        "es_geo_rings": _geo_rings_sql,
         "es_percolate": f"""
             SELECT doc_id, query_id FROM (
               SELECT doc_id, 'alert-merge' AS query_id FROM documents

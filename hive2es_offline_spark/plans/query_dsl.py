@@ -922,6 +922,40 @@ def compile_query(
             & (c["lon"] >= F.lit(float(tl["lon"])))
             & (c["lon"] <= F.lit(float(br["lon"])))
         )
+    if kind == "geo_polygon":
+        # point-in-polygon by even-odd ray casting (VERDICT r10 #4): one
+        # horizontal ray eastward from the point; each non-horizontal
+        # edge contributes a crossing test and the parity XORs together —
+        # N literal vertices unroll into pure codegen arithmetic (edge
+        # slopes are Python floats folded at plan build).  Planar test on
+        # lat/lon like Lucene's legacy GeoPolygonQuery; polygons crossing
+        # the dateline are not supported (same restriction as the
+        # bounding-box clause).  NULL coordinates propagate NULL = no
+        # match.
+        field, spec = _field_spec(body)
+        pts = [(float(p["lat"]), float(p["lon"])) for p in spec["points"]]
+        # an explicitly closed ring (first == last) de-dups; edges wrap
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if len(pts) < 3:
+            raise ValueError("geo_polygon needs at least 3 distinct points")
+        c = col(field)
+        y, x = c["lat"], c["lon"]
+        inside: Column | None = None
+        for i, (yi, xi) in enumerate(pts):
+            yj, xj = pts[(i + 1) % len(pts)]
+            if yi == yj:
+                continue  # horizontal edge: the ray never crosses it
+            slope = (xj - xi) / (yj - yi)
+            crossing = (
+                ((F.lit(yi) > y) != (F.lit(yj) > y))
+                & (x < (y - F.lit(yi)) * F.lit(slope) + F.lit(xi))
+            )
+            inside = crossing if inside is None else (inside != crossing)
+        if inside is None:
+            raise ValueError("geo_polygon is degenerate (all edges "
+                             "horizontal)")
+        return inside
     if kind == "term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
@@ -1446,7 +1480,7 @@ _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
 _GROUPBY_BUCKET_KINDS = {"terms", "histogram", "date_histogram",
                          "geohash_grid", "geotile_grid"}
 _COND_BUCKET_KINDS = {"range", "date_range", "filters", "missing",
-                      "adjacency_matrix"}
+                      "adjacency_matrix", "geo_distance"}
 
 
 def _scripted_metric_exprs(
@@ -2931,6 +2965,31 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
                 pred = pred & (c >= F.lit(_date_bound(r["from"])))
             if r.get("to") is not None:
                 pred = pred & (c < F.lit(_date_bound(r["to"])))
+            buckets.append((_range_key(r), pred))
+    elif kind == "geo_distance":
+        # ring buckets from the origin (VERDICT r10 #4): haversine once,
+        # then the same overlapping gated-range shape as `range` — ONE
+        # ungrouped aggregate, rings that overlap simply gate twice.
+        # Bounds are in `unit` (ES default m), from inclusive / to
+        # exclusive like ES.
+        origin = bspec["origin"]
+        if isinstance(origin, str):
+            lat0, lon0 = (float(x) for x in origin.split(","))
+        else:
+            lat0, lon0 = float(origin["lat"]), float(origin["lon"])
+        unit = {"m": 1.0, "km": 1000.0, "mi": 1609.344}.get(
+            bspec.get("unit", "m"))
+        if unit is None:
+            raise ValueError(
+                f"unsupported geo_distance unit: {bspec.get('unit')!r}")
+        c = F.col(bspec["field"])
+        d = haversine_meters(c["lat"], c["lon"], lat0, lon0) / F.lit(unit)
+        for r in bspec["ranges"]:
+            pred = F.lit(True)
+            if r.get("from") is not None:
+                pred = pred & (d >= F.lit(float(r["from"])))
+            if r.get("to") is not None:
+                pred = pred & (d < F.lit(float(r["to"])))
             buckets.append((_range_key(r), pred))
     elif kind == "filters":
         for bname, clause in bspec["filters"].items():

@@ -87,3 +87,91 @@ def test_grid_rejects_unknown_options(pts):
     with pytest.raises(ValueError, match="precision"):
         compile_aggs(loc, {"g": {"geohash_grid": {
             "field": "loc", "precision": 13}}}).collect()
+
+
+# --- round 11: geo_polygon query + geo_distance aggregation (VERDICT #4) ----
+
+
+def test_geo_polygon_square_and_concave(spark):
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0),     # inside the square
+         (2, 15.0, 5.0),    # outside (north)
+         (3, -5.0, 5.0),    # outside (south)
+         (4, 5.0, 15.0),    # outside (east)
+         (5, 9.9, 9.9),     # inside, near corner
+         (6, None, None)],  # NULL coords -> no match
+        "id long, lat double, lon double",
+    ).select("id", F.struct("lat", "lon").alias("loc"))
+    square = {"geo_polygon": {"loc": {"points": [
+        {"lat": 0.0, "lon": 0.0}, {"lat": 10.0, "lon": 0.0},
+        {"lat": 10.0, "lon": 10.0}, {"lat": 0.0, "lon": 10.0},
+        {"lat": 0.0, "lon": 0.0},  # explicitly closed ring de-dups
+    ]}}}
+    got = [r["id"] for r in df.where(compile_query(square, "id"))
+           .orderBy("id").collect()]
+    assert got == [1, 5]
+
+    # concave C-shape: the notch (4..6, 2..10) is OUTSIDE
+    c_shape = {"geo_polygon": {"loc": {"points": [
+        {"lat": 0, "lon": 0}, {"lat": 10, "lon": 0},
+        {"lat": 10, "lon": 10}, {"lat": 6, "lon": 10},
+        {"lat": 6, "lon": 2}, {"lat": 4, "lon": 2},
+        {"lat": 4, "lon": 10}, {"lat": 0, "lon": 10},
+    ]}}}
+    df2 = spark.createDataFrame(
+        [(1, 5.0, 1.0),   # in the spine (west of the notch)
+         (2, 5.0, 5.0),   # in the notch -> outside
+         (3, 8.0, 5.0),   # upper arm
+         (4, 2.0, 5.0),   # lower arm
+         (5, 5.0, 11.0)], # east of everything
+        "id long, lat double, lon double",
+    ).select("id", F.struct("lat", "lon").alias("loc"))
+    got = [r["id"] for r in df2.where(compile_query(c_shape, "id"))
+           .orderBy("id").collect()]
+    assert got == [1, 3, 4]
+
+
+def test_geo_polygon_validation(spark):
+    from hive2es_offline_spark.plans.query_dsl import compile_query
+
+    with pytest.raises(ValueError, match="3 distinct"):
+        compile_query({"geo_polygon": {"loc": {"points": [
+            {"lat": 0, "lon": 0}, {"lat": 1, "lon": 1},
+            {"lat": 0, "lon": 0}]}}}, "id")
+    with pytest.raises(ValueError, match="degenerate"):
+        compile_query({"geo_polygon": {"loc": {"points": [
+            {"lat": 0, "lon": 0}, {"lat": 0, "lon": 5},
+            {"lat": 0, "lon": 10}]}}}, "id")
+
+
+def test_geo_distance_agg_rings(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    # points on the equator at known longitudes: 1 degree ~ 111.19 km
+    df = spark.createDataFrame(
+        [(i, 0.0, float(i)) for i in range(10)],
+        "id long, lat double, lon double",
+    ).select("id", F.struct("lat", "lon").alias("loc"))
+    body = {"size": 0, "aggs": {"rings": {"geo_distance": {
+        "field": "loc", "origin": {"lat": 0.0, "lon": 0.0}, "unit": "km",
+        "ranges": [
+            {"to": 200, "key": "near"},            # lon 0, 1 (~0, ~111)
+            {"from": 200, "to": 500, "key": "mid"}, # lon 2..4 (~222..445)
+            {"from": 100, "key": "far_overlap"},    # lon 1..9: 9 (overlaps!)
+        ]}}}}
+    rows = {r["key"]: r["doc_count"]
+            for r in es_search(df, body, id_field="id").collect()}
+    assert rows == {"near": 2, "mid": 3, "far_overlap": 9}
+
+    # string origin + default keys + unsupported unit rejection
+    body2 = {"size": 0, "aggs": {"rings": {"geo_distance": {
+        "field": "loc", "origin": "0.0, 0.0",
+        "ranges": [{"to": 200000}]}}}}
+    rows2 = es_search(df, body2, id_field="id").collect()
+    assert rows2[0]["key"] == "*-200000" and rows2[0]["doc_count"] == 2
+    with pytest.raises(ValueError, match="unit"):
+        es_search(df, {"size": 0, "aggs": {"r": {"geo_distance": {
+            "field": "loc", "origin": "0,0", "unit": "ft",
+            "ranges": [{"to": 1}]}}}}, id_field="id").collect()
