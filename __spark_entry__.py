@@ -2679,6 +2679,47 @@ def q_es_geo_rings(spark, sf_dir):
     return es_search(located, body, id_field="c_custkey")
 
 
+def q_es_ip_range(spark, sf_dir):
+    """ip fields (VERDICT r10 #5): CIDR term/range matching + ip_range
+    aggregation over a synthetic access log (deterministic dotted-quads
+    derived from o_orderkey with the same integer arithmetic in both
+    engines).  The range filter compares as uint32 — lexicographic
+    string order would misplace 9.x after 10.x — and the ip_range agg
+    buckets from-inclusive/to-exclusive with a CIDR mask entry, all
+    codegen (functions/ip.py)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    logs = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ".",
+            (F.lit(10) + k % 5).cast("string"),
+            ((k * 7) % 256).cast("string"),
+            ((k * 13) % 256).cast("string"),
+            (k % 256).cast("string"),
+        ).alias("ip"),
+    )
+    body = {
+        "query": {"range": {"ip": {"gte": "10.0.0.0", "lt": "14.0.0.0"}}},
+        "size": 0,
+        "aggs": {"blocks": {
+            "ip_range": {
+                "field": "ip",
+                "ranges": [
+                    {"to": "11.0.0.0", "key": "b10"},
+                    {"from": "11.0.0.0", "to": "13.0.0.0", "key": "b11_12"},
+                    {"mask": "12.0.0.0/8"},
+                    {"from": "13.0.0.0", "key": "btail"},
+                ],
+            },
+            "aggs": {"n_keys": {"value_count": {"field": "o_orderkey"}}},
+        }},
+    }
+    return es_search(logs, body, id_field="o_orderkey")
+
+
 def q_es_percolate(spark, sf_dir):
     """Percolate / reverse search (VERDICT r10 #3): four stored
     filter-context bodies — a match, a range, a bool with term+range, a
@@ -3297,10 +3338,11 @@ def q_ks_drift(spark, sf_dir):
 #: demoting the longest-stable driver-green row (all keep local DuckDB
 #: parity via demoted_goldens()): es_match_english (demotes es_suggest,
 #: green r9-r10); es_percolate (demotes es_agg_filter, green r9-r10);
-#: es_geo_rings (demotes es_date_range, green r9-r10).
+#: es_geo_rings (demotes es_date_range, green r9-r10); es_ip_range
+#: (demotes es_nested_agg, green r9-r10).
 DRIVER_WINDOW = [
     "es_match_english", "es_percolate",
-    "es_geo_rings", "es_nested_agg", "es_routing", "partition_counts",
+    "es_geo_rings", "es_ip_range", "es_routing", "partition_counts",
     "dedup_minhash", "dedup_components",
     "curation_pipeline",
     "es_rescore", "es_wrapper", "es_named", "es_scored_msearch",
@@ -3464,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match_english": q_es_match_english,
         "es_percolate": q_es_percolate,
         "es_geo_rings": q_es_geo_rings,
+        "es_ip_range": q_es_ip_range,
         # round-9 surfaces (VERDICT r8 #3/#5/#8 + more_like_this)
         "es_decay_score": q_es_decay_score,
         "es_completion": q_es_completion,
@@ -4286,7 +4329,46 @@ def _goldens_b() -> dict[str, str]:
         )
         {' UNION ALL '.join(_ring_rows)}
     """
+    # es_ip_range: parser + bounds come from functions/ip.py, so the
+    # oracle's uint32 arithmetic cannot drift from the engine's
+    from hive2es_offline_spark.functions.ip import (
+        cidr_bounds as _cidr,
+        ip_literal_value as _ipval,
+        ip_to_long_sql as _ip_sql,
+    )
+
+    _ipl = _ip_sql("ip")
+    _mask_lo, _mask_hi = _cidr("12.0.0.0/8")
+    _ip_buckets = [
+        ("b10", f"ipl < {_ipval('11.0.0.0')}"),
+        ("b11_12", f"ipl >= {_ipval('11.0.0.0')} AND ipl < {_ipval('13.0.0.0')}"),
+        ("12.0.0.0/8", f"ipl >= {_mask_lo} AND ipl <= {_mask_hi}"),
+        ("btail", f"ipl >= {_ipval('13.0.0.0')}"),
+    ]
+    _ip_rows = " UNION ALL ".join(
+        f"SELECT '{key}' AS key, "
+        f"CAST(coalesce(sum(CASE WHEN {cond} THEN 1 END), 0) AS BIGINT)"
+        " AS doc_count, "
+        f"CAST(count(CASE WHEN {cond} THEN o_orderkey END) AS BIGINT)"
+        " AS n_keys FROM p"
+        for key, cond in _ip_buckets)
+    _ip_range_sql = f"""
+        WITH l AS (
+          SELECT o_orderkey,
+                 CAST(10 + o_orderkey % 5 AS VARCHAR) || '.' ||
+                 CAST((o_orderkey * 7) % 256 AS VARCHAR) || '.' ||
+                 CAST((o_orderkey * 13) % 256 AS VARCHAR) || '.' ||
+                 CAST(o_orderkey % 256 AS VARCHAR) AS ip
+          FROM orders
+        ), p AS (
+          SELECT o_orderkey, {_ipl} AS ipl FROM l
+          WHERE {_ipl} >= {_ipval('10.0.0.0')}
+            AND {_ipl} < {_ipval('14.0.0.0')}
+        )
+        {_ip_rows}
+    """
     return {
+        "es_ip_range": _ip_range_sql,
         "es_geo_rings": _geo_rings_sql,
         "es_percolate": f"""
             SELECT doc_id, query_id FROM (

@@ -1,0 +1,99 @@
+"""IPv4 / CIDR support for the query surface (VERDICT r10 #5).
+
+ES stores ``ip``-typed fields as numbers and lets consumers write CIDR
+blocks in ``term``/``terms`` and dotted-quads in ``range``; the engine's
+tables carry IPs as plain strings, so these helpers parse dotted-quad →
+uint32 IN CODEGEN (split + integer arithmetic, no UDF) and turn a CIDR
+block into a [lo, hi] range compare computed at plan-build time in
+Python.  The DSL compiler auto-detects the shapes ES's mapping would
+resolve (``_is_cidr`` in term values, all-dotted-quad bounds in range)
+— without this, a lexicographic string compare would order "9.0.0.0"
+AFTER "10.0.0.0" and silently return wrong rows.
+
+IPv6 rejects loudly (no uint128 arithmetic worth faking in doubles);
+malformed values in DATA become NULL through the cast chain = no match,
+the same NULL discipline as every other clause.  Octets > 255 in data
+are not validated (ES validates at index time; the engine's tables are
+assumed ES-loadable).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "is_ip_literal", "is_cidr_literal", "cidr_bounds", "ip_to_long",
+    "ip_to_long_sql", "ip_literal_value",
+]
+
+_IP_RE = re.compile(r"^\d{1,3}(?:\.\d{1,3}){3}$")
+_CIDR_RE = re.compile(r"^\d{1,3}(?:\.\d{1,3}){3}/\d{1,2}$")
+
+
+def _check_v6(s: str) -> None:
+    if ":" in s:
+        raise ValueError(
+            f"IPv6 value {s!r} is not supported (IPv4 only)")
+
+
+def is_ip_literal(s) -> bool:
+    return isinstance(s, str) and bool(_IP_RE.match(s))
+
+
+def is_cidr_literal(s) -> bool:
+    return isinstance(s, str) and bool(_CIDR_RE.match(s))
+
+
+def ip_literal_value(s: str) -> int:
+    """Dotted-quad string → uint32, validated (driver-side literals)."""
+    _check_v6(s)
+    parts = s.split(".")
+    if len(parts) != 4 or any(not p.isdigit() or int(p) > 255
+                              for p in parts):
+        raise ValueError(f"not a valid IPv4 address: {s!r}")
+    a, b, c, d = (int(p) for p in parts)
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def cidr_bounds(block: str) -> tuple[int, int]:
+    """``a.b.c.d/n`` → inclusive (lo, hi) uint32 bounds of the block."""
+    _check_v6(block)
+    base, _, bits = block.partition("/")
+    n = int(bits)
+    if not 0 <= n <= 32:
+        raise ValueError(f"CIDR prefix length out of range: {block!r}")
+    host = (1 << (32 - n)) - 1
+    lo = ip_literal_value(base) & ~host & 0xFFFFFFFF
+    return lo, lo | host
+
+
+def ip_to_long(c: Column) -> Column:
+    """Dotted-quad COLUMN → uint32 as BIGINT — pure codegen (split +
+    integer arithmetic); malformed or short values yield NULL through
+    the cast chain.  A trailing-garbage octet ("1.2.3.4x") also nulls
+    out via the cast."""
+    p = F.split(c, r"\.")
+    # a 5+-part value must NOT silently use only the first 4 octets
+    four = F.when(F.size(p) == 4, p)
+    return (
+        F.element_at(four, 1).cast("bigint") * F.lit(16777216)
+        + F.element_at(four, 2).cast("bigint") * F.lit(65536)
+        + F.element_at(four, 3).cast("bigint") * F.lit(256)
+        + F.element_at(four, 4).cast("bigint")
+    )
+
+
+def ip_to_long_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ip_to_long` for oracle SQL (1-indexed list
+    access; TRY_CAST mirrors Spark's NULL-on-malformed cast)."""
+    p = f"string_split({expr}, '.')"
+    four = f"(CASE WHEN len({p}) = 4 THEN {p} END)"
+    return (
+        f"(TRY_CAST({four}[1] AS BIGINT) * 16777216"
+        f" + TRY_CAST({four}[2] AS BIGINT) * 65536"
+        f" + TRY_CAST({four}[3] AS BIGINT) * 256"
+        f" + TRY_CAST({four}[4] AS BIGINT))"
+    )

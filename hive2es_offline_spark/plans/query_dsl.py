@@ -105,6 +105,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import ip as _ip
+
 __all__ = ["compile_query", "compile_aggs", "es_search", "es_count",
            "es_mget", "es_field_caps", "es_analyze", "significant_terms"]
 
@@ -961,6 +963,13 @@ def compile_query(
         value = spec["value"] if isinstance(spec, dict) else spec
         if isinstance(spec, dict) and spec.get("case_insensitive"):
             return F.lower(col(field)) == F.lit(str(value).lower())
+        if _ip.is_cidr_literal(value):
+            # ES term-on-ip-field CIDR semantics (VERDICT r10 #5): the
+            # block becomes a [lo, hi] uint32 compare — bounds folded in
+            # Python, the column parsed in codegen
+            lo, hi = _ip.cidr_bounds(value)
+            ipl = _ip.ip_to_long(col(field))
+            return (ipl >= F.lit(lo)) & (ipl <= F.lit(hi))
         return col(field) == F.lit(value)
     if kind == "terms":
         field, values = _field_spec(body)
@@ -973,10 +982,38 @@ def compile_query(
                 "terms lookup form reached the compiler unresolved — "
                 "this context does not support document lookups"
             )
-        return col(field).isin(list(values))
+        values = list(values)
+        cidrs = [v for v in values if _ip.is_cidr_literal(v)]
+        if cidrs:
+            # mixed plain values + CIDR blocks: isin for the plain ones,
+            # OR of block range compares (ip parsed once)
+            plain = [v for v in values if not _ip.is_cidr_literal(v)]
+            ipl = _ip.ip_to_long(col(field))
+            pred = None
+            for v in cidrs:
+                lo, hi = _ip.cidr_bounds(v)
+                p = (ipl >= F.lit(lo)) & (ipl <= F.lit(hi))
+                pred = p if pred is None else (pred | p)
+            if plain:
+                pred = pred | col(field).isin(plain)
+            return pred
+        return col(field).isin(values)
     if kind == "range":
         field, spec = _field_spec(body)
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        bound_vals = [v for op, v in spec.items() if op in ops]
+        if bound_vals and all(_ip.is_ip_literal(v) for v in bound_vals):
+            # range over an ip field (VERDICT r10 #5): compare as uint32
+            # — a lexicographic string compare would order "9.0.0.0"
+            # after "10.0.0.0" and silently return wrong rows
+            ipl = _ip.ip_to_long(col(field))
+            out = None
+            for op, v in spec.items():
+                if op not in ops:
+                    continue
+                p = getattr(ipl, ops[op])(F.lit(_ip.ip_literal_value(v)))
+                out = p if out is None else (out & p)
+            return out
         preds = []
         for op, v in spec.items():
             if op not in ops:
@@ -1480,7 +1517,7 @@ _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
 _GROUPBY_BUCKET_KINDS = {"terms", "histogram", "date_histogram",
                          "geohash_grid", "geotile_grid"}
 _COND_BUCKET_KINDS = {"range", "date_range", "filters", "missing",
-                      "adjacency_matrix", "geo_distance"}
+                      "adjacency_matrix", "geo_distance", "ip_range"}
 
 
 def _scripted_metric_exprs(
@@ -2965,6 +3002,23 @@ def _compile_cond_bucket(df: DataFrame, spec: dict, id_field: str) -> DataFrame:
                 pred = pred & (c >= F.lit(_date_bound(r["from"])))
             if r.get("to") is not None:
                 pred = pred & (c < F.lit(_date_bound(r["to"])))
+            buckets.append((_range_key(r), pred))
+    elif kind == "ip_range":
+        # uint32 bucket bounds (VERDICT r10 #5): from inclusive / to
+        # EXCLUSIVE like ES's ip_range; a `mask` entry is the inclusive
+        # CIDR block.  Same one-ungrouped-aggregate shape as `range`.
+        ipl = _ip.ip_to_long(F.col(bspec["field"]))
+        for r in bspec["ranges"]:
+            if "mask" in r:
+                lo, hi = _ip.cidr_bounds(r["mask"])
+                pred = (ipl >= F.lit(lo)) & (ipl <= F.lit(hi))
+                buckets.append((r.get("key") or str(r["mask"]), pred))
+                continue
+            pred = F.lit(True)
+            if r.get("from") is not None:
+                pred = pred & (ipl >= F.lit(_ip.ip_literal_value(r["from"])))
+            if r.get("to") is not None:
+                pred = pred & (ipl < F.lit(_ip.ip_literal_value(r["to"])))
             buckets.append((_range_key(r), pred))
     elif kind == "geo_distance":
         # ring buckets from the origin (VERDICT r10 #4): haversine once,
