@@ -2720,6 +2720,37 @@ def q_es_ip_range(spark, sf_dir):
     return es_search(logs, body, id_field="o_orderkey")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (VERDICT r10 #6): messy
+    synthetic URLs (mixed-case scheme/host, default ports, utm params,
+    fragments — deterministically derived from doc_id in both engines)
+    canonicalize in codegen (operators/web.py) and dedup to one survivor
+    per canonical URL (latest doc_id) in ONE hash shuffle."""
+    from hive2es_offline_spark.operators.web import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(k % 2 == 0, F.lit("WWW.Site")).otherwise(F.lit("www.site")),
+        (k % 5).cast("string"), F.lit(".com"),
+        F.when(k % 3 == 0, F.lit(":443"))
+         .when(k % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page/"), (k % 10).cast("string"),
+        F.when(k % 2 == 0, F.lit("?utm_source=x&id="))
+         .otherwise(F.lit("?id=")),
+        (k % 4).cast("string"),
+        F.when(k % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    out = url_dedup(d.select("doc_id", url.alias("url")),
+                    "url", id_col="doc_id")
+    return out.select(
+        "canonical_url",
+        F.col("doc_id").alias("kept_id"),
+        "url_dup_count",
+    ).orderBy("canonical_url")
+
+
 def q_es_percolate(spark, sf_dir):
     """Percolate / reverse search (VERDICT r10 #3): four stored
     filter-context bodies — a match, a range, a bool with term+range, a
@@ -3339,7 +3370,8 @@ def q_ks_drift(spark, sf_dir):
 #: parity via demoted_goldens()): es_match_english (demotes es_suggest,
 #: green r9-r10); es_percolate (demotes es_agg_filter, green r9-r10);
 #: es_geo_rings (demotes es_date_range, green r9-r10); es_ip_range
-#: (demotes es_nested_agg, green r9-r10).
+#: (demotes es_nested_agg, green r9-r10); url_dedup (demotes
+#: es_field_caps, green r9-r10).
 DRIVER_WINDOW = [
     "es_match_english", "es_percolate",
     "es_geo_rings", "es_ip_range", "es_routing", "partition_counts",
@@ -3347,7 +3379,7 @@ DRIVER_WINDOW = [
     "curation_pipeline",
     "es_rescore", "es_wrapper", "es_named", "es_scored_msearch",
     "ks_drift",
-    "es_field_caps",
+    "url_dedup",
     "es_mlt", "es_query_ext", "es_aggs_range", "es_aggs_filters",
     "window_ntile", "repetition_stats", "contamination", "epoch_shuffle",
     "temperature_mix", "data_drift", "bigram_lm_score",
@@ -3507,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_percolate": q_es_percolate,
         "es_geo_rings": q_es_geo_rings,
         "es_ip_range": q_es_ip_range,
+        "url_dedup": q_url_dedup,
         # round-9 surfaces (VERDICT r8 #3/#5/#8 + more_like_this)
         "es_decay_score": q_es_decay_score,
         "es_completion": q_es_completion,
@@ -4367,7 +4400,32 @@ def _goldens_b() -> dict[str, str]:
         )
         {_ip_rows}
     """
+    # url_dedup: the canonicalization fragment is machine-generated from
+    # operators/web.py so oracle and engine share one pipeline definition
+    from hive2es_offline_spark.operators.web import (
+        canonicalize_url_sql as _canon_sql,
+    )
+
+    _url_expr = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END) || "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site' ELSE 'www.site' END) || "
+        "CAST(doc_id % 5 AS VARCHAR) || '.com' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ':443' "
+        " WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) || "
+        "'/page/' || CAST(doc_id % 10 AS VARCHAR) || "
+        "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=' ELSE '?id=' END)"
+        " || CAST(doc_id % 4 AS VARCHAR) || "
+        "(CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)")
+    _url_dedup_sql = f"""
+        WITH u AS (SELECT doc_id, {_url_expr} AS url FROM documents),
+        c AS (SELECT doc_id, {_canon_sql('url')} AS canonical_url FROM u)
+        SELECT canonical_url,
+               max(doc_id) AS kept_id,
+               CAST(count(*) AS BIGINT) AS url_dup_count
+        FROM c GROUP BY 1 ORDER BY canonical_url
+    """
     return {
+        "url_dedup": _url_dedup_sql,
         "es_ip_range": _ip_range_sql,
         "es_geo_rings": _geo_rings_sql,
         "es_percolate": f"""
