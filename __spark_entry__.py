@@ -2720,6 +2720,44 @@ def q_es_ip_range(spark, sf_dir):
     return es_search(logs, body, id_field="o_orderkey")
 
 
+#: fixed seed corpus for the token_budget merges table — embedded (not
+#: data-derived) so the learned table and therefore the plan are
+#: deterministic run-to-run
+_BPE_SEED = (
+    "the quick brown fox jumps over the lazy dog "
+    "streams merge into sorted runs while the scanner reads rows "
+    "lower lowest newest widest faster fastest slower slowest "
+    "token tokens tokenize tokenizer training data pipeline quality"
+)
+
+
+def q_token_budget(spark, sf_dir):
+    """Exact BPE token budget (VERDICT r10 #7): a merges table learned
+    from a fixed seed corpus (operators/bpe.py::learn_bpe, the classic
+    Sennrich algorithm) broadcasts to one Arrow-batched mapInPandas
+    encode pass, then per-source budget accounting — exact subword sum
+    beside the cheap codegen regex count (the documented cost split:
+    regex for hot-path filtering, exact BPE for the final budget).
+    Rows-only: the merge loop is not SQL-expressible; unit goldens in
+    tests/test_bpe.py pin hand-computed encodings."""
+    from hive2es_offline_spark.operators.bpe import learn_bpe, with_exact_bpe
+    from hive2es_offline_spark.operators.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_bpe([_BPE_SEED], 64)
+    enc = with_exact_bpe(d.select("doc_id", "source", "text"), merges)
+    return (
+        enc.withColumn("n_regex", bpe_token_count(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe_exact").alias("bpe_tokens"),
+            F.sum("n_regex").alias("regex_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + URL-level dedup (VERDICT r10 #6): messy
     synthetic URLs (mixed-case scheme/host, default ports, utm params,
@@ -3371,7 +3409,9 @@ def q_ks_drift(spark, sf_dir):
 #: green r9-r10); es_percolate (demotes es_agg_filter, green r9-r10);
 #: es_geo_rings (demotes es_date_range, green r9-r10); es_ip_range
 #: (demotes es_nested_agg, green r9-r10); url_dedup (demotes
-#: es_field_caps, green r9-r10).
+#: es_field_caps, green r9-r10); token_budget (rows-only by design — the
+#: BPE merge loop is not SQL-expressible; demotes es_decay_score, green
+#: r9-r10).
 DRIVER_WINDOW = [
     "es_match_english", "es_percolate",
     "es_geo_rings", "es_ip_range", "es_routing", "partition_counts",
@@ -3389,7 +3429,7 @@ DRIVER_WINDOW = [
     "es_pit",
     "es_combined_fields", "es_nested", "es_geo",
     "substring_dedup",
-    "snapshot_cdc", "es_decay_score",
+    "snapshot_cdc", "token_budget",
     "audio_features", "video_frames", "pq_search",
     "dedup_incremental_minhash",
     "es_completion", "es_msearch",
@@ -3540,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo_rings": q_es_geo_rings,
         "es_ip_range": q_es_ip_range,
         "url_dedup": q_url_dedup,
+        "token_budget": q_token_budget,
         # round-9 surfaces (VERDICT r8 #3/#5/#8 + more_like_this)
         "es_decay_score": q_es_decay_score,
         "es_completion": q_es_completion,
