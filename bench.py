@@ -164,6 +164,16 @@ BENCH_QUERIES = [
     "es_completion",
     "es_multi_match_types",
     "es_parent_child",
+    # round-11 additions: the english analysis chain on the match path
+    # (six per-step stemmer transforms — guards the chain against
+    # tree-explosion regressions), batch percolation (N stored queries
+    # gated in one scan), URL canonicalize+dedup (regex pipeline + one
+    # hash shuffle), and the exact-BPE budget pass (broadcast merges +
+    # Arrow mapInPandas — the deliberate Python-path row)
+    "es_match_english",
+    "es_percolate",
+    "url_dedup",
+    "token_budget",
 ]
 
 
