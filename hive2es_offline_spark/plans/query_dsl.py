@@ -172,15 +172,30 @@ def _token_positions(toks: Column, term: str) -> Column:
     return F.filter(hit, lambda p: p >= 0)
 
 
+#: multi-term kinds a span_multi wrapper may carry (each becomes a
+#: per-token predicate over the analyzed stream)
+_SPAN_MULTI_KINDS = ("prefix", "wildcard", "regexp")
+
+
 def _span_terms(q: dict) -> tuple[str, list[str]]:
     """Flatten a span clause into (field, candidate terms) — span_term
-    yields one term, span_or the union of its span_term children.  Used
-    by span_near/span_first/span_not, which need per-term positions."""
+    yields one term, span_or the union of its span_term children; a
+    span_multi contributes NO literal terms (its positions come from a
+    per-token predicate) but still names the field.  Used by
+    span_near/span_first/span_not, which need per-term positions."""
     (kind, body), = q.items()
     if kind == "span_term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
         return field, [str(value).lower()]
+    if kind == "span_multi":
+        (mk, mb), = body["match"].items()
+        if mk not in _SPAN_MULTI_KINDS:
+            raise ValueError(
+                f"span_multi supports {' | '.join(_SPAN_MULTI_KINDS)}, "
+                f"got {mk!r}")
+        field, _ = _field_spec(mb)
+        return field, []
     if kind == "span_or":
         fields_terms = [_span_terms(c) for c in body["clauses"]]
         fields = {f for f, _ in fields_terms}
@@ -191,13 +206,43 @@ def _span_terms(q: dict) -> tuple[str, list[str]]:
         return fields_terms[0][0], sorted(
             {t for _, ts in fields_terms for t in ts})
     raise ValueError(
-        f"span sub-clause must be span_term or span_or of span_terms, "
-        f"got {kind!r}"
+        f"span sub-clause must be span_term, span_multi, or span_or of "
+        f"those, got {kind!r}"
     )
+
+
+def _span_multi_positions(toks: Column, match: dict) -> Column:
+    """Positions of tokens matching a span_multi's inner multi-term query
+    (prefix / wildcard / regexp — ES's SpanMultiTermQueryWrapper), via
+    the same index-transform pattern as prefix phrases."""
+    (mk, mb), = match.items()
+    _, spec = _field_spec(mb)
+    value = spec["value"] if isinstance(spec, dict) else spec
+    if mk == "prefix":
+        p = str(value).lower()
+        pred = lambda x: x.startswith(p)  # noqa: E731
+    elif mk == "wildcard":
+        pat = _wildcard_to_regex(str(value).lower())
+        pred = lambda x: x.rlike(pat)  # noqa: E731
+    else:  # regexp — ES regexp is whole-token anchored
+        pat = f"^(?:{value})$"
+        pred = lambda x: x.rlike(pat)  # noqa: E731
+    hit = F.transform(
+        toks, lambda x, i: F.when(pred(x), i).otherwise(F.lit(-1)))
+    return F.filter(hit, lambda p: p >= 0)
 
 
 def _span_positions(toks: Column, q: dict) -> Column:
     """Positions (0-based, sorted) where the span clause matches."""
+    (kind, body), = q.items()
+    if kind == "span_multi":
+        return _span_multi_positions(toks, body["match"])
+    if kind == "span_or":
+        subs = [_span_positions(toks, c) for c in body["clauses"]]
+        out = subs[0]
+        for s in subs[1:]:
+            out = F.array_union(out, s)
+        return F.array_sort(out)
     _, terms = _span_terms(q)
     if len(terms) == 1:
         return _token_positions(toks, terms[0])
@@ -205,6 +250,54 @@ def _span_positions(toks: Column, q: dict) -> Column:
     for t in terms[1:]:
         out = F.array_union(out, _token_positions(toks, t))
     return F.array_sort(out)
+
+
+def _span_intervals(toks: Column, q: dict) -> Column:
+    """Span OCCURRENCES as ``array<struct<s,e>>`` (0-based, inclusive) —
+    the interval view span_within / span_containing need.  Unit spans
+    (span_term / span_or / span_multi) occupy one position; a span_near
+    of 2-3 unit clauses (``in_order: true``) enumerates every ordered
+    choice within slop via nested transform/filter — all array codegen,
+    no explode."""
+    (kind, body), = q.items()
+    if kind in ("span_term", "span_or", "span_multi"):
+        return F.transform(
+            _span_positions(toks, q),
+            lambda p: F.struct(p.alias("s"), p.alias("e")))
+    if kind != "span_near":
+        raise ValueError(
+            "span_within/span_containing spans must be span_term / "
+            f"span_or / span_multi / span_near, got {kind!r}")
+    if not bool(body.get("in_order", True)):
+        raise ValueError(
+            "span_near inside span_within/span_containing requires "
+            "in_order: true (unordered interval enumeration is not "
+            "supported)")
+    clauses = body["clauses"]
+    if not 2 <= len(clauses) <= 3:
+        raise ValueError(
+            "span_near inside span_within/span_containing supports "
+            "2..3 clauses")
+    slop = int(body.get("slop", 0))
+    pos = [_span_positions(toks, c) for c in clauses]
+    if len(pos) == 2:
+        return F.flatten(F.transform(
+            pos[0],
+            lambda p0: F.transform(
+                F.filter(pos[1],
+                         lambda p1: (p1 > p0)
+                         & (p1 - p0 - 1 <= F.lit(slop))),
+                lambda p1: F.struct(p0.alias("s"), p1.alias("e")))))
+    return F.flatten(F.flatten(F.transform(
+        pos[0],
+        lambda p0: F.transform(
+            F.filter(pos[1],
+                     lambda p1: (p1 > p0) & (p1 - p0 - 1 <= F.lit(slop))),
+            lambda p1: F.transform(
+                F.filter(pos[2],
+                         lambda p2: (p2 > p1)
+                         & (p2 - p0 - 2 <= F.lit(slop))),
+                lambda p2: F.struct(p0.alias("s"), p2.alias("e")))))))
 
 
 def _interval_unit_positions(toks: Column, rule: dict) -> Column:
@@ -1361,6 +1454,37 @@ def compile_query(
         for s in subs[1:]:
             out = out | F.coalesce(s, F.lit(False))
         return out
+    if kind == "span_multi":
+        # a multi-term query lifted into span context; standalone it is
+        # "some token matches" — its real value is as a span_near /
+        # span_within child (positions via _span_multi_positions)
+        sfield, _ = _span_terms({kind: body})
+        return F.size(
+            _span_multi_positions(_analyze(col(sfield)), body["match"])
+        ) > 0
+    if kind in ("span_within", "span_containing"):
+        # little span enclosed by big span (Lucene SpanWithin /
+        # SpanContaining).  The two differ only in WHICH span they emit
+        # for further nesting/scoring; as a document filter both reduce
+        # to "some big occurrence encloses some little occurrence", so
+        # they share one predicate over the interval views.
+        little, big = body["little"], body["big"]
+        lfield = _span_terms(little)[0] if next(iter(little)) != "span_near" \
+            else _span_terms(little["span_near"]["clauses"][0])[0]
+        bfield = _span_terms(big)[0] if next(iter(big)) != "span_near" \
+            else _span_terms(big["span_near"]["clauses"][0])[0]
+        if lfield != bfield:
+            raise ValueError(
+                f"{kind} little/big must share a field, got "
+                f"{lfield!r} vs {bfield!r}")
+        toks = _analyze(col(lfield))
+        li = _span_intervals(toks, little)
+        bi = _span_intervals(toks, big)
+        return F.exists(
+            bi,
+            lambda b: F.exists(
+                li, lambda l: (l["s"] >= b["s"]) & (l["e"] <= b["e"])),
+        )
     if kind == "span_first":
         # the inner span must END at position <= end (Lucene end is
         # exclusive; unit spans at 0-based p end at p+1)

@@ -1727,7 +1727,7 @@ def test_span_queries(spark):
     with pytest.raises(ValueError, match="one field"):
         hits({"span_near": {"clauses": [
             {"span_term": {"t": "alpha"}}, {"span_term": {"id": "1"}}]}})
-    with pytest.raises(ValueError, match="span_term or span_or"):
+    with pytest.raises(ValueError, match="span_term, span_multi"):
         hits({"span_near": {"clauses": [
             {"span_term": {"t": "alpha"}}, {"term": {"t": "x"}}]}})
     # scored context: constant 1.0 like other structural clauses
@@ -2318,3 +2318,85 @@ def test_zero_terms_query_validation_and_type_forwarding(spark):
     with pytest.raises(ValueError, match="not be empty"):
         compile_query({"combined_fields": {"query": "x", "fields": []}},
                       "id")
+
+
+# --- round 11: span_within / span_containing / span_multi --------------------
+
+
+class TestSpanFamily:
+    @pytest.fixture()
+    def df(self, spark):
+        return spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "quick fox"),
+             (3, "fox then much later quick brown arrives"),
+             (4, "a quicker fix"),
+             (5, None)],
+            "id long, t string")
+
+    def test_span_multi_standalone(self, df):
+        assert ids(df, {"span_multi": {"match": {
+            "prefix": {"t": "qui"}}}}) == [1, 2, 3, 4]
+        assert ids(df, {"span_multi": {"match": {
+            "wildcard": {"t": "f?x"}}}}) == [1, 2, 3, 4]
+        assert ids(df, {"span_multi": {"match": {
+            "regexp": {"t": "do.|laz."}}}}) == [1]
+        with pytest.raises(ValueError, match="span_multi supports"):
+            ids(df, {"span_multi": {"match": {"term": {"t": "fox"}}}})
+
+    def test_span_multi_inside_span_near(self, df):
+        # prefix child in a near: quick* within 1 of fox, in order
+        q = {"span_near": {"clauses": [
+            {"span_multi": {"match": {"prefix": {"t": "quick"}}}},
+            {"span_term": {"t": "fox"}},
+        ], "slop": 2, "in_order": True}}
+        assert ids(df, q) == [1, 2]
+
+    def test_span_within_and_containing(self, df):
+        # little: the single term "brown"; big: quick...jumps within slop
+        big = {"span_near": {"clauses": [
+            {"span_term": {"t": "quick"}},
+            {"span_term": {"t": "jumps"}},
+        ], "slop": 3, "in_order": True}}
+        little = {"span_term": {"t": "brown"}}
+        assert ids(df, {"span_within": {
+            "little": little, "big": big}}) == [1]
+        # doc-level filter semantics: containing gives the same hit set
+        assert ids(df, {"span_containing": {
+            "little": little, "big": big}}) == [1]
+        # a little OUTSIDE every big occurrence does not hit
+        assert ids(df, {"span_within": {
+            "little": {"span_term": {"t": "dog"}}, "big": big}}) == []
+        # 3-clause big, span_or little
+        big3 = {"span_near": {"clauses": [
+            {"span_term": {"t": "quick"}},
+            {"span_term": {"t": "fox"}},
+            {"span_term": {"t": "over"}},
+        ], "slop": 3, "in_order": True}}
+        little_or = {"span_or": {"clauses": [
+            {"span_term": {"t": "jumps"}},
+            {"span_term": {"t": "nothere"}}]}}
+        assert ids(df, {"span_within": {
+            "little": little_or, "big": big3}}) == [1]
+
+    def test_span_within_validation(self, df):
+        big = {"span_near": {"clauses": [
+            {"span_term": {"t": "quick"}},
+            {"span_term": {"t": "jumps"}}], "slop": 3,
+            "in_order": False}}
+        with pytest.raises(ValueError, match="in_order"):
+            ids(df, {"span_within": {
+                "little": {"span_term": {"t": "brown"}}, "big": big}})
+        with pytest.raises(ValueError, match="share a field"):
+            ids(df, {"span_within": {
+                "little": {"span_term": {"other": "x"}},
+                "big": {"span_term": {"t": "quick"}}}})
+
+    def test_span_unit_big_contains_only_same_position(self, df):
+        # a unit big can only contain an identical-position little
+        assert ids(df, {"span_within": {
+            "little": {"span_term": {"t": "fox"}},
+            "big": {"span_term": {"t": "fox"}}}}) == [1, 2, 3]
+        assert ids(df, {"span_within": {
+            "little": {"span_term": {"t": "fox"}},
+            "big": {"span_term": {"t": "quick"}}}}) == []
