@@ -40,11 +40,18 @@ def _check_v6(s: str) -> None:
 
 
 def is_ip_literal(s) -> bool:
-    return isinstance(s, str) and bool(_IP_RE.match(s))
+    """STRICT: shape AND octet range.  The DSL's auto-detection keys off
+    this, so a value like "300.1.1.1" must fall back to plain string
+    semantics rather than detect-then-crash (code-review r11)."""
+    return (isinstance(s, str) and bool(_IP_RE.match(s))
+            and all(int(p) <= 255 for p in s.split(".")))
 
 
 def is_cidr_literal(s) -> bool:
-    return isinstance(s, str) and bool(_CIDR_RE.match(s))
+    if not (isinstance(s, str) and bool(_CIDR_RE.match(s))):
+        return False
+    base, _, bits = s.partition("/")
+    return is_ip_literal(base) and int(bits) <= 32
 
 
 def ip_literal_value(s: str) -> int:
@@ -72,17 +79,19 @@ def cidr_bounds(block: str) -> tuple[int, int]:
 
 def ip_to_long(c: Column) -> Column:
     """Dotted-quad COLUMN → uint32 as BIGINT — pure codegen (split +
-    integer arithmetic); malformed or short values yield NULL through
-    the cast chain.  A trailing-garbage octet ("1.2.3.4x") also nulls
-    out via the cast."""
+    integer arithmetic); malformed or short values yield NULL.  The
+    casts are try_cast: under ANSI mode (Spark 4's default) a plain cast
+    of a garbage octet like "0/8" THROWS mid-query instead of nulling
+    (code-review r11 follow-up — the CIDR-vs-keyword hedge feeds such
+    values through this parser by design)."""
     p = F.split(c, r"\.")
     # a 5+-part value must NOT silently use only the first 4 octets
     four = F.when(F.size(p) == 4, p)
     return (
-        F.element_at(four, 1).cast("bigint") * F.lit(16777216)
-        + F.element_at(four, 2).cast("bigint") * F.lit(65536)
-        + F.element_at(four, 3).cast("bigint") * F.lit(256)
-        + F.element_at(four, 4).cast("bigint")
+        F.element_at(four, 1).try_cast("bigint") * F.lit(16777216)
+        + F.element_at(four, 2).try_cast("bigint") * F.lit(65536)
+        + F.element_at(four, 3).try_cast("bigint") * F.lit(256)
+        + F.element_at(four, 4).try_cast("bigint")
     )
 
 

@@ -126,13 +126,25 @@ def url_dedup(
     keys = [F.col(order_col).desc()] if order_col else []
     if id_col:
         keys.append(F.col(id_col).desc())
-    w = Window.partitionBy("canonical_url").orderBy(*keys)
+    # NULL urls are NOT duplicates of each other: partitionBy groups all
+    # NULL keys together and row_number would keep ONE survivor, mass-
+    # dropping every other url-less document (code-review r11) — give
+    # each NULL row its own partition via a per-row surrogate key
+    # (canonical_url itself stays NULL)
+    surrogate = F.concat(
+        F.lit("\x00"),
+        F.coalesce(F.col(id_col if id_col else order_col).cast("string"),
+                   F.lit("")))
+    # materialize the key as a NAMED column: two windows over the same
+    # column name share one Exchange, while two structurally-equal
+    # expression keys plan two
+    w = Window.partitionBy("__pkey").orderBy(*keys)
     return (
         df.withColumn("canonical_url", canon)
+        .withColumn("__pkey", F.coalesce(F.col("canonical_url"), surrogate))
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("url_dup_count",
-                    F.count(F.lit(1)).over(
-                        Window.partitionBy("canonical_url")))
+                    F.count(F.lit(1)).over(Window.partitionBy("__pkey")))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__pkey")
     )

@@ -369,6 +369,25 @@ def register_analyzer(
         stemmer=stemmer, synonyms=tuple(dict(pairs).items()))
 
 
+def plain_chain(analyzer: str | None = None) -> bool:
+    """True when the analyzer applies NO token filters — token text
+    equals surface text, so surface-regex fast paths (phrase adjacency
+    as one regexp_like) are valid.  A filter chain (possessive / stop /
+    stem / synonyms) rewrites or removes tokens; fast paths must fall
+    back to the positions engine over ``analyze_col`` (code-review r11:
+    the regex path silently missed stemmed phrases)."""
+    spec = _spec(analyzer or _default)
+    return not (spec.possessive or spec.stopwords or spec.stemmer
+                or spec.synonyms)
+
+
+def chain_tokenizer(analyzer: str | None = None) -> str:
+    """The analyzer's TOKENIZER name — boundary-class choices must key
+    off this, not the analyzer's registered name (a custom whitespace
+    chain is not named 'whitespace')."""
+    return _spec(analyzer or _default).tokenizer
+
+
 def _spec(name: str) -> _AnalyzerSpec:
     try:
         return _REGISTRY[name]
@@ -425,8 +444,12 @@ def analyze_col(col: Column, analyzer: str | None = None) -> Column:
     spec = _spec(analyzer or _default)
     toks = _tokenize_col(col, spec.tokenizer)
     if spec.possessive:
-        toks = F.transform(
-            toks, lambda t: F.regexp_replace(t, _P_POSS, ""))
+        # a whitespace tokenizer can emit a bare "'s" token; stripping it
+        # must not leave an empty term occupying a phrase position
+        # (code-review r11)
+        toks = F.filter(
+            F.transform(toks, lambda t: F.regexp_replace(t, _P_POSS, "")),
+            lambda t: t != "")
     if spec.stopwords:
         stops = F.lit(list(spec.stopwords))
         toks = F.filter(toks, lambda t: ~F.array_contains(stops, t))
@@ -449,9 +472,12 @@ def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:
     if spec.tokenizer == "standard":
         toks = [m.group(0).lower() for m in _PY_TOKEN.finditer(text or "")]
     else:
-        toks = [t for t in (text or "").lower().split() if t]
+        # SPACE runs only, like the Spark rendering's split(col, ' +') —
+        # .split() with no argument splits on any whitespace and would
+        # tokenize 'a\\tb' differently from the corpus (code-review r11)
+        toks = [t for t in (text or "").lower().split(" ") if t]
     if spec.possessive:
-        toks = [re.sub(_P_POSS, "", t) for t in toks]
+        toks = [s for s in (re.sub(_P_POSS, "", t) for t in toks) if s]
     if spec.stopwords:
         stops = set(spec.stopwords)
         toks = [t for t in toks if t not in stops]
@@ -495,6 +521,8 @@ def analyze_with_offsets(
     for tok, start, end in raw:
         if spec.possessive:
             tok = re.sub(_P_POSS, "", tok)
+            if not tok:
+                continue
         if spec.stopwords and tok in stops:
             continue
         if spec.stemmer:
@@ -520,7 +548,8 @@ def duckdb_tokens(expr: str, analyzer: str = "standard") -> str:
         sql = (f"list_filter(string_split_regex(lower({expr}), ' +'), "
                "t -> t != '')")
     if spec.possessive:
-        sql = f"list_transform({sql}, t -> regexp_replace(t, '''s$', ''))"
+        sql = (f"list_filter(list_transform({sql}, "
+               "t -> regexp_replace(t, '''s$', '')), t -> t != '')")
     if spec.stopwords:
         inlist = ", ".join("'" + s.replace("'", "''") + "'"
                            for s in spec.stopwords)

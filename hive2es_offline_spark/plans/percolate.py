@@ -42,7 +42,33 @@ _SCORE_ONLY = (
 )
 
 
+#: every container clause and the slot(s) where child QUERY CLAUSES live
+#: — the rejection walk recurses exactly here (code-review r11: the
+#: original bool/constant_score/dis_max whitelist missed boosting/
+#: nested/join containers; a fully generic key walk would instead
+#: false-positive on FIELD names like "pinned" inside leaf specs)
+_CONTAINERS: dict[str, tuple[str, ...]] = {
+    "bool": ("must", "filter", "should", "must_not"),
+    "constant_score": ("filter",),
+    "dis_max": ("queries",),
+    "boosting": ("positive", "negative"),
+    "nested": ("query",),
+    "has_child": ("query",),
+    "has_parent": ("query",),
+    "span_within": ("little", "big"),
+    "span_containing": ("little", "big"),
+    "span_near": ("clauses",),
+    "span_or": ("clauses",),
+    "span_not": ("include", "exclude"),
+    "span_first": ("match",),
+}
+
+
 def _reject_score_context(qid, q) -> None:
+    if isinstance(q, list):
+        for sub in q:
+            _reject_score_context(qid, sub)
+        return
     if not isinstance(q, dict):
         return
     for kind, body in q.items():
@@ -51,16 +77,10 @@ def _reject_score_context(qid, q) -> None:
                 f"percolate query {qid!r} uses {kind!r}, which is "
                 "score-only — percolation is a filter-context match "
                 "decision")
-        if kind == "bool" and isinstance(body, dict):
-            for sec in ("must", "filter", "should", "must_not"):
-                subs = body.get(sec) or []
-                for sub in (subs if isinstance(subs, list) else [subs]):
-                    _reject_score_context(qid, sub)
-        elif kind in ("constant_score",) and isinstance(body, dict):
-            _reject_score_context(qid, body.get("filter"))
-        elif kind == "dis_max" and isinstance(body, dict):
-            for sub in body.get("queries") or []:
-                _reject_score_context(qid, sub)
+        slots = _CONTAINERS.get(kind)
+        if slots and isinstance(body, dict):
+            for s in slots:
+                _reject_score_context(qid, body.get(s))
 
 
 def es_percolate(

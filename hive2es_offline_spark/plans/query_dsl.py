@@ -127,6 +127,15 @@ def _analyze_terms(text: str) -> list[str]:
     return analyze_text(str(text))
 
 
+def _plain_chain() -> bool:
+    """True when the CURRENT analyzer applies no token filters (see
+    ``analysis.plain_chain``) — gates the surface-regex phrase fast
+    paths."""
+    from .analysis import plain_chain
+
+    return plain_chain()
+
+
 def _msm_threshold(msm, n: int, floor: int = 1) -> int:
     """ES ``minimum_should_match`` spec → required count out of ``n``
     optional clauses/terms.  Forms: ``3``, ``-2``, ``"75%"``, ``"-25%"``,
@@ -219,9 +228,8 @@ def _span_multi_positions(toks: Column, match: dict) -> Column:
     _, spec = _field_spec(mb)
     value = spec["value"] if isinstance(spec, dict) else spec
     if mk == "prefix":
-        p = str(value).lower()
-        pred = lambda x: x.startswith(p)  # noqa: E731
-    elif mk == "wildcard":
+        return _prefix_positions(toks, str(value).lower())
+    if mk == "wildcard":
         pat = _wildcard_to_regex(str(value).lower())
         pred = lambda x: x.rlike(pat)  # noqa: E731
     else:  # regexp — ES regexp is whole-token anchored
@@ -278,6 +286,13 @@ def _span_intervals(toks: Column, q: dict) -> Column:
         raise ValueError(
             "span_near inside span_within/span_containing supports "
             "2..3 clauses")
+    cfields = {_span_terms(c)[0] for c in clauses}
+    if len(cfields) != 1:
+        # without this, a later clause naming another field would be
+        # silently evaluated against the FIRST clause's token stream
+        # (code-review r11)
+        raise ValueError(
+            f"span_near clauses must target one field, got {sorted(cfields)}")
     slop = int(body.get("slop", 0))
     pos = [_span_positions(toks, c) for c in clauses]
     if len(pos) == 2:
@@ -533,9 +548,13 @@ def _phrase_regex_pattern(terms: list[str], *, last_is_prefix: bool = False
     non-token runs.  Property-tested against ``_phrase_predicate`` (the
     positions engine) in tests/test_analysis.py.  With ``last_is_prefix``
     the final term only anchors its START (search-as-you-type)."""
-    from .analysis import current_analyzer
+    from .analysis import chain_tokenizer, plain_chain
 
-    if current_analyzer() == "whitespace":
+    if not plain_chain():
+        raise AssertionError(
+            "phrase regex fast path is only valid for filter-less "
+            "analyzers — caller must gate on plain_chain()")
+    if chain_tokenizer() == "whitespace":
         lb, rb, sep = r"(?<!\S)", r"(?!\S)", r" +"
     else:
         lb, rb, sep = _STD_LB, _STD_RB, _STD_SEP
@@ -1059,10 +1078,16 @@ def compile_query(
         if _ip.is_cidr_literal(value):
             # ES term-on-ip-field CIDR semantics (VERDICT r10 #5): the
             # block becomes a [lo, hi] uint32 compare — bounds folded in
-            # Python, the column parsed in codegen
+            # Python, the column parsed in codegen.  The engine has no
+            # mapping to say whether the field is ip-typed, so the
+            # compile ALSO keeps exact string equality: a keyword field
+            # storing literal CIDR strings still finds its exact value
+            # (code-review r11 — block-only compile returned zero rows
+            # for such data)
             lo, hi = _ip.cidr_bounds(value)
             ipl = _ip.ip_to_long(col(field))
-            return (ipl >= F.lit(lo)) & (ipl <= F.lit(hi))
+            return ((ipl >= F.lit(lo)) & (ipl <= F.lit(hi))) | \
+                (col(field) == F.lit(value))
         return col(field) == F.lit(value)
     if kind == "terms":
         field, values = _field_spec(body)
@@ -1078,18 +1103,17 @@ def compile_query(
         values = list(values)
         cidrs = [v for v in values if _ip.is_cidr_literal(v)]
         if cidrs:
-            # mixed plain values + CIDR blocks: isin for the plain ones,
-            # OR of block range compares (ip parsed once)
-            plain = [v for v in values if not _ip.is_cidr_literal(v)]
+            # mixed plain values + CIDR blocks: isin for ALL values
+            # (exact equality still matches keyword fields storing
+            # literal CIDR strings — the same mapping-blind hedge as the
+            # term clause), OR of block range compares (ip parsed once)
             ipl = _ip.ip_to_long(col(field))
             pred = None
             for v in cidrs:
                 lo, hi = _ip.cidr_bounds(v)
                 p = (ipl >= F.lit(lo)) & (ipl <= F.lit(hi))
                 pred = p if pred is None else (pred | p)
-            if plain:
-                pred = pred | col(field).isin(plain)
-            return pred
+            return pred | col(field).isin(values)
         return col(field).isin(values)
     if kind == "range":
         field, spec = _field_spec(body)
@@ -1320,14 +1344,18 @@ def compile_query(
         terms = _analyze_terms(query)
         if not terms:
             return _zero_terms_result(spec)
-        if slop == 0:
+        if slop == 0 and _plain_chain():
             # exact analyzed-token adjacency as ONE codegen regexp_like
-            # (the boundary/separator classes reproduce the analyzer —
+            # (the boundary/separator classes reproduce the TOKENIZER —
             # _phrase_regex_pattern; ~15× the slice-compare's speed on
-            # long text, property-tested against _phrase_predicate)
+            # long text, property-tested against _phrase_predicate).
+            # Only valid for filter-less analyzers: a stemmed/stop-
+            # filtered chain rewrites tokens, so the surface regex would
+            # never hit (code-review r11) — those route to the positions
+            # engine over the analyzed stream.
             return F.regexp_like(
                 F.lower(col(field)), F.lit(_phrase_regex_pattern(terms)))
-        # sloppy matching needs positions — the exists/position engine
+        # sloppy or filter-chain matching needs positions
         return _phrase_predicate(_analyze(col(field)), terms, slop)
     if kind == "match_phrase_prefix":
         # phrase whose LAST term is a prefix (search-as-you-type): the
@@ -1340,13 +1368,13 @@ def compile_query(
         terms = _analyze_terms(query)
         if not terms:
             return _zero_terms_result(spec)
-        if slop == 0:
+        if slop == 0 and _plain_chain():
             return F.regexp_like(
                 F.lower(col(field)),
                 F.lit(_phrase_regex_pattern(terms, last_is_prefix=True)))
-        # sloppy prefix phrase needs positions (ES honors slop here —
-        # MultiPhrasePrefixQuery; ADVICE r10: multi_match phrase_prefix
-        # used to silently drop it)
+        # sloppy prefix phrase or filter-chain analyzer needs positions
+        # (ES honors slop here — MultiPhrasePrefixQuery; ADVICE r10:
+        # multi_match phrase_prefix used to silently drop it)
         return _phrase_predicate(_analyze(col(field)), terms, slop,
                                  last_is_prefix=True)
     if kind == "match_bool_prefix":

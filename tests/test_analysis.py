@@ -478,3 +478,75 @@ class TestCustomAnalyzers:
             f"select {duckdb_tokens('$1', 'nostem_stop')}",
             {"1": "foo running bar baz"}).fetchone()[0]
         assert duck == ["running", "baz"]
+
+
+class TestFilterChainPhrases:
+    def test_match_phrase_under_english_chain(self, spark):
+        # code-review r11 (top finding): the slop=0 surface-regex fast
+        # path is invalid once a filter chain rewrites tokens — phrase
+        # queries under 'english' must route through the positions
+        # engine over the analyzed stream
+        df = spark.createDataFrame(
+            [(1, "they were merging streams all day"),
+             (2, "merging streams"),
+             (3, "streams merging"),          # wrong order
+             (4, "merging the streams")],     # stopword between -> gapless
+            "id long, t string")
+
+        def hits(body, analyzer="english"):
+            return [r["id"] for r in es_search(
+                df, {"query": body, "_source": ["id"]},
+                id_field="id", analyzer=analyzer).orderBy("id").collect()]
+
+        # stemmed phrase [merg, stream] at slop=0: docs 1, 2, and 4 (the
+        # stopword 'the' is REMOVED before positions, so merg/stream are
+        # adjacent post-filter — the documented gapless-position model)
+        assert hits({"match_phrase": {"t": "merging streams"}}) == [1, 2, 4]
+        # inflection-insensitive: query 'merged stream' stems identically
+        assert hits({"match_phrase": {"t": "merged stream"}}) == [1, 2, 4]
+        # order still matters
+        assert hits({"match_phrase": {"t": "streams merged"}}) == [3]
+        # prefix variant under the chain
+        assert hits({"match_phrase_prefix": {"t": "merging str"}}) \
+            == [1, 2, 4]
+        # the plain standard chain keeps the regex fast path semantics
+        assert hits({"match_phrase": {"t": "merging streams"}},
+                    analyzer="standard") == [1, 2]
+
+    def test_whitespace_tokenizer_tab_parity(self, spark):
+        # code-review r11: Python .split() tokenized tabs differently
+        # from Spark's split(' +') — both must keep 'a\tb' ONE token
+        import duckdb
+
+        t = "a\tb c"
+        assert analyze_text(t, "whitespace") == ["a\tb", "c"]
+        df = spark.createDataFrame([(t,)], "t string")
+        got = df.select(analyze_col(
+            F.col("t"), "whitespace").alias("x")).collect()[0]["x"]
+        assert got == ["a\tb", "c"]
+        con = duckdb.connect()
+        duck = con.execute(
+            f"select {duckdb_tokens('$1', 'whitespace')}", {"1": t}
+        ).fetchone()[0]
+        assert duck == ["a\tb", "c"]
+
+    def test_possessive_strip_never_leaves_empty_tokens(self, spark):
+        # code-review r11: a bare 's token under a whitespace tokenizer
+        # must disappear, not become an empty phrase position
+        import duckdb
+
+        from hive2es_offline_spark.plans.analysis import register_analyzer
+
+        register_analyzer("ws_poss", tokenizer="whitespace",
+                          possessive=True)
+        t = "john's 's bag"
+        assert analyze_text(t, "ws_poss") == ["john", "bag"]
+        df = spark.createDataFrame([(t,)], "t string")
+        got = df.select(analyze_col(
+            F.col("t"), "ws_poss").alias("x")).collect()[0]["x"]
+        assert got == ["john", "bag"]
+        con = duckdb.connect()
+        duck = con.execute(
+            f"select {duckdb_tokens('$1', 'ws_poss')}", {"1": t}
+        ).fetchone()[0]
+        assert duck == ["john", "bag"]

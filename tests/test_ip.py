@@ -108,3 +108,25 @@ def test_ip_range_aggregation(logs):
             for r in es_search(logs, body, id_field="id").collect()}
     assert rows == {"below": 1, "10.0.0.0-11.0.0.1": 3,
                     "192.168.0.0/16": 2}
+
+
+def test_loose_shapes_fall_back_to_string_semantics(logs):
+    # code-review r11: "300.1.1.1" passes the \d{1,3} shape but is not a
+    # valid IP — it must fall back to plain string compare, not raise
+    assert is_ip_literal("300.1.1.1") is False
+    assert is_cidr_literal("300.1.1.1/8") is False
+    assert is_cidr_literal("1.2.3.4/40") is False
+    # range with a loose bound -> lexicographic string semantics
+    # ('9.255...' and 'not an ip' sort above '300.1.1.1' as strings)
+    assert ids(logs, {"range": {"ip": {"gte": "300.1.1.1"}}}) == [3, 7]
+
+
+def test_cidr_term_still_matches_literal_cidr_strings(spark):
+    # mapping-blind hedge: a keyword field STORING CIDR strings still
+    # finds its exact value (code-review r11: block-only compile
+    # returned zero rows for such data)
+    df = spark.createDataFrame(
+        [(1, "10.0.0.0/8"), (2, "10.1.2.3"), (3, "11.0.0.0")],
+        "id long, subnet string")
+    assert ids(df, {"term": {"subnet": "10.0.0.0/8"}}) == [1, 2]
+    assert ids(df, {"terms": {"subnet": ["10.0.0.0/8"]}}) == [1, 2]

@@ -100,3 +100,27 @@ def test_percolate_analyzer_scoped(spark):
     assert pairs(es_percolate(df, q, id_field="id",
                               analyzer="english")) == [(1, "stem")]
     assert pairs(es_percolate(df, q, id_field="id")) == []
+
+
+def test_percolate_rejects_score_context_in_any_container(df):
+    # code-review r11: boosting / nested wrappers used to slip through
+    with pytest.raises(ValueError, match="score-only"):
+        es_percolate(df, {"q": {"boosting": {
+            "positive": {"script_score": {
+                "query": {"match_all": {}},
+                "script": {"source": "1"}}},
+            "negative": {"match_all": {}},
+            "negative_boost": 0.5}}}, id_field="id")
+    with pytest.raises(ValueError, match="score-only"):
+        es_percolate(df, {"q": {"nested": {
+            "path": "items",
+            "query": {"function_score": {"query": {"match_all": {}}}}}}},
+            id_field="id")
+    # a FIELD literally named like a score clause must NOT false-reject
+    # (channel stands in: a term spec whose inner dict key is a field
+    # name, plus a real field literally named "knn")
+    import pyspark.sql.functions as F
+
+    df2 = df.withColumn("knn", F.col("n"))
+    out = es_percolate(df2, {"q": {"term": {"knn": 120}}}, id_field="id")
+    assert [r["id"] for r in out.collect()] == [1]

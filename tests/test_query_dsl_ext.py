@@ -2400,3 +2400,17 @@ class TestSpanFamily:
         assert ids(df, {"span_within": {
             "little": {"span_term": {"t": "fox"}},
             "big": {"span_term": {"t": "quick"}}}}) == []
+
+
+def test_span_within_mixed_field_big_rejected(spark):
+    # code-review r11: a span_near inside within/containing whose LATER
+    # clause names another field must reject, not silently evaluate
+    # against the first clause's tokens
+    df = spark.createDataFrame(
+        [(1, "quick brown jumps", "zzz")], "id long, t string, other string")
+    with pytest.raises(ValueError, match="one field"):
+        ids(df, {"span_within": {
+            "little": {"span_term": {"t": "brown"}},
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"t": "quick"}},
+                {"span_term": {"other": "jumps"}}], "slop": 3}}}})

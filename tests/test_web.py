@@ -85,3 +85,15 @@ def test_url_dedup_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # rank + group-size share one exchange on the canonical key
     assert plan.count("Exchange") == 1, plan
+
+
+def test_url_dedup_null_urls_all_survive(spark):
+    # code-review r11: NULL canonical keys used to collapse to ONE
+    # survivor, mass-dropping url-less documents
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "http://a.com/x", 5)],
+        "id long, url string, ts long")
+    out = url_dedup(df, "url", order_col="ts", id_col="id")
+    rows = sorted((r["id"], r["canonical_url"], r["url_dup_count"])
+                  for r in out.collect())
+    assert rows == [(1, None, 1), (2, None, 1), (3, "http://a.com/x", 1)]
