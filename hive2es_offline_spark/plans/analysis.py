@@ -209,18 +209,24 @@ def _col_step_1b(t: Column) -> Column:
     )
 
 
+def _stem_steps_list():
+    """The six stemmer steps as per-token Column functions, in order."""
+    return [
+        _col_step_table(_STEP_1A),
+        _col_step_1b,
+        _col_step_table(_STEP_2),
+        lambda t: F.when(
+            t.rlike(_P_Y), F.regexp_replace(t, "y$", "i")).otherwise(t),
+        lambda t: F.when(t.rlike(_P_E), _col_drop1(t)).otherwise(t),
+        lambda t: F.when(t.rlike(_P_LL), _col_drop1(t)).otherwise(t),
+    ]
+
+
 def _stem_col_steps(toks: Column) -> Column:
     """Spark rendering of the stemmer over a token ARRAY — six chained
     ``transform`` passes (one per step), all plain expressions, no UDF."""
-    toks = F.transform(toks, _col_step_table(_STEP_1A))
-    toks = F.transform(toks, _col_step_1b)
-    toks = F.transform(toks, _col_step_table(_STEP_2))
-    toks = F.transform(toks, lambda t: F.when(
-        t.rlike(_P_Y), F.regexp_replace(t, "y$", "i")).otherwise(t))
-    toks = F.transform(toks, lambda t: F.when(
-        t.rlike(_P_E), _col_drop1(t)).otherwise(t))
-    toks = F.transform(toks, lambda t: F.when(
-        t.rlike(_P_LL), _col_drop1(t)).otherwise(t))
+    for step in _stem_steps_list():
+        toks = F.transform(toks, step)
     return toks
 
 
@@ -436,23 +442,39 @@ def _tokenize_col(col: Column, tokenizer: str) -> Column:
     return F.filter(F.split(F.lower(col), " +"), lambda t: t != "")
 
 
-def analyze_col(col: Column, analyzer: str | None = None) -> Column:
-    """Token array for a text column — codegen only (regexp_extract_all /
-    split + transform/filter for the language chain; no UDF).  NULL input
-    stays NULL (callers that aggregate coalesce to the empty array
-    themselves)."""
-    spec = _spec(analyzer or _default)
-    toks = _tokenize_col(col, spec.tokenizer)
+def _pre_stem_col(col: Column, spec: _AnalyzerSpec) -> Column:
+    """The chain up to (excluding) the stemmer: tokenize + possessive +
+    stopwords."""
+    return _chain_filters(_tokenize_col(col, spec.tokenizer), spec)
+
+
+def _chain_filters(toks: Column, spec: _AnalyzerSpec) -> Column:
+    """Possessive + stopword filters over an already-tokenized array.
+
+    Both hot-path guarded (measured at 1M docs, probe_round11): the
+    possessive regexp only runs on tokens containing an apostrophe
+    (contains() is a substring scan, +2 s vs +8.6 s for regexp-always),
+    and the stop filter uses isin() — Catalyst's OptimizeIn turns the
+    33-literal In into an InSet hash probe (+0.2 s vs +16 s for a
+    per-token array_contains scan over a literal array)."""
     if spec.possessive:
         # a whitespace tokenizer can emit a bare "'s" token; stripping it
         # must not leave an empty term occupying a phrase position
         # (code-review r11)
         toks = F.filter(
-            F.transform(toks, lambda t: F.regexp_replace(t, _P_POSS, "")),
+            F.transform(
+                toks,
+                lambda t: F.when(
+                    t.contains("'"), F.regexp_replace(t, _P_POSS, "")
+                ).otherwise(t)),
             lambda t: t != "")
     if spec.stopwords:
-        stops = F.lit(list(spec.stopwords))
-        toks = F.filter(toks, lambda t: ~F.array_contains(stops, t))
+        toks = F.filter(toks, lambda t: ~t.isin(*spec.stopwords))
+    return toks
+
+
+def _post_stem_col(toks: Column, spec: _AnalyzerSpec) -> Column:
+    """The chain from the stemmer on: stem + synonym rewrite."""
     if spec.stemmer:
         toks = _stem_col_steps(toks)
     if spec.synonyms:
@@ -466,6 +488,164 @@ def analyze_col(col: Column, analyzer: str | None = None) -> Column:
 
         toks = F.transform(toks, rewrite)
     return toks
+
+
+def analyze_col(col: Column, analyzer: str | None = None) -> Column:
+    """Token array for a text column — codegen only (regexp_extract_all /
+    split + transform/filter for the language chain; no UDF).  NULL input
+    stays NULL (callers that aggregate coalesce to the empty array
+    themselves)."""
+    spec = _spec(analyzer or _default)
+    return _post_stem_col(_pre_stem_col(col, spec), spec)
+
+
+def candidate_tokens_col(
+    col: Column, terms, analyzer: str | None = None
+) -> Column:
+    """``analyze_col`` restricted to tokens that can possibly map to one
+    of ``terms`` — the membership fast path for filter chains.
+
+    Every stemmer rule edits only the SUFFIX, so ``stem(t)[:-1]`` is
+    always a prefix of ``t`` (property-fuzzed over 256k words in
+    tests/test_analysis.py): a token can stem to query stem ``s`` only
+    if ``t.startswith(s[:-1])``.  Filtering the raw token array on those
+    cheap prefixes FIRST means the six stemmer passes run over a
+    near-empty array on non-matching rows — measured 14× faster on a
+    1M-doc match (tools/probe_round11.py).  Synonym chains add the
+    prefixes of every source token that rewrites to a queried term.
+    Output values are identical to ``analyze_col`` restricted to the
+    matching tokens, so membership/intersection semantics (match,
+    operator and/or, minimum_should_match counting) are unchanged.  Not
+    valid for per-token FUZZY matching (an edit-1 neighbor need not
+    share the prefix) or anything needing the full stream (positions,
+    BM25 tf/dl)."""
+    spec = _spec(analyzer or _default)
+    if not (spec.stemmer or spec.synonyms):
+        return analyze_col(col, analyzer)
+    prefixes = set()
+    for s in terms:
+        s = str(s)
+        prefixes.add(s[:-1])
+        for src, dst in spec.synonyms:
+            if dst == s:
+                prefixes.add(src[:-1])
+    toks = _tokenize_col(col, spec.tokenizer)
+    if "" not in prefixes:
+        # prune FIRST, on the raw tokens: the possessive strip is also
+        # suffix-only, so the invariant holds against the raw token and
+        # the possessive/stopword passes then run over the pruned
+        # (near-empty on non-matching rows) array instead of every token
+        toks = F.filter(toks, _prefix_keep(sorted(prefixes)))
+    return _post_stem_col(_chain_filters(toks, spec), spec)
+
+
+def let_cols(cols, fn) -> Column:
+    """LET-BINDING for expensive array expressions: evaluate each of
+    ``cols`` exactly ONCE per row and hand the results to ``fn`` as
+    lambda-variable field reads.
+
+    Why: a nested ``exists(A, λ → exists(B, …))`` re-evaluates the whole
+    B EXPRESSION for every element of A (higher-order functions
+    re-evaluate their argument per lambda invocation — there is no
+    subexpression cache in interpreted eval).  With per-term position
+    arrays that derive from tokenize+filter chains, that turns a phrase
+    predicate into O(|A|) full re-tokenizations per row (measured 10×
+    on a 1M-doc sloppy phrase, tools/probe_round11.py).  Binding trick:
+    wrap the columns in a single-element array of struct and
+    ``transform`` over it — inside the lambda each column is a
+    GetStructField on the lambda variable, O(1) to re-read."""
+    bound = F.array(F.struct(*[c.alias(f"c{i}") for i, c in enumerate(cols)]))
+    return F.element_at(
+        F.transform(
+            bound,
+            lambda s: fn([s[f"c{i}"] for i in range(len(cols))])),
+        1)
+
+
+def _prefix_keep(plist: list[str]):
+    def keep(t: Column) -> Column:
+        out = t.startswith(plist[0])
+        for p in plist[1:]:
+            out = out | t.startswith(p)
+        return out
+    return keep
+
+
+def candidate_positions_col(
+    col: Column, term: str, analyzer: str | None = None,
+    *, prefix: bool = False
+) -> Column:
+    """0-based positions IN THE POST-STOP TOKEN STREAM of tokens whose
+    chain output equals ``term`` (or starts with it, ``prefix=True``) —
+    the phrase-engine fast path for filter chains.
+
+    Positions must index the full post-stop stream, so tokens cannot be
+    pruned away like ``candidate_tokens_col`` does; instead, tokens that
+    fail the stem-prefix guard are replaced by a SENTINEL and every
+    stemmer step skips sentinels on one equality check (~20 regexes per
+    candidate token only — measured 65× → ~2× on a 1M-doc english
+    phrase, tools/probe_round11.py).  The guard is the same suffix-only
+    invariant: chain(t) can equal/extend ``term`` only if
+    ``t.startswith(term[:-1])`` (synonym sources included; for
+    ``prefix`` mode every canonical starting with ``term`` contributes
+    its sources)."""
+    spec = _spec(analyzer or _default)
+    return with_chain_positions(
+        col, [(term, prefix)], lambda pos: pos[0], analyzer)
+
+
+def _positions_from_stream(ts: Column, term: str, spec: _AnalyzerSpec,
+                           *, prefix: bool) -> Column:
+    """Positions of ``term`` given the ALREADY-BOUND post-stop token
+    array ``ts`` (a lambda variable — cheap to re-read).  Guard-filter
+    to the (near-empty on non-matching rows) candidate set FIRST,
+    carried as two ALIGNED arrays — candidate positions and candidate
+    tokens (an int array + a string array beat an array of structs by
+    ~30% at 1M docs) — then run the six stemmer passes over just the
+    tiny token array and zip the indices back."""
+    pred = ((lambda x: x.startswith(term)) if prefix
+            else (lambda x: x == term))
+    if not (spec.stemmer or spec.synonyms):
+        hit = F.transform(
+            ts, lambda x, i: F.when(pred(x), i).otherwise(F.lit(-1)))
+        return F.filter(hit, lambda p: p >= 0)
+    prefixes = {term[:-1]}
+    for src, dst in spec.synonyms:
+        if dst == term or (prefix and dst.startswith(term)):
+            prefixes.add(src[:-1])
+    if "" not in prefixes:
+        keep = _prefix_keep(sorted(prefixes))
+    else:
+        keep = lambda t: F.lit(True)  # noqa: E731
+    cand_pos = F.filter(
+        F.transform(
+            ts, lambda t, i: F.when(keep(t), i).otherwise(F.lit(-1))),
+        lambda p: p >= 0)
+    cand_toks = _post_stem_col(F.filter(ts, keep), spec)
+    return F.filter(
+        F.zip_with(cand_toks, cand_pos,
+                   lambda t, p: F.when(pred(t), p).otherwise(F.lit(-1))),
+        lambda p: p >= 0)
+
+
+def with_chain_positions(col: Column, term_specs, fn,
+                         analyzer: str | None = None) -> Column:
+    """Compute per-term position arrays for ``term_specs`` (a list of
+    ``(term, is_prefix)``) over ONE let-bound post-stop token stream and
+    hand them to ``fn`` — the tokenize+possessive+stop chain evaluates
+    once per row no matter how many terms the phrase has (see
+    ``let_cols``; a per-term ``candidate_positions_col`` would tokenize
+    once PER TERM)."""
+    spec = _spec(analyzer or _default)
+    toks = _pre_stem_col(col, spec)
+
+    def body(bound):
+        ts, = bound
+        return fn([
+            _positions_from_stream(ts, t, spec, prefix=p)
+            for t, p in term_specs])
+
+    return let_cols([toks], body)
 
 
 def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:

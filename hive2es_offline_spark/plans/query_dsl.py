@@ -497,9 +497,35 @@ def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0,
     if n > 8:
         raise ValueError("match_phrase supports at most 8 analyzed terms")
 
-    pos = [_token_positions(toks, t) for t in terms[:-1]]
-    pos.append(_prefix_positions(toks, terms[-1]) if last_is_prefix
-               else _token_positions(toks, terms[-1]))
+    def body(bound):
+        ts, = bound
+        pos = [_token_positions(ts, t) for t in terms[:-1]]
+        pos.append(_prefix_positions(ts, terms[-1]) if last_is_prefix
+                   else _token_positions(ts, terms[-1]))
+        return _phrase_from_positions(pos, slop)
+
+    # let-bind the token array: the analyzed stream evaluates once per
+    # row instead of once per term (see analysis.let_cols)
+    return _let_cols([toks], body)
+
+
+def _let_cols(cols: list[Column], fn) -> Column:
+    """See ``analysis.let_cols`` — re-exported for the phrase engine."""
+    from .analysis import let_cols
+
+    return let_cols(cols, fn)
+
+
+def _phrase_from_positions(pos: list[Column], slop: int) -> Column:
+    """The phrase combinator over precomputed per-term position arrays
+    (shared by the token-stream path and the filter-chain guarded-stem
+    path).  Position arrays are LET-BOUND (see ``_let_cols``) so each
+    evaluates once per row regardless of nesting depth."""
+    return _let_cols(pos, lambda ps: _phrase_combinator(ps, slop))
+
+
+def _phrase_combinator(pos: list, slop: int) -> Column:
+    n = len(pos)
     if n == 2:
         return F.exists(pos[0], lambda p1: F.exists(
             pos[1],
@@ -515,6 +541,33 @@ def _phrase_predicate(toks: Column, terms: list[str], slop: int = 0,
                         .otherwise(F.lit(False)))
 
     return F.exists(pos[0], lambda p1: nest(1, p1, p1))
+
+
+def _chain_phrase_predicate(colx: Column, terms: list[str], slop: int,
+                            *, last_is_prefix: bool = False) -> Column:
+    """Phrase matching under a FILTER-CHAIN analyzer: per-term position
+    arrays come from guarded stemming over ONE let-bound token stream
+    (only prefix-candidate tokens pay the stemmer regexes; the chain
+    tokenizes once per row regardless of phrase length), then the shared
+    phrase combinator.  Positions index the post-stop stream (the
+    documented gapless-position model)."""
+    from .analysis import with_chain_positions
+
+    n = len(terms)
+    if n == 0:
+        return F.lit(True)
+    if n > 8:
+        raise ValueError("match_phrase supports at most 8 analyzed terms")
+    term_specs = [(t, False) for t in terms[:-1]]
+    term_specs.append((terms[-1], last_is_prefix))
+    if n == 1:
+        return with_chain_positions(
+            colx, term_specs, lambda pos: F.size(pos[0]) > 0)
+    # inner let binds the DERIVED position arrays too, so the nested
+    # exists combinator re-reads materialized arrays, not re-filtered
+    # candidate chains
+    return with_chain_positions(
+        colx, term_specs, lambda pos: _phrase_from_positions(pos, slop))
 
 
 def _regex_escape(text: str) -> str:
@@ -1285,8 +1338,18 @@ def compile_query(
             # matches NOTHING by default ("none"); "all" opts into
             # match_all (pre-r10 the engine silently did "all")
             return _zero_terms_result(spec)
-        toks = _analyze(col(field))
         fuzz = spec.get("fuzziness") if isinstance(spec, dict) else None
+        if fuzz is None and not _plain_chain():
+            # membership fast path for filter chains: prune the token
+            # array by the stem-prefix invariant BEFORE the six stemmer
+            # passes (14× on a 1M-doc english match — probe_round11).
+            # Fuzzy keeps the full stream (edit-1 neighbors need not
+            # share the prefix).
+            from .analysis import candidate_tokens_col
+
+            toks = candidate_tokens_col(col(field), terms)
+        else:
+            toks = _analyze(col(field))
         if fuzz is not None:
             # per-TOKEN fuzzy matching (ES match fuzziness): each query
             # term matches if any analyzed token is within its edit
@@ -1356,6 +1419,8 @@ def compile_query(
             return F.regexp_like(
                 F.lower(col(field)), F.lit(_phrase_regex_pattern(terms)))
         # sloppy or filter-chain matching needs positions
+        if not _plain_chain():
+            return _chain_phrase_predicate(col(field), terms, slop)
         return _phrase_predicate(_analyze(col(field)), terms, slop)
     if kind == "match_phrase_prefix":
         # phrase whose LAST term is a prefix (search-as-you-type): the
@@ -1375,6 +1440,9 @@ def compile_query(
         # sloppy prefix phrase or filter-chain analyzer needs positions
         # (ES honors slop here — MultiPhrasePrefixQuery; ADVICE r10:
         # multi_match phrase_prefix used to silently drop it)
+        if not _plain_chain():
+            return _chain_phrase_predicate(col(field), terms, slop,
+                                           last_is_prefix=True)
         return _phrase_predicate(_analyze(col(field)), terms, slop,
                                  last_is_prefix=True)
     if kind == "match_bool_prefix":
