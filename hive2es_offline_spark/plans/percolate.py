@@ -114,17 +114,27 @@ def es_percolate(
     if len(set(ids)) != len(ids):
         raise ValueError("duplicate percolate query ids")
     with using(analyzer):
-        cols = []
+        flags = []
         for qid, q in pairs:
             _reject_score_context(qid, q)
             q = _strip_names(expand_lookups(df, q, id_field))
             # raw predicate (no coalesce wrapper): a NULL match makes
             # when() yield NULL, which array_compact drops — same
-            # NULL-is-no-match semantics as where(), and the conjuncts
-            # stay pushdown-eligible if Catalyst can use them
-            cols.append(F.when(compile_query(q, id_field),
-                               F.lit(str(qid))))
-        matched = F.array_compact(F.array(*cols))
+            # NULL-is-no-match semantics as where()
+            flags.append(compile_query(q, id_field))
+    # evaluate the N predicates in a dedicated PROJECT first: whole-stage
+    # codegen's subexpression elimination then computes shared pieces
+    # (e.g. the tokenize of a field several match bodies touch) ONCE —
+    # folding them into the explode's Generate node re-evaluated them
+    # per query (4 match queries cost 4 tokenize passes, probe_round11)
+    names = [f"__pq{i}" for i in range(len(flags))]
+    flagged = df.select(
+        F.col(id_field),
+        *[f.alias(n) for f, n in zip(flags, names)])
+    matched = F.array_compact(F.array(*[
+        F.when(F.col(n), F.lit(str(qid)))
+        for n, (qid, _) in zip(names, pairs)]))
     return (
-        df.select(F.col(id_field), F.explode(matched).alias("query_id"))
+        flagged.select(F.col(id_field),
+                       F.explode(matched).alias("query_id"))
     )
