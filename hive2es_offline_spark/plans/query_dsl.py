@@ -296,23 +296,25 @@ def _span_intervals(toks: Column, q: dict) -> Column:
     slop = int(body.get("slop", 0))
     pos = [_span_positions(toks, c) for c in clauses]
     if len(pos) == 2:
-        return F.flatten(F.transform(
-            pos[0],
+        # position arrays let-bind (inner transforms re-evaluate their
+        # argument per outer element otherwise — analysis.let_cols)
+        return _let_cols(pos, lambda ps: F.flatten(F.transform(
+            ps[0],
             lambda p0: F.transform(
-                F.filter(pos[1],
+                F.filter(ps[1],
                          lambda p1: (p1 > p0)
                          & (p1 - p0 - 1 <= F.lit(slop))),
-                lambda p1: F.struct(p0.alias("s"), p1.alias("e")))))
-    return F.flatten(F.flatten(F.transform(
-        pos[0],
+                lambda p1: F.struct(p0.alias("s"), p1.alias("e"))))))
+    return _let_cols(pos, lambda ps: F.flatten(F.flatten(F.transform(
+        ps[0],
         lambda p0: F.transform(
-            F.filter(pos[1],
+            F.filter(ps[1],
                      lambda p1: (p1 > p0) & (p1 - p0 - 1 <= F.lit(slop))),
             lambda p1: F.transform(
-                F.filter(pos[2],
+                F.filter(ps[2],
                          lambda p2: (p2 > p1)
                          & (p2 - p0 - 2 <= F.lit(slop))),
-                lambda p2: F.struct(p0.alias("s"), p2.alias("e")))))))
+                lambda p2: F.struct(p0.alias("s"), p2.alias("e"))))))))
 
 
 def _interval_unit_positions(toks: Column, rule: dict) -> Column:
@@ -354,7 +356,16 @@ def _ordered_chain(positions: list[Column], max_gaps: int) -> Column:
     """One strictly-increasing position per source with total interior
     gap ``(p_n - p_1 + 1) - n <= max_gaps`` (max_gaps < 0 = unbounded) —
     nested exists over the per-source position arrays, same engine as
-    the phrase slop predicate."""
+    the phrase slop predicate.  Position arrays LET-BIND first (nested
+    exists re-evaluates its argument per outer element otherwise — see
+    ``analysis.let_cols``)."""
+    from .analysis import let_cols
+
+    return let_cols(
+        positions, lambda pos: _ordered_chain_bound(pos, max_gaps))
+
+
+def _ordered_chain_bound(positions: list, max_gaps: int) -> Column:
     n = len(positions)
 
     def nest(j: int, first, prev) -> Column:
@@ -413,12 +424,12 @@ def _intervals_predicate(toks: Column, rule: dict) -> Column:
                 out = p if out is None else out & p
             return out
         if len(pos) == 2:
-            return F.exists(pos[0], lambda p1: F.exists(
-                pos[1],
+            return _let_cols(pos, lambda ps: F.exists(ps[0], lambda p1: F.exists(
+                ps[1],
                 lambda p2: (p1 != p2)
                 & (F.greatest(p1, p2) - F.least(p1, p2) - 1
                    <= F.lit(max_gaps)),
-            ))
+            )))
         raise ValueError(
             "unordered intervals match with max_gaps supports at most "
             "2 terms")
@@ -448,8 +459,8 @@ def _intervals_predicate(toks: Column, rule: dict) -> Column:
                 else (lambda p1, p2: F.greatest(p1, p2) - F.least(p1, p2) - 1
                       <= F.lit(max_gaps))
             )
-            return F.exists(pos[0], lambda p1: F.exists(
-                pos[1], lambda p2: (p1 != p2) & gap_ok(p1, p2)))
+            return _let_cols(pos, lambda ps: F.exists(ps[0], lambda p1: F.exists(
+                ps[1], lambda p2: (p1 != p2) & gap_ok(p1, p2))))
         raise ValueError(
             "unordered intervals all_of supports exactly 2 sources "
             "(use ordered: true for more)")
@@ -541,6 +552,46 @@ def _phrase_combinator(pos: list, slop: int) -> Column:
                         .otherwise(F.lit(False)))
 
     return F.exists(pos[0], lambda p1: nest(1, p1, p1))
+
+
+def _span_near_combinator(pos: list, slop: int, in_order: bool) -> Column:
+    """SpanNear occurrence search over LET-BOUND per-clause position
+    arrays: pick one position per clause with total gap
+    ``(max - min + 1) - n <= slop``; ``in_order`` additionally requires
+    strictly increasing positions, unordered forbids reusing a token
+    position for two clauses."""
+    n = len(pos)
+    if in_order:
+        def nest_o(j: int, first, prev) -> Column:
+            if j == n:
+                return (prev - first - F.lit(n - 1)) <= F.lit(slop)
+            return F.exists(
+                pos[j],
+                lambda p: F.when(p > prev, nest_o(j + 1, first, p))
+                .otherwise(F.lit(False)),
+            )
+
+        return F.exists(pos[0], lambda p1: nest_o(1, p1, p1))
+
+    def taken(chosen: list, p) -> Column:
+        # the same token position cannot serve two clauses
+        out = F.lit(False)
+        for c in chosen:
+            out = out | (c == p)
+        return out
+
+    def nest_u(j: int, chosen: list) -> Column:
+        if j == n:
+            mx = F.greatest(*chosen) if len(chosen) > 1 else chosen[0]
+            mn = F.least(*chosen) if len(chosen) > 1 else chosen[0]
+            return (mx - mn - F.lit(n - 1)) <= F.lit(slop)
+        return F.exists(
+            pos[j],
+            lambda p: F.when(~taken(chosen, p), nest_u(j + 1, chosen + [p])
+                             ).otherwise(F.lit(False)),
+        )
+
+    return F.exists(pos[0], lambda p1: nest_u(1, [p1]))
 
 
 def _chain_phrase_predicate(colx: Column, terms: list[str], slop: int,
@@ -1483,7 +1534,9 @@ def compile_query(
         # prefix / all_of / any_of with ordered + max_gaps (see
         # _intervals_predicate for the supported algebra)
         field, rule = next(iter(body.items()))
-        return _intervals_predicate(_analyze(col(field)), rule)
+        return _let_cols(
+            [_analyze(col(field))],
+            lambda b: _intervals_predicate(b[0], rule))
     if kind == "combined_fields":
         # ES combined_fields (the modern replacement for cross_fields):
         # term-centric like cross_fields in filter context; the BM25F
@@ -1573,14 +1626,16 @@ def compile_query(
             raise ValueError(
                 f"{kind} little/big must share a field, got "
                 f"{lfield!r} vs {bfield!r}")
-        toks = _analyze(col(lfield))
-        li = _span_intervals(toks, little)
-        bi = _span_intervals(toks, big)
-        return F.exists(
-            bi,
-            lambda b: F.exists(
-                li, lambda l: (l["s"] >= b["s"]) & (l["e"] <= b["e"])),
-        )
+        def contained(bound):
+            li = _span_intervals(bound[0], little)
+            bi = _span_intervals(bound[0], big)
+            return _let_cols([bi, li], lambda iv: F.exists(
+                iv[0],
+                lambda b: F.exists(
+                    iv[1],
+                    lambda l: (l["s"] >= b["s"]) & (l["e"] <= b["e"]))))
+
+        return _let_cols([_analyze(col(lfield))], contained)
     if kind == "span_first":
         # the inner span must END at position <= end (Lucene end is
         # exclusive; unit spans at 0-based p end at p+1)
@@ -1616,40 +1671,12 @@ def compile_query(
             raise ValueError(
                 f"span_near clauses must target one field, got {sorted(cfields)}"
             )
-        toks = _analyze(col(cfields.pop()))
-        pos = [_span_positions(toks, c) for c in clauses]
-        n = len(pos)
-        if in_order:
-            def nest_o(j: int, first, prev) -> Column:
-                if j == n:
-                    return (prev - first - F.lit(n - 1)) <= F.lit(slop)
-                return F.exists(
-                    pos[j],
-                    lambda p: F.when(p > prev, nest_o(j + 1, first, p))
-                    .otherwise(F.lit(False)),
-                )
+        def near(bound):
+            pos = [_span_positions(bound[0], c) for c in clauses]
+            return _let_cols(
+                pos, lambda ps: _span_near_combinator(ps, slop, in_order))
 
-            return F.exists(pos[0], lambda p1: nest_o(1, p1, p1))
-
-        def taken(chosen: list, p) -> Column:
-            # the same token position cannot serve two clauses
-            out = F.lit(False)
-            for c in chosen:
-                out = out | (c == p)
-            return out
-
-        def nest_u(j: int, chosen: list) -> Column:
-            if j == n:
-                mx = F.greatest(*chosen) if len(chosen) > 1 else chosen[0]
-                mn = F.least(*chosen) if len(chosen) > 1 else chosen[0]
-                return (mx - mn - F.lit(n - 1)) <= F.lit(slop)
-            return F.exists(
-                pos[j],
-                lambda p: F.when(~taken(chosen, p), nest_u(j + 1, chosen + [p])
-                                 ).otherwise(F.lit(False)),
-            )
-
-        return F.exists(pos[0], lambda p1: nest_u(1, [p1]))
+        return _let_cols([_analyze(col(cfields.pop()))], near)
     if kind == "terms_set":
         # at least minimum_should_match_script/field of the given terms
         # appear in the analyzed field.  The constant-script form
