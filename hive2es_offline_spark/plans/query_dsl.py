@@ -1011,27 +1011,34 @@ def _term_centric_predicate(
     if not terms:
         # ES zero_terms_query (default none = match nothing)
         return zero_terms if zero_terms is not None else F.lit(False)
-    per_term: list[Column] = []
-    for t in dict.fromkeys(terms):
-        anyf = F.array_contains(_analyze(col(flds[0])), t)
-        for f in flds[1:]:
-            anyf = anyf | F.array_contains(_analyze(col(f)), t)
-        per_term.append(anyf)
-    if str(operator).lower() == "and":
+    uniq = list(dict.fromkeys(terms))
+
+    def grouped(bound):
+        per_term: list[Column] = []
+        for t in uniq:
+            anyf = F.array_contains(bound[0], t)
+            for b in bound[1:]:
+                anyf = anyf | F.array_contains(b, t)
+            per_term.append(anyf)
+        if str(operator).lower() == "and":
+            out = per_term[0]
+            for p in per_term[1:]:
+                out = out & p
+            return out
+        if msm is not None:
+            need = _msm_threshold(msm, len(per_term))
+            hits: Column = per_term[0].cast("int")
+            for p in per_term[1:]:
+                hits = hits + p.cast("int")
+            return hits >= F.lit(need)
         out = per_term[0]
         for p in per_term[1:]:
-            out = out & p
+            out = out | p
         return out
-    if msm is not None:
-        need = _msm_threshold(msm, len(per_term))
-        hits: Column = per_term[0].cast("int")
-        for p in per_term[1:]:
-            hits = hits + p.cast("int")
-        return hits >= F.lit(need)
-    out = per_term[0]
-    for p in per_term[1:]:
-        out = out | p
-    return out
+
+    # each field's token array binds once per row (T terms x F fields
+    # used to re-tokenize TxF times — analysis.let_cols)
+    return _let_cols([_analyze(col(f)) for f in flds], grouped)
 
 
 def compile_query(
@@ -1510,25 +1517,30 @@ def compile_query(
         terms = _analyze_terms(query)
         if not terms:
             return _zero_terms_result(spec)
-        toks = _analyze(col(field))
         *full, last = terms
-        preds = [F.array_contains(toks, t) for t in dict.fromkeys(full)]
-        preds.append(F.exists(toks, lambda x: x.startswith(last)))
-        if operator == "and":
+
+        def bool_prefix(bound):
+            toks, = bound
+            preds = [F.array_contains(toks, t) for t in dict.fromkeys(full)]
+            preds.append(F.exists(toks, lambda x: x.startswith(last)))
+            if operator == "and":
+                out = preds[0]
+                for p in preds[1:]:
+                    out = out & p
+                return out
+            if msm is not None:
+                need = _msm_threshold(msm, len(preds))
+                hits: Column = preds[0].cast("int")
+                for p in preds[1:]:
+                    hits = hits + p.cast("int")
+                return hits >= F.lit(need)
             out = preds[0]
             for p in preds[1:]:
-                out = out & p
+                out = out | p
             return out
-        if msm is not None:
-            need = _msm_threshold(msm, len(preds))
-            hits: Column = preds[0].cast("int")
-            for p in preds[1:]:
-                hits = hits + p.cast("int")
-            return hits >= F.lit(need)
-        out = preds[0]
-        for p in preds[1:]:
-            out = out | p
-        return out
+
+        # the analyzed stream evaluates once per row, not once per term
+        return _let_cols([_analyze(col(field))], bool_prefix)
     if kind == "intervals":
         # the modern position-aware API over the span engine: match /
         # prefix / all_of / any_of with ordered + max_gaps (see
