@@ -2758,6 +2758,50 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_es_matrix_stats(spark, sf_dir):
+    """matrix_stats aggregation: pairwise sample covariance/correlation
+    across three lineitem measures from exact decimal moments — one
+    ungrouped aggregate reshaped to a row per unordered field pair
+    (plans/query_dsl.py::compile_aggs); docs missing any field skip."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"),
+    )
+    body = {"size": 0, "aggs": {"m": {"matrix_stats": {
+        "fields": ["qty", "price", "disc"]}}}}
+    return es_search(li, body, id_field="id").orderBy("field_x", "field_y")
+
+
+def q_es_t_test(spark, sf_dir):
+    """t_test metric (paired + Welch + pooled arms in one row): list
+    price vs charged price per lineitem, t statistic and degrees of
+    freedom from exact decimal moments (the p-value is a documented
+    departure — no closed-form CDF in either engine)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_extendedprice").cast("double").alias("list_price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double").alias("charged"),
+    )
+    body = {"size": 0, "aggs": {
+        "paired": {"t_test": {"a": {"field": "list_price"},
+                              "b": {"field": "charged"},
+                              "type": "paired"}},
+        "welch": {"t_test": {"a": {"field": "list_price"},
+                             "b": {"field": "charged"}}},
+        "pooled": {"t_test": {"a": {"field": "list_price"},
+                              "b": {"field": "charged"},
+                              "type": "homoscedastic"}},
+    }}
+    return es_search(li, body, id_field="id")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + URL-level dedup (VERDICT r10 #6): messy
     synthetic URLs (mixed-case scheme/host, default ports, utm params,
@@ -3411,7 +3455,8 @@ def q_ks_drift(spark, sf_dir):
 #: (demotes es_nested_agg, green r9-r10); url_dedup (demotes
 #: es_field_caps, green r9-r10); token_budget (rows-only by design — the
 #: BPE merge loop is not SQL-expressible; demotes es_decay_score, green
-#: r9-r10).
+#: r9-r10); es_matrix_stats + es_t_test (demote es_completion and
+#: es_msearch, green r9-r10).
 DRIVER_WINDOW = [
     "es_match_english", "es_percolate",
     "es_geo_rings", "es_ip_range", "es_routing", "partition_counts",
@@ -3432,7 +3477,7 @@ DRIVER_WINDOW = [
     "snapshot_cdc", "token_budget",
     "audio_features", "video_frames", "pq_search",
     "dedup_incremental_minhash",
-    "es_completion", "es_msearch",
+    "es_matrix_stats", "es_t_test",
     "streaming_ingest", "bulk_write", "bulk_write_http", "publish_swap",
 ]
 
@@ -3574,8 +3619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_range": q_es_date_range,
         "es_nested_agg": q_es_nested_agg,
         "es_field_caps": q_es_field_caps,
-        # round-11 surfaces (VERDICT r10 #2-#7)
+        # round-11 surfaces (VERDICT r10 #2-#7 + stats aggs)
         "es_match_english": q_es_match_english,
+        "es_matrix_stats": q_es_matrix_stats,
+        "es_t_test": q_es_t_test,
         "es_percolate": q_es_percolate,
         "es_geo_rings": q_es_geo_rings,
         "es_ip_range": q_es_ip_range,
@@ -4465,7 +4512,105 @@ def _goldens_b() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS url_dup_count
         FROM c GROUP BY 1 ORDER BY canonical_url
     """
+    # es_matrix_stats / es_t_test: moment fragments mirror the engine's
+    # exact decimal-sum structure and operation order (query_dsl.py
+    # t_test / matrix_stats — s1/s2/sxy decimal sums cast double, then
+    # the same double-arithmetic formulas, round 6)
+    def _m_s1(c):
+        return f"CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)"
+
+    def _m_s2(c):
+        return ("CAST(sum(CAST(CAST(" + c + " AS DECIMAL(19,6)) * "
+                "CAST(" + c + " AS DECIMAL(19,6)) AS DECIMAL(38,6))) "
+                "AS DOUBLE)")
+
+    def _m_sxy(x, y):
+        return ("CAST(sum(CAST(CAST(" + x + " AS DECIMAL(19,6)) * "
+                "CAST(" + y + " AS DECIMAL(19,6)) AS DECIMAL(38,6))) "
+                "AS DOUBLE)")
+
+    def _m_var(s1, s2):
+        return (f"greatest(({s2} - n * ({s1} / n) * ({s1} / n)) / (n - 1),"
+                " 0.0)")
+
+    _ms_fields = [("qty", "CAST(l_quantity AS DOUBLE)"),
+                  ("price", "CAST(l_extendedprice AS DOUBLE)"),
+                  ("disc", "CAST(l_discount AS DOUBLE)")]
+    _ms_moments = ["CAST(count(*) AS DOUBLE) AS n",
+                   "count(*) AS n_raw"]
+    for fn, _ in _ms_fields:
+        _ms_moments.append(f"{_m_s1(fn)} AS s1_{fn}")
+        _ms_moments.append(f"{_m_s2(fn)} AS s2_{fn}")
+    for i in range(3):
+        for j in range(i + 1, 3):
+            fx, fy = _ms_fields[i][0], _ms_fields[j][0]
+            _ms_moments.append(f"{_m_sxy(fx, fy)} AS sxy_{fx}_{fy}")
+    _ms_rows = []
+    for i in range(3):
+        for j in range(i, 3):
+            fx, fy = _ms_fields[i][0], _ms_fields[j][0]
+            vx = _m_var(f"s1_{fx}", f"s2_{fx}")
+            vy = _m_var(f"s1_{fy}", f"s2_{fy}")
+            if i == j:
+                cov, corr = vx, "1.0"
+            else:
+                cov = (f"((sxy_{fx}_{fy} - s1_{fx} * s1_{fy} / n)"
+                       " / (n - 1))")
+                corr = f"({cov}) / sqrt(({vx}) * ({vy}))"
+            _ms_rows.append(
+                f"SELECT '{fx}' AS field_x, '{fy}' AS field_y, "
+                "CAST(n_raw AS BIGINT) AS doc_count, "
+                f"round(s1_{fx} / n, 6) AS mean_x, "
+                f"round(s1_{fy} / n, 6) AS mean_y, "
+                f"round({cov}, 6) AS covariance, "
+                f"round({corr}, 6) AS correlation FROM m")
+    _matrix_stats_sql = f"""
+        WITH src AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS qty,
+                 CAST(l_extendedprice AS DOUBLE) AS price,
+                 CAST(l_discount AS DOUBLE) AS disc
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL
+        ), m AS (SELECT {', '.join(_ms_moments)} FROM src)
+        {' UNION ALL '.join(_ms_rows)}
+        ORDER BY field_x, field_y
+    """
+    _tt_welch_t = ("(s1_a / n - s1_b / n) / "
+                   f"sqrt(({_m_var('s1_a', 's2_a')}) / n + "
+                   f"({_m_var('s1_b', 's2_b')}) / n)")
+    _tt_se2a = f"(({_m_var('s1_a', 's2_a')}) / n)"
+    _tt_se2b = f"(({_m_var('s1_b', 's2_b')}) / n)"
+    _tt_df_w = (f"(({_tt_se2a} + {_tt_se2b}) * ({_tt_se2a} + {_tt_se2b}) "
+                f"/ ({_tt_se2a} * {_tt_se2a} / (n - 1) + "
+                f"{_tt_se2b} * {_tt_se2b} / (n - 1)))")
+    _tt_sp2 = (f"(((n - 1) * ({_m_var('s1_a', 's2_a')}) + "
+               f"(n - 1) * ({_m_var('s1_b', 's2_b')})) / (n + n - 2))")
+    _t_test_sql = f"""
+        WITH src AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS a,
+                 CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS b
+          FROM lineitem
+        ), m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {_m_s1('a')} AS s1_a, {_m_s2('a')} AS s2_a,
+                 {_m_s1('b')} AS s1_b, {_m_s2('b')} AS s2_b,
+                 {_m_s1('(a - b)')} AS s1_d, {_m_s2('(a - b)')} AS s2_d
+          FROM src)
+        SELECT
+          round((s1_d / n) / sqrt(({_m_var('s1_d', 's2_d')}) / n), 6)
+            AS paired_t,
+          CAST(n - 1 AS BIGINT) AS paired_df,
+          round({_tt_welch_t}, 6) AS welch_t,
+          round({_tt_df_w}, 6) AS welch_df,
+          round((s1_a / n - s1_b / n) / sqrt({_tt_sp2} * (1/n + 1/n)), 6)
+            AS pooled_t,
+          CAST(n + n - 2 AS BIGINT) AS pooled_df
+        FROM m
+    """
     return {
+        "es_matrix_stats": _matrix_stats_sql,
+        "es_t_test": _t_test_sql,
         "url_dedup": _url_dedup_sql,
         "es_ip_range": _ip_range_sql,
         "es_geo_rings": _geo_rings_sql,

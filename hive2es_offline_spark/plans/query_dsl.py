@@ -1771,7 +1771,7 @@ def compile_query(
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "percentile_ranks",
                  "weighted_avg", "string_stats", "boxplot", "top_metrics",
-                 "geo_centroid", "geo_bounds", "scripted_metric"}
+                 "geo_centroid", "geo_bounds", "scripted_metric", "t_test"}
 #: bucket aggs compiled as one groupBy over a codegen key expression
 _GROUPBY_BUCKET_KINDS = {"terms", "histogram", "date_histogram",
                          "geohash_grid", "geotile_grid"}
@@ -1947,6 +1947,56 @@ def _metric_exprs(
             davg.alias(f"{name}_avg"),
             dsum.cast("double").alias(f"{name}_sum"),
         ]
+    if kind == "t_test":
+        # ES t_test: paired / homoscedastic / heteroscedastic (Welch, the
+        # ES default).  Returns the t STATISTIC and degrees of freedom
+        # (`{name}_t`, `{name}_df`), computed from exact decimal moments
+        # so the result is partition-order-independent and oracle-
+        # reproducible; the p-value is NOT returned (the t-distribution
+        # CDF has no closed form expressible in both engines — a
+        # documented departure; convert t+df downstream).  Sample
+        # (n-1) variances, like ES.
+        fa, fb = F.col(spec["a"]["field"]), F.col(spec["b"]["field"])
+        ttype = str(spec.get("type", "heteroscedastic"))
+        if gate is not None:
+            fa = F.when(gate, fa)
+            fb = F.when(gate, fb)
+
+        def moments(c):
+            d19 = c.cast("decimal(19,6)")
+            s1 = F.sum(c.cast("decimal(28,6)")).cast("double")
+            s2 = F.sum((d19 * d19).cast("decimal(38,6)")).cast("double")
+            n = F.count(c).cast("double")
+            mean = s1 / n
+            var = F.greatest((s2 - n * mean * mean) / (n - 1), F.lit(0.0))
+            return n, mean, var
+
+        if ttype == "paired":
+            # both columns must be present on the row for a pair
+            both = fa.isNotNull() & fb.isNotNull()
+            d = F.when(both, fa - fb)
+            n, mean, var = moments(d)
+            t = mean / F.sqrt(var / n)
+            return [F.round(t, 6).alias(f"{name}_t"),
+                    (n - 1).cast("long").alias(f"{name}_df")]
+        na, ma, va = moments(fa)
+        nb, mb, vb = moments(fb)
+        if ttype == "homoscedastic":
+            sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+            t = (ma - mb) / F.sqrt(sp2 * (1 / na + 1 / nb))
+            return [F.round(t, 6).alias(f"{name}_t"),
+                    (na + nb - 2).cast("long").alias(f"{name}_df")]
+        if ttype != "heteroscedastic":
+            raise ValueError(
+                f"unsupported t_test type: {ttype!r} "
+                "(paired | homoscedastic | heteroscedastic)")
+        se2a, se2b = va / na, vb / nb
+        t = (ma - mb) / F.sqrt(se2a + se2b)
+        # Welch–Satterthwaite df (fractional, rounded like the statistic)
+        dfw = ((se2a + se2b) * (se2a + se2b)
+               / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)))
+        return [F.round(t, 6).alias(f"{name}_t"),
+                F.round(dfw, 6).alias(f"{name}_df")]
     if kind == "extended_stats":
         # variance/std from exact decimal moments (sum, sum of squares) so
         # partition order can't flip low-order float bits: population
@@ -2225,6 +2275,72 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
         if s.get("aggs"):
             return compile_aggs(sampled, s["aggs"], id_field)
         return sampled.agg(F.count(F.lit(1)).alias("doc_count"))
+
+    ms_spec = [(n, s) for n, s in aggs.items() if "matrix_stats" in s]
+    if ms_spec:
+        # matrix_stats: pairwise sample covariance/correlation across
+        # numeric fields from exact decimal moments (sum, sum-of-squares,
+        # cross-products) — ONE ungrouped aggregate, then a zero-cost
+        # inline() reshape into one row per unordered field pair
+        # (diagonal rows carry variance / correlation 1).  Docs missing
+        # ANY of the fields are skipped, like ES.  Skewness/kurtosis are
+        # not computed (a documented departure: 3rd/4th decimal moments
+        # overflow the 38-digit budget the oracle convention allows).
+        if len(aggs) != 1:
+            raise ValueError(
+                "matrix_stats must be the only top-level aggregation")
+        (name, s), = ms_spec
+        flds = list(s["matrix_stats"]["fields"])
+        if len(flds) < 2:
+            raise ValueError("matrix_stats needs at least 2 fields")
+        ok = F.col(flds[0]).isNotNull()
+        for f in flds[1:]:
+            ok = ok & F.col(f).isNotNull()
+        base = df.where(ok)
+        exprs = [F.count(F.lit(1)).alias("__n")]
+        for i, f in enumerate(flds):
+            c = F.col(f)
+            d19 = c.cast("decimal(19,6)")
+            exprs.append(F.sum(c.cast("decimal(28,6)"))
+                         .cast("double").alias(f"__s1_{i}"))
+            exprs.append(F.sum((d19 * d19).cast("decimal(38,6)"))
+                         .cast("double").alias(f"__s2_{i}"))
+        for i in range(len(flds)):
+            for j in range(i + 1, len(flds)):
+                dx = F.col(flds[i]).cast("decimal(19,6)")
+                dy = F.col(flds[j]).cast("decimal(19,6)")
+                exprs.append(F.sum((dx * dy).cast("decimal(38,6)"))
+                             .cast("double").alias(f"__sxy_{i}_{j}"))
+        row = base.agg(*exprs)
+        n = F.col("__n").cast("double")
+
+        def var_(i):
+            mean = F.col(f"__s1_{i}") / n
+            return F.greatest(
+                (F.col(f"__s2_{i}") - n * mean * mean) / (n - 1),
+                F.lit(0.0))
+
+        structs = []
+        for i in range(len(flds)):
+            for j in range(i, len(flds)):
+                if i == j:
+                    cov = var_(i)
+                    corr = F.lit(1.0)
+                else:
+                    cov = ((F.col(f"__sxy_{i}_{j}")
+                            - F.col(f"__s1_{i}") * F.col(f"__s1_{j}") / n)
+                           / (n - 1))
+                    corr = cov / F.sqrt(var_(i) * var_(j))
+                structs.append(F.struct(
+                    F.lit(flds[i]).alias("field_x"),
+                    F.lit(flds[j]).alias("field_y"),
+                    F.col("__n").alias("doc_count"),
+                    F.round(F.col(f"__s1_{i}") / n, 6).alias("mean_x"),
+                    F.round(F.col(f"__s1_{j}") / n, 6).alias("mean_y"),
+                    F.round(cov, 6).alias("covariance"),
+                    F.round(corr, 6).alias("correlation"),
+                ))
+        return row.select(F.inline(F.array(*structs)))
 
     adh_spec = [(n, s) for n, s in aggs.items() if "auto_date_histogram" in s]
     if adh_spec:

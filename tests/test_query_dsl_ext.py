@@ -2414,3 +2414,71 @@ def test_span_within_mixed_field_big_rejected(spark):
             "big": {"span_near": {"clauses": [
                 {"span_term": {"t": "quick"}},
                 {"span_term": {"other": "jumps"}}], "slop": 3}}}})
+
+
+# --- round 11: t_test metric + matrix_stats aggregation ----------------------
+
+
+class TestStatTests:
+    @pytest.fixture()
+    def df(self, spark):
+        rows = [(i, float(i), float(2 * i + 1), float(10 - i) if i < 8 else None)
+                for i in range(10)]
+        return spark.createDataFrame(rows, "id long, a double, b double, c double")
+
+    def test_t_test_paired(self, df, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        body = {"size": 0, "aggs": {"tt": {"t_test": {
+            "a": {"field": "a"}, "b": {"field": "b"}, "type": "paired"}}}}
+        r = es_search(df, body, id_field="id").collect()[0]
+        # d = a - b = -(i+1): mean -5.5, sd sqrt(variance of -i-1)=sd(i)
+        import statistics
+        d = [i - (2 * i + 1) for i in range(10)]
+        t = statistics.mean(d) / (statistics.stdev(d) / 10 ** 0.5)
+        assert r["tt_t"] == pytest.approx(t, abs=2e-6)
+        assert r["tt_df"] == 9
+
+    def test_t_test_welch_and_pooled(self, df):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        import statistics
+        a = [float(i) for i in range(10)]
+        b = [float(2 * i + 1) for i in range(10)]
+        va, vb = statistics.variance(a), statistics.variance(b)
+        ma, mb = statistics.mean(a), statistics.mean(b)
+        tw = (ma - mb) / (va / 10 + vb / 10) ** 0.5
+        body = {"size": 0, "aggs": {"tt": {"t_test": {
+            "a": {"field": "a"}, "b": {"field": "b"}}}}}  # default Welch
+        r = es_search(df, body, id_field="id").collect()[0]
+        assert r["tt_t"] == pytest.approx(tw, abs=2e-6)
+        sp2 = ((10 - 1) * va + (10 - 1) * vb) / 18
+        tp = (ma - mb) / (sp2 * (2 / 10)) ** 0.5
+        body["aggs"]["tt"]["t_test"]["type"] = "homoscedastic"
+        r = es_search(df, body, id_field="id").collect()[0]
+        assert r["tt_t"] == pytest.approx(tp, abs=2e-6)
+        assert r["tt_df"] == 18
+        body["aggs"]["tt"]["t_test"]["type"] = "nope"
+        with pytest.raises(ValueError, match="t_test type"):
+            es_search(df, body, id_field="id").collect()
+
+    def test_matrix_stats(self, df):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        body = {"size": 0, "aggs": {"m": {"matrix_stats": {
+            "fields": ["a", "b", "c"]}}}}
+        rows = {(r["field_x"], r["field_y"]): r
+                for r in es_search(df, body, id_field="id").collect()}
+        # c is NULL for i >= 8 -> only 8 docs participate ANYWHERE
+        assert all(r["doc_count"] == 8 for r in rows.values())
+        # b = 2a+1 -> correlation exactly 1; c = 10-a -> exactly -1
+        assert rows[("a", "b")]["correlation"] == pytest.approx(1.0, abs=1e-6)
+        assert rows[("a", "c")]["correlation"] == pytest.approx(-1.0, abs=1e-6)
+        assert rows[("a", "a")]["correlation"] == 1.0
+        import statistics
+        va = statistics.variance(range(8))
+        assert rows[("a", "a")]["covariance"] == pytest.approx(va, abs=2e-6)
+        assert rows[("a", "b")]["covariance"] == pytest.approx(2 * va, abs=2e-6)
+        with pytest.raises(ValueError, match="at least 2"):
+            es_search(df, {"size": 0, "aggs": {"m": {"matrix_stats": {
+                "fields": ["a"]}}}}, id_field="id").collect()
