@@ -2798,6 +2798,7 @@ def q_es_t_test(spark, sf_dir):
         "pooled": {"t_test": {"a": {"field": "list_price"},
                               "b": {"field": "charged"},
                               "type": "homoscedastic"}},
+        "mad": {"median_absolute_deviation": {"field": "list_price"}},
     }}
     return es_search(li, body, id_field="id")
 
@@ -4605,7 +4606,9 @@ def _goldens_b() -> dict[str, str]:
           round({_tt_df_w}, 6) AS welch_df,
           round((s1_a / n - s1_b / n) / sqrt({_tt_sp2} * (1/n + 1/n)), 6)
             AS pooled_t,
-          CAST(n + n - 2 AS BIGINT) AS pooled_df
+          CAST(n + n - 2 AS BIGINT) AS pooled_df,
+          (SELECT round(median(abs(a - (SELECT median(a) FROM src))), 6)
+           FROM src) AS mad
         FROM m
     """
     return {

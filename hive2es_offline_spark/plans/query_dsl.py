@@ -1771,7 +1771,8 @@ def compile_query(
 _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "percentile_ranks",
                  "weighted_avg", "string_stats", "boxplot", "top_metrics",
-                 "geo_centroid", "geo_bounds", "scripted_metric", "t_test"}
+                 "geo_centroid", "geo_bounds", "scripted_metric", "t_test",
+                 "median_absolute_deviation"}
 #: bucket aggs compiled as one groupBy over a codegen key expression
 _GROUPBY_BUCKET_KINDS = {"terms", "histogram", "date_histogram",
                          "geohash_grid", "geotile_grid"}
@@ -1947,6 +1948,16 @@ def _metric_exprs(
             davg.alias(f"{name}_avg"),
             dsum.cast("double").alias(f"{name}_sum"),
         ]
+    if kind == "median_absolute_deviation":
+        if "_median" not in spec:
+            raise ValueError(
+                "median_absolute_deviation is only supported as a "
+                "top-level (whole-frame) metric — per-bucket MAD needs "
+                "per-group medians")
+        med = float(spec["_median"])
+        dev = F.abs(F.col(spec["field"]) - F.lit(med))
+        return [F.round(
+            F.percentile(dev, F.lit(0.5)), 6).alias(name)]
     if kind == "t_test":
         # ES t_test: paired / homoscedastic / heteroscedastic (Welch, the
         # ES default).  Returns the t STATISTIC and degrees of freedom
@@ -2245,6 +2256,25 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     # and recurse — every bucket/metric shape below then works per
     # element.  A bare nested (no sub-aggs) returns the element count.
     aggs = _expand_agg_filters(df, aggs, id_field)
+    # median_absolute_deviation = median(|x - median(x)|): the inner
+    # median resolves with ONE bounded driver aggregate (a scalar, like
+    # auto_date_histogram's min/max pass) and injects into the spec; the
+    # outer median is then an ordinary single-pass percentile.  Only
+    # TOP-LEVEL (whole-frame) MAD is supported — a per-bucket MAD would
+    # need per-group medians joined back; _metric_exprs rejects the
+    # un-injected spec loudly there.
+    mads = [(n, s) for n, s in aggs.items()
+            if "median_absolute_deviation" in s]
+    if mads:
+        meds = df.agg(*[
+            F.expr(f"percentile({s['median_absolute_deviation']['field']},"
+                   " 0.5)").alias(f"__m{i}")
+            for i, (_, s) in enumerate(mads)]).first()
+        aggs = dict(aggs)
+        for i, (n, s) in enumerate(mads):
+            aggs[n] = {"median_absolute_deviation": {
+                **s["median_absolute_deviation"],
+                "_median": meds[f"__m{i}"]}}
     sampler_spec = [(n, s) for n, s in aggs.items()
                     if set(s) & {"sampler", "diversified_sampler"}]
     if sampler_spec:

@@ -2482,3 +2482,22 @@ class TestStatTests:
         with pytest.raises(ValueError, match="at least 2"):
             es_search(df, {"size": 0, "aggs": {"m": {"matrix_stats": {
                 "fields": ["a"]}}}}, id_field="id").collect()
+
+
+def test_median_absolute_deviation(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 100])],
+        "id long, x double")
+    body = {"size": 0, "aggs": {"mad": {
+        "median_absolute_deviation": {"field": "x"}}}}
+    r = es_search(df, body, id_field="id").collect()[0]
+    # median = 3.5; |x - 3.5| = [2.5, 1.5, .5, .5, 1.5, 96.5] -> med 1.5
+    assert r["mad"] == 1.5
+    # per-bucket MAD rejects loudly (global median would be wrong)
+    body2 = {"size": 0, "aggs": {"r": {
+        "range": {"field": "x", "ranges": [{"to": 10}]},
+        "aggs": {"mad": {"median_absolute_deviation": {"field": "x"}}}}}}
+    with pytest.raises(ValueError, match="top-level"):
+        es_search(df, body2, id_field="id").collect()
