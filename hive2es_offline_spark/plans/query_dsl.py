@@ -1907,6 +1907,21 @@ def _scripted_metric_exprs(
     return out
 
 
+def _decimal_moments(c: Column):
+    """(count, mean, SAMPLE variance) aggregate expressions from exact
+    decimal moments — partition-order independent and oracle-mirrorable,
+    the load-bearing numeric recipe shared by ``t_test`` and (in its
+    post-aggregate shape) ``matrix_stats``; ``extended_stats`` uses the
+    population-variance variant inline."""
+    d19 = c.cast("decimal(19,6)")
+    s1 = F.sum(c.cast("decimal(28,6)")).cast("double")
+    s2 = F.sum((d19 * d19).cast("decimal(38,6)")).cast("double")
+    n = F.count(c).cast("double")
+    mean = s1 / n
+    var = F.greatest((s2 - n * mean * mean) / (n - 1), F.lit(0.0))
+    return n, mean, var
+
+
 def _metric_exprs(
     name: str, kind: str, spec: dict, gate: Column | None = None
 ) -> list[Column]:
@@ -1954,6 +1969,11 @@ def _metric_exprs(
                 "median_absolute_deviation is only supported as a "
                 "top-level (whole-frame) metric — per-bucket MAD needs "
                 "per-group medians")
+        if spec["_median"] is None:
+            # all-NULL field / zero matching docs: NULL metric, like
+            # every other metric kind (code-review r11 pass 2 — this
+            # used to crash on float(None))
+            return [F.lit(None).cast("double").alias(name)]
         med = float(spec["_median"])
         dev = F.abs(F.col(spec["field"]) - F.lit(med))
         return [F.round(
@@ -1967,20 +1987,31 @@ def _metric_exprs(
         # CDF has no closed form expressible in both engines — a
         # documented departure; convert t+df downstream).  Sample
         # (n-1) variances, like ES.
-        fa, fb = F.col(spec["a"]["field"]), F.col(spec["b"]["field"])
+        aspec, bspec_ = spec["a"], spec["b"]
+        unknown = (set(aspec) | set(bspec_)) - {"field", "filter"}
+        if unknown:
+            raise ValueError(
+                f"unsupported t_test arm option(s): {sorted(unknown)}")
+        fa, fb = F.col(aspec["field"]), F.col(bspec_["field"])
         ttype = str(spec.get("type", "heteroscedastic"))
+        if ttype == "paired":
+            if "filter" in aspec or "filter" in bspec_:
+                raise ValueError(
+                    "paired t_test cannot take per-arm filters (ES "
+                    "requires unfiltered paired arms)")
+        else:
+            # ES's unpaired form selects each arm's population with a
+            # per-arm filter query (code-review r11 pass 2: this was
+            # silently ignored, making both arms identical)
+            if "filter" in aspec:
+                fa = F.when(compile_query(aspec["filter"], "_id"), fa)
+            if "filter" in bspec_:
+                fb = F.when(compile_query(bspec_["filter"], "_id"), fb)
         if gate is not None:
             fa = F.when(gate, fa)
             fb = F.when(gate, fb)
 
-        def moments(c):
-            d19 = c.cast("decimal(19,6)")
-            s1 = F.sum(c.cast("decimal(28,6)")).cast("double")
-            s2 = F.sum((d19 * d19).cast("decimal(38,6)")).cast("double")
-            n = F.count(c).cast("double")
-            mean = s1 / n
-            var = F.greatest((s2 - n * mean * mean) / (n - 1), F.lit(0.0))
-            return n, mean, var
+        moments = _decimal_moments
 
         if ttype == "paired":
             # both columns must be present on the row for a pair
@@ -2266,9 +2297,12 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     mads = [(n, s) for n, s in aggs.items()
             if "median_absolute_deviation" in s]
     if mads:
+        # F.col, not an f-string into F.expr: a field named "unit-price"
+        # would parse as subtraction (code-review r11 pass 2)
         meds = df.agg(*[
-            F.expr(f"percentile({s['median_absolute_deviation']['field']},"
-                   " 0.5)").alias(f"__m{i}")
+            F.percentile(
+                F.col(s["median_absolute_deviation"]["field"]),
+                F.lit(0.5)).alias(f"__m{i}")
             for i, (_, s) in enumerate(mads)]).first()
         aggs = dict(aggs)
         for i, (n, s) in enumerate(mads):
@@ -2320,9 +2354,21 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             raise ValueError(
                 "matrix_stats must be the only top-level aggregation")
         (name, s), = ms_spec
-        flds = list(s["matrix_stats"]["fields"])
+        ms = s["matrix_stats"]
+        unknown = set(ms) - {"fields", "missing"}
+        if unknown:
+            raise ValueError(
+                f"unsupported matrix_stats option(s): {sorted(unknown)}")
+        flds = list(ms["fields"])
         if len(flds) < 2:
             raise ValueError("matrix_stats needs at least 2 fields")
+        missing = ms.get("missing") or {}
+        # ES `missing`: substitute a default where the field is absent;
+        # docs missing any field WITHOUT a default are skipped
+        eff = {f: (F.coalesce(F.col(f), F.lit(float(missing[f])))
+                   if f in missing else F.col(f)) for f in flds}
+        df = df.select(*[c for c in df.columns if c not in flds],
+                       *[eff[f].alias(f) for f in flds])
         ok = F.col(flds[0]).isNotNull()
         for f in flds[1:]:
             ok = ok & F.col(f).isNotNull()

@@ -550,3 +550,161 @@ class TestFilterChainPhrases:
             f"select {duckdb_tokens('$1', 'ws_poss')}", {"1": t}
         ).fetchone()[0]
         assert duck == ["john", "bag"]
+
+
+class TestStemPrefixInvariant:
+    def test_invariant_fuzzed(self):
+        """stem(t)[:-1] is a PREFIX of t — the guard the match/phrase
+        fast paths rely on (candidate_tokens_col / with_chain_positions).
+        Exhaustive over short vowel-heavy words plus 30k random tokens;
+        a future stemmer rule that edits anywhere but the suffix must
+        fail here before it silently drops matches."""
+        import itertools
+        import random
+
+        from hive2es_offline_spark.plans.analysis import stem_text
+
+        random.seed(11)
+        alph = "abcdefghilmnorstuyz'."
+        words = itertools.chain(
+            ("".join(p) for n in (1, 2, 3, 4)
+             for p in itertools.product("aeilnosty", repeat=n)),
+            ("".join(random.choice(alph)
+                     for _ in range(random.randint(5, 14)))
+             for _ in range(30000)),
+        )
+        for w in words:
+            s = stem_text(w)
+            assert w.startswith(s[:-1]), (w, s)
+
+    def test_candidate_tokens_equal_full_chain_membership(self, spark):
+        # the pruned array must agree with the full chain on membership
+        # AND multiplicity of the queried stems (msm counts distinct
+        # query-term hits via intersect; overlap via arrays_overlap)
+        from hive2es_offline_spark.plans.analysis import (
+            analyze_col,
+            candidate_tokens_col,
+        )
+
+        texts = [
+            "The ponies were running; John's dog agreed!",
+            "merge merged merging merges stream streams streaming",
+            "nothing relevant here at all",
+            "skies sky say happy happily hoping hope",
+            None, "",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        terms = ["merg", "stream", "run", "poni", "happi"]
+        full = [r["x"] for r in df.select(F.filter(
+            analyze_col(F.col("t"), "english"),
+            lambda x: x.isin(*terms)).alias("x")).collect()]
+        fast = [r["x"] for r in df.select(F.filter(
+            candidate_tokens_col(F.col("t"), terms, "english"),
+            lambda x: x.isin(*terms)).alias("x")).collect()]
+        assert [sorted(x) if x is not None else None for x in full] == \
+            [sorted(x) if x is not None else None for x in fast]
+
+    def test_chain_positions_equal_full_chain_positions(self, spark):
+        from hive2es_offline_spark.plans.analysis import (
+            analyze_col,
+            candidate_positions_col,
+        )
+
+        texts = ["the ponies were running to the running track",
+                 "running", "no hits", None]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+
+        def ref_positions(term):
+            # positions in the full-chain stream, computed independently
+            hit = F.transform(
+                analyze_col(F.col("t"), "english"),
+                lambda x, i: F.when(x == term, i).otherwise(F.lit(-1)))
+            return F.filter(hit, lambda p: p >= 0)
+
+        for term in ["run", "poni", "track", "absent"]:
+            ref = [r["x"] for r in
+                   df.select(ref_positions(term).alias("x")).collect()]
+            fast = [r["x"] for r in df.select(candidate_positions_col(
+                F.col("t"), term, "english").alias("x")).collect()]
+            assert ref == fast, (term, ref, fast)
+
+    def test_let_cols_binds_and_returns(self, spark):
+        from hive2es_offline_spark.plans.analysis import let_cols
+
+        df = spark.createDataFrame([(1, [1, 2, 3], [4, 5])],
+                                   "id long, a array<int>, b array<int>")
+        out = df.select(let_cols(
+            [F.col("a"), F.col("b")],
+            lambda cs: F.size(cs[0]) + F.size(cs[1])).alias("n"))
+        assert out.collect()[0]["n"] == 5
+        # NULL arrays flow through as NULL field reads, not errors
+        df2 = spark.createDataFrame([(1, None)], "id long, a array<int>")
+        out2 = df2.select(let_cols(
+            [F.col("a")], lambda cs: F.size(cs[0])).alias("n"))
+        assert out2.collect()[0]["n"] is None  # size(NULL) = NULL (ANSI)
+
+
+class TestStatAggsEdge:
+    def test_mad_null_field_and_odd_names(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "id long, `unit-price` double")
+        body = {"size": 0, "aggs": {"mad": {
+            "median_absolute_deviation": {"field": "unit-price"}}}}
+        r = es_search(df, body, id_field="id").collect()[0]
+        assert r["mad"] is None  # used to crash on float(None)
+        df2 = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 6.0)], "id long, `unit-price` double")
+        r = es_search(df2, body, id_field="id").collect()[0]
+        assert r["mad"] == 1.0  # median 2, |dev| = [1, 0, 4]
+
+    def test_t_test_arm_filters(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.createDataFrame(
+            [(i, "A" if i < 6 else "B", float(i)) for i in range(12)],
+            "id long, grp string, v double")
+        body = {"size": 0, "aggs": {"tt": {"t_test": {
+            "a": {"field": "v", "filter": {"term": {"grp": "A"}}},
+            "b": {"field": "v", "filter": {"term": {"grp": "B"}}}}}}}
+        r = es_search(df, body, id_field="id").collect()[0]
+        import statistics
+        a, b = [float(i) for i in range(6)], [float(i) for i in range(6, 12)]
+        tw = (statistics.mean(a) - statistics.mean(b)) / (
+            statistics.variance(a) / 6 + statistics.variance(b) / 6) ** 0.5
+        assert r["tt_t"] == pytest.approx(tw, abs=2e-6)
+        # paired + filters rejects; unknown arm options reject
+        with pytest.raises(ValueError, match="paired"):
+            es_search(df, {"size": 0, "aggs": {"tt": {"t_test": {
+                "a": {"field": "v", "filter": {"term": {"grp": "A"}}},
+                "b": {"field": "v"}, "type": "paired"}}}},
+                id_field="id").collect()
+        with pytest.raises(ValueError, match="arm option"):
+            es_search(df, {"size": 0, "aggs": {"tt": {"t_test": {
+                "a": {"field": "v", "script": "x"},
+                "b": {"field": "v"}}}}}, id_field="id").collect()
+
+    def test_matrix_stats_missing_substitution(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 10.0), (2, 2.0, None), (3, 3.0, 30.0)],
+            "id long, x double, y double")
+        # without missing: row 2 skipped everywhere
+        body = {"size": 0, "aggs": {"m": {"matrix_stats": {
+            "fields": ["x", "y"]}}}}
+        rows = {(r["field_x"], r["field_y"]): r for r in
+                es_search(df, body, id_field="id").collect()}
+        assert rows[("x", "x")]["doc_count"] == 2
+        # with missing: row 2 participates with y=20
+        body = {"size": 0, "aggs": {"m": {"matrix_stats": {
+            "fields": ["x", "y"], "missing": {"y": 20.0}}}}}
+        rows = {(r["field_x"], r["field_y"]): r for r in
+                es_search(df, body, id_field="id").collect()}
+        assert rows[("x", "y")]["doc_count"] == 3
+        assert rows[("x", "y")]["correlation"] == pytest.approx(1.0, abs=1e-6)
+        with pytest.raises(ValueError, match="matrix_stats option"):
+            es_search(df, {"size": 0, "aggs": {"m": {"matrix_stats": {
+                "fields": ["x", "y"], "mode": "upper"}}}},
+                id_field="id").collect()
