@@ -2758,6 +2758,48 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_es_join_aggs(spark, sf_dir):
+    """children / parent aggregations (plans/join_field.py): the
+    aggregation context switches across the join field — a children arm
+    (matched questions -> their answers' doc_count + avg length) and a
+    parent arm (matched answers -> distinct parents), each ONE keyed
+    semi-join feeding the ordinary agg compiler.  Same doc_id%5 relation
+    tree as es_parent_child."""
+    from hive2es_offline_spark.plans.join_field import es_parent_child
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "relation",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("question"))
+         .otherwise(F.lit("answer")),
+    ).withColumn(
+        "parent_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+         .otherwise(F.col("doc_id") - F.col("doc_id") % 5),
+    )
+    kids = es_parent_child(d, {
+        "query": {"bool": {"filter": [
+            {"term": {"relation": "question"}},
+            {"match": {"text": "merge"}}]}},
+        "size": 0,
+        "aggs": {"to_answers": {
+            "children": {"type": "answer"},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    }, id_field="doc_id").select(
+        F.lit("children").alias("arm"), "doc_count",
+        F.col("avg_chars").alias("metric"))
+    pars = es_parent_child(d, {
+        "query": {"bool": {"filter": [
+            {"term": {"relation": "answer"}},
+            {"range": {"n_chars": {"gte": 420}}}]}},
+        "size": 0,
+        "aggs": {"to_questions": {"parent": {"type": "answer"}}},
+    }, id_field="doc_id").select(
+        F.lit("parent").alias("arm"), "doc_count",
+        F.lit(None).cast("double").alias("metric"))
+    return kids.unionByName(pars).orderBy("arm")
+
+
 def q_es_matrix_stats(spark, sf_dir):
     """matrix_stats aggregation: pairwise sample covariance/correlation
     across three lineitem measures from exact decimal moments — one
@@ -3457,7 +3499,8 @@ def q_ks_drift(spark, sf_dir):
 #: es_field_caps, green r9-r10); token_budget (rows-only by design — the
 #: BPE merge loop is not SQL-expressible; demotes es_decay_score, green
 #: r9-r10); es_matrix_stats + es_t_test (demote es_completion and
-#: es_msearch, green r9-r10).
+#: es_msearch, green r9-r10); es_join_aggs (demotes window_ntile, green
+#: r10).
 DRIVER_WINDOW = [
     "es_match_english", "es_percolate",
     "es_geo_rings", "es_ip_range", "es_routing", "partition_counts",
@@ -3467,7 +3510,7 @@ DRIVER_WINDOW = [
     "ks_drift",
     "url_dedup",
     "es_mlt", "es_query_ext", "es_aggs_range", "es_aggs_filters",
-    "window_ntile", "repetition_stats", "contamination", "epoch_shuffle",
+    "es_join_aggs", "repetition_stats", "contamination", "epoch_shuffle",
     "temperature_mix", "data_drift", "bigram_lm_score",
     "es_multi_match_types", "es_parent_child", "es_geo_grid",
     "es_intervals",
@@ -3624,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match_english": q_es_match_english,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
+        "es_join_aggs": q_es_join_aggs,
         "es_percolate": q_es_percolate,
         "es_geo_rings": q_es_geo_rings,
         "es_ip_range": q_es_ip_range,
@@ -4611,7 +4655,37 @@ def _goldens_b() -> dict[str, str]:
            FROM src) AS mad
         FROM m
     """
+    _join_aggs_sql = f"""
+        WITH d AS (
+          SELECT doc_id, text, n_chars,
+                 CASE WHEN doc_id % 5 = 0 THEN 'question'
+                      ELSE 'answer' END AS relation,
+                 CASE WHEN doc_id % 5 = 0 THEN NULL
+                      ELSE doc_id - doc_id % 5 END AS parent_id
+          FROM documents
+        ), kids AS (
+          SELECT * FROM d WHERE relation = 'answer' AND parent_id IN (
+            SELECT doc_id FROM d WHERE relation = 'question'
+              AND list_contains({_std_frag}, 'merge'))
+        ), pars AS (
+          SELECT * FROM d WHERE doc_id IN (
+            SELECT parent_id FROM d
+            WHERE relation = 'answer' AND n_chars >= 420)
+        )
+        SELECT 'children' AS arm,
+               CAST(count(doc_id) AS BIGINT) AS doc_count,
+               round(CAST(sum(CAST(n_chars AS DECIMAL(28,6)))
+                          / count(n_chars) AS DOUBLE), 6) AS metric
+        FROM kids
+        UNION ALL
+        SELECT 'parent' AS arm,
+               CAST(count(doc_id) AS BIGINT) AS doc_count,
+               CAST(NULL AS DOUBLE) AS metric
+        FROM pars
+        ORDER BY arm
+    """
     return {
+        "es_join_aggs": _join_aggs_sql,
         "es_matrix_stats": _matrix_stats_sql,
         "es_t_test": _t_test_sql,
         "url_dedup": _url_dedup_sql,

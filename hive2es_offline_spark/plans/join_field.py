@@ -210,6 +210,46 @@ def _es_parent_child_impl(
             and str(q["has_child"].get("score_mode", "none")) != "none"):
         return _scored_has_child(df, body, id_field, relation_field,
                                  parent_field)
+    aggs = body.get("aggs") or {}
+    pc_aggs = [(n, s) for n, s in aggs.items()
+               if isinstance(s, dict) and ({"children", "parent"} & set(s))]
+    if pc_aggs:
+        # `children` / `parent` aggregations: switch the aggregation
+        # context across the join field (ES join-field aggs).  The
+        # matched frame (query hits, no paging) SEMI-JOINS to the other
+        # relation — one keyed join carrying only ids, then the ordinary
+        # agg compiler runs over the switched population with doc_count
+        # as a value_count in the same pass.
+        if len(aggs) != 1:
+            raise ValueError(
+                "children/parent must be the only top-level aggregation")
+        if int(body.get("size", 10)) != 0:
+            raise ValueError(
+                "children/parent aggregations require size: 0 "
+                "(the agg frame is the result)")
+        from .query_dsl import compile_aggs
+
+        (name, s), = pc_aggs
+        kind = "children" if "children" in s else "parent"
+        matched = _matched_frame(df, q, id_field, relation_field,
+                                 parent_field)
+        if kind == "children":
+            ctype = str(s["children"]["type"])
+            ids = matched.select(F.col(id_field).alias("__pc_pid"))
+            pop = df.where(F.col(relation_field) == ctype).join(
+                ids, F.col(parent_field) == F.col("__pc_pid"),
+                "left_semi")
+        else:
+            # parent agg: from matched children of `type` to their
+            # (distinct by construction) parents
+            ctype = str(s["parent"]["type"])
+            pids = (matched.where(F.col(relation_field) == ctype)
+                    .select(F.col(parent_field).alias("__pc_pid")))
+            pop = df.join(pids, F.col(id_field) == F.col("__pc_pid"),
+                          "left_semi")
+        sub = {"doc_count": {"value_count": {"field": id_field}},
+               **(s.get("aggs") or {})}
+        return compile_aggs(pop, sub, id_field)
     if not q:
         return es_search(df, body, id_field=id_field)
     rw = _PCRewriter(df, id_field, relation_field, parent_field)
@@ -220,6 +260,29 @@ def _es_parent_child_impl(
                else out.join(frame, cond, "left"))
     res = es_search(out, {**body, "query": new_q}, id_field=id_field)
     return res.drop(*[c for c in res.columns
+                      if c.startswith(("_pc_", "_pcj_"))])
+
+
+def _matched_frame(
+    df: DataFrame, q, id_field: str,
+    relation_field: str, parent_field: str,
+) -> DataFrame:
+    """The rows the body's query matches — full frame, no paging — for
+    aggregation-context switches."""
+    if not q:
+        return df
+    from .query_dsl import _strip_names, compile_query, expand_lookups
+
+    rw = _PCRewriter(df, id_field, relation_field, parent_field)
+    new_q = rw.rewrite(q)
+    out = df
+    for frame, cond in rw.joins:
+        out = (out.join(frame, [id_field], "left") if cond is None
+               else out.join(frame, cond, "left"))
+    pred = compile_query(
+        _strip_names(expand_lookups(out, new_q, id_field)), id_field)
+    out = out.where(pred)
+    return out.drop(*[c for c in out.columns
                       if c.startswith(("_pc_", "_pcj_"))])
 
 

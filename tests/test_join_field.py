@@ -174,3 +174,46 @@ def test_multi_key_query_object_rejected(df):
             "size": 10, "_source": ["id"]}
     with pytest.raises(ValueError, match="exactly one key"):
         es_parent_child(df, body, id_field="id")
+
+
+# --- round 11: children / parent aggregations --------------------------------
+
+
+def test_children_agg(df):
+    # context switch: from the matched QUESTION (text: spark) to its
+    # answer children; doc_count + a max sub-metric in one pass
+    body = {"query": {"bool": {"filter": [
+                {"term": {"relation": "question"}},
+                {"match": {"text": "spark"}}]}},
+            "size": 0,
+            "aggs": {"to_answers": {
+                "children": {"type": "answer"},
+                "aggs": {"max_n": {"max": {"field": "n"}}}}}}
+    out = es_parent_child(df, body, id_field="id").collect()
+    assert len(out) == 1
+    # question 1 matches; its answer children are docs 3 and 4
+    assert out[0]["doc_count"] == 2
+    assert out[0]["max_n"] == 60
+
+
+def test_parent_agg(df):
+    # from matched answers (n >= 60) to their distinct parents
+    body = {"query": {"range": {"n": {"gte": 60}}},
+            "size": 0,
+            "aggs": {"to_questions": {"parent": {"type": "answer"}}}}
+    out = es_parent_child(df, body, id_field="id").collect()
+    # answers 4 (parent 1) and 5 (parent 2) -> two distinct parents;
+    # the matching QUESTION rows (1, 2 by n) are not answers and the
+    # orphan answer 7 has n < 60
+    assert out[0]["doc_count"] == 2
+
+
+def test_children_agg_validation(df):
+    body = {"size": 0, "aggs": {
+        "a": {"children": {"type": "answer"}},
+        "b": {"terms": {"field": "tag"}}}}
+    with pytest.raises(ValueError, match="only top-level"):
+        es_parent_child(df, body, id_field="id")
+    with pytest.raises(ValueError, match="size: 0"):
+        es_parent_child(df, {"aggs": {"a": {
+            "children": {"type": "answer"}}}}, id_field="id")
