@@ -2702,7 +2702,10 @@ def q_es_ip_range(spark, sf_dir):
         ).alias("ip"),
     )
     body = {
-        "query": {"range": {"ip": {"gte": "10.0.0.0", "lt": "14.0.0.0"}}},
+        "query": {"range": {"ip": {
+            # explicit opt-in: silences the mapping-blind auto-detect
+            # warning (ADVICE r11) — this field IS ip-typed
+            "gte": "10.0.0.0", "lt": "14.0.0.0", "ip": True}}},
         "size": 0,
         "aggs": {"blocks": {
             "ip_range": {

@@ -130,11 +130,15 @@ def url_dedup(
     # NULL keys together and row_number would keep ONE survivor, mass-
     # dropping every other url-less document (code-review r11) — give
     # each NULL row its own partition via a per-row surrogate key
-    # (canonical_url itself stays NULL)
+    # (canonical_url itself stays NULL).  The surrogate must be unique
+    # PER ROW, not per tiebreak value: with order_col-only usage (or NULL
+    # ids) a value-derived surrogate collides and re-introduces the mass
+    # drop (ADVICE r11) — monotonically_increasing_id() guarantees
+    # per-row uniqueness, and because every NULL-url row survives as its
+    # own partition the output SET is deterministic even though the id
+    # itself varies run to run.
     surrogate = F.concat(
-        F.lit("\x00"),
-        F.coalesce(F.col(id_col if id_col else order_col).cast("string"),
-                   F.lit("")))
+        F.lit("\x00"), F.monotonically_increasing_id().cast("string"))
     # materialize the key as a NAMED column: two windows over the same
     # column name share one Exchange, while two structurally-equal
     # expression keys plan two

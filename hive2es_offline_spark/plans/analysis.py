@@ -75,7 +75,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "analyze_col", "analyze_text", "using", "current_analyzer",
     "DUCKDB_TOKEN_RE", "ANALYZERS", "register_analyzer", "analyzer_names",
-    "ENGLISH_STOPWORDS", "stem_text",
+    "ENGLISH_STOPWORDS", "FRENCH_STOPWORDS", "stem_text", "fold_text",
 ]
 
 #: Java regex (Spark side).  \p{L}/\p{N} are Unicode general categories.
@@ -141,11 +141,95 @@ _P_LL = "^.{3,}ll$"
 #: alnum runs, so 's can only appear terminally via "john's"
 _P_POSS = "'s$"
 
+# ---------------------------------------------------------------------------
+# French minimal stemmer (round 12) — an approximation of Savoy's minimal
+# French stemmer (the shape Lucene ships as FrenchMinimalStemmer): plural
+# -x handling (chevaux → cheval, châteaux → château), then sequential
+# final s / r / e / é drops and a final de-double, every rule one
+# anchored regex valid in Java regex, Python re, and RE2.  Documented
+# departures from Lucene: the ≥6-length guard is RE-CHECKED per pass
+# (Lucene checks the original length once — re-checking under-stems a
+# handful of short words, never over-stems), and the -x branch does not
+# suppress the later passes (harmless for real French, where dropping a
+# final x always exposes a vowel).  Every rule edits only the suffix
+# with replacement[:-1] a prefix of the replaced suffix, so the
+# stem-prefix guard invariant stem(t)[:-1] ⊑ t holds (fuzzed in
+# tests/test_analysis.py like the English table).
+# ---------------------------------------------------------------------------
 
-def stem_text(w: str) -> str:
-    """Python rendering of the light English stemmer (driver-side twin of
-    the column/SQL renderings below; the three are property-tested for
+#: plural/gender -x (first match wins): eaux → eau, aux → al, x → ''
+_FR_STEP_X = (
+    ("^.{2,}eaux$", "x$", ""),        # châteaux → château
+    ("^.{3,}aux$", "aux$", "al"),     # chevaux → cheval
+    ("^.{5,}x$", "x$", ""),           # généreux → généreu
+)
+#: sequential final-char drops, each on the CURRENT token (len ≥ 6)
+_FR_DROPS = ("^.{5,}s$", "^.{5,}r$", "^.{5,}e$", "^.{5,}é$")
+#: final doubled letter halves (len ≥ 6): personne → personn → person
+_FR_DOUBLE = ("^.{4,}(aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|"
+              "qq|rr|ss|tt|uu|vv|ww|xx|yy|zz)$")
+
+#: elision articles (ES french analyzer's default elision set) — longest
+#: alternatives first; given the mandatory trailing apostrophe at most
+#: one alternative can match any token, so Java/Python/RE2 alternation
+#: order differences cannot diverge
+_P_ELISION = "^(?:jusqu|quoiqu|lorsqu|puisqu|qu|[ldjtmnsc])'"
+
+# ---------------------------------------------------------------------------
+# asciifolding (round 12) — ES's asciifolding token filter restricted to
+# the Latin-1/Latin-Extended letters that appear in Western European
+# text: ONE from/to table rendered as translate() in Spark, DuckDB and
+# Python (plus three digraph replaces), so the three contexts cannot
+# drift.  Input tokens are already lowercased by the tokenizer.
+# ---------------------------------------------------------------------------
+
+_FOLD_FROM = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+_FOLD_TO = "aaaaaaceeeeiiiinoooooouuuuyy"
+assert len(_FOLD_FROM) == len(_FOLD_TO)
+_FOLD_MULTI = (("œ", "oe"), ("æ", "ae"), ("ß", "ss"))
+_PY_FOLD = str.maketrans(_FOLD_FROM, _FOLD_TO)
+
+#: a compact French stop set (the high-frequency core of Snowball's
+#: French stopword list — articles, pronouns, common prepositions and
+#: être/avoir forms); checked AFTER lowercase + elision, BEFORE stemming
+FRENCH_STOPWORDS = (
+    "au", "aux", "avec", "ce", "ces", "cet", "cette", "dans", "de",
+    "des", "du", "elle", "elles", "en", "et", "eux", "il", "ils", "je",
+    "la", "le", "les", "leur", "leurs", "lui", "ma", "mais", "me",
+    "même", "mes", "moi", "mon", "ne", "nos", "notre", "nous", "on",
+    "ou", "où", "par", "pas", "plus", "pour", "que", "qui", "sa", "se",
+    "ses", "son", "sur", "ta", "te", "tes", "toi", "ton", "tous",
+    "tout", "toute", "toutes", "tu", "un", "une", "vos", "votre",
+    "vous", "été", "étée", "étées", "étés", "étant", "suis", "es",
+    "est", "sommes", "êtes", "sont", "sera", "serait", "était",
+    "étaient", "être", "avoir", "avait", "ont", "comme",
+)
+
+
+def fold_text(t: str) -> str:
+    """Python rendering of the asciifolding filter (driver/oracle twin of
+    the column rendering; property-tested three-way)."""
+    t = t.translate(_PY_FOLD)
+    for a, b in _FOLD_MULTI:
+        t = t.replace(a, b)
+    return t
+
+
+def stem_text(w: str, lang: str = "english") -> str:
+    """Python rendering of the light stemmers (driver-side twin of the
+    column/SQL renderings below; the three are property-tested for
     parity in ``tests/test_analysis.py``)."""
+    if lang == "french":
+        for cond, suf, rep in _FR_STEP_X:
+            if re.match(cond, w):
+                w = re.sub(suf, rep, w)
+                break
+        for cond in _FR_DROPS:
+            if re.match(cond, w):
+                w = w[:-1]
+        if re.match(_FR_DOUBLE, w):
+            w = w[:-1]
+        return w
     for cond, suf, rep in _STEP_1A:
         if re.match(cond, w):
             w = re.sub(suf, rep, w)
@@ -209,8 +293,20 @@ def _col_step_1b(t: Column) -> Column:
     )
 
 
-def _stem_steps_list():
-    """The six stemmer steps as per-token Column functions, in order."""
+def _drop_rule(cond: str):
+    """Closure factory (NOT a default-arg lambda — a two-param lambda
+    would look binary to F.transform and receive the element INDEX)."""
+    def step(t: Column) -> Column:
+        return F.when(t.rlike(cond), _col_drop1(t)).otherwise(t)
+    return step
+
+
+def _stem_steps_list(lang: str = "english"):
+    """The stemmer steps as per-token Column functions, in order."""
+    if lang == "french":
+        return ([_col_step_table(_FR_STEP_X)]
+                + [_drop_rule(c) for c in _FR_DROPS]
+                + [_drop_rule(_FR_DOUBLE)])
     return [
         _col_step_table(_STEP_1A),
         _col_step_1b,
@@ -222,15 +318,15 @@ def _stem_steps_list():
     ]
 
 
-def _stem_col_steps(toks: Column) -> Column:
-    """Spark rendering of the stemmer over a token ARRAY — six chained
-    ``transform`` passes (one per step), all plain expressions, no UDF."""
-    for step in _stem_steps_list():
+def _stem_col_steps(toks: Column, lang: str = "english") -> Column:
+    """Spark rendering of the stemmer over a token ARRAY — one chained
+    ``transform`` pass per step, all plain expressions, no UDF."""
+    for step in _stem_steps_list(lang):
         toks = F.transform(toks, step)
     return toks
 
 
-def _duckdb_stem_steps() -> list[str]:
+def _duckdb_stem_steps(lang: str = "english") -> list[str]:
     """RE2/SQL rendering — per-step CASE bodies over the lambda variable
     ``t``, machine-generated from the same rule table (so the oracle
     cannot drift from the engine by transcription).  The caller wraps
@@ -255,6 +351,15 @@ def _duckdb_stem_steps() -> list[str]:
                 f"THEN {expr} || 'e' "
                 f"WHEN regexp_matches({expr}, {q(_P_DOUBLE)}) "
                 f"THEN {drop1(expr)} ELSE {expr} END)")
+
+    def drop_case(cond):
+        return (f"(CASE WHEN regexp_matches(t, {q(cond)}) "
+                f"THEN {drop1('t')} ELSE t END)")
+
+    if lang == "french":
+        return ([step_case(_FR_STEP_X)]
+                + [drop_case(c) for c in _FR_DROPS]
+                + [drop_case(_FR_DOUBLE)])
 
     ed = "regexp_replace(t, 'ed$', '')"
     ing = "regexp_replace(t, 'ing$', '')"
@@ -287,8 +392,10 @@ def _duckdb_stem_steps() -> list[str]:
 class _AnalyzerSpec:
     tokenizer: str = "standard"                # standard | whitespace
     possessive: bool = False                   # strip trailing 's
+    elision: bool = False                      # strip l'/d'/qu'/… prefixes
+    asciifolding: bool = False                 # fold accents to ASCII
     stopwords: tuple[str, ...] = ()
-    stemmer: bool = False                      # the light English stemmer
+    stemmer: str | None = None                 # english | french | None
     #: normalized token → canonical token, applied LAST (entries are
     #: normalized through the chain's own stop/stem filters at
     #: registration, so surface-form synonym groups keep working when the
@@ -300,11 +407,17 @@ _REGISTRY: dict[str, _AnalyzerSpec] = {
     "standard": _AnalyzerSpec(),
     "whitespace": _AnalyzerSpec(tokenizer="whitespace"),
     "english": _AnalyzerSpec(possessive=True, stopwords=ENGLISH_STOPWORDS,
-                             stemmer=True),
+                             stemmer="english"),
+    # ES's stock french analyzer shape: elision → lowercase → stop →
+    # stemmer (no asciifolding — ES doesn't fold in the stock chain;
+    # register a custom analyzer with asciifolding=True to get
+    # accent-blind matching)
+    "french": _AnalyzerSpec(elision=True, stopwords=FRENCH_STOPWORDS,
+                            stemmer="french"),
 }
 
 #: retained export — the BUILT-IN names (registry adds custom ones)
-ANALYZERS = ("standard", "whitespace", "english")
+ANALYZERS = ("standard", "whitespace", "english", "french")
 
 
 def analyzer_names() -> tuple[str, ...]:
@@ -316,40 +429,60 @@ def register_analyzer(
     *,
     tokenizer: str = "standard",
     possessive: bool = False,
+    elision: bool = False,
+    asciifolding: bool = False,
     stopwords: tuple[str, ...] | list[str] | str = (),
-    stemmer: bool = False,
+    stemmer: bool | str = False,
     synonyms: dict[str, list[str]] | list[list[str]] | None = None,
 ) -> None:
     """Declare a named custom analyzer (the ES
     ``settings.analysis.analyzer`` surface).  ``stopwords`` accepts a
-    word list or the ES shorthand ``"_english_"``; ``synonyms`` accepts
-    either ES-style equivalence groups (``[["car","auto","automobile"],
-    …]`` — every member rewrites to the FIRST) or an explicit mapping
-    ``{"canonical": ["variant", …]}``.  Synonym entries are normalized
-    through the chain's own possessive/stop/stem filters at registration
-    time, so groups written in surface forms stay consistent with stemmed
-    corpora.  Re-registering a built-in name is rejected."""
-    if name in ("standard", "whitespace", "english"):
+    word list or the ES shorthands ``"_english_"`` / ``"_french_"``;
+    ``stemmer`` accepts a language name (``"english"`` / ``"french"``) or
+    ``True`` as a legacy alias for english; ``synonyms`` accepts either
+    ES-style equivalence groups (``[["car","auto","automobile"], …]`` —
+    every member rewrites to the FIRST) or an explicit mapping
+    ``{"canonical": ["variant", …]}``.  Synonym and stopword entries are
+    normalized through the chain's own char filters at registration time
+    (stopwords fold when ``asciifolding`` is on; synonyms run the whole
+    possessive/elision/fold/stop/stem chain), so lists written in surface
+    forms stay consistent with the indexed stream.  Re-registering a
+    built-in name is rejected."""
+    if name in ("standard", "whitespace", "english", "french"):
         raise ValueError(f"cannot redefine built-in analyzer {name!r}")
     if tokenizer not in ("standard", "whitespace"):
         raise ValueError(
             f"unsupported tokenizer: {tokenizer!r} (standard | whitespace)")
+    stem_lang = {False: None, True: "english"}.get(stemmer, stemmer)
+    if stem_lang not in (None, "english", "french"):
+        raise ValueError(
+            f"unsupported stemmer: {stemmer!r} (english | french)")
     if stopwords == "_english_":
         stops: tuple[str, ...] = ENGLISH_STOPWORDS
+    elif stopwords == "_french_":
+        stops = FRENCH_STOPWORDS
     elif isinstance(stopwords, str):
         raise ValueError(
-            f"unsupported stopword set {stopwords!r} (pass a list or "
-            "'_english_')")
+            f"unsupported stopword set {stopwords!r} (pass a list, "
+            "'_english_' or '_french_')")
     else:
         stops = tuple(str(s).lower() for s in stopwords)
+    if asciifolding:
+        # the stop filter runs AFTER folding, so entries must be folded
+        # too ("été" in the list must drop the folded token "ete")
+        stops = tuple(dict.fromkeys(fold_text(s) for s in stops))
 
     def norm(tok: str) -> str | None:
         t = tok.strip().lower()
         if possessive:
             t = re.sub(_P_POSS, "", t)
+        if elision:
+            t = re.sub(_P_ELISION, "", t)
+        if asciifolding:
+            t = fold_text(t)
         if t in stops:
             return None
-        return stem_text(t) if stemmer else t
+        return stem_text(t, stem_lang) if stem_lang else t
 
     pairs: list[tuple[str, str]] = []
     if synonyms:
@@ -371,8 +504,9 @@ def register_analyzer(
         raise ValueError(
             f"synonym token(s) {sorted(dupes)} map to multiple canonicals")
     _REGISTRY[name] = _AnalyzerSpec(
-        tokenizer=tokenizer, possessive=possessive, stopwords=stops,
-        stemmer=stemmer, synonyms=tuple(dict(pairs).items()))
+        tokenizer=tokenizer, possessive=possessive, elision=elision,
+        asciifolding=asciifolding, stopwords=stops,
+        stemmer=stem_lang, synonyms=tuple(dict(pairs).items()))
 
 
 def plain_chain(analyzer: str | None = None) -> bool:
@@ -383,8 +517,8 @@ def plain_chain(analyzer: str | None = None) -> bool:
     back to the positions engine over ``analyze_col`` (code-review r11:
     the regex path silently missed stemmed phrases)."""
     spec = _spec(analyzer or _default)
-    return not (spec.possessive or spec.stopwords or spec.stemmer
-                or spec.synonyms)
+    return not (spec.possessive or spec.elision or spec.asciifolding
+                or spec.stopwords or spec.stemmer or spec.synonyms)
 
 
 def chain_tokenizer(analyzer: str | None = None) -> str:
@@ -448,26 +582,61 @@ def _pre_stem_col(col: Column, spec: _AnalyzerSpec) -> Column:
     return _chain_filters(_tokenize_col(col, spec.tokenizer), spec)
 
 
-def _chain_filters(toks: Column, spec: _AnalyzerSpec) -> Column:
-    """Possessive + stopword filters over an already-tokenized array.
+def _fold_tok(t: Column) -> Column:
+    """Spark rendering of the asciifolding filter — one translate() plus
+    the digraph replaces, all linear scans, no regex."""
+    t = F.translate(t, _FOLD_FROM, _FOLD_TO)
+    for a, b in _FOLD_MULTI:
+        t = F.replace(t, F.lit(a), F.lit(b))
+    return t
 
-    Both hot-path guarded (measured at 1M docs, probe_round11): the
-    possessive regexp only runs on tokens containing an apostrophe
-    (contains() is a substring scan, +2 s vs +8.6 s for regexp-always),
-    and the stop filter uses isin() — Catalyst's OptimizeIn turns the
-    33-literal In into an InSet hash probe (+0.2 s vs +16 s for a
-    per-token array_contains scan over a literal array)."""
+
+def _char_filters(toks: Column, spec: _AnalyzerSpec) -> Column:
+    """The token-TEXT rewriting filters (possessive, elision,
+    asciifolding) that run before the stop filter.
+
+    Hot-path guarded (measured at 1M docs, probe_round11): the
+    possessive/elision regexps only run on tokens containing an
+    apostrophe (contains() is a substring scan, +2 s vs +8.6 s for
+    regexp-always); the fold is translate()+replace(), linear scans
+    cheaper than any regex."""
+    rewrote = False
     if spec.possessive:
-        # a whitespace tokenizer can emit a bare "'s" token; stripping it
-        # must not leave an empty term occupying a phrase position
-        # (code-review r11)
-        toks = F.filter(
-            F.transform(
-                toks,
-                lambda t: F.when(
-                    t.contains("'"), F.regexp_replace(t, _P_POSS, "")
-                ).otherwise(t)),
-            lambda t: t != "")
+        toks = F.transform(
+            toks,
+            lambda t: F.when(
+                t.contains("'"), F.regexp_replace(t, _P_POSS, "")
+            ).otherwise(t))
+        rewrote = True
+    if spec.elision:
+        toks = F.transform(
+            toks,
+            lambda t: F.when(
+                t.contains("'"), F.regexp_replace(t, _P_ELISION, "")
+            ).otherwise(t))
+        rewrote = True
+    if rewrote:
+        # a whitespace tokenizer can emit a bare "'s" / "l'" token;
+        # stripping it must not leave an empty term occupying a phrase
+        # position (code-review r11)
+        toks = F.filter(toks, lambda t: t != "")
+    if spec.asciifolding:
+        toks = F.transform(toks, _fold_tok)
+    return toks
+
+
+def _chain_filters(toks: Column, spec: _AnalyzerSpec,
+                   *, chars_done: bool = False) -> Column:
+    """Char filters + stopword filter over an already-tokenized array
+    (``chars_done=True`` when the caller already ran ``_char_filters`` —
+    elision is NOT idempotent on contrived doubled-article tokens, so
+    re-running is forbidden, not just wasteful).
+
+    The stop filter uses isin() — Catalyst's OptimizeIn turns the
+    literal In into an InSet hash probe (+0.2 s vs +16 s for a per-token
+    array_contains scan over a literal array at 1M docs)."""
+    if not chars_done:
+        toks = _char_filters(toks, spec)
     if spec.stopwords:
         toks = F.filter(toks, lambda t: ~t.isin(*spec.stopwords))
     return toks
@@ -476,7 +645,7 @@ def _chain_filters(toks: Column, spec: _AnalyzerSpec) -> Column:
 def _post_stem_col(toks: Column, spec: _AnalyzerSpec) -> Column:
     """The chain from the stemmer on: stem + synonym rewrite."""
     if spec.stemmer:
-        toks = _stem_col_steps(toks)
+        toks = _stem_col_steps(toks, spec.stemmer)
     if spec.synonyms:
         syn = dict(spec.synonyms)
 
@@ -530,13 +699,21 @@ def candidate_tokens_col(
             if dst == s:
                 prefixes.add(src[:-1])
     toks = _tokenize_col(col, spec.tokenizer)
+    chars_done = spec.elision or spec.asciifolding
+    if chars_done:
+        # elision edits the PREFIX and folding rewrites arbitrary chars,
+        # so the raw-token prefix guard is invalid for these chains —
+        # run the char filters first (their cost is inherent to the
+        # chain) and prune the rewritten tokens instead
+        toks = _char_filters(toks, spec)
     if "" not in prefixes:
-        # prune FIRST, on the raw tokens: the possessive strip is also
-        # suffix-only, so the invariant holds against the raw token and
-        # the possessive/stopword passes then run over the pruned
+        # prune FIRST where valid: the possessive strip is suffix-only,
+        # so the invariant holds against the raw token and the
+        # possessive/stopword passes then run over the pruned
         # (near-empty on non-matching rows) array instead of every token
         toks = F.filter(toks, _prefix_keep(sorted(prefixes)))
-    return _post_stem_col(_chain_filters(toks, spec), spec)
+    return _post_stem_col(
+        _chain_filters(toks, spec, chars_done=chars_done), spec)
 
 
 def let_cols(cols, fn) -> Column:
@@ -580,11 +757,13 @@ def candidate_positions_col(
     the phrase-engine fast path for filter chains.
 
     Positions must index the full post-stop stream, so tokens cannot be
-    pruned away like ``candidate_tokens_col`` does; instead, tokens that
-    fail the stem-prefix guard are replaced by a SENTINEL and every
-    stemmer step skips sentinels on one equality check (~20 regexes per
-    candidate token only — measured 65× → ~2× on a 1M-doc english
-    phrase, tools/probe_round11.py).  The guard is the same suffix-only
+    pruned away like ``candidate_tokens_col`` does; instead the guard
+    filter keeps TWO ALIGNED ARRAYS — the candidate positions (ints into
+    the full stream) and the candidate tokens — runs the stemmer passes
+    over just the (near-empty on non-matching rows) candidate token
+    array, and zips the surviving indices back (see
+    ``_positions_from_stream``; measured 65× → ~2× on a 1M-doc english
+    phrase, tools/probe_round11.py).  The guard is the suffix-only
     invariant: chain(t) can equal/extend ``term`` only if
     ``t.startswith(term[:-1])`` (synonym sources included; for
     ``prefix`` mode every canonical starting with ``term`` contributes
@@ -658,11 +837,15 @@ def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:
         toks = [t for t in (text or "").lower().split(" ") if t]
     if spec.possessive:
         toks = [s for s in (re.sub(_P_POSS, "", t) for t in toks) if s]
+    if spec.elision:
+        toks = [s for s in (re.sub(_P_ELISION, "", t) for t in toks) if s]
+    if spec.asciifolding:
+        toks = [fold_text(t) for t in toks]
     if spec.stopwords:
         stops = set(spec.stopwords)
         toks = [t for t in toks if t not in stops]
     if spec.stemmer:
-        toks = [stem_text(t) for t in toks]
+        toks = [stem_text(t, spec.stemmer) for t in toks]
     if spec.synonyms:
         syn = dict(spec.synonyms)
         toks = [syn.get(t, t) for t in toks]
@@ -703,10 +886,16 @@ def analyze_with_offsets(
             tok = re.sub(_P_POSS, "", tok)
             if not tok:
                 continue
+        if spec.elision:
+            tok = re.sub(_P_ELISION, "", tok)
+            if not tok:
+                continue
+        if spec.asciifolding:
+            tok = fold_text(tok)
         if spec.stopwords and tok in stops:
             continue
         if spec.stemmer:
-            tok = stem_text(tok)
+            tok = stem_text(tok, spec.stemmer)
         if syn:
             tok = syn.get(tok, tok)
         out.append((tok, pos, start, end))
@@ -730,12 +919,21 @@ def duckdb_tokens(expr: str, analyzer: str = "standard") -> str:
     if spec.possessive:
         sql = (f"list_filter(list_transform({sql}, "
                "t -> regexp_replace(t, '''s$', '')), t -> t != '')")
+    if spec.elision:
+        pat = _P_ELISION.replace("'", "''")
+        sql = (f"list_filter(list_transform({sql}, "
+               f"t -> regexp_replace(t, '{pat}', '')), t -> t != '')")
+    if spec.asciifolding:
+        body = f"translate(t, '{_FOLD_FROM}', '{_FOLD_TO}')"
+        for a, b in _FOLD_MULTI:
+            body = f"replace({body}, '{a}', '{b}')"
+        sql = f"list_transform({sql}, t -> {body})"
     if spec.stopwords:
         inlist = ", ".join("'" + s.replace("'", "''") + "'"
                            for s in spec.stopwords)
         sql = f"list_filter({sql}, t -> t NOT IN ({inlist}))"
     if spec.stemmer:
-        for body in _duckdb_stem_steps():
+        for body in _duckdb_stem_steps(spec.stemmer):
             sql = f"list_transform({sql}, t -> {body})"
     if spec.synonyms:
         whens = "".join(

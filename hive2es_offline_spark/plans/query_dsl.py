@@ -108,7 +108,17 @@ from pyspark.sql import functions as F
 from ..functions import ip as _ip
 
 __all__ = ["compile_query", "compile_aggs", "es_search", "es_count",
-           "es_mget", "es_field_caps", "es_analyze", "significant_terms"]
+           "es_mget", "es_field_caps", "es_analyze", "significant_terms",
+           "CIDR_TERM_RANGE_ARM"]
+
+#: mapping-blind CIDR hedge switch (ADVICE r11): term/terms with a CIDR
+#: literal compile to (uint32 block-range compare) OR (exact string
+#: equality) because the engine cannot see whether the field is ip- or
+#: keyword-typed.  For a KNOWN keyword field that over-matches relative
+#: to ES keyword semantics (ES matches only the exact string) — set this
+#: to False, or pass `"cidr": false` in a term body, to compile exact
+#: equality only.
+CIDR_TERM_RANGE_ARM = True
 
 
 def _analyze(col: Column) -> Column:
@@ -1186,7 +1196,9 @@ def compile_query(
         value = spec["value"] if isinstance(spec, dict) else spec
         if isinstance(spec, dict) and spec.get("case_insensitive"):
             return F.lower(col(field)) == F.lit(str(value).lower())
-        if _ip.is_cidr_literal(value):
+        hedge = CIDR_TERM_RANGE_ARM and not (
+            isinstance(spec, dict) and spec.get("cidr") is False)
+        if hedge and _ip.is_cidr_literal(value):
             # ES term-on-ip-field CIDR semantics (VERDICT r10 #5): the
             # block becomes a [lo, hi] uint32 compare — bounds folded in
             # Python, the column parsed in codegen.  The engine has no
@@ -1212,7 +1224,8 @@ def compile_query(
                 "this context does not support document lookups"
             )
         values = list(values)
-        cidrs = [v for v in values if _ip.is_cidr_literal(v)]
+        cidrs = ([v for v in values if _ip.is_cidr_literal(v)]
+                 if CIDR_TERM_RANGE_ARM else [])
         if cidrs:
             # mixed plain values + CIDR blocks: isin for ALL values
             # (exact equality still matches keyword fields storing
@@ -1230,10 +1243,31 @@ def compile_query(
         field, spec = _field_spec(body)
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
         bound_vals = [v for op, v in spec.items() if op in ops]
-        if bound_vals and all(_ip.is_ip_literal(v) for v in bound_vals):
-            # range over an ip field (VERDICT r10 #5): compare as uint32
-            # — a lexicographic string compare would order "9.0.0.0"
-            # after "10.0.0.0" and silently return wrong rows
+        # ip-typed range semantics (VERDICT r10 #5): the engine is
+        # mapping-blind, so dotted-quad bounds AUTO-select uint32
+        # comparison — a lexicographic compare would order "9.0.0.0"
+        # after "10.0.0.0".  A keyword field that happens to hold
+        # version-like strings would get numeric-IP semantics, so the
+        # detection is overridable (ADVICE r11): spec key `"ip": false`
+        # forces the plain typed compare, `"ip": true` requires ip
+        # bounds; when auto-detected, the switch is logged via warnings
+        # so the caller can see (and pin) the choice.
+        ip_hint = spec.get("ip")
+        if ip_hint is True and not (
+                bound_vals and all(_ip.is_ip_literal(v) for v in bound_vals)):
+            raise ValueError(
+                f"range on {field} declares ip semantics but has "
+                f"non-ip bounds: {bound_vals!r}")
+        if ip_hint is not False and bound_vals and all(
+                _ip.is_ip_literal(v) for v in bound_vals):
+            if ip_hint is None:
+                import warnings
+                warnings.warn(
+                    f"range on {field}: all bounds are dotted-quad "
+                    "literals — compiling as uint32 IP comparison "
+                    "(pass 'ip': false in the range body for "
+                    "lexicographic keyword semantics)",
+                    stacklevel=2)
             ipl = _ip.ip_to_long(col(field))
             out = None
             for op, v in spec.items():
@@ -2013,30 +2047,43 @@ def _metric_exprs(
 
         moments = _decimal_moments
 
+        # Degenerate-population contract (ADVICE r11): a t statistic
+        # needs >= 2 observations per arm AND a positive variance —
+        # below that the formulas divide by zero and would emit NaN /
+        # Infinity.  Data-dependent, so it cannot raise at plan build:
+        # the statistic and df both return NULL ("not defined for this
+        # population"), which is also what the SQL oracles produce.
         if ttype == "paired":
             # both columns must be present on the row for a pair
             both = fa.isNotNull() & fb.isNotNull()
             d = F.when(both, fa - fb)
             n, mean, var = moments(d)
-            t = mean / F.sqrt(var / n)
+            ok = (n >= 2) & (var > 0)
+            t = F.when(ok, mean / F.sqrt(var / n))
             return [F.round(t, 6).alias(f"{name}_t"),
-                    (n - 1).cast("long").alias(f"{name}_df")]
+                    F.when(ok, n - 1).cast("long").alias(f"{name}_df")]
         na, ma, va = moments(fa)
         nb, mb, vb = moments(fb)
+        arms_ok = (na >= 2) & (nb >= 2)
         if ttype == "homoscedastic":
             sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
-            t = (ma - mb) / F.sqrt(sp2 * (1 / na + 1 / nb))
+            ok = arms_ok & (sp2 > 0)
+            t = F.when(ok, (ma - mb) / F.sqrt(sp2 * (1 / na + 1 / nb)))
             return [F.round(t, 6).alias(f"{name}_t"),
-                    (na + nb - 2).cast("long").alias(f"{name}_df")]
+                    F.when(ok, na + nb - 2).cast("long")
+                     .alias(f"{name}_df")]
         if ttype != "heteroscedastic":
             raise ValueError(
                 f"unsupported t_test type: {ttype!r} "
                 "(paired | homoscedastic | heteroscedastic)")
         se2a, se2b = va / na, vb / nb
-        t = (ma - mb) / F.sqrt(se2a + se2b)
-        # Welch–Satterthwaite df (fractional, rounded like the statistic)
-        dfw = ((se2a + se2b) * (se2a + se2b)
-               / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)))
+        ok = arms_ok & ((se2a + se2b) > 0)
+        t = F.when(ok, (ma - mb) / F.sqrt(se2a + se2b))
+        # Welch–Satterthwaite df (fractional, rounded like the
+        # statistic); NULL under the same guard — with both variances 0
+        # the formula is 0/0
+        dfw = F.when(ok, (se2a + se2b) * (se2a + se2b)
+                     / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)))
         return [F.round(t, 6).alias(f"{name}_t"),
                 F.round(dfw, 6).alias(f"{name}_df")]
     if kind == "extended_stats":

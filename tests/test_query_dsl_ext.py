@@ -2462,6 +2462,32 @@ class TestStatTests:
         with pytest.raises(ValueError, match="t_test type"):
             es_search(df, body, id_field="id").collect()
 
+    def test_t_test_degenerate_populations_null(self, spark):
+        # (ADVICE r11) n < 2 per arm or zero variance used to divide by
+        # zero and emit NaN/Infinity — the contract is NULL t and NULL df
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        one = spark.createDataFrame([(1, 3.0, 4.0)],
+                                    "id long, a double, b double")
+        for ttype in ("paired", "homoscedastic", "heteroscedastic"):
+            body = {"size": 0, "aggs": {"tt": {"t_test": {
+                "a": {"field": "a"}, "b": {"field": "b"},
+                "type": ttype}}}}
+            r = es_search(one, body, id_field="id").collect()[0]
+            assert r["tt_t"] is None, ttype
+            assert r["tt_df"] is None, ttype
+        # zero variance with n >= 2: constant columns
+        const = spark.createDataFrame(
+            [(i, 5.0, 7.0) for i in range(4)],
+            "id long, a double, b double")
+        for ttype in ("paired", "homoscedastic", "heteroscedastic"):
+            body = {"size": 0, "aggs": {"tt": {"t_test": {
+                "a": {"field": "a"}, "b": {"field": "b"},
+                "type": ttype}}}}
+            r = es_search(const, body, id_field="id").collect()[0]
+            assert r["tt_t"] is None, ttype
+            assert r["tt_df"] is None, ttype
+
     def test_matrix_stats(self, df):
         from hive2es_offline_spark.plans.query_dsl import es_search
 

@@ -97,3 +97,19 @@ def test_url_dedup_null_urls_all_survive(spark):
     rows = sorted((r["id"], r["canonical_url"], r["url_dup_count"])
                   for r in out.collect())
     assert rows == [(1, None, 1), (2, None, 1), (3, "http://a.com/x", 1)]
+
+
+def test_url_dedup_null_urls_order_col_only_collisions(spark):
+    # (ADVICE r11) with order_col-only usage (or NULL ids) a
+    # value-derived surrogate collides across rows sharing the order
+    # value, silently re-introducing the mass drop — the surrogate is
+    # now per-row unique, so ALL url-less rows survive regardless
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 10), (3, None, 10),
+         (4, "http://a.com/x", 5)],
+        "id long, url string, ts long")
+    out = url_dedup(df, "url", order_col="ts")
+    rows = sorted((r["id"], r["canonical_url"], r["url_dup_count"])
+                  for r in out.collect())
+    assert rows == [(1, None, 1), (2, None, 1), (3, None, 1),
+                    (4, "http://a.com/x", 1)]
