@@ -2723,6 +2723,33 @@ def q_es_ip_range(spark, sf_dir):
     return es_search(logs, body, id_field="o_orderkey")
 
 
+def q_es_rate_normalize(spark, sf_dir):
+    """``rate`` metric + ``normalize`` pipeline aggs (VERDICT r11 #5):
+    the dashboard pair over a monthly date_histogram — revenue per DAY
+    (calendar months vary 28-31 days, so the divisor is start-of-next-
+    bucket minus bucket start, computed on the reduced bucket frame),
+    docs per week, percent-of-total revenue, and doc_count rescaled to
+    [0,1] — all O(buckets) post-aggregation codegen, one groupBy shuffle
+    total (plans/query_dsl.py:_rate_width_units / normalize)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    body = {"size": 0, "aggs": {"months": {
+        "date_histogram": {"field": "o_orderdate",
+                           "calendar_interval": "month"},
+        "aggs": {
+            "rev": {"sum": {"field": "o_totalprice"}},
+            "rev_per_day": {"rate": {"field": "o_totalprice",
+                                     "unit": "day"}},
+            "docs_per_week": {"rate": {"unit": "week"}},
+            "rev_pct": {"normalize": {"buckets_path": "rev",
+                                      "method": "percent_of_sum"}},
+            "dc_01": {"normalize": {"buckets_path": "_count",
+                                    "method": "rescale_0_1"}},
+        }}}}
+    return es_search(o, body, id_field="o_orderkey")
+
+
 #: fixed seed corpus for the token_budget merges table — embedded (not
 #: data-derived) so the learned table and therefore the plan are
 #: deterministic run-to-run
@@ -2923,6 +2950,73 @@ def q_es_match_english(spark, sf_dir):
         "_source": ["doc_id", "source", "n_chars"],
     }
     return es_search(d, body, id_field="doc_id", analyzer="english")
+
+
+#: deterministic French-ish vocabulary for the es_match_folded golden —
+#: accented surface forms, elision articles, and plural/singular pairs so
+#: the folded chain has real work to do; indexed by doc_id arithmetic
+#: identically in both engines
+_FR_WORDS = [
+    "café", "cafe", "châteaux", "château", "chevaux", "l'avion",
+    "personnes", "généreux", "voiture", "maison", "rien", "fromage",
+]
+
+
+def _ensure_folded_fr() -> None:
+    """Register the custom folded-French analyzer used by
+    es_match_folded (idempotent — re-registering a custom name simply
+    overwrites with the same spec)."""
+    from hive2es_offline_spark.plans.analysis import register_analyzer
+
+    register_analyzer(
+        "folded_fr_entry", elision=True, asciifolding=True,
+        stopwords="_french_", stemmer="french")
+
+
+def _fr_text_col():
+    k = F.col("doc_id")
+    return F.concat_ws(
+        " ",
+        F.element_at(F.lit(_FR_WORDS), (k % 12).cast("int") + 1),
+        F.element_at(F.lit(_FR_WORDS),
+                     ((k / F.lit(7)).cast("long") % 12).cast("int") + 1),
+        F.element_at(F.lit(_FR_WORDS), ((k * 3 + 5) % 12).cast("int") + 1),
+    )
+
+
+def _fr_text_sql() -> str:
+    words = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _FR_WORDS) + "]"
+    return (f"({words}[(doc_id % 12) + 1] || ' ' || "
+            f"{words}[((doc_id // 7) % 12) + 1] || ' ' || "
+            f"{words}[(((doc_id * 3) + 5) % 12) + 1])")
+
+
+def q_es_match_folded(spark, sf_dir):
+    """asciifolding + the French chain on the match surface (VERDICT r11
+    #2): a custom analyzer (elision → asciifolding → french stop →
+    minimal french stemmer, plans/analysis.py) lets query "cafe" hit
+    "café" and query "château" hit "châteaux" — accent-blind,
+    plural-blind matching with zero UDFs (translate/replace + the regex
+    rule table, all codegen).  The French text is synthesized
+    deterministically from doc_id with the same arithmetic in both
+    engines; the oracle tokenizes with the machine-generated DuckDB
+    rendering of the SAME chain (one-grammar lockstep)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    _ensure_folded_fr()
+    d = _t(spark, sf_dir, "documents").withColumn("ftext", _fr_text_col())
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"ftext": "cafe châteaux"}}],
+            "filter": [{"range": {"n_chars": {"gte": 150}}}],
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 40,
+        "_source": ["doc_id", "source", "ftext"],
+    }
+    return es_search(d, body, id_field="doc_id",
+                     analyzer="folded_fr_entry")
 
 
 #: scored-search body shared by the query and its docstring: BM25 must
@@ -3668,6 +3762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_field_caps": q_es_field_caps,
         # round-11 surfaces (VERDICT r10 #2-#7 + stats aggs)
         "es_match_english": q_es_match_english,
+        "es_match_folded": q_es_match_folded,
+        "es_rate_normalize": q_es_rate_normalize,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -4459,6 +4555,13 @@ def _goldens_b() -> dict[str, str]:
     _en_terms = _an_text("the merging streams", "english")
     _en_or = " OR ".join(
         f"list_contains({_en_frag}, '{t}')" for t in _en_terms)
+
+    # es_match_folded: same lockstep for the folded-French custom chain
+    _ensure_folded_fr()
+    _fr_frag = _duck_toks("ftext", "folded_fr_entry")
+    _fr_terms = _an_text("cafe châteaux", "folded_fr_entry")
+    _fr_or = " OR ".join(
+        f"list_contains({_fr_frag}, '{t}')" for t in _fr_terms)
     _std_frag = _duck_toks("text")
     _bigrams = (f"list_transform(generate_series(1, len({_std_frag}) - 1), "
                 f"i -> {_std_frag}[i] || ' ' || {_std_frag}[i + 1])")
@@ -4716,6 +4819,39 @@ def _goldens_b() -> dict[str, str]:
               AND n_chars >= 200
             ORDER BY doc_id ASC
             LIMIT 40
+        """,
+        "es_match_folded": f"""
+            SELECT doc_id, source, ftext FROM (
+              SELECT doc_id, source, n_chars, {_fr_text_sql()} AS ftext
+              FROM documents
+            )
+            WHERE ({_fr_or})
+              AND n_chars >= 150
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
+        "es_rate_normalize": """
+            WITH b AS (
+              SELECT date_trunc('month', o_orderdate) AS key,
+                     count(*) AS doc_count,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                          AS DOUBLE) AS rev
+              FROM orders GROUP BY 1
+            ), w AS (
+              SELECT key, doc_count, rev,
+                     date_diff('day', key, key + INTERVAL 1 MONTH) AS days
+              FROM b
+            )
+            SELECT key, doc_count, rev,
+                   round(rev / days, 6) AS rev_per_day,
+                   round(doc_count / (days / 7.0), 6) AS docs_per_week,
+                   round(rev / sum(rev) OVER (), 6) AS rev_pct,
+                   round((doc_count - min(doc_count) OVER ())
+                         / CAST(max(doc_count) OVER ()
+                                - min(doc_count) OVER () AS DOUBLE),
+                         6) AS dc_01
+            FROM w
+            ORDER BY key
         """,
         "map_pivot": """
             SELECT event_id, json_extract_string(props, '$.k') AS k

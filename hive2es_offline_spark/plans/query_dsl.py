@@ -2851,13 +2851,62 @@ def _bucket_key_col(kind: str, bspec: dict) -> Column:
     return F.date_trunc(unit, F.col(field))
 
 
+_RATE_UNIT_SECS = {"second": 1, "minute": 60, "hour": 3600,
+                   "day": 86400, "week": 604800}
+_RATE_CAL_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _rate_width_units(bspec: dict, unit: str | None) -> Column:
+    """Bucket width of a ``date_histogram`` parent expressed in the rate
+    agg's ``unit`` — a plan-time literal for fixed intervals, a
+    key-derived expression for calendar intervals (months/quarters/years
+    vary in length, so the width is start-of-next-bucket minus bucket
+    start, pure codegen over the reduced bucket frame).  Calendar units
+    (month/quarter/year) are only defined against calendar parents of
+    the same family, like ES's rate agg."""
+    if unit is None:
+        return F.lit(1.0)  # per-bucket rate = the plain sum/count
+    fixed = bspec.get("fixed_interval")
+    if fixed is not None:
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)(s|m|h|d)", str(fixed))
+        if not m:
+            raise ValueError(f"unsupported fixed_interval: {fixed}")
+        secs = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600,
+                                  "d": 86400}[m.group(2)]
+        if unit not in _RATE_UNIT_SECS:
+            raise ValueError(
+                f"rate unit {unit!r} needs a calendar parent of the same "
+                "family (fixed intervals support second..week units)")
+        return F.lit(secs / _RATE_UNIT_SECS[unit])
+    cal = bspec.get("calendar_interval", "day")
+    if unit in _RATE_UNIT_SECS:
+        k = F.col("key")
+        cal_u = {"hour": "HOUR", "day": "DAY", "week": "WEEK",
+                 "month": "MONTH", "quarter": "QUARTER",
+                 "year": "YEAR"}[cal]
+        width_secs = (F.unix_timestamp(F.timestamp_add(cal_u, F.lit(1), k))
+                      - F.unix_timestamp(k))
+        return width_secs / F.lit(float(_RATE_UNIT_SECS[unit]))
+    if unit in _RATE_CAL_MONTHS:
+        if cal not in _RATE_CAL_MONTHS:
+            raise ValueError(
+                f"rate unit {unit!r} needs a month/quarter/year calendar "
+                f"parent (got {cal!r})")
+        return F.lit(_RATE_CAL_MONTHS[cal] / _RATE_CAL_MONTHS[unit])
+    raise ValueError(
+        f"unsupported rate unit: {unit!r} "
+        f"(one of {sorted(_RATE_UNIT_SECS) + sorted(_RATE_CAL_MONTHS)})")
+
+
 #: parent pipeline aggregations: compiled over the reduced BUCKET frame
 #: (cardinality = number of buckets), exactly where ES computes them (the
 #: coordinating node's reduce phase) — so the single-partition window they
 #: need is the same O(buckets) work ES does, not a data-scale sort.
 _PIPELINE_KINDS = {
     "derivative", "cumulative_sum", "bucket_script", "bucket_selector",
-    "bucket_sort", "serial_diff", "moving_fn",
+    "bucket_sort", "serial_diff", "moving_fn", "normalize",
 }
 #: sibling pipeline aggregations (computed across a sibling bucket agg's
 #: buckets, declared NEXT TO it, not under it)
@@ -3080,6 +3129,41 @@ def _apply_pipeline_aggs(
             }
             # ES drops buckets where the script is false OR null
             out = out.where(_script_column(pspec["script"], params))
+        elif pkind == "normalize":
+            # ES normalize pipeline agg (round 12): rescale each bucket's
+            # metric against the WHOLE bucket frame — min/max/sum/mean
+            # via unbounded window aggregates over the reduced frame
+            # (O(buckets), the same reduce-phase shape as the rest of
+            # this function; never a data-scale pass)
+            unknown = set(pspec) - {"buckets_path", "method", "format"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported normalize option(s): {sorted(unknown)}")
+            src = _buckets_path_col(pspec["buckets_path"], out.columns)
+            x = src.cast("double")
+            full = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+            method = pspec.get("method")
+            if method == "percent_of_sum":
+                val = x / F.sum(x).over(full)
+            elif method in ("rescale_0_1", "rescale_0_100"):
+                span = F.max(x).over(full) - F.min(x).over(full)
+                val = (x - F.min(x).over(full)) / span
+                if method == "rescale_0_100":
+                    val = val * 100.0
+            elif method == "mean":
+                span = F.max(x).over(full) - F.min(x).over(full)
+                val = (x - F.avg(x).over(full)) / span
+            elif method == "z-score":
+                val = (x - F.avg(x).over(full)) / F.stddev_pop(x).over(full)
+            elif method == "softmax":
+                val = F.exp(x) / F.sum(F.exp(x)).over(full)
+            else:
+                raise ValueError(
+                    f"unsupported normalize method: {method!r} "
+                    "(rescale_0_1 | rescale_0_100 | percent_of_sum | "
+                    "mean | z-score | softmax)")
+            out = out.withColumn(name, F.round(val, 6))
         elif pkind == "bucket_sort":
             sort_cols = _sort_columns(pspec.get("sort"))
             if sort_cols:
@@ -3343,15 +3427,51 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         df = df.where(key.isNotNull())
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     pipes: list[tuple[str, str, dict]] = []
+    rates: list[tuple[str, dict]] = []
     for sub_name, sub_spec in subs.items():
         pk = [(k, v) for k, v in sub_spec.items() if k in _PIPELINE_KINDS]
         if pk:
             (pkind, pspec), = pk
             pipes.append((sub_name, pkind, pspec))
             continue
+        if "rate" in sub_spec:
+            # ES rate agg (round 12): the bucket's sum (or value count,
+            # or doc count without a field) divided by the bucket width
+            # expressed in `unit` — the sum aggregates decimal-routed
+            # like every additive metric; the divide happens on the
+            # reduced bucket frame (_rate_width_units)
+            rspec = sub_spec["rate"]
+            unknown = set(rspec) - {"field", "unit", "mode"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported rate option(s): {sorted(unknown)}")
+            if kind != "date_histogram":
+                raise ValueError("rate requires a date_histogram parent")
+            mode = rspec.get("mode", "sum")
+            if "field" in rspec:
+                c = F.col(rspec["field"])
+                if mode == "value_count":
+                    exprs.append(F.count(c).alias(f"__rnum_{sub_name}"))
+                elif mode == "sum":
+                    exprs.append(
+                        F.sum(c.cast("decimal(28,6)")).cast("double")
+                        .alias(f"__rnum_{sub_name}"))
+                else:
+                    raise ValueError(
+                        f"unsupported rate mode: {mode!r} "
+                        "(sum | value_count)")
+            rates.append((sub_name, rspec))
+            continue
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
         exprs.extend(_metric_exprs(sub_name, mkind, mspec))
     out = df.groupBy(key).agg(*exprs)
+    for sub_name, rspec in rates:
+        num = (F.col(f"__rnum_{sub_name}") if "field" in rspec
+               else F.col("doc_count")).cast("double")
+        width = _rate_width_units(bspec, rspec.get("unit"))
+        out = out.withColumn(sub_name, F.round(num / width, 6))
+        if "field" in rspec:
+            out = out.drop(f"__rnum_{sub_name}")
     if kind in ("geohash_grid", "geotile_grid"):
         if pipes:
             raise ValueError(f"pipeline sub-aggs under {kind} are not "

@@ -2527,3 +2527,112 @@ def test_median_absolute_deviation(spark):
         "aggs": {"mad": {"median_absolute_deviation": {"field": "x"}}}}}}
     with pytest.raises(ValueError, match="top-level"):
         es_search(df, body2, id_field="id").collect()
+
+
+# --- round 12: rate metric + normalize pipeline aggregation ------------------
+
+
+class TestRateNormalize:
+    @pytest.fixture()
+    def df(self, spark):
+        import datetime as dt
+
+        rows = [(1, dt.date(2024, 1, 5), 10.0),
+                (2, dt.date(2024, 1, 20), 20.0),
+                (3, dt.date(2024, 2, 10), 29.0),   # 2024: leap February
+                (4, dt.date(2024, 4, 1), 30.0),
+                (5, dt.date(2024, 4, 15), 30.0),
+                (6, dt.date(2024, 4, 30), 30.0)]
+        return spark.createDataFrame(rows, "id long, d date, v double")
+
+    def test_rate_calendar_widths(self, df):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        body = {"size": 0, "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {
+                "v_day": {"rate": {"field": "v", "unit": "day"}},
+                "docs_week": {"rate": {"unit": "week"}},
+                "v_month": {"rate": {"field": "v", "unit": "month"}},
+                "v_vc": {"rate": {"field": "v", "unit": "day",
+                                  "mode": "value_count"}},
+            }}}}
+        rows = {r["key"].month: r
+                for r in es_search(df, body, id_field="id").collect()}
+        # January: 31 days; February 2024: 29; April: 30
+        assert rows[1]["v_day"] == pytest.approx(30.0 / 31, abs=2e-6)
+        assert rows[2]["v_day"] == pytest.approx(1.0, abs=2e-6)
+        assert rows[4]["v_day"] == pytest.approx(3.0, abs=2e-6)
+        assert rows[1]["docs_week"] == pytest.approx(2 / (31 / 7), abs=2e-6)
+        # unit == parent interval -> the plain sum
+        assert rows[4]["v_month"] == pytest.approx(90.0, abs=2e-6)
+        assert rows[4]["v_vc"] == pytest.approx(3 / 30, abs=2e-6)
+
+    def test_rate_fixed_interval_and_rejects(self, df, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        body = {"size": 0, "aggs": {"m": {
+            "date_histogram": {"field": "d", "fixed_interval": "7d"},
+            "aggs": {"r": {"rate": {"unit": "day"}}}}}}
+        rows = es_search(df, body, id_field="id").collect()
+        # every fixed bucket is exactly 7 days wide
+        assert all(r["r"] == pytest.approx(r["doc_count"] / 7.0, abs=2e-6)
+                   for r in rows)
+        with pytest.raises(ValueError, match="date_histogram parent"):
+            es_search(df, {"size": 0, "aggs": {"m": {
+                "terms": {"field": "id"},
+                "aggs": {"r": {"rate": {"unit": "day"}}}}}},
+                id_field="id").collect()
+        with pytest.raises(ValueError, match="calendar parent"):
+            es_search(df, {"size": 0, "aggs": {"m": {
+                "date_histogram": {"field": "d", "fixed_interval": "7d"},
+                "aggs": {"r": {"rate": {"unit": "month"}}}}}},
+                id_field="id").collect()
+        with pytest.raises(ValueError, match="rate mode"):
+            es_search(df, {"size": 0, "aggs": {"m": {
+                "date_histogram": {"field": "d",
+                                   "calendar_interval": "month"},
+                "aggs": {"r": {"rate": {"field": "v", "mode": "avg"}}}}}},
+                id_field="id").collect()
+
+    def test_normalize_methods(self, df):
+        import math
+
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        body = {"size": 0, "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {
+                "vsum": {"sum": {"field": "v"}},
+                "pct": {"normalize": {"buckets_path": "vsum",
+                                      "method": "percent_of_sum"}},
+                "r01": {"normalize": {"buckets_path": "_count",
+                                      "method": "rescale_0_1"}},
+                "r100": {"normalize": {"buckets_path": "_count",
+                                       "method": "rescale_0_100"}},
+                "z": {"normalize": {"buckets_path": "vsum",
+                                    "method": "z-score"}},
+                "sm": {"normalize": {"buckets_path": "vsum",
+                                     "method": "softmax"}},
+            }}}}
+        rows = {r["key"].month: r
+                for r in es_search(df, body, id_field="id").collect()}
+        sums = {1: 30.0, 2: 29.0, 4: 90.0}
+        total = sum(sums.values())
+        mean = total / 3
+        sd = math.sqrt(sum((s - mean) ** 2 for s in sums.values()) / 3)
+        sm_den = sum(math.exp(s) for s in sums.values())
+        for m, s in sums.items():
+            assert rows[m]["pct"] == pytest.approx(s / total, abs=2e-6)
+            assert rows[m]["z"] == pytest.approx((s - mean) / sd, abs=2e-6)
+            assert rows[m]["sm"] == pytest.approx(
+                math.exp(s) / sm_den, abs=2e-6)
+        assert rows[2]["r01"] == 0.0 and rows[4]["r01"] == 1.0
+        assert rows[1]["r100"] == pytest.approx(50.0, abs=2e-6)
+        with pytest.raises(ValueError, match="normalize method"):
+            es_search(df, {"size": 0, "aggs": {"m": {
+                "date_histogram": {"field": "d",
+                                   "calendar_interval": "month"},
+                "aggs": {"n": {"normalize": {"buckets_path": "_count",
+                                             "method": "rank"}}}}}},
+                id_field="id").collect()
