@@ -2679,6 +2679,55 @@ def q_es_geo_rings(spark, sf_dir):
     return es_search(located, body, id_field="c_custkey")
 
 
+#: geo_shape golden shapes in GeoJSON [lon, lat] order: the _GEO_POLY
+#: quadrilateral as an outer ring with a square hole cut out, a second
+#: disjoint polygon, and an envelope — exercising holes, multipolygon,
+#: and all the relations over one synthesized point set
+_GS_OUTER = [[lo, la] for la, lo in _GEO_POLY] + [[_GEO_POLY[0][1],
+                                                   _GEO_POLY[0][0]]]
+_GS_HOLE = [[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0],
+            [0.0, 0.0]]
+_GS_P2 = [[100.0, -70.0], [140.0, -70.0], [140.0, -40.0], [100.0, -40.0],
+          [100.0, -70.0]]
+_GS_ENVELOPE = [[-10.0, 30.0], [40.0, -20.0]]  # [minLon,maxLat],[maxLon,minLat]
+
+
+def q_es_geo_shape(spark, sf_dir):
+    """geo_shape query (VERDICT r11 #3): envelope, polygon-with-hole and
+    multipolygon shapes with the intersects/within/disjoint relations,
+    evaluated for all three in ONE scan via a filters aggregation (gated
+    counts + sum sub-metric — no per-relation re-scan).  The polygon
+    core is the geo_polygon even-odd ray cast extended with hole
+    subtraction (plans/query_dsl.py::_shape_intersects); the envelope is
+    four pushable comparisons; the oracle re-generates the ray casts
+    from the SAME vertex lists (_raycast_sql)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    c = _t(spark, sf_dir, "customer")
+    located = c.select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    mp = {"type": "multipolygon",
+          "coordinates": [[_GS_OUTER, _GS_HOLE], [_GS_P2]]}
+    poly = {"type": "polygon", "coordinates": [_GS_OUTER, _GS_HOLE]}
+    env = {"type": "envelope", "coordinates": _GS_ENVELOPE}
+    body = {"size": 0, "aggs": {"rels": {
+        "filters": {"filters": {
+            "mp_intersects": {"geo_shape": {"loc": {"shape": mp}}},
+            "env_within": {"geo_shape": {
+                "loc": {"shape": env, "relation": "within"}}},
+            "poly_disjoint": {"geo_shape": {
+                "loc": {"shape": poly, "relation": "disjoint"}}},
+        }},
+        "aggs": {"sum_key": {"sum": {"field": "c_custkey"}}},
+    }}}
+    return es_search(located, body, id_field="c_custkey")
+
+
 def q_es_ip_range(spark, sf_dir):
     """ip fields (VERDICT r10 #5): CIDR term/range matching + ip_range
     aggregation over a synthetic access log (deterministic dotted-quads
@@ -3769,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_join_aggs": q_es_join_aggs,
         "es_percolate": q_es_percolate,
         "es_geo_rings": q_es_geo_rings,
+        "es_geo_shape": q_es_geo_shape,
         "es_ip_range": q_es_ip_range,
         "url_dedup": q_url_dedup,
         "token_budget": q_token_budget,
@@ -4566,6 +4616,19 @@ def _goldens_b() -> dict[str, str]:
     _bigrams = (f"list_transform(generate_series(1, len({_std_frag}) - 1), "
                 f"i -> {_std_frag}[i] || ' ' || {_std_frag}[i + 1])")
 
+    # es_geo_shape: the three relation predicates re-generated from the
+    # SAME GeoJSON vertex lists the Spark clause compiles
+    _in_outer = _raycast_sql([(la, lo) for lo, la in _GS_OUTER[:-1]],
+                             "lat", "lon")
+    _in_hole = _raycast_sql([(la, lo) for lo, la in _GS_HOLE[:-1]],
+                            "lat", "lon")
+    _in_p2 = _raycast_sql([(la, lo) for lo, la in _GS_P2[:-1]],
+                          "lat", "lon")
+    _gs_poly = f"({_in_outer} AND NOT {_in_hole})"
+    (_e_minlon, _e_maxlat), (_e_maxlon, _e_minlat) = _GS_ENVELOPE
+    _gs_env = (f"(lat >= {_e_minlat!r} AND lat <= {_e_maxlat!r} AND "
+               f"lon >= {_e_minlon!r} AND lon <= {_e_maxlon!r})")
+
     # es_geo_rings: ray-cast generated from the same vertex list as the
     # Spark clause; haversine matches q_es_geo's established SQL twin
     _inside = _raycast_sql(_GEO_POLY, "lat", "lon")
@@ -4797,6 +4860,26 @@ def _goldens_b() -> dict[str, str]:
         "url_dedup": _url_dedup_sql,
         "es_ip_range": _ip_range_sql,
         "es_geo_rings": _geo_rings_sql,
+        "es_geo_shape": f"""
+            WITH located AS (
+              SELECT c_custkey,
+                     CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+              FROM customer
+            )
+            SELECT 'mp_intersects' AS key, count(*) AS doc_count,
+                   CAST(sum(CAST(c_custkey AS DECIMAL(28,6))) AS DOUBLE)
+                     AS sum_key
+            FROM located WHERE ({_gs_poly} OR {_in_p2})
+            UNION ALL
+            SELECT 'env_within', count(*),
+                   CAST(sum(CAST(c_custkey AS DECIMAL(28,6))) AS DOUBLE)
+            FROM located WHERE {_gs_env}
+            UNION ALL
+            SELECT 'poly_disjoint', count(*),
+                   CAST(sum(CAST(c_custkey AS DECIMAL(28,6))) AS DOUBLE)
+            FROM located WHERE NOT {_gs_poly}
+        """,
         "es_percolate": f"""
             SELECT doc_id, query_id FROM (
               SELECT doc_id, 'alert-merge' AS query_id FROM documents

@@ -175,3 +175,94 @@ def test_geo_distance_agg_rings(spark):
         es_search(df, {"size": 0, "aggs": {"r": {"geo_distance": {
             "field": "loc", "origin": "0,0", "unit": "ft",
             "ranges": [{"to": 1}]}}}}, id_field="id").collect()
+
+
+class TestGeoShape:
+    """geo_shape query over point fields (VERDICT r11 #3): GeoJSON
+    shapes ([lon, lat] order), holes, multipolygon, four relations."""
+
+    @pytest.fixture()
+    def pts(self, spark):
+        rows = [
+            (1, 1.0, 1.0),    # inside outer ring, outside the hole
+            (2, 2.5, 2.5),    # inside the hole
+            (3, 9.0, 9.0),    # outside everything
+            (4, None, 2.0),   # NULL lat
+            (5, 5.0, 5.0),    # inside the second polygon only
+        ]
+        return spark.createDataFrame(
+            [(i, {"lat": a, "lon": b}) for i, a, b in rows],
+            "id long, pt struct<lat:double,lon:double>")
+
+    POLY = {"type": "polygon", "coordinates": [
+        [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+        [[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]],      # hole
+    ]}
+    MULTI = {"type": "multipolygon", "coordinates": [
+        POLY["coordinates"],
+        [[[4.5, 4.5], [6, 4.5], [6, 6], [4.5, 6], [4.5, 4.5]]],
+    ]}
+
+    def ids(self, df, q):
+        from pyspark.sql import functions as F
+
+        from hive2es_offline_spark.plans.query_dsl import compile_query
+
+        return [r["id"] for r in df.where(
+            F.coalesce(compile_query(q, "id"), F.lit(False)))
+            .orderBy("id").collect()]
+
+    def test_relations_holes_multipolygon(self, pts):
+        gs = lambda sh, rel=None: {"geo_shape": {"pt": {  # noqa: E731
+            "shape": sh, **({"relation": rel} if rel else {})}}}
+        # the hole excludes id 2; within == intersects for points
+        assert self.ids(pts, gs(self.POLY)) == [1]
+        assert self.ids(pts, gs(self.POLY, "within")) == [1]
+        # disjoint is the strict negation; NULL coords never match
+        assert self.ids(pts, gs(self.POLY, "disjoint")) == [2, 3, 5]
+        assert self.ids(pts, gs(self.MULTI)) == [1, 5]
+        env = {"type": "envelope", "coordinates": [[0, 4], [4, 0]]}
+        assert self.ids(pts, gs(env)) == [1, 2]
+        # contains: only a Point query shape can be contained by a point
+        pt_shape = {"type": "point", "coordinates": [5.0, 5.0]}
+        assert self.ids(pts, gs(pt_shape, "contains")) == [5]
+        assert self.ids(pts, gs(self.POLY, "contains")) == []
+
+    def test_rejects(self, pts):
+        with pytest.raises(ValueError, match="geo_shape type"):
+            self.ids(pts, {"geo_shape": {"pt": {"shape": {
+                "type": "circle", "coordinates": [0, 0]}}}})
+        with pytest.raises(ValueError, match="dateline"):
+            self.ids(pts, {"geo_shape": {"pt": {"shape": {
+                "type": "envelope", "coordinates": [[170, 4], [-170, 0]]}}}})
+        with pytest.raises(ValueError, match="relation"):
+            self.ids(pts, {"geo_shape": {"pt": {
+                "shape": self.POLY, "relation": "crosses"}}})
+        with pytest.raises(ValueError, match="at least 3"):
+            self.ids(pts, {"geo_shape": {"pt": {"shape": {
+                "type": "polygon",
+                "coordinates": [[[0, 0], [1, 1], [0, 0]]]}}}})
+        with pytest.raises(ValueError, match="option"):
+            self.ids(pts, {"geo_shape": {"pt": {
+                "shape": self.POLY, "strategy": "recursive"}}})
+
+    def test_envelope_pushes_to_parquet(self, spark, tmp_path):
+        # the envelope compiles to four plain comparisons on the struct
+        # fields — they must reach the parquet scan as PushedFilters
+        from pyspark.sql import functions as F
+
+        from hive2es_offline_spark.plans.query_dsl import compile_query
+
+        p = str(tmp_path / "pts.parquet")
+        spark.createDataFrame(
+            [(i, {"lat": float(i), "lon": float(i)}) for i in range(100)],
+            "id long, pt struct<lat:double,lon:double>"
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        q = {"geo_shape": {"pt": {"shape": {
+            "type": "envelope", "coordinates": [[10, 20], [20, 10]]}}}}
+        plan = df.where(compile_query(q, "id"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "PushedFilters: [" in plan
+        # struct-field pushdown renders as pt.lat / pt.lon predicates
+        assert "pt.lat" in plan and "pt.lon" in plan, plan
