@@ -2772,6 +2772,52 @@ def q_es_ip_range(spark, sf_dir):
     return es_search(logs, body, id_field="o_orderkey")
 
 
+def q_image_dedup(spark, sf_dir):
+    """Image perceptual near-dup (VERDICT r11 #4): 64-bit dHash (32
+    horizontal + 32 vertical block-mean gradient bits) over REAL decoded
+    pixels, hamming-blocked candidate pairs via the simhash pigeonhole
+    shape, connected components for clusters
+    (operators/multimodal.py::dhash_images, dedup.py::image_dedup).
+    The fixture synthesizes gradient images in groups of ~8 — identical
+    PNGs within a group (exact-hash collapse) with every third member
+    RE-ENCODED as a baseline JPEG through the real codec (near-dup edge:
+    same pixels, different container + DCT loss).  Rows-only by design:
+    the decode/hash pass is an Arrow mapInPandas, not SQL-expressible;
+    determinism (component = min doc_id, fixed hash function) is
+    unit-pinned in tests/test_image_dedup.py."""
+    import pandas as pd
+
+    from hive2es_offline_spark.operators.dedup import image_dedup
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 240).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from hive2es_offline_spark.operators.jpeg import encode_jpeg
+        from hive2es_offline_spark.operators.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 30  # ~8 docs per image group at 240 docs
+                # per-group gradient: direction and slope vary by group
+                ramp = np.linspace(10 + 3 * g, 240 - 2 * g, 32,
+                                   dtype=np.uint8)
+                px = (np.tile(ramp, (32, 1)) if g % 2 == 0
+                      else np.tile(ramp[:, None], (1, 32)))
+                img = np.stack([px, np.roll(px, g, axis=1), px], axis=2)
+                payloads.append(encode_jpeg(img) if did % 3 == 0
+                                else encode_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+
+    imgs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return image_dedup(imgs)
+
+
 def q_es_rate_normalize(spark, sf_dir):
     """``rate`` metric + ``normalize`` pipeline aggs (VERDICT r11 #5):
     the dashboard pair over a monthly date_histogram — revenue per DAY
@@ -3813,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match_english": q_es_match_english,
         "es_match_folded": q_es_match_folded,
         "es_rate_normalize": q_es_rate_normalize,
+        "image_dedup": q_image_dedup,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,

@@ -820,3 +820,95 @@ def repeated_ngram_scrub(
         .withColumn("tokens_removed", F.size(toks) - F.size(kept))
         .drop("_starts")
     )
+
+
+# ---------------------------------------------------------------------------
+# image perceptual near-dup (dHash, VERDICT r11 #4)
+# ---------------------------------------------------------------------------
+
+
+def image_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Perceptual near-duplicate image clusters: one row per input image
+    with its 64-bit dHash, decode status, and ``component`` (the minimum
+    id of its duplicate cluster; undecodable and singleton images are
+    their own component).
+
+    Scale shape, in order:
+
+    1. ``dhash_images`` — one Arrow mapInPandas pass; after it only
+       (id, 64-bit hash) rows move, never pixels.
+    2. EXACT collapse first: identical hashes group on the 8-byte key
+       (solid colors, straight re-encodes) and elect a representative —
+       the near-dup join then runs over DISTINCT hashes only, so a
+       million byte-identical thumbnails contribute ONE row to the pair
+       join instead of a quadratic hot bucket.
+    3. Pigeonhole blocking over the distinct hashes (the dedup_simhash
+       machinery shape): with ``num_chunks`` chunks of ``64//num_chunks``
+       bits, any pair within hamming ``num_chunks - 1`` shares a chunk,
+       so the self-join keys on (chunk_index, chunk_value) — never
+       all-pairs.  ``max_hamming`` above that bound trades recall for the
+       same join shape; ``max_bucket_size`` star-caps pathological chunk
+       buckets (hashes beyond the cap keep exact-collapse semantics but
+       may miss near-dup edges — the df-cap recall trade documented on
+       ngram_jaccard_pairs).
+    4. ``connected_components`` over hash-level edges (O(distinct-hash)
+       graph), then one join maps every image to its hash's component.
+    """
+    from .multimodal import dhash_images
+
+    chunk_bits = 64 // num_chunks
+    if chunk_bits * num_chunks != 64:
+        raise ValueError("num_chunks must divide 64")
+    hashed = dhash_images(df, id_col, payload_col)
+    ok = hashed.where(F.col("dhash").isNotNull())
+    # 2. exact collapse: representative id per distinct hash
+    reps = ok.groupBy("dhash").agg(F.min("doc_id").alias("_rep"))
+    # 3. pigeonhole blocking over distinct hashes
+    mask = (1 << chunk_bits) - 1
+    blocked = reps.select(
+        "_rep", "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned(F.col("dhash"), i * chunk_bits)
+                 .bitwiseAND(F.lit(mask)).alias("cv"),
+            ) for i in range(num_chunks)
+        ])).alias("_c"),
+    ).select("_rep", "dhash", "_c.ci", "_c.cv")
+    if max_bucket_size:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("ci", "cv").orderBy("_rep")
+        blocked = (blocked.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") <= max_bucket_size).drop("_rn"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    pairs = (
+        a.join(b, on=[F.col("a.ci") == F.col("b.ci"),
+                      F.col("a.cv") == F.col("b.cv"),
+                      F.col("a._rep") < F.col("b._rep")])
+        .where(hamming <= max_hamming)
+        .select(F.col("a._rep").alias("id_a"),
+                F.col("b._rep").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # 4. hash-level components, mapped back through the hash
+    comp = connected_components(pairs)
+    rep_comp = reps.join(
+        comp, reps._rep == comp.id, "left"
+    ).select(
+        "dhash", F.coalesce("component", "_rep").alias("component"))
+    return (
+        hashed.join(rep_comp, "dhash", "left")
+        .select(
+            "doc_id", "dhash", "decode_status",
+            F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
