@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling operators)
 from pyspark.sql import types as T
 
-__all__ = ["learn_bpe", "BPEncoder", "with_exact_bpe"]
+__all__ = ["learn_bpe", "BPEncoder", "with_exact_bpe",
+           "learn_unigram", "UnigramEncoder", "with_exact_unigram"]
 
 _EOW = "</w>"
 
@@ -190,6 +191,164 @@ def with_exact_bpe(
 
     def encode_batches(it):
         enc = BPEncoder(b_merges.value)
+        for pdf in it:
+            pdf[out_col] = [enc.count(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) exact token counting — VERDICT r11 #6
+# ---------------------------------------------------------------------------
+
+
+class UnigramEncoder:
+    """SentencePiece-style unigram language-model segmentation (Kudo
+    2018, "Subword Regularization"): given a piece vocabulary with log
+    probabilities, Viterbi-segment each word into its maximum-log-prob
+    piece sequence.  Deterministic tie-break: on equal scores the LONGER
+    last piece wins (then the lexicographically smaller one), so corpus
+    and budget counts never depend on dict order.  Unknown single
+    characters fall back to ``unk_logp`` so every word is segmentable —
+    the SentencePiece UNK convention.  Pre-tokenization is whitespace
+    splitting like :class:`BPEncoder` (no ``▁`` word-boundary marker:
+    counts are per-word exact and words rejoin by construction)."""
+
+    def __init__(self, vocab: dict[str, float], unk_logp: float = -20.0,
+                 cache_size: int = 65536):
+        if not vocab:
+            raise ValueError("unigram vocab is empty")
+        bad = [p for p, lp in vocab.items() if not p or lp > 0.0]
+        if bad:
+            raise ValueError(
+                f"unigram vocab pieces must be non-empty with logprob <= 0: "
+                f"{bad[:3]!r}")
+        self.vocab = dict(vocab)
+        self.unk_logp = float(unk_logp)
+        self.max_len = max(len(p) for p in vocab)
+        self._cache: dict[str, list[str]] = {}
+        self._cache_size = cache_size
+
+    def encode_word(self, word: str) -> list[str]:
+        cached = self._cache.get(word)
+        if cached is not None:
+            return cached
+        n = len(word)
+        NEG = float("-inf")
+        # best[i] = (score, start_of_last_piece) for word[:i]
+        best: list[tuple[float, int]] = [(NEG, -1)] * (n + 1)
+        best[0] = (0.0, 0)
+        for i in range(1, n + 1):
+            bscore, bj = NEG, -1
+            for j in range(max(0, i - self.max_len), i):
+                prev = best[j][0]
+                if prev == NEG:
+                    continue
+                piece = word[j:i]
+                lp = self.vocab.get(piece)
+                if lp is None:
+                    if i - j > 1:
+                        continue
+                    lp = self.unk_logp
+                score = prev + lp
+                # strict > : among equal scores the SMALLEST j (longest
+                # last piece) wins because j ascends and we keep the first
+                if score > bscore:
+                    bscore, bj = score, j
+            best[i] = (bscore, bj)
+        out: list[str] = []
+        i = n
+        while i > 0:
+            j = best[i][1]
+            out.append(word[j:i])
+            i = j
+        out.reverse()
+        if len(self._cache) < self._cache_size:
+            self._cache[word] = out
+        return out
+
+    def encode(self, text) -> list[str]:
+        pieces: list[str] = []
+        for w in str(text or "").split():
+            pieces.extend(self.encode_word(w))
+        return pieces
+
+    def count(self, text) -> int:
+        if text is None:
+            return 0
+        return sum(len(self.encode_word(w)) for w in str(text).split())
+
+
+def learn_unigram(
+    texts,
+    vocab_size: int,
+    max_piece_len: int = 8,
+    em_rounds: int = 2,
+) -> dict[str, float]:
+    """Learn a unigram piece vocabulary with log probabilities —
+    deliberately the SIMPLE hard-EM variant (real SentencePiece runs
+    soft EM with forward-backward expectations and iterative pruning;
+    this keeps the same interface and determinism for fixtures and
+    reference corpora): seed with every substring up to
+    ``max_piece_len`` weighted by frequency x length, then alternate
+    Viterbi-segment (E) / re-estimate piece log-frequencies (M),
+    pruning to ``vocab_size`` while ALWAYS keeping single characters
+    (segmentability guarantee).  Deterministic: ties break on (count,
+    piece) everywhere."""
+    import math
+
+    words = Counter()
+    for t in texts:
+        words.update(str(t or "").split())
+    if not words:
+        raise ValueError("empty corpus")
+    chars = {c for w in words for c in w}
+    cand: Counter = Counter()
+    for w, n in words.items():
+        for i in range(len(w)):
+            for L in range(1, min(max_piece_len, len(w) - i) + 1):
+                cand[w[i:i + L]] += n
+    # seed scores: frequency x length favors long reusable pieces
+    seed = sorted(cand.items(),
+                  key=lambda kv: (-kv[1] * len(kv[0]), kv[0]))
+    keep = {p for p, _ in seed[:max(vocab_size * 3, len(chars))]} | chars
+    total = sum(cand[p] for p in keep)
+    vocab = {p: math.log(cand[p] / total) for p in keep}
+    for _ in range(max(em_rounds, 1)):
+        enc = UnigramEncoder(vocab)
+        use: Counter = Counter()
+        for w, n in words.items():
+            for piece in enc.encode_word(w):
+                use[piece] += n
+        ranked = sorted(use.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = [p for p, _ in ranked if p in vocab][:vocab_size]
+        kept_set = set(kept) | chars
+        tot = sum(use.get(p, 1) for p in kept_set)
+        vocab = {p: math.log(use.get(p, 1) / tot) for p in kept_set}
+    return vocab
+
+
+def with_exact_unigram(
+    df: DataFrame,
+    vocab: dict[str, float],
+    text_col: str = "text",
+    out_col: str = "n_unigram_exact",
+    unk_logp: float = -20.0,
+) -> DataFrame:
+    """Add the exact unigram-LM token count of ``text_col`` as
+    ``out_col`` — the same scale shape as :func:`with_exact_bpe`: the
+    vocab+logprob table broadcasts once (~100 KB), one executor-cached
+    encoder, ONE Arrow-batched ``mapInPandas`` pass with the per-word
+    LRU, no shuffle.  Same documented cost split: final budget
+    accounting, not a hot-path gate."""
+    sc = df.sparkSession.sparkContext
+    b_vocab = sc.broadcast(dict(vocab))
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def encode_batches(it):
+        enc = UnigramEncoder(b_vocab.value, unk_logp=unk_logp)
         for pdf in it:
             pdf[out_col] = [enc.count(t) for t in pdf[text_col]]
             yield pdf

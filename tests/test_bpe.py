@@ -82,3 +82,88 @@ def test_with_exact_bpe_no_shuffle(spark):
     plan = with_exact_bpe(df, MERGES)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+class TestUnigram:
+    """SentencePiece-style unigram-LM segmentation (VERDICT r11 #6) —
+    hand-computed Viterbi goldens + the Spark broadcast pass."""
+
+    def test_viterbi_hand_computed(self):
+        import math
+
+        from hive2es_offline_spark.operators.bpe import UnigramEncoder
+
+        v = {"hello": math.log(0.30), "hell": math.log(0.10),
+             "he": math.log(0.10), "llo": math.log(0.20),
+             "o": math.log(0.10), "l": math.log(0.05),
+             "h": math.log(0.02), "e": math.log(0.02)}
+        enc = UnigramEncoder(v)
+        # log(0.30) = -1.20 beats he+llo = -2.30+-1.61 = -3.91
+        assert enc.encode_word("hello") == ["hello"]
+        assert enc.encode_word("helloo") == ["hello", "o"]
+        # unknown char falls back to the UNK penalty, never fails
+        assert enc.encode_word("xhello") == ["x", "hello"]
+        assert enc.encode("hello hello") == ["hello", "hello"]
+        assert enc.count("hello helloo x") == 4
+        assert enc.count(None) == 0
+
+    def test_viterbi_prefers_higher_logprob_not_fewer_pieces(self):
+        import math
+
+        from hive2es_offline_spark.operators.bpe import UnigramEncoder
+
+        # "ab" exists but is so improbable that a+b scores higher:
+        # log(.001) = -6.9 < log(.4)+log(.4) = -1.83
+        v = {"ab": math.log(0.001), "a": math.log(0.4), "b": math.log(0.4)}
+        assert UnigramEncoder(v).encode_word("ab") == ["a", "b"]
+        # and the reverse when the piece is probable
+        v2 = {"ab": math.log(0.5), "a": math.log(0.1), "b": math.log(0.1)}
+        assert UnigramEncoder(v2).encode_word("ab") == ["ab"]
+
+    def test_rejects_bad_vocab(self):
+        import math
+
+        import pytest as _pytest
+
+        from hive2es_offline_spark.operators.bpe import UnigramEncoder
+
+        with _pytest.raises(ValueError, match="empty"):
+            UnigramEncoder({})
+        with _pytest.raises(ValueError, match="logprob"):
+            UnigramEncoder({"a": 0.5})
+        with _pytest.raises(ValueError, match="logprob"):
+            UnigramEncoder({"": math.log(0.5)})
+
+    def test_learn_unigram_segments_its_corpus(self):
+        from hive2es_offline_spark.operators.bpe import (
+            UnigramEncoder,
+            learn_unigram,
+        )
+
+        corpus = ["the cat sat on the mat", "the cat ran to the mat"]
+        vocab = learn_unigram(corpus, 24)
+        enc = UnigramEncoder(vocab)
+        # frequent whole words become single pieces
+        assert enc.encode_word("the") == ["the"]
+        assert enc.encode_word("cat") == ["cat"]
+        # learner is deterministic
+        assert vocab == learn_unigram(corpus, 24)
+
+    def test_spark_pass_matches_driver_counts(self, spark):
+        from hive2es_offline_spark.operators.bpe import (
+            UnigramEncoder,
+            learn_unigram,
+            with_exact_unigram,
+        )
+
+        corpus = ["streams merge into sorted runs",
+                  "the scanner reads rows"]
+        vocab = learn_unigram(corpus, 48)
+        enc = UnigramEncoder(vocab)
+        rows = [(i, t) for i, t in enumerate(
+            corpus + ["unseen words zz", None, ""])]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["n_unigram_exact"]
+               for r in with_exact_unigram(df, vocab).collect()}
+        for i, t in rows:
+            assert got[i] == enc.count(t), (i, t)
