@@ -3212,8 +3212,6 @@ def q_es_multi_match_types(spark, sf_dir):
     fields), and bool_prefix (per-field match_bool_prefix, summed).
     See plans/scoring.py; the filter-context twins live in
     plans/query_dsl.py."""
-    from hive2es_offline_spark.plans.scoring import es_scored_search
-
     d = _t(spark, sf_dir, "documents")
     bodies = [
         ("best_fields", {"query": {"multi_match": {
@@ -3241,15 +3239,20 @@ def q_es_multi_match_types(spark, sf_dir):
             "type": "bool_prefix"}},
             "size": 5, "_source": ["doc_id"]}),
     ]
-    parts = [
-        es_scored_search(d, body, id_field="doc_id").select(
-            F.lit(label).alias("mm_type"), "doc_id", "_score")
-        for label, body in bodies
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # routed through the scored multi-search so the six arms SHARE one
+    # tokenize per scored field (with_shared_analysis, VERDICT r11 #7)
+    # instead of re-analyzing text/source per arm; results identical to
+    # six independent es_scored_search calls (plan-asserted in
+    # tests/test_scoring.py)
+    from hive2es_offline_spark.plans.query_dsl import es_msearch
+
+    labels = [label for label, _ in bodies]
+    res = es_msearch(d, [b for _, b in bodies], id_field="doc_id",
+                     scored=True)
+    return res.select(
+        F.element_at(F.lit(labels), F.col("request_index") + 1)
+         .alias("mm_type"),
+        "doc_id", "_score")
 
 
 def q_es_parent_child(spark, sf_dir):

@@ -570,6 +570,49 @@ def using(analyzer: str | None):
         _default = prev
 
 
+_pre_fields: dict[str, str] = {}
+_pre_analyzer: str | None = None
+
+
+@contextmanager
+def preanalyzed(mapping: dict[str, str], analyzer: str | None = None):
+    """Install field → materialized-token-column overrides for the
+    duration of a plan build (the multi-query tokenize-sharing surface,
+    VERDICT r11 #7): while active, compile sites that need a field's
+    FULL-CHAIN token stream read the named column instead of
+    re-tokenizing.  The override records the analyzer it was built
+    under; ``preanalyzed_stream`` returns None on mismatch, so a nested
+    ``using()`` scope with a different grammar can never silently read
+    stale tokens.  Same driver-side single-threaded caveat as
+    ``using()``."""
+    global _pre_fields, _pre_analyzer
+    prev, prev_a = _pre_fields, _pre_analyzer
+    _pre_fields, _pre_analyzer = dict(mapping), (analyzer or _default)
+    try:
+        yield
+    finally:
+        _pre_fields, _pre_analyzer = prev, prev_a
+
+
+def preanalyzed_stream(
+    field: str, *, positions: bool = False, analyzer: str | None = None
+) -> Column | None:
+    """The materialized full-chain token column for ``field`` under the
+    active :func:`preanalyzed` scope, or None (caller tokenizes inline).
+    ``positions=True`` additionally requires a PLAIN chain: the
+    positions engines consume the pre-stem stream, which equals the
+    full-chain output only when no token filters apply."""
+    name = _pre_fields.get(field)
+    if name is None:
+        return None
+    a = analyzer or _default
+    if a != _pre_analyzer:
+        return None
+    if positions and not plain_chain(a):
+        return None
+    return F.col(name)
+
+
 def _tokenize_col(col: Column, tokenizer: str) -> Column:
     if tokenizer == "standard":
         return F.regexp_extract_all(F.lower(col), F.lit(_JAVA_TOKEN), 0)

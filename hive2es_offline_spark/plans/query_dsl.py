@@ -130,6 +130,15 @@ def _analyze(col: Column) -> Column:
     return analyze_col(col)
 
 
+def _pre_stream(field: str, *, positions: bool = False):
+    """Materialized shared-analysis stream for ``field`` if a
+    ``preanalyzed`` scope is active (plans/analysis.py) — None means
+    tokenize inline as usual."""
+    from .analysis import preanalyzed_stream
+
+    return preanalyzed_stream(field, positions=positions)
+
+
 def _analyze_terms(text: str) -> list[str]:
     """Driver-side twin of ``_analyze`` for query strings."""
     from .analysis import analyze_text
@@ -1529,7 +1538,13 @@ def compile_query(
             # match_all (pre-r10 the engine silently did "all")
             return _zero_terms_result(spec)
         fuzz = spec.get("fuzziness") if isinstance(spec, dict) else None
-        if fuzz is None and not _plain_chain():
+        pre = _pre_stream(field)
+        if pre is not None and fuzz is None:
+            # shared-analysis override (VERDICT r11 #7): the frame
+            # carries this field's materialized full-chain stream —
+            # membership semantics are identical, zero re-tokenize
+            toks = pre
+        elif fuzz is None and not _plain_chain():
             # membership fast path for filter chains: prune the token
             # array by the stem-prefix invariant BEFORE the six stemmer
             # passes (14× on a 1M-doc english match — probe_round11).
@@ -1611,7 +1626,9 @@ def compile_query(
         # sloppy or filter-chain matching needs positions
         if not _plain_chain():
             return _chain_phrase_predicate(col(field), terms, slop)
-        return _phrase_predicate(_analyze(col(field)), terms, slop)
+        pre = _pre_stream(field, positions=True)
+        return _phrase_predicate(
+            pre if pre is not None else _analyze(col(field)), terms, slop)
     if kind == "match_phrase_prefix":
         # phrase whose LAST term is a prefix (search-as-you-type): the
         # first n-1 analyzed tokens match exactly and the window's nth
@@ -1633,8 +1650,10 @@ def compile_query(
         if not _plain_chain():
             return _chain_phrase_predicate(col(field), terms, slop,
                                            last_is_prefix=True)
-        return _phrase_predicate(_analyze(col(field)), terms, slop,
-                                 last_is_prefix=True)
+        pre = _pre_stream(field, positions=True)
+        return _phrase_predicate(
+            pre if pre is not None else _analyze(col(field)), terms, slop,
+            last_is_prefix=True)
     if kind == "match_bool_prefix":
         # search-as-you-type: every analyzed term except the last is an
         # exact token match; the LAST is a prefix over the analyzed
@@ -1672,7 +1691,9 @@ def compile_query(
             return out
 
         # the analyzed stream evaluates once per row, not once per term
-        return _let_cols([_analyze(col(field))], bool_prefix)
+        pre = _pre_stream(field)
+        return _let_cols(
+            [pre if pre is not None else _analyze(col(field))], bool_prefix)
     if kind == "intervals":
         # the modern position-aware API over the span engine: match /
         # prefix / all_of / any_of with ordered + max_gaps (see
@@ -4376,15 +4397,58 @@ def es_msearch(
     bodies = list(bodies)
     if not bodies:
         raise ValueError("_msearch needs at least one body")
-    outs = []
-    for i, b in enumerate(bodies):
-        if scored:
-            from .scoring import es_scored_search
+    if scored and len(bodies) > 1:
+        # shared analysis across the request's score trees (VERDICT r11
+        # #7): N scored bodies each re-tokenize every scored field — the
+        # term-map builders read a materialized __analyzed__<field>
+        # column instead when the frame carries one, so the tokenize
+        # runs ONCE per field for the whole request (checkpointed; see
+        # with_shared_analysis).  Field discovery walks each body's
+        # normalized clause tree with the same collector the score
+        # compiler uses; any body the collector cannot digest here
+        # (lookup forms that need expansion, unsupported sugar) simply
+        # disables the sharing — the per-body compile below remains the
+        # correctness path.
+        from .analysis import using
+        from .scoring import _normalize, _ScoreCompiler, with_shared_analysis
 
-            r = es_scored_search(df, b, id_field, analyzer=analyzer)
-        else:
-            r = es_search(df, b, id_field, analyzer=analyzer)
-        outs.append(r.select(F.lit(i).alias("request_index"), "*"))
+        fields: set[str] = set()
+        try:
+            for b in bodies:
+                comp = _ScoreCompiler(id_field)
+                comp.collect(_normalize(b.get("query", {"match_all": {}})))
+                fields.update(f for f, ts in comp.field_terms.items() if ts)
+                fields.update(f for flds, _ in comp.xf_groups for f in flds)
+                fields.update(f for flds, _, _ in comp.cf_groups
+                              for f in flds)
+        except Exception:
+            fields = set()
+        if fields:
+            with using(analyzer):
+                df = with_shared_analysis(df, fields)
+    from contextlib import nullcontext
+
+    if scored and len(bodies) > 1:
+        from .scoring import shared_tsmaps
+
+        tsmap_scope = shared_tsmaps()
+    else:
+        tsmap_scope = nullcontext()
+    outs = []
+    with tsmap_scope:
+        for i, b in enumerate(bodies):
+            if scored:
+                from .scoring import es_scored_search
+
+                r = es_scored_search(df, b, id_field, analyzer=analyzer)
+            else:
+                r = es_search(df, b, id_field, analyzer=analyzer)
+            # a body without _source projects *, which must not leak the
+            # materialized shared-analysis columns into the result
+            # contract
+            r = r.drop(*[c for c in r.columns
+                         if c.startswith("__analyzed__")])
+            outs.append(r.select(F.lit(i).alias("request_index"), "*"))
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o, allowMissingColumns=True)

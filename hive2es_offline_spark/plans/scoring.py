@@ -59,11 +59,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from .analysis import analyze_col
 from .analysis import analyze_text as _analyze_terms
 from .query_dsl import compile_query
 
-__all__ = ["es_scored_search", "score_frame"]
+__all__ = ["es_scored_search", "score_frame", "with_shared_analysis"]
 
 #: clauses that score as the constant 1.0 when they match (ES's
 #: filter-to-query rewrite wraps them in a constant score)
@@ -250,8 +252,12 @@ class _ScoreCompiler:
             if not terms:
                 return F.when(pred, F.lit(boost)).otherwise(F.lit(0.0))
             full = list(dict.fromkeys(terms[:-1]))
-            toks = F.coalesce(analyze_col(F.col(field)),
-                              F.lit([]).cast("array<string>"))
+            from .analysis import preanalyzed_stream
+
+            pre = preanalyzed_stream(field)
+            toks = F.coalesce(
+                pre if pre is not None else analyze_col(F.col(field)),
+                F.lit([]).cast("array<string>"))
             last = terms[-1]
             prefix = F.exists(toks, lambda x: x.startswith(last))
             score = (self._bm25_terms(field, full)
@@ -892,6 +898,63 @@ def _random_score(spec: dict) -> Column:
     return F.round(h / mod, 6)
 
 
+#: marker prefix for materialized shared-analysis token columns
+ANALYZED_PREFIX = "__analyzed__"
+
+
+def _toks_expr(frame: DataFrame, field: str) -> Column:
+    """Full-chain token stream for ``field`` over ``frame`` — reads the
+    materialized shared-analysis column when the frame carries one
+    (``with_shared_analysis``), else tokenizes inline.  NULL text
+    coalesces to the empty token list either way — F.size(NULL) is -1,
+    which would poison avgdl for the whole corpus."""
+    pre = ANALYZED_PREFIX + field
+    base = (F.col(pre) if pre in frame.columns
+            else analyze_col(F.col(field)))
+    return F.coalesce(base, F.lit([]).cast("array<string>"))
+
+
+def with_shared_analysis(df: DataFrame, fields) -> DataFrame:
+    """Materialize each field's analyzed token stream ONCE as a
+    ``__analyzed__<field>`` column and localCheckpoint the frame — the
+    multi-query tokenize-sharing surface (VERDICT r11 #7): N scored
+    searches over the same corpus each re-tokenize every scored field,
+    and higher-order let-binding cannot share work across separate
+    aggregates.  Checkpointing trades memory (token arrays ≈ corpus
+    text size, spillable) for tokenizing each field exactly once no
+    matter how many score trees read it; the term-map builders pick the
+    columns up via ``_toks_expr``.  Build it under the SAME analyzer
+    scope as the queries that will consume it."""
+    out = df
+    for f in sorted(set(fields)):
+        out = out.withColumn(ANALYZED_PREFIX + f, analyze_col(F.col(f)))
+    return out.localCheckpoint(eager=False)
+
+
+#: cross-query term-map cache, active inside ``shared_tsmaps()`` —
+#: multiple bodies in one scored _msearch often score the SAME terms on
+#: the SAME field (best_fields vs most_fields differ only in how the
+#: partials combine), and without sharing each body rebuilds the
+#: identical aggregate+join frame
+_tsmap_cache: dict | None = None
+
+
+@contextmanager
+def shared_tsmaps():
+    """Scope a cache of ``_term_score_map`` frames across several scored
+    plan builds (es_msearch).  Cached frames are localCheckpointed so
+    reuse is PHYSICAL — the second consumer reads the materialized map
+    instead of re-running the aggregate.  Driver-side single-threaded
+    like the analyzer scopes."""
+    global _tsmap_cache
+    prev = _tsmap_cache
+    _tsmap_cache = {}
+    try:
+        yield
+    finally:
+        _tsmap_cache = prev
+
+
 def _term_score_map(df: DataFrame, id_field: str, field: str,
                     terms: set[str], k1: float, b: float,
                     stats_over: DataFrame | None = None) -> DataFrame:
@@ -906,12 +969,16 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
     window frame, the corpus contributes ONE 1-row broadcast aggregate
     (N, avgdl, and each query term's doc frequency as array_contains
     sums) and the per-doc join is ≤ window rows."""
-    # NULL text coalesces to the empty token list — F.size(NULL) is -1,
-    # which would poison avgdl for the whole corpus
-    toks = F.coalesce(
-        analyze_col(F.col(field)),
-        F.lit([]).cast("array<string>"),
-    )
+    from .analysis import current_analyzer
+
+    cache_key = None
+    if _tsmap_cache is not None and stats_over is None:
+        cache_key = (id_field, field, tuple(sorted(terms)), k1, b,
+                     current_analyzer())
+        hit = _tsmap_cache.get(cache_key)
+        if hit is not None:
+            return hit
+    toks = _toks_expr(df, field)
     base = df.select(
         F.col(id_field).alias("_did"), toks.alias("_toks")
     ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))
@@ -935,7 +1002,8 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
         # query term's document frequency as array_contains sums — no
         # second scan, no vocab shuffle; the row broadcasts
         sterms = sorted(terms)
-        stats_base = stats_over.select(toks.alias("_toks")).select(
+        stats_base = stats_over.select(
+            _toks_expr(stats_over, field).alias("_toks")).select(
             "_toks", F.size("_toks").cast("double").alias("_dl")
         )
         corpus = stats_base.agg(
@@ -976,11 +1044,19 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
     # sort the entries: collect_list order follows shuffle arrival, and
     # a nondeterministic key order would leak into the _explanation JSON
     # (map lookups themselves are order-independent)
-    return partial.groupBy("_did").agg(
+    out = partial.groupBy("_did").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("_term", "_p")))
         ).alias(f"_tsmap_{field}")
     ).withColumnRenamed("_did", id_field)
+    if cache_key is not None:
+        # cached WITHOUT checkpointing: the consumers union into ONE
+        # query, where the identical (same object = structurally equal)
+        # subplan reuses the first copy's shuffle via ReusedExchange —
+        # a checkpoint would materialize each map as its own serial job
+        # and cost more than it saves (measured)
+        _tsmap_cache[cache_key] = out
+    return out
 
 
 def _xf_term_score_maps(
@@ -1004,8 +1080,7 @@ def _xf_term_score_maps(
     per_field: list[tuple[DataFrame, DataFrame]] = []
     dfreqs: list[DataFrame] = []
     for f in fields:
-        toks = F.coalesce(
-            analyze_col(F.col(f)), F.lit([]).cast("array<string>"))
+        toks = _toks_expr(df, f)
         base = df.select(
             F.col(id_field).alias("_did"), toks.alias("_toks")
         ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))
@@ -1018,7 +1093,7 @@ def _xf_term_score_maps(
             F.first("_dl").alias("_dl"),
         )
         src = stats_over if stats_over is not None else df
-        stats_base = src.select(toks.alias("_toks")).select(
+        stats_base = src.select(_toks_expr(src, f).alias("_toks")).select(
             "_toks", F.size("_toks").cast("double").alias("_dl"))
         corpus = stats_base.agg(
             F.count(F.lit(1)).cast("double").alias("_n_docs"),
@@ -1089,13 +1164,18 @@ def _cf_term_score_map(
     per-(doc, term) shuffle); corpus stats reduce to a 1-row broadcast
     aggregate exactly like the plain and blended map builders."""
     sterms = sorted(terms)
-    toks_cols = [
-        F.coalesce(analyze_col(F.col(f)), F.lit([]).cast("array<string>"))
-        for f in fields
-    ]
-    dl_c: Column = F.lit(0.0)
-    for tc, w in zip(toks_cols, boosts):
-        dl_c = dl_c + F.size(tc).cast("double") * F.lit(float(w))
+
+    def _frame_toks(frame):
+        return [_toks_expr(frame, f) for f in fields]
+
+    def _frame_dl(tcols):
+        dl: Column = F.lit(0.0)
+        for tc, w in zip(tcols, boosts):
+            dl = dl + F.size(tc).cast("double") * F.lit(float(w))
+        return dl
+
+    toks_cols = _frame_toks(df)
+    dl_c = _frame_dl(toks_cols)
 
     def _tag(w: float):
         # closure factory: a default-arg lambda would look binary to
@@ -1118,8 +1198,9 @@ def _cf_term_score_map(
         F.first("_dl").alias("_dl"),
     )
     src = stats_over if stats_over is not None else df
-    corpus = src.select(dl_c.alias("_dl"), *[
-        tc.alias(f"_tk_{i}") for i, tc in enumerate(toks_cols)
+    src_toks = _frame_toks(src)
+    corpus = src.select(_frame_dl(src_toks).alias("_dl"), *[
+        tc.alias(f"_tk_{i}") for i, tc in enumerate(src_toks)
     ]).agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
@@ -1272,11 +1353,20 @@ def es_scored_search(
     fully lazy; callers scheduling actions should expect the rescore
     case to touch the cluster before the returned DataFrame is acted
     on."""
-    from .analysis import using
+    from .analysis import preanalyzed, using
     from .query_dsl import validate_body_keys
 
     validate_body_keys(body)
     with using(analyzer):
+        pre = {c[len(ANALYZED_PREFIX):]: c for c in df.columns
+               if c.startswith(ANALYZED_PREFIX)}
+        if pre:
+            # the frame carries materialized shared-analysis streams
+            # (with_shared_analysis / es_msearch scored) — let every
+            # compile site read them instead of re-tokenizing
+            with preanalyzed(pre):
+                return _es_scored_search_impl(df, body, id_field,
+                                              k1=k1, b=b)
         return _es_scored_search_impl(df, body, id_field, k1=k1, b=b)
 
 

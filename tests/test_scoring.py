@@ -1149,3 +1149,78 @@ def test_wrapper_query_bad_payload_rejects(corpus):
 
     with pytest.raises(ValueError, match="wrapper"):
         compile_query({"wrapper": {"query": "!!!not-base64-json"}}, "doc_id")
+
+
+class TestSharedAnalysisMsearch:
+    """Scored multi-search tokenize sharing (VERDICT r11 #7): the arms
+    of one scored _msearch read ONE materialized token stream per field
+    and reuse identical term maps, with results identical to independent
+    es_scored_search calls."""
+
+    BODIES = [
+        {"query": {"multi_match": {"query": "merge stream",
+                                   "fields": ["text^2", "source"],
+                                   "type": "best_fields",
+                                   "tie_breaker": 0.3}},
+         "size": 5, "_source": ["doc_id"]},
+        {"query": {"multi_match": {"query": "merge stream",
+                                   "fields": ["text", "source"],
+                                   "type": "most_fields"}},
+         "size": 5, "_source": ["doc_id"]},
+        {"query": {"multi_match": {"query": "merge str",
+                                   "fields": ["text", "source^3"],
+                                   "type": "bool_prefix"}},
+         "size": 5, "_source": ["doc_id"]},
+        {"query": {"match_phrase": {"text": {"query": "merge stream",
+                                             "slop": 1}}},
+         "size": 5, "_source": ["doc_id"]},
+    ]
+
+    @pytest.fixture()
+    def docs(self, spark):
+        rows = [
+            (1, "merge stream merge sorted runs", "src1"),
+            (2, "the stream merges into a run", "src2"),
+            (3, "nothing relevant here", "src3"),
+            (4, "merge merge merge stream stream", "src1"),
+            (5, "a stream then a merge strategy", "merge"),
+            (6, None, "src1"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_results_identical_to_independent_searches(self, docs):
+        from hive2es_offline_spark.plans.query_dsl import es_msearch
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        shared = es_msearch(docs, self.BODIES, id_field="doc_id",
+                            scored=True)
+        got = sorted((r["request_index"], r["doc_id"], r["_score"])
+                     for r in shared.collect())
+        want = []
+        for i, b in enumerate(self.BODIES):
+            for r in es_scored_search(docs, b, id_field="doc_id").collect():
+                want.append((i, r["doc_id"], r["_score"]))
+        assert got == sorted(want)
+
+    def test_one_tokenize_per_field_in_plan(self, docs):
+        from hive2es_offline_spark.plans.query_dsl import es_msearch
+
+        shared = es_msearch(docs, self.BODIES, id_field="doc_id",
+                            scored=True)
+        plan = shared._jdf.queryExecution().executedPlan().toString()
+        # every tokenize was materialized into the shared checkpoint:
+        # the arms' plans carry ZERO inline tokenizer calls (the
+        # checkpoint scan shows as an RDD scan)
+        assert "regexp_extract_all" not in plan, plan[:4000]
+        assert "__analyzed__" in plan
+        # and the result contract does not leak the shared columns
+        assert not [c for c in shared.columns
+                    if c.startswith("__analyzed__")]
+
+    def test_single_body_keeps_inline_path(self, docs):
+        from hive2es_offline_spark.plans.query_dsl import es_msearch
+
+        one = es_msearch(docs, self.BODIES[:1], id_field="doc_id",
+                         scored=True)
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "__analyzed__" not in plan  # no checkpoint for one body
