@@ -2772,6 +2772,115 @@ def q_es_ip_range(spark, sf_dir):
     return es_search(logs, body, id_field="o_orderkey")
 
 
+def q_es_ip_prefix(spark, sf_dir):
+    """``ip_prefix`` aggregation (round 12): /12 networks over the
+    synthetic access log (same deterministic dotted-quads as
+    es_ip_range), each bucket carrying the network key, prefix_length,
+    and a sum sub-metric — dotted-quad → uint32 → masked network all in
+    codegen (plans/query_dsl.py::_bucket_key_col), one groupBy
+    shuffle."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    logs = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ".",
+            (F.lit(10) + k % 5).cast("string"),
+            ((k * 7) % 256).cast("string"),
+            ((k * 13) % 256).cast("string"),
+            (k % 256).cast("string"),
+        ).alias("ip"),
+    )
+    body = {"size": 0, "aggs": {"nets": {
+        "ip_prefix": {"field": "ip", "prefix_length": 12},
+        "aggs": {"n_keys": {"value_count": {"field": "o_orderkey"}}},
+    }}}
+    return es_search(logs, body, id_field="o_orderkey")
+
+
+def q_es_geo_line(spark, sf_dir):
+    """``geo_line`` aggregation (round 12): per-source tracks over
+    synthesized points — one collect_list + array_sort per bucket (sort
+    value leads the struct so ordering is deterministic under shuffle),
+    truncated and rendered as a GeoJSON LineString string.  The oracle
+    builds the identical JSON via DuckDB list aggregation."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select(
+        "doc_id", "source",
+        F.struct(
+            ((F.col("doc_id") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("doc_id") * 7 % 360) - 180 + 0.5).cast("double")
+            .alias("lon"),
+        ).alias("loc"),
+    )
+    body = {"size": 0, "aggs": {"tracks": {
+        "terms": {"field": "source", "size": 30,
+                  "order": {"_key": "asc"}},
+        "aggs": {"line": {"geo_line": {
+            "point": {"field": "loc"},
+            "sort": {"field": "doc_id"},
+            "size": 12,
+        }}},
+    }}}
+    return es_search(pts, body, id_field="doc_id")
+
+
+def q_es_terms_enum(spark, sf_dir):
+    """``_terms_enum`` API (round 12): prefix-filtered sorted distinct
+    keyword values with search_after paging and an index_filter — the
+    autocomplete endpoint.  Two pages unioned with a page column so one
+    golden pins the strictly-after resume semantics."""
+    from hive2es_offline_spark.plans.query_dsl import es_terms_enum
+
+    d = _t(spark, sf_dir, "documents")
+    p1 = es_terms_enum(d, {
+        "field": "source", "string": "src1", "size": 5,
+        "index_filter": {"range": {"n_chars": {"gte": 100}}},
+    }, id_field="doc_id")
+    p2 = es_terms_enum(d, {
+        "field": "source", "string": "src1", "size": 5,
+        "search_after": "src12",
+        "index_filter": {"range": {"n_chars": {"gte": 100}}},
+    }, id_field="doc_id")
+    return (p1.select(F.lit(1).alias("page"), "terms")
+            .unionByName(p2.select(F.lit(2).alias("page"), "terms")))
+
+
+#: rank_eval golden requests — explicit sorts make the rankings (and
+#: therefore the oracle SQL) fully deterministic in both engines
+_RANK_EVAL_BODY = {
+    "requests": [
+        {"id": "q_long", "request": {
+            "query": {"term": {"source": "src3"}},
+            "sort": [{"n_chars": "desc"}, {"doc_id": "asc"}]},
+         "ratings": [{"_id": 3, "rating": 3}, {"_id": 43, "rating": 2},
+                     {"_id": 123, "rating": 1}, {"_id": 203, "rating": 2}]},
+        {"id": "q_short", "request": {
+            "query": {"term": {"source": "src7"}},
+            "sort": [{"n_chars": "asc"}, {"doc_id": "asc"}]},
+         "ratings": [{"_id": 7, "rating": 1}, {"_id": 47, "rating": 3}]},
+    ],
+    "metric": {"dcg": {"k": 8, "normalize": True}},
+}
+
+
+def q_es_rank_eval(spark, sf_dir):
+    """``_rank_eval`` API (round 12): NDCG@8 over two rated requests
+    whose rankings come from explicit sorts — per-request metric rows
+    plus the ``_overall`` mean, exactly ES's evaluation response shape.
+    Each request is a pushed-down top-k; the rank window and the metric
+    aggregate run on the k-row frame; ratings are plan-time literals
+    (plans/query_dsl.py::es_rank_eval)."""
+    from hive2es_offline_spark.plans.query_dsl import es_rank_eval
+
+    d = _t(spark, sf_dir, "documents")
+    return es_rank_eval(d, _RANK_EVAL_BODY, id_field="doc_id")
+
+
 def q_image_dedup(spark, sf_dir):
     """Image perceptual near-dup (VERDICT r11 #4): 64-bit dHash (32
     horizontal + 32 vertical block-mean gradient bits) over REAL decoded
@@ -3876,6 +3985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match_folded": q_es_match_folded,
         "es_rate_normalize": q_es_rate_normalize,
         "image_dedup": q_image_dedup,
+        "es_ip_prefix": q_es_ip_prefix,
+        "es_geo_line": q_es_geo_line,
+        "es_terms_enum": q_es_terms_enum,
+        "es_rank_eval": q_es_rank_eval,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -4652,6 +4765,54 @@ def _mix_target_values() -> str:
     )
 
 
+def _rank_eval_sql() -> str:
+    """DuckDB twin of q_es_rank_eval, generated from the SAME request
+    list (_RANK_EVAL_BODY): per-request ranked CTE + NDCG arithmetic,
+    ideal-DCG folded in Python exactly like the engine's plan build."""
+    import math as _m
+
+    k = _RANK_EVAL_BODY["metric"]["dcg"]["k"]
+    parts, names = [], []
+    for i, req in enumerate(_RANK_EVAL_BODY["requests"]):
+        body = req["request"]
+        (fld, val), = body["query"]["term"].items()
+        order = ", ".join(
+            f"{f} {('DESC' if d == 'desc' else 'ASC')}"
+            for spec in body["sort"] for f, d in spec.items())
+        ratings = {r["_id"]: r["rating"] for r in req["ratings"]}
+        case = "CASE doc_id " + " ".join(
+            f"WHEN {d} THEN {r}" for d, r in sorted(ratings.items())
+        ) + " ELSE 0 END"
+        ideal = sorted(ratings.values(), reverse=True)[:k]
+        idcg = sum((2.0 ** r - 1.0) / _m.log2(j + 2.0)
+                   for j, r in enumerate(ideal))
+        parts.append(f"""h{i} AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY {order}) AS r
+          FROM documents WHERE {fld} = '{val}'
+          ORDER BY {order} LIMIT {k}
+        ), s{i} AS (
+          SELECT round(coalesce(sum((pow(2.0, {case}) - 1.0)
+                                    / log2(r + 1.0)), 0) / {idcg!r}, 6)
+                 AS metric_score FROM h{i}
+        )""")
+        names.append((req["id"], f"s{i}"))
+    selects = "\n            UNION ALL ".join(
+        f"SELECT '{rid}' AS request_id, metric_score FROM {cte}"
+        for rid, cte in names)
+    avg = " + ".join(f"{cte}.metric_score" for _, cte in names)
+    frm = ", ".join(cte for _, cte in names)
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT * FROM (
+            {selects}
+            UNION ALL
+            SELECT '_overall', round(({avg}) / {len(names)}, 6)
+            FROM {frm}
+        )
+    """
+
+
 def _goldens_b() -> dict[str, str]:
     """Second half of the golden-SQL registry (historically the demoted
     set).  See ``_goldens_a`` — placement here does NOT decide window
@@ -4976,6 +5137,54 @@ def _goldens_b() -> dict[str, str]:
             ORDER BY doc_id ASC
             LIMIT 40
         """,
+        "es_ip_prefix": """
+            WITH logs AS (
+              SELECT o_orderkey,
+                     ((10 + o_orderkey % 5) * 16777216
+                      + ((o_orderkey * 7) % 256) * 65536
+                      + ((o_orderkey * 13) % 256) * 256
+                      + (o_orderkey % 256)) AS ipn
+              FROM orders
+            ), nets AS (
+              SELECT o_orderkey, ((ipn >> 20) << 20) AS net FROM logs
+            )
+            SELECT CAST(net >> 24 AS VARCHAR) || '.'
+                   || CAST((net >> 16) & 255 AS VARCHAR) || '.'
+                   || CAST((net >> 8) & 255 AS VARCHAR) || '.'
+                   || CAST(net & 255 AS VARCHAR) AS key,
+                   count(*) AS doc_count,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_keys,
+                   12 AS prefix_length
+            FROM nets GROUP BY net
+        """,
+        "es_geo_line": """
+            WITH pts AS (
+              SELECT doc_id, source,
+                     CAST((doc_id % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                     CAST((doc_id * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+              FROM documents
+            )
+            SELECT source AS key, count(*) AS doc_count,
+                   to_json(struct_pack(
+                     type := 'LineString',
+                     coordinates := list_slice(
+                       list([lon, lat] ORDER BY doc_id), 1, 12)
+                   )) AS line
+            FROM pts GROUP BY source
+        """,
+        "es_terms_enum": """
+            WITH t AS (
+              SELECT DISTINCT source AS terms FROM documents
+              WHERE source LIKE 'src1%' AND n_chars >= 100
+            )
+            SELECT 1 AS page, terms FROM (
+              SELECT terms FROM t ORDER BY terms LIMIT 5)
+            UNION ALL
+            SELECT 2, terms FROM (
+              SELECT terms FROM t WHERE terms > 'src12'
+              ORDER BY terms LIMIT 5)
+        """,
+        "es_rank_eval": _rank_eval_sql(),
         "es_rate_normalize": """
             WITH b AS (
               SELECT date_trunc('month', o_orderdate) AS key,

@@ -109,7 +109,7 @@ from ..functions import ip as _ip
 
 __all__ = ["compile_query", "compile_aggs", "es_search", "es_count",
            "es_mget", "es_field_caps", "es_analyze", "significant_terms",
-           "CIDR_TERM_RANGE_ARM"]
+           "es_terms_enum", "es_rank_eval", "CIDR_TERM_RANGE_ARM"]
 
 #: mapping-blind CIDR hedge switch (ADVICE r11): term/terms with a CIDR
 #: literal compile to (uint32 block-range compare) OR (exact string
@@ -1925,10 +1925,10 @@ _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "stats", "extended_stats", "percentiles", "percentile_ranks",
                  "weighted_avg", "string_stats", "boxplot", "top_metrics",
                  "geo_centroid", "geo_bounds", "scripted_metric", "t_test",
-                 "median_absolute_deviation"}
+                 "median_absolute_deviation", "geo_line"}
 #: bucket aggs compiled as one groupBy over a codegen key expression
 _GROUPBY_BUCKET_KINDS = {"terms", "histogram", "date_histogram",
-                         "geohash_grid", "geotile_grid"}
+                         "geohash_grid", "geotile_grid", "ip_prefix"}
 _COND_BUCKET_KINDS = {"range", "date_range", "filters", "missing",
                       "adjacency_matrix", "geo_distance", "ip_range"}
 
@@ -2316,6 +2316,42 @@ def _metric_exprs(
             F.round(F.sum(ln.cast("decimal(28,6)")).cast("double") / F.count(c), 6)
             .alias(f"{name}_avg_length"),
         ]
+    if kind == "geo_line":
+        # ES geo_line aggregation (round 12): the bucket's points joined
+        # into a GeoJSON LineString ordered by the sort field — ONE
+        # collect_list + array_sort on the aggregated struct (sort value
+        # leads the struct, so ordering is by sort then lon/lat — fully
+        # deterministic under shuffle), truncated to `size`, rendered
+        # with to_json so the output column is a scalar string (driver-
+        # canonicalizer-safe).  Points missing a coordinate or the sort
+        # value drop, like ES.
+        unknown = set(spec) - {"point", "sort", "sort_order", "size",
+                               "include_sort"}
+        if unknown:
+            raise ValueError(
+                f"unsupported geo_line option(s): {sorted(unknown)}")
+        pf = spec["point"]["field"]
+        sf = spec["sort"]["field"]
+        order = str(spec.get("sort_order", "asc")).lower()
+        if order not in ("asc", "desc"):
+            raise ValueError(f"unsupported geo_line sort_order: {order!r}")
+        size = int(spec.get("size", 10_000))
+        pt, sv = F.col(pf), F.col(sf)
+        valid = (pt["lat"].isNotNull() & pt["lon"].isNotNull()
+                 & sv.isNotNull())
+        if gate is not None:
+            valid = valid & gate
+        entry = F.when(valid, F.struct(
+            sv.alias("s"), pt["lon"].alias("x"), pt["lat"].alias("y")))
+        arr = F.array_sort(F.collect_list(entry))
+        if order == "desc":
+            arr = F.reverse(arr)
+        coords = F.transform(
+            F.slice(arr, 1, size), lambda e: F.array(e["x"], e["y"]))
+        return [F.to_json(F.struct(
+            F.lit("LineString").alias("type"),
+            coords.alias("coordinates"),
+        )).alias(name)]
     if kind == "boxplot":
         # exact quartiles by default (live ES approximates with TDigest —
         # the same oracle-favoring divergence as `percentiles`); ES's
@@ -2924,6 +2960,40 @@ def _bucket_key_col(kind: str, bspec: dict) -> Column:
     date_histogram / geohash_grid / geotile_grid — shared by the
     group-by bucket path and composite sources."""
     field = bspec["field"]
+    if kind == "ip_prefix":
+        # ES ip_prefix aggregation (round 12): bucket by the network
+        # address at ``prefix_length`` — dotted-quad → uint32 in codegen
+        # (functions/ip.py), host bits masked by shifts, network
+        # rendered back as a dotted quad.  IPv4 only (the is_ipv6 form
+        # rejects loudly like the rest of the ip surface).
+        unknown = set(bspec) - {"field", "prefix_length", "min_doc_count",
+                                "is_ipv6"}
+        if unknown:
+            raise ValueError(
+                f"unsupported ip_prefix option(s): {sorted(unknown)}")
+        if bspec.get("is_ipv6"):
+            raise ValueError("ip_prefix: IPv6 is not supported (IPv4 only)")
+        plen = int(bspec["prefix_length"])
+        if not 0 <= plen <= 32:
+            raise ValueError(
+                f"ip_prefix prefix_length out of range: {plen}")
+        host = 32 - plen
+        net = _ip.ip_to_long(F.col(field))
+        if host:
+            net = F.shiftleft(F.shiftrightunsigned(net, host), host)
+        dotted = F.concat_ws(
+            ".",
+            F.shiftrightunsigned(net, 24).bitwiseAND(F.lit(255))
+             .cast("string"),
+            F.shiftrightunsigned(net, 16).bitwiseAND(F.lit(255))
+             .cast("string"),
+            F.shiftrightunsigned(net, 8).bitwiseAND(F.lit(255))
+             .cast("string"),
+            net.bitwiseAND(F.lit(255)).cast("string"),
+        )
+        # concat_ws SKIPS null parts — an unparseable ip must yield a
+        # NULL key (dropped like the grid kinds), not a malformed one
+        return F.when(net.isNotNull(), dotted)
     if kind in ("geohash_grid", "geotile_grid"):
         unknown = set(bspec) - {"field", "precision", "size"}
         if unknown:
@@ -3539,10 +3609,11 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
             .select(F.col("_bucket_key").alias("key"), "hit_rank", *source)
         )
 
-    if kind in ("geohash_grid", "geotile_grid"):
-        # docs without a (complete) point have no cell — drop them like
-        # ES does for missing geo fields (the NULL-bucket divergence the
-        # terms agg keeps makes no sense for a computed cell key)
+    if kind in ("geohash_grid", "geotile_grid", "ip_prefix"):
+        # docs without a (complete) point / parseable ip have no bucket —
+        # drop them like ES does for missing geo fields (the NULL-bucket
+        # divergence the terms agg keeps makes no sense for a computed
+        # cell key)
         df = df.where(key.isNotNull())
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     pipes: list[tuple[str, str, dict]] = []
@@ -3584,6 +3655,13 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
         exprs.extend(_metric_exprs(sub_name, mkind, mspec))
     out = df.groupBy(key).agg(*exprs)
+    if kind == "ip_prefix":
+        # ES ip_prefix buckets carry the prefix length beside the
+        # network key; no gap filling (there is no dense axis to fill)
+        if int(bspec.get("min_doc_count", 1)) == 0:
+            raise ValueError("ip_prefix does not support min_doc_count=0")
+        out = out.withColumn(
+            "prefix_length", F.lit(int(bspec["prefix_length"])))
     for sub_name, rspec in rates:
         num = (F.col(f"__rnum_{sub_name}") if "field" in rspec
                else F.col("doc_count")).cast("double")
@@ -4636,6 +4714,125 @@ def es_field_caps(df: DataFrame) -> DataFrame:
         "field string, type string, searchable boolean, "
         "aggregatable boolean, is_complex boolean",
     )
+
+
+def es_terms_enum(df: DataFrame, body: dict,
+                  id_field: str = "_id") -> DataFrame:
+    """ES ``_terms_enum`` API (round 12): the sorted distinct values of
+    a keyword field that start with ``string`` — the autocomplete /
+    lookahead endpoint beside ``_search``/``_mget``/``_msearch``.
+
+    Supported keys: ``field``, ``string`` (prefix, '' matches all),
+    ``size`` (default 10), ``case_insensitive``, ``search_after``
+    (resume strictly after a term), ``index_filter`` (a query-DSL filter
+    applied before enumeration).  Scale shape: prefix + filter push into
+    the scan, then ONE partial-aggregated distinct and a
+    TakeOrderedAndProject for the size cap — never a global sort of the
+    data."""
+    unknown = set(body) - {"field", "string", "size", "case_insensitive",
+                           "search_after", "index_filter"}
+    if unknown:
+        raise ValueError(
+            f"unsupported _terms_enum option(s): {sorted(unknown)}")
+    field = body["field"]
+    prefix = str(body.get("string", ""))
+    c = F.col(field)
+    if body.get("case_insensitive"):
+        pred = F.lower(c).startswith(prefix.lower())
+    else:
+        pred = c.startswith(prefix) if prefix else c.isNotNull()
+    if "index_filter" in body:
+        q = expand_lookups(df, body["index_filter"], id_field)
+        pred = pred & F.coalesce(compile_query(q, id_field), F.lit(False))
+    out = df.where(pred).select(c.alias("terms")).distinct()
+    after = body.get("search_after")
+    if after is not None:
+        out = out.where(F.col("terms") > F.lit(str(after)))
+    return out.orderBy("terms").limit(int(body.get("size", 10)))
+
+
+def es_rank_eval(df: DataFrame, body: dict,
+                 id_field: str = "_id") -> DataFrame:
+    """ES ``_rank_eval`` API (round 12): score each rated request's
+    ranking with one evaluation metric — ``precision`` / ``recall`` (at
+    k, with ``relevant_rating_threshold``), ``mean_reciprocal_rank``,
+    and ``dcg`` (``normalize: true`` = NDCG against the ideal ordering
+    of the request's OWN ratings, ES's convention).  Returns one row per
+    request ``(request_id, metric_score)`` plus an ``_overall`` row
+    carrying the mean — ES's combined ``metric_score``.
+
+    Ranking comes from each request's own ordering: an explicit ``sort``
+    ranks in filter context; without one the request ranks by BM25
+    ``_score`` (scored path, ties by id).  Scale shape: each request is
+    a pushed-down top-k (≤ k rows survive), the rank window and metric
+    aggregate run on that k-row frame, and the ratings table is a
+    plan-time literal map — nothing data-scale beyond the searches
+    themselves."""
+    from pyspark.sql import Window
+
+    (mkind, mspec), = body["metric"].items()
+    if mkind not in ("precision", "recall", "mean_reciprocal_rank", "dcg"):
+        raise ValueError(
+            f"unsupported rank_eval metric: {mkind!r} (precision | recall"
+            " | mean_reciprocal_rank | dcg)")
+    k = int(mspec.get("k", 10))
+    threshold = int(mspec.get("relevant_rating_threshold", 1))
+    per: list[DataFrame] = []
+    for req in body["requests"]:
+        rid = str(req["id"])
+        ratings = {r["_id"]: int(r["rating"]) for r in req["ratings"]}
+        rbody = dict(req["request"])
+        rbody["size"] = k
+        rbody.pop("_source", None)  # rank/metric need id + sort columns
+        if "sort" in rbody:
+            hits = es_search(df, rbody, id_field)
+            sort_cols = _sort_columns(rbody["sort"])
+        else:
+            from .scoring import es_scored_search
+
+            hits = es_scored_search(df, rbody, id_field)
+            sort_cols = [F.col("_score").desc(), F.col(id_field).asc()]
+        # ≤ k rows: the single-partition rank window is O(k), not a
+        # data-scale sort
+        rank = F.row_number().over(Window.orderBy(*sort_cols))
+        rmap = F.create_map(*[
+            F.lit(x) for pair in sorted(ratings.items()) for x in pair
+        ]) if ratings else F.create_map()
+        rating = F.coalesce(
+            rmap.getItem(F.col(id_field)), F.lit(0)).cast("double")
+        ranked = hits.select(
+            rating.alias("_rating"), rank.alias("_rank"))
+        rel = (F.col("_rating") >= threshold).cast("double")
+        if mkind == "precision":
+            metric = F.sum(rel) / F.count(F.lit(1))
+        elif mkind == "recall":
+            total_rel = sum(1 for v in ratings.values() if v >= threshold)
+            metric = (F.sum(rel) / F.lit(float(total_rel))
+                      if total_rel else F.lit(0.0))
+        elif mkind == "mean_reciprocal_rank":
+            metric = F.coalesce(
+                F.max(F.when(rel == 1.0, F.lit(1.0) / F.col("_rank"))),
+                F.lit(0.0))
+        else:  # dcg
+            gain = (F.pow(F.lit(2.0), F.col("_rating")) - 1.0) / (
+                F.log2(F.col("_rank").cast("double") + 1.0))
+            metric = F.coalesce(F.sum(gain), F.lit(0.0))
+            if mspec.get("normalize"):
+                import math
+
+                ideal = sorted(ratings.values(), reverse=True)[:k]
+                idcg = sum((2.0 ** r - 1.0) / math.log2(i + 2.0)
+                           for i, r in enumerate(ideal))
+                metric = (metric / F.lit(idcg)) if idcg else F.lit(0.0)
+        per.append(ranked.agg(F.round(metric, 6).alias("metric_score"))
+                   .select(F.lit(rid).alias("request_id"), "metric_score"))
+    res = per[0]
+    for p in per[1:]:
+        res = res.unionByName(p)
+    overall = res.agg(
+        F.round(F.avg("metric_score"), 6).alias("metric_score")
+    ).select(F.lit("_overall").alias("request_id"), "metric_score")
+    return res.unionByName(overall)
 
 
 def es_analyze(spark, text: str, analyzer: str | None = None) -> DataFrame:

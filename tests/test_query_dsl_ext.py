@@ -2636,3 +2636,150 @@ class TestRateNormalize:
                 "aggs": {"n": {"normalize": {"buckets_path": "_count",
                                              "method": "rank"}}}}}},
                 id_field="id").collect()
+
+
+# --- round 12: ip_prefix, geo_line, _terms_enum, _rank_eval ------------------
+
+
+class TestIpPrefix:
+    def test_buckets_and_null_drop(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        logs = spark.createDataFrame(
+            [(1, "10.0.0.5"), (2, "10.0.1.200"), (3, "10.0.0.77"),
+             (4, "192.168.3.1"), (5, "garbage"), (6, None)],
+            "id long, ip string")
+        body = {"size": 0, "aggs": {"nets": {
+            "ip_prefix": {"field": "ip", "prefix_length": 24},
+            "aggs": {"mx": {"max": {"field": "id"}}}}}}
+        rows = {r["key"]: r for r in es_search(
+            logs, body, id_field="id").collect()}
+        assert set(rows) == {"10.0.0.0", "10.0.1.0", "192.168.3.0"}
+        assert rows["10.0.0.0"]["doc_count"] == 2
+        assert rows["10.0.0.0"]["mx"] == 3
+        assert all(r["prefix_length"] == 24 for r in rows.values())
+        # /0 collapses everything parseable into one bucket
+        body0 = {"size": 0, "aggs": {"nets": {
+            "ip_prefix": {"field": "ip", "prefix_length": 0}}}}
+        r0 = es_search(logs, body0, id_field="id").collect()
+        assert [(r["key"], r["doc_count"]) for r in r0] == [("0.0.0.0", 4)]
+
+    def test_rejects(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        logs = spark.createDataFrame([(1, "1.2.3.4")], "id long, ip string")
+        with pytest.raises(ValueError, match="IPv6"):
+            es_search(logs, {"size": 0, "aggs": {"n": {"ip_prefix": {
+                "field": "ip", "prefix_length": 64, "is_ipv6": True}}}},
+                id_field="id").collect()
+        with pytest.raises(ValueError, match="out of range"):
+            es_search(logs, {"size": 0, "aggs": {"n": {"ip_prefix": {
+                "field": "ip", "prefix_length": 33}}}},
+                id_field="id").collect()
+        with pytest.raises(ValueError, match="min_doc_count"):
+            es_search(logs, {"size": 0, "aggs": {"n": {"ip_prefix": {
+                "field": "ip", "prefix_length": 8,
+                "min_doc_count": 0}}}}, id_field="id").collect()
+
+
+class TestGeoLine:
+    def test_sorted_truncated_lines(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        rows = [(1, "a", 10.5, 20.5, 3), (2, "a", 11.5, 21.5, 1),
+                (3, "a", 12.5, 22.5, 2), (4, "b", 1.0, 2.0, 1),
+                (5, "b", None, 3.0, 2)]
+        pts = spark.createDataFrame(
+            rows, "id long, g string, lat double, lon double, ts long"
+        ).select("id", "g", "ts", F.struct("lat", "lon").alias("loc"))
+        body = {"size": 0, "aggs": {"by": {
+            "terms": {"field": "g"},
+            "aggs": {"line": {"geo_line": {
+                "point": {"field": "loc"}, "sort": {"field": "ts"}}}}}}}
+        out = {r["key"]: r["line"] for r in es_search(
+            pts, body, id_field="id").collect()}
+        assert out["a"] == ('{"type":"LineString","coordinates":'
+                            '[[21.5,11.5],[22.5,12.5],[20.5,10.5]]}')
+        # the half-set point drops like ES's missing-coordinate docs
+        assert out["b"] == ('{"type":"LineString","coordinates":'
+                            '[[2.0,1.0]]}')
+        # desc + size truncation
+        body["aggs"]["by"]["aggs"]["line"]["geo_line"].update(
+            sort_order="desc", size=2)
+        out = {r["key"]: r["line"] for r in es_search(
+            pts, body, id_field="id").collect()}
+        assert out["a"] == ('{"type":"LineString","coordinates":'
+                            '[[20.5,10.5],[22.5,12.5]]}')
+        with pytest.raises(ValueError, match="geo_line option"):
+            es_search(pts, {"size": 0, "aggs": {"by": {
+                "terms": {"field": "g"},
+                "aggs": {"line": {"geo_line": {
+                    "point": {"field": "loc"}, "sort": {"field": "ts"},
+                    "smooth": True}}}}}}, id_field="id").collect()
+
+
+class TestTermsEnumRankEval:
+    def test_terms_enum_paging_and_filter(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_terms_enum
+
+        docs = spark.createDataFrame(
+            [(i, f"src{i % 13}", i) for i in range(50)],
+            "id long, source string, n long")
+        vals = lambda b: [r["terms"] for r in  # noqa: E731
+                          es_terms_enum(docs, b, "id").collect()]
+        assert vals({"field": "source", "string": "src1", "size": 3}) == \
+            ["src1", "src10", "src11"]
+        assert vals({"field": "source", "string": "src1", "size": 3,
+                     "search_after": "src10"}) == ["src11", "src12"]
+        assert vals({"field": "source", "string": "SRC1", "size": 2,
+                     "case_insensitive": True}) == ["src1", "src10"]
+        # index_filter restricts the enumerated population
+        assert vals({"field": "source", "string": "src1",
+                     "index_filter": {"range": {"n": {"lte": 1}}}}) == \
+            ["src1"]
+        with pytest.raises(ValueError, match="_terms_enum option"):
+            vals({"field": "source", "fuzzy": {}})
+
+    @pytest.fixture()
+    def rated(self, spark):
+        return spark.createDataFrame(
+            [(i, 100 - i, "x" if i % 2 == 0 else "y") for i in range(1, 21)],
+            "doc_id long, n long, t string")
+
+    def test_rank_eval_metrics_hand_computed(self, rated):
+        import math
+
+        from hive2es_offline_spark.plans.query_dsl import es_rank_eval
+
+        reqs = [
+            {"id": "q1", "request": {"query": {"term": {"t": "x"}},
+                                     "sort": [{"n": "desc"}]},
+             "ratings": [{"_id": 2, "rating": 3}, {"_id": 4, "rating": 1},
+                         {"_id": 19, "rating": 2}]},
+            {"id": "q2", "request": {"query": {"term": {"t": "y"}},
+                                     "sort": [{"n": "asc"}]},
+             "ratings": [{"_id": 19, "rating": 1}]},
+        ]
+        # ranked q1 hits: 2,4,6,8,10; q2 hits: 19,17,15,13,11
+        def run(metric):
+            body = {"requests": reqs, "metric": metric}
+            return {r["request_id"]: r["metric_score"]
+                    for r in es_rank_eval(rated, body,
+                                          id_field="doc_id").collect()}
+
+        p = run({"precision": {"k": 5}})
+        assert p["q1"] == pytest.approx(0.4) and p["q2"] == pytest.approx(0.2)
+        assert p["_overall"] == pytest.approx(0.3)
+        r = run({"recall": {"k": 5}})
+        # q1: 2 of 3 rated-relevant retrieved; q2: 1 of 1
+        assert r["q1"] == pytest.approx(2 / 3, abs=2e-6)
+        assert r["q2"] == pytest.approx(1.0)
+        m = run({"mean_reciprocal_rank": {"k": 5}})
+        assert m["q1"] == pytest.approx(1.0) and m["q2"] == pytest.approx(1.0)
+        d = run({"dcg": {"k": 5, "normalize": True}})
+        dcg = 7.0 + 1.0 / math.log2(3)
+        idcg = 7.0 + 3.0 / math.log2(3) + 1.0 / math.log2(4)
+        assert d["q1"] == pytest.approx(dcg / idcg, abs=2e-6)
+        assert d["q2"] == pytest.approx(1.0)
+        with pytest.raises(ValueError, match="rank_eval metric"):
+            run({"expected_reciprocal_rank": {"k": 5}})
