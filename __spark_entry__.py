@@ -3806,6 +3806,17 @@ def q_ks_drift(spark, sf_dir):
 #: OUT the five longest-stable driver-green rows es_query_string,
 #: es_scored_search, es_function_score, es_mget, es_highlight (green
 #: r8-r10) — all keep local DuckDB parity via demoted_goldens().
+#: Round-12 rotation (VERDICT r11 #1): the EIGHT new round-12 surfaces
+#: rotate IN as they landed — es_match_folded (asciifolding + french
+#: chain), es_rate_normalize (rate + normalize aggs), es_geo_shape
+#: (envelope/holes/multipolygon + relations), image_dedup (perceptual
+#: dHash near-dup; rows-only by design — the decode pass is an Arrow
+#: mapInPandas, not SQL-expressible), es_ip_prefix, es_geo_line,
+#: es_terms_enum, es_rank_eval.  Rotating OUT the eight longest-stable
+#: driver-green rows named by VERDICT r11: es_nested, es_geo,
+#: substring_dedup (green r8-r11); es_mlt, es_query_ext, es_aggs_range,
+#: es_aggs_filters, repetition_stats (green r10-r11) — all keep local
+#: DuckDB parity via demoted_goldens().
 #: Window membership is just this list; goldens follow automatically.
 #: Round-11 new surfaces (VERDICT r10 #2-#7) enter as they land, each
 #: demoting the longest-stable driver-green row (all keep local DuckDB
@@ -3826,15 +3837,16 @@ DRIVER_WINDOW = [
     "es_rescore", "es_wrapper", "es_named", "es_scored_msearch",
     "ks_drift",
     "url_dedup",
-    "es_mlt", "es_query_ext", "es_aggs_range", "es_aggs_filters",
-    "es_join_aggs", "repetition_stats", "contamination", "epoch_shuffle",
-    "temperature_mix", "data_drift", "bigram_lm_score",
+    "es_match_folded", "es_rate_normalize", "es_geo_shape",
+    "image_dedup",
+    "es_join_aggs", "es_ip_prefix", "es_geo_line", "es_terms_enum",
+    "es_rank_eval", "data_drift", "bigram_lm_score",
     "es_multi_match_types", "es_parent_child", "es_geo_grid",
     "es_intervals",
     "es_scripted_metric", "es_scroll", "es_feature_queries",
     "es_pit",
-    "es_combined_fields", "es_nested", "es_geo",
-    "substring_dedup",
+    "es_combined_fields", "contamination", "epoch_shuffle",
+    "temperature_mix",
     "snapshot_cdc", "token_budget",
     "audio_features", "video_frames", "pq_search",
     "dedup_incremental_minhash",

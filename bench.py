@@ -174,6 +174,19 @@ BENCH_QUERIES = [
     "es_percolate",
     "url_dedup",
     "token_budget",
+    # round-12 additions: the folded-French chain on the match path, the
+    # rate/normalize dashboard aggs, geo_shape's three relations in one
+    # scan, perceptual image dedup (real codec decode + dHash + blocked
+    # pair join — a deliberate Python-path row), ip_prefix/geo_line
+    # aggregations, and the _terms_enum/_rank_eval read APIs
+    "es_match_folded",
+    "es_rate_normalize",
+    "es_geo_shape",
+    "image_dedup",
+    "es_ip_prefix",
+    "es_geo_line",
+    "es_terms_enum",
+    "es_rank_eval",
 ]
 
 
@@ -274,7 +287,12 @@ def main() -> None:
                 "jvm_benign_stacks": benign_stacks,
                 "cpu_pressure": attestation,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-            }
+            },
+            # compact separators: the harness that records this line keeps
+            # only a bounded stdout tail, so every byte of the one-line
+            # contract counts (tools/record_bench.py writes the
+            # self-contained artifact with the parsed payload regardless)
+            separators=(",", ":"),
         )
     )
 
