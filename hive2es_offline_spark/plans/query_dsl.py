@@ -3332,21 +3332,31 @@ def _apply_pipeline_aggs(
             x = src.cast("double")
             full = w.rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing)
+            # degenerate-frame contract (the t_test ADVICE r11 class,
+            # applied preemptively): a zero span / zero stddev / zero
+            # sum denominator yields NULL, never NaN or Infinity
             method = pspec.get("method")
             if method == "percent_of_sum":
-                val = x / F.sum(x).over(full)
+                den = F.sum(x).over(full)
+                val = F.when(den != 0, x / den)
             elif method in ("rescale_0_1", "rescale_0_100"):
                 span = F.max(x).over(full) - F.min(x).over(full)
-                val = (x - F.min(x).over(full)) / span
+                val = F.when(span > 0, (x - F.min(x).over(full)) / span)
                 if method == "rescale_0_100":
                     val = val * 100.0
             elif method == "mean":
                 span = F.max(x).over(full) - F.min(x).over(full)
-                val = (x - F.avg(x).over(full)) / span
+                val = F.when(span > 0, (x - F.avg(x).over(full)) / span)
             elif method == "z-score":
-                val = (x - F.avg(x).over(full)) / F.stddev_pop(x).over(full)
+                sd = F.stddev_pop(x).over(full)
+                val = F.when(sd > 0, (x - F.avg(x).over(full)) / sd)
             elif method == "softmax":
-                val = F.exp(x) / F.sum(F.exp(x)).over(full)
+                # max-shifted for numeric stability: exp(700+) is inf in
+                # doubles and inf/inf is NaN; subtracting the frame max
+                # is mathematically identity
+                mx = F.max(x).over(full)
+                ex = F.exp(x - mx)
+                val = ex / F.sum(ex).over(full)
             else:
                 raise ValueError(
                     f"unsupported normalize method: {method!r} "

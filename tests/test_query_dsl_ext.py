@@ -2783,3 +2783,43 @@ class TestTermsEnumRankEval:
         assert d["q2"] == pytest.approx(1.0)
         with pytest.raises(ValueError, match="rank_eval metric"):
             run({"expected_reciprocal_rank": {"k": 5}})
+
+
+def test_normalize_degenerate_frames_null_and_softmax_stable(spark):
+    # the t_test ADVICE r11 class applied to normalize: constant buckets
+    # (zero span / zero stddev) and zero sums yield NULL, and softmax is
+    # max-shifted so huge metrics don't overflow to NaN
+    import datetime as dt
+
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    rows = [(1, dt.date(2024, 1, 5), 5.0), (2, dt.date(2024, 2, 5), 5.0),
+            (3, dt.date(2024, 3, 5), 5.0)]
+    df = spark.createDataFrame(rows, "id long, d date, v double")
+    body = {"size": 0, "aggs": {"m": {
+        "date_histogram": {"field": "d", "calendar_interval": "month"},
+        "aggs": {
+            "s": {"sum": {"field": "v"}},
+            "r01": {"normalize": {"buckets_path": "s",
+                                  "method": "rescale_0_1"}},
+            "z": {"normalize": {"buckets_path": "s", "method": "z-score"}},
+            "mean": {"normalize": {"buckets_path": "s", "method": "mean"}},
+            "sm": {"normalize": {"buckets_path": "s", "method": "softmax"}},
+        }}}}
+    for r in es_search(df, body, id_field="id").collect():
+        assert r["r01"] is None and r["z"] is None and r["mean"] is None
+        # equal values: softmax is exactly uniform, not NaN
+        assert r["sm"] == pytest.approx(1 / 3, abs=2e-6)
+    # overflow-range metrics stay finite
+    big = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 5), 800.0), (2, dt.date(2024, 2, 5), 900.0)],
+        "id long, d date, v double")
+    body2 = {"size": 0, "aggs": {"m": {
+        "date_histogram": {"field": "d", "calendar_interval": "month"},
+        "aggs": {"s": {"sum": {"field": "v"}},
+                 "sm": {"normalize": {"buckets_path": "s",
+                                      "method": "softmax"}}}}}}
+    out = {r["key"].month: r["sm"]
+           for r in es_search(big, body2, id_field="id").collect()}
+    assert out[2] == pytest.approx(1.0, abs=1e-6)
+    assert out[1] == pytest.approx(0.0, abs=1e-6)
