@@ -2346,12 +2346,15 @@ def _metric_exprs(
         arr = F.array_sort(F.collect_list(entry))
         if order == "desc":
             arr = F.reverse(arr)
-        coords = F.transform(
-            F.slice(arr, 1, size), lambda e: F.array(e["x"], e["y"]))
-        return [F.to_json(F.struct(
-            F.lit("LineString").alias("type"),
-            coords.alias("coordinates"),
-        )).alias(name)]
+        arr = F.slice(arr, 1, size)
+        coords = F.transform(arr, lambda e: F.array(e["x"], e["y"]))
+        parts = [F.lit("LineString").alias("type"),
+                 coords.alias("coordinates")]
+        if spec.get("include_sort"):
+            # ES include_sort: the per-vertex sort values ride along
+            parts.append(
+                F.transform(arr, lambda e: e["s"]).alias("sort"))
+        return [F.to_json(F.struct(*parts)).alias(name)]
     if kind == "boxplot":
         # exact quartiles by default (live ES approximates with TDigest —
         # the same oracle-favoring divergence as `percentiles`); ES's
@@ -3324,7 +3327,11 @@ def _apply_pipeline_aggs(
             # via unbounded window aggregates over the reduced frame
             # (O(buckets), the same reduce-phase shape as the rest of
             # this function; never a data-scale pass)
-            unknown = set(pspec) - {"buckets_path", "method", "format"}
+            # NOTE: ES's `format` (value_as_string rendering) is NOT
+            # whitelisted — this engine has no string-rendered twin, so
+            # accepting it would be the validate-but-ignore class the
+            # repo bans (code-review r12)
+            unknown = set(pspec) - {"buckets_path", "method"}
             if unknown:
                 raise ValueError(
                     f"unsupported normalize option(s): {sorted(unknown)}")
@@ -4501,18 +4508,25 @@ def es_msearch(
         from .scoring import _normalize, _ScoreCompiler, with_shared_analysis
 
         fields: set[str] = set()
-        try:
-            for b in bodies:
-                comp = _ScoreCompiler(id_field)
-                comp.collect(_normalize(b.get("query", {"match_all": {}})))
-                fields.update(f for f, ts in comp.field_terms.items() if ts)
-                fields.update(f for flds, _ in comp.xf_groups for f in flds)
-                fields.update(f for flds, _, _ in comp.cf_groups
-                              for f in flds)
-        except Exception:
-            fields = set()
-        if fields:
-            with using(analyzer):
+        with using(analyzer):
+            # collect under the REQUEST's analyzer: term sets (and
+            # therefore which fields score at all) depend on the grammar
+            # — ambient-default collection could skip a shared field or
+            # materialize one no arm reads (code-review r12)
+            try:
+                for b in bodies:
+                    comp = _ScoreCompiler(id_field)
+                    comp.collect(
+                        _normalize(b.get("query", {"match_all": {}})))
+                    fields.update(
+                        f for f, ts in comp.field_terms.items() if ts)
+                    fields.update(
+                        f for flds, _ in comp.xf_groups for f in flds)
+                    fields.update(f for flds, _, _ in comp.cf_groups
+                                  for f in flds)
+            except Exception:
+                fields = set()
+            if fields:
                 df = with_shared_analysis(df, fields)
     from contextlib import nullcontext
 
@@ -4752,8 +4766,12 @@ def es_terms_enum(df: DataFrame, body: dict,
     else:
         pred = c.startswith(prefix) if prefix else c.isNotNull()
     if "index_filter" in body:
+        # raw conjunct, no coalesce wrapper: where() already drops
+        # NULL-predicate rows, and a coalesce() here would block ALL
+        # parquet PushedFilters (the r8 bool-pushdown trap; code-review
+        # r12 caught this regressing)
         q = expand_lookups(df, body["index_filter"], id_field)
-        pred = pred & F.coalesce(compile_query(q, id_field), F.lit(False))
+        pred = pred & compile_query(q, id_field)
     out = df.where(pred).select(c.alias("terms")).distinct()
     after = body.get("search_after")
     if after is not None:
@@ -4813,11 +4831,15 @@ def es_rank_eval(df: DataFrame, body: dict,
         ranked = hits.select(
             rating.alias("_rating"), rank.alias("_rank"))
         rel = (F.col("_rating") >= threshold).cast("double")
+        # every metric coalesces to 0.0: a request whose search matches
+        # NOTHING aggregates NULL sums, and a NULL metric_score would
+        # also silently drop out of the _overall F.avg (code-review r12)
         if mkind == "precision":
-            metric = F.sum(rel) / F.count(F.lit(1))
+            metric = F.coalesce(F.sum(rel) / F.count(F.lit(1)), F.lit(0.0))
         elif mkind == "recall":
             total_rel = sum(1 for v in ratings.values() if v >= threshold)
-            metric = (F.sum(rel) / F.lit(float(total_rel))
+            metric = (F.coalesce(F.sum(rel) / F.lit(float(total_rel)),
+                                 F.lit(0.0))
                       if total_rel else F.lit(0.0))
         elif mkind == "mean_reciprocal_rank":
             metric = F.coalesce(

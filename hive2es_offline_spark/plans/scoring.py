@@ -898,17 +898,29 @@ def _random_score(spec: dict) -> Column:
     return F.round(h / mod, 6)
 
 
-#: marker prefix for materialized shared-analysis token columns
+#: marker prefix for materialized shared-analysis token columns; the
+#: full column name carries the analyzer the stream was BUILT under —
+#: ``__analyzed__<analyzer>__<field>`` — so a consumer compiling with a
+#: different grammar can never silently read stale tokens (code-review
+#: r12: a name without the analyzer made the staleness guard
+#: unenforceable)
 ANALYZED_PREFIX = "__analyzed__"
+
+
+def _analyzed_col_name(field: str) -> str:
+    from .analysis import current_analyzer
+
+    return f"{ANALYZED_PREFIX}{current_analyzer()}__{field}"
 
 
 def _toks_expr(frame: DataFrame, field: str) -> Column:
     """Full-chain token stream for ``field`` over ``frame`` — reads the
     materialized shared-analysis column when the frame carries one
-    (``with_shared_analysis``), else tokenizes inline.  NULL text
-    coalesces to the empty token list either way — F.size(NULL) is -1,
-    which would poison avgdl for the whole corpus."""
-    pre = ANALYZED_PREFIX + field
+    built under the ACTIVE analyzer (``with_shared_analysis``), else
+    tokenizes inline.  NULL text coalesces to the empty token list
+    either way — F.size(NULL) is -1, which would poison avgdl for the
+    whole corpus."""
+    pre = _analyzed_col_name(field)
     base = (F.col(pre) if pre in frame.columns
             else analyze_col(F.col(field)))
     return F.coalesce(base, F.lit([]).cast("array<string>"))
@@ -927,7 +939,7 @@ def with_shared_analysis(df: DataFrame, fields) -> DataFrame:
     scope as the queries that will consume it."""
     out = df
     for f in sorted(set(fields)):
-        out = out.withColumn(ANALYZED_PREFIX + f, analyze_col(F.col(f)))
+        out = out.withColumn(_analyzed_col_name(f), analyze_col(F.col(f)))
     return out.localCheckpoint(eager=False)
 
 
@@ -1358,8 +1370,15 @@ def es_scored_search(
 
     validate_body_keys(body)
     with using(analyzer):
-        pre = {c[len(ANALYZED_PREFIX):]: c for c in df.columns
-               if c.startswith(ANALYZED_PREFIX)}
+        from .analysis import current_analyzer
+
+        # only columns built under THIS search's analyzer are eligible —
+        # the grammar is part of the column name, so a frame shared
+        # across analyzers simply falls back to inline tokenizing for
+        # the mismatched one (code-review r12)
+        want = f"{ANALYZED_PREFIX}{current_analyzer()}__"
+        pre = {c[len(want):]: c for c in df.columns
+               if c.startswith(want)}
         if pre:
             # the frame carries materialized shared-analysis streams
             # (with_shared_analysis / es_msearch scored) — let every

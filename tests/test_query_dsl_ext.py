@@ -2823,3 +2823,70 @@ def test_normalize_degenerate_frames_null_and_softmax_stable(spark):
            for r in es_search(big, body2, id_field="id").collect()}
     assert out[2] == pytest.approx(1.0, abs=1e-6)
     assert out[1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_rank_eval_zero_hit_request_scores_zero(spark):
+    # (code-review r12) a request matching NOTHING must score 0.0 (ES's
+    # behavior), and _overall must average it in — not skip a NULL
+    from hive2es_offline_spark.plans.query_dsl import es_rank_eval
+
+    df = spark.createDataFrame(
+        [(i, 100 - i, "x") for i in range(1, 11)],
+        "doc_id long, n long, t string")
+    body = {"requests": [
+        {"id": "hits", "request": {"query": {"term": {"t": "x"}},
+                                   "sort": [{"n": "desc"}]},
+         "ratings": [{"_id": 1, "rating": 1}, {"_id": 2, "rating": 1}]},
+        {"id": "empty", "request": {"query": {"term": {"t": "absent"}},
+                                    "sort": [{"n": "desc"}]},
+         "ratings": [{"_id": 1, "rating": 1}]},
+    ], "metric": {"precision": {"k": 5}}}
+    out = {r["request_id"]: r["metric_score"]
+           for r in es_rank_eval(df, body, id_field="doc_id").collect()}
+    assert out["hits"] == pytest.approx(0.4)
+    assert out["empty"] == 0.0
+    assert out["_overall"] == pytest.approx(0.2)
+    body["metric"] = {"recall": {"k": 5}}
+    out = {r["request_id"]: r["metric_score"]
+           for r in es_rank_eval(df, body, id_field="doc_id").collect()}
+    assert out["empty"] == 0.0 and out["_overall"] == pytest.approx(0.5)
+
+
+def test_geo_line_include_sort_and_terms_enum_pushdown(spark, tmp_path):
+    # (code-review r12) include_sort rides the per-vertex sort values
+    # along; the terms_enum index_filter reaches PushedFilters
+    from hive2es_offline_spark.plans.query_dsl import (
+        es_search,
+        es_terms_enum,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, "a", 10.5, 20.5, 3), (2, "a", 11.5, 21.5, 1)],
+        "id long, g string, lat double, lon double, ts long"
+    ).select("id", "g", "ts", F.struct("lat", "lon").alias("loc"))
+    body = {"size": 0, "aggs": {"by": {
+        "terms": {"field": "g"},
+        "aggs": {"line": {"geo_line": {
+            "point": {"field": "loc"}, "sort": {"field": "ts"},
+            "include_sort": True}}}}}}
+    line = es_search(pts, body, id_field="id").collect()[0]["line"]
+    assert line == ('{"type":"LineString","coordinates":'
+                    '[[21.5,11.5],[20.5,10.5]],"sort":[1,3]}')
+    # normalize format is the validate-but-ignore class -> loud reject
+    with pytest.raises(ValueError, match="normalize option"):
+        es_search(pts, {"size": 0, "aggs": {"m": {
+            "terms": {"field": "g"},
+            "aggs": {"n": {"normalize": {
+                "buckets_path": "_count", "method": "percent_of_sum",
+                "format": "00.0%"}}}}}}, id_field="id").collect()
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"src{i % 7}", i * 10) for i in range(100)],
+        "id long, source string, n long").write.parquet(p)
+    df = spark.read.parquet(p)
+    out = es_terms_enum(df, {"field": "source", "string": "src1",
+                             "index_filter": {"range": {"n": {"gte": 0}}}},
+                        id_field="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(n" in plan, \
+        plan[:2000]

@@ -1224,3 +1224,34 @@ class TestSharedAnalysisMsearch:
                          scored=True)
         plan = one._jdf.queryExecution().executedPlan().toString()
         assert "__analyzed__" not in plan  # no checkpoint for one body
+
+
+def test_shared_analysis_is_analyzer_stamped(spark):
+    # (code-review r12) a frame whose shared streams were built under
+    # one analyzer must NOT feed a search compiling under another — the
+    # grammar rides in the column name, so the mismatched search falls
+    # back to inline tokenizing and scores correctly
+    from hive2es_offline_spark.plans.analysis import using
+    from hive2es_offline_spark.plans.scoring import (
+        es_scored_search,
+        with_shared_analysis,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the dogs were merging streams"), (2, "nothing here")],
+        "doc_id long, text string")
+    with using("standard"):
+        shared = with_shared_analysis(df, ["text"])
+    body = {"query": {"match": {"text": "merging"}}, "_source": ["doc_id"]}
+    # english stems the query to "merg"; the standard-built stream holds
+    # "merging" — the stale stream would score zero hits
+    got = [r["doc_id"] for r in es_scored_search(
+        shared, body, id_field="doc_id", analyzer="english").collect()]
+    assert got == [1]
+    # and under the MATCHING analyzer the stream IS used (plan carries
+    # the stamped column, no inline tokenizer)
+    plan = es_scored_search(shared, body, id_field="doc_id",
+                            analyzer="standard") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "__analyzed__standard__text" in plan
+    assert "regexp_extract_all" not in plan
