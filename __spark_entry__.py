@@ -2881,6 +2881,114 @@ def q_es_rank_eval(spark, sf_dir):
     return es_rank_eval(d, _RANK_EVAL_BODY, id_field="doc_id")
 
 
+#: bucket_correlation golden indicator — one expectation per mod-8
+#: bucket, plan-time literals in both engines
+_BC_EXPECTATIONS = [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 8.0]
+
+
+def q_es_bucket_correlation(spark, sf_dir):
+    """``bucket_correlation`` sibling pipeline agg (round 12, an r13
+    window candidate): Pearson correlation between the bucket doc_count
+    series (key-ascending) and a caller-provided indicator array,
+    positional alignment like ES's count_correlation — decimal-routed
+    moments on the reduced bucket frame, NULL on length mismatch or
+    zero variance (plans/query_dsl.py::_compile_sibling_pipeline)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "k8", (F.col("o_orderkey") % 8).cast("int"))
+    body = {"size": 0, "aggs": {
+        "m": {"terms": {"field": "k8", "size": 8}},
+        "corr": {"bucket_correlation": {
+            "buckets_path": "m>_count",
+            "function": {"count_correlation": {
+                "indicator": {"expectations": _BC_EXPECTATIONS}}},
+        }},
+    }}
+    return es_search(o, body, id_field="o_orderkey")
+
+
+def q_es_moving_percentiles(spark, sf_dir):
+    """``moving_percentiles`` pipeline agg (round 12, an r13 window
+    candidate): exact p50/p90 of the trailing six monthly revenue
+    buckets (live ES moves TDigest sketches; exact is the
+    oracle-reproducible variant, same divergence note as
+    `percentiles`) — O(buckets x window) on the reduced frame."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    body = {"size": 0, "aggs": {"m": {
+        "date_histogram": {"field": "o_orderdate",
+                           "calendar_interval": "month"},
+        "aggs": {
+            "rev": {"sum": {"field": "o_totalprice"}},
+            "mp": {"moving_percentiles": {
+                "buckets_path": "rev", "window": 6,
+                "percents": [50, 90]}},
+        }}}}
+    return es_search(o, body, id_field="o_orderkey")
+
+
+#: knn query-clause golden vector — deterministic 64-dim literal
+_KNNQ_VEC = [round(((i * 37) % 100) / 100.0, 2) for i in range(64)]
+
+
+def q_es_knn_query(spark, sf_dir):
+    """knn as a QUERY CLAUSE (ES 8.12 ``{"query": {"knn": ...}}``;
+    round 12, an r13 window candidate): in filter context the clause
+    expands at plan build into the top-k id set (one bounded
+    TakeOrderedAndProject collect — the terms-lookup expansion class),
+    composing with the enclosing bool's other filters.  The oracle
+    re-ranks with DuckDB's list_cosine_similarity."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    body = {
+        "query": {"bool": {
+            "must": [{"knn": {"field": "embedding",
+                              "query_vector": _KNNQ_VEC, "k": 12}}],
+            "filter": [{"range": {"label": {"gte": 0}}}],
+        }},
+        "sort": [{"vec_id": "asc"}],
+        "size": 12,
+        "_source": ["vec_id", "label"],
+    }
+    return es_search(e, body, id_field="vec_id")
+
+
+def q_downsample_tsdb(spark, sf_dir):
+    """TSDB downsampling (round 12, an r13 window candidate): events
+    rolled up per (event_type, 6h bucket) with min/max/decimal-sum/
+    value_count of the value metric and the last-by-ts props label —
+    ES's downsample-API rollup shape, ONE groupBy shuffle
+    (operators/temporal.py::downsample)."""
+    from hive2es_offline_spark.operators.temporal import downsample
+
+    ev = _t(spark, sf_dir, "events")
+    out = downsample(ev, "ts", "6h", dims=["event_type"],
+                     metrics=["value"], labels=["props"])
+    return out.withColumn("value_sum", F.round(F.col("value_sum"), 6))
+
+
+def q_es_frequent_items(spark, sf_dir):
+    """``frequent_item_sets`` aggregation, pairs mode (round 12, an r13
+    window candidate): market-basket pairs over per-order part baskets —
+    pair expansion in codegen from each basket (no self-join of the
+    exploded frame on the Spark side), one groupBy on pair keys,
+    support = pair docs / all docs
+    (plans/query_dsl.py::_compile_frequent_item_sets)."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set((F.col("l_partkey") % 50).cast("int")).alias("items"))
+    body = {"size": 0, "aggs": {"pairs": {"frequent_item_sets": {
+        "fields": [{"field": "items"}],
+        "minimum_support": 0.005, "size": 15,
+    }}}}
+    return es_search(baskets, body, id_field="l_orderkey")
+
+
 def q_image_dedup(spark, sf_dir):
     """Image perceptual near-dup (VERDICT r11 #4): 64-bit dHash (32
     horizontal + 32 vertical block-mean gradient bits) over REAL decoded
@@ -4001,6 +4109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_geo_line": q_es_geo_line,
         "es_terms_enum": q_es_terms_enum,
         "es_rank_eval": q_es_rank_eval,
+        # round-12 fodder (r13 window candidates, local goldens for now)
+        "es_bucket_correlation": q_es_bucket_correlation,
+        "es_moving_percentiles": q_es_moving_percentiles,
+        "es_knn_query": q_es_knn_query,
+        "downsample_tsdb": q_downsample_tsdb,
+        "es_frequent_items": q_es_frequent_items,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -4777,6 +4891,14 @@ def _mix_target_values() -> str:
     )
 
 
+def _bc_exp_sql() -> str:
+    return "[" + ", ".join(repr(v) for v in _BC_EXPECTATIONS) + "]"
+
+
+def _knnq_vec_sql() -> str:
+    return "[" + ", ".join(repr(v) for v in _KNNQ_VEC) + "]"
+
+
 def _rank_eval_sql() -> str:
     """DuckDB twin of q_es_rank_eval, generated from the SAME request
     list (_RANK_EVAL_BODY): per-request ranked CTE + NDCG arithmetic,
@@ -5197,6 +5319,109 @@ def _goldens_b() -> dict[str, str]:
               ORDER BY terms LIMIT 5)
         """,
         "es_rank_eval": _rank_eval_sql(),
+        "es_bucket_correlation": f"""
+            WITH b AS (
+              SELECT CAST(o_orderkey % 8 AS INTEGER) AS key,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1
+            ), pos AS (
+              SELECT key, doc_count,
+                     row_number() OVER (ORDER BY key ASC) AS p
+              FROM b
+            ), pair AS (
+              SELECT CAST(CAST(doc_count AS DECIMAL(19,6)) AS DOUBLE) AS x,
+                     CAST(CAST(({_bc_exp_sql()})[p]
+                          AS DECIMAL(19,6)) AS DOUBLE) AS y
+              FROM pos
+            ), mom AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(CAST(x AS DECIMAL(19,6))
+                          * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,6)))
+                          AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(CAST(y AS DECIMAL(19,6))
+                          * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,6)))
+                          AS DOUBLE) AS syy,
+                     CAST(sum(CAST(CAST(x AS DECIMAL(19,6))
+                          * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,6)))
+                          AS DOUBLE) AS sxy
+              FROM pair
+            )
+            SELECT b.key, b.doc_count,
+                   (SELECT round(CASE WHEN n = {len(_BC_EXPECTATIONS)}
+                                       AND n * sxx - sx * sx > 0
+                                       AND n * syy - sy * sy > 0
+                                 THEN (n * sxy - sx * sy)
+                                      / sqrt((n * sxx - sx * sx)
+                                             * (n * syy - sy * sy))
+                                 END, 6) FROM mom) AS corr_value
+            FROM b
+        """,
+        "es_moving_percentiles": """
+            WITH b AS (
+              SELECT date_trunc('month', o_orderdate) AS key,
+                     count(*) AS doc_count,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                          AS DOUBLE) AS rev
+              FROM orders GROUP BY 1
+            )
+            SELECT key, doc_count, rev,
+                   round(CAST(quantile_cont(rev, 0.5) OVER w
+                         AS DOUBLE), 6) AS mp_p50,
+                   round(CAST(quantile_cont(rev, 0.9) OVER w
+                         AS DOUBLE), 6) AS mp_p90
+            FROM b
+            WINDOW w AS (ORDER BY key ASC
+                         ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        """,
+        "es_knn_query": f"""
+            WITH top AS (
+              SELECT vec_id FROM embeddings
+              ORDER BY list_cosine_similarity(embedding,
+                       {_knnq_vec_sql()}) DESC, vec_id ASC
+              LIMIT 12
+            )
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id IN (SELECT vec_id FROM top) AND label >= 0
+            ORDER BY vec_id ASC
+            LIMIT 12
+        """,
+        "downsample_tsdb": """
+            SELECT event_type,
+                   make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600
+                                   AS BIGINT) * 1000000) AS _tsid,
+                   min(value) AS value_min,
+                   max(value) AS value_max,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,6)))
+                         AS DOUBLE), 6) AS value_sum,
+                   CAST(count(value) AS BIGINT) AS value_value_count,
+                   arg_max(props, ts) AS props_last
+            FROM events GROUP BY 1, 2
+        """,
+        "es_frequent_items": """
+            WITH b AS (
+              SELECT l_orderkey,
+                     list_distinct(list(CAST(l_partkey % 50 AS INTEGER)))
+                       AS items
+              FROM lineitem GROUP BY 1
+            ), e AS (
+              SELECT l_orderkey, u.x FROM b, unnest(items) u(x)
+            ), pr AS (
+              SELECT e1.x AS key_a, e2.x AS key_b
+              FROM e e1 JOIN e e2 USING (l_orderkey)
+              WHERE e1.x < e2.x
+            ), cnt AS (
+              SELECT key_a, key_b, count(*) AS doc_count
+              FROM pr GROUP BY 1, 2
+            ), tot AS (SELECT count(*) AS n FROM b)
+            SELECT key_a, key_b, doc_count,
+                   round(doc_count / n, 6) AS support
+            FROM cnt, tot
+            WHERE round(doc_count / n, 6) >= 0.005
+            ORDER BY doc_count DESC, key_a ASC, key_b ASC
+            LIMIT 15
+        """,
         "es_rate_normalize": """
             WITH b AS (
               SELECT date_trunc('month', o_orderdate) AS key,

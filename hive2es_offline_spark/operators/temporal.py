@@ -254,3 +254,50 @@ def range_join_banded(
     return fb.join(rb, on="_band", how="inner").where(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     ).drop("_band")
+
+
+def downsample(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    dims: list[str],
+    metrics: list[str],
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """TSDB downsampling with ES's downsample-API semantics (round 12):
+    one output row per (dimensions, fixed time bucket) carrying each
+    metric's ``<m>_min`` / ``<m>_max`` / ``<m>_sum`` / ``<m>_value_count``
+    and each label's LAST value by timestamp — the rollup shape ES's
+    time-series downsampling writes for gauge metrics + labels.
+
+    ``interval`` is a fixed interval (``"90s" | "30m" | "6h" | "7d"``);
+    buckets are epoch-aligned like the date_histogram fixed_interval
+    path.  Scale shape: ONE groupBy shuffle on (dims, bucket); sums are
+    decimal-routed (order-exact, oracle-mirrorable); the last-by-ts
+    label uses ``max_by`` — deterministic when timestamps are unique
+    within a bucket (duplicate-ts label rows are tie-broken by Spark's
+    max_by arbitrarily; pass a unique ts or pre-dedup if that matters).
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(s|m|h|d)", str(interval))
+    if not m:
+        raise ValueError(f"unsupported downsample interval: {interval!r}")
+    secs = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600,
+                              "d": 86400}[m.group(2)]
+    ts = F.col(ts_col)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts) / secs) * secs).alias("_tsid")
+    exprs: list = []
+    for mc in metrics:
+        c = F.col(mc)
+        exprs += [
+            F.min(c).alias(f"{mc}_min"),
+            F.max(c).alias(f"{mc}_max"),
+            F.sum(c.cast("decimal(28,6)")).cast("double")
+             .alias(f"{mc}_sum"),
+            F.count(c).alias(f"{mc}_value_count"),
+        ]
+    for lb in labels or []:
+        exprs.append(F.max_by(F.col(lb), ts).alias(f"{lb}_last"))
+    return df.groupBy(*dims, bucket).agg(*exprs)

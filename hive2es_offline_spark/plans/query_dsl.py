@@ -2718,7 +2718,8 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     cond = [(n, s) for n, s in aggs.items() if set(s) & _COND_BUCKET_KINDS]
     comp = [(n, s) for n, s in aggs.items() if "composite" in s]
     extra = [(n, s) for n, s in aggs.items()
-             if set(s) & {"rare_terms", "multi_terms"}]
+             if set(s) & {"rare_terms", "multi_terms",
+                          "frequent_item_sets"}]
     if len(bucket) + len(cond) + len(comp) + len(extra) > 1:
         raise ValueError("at most one bucket agg per body is supported")
 
@@ -2730,6 +2731,8 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
         _, spec = extra[0]
         if "rare_terms" in spec:
             return _compile_rare_terms(df, spec)
+        if "frequent_item_sets" in spec:
+            return _compile_frequent_item_sets(df, spec["frequent_item_sets"])
         return _compile_multi_terms(df, spec)
 
     sib = [(n, k, v) for n, s in aggs.items() for k, v in s.items()
@@ -3099,12 +3102,13 @@ def _rate_width_units(bspec: dict, unit: str | None) -> Column:
 _PIPELINE_KINDS = {
     "derivative", "cumulative_sum", "bucket_script", "bucket_selector",
     "bucket_sort", "serial_diff", "moving_fn", "normalize",
+    "moving_percentiles",
 }
 #: sibling pipeline aggregations (computed across a sibling bucket agg's
 #: buckets, declared NEXT TO it, not under it)
 _SIBLING_PIPELINE_KINDS = {
     "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
-    "stats_bucket", "percentiles_bucket",
+    "stats_bucket", "percentiles_bucket", "bucket_correlation",
 }
 
 
@@ -3267,7 +3271,7 @@ def _apply_pipeline_aggs(
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for name, pkind, pspec in pipes:
         if pkind in ("derivative", "cumulative_sum", "serial_diff",
-                     "moving_fn") and kind == "terms":
+                     "moving_fn", "moving_percentiles") and kind == "terms":
             # ES: sequential pipeline aggs need an ordered histogram parent
             raise ValueError(f"{pkind} requires a histogram/date_histogram parent")
         if pkind == "derivative":
@@ -3321,6 +3325,29 @@ def _apply_pipeline_aggs(
             }
             # ES drops buckets where the script is false OR null
             out = out.where(_script_column(pspec["script"], params))
+        elif pkind == "moving_percentiles":
+            # ES moves TDigest sketches window-to-window; this engine
+            # computes EXACT percentiles over the trailing window of
+            # bucket metric values (oracle-reproducible; the window is
+            # `window` buckets BEFORE the current one with ES's shift
+            # convention, like moving_fn) — O(buckets x window) work on
+            # the reduced frame, nothing data-scale
+            unknown = set(pspec) - {"buckets_path", "window", "shift",
+                                    "percents"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported moving_percentiles option(s): "
+                    f"{sorted(unknown)}")
+            window = int(pspec["window"])
+            shift = int(pspec.get("shift", 0))
+            pcts = [float(p) for p in pspec.get("percents", [50.0])]
+            frame = w.rowsBetween(-window + shift, -1 + shift)
+            src = _buckets_path_col(pspec["buckets_path"], out.columns)
+            for p in pcts:
+                suffix = str(p).replace(".", "_").removesuffix("_0")
+                out = out.withColumn(
+                    f"{name}_p{suffix}",
+                    F.round(F.percentile(src, p / 100.0).over(frame), 6))
         elif pkind == "normalize":
             # ES normalize pipeline agg (round 12): rescale each bucket's
             # metric against the WHOLE bucket frame — min/max/sum/mean
@@ -3411,6 +3438,55 @@ def _compile_sibling_pipeline(
             .alias(f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}")
             for p in pcts
         ])
+    elif pkind == "bucket_correlation":
+        # ES bucket_correlation (count_correlation function): Pearson
+        # correlation between the bucket metric series (key-ascending
+        # order) and the caller's indicator expectations, aligned by
+        # POSITION like ES.  Decimal-routed moments (the matrix_stats
+        # recipe) so the value is partition-order exact; a length
+        # mismatch or zero variance yields NULL (documented — the
+        # degenerate-frame contract), never NaN.  O(buckets) work over
+        # the reduced frame.
+        (fname, fspec), = pspec["function"].items()
+        if fname != "count_correlation":
+            raise ValueError(
+                f"unsupported bucket_correlation function: {fname!r} "
+                "(count_correlation)")
+        unknown = set(fspec["indicator"]) - {"expectations", "doc_count"}
+        if unknown:
+            raise ValueError(
+                f"unsupported indicator option(s): {sorted(unknown)}")
+        exp = [float(v) for v in fspec["indicator"]["expectations"]]
+        if len(exp) < 2:
+            raise ValueError("count_correlation needs >= 2 expectations")
+        from pyspark.sql.window import Window
+
+        pos = F.row_number().over(Window.orderBy(F.col("key").asc()))
+        xf = src.cast("double")
+        pair = buckets.select(
+            xf.cast("decimal(19,6)").alias("_x"),
+            # try_element_at: more buckets than expectations is the
+            # NULL-result length-mismatch case, not an ANSI index crash
+            F.try_element_at(F.lit(exp), pos)
+             .cast("decimal(19,6)").alias("_y"))
+        mom = pair.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum("_x").cast("double").alias("_sx"),
+            F.sum("_y").cast("double").alias("_sy"),
+            F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,6)"))
+             .cast("double").alias("_sxx"),
+            F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,6)"))
+             .cast("double").alias("_syy"),
+            F.sum((F.col("_x") * F.col("_y")).cast("decimal(38,6)"))
+             .cast("double").alias("_sxy"),
+        )
+        n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+        vx = n * F.col("_sxx") - sx * sx
+        vy = n * F.col("_syy") - sy * sy
+        corr = F.when(
+            (n == F.lit(float(len(exp)))) & (vx > 0) & (vy > 0),
+            (n * F.col("_sxy") - sx * sy) / F.sqrt(vx * vy))
+        scalar = mom.select(F.round(corr, 6).alias(f"{name}_value"))
     elif pkind in ("avg_bucket", "sum_bucket"):
         fn = F.avg if pkind == "avg_bucket" else F.sum
         scalar = buckets.agg(fn(src).alias(f"{name}_value"))
@@ -3445,6 +3521,59 @@ def _sub_agg_exprs(subs: dict) -> list[Column]:
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
         exprs.extend(_metric_exprs(sub_name, mkind, mspec))
     return exprs
+
+
+def _compile_frequent_item_sets(df: DataFrame, spec: dict) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation, SIZE-2 SETS (pairs) over
+    ONE array field — the market-basket surface (ES runs Eclat up to
+    arbitrary set sizes; larger ``minimum_set_size`` rejects loudly
+    rather than approximating).  Each document's DISTINCT sorted items
+    emit their pairs in codegen (nested transform + flatten — no UDF,
+    no self-join), ONE groupBy on the pair counts supporting documents,
+    ``minimum_support`` (fraction of ALL docs, ES's definition) filters,
+    and the top ``size`` rank by (doc_count desc, key asc).  Scale
+    shape: pairs-per-doc is quadratic in the DOC's basket size (bounded
+    by data, not corpus); the shuffle carries only pair keys + counts.
+
+    Output: ``key_a``/``key_b`` (the sorted pair), ``doc_count``,
+    ``support`` — scalar columns, driver-hashable."""
+    unknown = set(spec) - {"fields", "minimum_set_size", "minimum_support",
+                           "size"}
+    if unknown:
+        raise ValueError(
+            f"unsupported frequent_item_sets option(s): {sorted(unknown)}")
+    if int(spec.get("minimum_set_size", 2)) != 2:
+        raise ValueError(
+            "frequent_item_sets supports minimum_set_size=2 (pairs) only")
+    fields = spec["fields"]
+    if len(fields) != 1:
+        raise ValueError(
+            "frequent_item_sets supports exactly one array field here")
+    field = fields[0]["field"] if isinstance(fields[0], dict) else fields[0]
+    min_support = float(spec.get("minimum_support", 0.1))
+    size = int(spec.get("size", 10))
+    items = F.array_sort(F.array_distinct(F.col(field)))
+    pairs = F.flatten(F.transform(
+        items,
+        lambda x, i: F.transform(
+            F.slice(items, i + 2, F.greatest(F.size(items) - i - 1,
+                                             F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    out = (
+        df.select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.a").alias("key_a"), F.col("_p.b").alias("key_b"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("support",
+                    F.round(F.col("doc_count") / F.col("_n"), 6))
+        .where(F.col("support") >= min_support)
+        .drop("_n")
+    )
+    return out.orderBy(F.col("doc_count").desc(), F.col("key_a").asc(),
+                       F.col("key_b").asc()).limit(size)
 
 
 def _compile_rare_terms(df: DataFrame, spec: dict) -> DataFrame:
@@ -4299,6 +4428,39 @@ def expand_lookups(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
         raw = body["query"] if isinstance(body, dict) else body
         return expand_lookups(
             df, _json.loads(_b64.b64decode(str(raw))), id_field)
+    if kind == "knn":
+        # knn as a QUERY CLAUSE (ES 8.12+: {"query": {"knn": {...}}}) —
+        # in filter context the clause matches the k nearest neighbors,
+        # which needs DATA, so it expands at plan build into a terms
+        # clause over the top-k ids (one bounded TakeOrderedAndProject
+        # collect of k ids — the same bounded-driver-work class as the
+        # terms lookup above; the top-level body `knn` key remains the
+        # scored hybrid path in plans/scoring.py).  An optional inner
+        # `filter` pre-restricts the candidate pool like the top-level
+        # form.
+        unknown = set(body) - {"field", "query_vector", "k", "filter",
+                               "num_candidates", "boost"}
+        if unknown:
+            raise ValueError(
+                f"unsupported knn clause option(s): {sorted(unknown)}")
+        from ..operators.similarity import _cosine_to_literal
+
+        field = body["field"]
+        qv = [float(x) for x in body["query_vector"]]
+        k = int(body.get("k", 10))
+        qarr = F.array(*[F.lit(x) for x in qv])
+        cand = df
+        if "filter" in body:
+            inner = expand_lookups(df, body["filter"], id_field)
+            cand = cand.where(
+                F.coalesce(compile_query(inner, id_field), F.lit(False)))
+        sim = _cosine_to_literal(F.col(field), qarr, qv)
+        top = (cand.select(F.col(id_field).alias("_kid"),
+                           sim.alias("_ks"))
+               .orderBy(F.col("_ks").desc(), F.col("_kid").asc())
+               .limit(k).collect())
+        ids = [r["_kid"] for r in top]
+        return {"terms": {id_field: ids}}
     if kind == "more_like_this":
         return _mlt_to_bool(df, body, id_field)
     if kind == "terms":

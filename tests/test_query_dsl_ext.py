@@ -2890,3 +2890,155 @@ def test_geo_line_include_sort_and_terms_enum_pushdown(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(n" in plan, \
         plan[:2000]
+
+
+# --- round 12 fodder: bucket_correlation, moving_percentiles, knn clause,
+# --- frequent_item_sets -------------------------------------------------------
+
+
+class TestRound12Fodder:
+    def test_bucket_correlation_hand_computed(self, spark):
+        import statistics
+
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        # 3 buckets with counts 1, 2, 3 and expectations 10, 20, 30:
+        # perfectly linear -> corr exactly 1
+        df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate([0, 1, 1, 2, 2, 2])],
+            "id long, k int")
+        body = {"size": 0, "aggs": {
+            "m": {"terms": {"field": "k", "size": 10}},
+            "corr": {"bucket_correlation": {
+                "buckets_path": "m>_count",
+                "function": {"count_correlation": {
+                    "indicator": {"expectations": [10, 20, 30]}}}}}}}
+        rows = es_search(df, body, id_field="id").collect()
+        assert all(r["corr_value"] == pytest.approx(1.0, abs=2e-6)
+                   for r in rows)
+        # anti-correlated
+        body["aggs"]["corr"]["bucket_correlation"]["function"][
+            "count_correlation"]["indicator"]["expectations"] = [30, 20, 10]
+        rows = es_search(df, body, id_field="id").collect()
+        assert all(r["corr_value"] == pytest.approx(-1.0, abs=2e-6)
+                   for r in rows)
+        # length mismatch / zero variance -> NULL (degenerate contract)
+        body["aggs"]["corr"]["bucket_correlation"]["function"][
+            "count_correlation"]["indicator"]["expectations"] = [1, 2]
+        rows = es_search(df, body, id_field="id").collect()
+        assert all(r["corr_value"] is None for r in rows)
+        with pytest.raises(ValueError, match="count_correlation"):
+            es_search(df, {"size": 0, "aggs": {
+                "m": {"terms": {"field": "k"}},
+                "c": {"bucket_correlation": {
+                    "buckets_path": "m>_count",
+                    "function": {"spearman": {}}}}}},
+                id_field="id").collect()
+
+    def test_moving_percentiles_exact_windows(self, spark):
+        import datetime as dt
+
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        rows = [(i, dt.date(2024, 1 + i, 1), float(10 * (i + 1)))
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "id long, d date, v double")
+        body = {"size": 0, "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {"s": {"sum": {"field": "v"}},
+                     "mp": {"moving_percentiles": {
+                         "buckets_path": "s", "window": 3,
+                         "percents": [50.0]}}}}}}
+        out = {r["key"].month: r["mp_p50"]
+               for r in es_search(df, body, id_field="id").collect()}
+        # windows: [] -> NULL; [10] -> 10; [10,20] -> 15; [10,20,30] -> 20
+        assert out[1] is None
+        assert out[2] == 10.0 and out[3] == 15.0 and out[4] == 20.0
+        assert out[5] == 30.0 and out[6] == 40.0
+        with pytest.raises(ValueError, match="histogram"):
+            es_search(df, {"size": 0, "aggs": {"m": {
+                "terms": {"field": "id"},
+                "aggs": {"mp": {"moving_percentiles": {
+                    "buckets_path": "_count", "window": 3}}}}}},
+                id_field="id").collect()
+
+    def test_knn_query_clause_expands_and_composes(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        rows = [(i, [float(i), 1.0], i % 2) for i in range(1, 9)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        # query [1, 0]: cosine favors SMALL ids (larger first component
+        # relative to norm... actually cos = i/sqrt(i^2+1), increasing in
+        # i) -> top-3 = 8, 7, 6
+        body = {"query": {"knn": {"field": "embedding",
+                                  "query_vector": [1.0, 0.0], "k": 3}},
+                "sort": [{"vec_id": "asc"}], "_source": ["vec_id"]}
+        got = [r["vec_id"] for r in es_search(
+            df, body, id_field="vec_id").collect()]
+        assert got == [6, 7, 8]
+        # composes with an enclosing bool filter (odd labels only)
+        body2 = {"query": {"bool": {
+            "must": [{"knn": {"field": "embedding",
+                              "query_vector": [1.0, 0.0], "k": 3}}],
+            "filter": [{"term": {"label": 1}}]}},
+            "sort": [{"vec_id": "asc"}], "_source": ["vec_id"]}
+        got = [r["vec_id"] for r in es_search(
+            df, body2, id_field="vec_id").collect()]
+        assert got == [7]  # of the top-3 only 7 has label 1
+        # the knn's own pre-filter restricts the candidate pool instead
+        body3 = {"query": {"knn": {
+            "field": "embedding", "query_vector": [1.0, 0.0], "k": 3,
+            "filter": {"term": {"label": 1}}}},
+            "sort": [{"vec_id": "asc"}], "_source": ["vec_id"]}
+        got = [r["vec_id"] for r in es_search(
+            df, body3, id_field="vec_id").collect()]
+        assert got == [3, 5, 7]
+        with pytest.raises(ValueError, match="knn clause option"):
+            es_search(df, {"query": {"knn": {
+                "field": "embedding", "query_vector": [1.0, 0.0],
+                "similarity": 0.5}}}, id_field="vec_id").collect()
+
+    def test_frequent_item_sets_pairs(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        rows = [(1, ["a", "b", "c"]), (2, ["a", "b"]), (3, ["b", "a"]),
+                (4, ["c"]), (5, ["a", "c", "a"])]  # dup item collapses
+        df = spark.createDataFrame(rows, "id long, items array<string>")
+        body = {"size": 0, "aggs": {"p": {"frequent_item_sets": {
+            "fields": [{"field": "items"}],
+            "minimum_support": 0.4, "size": 10}}}}
+        got = {(r["key_a"], r["key_b"]): (r["doc_count"], r["support"])
+               for r in es_search(df, body, id_field="id").collect()}
+        # a&b in docs 1,2,3 (support .6); a&c in 1,5 (.4); b&c only doc 1
+        assert got == {("a", "b"): (3, 0.6), ("a", "c"): (2, 0.4)}
+        with pytest.raises(ValueError, match="minimum_set_size"):
+            es_search(df, {"size": 0, "aggs": {"p": {"frequent_item_sets": {
+                "fields": [{"field": "items"}],
+                "minimum_set_size": 3}}}}, id_field="id").collect()
+
+
+def test_downsample_rollup(spark):
+    import datetime as dt
+
+    from hive2es_offline_spark.operators.temporal import downsample
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), "a", 1.0, "p1"),
+        (2, dt.datetime(2024, 1, 1, 5, 59), "a", 3.0, "p2"),
+        (3, dt.datetime(2024, 1, 1, 6, 1), "a", 5.0, "p3"),
+        (4, dt.datetime(2024, 1, 1, 1, 0), "b", 7.0, "p4"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, t string, v double, lbl string")
+    out = {(r["t"], r["_tsid"].hour): r for r in downsample(
+        df, "ts", "6h", dims=["t"], metrics=["v"],
+        labels=["lbl"]).collect()}
+    first = out[("a", 0)]
+    assert (first["v_min"], first["v_max"], first["v_sum"],
+            first["v_value_count"]) == (1.0, 3.0, 4.0, 2)
+    assert first["lbl_last"] == "p2"  # last by ts within the bucket
+    assert out[("a", 6)]["v_sum"] == 5.0
+    assert out[("b", 0)]["lbl_last"] == "p4"
+    with pytest.raises(ValueError, match="interval"):
+        downsample(df, "ts", "6x", dims=["t"], metrics=["v"])
