@@ -2989,6 +2989,39 @@ def q_es_frequent_items(spark, sf_dir):
     return es_search(baskets, body, id_field="l_orderkey")
 
 
+def q_es_retriever_rrf(spark, sf_dir):
+    """ES 8.14 ``retriever`` search API (round 12, an r13 window
+    candidate): an ``rrf`` root fusing a ``standard`` (BM25-ranked
+    query) retriever with a ``knn`` (exact cosine) retriever —
+    reciprocal-rank fusion with rank_constant/rank_window_size, the
+    fused ≤ size frame broadcast-joined back for _source
+    (plans/scoring.py::es_retriever_search).  The embedding is
+    synthesized from doc_id with the same arithmetic in both engines;
+    the oracle fuses a BM25 CTE (the bm25_search recipe) with a
+    list_cosine_similarity ranking in plain SQL."""
+    from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "emb", F.array(*[
+            ((F.col("doc_id") * (i + 3)) % 17).cast("double")
+            for i in range(4)
+        ]))
+    body = {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "merge stream"}}}},
+                {"knn": {"field": "emb",
+                         "query_vector": [1.0, 5.0, 9.0, 13.0], "k": 20}},
+            ],
+            "rank_constant": 60,
+            "rank_window_size": 20,
+        }},
+        "size": 12,
+        "_source": ["doc_id", "source"],
+    }
+    return es_retriever_search(d, body, id_field="doc_id")
+
+
 def q_image_dedup(spark, sf_dir):
     """Image perceptual near-dup (VERDICT r11 #4): 64-bit dHash (32
     horizontal + 32 vertical block-mean gradient bits) over REAL decoded
@@ -4115,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_knn_query": q_es_knn_query,
         "downsample_tsdb": q_downsample_tsdb,
         "es_frequent_items": q_es_frequent_items,
+        "es_retriever_rrf": q_es_retriever_rrf,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5319,6 +5353,70 @@ def _goldens_b() -> dict[str, str]:
               ORDER BY terms LIMIT 5)
         """,
         "es_rank_eval": _rank_eval_sql(),
+        "es_retriever_rrf": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text),
+                       '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')
+                       AS toks,
+                     [CAST((doc_id * 3) % 17 AS DOUBLE),
+                      CAST((doc_id * 4) % 17 AS DOUBLE),
+                      CAST((doc_id * 5) % 17 AS DOUBLE),
+                      CAST((doc_id * 6) % 17 AS DOUBLE)] AS emb
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM base, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream')
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), lex AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY CAST(sum(p) AS DOUBLE) DESC, doc_id ASC)
+                       AS rank
+              FROM part GROUP BY doc_id
+              ORDER BY CAST(sum(p) AS DOUBLE) DESC, doc_id ASC LIMIT 20
+            ), knn AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         emb, [1.0, 5.0, 9.0, 13.0]) DESC, doc_id ASC)
+                       AS rank
+              FROM base
+              ORDER BY list_cosine_similarity(
+                emb, [1.0, 5.0, 9.0, 13.0]) DESC, doc_id ASC LIMIT 20
+            ), contrib AS (
+              SELECT doc_id, 1.0 / (60 + rank) AS c FROM lex
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rank) FROM knn
+            ), fused AS (
+              SELECT doc_id, round(sum(c), 9) AS rrf_score
+              FROM contrib GROUP BY 1
+              ORDER BY rrf_score DESC, doc_id ASC LIMIT 12
+            )
+            SELECT f.doc_id, f.rrf_score,
+                   CAST(row_number() OVER (
+                     ORDER BY f.rrf_score DESC, f.doc_id ASC)
+                     AS INTEGER) AS rank,
+                   b.source
+            FROM fused f JOIN base b USING (doc_id)
+        """,
         "es_bucket_correlation": f"""
             WITH b AS (
               SELECT CAST(o_orderkey % 8 AS INTEGER) AS key,

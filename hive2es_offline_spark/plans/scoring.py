@@ -65,7 +65,8 @@ from .analysis import analyze_col
 from .analysis import analyze_text as _analyze_terms
 from .query_dsl import compile_query
 
-__all__ = ["es_scored_search", "score_frame", "with_shared_analysis"]
+__all__ = ["es_scored_search", "es_retriever_search", "score_frame",
+           "with_shared_analysis"]
 
 #: clauses that score as the constant 1.0 when they match (ES's
 #: filter-to-query rewrite wraps them in a constant score)
@@ -1343,6 +1344,92 @@ def score_frame(
     drop = [c for c in out.columns
             if c.startswith(("_tsmap_", "_idf_", "_xfmap_", "_cfmap_"))]
     return out.drop(*drop)
+
+
+def es_retriever_search(
+    df: DataFrame,
+    body: dict,
+    id_field: str = "_id",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str | None = None,
+) -> DataFrame:
+    """ES 8.14 ``retriever`` search API (round 12): a retriever TREE in
+    place of ``query`` — ``standard`` (a query-DSL retriever, ranked by
+    BM25 ``_score``), ``knn`` (exact cosine top-k, the engine's
+    documented divergence from HNSW), and ``rrf`` (reciprocal-rank
+    fusion of child retrievers with ``rank_constant`` /
+    ``rank_window_size``).  Returns ``(id, rrf_score | _score, rank)``
+    plus the body's ``_source`` columns joined back (the fused frame is
+    ≤ size rows, so the join broadcasts).
+
+    Scale shape: each child retriever is its own pushed-down top-window
+    (TakeOrderedAndProject); the fusion unions the tiny ranked frames
+    (operators/retrieval.py::rrf_fuse) — the heavy work happened inside
+    each retriever, exactly ES's per-shard rank-then-fuse layout."""
+    from pyspark.sql.window import Window
+
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.similarity import _cosine_to_literal
+
+    spec = body.get("retriever")
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError("retriever body needs exactly one retriever root")
+    size = int(body.get("size", 10))
+
+    def ranked(node: dict, window: int) -> DataFrame:
+        (rkind, rbody), = node.items()
+        if rkind == "standard":
+            sub = {"query": rbody["query"], "size": window,
+                   "_source": [id_field]}
+            hits = es_scored_search(df, sub, id_field,
+                                    k1=k1, b=b, analyzer=analyzer)
+            w = Window.orderBy(F.col("_score").desc(),
+                               F.col(id_field).asc())
+            return hits.select(id_field,
+                               F.row_number().over(w).alias("rank"))
+        if rkind == "knn":
+            qv = [float(x) for x in rbody["query_vector"]]
+            qarr = F.array(*[F.lit(x) for x in qv])
+            sim = _cosine_to_literal(F.col(rbody["field"]), qarr, qv)
+            kk = min(int(rbody.get("k", window)), window)
+            w = Window.orderBy(F.col("_ks").desc(), F.col(id_field).asc())
+            return (df.select(id_field, sim.alias("_ks"))
+                    .orderBy(F.col("_ks").desc(), F.col(id_field).asc())
+                    .limit(kk)
+                    .select(id_field, F.row_number().over(w).alias("rank")))
+        raise ValueError(
+            f"unsupported retriever: {rkind!r} (standard | knn | rrf)")
+
+    (kind, spec_body), = spec.items()
+    if kind == "rrf":
+        unknown = set(spec_body) - {"retrievers", "rank_constant",
+                                    "rank_window_size"}
+        if unknown:
+            raise ValueError(
+                f"unsupported rrf option(s): {sorted(unknown)}")
+        window = int(spec_body.get("rank_window_size", max(size, 10)))
+        children = [ranked(r, window) for r in spec_body["retrievers"]]
+        if len(children) < 2:
+            raise ValueError("rrf needs at least two child retrievers")
+        fused = rrf_fuse(children, id_col=id_field,
+                         k=int(spec_body.get("rank_constant", 60)),
+                         top_k=size)
+    else:
+        one = ranked({kind: spec_body}, size)
+        fused = one.withColumn(
+            "rrf_score",
+            F.round(F.lit(1.0) / (F.lit(60.0) + F.col("rank")), 9))
+    src = body.get("_source")
+    if not src:
+        return fused
+    return (
+        df.select(id_field, *[c for c in src if c != id_field])
+        .join(F.broadcast(fused), id_field)
+        .select(id_field, "rrf_score", "rank",
+                *[c for c in src if c != id_field])
+    )
 
 
 def es_scored_search(

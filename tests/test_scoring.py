@@ -1255,3 +1255,60 @@ def test_shared_analysis_is_analyzer_stamped(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "__analyzed__standard__text" in plan
     assert "regexp_extract_all" not in plan
+
+
+class TestRetrieverAPI:
+    """ES 8.14 retriever tree (round 12): standard / knn / rrf root."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        rows = [(i, f"merge stream doc {i}" if i % 3 == 0
+                 else "other text here",
+                 [float(i % 7), 1.0]) for i in range(1, 21)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<double>")
+
+    def test_rrf_fuses_standard_and_knn(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        body = {"retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "merge stream"}}}},
+                {"knn": {"field": "embedding",
+                         "query_vector": [6.0, 1.0], "k": 8}},
+            ],
+            "rank_constant": 60, "rank_window_size": 10,
+        }}, "size": 6, "_source": ["doc_id", "text"]}
+        out = es_retriever_search(docs, body, id_field="doc_id")
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == 6
+        # a doc ranked by BOTH retrievers out-fuses single-list docs:
+        # 6 matches the text AND has embedding [6,1] (cosine rank 1)
+        best = min(rows.values(), key=lambda r: r["rank"])
+        assert best["doc_id"] == 6
+        # rrf scores are 1/(k+rank) sums, rounded to 9
+        assert all(0 < r["rrf_score"] < 2 / 60 for r in rows.values())
+        # ranks are dense 1..6, id tie-break deterministic
+        assert sorted(r["rank"] for r in rows.values()) == list(range(1, 7))
+
+    def test_standard_root_and_rejects(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        body = {"retriever": {"standard": {
+            "query": {"match": {"text": "merge"}}}}, "size": 3}
+        got = [r["doc_id"] for r in es_retriever_search(
+            docs, body, id_field="doc_id").orderBy("rank").collect()]
+        assert len(got) == 3
+        with pytest.raises(ValueError, match="at least two"):
+            es_retriever_search(docs, {"retriever": {"rrf": {
+                "retrievers": [{"standard": {"query": {
+                    "match": {"text": "merge"}}}}]}}},
+                id_field="doc_id").collect()
+        with pytest.raises(ValueError, match="unsupported retriever"):
+            es_retriever_search(docs, {"retriever": {
+                "text_similarity_reranker": {}}},
+                id_field="doc_id").collect()
+        with pytest.raises(ValueError, match="rrf option"):
+            es_retriever_search(docs, {"retriever": {"rrf": {
+                "retrievers": [], "window": 5}}},
+                id_field="doc_id").collect()
