@@ -5476,8 +5476,10 @@ def _goldens_b() -> dict[str, str]:
         "es_knn_query": f"""
             WITH top AS (
               SELECT vec_id FROM embeddings
-              ORDER BY list_cosine_similarity(embedding,
-                       {_knnq_vec_sql()}) DESC, vec_id ASC
+              ORDER BY round(CAST(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         {_knnq_vec_sql()}) AS DOUBLE), 6) DESC,
+                       vec_id ASC
               LIMIT 12
             )
             SELECT vec_id, label FROM embeddings

@@ -4443,23 +4443,22 @@ def expand_lookups(df: DataFrame, q: dict, id_field: str = "_id") -> dict:
         if unknown:
             raise ValueError(
                 f"unsupported knn clause option(s): {sorted(unknown)}")
-        from ..operators.similarity import _cosine_to_literal
+        from ..operators.similarity import cosine_topk
 
-        field = body["field"]
-        qv = [float(x) for x in body["query_vector"]]
-        k = int(body.get("k", 10))
-        qarr = F.array(*[F.lit(x) for x in qv])
         cand = df
         if "filter" in body:
             inner = expand_lookups(df, body["filter"], id_field)
             cand = cand.where(
                 F.coalesce(compile_query(inner, id_field), F.lit(False)))
-        sim = _cosine_to_literal(F.col(field), qarr, qv)
-        top = (cand.select(F.col(id_field).alias("_kid"),
-                           sim.alias("_ks"))
-               .orderBy(F.col("_ks").desc(), F.col("_kid").asc())
-               .limit(k).collect())
-        ids = [r["_kid"] for r in top]
+        # the canonical exact-cosine top-k (operators/similarity.py):
+        # ROUNDS the score before ranking so the ordering is stable
+        # across engines — the rule every knn surface follows
+        # (code-review r12 pass 2 caught this site re-implementing it
+        # unrounded)
+        top = cosine_topk(cand, [float(x) for x in body["query_vector"]],
+                          k=int(body.get("k", 10)), id_col=id_field,
+                          vec_col=body["field"]).collect()
+        ids = [r[id_field] for r in top]
         return {"terms": {id_field: ids}}
     if kind == "more_like_this":
         return _mlt_to_bool(df, body, id_field)

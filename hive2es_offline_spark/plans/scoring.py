@@ -1357,12 +1357,18 @@ def es_retriever_search(
 ) -> DataFrame:
     """ES 8.14 ``retriever`` search API (round 12): a retriever TREE in
     place of ``query`` — ``standard`` (a query-DSL retriever, ranked by
-    BM25 ``_score``), ``knn`` (exact cosine top-k, the engine's
-    documented divergence from HNSW), and ``rrf`` (reciprocal-rank
-    fusion of child retrievers with ``rank_constant`` /
-    ``rank_window_size``).  Returns ``(id, rrf_score | _score, rank)``
-    plus the body's ``_source`` columns joined back (the fused frame is
-    ≤ size rows, so the join broadcasts).
+    BM25 ``_score``, optional ``filter``), ``knn`` (exact cosine top-k
+    via the canonical rounded-before-rank helper, optional ``filter``
+    pre-restricting candidates), and ``rrf`` (reciprocal-rank fusion of
+    child retrievers with ``rank_constant`` / ``rank_window_size``).
+
+    A single (non-rrf) root returns the retriever's REAL score —
+    ``_score`` (BM25 or rounded cosine) plus ``rank``; an ``rrf`` root
+    returns the fused ``rrf_score`` plus ``rank``.  Either way the
+    body's ``_source`` columns join back onto the ≤ size result (a
+    broadcast join).  Unknown body keys and unknown retriever options
+    reject loudly (the validate_body_keys contract), as do
+    ``query``-beside-``retriever`` and ``rank_window_size < size``.
 
     Scale shape: each child retriever is its own pushed-down top-window
     (TakeOrderedAndProject); the fusion unions the tiny ranked frames
@@ -1371,34 +1377,65 @@ def es_retriever_search(
     from pyspark.sql.window import Window
 
     from ..operators.retrieval import rrf_fuse
-    from ..operators.similarity import _cosine_to_literal
+    from ..operators.similarity import cosine_topk
 
+    unknown = set(body) - {"retriever", "size", "_source"}
+    if unknown:
+        raise ValueError(
+            "unsupported retriever body key(s): "
+            f"{sorted(unknown)} (a `query` beside `retriever` is the "
+            "mutually-exclusive form ES rejects too)")
     spec = body.get("retriever")
     if not isinstance(spec, dict) or len(spec) != 1:
         raise ValueError("retriever body needs exactly one retriever root")
     size = int(body.get("size", 10))
 
     def ranked(node: dict, window: int) -> DataFrame:
+        """(id, _score, rank) for one child retriever."""
+        if not isinstance(node, dict) or len(node) != 1:
+            raise ValueError("each retriever needs exactly one type key")
         (rkind, rbody), = node.items()
         if rkind == "standard":
-            sub = {"query": rbody["query"], "size": window,
-                   "_source": [id_field]}
+            unk = set(rbody) - {"query", "filter"}
+            if unk:
+                raise ValueError(
+                    f"unsupported standard retriever option(s): "
+                    f"{sorted(unk)}")
+            q = rbody["query"]
+            if "filter" in rbody:
+                q = {"bool": {"must": [q], "filter": [rbody["filter"]]}}
+            sub = {"query": q, "size": window, "_source": [id_field]}
             hits = es_scored_search(df, sub, id_field,
                                     k1=k1, b=b, analyzer=analyzer)
             w = Window.orderBy(F.col("_score").desc(),
                                F.col(id_field).asc())
-            return hits.select(id_field,
+            return hits.select(id_field, "_score",
                                F.row_number().over(w).alias("rank"))
         if rkind == "knn":
-            qv = [float(x) for x in rbody["query_vector"]]
-            qarr = F.array(*[F.lit(x) for x in qv])
-            sim = _cosine_to_literal(F.col(rbody["field"]), qarr, qv)
+            unk = set(rbody) - {"field", "query_vector", "k", "filter",
+                                "num_candidates"}
+            if unk:
+                raise ValueError(
+                    f"unsupported knn retriever option(s): {sorted(unk)}")
+            cand = df
+            if "filter" in rbody:
+                from .query_dsl import compile_query, expand_lookups
+
+                inner = expand_lookups(df, rbody["filter"], id_field)
+                cand = cand.where(F.coalesce(
+                    compile_query(inner, id_field), F.lit(False)))
             kk = min(int(rbody.get("k", window)), window)
-            w = Window.orderBy(F.col("_ks").desc(), F.col(id_field).asc())
-            return (df.select(id_field, sim.alias("_ks"))
-                    .orderBy(F.col("_ks").desc(), F.col(id_field).asc())
-                    .limit(kk)
-                    .select(id_field, F.row_number().over(w).alias("rank")))
+            # canonical rounded-before-rank exact cosine (the engine-
+            # stable ordering rule every knn surface follows)
+            top = cosine_topk(cand, [float(x) for x in
+                                     rbody["query_vector"]],
+                              k=kk, id_col=id_field,
+                              vec_col=rbody["field"])
+            w = Window.orderBy(F.col("score").desc(),
+                               F.col(id_field).asc())
+            return top.select(
+                id_field, F.col("score").alias("_score"),
+                F.row_number().over(w).alias("rank"))
         raise ValueError(
             f"unsupported retriever: {rkind!r} (standard | knn | rrf)")
 
@@ -1410,24 +1447,27 @@ def es_retriever_search(
             raise ValueError(
                 f"unsupported rrf option(s): {sorted(unknown)}")
         window = int(spec_body.get("rank_window_size", max(size, 10)))
-        children = [ranked(r, window) for r in spec_body["retrievers"]]
+        if window < size:
+            raise ValueError(
+                f"rank_window_size ({window}) must be >= size ({size})")
+        children = [ranked(r, window).drop("_score")
+                    for r in spec_body["retrievers"]]
         if len(children) < 2:
             raise ValueError("rrf needs at least two child retrievers")
         fused = rrf_fuse(children, id_col=id_field,
                          k=int(spec_body.get("rank_constant", 60)),
                          top_k=size)
+        score_col = "rrf_score"
     else:
-        one = ranked({kind: spec_body}, size)
-        fused = one.withColumn(
-            "rrf_score",
-            F.round(F.lit(1.0) / (F.lit(60.0) + F.col("rank")), 9))
+        fused = ranked({kind: spec_body}, size)
+        score_col = "_score"
     src = body.get("_source")
     if not src:
         return fused
     return (
         df.select(id_field, *[c for c in src if c != id_field])
         .join(F.broadcast(fused), id_field)
-        .select(id_field, "rrf_score", "rank",
+        .select(id_field, score_col, "rank",
                 *[c for c in src if c != id_field])
     )
 

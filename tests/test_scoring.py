@@ -1312,3 +1312,49 @@ class TestRetrieverAPI:
             es_retriever_search(docs, {"retriever": {"rrf": {
                 "retrievers": [], "window": 5}}},
                 id_field="doc_id").collect()
+
+
+def test_retriever_filters_and_validation(spark):
+    # (code-review r12 pass 2) child retrievers honor `filter`, single
+    # roots return the REAL score, and body/option typos reject loudly
+    from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+    rows = [(i, f"merge doc {i}" if i % 2 == 0 else "other",
+             [float(i), 1.0], "en" if i <= 4 else "fr")
+            for i in range(1, 9)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>, "
+              "lang string")
+    # knn retriever filter restricts the candidate pool
+    body = {"retriever": {"knn": {
+        "field": "embedding", "query_vector": [1.0, 0.0], "k": 2,
+        "filter": {"term": {"lang": "en"}}}}, "size": 2,
+        "_source": ["doc_id"]}
+    got = sorted(r["doc_id"] for r in es_retriever_search(
+        df, body, id_field="doc_id").collect())
+    assert got == [3, 4]  # best cosine among lang=en only
+    # standard retriever filter composes with the query
+    body = {"retriever": {"standard": {
+        "query": {"match": {"text": "merge"}},
+        "filter": {"term": {"lang": "fr"}}}}, "size": 5,
+        "_source": ["doc_id"]}
+    out = es_retriever_search(df, body, id_field="doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [6, 8]
+    # single root carries the retriever's REAL _score (BM25 > 0 here)
+    assert all(r["_score"] > 0 for r in out)
+    with pytest.raises(ValueError, match="retriever body key"):
+        es_retriever_search(df, {"retriever": {"standard": {
+            "query": {"match_all": {}}}}, "sizee": 3},
+            id_field="doc_id").collect()
+    with pytest.raises(ValueError, match="rank_window_size"):
+        es_retriever_search(df, {"retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match_all": {}}}},
+                {"knn": {"field": "embedding",
+                         "query_vector": [1.0, 0.0]}}],
+            "rank_window_size": 2}}, "size": 5},
+            id_field="doc_id").collect()
+    with pytest.raises(ValueError, match="knn retriever option"):
+        es_retriever_search(df, {"retriever": {"knn": {
+            "field": "embedding", "query_vector": [1.0, 0.0],
+            "similarity": 0.3}}}, id_field="doc_id").collect()
