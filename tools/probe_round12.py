@@ -174,5 +174,58 @@ def main():
     spark.stop()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--knn" not in sys.argv:
     main()
+
+
+def probe_knn_surfaces():
+    """Addendum: knn query clause + retriever fusion at 1M embeddings."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from hive2es_offline_spark.plans.query_dsl import es_search
+    from hive2es_offline_spark.plans.scoring import es_retriever_search
+    from hive2es_offline_spark.session import get_spark
+
+    spark = get_spark("probe-r12-knn")
+    n = 1_000_000
+    df = (spark.range(n)
+          .withColumn("text", F.concat_ws(
+              " ", F.lit("doc"),
+              F.when(F.col("id") % 9 == 0, F.lit("merge stream"))
+               .otherwise(F.lit("other words here"))))
+          .withColumn("emb", F.array(*[
+              ((F.col("id") * (i + 3)) % 97).cast("double")
+              for i in range(8)]))
+          .localCheckpoint())
+    df.count()
+
+    def t(fn):
+        fn()
+        t0 = _t.perf_counter()
+        fn()
+        return _t.perf_counter() - t0
+
+    floor = t(lambda: df.where(F.col("id") % 9 == 0).count())
+    knnq = t(lambda: es_search(df, {
+        "query": {"bool": {
+            "must": [{"knn": {"field": "emb",
+                              "query_vector": [5.0] * 8, "k": 50}}],
+            "filter": [{"range": {"id": {"gte": 0}}}]}},
+        "size": 50, "_source": ["id"]}, id_field="id").count())
+    rrf = t(lambda: es_retriever_search(df, {
+        "retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "merge"}}}},
+            {"knn": {"field": "emb", "query_vector": [5.0] * 8,
+                     "k": 50}}],
+            "rank_window_size": 50}},
+        "size": 20, "_source": ["id"]}, id_field="id").count())
+    print(f"filter floor {floor:.2f}s | knn clause (expand+search) "
+          f"{knnq:6.2f}s x{knnq/floor:.1f} | retriever rrf "
+          f"{rrf:6.2f}s x{rrf/floor:.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__" and "--knn" in sys.argv:
+    probe_knn_surfaces()
