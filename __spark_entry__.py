@@ -3022,6 +3022,49 @@ def q_es_retriever_rrf(spark, sf_dir):
     return es_retriever_search(d, body, id_field="doc_id")
 
 
+def q_es_termvectors(spark, sf_dir):
+    """``_termvectors`` API (round 12, an r13 window candidate):
+    per-term statistics for one document — term_freq, 0-based positions
+    (JSON array string), and corpus doc_freq/ttf via ONE bounded
+    broadcast aggregate each (the more_like_this statistics pattern)
+    (plans/query_dsl.py::es_termvectors)."""
+    from hive2es_offline_spark.plans.query_dsl import es_termvectors
+
+    d = _t(spark, sf_dir, "documents")
+    return es_termvectors(
+        d, {"id": 42, "fields": ["text"], "term_statistics": True},
+        id_field="doc_id")
+
+
+def q_es_sliced_export(spark, sf_dir):
+    """Sliced export paging (round 12, an r13 window candidate): three
+    workers each scan a disjoint deterministic id partition
+    (``{"slice": {"id": i, "max": 3}}`` — pmod on the numeric id,
+    documented in place of ES's opaque internal hash) of one filtered
+    sorted export; the golden unions the slices with a slice_id column
+    so disjointness and coverage are value-checked."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders")
+    parts = []
+    for i in range(3):
+        body = {
+            "query": {"range": {"o_totalprice": {"gte": 300000.0}}},
+            "slice": {"id": i, "max": 3},
+            "sort": [{"o_orderkey": "asc"}],
+            "size": 40,
+            "_source": ["o_orderkey", "o_totalprice"],
+        }
+        parts.append(
+            es_search(o, body, id_field="o_orderkey")
+            .select(F.lit(i).alias("slice_id"), "o_orderkey",
+                    "o_totalprice"))
+    out = parts[0]
+    for pth in parts[1:]:
+        out = out.unionByName(pth)
+    return out
+
+
 def q_image_dedup(spark, sf_dir):
     """Image perceptual near-dup (VERDICT r11 #4): 64-bit dHash (32
     horizontal + 32 vertical block-mean gradient bits) over REAL decoded
@@ -4149,6 +4192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_tsdb": q_downsample_tsdb,
         "es_frequent_items": q_es_frequent_items,
         "es_retriever_rrf": q_es_retriever_rrf,
+        "es_termvectors": q_es_termvectors,
+        "es_sliced_export": q_es_sliced_export,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5353,6 +5398,53 @@ def _goldens_b() -> dict[str, str]:
               ORDER BY terms LIMIT 5)
         """,
         "es_rank_eval": _rank_eval_sql(),
+        "es_termvectors": f"""
+            WITH one AS (
+              SELECT {_duck_toks("text")} AS toks FROM documents
+              WHERE doc_id = 42
+            ), e AS (
+              SELECT toks[r.pos + 1] AS term, CAST(r.pos AS INT) AS pos
+              FROM one, LATERAL (
+                SELECT unnest(range(len(toks))) AS pos) r
+            ), pt AS (
+              SELECT term, count(*) AS term_freq,
+                     to_json(list_sort(list(pos))) AS positions
+              FROM e GROUP BY term
+            ), corpus AS (
+              SELECT {_duck_toks("text")} AS toks FROM documents
+            ), dfq AS (
+              SELECT pt.term, count(*) AS doc_freq
+              FROM pt, corpus WHERE list_contains(corpus.toks, pt.term)
+              GROUP BY pt.term
+            ), tt AS (
+              SELECT u.t AS term, count(*) AS ttf
+              FROM corpus, unnest(toks) u(t)
+              WHERE u.t IN (SELECT term FROM pt) GROUP BY 1
+            )
+            SELECT 'text' AS field, pt.term, term_freq,
+                   CAST(positions AS VARCHAR) AS positions,
+                   coalesce(doc_freq, 0) AS doc_freq,
+                   coalesce(ttf, 0) AS ttf
+            FROM pt LEFT JOIN dfq USING (term) LEFT JOIN tt USING (term)
+        """,
+        "es_sliced_export": """
+            SELECT * FROM (
+              SELECT 0 AS slice_id, o_orderkey, o_totalprice FROM (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_totalprice >= 300000.0 AND o_orderkey % 3 = 0
+                ORDER BY o_orderkey ASC LIMIT 40)
+              UNION ALL
+              SELECT 1, o_orderkey, o_totalprice FROM (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_totalprice >= 300000.0 AND o_orderkey % 3 = 1
+                ORDER BY o_orderkey ASC LIMIT 40)
+              UNION ALL
+              SELECT 2, o_orderkey, o_totalprice FROM (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_totalprice >= 300000.0 AND o_orderkey % 3 = 2
+                ORDER BY o_orderkey ASC LIMIT 40)
+            )
+        """,
         "es_retriever_rrf": """
             WITH base AS (
               SELECT doc_id, source,

@@ -109,7 +109,8 @@ from ..functions import ip as _ip
 
 __all__ = ["compile_query", "compile_aggs", "es_search", "es_count",
            "es_mget", "es_field_caps", "es_analyze", "significant_terms",
-           "es_terms_enum", "es_rank_eval", "CIDR_TERM_RANGE_ARM"]
+           "es_terms_enum", "es_rank_eval", "es_termvectors",
+           "CIDR_TERM_RANGE_ARM"]
 
 #: mapping-blind CIDR hedge switch (ADVICE r11): term/terms with a CIDR
 #: literal compile to (uint32 block-range compare) OR (exact string
@@ -5028,6 +5029,81 @@ def es_rank_eval(df: DataFrame, body: dict,
     return res.unionByName(overall)
 
 
+def es_termvectors(
+    df: DataFrame,
+    body: dict,
+    id_field: str = "_id",
+    analyzer: str | None = None,
+) -> DataFrame:
+    """ES ``_termvectors`` API (round 12): per-term statistics for ONE
+    document — ``(field, term, term_freq, positions)`` with optional
+    corpus-wide ``doc_freq`` / ``ttf`` when ``term_statistics`` is true
+    (ES's flag of the same name).  ``positions`` renders as a JSON array
+    string so every output column stays scalar.
+
+    Scale shape: the document fetch is an id-pruned scan; the per-doc
+    rows explode from ONE analyzed stream; term_statistics adds ONE
+    corpus aggregate whose width is the document's distinct-term count
+    (array_contains df sums + a term-filtered explode for ttf — the
+    more_like_this statistics pattern), broadcast back.  No shuffle
+    beyond the bounded aggregates."""
+    from .analysis import using
+
+    unknown = set(body) - {"id", "fields", "term_statistics"}
+    if unknown:
+        raise ValueError(
+            f"unsupported _termvectors option(s): {sorted(unknown)}")
+    with using(analyzer):
+        doc_id = body["id"]
+        fields = list(body["fields"])
+        parts = []
+        for field in fields:
+            toks = _analyze(F.col(field))
+            one = df.where(F.col(id_field) == F.lit(doc_id)).select(
+                F.coalesce(toks, F.lit([]).cast("array<string>"))
+                .alias("_toks"))
+            exploded = one.select(
+                F.posexplode("_toks").alias("_pos", "term"))
+            per_term = exploded.groupBy("term").agg(
+                F.count(F.lit(1)).alias("term_freq"),
+                F.to_json(F.sort_array(F.collect_list("_pos")))
+                .alias("positions"),
+            ).select(F.lit(field).alias("field"), "term", "term_freq",
+                     "positions")
+            if body.get("term_statistics"):
+                # the document's terms are NOT known at plan-build time
+                # (that would need a collect); instead one corpus pass
+                # computes df/ttf for every term THE DOC CONTAINS via a
+                # semi-join-free broadcast of the tiny per-doc frame
+                stats = (
+                    df.select(toks.alias("_ct"))
+                    .select(F.explode("_ct").alias("term"),
+                            F.lit(1).alias("_one"))
+                    .join(F.broadcast(per_term.select("term")), "term")
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("ttf"))
+                )
+                dfreq = (
+                    df.select(toks.alias("_ct"))
+                    .crossJoin(F.broadcast(per_term.select("term")))
+                    .where(F.array_contains(F.col("_ct"), F.col("term")))
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("doc_freq"))
+                )
+                per_term = (per_term
+                            .join(F.broadcast(dfreq), "term", "left")
+                            .join(F.broadcast(stats), "term", "left"))
+                per_term = per_term.select(
+                    "field", "term", "term_freq", "positions",
+                    F.coalesce("doc_freq", F.lit(0)).alias("doc_freq"),
+                    F.coalesce("ttf", F.lit(0)).alias("ttf"))
+            parts.append(per_term)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
 def es_analyze(spark, text: str, analyzer: str | None = None) -> DataFrame:
     """ES ``_analyze``: run the engine's analysis chain (``standard``
     punctuation-aware tokenization by default, ``whitespace`` fallback —
@@ -5059,7 +5135,7 @@ def es_count(df: DataFrame, body: dict | None = None, id_field: str = "_id") -> 
 _BODY_KEYS = {
     "query", "aggs", "sort", "from", "size", "_source", "knn", "rescore",
     "collapse", "highlight", "min_score", "search_after",
-    "runtime_mappings", "explain", "suggest",
+    "runtime_mappings", "explain", "suggest", "slice",
 }
 #: accepted no-ops: response-shaping hints with no flat-frame meaning
 #: (totals are the row count; every hit always carries live values)
@@ -5120,6 +5196,32 @@ def _es_search_impl(
     clause / agg / sort over it stays codegen and Catalyst still pushes
     predicates on REAL columns past it into the scan.
     """
+    if "slice" in body:
+        # sliced scroll/PIT export (round 12): worker i of max processes
+        # a disjoint deterministic id partition.  ES slices on an opaque
+        # internal hash; this engine documents its function — pmod of
+        # the numeric id (or of xxhash64(id) for non-numeric ids, which
+        # external oracles cannot reproduce; numeric ids keep full
+        # DuckDB parity).  The predicate is a plain conjunct on the scan,
+        # so each slice reads only its share of row groups where id
+        # statistics allow.
+        sl = body["slice"]
+        unknown = set(sl) - {"id", "max", "field"}
+        if unknown:
+            raise ValueError(
+                f"unsupported slice option(s): {sorted(unknown)}")
+        sid, smax = int(sl["id"]), int(sl["max"])
+        if not 0 <= sid < smax:
+            raise ValueError(
+                f"slice id {sid} out of range for max {smax}")
+        sfield = F.col(sl.get("field", id_field))
+        from pyspark.sql.types import NumericType
+
+        ftype = df.schema[sl.get("field", id_field)].dataType
+        key = (sfield if isinstance(ftype, NumericType)
+               else F.xxhash64(sfield))
+        df = df.where(F.pmod(key, F.lit(smax)) == F.lit(sid))
+        body = {k: v for k, v in body.items() if k != "slice"}
     for rname, rspec in (body.get("runtime_mappings") or {}).items():
         df = df.withColumn(
             rname,

@@ -3042,3 +3042,42 @@ def test_downsample_rollup(spark):
     assert out[("b", 0)]["lbl_last"] == "p4"
     with pytest.raises(ValueError, match="interval"):
         downsample(df, "ts", "6x", dims=["t"], metrics=["v"])
+
+
+def test_termvectors_and_sliced_search(spark):
+    # round 12: _termvectors per-term stats + sliced export partitions
+    from hive2es_offline_spark.plans.query_dsl import (
+        es_search,
+        es_termvectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox the fox"), (2, "fox runs"),
+         (3, "nothing here")],
+        "id long, text string")
+    rows = {r["term"]: r for r in es_termvectors(
+        df, {"id": 1, "fields": ["text"], "term_statistics": True},
+        id_field="id").collect()}
+    assert rows["fox"]["term_freq"] == 2
+    assert rows["fox"]["positions"] == "[3,5]"
+    assert rows["fox"]["doc_freq"] == 2 and rows["fox"]["ttf"] == 3
+    assert rows["the"]["doc_freq"] == 1 and rows["the"]["ttf"] == 2
+    with pytest.raises(ValueError, match="_termvectors option"):
+        es_termvectors(df, {"id": 1, "fields": ["text"],
+                            "offsets": True}, id_field="id")
+    # slices are disjoint, deterministic, and cover everything
+    big = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    parts = [set(r["id"] for r in es_search(
+        big, {"query": {"match_all": {}}, "size": 100,
+              "slice": {"id": i, "max": 3}, "_source": ["id"]},
+        id_field="id").collect()) for i in range(3)]
+    assert not (parts[0] & parts[1]) and not (parts[1] & parts[2])
+    assert parts[0] | parts[1] | parts[2] == set(range(20))
+    with pytest.raises(ValueError, match="slice id"):
+        es_search(big, {"query": {"match_all": {}},
+                        "slice": {"id": 3, "max": 3}},
+                  id_field="id").collect()
+    with pytest.raises(ValueError, match="slice option"):
+        es_search(big, {"query": {"match_all": {}},
+                        "slice": {"id": 0, "max": 2, "seed": 7}},
+                  id_field="id").collect()
