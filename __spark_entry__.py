@@ -3393,6 +3393,61 @@ def _fr_text_sql() -> str:
             f"{words}[(((doc_id * 3) + 5) % 12) + 1])")
 
 
+#: deterministic German-ish vocabulary for the es_match_german golden —
+#: umlaut/ß surface forms, plural/singular pairs, and a stopword so the
+#: folded german chain has real work to do; indexed by doc_id arithmetic
+#: identically in both engines
+_DE_WORDS = [
+    "Kinder", "Kind", "Häuser", "Haus", "Gärten", "Straße",
+    "strasse", "Bücher", "Filme", "nichts", "Wagen", "über",
+]
+
+
+def _de_text_col():
+    k = F.col("doc_id")
+    return F.concat_ws(
+        " ",
+        F.element_at(F.lit(_DE_WORDS), (k % 12).cast("int") + 1),
+        F.element_at(F.lit(_DE_WORDS),
+                     ((k / F.lit(5)).cast("long") % 12).cast("int") + 1),
+        F.element_at(F.lit(_DE_WORDS), ((k * 7 + 3) % 12).cast("int") + 1),
+    )
+
+
+def _de_text_sql() -> str:
+    words = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _DE_WORDS) + "]"
+    return (f"({words}[(doc_id % 12) + 1] || ' ' || "
+            f"{words}[((doc_id // 5) % 12) + 1] || ' ' || "
+            f"{words}[(((doc_id * 7) + 3) % 12) + 1])")
+
+
+def q_es_match_german(spark, sf_dir):
+    """The built-in german chain on the match surface (VERDICT r12 #3):
+    asciifolding (the german_normalization approximation — ü→u, ß→ss,
+    Latin-Extended included) → folded german stop set → Savoy/Lucene
+    light german stemmer, all codegen (translate/replace + the
+    two-step anchored-regex rule table, plans/analysis.py).  Query
+    "Kindern" hits "Kinder"/"Kind" docs and query "Straße" hits
+    "strasse" docs — case-, umlaut- and inflection-blind matching.  The
+    German text is synthesized deterministically from doc_id with the
+    same arithmetic in both engines; the oracle tokenizes with the
+    machine-generated DuckDB rendering of the SAME chain."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents").withColumn("gtext", _de_text_col())
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"gtext": "Kindern Straße"}}],
+            "filter": [{"range": {"n_chars": {"gte": 150}}}],
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 40,
+        "_source": ["doc_id", "source", "gtext"],
+    }
+    return es_search(d, body, id_field="doc_id", analyzer="german")
+
+
 def q_es_match_folded(spark, sf_dir):
     """asciifolding + the French chain on the match surface (VERDICT r11
     #2): a custom analyzer (elision → asciifolding → french stop →
@@ -4001,6 +4056,17 @@ def q_ks_drift(spark, sf_dir):
 #: substring_dedup (green r8-r11); es_mlt, es_query_ext, es_aggs_range,
 #: es_aggs_filters, repetition_stats (green r10-r11) — all keep local
 #: DuckDB parity via demoted_goldens().
+#: Round-13 rotation (VERDICT r12 #1): the EIGHT banked round-12 fodder
+#: goldens rotate IN — es_bucket_correlation, es_moving_percentiles,
+#: es_knn_query (knn as a query CLAUSE), downsample_tsdb,
+#: es_frequent_items, es_retriever_rrf, es_termvectors,
+#: es_sliced_export — all built and locally DuckDB-goldened in round 12,
+#: never driver-adjudicated.  Rotating OUT the eight longest-stable
+#: driver-green rows named by VERDICT r12: data_drift, bigram_lm_score,
+#: contamination, epoch_shuffle, temperature_mix (the r10 cohort, green
+#: r10-r12) and the three oldest r10 ES rows es_multi_match_types,
+#: es_parent_child, es_geo_grid (green r10-r12) — all keep local DuckDB
+#: parity via demoted_goldens().
 #: Window membership is just this list; goldens follow automatically.
 #: Round-11 new surfaces (VERDICT r10 #2-#7) enter as they land, each
 #: demoting the longest-stable driver-green row (all keep local DuckDB
@@ -4024,13 +4090,13 @@ DRIVER_WINDOW = [
     "es_match_folded", "es_rate_normalize", "es_geo_shape",
     "image_dedup",
     "es_join_aggs", "es_ip_prefix", "es_geo_line", "es_terms_enum",
-    "es_rank_eval", "data_drift", "bigram_lm_score",
-    "es_multi_match_types", "es_parent_child", "es_geo_grid",
+    "es_rank_eval", "es_bucket_correlation", "es_moving_percentiles",
+    "es_knn_query", "downsample_tsdb", "es_frequent_items",
+    "es_retriever_rrf",
     "es_intervals",
     "es_scripted_metric", "es_scroll", "es_feature_queries",
     "es_pit",
-    "es_combined_fields", "contamination", "epoch_shuffle",
-    "temperature_mix",
+    "es_combined_fields", "es_termvectors", "es_sliced_export",
     "snapshot_cdc", "token_budget",
     "audio_features", "video_frames", "pq_search",
     "dedup_incremental_minhash",
@@ -4194,6 +4260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_retriever_rrf": q_es_retriever_rrf,
         "es_termvectors": q_es_termvectors,
         "es_sliced_export": q_es_sliced_export,
+        # round-13 fodder (r14 window candidates, local goldens for now)
+        "es_match_german": q_es_match_german,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5049,6 +5117,12 @@ def _goldens_b() -> dict[str, str]:
     _fr_terms = _an_text("cafe châteaux", "folded_fr_entry")
     _fr_or = " OR ".join(
         f"list_contains({_fr_frag}, '{t}')" for t in _fr_terms)
+
+    # es_match_german: same lockstep for the built-in german chain
+    _de_frag = _duck_toks("gtext", "german")
+    _de_terms = _an_text("Kindern Straße", "german")
+    _de_or = " OR ".join(
+        f"list_contains({_de_frag}, '{t}')" for t in _de_terms)
     _std_frag = _duck_toks("text")
     _bigrams = (f"list_transform(generate_series(1, len({_std_frag}) - 1), "
                 f"i -> {_std_frag}[i] || ' ' || {_std_frag}[i + 1])")
@@ -5346,6 +5420,16 @@ def _goldens_b() -> dict[str, str]:
               FROM documents
             )
             WHERE ({_fr_or})
+              AND n_chars >= 150
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
+        "es_match_german": f"""
+            SELECT doc_id, source, gtext FROM (
+              SELECT doc_id, source, n_chars, {_de_text_sql()} AS gtext
+              FROM documents
+            )
+            WHERE ({_de_or})
               AND n_chars >= 150
             ORDER BY doc_id ASC
             LIMIT 40

@@ -75,7 +75,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "analyze_col", "analyze_text", "using", "current_analyzer",
     "DUCKDB_TOKEN_RE", "ANALYZERS", "register_analyzer", "analyzer_names",
-    "ENGLISH_STOPWORDS", "FRENCH_STOPWORDS", "stem_text", "fold_text",
+    "ENGLISH_STOPWORDS", "FRENCH_STOPWORDS", "GERMAN_STOPWORDS",
+    "SPANISH_STOPWORDS", "stem_text", "fold_text",
 ]
 
 #: Java regex (Spark side).  \p{L}/\p{N} are Unicode general categories.
@@ -176,17 +177,77 @@ _FR_DOUBLE = ("^.{4,}(aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|"
 _P_ELISION = "^(?:jusqu|quoiqu|lorsqu|puisqu|qu|[ldjtmnsc])'"
 
 # ---------------------------------------------------------------------------
-# asciifolding (round 12) — ES's asciifolding token filter restricted to
-# the Latin-1/Latin-Extended letters that appear in Western European
-# text: ONE from/to table rendered as translate() in Spark, DuckDB and
-# Python (plus three digraph replaces), so the three contexts cannot
-# drift.  Input tokens are already lowercased by the tokenizer.
+# German light stemmer (round 13) — Savoy's light German stemmer, the
+# shape Lucene ships as GermanLightStemmer: two suffix-stripping steps
+# (step 1: -ern / -em -en -er -es / -e / consonant+-s; step 2: -est /
+# consonant+-st), each a first-match-wins anchored-regex table valid in
+# Java regex, Python re, and RE2.  Lucene's internal umlaut substitution
+# (ä→a ö→o ü→u) is NOT part of this table — the built-in "german" chain
+# runs the asciifolding char filter first (the documented approximation
+# of ES's german_normalization: identical on the German letters, folds
+# other accents too, which is harmless in German text), keeping every
+# stemmer rule suffix-only so the stem-prefix guard invariant
+# stem(t)[:-1] ⊑ t holds (fuzzed in tests/test_analysis.py).
 # ---------------------------------------------------------------------------
 
-_FOLD_FROM = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
-_FOLD_TO = "aaaaaaceeeeiiiinoooooouuuuyy"
+#: step 1 — plural/case endings (first match wins).  Length guards match
+#: Lucene: -ern needs len>5, -e(m|n|r|s) len>4, -e len>3, -s len>3 and a
+#: "stemmable" consonant before it.
+_DE_ST_CONS = "bdfghklmnt"
+_DE_STEP_1 = (
+    ("^.{3,}ern$", "ern$", ""),                   # kindern → kind
+    ("^.{3,}e[mnrs]$", "e[mnrs]$", ""),           # hauses → haus
+    ("^.{3,}e$", "e$", ""),                       # hunde → hund
+    (f"^.{{2,}}[{_DE_ST_CONS}]s$", "s$", ""),     # films → film
+)
+#: step 2 — superlative/inflection -est / -st (first match wins)
+_DE_STEP_2 = (
+    ("^.{3,}est$", "est$", ""),                   # schnellstem→…→schnell
+    (f"^.{{2,}}[{_DE_ST_CONS}]st$", "st$", ""),   # kleinst → klein
+)
+
+# ---------------------------------------------------------------------------
+# Spanish light stemmer (round 13) — Savoy's light Spanish stemmer, the
+# shape Lucene ships as SpanishLightStemmer: one first-match-wins step
+# over words of length ≥ 5 (plural -es forms first, then -ces → -z, then
+# vowel plurals, then final vowels).  Lucene folds accented vowels
+# inside the stemmer; the built-in "spanish" chain runs asciifolding
+# first instead (documented approximation — uniform folding also catches
+# words the length guard would skip), so every rule below is suffix-only
+# and the stem-prefix guard invariant holds.
+# ---------------------------------------------------------------------------
+
+_ES_STEP = (
+    ("^.{1,}eses$", "es$", ""),                   # meses → mes
+    ("^.{2,}ces$", "ces$", "z"),                  # luces → luz
+    ("^.{3,}[oae]s$", "[oae]s$", ""),             # libros → libr
+    ("^.{4,}[oae]$", "[oae]$", ""),               # libro → libr
+)
+
+# ---------------------------------------------------------------------------
+# asciifolding (round 12, widened round 13) — ES's asciifolding token
+# filter over the Latin-1 AND Latin-Extended-A/B letters that appear in
+# Western/Central/Northern European text (VERDICT r12 #3: web corpora
+# hit german compounds and ő/ř/ș routinely): ONE from/to table rendered
+# as translate() in Spark, DuckDB and Python (plus digraph replaces for
+# the one-to-many foldings), so the three contexts cannot drift.  Input
+# tokens are already lowercased by the tokenizer.
+# ---------------------------------------------------------------------------
+
+_FOLD_FROM = (
+    "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿð"               # Latin-1
+    "āăąćĉċčďđēĕėęěĝğġģĥħĩīĭįıĵķĸĺļľŀłńņňŋōŏő"     # Latin Extended-A
+    "ŕŗřśŝşšţťŧũūŭůűųŵŷźżž"
+    "șț"                                           # Latin Extended-B (ro)
+)
+_FOLD_TO = (
+    "aaaaaaceeeeiiiinoooooouuuuyyd"
+    "aaaccccddeeeeegggghhiiiiijkklllllnnnnooo"
+    "rrrsssstttuuuuuuwyzzz"
+    "st"
+)
 assert len(_FOLD_FROM) == len(_FOLD_TO)
-_FOLD_MULTI = (("œ", "oe"), ("æ", "ae"), ("ß", "ss"))
+_FOLD_MULTI = (("œ", "oe"), ("æ", "ae"), ("ß", "ss"), ("þ", "th"))
 _PY_FOLD = str.maketrans(_FOLD_FROM, _FOLD_TO)
 
 #: a compact French stop set (the high-frequency core of Snowball's
@@ -203,6 +264,42 @@ FRENCH_STOPWORDS = (
     "vous", "été", "étée", "étées", "étés", "étant", "suis", "es",
     "est", "sommes", "êtes", "sont", "sera", "serait", "était",
     "étaient", "être", "avoir", "avait", "ont", "comme",
+)
+
+
+#: a compact German stop set (the high-frequency core of Snowball's
+#: German stopword list — articles, pronouns, common prepositions and
+#: sein/haben/werden forms); stored in surface form, folded at registry
+#: construction because the built-in chain folds before the stop filter
+GERMAN_STOPWORDS = (
+    "aber", "alle", "als", "also", "am", "an", "auch", "auf", "aus",
+    "bei", "bin", "bis", "bist", "da", "damit", "dann", "das", "dass",
+    "dein", "dem", "den", "der", "des", "die", "dies", "diese",
+    "diesem", "diesen", "dieser", "dieses", "doch", "dort", "du",
+    "durch", "ein", "eine", "einem", "einen", "einer", "eines", "er",
+    "es", "für", "haben", "hat", "hatte", "hier", "ich", "ihr", "ihre",
+    "im", "in", "ist", "ja", "jede", "jedem", "jeden", "jeder",
+    "jedes", "kann", "kein", "mein", "mit", "muss", "nach", "nicht",
+    "noch", "nun", "nur", "ob", "oder", "ohne", "sehr", "sein",
+    "seine", "sich", "sie", "sind", "so", "um", "und", "uns", "unter",
+    "vom", "von", "vor", "war", "waren", "wenn", "werden", "wie",
+    "wieder", "wir", "wird", "wo", "zu", "zum", "zur", "über",
+)
+
+#: a compact Spanish stop set (the high-frequency core of Snowball's
+#: Spanish stopword list); surface form, folded at registry construction
+SPANISH_STOPWORDS = (
+    "a", "al", "algo", "algunas", "algunos", "ante", "antes", "como",
+    "con", "contra", "cual", "cuando", "de", "del", "desde", "donde",
+    "durante", "e", "el", "ella", "ellas", "ellos", "en", "entre",
+    "era", "es", "esa", "ese", "eso", "esta", "estar", "estas",
+    "este", "esto", "estos", "fue", "ha", "han", "hasta", "hay", "la",
+    "las", "le", "les", "lo", "los", "me", "muy", "más", "mí", "nada",
+    "ni", "no", "nos", "nosotros", "o", "otra", "otras", "otro",
+    "otros", "para", "pero", "poco", "por", "porque", "que", "quien",
+    "quienes", "qué", "se", "ser", "si", "sin", "sobre", "son", "su",
+    "sus", "sí", "también", "tanto", "todo", "todos", "un", "una",
+    "uno", "unos", "y", "ya", "yo", "él",
 )
 
 
@@ -229,6 +326,19 @@ def stem_text(w: str, lang: str = "english") -> str:
                 w = w[:-1]
         if re.match(_FR_DOUBLE, w):
             w = w[:-1]
+        return w
+    if lang == "german":
+        for rows in (_DE_STEP_1, _DE_STEP_2):
+            for cond, suf, rep in rows:
+                if re.match(cond, w):
+                    w = re.sub(suf, rep, w)
+                    break
+        return w
+    if lang == "spanish":
+        for cond, suf, rep in _ES_STEP:
+            if re.match(cond, w):
+                w = re.sub(suf, rep, w)
+                break
         return w
     for cond, suf, rep in _STEP_1A:
         if re.match(cond, w):
@@ -307,6 +417,10 @@ def _stem_steps_list(lang: str = "english"):
         return ([_col_step_table(_FR_STEP_X)]
                 + [_drop_rule(c) for c in _FR_DROPS]
                 + [_drop_rule(_FR_DOUBLE)])
+    if lang == "german":
+        return [_col_step_table(_DE_STEP_1), _col_step_table(_DE_STEP_2)]
+    if lang == "spanish":
+        return [_col_step_table(_ES_STEP)]
     return [
         _col_step_table(_STEP_1A),
         _col_step_1b,
@@ -360,6 +474,10 @@ def _duckdb_stem_steps(lang: str = "english") -> list[str]:
         return ([step_case(_FR_STEP_X)]
                 + [drop_case(c) for c in _FR_DROPS]
                 + [drop_case(_FR_DOUBLE)])
+    if lang == "german":
+        return [step_case(_DE_STEP_1), step_case(_DE_STEP_2)]
+    if lang == "spanish":
+        return [step_case(_ES_STEP)]
 
     ed = "regexp_replace(t, 'ed$', '')"
     ing = "regexp_replace(t, 'ing$', '')"
@@ -395,7 +513,7 @@ class _AnalyzerSpec:
     elision: bool = False                      # strip l'/d'/qu'/… prefixes
     asciifolding: bool = False                 # fold accents to ASCII
     stopwords: tuple[str, ...] = ()
-    stemmer: str | None = None                 # english | french | None
+    stemmer: str | None = None       # english | french | german | spanish
     #: normalized token → canonical token, applied LAST (entries are
     #: normalized through the chain's own stop/stem filters at
     #: registration, so surface-form synonym groups keep working when the
@@ -414,10 +532,28 @@ _REGISTRY: dict[str, _AnalyzerSpec] = {
     # accent-blind matching)
     "french": _AnalyzerSpec(elision=True, stopwords=FRENCH_STOPWORDS,
                             stemmer="french"),
+    # german folds FIRST (the documented approximation of ES's
+    # german_normalization — identical on ä/ö/ü/ß, folds other accents
+    # too) so the light stemmer's rules stay suffix-only and the
+    # stem-prefix candidate guard holds; the stop set folds with it
+    "german": _AnalyzerSpec(
+        asciifolding=True,
+        stopwords=tuple(dict.fromkeys(
+            fold_text(s) for s in GERMAN_STOPWORDS)),
+        stemmer="german"),
+    # spanish likewise folds first (Lucene's SpanishLightStemmer folds
+    # accented vowels inside the stemmer; folding uniformly up front
+    # also catches the short words its length guard skips)
+    "spanish": _AnalyzerSpec(
+        asciifolding=True,
+        stopwords=tuple(dict.fromkeys(
+            fold_text(s) for s in SPANISH_STOPWORDS)),
+        stemmer="spanish"),
 }
 
 #: retained export — the BUILT-IN names (registry adds custom ones)
-ANALYZERS = ("standard", "whitespace", "english", "french")
+ANALYZERS = ("standard", "whitespace", "english", "french", "german",
+             "spanish")
 
 
 def analyzer_names() -> tuple[str, ...]:
@@ -437,8 +573,9 @@ def register_analyzer(
 ) -> None:
     """Declare a named custom analyzer (the ES
     ``settings.analysis.analyzer`` surface).  ``stopwords`` accepts a
-    word list or the ES shorthands ``"_english_"`` / ``"_french_"``;
-    ``stemmer`` accepts a language name (``"english"`` / ``"french"``) or
+    word list or the ES shorthands ``"_english_"`` / ``"_french_"`` /
+    ``"_german_"`` / ``"_spanish_"``; ``stemmer`` accepts a language name
+    (``"english"`` / ``"french"`` / ``"german"`` / ``"spanish"``) or
     ``True`` as a legacy alias for english; ``synonyms`` accepts either
     ES-style equivalence groups (``[["car","auto","automobile"], …]`` —
     every member rewrites to the FIRST) or an explicit mapping
@@ -448,23 +585,26 @@ def register_analyzer(
     possessive/elision/fold/stop/stem chain), so lists written in surface
     forms stay consistent with the indexed stream.  Re-registering a
     built-in name is rejected."""
-    if name in ("standard", "whitespace", "english", "french"):
+    if name in ANALYZERS:
         raise ValueError(f"cannot redefine built-in analyzer {name!r}")
     if tokenizer not in ("standard", "whitespace"):
         raise ValueError(
             f"unsupported tokenizer: {tokenizer!r} (standard | whitespace)")
     stem_lang = {False: None, True: "english"}.get(stemmer, stemmer)
-    if stem_lang not in (None, "english", "french"):
+    if stem_lang not in (None, "english", "french", "german", "spanish"):
         raise ValueError(
-            f"unsupported stemmer: {stemmer!r} (english | french)")
-    if stopwords == "_english_":
-        stops: tuple[str, ...] = ENGLISH_STOPWORDS
-    elif stopwords == "_french_":
-        stops = FRENCH_STOPWORDS
-    elif isinstance(stopwords, str):
-        raise ValueError(
-            f"unsupported stopword set {stopwords!r} (pass a list, "
-            "'_english_' or '_french_')")
+            f"unsupported stemmer: {stemmer!r} "
+            "(english | french | german | spanish)")
+    shorthand = {"_english_": ENGLISH_STOPWORDS,
+                 "_french_": FRENCH_STOPWORDS,
+                 "_german_": GERMAN_STOPWORDS,
+                 "_spanish_": SPANISH_STOPWORDS}
+    if isinstance(stopwords, str):
+        if stopwords not in shorthand:
+            raise ValueError(
+                f"unsupported stopword set {stopwords!r} (pass a list or "
+                f"one of {' | '.join(sorted(shorthand))})")
+        stops: tuple[str, ...] = shorthand[stopwords]
     else:
         stops = tuple(str(s).lower() for s in stopwords)
     if asciifolding:

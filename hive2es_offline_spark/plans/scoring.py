@@ -986,11 +986,16 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
 
     cache_key = None
     if _tsmap_cache is not None and stats_over is None:
-        cache_key = (id_field, field, tuple(sorted(terms)), k1, b,
+        # id(df) anchors the key to the SOURCE FRAME (ADVICE r12): a
+        # shared_tsmaps() scope spanning scored searches over two
+        # different DataFrames must never serve frame A's term map for
+        # frame B.  The cache value pins df, so its id() cannot be
+        # recycled while the scope lives.
+        cache_key = (id(df), id_field, field, tuple(sorted(terms)), k1, b,
                      current_analyzer())
         hit = _tsmap_cache.get(cache_key)
         if hit is not None:
-            return hit
+            return hit[1]
     toks = _toks_expr(df, field)
     base = df.select(
         F.col(id_field).alias("_did"), toks.alias("_toks")
@@ -1068,7 +1073,10 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
         # subplan reuses the first copy's shuffle via ReusedExchange —
         # a checkpoint would materialize each map as its own serial job
         # and cost more than it saves (measured)
-        _tsmap_cache[cache_key] = out
+        # the entry PINS df (value is (df, out)): the id(df) key component
+        # stays valid for the scope's lifetime — CPython cannot recycle
+        # the address of an object the cache itself keeps alive
+        _tsmap_cache[cache_key] = (df, out)
     return out
 
 
@@ -1540,10 +1548,26 @@ def _es_scored_search_impl(
     Top-k compiles to TakeOrderedAndProject over the scored frame — the
     only data-scale shuffles are the term-partial aggregate (query-term
     hits only) and one id join per scored text field."""
+    from .query_dsl import (
+        _strip_names,
+        apply_slice,
+        expand_lookups,
+        named_queries_column,
+    )
+
+    # sliced scored exports partition BEFORE scoring (ADVICE r12: "slice"
+    # was whitelisted in _BODY_KEYS but only the filter-context path
+    # consumed it, silently duplicating the full corpus per worker).  The
+    # slice predicate restricts the HIT SET only; corpus statistics stay
+    # index-wide via stats_over=<pre-slice frame>, matching ES where
+    # slices share shard-level stats (so a doc scores identically in
+    # whichever slice it lands)
+    _pre_slice = df
+    df, body = apply_slice(df, body, id_field)
+    _slice_stats = _pre_slice if df is not _pre_slice else None
     knn = body.get("knn")
     knn_only = knn is not None and "query" not in body
     query = body.get("query", {"match_all": {}})
-    from .query_dsl import _strip_names, expand_lookups, named_queries_column
 
     query = expand_lookups(df, query, id_field)
     # named queries ride the scored path too: the column is computed on
@@ -1573,6 +1597,7 @@ def _es_scored_search_impl(
         scored = df.withColumn("_score", F.lit(0.0))
     else:
         scored = score_frame(df, query, id_field, k1=k1, b=b,
+                             stats_over=_slice_stats,
                              explain=want_explain)
     if knn is not None:
         # ES 8 combined retrieval: the hit set is the UNION of the query's
@@ -1680,7 +1705,8 @@ def _es_scored_search_impl(
         # (VERDICT r8 #4; plan-asserted in tests/test_scoring.py,
         # measured in tools/probe_round9.py)
         top = score_frame(
-            top, rspec["rescore_query"], id_field, k1=k1, b=b, stats_over=df
+            top, rspec["rescore_query"], id_field, k1=k1, b=b,
+            stats_over=_pre_slice,
         ).withColumnRenamed("_score", "_rescore")
         qw = F.lit(float(rspec.get("query_weight", 1.0)))
         rqw = F.lit(float(rspec.get("rescore_query_weight", 1.0)))

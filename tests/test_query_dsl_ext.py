@@ -2595,6 +2595,52 @@ class TestRateNormalize:
                 "aggs": {"r": {"rate": {"field": "v", "mode": "avg"}}}}}},
                 id_field="id").collect()
 
+    def test_rate_mode_without_field_rejects(self, df):
+        # (ADVICE r12) mode used to validate only inside the field
+        # branch: a field-less (or bogus) mode silently fell back to
+        # doc_count — the validate-but-ignore class.  ES errors too.
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        for mode in ("value_count", "sum"):
+            with pytest.raises(ValueError, match="requires a field"):
+                es_search(df, {"size": 0, "aggs": {"m": {
+                    "date_histogram": {"field": "d",
+                                       "calendar_interval": "month"},
+                    "aggs": {"r": {"rate": {"unit": "day",
+                                            "mode": mode}}}}}},
+                    id_field="id").collect()
+        with pytest.raises(ValueError, match="rate mode"):
+            es_search(df, {"size": 0, "aggs": {"m": {
+                "date_histogram": {"field": "d",
+                                   "calendar_interval": "month"},
+                "aggs": {"r": {"rate": {"unit": "day",
+                                        "mode": "bogus"}}}}}},
+                id_field="id").collect()
+
+    def test_rate_calendar_width_is_dst_invariant(self, df, spark):
+        # (ADVICE r12) calendar bucket width now derives from DATE day
+        # counts: in a DST session timezone a spring-forward month is
+        # 30.958 unix-days, which used to skew the rate vs the DuckDB
+        # oracle's date_diff('day').  March 2024 springs forward in
+        # America/New_York; its width must still be exactly 31 days.
+        import datetime as dt
+
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        mar = spark.createDataFrame(
+            [(1, dt.date(2024, 3, 5), 62.0), (2, dt.date(2024, 3, 20), 0.0)],
+            "id long, d date, v double")
+        body = {"size": 0, "aggs": {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {"r": {"rate": {"field": "v", "unit": "day"}}}}}}
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            (row,) = es_search(mar, body, id_field="id").collect()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        assert row["r"] == pytest.approx(2.0, abs=2e-6)  # 62 / 31, not /30.96
+
     def test_normalize_methods(self, df):
         import math
 
@@ -3062,6 +3108,13 @@ def test_termvectors_and_sliced_search(spark):
     assert rows["fox"]["positions"] == "[3,5]"
     assert rows["fox"]["doc_freq"] == 2 and rows["fox"]["ttf"] == 3
     assert rows["the"]["doc_freq"] == 1 and rows["the"]["ttf"] == 2
+    # VERDICT r12 #2: doc_freq is the exploded-distinct join, not a
+    # crossJoin fan — the plan must contain no nested-loop product
+    plan = es_termvectors(
+        df, {"id": 1, "fields": ["text"], "term_statistics": True},
+        id_field="id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     with pytest.raises(ValueError, match="_termvectors option"):
         es_termvectors(df, {"id": 1, "fields": ["text"],
                             "offsets": True}, id_field="id")
@@ -3080,4 +3133,10 @@ def test_termvectors_and_sliced_search(spark):
     with pytest.raises(ValueError, match="slice option"):
         es_search(big, {"query": {"match_all": {}},
                         "slice": {"id": 0, "max": 2, "seed": 7}},
+                  id_field="id").collect()
+    # (ADVICE r12) a nested/unknown slice field keeps the loud
+    # ValueError contract instead of leaking a bare KeyError
+    with pytest.raises(ValueError, match="top-level column"):
+        es_search(big, {"query": {"match_all": {}},
+                        "slice": {"id": 0, "max": 2, "field": "loc.lat"}},
                   id_field="id").collect()

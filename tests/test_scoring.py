@@ -1358,3 +1358,51 @@ def test_retriever_filters_and_validation(spark):
         es_retriever_search(df, {"retriever": {"knn": {
             "field": "embedding", "query_vector": [1.0, 0.0],
             "similarity": 0.3}}}, id_field="doc_id").collect()
+
+
+def test_scored_slice_partitions_and_shares_corpus_stats(corpus):
+    # (ADVICE r12) "slice" in a SCORED body used to pass validation and
+    # be silently ignored — every worker exported the full corpus.  Now
+    # the slice predicate applies before scoring, the partitions are
+    # disjoint and covering, and corpus statistics stay index-wide (a
+    # doc scores identically in its slice and in the unsliced search).
+    base = {"query": {"match": {"text": "merge"}}, "size": 10,
+            "_source": ["doc_id"]}
+    full = {r["doc_id"]: r["_score"] for r in es_scored_search(
+        corpus, base, id_field="doc_id").collect()}
+    parts = [
+        {r["doc_id"]: r["_score"] for r in es_scored_search(
+            corpus, {**base, "slice": {"id": i, "max": 2}},
+            id_field="doc_id").collect()}
+        for i in range(2)
+    ]
+    assert not (parts[0].keys() & parts[1].keys())
+    assert parts[0].keys() | parts[1].keys() == full.keys()
+    merged = {**parts[0], **parts[1]}
+    assert merged == full  # index-wide stats: scores match the unsliced run
+
+
+def test_shared_tsmaps_keyed_by_source_frame(spark):
+    # (ADVICE r12) the tsmap cache key now includes the frame identity:
+    # one shared_tsmaps() scope spanning two different corpora must not
+    # serve frame A's BM25 term map for frame B.
+    from hive2es_offline_spark.plans.scoring import shared_tsmaps
+
+    a = spark.createDataFrame(
+        [(1, "merge merge merge"), (2, "other words here")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "merge once"), (2, "merge twice still"), (3, "no hit")],
+        "doc_id long, text string")
+    body = {"query": {"match": {"text": "merge"}}, "size": 10}
+    solo_a = {r["doc_id"]: r["_score"] for r in es_scored_search(
+        a, body, id_field="doc_id").collect()}
+    solo_b = {r["doc_id"]: r["_score"] for r in es_scored_search(
+        b, body, id_field="doc_id").collect()}
+    with shared_tsmaps():
+        got_a = {r["doc_id"]: r["_score"] for r in es_scored_search(
+            a, body, id_field="doc_id").collect()}
+        got_b = {r["doc_id"]: r["_score"] for r in es_scored_search(
+            b, body, id_field="doc_id").collect()}
+    assert got_a == solo_a
+    assert got_b == solo_b  # would inherit frame A's map without the fix
