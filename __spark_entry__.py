@@ -3448,6 +3448,94 @@ def q_es_match_german(spark, sf_dir):
     return es_search(d, body, id_field="doc_id", analyzer="german")
 
 
+def _log_text_col():
+    """Deterministic log-like messages from doc_id — four templates whose
+    variable parts are number-bearing tokens, so categorize_text's
+    signature pass has real work; same arithmetic in both engines."""
+    k = F.col("doc_id")
+    s = k.cast("string")
+    return (
+        F.when(k % 4 == 0, F.concat(
+            F.lit("connection from host-"), s, F.lit(" failed after "),
+            (k % 7).cast("string"), F.lit(" retries")))
+        .when(k % 4 == 1, F.concat(
+            F.lit("user u"), s, F.lit(" logged in from 10.0."),
+            (k % 256).cast("string"), F.lit("."),
+            (k % 100).cast("string")))
+        .when(k % 4 == 2, F.concat(
+            F.lit("disk "), (k % 9).cast("string"), F.lit(" at "),
+            (k % 100).cast("string"), F.lit(" percent capacity")))
+        .otherwise(F.concat(
+            F.lit("job "), s, F.lit(" completed in "),
+            (k % 60).cast("string"), F.lit(" seconds")))
+    )
+
+
+def _log_text_sql() -> str:
+    return """(CASE
+        WHEN doc_id % 4 = 0 THEN 'connection from host-'
+             || CAST(doc_id AS VARCHAR) || ' failed after '
+             || CAST(doc_id % 7 AS VARCHAR) || ' retries'
+        WHEN doc_id % 4 = 1 THEN 'user u' || CAST(doc_id AS VARCHAR)
+             || ' logged in from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST(doc_id % 100 AS VARCHAR)
+        WHEN doc_id % 4 = 2 THEN 'disk ' || CAST(doc_id % 9 AS VARCHAR)
+             || ' at ' || CAST(doc_id % 100 AS VARCHAR)
+             || ' percent capacity'
+        ELSE 'job ' || CAST(doc_id AS VARCHAR) || ' completed in '
+             || CAST(doc_id % 60 AS VARCHAR) || ' seconds'
+      END)"""
+
+
+def q_es_categorize_text(spark, sf_dir):
+    """The categorize_text aggregation (round 13, VERDICT r12 #4): log
+    messages cluster into categories by their number-blind token
+    signature (plans/query_dsl.py::_compile_categorize_text) — the
+    drain-style log-pattern view an ops consumer of the ES surface runs.
+    The log text synthesizes deterministically from doc_id (four
+    templates, variable parts all number-bearing) with the same
+    arithmetic in both engines; the oracle recomputes the signature with
+    the machine-generated DuckDB rendering of the same token grammar.
+    Scale shape: signature is pure codegen, then ONE groupBy on the
+    signature string + TakeOrderedAndProject — the terms-agg shuffle."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents").withColumn("msg", _log_text_col())
+    body = {
+        "query": {"range": {"n_chars": {"gte": 120}}},
+        "size": 0,
+        "aggs": {"cats": {"categorize_text": {"field": "msg", "size": 8}}},
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
+def q_es_change_point(spark, sf_dir):
+    """The change_point sibling pipeline aggregation (round 13, VERDICT
+    r12 #5): a 40-day series synthesized from doc_id steps from level 1
+    to level 6 on day 25; the detector
+    (plans/query_dsl.py::_compile_sibling_pipeline, variance-explained
+    subset) must report step_change at that bucket with score 1.0 (the
+    split explains all variance — per-bucket avg is exactly piecewise
+    constant).  The oracle recomputes the same window math in SQL.
+    Scale shape: everything past the ONE date_histogram groupBy is
+    O(buckets) single-partition window work on the reduced frame."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    k = F.col("doc_id")
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("day", F.date_add(F.lit("2024-01-01"),
+                                       (k % 40).cast("int")))
+         .withColumn("v", F.when(k % 40 >= 25, F.lit(6.0))
+                     .otherwise(F.lit(1.0))))
+    body = {"size": 0, "aggs": {
+        "hist": {"date_histogram": {"field": "day",
+                                    "calendar_interval": "day"},
+                 "aggs": {"va": {"avg": {"field": "v"}}}},
+        "cp": {"change_point": {"buckets_path": "hist>va"}},
+    }}
+    return es_search(d, body, id_field="doc_id")
+
+
 def q_es_match_folded(spark, sf_dir):
     """asciifolding + the French chain on the match surface (VERDICT r11
     #2): a custom analyzer (elision → asciifolding → french stop →
@@ -4262,6 +4350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sliced_export": q_es_sliced_export,
         # round-13 fodder (r14 window candidates, local goldens for now)
         "es_match_german": q_es_match_german,
+        "es_categorize_text": q_es_categorize_text,
+        "es_change_point": q_es_change_point,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5433,6 +5523,88 @@ def _goldens_b() -> dict[str, str]:
               AND n_chars >= 150
             ORDER BY doc_id ASC
             LIMIT 40
+        """,
+        "es_change_point": """
+            WITH src AS (
+              SELECT CAST(DATE '2024-01-01'
+                          + (doc_id % 40) * INTERVAL 1 DAY
+                          AS TIMESTAMP) AS key,
+                     CASE WHEN doc_id % 40 >= 25
+                          THEN 6.0 ELSE 1.0 END AS v
+              FROM documents
+            ), b AS (
+              SELECT key, count(*) AS doc_count,
+                     round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                           / count(v), 6) AS va
+              FROM src GROUP BY key
+            ), st AS (
+              SELECT key, va,
+                     row_number() OVER (ORDER BY key) AS rn,
+                     lead(CAST(key AS VARCHAR)) OVER (ORDER BY key) AS nk,
+                     sum(va) OVER (ORDER BY key
+                                   ROWS UNBOUNDED PRECEDING) AS cs,
+                     CAST(count(*) OVER () AS DOUBLE) AS n,
+                     sum(va) OVER () AS ts,
+                     sum(va * va) OVER () AS tss
+              FROM b
+            ), sc AS (
+              SELECT rn, nk, CAST(key AS VARCHAR) AS k, n,
+                     (tss - ts * ts / n) AS totss,
+                     CASE WHEN rn >= 2 AND (n - rn) >= 2
+                               AND (tss - ts * ts / n) > 1e-12 THEN
+                       round((rn * (cs / rn - ts / n) * (cs / rn - ts / n)
+                              + (n - rn) * ((ts - cs) / (n - rn) - ts / n)
+                                         * ((ts - cs) / (n - rn) - ts / n))
+                             / (tss - ts * ts / n), 6)
+                     END AS step_s,
+                     CASE WHEN (tss - ts * ts / n) > 1e-12 AND n > 1 THEN
+                       round((va - ts / n) * (va - ts / n) * n
+                             / ((n - 1) * (tss - ts * ts / n)), 6)
+                     END AS spk_s,
+                     (va >= ts / n) AS up
+              FROM st
+            ), scalar AS (
+              SELECT
+                (SELECT max(n) FROM sc) AS nn,
+                (SELECT step_s FROM sc WHERE step_s IS NOT NULL
+                 ORDER BY step_s DESC, rn LIMIT 1) AS bs,
+                (SELECT nk FROM sc WHERE step_s IS NOT NULL
+                 ORDER BY step_s DESC, rn LIMIT 1) AS bk,
+                (SELECT spk_s FROM sc WHERE spk_s IS NOT NULL
+                 ORDER BY spk_s DESC, rn LIMIT 1) AS ss,
+                (SELECT k FROM sc WHERE spk_s IS NOT NULL
+                 ORDER BY spk_s DESC, rn LIMIT 1) AS sk,
+                (SELECT up FROM sc WHERE spk_s IS NOT NULL
+                 ORDER BY spk_s DESC, rn LIMIT 1) AS su
+            )
+            SELECT b.key, b.doc_count, b.va,
+                   CASE WHEN nn < 4 THEN 'indeterminable'
+                        WHEN bs >= 0.6 THEN 'step_change'
+                        WHEN ss >= 0.6 THEN
+                             (CASE WHEN su THEN 'spike' ELSE 'dip' END)
+                        ELSE 'stationary' END AS cp_type,
+                   CASE WHEN nn >= 4 AND bs >= 0.6 THEN bk
+                        WHEN nn >= 4 AND ss >= 0.6 THEN sk END AS cp_key,
+                   CASE WHEN nn >= 4 AND bs >= 0.6 THEN bs
+                        WHEN nn >= 4 AND ss >= 0.6 THEN ss END AS cp_score
+            FROM b CROSS JOIN scalar
+        """,
+        "es_categorize_text": f"""
+            WITH logs AS (
+              SELECT {_log_text_sql()} AS msg FROM documents
+              WHERE n_chars >= 120
+            ), sig AS (
+              SELECT msg, array_to_string(list_filter(
+                       {_duck_toks("msg")},
+                       t -> NOT regexp_matches(t, '\\p{{N}}')), ' ') AS key
+              FROM logs
+            )
+            SELECT key, count(*) AS doc_count,
+                   CAST(max(length(msg)) AS BIGINT) AS max_matching_length
+            FROM sig WHERE len(key) > 0
+            GROUP BY key
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 8
         """,
         "es_ip_prefix": """
             WITH logs AS (

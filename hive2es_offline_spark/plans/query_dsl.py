@@ -2720,7 +2720,7 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     comp = [(n, s) for n, s in aggs.items() if "composite" in s]
     extra = [(n, s) for n, s in aggs.items()
              if set(s) & {"rare_terms", "multi_terms",
-                          "frequent_item_sets"}]
+                          "frequent_item_sets", "categorize_text"}]
     if len(bucket) + len(cond) + len(comp) + len(extra) > 1:
         raise ValueError("at most one bucket agg per body is supported")
 
@@ -2734,6 +2734,8 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             return _compile_rare_terms(df, spec)
         if "frequent_item_sets" in spec:
             return _compile_frequent_item_sets(df, spec["frequent_item_sets"])
+        if "categorize_text" in spec:
+            return _compile_categorize_text(df, spec)
         return _compile_multi_terms(df, spec)
 
     sib = [(n, k, v) for n, s in aggs.items() for k, v in s.items()
@@ -3120,6 +3122,7 @@ _PIPELINE_KINDS = {
 _SIBLING_PIPELINE_KINDS = {
     "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
     "stats_bucket", "percentiles_bucket", "bucket_correlation",
+    "change_point",
 }
 
 
@@ -3498,6 +3501,105 @@ def _compile_sibling_pipeline(
             (n == F.lit(float(len(exp)))) & (vx > 0) & (vy > 0),
             (n * F.col("_sxy") - sx * sy) / F.sqrt(vx * vy))
         scalar = mom.select(F.round(corr, 6).alias(f"{name}_value"))
+    elif pkind == "change_point":
+        # ES change_point (round 13, VERDICT r12 #5): detect the
+        # dominant change in a bucket-metric series.  Live ES runs a
+        # battery of statistical tests (p-values from t/chi2
+        # distributions); this engine implements a deterministic
+        # variance-explained subset — both detectors score in [0, 1] as
+        # the fraction of the series' total sum of squares a single
+        # structural break explains, so the same documented threshold
+        # (0.6) governs both:
+        #   step_change  — best two-segment split (each side >= 2
+        #                  buckets); score = between-segment SS / total
+        #                  SS, the classic CUSUM/ANOVA R².  The change
+        #                  key is the FIRST bucket of the right segment.
+        #   spike / dip  — single-bucket break; score =
+        #                  (x-mean)^2 * n / ((n-1) * total SS), which is
+        #                  1.0 exactly when one bucket carries all the
+        #                  variance.  Sign of (x - mean) picks the type.
+        # Precedence: step_change, then spike/dip, else "stationary".
+        # Contracts: < 4 buckets -> "indeterminable" (ES errors below
+        # its minimum; a lazy plan cannot know n at build time, so the
+        # row says so instead); a flat series (total SS <= 1e-12) ->
+        # "stationary" with NULL key/score — the t_test degenerate-frame
+        # class.  trend_change / distribution_change are NOT detected: a
+        # strong monotonic trend reports its best split as step_change
+        # (documented subset).  All O(buckets) window math on the
+        # reduced frame — two single-partition windows, no data-scale
+        # work.
+        unknown = set(pspec) - {"buckets_path"}
+        if unknown:
+            raise ValueError(
+                f"unsupported change_point option(s): {sorted(unknown)}")
+        from pyspark.sql.window import Window
+
+        THR = 0.6
+        # order by the REAL key (numeric histogram keys would misorder
+        # under the string cast); _k is only the reported form
+        w_ord = Window.orderBy(F.col("_key").asc())
+        w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        w_all = Window.partitionBy(F.lit(1))
+        b = (
+            buckets.select(F.col("key").alias("_key"),
+                           F.col("key").cast("string").alias("_k"),
+                           src.cast("double").alias("_x"))
+            .withColumn("_rn", F.row_number().over(w_ord))
+            .withColumn("_nk", F.lead("_k", 1).over(w_ord))
+            .withColumn("_cs", F.sum("_x").over(w_cum))
+            .withColumn("_n", F.count("_x").over(w_all).cast("double"))
+            .withColumn("_ts", F.sum("_x").over(w_all))
+            .withColumn("_tss", F.sum(F.col("_x") * F.col("_x"))
+                        .over(w_all))
+        )
+        n, ts = F.col("_n"), F.col("_ts")
+        g = ts / n
+        tot_ss = F.col("_tss") - ts * ts / n
+        n1 = F.col("_rn").cast("double")
+        n2 = n - n1
+        m1 = F.col("_cs") / n1
+        m2 = (ts - F.col("_cs")) / n2
+        bss = n1 * (m1 - g) * (m1 - g) + n2 * (m2 - g) * (m2 - g)
+        var_ok = tot_ss > F.lit(1e-12)
+        step_score = F.when((n1 >= 2) & (n2 >= 2) & var_ok, bss / tot_ss)
+        dev = F.col("_x") - g
+        spike_score = F.when(var_ok & (n > 1),
+                             dev * dev * n / ((n - 1) * tot_ss))
+        # argmax via orderable structs: score desc, then -rn (earliest
+        # candidate wins ties deterministically)
+        cand = b.select(
+            "_n",
+            F.struct(F.coalesce(F.round(step_score, 6), F.lit(-1.0))
+                     .alias("s"),
+                     (-F.col("_rn")).cast("double").alias("o"),
+                     F.col("_nk").alias("k")).alias("_st"),
+            F.struct(F.coalesce(F.round(spike_score, 6), F.lit(-1.0))
+                     .alias("s"),
+                     (-F.col("_rn")).cast("double").alias("o"),
+                     F.col("_k").alias("k"),
+                     (dev >= 0).alias("u")).alias("_sp"),
+        )
+        agg = cand.agg(F.max("_n").alias("_nn"),
+                       F.max("_st").alias("_st"),
+                       F.max("_sp").alias("_sp"))
+        st_s, sp_s = F.col("_st")["s"], F.col("_sp")["s"]
+        typ = (
+            F.when(F.col("_nn") < 4, F.lit("indeterminable"))
+            .when(st_s >= THR, F.lit("step_change"))
+            .when(sp_s >= THR,
+                  F.when(F.col("_sp")["u"], F.lit("spike"))
+                  .otherwise(F.lit("dip")))
+            .otherwise(F.lit("stationary"))
+        )
+        scalar = agg.select(
+            typ.alias(f"{name}_type"),
+            F.when(typ == "step_change", F.col("_st")["k"])
+            .when(typ.isin("spike", "dip"), F.col("_sp")["k"])
+            .alias(f"{name}_key"),
+            F.when(typ == "step_change", st_s)
+            .when(typ.isin("spike", "dip"), sp_s)
+            .alias(f"{name}_score"),
+        )
     elif pkind in ("avg_bucket", "sum_bucket"):
         fn = F.avg if pkind == "avg_bucket" else F.sum
         scalar = buckets.agg(fn(src).alias(f"{name}_value"))
@@ -3600,6 +3702,66 @@ def _compile_rare_terms(df: DataFrame, spec: dict) -> DataFrame:
         .agg(*_sub_agg_exprs(spec.get("aggs", {})))
         .where(F.col("doc_count") <= cap)
         .orderBy(F.col("doc_count").asc(), F.col("key").asc())
+    )
+    return out
+
+
+def _compile_categorize_text(df: DataFrame, spec: dict) -> DataFrame:
+    """ES ``categorize_text`` (round 13, VERDICT r12 #4): cluster
+    semi-structured log messages into categories.  Live ES runs an ML
+    categorizer (drain-style token-tree with a similarity threshold);
+    this engine implements the deterministic EXACT-SIGNATURE case — the
+    category key is the message's token stream with number-bearing
+    tokens removed (the tokens ES's categorizer also treats as variable
+    parts), so two messages differing only in counts/ids/timestamps land
+    in one bucket.  ``similarity_threshold`` accepts only 100 (anything
+    else would need the approximate merge pass — rejected loudly, not
+    silently approximated).  ``categorization_filters`` (Java regexes)
+    are scrubbed from the TEXT before tokenizing, like ES.
+
+    Output buckets: ``key`` (the signature), ``doc_count``,
+    ``max_matching_length`` (ES's bucket field: the longest raw message
+    categorized here), ordered doc_count desc / key asc, top ``size``
+    (default 10).  Documents whose signature is empty (all tokens
+    variable) are skipped, like ES's null/empty handling.  Sub-aggs are
+    rejected loudly (not part of the supported subset).
+
+    Scale shape: the signature is pure codegen (regex scrub +
+    ``analyze_col`` token grammar + one array filter + concat), then ONE
+    groupBy on a string key — the terms-agg shuffle shape; no pairwise
+    comparison anywhere."""
+    from .analysis import analyze_col
+
+    bspec = spec["categorize_text"]
+    unknown = set(bspec) - {"field", "size", "categorization_filters",
+                            "similarity_threshold"}
+    if unknown:
+        raise ValueError(
+            f"unsupported categorize_text option(s): {sorted(unknown)}")
+    if spec.get("aggs"):
+        raise ValueError(
+            "sub-aggregations under categorize_text are not supported")
+    thr = bspec.get("similarity_threshold", 100)
+    if int(thr) != 100:
+        raise ValueError(
+            "categorize_text similarity_threshold supports only 100 "
+            "(exact token-signature bucketing); approximate merging is "
+            "not implemented")
+    text = F.col(bspec["field"])
+    for pat in bspec.get("categorization_filters") or []:
+        text = F.regexp_replace(text, pat, " ")
+    toks = F.filter(analyze_col(text), lambda t: ~t.rlike(r"\p{N}"))
+    key = F.when(F.size(toks) > 0, F.concat_ws(" ", toks))
+    out = (
+        df.select(key.alias("key"),
+                  F.length(F.col(bspec["field"])).cast("long")
+                  .alias("_mlen"))
+        .where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.max("_mlen").alias("max_matching_length"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(int(bspec.get("size", 10)))
     )
     return out
 

@@ -3140,3 +3140,125 @@ def test_termvectors_and_sliced_search(spark):
         es_search(big, {"query": {"match_all": {}},
                         "slice": {"id": 0, "max": 2, "field": "loc.lat"}},
                   id_field="id").collect()
+
+
+# --- round 13: categorize_text aggregation ----------------------------------
+
+
+def test_categorize_text_signature_buckets(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    logs = [
+        "Connection from 10.0.0.1 failed after 3 retries",
+        "Connection from 10.0.0.77 failed after 11 retries",
+        "Connection from 10.0.0.8 failed after 2 retries",
+        "User alice logged in",
+        "User bob logged in",
+        "Disk 2 at 93% capacity",
+        "12 34",          # all-variable message: skipped, like ES
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(logs)], "id long, msg string")
+    body = {"size": 0, "aggs": {"cats": {
+        "categorize_text": {"field": "msg"}}}}
+    rows = es_search(df, body, id_field="id").collect()
+    got = {r["key"]: (r["doc_count"], r["max_matching_length"])
+           for r in rows}
+    # number-bearing tokens (10.0.0.1, 3, 93) are variable parts
+    assert got["connection from failed after retries"] == (3, 49)
+    # exact signatures: alice/bob do NOT merge (similarity 100 contract)
+    assert got["user alice logged in"] == (1, 20)
+    assert got["disk at capacity"] == (1, 22)
+    assert "12 34" not in " ".join(got)
+    # categorization_filters scrub text BEFORE tokenizing
+    body = {"size": 0, "aggs": {"cats": {"categorize_text": {
+        "field": "msg", "categorization_filters": ["User \\w+"]}}}}
+    got2 = {r["key"]: r["doc_count"]
+            for r in es_search(df, body, id_field="id").collect()}
+    assert got2["logged in"] == 2
+    # size caps buckets after the doc_count-desc order
+    body = {"size": 0, "aggs": {"cats": {"categorize_text": {
+        "field": "msg", "size": 1}}}}
+    (top,) = es_search(df, body, id_field="id").collect()
+    assert top["key"] == "connection from failed after retries"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="similarity_threshold"):
+        es_search(df, {"size": 0, "aggs": {"c": {"categorize_text": {
+            "field": "msg", "similarity_threshold": 70}}}},
+            id_field="id").collect()
+    with _pt.raises(ValueError, match="categorize_text option"):
+        es_search(df, {"size": 0, "aggs": {"c": {"categorize_text": {
+            "field": "msg", "max_unique_tokens": 5}}}},
+            id_field="id").collect()
+    with _pt.raises(ValueError, match="sub-aggregations"):
+        es_search(df, {"size": 0, "aggs": {"c": {
+            "categorize_text": {"field": "msg"},
+            "aggs": {"m": {"max": {"field": "id"}}}}}},
+            id_field="id").collect()
+
+
+# --- round 13: change_point sibling pipeline aggregation ---------------------
+
+
+class TestChangePoint:
+    def _run(self, spark, day_values, **cp_opts):
+        import datetime as dt
+
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        rows = []
+        i = 0
+        for day, v in enumerate(day_values, start=1):
+            rows.append((i, dt.date(2024, 1, day), float(v)))
+            i += 1
+        df = spark.createDataFrame(rows, "id long, d date, v double")
+        body = {"size": 0, "aggs": {
+            "hist": {"date_histogram": {"field": "d",
+                                        "calendar_interval": "day"},
+                     "aggs": {"vs": {"sum": {"field": "v"}}}},
+            "cp": {"change_point": {"buckets_path": "hist>vs",
+                                    **cp_opts}},
+        }}
+        out = es_search(df, body, id_field="id").collect()
+        r = out[0]
+        return r["cp_type"], r["cp_key"], r["cp_score"], out
+
+    def test_step_change(self, spark):
+        typ, key, score, out = self._run(
+            spark, [1, 1, 1, 1, 5, 5, 5, 5])
+        assert typ == "step_change"
+        assert key.startswith("2024-01-05")  # first right-segment bucket
+        assert score == 1.0                  # the split explains ALL variance
+        # the annotation rides every bucket row (ES: buckets + sibling)
+        assert len(out) == 8 and all(r["cp_type"] == typ for r in out)
+
+    def test_spike_and_dip(self, spark):
+        typ, key, score, _ = self._run(
+            spark, [2, 2, 2, 2, 2, 50, 2, 2, 2, 2, 2])
+        assert typ == "spike" and key.startswith("2024-01-06")
+        assert score == 1.0                  # one bucket carries all variance
+        typ, key, score, _ = self._run(
+            spark, [9, 9, 9, 1, 9, 9, 9, 9, 9])
+        assert typ == "dip" and key.startswith("2024-01-04")
+        assert score == 1.0
+
+    def test_flat_series_is_stationary_with_nulls(self, spark):
+        # the degenerate-frame NULL contract (the t_test class)
+        typ, key, score, _ = self._run(spark, [3, 3, 3, 3, 3, 3])
+        assert typ == "stationary" and key is None and score is None
+
+    def test_too_few_buckets_indeterminable(self, spark):
+        typ, key, score, _ = self._run(spark, [1, 9, 1])
+        assert typ == "indeterminable" and key is None and score is None
+
+    def test_mild_noise_is_stationary(self, spark):
+        typ, key, score, _ = self._run(
+            spark, [5, 6, 5, 7, 6, 5, 6, 7, 5, 6])
+        assert typ == "stationary"
+
+    def test_rejects_unknown_options(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="change_point option"):
+            self._run(spark, [1, 1, 5, 5, 5], comment="x")
