@@ -3536,6 +3536,30 @@ def q_es_change_point(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_search_as_you_type(spark, sf_dir):
+    """search_as_you_type emulation (round 13, VERDICT r12 #6): the
+    canonical sayt query — multi_match type bool_prefix over the 2/3-gram
+    shingle subfields — where the typed prefix lands MID-PHRASE
+    ("data stream fas" must hit "… data stream fast …" via the 2-gram
+    full term + trailing prefix shingle).  Subfield streams derive from
+    the root's analyzed tokens in one codegen transform
+    (plans/analysis.py::shingle_col) — no index-time materialization, no
+    UDF, no extra shuffle; the oracle rebuilds the same shingle lists
+    with duckdb_shingles."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"multi_match": {
+            "query": "data stream fas", "type": "bool_prefix",
+            "fields": ["text._2gram", "text._3gram"]}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 50,
+        "_source": ["doc_id", "source", "n_chars"],
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
 def q_es_match_folded(spark, sf_dir):
     """asciifolding + the French chain on the match surface (VERDICT r11
     #2): a custom analyzer (elision → asciifolding → french stop →
@@ -4352,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match_german": q_es_match_german,
         "es_categorize_text": q_es_categorize_text,
         "es_change_point": q_es_change_point,
+        "es_search_as_you_type": q_es_search_as_you_type,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5213,6 +5238,29 @@ def _goldens_b() -> dict[str, str]:
     _de_terms = _an_text("Kindern Straße", "german")
     _de_or = " OR ".join(
         f"list_contains({_de_frag}, '{t}')" for t in _de_terms)
+
+    # es_search_as_you_type: the per-subfield query shingles and the
+    # document shingle lists both come from plans/analysis.py (one
+    # grammar, three renderings), so engine and oracle cannot drift
+    from hive2es_offline_spark.plans.analysis import (
+        duckdb_shingles as _duck_sh,
+        shingle_terms as _sh_terms,
+    )
+
+    _sayt_q = _an_text("data stream fas")
+    _sayt_preds = []
+    for _n in (2, 3):
+        _shf = _duck_sh("text", _n)
+        _st = _sh_terms(_sayt_q, _n)
+        if not _st:
+            continue
+        *_stfull, _stlast = _st
+        _p = [f"list_contains({_shf}, '{t}')" for t in dict.fromkeys(_stfull)]
+        _p.append(f"len(list_filter({_shf}, "
+                  f"t -> starts_with(t, '{_stlast}'))) > 0")
+        # per-field bool_prefix under the default OR operator
+        _sayt_preds.append("(" + " OR ".join(_p) + ")")
+    _sayt_or = " OR ".join(_sayt_preds)
     _std_frag = _duck_toks("text")
     _bigrams = (f"list_transform(generate_series(1, len({_std_frag}) - 1), "
                 f"i -> {_std_frag}[i] || ' ' || {_std_frag}[i + 1])")
@@ -5523,6 +5571,12 @@ def _goldens_b() -> dict[str, str]:
               AND n_chars >= 150
             ORDER BY doc_id ASC
             LIMIT 40
+        """,
+        "es_search_as_you_type": f"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ({_sayt_or})
+            ORDER BY doc_id ASC
+            LIMIT 50
         """,
         "es_change_point": """
             WITH src AS (

@@ -77,6 +77,7 @@ __all__ = [
     "DUCKDB_TOKEN_RE", "ANALYZERS", "register_analyzer", "analyzer_names",
     "ENGLISH_STOPWORDS", "FRENCH_STOPWORDS", "GERMAN_STOPWORDS",
     "SPANISH_STOPWORDS", "stem_text", "fold_text",
+    "sayt_subfield", "shingle_col", "shingle_terms", "duckdb_shingles",
 ]
 
 #: Java regex (Spark side).  \p{L}/\p{N} are Unicode general categories.
@@ -1084,6 +1085,72 @@ def analyze_with_offsets(
         out.append((tok, pos, start, end))
         pos += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# search_as_you_type subfields (round 13, VERDICT r12 #6) — ES's
+# search_as_you_type field type indexes shingle subfields beside the
+# root: ``f._2gram`` (adjacent token pairs) and ``f._3gram`` (triples),
+# queried with multi_match type bool_prefix over [f, f._2gram,
+# f._3gram] so a prefix typed MID-PHRASE ("quick bro") hits via the
+# 2-gram shingle "quick brown".  This engine needs no index-time
+# materialization: a subfield's token stream derives from the root's
+# analyzed stream with one codegen transform (sequence + slice +
+# concat_ws), so every consumer (membership, BM25 tf/df, prefix) reads
+# shingles exactly where it would read tokens.  The ``._index_prefix``
+# subfield (edge n-grams of the shingles) is an index-time acceleration
+# ES hides behind prefix queries — prefix matching here is native
+# (startswith over the stream), so referencing it directly is rejected
+# loudly rather than silently treated as a plain column.
+# ---------------------------------------------------------------------------
+
+_SAYT_SUFFIXES = {"._2gram": 2, "._3gram": 3}
+
+
+def sayt_subfield(field: str) -> tuple[str, int] | None:
+    """``("root", n)`` when ``field`` is a search_as_you_type shingle
+    subfield reference (``root._2gram`` / ``root._3gram``), else None.
+    ``._index_prefix`` is rejected loudly (see module note above)."""
+    if field.endswith("._index_prefix"):
+        raise ValueError(
+            "the ._index_prefix subfield is an index-time acceleration; "
+            "query the root field or its ._2gram/._3gram subfields "
+            "(prefix matching is native here)")
+    for suf, n in _SAYT_SUFFIXES.items():
+        if field.endswith(suf) and len(field) > len(suf):
+            return field[: -len(suf)], n
+    return None
+
+
+def shingle_col(toks: Column, n: int) -> Column:
+    """``n``-token shingles of an analyzed token array — the Spark
+    rendering of the search_as_you_type ``._Ngram`` stream.  Pure
+    codegen (sequence + slice + concat_ws); arrays shorter than ``n``
+    yield the empty shingle list (ES's shingle filter emits nothing)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.lit([]).cast("array<string>"))
+
+
+def shingle_terms(terms: list[str], n: int) -> list[str]:
+    """Query-side twin of :func:`shingle_col`: the analyzed query terms
+    re-assembled into ``n``-gram shingle terms (what ES's per-subfield
+    query analyzer produces)."""
+    return [" ".join(terms[i:i + n]) for i in range(len(terms) - n + 1)]
+
+
+def duckdb_shingles(expr: str, n: int, analyzer: str = "standard") -> str:
+    """Oracle-side twin of :func:`shingle_col` — DuckDB SQL for the
+    shingle list of ``expr``'s token stream."""
+    toks = duckdb_tokens(expr, analyzer)
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END)")
 
 
 def duckdb_tokens(expr: str, analyzer: str = "standard") -> str:

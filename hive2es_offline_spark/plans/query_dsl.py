@@ -1661,12 +1661,23 @@ def compile_query(
         # tokens.  Clauses combine as SHOULD under the default OR
         # operator (minimum_should_match counts them), all-must under AND
         # — exactly ES's bool-of-term+prefix construction.
+        # A ``root._2gram`` / ``root._3gram`` subfield reference (the
+        # search_as_you_type field type, round 13) reads the SHINGLE
+        # stream derived from the root's analyzed tokens, and the query
+        # terms re-assemble into shingles of the same size — so a prefix
+        # typed mid-phrase matches via the 2/3-gram, like ES.
+        from .analysis import sayt_subfield, shingle_col, shingle_terms
+
         field, spec = _field_spec(body)
         query = spec["query"] if isinstance(spec, dict) else spec
         operator = (spec.get("operator", "or")
                     if isinstance(spec, dict) else "or").lower()
         msm = spec.get("minimum_should_match") if isinstance(spec, dict) else None
         terms = _analyze_terms(query)
+        sub = sayt_subfield(field)
+        if sub is not None:
+            field, gram_n = sub
+            terms = shingle_terms(terms, gram_n)
         if not terms:
             return _zero_terms_result(spec)
         *full, last = terms
@@ -1693,8 +1704,10 @@ def compile_query(
 
         # the analyzed stream evaluates once per row, not once per term
         pre = _pre_stream(field)
-        return _let_cols(
-            [pre if pre is not None else _analyze(col(field))], bool_prefix)
+        stream = pre if pre is not None else _analyze(col(field))
+        if sub is not None:
+            stream = shingle_col(stream, gram_n)
+        return _let_cols([stream], bool_prefix)
     if kind == "intervals":
         # the modern position-aware API over the span engine: match /
         # prefix / all_of / any_of with ordered + max_gaps (see

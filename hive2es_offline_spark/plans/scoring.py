@@ -171,19 +171,31 @@ class _ScoreCompiler:
                     self.xf_groups.append(key)
             elif mm_type == "bool_prefix":
                 # only the full terms score BM25; the trailing prefix is
-                # a constant-score clause (Lucene prefix rewrite)
-                full = list(dict.fromkeys(terms[:-1])) if terms else []
+                # a constant-score clause (Lucene prefix rewrite).  A
+                # search_as_you_type shingle subfield collects SHINGLE
+                # terms (its own "analyzer"), round 13
+                from .analysis import sayt_subfield, shingle_terms
+
                 for f in body["fields"]:
-                    self.field_terms.setdefault(
-                        str(f).partition("^")[0], set()).update(full)
+                    fname = str(f).partition("^")[0]
+                    sub = sayt_subfield(fname)
+                    ft = (shingle_terms(terms, sub[1]) if sub is not None
+                          else terms)
+                    full = list(dict.fromkeys(ft[:-1])) if ft else []
+                    self.field_terms.setdefault(fname, set()).update(full)
             else:
                 for f in body["fields"]:
                     self.field_terms.setdefault(
                         str(f).partition("^")[0], set()).update(terms)
         elif kind == "match_bool_prefix":
+            from .analysis import sayt_subfield, shingle_terms
+
             field, raw = next(iter(body.items()))
             query = raw["query"] if isinstance(raw, dict) else raw
             terms = _analyze_terms(str(query))
+            sub = sayt_subfield(field)
+            if sub is not None:
+                terms = shingle_terms(terms, sub[1])
             if len(terms) > 1:
                 self.field_terms.setdefault(field, set()).update(terms[:-1])
         elif kind == "combined_fields":
@@ -246,19 +258,32 @@ class _ScoreCompiler:
             # their BM25 partials; the prefix clause contributes the
             # constant 1.0 when it matches (Lucene's constant-score
             # prefix rewrite), all gated on the clause's own predicate
+            from .analysis import (
+                preanalyzed_stream,
+                sayt_subfield,
+                shingle_col,
+                shingle_terms,
+            )
+
             field, raw = next(iter(body.items()))
             spec = raw if isinstance(raw, dict) else {"query": raw}
             boost = float(spec.get("boost", 1.0))
             terms = _analyze_terms(str(spec["query"]))
+            sub = sayt_subfield(field)
+            if sub is not None:
+                # search_as_you_type shingle subfield (round 13): both
+                # the scored terms and the prefix clause read shingles
+                terms = shingle_terms(terms, sub[1])
             if not terms:
                 return F.when(pred, F.lit(boost)).otherwise(F.lit(0.0))
             full = list(dict.fromkeys(terms[:-1]))
-            from .analysis import preanalyzed_stream
-
-            pre = preanalyzed_stream(field)
+            root = sub[0] if sub is not None else field
+            pre = preanalyzed_stream(root)
             toks = F.coalesce(
-                pre if pre is not None else analyze_col(F.col(field)),
+                pre if pre is not None else analyze_col(F.col(root)),
                 F.lit([]).cast("array<string>"))
+            if sub is not None:
+                toks = shingle_col(toks, sub[1])
             last = terms[-1]
             prefix = F.exists(toks, lambda x: x.startswith(last))
             score = (self._bm25_terms(field, full)
@@ -577,7 +602,7 @@ class _ScoreCompiler:
         return self._bm25_terms(field, sorted(set(_analyze_terms(query))))
 
     def _bm25_terms(self, field: str, terms: list[str]) -> Column:
-        m = F.col(f"_tsmap_{field}")
+        m = F.col(_tsmap_name(field))
         # partials are rounded to 6 decimals, so DECIMAL(28,6) addition is
         # exact and order-independent — same convention as bm25_topk, and
         # what lets an ANSI-SQL oracle reproduce the sum bit-for-bit
@@ -914,13 +939,32 @@ def _analyzed_col_name(field: str) -> str:
     return f"{ANALYZED_PREFIX}{current_analyzer()}__{field}"
 
 
+
+def _tsmap_name(field: str) -> str:
+    """Join-column name for a field's term-score map.  Dots in
+    search_as_you_type subfield names (``text._2gram``) would parse as
+    struct access inside ``F.col`` — mangle them out of the name."""
+    return "_tsmap_" + field.replace(".", "__")
+
 def _toks_expr(frame: DataFrame, field: str) -> Column:
     """Full-chain token stream for ``field`` over ``frame`` — reads the
     materialized shared-analysis column when the frame carries one
     built under the ACTIVE analyzer (``with_shared_analysis``), else
     tokenizes inline.  NULL text coalesces to the empty token list
     either way — F.size(NULL) is -1, which would poison avgdl for the
-    whole corpus."""
+    whole corpus.
+
+    A search_as_you_type shingle subfield (``root._2gram`` /
+    ``root._3gram``, round 13) derives from the ROOT's stream — which
+    keeps reading the materialized root column when one exists — so
+    BM25 tf/df/dl over shingle "terms" costs one extra codegen
+    transform, never a second tokenization."""
+    from .analysis import sayt_subfield, shingle_col
+
+    sub = sayt_subfield(field)
+    if sub is not None:
+        root, n = sub
+        return shingle_col(_toks_expr(frame, root), n)
     pre = _analyzed_col_name(field)
     base = (F.col(pre) if pre in frame.columns
             else analyze_col(F.col(field)))
@@ -1065,7 +1109,7 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
     out = partial.groupBy("_did").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("_term", "_p")))
-        ).alias(f"_tsmap_{field}")
+        ).alias(_tsmap_name(field))
     ).withColumnRenamed("_did", id_field)
     if cache_key is not None:
         # cached WITHOUT checkpointing: the consumers union into ONE
@@ -1341,7 +1385,7 @@ def score_frame(
             F.lit(f"score(k1={k1}, b={b}), clause tree: "
                   + _json.dumps(q, sort_keys=True, default=str)
                   ).alias("description"),
-            *[F.col(f"_tsmap_{f}").alias(f"bm25_partials_{f}")
+            *[F.col(_tsmap_name(f)).alias(f"bm25_partials_{f}")
               for f in fields],
             *[F.col(f"_idf_{i}").alias(
                 "idf_" + "".join(ch if ch.isalnum() else "_"
