@@ -3159,29 +3159,37 @@ def q_token_budget(spark, sf_dir):
     Round 12 adds the unigram-LM column beside it (VERDICT r11 #6):
     a SentencePiece-style vocab hard-EM-learned from the same seed
     corpus, Viterbi-segmented in a second broadcast+mapInPandas pass
-    (operators/bpe.py::UnigramEncoder) — the budget now reports all
-    three tokenizers side by side.  Rows-only: the merge loop and the
-    Viterbi are not SQL-expressible; unit goldens in tests/test_bpe.py
-    pin hand-computed encodings and segmentations."""
+    (operators/bpe.py::UnigramEncoder).  Round 13 adds byte-level BPE
+    (VERDICT r12 #7, the GPT-2/tiktoken regime budgets actually use:
+    UTF-8 byte symbols through the public byte↔unicode table, no UNK)
+    in a third identical pass — the budget reports all FOUR tokenizers
+    side by side.  Rows-only: the merge loops and the Viterbi are not
+    SQL-expressible; unit goldens in tests/test_bpe.py pin
+    hand-computed encodings and segmentations."""
     from hive2es_offline_spark.operators.bpe import (
         learn_bpe,
+        learn_byte_bpe,
         learn_unigram,
         with_exact_bpe,
+        with_exact_byte_bpe,
         with_exact_unigram,
     )
     from hive2es_offline_spark.operators.text import bpe_token_count
 
     d = _t(spark, sf_dir, "documents")
     merges = learn_bpe([_BPE_SEED], 64)
+    bmerges = learn_byte_bpe([_BPE_SEED], 64)
     vocab = learn_unigram([_BPE_SEED], 160)
     enc = with_exact_bpe(d.select("doc_id", "source", "text"), merges)
     enc = with_exact_unigram(enc, vocab)
+    enc = with_exact_byte_bpe(enc, bmerges)
     return (
         enc.withColumn("n_regex", bpe_token_count(F.col("text")))
         .groupBy("source")
         .agg(
             F.sum("n_bpe_exact").alias("bpe_tokens"),
             F.sum("n_unigram_exact").alias("unigram_tokens"),
+            F.sum("n_byte_bpe_exact").alias("byte_bpe_tokens"),
             F.sum("n_regex").alias("regex_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
         )

@@ -40,7 +40,9 @@ from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibl
 from pyspark.sql import types as T
 
 __all__ = ["learn_bpe", "BPEncoder", "with_exact_bpe",
-           "learn_unigram", "UnigramEncoder", "with_exact_unigram"]
+           "learn_unigram", "UnigramEncoder", "with_exact_unigram",
+           "bytes_to_unicode", "learn_byte_bpe", "ByteBPEncoder",
+           "with_exact_byte_bpe"]
 
 _EOW = "</w>"
 
@@ -58,6 +60,14 @@ def learn_bpe(texts, n_merges: int) -> list[tuple[str, str]]:
         words.update((t or "").split())
     vocab: dict[tuple[str, ...], int] = {
         _word_symbols(w): n for w, n in words.items()}
+    return _learn_merges(vocab, n_merges)
+
+
+def _learn_merges(
+    vocab: dict[tuple[str, ...], int], n_merges: int
+) -> list[tuple[str, str]]:
+    """The Sennrich merge loop over an already-symbolized word-frequency
+    vocab — shared by the char-level and byte-level learners."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
@@ -349,6 +359,121 @@ def with_exact_unigram(
 
     def encode_batches(it):
         enc = UnigramEncoder(b_vocab.value, unk_logp=unk_logp)
+        for pdf in it:
+            pdf[out_col] = [enc.count(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# byte-level BPE (GPT-2 / tiktoken style) — round 13, VERDICT r12 #7
+# ---------------------------------------------------------------------------
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's bijective byte↔unicode table (Radford et al. 2019; the
+    public gpt-2 ``encoder.py`` convention every byte-level tokenizer
+    since has reused): printable Latin-1 bytes map to themselves, the
+    remaining bytes shift into codepoints 256+, so arbitrary binary
+    round-trips through strings and merge rules stay printable text."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_B2U = bytes_to_unicode()
+
+
+def _byte_symbols(word: str) -> tuple[str, ...]:
+    """A word as its UTF-8 byte alphabet symbols — the byte-fallback
+    property: EVERY string is segmentable from the 256-symbol base, so
+    byte-level BPE has no UNK and no end-of-word marker (GPT-2 marks
+    word starts with a leading-space byte instead; with the repo's
+    whitespace pre-tokenization, word boundaries are already exact)."""
+    return tuple(_B2U[b] for b in word.encode("utf-8"))
+
+
+def learn_byte_bpe(texts, n_merges: int) -> list[tuple[str, str]]:
+    """Byte-level twin of :func:`learn_bpe`: the same deterministic
+    Sennrich merge loop over UTF-8 byte symbols (GPT-2's regime) —
+    multi-byte UTF-8 characters start as 2-4 symbols and earn merges
+    like any other frequent pair."""
+    words = Counter()
+    for t in texts:
+        words.update(str(t or "").split())
+    vocab: dict[tuple[str, ...], int] = {
+        _byte_symbols(w): n for w, n in words.items()}
+    return _learn_merges(vocab, n_merges)
+
+
+class ByteBPEncoder(BPEncoder):
+    """Apply a byte-level merges table.  Reuses :class:`BPEncoder`'s
+    lowest-rank-first merge loop and LRU word cache; only the
+    symbolization differs (UTF-8 bytes through the GPT-2 table, no
+    end-of-word symbol).  ``decode`` inverts the byte table, so
+    ``decode(encode(t)) == t`` for every valid string — the byte-
+    fallback guarantee char-BPE cannot make."""
+
+    _U2B = {u: b for b, u in _B2U.items()}
+
+    def encode_word(self, word: str) -> list[str]:
+        syms = list(_byte_symbols(word))
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = self.ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            pair = (syms[best_i], syms[best_i + 1])
+            merged = pair[0] + pair[1]
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == pair):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def decode(self, pieces: list[str]) -> str:
+        data = bytes(self._U2B[u] for piece in pieces for u in piece)
+        return data.decode("utf-8")
+
+
+def with_exact_byte_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_byte_bpe_exact",
+) -> DataFrame:
+    """Add the exact byte-level BPE token count of ``text_col`` as
+    ``out_col`` — the same scale shape as :func:`with_exact_bpe`: the
+    merges table broadcasts once, one executor-cached encoder, ONE
+    Arrow-batched ``mapInPandas`` pass with the per-word LRU, no
+    shuffle.  The tokenizer family most published checkpoints budget
+    with (GPT-2/tiktoken regime)."""
+    sc = df.sparkSession.sparkContext
+    b_merges = sc.broadcast(list(merges))
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def encode_batches(it):
+        enc = ByteBPEncoder(b_merges.value)
         for pdf in it:
             pdf[out_col] = [enc.count(t) for t in pdf[text_col]]
             yield pdf

@@ -2340,7 +2340,7 @@ def _metric_exprs(
         # canonicalizer-safe).  Points missing a coordinate or the sort
         # value drop, like ES.
         unknown = set(spec) - {"point", "sort", "sort_order", "size",
-                               "include_sort"}
+                               "include_sort", "bounded", "_keep_col"}
         if unknown:
             raise ValueError(
                 f"unsupported geo_line option(s): {sorted(unknown)}")
@@ -2353,6 +2353,15 @@ def _metric_exprs(
         pt, sv = F.col(pf), F.col(sf)
         valid = (pt["lat"].isNotNull() & pt["lon"].isNotNull()
                  & sv.isNotNull())
+        if spec.get("bounded"):
+            # the pre-cut keep flag (VERDICT r12 #8) is installed by the
+            # group-by bucket compiler; other parents would buffer
+            # unbounded anyway, so reject rather than silently ignore
+            if "_keep_col" not in spec:
+                raise ValueError(
+                    "bounded geo_line needs a group-by bucket parent "
+                    "(terms / histogram / date_histogram)")
+            valid = valid & F.col(spec["_keep_col"])
         if gate is not None:
             valid = valid & gate
         entry = F.when(valid, F.struct(
@@ -3947,6 +3956,43 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         # divergence the terms agg keeps makes no sense for a computed
         # cell key)
         df = df.where(key.isNotNull())
+    # bounded geo_line (round 13, VERDICT r12 #8): opt-in "bounded": true
+    # replaces the unbounded full-bucket collect_list buffer with a
+    # WindowGroupLimit-style pre-cut — rank rows per bucket by the track
+    # order and keep only the first `size` as LINE CANDIDATES, while
+    # doc_count still counts every row (the cut gates the collected
+    # entry, it never drops rows).  Default (unbounded) output is
+    # byte-identical; bounded output is too, since the kept rows are
+    # exactly the ones the post-aggregation slice would keep — only the
+    # aggregation state is now bounded at `size` entries per bucket.
+    if any(s.get("geo_line", {}).get("bounded") for s in subs.values()):
+        from pyspark.sql.window import Window
+
+        subs = dict(subs)
+        for sub_name, sub_spec in list(subs.items()):
+            g = sub_spec.get("geo_line")
+            if not (g and g.get("bounded")):
+                continue
+            pt, sv = F.col(g["point"]["field"]), F.col(g["sort"]["field"])
+            gdesc = str(g.get("sort_order", "asc")).lower() == "desc"
+            gvalid = (pt["lat"].isNotNull() & pt["lon"].isNotNull()
+                      & sv.isNotNull())
+            # invalid rows rank LAST (they can never displace a real
+            # vertex out of the window); order mirrors the entry
+            # struct's (sort, lon, lat) array_sort order exactly
+            ordk = [F.when(gvalid, c)
+                    for c in (sv, pt["lon"], pt["lat"])]
+            ordk = [c.desc_nulls_last() if gdesc else c.asc_nulls_last()
+                    for c in ordk]
+            w = Window.partitionBy(_bucket_key_col(kind, bspec)) \
+                .orderBy(*ordk)
+            keep_col = f"_glkeep_{sub_name}"
+            df = df.withColumn(
+                keep_col,
+                F.row_number().over(w) <= F.lit(int(g.get("size",
+                                                          10_000))))
+            subs[sub_name] = {**sub_spec,
+                              "geo_line": {**g, "_keep_col": keep_col}}
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     pipes: list[tuple[str, str, dict]] = []
     rates: list[tuple[str, dict]] = []

@@ -167,3 +167,88 @@ class TestUnigram:
                for r in with_exact_unigram(df, vocab).collect()}
         for i, t in rows:
             assert got[i] == enc.count(t), (i, t)
+
+
+# --- round 13: byte-level BPE (GPT-2/tiktoken regime) ------------------------
+
+
+class TestByteBPE:
+    def test_byte_table_is_bijective_and_printable(self):
+        from hive2es_offline_spark.operators.bpe import bytes_to_unicode
+
+        t = bytes_to_unicode()
+        assert len(t) == 256 and len(set(t.values())) == 256
+        assert t[ord("a")] == "a" and t[ord("!")] == "!"
+        # non-printable bytes shift to 256+ (never control chars)
+        assert ord(t[0]) >= 256 and ord(t[32]) >= 256
+
+    def test_hand_computed_encoding_ascii(self):
+        from hive2es_offline_spark.operators.bpe import ByteBPEncoder
+
+        # merges learned by hand: l+o -> lo, lo+w -> low
+        enc = ByteBPEncoder([("l", "o"), ("lo", "w")])
+        assert enc.encode_word("low") == ["low"]
+        assert enc.encode_word("lower") == ["low", "e", "r"]
+        assert enc.encode_word("slow") == ["s", "low"]
+        # no end-of-word marker, no UNK: any byte sequence segments
+        assert enc.encode_word("zz") == ["z", "z"]
+        assert enc.count("low lower") == 4
+
+    def test_hand_computed_multibyte_utf8(self):
+        from hive2es_offline_spark.operators.bpe import (
+            ByteBPEncoder,
+            bytes_to_unicode,
+        )
+
+        t = bytes_to_unicode()
+        # "é" is 2 UTF-8 bytes (0xc3 0xa9): unmerged it counts 2 symbols
+        c3, a9 = t[0xC3], t[0xA9]
+        enc = ByteBPEncoder([])
+        assert enc.encode_word("é") == [c3, a9]
+        assert enc.count("é") == 2
+        # one merge fuses the character; decode round-trips exactly
+        enc2 = ByteBPEncoder([(c3, a9)])
+        assert enc2.encode_word("café") == ["c", "a", "f", c3 + a9]
+        assert enc2.decode(enc2.encode("café")) == "café"
+        # 3-byte CJK and 4-byte emoji round-trip through byte fallback
+        for s in ["日本", "a🙂b"]:
+            assert enc.decode(enc.encode(s)) == s
+        assert enc.count("日本") == 6      # 2 chars x 3 bytes
+        assert enc.count("🙂") == 4        # 4-byte emoji
+
+    def test_learner_merges_frequent_pairs_deterministically(self):
+        from hive2es_offline_spark.operators.bpe import (
+            ByteBPEncoder,
+            learn_byte_bpe,
+        )
+
+        corpus = ["the the the cat", "the mat the"]
+        merges = learn_byte_bpe(corpus, 2)
+        # "th"+"e" dominate: first merge t+h, then th+e
+        assert merges[0] == ("t", "h") and merges[1] == ("th", "e")
+        enc = ByteBPEncoder(merges)
+        assert enc.encode_word("the") == ["the"]
+        # multi-byte frequent pairs merge like any other
+        m2 = learn_byte_bpe(["ééé ééé"], 1)
+        from hive2es_offline_spark.operators.bpe import bytes_to_unicode
+        t = bytes_to_unicode()
+        assert m2[0] == (t[0xC3], t[0xA9])
+
+    def test_with_exact_byte_bpe_spark_pass(self, spark):
+        from hive2es_offline_spark.operators.bpe import (
+            learn_byte_bpe,
+            with_exact_byte_bpe,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "low lower"), (2, "café"), (3, None)],
+            "id long, text string")
+        merges = learn_byte_bpe(["low low lower"], 3)
+        # tie at freq 3 breaks lexicographically: (o,w) then (l,ow);
+        # (low,e) has freq 1 < 2 so learning stops at two merges
+        assert merges == [("o", "w"), ("l", "ow")]
+        out = {r["id"]: r["n_byte_bpe_exact"] for r in
+               with_exact_byte_bpe(df, merges).collect()}
+        assert out[1] == 1 + 3             # "low" -> [low]; "lower" -> [low, e, r]
+        assert out[2] == 5                 # c a f + 2 bytes of é (no merges hit)
+        assert out[3] == 0

@@ -2763,6 +2763,52 @@ class TestGeoLine:
                     "point": {"field": "loc"}, "sort": {"field": "ts"},
                     "smooth": True}}}}}}, id_field="id").collect()
 
+    def test_bounded_mode_identical_output_exact_doc_count(self, spark):
+        # VERDICT r12 #8: "bounded": true swaps the full-bucket
+        # collect_list buffer for a window-ranked pre-cut — output
+        # (line, sort values) must be BYTE-IDENTICAL to the default and
+        # doc_count must still count every row, including the ones the
+        # cut excluded from the line
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        rows = [(i, "a" if i % 3 else "b",
+                 float(i % 7) + 0.5, float((i * 3) % 11) + 0.25, i % 13)
+                for i in range(60)]
+        pts = spark.createDataFrame(
+            rows, "id long, g string, lat double, lon double, ts long"
+        ).select("id", "g", "ts", F.struct("lat", "lon").alias("loc"))
+
+        def run(extra):
+            body = {"size": 0, "aggs": {"by": {
+                "terms": {"field": "g"},
+                "aggs": {"line": {"geo_line": {
+                    "point": {"field": "loc"}, "sort": {"field": "ts"},
+                    "include_sort": True, "size": 5, **extra}}}}}}
+            return {r["key"]: (r["doc_count"], r["line"]) for r in
+                    es_search(pts, body, id_field="id").collect()}
+
+        plain, bounded = run({}), run({"bounded": True})
+        assert bounded == plain
+        assert bounded["a"][0] == 40 and bounded["b"][0] == 20
+        # the line itself holds only `size` vertices
+        import json
+        assert len(json.loads(bounded["a"][1])["coordinates"]) == 5
+        # desc order rides the same pre-cut
+        assert run({"sort_order": "desc"}) == \
+            run({"sort_order": "desc", "bounded": True})
+        # bounded needs a group-by parent (no silent unbounded fallback)
+        with pytest.raises(ValueError, match="group-by bucket parent"):
+            es_search(pts, {"size": 0, "aggs": {"line": {"geo_line": {
+                "point": {"field": "loc"}, "sort": {"field": "ts"},
+                "bounded": True}}}}, id_field="id").collect()
+        # the internal keep-column marker is not a user option
+        with pytest.raises(ValueError, match="group-by bucket parent"):
+            es_search(pts, {"size": 0, "aggs": {"r": {
+                "range": {"field": "ts", "ranges": [{"to": 100}]},
+                "aggs": {"line": {"geo_line": {
+                    "point": {"field": "loc"}, "sort": {"field": "ts"},
+                    "bounded": True}}}}}}, id_field="id").collect()
+
 
 class TestTermsEnumRankEval:
     def test_terms_enum_paging_and_filter(self, spark):
