@@ -3568,6 +3568,28 @@ def q_es_search_as_you_type(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_variable_width(spark, sf_dir):
+    """variable_width_histogram (round 13): dynamic-width buckets via
+    exact single-linkage 1-D clustering — cut the buckets-1 largest gaps
+    between consecutive distinct values, gap ties at the smaller value
+    first (plans/query_dsl.py::_compile_variable_width_histogram; live
+    ES's online centroid merger approximates this, the same
+    oracle-favoring divergence class as cardinality/percentiles).  The
+    oracle replays the identical deterministic rule in SQL window
+    functions.  Scale shape: one map-side-combined distinct reduce, two
+    window passes over the reduced frame, one O(distinct) regroup."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"range": {"n_chars": {"gte": 100}}},
+        "size": 0,
+        "aggs": {"widths": {"variable_width_histogram": {
+            "field": "n_chars", "buckets": 8}}},
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
 def q_es_match_folded(spark, sf_dir):
     """asciifolding + the French chain on the match surface (VERDICT r11
     #2): a custom analyzer (elision → asciifolding → french stop →
@@ -4385,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_categorize_text": q_es_categorize_text,
         "es_change_point": q_es_change_point,
         "es_search_as_you_type": q_es_search_as_you_type,
+        "es_variable_width": q_es_variable_width,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5579,6 +5602,37 @@ def _goldens_b() -> dict[str, str]:
               AND n_chars >= 150
             ORDER BY doc_id ASC
             LIMIT 40
+        """,
+        "es_variable_width": """
+            WITH vals AS (
+              SELECT CAST(n_chars AS DOUBLE) AS _v, count(*) AS _c
+              FROM documents
+              WHERE n_chars >= 100 AND n_chars IS NOT NULL
+              GROUP BY 1
+            ), gaps AS (
+              SELECT _v, _c,
+                     _v - lag(_v) OVER (ORDER BY _v) AS _gap
+              FROM vals
+            ), cuts AS (
+              SELECT _v, _c, _gap,
+                     row_number() OVER (ORDER BY _gap DESC NULLS LAST,
+                                        _v ASC) AS _grk
+              FROM gaps
+            ), clustered AS (
+              SELECT _v, _c,
+                     sum(CASE WHEN _gap IS NOT NULL AND _grk <= 7
+                              THEN 1 ELSE 0 END)
+                       OVER (ORDER BY _v ROWS UNBOUNDED PRECEDING)
+                       AS _cluster
+              FROM cuts
+            )
+            SELECT round(CAST(sum(CAST(_v * _c AS DECIMAL(38,6)))
+                              AS DOUBLE) / sum(_c), 6) AS key,
+                   min(_v) AS min, max(_v) AS max,
+                   CAST(sum(_c) AS BIGINT) AS doc_count
+            FROM clustered
+            GROUP BY _cluster
+            ORDER BY min ASC
         """,
         "es_search_as_you_type": f"""
             SELECT doc_id, source, n_chars FROM documents

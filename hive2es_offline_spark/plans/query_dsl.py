@@ -2742,7 +2742,8 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     comp = [(n, s) for n, s in aggs.items() if "composite" in s]
     extra = [(n, s) for n, s in aggs.items()
              if set(s) & {"rare_terms", "multi_terms",
-                          "frequent_item_sets", "categorize_text"}]
+                          "frequent_item_sets", "categorize_text",
+                          "variable_width_histogram"}]
     if len(bucket) + len(cond) + len(comp) + len(extra) > 1:
         raise ValueError("at most one bucket agg per body is supported")
 
@@ -2758,6 +2759,8 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             return _compile_frequent_item_sets(df, spec["frequent_item_sets"])
         if "categorize_text" in spec:
             return _compile_categorize_text(df, spec)
+        if "variable_width_histogram" in spec:
+            return _compile_variable_width_histogram(df, spec)
         return _compile_multi_terms(df, spec)
 
     sib = [(n, k, v) for n, s in aggs.items() for k, v in s.items()
@@ -3724,6 +3727,78 @@ def _compile_rare_terms(df: DataFrame, spec: dict) -> DataFrame:
         .agg(*_sub_agg_exprs(spec.get("aggs", {})))
         .where(F.col("doc_count") <= cap)
         .orderBy(F.col("doc_count").asc(), F.col("key").asc())
+    )
+    return out
+
+
+def _compile_variable_width_histogram(df: DataFrame, spec: dict) -> DataFrame:
+    """ES ``variable_width_histogram`` (round 13): dynamic-width buckets
+    from the data's own clustering.  Live ES runs an online
+    nearest-centroid merger per shard (approximate, order-dependent);
+    this engine implements the deterministic EXACT single-linkage
+    agglomerative clustering it approximates — on a 1-D axis that is
+    precisely "cut the ``buckets - 1`` largest gaps between consecutive
+    distinct values" (gap ties cut at the smaller value first, so the
+    result never depends on partition order).  Same oracle-favoring
+    divergence class as ``cardinality``/``percentiles``.
+
+    Buckets report ES's fields: ``key`` (the doc-weighted centroid,
+    rounded to 6), ``min``, ``max``, ``doc_count``, ascending by value.
+    Sub-aggregations are rejected loudly (not part of the subset).
+
+    Scale shape: ONE map-side-combined groupBy reduces the data to the
+    DISTINCT VALUE frame; the gap ranking and cluster assignment are two
+    window passes over that reduced frame (single-partition — distinct
+    numeric values of a bucketed metric are reduce-phase sized, the same
+    assumption every terms agg makes), then one O(distinct) re-group.
+    No data-scale sort, no second scan."""
+    from pyspark.sql.window import Window
+
+    bspec = spec["variable_width_histogram"]
+    unknown = set(bspec) - {"field", "buckets"}
+    if unknown:
+        # initial_buffer / shard_size tune ES's approximation; accepting
+        # them would imply the approximate algorithm runs here
+        raise ValueError(
+            f"unsupported variable_width_histogram option(s): "
+            f"{sorted(unknown)}")
+    if spec.get("aggs"):
+        raise ValueError(
+            "sub-aggregations under variable_width_histogram are not "
+            "supported")
+    n_buckets = int(bspec.get("buckets", 10))
+    if n_buckets < 1:
+        raise ValueError("variable_width_histogram needs buckets >= 1")
+    v = F.col(bspec["field"]).cast("double")
+    dist = (df.where(v.isNotNull())
+            .groupBy(v.alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c")))
+    w_ord = Window.orderBy(F.col("_v").asc())
+    dist = dist.withColumn("_gap", F.col("_v") - F.lag("_v").over(w_ord))
+    # rank the gaps: largest first, earlier value on ties — the k-1 cuts
+    w_gap = Window.orderBy(F.col("_gap").desc_nulls_last(),
+                           F.col("_v").asc())
+    dist = dist.withColumn(
+        "_cut",
+        (F.col("_gap").isNotNull()
+         & (F.row_number().over(w_gap) <= F.lit(n_buckets - 1)))
+        .cast("int"))
+    dist = dist.withColumn(
+        "_cluster",
+        F.sum("_cut").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    out = (
+        dist.groupBy("_cluster")
+        .agg(
+            F.round((F.sum((F.col("_v") * F.col("_c"))
+                           .cast("decimal(38,6)")).cast("double")
+                     / F.sum("_c")), 6).alias("key"),
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+            F.sum("_c").alias("doc_count"),
+        )
+        .orderBy(F.col("min").asc())
+        .drop("_cluster")
     )
     return out
 

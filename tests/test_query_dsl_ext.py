@@ -3308,3 +3308,50 @@ class TestChangePoint:
 
         with _pt.raises(ValueError, match="change_point option"):
             self._run(spark, [1, 1, 5, 5, 5], comment="x")
+
+
+# --- round 13: variable_width_histogram --------------------------------------
+
+
+def test_variable_width_histogram_clusters_on_largest_gaps(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    # three well-separated value clusters: [1,2,2,3], [50,51], [200]
+    vals = [1.0, 2.0, 2.0, 3.0, 50.0, 51.0, 200.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(vals)], "id long, x double")
+    body = {"size": 0, "aggs": {"b": {
+        "variable_width_histogram": {"field": "x", "buckets": 3}}}}
+    rows = es_search(df, body, id_field="id").collect()
+    got = [(r["min"], r["max"], r["doc_count"], r["key"]) for r in rows]
+    assert got == [
+        (1.0, 3.0, 4, 2.0),          # centroid (1+2+2+3)/4
+        (50.0, 51.0, 2, 50.5),
+        (200.0, 200.0, 1, 200.0),
+    ]
+    # fewer distinct values than buckets: one bucket per value
+    body["aggs"]["b"]["variable_width_histogram"]["buckets"] = 10
+    assert len(es_search(df, body, id_field="id").collect()) == 6
+    # buckets=1 degenerates to the global stats
+    body["aggs"]["b"]["variable_width_histogram"]["buckets"] = 1
+    (one,) = es_search(df, body, id_field="id").collect()
+    assert (one["min"], one["max"], one["doc_count"]) == (1.0, 200.0, 7)
+    # gap ties cut at the smaller value first (deterministic): values
+    # 0, 10, 20 with buckets=2 -> the 0|10 gap wins the single cut
+    tie = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 20.0)], "id long, x double")
+    rows = es_search(tie, {"size": 0, "aggs": {"b": {
+        "variable_width_histogram": {"field": "x", "buckets": 2}}}},
+        id_field="id").collect()
+    assert [(r["min"], r["max"]) for r in rows] == [(0.0, 0.0), (10.0, 20.0)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="variable_width_histogram option"):
+        es_search(df, {"size": 0, "aggs": {"b": {
+            "variable_width_histogram": {
+                "field": "x", "initial_buffer": 500}}}},
+            id_field="id").collect()
+    with _pt.raises(ValueError, match="sub-aggregations"):
+        es_search(df, {"size": 0, "aggs": {"b": {
+            "variable_width_histogram": {"field": "x"},
+            "aggs": {"m": {"max": {"field": "id"}}}}}},
+            id_field="id").collect()
