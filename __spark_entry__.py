@@ -5662,7 +5662,7 @@ def _goldens_b() -> dict[str, str]:
                      CAST(count(*) OVER () AS DOUBLE) AS n,
                      sum(va) OVER () AS ts,
                      sum(va * va) OVER () AS tss
-              FROM b
+              FROM b WHERE va IS NOT NULL
             ), sc AS (
               SELECT rn, nk, CAST(key AS VARCHAR) AS k, n,
                      (tss - ts * ts / n) AS totss,

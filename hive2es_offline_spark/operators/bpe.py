@@ -98,6 +98,35 @@ def _learn_merges(
     return merges
 
 
+def _apply_merges(syms: list[str], ranks: dict) -> list[str]:
+    """Apply a ranked merges table to a symbol list: lowest rank first,
+    every occurrence of the winning pair per pass — shared by the
+    char-level and byte-level encoders (the applier twin of
+    ``_learn_merges``)."""
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        pair = (syms[best_i], syms[best_i + 1])
+        merged = pair[0] + pair[1]
+        out = []
+        i = 0
+        while i < len(syms):
+            if (i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == pair):
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 class BPEncoder:
     """Apply a merges table.  ``merges`` is an ordered list of symbol
     pairs (earlier = higher priority, the standard merges-file order)."""
@@ -134,30 +163,7 @@ class BPEncoder:
                 f.write(f"{a} {b}\n")
 
     def encode_word(self, word: str) -> list[str]:
-        syms = list(_word_symbols(word))
-        while len(syms) > 1:
-            best_rank, best_i = None, -1
-            for i, pair in enumerate(zip(syms, syms[1:])):
-                r = self.ranks.get(pair)
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            # merge every occurrence of the winning pair in one pass
-            pair = (syms[best_i], syms[best_i + 1])
-            merged = pair[0] + pair[1]
-            out = []
-            i = 0
-            while i < len(syms):
-                if (i + 1 < len(syms)
-                        and (syms[i], syms[i + 1]) == pair):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return syms
+        return _apply_merges(list(_word_symbols(word)), self.ranks)
 
     def encode(self, text: str) -> list[str]:
         out: list[str] = []
@@ -420,35 +426,16 @@ class ByteBPEncoder(BPEncoder):
     lowest-rank-first merge loop and LRU word cache; only the
     symbolization differs (UTF-8 bytes through the GPT-2 table, no
     end-of-word symbol).  ``decode`` inverts the byte table, so
-    ``decode(encode(t)) == t`` for every valid string — the byte-
-    fallback guarantee char-BPE cannot make."""
+    ``decode(encode_word(w)) == w`` for EVERY word — the byte-fallback
+    guarantee char-BPE cannot make.  Whole-text round-trips are
+    per-word only: the whitespace pre-tokenizer consumes separators, so
+    ``decode(encode("a b"))`` is ``"ab"`` (counting, not
+    reconstruction, is this module's contract)."""
 
     _U2B = {u: b for b, u in _B2U.items()}
 
     def encode_word(self, word: str) -> list[str]:
-        syms = list(_byte_symbols(word))
-        while len(syms) > 1:
-            best_rank, best_i = None, -1
-            for i, pair in enumerate(zip(syms, syms[1:])):
-                r = self.ranks.get(pair)
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            pair = (syms[best_i], syms[best_i + 1])
-            merged = pair[0] + pair[1]
-            out = []
-            i = 0
-            while i < len(syms):
-                if (i + 1 < len(syms)
-                        and (syms[i], syms[i + 1]) == pair):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return syms
+        return _apply_merges(list(_byte_symbols(word)), self.ranks)
 
     def decode(self, pieces: list[str]) -> str:
         data = bytes(self._U2B[u] for piece in pieces for u in piece)

@@ -1152,10 +1152,12 @@ def shingle_terms(terms: list[str], n: int) -> list[str]:
 
 def duckdb_shingles(expr: str, n: int, analyzer: str = "standard") -> str:
     """Oracle-side twin of :func:`shingle_col` — DuckDB SQL for the
-    shingle list of ``expr``'s token stream."""
+    shingle list of ``expr``'s token stream (NULL input stays NULL,
+    matching the column rendering exactly — code-review r13)."""
     toks = duckdb_tokens(expr, analyzer)
     return (
-        f"(CASE WHEN len({toks}) >= {n} THEN "
+        f"(CASE WHEN {toks} IS NULL THEN NULL "
+        f"WHEN len({toks}) >= {n} THEN "
         f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
         f"ELSE CAST([] AS VARCHAR[]) END)")

@@ -3569,6 +3569,11 @@ def _compile_sibling_pipeline(
             buckets.select(F.col("key").alias("_key"),
                            F.col("key").cast("string").alias("_k"),
                            src.cast("double").alias("_x"))
+            # NULL-metric buckets leave the SERIES entirely (code-review
+            # r13: row_number counted them while sum/count skipped them,
+            # desynchronizing n1/n2 and pushing scores outside [0, 1]);
+            # the annotation below still attaches to every bucket row
+            .where(F.col("_x").isNotNull())
             .withColumn("_rn", F.row_number().over(w_ord))
             .withColumn("_nk", F.lead("_k", 1).over(w_ord))
             .withColumn("_cs", F.sum("_x").over(w_cum))
@@ -5551,20 +5556,35 @@ def _es_search_impl(
     clause / agg / sort over it stays codegen and Catalyst still pushes
     predicates on REAL columns past it into the scan.
     """
-    df, body = apply_slice(df, body, id_field)
+    # runtime mappings compile BEFORE the slice so a runtime field is a
+    # legal slice key and the pre-slice expansion frame carries them too
     for rname, rspec in (body.get("runtime_mappings") or {}).items():
         df = df.withColumn(
             rname,
             _script_column(rspec["script"]["source"], {}, columns=df.columns),
         )
+    _pre_slice = df
+    df, body = apply_slice(df, body, id_field)
+    if df is not _pre_slice and "knn" in body:
+        # the filter-context knn computes its top-k AFTER the query
+        # pre-filter; a per-slice top-k would not union to the global
+        # top-k, so slices would disagree with the unsliced search —
+        # reject loudly (the scored path supports slice+knn: its top-k
+        # runs on the pre-slice frame and intersects with the slice)
+        raise ValueError(
+            "slice cannot combine with filter-context knn (per-slice "
+            "top-k does not compose); use es_scored_search, whose knn "
+            "top-k is slice-invariant")
     if body.get("query"):
         # more_like_this / terms lookups need corpus data at plan-build
-        # time — expand those nodes first; then strip _name markers
-        # unconditionally (every downstream branch compiles this tree —
-        # sig_terms/global/knn included — and the compilers treat spec
-        # keys positionally, code-review r9), keeping the pre-strip tree
-        # for the matched_queries column
-        _mq_tree = expand_lookups(df, body["query"], id_field)
+        # time — expand those nodes first, against the PRE-SLICE frame
+        # (code-review r13: a lookup doc living in another slice must
+        # still resolve, or slices silently lose hits); then strip _name
+        # markers unconditionally (every downstream branch compiles this
+        # tree — sig_terms/global/knn included — and the compilers treat
+        # spec keys positionally, code-review r9), keeping the pre-strip
+        # tree for the matched_queries column
+        _mq_tree = expand_lookups(_pre_slice, body["query"], id_field)
         body = {**body, "query": _strip_names(_mq_tree)}
     else:
         _mq_tree = None

@@ -1602,10 +1602,15 @@ def _es_scored_search_impl(
     # sliced scored exports partition BEFORE scoring (ADVICE r12: "slice"
     # was whitelisted in _BODY_KEYS but only the filter-context path
     # consumed it, silently duplicating the full corpus per worker).  The
-    # slice predicate restricts the HIT SET only; corpus statistics stay
-    # index-wide via stats_over=<pre-slice frame>, matching ES where
-    # slices share shard-level stats (so a doc scores identically in
-    # whichever slice it lands)
+    # slice predicate restricts the HIT SET only; everything INDEX-WIDE
+    # stays on the pre-slice frame — corpus statistics (stats_over),
+    # plan-build data lookups (terms lookup / more_like_this must see
+    # the referenced doc even when it lands in another slice), and the
+    # knn top-k (each slice exports "global top-k ∩ slice", so the
+    # union of slices is exactly the unsliced hit set) — matching ES
+    # where slices share shard-level state (code-review r13: expanding
+    # against the sliced frame silently dropped hits from slices not
+    # containing the lookup doc)
     _pre_slice = df
     df, body = apply_slice(df, body, id_field)
     _slice_stats = _pre_slice if df is not _pre_slice else None
@@ -1613,7 +1618,7 @@ def _es_scored_search_impl(
     knn_only = knn is not None and "query" not in body
     query = body.get("query", {"match_all": {}})
 
-    query = expand_lookups(df, query, id_field)
+    query = expand_lookups(_pre_slice, query, id_field)
     # named queries ride the scored path too: the column is computed on
     # the input frame (flows through every downstream join/cut) and the
     # compile/score tree sees the stripped body
@@ -1659,11 +1664,15 @@ def _es_scored_search_impl(
             (F.lit(1.0) + _cosine_to_literal(F.col(field), qarr, qv))
             / F.lit(2.0), 6,
         )
-        cand = df
+        # top-k over the PRE-SLICE frame: the slice intersects below via
+        # the join against the (sliced) scored frame, so slices union to
+        # exactly the unsliced knn hit set (code-review r13)
+        cand = _pre_slice
         if "filter" in knn:
             cand = cand.where(
                 F.coalesce(compile_query(
-                    expand_lookups(df, knn["filter"], id_field), id_field),
+                    expand_lookups(_pre_slice, knn["filter"], id_field),
+                    id_field),
                     F.lit(False))
             )
         top_ids = (
@@ -1694,7 +1703,7 @@ def _es_scored_search_impl(
         # ≤ window_size frame below
         rspec = dict(rescore["query"])
         rspec["rescore_query"] = expand_lookups(
-            df, rspec["rescore_query"], id_field)
+            _pre_slice, rspec["rescore_query"], id_field)
         scored = scored.withColumnRenamed("_score", "_score0")
     # hit-set filter: query matches, or with knn the UNION of query
     # matches and the top-k.  The predicate stays RAW in the plain WHERE

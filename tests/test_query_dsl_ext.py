@@ -3355,3 +3355,30 @@ def test_variable_width_histogram_clusters_on_largest_gaps(spark):
             "variable_width_histogram": {"field": "x"},
             "aggs": {"m": {"max": {"field": "id"}}}}}},
             id_field="id").collect()
+
+
+def test_change_point_ignores_null_metric_buckets(spark):
+    # (code-review r13) a NULL-metric bucket used to desynchronize the
+    # row_number against the NULL-skipping sums, pushing scores outside
+    # [0, 1]; NULL buckets now leave the series entirely
+    import datetime as dt
+
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    rows = []
+    vals = [1.0, 1.0, 1.0, 1.0, None, 5.0, 5.0, 5.0, 5.0]
+    for day, v in enumerate(vals, start=1):
+        rows.append((day, dt.date(2024, 1, day), v))
+    df = spark.createDataFrame(rows, "id long, d date, v double")
+    body = {"size": 0, "aggs": {
+        "hist": {"date_histogram": {"field": "d",
+                                    "calendar_interval": "day"},
+                 "aggs": {"vm": {"max": {"field": "v"}}}},
+        "cp": {"change_point": {"buckets_path": "hist>vm"}},
+    }}
+    out = es_search(df, body, id_field="id").collect()
+    r = out[0]
+    assert r["cp_type"] == "step_change"
+    assert r["cp_key"].startswith("2024-01-06")  # first right-side bucket
+    assert r["cp_score"] == 1.0                  # back inside the contract
+    assert len(out) == 9                         # NULL bucket still a ROW

@@ -1406,3 +1406,60 @@ def test_shared_tsmaps_keyed_by_source_frame(spark):
             b, body, id_field="doc_id").collect()}
     assert got_a == solo_a
     assert got_b == solo_b  # would inherit frame A's map without the fix
+
+
+def test_sliced_export_resolves_lookups_and_knn_globally(spark):
+    # (code-review r13) plan-build data lookups and the knn top-k must
+    # see the PRE-slice frame: a terms-lookup doc living in another
+    # slice used to expand to an empty list, silently dropping hits
+    docs = spark.createDataFrame(
+        [(i, "alpha" if i % 3 == 0 else "beta",
+          [float(i % 5), 1.0]) for i in range(10)],
+        "doc_id long, tag string, emb array<double>")
+    lookup_body = {"query": {"terms": {
+        "tag": {"index": "docs", "id": 3, "path": "tag"}}},
+        "size": 100, "_source": ["doc_id"]}
+    full = sorted(r["doc_id"] for r in es_scored_search(
+        docs, lookup_body, id_field="doc_id").collect())
+    assert full == [0, 3, 6, 9]
+    parts = [sorted(r["doc_id"] for r in es_scored_search(
+        docs, {**lookup_body, "slice": {"id": i, "max": 2}},
+        id_field="doc_id").collect()) for i in range(2)]
+    assert sorted(parts[0] + parts[1]) == full
+    assert not (set(parts[0]) & set(parts[1]))
+    # knn top-k is slice-invariant: slices union to the GLOBAL top-k
+    knn_body = {"knn": {"field": "emb", "query_vector": [4.0, 1.0],
+                        "k": 4}, "size": 100, "_source": ["doc_id"]}
+    top = sorted(r["doc_id"] for r in es_scored_search(
+        docs, knn_body, id_field="doc_id").collect())
+    sliced = sorted(sum(([r["doc_id"] for r in es_scored_search(
+        docs, {**knn_body, "slice": {"id": i, "max": 3}},
+        id_field="doc_id").collect()] for i in range(3)), []))
+    assert sliced == top
+
+
+def test_filter_context_slice_rejects_knn(spark):
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    docs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "doc_id long, emb array<double>")
+    with pytest.raises(ValueError, match="slice-invariant|top-k"):
+        es_search(docs, {"knn": {"field": "emb",
+                                 "query_vector": [1.0, 0.0], "k": 2},
+                         "slice": {"id": 0, "max": 2}},
+                  id_field="doc_id").collect()
+    # and the plain filter-context lookup resolves pre-slice too
+    tagged = spark.createDataFrame(
+        [(i, "alpha" if i % 3 == 0 else "beta") for i in range(10)],
+        "doc_id long, tag string")
+    body = {"query": {"terms": {
+        "tag": {"index": "docs", "id": 3, "path": "tag"}}},
+        "size": 100, "_source": ["doc_id"]}
+    full = sorted(r["doc_id"] for r in es_search(
+        tagged, body, id_field="doc_id").collect())
+    assert full == [0, 3, 6, 9]
+    parts = [sorted(r["doc_id"] for r in es_search(
+        tagged, {**body, "slice": {"id": i, "max": 2}},
+        id_field="doc_id").collect()) for i in range(2)]
+    assert sorted(parts[0] + parts[1]) == full
