@@ -3590,6 +3590,113 @@ def q_es_variable_width(spark, sf_dir):
     return es_search(d, body, id_field="doc_id")
 
 
+def q_es_extended_stats_bucket(spark, sf_dir):
+    """extended_stats_bucket sibling pipeline (round 13): full moments —
+    count/min/max/avg/sum/sum-of-squares/population-variance/std plus
+    ES's sigma bounds (avg ± 2·std) — over a date_histogram's per-day
+    avg(value) series.  Same exact decimal-moment recipe as the
+    extended_stats METRIC agg (plans/query_dsl.py::
+    _compile_sibling_pipeline), computed in ONE ungrouped aggregate over
+    the reduced bucket frame and broadcast-annotated onto every bucket
+    row.  O(buckets) reduce-phase work; the only data-scale pass is the
+    histogram's own single groupBy."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    e = _t(spark, sf_dir, "events")
+    body = {
+        "size": 0,
+        "aggs": {
+            "h": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day"},
+                  "aggs": {"va": {"avg": {"field": "value"}}}},
+            "es": {"extended_stats_bucket": {"buckets_path": "h>va"}},
+        },
+    }
+    return es_search(e, body, id_field="event_id")
+
+
+def q_es_cumulative_cardinality(spark, sf_dir):
+    """cumulative_cardinality pipeline (round 13): per day, the number
+    of DISTINCT users seen up to and including that day.  Live ES merges
+    per-bucket HLL sketches (approximate); this engine is EXACT — each
+    user contributes its FIRST bucket (one groupBy on user_id, the same
+    shuffle class as a distinct), the ≤ #buckets first-seen counts
+    broadcast-join back onto the bucket frame, and a running sum over
+    the reduced frame finishes (plans/query_dsl.py::
+    _compile_groupby_bucket) — never a per-bucket re-scan, never
+    unbounded state.  The oracle replays the identical first-seen rule
+    in SQL."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    e = _t(spark, sf_dir, "events")
+    body = {
+        "size": 0,
+        "aggs": {"h": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "users": {"cardinality": {"field": "user_id"}},
+                "cum": {"cumulative_cardinality": {
+                    "buckets_path": "users"}}},
+        }},
+    }
+    return es_search(e, body, id_field="event_id")
+
+
+def q_es_random_sampler(spark, sf_dir):
+    """random_sampler aggregation (round 13): sub-aggs over a seeded
+    probability-0.5 document sample, counts and sums scaled back by 1/p
+    (ES's documented inverse-probability scaling; avg stays a sample
+    estimate).  Engine determinism: ES hashes seed + per-shard doc ids
+    (irreproducible outside ES); this engine gates on a documented
+    LCG-over-prime-field hash of doc_id — a codegen filter that rides
+    the scan, so at 100 TB the non-sampled half never reaches the
+    aggregate, and the DuckDB oracle replays the EXACT same sample from
+    the same integer arithmetic."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "size": 0,
+        "aggs": {"sample": {
+            "random_sampler": {"probability": 0.5, "seed": 42,
+                               "field": "doc_id"},
+            "aggs": {
+                "chars": {"sum": {"field": "n_chars"}},
+                "mean_chars": {"avg": {"field": "n_chars"}},
+                "n_text": {"value_count": {"field": "text"}}},
+        }},
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
+def q_es_hex_grid(spark, sf_dir):
+    """hex_grid bucket aggregation (round 13) — the engine's honest
+    hexagonal-binning EXTENSION: ES's geohex_grid buckets on Uber H3
+    ids, which need the full icosahedral base-cell machinery, so the
+    engine REJECTS geohex_grid loudly rather than emit wrong H3 ids and
+    offers z/q/r axial hex binning instead (pointy-top hexes on the
+    equirectangular plane, cube rounding — plans/query_dsl.py::
+    hex_cell; all codegen, no UDF).  Same synthetic deterministic
+    customer coordinates as es_geo_grid; one groupBy +
+    TakeOrderedAndProject (doc_count desc, key asc, size cap).  The
+    oracle replays the identical axial/cube-round arithmetic in SQL."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    c = _t(spark, sf_dir, "customer")
+    located = c.select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    return es_search(located, {
+        "size": 0,
+        "aggs": {"g": {"hex_grid": {
+            "field": "loc", "precision": 2, "size": 12}}},
+    }, id_field="c_custkey")
+
+
 def q_es_match_folded(spark, sf_dir):
     """asciifolding + the French chain on the match surface (VERDICT r11
     #2): a custom analyzer (elision → asciifolding → french stop →
@@ -4408,6 +4515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_change_point": q_es_change_point,
         "es_search_as_you_type": q_es_search_as_you_type,
         "es_variable_width": q_es_variable_width,
+        "es_extended_stats_bucket": q_es_extended_stats_bucket,
+        "es_cumulative_cardinality": q_es_cumulative_cardinality,
+        "es_random_sampler": q_es_random_sampler,
+        "es_hex_grid": q_es_hex_grid,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5633,6 +5744,112 @@ def _goldens_b() -> dict[str, str]:
             FROM clustered
             GROUP BY _cluster
             ORDER BY min ASC
+        """,
+        "es_extended_stats_bucket": """
+            WITH b AS (
+              SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,
+                     round(CAST(sum(CAST(value AS DECIMAL(28,6)))
+                                AS DOUBLE) / count(value), 6) AS va
+              FROM events
+              GROUP BY 1
+            ), m AS (
+              SELECT count(va) AS es_count,
+                     CAST(min(va) AS DOUBLE) AS es_min,
+                     CAST(max(va) AS DOUBLE) AS es_max,
+                     CAST(sum(CAST(va AS DECIMAL(28,6))) AS DOUBLE) AS s,
+                     CAST(sum(CAST(va AS DECIMAL(13,6))
+                              * CAST(va AS DECIMAL(13,6))) AS DOUBLE) AS ss
+              FROM b
+            ), v AS (
+              SELECT es_count, es_min, es_max, s, ss,
+                     s / es_count AS avg_u,
+                     greatest(round(ss / es_count
+                                    - (s / es_count) * (s / es_count), 6),
+                              0.0) AS var
+              FROM m
+            ), w AS (
+              SELECT *, round(sqrt(var), 6) AS sd FROM v
+            )
+            SELECT b.key, b.doc_count, b.va,
+                   w.es_count, w.es_min, w.es_max,
+                   round(w.avg_u, 6) AS es_avg,
+                   w.s AS es_sum,
+                   w.ss AS es_sum_of_squares,
+                   w.var AS es_variance,
+                   w.sd AS es_std_deviation,
+                   round(w.avg_u + 2.0 * w.sd, 6)
+                     AS es_std_deviation_bounds_upper,
+                   round(w.avg_u - 2.0 * w.sd, 6)
+                     AS es_std_deviation_bounds_lower
+            FROM b CROSS JOIN w
+            ORDER BY key
+        """,
+        "es_cumulative_cardinality": """
+            WITH b AS (
+              SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,
+                     count(DISTINCT user_id) AS users
+              FROM events GROUP BY 1
+            ), f AS (
+              SELECT min(date_trunc('day', ts)) AS key
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id
+            ), n AS (
+              SELECT key, count(*) AS nw FROM f GROUP BY key
+            )
+            SELECT b.key, b.doc_count, b.users,
+                   CAST(sum(coalesce(n.nw, 0)) OVER (ORDER BY b.key)
+                        AS BIGINT) AS cum
+            FROM b LEFT JOIN n USING (key)
+            ORDER BY key
+        """,
+        "es_random_sampler": """
+            WITH s AS (
+              SELECT n_chars, text FROM documents
+              WHERE ((((doc_id % 1000000007) * 387420489 + 41481493911)
+                      % 1000000007) * 387420489 + 987654323) % 1000000007
+                    < 500000003
+            )
+            SELECT round(CAST(sum(CAST(n_chars AS DECIMAL(28,6)))
+                              AS DOUBLE) * 2.0, 6) AS chars,
+                   round(CAST(sum(CAST(n_chars AS DECIMAL(28,6)))
+                              AS DOUBLE) / count(n_chars), 6) AS mean_chars,
+                   CAST(round(count(text) * 2.0) AS BIGINT) AS n_text,
+                   CAST(round(count(*) * 2.0) AS BIGINT) AS doc_count
+            FROM s
+        """,
+        "es_hex_grid": """
+            WITH pts AS (
+              SELECT CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+              FROM customer
+            ), ax AS (
+              SELECT (0.5773502691896257 * lon
+                      - 0.3333333333333333 * lat) / 11.25 AS q,
+                     (0.6666666666666666 * lat) / 11.25 AS r
+              FROM pts
+            ), rnd AS (
+              SELECT q, r, -q - r AS s,
+                     round(q) AS rq, round(r) AS rr, round(-q - r) AS rs
+              FROM ax
+            ), fix AS (
+              SELECT rq, rr, rs,
+                     abs(rq - q) AS dq, abs(rr - r) AS dr,
+                     abs(rs - s) AS ds
+              FROM rnd
+            ), cells AS (
+              SELECT CASE WHEN dq > dr AND dq > ds
+                          THEN -rr - rs ELSE rq END AS fq,
+                     CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+                          THEN -rq - rs ELSE rr END AS fr
+              FROM fix
+            )
+            SELECT '2/' || CAST(CAST(fq AS BIGINT) AS VARCHAR) || '/'
+                        || CAST(CAST(fr AS BIGINT) AS VARCHAR) AS key,
+                   count(*) AS doc_count
+            FROM cells
+            GROUP BY 1
+            ORDER BY doc_count DESC, key ASC
+            LIMIT 12
         """,
         "es_search_as_you_type": f"""
             SELECT doc_id, source, n_chars FROM documents

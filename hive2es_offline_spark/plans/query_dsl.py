@@ -1942,7 +1942,8 @@ _METRIC_KINDS = {"avg", "sum", "min", "max", "value_count", "cardinality",
                  "median_absolute_deviation", "geo_line"}
 #: bucket aggs compiled as one groupBy over a codegen key expression
 _GROUPBY_BUCKET_KINDS = {"terms", "histogram", "date_histogram",
-                         "geohash_grid", "geotile_grid", "ip_prefix"}
+                         "geohash_grid", "geotile_grid", "hex_grid",
+                         "ip_prefix"}
 _COND_BUCKET_KINDS = {"range", "date_range", "filters", "missing",
                       "adjacency_matrix", "geo_distance", "ip_range"}
 
@@ -2568,6 +2569,122 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             return compile_aggs(sampled, s["aggs"], id_field)
         return sampled.agg(F.count(F.lit(1)).alias("doc_count"))
 
+    rs_spec = [(n, s) for n, s in aggs.items() if "random_sampler" in s]
+    if rs_spec:
+        # ES random_sampler: sub-aggs run over a probability-`p` document
+        # sample; counts scale back by 1/p (ES's documented behavior:
+        # "counts are scaled by the inverse of the probability").  Engine
+        # determinism: ES hashes a seed with per-shard doc ids; this
+        # engine gates on a documented LCG-style hash over a PRIME FIELD
+        # of a numeric id column — h = lcg(lcg(id mod P) + seed), keep if
+        # h < p·P with P = 1e9+7 — reproducible across runs, retries and
+        # partitionings, and expressible in ANSI SQL so the oracle can
+        # replay the exact sample.  The gate is a codegen filter that
+        # rides the scan: at 100 TB the non-sampled rows never reach the
+        # aggregate.  Scaling contract (the supported subset): bucket
+        # doc_count and sum / value_count metrics scale by 1/p;
+        # avg / min / max are sample estimates (ES likewise does not
+        # scale ratio metrics); other metric kinds reject loudly rather
+        # than return silently-unscaled values.
+        if len(aggs) != 1:
+            raise ValueError(
+                "random_sampler must be the only top-level aggregation")
+        (name, s), = rs_spec
+        spec = s["random_sampler"] or {}
+        unknown = set(spec) - {"probability", "seed", "field"}
+        if unknown:
+            raise ValueError(
+                f"unsupported random_sampler option(s): {sorted(unknown)}")
+        p = float(spec["probability"])
+        # ES's own domain restriction: (0, 0.5] or exactly 1
+        if not (0.0 < p <= 0.5 or p == 1.0):
+            raise ValueError(
+                "random_sampler probability must be in (0, 0.5] or "
+                "exactly 1")
+        seed = int(spec.get("seed", 0))
+        fld = str(spec.get("field", id_field))
+        try:
+            ftype = df.schema[fld].dataType.simpleString()
+        except KeyError:
+            raise ValueError(
+                f"random_sampler field {fld!r} is not a top-level column "
+                f"of the frame (columns: {df.columns})") from None
+        if ftype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"random_sampler needs an integral id column (got "
+                f"{fld!r}: {ftype}) — the deterministic sampling hash is "
+                "defined over integers (documented divergence from ES's "
+                "opaque per-shard hash)")
+        P, MULT = 1_000_000_007, 387_420_489
+        # the seed mix folds to ONE plan-time long literal (int32 literals
+        # would overflow under ANSI); h stays < P so h*MULT < 3.9e17,
+        # comfortably inside int64
+        mix = (seed % P) * 987_654_323 + 12_345
+        h = F.pmod(F.col(fld).cast("bigint"), F.lit(P))
+        h = F.pmod(h * MULT + F.lit(int(mix)), F.lit(P))
+        h = F.pmod(h * MULT + 987_654_323, F.lit(P))
+        sampled = df if p == 1.0 else df.where(h < F.lit(int(p * P)))
+        subs = s.get("aggs") or {}
+        scale_cols: list[str] = ["doc_count"]
+        for sub_name, sub_spec in subs.items():
+            kinds = set(sub_spec) - {"aggs"}
+            bad = kinds - {"avg", "min", "max", "sum", "value_count",
+                           "terms", "histogram", "date_histogram"}
+            if bad:
+                raise ValueError(
+                    f"unsupported agg kind(s) under random_sampler: "
+                    f"{sorted(bad)} (avg/min/max/sum/value_count metrics "
+                    "and terms/histogram/date_histogram buckets)")
+            if kinds & {"sum", "value_count"}:
+                scale_cols.append(sub_name)
+            for gname, gspec in (sub_spec.get("aggs") or {}).items():
+                gk = set(gspec) - {"aggs"}
+                gbad = gk - {"avg", "min", "max", "sum", "value_count"}
+                if gbad:
+                    raise ValueError(
+                        f"unsupported sub-agg kind(s) under "
+                        f"random_sampler buckets: {sorted(gbad)}")
+                if gk & {"sum", "value_count"}:
+                    scale_cols.append(gname)
+        metric_only = subs and all(
+            set(sp) - {"aggs"} <= {"avg", "min", "max", "sum",
+                                   "value_count"}
+            for sp in subs.values())
+        if subs and not metric_only and any(
+                set(sp) & _METRIC_KINDS for sp in subs.values()):
+            # a bucket agg + top-level metric siblings: compile_aggs's
+            # one-bucket contract would silently drop the metrics —
+            # reject instead (the validate-but-ignore class)
+            raise ValueError(
+                "random_sampler sub-aggs must be either metrics-only or "
+                "one bucket agg (not a mix)")
+        if metric_only:
+            # ONE aggregate carries doc_count AND the metrics — a
+            # second count pass would double the sampled-scan cost
+            # (measured ×2 the floor before this, probe_round13b)
+            exprs = [F.count(F.lit(1)).alias("doc_count")]
+            for sub_name, sub_spec in subs.items():
+                (mk, ms), = [(k, v) for k, v in sub_spec.items()
+                             if k in _METRIC_KINDS]
+                exprs.extend(_metric_exprs(sub_name, mk, ms))
+            out = sampled.agg(*exprs)
+        elif subs:
+            out = compile_aggs(sampled, subs, id_field)
+        else:
+            out = sampled.agg(F.count(F.lit(1)).alias("doc_count"))
+        inv = F.lit(1.0 / p)
+        for c in scale_cols:
+            if c not in out.columns:
+                continue
+            scaled = F.col(c) * inv
+            if c == "doc_count" or out.schema[c].dataType.simpleString() \
+                    in ("bigint", "int"):
+                scaled = F.round(scaled).cast("long")
+            else:
+                scaled = F.round(scaled, 6)
+            out = out.withColumn(c, scaled)
+        return out
+
     ms_spec = [(n, s) for n, s in aggs.items() if "matrix_stats" in s]
     if ms_spec:
         # matrix_stats: pairwise sample covariance/correlation across
@@ -2736,6 +2853,17 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             )
             for n, s in aggs.items()
         }
+    if any("geohex_grid" in s for s in aggs.values()):
+        # ES geohex_grid buckets on Uber H3 cell ids.  Honest H3 needs
+        # the full icosahedral machinery (gnomonic face projection,
+        # aperture-7 Class II/III grids, the 122-entry base-cell tables);
+        # an "approximate" H3 id would be a WRONG id — worse than no id.
+        # The engine offers `hex_grid` instead: the same hexagonal
+        # binning capability under a self-describing z/q/r key that never
+        # claims to be H3 (see hex_cell).
+        raise NotImplementedError(
+            "geohex_grid (H3 cell ids) is not implemented — use the "
+            "hex_grid extension (z/q/r axial hex binning) instead")
     bucket = [(n, s) for n, s in aggs.items()
               if set(s) & _GROUPBY_BUCKET_KINDS]
     cond = [(n, s) for n, s in aggs.items() if set(s) & _COND_BUCKET_KINDS]
@@ -2989,6 +3117,51 @@ def geotile_cell(lat: Column, lon: Column, zoom: int) -> Column:
     )
 
 
+def hex_cell(lat: Column, lon: Column, precision: int) -> Column:
+    """``z/q/r`` axial hexagon key — the engine's honest hex-binning
+    EXTENSION behind the ``hex_grid`` bucket agg.  This is **NOT H3**
+    (ES ``geohex_grid`` rejects loudly, see ``compile_aggs``): pointy-top
+    hexagons tile the plain equirectangular lon/lat plane with
+    circumradius ``R = 45 / 2^precision`` degrees; a point maps to
+    fractional axial coordinates (the classic pointy-top basis
+    ``q = (√3/3·x − 1/3·y)/R``, ``r = (2/3·y)/R``) and snaps to its cell
+    by cube rounding (round each of q, −q−r, r; re-derive the coordinate
+    whose rounding moved farthest).  Near the poles / antimeridian the
+    cells are equirectangular-distorted, exactly like the plate-carrée
+    plane they tile — documented, not hidden.  All codegen arithmetic
+    (no UDF, no shuffle beyond the agg's own); deterministic and
+    expressible in ANSI SQL, so DuckDB replays the same keys.  NULL
+    coordinates yield a NULL key."""
+    if not 0 <= precision <= 15:
+        raise ValueError(f"hex_grid precision must be 0..15, got {precision}")
+    size = 45.0 / (2.0 ** precision)
+    x, y = lon.cast("double"), lat.cast("double")
+    q = (F.lit(3.0 ** 0.5 / 3.0) * x - F.lit(1.0 / 3.0) * y) / F.lit(size)
+    r = (F.lit(2.0 / 3.0) * y) / F.lit(size)
+
+    def _snap(binds: list) -> Column:
+        # q/r are LET-BOUND (each reference below is a struct-field
+        # read): the cube-round tree references them ~20×, and unbound
+        # that re-expansion measured ×4.3 the geotile floor at 1M rows
+        # (tools/probe_round13b.py) — bound it is within noise of it
+        q, r = binds
+        s = -q - r
+        rq, rr, rs = F.round(q, 0), F.round(r, 0), F.round(s, 0)
+        dq, dr, ds = F.abs(rq - q), F.abs(rr - r), F.abs(rs - s)
+        # cube-round repair: exactly one coordinate (the one that
+        # rounded farthest) is re-derived from the other two so
+        # q + r + s == 0 holds
+        q_fix = (dq > dr) & (dq > ds)
+        r_fix = ~q_fix & (dr > ds)
+        fq = F.when(q_fix, -rr - rs).otherwise(rq).cast("long")
+        fr = F.when(r_fix, -rq - rs).otherwise(rr).cast("long")
+        return F.concat(F.lit(f"{precision}/"), fq.cast("string"),
+                        F.lit("/"), fr.cast("string"))
+
+    return F.when(
+        lat.isNotNull() & lon.isNotNull(), _let_cols([q, r], _snap))
+
+
 def _bucket_key_col(kind: str, bspec: dict) -> Column:
     """The (unaliased) bucket key expression for terms / histogram /
     date_histogram / geohash_grid / geotile_grid — shared by the
@@ -3028,7 +3201,7 @@ def _bucket_key_col(kind: str, bspec: dict) -> Column:
         # concat_ws SKIPS null parts — an unparseable ip must yield a
         # NULL key (dropped like the grid kinds), not a malformed one
         return F.when(net.isNotNull(), dotted)
-    if kind in ("geohash_grid", "geotile_grid"):
+    if kind in ("geohash_grid", "geotile_grid", "hex_grid"):
         unknown = set(bspec) - {"field", "precision", "size"}
         if unknown:
             raise ValueError(
@@ -3036,6 +3209,8 @@ def _bucket_key_col(kind: str, bspec: dict) -> Column:
         lat, lon = F.col(field)["lat"], F.col(field)["lon"]
         if kind == "geohash_grid":
             return geohash_cell(lat, lon, int(bspec.get("precision", 5)))
+        if kind == "hex_grid":
+            return hex_cell(lat, lon, int(bspec.get("precision", 5)))
         return geotile_cell(lat, lon, int(bspec.get("precision", 7)))
     if kind == "terms":
         # `missing` buckets docs without the field under the given value
@@ -3146,8 +3321,8 @@ _PIPELINE_KINDS = {
 #: buckets, declared NEXT TO it, not under it)
 _SIBLING_PIPELINE_KINDS = {
     "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
-    "stats_bucket", "percentiles_bucket", "bucket_correlation",
-    "change_point",
+    "stats_bucket", "extended_stats_bucket", "percentiles_bucket",
+    "bucket_correlation", "change_point",
 }
 
 
@@ -3469,6 +3644,55 @@ def _compile_sibling_pipeline(
             F.max(src).alias(f"{name}_max"),
             F.round(F.avg(src), 6).alias(f"{name}_avg"),
             F.round(F.sum(src), 6).alias(f"{name}_sum"),
+        )
+    elif pkind == "extended_stats_bucket":
+        # extended_stats over the bucket-metric series: the same exact
+        # decimal-moment recipe as the extended_stats METRIC agg
+        # (population variance = E[x²] - E[x]², clamped at 0 for the
+        # near-constant cancellation case), plus ES's sigma bounds
+        # (upper/lower = avg ± sigma·std, sigma default 2).  One
+        # ungrouped aggregate over the reduced bucket frame — O(buckets)
+        # reduce-phase work, nothing data-scale.
+        unknown = set(pspec) - {"buckets_path", "sigma"}
+        if unknown:
+            raise ValueError(
+                f"unsupported extended_stats_bucket option(s): "
+                f"{sorted(unknown)}")
+        sigma = float(pspec.get("sigma", 2.0))
+        # decimal(13,6) squares: the (26,12) product and its sum stay
+        # EXACT (no rounding cast — a (38,12)->(38,6) cast would round
+        # half-ties differently across engines), at the cost of a
+        # documented |metric| < 1e7 domain (the ANSI cast fails loudly
+        # beyond it).  Bucket-metric series live comfortably inside it.
+        d13 = src.cast("decimal(13,6)")
+        mom = buckets.agg(
+            F.count(src).alias("_n"),
+            F.min(src).cast("double").alias("_mn"),
+            F.max(src).cast("double").alias("_mx"),
+            F.sum(src.cast("decimal(28,6)")).cast("double").alias("_s"),
+            F.sum(d13 * d13).cast("double").alias("_ss"),
+        )
+        n = F.col("_n").cast("double")
+        # degenerate-frame contract: an empty series yields NULL stats,
+        # never NaN (0/0) — the t_test class
+        nonempty = F.col("_n") > 0
+        avg = F.when(nonempty, F.col("_s") / n)
+        var = F.when(nonempty, F.greatest(
+            F.round(F.col("_ss") / n - avg * avg, 6), F.lit(0.0)))
+        sd = F.round(F.sqrt(var), 6)
+        scalar = mom.select(
+            F.col("_n").alias(f"{name}_count"),
+            F.col("_mn").alias(f"{name}_min"),
+            F.col("_mx").alias(f"{name}_max"),
+            F.round(avg, 6).alias(f"{name}_avg"),
+            F.col("_s").alias(f"{name}_sum"),
+            F.col("_ss").alias(f"{name}_sum_of_squares"),
+            var.alias(f"{name}_variance"),
+            sd.alias(f"{name}_std_deviation"),
+            F.round(avg + F.lit(sigma) * sd, 6)
+             .alias(f"{name}_std_deviation_bounds_upper"),
+            F.round(avg - F.lit(sigma) * sd, 6)
+             .alias(f"{name}_std_deviation_bounds_lower"),
         )
     elif pkind == "percentiles_bucket":
         pcts = pspec.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0])
@@ -4030,7 +4254,7 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
             .select(F.col("_bucket_key").alias("key"), "hit_rank", *source)
         )
 
-    if kind in ("geohash_grid", "geotile_grid", "ip_prefix"):
+    if kind in ("geohash_grid", "geotile_grid", "hex_grid", "ip_prefix"):
         # docs without a (complete) point / parseable ip have no bucket —
         # drop them like ES does for missing geo fields (the NULL-bucket
         # divergence the terms agg keeps makes no sense for a computed
@@ -4076,7 +4300,29 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     pipes: list[tuple[str, str, dict]] = []
     rates: list[tuple[str, dict]] = []
+    cumcards: list[tuple[str, dict]] = []
     for sub_name, sub_spec in subs.items():
+        if "cumulative_cardinality" in sub_spec:
+            # handled below on the reduced frame + ONE extra first-seen
+            # pass over the source — exact cumulative distincts cannot
+            # be derived from per-bucket cardinalities (ES merges HLL
+            # sketches; this engine is exact, the same documented
+            # divergence class as the cardinality metric itself)
+            cspec = sub_spec["cumulative_cardinality"]
+            unknown = set(cspec) - {"buckets_path"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported cumulative_cardinality option(s): "
+                    f"{sorted(unknown)}")
+            # validated HERE, not in the apply block below: the grid
+            # kinds return early and would otherwise silently drop the
+            # pipe (the validate-but-ignore class the repo bans)
+            if kind not in ("histogram", "date_histogram"):
+                raise ValueError(
+                    "cumulative_cardinality requires a histogram/"
+                    "date_histogram parent")
+            cumcards.append((sub_name, cspec))
+            continue
         pk = [(k, v) for k, v in sub_spec.items() if k in _PIPELINE_KINDS]
         if pk:
             (pkind, pspec), = pk
@@ -4135,7 +4381,7 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         out = out.withColumn(sub_name, F.round(num / width, 6))
         if "field" in rspec:
             out = out.drop(f"__rnum_{sub_name}")
-    if kind in ("geohash_grid", "geotile_grid"):
+    if kind in ("geohash_grid", "geotile_grid", "hex_grid"):
         if pipes:
             raise ValueError(f"pipeline sub-aggs under {kind} are not "
                              "supported (cells have no bucket order)")
@@ -4167,6 +4413,58 @@ def _compile_groupby_bucket(df: DataFrame, kind: str, bspec: dict, spec: dict) -
         out = _fill_bucket_gaps(out, kind, bspec)
     elif mdc > 1:
         out = out.where(F.col("doc_count") >= mdc)
+    if cumcards:
+        # ES cumulative_cardinality: per bucket, the number of DISTINCT
+        # values of the referenced cardinality sub-agg's field seen in
+        # this bucket OR ANY EARLIER one.  Shape: each value contributes
+        # its FIRST bucket (one groupBy on the value — the same shuffle
+        # class as a distinct), the per-bucket first-seen counts reduce
+        # to <= #buckets rows which BROADCAST-join back onto the bucket
+        # frame, and a running sum over the reduced frame finishes the
+        # job.  Never a per-bucket re-scan, never a sketch merge (live
+        # ES merges HLL sketches; this engine is exact — the documented
+        # cardinality divergence).  Gap-filled (min_doc_count=0) buckets
+        # correctly carry the previous cumulative value (their first-seen
+        # count is 0).
+        if kind not in ("histogram", "date_histogram"):
+            raise ValueError(
+                "cumulative_cardinality requires a histogram/"
+                "date_histogram parent")
+        if mdc > 1:
+            # a bucket dropped by min_doc_count would strand the values
+            # whose FIRST occurrence it holds (ES would count them again
+            # at their next surviving bucket) — reject rather than
+            # silently undercount
+            raise ValueError(
+                "cumulative_cardinality with min_doc_count > 1 is not "
+                "supported")
+        from pyspark.sql.window import Window
+
+        w_run = Window.orderBy(F.col("key").asc()).rowsBetween(
+            Window.unboundedPreceding, 0)
+        for sub_name, cspec in cumcards:
+            path = str(cspec["buckets_path"])
+            card = (subs.get(path) or {}).get("cardinality")
+            if not card:
+                raise ValueError(
+                    f"cumulative_cardinality buckets_path {path!r} must "
+                    "name a sibling cardinality sub-aggregation")
+            vcol = F.col(card["field"])
+            news = (
+                df.where(vcol.isNotNull())
+                .groupBy(vcol.alias("_val"))
+                .agg(F.min(_bucket_key_col(kind, bspec)).alias("key"))
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).alias(f"__new_{sub_name}"))
+            )
+            out = (
+                out.join(F.broadcast(news), "key", "left")
+                .withColumn(
+                    sub_name,
+                    F.sum(F.coalesce(F.col(f"__new_{sub_name}"), F.lit(0)))
+                    .over(w_run).cast("long"))
+                .drop(f"__new_{sub_name}")
+            )
     if pipes:
         # pipeline aggs see the REDUCED buckets (post terms-size cap and
         # gap fill), exactly ES's coordinating-node reduce phase
