@@ -3697,6 +3697,32 @@ def q_es_hex_grid(spark, sf_dir):
     }, id_field="c_custkey")
 
 
+def q_es_response_fields(spark, sf_dir):
+    """Response shaping (round 13): ``post_filter`` (hit narrowing the
+    aggregations never see), the modern ``fields`` retrieval option
+    (union with ``_source`` in a flat frame), and ``script_fields``
+    (Painless-subset computed fields with params, applied AFTER paging
+    so the script costs O(page)).  Both search paths consume all three
+    (plans/query_dsl.py::_apply_response_fields — the ADVICE r12
+    "whitelisted but single-path" class, closed structurally).  The
+    oracle replays the conjunct + projection + arithmetic in SQL."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"range": {"n_chars": {"gte": 200}}},
+        "post_filter": {"term": {"source": "src3"}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 30,
+        "_source": ["doc_id"],
+        "fields": ["source", {"field": "lang"}],
+        "script_fields": {"chars_k": {"script": {
+            "source": "doc['n_chars'].value * params.k",
+            "params": {"k": 0.001}}}},
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
 def q_es_match_folded(spark, sf_dir):
     """asciifolding + the French chain on the match surface (VERDICT r11
     #2): a custom analyzer (elision → asciifolding → french stop →
@@ -4519,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_cumulative_cardinality": q_es_cumulative_cardinality,
         "es_random_sampler": q_es_random_sampler,
         "es_hex_grid": q_es_hex_grid,
+        "es_response_fields": q_es_response_fields,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5850,6 +5877,15 @@ def _goldens_b() -> dict[str, str]:
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC
             LIMIT 12
+        """,
+        "es_response_fields": """
+            SELECT doc_id, source, lang,
+                   CAST(n_chars AS DOUBLE) * CAST(0.001 AS DOUBLE)
+                     AS chars_k
+            FROM documents
+            WHERE n_chars >= 200 AND source = 'src3'
+            ORDER BY doc_id ASC
+            LIMIT 30
         """,
         "es_search_as_you_type": f"""
             SELECT doc_id, source, n_chars FROM documents

@@ -4749,6 +4749,71 @@ def _highlight_terms(q: dict, field: str) -> list[str]:
     return terms
 
 
+def _apply_response_fields(
+    df: DataFrame, body: dict, extra_cols: list[str],
+) -> DataFrame:
+    """Response shaping shared by the filter-context and scored paths
+    (round 13): ``script_fields`` + ``fields`` + ``_source``.
+
+    - ``script_fields``: computed per returned hit from the Painless
+      arithmetic subset (``_script_column``; literal ``params``
+      supported) — applied AFTER paging, so the script costs O(page),
+      never a data-scale projection.  Like ES, requesting script_fields
+      WITHOUT ``_source``/``fields`` suppresses the source columns.
+    - ``fields``: the modern retrieval option — plain column names (or
+      ``{"field": name}`` entries); ``format`` and wildcard patterns
+      reject loudly (a flat frame has no mapping-driven formatter).
+      In a flat frame the fields section and _source are the same
+      columns, so the projection is their union.
+
+    ``extra_cols`` (highlight/_score/matched_queries/...) are appended
+    by the caller's select and always survive."""
+    sf = body.get("script_fields") or {}
+    for name, spec in sf.items():
+        unknown = set(spec) - {"script"}
+        if unknown:
+            raise ValueError(
+                f"unsupported script_fields option(s) for {name!r}: "
+                f"{sorted(unknown)}")
+        script = spec["script"]
+        if isinstance(script, str):
+            script = {"source": script}
+        bad = set(script) - {"source", "params", "lang"}
+        if bad:
+            raise ValueError(
+                f"unsupported script option(s) for {name!r}: {sorted(bad)}")
+        if script.get("lang", "painless") != "painless":
+            raise ValueError(
+                f"script_fields {name!r}: only painless is supported")
+        params = {k: F.lit(v) for k, v in (script.get("params") or {}).items()}
+        df = df.withColumn(
+            name,
+            _script_column(script["source"], params, columns=df.columns))
+    fld_names: list[str] = []
+    for f in body.get("fields") or []:
+        if isinstance(f, dict):
+            bad = set(f) - {"field"}
+            if bad:
+                raise ValueError(
+                    f"unsupported fields entry option(s): {sorted(bad)} "
+                    "(plain names only — no format)")
+            f = f["field"]
+        f = str(f)
+        if "*" in f:
+            raise ValueError(
+                f"fields wildcard pattern {f!r} is not supported "
+                "(name columns explicitly)")
+        fld_names.append(f)
+    base = list(body.get("_source") or [])
+    proj = base + [f for f in fld_names if f not in base]
+    proj += [n for n in sf if n not in proj]
+    if proj:
+        return df.select(*proj,
+                         *[c for c in extra_cols if c in df.columns
+                           and c not in proj])
+    return df
+
+
 def _apply_highlight(df: DataFrame, body: dict) -> tuple[DataFrame, list[str]]:
     """ES ``highlight``: wrap the query's terms for each requested field
     in pre/post tags (default ``<em>``/``</em>``), case-insensitively on
@@ -5749,6 +5814,7 @@ _BODY_KEYS = {
     "query", "aggs", "sort", "from", "size", "_source", "knn", "rescore",
     "collapse", "highlight", "min_score", "search_after",
     "runtime_mappings", "explain", "suggest", "slice",
+    "post_filter", "fields", "script_fields",
 }
 #: accepted no-ops: response-shaping hints with no flat-frame meaning
 #: (totals are the row count; every hit always carries live values)
@@ -5977,6 +6043,12 @@ def _es_search_impl(
         # returns the kNN hits; the aggs branch below is not reached.
         from ..operators.similarity import _cosine_to_literal
 
+        if body.get("post_filter"):
+            # this branch returns the top-k below without reaching the
+            # post_filter application point — narrowing AFTER a top-k
+            # would silently return fewer than k hits, so reject
+            raise ValueError(
+                "post_filter cannot combine with filter-context knn")
         spec = body["knn"]
         field, qv = spec["field"], [float(x) for x in spec["query_vector"]]
         k = int(spec.get("k", 10))
@@ -5995,14 +6067,21 @@ def _es_search_impl(
             .orderBy(F.col("_score").desc(), *tie)
             .limit(k)
         )
-        if body.get("_source"):
-            # keep matched_queries/inner_hits columns (code-review r9:
-            # the knn projection silently dropped them)
-            df = df.select(*body["_source"], "_score",
-                           *[c for c in extra_cols if c in df.columns])
-        return df
+        # keep matched_queries/inner_hits columns (code-review r9: the
+        # knn projection silently dropped them); fields/script_fields
+        # shape the response here too
+        return _apply_response_fields(df, body, ["_score", *extra_cols])
     if body.get("aggs") and body.get("size", 10) == 0:
         return compile_aggs(df, body["aggs"], id_field)
+    if body.get("post_filter"):
+        # applied AFTER the aggs branch: aggregations see the
+        # pre-post_filter result set (ES's whole point for post_filter —
+        # facet counts stay stable while the hit list narrows); lookups
+        # expand against the pre-slice frame like the main query's
+        df = df.where(compile_query(
+            _strip_names(expand_lookups(
+                _pre_slice, body["post_filter"], id_field)),
+            id_field))
 
     sort_cols = _sort_columns(body.get("sort", default_sort) or [])
     if body.get("collapse"):
@@ -6069,6 +6148,4 @@ def _es_search_impl(
     if body.get("highlight"):
         df, hl_cols = _apply_highlight(df, body)
         extra_cols += hl_cols
-    if body.get("_source"):
-        df = df.select(*body["_source"], *extra_cols)
-    return df
+    return _apply_response_fields(df, body, extra_cols)

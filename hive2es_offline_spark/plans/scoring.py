@@ -1722,6 +1722,18 @@ def _es_scored_search_impl(
         ).drop("_knn_score")
     else:
         scored = scored.where(qpred)
+    if body.get("post_filter"):
+        # hits narrow further AFTER scoring (scores/aggs are
+        # post_filter-blind, like ES); applies to the knn-union hit set
+        # too.  The rescore window's interplay with post_filter is
+        # unspecified in ES's docs — reject the combination rather than
+        # pick silently.
+        if rescore is not None:
+            raise ValueError("post_filter cannot combine with rescore")
+        scored = scored.where(compile_query(
+            _strip_names(expand_lookups(
+                _pre_slice, body["post_filter"], id_field)),
+            id_field))
     if "min_score" in body:
         mcol = "_score0" if rescore is not None else "_score"
         scored = scored.where(F.col(mcol) >= F.lit(float(body["min_score"])))
@@ -1839,9 +1851,9 @@ def _es_scored_search_impl(
         scored, extra_cols = _apply_highlight(
             scored, {**body, "query": _normalize(query)}
         )
-    if body.get("_source"):
-        expl_cols = (["_explanation"]
-                     if "_explanation" in scored.columns else [])
-        scored = scored.select(*body["_source"], "_score", *extra_cols,
-                               *extra_named, *expl_cols)
-    return scored
+    from .query_dsl import _apply_response_fields
+
+    expl_cols = (["_explanation"]
+                 if "_explanation" in scored.columns else [])
+    return _apply_response_fields(
+        scored, body, ["_score", *extra_cols, *extra_named, *expl_cols])
