@@ -3430,6 +3430,56 @@ def _de_text_sql() -> str:
             f"{words}[(((doc_id * 7) + 3) % 12) + 1])")
 
 
+_IT_WORDS = [
+    "figlie", "figlia", "figlio", "l'amico", "dell'acqua", "città",
+    "ragazzi", "ragazzo", "veloci", "libri", "amiche", "isola",
+]
+
+
+def _it_text_col():
+    k = F.col("doc_id")
+    return F.concat_ws(
+        " ",
+        F.element_at(F.lit(_IT_WORDS), (k % 12).cast("int") + 1),
+        F.element_at(F.lit(_IT_WORDS),
+                     ((k / F.lit(5)).cast("long") % 12).cast("int") + 1),
+        F.element_at(F.lit(_IT_WORDS), ((k * 7 + 3) % 12).cast("int") + 1),
+    )
+
+
+def _it_text_sql() -> str:
+    words = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _IT_WORDS) + "]"
+    return (f"({words}[(doc_id % 12) + 1] || ' ' || "
+            f"{words}[((doc_id // 5) % 12) + 1] || ' ' || "
+            f"{words}[(((doc_id * 7) + 3) % 12) + 1])")
+
+
+def q_es_match_italian(spark, sf_dir):
+    """The built-in italian chain on the match surface (round 13):
+    italian_elision (l'/dell'/un'… article strip) → asciifolding
+    (città → citta; the documented up-front-fold approximation) →
+    folded italian stop set → Savoy-style light stemmer (final-vowel +
+    -i-diphthong drops), all codegen.  Query "figlio" hits
+    figlie/figlia docs and query "l'amico" (elided+stemmed) hits amico
+    docs — article-, gender- and plural-blind matching.  Same
+    deterministic text synthesis + one-grammar oracle lockstep as
+    es_match_german."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents").withColumn("itext", _it_text_col())
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"itext": "figlio l'amico"}}],
+            "filter": [{"range": {"n_chars": {"gte": 150}}}],
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 40,
+        "_source": ["doc_id", "source", "itext"],
+    }
+    return es_search(d, body, id_field="doc_id", analyzer="italian")
+
+
 def q_es_match_german(spark, sf_dir):
     """The built-in german chain on the match surface (VERDICT r12 #3):
     asciifolding (the german_normalization approximation — ü→u, ß→ss,
@@ -3695,6 +3745,31 @@ def q_es_hex_grid(spark, sf_dir):
         "aggs": {"g": {"hex_grid": {
             "field": "loc", "precision": 2, "size": 12}}},
     }, id_field="c_custkey")
+
+
+def q_es_time_series(spark, sf_dir):
+    """TSDB ``time_series`` aggregation (round 13): one bucket per time
+    series — the tuple of dimension fields — with doc_count + metric
+    sub-aggs (plans/query_dsl.py::_compile_time_series).  ES infers the
+    dimensions from the index mapping's time_series_dimension
+    attributes; the flat frame takes them via the documented
+    ``dimensions`` extension (omitting it rejects loudly).  ONE groupBy
+    on the dimension tuple + TakeOrderedAndProject — the downsample
+    operator's per-series sibling."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    e = _t(spark, sf_dir, "events")
+    body = {
+        "size": 0,
+        "aggs": {"series": {
+            "time_series": {"dimensions": ["event_type"], "size": 100},
+            "aggs": {
+                "v_avg": {"avg": {"field": "value"}},
+                "v_max": {"max": {"field": "value"}},
+                "users": {"cardinality": {"field": "user_id"}}},
+        }},
+    }
+    return es_search(e, body, id_field="event_id")
 
 
 def q_es_response_fields(spark, sf_dir):
@@ -4537,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sliced_export": q_es_sliced_export,
         # round-13 fodder (r14 window candidates, local goldens for now)
         "es_match_german": q_es_match_german,
+        "es_match_italian": q_es_match_italian,
         "es_categorize_text": q_es_categorize_text,
         "es_change_point": q_es_change_point,
         "es_search_as_you_type": q_es_search_as_you_type,
@@ -4546,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_random_sampler": q_es_random_sampler,
         "es_hex_grid": q_es_hex_grid,
         "es_response_fields": q_es_response_fields,
+        "es_time_series": q_es_time_series,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5408,6 +5485,12 @@ def _goldens_b() -> dict[str, str]:
     _de_or = " OR ".join(
         f"list_contains({_de_frag}, '{t}')" for t in _de_terms)
 
+    # es_match_italian: same lockstep for the built-in italian chain
+    _it_frag = _duck_toks("itext", "italian")
+    _it_terms = _an_text("figlio l'amico", "italian")
+    _it_or = " OR ".join(
+        f"list_contains({_it_frag}, '{t}')" for t in _it_terms)
+
     # es_search_as_you_type: the per-subfield query shingles and the
     # document shingle lists both come from plans/analysis.py (one
     # grammar, three renderings), so engine and oracle cannot drift
@@ -5741,6 +5824,16 @@ def _goldens_b() -> dict[str, str]:
             ORDER BY doc_id ASC
             LIMIT 40
         """,
+        "es_match_italian": f"""
+            SELECT doc_id, source, itext FROM (
+              SELECT doc_id, source, n_chars, {_it_text_sql()} AS itext
+              FROM documents
+            )
+            WHERE ({_it_or})
+              AND n_chars >= 150
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
         "es_variable_width": """
             WITH vals AS (
               SELECT CAST(n_chars AS DOUBLE) AS _v, count(*) AS _c
@@ -5877,6 +5970,17 @@ def _goldens_b() -> dict[str, str]:
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC
             LIMIT 12
+        """,
+        "es_time_series": """
+            SELECT event_type, count(*) AS doc_count,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,6)))
+                              AS DOUBLE) / count(value), 6) AS v_avg,
+                   max(value) AS v_max,
+                   count(DISTINCT user_id) AS users
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type ASC
+            LIMIT 100
         """,
         "es_response_fields": """
             SELECT doc_id, source, lang,

@@ -176,6 +176,17 @@ _FR_DOUBLE = ("^.{4,}(aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|"
 #: one alternative can match any token, so Java/Python/RE2 alternation
 #: order differences cannot diverge
 _P_ELISION = "^(?:jusqu|quoiqu|lorsqu|puisqu|qu|[ldjtmnsc])'"
+#: ES italian analyzer's default italian_elision article set (same
+#: one-alternative-per-token property: the trailing apostrophe pins the
+#: match length)
+_P_ELISION_IT = ("^(?:dall|dell|nell|sull|coll|pell|dagl|degl|negl|sugl|"
+                 "all|agl|un|gl|[cldmtsv])'")
+
+
+def _elision_pat(elision) -> str:
+    """The elision regex for a spec/flag: ``True`` keeps the historical
+    French set; a string IS the pattern (italian passes its own)."""
+    return _P_ELISION if elision is True else str(elision)
 
 # ---------------------------------------------------------------------------
 # German light stemmer (round 13) — Savoy's light German stemmer, the
@@ -223,6 +234,47 @@ _ES_STEP = (
     ("^.{2,}ces$", "ces$", "z"),                  # luces → luz
     ("^.{3,}[oae]s$", "[oae]s$", ""),             # libros → libr
     ("^.{4,}[oae]$", "[oae]$", ""),               # libro → libr
+)
+
+# ---------------------------------------------------------------------------
+# Italian light stemmer (round 13) — Savoy-style final-vowel removal
+# with -i-diphthong handling, ONE first-match-wins table over folded
+# tokens of length ≥ 6 (shorter words pass through, the light-stemmer
+# convention).  Every rule is a pure suffix DROP, so the stem-prefix
+# guard invariant stem(t)[:-1] ⊑ t holds trivially (fuzzed like the
+# other chains).  Conflation examples: figlie/figlia/figlio → figl,
+# amiche → amic / amico → amic, ragazzi/ragazzo → ragazz.
+# ---------------------------------------------------------------------------
+
+_IT_STEP = (
+    ("^.{4,}[ih][ei]$", "[ih][ei]$", ""),         # amiche → amic
+    ("^.{4,}i[ao]$", "i[ao]$", ""),               # figlia/figlio → figl
+    ("^.{5,}[aeio]$", "[aeio]$", ""),             # ragazzi → ragazz
+)
+
+# ---------------------------------------------------------------------------
+# Portuguese light stemmer (round 13) — Savoy-style two-step chain over
+# folded tokens: step 1 rewrites the plural (folded -ões/-ães → -ão,
+# -ais/-eis/-ois → -al/-el/-ol, generic -s drop keeping -ss), step 2
+# drops one final vowel (a/e/o, length ≥ 5).  Conflation examples:
+# limões/limão → lima, animais/animal → animal, papéis/papel → papel,
+# livros/livro → livr, flores/flor → flor (via -s then -e).
+# Guard invariant: the -ais/-eis/-ois rewrites diverge from the surface
+# only at the LAST stem char (the french aux→al class) and the -ões
+# rule's ≥ 6-length guard guarantees step 2 fires on its output (…ao →
+# …a), so stem(t)[:-1] ⊑ t holds for every path (fuzzed).
+# ---------------------------------------------------------------------------
+
+_PT_STEP_1 = (
+    ("^.{3,}oes$", "oes$", "ao"),                 # limoes → limao
+    ("^.{1,}aes$", "aes$", "ao"),                 # caes → cao
+    ("^.{2,}ais$", "ais$", "al"),                 # animais → animal
+    ("^.{2,}eis$", "eis$", "el"),                 # papeis → papel
+    ("^.{2,}ois$", "ois$", "ol"),                 # lencois → lencol
+    ("^.{2,}[^s]s$", "s$", ""),                   # livros → livro
+)
+_PT_STEP_2 = (
+    ("^.{4,}[aeo]$", "[aeo]$", ""),               # livro → livr
 )
 
 # ---------------------------------------------------------------------------
@@ -303,6 +355,35 @@ SPANISH_STOPWORDS = (
     "uno", "unos", "y", "ya", "yo", "él",
 )
 
+#: compact Italian stop set (high-frequency articles, prepositions,
+#: pronouns and essere/avere forms); checked AFTER lowercase + elision
+#: + folding, BEFORE stemming
+ITALIAN_STOPWORDS = (
+    "a", "ad", "ai", "al", "alla", "alle", "allo", "anche", "che",
+    "chi", "ci", "come", "con", "cui", "da", "dai", "dal", "dalla",
+    "degli", "dei", "del", "della", "delle", "dello", "di", "dove",
+    "e", "ed", "era", "erano", "essere", "fra", "gli", "ha", "hanno",
+    "ho", "i", "il", "in", "io", "la", "le", "lei", "lo", "loro",
+    "lui", "ma", "mi", "ne", "nei", "nel", "nella", "nelle", "nello",
+    "noi", "non", "o", "per", "perché", "più", "quale", "quando",
+    "questa", "queste", "questo", "se", "sei", "si", "sia", "sono",
+    "su", "sua", "sue", "sui", "sul", "sulla", "suo", "suoi", "tra",
+    "tu", "un", "una", "uno", "voi", "è",
+)
+
+#: compact Portuguese stop set (same construction)
+PORTUGUESE_STOPWORDS = (
+    "a", "ao", "aos", "aquela", "aquele", "as", "até", "com", "como",
+    "da", "das", "de", "dela", "dele", "depois", "do", "dos", "e",
+    "ela", "elas", "ele", "eles", "em", "entre", "era", "eram",
+    "essa", "esse", "esta", "este", "eu", "foi", "for", "foram",
+    "há", "isso", "isto", "já", "mais", "mas", "me", "mesmo", "muito",
+    "na", "nas", "no", "nos", "nós", "não", "o", "os", "ou", "para",
+    "pela", "pelo", "por", "quando", "que", "quem", "se", "sem",
+    "ser", "seu", "seus", "sua", "suas", "são", "só", "também", "te",
+    "tem", "ter", "um", "uma", "você", "vocês", "à", "às", "é",
+)
+
 
 def fold_text(t: str) -> str:
     """Python rendering of the asciifolding filter (driver/oracle twin of
@@ -340,6 +421,19 @@ def stem_text(w: str, lang: str = "english") -> str:
             if re.match(cond, w):
                 w = re.sub(suf, rep, w)
                 break
+        return w
+    if lang == "italian":
+        for cond, suf, rep in _IT_STEP:
+            if re.match(cond, w):
+                w = re.sub(suf, rep, w)
+                break
+        return w
+    if lang == "portuguese":
+        for rows in (_PT_STEP_1, _PT_STEP_2):
+            for cond, suf, rep in rows:
+                if re.match(cond, w):
+                    w = re.sub(suf, rep, w)
+                    break
         return w
     for cond, suf, rep in _STEP_1A:
         if re.match(cond, w):
@@ -422,6 +516,10 @@ def _stem_steps_list(lang: str = "english"):
         return [_col_step_table(_DE_STEP_1), _col_step_table(_DE_STEP_2)]
     if lang == "spanish":
         return [_col_step_table(_ES_STEP)]
+    if lang == "italian":
+        return [_col_step_table(_IT_STEP)]
+    if lang == "portuguese":
+        return [_col_step_table(_PT_STEP_1), _col_step_table(_PT_STEP_2)]
     return [
         _col_step_table(_STEP_1A),
         _col_step_1b,
@@ -479,6 +577,10 @@ def _duckdb_stem_steps(lang: str = "english") -> list[str]:
         return [step_case(_DE_STEP_1), step_case(_DE_STEP_2)]
     if lang == "spanish":
         return [step_case(_ES_STEP)]
+    if lang == "italian":
+        return [step_case(_IT_STEP)]
+    if lang == "portuguese":
+        return [step_case(_PT_STEP_1), step_case(_PT_STEP_2)]
 
     ed = "regexp_replace(t, 'ed$', '')"
     ing = "regexp_replace(t, 'ing$', '')"
@@ -511,7 +613,7 @@ def _duckdb_stem_steps(lang: str = "english") -> list[str]:
 class _AnalyzerSpec:
     tokenizer: str = "standard"                # standard | whitespace
     possessive: bool = False                   # strip trailing 's
-    elision: bool = False                      # strip l'/d'/qu'/… prefixes
+    elision: "bool | str" = False    # True = French set; str = pattern
     asciifolding: bool = False                 # fold accents to ASCII
     stopwords: tuple[str, ...] = ()
     stemmer: str | None = None       # english | french | german | spanish
@@ -550,11 +652,26 @@ _REGISTRY: dict[str, _AnalyzerSpec] = {
         stopwords=tuple(dict.fromkeys(
             fold_text(s) for s in SPANISH_STOPWORDS)),
         stemmer="spanish"),
+    # italian: ES's stock chain is italian_elision → lowercase → stop →
+    # light stemmer; like german/spanish this engine folds up front
+    # (documented approximation) so the stemmer rules stay ASCII
+    # suffix-drops and the stem-prefix guard holds
+    "italian": _AnalyzerSpec(
+        elision=_P_ELISION_IT,
+        asciifolding=True,
+        stopwords=tuple(dict.fromkeys(
+            fold_text(s) for s in ITALIAN_STOPWORDS)),
+        stemmer="italian"),
+    "portuguese": _AnalyzerSpec(
+        asciifolding=True,
+        stopwords=tuple(dict.fromkeys(
+            fold_text(s) for s in PORTUGUESE_STOPWORDS)),
+        stemmer="portuguese"),
 }
 
 #: retained export — the BUILT-IN names (registry adds custom ones)
 ANALYZERS = ("standard", "whitespace", "english", "french", "german",
-             "spanish")
+             "spanish", "italian", "portuguese")
 
 
 def analyzer_names() -> tuple[str, ...]:
@@ -576,7 +693,8 @@ def register_analyzer(
     ``settings.analysis.analyzer`` surface).  ``stopwords`` accepts a
     word list or the ES shorthands ``"_english_"`` / ``"_french_"`` /
     ``"_german_"`` / ``"_spanish_"``; ``stemmer`` accepts a language name
-    (``"english"`` / ``"french"`` / ``"german"`` / ``"spanish"``) or
+    (``"english"`` / ``"french"`` / ``"german"`` / ``"spanish"`` /
+    ``"italian"`` / ``"portuguese"``) or
     ``True`` as a legacy alias for english; ``synonyms`` accepts either
     ES-style equivalence groups (``[["car","auto","automobile"], …]`` —
     every member rewrites to the FIRST) or an explicit mapping
@@ -592,14 +710,17 @@ def register_analyzer(
         raise ValueError(
             f"unsupported tokenizer: {tokenizer!r} (standard | whitespace)")
     stem_lang = {False: None, True: "english"}.get(stemmer, stemmer)
-    if stem_lang not in (None, "english", "french", "german", "spanish"):
+    if stem_lang not in (None, "english", "french", "german", "spanish",
+                         "italian", "portuguese"):
         raise ValueError(
             f"unsupported stemmer: {stemmer!r} "
             "(english | french | german | spanish)")
     shorthand = {"_english_": ENGLISH_STOPWORDS,
                  "_french_": FRENCH_STOPWORDS,
                  "_german_": GERMAN_STOPWORDS,
-                 "_spanish_": SPANISH_STOPWORDS}
+                 "_spanish_": SPANISH_STOPWORDS,
+                 "_italian_": ITALIAN_STOPWORDS,
+                 "_portuguese_": PORTUGUESE_STOPWORDS}
     if isinstance(stopwords, str):
         if stopwords not in shorthand:
             raise ValueError(
@@ -618,7 +739,7 @@ def register_analyzer(
         if possessive:
             t = re.sub(_P_POSS, "", t)
         if elision:
-            t = re.sub(_P_ELISION, "", t)
+            t = re.sub(_elision_pat(elision), "", t)
         if asciifolding:
             t = fold_text(t)
         if t in stops:
@@ -793,10 +914,11 @@ def _char_filters(toks: Column, spec: _AnalyzerSpec) -> Column:
             ).otherwise(t))
         rewrote = True
     if spec.elision:
+        pat = _elision_pat(spec.elision)
         toks = F.transform(
             toks,
             lambda t: F.when(
-                t.contains("'"), F.regexp_replace(t, _P_ELISION, "")
+                t.contains("'"), F.regexp_replace(t, pat, "")
             ).otherwise(t))
         rewrote = True
     if rewrote:
@@ -1022,7 +1144,8 @@ def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:
     if spec.possessive:
         toks = [s for s in (re.sub(_P_POSS, "", t) for t in toks) if s]
     if spec.elision:
-        toks = [s for s in (re.sub(_P_ELISION, "", t) for t in toks) if s]
+        pat = _elision_pat(spec.elision)
+        toks = [s for s in (re.sub(pat, "", t) for t in toks) if s]
     if spec.asciifolding:
         toks = [fold_text(t) for t in toks]
     if spec.stopwords:
@@ -1071,7 +1194,7 @@ def analyze_with_offsets(
             if not tok:
                 continue
         if spec.elision:
-            tok = re.sub(_P_ELISION, "", tok)
+            tok = re.sub(_elision_pat(spec.elision), "", tok)
             if not tok:
                 continue
         if spec.asciifolding:
@@ -1180,7 +1303,7 @@ def duckdb_tokens(expr: str, analyzer: str = "standard") -> str:
         sql = (f"list_filter(list_transform({sql}, "
                "t -> regexp_replace(t, '''s$', '')), t -> t != '')")
     if spec.elision:
-        pat = _P_ELISION.replace("'", "''")
+        pat = _elision_pat(spec.elision).replace("'", "''")
         sql = (f"list_filter(list_transform({sql}, "
                f"t -> regexp_replace(t, '{pat}', '')), t -> t != '')")
     if spec.asciifolding:

@@ -2871,7 +2871,7 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
     extra = [(n, s) for n, s in aggs.items()
              if set(s) & {"rare_terms", "multi_terms",
                           "frequent_item_sets", "categorize_text",
-                          "variable_width_histogram"}]
+                          "variable_width_histogram", "time_series"}]
     if len(bucket) + len(cond) + len(comp) + len(extra) > 1:
         raise ValueError("at most one bucket agg per body is supported")
 
@@ -2889,6 +2889,8 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
             return _compile_categorize_text(df, spec)
         if "variable_width_histogram" in spec:
             return _compile_variable_width_histogram(df, spec)
+        if "time_series" in spec:
+            return _compile_time_series(df, spec)
         return _compile_multi_terms(df, spec)
 
     sib = [(n, k, v) for n, s in aggs.items() for k, v in s.items()
@@ -4090,6 +4092,42 @@ def _compile_categorize_text(df: DataFrame, spec: dict) -> DataFrame:
         .limit(int(bspec.get("size", 10)))
     )
     return out
+
+
+def _compile_time_series(df: DataFrame, spec: dict) -> DataFrame:
+    """ES TSDB ``time_series`` aggregation: one bucket per time series
+    (ES's _tsid = the tuple of dimension fields).  ES infers the
+    dimensions from the index mapping's ``time_series_dimension``
+    attributes; a flat frame has no mapping, so the caller names them
+    via the documented ``dimensions`` extension — omitting it rejects
+    loudly rather than guessing.  One output column per dimension (the
+    flat-frame rendering of ES's ``key`` map), ``doc_count`` + metric
+    sub-aggs, dimensions-ascending order, top-``size`` buckets.  Same
+    scale shape as ``multi_terms``: ONE groupBy on the dimension tuple
+    + TakeOrderedAndProject — the downsample operator's sibling for
+    per-series (rather than per-series-per-window) rollups."""
+    bspec = spec["time_series"]
+    unknown = set(bspec) - {"size", "keyed", "dimensions"}
+    if unknown:
+        raise ValueError(
+            f"unsupported time_series option(s): {sorted(unknown)}")
+    if bspec.get("keyed"):
+        raise ValueError(
+            "time_series keyed responses have no flat-frame rendering "
+            "(buckets are rows here)")
+    dims = list(bspec.get("dimensions") or [])
+    if not dims:
+        raise ValueError(
+            "time_series needs explicit 'dimensions' (ES infers them "
+            "from the index mapping's time_series_dimension attributes; "
+            "a flat frame has no mapping)")
+    size = int(bspec.get("size", 10_000))
+    return (
+        df.groupBy(*[F.col(d) for d in dims])
+        .agg(*_sub_agg_exprs(spec.get("aggs", {})))
+        .orderBy(*[F.col(d).asc() for d in dims])
+        .limit(size)
+    )
 
 
 def _compile_multi_terms(df: DataFrame, spec: dict) -> DataFrame:

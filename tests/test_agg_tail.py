@@ -278,3 +278,47 @@ class TestHexGrid:
         with pytest.raises(NotImplementedError, match="hex_grid extension"):
             compile_aggs(pts, {"g": {"geohex_grid": {
                 "field": "loc", "precision": 4}}})
+
+
+# ----------------------------------------------------------- time_series
+
+class TestTimeSeries:
+    @pytest.fixture(scope="class")
+    def tsdb(self, spark):
+        rows = [
+            ("h1", "us", 1.0), ("h1", "us", 3.0),
+            ("h2", "us", 5.0), ("h2", "eu", 7.0), ("h1", "eu", 9.0),
+        ]
+        return spark.createDataFrame(rows, "host string, region string, v double")
+
+    def test_buckets_per_series_with_metrics(self, spark, tsdb):
+        out = compile_aggs(tsdb, {"ts": {
+            "time_series": {"dimensions": ["host", "region"]},
+            "aggs": {"m": {"avg": {"field": "v"}}},
+        }}).collect()
+        got = {(r["host"], r["region"]): (r["doc_count"], r["m"]) for r in out}
+        assert got == {("h1", "us"): (2, 2.0), ("h1", "eu"): (1, 9.0),
+                       ("h2", "us"): (1, 5.0), ("h2", "eu"): (1, 7.0)}
+        # dimensions-ascending order
+        assert [(r["host"], r["region"]) for r in out] == sorted(got)
+
+    def test_size_caps(self, spark, tsdb):
+        out = compile_aggs(tsdb, {"ts": {
+            "time_series": {"dimensions": ["host", "region"], "size": 2},
+        }}).collect()
+        assert [(r["host"], r["region"]) for r in out] == [
+            ("h1", "eu"), ("h1", "us")]
+
+    def test_missing_dimensions_rejects(self, spark, tsdb):
+        with pytest.raises(ValueError, match="dimensions"):
+            compile_aggs(tsdb, {"ts": {"time_series": {}}})
+
+    def test_keyed_rejects(self, spark, tsdb):
+        with pytest.raises(ValueError, match="keyed"):
+            compile_aggs(tsdb, {"ts": {"time_series": {
+                "dimensions": ["host"], "keyed": True}}})
+
+    def test_unknown_option_rejects(self, spark, tsdb):
+        with pytest.raises(ValueError, match="time_series option"):
+            compile_aggs(tsdb, {"ts": {"time_series": {
+                "dimensions": ["host"], "shard_size": 10}}})

@@ -456,9 +456,10 @@ class TestCustomAnalyzers:
             register_analyzer("english", stemmer=True)
         with pytest.raises(ValueError, match="tokenizer"):
             register_analyzer("x1", tokenizer="icu")
-        # _german_/_spanish_ became supported shorthands in round 13
+        # _german_/_spanish_ (r13a) and _italian_/_portuguese_ (r13b)
+        # became supported shorthands
         with pytest.raises(ValueError, match="stopword set"):
-            register_analyzer("x2", stopwords="_italian_")
+            register_analyzer("x2", stopwords="_dutch_")
         with pytest.raises(ValueError, match="stopword"):
             register_analyzer("x3", stopwords="_english_",
                               synonyms=[["the", "car"]])
@@ -904,6 +905,18 @@ class TestGermanSpanishChains:
         "canción canciones señora señoras",
         "libro libros libra libras más mas",
     ]
+    IT_TEXTS = [
+        "l'amico dell'acqua e i ragazzi più veloci",
+        "figlia figlie figlio; amiche amico",
+        "la città è bella, un'altra città",
+        "quest'anno nell'isola sull'acqua",
+    ]
+    PT_TEXTS = [
+        "os limões e as flores dos animais grandes",
+        "limão limões; animal animais; papel papéis",
+        "as casas e os livros do coração",
+        "não há lençóis nas canções",
+    ]
 
     def test_german_stem_vectors(self):
         from hive2es_offline_spark.plans.analysis import stem_text
@@ -954,9 +967,42 @@ class TestGermanSpanishChains:
         # spanish: fold (ñ→n, á→a), stop ("más" drops as "mas"), stem
         assert analyze_text("Las luces de los niños más grandes",
                             "spanish") == ["luz", "nin", "grand"]
+        # italian: elision (l'/dell'), fold, stop, stem
+        assert analyze_text("L'amico dell'acqua e i ragazzi più veloci",
+                            "italian") == ["amico", "acqua", "ragazz",
+                                           "veloc"]
+        # portuguese: fold (ões→oes, ç→c), stop ("não"/"os"), stem
+        assert analyze_text("Os limões e as flores dos animais",
+                            "portuguese") == ["lima", "flor", "animal"]
+
+    def test_italian_stem_vectors(self):
+        from hive2es_offline_spark.plans.analysis import stem_text
+
+        # singular/plural/gender conflation on folded tokens; words
+        # under the ≥6-length guard pass through like Lucene's
+        vec = {"figlie": "figl", "figlia": "figl", "figlio": "figl",
+               "amiche": "amic", "ragazzi": "ragazz", "ragazzo": "ragazz",
+               "veloci": "veloc", "libri": "libri", "cane": "cane"}
+        for w, st_ in vec.items():
+            assert stem_text(w, "italian") == st_, (w, stem_text(w, "italian"))
+
+    def test_portuguese_stem_vectors(self):
+        from hive2es_offline_spark.plans.analysis import stem_text
+
+        vec = {"limoes": "lima", "limao": "lima",
+               "animais": "animal", "animal": "animal",
+               "papeis": "papel", "papel": "papel",
+               "lencois": "lencol",
+               "livros": "livr", "livro": "livr",
+               "flores": "flor", "flor": "flor",
+               "casas": "casa", "casa": "casa"}
+        for w, st_ in vec.items():
+            assert stem_text(w, "portuguese") == st_, (
+                w, stem_text(w, "portuguese"))
 
     @pytest.mark.parametrize("lang,texts", [
-        ("german", DE_TEXTS), ("spanish", ES_TEXTS)])
+        ("german", DE_TEXTS), ("spanish", ES_TEXTS),
+        ("italian", IT_TEXTS), ("portuguese", PT_TEXTS)])
     def test_three_way_parity_fixed(self, spark, lang, texts):
         import duckdb
 
@@ -974,7 +1020,9 @@ class TestGermanSpanishChains:
 
     @pytest.mark.parametrize("lang,alphabet", [
         ("german", "abdefghiklmnorstuzäöüß' ._-"),
-        ("spanish", "abcdeghilmnorstuzáéíñóú' ._-")])
+        ("spanish", "abcdeghilmnorstuzáéíñóú' ._-"),
+        ("italian", "abcdeghilmnorstuvzàèéìòù' ._-"),
+        ("portuguese", "abcdeghilmnorstuvzãõáéíóçê' ._-")])
     def test_three_way_parity_property(self, lang, alphabet):
         import duckdb
 
@@ -997,7 +1045,9 @@ class TestGermanSpanishChains:
 
     @pytest.mark.parametrize("lang,alphabet,seed", [
         ("german", "abdefghiklmnorstuz'.", 13),
-        ("spanish", "abcdeghilmnorstuz'.", 14)])
+        ("spanish", "abcdeghilmnorstuz'.", 14),
+        ("italian", "abcdeghilmnorstuvz'.", 15),
+        ("portuguese", "abcdeghilmnorstuvz'.", 16)])
     def test_stem_prefix_invariant_fuzzed(self, lang, alphabet, seed):
         # the fast-path guard invariant, re-fuzzed per new stemmer
         # (VERDICT r12 #3): stem(t)[:-1] must be a prefix of t.  Fuzz

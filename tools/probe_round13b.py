@@ -94,6 +94,37 @@ def main():
         print(f"random_sampler p={p:<4}                 {t_s:6.2f}s"
               f"  (x{t_s / floor_s:.2f})")
 
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    it_words = ("figlie figlia figlio l'amico dell'acqua città ragazzi "
+                "ragazzo veloci libri amiche isola").split()
+    pt_words = ("limões limão animais animal papéis papel livros livro "
+                "flores flor casas coração").split()
+    txt = df
+    for name, words in (("it", it_words), ("pt", pt_words)):
+        txt = txt.withColumn(name, F.concat_ws(" ", *[
+            F.element_at(F.lit(words),
+                         ((F.col("id") * (3 + i)) % len(words) + 1)
+                         .cast("int"))
+            for i in range(12)]))
+    txt = txt.localCheckpoint()
+    txt.count()
+
+    def match(col, analyzer, q):
+        body = {"query": {"match": {col: q}}, "size": 0,
+                "aggs": {"n": {"value_count": {"field": "id"}}}}
+        return es_search(txt, body, id_field="id",
+                         analyzer=analyzer).count()
+
+    floor_m = t(lambda: match("it", None, "figlio amiche"))
+    print(f"standard match floor                  {floor_m:6.2f}s")
+    t_it = t(lambda: match("it", "italian", "figlio l'amico"))
+    print(f"italian match                         {t_it:6.2f}s"
+          f"  (x{t_it / floor_m:.2f})")
+    t_pt = t(lambda: match("pt", "portuguese", "limões flores"))
+    print(f"portuguese match                      {t_pt:6.2f}s"
+          f"  (x{t_pt / floor_m:.2f})")
+
     tile = {"g": {"geotile_grid": {"field": "loc", "precision": 6,
                                    "size": 10_000}}}
     floor_g = t(lambda: compile_aggs(df, tile, id_field="id").count())
