@@ -3747,6 +3747,31 @@ def q_es_hex_grid(spark, sf_dir):
     }, id_field="c_custkey")
 
 
+def q_es_esql(spark, sf_dir):
+    """ES|QL pipeline compiler (round 13, plans/esql.py): ES 8.11+'s
+    piped query language — FROM | WHERE | EVAL | STATS … BY | SORT —
+    compiled stage-by-stage onto ONE lazy DataFrame, so Catalyst sees
+    the whole pipeline: the WHERE pushes into the parquet scan and a
+    SORT|LIMIT tail plans as TakeOrderedAndProject (both
+    plan-asserted, tests/test_esql.py).  SUM/AVG are decimal-routed
+    like every additive float agg (order-exact, oracle-hashable);
+    aggregate names are required (ES|QL's expression-text defaults are
+    not stable frame columns — documented deviation).  The oracle is
+    the direct SQL rendering of the same pipeline."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"lineitem": _t(spark, sf_dir, "lineitem")}, '''
+        FROM lineitem
+        | WHERE l_shipdate >= "1995-01-01" AND l_discount > 0.03
+        | EVAL revenue = l_extendedprice * (1.0 - l_discount)
+        | STATS total = SUM(revenue), orders = COUNT(*),
+                avg_qty = AVG(l_quantity),
+                max_price = MAX(l_extendedprice)
+          BY l_returnflag, l_linestatus
+        | SORT l_returnflag ASC, l_linestatus ASC
+    ''')
+
+
 def q_es_time_series(spark, sf_dir):
     """TSDB ``time_series`` aggregation (round 13): one bucket per time
     series — the tuple of dimension fields — with doc_count + metric
@@ -4623,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_hex_grid": q_es_hex_grid,
         "es_response_fields": q_es_response_fields,
         "es_time_series": q_es_time_series,
+        "es_esql": q_es_esql,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5970,6 +5996,21 @@ def _goldens_b() -> dict[str, str]:
             GROUP BY 1
             ORDER BY doc_count DESC, key ASC
             LIMIT 12
+        """,
+        "es_esql": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS total,
+                   count(*) AS orders,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6)))
+                              AS DOUBLE) / count(l_quantity), 6)
+                     AS avg_qty,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_discount > 0.03
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "es_time_series": """
             SELECT event_type, count(*) AS doc_count,

@@ -187,6 +187,29 @@ BENCH_QUERIES = [
     "es_geo_line",
     "es_terms_enum",
     "es_rank_eval",
+    # round-13 additions: the german/italian chains on the match path,
+    # categorize_text (log-pattern clustering), change_point beside its
+    # histogram, search_as_you_type's materialized shingle subfields,
+    # variable_width_histogram's distinct-reduce clustering, the
+    # aggregation tail (cumulative_cardinality's first-seen pass,
+    # random_sampler's gated scan, hex_grid axial binning,
+    # extended_stats_bucket's reduce-phase moments, time_series
+    # per-series rollup), the response-shaping search body
+    # (post_filter + fields + script_fields), and the ES|QL pipeline
+    # compiler (FROM|WHERE|EVAL|STATS|SORT over lineitem)
+    "es_match_german",
+    "es_match_italian",
+    "es_categorize_text",
+    "es_change_point",
+    "es_search_as_you_type",
+    "es_variable_width",
+    "es_cumulative_cardinality",
+    "es_random_sampler",
+    "es_hex_grid",
+    "es_extended_stats_bucket",
+    "es_time_series",
+    "es_response_fields",
+    "es_esql",
 ]
 
 

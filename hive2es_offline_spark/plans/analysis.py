@@ -76,7 +76,8 @@ __all__ = [
     "analyze_col", "analyze_text", "using", "current_analyzer",
     "DUCKDB_TOKEN_RE", "ANALYZERS", "register_analyzer", "analyzer_names",
     "ENGLISH_STOPWORDS", "FRENCH_STOPWORDS", "GERMAN_STOPWORDS",
-    "SPANISH_STOPWORDS", "stem_text", "fold_text",
+    "SPANISH_STOPWORDS", "ITALIAN_STOPWORDS", "PORTUGUESE_STOPWORDS",
+    "stem_text", "fold_text",
     "sayt_subfield", "shingle_col", "shingle_terms", "duckdb_shingles",
 ]
 

@@ -1,0 +1,630 @@
+"""ES|QL subset → DataFrame compiler (round 13).
+
+ES|QL (ES 8.11+'s piped query language, the successor surface to the
+search DSL for analytics) compiles here to plain Catalyst plans: each
+pipe stage maps 1:1 onto a DataFrame transformation, so predicate
+pushdown / column pruning / partial aggregation all come from the
+optimizer — the compiler never materializes between stages.
+
+Supported commands (everything else rejects loudly, the repo's
+anti-silent policy):
+
+- ``FROM index[, index…]``        union of the named tables (by name)
+- ``WHERE <expr>``                codegen filter (pushdown-eligible)
+- ``EVAL name = <expr>, …``       sequential projections (later exprs
+                                  may read earlier names, like ES|QL)
+- ``STATS name = AGG(…)[, …] [BY [name =] <expr>, …]``
+                                  ONE groupBy; aggregate names are
+                                  REQUIRED (ES|QL's default
+                                  expression-text column names are not
+                                  stable frame columns — documented
+                                  deviation, loud reject)
+- ``SORT expr [ASC|DESC] [NULLS FIRST|NULLS LAST], …``
+- ``LIMIT n``                     with a preceding SORT this plans as
+                                  TakeOrderedAndProject (top-k heaps,
+                                  no global sort)
+- ``KEEP cols…`` / ``DROP cols…`` projection; ``*`` wildcards expand
+                                  in declaration order like ES|QL
+- ``RENAME old AS new, …``
+- ``MV_EXPAND col``               explode_outer (NULL/empty keeps the
+                                  row with a NULL value, ES|QL's
+                                  multivalue-null behavior)
+
+Expression subset: arithmetic (+ - * / %), comparisons (== != < <= >
+>=), AND/OR/NOT, IN (…), LIKE (ES|QL wildcard * ? — compiled to an
+anchored regex), RLIKE, IS [NOT] NULL, CASE(cond, val, …, default),
+and a scalar-function whitelist (ABS CEIL FLOOR ROUND SQRT POW CONCAT
+LENGTH SUBSTRING TO_UPPER TO_LOWER TRIM LTRIM RTRIM STARTS_WITH
+ENDS_WITH COALESCE GREATEST LEAST TO_STRING TO_LONG TO_INT TO_DOUBLE
+DATE_TRUNC).  ``NOW()`` rejects (a lazily-re-evaluated now() would
+break retry determinism — pass timestamps as literals).  Aggregates:
+COUNT(*) COUNT SUM AVG MIN MAX COUNT_DISTINCT MEDIAN PERCENTILE —
+SUM/AVG are decimal-routed like every additive float agg in this
+engine (order-exact, oracle-hashable); MEDIAN/PERCENTILE are exact
+(live ES|QL uses TDigest — the documented oracle-favoring divergence
+class of the `percentiles` agg).
+
+Reference parity: the reference engine has no ES|QL; this surface
+covers the consumer who queries the LOADED index through ES|QL instead
+of the search DSL (public ES|QL docs are the semantic source).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["esql"]
+
+
+# --------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r'''\s*(?:
+        (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<number>\d+\.\d+|\d+)
+      | (?P<quoted_id>`[^`]+`)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<op>==|!=|<=|>=|[|(),=<>+\-*/%])
+    )''',
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            rest = text[pos:].strip()
+            if not rest:
+                break
+            raise ValueError(f"ES|QL: cannot tokenize at {rest[:30]!r}")
+        pos = m.end()
+        if m.lastgroup == "string":
+            raw = m.group("string")[1:-1]
+            out.append(("str", raw.replace('\\"', '"').replace("\\\\", "\\")))
+        elif m.lastgroup == "number":
+            out.append(("num", m.group("number")))
+        elif m.lastgroup == "quoted_id":
+            out.append(("id", m.group("quoted_id")[1:-1]))
+        elif m.lastgroup == "ident":
+            out.append(("id", m.group("ident")))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+def _split_pipes(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    stages: list[list[tuple[str, str]]] = [[]]
+    for t in toks:
+        if t == ("op", "|"):
+            stages.append([])
+        else:
+            stages[-1].append(t)
+    return [s for s in stages if s]
+
+
+# ---------------------------------------------------------- expression parse
+
+class _P:
+    """Recursive-descent parser over the token list of one stage slice."""
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def peek_kw(self) -> str | None:
+        t = self.peek()
+        return t[1].upper() if t and t[0] == "id" else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise ValueError("ES|QL: unexpected end of input")
+        self.i += 1
+        return t
+
+    def expect_op(self, op: str) -> None:
+        t = self.next()
+        if t != ("op", op):
+            raise ValueError(f"ES|QL: expected {op!r}, got {t[1]!r}")
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+    # precedence climbing: OR < AND < NOT < cmp < add < mul < unary
+    def expr(self) -> Column:
+        return self._or()
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self.peek_kw() == "OR":
+            self.next()
+            left = left | self._and()
+        return left
+
+    def _and(self) -> Column:
+        left = self._not()
+        while self.peek_kw() == "AND":
+            self.next()
+            left = left & self._not()
+        return left
+
+    def _not(self) -> Column:
+        if self.peek_kw() == "NOT":
+            self.next()
+            return ~self._not()
+        return self._cmp()
+
+    def _cmp(self) -> Column:
+        left = self._add()
+        t = self.peek()
+        if t and t[0] == "op" and t[1] in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self._add()
+            return {"==": left == right, "!=": left != right,
+                    "<": left < right, "<=": left <= right,
+                    ">": left > right, ">=": left >= right}[t[1]]
+        kw = self.peek_kw()
+        if kw == "LIKE":
+            self.next()
+            t2 = self.next()
+            if t2[0] != "str":
+                raise ValueError("ES|QL: LIKE needs a string pattern")
+            from .query_dsl import _wildcard_to_regex
+
+            return left.rlike(_wildcard_to_regex(t2[1]))
+        if kw == "RLIKE":
+            self.next()
+            t2 = self.next()
+            if t2[0] != "str":
+                raise ValueError("ES|QL: RLIKE needs a string pattern")
+            return left.rlike(t2[1])
+        if kw == "IN":
+            self.next()
+            self.expect_op("(")
+            vals = [self._literal_value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self._literal_value())
+            self.expect_op(")")
+            return left.isin(vals)
+        if kw == "IS":
+            self.next()
+            neg = False
+            if self.peek_kw() == "NOT":
+                self.next()
+                neg = True
+            t2 = self.next()
+            if not (t2[0] == "id" and t2[1].upper() == "NULL"):
+                raise ValueError("ES|QL: IS must be followed by [NOT] NULL")
+            return left.isNotNull() if neg else left.isNull()
+        return left
+
+    def _add(self) -> Column:
+        left = self._mul()
+        while True:
+            t = self.peek()
+            if t and t[0] == "op" and t[1] in ("+", "-"):
+                self.next()
+                right = self._mul()
+                left = left + right if t[1] == "+" else left - right
+            else:
+                return left
+
+    def _mul(self) -> Column:
+        left = self._unary()
+        while True:
+            t = self.peek()
+            if t and t[0] == "op" and t[1] in ("*", "/", "%"):
+                self.next()
+                right = self._unary()
+                left = {"*": left * right, "/": left / right,
+                        "%": left % right}[t[1]]
+            else:
+                return left
+
+    def _unary(self) -> Column:
+        t = self.peek()
+        if t == ("op", "-"):
+            self.next()
+            return -self._unary()
+        return self._primary()
+
+    def _literal_value(self):
+        t = self.next()
+        if t[0] == "str":
+            return t[1]
+        if t[0] == "num":
+            return float(t[1]) if "." in t[1] else int(t[1])
+        if t == ("op", "-"):
+            t2 = self.next()
+            if t2[0] != "num":
+                raise ValueError("ES|QL: expected a number after '-'")
+            return -(float(t2[1]) if "." in t2[1] else int(t2[1]))
+        raise ValueError(f"ES|QL: expected a literal, got {t[1]!r}")
+
+    def _primary(self) -> Column:
+        t = self.next()
+        if t[0] == "str":
+            return F.lit(t[1])
+        if t[0] == "num":
+            return F.lit(float(t[1]) if "." in t[1] else int(t[1]))
+        if t == ("op", "("):
+            inner = self.expr()
+            self.expect_op(")")
+            return inner
+        if t[0] != "id":
+            raise ValueError(f"ES|QL: unexpected token {t[1]!r}")
+        name, up = t[1], t[1].upper()
+        if up in ("TRUE", "FALSE"):
+            return F.lit(up == "TRUE")
+        if up == "NULL":
+            return F.lit(None)
+        if self.peek() == ("op", "("):
+            self.next()
+            return self._call(up)
+        return F.col(name)
+
+    def _call(self, fn: str) -> Column:
+        if fn == "COUNT" and self.peek() == ("op", "*"):
+            # COUNT(*) parses here so '*' never reaches the expr grammar
+            self.next()
+            self.expect_op(")")
+            return F.count(F.lit(1))
+        if fn == "DATE_TRUNC":
+            # ES|QL time-span first argument: DATE_TRUNC(1 day, ts)
+            n = self.next()
+            unit_t = self.next()
+            if n[0] != "num" or unit_t[0] != "id":
+                raise ValueError(
+                    "ES|QL: DATE_TRUNC needs a time-span literal, e.g. "
+                    "DATE_TRUNC(1 day, ts)")
+            unit = unit_t[1].lower().rstrip("s")
+            if int(n[1]) != 1 or unit not in (
+                    "minute", "hour", "day", "week", "month",
+                    "quarter", "year"):
+                raise ValueError(
+                    f"ES|QL: unsupported DATE_TRUNC span {n[1]} {unit_t[1]} "
+                    "(1 minute|hour|day|week|month|quarter|year)")
+            self.expect_op(",")
+            arg = self.expr()
+            self.expect_op(")")
+            return F.date_trunc(unit, arg)
+        args: list[Column] = []
+        if self.peek() != ("op", ")"):
+            args.append(self.expr())
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.expr())
+        self.expect_op(")")
+        return _compile_fn(fn, args)
+
+
+def _decimal_sum(c: Column) -> Column:
+    return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+
+#: scalar whitelist: name → (arity check, builder)
+_FNS: dict[str, Callable[[list[Column]], Column]] = {
+    "ABS": lambda a: F.abs(a[0]),
+    "CEIL": lambda a: F.ceil(a[0]),
+    "FLOOR": lambda a: F.floor(a[0]),
+    "SQRT": lambda a: F.sqrt(a[0]),
+    "POW": lambda a: F.pow(a[0], a[1]),
+    "ROUND": lambda a: F.round(a[0], 0) if len(a) == 1 else F.round(*a),
+    "CONCAT": lambda a: F.concat(*a),
+    "LENGTH": lambda a: F.length(a[0]),
+    "TO_UPPER": lambda a: F.upper(a[0]),
+    "TO_LOWER": lambda a: F.lower(a[0]),
+    "TRIM": lambda a: F.trim(a[0]),
+    "LTRIM": lambda a: F.ltrim(a[0]),
+    "RTRIM": lambda a: F.rtrim(a[0]),
+    "STARTS_WITH": lambda a: a[0].startswith(a[1]),
+    "ENDS_WITH": lambda a: a[0].endswith(a[1]),
+    "COALESCE": lambda a: F.coalesce(*a),
+    "GREATEST": lambda a: F.greatest(*a),
+    "LEAST": lambda a: F.least(*a),
+    "TO_STRING": lambda a: a[0].cast("string"),
+    "TO_LONG": lambda a: a[0].cast("long"),
+    "TO_INT": lambda a: a[0].cast("int"),
+    "TO_DOUBLE": lambda a: a[0].cast("double"),
+    # SUBSTRING is 1-based in ES|QL, like F.substring
+    "SUBSTRING": lambda a: F.substring(a[0], a[1], a[2])
+    if len(a) == 3 else F.substring(a[0], a[1], 2_147_483_647),
+}
+
+#: aggregates (STATS context only)
+_AGGS: dict[str, Callable[[list[Column]], Column]] = {
+    "COUNT": lambda a: F.count(a[0]),
+    "SUM": lambda a: _decimal_sum(a[0]),
+    "AVG": lambda a: F.round((F.sum(a[0].cast("decimal(28,6)"))
+                              / F.count(a[0])).cast("double"), 6),
+    "MIN": lambda a: F.min(a[0]),
+    "MAX": lambda a: F.max(a[0]),
+    "COUNT_DISTINCT": lambda a: F.count_distinct(*a),
+    "MEDIAN": lambda a: F.percentile(a[0], F.lit(0.5)),
+}
+
+
+def _compile_fn(fn: str, args: list[Column]) -> Column:
+    if fn == "CASE":
+        # CASE(cond1, val1[, cond2, val2…][, default])
+        if len(args) < 2:
+            raise ValueError("ES|QL: CASE needs at least (cond, value)")
+        pairs, default = args, None
+        if len(args) % 2 == 1:
+            pairs, default = args[:-1], args[-1]
+        out = F.when(pairs[0], pairs[1])
+        for i in range(2, len(pairs), 2):
+            out = out.when(pairs[i], pairs[i + 1])
+        return out if default is None else out.otherwise(default)
+    if fn == "PERCENTILE":
+        if len(args) != 2:
+            raise ValueError("ES|QL: PERCENTILE(field, p)")
+        return F.percentile(args[0], args[1] / F.lit(100.0))
+    if fn in _AGGS:
+        return _AGGS[fn](args)
+    if fn in _FNS:
+        return _FNS[fn](args)
+    if fn == "NOW":
+        raise ValueError(
+            "ES|QL: NOW() is not supported (a lazily re-evaluated clock "
+            "breaks retry determinism — pass the timestamp as a literal)")
+    supported = " ".join(sorted(
+        [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "COUNT(*)"]))
+    raise ValueError(
+        f"ES|QL: unsupported function {fn} (supported: {supported})")
+
+
+# ------------------------------------------------------------------ commands
+
+def _expand_cols(patterns: list[str], columns: list[str]) -> list[str]:
+    import fnmatch
+
+    out: list[str] = []
+    for p in patterns:
+        if "*" in p or "?" in p:
+            hits = [c for c in columns if fnmatch.fnmatchcase(c, p)]
+            if not hits:
+                raise ValueError(f"ES|QL: pattern {p!r} matches no column")
+            out.extend(h for h in hits if h not in out)
+        else:
+            if p not in columns:
+                raise ValueError(
+                    f"ES|QL: unknown column {p!r} (have {columns})")
+            if p not in out:
+                out.append(p)
+    return out
+
+
+def _name_list(p: _P) -> list[str]:
+    names = []
+    while not p.done():
+        t = p.next()
+        if t[0] != "id" and not (t[0] == "op" and t[1] == "*"):
+            raise ValueError(f"ES|QL: expected a column name, got {t[1]!r}")
+        name = t[1]
+        # allow  prefix* / * patterns written as ident '*' adjacency
+        while p.peek() == ("op", "*"):
+            p.next()
+            name += "*"
+        names.append(name)
+        if p.peek() == ("op", ","):
+            p.next()
+        elif not p.done():
+            raise ValueError(
+                f"ES|QL: expected ',' between names, got {p.peek()[1]!r}")
+    return names
+
+
+def _stage_where(df: DataFrame, p: _P) -> DataFrame:
+    cond = p.expr()
+    if not p.done():
+        raise ValueError(
+            f"ES|QL: trailing tokens after WHERE: {p.peek()[1]!r}")
+    return df.where(cond)
+
+
+def _assignments(p: _P) -> list[tuple[str, Column]]:
+    out: list[tuple[str, Column]] = []
+    while not p.done():
+        t = p.next()
+        if t[0] != "id":
+            raise ValueError(f"ES|QL: expected a name, got {t[1]!r}")
+        p.expect_op("=")
+        out.append((t[1], p.expr()))
+        if p.peek() == ("op", ","):
+            p.next()
+        elif not p.done():
+            raise ValueError(
+                f"ES|QL: expected ',' between assignments, got "
+                f"{p.peek()[1]!r}")
+    return out
+
+
+def _stage_eval(df: DataFrame, p: _P) -> DataFrame:
+    # sequential: each assignment sees the previous ones (ES|QL allows
+    # EVAL a = 1, b = a + 1) — but the expr above was parsed eagerly
+    # against F.col, which resolves lazily at plan time, so ordering
+    # works by applying withColumn in declaration order
+    for name, expr in _assignments(p):
+        df = df.withColumn(name, expr)
+    return df
+
+
+def _stage_stats(df: DataFrame, p: _P) -> DataFrame:
+    # split on BY at this nesting level
+    by_i = None
+    depth = 0
+    for i in range(p.i, len(p.toks)):
+        t = p.toks[i]
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and t[0] == "id" and t[1].upper() == "BY":
+            by_i = i
+            break
+    agg_toks = p.toks[p.i:by_i if by_i is not None else len(p.toks)]
+    ap = _P(agg_toks)
+    aggs = []
+    while not ap.done():
+        t = ap.next()
+        if t[0] != "id" or ap.peek() != ("op", "="):
+            raise ValueError(
+                "ES|QL: STATS aggregates need explicit names "
+                "(name = AGG(...)) — ES|QL's expression-text default "
+                "names are not stable frame columns")
+        ap.expect_op("=")
+        aggs.append((t[1], ap.expr()))
+        if ap.peek() == ("op", ","):
+            ap.next()
+    if not aggs:
+        raise ValueError("ES|QL: STATS needs at least one aggregate")
+    keys: list[Column] = []
+    if by_i is not None:
+        kp = _P(p.toks[by_i + 1:])
+        while not kp.done():
+            t = kp.peek()
+            nxt = kp.toks[kp.i + 1] if kp.i + 1 < len(kp.toks) else None
+            if t[0] == "id" and nxt == ("op", "="):
+                kp.next()
+                kp.expect_op("=")
+                keys.append(kp.expr().alias(t[1]))
+            elif t[0] == "id" and nxt in (None, ("op", ",")):
+                # bare column key keeps its own name
+                kp.next()
+                keys.append(F.col(t[1]))
+            else:
+                # a computed key without a name would surface Catalyst's
+                # expression string as the column name — not a stable
+                # frame column; require  name = <expr>  (same contract
+                # as the aggregates)
+                raise ValueError(
+                    "ES|QL: computed BY keys need a name "
+                    "(BY name = <expr>)")
+            if kp.peek() == ("op", ","):
+                kp.next()
+            elif not kp.done():
+                raise ValueError(
+                    f"ES|QL: expected ',' between BY keys, got "
+                    f"{kp.peek()[1]!r}")
+    exprs = [e.alias(n) for n, e in aggs]
+    if keys:
+        return df.groupBy(*keys).agg(*exprs)
+    return df.agg(*exprs)
+
+
+def _stage_sort(df: DataFrame, p: _P) -> DataFrame:
+    cols: list[Column] = []
+    while not p.done():
+        e = p.expr()
+        desc = False
+        if p.peek_kw() in ("ASC", "DESC"):
+            desc = p.next()[1].upper() == "DESC"
+        nulls = None
+        if p.peek_kw() == "NULLS":
+            p.next()
+            w = p.next()
+            if w[1].upper() not in ("FIRST", "LAST"):
+                raise ValueError("ES|QL: NULLS FIRST|LAST")
+            nulls = w[1].upper()
+        if desc:
+            e = (e.desc_nulls_first() if nulls == "FIRST"
+                 else e.desc_nulls_last() if nulls == "LAST" else e.desc())
+        else:
+            e = (e.asc_nulls_first() if nulls == "FIRST"
+                 else e.asc_nulls_last() if nulls == "LAST" else e.asc())
+        cols.append(e)
+        if p.peek() == ("op", ","):
+            p.next()
+        elif not p.done():
+            raise ValueError(
+                f"ES|QL: expected ',' between SORT keys, got "
+                f"{p.peek()[1]!r}")
+    return df.orderBy(*cols)
+
+
+def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
+    """Compile one ES|QL pipeline against the given table mapping.
+
+    ``tables`` plays the role of the cluster's index catalog: ``FROM``
+    resolves names here (comma lists union by name, ES|QL's multi-index
+    read).  Returns the lazy DataFrame — Catalyst sees the WHOLE
+    pipeline, so a ``WHERE`` after ``FROM`` pushes into the scan and a
+    ``SORT | LIMIT`` tail plans as TakeOrderedAndProject."""
+    stages = _split_pipes(_tokenize(query))
+    if not stages:
+        raise ValueError("ES|QL: empty query")
+    head = _P(stages[0])
+    cmd = head.next()
+    if not (cmd[0] == "id" and cmd[1].upper() == "FROM"):
+        raise ValueError("ES|QL: the source command must be FROM")
+    names = _name_list(head)
+    missing = [n for n in names if n not in tables]
+    if missing:
+        raise ValueError(
+            f"ES|QL: unknown index(es) {missing} "
+            f"(catalog: {sorted(tables)})")
+    df = tables[names[0]]
+    for n in names[1:]:
+        df = df.unionByName(tables[n], allowMissingColumns=True)
+    for stage in stages[1:]:
+        p = _P(stage)
+        cmd = p.next()
+        if cmd[0] != "id":
+            raise ValueError(f"ES|QL: expected a command, got {cmd[1]!r}")
+        up = cmd[1].upper()
+        if up == "WHERE":
+            df = _stage_where(df, p)
+        elif up == "EVAL":
+            df = _stage_eval(df, p)
+        elif up == "STATS":
+            df = _stage_stats(df, p)
+        elif up == "SORT":
+            df = _stage_sort(df, p)
+        elif up == "LIMIT":
+            t = p.next()
+            if t[0] != "num" or not p.done():
+                raise ValueError("ES|QL: LIMIT needs one integer")
+            df = df.limit(int(t[1]))
+        elif up == "KEEP":
+            df = df.select(*_expand_cols(_name_list(p), df.columns))
+        elif up == "DROP":
+            drop = _expand_cols(_name_list(p), df.columns)
+            df = df.select(*[c for c in df.columns if c not in drop])
+        elif up == "RENAME":
+            while not p.done():
+                old = p.next()
+                as_t = p.next()
+                new = p.next()
+                if (old[0] != "id" or new[0] != "id" or as_t[0] != "id"
+                        or as_t[1].upper() != "AS"):
+                    raise ValueError("ES|QL: RENAME old AS new[, …]")
+                df = df.withColumnRenamed(old[1], new[1])
+                if p.peek() == ("op", ","):
+                    p.next()
+        elif up == "MV_EXPAND":
+            t = p.next()
+            if t[0] != "id" or not p.done():
+                raise ValueError("ES|QL: MV_EXPAND needs one column")
+            if t[1] not in df.columns:
+                raise ValueError(
+                    f"ES|QL: unknown column {t[1]!r} (have {df.columns})")
+            df = df.select(*[
+                F.explode_outer(F.col(c)).alias(c) if c == t[1] else F.col(c)
+                for c in df.columns])
+        else:
+            raise ValueError(
+                f"ES|QL: unsupported command {up} (supported: WHERE EVAL "
+                "STATS SORT LIMIT KEEP DROP RENAME MV_EXPAND; DISSECT/"
+                "GROK/ENRICH/LOOKUP are not implemented)")
+    return df

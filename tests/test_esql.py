@@ -1,0 +1,213 @@
+"""ES|QL subset compiler (plans/esql.py): pipeline commands, the
+expression grammar, loud rejects, and plan-shape assertions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive2es_offline_spark.plans.esql import esql
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    sales = spark.createDataFrame(
+        [
+            (1, "a", "red", 10.0, ["x", "y"]),
+            (2, "a", "blue", 20.5, ["z"]),
+            (3, "b", "red", 30.0, None),
+            (4, "b", "blue", 40.0, []),
+            (5, "b", None, 50.0, ["x"]),
+        ],
+        "id long, cat string, color string, amount double, tags array<string>")
+    extra = spark.createDataFrame(
+        [(6, "c", "red", 60.0, None)],
+        "id long, cat string, color string, amount double, tags array<string>")
+    return {"sales": sales, "extra": extra}
+
+
+class TestPipeline:
+    def test_where_keep_sort_limit(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | WHERE amount >= 20 AND cat == "b"
+            | KEEP id, amount
+            | SORT amount DESC
+            | LIMIT 2
+        ''')
+        assert out.columns == ["id", "amount"]
+        assert [(r["id"], r["amount"]) for r in out.collect()] == [
+            (5, 50.0), (4, 40.0)]
+
+    def test_eval_sequential_references(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | EVAL doubled = amount * 2, label = CONCAT(cat, "-",
+                   TO_STRING(doubled))
+            | WHERE id == 1
+            | KEEP label
+        ''')
+        assert out.first()["label"] == "a-20.0"
+
+    def test_stats_by(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | STATS total = SUM(amount), n = COUNT(*),
+                    mx = MAX(amount) BY cat
+            | SORT cat ASC
+        ''')
+        rows = [(r["cat"], r["total"], r["n"], r["mx"])
+                for r in out.collect()]
+        assert rows == [("a", 30.5, 2, 20.5), ("b", 120.0, 3, 50.0)]
+
+    def test_stats_computed_key_and_ungrouped(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | STATS n = COUNT(*) BY big = amount >= 30
+            | SORT big ASC
+        ''')
+        assert [(r["big"], r["n"]) for r in out.collect()] == [
+            (False, 2), (True, 3)]
+        one = esql(catalog, "FROM sales | STATS med = MEDIAN(amount)")
+        assert one.first()["med"] == 30.0
+
+    def test_from_union_and_wildcard_keep(self, catalog):
+        out = esql(catalog, '''
+            FROM sales, extra
+            | STATS n = COUNT(*)
+        ''')
+        assert out.first()["n"] == 6
+        cols = esql(catalog, "FROM sales | KEEP c*, id").columns
+        assert cols == ["cat", "color", "id"]
+
+    def test_drop_rename_mv_expand(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | DROP tags, color
+            | RENAME amount AS value
+        ''')
+        assert out.columns == ["id", "cat", "value"]
+        ex = esql(catalog, '''
+            FROM sales
+            | MV_EXPAND tags
+            | STATS n = COUNT(*), with_tag = COUNT(tags)
+        ''').first()
+        # 5 rows -> x,y / z / NULL / NULL(empty) / x = 6 rows, 4 tagged
+        assert (ex["n"], ex["with_tag"]) == (6, 4)
+
+    def test_mv_expand_keeps_column_position(self, catalog):
+        out = esql(catalog, "FROM sales | MV_EXPAND tags")
+        assert out.columns == ["id", "cat", "color", "amount", "tags"]
+
+
+class TestExpressions:
+    def test_like_rlike_in_case(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | WHERE color LIKE "r*" OR cat IN ("c")
+            | EVAL kind = CASE(amount >= 30, "big", "small")
+            | KEEP id, kind
+            | SORT id ASC
+        ''')
+        # row 5 has NULL color: NULL LIKE … OR false is NULL → dropped,
+        # standard three-valued filter semantics
+        assert [(r["id"], r["kind"]) for r in out.collect()] == [
+            (1, "small"), (3, "big")]
+
+    def test_is_null_and_not(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | WHERE color IS NULL
+            | KEEP id
+        ''')
+        assert [r["id"] for r in out.collect()] == [5]
+        out2 = esql(catalog, '''
+            FROM sales
+            | WHERE NOT (color IS NULL) AND color != "red"
+            | STATS n = COUNT(*)
+        ''')
+        assert out2.first()["n"] == 2
+
+    def test_scalar_functions(self, catalog):
+        r = esql(catalog, '''
+            FROM sales
+            | WHERE id == 2
+            | EVAL a = ROUND(amount), b = SUBSTRING(color, 1, 2),
+                   c = TO_UPPER(cat), d = LENGTH(color),
+                   e = COALESCE(color, "?"), f = ABS(0 - amount)
+            | KEEP a, b, c, d, e, f
+        ''').first()
+        assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
+            21.0, "bl", "A", 4, "blue", 20.5)
+
+    def test_date_trunc_span(self, spark):
+        import datetime
+
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 3, 15, 13, 7),)], "ts timestamp")
+        r = esql({"t": df}, '''
+            FROM t | EVAL d = DATE_TRUNC(1 day, ts) | KEEP d
+        ''').first()
+        assert r["d"] == datetime.datetime(2024, 3, 15)
+
+    def test_percentile(self, catalog):
+        r = esql(catalog, '''
+            FROM sales | STATS p50 = PERCENTILE(amount, 50)
+        ''').first()
+        assert r["p50"] == 30.0
+
+
+class TestRejects:
+    def test_unknown_command(self, catalog):
+        with pytest.raises(ValueError, match="unsupported command GROK"):
+            esql(catalog, 'FROM sales | GROK color "%{WORD:w}"')
+
+    def test_unknown_index(self, catalog):
+        with pytest.raises(ValueError, match="unknown index"):
+            esql(catalog, "FROM nope | LIMIT 1")
+
+    def test_unnamed_aggregate(self, catalog):
+        with pytest.raises(ValueError, match="explicit names"):
+            esql(catalog, "FROM sales | STATS COUNT(*)")
+
+    def test_unnamed_computed_by_key(self, catalog):
+        with pytest.raises(ValueError, match="computed BY keys"):
+            esql(catalog, "FROM sales | STATS n = COUNT(*) BY amount >= 30")
+
+    def test_now_rejects(self, catalog):
+        with pytest.raises(ValueError, match="NOW"):
+            esql(catalog, "FROM sales | EVAL t = NOW()")
+
+    def test_unknown_function(self, catalog):
+        with pytest.raises(ValueError, match="unsupported function ENRICHY"):
+            esql(catalog, "FROM sales | EVAL x = ENRICHY(id)")
+
+    def test_unknown_keep_column(self, catalog):
+        with pytest.raises(ValueError, match="unknown column"):
+            esql(catalog, "FROM sales | KEEP nope")
+
+    def test_wildcard_without_match(self, catalog):
+        with pytest.raises(ValueError, match="matches no column"):
+            esql(catalog, "FROM sales | KEEP zz*")
+
+    def test_source_must_be_from(self, catalog):
+        with pytest.raises(ValueError, match="must be FROM"):
+            esql(catalog, "ROW a = 1")
+
+
+class TestPlanShape:
+    def test_where_pushes_to_scan(self, spark, tmp_path):
+        path = str(tmp_path / "t.parquet")
+        spark.range(100).withColumn(
+            "v", (F.col("id") % 7).cast("double")).write.parquet(path)
+        df = spark.read.parquet(path)
+        plan = esql({"t": df}, '''
+            FROM t | WHERE id >= 50 | KEEP v
+        ''')._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,50)" \
+            in plan
+        assert "ReadSchema: struct<id:bigint,v:double>" in plan
+
+    def test_sort_limit_is_top_k(self, catalog):
+        plan = esql(catalog, '''
+            FROM sales | SORT amount DESC | LIMIT 3
+        ''')._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
