@@ -3461,8 +3461,10 @@ def q_es_match_italian(spark, sf_dir):
     (città → citta; the documented up-front-fold approximation) →
     folded italian stop set → Savoy-style light stemmer (final-vowel +
     -i-diphthong drops), all codegen.  Query "figlio" hits
-    figlie/figlia docs and query "l'amico" (elided+stemmed) hits amico
-    docs — article-, gender- and plural-blind matching.  Same
+    figlie/figlia docs (stemmed conflation) and query "l'amico" hits
+    amico docs via ELISION alone — "amico" sits under the stemmer's
+    ≥6-length guard, so the article strip is what aligns the tokens.
+    Article-, gender- and plural-blind matching.  Same
     deterministic text synthesis + one-grammar oracle lockstep as
     es_match_german."""
     from hive2es_offline_spark.plans.query_dsl import es_search
@@ -6019,6 +6021,7 @@ def _goldens_b() -> dict[str, str]:
                    max(value) AS v_max,
                    count(DISTINCT user_id) AS users
             FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY event_type
             ORDER BY event_type ASC
             LIMIT 100

@@ -244,7 +244,9 @@ _ES_STEP = (
 # convention).  Every rule is a pure suffix DROP, so the stem-prefix
 # guard invariant stem(t)[:-1] ⊑ t holds trivially (fuzzed like the
 # other chains).  Conflation examples: figlie/figlia/figlio → figl,
-# amiche → amic / amico → amic, ragazzi/ragazzo → ragazz.
+# ragazzi/ragazzo → ragazz, veloci → veloc; 5-letter words (amico,
+# libri) pass through under the length guard — amiche → amic conflates
+# with NOTHING shorter, exactly the light-stemmer convention.
 # ---------------------------------------------------------------------------
 
 _IT_STEP = (
@@ -715,7 +717,7 @@ def register_analyzer(
                          "italian", "portuguese"):
         raise ValueError(
             f"unsupported stemmer: {stemmer!r} "
-            "(english | french | german | spanish)")
+            "(english | french | german | spanish | italian | portuguese)")
     shorthand = {"_english_": ENGLISH_STOPWORDS,
                  "_french_": FRENCH_STOPWORDS,
                  "_german_": GERMAN_STOPWORDS,

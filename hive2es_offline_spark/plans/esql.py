@@ -73,8 +73,25 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _tokenize(text: str) -> list[tuple[str, str]]:
-    out: list[tuple[str, str]] = []
+class _Tok(tuple):
+    """A (kind, text) token that also remembers whether it was GLUED to
+    the previous token (no whitespace between them).  Equality stays
+    plain tuple equality, so every ``t == ("op", "*")`` comparison in
+    the parser keeps working; only KEEP/DROP read ``.glued`` — a
+    wildcard like ``c*`` must be written without a space, so a stray
+    ``name, other *`` is a syntax error instead of silently expanding
+    as a pattern."""
+
+    glued: bool
+
+    def __new__(cls, kind: str, text: str, glued: bool):
+        self = super().__new__(cls, (kind, text))
+        self.glued = glued
+        return self
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    out: list[_Tok] = []
     pos = 0
     while pos < len(text):
         m = _TOKEN_RE.match(text, pos)
@@ -83,18 +100,20 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             if not rest:
                 break
             raise ValueError(f"ES|QL: cannot tokenize at {rest[:30]!r}")
+        glued = bool(out) and m.start(m.lastgroup) == pos
         pos = m.end()
         if m.lastgroup == "string":
             raw = m.group("string")[1:-1]
-            out.append(("str", raw.replace('\\"', '"').replace("\\\\", "\\")))
+            out.append(_Tok(
+                "str", raw.replace('\\"', '"').replace("\\\\", "\\"), glued))
         elif m.lastgroup == "number":
-            out.append(("num", m.group("number")))
+            out.append(_Tok("num", m.group("number"), glued))
         elif m.lastgroup == "quoted_id":
-            out.append(("id", m.group("quoted_id")[1:-1]))
+            out.append(_Tok("id", m.group("quoted_id")[1:-1], glued))
         elif m.lastgroup == "ident":
-            out.append(("id", m.group("ident")))
+            out.append(_Tok("id", m.group("ident"), glued))
         else:
-            out.append(("op", m.group("op")))
+            out.append(_Tok("op", m.group("op"), glued))
     return out
 
 
@@ -412,13 +431,20 @@ def _name_list(p: _P) -> list[str]:
         if t[0] != "id" and not (t[0] == "op" and t[1] == "*"):
             raise ValueError(f"ES|QL: expected a column name, got {t[1]!r}")
         name = t[1]
-        # allow  prefix* / * patterns written as ident '*' adjacency
-        while p.peek() == ("op", "*"):
+        # prefix* / * patterns must be written WITHOUT whitespace (the
+        # .glued check): a stray "name, other *" is a syntax error, not
+        # a silent wildcard expansion (code-review r13)
+        while (p.peek() == ("op", "*")
+               and getattr(p.peek(), "glued", False)):
             p.next()
             name += "*"
         names.append(name)
         if p.peek() == ("op", ","):
             p.next()
+        elif p.peek() == ("op", "*"):
+            raise ValueError(
+                "ES|QL: '*' in a column list must be glued to its "
+                "prefix (write c* not c *)")
         elif not p.done():
             raise ValueError(
                 f"ES|QL: expected ',' between names, got {p.peek()[1]!r}")
@@ -609,6 +635,13 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
                 if (old[0] != "id" or new[0] != "id" or as_t[0] != "id"
                         or as_t[1].upper() != "AS"):
                     raise ValueError("ES|QL: RENAME old AS new[, …]")
+                if old[1] not in df.columns:
+                    # withColumnRenamed is documented as a no-op for a
+                    # missing source column — reject loudly instead
+                    # (code-review r13)
+                    raise ValueError(
+                        f"ES|QL: unknown column {old[1]!r} "
+                        f"(have {df.columns})")
                 df = df.withColumnRenamed(old[1], new[1])
                 if p.peek() == ("op", ","):
                     p.next()

@@ -2635,6 +2635,15 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
                     f"unsupported agg kind(s) under random_sampler: "
                     f"{sorted(bad)} (avg/min/max/sum/value_count metrics "
                     "and terms/histogram/date_histogram buckets)")
+            if kinds & {"avg", "min", "max", "sum", "value_count"} \
+                    and "aggs" in sub_spec:
+                # a nested aggs block under a METRIC would be silently
+                # dropped by the single-aggregate path below (metrics
+                # have no sub-aggs in ES either) — reject loudly
+                # (code-review r13: the validate-but-ignore class)
+                raise ValueError(
+                    f"random_sampler: metric sub-agg {sub_name!r} "
+                    "cannot carry a nested 'aggs' block")
             if kinds & {"sum", "value_count"}:
                 scale_cols.append(sub_name)
             for gname, gspec in (sub_spec.get("aggs") or {}).items():
@@ -4122,8 +4131,17 @@ def _compile_time_series(df: DataFrame, spec: dict) -> DataFrame:
             "from the index mapping's time_series_dimension attributes; "
             "a flat frame has no mapping)")
     size = int(bspec.get("size", 10_000))
+    # ES forms a _tsid only from documents that CARRY the dimensions —
+    # rows missing any dimension have no series (and a NULL-key bucket
+    # would also sort NULLS-FIRST here vs the oracle's ANSI NULLS-LAST,
+    # silently shifting the size cap; code-review r13).  Drop them like
+    # the grid kinds drop incomplete points.
+    has_dims = F.col(dims[0]).isNotNull()
+    for d in dims[1:]:
+        has_dims = has_dims & F.col(d).isNotNull()
     return (
-        df.groupBy(*[F.col(d) for d in dims])
+        df.where(has_dims)
+        .groupBy(*[F.col(d) for d in dims])
         .agg(*_sub_agg_exprs(spec.get("aggs", {})))
         .orderBy(*[F.col(d).asc() for d in dims])
         .limit(size)

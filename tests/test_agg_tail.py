@@ -224,6 +224,17 @@ class TestRandomSampler:
             compile_aggs(ids, {"s": {"random_sampler": {
                 "probability": 0.5, "field": "nope"}}}, id_field="id")
 
+    def test_metric_with_nested_aggs_rejects(self, spark, ids):
+        # a nested aggs block under a METRIC would be silently dropped
+        # by the single-aggregate path (code-review r13)
+        with pytest.raises(ValueError, match="nested 'aggs'"):
+            compile_aggs(ids, {"s": {
+                "random_sampler": {"probability": 0.5, "field": "id"},
+                "aggs": {"t": {"sum": {"field": "v"},
+                               "aggs": {"inner": {"value_count": {
+                                   "field": "v"}}}}},
+            }}, id_field="id")
+
     def test_unscalable_subagg_rejects(self, spark, ids):
         with pytest.raises(ValueError, match="under random_sampler"):
             compile_aggs(ids, {"s": {
@@ -322,3 +333,14 @@ class TestTimeSeries:
         with pytest.raises(ValueError, match="time_series option"):
             compile_aggs(tsdb, {"ts": {"time_series": {
                 "dimensions": ["host"], "shard_size": 10}}})
+
+    def test_null_dimension_rows_have_no_series(self, spark):
+        # ES forms a _tsid only from docs carrying the dimensions; a
+        # NULL bucket would also sort NULLS-FIRST vs the oracle's
+        # NULLS-LAST under the size cap (code-review r13)
+        df = spark.createDataFrame(
+            [("h1", 1.0), (None, 2.0), ("h2", 3.0)],
+            "host string, v double")
+        out = compile_aggs(df, {"ts": {
+            "time_series": {"dimensions": ["host"]}}}).collect()
+        assert [r["host"] for r in out] == ["h1", "h2"]

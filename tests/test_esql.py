@@ -192,6 +192,18 @@ class TestRejects:
         with pytest.raises(ValueError, match="must be FROM"):
             esql(catalog, "ROW a = 1")
 
+    def test_rename_unknown_column_rejects(self, catalog):
+        # withColumnRenamed is a silent no-op on a missing source —
+        # the compiler must reject instead (code-review r13)
+        with pytest.raises(ValueError, match="unknown column 'nope'"):
+            esql(catalog, "FROM sales | RENAME nope AS x")
+
+    def test_spaced_wildcard_rejects(self, catalog):
+        # "c *" (whitespace before *) must be a syntax error, not a
+        # silent pattern expansion (code-review r13)
+        with pytest.raises(ValueError, match="glued"):
+            esql(catalog, "FROM sales | KEEP cat, id *")
+
 
 class TestPlanShape:
     def test_where_pushes_to_scan(self, spark, tmp_path):
