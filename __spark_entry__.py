@@ -3774,6 +3774,30 @@ def q_es_esql(spark, sf_dir):
     ''')
 
 
+def q_es_esql_lookup(spark, sf_dir):
+    """ES|QL LOOKUP JOIN (round 13, ES 8.18's lookup-index join): the
+    25-row nation table joins onto customer as an explicit BROADCAST
+    left join (plan-asserted BroadcastHashJoin in tests/test_esql.py —
+    ES's index.mode=lookup smallness contract, encoded as map-side
+    hash so the big side never shuffles), after a RENAME aligns the key
+    names; then a STATS BY over the joined frame.  Column collisions
+    reject loudly rather than silently shadow.  DISSECT/GROK (the
+    log-extraction trio's other two) are unit-pinned with NULL-on-no-
+    match contracts in tests/test_esql.py."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    tables = {"customer": _t(spark, sf_dir, "customer"),
+              "nation": _t(spark, sf_dir, "nation")}
+    return esql(tables, '''
+        FROM customer
+        | WHERE c_acctbal > 0
+        | RENAME c_nationkey AS n_nationkey
+        | LOOKUP JOIN nation ON n_nationkey
+        | STATS customers = COUNT(*), acct = SUM(c_acctbal) BY n_name
+        | SORT n_name ASC
+    ''')
+
+
 def q_es_time_series(spark, sf_dir):
     """TSDB ``time_series`` aggregation (round 13): one bucket per time
     series — the tuple of dimension fields — with doc_count + metric
@@ -4651,6 +4675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_response_fields": q_es_response_fields,
         "es_time_series": q_es_time_series,
         "es_esql": q_es_esql,
+        "es_esql_lookup": q_es_esql_lookup,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6013,6 +6038,17 @@ def _goldens_b() -> dict[str, str]:
               AND l_discount > 0.03
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "es_esql_lookup": """
+            SELECT n_name,
+                   count(*) AS customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(28,6)))
+                        AS DOUBLE) AS acct
+            FROM customer LEFT JOIN nation
+              ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 0
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         "es_time_series": """
             SELECT event_type, count(*) AS doc_count,

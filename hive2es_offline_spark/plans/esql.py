@@ -29,6 +29,18 @@ anti-silent policy):
 - ``MV_EXPAND col``               explode_outer (NULL/empty keeps the
                                   row with a NULL value, ES|QL's
                                   multivalue-null behavior)
+- ``LOOKUP JOIN idx ON key…``     left BROADCAST join (ES 8.18's
+                                  lookup-index join; smallness is the
+                                  contract, encoded as map-side hash —
+                                  column collisions reject loudly)
+- ``DISSECT col "%{a} %{b}"``     delimiter extraction → one anchored
+                                  regex, codegen; non-matching rows
+                                  keep NULL fields like ES|QL
+- ``GROK col "%{WORD:w} …"``      built-in pattern subset (WORD
+                                  NOTSPACE DATA GREEDYDATA NUMBER INT
+                                  IP LOGLEVEL TIMESTAMP_ISO8601) with
+                                  :int/:long/:float/:double casts;
+                                  unknown patterns reject loudly
 
 Expression subset: arithmetic (+ - * / %), comparisons (== != < <= >
 >=), AND/OR/NOT, IN (…), LIKE (ES|QL wildcard * ? — compiled to an
@@ -579,6 +591,98 @@ def _stage_sort(df: DataFrame, p: _P) -> DataFrame:
     return df.orderBy(*cols)
 
 
+#: GROK built-in patterns (the high-frequency core of the public grok
+#: library; unknown names reject loudly rather than matching nothing)
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "NUMBER": r"(?:\d+(?:\.\d+)?)",
+    "INT": r"(?:[+-]?\d+)",
+    "IP": r"(?:\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+}
+_GROK_TYPES = {"int": "int", "long": "long", "float": "float",
+               "double": "double", None: None}
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """ES|QL DISSECT pattern → (anchored regex, capture names).
+
+    ``%{key}`` captures up to the FIRST occurrence of the next literal
+    (dissect's delimiter semantics — a non-greedy group against the
+    escaped literal reproduces it exactly); ``%{}`` and ``%{?name}``
+    are skips.  Modifiers (``->``, ``+key``, append separators) are not
+    implemented and reject loudly."""
+    parts = re.split(r"(%\{[^}]*\})", pattern)
+    regex, names = "^", []
+    for i, part in enumerate(parts):
+        if not part:
+            continue
+        if part.startswith("%{"):
+            key = part[2:-1]
+            if any(m in key for m in ("->", "+", "/")):
+                raise ValueError(
+                    f"ES|QL: DISSECT modifier in {part!r} is not "
+                    "supported (plain %{key} and %{?skip} only)")
+            last = all(not p or p.startswith("%{") for p in parts[i + 1:])
+            body = ".*" if last else ".*?"
+            if not key or key.startswith("?"):
+                regex += f"(?:{body})"
+            else:
+                names.append(key)
+                regex += f"({body})"
+        else:
+            regex += re.escape(part)
+    return regex + "$", names
+
+
+def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """ES|QL GROK pattern → (anchored regex, [(name, cast-type)])."""
+    out, fields = "^", []
+    pos = 0
+    for m in re.finditer(r"%\{(\w+)(?::([\w.]+))?(?::(\w+))?\}", pattern):
+        out += re.escape(pattern[pos:m.start()])
+        pos = m.end()
+        pat_name, field, typ = m.group(1), m.group(2), m.group(3)
+        if pat_name not in _GROK_PATTERNS:
+            raise ValueError(
+                f"ES|QL: unknown GROK pattern %{{{pat_name}}} (supported: "
+                f"{' '.join(sorted(_GROK_PATTERNS))})")
+        if typ is not None and typ not in _GROK_TYPES:
+            raise ValueError(
+                f"ES|QL: unsupported GROK conversion :{typ} "
+                "(int | long | float | double)")
+        body = _GROK_PATTERNS[pat_name]
+        if field:
+            fields.append((field, typ))
+            out += f"({body})"
+        else:
+            out += f"(?:{body})"
+    out += re.escape(pattern[pos:])
+    return out + "$", fields
+
+
+def _extract_groups(
+    df: DataFrame, col: str, regex: str,
+    fields: list[tuple[str, str | None]],
+) -> DataFrame:
+    """Shared DISSECT/GROK application: one codegen rlike gate + one
+    regexp_extract per capture; non-matching rows KEEP the row with
+    NULL extracted fields (ES|QL's behavior — regexp_extract alone
+    would return '' and silently fake a match)."""
+    src = F.col(col)
+    matched = src.rlike(regex)
+    for i, (name, typ) in enumerate(fields, start=1):
+        c = F.when(matched, F.regexp_extract(src, regex, i))
+        if typ:
+            c = c.cast(_GROK_TYPES[typ])
+        df = df.withColumn(name, c)
+    return df
+
+
 def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
     """Compile one ES|QL pipeline against the given table mapping.
 
@@ -645,6 +749,61 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
                 df = df.withColumnRenamed(old[1], new[1])
                 if p.peek() == ("op", ","):
                     p.next()
+        elif up == "LOOKUP":
+            # ES|QL LOOKUP JOIN (8.18+): left-join a small lookup index
+            # on equal field names.  ES enforces smallness via
+            # index.mode=lookup; this engine encodes the same contract
+            # as an explicit BROADCAST left join — the scale shape is a
+            # map-side hash join, never a shuffle of the left side.
+            j = p.next()
+            if j[0] != "id" or j[1].upper() != "JOIN":
+                raise ValueError("ES|QL: LOOKUP JOIN <index> ON <field>")
+            idx = p.next()
+            on_t = p.next()
+            if (idx[0] != "id" or on_t[0] != "id"
+                    or on_t[1].upper() != "ON"):
+                raise ValueError("ES|QL: LOOKUP JOIN <index> ON <field>")
+            keys = _name_list(p)
+            if idx[1] not in tables:
+                raise ValueError(
+                    f"ES|QL: unknown lookup index {idx[1]!r} "
+                    f"(catalog: {sorted(tables)})")
+            lk = tables[idx[1]]
+            for k in keys:
+                if k not in df.columns or k not in lk.columns:
+                    raise ValueError(
+                        f"ES|QL: LOOKUP JOIN key {k!r} must exist on "
+                        f"both sides (left: {df.columns}, "
+                        f"lookup: {lk.columns})")
+            clash = [c for c in lk.columns
+                     if c not in keys and c in df.columns]
+            if clash:
+                # ES resolves collisions by lookup-side precedence;
+                # silently replacing a left column is the kind of
+                # surprise this engine rejects — RENAME first
+                raise ValueError(
+                    f"ES|QL: lookup column(s) {clash} collide with "
+                    "existing columns (RENAME one side first)")
+            df = df.join(F.broadcast(lk), on=keys, how="left")
+        elif up in ("DISSECT", "GROK"):
+            t = p.next()
+            pat_t = p.next()
+            if t[0] != "id" or pat_t[0] != "str" or not p.done():
+                raise ValueError(
+                    f"ES|QL: {up} <column> \"<pattern>\" "
+                    "(APPEND_SEPARATOR is not supported)")
+            if t[1] not in df.columns:
+                raise ValueError(
+                    f"ES|QL: unknown column {t[1]!r} (have {df.columns})")
+            if up == "DISSECT":
+                regex, names = _dissect_regex(pat_t[1])
+                fields = [(n, None) for n in names]
+            else:
+                regex, fields = _grok_regex(pat_t[1])
+            if not fields:
+                raise ValueError(
+                    f"ES|QL: {up} pattern extracts no fields")
+            df = _extract_groups(df, t[1], regex, fields)
         elif up == "MV_EXPAND":
             t = p.next()
             if t[0] != "id" or not p.done():
@@ -658,6 +817,7 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
         else:
             raise ValueError(
                 f"ES|QL: unsupported command {up} (supported: WHERE EVAL "
-                "STATS SORT LIMIT KEEP DROP RENAME MV_EXPAND; DISSECT/"
-                "GROK/ENRICH/LOOKUP are not implemented)")
+                "STATS SORT LIMIT KEEP DROP RENAME MV_EXPAND LOOKUP JOIN "
+                "DISSECT GROK; ENRICH is not implemented — model the "
+                "policy index as a LOOKUP JOIN)")
     return df

@@ -157,8 +157,11 @@ class TestExpressions:
 
 class TestRejects:
     def test_unknown_command(self, catalog):
-        with pytest.raises(ValueError, match="unsupported command GROK"):
-            esql(catalog, 'FROM sales | GROK color "%{WORD:w}"')
+        # GROK/DISSECT/LOOKUP JOIN became supported later in round 13;
+        # INLINESTATS stays a representative unknown
+        with pytest.raises(ValueError,
+                           match="unsupported command INLINESTATS"):
+            esql(catalog, "FROM sales | INLINESTATS n = COUNT(*)")
 
     def test_unknown_index(self, catalog):
         with pytest.raises(ValueError, match="unknown index"):
@@ -223,3 +226,92 @@ class TestPlanShape:
             FROM sales | SORT amount DESC | LIMIT 3
         ''')._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestLookupDissectGrok:
+    @pytest.fixture(scope="class")
+    def cat2(self, spark):
+        logs = spark.createDataFrame(
+            [
+                (1, "h1", "2024-01-01T10:00:00 ERROR disk full on /dev/sda"),
+                (2, "h2", "2024-01-01T10:05:00 INFO started worker 17"),
+                (3, "h1", "not a log line"),
+            ],
+            "id long, host string, msg string")
+        hosts = spark.createDataFrame(
+            [("h1", "eu"), ("h2", "us")], "host string, region string")
+        return {"logs": logs, "hosts": hosts}
+
+    def test_lookup_join_broadcast(self, cat2):
+        out = esql(cat2, '''
+            FROM logs
+            | LOOKUP JOIN hosts ON host
+            | KEEP id, region
+            | SORT id ASC
+        ''')
+        assert [(r["id"], r["region"]) for r in out.collect()] == [
+            (1, "eu"), (2, "us"), (3, "eu")]
+        plan = esql(cat2, "FROM logs | LOOKUP JOIN hosts ON host") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_lookup_join_rejects(self, cat2):
+        with pytest.raises(ValueError, match="unknown lookup index"):
+            esql(cat2, "FROM logs | LOOKUP JOIN nope ON host")
+        with pytest.raises(ValueError, match="must exist on both"):
+            esql(cat2, "FROM logs | LOOKUP JOIN hosts ON region")
+        clash = dict(cat2)
+        clash["bad"] = cat2["hosts"].withColumnRenamed("region", "msg")
+        with pytest.raises(ValueError, match="collide"):
+            esql(clash, "FROM logs | LOOKUP JOIN bad ON host")
+
+    def test_dissect(self, cat2):
+        out = esql(cat2, '''
+            FROM logs
+            | DISSECT msg "%{ts} %{level} %{rest}"
+            | KEEP id, ts, level
+            | SORT id ASC
+        ''').collect()
+        assert (out[0]["ts"], out[0]["level"]) == (
+            "2024-01-01T10:00:00", "ERROR")
+        # "not a log line" HAS two spaces, so it dissects ("not"/"a");
+        # the NULL-on-no-match contract is pinned by the grok test below
+        assert (out[2]["ts"], out[2]["level"]) == ("not", "a")
+
+    def test_dissect_skip_and_modifier_reject(self, cat2):
+        out = esql(cat2, '''
+            FROM logs
+            | DISSECT msg "%{?skip} %{level} %{}"
+            | KEEP id, level | SORT id ASC
+        ''').first()
+        assert out["level"] == "ERROR"
+        with pytest.raises(ValueError, match="modifier"):
+            esql(cat2, 'FROM logs | DISSECT msg "%{ts->} %{level}"')
+
+    def test_grok_with_casts_and_null_on_no_match(self, cat2):
+        out = esql(cat2, '''
+            FROM logs
+            | GROK msg "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:rest}"
+            | KEEP id, ts, level
+            | SORT id ASC
+        ''').collect()
+        assert out[0]["level"] == "ERROR"
+        assert out[1]["level"] == "INFO"
+        assert out[2]["ts"] is None and out[2]["level"] is None
+        n = esql(cat2, '''
+            FROM logs
+            | GROK msg "%{TIMESTAMP_ISO8601} INFO started worker %{INT:n:int}"
+            | WHERE n IS NOT NULL
+            | KEEP n
+        ''').first()
+        assert n["n"] == 17
+
+    def test_grok_unknown_pattern_rejects(self, cat2):
+        with pytest.raises(ValueError, match="unknown GROK pattern"):
+            esql(cat2, 'FROM logs | GROK msg "%{SYSLOGBASE:x}"')
+        with pytest.raises(ValueError, match="GROK conversion"):
+            esql(cat2, 'FROM logs | GROK msg "%{INT:n:decimal}"')
+
+    def test_enrich_points_to_lookup(self, cat2):
+        with pytest.raises(ValueError, match="LOOKUP JOIN"):
+            esql(cat2, 'FROM logs | ENRICH policy ON host')
