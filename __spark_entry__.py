@@ -3774,6 +3774,28 @@ def q_es_esql(spark, sf_dir):
     ''')
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filter (round 13, operators/classify.py):
+    the fastText-style linear classifier of the CCNet/GPT-3 curation
+    lineage — score = sigmoid(bias + Σ w[token]) over the analyzed
+    stream, here with a FIXED literal weight table so the oracle can
+    replay the exact arithmetic (the trainer, `train_logreg`, is
+    unit-pinned separately: bit-identical weights across runs and
+    repartitionings via exact decimal gradient sums).  Scale shape:
+    the weight map is ONE plan literal and the fold is codegen
+    `aggregate` — zero shuffle, zero UDF, plan-asserted no-Exchange
+    (tests/test_classify.py); vocabularies past 64k switch to the
+    broadcast-join shape.  Decimal-routed weight sums keep the score
+    hash-identical to the ANSI replay."""
+    from hive2es_offline_spark.operators.classify import score_linear
+
+    d = _t(spark, sf_dir, "documents")
+    w = {"merge": 1.2, "stream": 0.8, "slow": -1.5, "scan": -0.5}
+    out = score_linear(d, "text", w, bias=-0.2)
+    return (out.where(F.col("score") >= 0.6)
+            .select("doc_id", "score").orderBy("doc_id"))
+
+
 def q_es_esql_lookup(spark, sf_dir):
     """ES|QL LOOKUP JOIN (round 13, ES 8.18's lookup-index join): the
     25-row nation table joins onto customer as an explicit BROADCAST
@@ -4676,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_time_series": q_es_time_series,
         "es_esql": q_es_esql,
         "es_esql_lookup": q_es_esql_lookup,
+        "quality_classifier": q_quality_classifier,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6038,6 +6061,25 @@ def _goldens_b() -> dict[str, str]:
               AND l_discount > 0.03
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "quality_classifier": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-(-0.2
+                       + CAST(coalesce(list_sum(list_transform(
+                           {_duck_toks('text', 'standard')},
+                           t -> CAST(CASE WHEN t = 'merge' THEN 1.2
+                                          WHEN t = 'stream' THEN 0.8
+                                          WHEN t = 'slow' THEN -1.5
+                                          WHEN t = 'scan' THEN -0.5
+                                          ELSE 0.0 END
+                                     AS DECIMAL(28,6)))), 0)
+                         AS DOUBLE)))), 6) AS score
+              FROM documents
+            )
+            SELECT doc_id, score FROM s
+            WHERE score >= 0.6
+            ORDER BY doc_id
         """,
         "es_esql_lookup": """
             SELECT n_name,

@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "es_time_series",
     "es_response_fields",
     "es_esql",
+    "es_esql_lookup",
+    "quality_classifier",
 ]
 
 

@@ -125,6 +125,16 @@ def main():
     print(f"portuguese match                      {t_pt:6.2f}s"
           f"  (x{t_pt / floor_m:.2f})")
 
+    from hive2es_offline_spark.operators.classify import score_linear
+
+    w = {wd: (0.3 if i % 2 else -0.4) for i, wd in enumerate(it_words)}
+    floor_t = t(lambda: txt.where(F.length("it") > 10).count())
+    print(f"plain text-filter floor               {floor_t:6.2f}s")
+    t_cls = t(lambda: score_linear(txt, "it", w, bias=0.1)
+              .where(F.col("score") >= 0.5).count())
+    print(f"linear classifier (map shape)         {t_cls:6.2f}s"
+          f"  (x{t_cls / floor_t:.2f})")
+
     tile = {"g": {"geotile_grid": {"field": "loc", "precision": 6,
                                    "size": 10_000}}}
     floor_g = t(lambda: compile_aggs(df, tile, id_field="id").count())
