@@ -60,6 +60,27 @@ def _weight_lookup(weights: dict[str, float]) -> Column:
         F.lit(ks), F.lit([float(weights[k]) for k in ks]))
 
 
+def _sigmoid_col(total: Column, bias: float) -> Column:
+    """One rounding/formula site for BOTH score_linear shapes — a
+    change to one must reach the other (code-review r13)."""
+    return F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + total))), 6)
+
+
+def _weighted_fold(toks: Column, wmap: Column) -> Column:
+    """Decimal-routed Σ w[token] over a token array; NULL text folds
+    like the empty document (sigmoid(bias)) so the map and join shapes
+    agree — analyze_col propagates NULL and an unguarded aggregate
+    would turn it into a NULL score (code-review r13, verified)."""
+    return F.aggregate(
+        F.coalesce(toks, F.array().cast("array<string>")),
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, t: (acc + F.coalesce(
+            wmap[t], F.lit(0.0)).cast("decimal(28,6)"))
+        .cast("decimal(28,6)"),
+    ).cast("double")
+
+
 def score_linear(
     df: DataFrame,
     text_col: str,
@@ -84,20 +105,8 @@ def score_linear(
         raise ValueError(f"unsupported method: {method!r} (map | join)")
     toks = analyze_col(F.col(text_col), analyzer)
     if method == "map":
-        wmap = _weight_lookup(weights)
-        # decimal accumulator: the fold is sequential per row, but the
-        # decimal route keeps the engine and the SQL oracle bit-equal
-        total = F.aggregate(
-            toks,
-            F.lit(0).cast("decimal(28,6)"),
-            lambda acc, t: (acc + F.coalesce(
-                wmap[t], F.lit(0.0)).cast("decimal(28,6)"))
-            .cast("decimal(28,6)"),
-        ).cast("double")
-        return df.withColumn(
-            out, F.round(F.lit(1.0)
-                         / (F.lit(1.0) + F.exp(-(F.lit(float(bias))
-                                                 + total))), 6))
+        total = _weighted_fold(toks, _weight_lookup(weights))
+        return df.withColumn(out, _sigmoid_col(total, bias))
     if id_field is None:
         raise ValueError("score_linear(method='join') needs id_field")
     spark = df.sparkSession
@@ -113,10 +122,7 @@ def score_linear(
     )
     joined = df.join(sums, df[id_field] == sums["_sid"], "left").drop("_sid")
     total = F.coalesce(F.col("_wsum"), F.lit(0.0))
-    return joined.withColumn(
-        out, F.round(F.lit(1.0)
-                     / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + total))),
-                     6)).drop("_wsum")
+    return joined.withColumn(out, _sigmoid_col(total, bias)).drop("_wsum")
 
 
 def train_logreg(
@@ -133,18 +139,33 @@ def train_logreg(
     counts; returns ``(weights, bias)`` for ``score_linear``.
 
     Vocabulary: the ``vocab_size`` most document-frequent tokens
-    (count desc, token asc — deterministic).  Each iteration runs ONE
-    aggregation job: per-token gradient sums via explode + groupBy with
-    exact decimal accumulation, plus the bias gradient — the returned
+    (count desc, token asc — deterministic), capped at the map-literal
+    bound.  Each iteration runs ONE aggregation job: per-token gradient
+    sums via explode + groupBy with exact decimal accumulation, with a
+    sentinel token carrying the bias gradient — the returned
     weights are bit-identical across runs and partitionings.  Labels
     must be 0/1.  ``iters`` bounds the driver loop; this is the
     small-supervision curation-trainer shape (the 100 TB pass is the
     scorer, not the trainer)."""
     if iters < 1 or vocab_size < 1:
         raise ValueError("train_logreg needs iters >= 1 and vocab_size >= 1")
+    if vocab_size > _MAP_LITERAL_MAX:
+        # every iteration embeds the vocabulary as a plan literal —
+        # past the map-literal bound that is exactly the codegen bloat
+        # score_linear's join shape exists to avoid (code-review r13);
+        # train larger models offline and hand the weights to
+        # score_linear(method="join")
+        raise ValueError(
+            f"train_logreg vocab_size is capped at {_MAP_LITERAL_MAX} "
+            "(the plan-literal trainer shape)")
     toks = analyze_col(F.col(text_col), analyzer)
     y = F.col(label_col).cast("double")
-    base = df.select(y.alias("_y"), toks.alias("_toks")).localCheckpoint()
+    # NULL text folds as the empty document EVERYWHERE (z, gradients,
+    # doc count) — coalesced once here so the passes cannot disagree
+    base = df.select(
+        y.alias("_y"),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("_toks"),
+    ).localCheckpoint()
     n = base.count()
     if n == 0:
         raise ValueError("train_logreg needs a non-empty frame")
@@ -159,33 +180,35 @@ def train_logreg(
     vset = set(vocab)
     weights = {t: 0.0 for t in vocab}
     bias = 0.0
+    # the sentinel rides the exploded stream so the bias gradient and
+    # every per-token gradient come out of ONE aggregation job per
+    # iteration (code-review r13: a separate bias pass recomputed the
+    # sigmoid over the whole frame a second time); "\x00" cannot be
+    # emitted by any tokenizer, so it cannot collide with a real token
+    sent = "\x00bias"
     for _ in range(int(iters)):
         wmap = _weight_lookup(weights)
-        # in-vocab token counts per doc drive both z and the gradient
-        z = (F.lit(bias) + F.aggregate(
-            F.col("_toks"),
-            F.lit(0).cast("decimal(28,6)"),
-            lambda acc, t: (acc + F.coalesce(
-                wmap[t], F.lit(0.0)).cast("decimal(28,6)"))
-            .cast("decimal(28,6)"),
-        ).cast("double"))
+        z = F.lit(bias) + _weighted_fold(F.col("_toks"), wmap)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         # error rounds to 9 decimals BEFORE the decimal-routed sums so
         # the per-token gradient is an exact sum of exact terms
         err = F.round(p - F.col("_y"), 9).cast("decimal(19,9)")
-        scored = base.select(err.alias("_err"), "_toks")
+        rows = base.select(
+            err.alias("_err"),
+            F.explode(F.concat(F.array(F.lit(sent)), F.col("_toks")))
+            .alias("_tok"))
         grad_rows = (
-            scored.select("_err", F.explode("_toks").alias("_tok"))
-            .where(F.col("_tok").isin(vocab))
+            # in-vocab membership reuses the plan-literal weight map
+            # instead of a second vocab-sized In-list
+            rows.where((F.col("_tok") == sent)
+                       | wmap[F.col("_tok")].isNotNull())
             .groupBy("_tok")
             .agg(F.sum(F.col("_err").cast("decimal(38,9)")).cast("double")
                  .alias("_g"))
             .collect()
         )
-        bias_g = scored.agg(
-            F.sum(F.col("_err").cast("decimal(38,9)")).cast("double")
-        ).first()[0] or 0.0
         grads = {r["_tok"]: r["_g"] for r in grad_rows}
+        bias_g = grads.pop(sent, 0.0) or 0.0
         for t in vset:
             weights[t] -= lr * grads.get(t, 0.0) / n
         bias -= lr * bias_g / n

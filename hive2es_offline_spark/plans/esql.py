@@ -598,7 +598,7 @@ _GROK_PATTERNS = {
     "NOTSPACE": r"\S+",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
-    "NUMBER": r"(?:\d+(?:\.\d+)?)",
+    "NUMBER": r"(?:[+-]?\d+(?:\.\d+)?)",
     "INT": r"(?:[+-]?\d+)",
     "IP": r"(?:\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})",
     "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
@@ -611,24 +611,48 @@ _GROK_TYPES = {"int": "int", "long": "long", "float": "float",
 def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     """ES|QL DISSECT pattern → (anchored regex, capture names).
 
-    ``%{key}`` captures up to the FIRST occurrence of the next literal
-    (dissect's delimiter semantics — a non-greedy group against the
-    escaped literal reproduces it exactly); ``%{}`` and ``%{?name}``
-    are skips.  Modifiers (``->``, ``+key``, append separators) are not
-    implemented and reject loudly."""
+    ``%{key}`` captures up to the FIRST occurrence of the next literal,
+    and the parse is NON-BACKTRACKING like real dissect: the capture
+    body is a tempered dot (``(?:(?!lit).)*``), which cannot extend
+    past the first occurrence of the delimiter — a plain non-greedy
+    ``.*?`` would backtrack on overall failure and fabricate a
+    different parse (code-review r13, verified: "%{a}:%{b}-" on
+    "1:2-3:4-" must be a NO-match, not b="2-3:4").  ``%{}`` and
+    ``%{?name}`` are skips.  Modifiers (``->``, ``+key``, ``*key``,
+    ``&key``, append separators) are not implemented and reject
+    loudly; adjacent keys with no delimiter between them are ambiguous
+    and reject too."""
     parts = re.split(r"(%\{[^}]*\})", pattern)
+    parts = [p for p in parts if p]
+    if any("%{" in p for p in parts if not p.startswith("%{")):
+        # an unclosed %{… survives re.split as literal text and would
+        # silently match nothing (code-review r13)
+        raise ValueError(
+            f"ES|QL: malformed %{{…}} in DISSECT pattern {pattern!r}")
     regex, names = "^", []
     for i, part in enumerate(parts):
-        if not part:
-            continue
         if part.startswith("%{"):
             key = part[2:-1]
-            if any(m in key for m in ("->", "+", "/")):
+            if "%{" in key:
+                # an unclosed %{a followed by %{b} lexes as ONE token
+                # whose key still contains "%{" — malformed, not a
+                # field named "a %{b"
+                raise ValueError(
+                    f"ES|QL: malformed %{{…}} in DISSECT pattern "
+                    f"{pattern!r}")
+            if any(m in key for m in ("->", "+", "/", "*", "&")):
                 raise ValueError(
                     f"ES|QL: DISSECT modifier in {part!r} is not "
                     "supported (plain %{key} and %{?skip} only)")
-            last = all(not p or p.startswith("%{") for p in parts[i + 1:])
-            body = ".*" if last else ".*?"
+            nxt = parts[i + 1] if i + 1 < len(parts) else None
+            if nxt is None:
+                body = ".*"
+            elif nxt.startswith("%{"):
+                raise ValueError(
+                    "ES|QL: adjacent DISSECT keys without a delimiter "
+                    f"between them are ambiguous ({part}{nxt})")
+            else:
+                body = f"(?:(?!{re.escape(nxt)}).)*"
             if not key or key.startswith("?"):
                 regex += f"(?:{body})"
             else:
@@ -643,6 +667,14 @@ def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
     """ES|QL GROK pattern → (anchored regex, [(name, cast-type)])."""
     out, fields = "^", []
     pos = 0
+    n_open = pattern.count("%{")
+    n_parsed = len(re.findall(r"%\{(\w+)(?::([\w.]+))?(?::(\w+))?\}",
+                              pattern))
+    if n_parsed != n_open:
+        # an unclosed/malformed %{… would be escaped into the regex as
+        # literal text and match nothing, silently (code-review r13)
+        raise ValueError(
+            f"ES|QL: malformed %{{…}} in GROK pattern {pattern!r}")
     for m in re.finditer(r"%\{(\w+)(?::([\w.]+))?(?::(\w+))?\}", pattern):
         out += re.escape(pattern[pos:m.start()])
         pos = m.end()
@@ -678,7 +710,11 @@ def _extract_groups(
     for i, (name, typ) in enumerate(fields, start=1):
         c = F.when(matched, F.regexp_extract(src, regex, i))
         if typ:
-            c = c.cast(_GROK_TYPES[typ])
+            # try_cast, not cast: under ANSI a matched-but-unparseable
+            # value (NUMBER "3.5" cast to int) would abort the whole
+            # job instead of yielding the documented NULL
+            # (code-review r13, verified live)
+            c = c.try_cast(_GROK_TYPES[typ])
         df = df.withColumn(name, c)
     return df
 

@@ -94,3 +94,28 @@ class TestPlanShape:
         plan = score_linear(docs, "text", TestScoreLinear.W) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # the filter rides the scan
+
+
+class TestNullTextContract:
+    def test_null_text_scores_sigmoid_bias_in_both_shapes(self, spark):
+        # analyze_col propagates NULL; an unguarded aggregate turned it
+        # into a NULL score in the map shape only (code-review r13)
+        df = spark.createDataFrame([(1, None)], "id long, text string")
+        w = {"x": 1.0}
+        a = score_linear(df, "text", w, bias=2.0, method="map").first()
+        b = score_linear(df, "text", w, bias=2.0, method="join",
+                         id_field="id").first()
+        assert a["score"] == b["score"] == pytest.approx(
+            round(sigmoid(2.0), 6))
+
+    def test_trainer_tolerates_null_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, "good text facts", 1), (2, None, 0),
+             (3, "bad spam spam", 0), (4, "facts good", 1)],
+            "id long, text string, label int")
+        w, b = train_logreg(df, "text", "label", vocab_size=16, iters=5)
+        assert "facts" in w  # trains through the NULL row
+
+    def test_vocab_cap_rejects(self, docs):
+        with pytest.raises(ValueError, match="capped"):
+            train_logreg(docs, "text", "label", vocab_size=100_000)

@@ -315,3 +315,50 @@ class TestLookupDissectGrok:
     def test_enrich_points_to_lookup(self, cat2):
         with pytest.raises(ValueError, match="LOOKUP JOIN"):
             esql(cat2, 'FROM logs | ENRICH policy ON host')
+
+
+class TestDissectGrokHardening:
+    """Regression pins for the code-review r13 second-pass findings."""
+
+    @pytest.fixture(scope="class")
+    def vals(self, spark):
+        return spark.createDataFrame(
+            [(1, "val 3.5"), (2, "v -1.5"), (3, "1:2-3:4-")],
+            "id long, msg string")
+
+    def test_grok_int_cast_of_float_is_null_not_crash(self, vals):
+        # ANSI cast would abort the job on NUMBER "3.5" -> int
+        r = esql({"t": vals}, '''
+            FROM t | GROK msg "val %{NUMBER:n:int}" | WHERE id == 1
+        ''').first()
+        assert r["n"] is None
+
+    def test_grok_number_matches_negatives(self, vals):
+        r = esql({"t": vals}, '''
+            FROM t | GROK msg "v %{NUMBER:n:float}" | WHERE id == 2
+        ''').first()
+        assert r["n"] == pytest.approx(-1.5)
+
+    def test_malformed_pattern_rejects(self, vals):
+        with pytest.raises(ValueError, match="malformed"):
+            esql({"t": vals}, 'FROM t | GROK msg "%{NOTSPACE:w %{INT:x}"')
+        with pytest.raises(ValueError, match="malformed"):
+            esql({"t": vals}, 'FROM t | DISSECT msg "%{a %{b}"')
+
+    def test_dissect_is_non_backtracking(self, vals):
+        # "%{a}:%{b}-" on "1:2-3:4-": b stops at the FIRST '-', the
+        # leftover "3:4-" fails the anchor -> no match, NULL fields
+        # (a backtracking .*? fabricated b="2-3:4" before the fix)
+        r = esql({"t": vals}, '''
+            FROM t | DISSECT msg "%{a}:%{b}-" | WHERE id == 3
+        ''').first()
+        assert r["a"] is None and r["b"] is None
+
+    def test_dissect_reference_modifiers_reject(self, vals):
+        for pat in ("%{*a}:%{b}", "%{&a}:%{b}"):
+            with pytest.raises(ValueError, match="modifier"):
+                esql({"t": vals}, f'FROM t | DISSECT msg "{pat}"')
+
+    def test_dissect_adjacent_keys_reject(self, vals):
+        with pytest.raises(ValueError, match="adjacent"):
+            esql({"t": vals}, 'FROM t | DISSECT msg "x %{a}%{b}"')
