@@ -10,6 +10,9 @@ Supported commands (everything else rejects loudly, the repo's
 anti-silent policy):
 
 - ``FROM index[, index…]``        union of the named tables (by name)
+- ``ROW name = <expr>, …``        one-row constant source (full scalar
+                                  grammar over range(1); the session
+                                  comes from the catalog)
 - ``WHERE <expr>``                codegen filter (pushdown-eligible)
 - ``EVAL name = <expr>, …``       sequential projections (later exprs
                                   may read earlier names, like ES|QL)
@@ -732,17 +735,35 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
         raise ValueError("ES|QL: empty query")
     head = _P(stages[0])
     cmd = head.next()
-    if not (cmd[0] == "id" and cmd[1].upper() == "FROM"):
-        raise ValueError("ES|QL: the source command must be FROM")
-    names = _name_list(head)
-    missing = [n for n in names if n not in tables]
-    if missing:
-        raise ValueError(
-            f"ES|QL: unknown index(es) {missing} "
-            f"(catalog: {sorted(tables)})")
-    df = tables[names[0]]
-    for n in names[1:]:
-        df = df.unionByName(tables[n], allowMissingColumns=True)
+    if cmd[0] == "id" and cmd[1].upper() == "ROW":
+        # ROW name = <expr>, … — a one-row frame built from constant
+        # expressions (each assignment selects over range(1), so the
+        # full scalar-function grammar works; a stray column reference
+        # fails loudly at analysis).  The session comes from the
+        # catalog — ROW is a testing/templating source, not a reason to
+        # thread a SparkSession parameter through every call site.
+        if not tables:
+            raise ValueError(
+                "ES|QL: ROW needs a non-empty catalog (the session is "
+                "taken from it)")
+        spark = next(iter(tables.values())).sparkSession
+        assigns = _assignments(head)
+        if not assigns:
+            raise ValueError("ES|QL: ROW needs at least one assignment")
+        df = spark.range(1).select(
+            *[e.alias(n) for n, e in assigns])
+    elif cmd[0] == "id" and cmd[1].upper() == "FROM":
+        names = _name_list(head)
+        missing = [n for n in names if n not in tables]
+        if missing:
+            raise ValueError(
+                f"ES|QL: unknown index(es) {missing} "
+                f"(catalog: {sorted(tables)})")
+        df = tables[names[0]]
+        for n in names[1:]:
+            df = df.unionByName(tables[n], allowMissingColumns=True)
+    else:
+        raise ValueError("ES|QL: the source command must be FROM or ROW")
     for stage in stages[1:]:
         p = _P(stage)
         cmd = p.next()

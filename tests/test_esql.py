@@ -191,9 +191,21 @@ class TestRejects:
         with pytest.raises(ValueError, match="matches no column"):
             esql(catalog, "FROM sales | KEEP zz*")
 
-    def test_source_must_be_from(self, catalog):
-        with pytest.raises(ValueError, match="must be FROM"):
-            esql(catalog, "ROW a = 1")
+    def test_source_must_be_from_or_row(self, catalog):
+        with pytest.raises(ValueError, match="must be FROM or ROW"):
+            esql(catalog, "SHOW INFO")
+        with pytest.raises(ValueError, match="at least one assignment"):
+            esql(catalog, "ROW")
+        with pytest.raises(ValueError, match="non-empty catalog"):
+            esql({}, "ROW a = 1")
+
+    def test_row_source(self, catalog):
+        r = esql(catalog, '''
+            ROW a = 1, b = "x", c = ROUND(2.7), d = CONCAT("x", "y")
+            | EVAL e = a + 10
+        ''').first()
+        assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (
+            1, "x", 3.0, "xy", 11)
 
     def test_rename_unknown_column_rejects(self, catalog):
         # withColumnRenamed is a silent no-op on a missing source —
