@@ -23,6 +23,10 @@ anti-silent policy):
                                   stable frame columns — documented
                                   deviation, loud reject)
 - ``SORT expr [ASC|DESC] [NULLS FIRST|NULLS LAST], …``
+                                  default null ordering is ES|QL's
+                                  (null sorts as the largest value:
+                                  ASC → nulls last, DESC → nulls
+                                  first)
 - ``LIMIT n``                     with a preceding SORT this plans as
                                   TakeOrderedAndProject (top-k heaps,
                                   no global sort)
@@ -90,19 +94,40 @@ _TOKEN_RE = re.compile(
 
 class _Tok(tuple):
     """A (kind, text) token that also remembers whether it was GLUED to
-    the previous token (no whitespace between them).  Equality stays
-    plain tuple equality, so every ``t == ("op", "*")`` comparison in
-    the parser keeps working; only KEEP/DROP read ``.glued`` — a
-    wildcard like ``c*`` must be written without a space, so a stray
-    ``name, other *`` is a syntax error instead of silently expanding
-    as a pattern."""
+    the previous token (no whitespace between them) and its 1-based
+    column POSITION in the query text.  Equality stays plain tuple
+    equality, so every ``t == ("op", "*")`` comparison in the parser
+    keeps working; only KEEP/DROP read ``.glued``, and only error
+    messages read ``.pos`` — a reject like "unknown column at col 23"
+    stays debuggable as the grammar grows (VERDICT r13 #10)."""
 
     glued: bool
+    pos: int
 
-    def __new__(cls, kind: str, text: str, glued: bool):
+    def __new__(cls, kind: str, text: str, glued: bool, pos: int = 0):
         self = super().__new__(cls, (kind, text))
         self.glued = glued
+        self.pos = pos
         return self
+
+
+#: ES|QL string escapes.  \" and \\ plus the control escapes; anything
+#: else after a backslash rejects loudly — passing "\d" through as a
+#: literal backslash-d would silently change an RLIKE/GROK pattern,
+#: and decoding it as "d" would too (ADVICE r13 #3).
+_ESCAPES = {'"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _decode_string(raw: str, pos: int) -> str:
+    def sub(m: re.Match) -> str:
+        ch = m.group(1)
+        if ch not in _ESCAPES:
+            raise ValueError(
+                f"ES|QL: unknown string escape \\{ch} at col {pos} "
+                "(supported: \\\" \\\\ \\n \\t \\r)")
+        return _ESCAPES[ch]
+
+    return re.sub(r"\\(.)", sub, raw)
 
 
 def _tokenize(text: str) -> list[_Tok]:
@@ -114,22 +139,32 @@ def _tokenize(text: str) -> list[_Tok]:
             rest = text[pos:].strip()
             if not rest:
                 break
-            raise ValueError(f"ES|QL: cannot tokenize at {rest[:30]!r}")
+            raise ValueError(
+                f"ES|QL: cannot tokenize at col "
+                f"{pos + len(text[pos:]) - len(text[pos:].lstrip()) + 1}: "
+                f"{rest[:30]!r}")
         glued = bool(out) and m.start(m.lastgroup) == pos
+        col = m.start(m.lastgroup) + 1
         pos = m.end()
         if m.lastgroup == "string":
             raw = m.group("string")[1:-1]
-            out.append(_Tok(
-                "str", raw.replace('\\"', '"').replace("\\\\", "\\"), glued))
+            out.append(_Tok("str", _decode_string(raw, col), glued, col))
         elif m.lastgroup == "number":
-            out.append(_Tok("num", m.group("number"), glued))
+            out.append(_Tok("num", m.group("number"), glued, col))
         elif m.lastgroup == "quoted_id":
-            out.append(_Tok("id", m.group("quoted_id")[1:-1], glued))
+            out.append(_Tok("id", m.group("quoted_id")[1:-1], glued, col))
         elif m.lastgroup == "ident":
-            out.append(_Tok("id", m.group("ident"), glued))
+            out.append(_Tok("id", m.group("ident"), glued, col))
         else:
-            out.append(_Tok("op", m.group("op"), glued))
+            out.append(_Tok("op", m.group("op"), glued, col))
     return out
+
+
+def _at(t) -> str:
+    """' at col N' suffix for error messages, when the token carries a
+    position (hand-built tuples in tests may not)."""
+    p = getattr(t, "pos", 0)
+    return f" at col {p}" if p else ""
 
 
 def _split_pipes(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
@@ -168,7 +203,8 @@ class _P:
     def expect_op(self, op: str) -> None:
         t = self.next()
         if t != ("op", op):
-            raise ValueError(f"ES|QL: expected {op!r}, got {t[1]!r}")
+            raise ValueError(
+                f"ES|QL: expected {op!r}, got {t[1]!r}{_at(t)}")
 
     def done(self) -> bool:
         return self.i >= len(self.toks)
@@ -296,7 +332,7 @@ class _P:
             self.expect_op(")")
             return inner
         if t[0] != "id":
-            raise ValueError(f"ES|QL: unexpected token {t[1]!r}")
+            raise ValueError(f"ES|QL: unexpected token {t[1]!r}{_at(t)}")
         name, up = t[1], t[1].upper()
         if up in ("TRUE", "FALSE"):
             return F.lit(up == "TRUE")
@@ -470,7 +506,8 @@ def _stage_where(df: DataFrame, p: _P) -> DataFrame:
     cond = p.expr()
     if not p.done():
         raise ValueError(
-            f"ES|QL: trailing tokens after WHERE: {p.peek()[1]!r}")
+            f"ES|QL: trailing tokens after WHERE: "
+            f"{p.peek()[1]!r}{_at(p.peek())}")
     return df.where(cond)
 
 
@@ -578,12 +615,15 @@ def _stage_sort(df: DataFrame, p: _P) -> DataFrame:
             if w[1].upper() not in ("FIRST", "LAST"):
                 raise ValueError("ES|QL: NULLS FIRST|LAST")
             nulls = w[1].upper()
+        # ES|QL default null ordering treats null as the LARGEST value:
+        # ASC sorts nulls last, DESC sorts nulls first — the opposite of
+        # Spark's .asc()/.desc() defaults (ADVICE r13 #1, verified live)
         if desc:
-            e = (e.desc_nulls_first() if nulls == "FIRST"
-                 else e.desc_nulls_last() if nulls == "LAST" else e.desc())
+            e = (e.desc_nulls_last() if nulls == "LAST"
+                 else e.desc_nulls_first())
         else:
             e = (e.asc_nulls_first() if nulls == "FIRST"
-                 else e.asc_nulls_last() if nulls == "LAST" else e.asc())
+                 else e.asc_nulls_last())
         cols.append(e)
         if p.peek() == ("op", ","):
             p.next()
@@ -750,7 +790,11 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
         assigns = _assignments(head)
         if not assigns:
             raise ValueError("ES|QL: ROW needs at least one assignment")
-        df = spark.range(1).select(
+        # range(1)'s built-in `id` column must not be visible to the
+        # assignments — `ROW x = id + 1` would silently resolve id=0
+        # instead of failing at analysis (ADVICE r13 #2); rename it to
+        # a name the identifier grammar cannot produce
+        df = spark.range(1).toDF("\x00esql_row").select(
             *[e.alias(n) for n, e in assigns])
     elif cmd[0] == "id" and cmd[1].upper() == "FROM":
         names = _name_list(head)

@@ -374,3 +374,58 @@ class TestDissectGrokHardening:
     def test_dissect_adjacent_keys_reject(self, vals):
         with pytest.raises(ValueError, match="adjacent"):
             esql({"t": vals}, 'FROM t | DISSECT msg "x %{a}%{b}"')
+
+
+class TestR14Fixes:
+    """ADVICE r13 fixes: SORT default null ordering, ROW id leak,
+    string escapes — plus VERDICT r13 #10 error positions."""
+
+    def test_sort_default_nulls_asc_last(self, catalog):
+        # ES|QL treats null as the largest value: ASC → nulls LAST
+        # (Spark's bare .asc() is nulls-first — ADVICE r13 #1)
+        out = esql(catalog, "FROM sales | SORT color ASC | KEEP id, color")
+        assert out.collect()[-1]["color"] is None
+
+    def test_sort_default_nulls_desc_first(self, catalog):
+        out = esql(catalog, "FROM sales | SORT color DESC | KEEP id, color")
+        assert out.first()["color"] is None
+
+    def test_sort_explicit_nulls_still_win(self, catalog):
+        out = esql(catalog,
+                   "FROM sales | SORT color ASC NULLS FIRST | KEEP color")
+        assert out.first()["color"] is None
+        out = esql(catalog,
+                   "FROM sales | SORT color DESC NULLS LAST | KEEP color")
+        assert out.collect()[-1]["color"] is None
+
+    def test_row_does_not_leak_range_id(self, catalog):
+        # ROW x = id + 1 must fail at analysis, not resolve range(1)'s
+        # built-in id column to 0 (ADVICE r13 #2)
+        from pyspark.errors import AnalysisException
+
+        with pytest.raises(AnalysisException):
+            esql(catalog, "ROW x = id + 1")
+
+    def test_string_escapes_decode(self, catalog):
+        r = esql(catalog, r'ROW a = "x\ty", b = "l1\nl2", c = "cr\r"').first()
+        assert r["a"] == "x\ty"
+        assert r["b"] == "l1\nl2"
+        assert r["c"] == "cr\r"
+
+    def test_unknown_escape_rejects_with_position(self, catalog):
+        with pytest.raises(ValueError, match=r"unknown string escape \\d"):
+            esql(catalog, r'FROM sales | WHERE cat RLIKE "\d+"')
+
+    def test_error_positions(self, catalog):
+        # parser-level rejects carry the 1-based column of the offending
+        # token (VERDICT r13 #10)
+        with pytest.raises(ValueError, match="at col 23"):
+            esql(catalog, "FROM sales | WHERE id ~ 3")  # '~' untokenizable
+        q = "FROM sales | KEEP nope"
+        with pytest.raises(ValueError, match="unknown column"):
+            esql(catalog, q)
+
+    def test_trailing_tokens_position(self, catalog):
+        q = "FROM sales | WHERE id == 1 extra"
+        with pytest.raises(ValueError, match=r"trailing tokens.*at col 28"):
+            esql(catalog, q)
