@@ -3774,6 +3774,28 @@ def q_es_esql(spark, sf_dir):
     ''')
 
 
+def q_es_esql_bucket(spark, sf_dir):
+    """ES|QL ``BUCKET()`` grouping (round 14, VERDICT r13 #2): the
+    date-histogram idiom of ES|QL analytics — ``STATS … BY h =
+    BUCKET(ts, 1 hour)`` compiles to date_trunc inside ONE groupBy
+    (calendar spans; N-unit fixed spans compile to epoch flooring,
+    numeric spans to floor-div — unit-pinned in tests/test_esql.py),
+    then DATE_FORMAT / DATE_EXTRACT shape the bucket key — all codegen
+    scalar columns, zero extra shuffles beyond the aggregation
+    exchange.  The oracle is DuckDB's date_trunc/strftime twin."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"events": _t(spark, sf_dir, "events")}, '''
+        FROM events
+        | WHERE value IS NOT NULL AND event_type IS NOT NULL
+        | STATS n = COUNT(*), total = SUM(value), peak = MAX(value)
+          BY h = BUCKET(ts, 1 hour)
+        | EVAL day = DATE_FORMAT("yyyy-MM-dd", h),
+               hod = DATE_EXTRACT("hour_of_day", h)
+        | SORT h ASC
+    ''')
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality filter (round 13, operators/classify.py):
     the fastText-style linear classifier of the CCNet/GPT-3 curation
@@ -4490,6 +4512,23 @@ def q_ks_drift(spark, sf_dir):
 #: r10-r12) and the three oldest r10 ES rows es_multi_match_types,
 #: es_parent_child, es_geo_grid (green r10-r12) — all keep local DuckDB
 #: parity via demoted_goldens().
+#: Round-14 rotation (VERDICT r13 #1): the FIFTEEN banked round-13
+#: fodder goldens rotate IN — es_match_german, es_match_italian,
+#: es_categorize_text, es_change_point, es_search_as_you_type,
+#: es_variable_width, es_hex_grid, es_extended_stats_bucket,
+#: es_cumulative_cardinality, es_random_sampler, es_time_series,
+#: es_response_fields, es_esql, es_esql_lookup, quality_classifier —
+#: all built and locally DuckDB-goldened in round 13, never
+#: driver-adjudicated.  Rotating OUT the fifteen longest-stable
+#: driver-green rows: the six remaining r10-cohort rows es_intervals,
+#: es_scripted_metric, es_scroll, es_feature_queries, es_pit,
+#: es_combined_fields (green r10-r13) and nine of the r11 cohort
+#: es_match_english, es_percolate, es_geo_rings, es_ip_range,
+#: url_dedup, es_matrix_stats, es_t_test, es_join_aggs, ks_drift
+#: (green r11-r13) — all keep local DuckDB parity via
+#: demoted_goldens().  The r11 holdovers es_rescore / es_wrapper /
+#: es_named / es_scored_msearch stay in-window as the r15 demotion
+#: cohort.
 #: Window membership is just this list; goldens follow automatically.
 #: Round-11 new surfaces (VERDICT r10 #2-#7) enter as they land, each
 #: demoting the longest-stable driver-green row (all keep local DuckDB
@@ -4503,27 +4542,28 @@ def q_ks_drift(spark, sf_dir):
 #: es_msearch, green r9-r10); es_join_aggs (demotes window_ntile, green
 #: r10).
 DRIVER_WINDOW = [
-    "es_match_english", "es_percolate",
-    "es_geo_rings", "es_ip_range", "es_routing", "partition_counts",
+    "es_match_german", "es_match_italian",
+    "es_categorize_text", "es_change_point", "es_routing",
+    "partition_counts",
     "dedup_minhash", "dedup_components",
     "curation_pipeline",
     "es_rescore", "es_wrapper", "es_named", "es_scored_msearch",
-    "ks_drift",
-    "url_dedup",
+    "es_search_as_you_type",
+    "es_variable_width",
     "es_match_folded", "es_rate_normalize", "es_geo_shape",
     "image_dedup",
-    "es_join_aggs", "es_ip_prefix", "es_geo_line", "es_terms_enum",
+    "es_hex_grid", "es_ip_prefix", "es_geo_line", "es_terms_enum",
     "es_rank_eval", "es_bucket_correlation", "es_moving_percentiles",
     "es_knn_query", "downsample_tsdb", "es_frequent_items",
     "es_retriever_rrf",
-    "es_intervals",
-    "es_scripted_metric", "es_scroll", "es_feature_queries",
-    "es_pit",
-    "es_combined_fields", "es_termvectors", "es_sliced_export",
+    "es_extended_stats_bucket",
+    "es_cumulative_cardinality", "es_random_sampler", "es_time_series",
+    "es_response_fields",
+    "es_esql", "es_termvectors", "es_sliced_export",
     "snapshot_cdc", "token_budget",
     "audio_features", "video_frames", "pq_search",
     "dedup_incremental_minhash",
-    "es_matrix_stats", "es_t_test",
+    "es_esql_lookup", "quality_classifier",
     "streaming_ingest", "bulk_write", "bulk_write_http", "publish_swap",
 ]
 
@@ -4698,6 +4738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_time_series": q_es_time_series,
         "es_esql": q_es_esql,
         "es_esql_lookup": q_es_esql_lookup,
+        "es_esql_bucket": q_es_esql_bucket,
         "quality_classifier": q_quality_classifier,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -6080,6 +6121,20 @@ def _goldens_b() -> dict[str, str]:
             SELECT doc_id, score FROM s
             WHERE score >= 0.6
             ORDER BY doc_id
+        """,
+        "es_esql_bucket": """
+            SELECT date_trunc('hour', ts) AS h,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     AS total,
+                   max(value) AS peak,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d') AS day,
+                   CAST(extract(hour FROM date_trunc('hour', ts))
+                        AS BIGINT) AS hod
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1
+            ORDER BY h
         """,
         "es_esql_lookup": """
             SELECT n_name,

@@ -55,7 +55,11 @@ anchored regex), RLIKE, IS [NOT] NULL, CASE(cond, val, …, default),
 and a scalar-function whitelist (ABS CEIL FLOOR ROUND SQRT POW CONCAT
 LENGTH SUBSTRING TO_UPPER TO_LOWER TRIM LTRIM RTRIM STARTS_WITH
 ENDS_WITH COALESCE GREATEST LEAST TO_STRING TO_LONG TO_INT TO_DOUBLE
-DATE_TRUNC).  ``NOW()`` rejects (a lazily-re-evaluated now() would
+DATE_TRUNC DATE_FORMAT DATE_DIFF DATE_EXTRACT BUCKET
+MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG).  ``BUCKET(ts, 1 hour)`` /
+``BUCKET(v, 50)`` is the STATS-BY date/numeric histogram idiom
+(calendar spans via date_trunc, N-unit fixed spans via epoch
+flooring, numeric spans via floor-div).  ``NOW()`` rejects (a lazily-re-evaluated now() would
 break retry determinism — pass timestamps as literals).  Aggregates:
 COUNT(*) COUNT SUM AVG MIN MAX COUNT_DISTINCT MEDIAN PERCENTILE —
 SUM/AVG are decimal-routed like every additive float agg in this
@@ -368,6 +372,121 @@ class _P:
             arg = self.expr()
             self.expect_op(")")
             return F.date_trunc(unit, arg)
+        if fn == "BUCKET":
+            # ES|QL BUCKET(field, span): the date-histogram idiom of
+            # STATS … BY.  Two span forms (the 4-arg auto-range form
+            # rejects loudly — pick the span explicitly):
+            #   BUCKET(ts, 1 hour)   time span — calendar units
+            #     (week/month/quarter/year, count must be 1) compile to
+            #     date_trunc; fixed units (minute/hour/day) with count>1
+            #     compile to epoch flooring, aligned to the epoch like
+            #     ES date_histogram fixed_interval (timestamp_ntz inputs
+            #     assume the session timezone, which this engine pins to
+            #     UTC)
+            #   BUCKET(v, 50)        numeric span — floor(v/50)*50
+            arg = self.expr()
+            self.expect_op(",")
+            t = self.peek()
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            if t is not None and t[0] == "num" and nxt is not None \
+                    and nxt[0] == "id":
+                self.next()
+                unit_t = self.next()
+                self.expect_op(")")
+                count = int(t[1]) if "." not in t[1] else 0
+                unit = unit_t[1].lower().rstrip("s")
+                fixed = {"minute": 60, "hour": 3600, "day": 86400}
+                if unit in ("week", "month", "quarter", "year"):
+                    if count != 1:
+                        raise ValueError(
+                            f"ES|QL: BUCKET calendar span must be "
+                            f"1 {unit} (got {t[1]}{_at(t)})")
+                    return F.date_trunc(unit, arg)
+                if unit not in fixed or count < 1:
+                    raise ValueError(
+                        f"ES|QL: unsupported BUCKET span {t[1]} "
+                        f"{unit_t[1]}{_at(t)} (N minute|hour|day or "
+                        "1 week|month|quarter|year)")
+                if count == 1:
+                    return F.date_trunc(unit, arg)
+                secs = count * fixed[unit]
+                return F.timestamp_seconds(
+                    F.floor(arg.cast("timestamp").cast("double") / secs)
+                    * secs)
+            span = self.expr()
+            if self.peek() == ("op", ","):
+                raise ValueError(
+                    "ES|QL: the 4-argument auto-range BUCKET is not "
+                    "supported — pass the span explicitly, e.g. "
+                    "BUCKET(v, 50) or BUCKET(ts, 1 hour)")
+            self.expect_op(")")
+            return F.floor(arg / span) * span
+        if fn == "DATE_FORMAT":
+            # ES|QL: DATE_FORMAT("yyyy-MM-dd", date) — format FIRST,
+            # and it must be a literal (Spark's date_format takes a
+            # Python string, not a Column)
+            t = self.next()
+            if t[0] != "str":
+                raise ValueError(
+                    "ES|QL: DATE_FORMAT needs a literal format string "
+                    f"first{_at(t)}")
+            self.expect_op(",")
+            arg = self.expr()
+            self.expect_op(")")
+            return F.date_format(arg, t[1])
+        if fn == "DATE_DIFF":
+            # DATE_DIFF("hour", start, end): signed count of WHOLE
+            # fixed-width units from start to end, truncated toward
+            # zero (ES|QL semantics).  Calendar units (month/quarter/
+            # year) are calendar-dependent and reject loudly.
+            t = self.next()
+            if t[0] != "str":
+                raise ValueError(
+                    f"ES|QL: DATE_DIFF needs a literal unit first{_at(t)}")
+            unit = t[1].lower().rstrip("s")
+            secs = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 604800,
+                    "millisecond": 0.001}.get(unit)
+            if secs is None:
+                raise ValueError(
+                    f"ES|QL: unsupported DATE_DIFF unit {t[1]!r}{_at(t)} "
+                    "(millisecond|second|minute|hour|day|week — calendar "
+                    "units are not fixed-width)")
+            self.expect_op(",")
+            start = self.expr()
+            self.expect_op(",")
+            end = self.expr()
+            self.expect_op(")")
+            d = (end.cast("timestamp").cast("double")
+                 - start.cast("timestamp").cast("double"))
+            return (d / F.lit(float(secs))).cast("long")
+        if fn == "DATE_EXTRACT":
+            # DATE_EXTRACT("year", date) — java.time ChronoField names,
+            # case-insensitive, mapped to codegen date functions.
+            # DAY_OF_WEEK is ISO (Monday=1..Sunday=7), unlike Spark's
+            # dayofweek (Sunday=1) — weekday()+1 matches ChronoField.
+            t = self.next()
+            if t[0] != "str":
+                raise ValueError(
+                    f"ES|QL: DATE_EXTRACT needs a literal ChronoField "
+                    f"name first{_at(t)}")
+            field = t[1].lower()
+            builders = {
+                "year": F.year, "month_of_year": F.month,
+                "day_of_month": F.dayofmonth, "day_of_year": F.dayofyear,
+                "hour_of_day": F.hour, "minute_of_hour": F.minute,
+                "second_of_minute": F.second,
+                "day_of_week": lambda c: F.weekday(c) + F.lit(1),
+            }
+            if field not in builders:
+                raise ValueError(
+                    f"ES|QL: unsupported DATE_EXTRACT field "
+                    f"{t[1]!r}{_at(t)} (supported: "
+                    f"{' '.join(sorted(builders))})")
+            self.expect_op(",")
+            arg = self.expr()
+            self.expect_op(")")
+            return builders[field](arg).cast("long")
         args: list[Column] = []
         if self.peek() != ("op", ")"):
             args.append(self.expr())
@@ -409,6 +528,22 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
     # SUBSTRING is 1-based in ES|QL, like F.substring
     "SUBSTRING": lambda a: F.substring(a[0], a[1], a[2])
     if len(a) == 3 else F.substring(a[0], a[1], 2_147_483_647),
+    # MV_* multivalue functions: ES|QL multivalue fields are array
+    # columns here; null input → null (array_size/aggregate propagate),
+    # and MV_SUM/MV_AVG guard empties to null like a no-value field.
+    # All codegen higher-order functions — no UDF, no explode.
+    "MV_COUNT": lambda a: F.array_size(a[0]),
+    "MV_MIN": lambda a: F.array_min(a[0]),
+    "MV_MAX": lambda a: F.array_max(a[0]),
+    "MV_SUM": lambda a: F.when(
+        F.array_size(a[0]) > 0,
+        F.aggregate(a[0], F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"))),
+    "MV_AVG": lambda a: F.when(
+        F.array_size(a[0]) > 0,
+        F.aggregate(a[0], F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"))
+        / F.array_size(a[0])),
 }
 
 #: aggregates (STATS context only)
@@ -449,7 +584,8 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
             "ES|QL: NOW() is not supported (a lazily re-evaluated clock "
             "breaks retry determinism — pass the timestamp as a literal)")
     supported = " ".join(sorted(
-        [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "COUNT(*)"]))
+        [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
+         "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "COUNT(*)"]))
     raise ValueError(
         f"ES|QL: unsupported function {fn} (supported: {supported})")
 

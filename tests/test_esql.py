@@ -429,3 +429,98 @@ class TestR14Fixes:
         q = "FROM sales | WHERE id == 1 extra"
         with pytest.raises(ValueError, match=r"trailing tokens.*at col 28"):
             esql(catalog, q)
+
+
+class TestBucketAndDateFns:
+    """Round-14 additions: BUCKET() in STATS BY (VERDICT r13 #2) plus
+    DATE_FORMAT / DATE_DIFF / DATE_EXTRACT and the MV_* family."""
+
+    @pytest.fixture(scope="class")
+    def tcat(self, spark):
+        t = spark.createDataFrame(
+            [
+                (1, "2024-03-01 10:05:00", 12.0, [1.0, 2.0, 3.0]),
+                (2, "2024-03-01 10:55:00", 34.0, [5.0]),
+                (3, "2024-03-01 11:10:00", 77.0, None),
+                (4, "2024-03-02 23:59:59", 151.0, [2.0, 4.0]),
+            ],
+            "id long, ts_s string, v double, xs array<double>",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        return {"t": t}
+
+    def test_bucket_hourly_stats(self, tcat):
+        out = esql(tcat, '''
+            FROM t
+            | STATS n = COUNT(*), total = SUM(v)
+              BY h = BUCKET(ts, 1 hour)
+            | SORT h ASC
+        ''')
+        rows = [(str(r["h"]), r["n"], r["total"]) for r in out.collect()]
+        assert rows == [
+            ("2024-03-01 10:00:00", 2, 46.0),
+            ("2024-03-01 11:00:00", 1, 77.0),
+            ("2024-03-02 23:00:00", 1, 151.0)]
+
+    def test_bucket_fixed_multi_unit(self, tcat):
+        # 30-minute fixed span: epoch-aligned flooring
+        out = esql(tcat, '''
+            FROM t | WHERE id <= 2
+            | EVAL b = BUCKET(ts, 30 minutes) | KEEP id, b | SORT id ASC
+        ''')
+        got = [str(r["b"]) for r in out.collect()]
+        assert got == ["2024-03-01 10:00:00", "2024-03-01 10:30:00"]
+
+    def test_bucket_numeric_span(self, tcat):
+        out = esql(tcat, '''
+            FROM t | STATS n = COUNT(*) BY b = BUCKET(v, 50) | SORT b ASC
+        ''')
+        assert [(r["b"], r["n"]) for r in out.collect()] == [
+            (0.0, 2), (50.0, 1), (150.0, 1)]
+
+    def test_bucket_rejects(self, tcat):
+        with pytest.raises(ValueError, match="calendar span"):
+            esql(tcat, "FROM t | EVAL b = BUCKET(ts, 2 months)")
+        with pytest.raises(ValueError, match="auto-range"):
+            esql(tcat, "FROM t | EVAL b = BUCKET(v, 10, 0, 100)")
+
+    def test_date_format(self, tcat):
+        r = esql(tcat, '''
+            FROM t | WHERE id == 1
+            | EVAL d = DATE_FORMAT("yyyy/MM/dd HH", ts) | KEEP d
+        ''').first()
+        assert r["d"] == "2024/03/01 10"
+
+    def test_date_diff(self, tcat):
+        r = esql(tcat, '''
+            ROW a = 1
+            | EVAL h = DATE_DIFF("hour", TO_STRING("2024-03-01 08:00:00"),
+                                 TO_STRING("2024-03-01 10:30:00"))
+        ''').first()
+        assert r["h"] == 2
+        with pytest.raises(ValueError, match="not fixed-width"):
+            esql(tcat, 'FROM t | EVAL m = DATE_DIFF("month", ts, ts)')
+
+    def test_date_extract(self, tcat):
+        r = esql(tcat, '''
+            FROM t | WHERE id == 4
+            | EVAL y = DATE_EXTRACT("year", ts),
+                   dow = DATE_EXTRACT("day_of_week", ts),
+                   hh = DATE_EXTRACT("hour_of_day", ts)
+            | KEEP y, dow, hh
+        ''').first()
+        # 2024-03-02 is a Saturday: ChronoField DAY_OF_WEEK (ISO) = 6
+        assert (r["y"], r["dow"], r["hh"]) == (2024, 6, 23)
+
+    def test_mv_functions(self, tcat):
+        out = esql(tcat, '''
+            FROM t
+            | EVAL n = MV_COUNT(xs), lo = MV_MIN(xs), hi = MV_MAX(xs),
+                   s = MV_SUM(xs), a = MV_AVG(xs)
+            | KEEP id, n, lo, hi, s, a | SORT id ASC
+        ''')
+        rows = [(r["n"], r["lo"], r["hi"], r["s"], r["a"])
+                for r in out.collect()]
+        assert rows[0] == (3, 1.0, 3.0, 6.0, 2.0)
+        assert rows[1] == (1, 5.0, 5.0, 5.0, 5.0)
+        assert rows[2] == (None, None, None, None, None)
+        assert rows[3] == (2, 2.0, 4.0, 6.0, 3.0)
