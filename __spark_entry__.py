@@ -3796,6 +3796,54 @@ def q_es_esql_bucket(spark, sf_dir):
     ''')
 
 
+def q_es_esql_enrich(spark, sf_dir):
+    """ES|QL ``ENRICH`` (round 14, VERDICT r13 #3): the enrich-policy
+    join — the catalog models the policy's enrich index, and the
+    compiled shape is IDENTICAL to LOOKUP JOIN: an explicit BROADCAST
+    left join (plan-asserted in tests/test_esql.py), so the big side
+    never shuffles.  Only match-type ``match`` (equality) policies are
+    modeled; geo_match/range reject loudly.  WITH renames the enrich
+    fields in the projection, before the join."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    tables = {"customer": _t(spark, sf_dir, "customer"),
+              "nation": _t(spark, sf_dir, "nation")}
+    return esql(tables, '''
+        FROM customer
+        | WHERE c_acctbal > 1000
+        | RENAME c_nationkey AS n_nationkey
+        | ENRICH nation ON n_nationkey
+          WITH nation_name = n_name, region_key = n_regionkey
+        | STATS customers = COUNT(*), best = MAX(c_acctbal)
+          BY nation_name, region_key
+        | SORT nation_name ASC
+    ''')
+
+
+def q_es_esql_inlinestats(spark, sf_dir):
+    """ES|QL ``INLINESTATS`` (round 14, VERDICT r13 #3): window
+    aggregates over the unreduced frame — every row keeps its identity
+    and gains the group-level statistics, here the share-of-customer
+    decomposition of order totals.  Scale shape: ONE hash-partitioned
+    window on the BY key (a single shuffle, no join-back); the
+    ungrouped form compiles to the broadcast scalar crossJoin shape
+    instead of an empty global window (plan-asserted in
+    tests/test_esql.py).  SUM stays decimal-routed through the window
+    (order-exact, oracle-hashable)."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"orders": _t(spark, sf_dir, "orders")}, '''
+        FROM orders
+        | WHERE o_orderstatus == "F"
+        | INLINESTATS cust_total = SUM(o_totalprice), cust_n = COUNT(*)
+          BY o_custkey
+        | EVAL share = ROUND(o_totalprice / cust_total, 6)
+        | WHERE cust_n >= 4 AND share > 0.5
+        | KEEP o_orderkey, o_custkey, o_totalprice, cust_total, share
+        | SORT o_orderkey ASC
+    ''')
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality filter (round 13, operators/classify.py):
     the fastText-style linear classifier of the CCNet/GPT-3 curation
@@ -4739,6 +4787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql": q_es_esql,
         "es_esql_lookup": q_es_esql_lookup,
         "es_esql_bucket": q_es_esql_bucket,
+        "es_esql_enrich": q_es_esql_enrich,
+        "es_esql_inlinestats": q_es_esql_inlinestats,
         "quality_classifier": q_quality_classifier,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -6135,6 +6185,32 @@ def _goldens_b() -> dict[str, str]:
             WHERE value IS NOT NULL AND event_type IS NOT NULL
             GROUP BY 1
             ORDER BY h
+        """,
+        "es_esql_enrich": """
+            SELECT n_name AS nation_name,
+                   n_regionkey AS region_key,
+                   count(*) AS customers,
+                   max(c_acctbal) AS best
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 1000
+            GROUP BY 1, 2
+            ORDER BY nation_name
+        """,
+        "es_esql_inlinestats": """
+            WITH w AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                          OVER (PARTITION BY o_custkey) AS DOUBLE)
+                       AS cust_total,
+                     count(*) OVER (PARTITION BY o_custkey) AS cust_n
+              FROM orders
+              WHERE o_orderstatus = 'F'
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice, cust_total,
+                   round(o_totalprice / cust_total, 6) AS share
+            FROM w
+            WHERE cust_n >= 4 AND round(o_totalprice / cust_total, 6) > 0.5
+            ORDER BY o_orderkey
         """,
         "es_esql_lookup": """
             SELECT n_name,

@@ -40,6 +40,18 @@ anti-silent policy):
                                   lookup-index join; smallness is the
                                   contract, encoded as map-side hash —
                                   column collisions reject loudly)
+- ``ENRICH policy ON key [WITH [new =] field, …]``
+                                  enrich-policy join: the catalog holds
+                                  the policy's enrich index, match-type
+                                  'match' (equality) only — the same
+                                  broadcast-left-join scale shape as
+                                  LOOKUP JOIN
+- ``INLINESTATS name = AGG(…) [BY keys]``
+                                  window aggregates over the unreduced
+                                  frame: one hash-partitioned window
+                                  with BY keys; the ungrouped form uses
+                                  the broadcast scalar crossJoin shape
+                                  (never an empty global window)
 - ``DISSECT col "%{a} %{b}"``     delimiter extraction → one anchored
                                   regex, codegen; non-matching rows
                                   keep NULL fields like ES|QL
@@ -703,38 +715,169 @@ def _stage_stats(df: DataFrame, p: _P) -> DataFrame:
             ap.next()
     if not aggs:
         raise ValueError("ES|QL: STATS needs at least one aggregate")
-    keys: list[Column] = []
-    if by_i is not None:
-        kp = _P(p.toks[by_i + 1:])
-        while not kp.done():
-            t = kp.peek()
-            nxt = kp.toks[kp.i + 1] if kp.i + 1 < len(kp.toks) else None
-            if t[0] == "id" and nxt == ("op", "="):
-                kp.next()
-                kp.expect_op("=")
-                keys.append(kp.expr().alias(t[1]))
-            elif t[0] == "id" and nxt in (None, ("op", ",")):
-                # bare column key keeps its own name
-                kp.next()
-                keys.append(F.col(t[1]))
-            else:
-                # a computed key without a name would surface Catalyst's
-                # expression string as the column name — not a stable
-                # frame column; require  name = <expr>  (same contract
-                # as the aggregates)
-                raise ValueError(
-                    "ES|QL: computed BY keys need a name "
-                    "(BY name = <expr>)")
-            if kp.peek() == ("op", ","):
-                kp.next()
-            elif not kp.done():
-                raise ValueError(
-                    f"ES|QL: expected ',' between BY keys, got "
-                    f"{kp.peek()[1]!r}")
+    keys = [(e.alias(n) if e is not None else F.col(n))
+            for n, e in _parse_by_keys(p, by_i)]
     exprs = [e.alias(n) for n, e in aggs]
     if keys:
         return df.groupBy(*keys).agg(*exprs)
     return df.agg(*exprs)
+
+
+def _parse_by_keys(p: _P, by_i: int | None) -> list[tuple[str, Column | None]]:
+    """Parse a STATS/INLINESTATS BY key list into (name, expr) pairs —
+    expr is None for a bare column key (the name IS the column)."""
+    keys: list[tuple[str, Column | None]] = []
+    if by_i is None:
+        return keys
+    kp = _P(p.toks[by_i + 1:])
+    while not kp.done():
+        t = kp.peek()
+        nxt = kp.toks[kp.i + 1] if kp.i + 1 < len(kp.toks) else None
+        if t[0] == "id" and nxt == ("op", "="):
+            kp.next()
+            kp.expect_op("=")
+            keys.append((t[1], kp.expr()))
+        elif t[0] == "id" and nxt in (None, ("op", ",")):
+            # bare column key keeps its own name
+            kp.next()
+            keys.append((t[1], None))
+        else:
+            # a computed key without a name would surface Catalyst's
+            # expression string as the column name — not a stable
+            # frame column; require  name = <expr>  (same contract
+            # as the aggregates)
+            raise ValueError(
+                "ES|QL: computed BY keys need a name "
+                "(BY name = <expr>)")
+        if kp.peek() == ("op", ","):
+            kp.next()
+        elif not kp.done():
+            raise ValueError(
+                f"ES|QL: expected ',' between BY keys, got "
+                f"{kp.peek()[1]!r}{_at(kp.peek())}")
+    return keys
+
+
+#: INLINESTATS aggregate builders: kind → (plain agg Column for the
+#: ungrouped scalar path, window builder for the BY path).  The window
+#: builders apply .over() to the RAW window function and decimal-route
+#: outside it — a cast wrapped around sum() is not itself window-able.
+def _inline_agg(kind: str, args: list[Column]):
+    if kind == "COUNT_STAR":
+        return (F.count(F.lit(1)),
+                lambda w: F.count(F.lit(1)).over(w))
+    a0 = args[0]
+    if kind == "COUNT":
+        return F.count(a0), lambda w: F.count(a0).over(w)
+    if kind == "SUM":
+        dec = a0.cast("decimal(28,6)")
+        return (_decimal_sum(a0),
+                lambda w: F.sum(dec).over(w).cast("double"))
+    if kind == "AVG":
+        dec = a0.cast("decimal(28,6)")
+        return (_AGGS["AVG"](args),
+                lambda w: F.round((F.sum(dec).over(w)
+                                   / F.count(a0).over(w)).cast("double"), 6))
+    if kind == "MIN":
+        return F.min(a0), lambda w: F.min(a0).over(w)
+    if kind == "MAX":
+        return F.max(a0), lambda w: F.max(a0).over(w)
+    if kind == "MEDIAN":
+        return (F.percentile(a0, F.lit(0.5)),
+                lambda w: F.percentile(a0, F.lit(0.5)).over(w))
+    if kind == "PERCENTILE":
+        p = args[1] / F.lit(100.0)
+        return (F.percentile(a0, p),
+                lambda w: F.percentile(a0, p).over(w))
+    if kind == "COUNT_DISTINCT":
+        # distinct aggregates are not window-able; collect_set over the
+        # partition is the standard equivalent (bounded by per-group
+        # cardinality, the same contract as the grouped agg)
+        return (F.count_distinct(a0),
+                lambda w: F.array_size(F.collect_set(a0).over(w)))
+    raise ValueError(
+        f"ES|QL: unsupported INLINESTATS aggregate {kind} (supported: "
+        "COUNT(*) COUNT SUM AVG MIN MAX MEDIAN PERCENTILE "
+        "COUNT_DISTINCT)")
+
+
+def _stage_inlinestats(df: DataFrame, p: _P) -> DataFrame:
+    """INLINESTATS name = AGG(…)[, …] [BY keys] — ES|QL's window-
+    aggregate sibling of STATS: the frame keeps ALL its rows and gains
+    one column per aggregate, computed over the BY groups.
+
+    Scale shape: with BY keys this is ONE hash-partitioned window (a
+    single shuffle on the keys, no join-back); without keys the global
+    scalar is computed by a partial-aggregating df.agg() and attached
+    via the broadcast scalar crossJoin shape — NOT an empty-partition
+    global window, which would funnel every row through one task."""
+    from pyspark.sql import Window
+
+    by_i = None
+    depth = 0
+    for i in range(p.i, len(p.toks)):
+        t = p.toks[i]
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and t[0] == "id" and t[1].upper() == "BY":
+            by_i = i
+            break
+    ap = _P(p.toks[p.i:by_i if by_i is not None else len(p.toks)])
+    aggs: list[tuple[str, str, list[Column]]] = []
+    while not ap.done():
+        t = ap.next()
+        if t[0] != "id" or ap.peek() != ("op", "="):
+            raise ValueError(
+                "ES|QL: INLINESTATS aggregates need explicit names "
+                "(name = AGG(...)), like STATS")
+        ap.expect_op("=")
+        fn_t = ap.next()
+        if fn_t[0] != "id" or ap.peek() != ("op", "("):
+            raise ValueError(
+                "ES|QL: INLINESTATS expects a direct aggregate call "
+                f"(name = AGG(...)), got {fn_t[1]!r}{_at(fn_t)}")
+        ap.next()
+        kind = fn_t[1].upper()
+        args: list[Column] = []
+        if kind == "COUNT" and ap.peek() == ("op", "*"):
+            ap.next()
+            kind = "COUNT_STAR"
+        elif ap.peek() != ("op", ")"):
+            args.append(ap.expr())
+            while ap.peek() == ("op", ","):
+                ap.next()
+                args.append(ap.expr())
+        ap.expect_op(")")
+        aggs.append((t[1], kind, args))
+        if ap.peek() == ("op", ","):
+            ap.next()
+        elif not ap.done():
+            raise ValueError(
+                f"ES|QL: expected ',' between INLINESTATS aggregates, "
+                f"got {ap.peek()[1]!r}{_at(ap.peek())}")
+    if not aggs:
+        raise ValueError("ES|QL: INLINESTATS needs at least one aggregate")
+    keys = _parse_by_keys(p, by_i)
+    compiled = [(n, _inline_agg(kind, args)) for n, kind, args in aggs]
+    if keys:
+        # computed keys materialize as columns first (ES|QL keeps them
+        # in the output frame), bare keys partition directly
+        for name, expr in keys:
+            if expr is not None:
+                df = df.withColumn(name, expr)
+        w = Window.partitionBy(*[name for name, _ in keys])
+        for name, (_, win_builder) in compiled:
+            df = df.withColumn(name, win_builder(w))
+        return df
+    scalars = df.agg(*[plain.alias(n) for n, (plain, _) in compiled])
+    clash = [n for n, _ in compiled if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"ES|QL: INLINESTATS name(s) {clash} already exist in the "
+            "frame (RENAME or DROP first)")
+    return df.crossJoin(F.broadcast(scalars))
 
 
 def _stage_sort(df: DataFrame, p: _P) -> DataFrame:
@@ -898,6 +1041,88 @@ def _extract_groups(
     return df
 
 
+def _stage_enrich(df: DataFrame, p: _P,
+                  tables: Mapping[str, DataFrame]) -> DataFrame:
+    """ENRICH policy ON match_field [WITH [new =] field, …] — ES|QL's
+    enrich-policy join.  The catalog models the policy's enrich index:
+    ``tables[policy]`` is the materialized policy frame whose match
+    column carries the SAME name as the ON field (an enrich policy's
+    match_field, by construction of the policy execution).  Only
+    match-type ``match`` (equality) semantics are modeled — ES's
+    geo_match/range policies have no equality key and reject loudly at
+    the missing-column check.  WITH picks (and renames) the enrich
+    fields; omitting it takes every non-key policy column.  Scale
+    shape: identical to LOOKUP JOIN — an explicit BROADCAST left join,
+    the big side never shuffles.  Collisions with existing columns
+    reject loudly instead of ES's silent lookup-side precedence."""
+    pol_t = p.next()
+    if pol_t[0] != "id":
+        raise ValueError(
+            f"ES|QL: ENRICH needs a policy name{_at(pol_t)}")
+    if p.done() or p.peek_kw() != "ON":
+        raise ValueError(
+            "ES|QL: ENRICH requires an explicit ON match_field (the "
+            "catalog carries no policy metadata to default from)")
+    p.next()
+    key_t = p.next()
+    if key_t[0] != "id":
+        raise ValueError(
+            f"ES|QL: ENRICH ON needs a column name{_at(key_t)}")
+    key = key_t[1]
+    picks: list[tuple[str, str]] = []  # (output name, policy column)
+    if not p.done():
+        with_t = p.next()
+        if with_t[0] != "id" or with_t[1].upper() != "WITH":
+            raise ValueError(
+                f"ES|QL: expected WITH, got {with_t[1]!r}{_at(with_t)}")
+        while not p.done():
+            a = p.next()
+            if a[0] != "id":
+                raise ValueError(
+                    f"ES|QL: expected a field name, got {a[1]!r}{_at(a)}")
+            if p.peek() == ("op", "="):
+                p.next()
+                b = p.next()
+                if b[0] != "id":
+                    raise ValueError(
+                        f"ES|QL: expected a policy field after '=', got "
+                        f"{b[1]!r}{_at(b)}")
+                picks.append((a[1], b[1]))
+            else:
+                picks.append((a[1], a[1]))
+            if p.peek() == ("op", ","):
+                p.next()
+            elif not p.done():
+                raise ValueError(
+                    f"ES|QL: expected ',' between WITH fields, got "
+                    f"{p.peek()[1]!r}{_at(p.peek())}")
+    if pol_t[1] not in tables:
+        raise ValueError(
+            f"ES|QL: unknown enrich policy {pol_t[1]!r} "
+            f"(catalog: {sorted(tables)})")
+    pol = tables[pol_t[1]]
+    if key not in df.columns or key not in pol.columns:
+        raise ValueError(
+            f"ES|QL: ENRICH match field {key!r} must exist on both the "
+            f"frame and the policy index (frame: {df.columns}, policy: "
+            f"{pol.columns}) — only match-type 'match' (equality) "
+            "policies are modeled; geo_match/range have no equality key")
+    if not picks:
+        picks = [(c, c) for c in pol.columns if c != key]
+    missing = [src for _, src in picks if src not in pol.columns]
+    if missing:
+        raise ValueError(
+            f"ES|QL: enrich field(s) {missing} not in policy index "
+            f"(have {pol.columns})")
+    clash = [out for out, _ in picks if out in df.columns]
+    if clash:
+        raise ValueError(
+            f"ES|QL: enrich output column(s) {clash} collide with "
+            "existing columns (WITH new_name = field, or RENAME first)")
+    proj = pol.select(key, *[F.col(src).alias(out) for out, src in picks])
+    return df.join(F.broadcast(proj), on=key, how="left")
+
+
 def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
     """Compile one ES|QL pipeline against the given table mapping.
 
@@ -956,6 +1181,10 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
             df = _stage_eval(df, p)
         elif up == "STATS":
             df = _stage_stats(df, p)
+        elif up == "INLINESTATS":
+            df = _stage_inlinestats(df, p)
+        elif up == "ENRICH":
+            df = _stage_enrich(df, p, tables)
         elif up == "SORT":
             df = _stage_sort(df, p)
         elif up == "LIMIT":
@@ -1054,7 +1283,6 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
         else:
             raise ValueError(
                 f"ES|QL: unsupported command {up} (supported: WHERE EVAL "
-                "STATS SORT LIMIT KEEP DROP RENAME MV_EXPAND LOOKUP JOIN "
-                "DISSECT GROK; ENRICH is not implemented — model the "
-                "policy index as a LOOKUP JOIN)")
+                "STATS INLINESTATS SORT LIMIT KEEP DROP RENAME MV_EXPAND "
+                "LOOKUP JOIN ENRICH DISSECT GROK)")
     return df

@@ -157,11 +157,11 @@ class TestExpressions:
 
 class TestRejects:
     def test_unknown_command(self, catalog):
-        # GROK/DISSECT/LOOKUP JOIN became supported later in round 13;
-        # INLINESTATS stays a representative unknown
-        with pytest.raises(ValueError,
-                           match="unsupported command INLINESTATS"):
-            esql(catalog, "FROM sales | INLINESTATS n = COUNT(*)")
+        # GROK/DISSECT/LOOKUP JOIN became supported in round 13,
+        # ENRICH/INLINESTATS in round 14; FORK stays a representative
+        # unknown
+        with pytest.raises(ValueError, match="unsupported command FORK"):
+            esql(catalog, "FROM sales | FORK (WHERE id == 1)")
 
     def test_unknown_index(self, catalog):
         with pytest.raises(ValueError, match="unknown index"):
@@ -324,9 +324,39 @@ class TestLookupDissectGrok:
         with pytest.raises(ValueError, match="GROK conversion"):
             esql(cat2, 'FROM logs | GROK msg "%{INT:n:decimal}"')
 
-    def test_enrich_points_to_lookup(self, cat2):
-        with pytest.raises(ValueError, match="LOOKUP JOIN"):
-            esql(cat2, 'FROM logs | ENRICH policy ON host')
+    def test_enrich_basic(self, cat2):
+        out = esql(cat2, '''
+            FROM logs
+            | ENRICH hosts ON host
+            | KEEP id, region | SORT id ASC
+        ''')
+        assert [(r["id"], r["region"]) for r in out.collect()] == [
+            (1, "eu"), (2, "us"), (3, "eu")]
+        plan = esql(cat2, "FROM logs | ENRICH hosts ON host") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_enrich_with_rename(self, cat2):
+        out = esql(cat2, '''
+            FROM logs
+            | ENRICH hosts ON host WITH zone = region
+            | KEEP id, zone | SORT id ASC
+        ''').first()
+        assert out["zone"] == "eu"
+
+    def test_enrich_rejects(self, cat2):
+        with pytest.raises(ValueError, match="unknown enrich policy"):
+            esql(cat2, "FROM logs | ENRICH nope ON host")
+        with pytest.raises(ValueError, match="match-type 'match'"):
+            esql(cat2, "FROM logs | ENRICH hosts ON region")
+        with pytest.raises(ValueError, match="explicit ON"):
+            esql(cat2, "FROM logs | ENRICH hosts")
+        with pytest.raises(ValueError, match="not in policy"):
+            esql(cat2, "FROM logs | ENRICH hosts ON host WITH nope")
+        clash = dict(cat2)
+        clash["bad"] = cat2["hosts"].withColumnRenamed("region", "msg")
+        with pytest.raises(ValueError, match="collide"):
+            esql(clash, "FROM logs | ENRICH bad ON host")
 
 
 class TestDissectGrokHardening:
@@ -524,3 +554,69 @@ class TestBucketAndDateFns:
         assert rows[1] == (1, 5.0, 5.0, 5.0, 5.0)
         assert rows[2] == (None, None, None, None, None)
         assert rows[3] == (2, 2.0, 4.0, 6.0, 3.0)
+
+
+class TestInlinestats:
+    """INLINESTATS (round 14, VERDICT r13 #3): window aggregates over
+    the unreduced frame."""
+
+    def test_by_keys_window(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | INLINESTATS cat_total = SUM(amount), cat_n = COUNT(*)
+              BY cat
+            | KEEP id, cat, amount, cat_total, cat_n
+            | SORT id ASC
+        ''')
+        rows = [(r["cat_total"], r["cat_n"]) for r in out.collect()]
+        assert rows == [(30.5, 2), (30.5, 2), (120.0, 3), (120.0, 3),
+                        (120.0, 3)]
+        # every row kept — that's the STATS difference
+        assert len(rows) == 5
+
+    def test_computed_key_materializes(self, catalog):
+        out = esql(catalog, '''
+            FROM sales
+            | INLINESTATS n = COUNT(*) BY big = amount >= 30
+            | KEEP id, big, n | SORT id ASC
+        ''')
+        rows = [(r["big"], r["n"]) for r in out.collect()]
+        assert rows == [(False, 2), (False, 2), (True, 3), (True, 3),
+                        (True, 3)]
+
+    def test_ungrouped_is_broadcast_scalar(self, catalog):
+        q = '''
+            FROM sales
+            | INLINESTATS grand = SUM(amount), mx = MAX(amount)
+            | KEEP id, grand, mx | SORT id ASC
+        '''
+        out = esql(catalog, q)
+        assert [(r["grand"], r["mx"]) for r in out.collect()] == [
+            (150.5, 50.0)] * 5
+        plan = esql(catalog, q)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # the global scalar attaches via broadcast crossJoin, not an
+        # empty-partition global window
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Window" not in plan
+
+    def test_median_and_count_distinct(self, catalog):
+        r = esql(catalog, '''
+            FROM sales
+            | INLINESTATS med = MEDIAN(amount),
+                          colors = COUNT_DISTINCT(color) BY cat
+            | WHERE id == 3 | KEEP med, colors
+        ''').first()
+        assert r["med"] == 40.0
+        assert r["colors"] == 2
+
+    def test_rejects(self, catalog):
+        with pytest.raises(ValueError, match="explicit names"):
+            esql(catalog, "FROM sales | INLINESTATS COUNT(*)")
+        with pytest.raises(ValueError, match="direct aggregate call"):
+            esql(catalog, "FROM sales | INLINESTATS x = amount + 1")
+        with pytest.raises(ValueError,
+                           match="unsupported INLINESTATS aggregate"):
+            esql(catalog, "FROM sales | INLINESTATS x = LENGTH(cat)")
+        with pytest.raises(ValueError, match="already exist"):
+            esql(catalog, "FROM sales | INLINESTATS amount = COUNT(*)")
