@@ -3796,6 +3796,38 @@ def q_es_esql_bucket(spark, sf_dir):
     ''')
 
 
+#: es_sparse_vector query expansion — ONE constant feeds both the Spark
+#: query and the DuckDB oracle (lockstep, like the classifier weights)
+_SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
+
+
+def q_es_sparse_vector(spark, sf_dir):
+    """ES 8.15 ``sparse_vector`` query (round 14, VERDICT r13 #4):
+    ELSER-style learned-sparse retrieval — score = Σ_t qv[t]·doc[t]
+    over the query expansion's tokens.  The doc side is a
+    map<token,double> column (here the honest tf encoder
+    ``sparse_tf_vector``, one let-bound analyzed stream, all codegen);
+    the query vector is a plan literal, so the dot product unrolls into
+    codegen exactly like the classifier's map shape
+    (operators/classify.py) — zero shuffle, zero UDF, top-k via
+    TakeOrderedAndProject (plan-asserted, tests/test_scoring.py).
+    Per-term products round to 6 decimals before DECIMAL(28,6)
+    addition (the BM25-family convention), so the oracle replays the
+    sum hash-identically."""
+    from hive2es_offline_spark.plans.scoring import (
+        es_scored_search, sparse_tf_vector)
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.withColumn("tok_w", sparse_tf_vector("text"))
+    body = {
+        "query": {"sparse_vector": {"field": "tok_w",
+                                    "query_vector": dict(_SPV_QV)}},
+        "size": 25,
+        "_source": ["doc_id", "source"],
+    }
+    return es_scored_search(docs, body, id_field="doc_id")
+
+
 def q_es_esql_enrich(spark, sf_dir):
     """ES|QL ``ENRICH`` (round 14, VERDICT r13 #3): the enrich-policy
     join — the catalog models the policy's enrich index, and the
@@ -4787,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql": q_es_esql,
         "es_esql_lookup": q_es_esql_lookup,
         "es_esql_bucket": q_es_esql_bucket,
+        "es_sparse_vector": q_es_sparse_vector,
         "es_esql_enrich": q_es_esql_enrich,
         "es_esql_inlinestats": q_es_esql_inlinestats,
         "quality_classifier": q_quality_classifier,
@@ -6185,6 +6218,24 @@ def _goldens_b() -> dict[str, str]:
             WHERE value IS NOT NULL AND event_type IS NOT NULL
             GROUP BY 1
             ORDER BY h
+        """,
+        "es_sparse_vector": f"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     {_duck_toks('text', 'standard')} AS toks
+              FROM documents
+            )
+            SELECT doc_id, source,
+                   CAST({' + '.join(
+                       f"CAST(round(len(list_filter(toks, t -> t = '{t}'))"
+                       f" * {w}, 6) AS DECIMAL(28,6))"
+                       for t, w in sorted(_SPV_QV.items()))}
+                     AS DOUBLE) AS _score
+            FROM tok
+            WHERE {' OR '.join(
+                f"list_contains(toks, '{t}')" for t in sorted(_SPV_QV))}
+            ORDER BY _score DESC, doc_id ASC
+            LIMIT 25
         """,
         "es_esql_enrich": """
             SELECT n_name AS nation_name,

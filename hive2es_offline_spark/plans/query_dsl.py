@@ -1772,6 +1772,32 @@ def compile_query(
         return c.isNotNull() & (c > 0)
     if kind == "distance_feature":
         return col(body["field"]).isNotNull()
+    if kind == "sparse_vector":
+        # ES 8.15 sparse_vector (ELSER-style learned-sparse retrieval):
+        # filter context matches docs whose sparse-vector map shares at
+        # least one token with the query vector.  The doc field is a
+        # map<string,double> column (the flat-frame rendering of a
+        # sparse_vector/rank_features field); the query vector must be
+        # an explicit token→weight map — inference_id/query (server-side
+        # embedding through an inference endpoint) has no model here and
+        # rejects loudly.  Scoring in plans/scoring.py.
+        unknown = set(body) - {"field", "query_vector", "boost"}
+        if unknown:
+            raise ValueError(
+                f"unsupported sparse_vector option(s): {sorted(unknown)} "
+                "(inference_id/query need an inference endpoint — pass "
+                "the expansion as query_vector; prune/pruning_config "
+                "depend on corpus statistics this engine will not guess)")
+        qv = body.get("query_vector")
+        if not isinstance(qv, dict) or not qv:
+            raise ValueError(
+                "sparse_vector needs a non-empty query_vector map "
+                "(token -> weight)")
+        m = col(body["field"])
+        out = F.lit(False)
+        for t in sorted(qv):
+            out = out | m.getItem(str(t)).isNotNull()
+        return out
     if kind == "span_term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec

@@ -66,7 +66,31 @@ from .analysis import analyze_text as _analyze_terms
 from .query_dsl import compile_query
 
 __all__ = ["es_scored_search", "es_retriever_search", "score_frame",
-           "with_shared_analysis"]
+           "with_shared_analysis", "sparse_tf_vector"]
+
+
+def sparse_tf_vector(text, analyzer: str | None = None):
+    """Term-frequency sparse vector (``map<token,double>``) from a text
+    column — the honest doc-side encoder for the ``sparse_vector``
+    query when the corpus has no model-produced (ELSER) expansions:
+    weight(t) = tf(t) over the analyzed stream.
+
+    Scale shape: the analyzed token array is LET-BOUND so the analysis
+    chain evaluates ONCE per row (the r13 slice-in-HOF lesson), then
+    the map builds via array_distinct + a counting filter — all codegen
+    higher-order functions, no UDF, no shuffle; O(distinct × len)
+    comparisons per row on in-register tokens."""
+    from .analysis import let_cols
+
+    toks = analyze_col(F.col(text) if isinstance(text, str) else text,
+                       analyzer)
+    return let_cols([toks], lambda ts: F.map_from_entries(
+        F.transform(
+            F.array_distinct(ts[0]),
+            lambda t: F.struct(
+                t.alias("key"),
+                F.size(F.filter(ts[0], lambda x: x == t))
+                .cast("double").alias("value")))))
 
 #: clauses that score as the constant 1.0 when they match (ES's
 #: filter-to-query rewrite wraps them in a constant score)
@@ -562,6 +586,27 @@ class _ScoreCompiler:
                 ).cast("double")
             s = F.lit(float(pv)) / (F.lit(float(pv)) + dist)
             return F.when(pred, F.round(s * F.lit(boost), 6)
+                          ).otherwise(F.lit(0.0))
+        if kind == "sparse_vector":
+            # learned-sparse dot product: Σ_t qv[t] * doc_map[t] over
+            # the QUERY vector's tokens — the query expansion is small
+            # (ELSER prunes to ~dozens of tokens), so the sum unrolls
+            # into codegen plan literals exactly like the classifier's
+            # map shape (operators/classify.py): zero shuffle, zero UDF,
+            # the score rides the scan.  Per-term products round to 6
+            # decimals before DECIMAL(28,6) addition, so the sum is
+            # order-exact and an ANSI oracle replays it hash-identically
+            # (the BM25-family convention).  Validation in
+            # plans/query_dsl.py's filter branch.
+            m = F.col(body["field"])
+            qv = body["query_vector"]
+            total: Column = F.lit(0).cast("decimal(28,6)")
+            for t in sorted(qv):
+                total = total + F.round(
+                    F.coalesce(m.getItem(str(t)), F.lit(0.0))
+                    * F.lit(float(qv[t])), 6).cast("decimal(28,6)")
+            boost = float(body.get("boost", 1.0))
+            return F.when(pred, total.cast("double") * F.lit(boost)
                           ).otherwise(F.lit(0.0))
         if kind == "function_score":
             return self._function_score(body)

@@ -1463,3 +1463,90 @@ def test_filter_context_slice_rejects_knn(spark):
         tagged, {**body, "slice": {"id": i, "max": 2}},
         id_field="doc_id").collect()) for i in range(2)]
     assert sorted(parts[0] + parts[1]) == full
+
+
+class TestSparseVector:
+    """ES 8.15 sparse_vector query (round 14, VERDICT r13 #4):
+    learned-sparse token-weight dot product over a map column."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, {"merge": 2.0, "stream": 1.0}),
+                (2, {"stream": 3.0, "batch": 1.0}),
+                (3, {"batch": 4.0}),
+                (4, None),
+            ],
+            "doc_id long, toks map<string,double>")
+
+    def test_dot_product_scores(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        out = es_scored_search(docs, {
+            "query": {"sparse_vector": {
+                "field": "toks",
+                "query_vector": {"merge": 1.5, "stream": 0.5}}},
+            "size": 10, "_source": ["doc_id"],
+        }, id_field="doc_id")
+        rows = [(r["doc_id"], r["_score"]) for r in out.collect()]
+        # doc1: 2*1.5 + 1*0.5 = 3.5; doc2: 3*0.5 = 1.5; doc3/4 no hit
+        assert rows == [(1, 3.5), (2, 1.5)]
+
+    def test_boost_and_missing_tokens(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        out = es_scored_search(docs, {
+            "query": {"sparse_vector": {
+                "field": "toks", "boost": 2.0,
+                "query_vector": {"batch": 1.0, "nope": 9.0}}},
+            "size": 10, "_source": ["doc_id"],
+        }, id_field="doc_id")
+        rows = [(r["doc_id"], r["_score"]) for r in out.collect()]
+        assert rows == [(3, 8.0), (2, 2.0)]
+
+    def test_filter_context(self, docs):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        out = es_search(docs, {
+            "query": {"sparse_vector": {
+                "field": "toks", "query_vector": {"stream": 1.0}}},
+            "size": 10, "_source": ["doc_id"],
+        }, id_field="doc_id")
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+    def test_rejects(self, docs):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        with pytest.raises(ValueError, match="inference endpoint"):
+            es_search(docs, {"query": {"sparse_vector": {
+                "field": "toks", "inference_id": "elser",
+                "query": "merge"}}, "size": 1}, id_field="doc_id")
+        with pytest.raises(ValueError, match="non-empty query_vector"):
+            es_search(docs, {"query": {"sparse_vector": {
+                "field": "toks", "query_vector": {}}}, "size": 1},
+                id_field="doc_id")
+
+    def test_sparse_tf_vector_encoder(self, spark):
+        from hive2es_offline_spark.plans.scoring import sparse_tf_vector
+
+        df = spark.createDataFrame(
+            [(1, "the stream merges the stream"), (2, None)],
+            "doc_id long, text string")
+        out = df.select("doc_id",
+                        sparse_tf_vector("text").alias("m")).collect()
+        m = out[0]["m"]
+        assert m["stream"] == 2.0 and m["merges"] == 1.0
+        assert out[1]["m"] is None
+
+    def test_no_exchange_plan(self, docs):
+        # the score rides the scan: no shuffle in the scoring stage
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        plan = es_scored_search(docs, {
+            "query": {"sparse_vector": {
+                "field": "toks", "query_vector": {"merge": 1.0}}},
+            "size": 5, "_source": ["doc_id"],
+        }, id_field="doc_id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
