@@ -3482,6 +3482,114 @@ def q_es_match_italian(spark, sf_dir):
     return es_search(d, body, id_field="doc_id", analyzer="italian")
 
 
+#: deterministic Russian vocabulary for the es_match_russian golden —
+#: case/number surface forms, ё spellings, and stopwords so the folded
+#: russian chain has real work to do; doc_id arithmetic as usual
+_RU_WORDS = [
+    "Книгами", "книгах", "книга", "красного", "красный", "ещё",
+    "истории", "историями", "цвета", "ёлка", "дома", "ничего",
+]
+
+
+def _ru_text_col():
+    k = F.col("doc_id")
+    return F.concat_ws(
+        " ",
+        F.element_at(F.lit(_RU_WORDS), (k % 12).cast("int") + 1),
+        F.element_at(F.lit(_RU_WORDS),
+                     ((k / F.lit(5)).cast("long") % 12).cast("int") + 1),
+        F.element_at(F.lit(_RU_WORDS), ((k * 7 + 3) % 12).cast("int") + 1),
+    )
+
+
+def _ru_text_sql() -> str:
+    words = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _RU_WORDS) + "]"
+    return (f"({words}[(doc_id % 12) + 1] || ' ' || "
+            f"{words}[((doc_id // 5) % 12) + 1] || ' ' || "
+            f"{words}[(((doc_id * 7) + 3) % 12) + 1])")
+
+
+def q_es_match_russian(spark, sf_dir):
+    """The built-in russian chain on the match surface (round 14,
+    VERDICT r13 #6): fold (the table's Cyrillic ё→е row — ёлка/елка
+    spell one word) → folded russian stop set → Savoy-class light
+    Cyrillic stemmer (case/number suffix drops + soft-sign/нн
+    normalize), all codegen anchored regexes over literal Cyrillic
+    (plans/analysis.py).  Query "красный книга" hits
+    книгами/книгах/красного docs — case-, number- and ё-blind matching.
+    Same deterministic text synthesis + one-grammar oracle lockstep as
+    es_match_german; the chain is re-fuzzed for the stem-prefix guard
+    and 3-way grammar parity in tests/test_analysis.py."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents").withColumn("rtext", _ru_text_col())
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"rtext": "красный книга"}}],
+            "filter": [{"range": {"n_chars": {"gte": 150}}}],
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 40,
+        "_source": ["doc_id", "source", "rtext"],
+    }
+    return es_search(d, body, id_field="doc_id", analyzer="russian")
+
+
+#: deterministic CJK vocabulary for the es_match_cjk golden — Han,
+#: hiragana, katakana and hangul runs plus Latin tokens riding along
+_CJ_WORDS = [
+    "東京都", "京都は", "大阪", "日本語", "ひらがな", "カタカナ",
+    "한국어", "中", "tokyo", "the", "漢字テスト", "書店",
+]
+
+
+def _cj_text_col():
+    k = F.col("doc_id")
+    return F.concat_ws(
+        " ",
+        F.element_at(F.lit(_CJ_WORDS), (k % 12).cast("int") + 1),
+        F.element_at(F.lit(_CJ_WORDS),
+                     ((k / F.lit(5)).cast("long") % 12).cast("int") + 1),
+        F.element_at(F.lit(_CJ_WORDS), ((k * 7 + 3) % 12).cast("int") + 1),
+    )
+
+
+def _cj_text_sql() -> str:
+    words = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _CJ_WORDS) + "]"
+    return (f"({words}[(doc_id % 12) + 1] || ' ' || "
+            f"{words}[((doc_id // 5) % 12) + 1] || ' ' || "
+            f"{words}[(((doc_id * 7) + 3) % 12) + 1])")
+
+
+def q_es_match_cjk(spark, sf_dir):
+    """The honest ``cjk`` bigram chain on the match surface (round 14,
+    VERDICT r13 #6): ES's stock cjk analyzer — CJK script runs kept
+    whole by the cjk tokenizer, then each run turned into overlapping
+    2-grams (a lone char stays a unigram), English stops for the Latin
+    tokens riding along; no stemmer, no UDF, one flatten(transform)
+    codegen pass (plans/analysis.py).  Query "東京都" analyzes to the
+    bigrams [東京, 京都], so it hits 東京都 docs on both shingles and
+    京都は docs on the second — exactly Lucene CJKBigramFilter recall.
+    Same synthesis + oracle lockstep as the other chain goldens; 3-way
+    grammar parity (incl. mixed-script splits) in
+    tests/test_analysis.py."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents").withColumn("ctext", _cj_text_col())
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"ctext": "東京都"}}],
+            "filter": [{"range": {"n_chars": {"gte": 150}}}],
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 40,
+        "_source": ["doc_id", "source", "ctext"],
+    }
+    return es_search(d, body, id_field="doc_id", analyzer="cjk")
+
+
 def q_es_match_german(spark, sf_dir):
     """The built-in german chain on the match surface (VERDICT r12 #3):
     asciifolding (the german_normalization approximation — ü→u, ß→ss,
@@ -4806,6 +4914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-13 fodder (r14 window candidates, local goldens for now)
         "es_match_german": q_es_match_german,
         "es_match_italian": q_es_match_italian,
+        "es_match_russian": q_es_match_russian,
+        "es_match_cjk": q_es_match_cjk,
         "es_categorize_text": q_es_categorize_text,
         "es_change_point": q_es_change_point,
         "es_search_as_you_type": q_es_search_as_you_type,
@@ -5691,6 +5801,17 @@ def _goldens_b() -> dict[str, str]:
     _it_or = " OR ".join(
         f"list_contains({_it_frag}, '{t}')" for t in _it_terms)
 
+    # es_match_russian / es_match_cjk: same lockstep for the round-14
+    # Cyrillic and bigram chains
+    _ru_frag = _duck_toks("rtext", "russian")
+    _ru_terms = _an_text("красный книга", "russian")
+    _ru_or = " OR ".join(
+        f"list_contains({_ru_frag}, '{t}')" for t in _ru_terms)
+    _cj_frag = _duck_toks("ctext", "cjk")
+    _cj_terms = _an_text("東京都", "cjk")
+    _cj_or = " OR ".join(
+        f"list_contains({_cj_frag}, '{t}')" for t in _cj_terms)
+
     # es_search_as_you_type: the per-subfield query shingles and the
     # document shingle lists both come from plans/analysis.py (one
     # grammar, three renderings), so engine and oracle cannot drift
@@ -6030,6 +6151,26 @@ def _goldens_b() -> dict[str, str]:
               FROM documents
             )
             WHERE ({_it_or})
+              AND n_chars >= 150
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
+        "es_match_russian": f"""
+            SELECT doc_id, source, rtext FROM (
+              SELECT doc_id, source, n_chars, {_ru_text_sql()} AS rtext
+              FROM documents
+            )
+            WHERE ({_ru_or})
+              AND n_chars >= 150
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
+        "es_match_cjk": f"""
+            SELECT doc_id, source, ctext FROM (
+              SELECT doc_id, source, n_chars, {_cj_text_sql()} AS ctext
+              FROM documents
+            )
+            WHERE ({_cj_or})
               AND n_chars >= 150
             ORDER BY doc_id ASC
             LIMIT 40

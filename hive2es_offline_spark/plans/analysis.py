@@ -77,6 +77,7 @@ __all__ = [
     "DUCKDB_TOKEN_RE", "ANALYZERS", "register_analyzer", "analyzer_names",
     "ENGLISH_STOPWORDS", "FRENCH_STOPWORDS", "GERMAN_STOPWORDS",
     "SPANISH_STOPWORDS", "ITALIAN_STOPWORDS", "PORTUGUESE_STOPWORDS",
+    "RUSSIAN_STOPWORDS",
     "stem_text", "fold_text",
     "sayt_subfield", "shingle_col", "shingle_terms", "duckdb_shingles",
 ]
@@ -87,6 +88,27 @@ _JAVA_TOKEN = r"[\p{L}\p{N}_]+(?:['.][\p{L}\p{N}_]+)*"
 _PY_TOKEN = re.compile(r"\w+(?:['.]\w+)*")
 #: RE2 (DuckDB regexp_extract_all) — same classes as the Java pattern.
 DUCKDB_TOKEN_RE = r"[\p{L}\p{N}_]+(?:['.][\p{L}\p{N}_]+)*"
+
+#: CJK codepoint ranges (round 14) — ONE literal-range table shared by
+#: all three renderings, so Java \p{IsHan}-vs-RE2 \p{Han} edge-class
+#: differences cannot desync them: hiragana+katakana, CJK Extension A,
+#: CJK Unified, CJK Compatibility, hangul syllables.
+_CJK_RANGES = ("぀-ヿ" "㐀-䶿" "一-鿿"
+               "豈-﫿" "가-힯")
+#: the ``cjk`` tokenizer splits CJK script RUNS from other word runs
+#: (the flat approximation of Lucene's StandardTokenizer ideographic
+#: handling); the apostrophe/dot joining of the standard grammar is
+#: dropped (CJK text has neither).  Java renders word-minus-CJK with
+#: class intersection, Python with \w double negation, RE2 with a
+#: \P{L}-negated class + digit/underscore alternation — three dialects,
+#: one semantics (property-tested three-way).
+_JAVA_CJK_TOKEN = (f"[{_CJK_RANGES}]+"
+                   f"|[\\p{{L}}\\p{{N}}_&&[^{_CJK_RANGES}]]+")
+_PY_CJK_TOKEN = re.compile(f"[{_CJK_RANGES}]+|[^\\W{_CJK_RANGES}]+")
+_DUCK_CJK_TOKEN = (f"[{_CJK_RANGES}]+"
+                   f"|(?:[^\\P{{L}}{_CJK_RANGES}]|[\\p{{N}}_])+")
+_CJK_FULL = f"^[{_CJK_RANGES}]+$"
+_PY_CJK_FULL = re.compile(_CJK_FULL)
 
 #: Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (33 words) — checked
 #: AFTER lowercasing, BEFORE stemming, exactly Lucene's filter order.
@@ -281,13 +303,69 @@ _PT_STEP_2 = (
 )
 
 # ---------------------------------------------------------------------------
-# asciifolding (round 12, widened round 13) — ES's asciifolding token
+# Russian light stemmer (round 14, VERDICT r13 #6) — a Savoy-class
+# light stemmer in the shape Lucene ships as RussianLightStemmer: step 1
+# strips ONE case/number ending (first-match-wins across four length
+# tiers: 4-char instrumental plurals, 3-char oblique plurals /
+# adjectival genitives, 2-char adjectival/nominal endings, then a single
+# final vowel / й / ь), step 2 normalizes the remainder (soft sign drop,
+# -ии/-еи collapse, doubled-н halving).  DOCUMENTED APPROXIMATION, not
+# a transcription of Lucene's table: what search needs is that corpus
+# and query stem IDENTICALLY, which holds by construction (the module
+# rule).  Every rule is a pure suffix DROP over literal Cyrillic
+# characters — one anchored regex valid in Java regex, Python re, and
+# RE2 — so the stem-prefix guard invariant stem(t)[:-1] ⊑ t holds
+# trivially (fuzzed in tests/test_analysis.py like every other chain).
+# Conflation examples: книгами/книгах/книги/книга → книг,
+# красного/красному/красный → красн, историями/история → истор.
+# The chain folds first (the fold table's ё→е row is the Cyrillic
+# normalization ES performs via russian stemming), keeping the rules
+# ё-free.
+# ---------------------------------------------------------------------------
+
+_RU_STEP_1 = (
+    ("^.{3,}[ио]ями$", "[ио]ями$", ""),           # историями → истор
+    ("^.{3,}(?:иям|иях|оям|оях|ами|ями|ыми|ими|его|ого|ему|ому|оев)$",
+     "(?:иям|иях|оям|оях|ами|ями|ыми|ими|его|ого|ему|ому|оев)$", ""),
+    ("^.{3,}(?:ая|яя|ах|ях|ую|юю|ой|ей|ий|ый|ом|ем|ам|ям|ов|ев|ых|их|"
+     "ия|ию|ии|ея|ею|ою|ые|ие|ми)$",
+     "(?:ая|яя|ах|ях|ую|юю|ой|ей|ий|ый|ом|ем|ам|ям|ов|ев|ых|их|"
+     "ия|ию|ии|ея|ею|ою|ые|ие|ми)$", ""),
+    ("^.{3,}[аеиоуыяюйь]$", "[аеиоуыяюйь]$", ""),  # книга → книг
+)
+_RU_STEP_2 = (
+    ("^.{3,}ь$", "ь$", ""),                       # власть → власт
+    ("^.{2,}[еи]и$", "и$", ""),                   # линии → лини
+    ("^.{2,}нн$", "н$", ""),                      # каменн → камен
+)
+
+#: compact Russian stop set (the high-frequency core of Snowball's
+#: Russian stopword list — conjunctions, prepositions, pronouns and
+#: быть forms); surface form, folded at registry construction (ё→е)
+RUSSIAN_STOPWORDS = (
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
+    "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у",
+    "же", "вы", "за", "бы", "по", "только", "ее", "её", "мне", "было",
+    "вот", "от", "меня", "ещё", "еще", "нет", "о", "из", "ему",
+    "теперь", "когда", "даже", "ну", "ли", "если", "уже", "или", "ни",
+    "быть", "был", "была", "были", "него", "до", "вас", "вам", "ведь",
+    "там", "потом", "себя", "ничего", "ей", "может", "они", "тут",
+    "где", "есть", "надо", "ней", "для", "мы", "тебя", "их", "чем",
+    "сам", "чтобы", "без", "будто", "чего", "раз", "тоже", "себе",
+    "под", "будет", "тогда", "кто", "этот", "это", "эта", "эти",
+)
+
+# ---------------------------------------------------------------------------
+# asciifolding (round 12, widened round 13/14) — ES's asciifolding token
 # filter over the Latin-1 AND Latin-Extended-A/B letters that appear in
 # Western/Central/Northern European text (VERDICT r12 #3: web corpora
 # hit german compounds and ő/ř/ș routinely): ONE from/to table rendered
 # as translate() in Spark, DuckDB and Python (plus digraph replaces for
 # the one-to-many foldings), so the three contexts cannot drift.  Input
-# tokens are already lowercased by the tokenizer.
+# tokens are already lowercased by the tokenizer.  Round 14 adds the
+# ONE Cyrillic row ё→е (the russian chain's normalization — ё and е
+# spell the same words in running Russian text); folding it here keeps
+# every Russian stemmer rule a plain suffix drop.
 # ---------------------------------------------------------------------------
 
 _FOLD_FROM = (
@@ -295,12 +373,14 @@ _FOLD_FROM = (
     "āăąćĉċčďđēĕėęěĝğġģĥħĩīĭįıĵķĸĺļľŀłńņňŋōŏő"     # Latin Extended-A
     "ŕŗřśŝşšţťŧũūŭůűųŵŷźżž"
     "șț"                                           # Latin Extended-B (ro)
+    "ё"                                            # Cyrillic (ru, r14)
 )
 _FOLD_TO = (
     "aaaaaaceeeeiiiinoooooouuuuyyd"
     "aaaccccddeeeeegggghhiiiiijkklllllnnnnooo"
     "rrrsssstttuuuuuuwyzzz"
     "st"
+    "е"
 )
 assert len(_FOLD_FROM) == len(_FOLD_TO)
 _FOLD_MULTI = (("œ", "oe"), ("æ", "ae"), ("ß", "ss"), ("þ", "th"))
@@ -438,6 +518,13 @@ def stem_text(w: str, lang: str = "english") -> str:
                     w = re.sub(suf, rep, w)
                     break
         return w
+    if lang == "russian":
+        for rows in (_RU_STEP_1, _RU_STEP_2):
+            for cond, suf, rep in rows:
+                if re.match(cond, w):
+                    w = re.sub(suf, rep, w)
+                    break
+        return w
     for cond, suf, rep in _STEP_1A:
         if re.match(cond, w):
             w = re.sub(suf, rep, w)
@@ -523,6 +610,8 @@ def _stem_steps_list(lang: str = "english"):
         return [_col_step_table(_IT_STEP)]
     if lang == "portuguese":
         return [_col_step_table(_PT_STEP_1), _col_step_table(_PT_STEP_2)]
+    if lang == "russian":
+        return [_col_step_table(_RU_STEP_1), _col_step_table(_RU_STEP_2)]
     return [
         _col_step_table(_STEP_1A),
         _col_step_1b,
@@ -584,6 +673,8 @@ def _duckdb_stem_steps(lang: str = "english") -> list[str]:
         return [step_case(_IT_STEP)]
     if lang == "portuguese":
         return [step_case(_PT_STEP_1), step_case(_PT_STEP_2)]
+    if lang == "russian":
+        return [step_case(_RU_STEP_1), step_case(_RU_STEP_2)]
 
     ed = "regexp_replace(t, 'ed$', '')"
     ing = "regexp_replace(t, 'ing$', '')"
@@ -614,10 +705,11 @@ def _duckdb_stem_steps(lang: str = "english") -> list[str]:
 
 @dataclass(frozen=True)
 class _AnalyzerSpec:
-    tokenizer: str = "standard"                # standard | whitespace
+    tokenizer: str = "standard"      # standard | whitespace | cjk
     possessive: bool = False                   # strip trailing 's
     elision: "bool | str" = False    # True = French set; str = pattern
     asciifolding: bool = False                 # fold accents to ASCII
+    cjk_bigrams: bool = False        # CJK runs → overlapping 2-grams
     stopwords: tuple[str, ...] = ()
     stemmer: str | None = None       # english | french | german | spanish
     #: normalized token → canonical token, applied LAST (entries are
@@ -670,11 +762,27 @@ _REGISTRY: dict[str, _AnalyzerSpec] = {
         stopwords=tuple(dict.fromkeys(
             fold_text(s) for s in PORTUGUESE_STOPWORDS)),
         stemmer="portuguese"),
+    # russian (round 14): fold first (the table's ё→е row is the only
+    # rewrite that touches Cyrillic; the Latin rows are inert on Russian
+    # text) so the light stemmer's Cyrillic rules stay suffix-only drops
+    # and the stem-prefix guard holds; the stop set folds with it
+    "russian": _AnalyzerSpec(
+        asciifolding=True,
+        stopwords=tuple(dict.fromkeys(
+            fold_text(s) for s in RUSSIAN_STOPWORDS)),
+        stemmer="russian"),
+    # cjk (round 14): ES's stock cjk analyzer is the honest bigram
+    # chain — standard tokenization with CJK script runs kept whole,
+    # then the cjk_bigram filter turns each run into overlapping
+    # 2-grams (a lone CJK char stays a unigram); no stemmer, English
+    # stop set for the Latin tokens riding along (the ES default)
+    "cjk": _AnalyzerSpec(tokenizer="cjk", cjk_bigrams=True,
+                         stopwords=ENGLISH_STOPWORDS),
 }
 
 #: retained export — the BUILT-IN names (registry adds custom ones)
 ANALYZERS = ("standard", "whitespace", "english", "french", "german",
-             "spanish", "italian", "portuguese")
+             "spanish", "italian", "portuguese", "russian", "cjk")
 
 
 def analyzer_names() -> tuple[str, ...]:
@@ -688,6 +796,7 @@ def register_analyzer(
     possessive: bool = False,
     elision: bool = False,
     asciifolding: bool = False,
+    cjk_bigrams: bool = False,
     stopwords: tuple[str, ...] | list[str] | str = (),
     stemmer: bool | str = False,
     synonyms: dict[str, list[str]] | list[list[str]] | None = None,
@@ -709,21 +818,24 @@ def register_analyzer(
     built-in name is rejected."""
     if name in ANALYZERS:
         raise ValueError(f"cannot redefine built-in analyzer {name!r}")
-    if tokenizer not in ("standard", "whitespace"):
+    if tokenizer not in ("standard", "whitespace", "cjk"):
         raise ValueError(
-            f"unsupported tokenizer: {tokenizer!r} (standard | whitespace)")
+            f"unsupported tokenizer: {tokenizer!r} "
+            "(standard | whitespace | cjk)")
     stem_lang = {False: None, True: "english"}.get(stemmer, stemmer)
     if stem_lang not in (None, "english", "french", "german", "spanish",
-                         "italian", "portuguese"):
+                         "italian", "portuguese", "russian"):
         raise ValueError(
             f"unsupported stemmer: {stemmer!r} "
-            "(english | french | german | spanish | italian | portuguese)")
+            "(english | french | german | spanish | italian | portuguese"
+            " | russian)")
     shorthand = {"_english_": ENGLISH_STOPWORDS,
                  "_french_": FRENCH_STOPWORDS,
                  "_german_": GERMAN_STOPWORDS,
                  "_spanish_": SPANISH_STOPWORDS,
                  "_italian_": ITALIAN_STOPWORDS,
-                 "_portuguese_": PORTUGUESE_STOPWORDS}
+                 "_portuguese_": PORTUGUESE_STOPWORDS,
+                 "_russian_": RUSSIAN_STOPWORDS}
     if isinstance(stopwords, str):
         if stopwords not in shorthand:
             raise ValueError(
@@ -750,6 +862,13 @@ def register_analyzer(
         return stem_text(t, stem_lang) if stem_lang else t
 
     pairs: list[tuple[str, str]] = []
+    if synonyms and cjk_bigrams:
+        # a synonym entry normalizes to ONE token; a CJK run would
+        # normalize to several bigrams — reject rather than silently
+        # register a mapping the indexed stream can never produce
+        raise ValueError(
+            "synonyms cannot be combined with cjk_bigrams (a CJK "
+            "synonym entry expands to multiple bigram tokens)")
     if synonyms:
         groups = (synonyms.items() if isinstance(synonyms, dict)
                   else [(g[0], g[1:]) for g in synonyms])
@@ -770,7 +889,8 @@ def register_analyzer(
             f"synonym token(s) {sorted(dupes)} map to multiple canonicals")
     _REGISTRY[name] = _AnalyzerSpec(
         tokenizer=tokenizer, possessive=possessive, elision=elision,
-        asciifolding=asciifolding, stopwords=stops,
+        asciifolding=asciifolding, cjk_bigrams=cjk_bigrams,
+        stopwords=stops,
         stemmer=stem_lang, synonyms=tuple(dict(pairs).items()))
 
 
@@ -783,7 +903,8 @@ def plain_chain(analyzer: str | None = None) -> bool:
     the regex path silently missed stemmed phrases)."""
     spec = _spec(analyzer or _default)
     return not (spec.possessive or spec.elision or spec.asciifolding
-                or spec.stopwords or spec.stemmer or spec.synonyms)
+                or spec.cjk_bigrams or spec.stopwords or spec.stemmer
+                or spec.synonyms)
 
 
 def chain_tokenizer(analyzer: str | None = None) -> str:
@@ -881,6 +1002,9 @@ def preanalyzed_stream(
 def _tokenize_col(col: Column, tokenizer: str) -> Column:
     if tokenizer == "standard":
         return F.regexp_extract_all(F.lower(col), F.lit(_JAVA_TOKEN), 0)
+    if tokenizer == "cjk":
+        return F.regexp_extract_all(
+            F.lower(col), F.lit(_JAVA_CJK_TOKEN), 0)
     return F.filter(F.split(F.lower(col), " +"), lambda t: t != "")
 
 
@@ -946,9 +1070,23 @@ def _chain_filters(toks: Column, spec: _AnalyzerSpec,
     array_contains scan over a literal array at 1M docs)."""
     if not chars_done:
         toks = _char_filters(toks, spec)
+    if spec.cjk_bigrams:
+        # each CJK run → overlapping 2-grams (a lone char stays a
+        # unigram, Lucene CJKBigramFilter's unpaired-char behavior);
+        # non-CJK tokens pass through.  The lambda variable is a leaf,
+        # so the per-token re-reads are O(1) — no let-binding needed
+        toks = F.flatten(F.transform(toks, _cjk_bigram_tok))
     if spec.stopwords:
         toks = F.filter(toks, lambda t: ~t.isin(*spec.stopwords))
     return toks
+
+
+def _cjk_bigram_tok(t: Column) -> Column:
+    return (F.when(
+        t.rlike(_CJK_FULL) & (F.length(t) >= 2),
+        F.transform(F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: t.substr(i, F.lit(2))))
+        .otherwise(F.array(t)))
 
 
 def _post_stem_col(toks: Column, spec: _AnalyzerSpec) -> Column:
@@ -1139,6 +1277,9 @@ def with_chain_positions(col: Column, term_specs, fn,
 def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:
     if spec.tokenizer == "standard":
         toks = [m.group(0).lower() for m in _PY_TOKEN.finditer(text or "")]
+    elif spec.tokenizer == "cjk":
+        toks = [m.group(0).lower()
+                for m in _PY_CJK_TOKEN.finditer(text or "")]
     else:
         # SPACE runs only, like the Spark rendering's split(col, ' +') —
         # .split() with no argument splits on any whitespace and would
@@ -1151,6 +1292,8 @@ def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:
         toks = [s for s in (re.sub(pat, "", t) for t in toks) if s]
     if spec.asciifolding:
         toks = [fold_text(t) for t in toks]
+    if spec.cjk_bigrams:
+        toks = [b for t in toks for b in _py_cjk_bigrams(t)]
     if spec.stopwords:
         stops = set(spec.stopwords)
         toks = [t for t in toks if t not in stops]
@@ -1160,6 +1303,13 @@ def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:
         syn = dict(spec.synonyms)
         toks = [syn.get(t, t) for t in toks]
     return toks
+
+
+def _py_cjk_bigrams(t: str) -> list[str]:
+    """Python rendering of the cjk_bigram filter (driver/oracle twin)."""
+    if len(t) >= 2 and _PY_CJK_FULL.match(t):
+        return [t[i:i + 2] for i in range(len(t) - 1)]
+    return [t]
 
 
 def analyze_text(text: str, analyzer: str | None = None) -> list[str]:
@@ -1180,6 +1330,9 @@ def analyze_with_offsets(
     if spec.tokenizer == "standard":
         raw = [(m.group(0).lower(), m.start(), m.end())
                for m in _PY_TOKEN.finditer(text or "")]
+    elif spec.tokenizer == "cjk":
+        raw = [(m.group(0).lower(), m.start(), m.end())
+               for m in _PY_CJK_TOKEN.finditer(text or "")]
     else:
         raw = []
         offset = 0
@@ -1202,14 +1355,22 @@ def analyze_with_offsets(
                 continue
         if spec.asciifolding:
             tok = fold_text(tok)
-        if spec.stopwords and tok in stops:
-            continue
-        if spec.stemmer:
-            tok = stem_text(tok, spec.stemmer)
-        if syn:
-            tok = syn.get(tok, tok)
-        out.append((tok, pos, start, end))
-        pos += 1
+        # cjk bigrams expand one surface run into n-1 positioned tokens
+        # whose offsets span their own two characters (folding/stemming
+        # never touch CJK text, so char offsets stay 1:1)
+        pieces = ([(b, start + i, start + i + 2)
+                   for i, b in enumerate(_py_cjk_bigrams(tok))]
+                  if spec.cjk_bigrams and len(tok) >= 2
+                  and _PY_CJK_FULL.match(tok) else [(tok, start, end)])
+        for tok2, s2, e2 in pieces:
+            if spec.stopwords and tok2 in stops:
+                continue
+            if spec.stemmer:
+                tok2 = stem_text(tok2, spec.stemmer)
+            if syn:
+                tok2 = syn.get(tok2, tok2)
+            out.append((tok2, pos, s2, e2))
+            pos += 1
     return out
 
 
@@ -1299,6 +1460,9 @@ def duckdb_tokens(expr: str, analyzer: str = "standard") -> str:
     if spec.tokenizer == "standard":
         pat = DUCKDB_TOKEN_RE.replace("'", "''")
         sql = f"regexp_extract_all(lower({expr}), '{pat}')"
+    elif spec.tokenizer == "cjk":
+        pat = _DUCK_CJK_TOKEN.replace("'", "''")
+        sql = f"regexp_extract_all(lower({expr}), '{pat}')"
     else:
         sql = (f"list_filter(string_split_regex(lower({expr}), ' +'), "
                "t -> t != '')")
@@ -1314,6 +1478,12 @@ def duckdb_tokens(expr: str, analyzer: str = "standard") -> str:
         for a, b in _FOLD_MULTI:
             body = f"replace({body}, '{a}', '{b}')"
         sql = f"list_transform({sql}, t -> {body})"
+    if spec.cjk_bigrams:
+        sql = (f"flatten(list_transform({sql}, t -> "
+               f"CASE WHEN regexp_matches(t, '{_CJK_FULL}') "
+               f"AND length(t) >= 2 THEN "
+               f"list_transform(generate_series(1, length(t) - 1), "
+               f"i -> substring(t, i, 2)) ELSE [t] END))")
     if spec.stopwords:
         inlist = ", ".join("'" + s.replace("'", "''") + "'"
                            for s in spec.stopwords)

@@ -1138,3 +1138,160 @@ class TestGermanSpanishChains:
         # query finds the plural doc
         assert hits({"match": {"t": "niños"}}) == [3]
         assert hits({"match": {"t": "canción"}}) == [3]
+
+
+RU_TEXTS = [
+    "Книгами и книгах: красного цвета!",
+    "Истории, историями… ИСТОРИЯ",
+    "ещё еда, её ёлка",   # ё→е folding + stopword drops
+    "власть властью линии нн",
+    "",
+]
+CJK_TEXTS = [
+    "Tokyo 東京都 is ひらがな big",
+    "中 一 lone chars and latin-words",
+    "한국어 텍스트 test",
+    "日本語のテキスト 2.5 points",
+    "",
+]
+
+
+class TestRussianCjkChains:
+    """Round 14 (VERDICT r13 #6): russian light-stemmer chain
+    (Cyrillic, fold-first ё→е) and the honest cjk bigram chain."""
+
+    def test_russian_stem_vectors(self):
+        from hive2es_offline_spark.plans.analysis import stem_text
+
+        vec = {"книгами": "книг", "книгах": "книг", "книги": "книг",
+               "книга": "книг",
+               "красного": "красн", "красному": "красн",
+               "красный": "красн", "красные": "красн",
+               "историями": "истор", "истории": "истор",
+               "история": "истор",
+               "власть": "власт", "властью": "власт",
+               "линии": "лин",
+               "дом": "дом", "мир": "мир"}
+        for w, s in vec.items():
+            assert stem_text(w, "russian") == s, (w, stem_text(w, "russian"))
+
+    def test_russian_chain_order(self):
+        # ё folds to е BEFORE the stop filter ("ещё" folds to "еще",
+        # which is in the folded stop set); stems run after stops
+        # "еда" is 3 letters — below the final-vowel rule's length
+        # guard, the light-stemmer pass-through convention
+        assert analyze_text("ещё еда, её ёлка", "russian") == [
+            "еда", "елк"]
+
+    def test_cjk_bigrams(self):
+        # runs → overlapping 2-grams; lone CJK char stays a unigram;
+        # Latin tokens pass through (minus English stopwords)
+        assert analyze_text("東京都", "cjk") == ["東京", "京都"]
+        assert analyze_text("中 big", "cjk") == ["中", "big"]
+        assert analyze_text("the 東京 and tokyo", "cjk") == ["東京", "tokyo"]
+        # mixed-script runs split at the script boundary
+        assert analyze_text("abc中文def", "cjk") == ["abc", "中文", "def"]
+
+    def test_cjk_offsets(self):
+        from hive2es_offline_spark.plans.analysis import (
+            analyze_with_offsets)
+
+        rows = analyze_with_offsets("x 東京都", "cjk")
+        assert rows == [("x", 0, 0, 1),
+                        ("東京", 1, 2, 4), ("京都", 2, 3, 5)]
+
+    @pytest.mark.parametrize("lang,texts", [
+        ("russian", RU_TEXTS), ("cjk", CJK_TEXTS)])
+    def test_three_way_parity_fixed(self, spark, lang, texts):
+        import duckdb
+
+        con = duckdb.connect()
+        py = [analyze_text(t, lang) for t in texts]
+        for t, exp in zip(texts, py):
+            duck = con.execute(
+                f"select {duckdb_tokens('$1', lang)}", {"1": t}
+            ).fetchone()[0]
+            assert duck == exp, (t, duck, exp)
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [r["toks"] for r in df.select(
+            analyze_col(F.col("t"), lang).alias("toks")).collect()]
+        assert got == py
+
+    @pytest.mark.parametrize("lang,alphabet", [
+        ("russian", "абвгдеиклмнорстуыьэюяё' ._-"),
+        ("cjk", "ab12中文字東京のが한국' ._-")])
+    def test_three_way_parity_property(self, lang, alphabet):
+        import duckdb
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        con = duckdb.connect()
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(alphabet=st.sampled_from(list(alphabet)),
+                       max_size=40))
+        def check(t):
+            py = analyze_text(t, lang)
+            duck = con.execute(
+                f"select {duckdb_tokens('$1', lang)}", {"1": t}
+            ).fetchone()[0]
+            assert py == duck, (t, py, duck)
+
+        check()
+
+    def test_three_way_parity_property_spark(self, spark):
+        # Spark-vs-Python sample parity for both chains (the per-case
+        # hypothesis round trip through a JVM job would be minutes; a
+        # fixed diverse sample catches the same class of drift)
+        samples = RU_TEXTS + CJK_TEXTS + [
+            "ёж мышь ночь", "中a中 b中b", "가나다 라 마바",
+            "данные по-русски c latin", "のの の"]
+        for lang in ("russian", "cjk"):
+            py = [analyze_text(t, lang) for t in samples]
+            df = spark.createDataFrame([(t,) for t in samples], "t string")
+            got = [r["toks"] for r in df.select(
+                analyze_col(F.col("t"), lang).alias("toks")).collect()]
+            assert got == py, lang
+
+    def test_russian_stem_prefix_invariant_fuzzed(self):
+        import itertools
+        import random
+
+        from hive2es_offline_spark.plans.analysis import stem_text
+
+        random.seed(17)
+        alphabet = "абвгдеиклмнорстуыьюя"
+        words = itertools.chain(
+            ("".join(p) for n in (1, 2, 3, 4)
+             for p in itertools.product("аеилнорст", repeat=n)),
+            ("".join(random.choice(alphabet)
+                     for _ in range(random.randint(5, 14)))
+             for _ in range(30000)),
+        )
+        for w in words:
+            s = stem_text(w, "russian")
+            assert w.startswith(s[:-1]), (w, s)
+
+    def test_match_russian_and_cjk(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        ru = spark.createDataFrame(
+            [(1, "Красного цвета книги"), (2, "зелёные дома"),
+             (3, "ничего интересного")],
+            "doc_id long, text string")
+        hits = es_search(ru, {
+            "query": {"match": {"text": "красный книга"}},
+            "size": 10, "_source": ["doc_id"]},
+            id_field="doc_id", analyzer="russian")
+        assert sorted(r["doc_id"] for r in hits.collect()) == [1]
+        cj = spark.createDataFrame(
+            [(1, "東京都に住む"), (2, "京都は静かです"), (3, "大阪 only")],
+            "doc_id long, text string")
+        hits = es_search(cj, {
+            "query": {"match": {"text": "東京"}},
+            "size": 10, "_source": ["doc_id"]},
+            id_field="doc_id", analyzer="cjk")
+        # "東京" is one bigram: doc1 has it (東京/京都/…), doc2 has 京都
+        # but not 東京
+        assert sorted(r["doc_id"] for r in hits.collect()) == [1]
