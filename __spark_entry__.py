@@ -2374,6 +2374,33 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_video_dedup(spark, sf_dir):
+    """Rows-only: perceptual video near-dup (round 14, VERDICT r13 #7)
+    — the sample_video_frames → per-frame dHash → slot-aligned
+    pigeonhole pairing → connected-components composition
+    (operators/dedup.py::video_dedup).  Sixty REAL MJPEG-AVI payloads
+    whose content derives from doc_id % 20, so the expected output is
+    twenty exact-triple clusters — pixels move once (frame sampling),
+    then only 8-byte hashes shuffle.  Analytic cluster goldens
+    (near-dup vs partial-overlap vs undecodable) live in
+    tests/test_video.py; not SQL-expressible (JPEG decode), hence
+    rows-only by SURVEY §5 design."""
+    from hive2es_offline_spark.operators import video
+    from hive2es_offline_spark.operators.dedup import video_dedup
+
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .where(F.col("doc_id") < 60)
+         .withColumn("ckey", F.col("doc_id") % 20))
+    pay = video.with_avi_payload(
+        d.select(F.col("ckey").alias("doc_id")).distinct(), n_frames=4,
+        style="textured")
+    vids = d.join(
+        F.broadcast(pay.withColumnRenamed("doc_id", "ckey")),
+        "ckey").select("doc_id", "payload")
+    return (video_dedup(vids, num_frames=4, min_matching_frames=3)
+            .orderBy("doc_id"))
+
+
 def q_snapshot_cdc(spark, sf_dir):
     """CDC merge (upserts + deletes in one batch) on the snapshot store:
     publish documents partitioned by source, apply one change batch
@@ -4991,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "video_dedup": q_video_dedup,
         # training-data hand-off sinks
         "jsonl_export": q_jsonl_export,
         "webdataset_export": q_webdataset_export,

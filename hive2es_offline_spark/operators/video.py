@@ -112,11 +112,21 @@ def parse_avi(payload: bytes) -> dict | None:
 
 
 def with_avi_payload(
-    df: DataFrame, id_col: str = "doc_id", n_frames: int = 6
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 6,
+    style: str = "gradient",
 ) -> DataFrame:
-    """Attach a deterministic REAL MJPEG-AVI payload per row (small moving
-    gradient whose colors derive from the id) — the harness stand-in for a
-    video corpus, generated in ``mapInPandas``."""
+    """Attach a deterministic REAL MJPEG-AVI payload per row — the
+    harness stand-in for a video corpus, generated in ``mapInPandas``.
+
+    ``style="gradient"`` (the historical default) varies only a uniform
+    brightness base per id — structurally IDENTICAL videos, which a
+    perceptual hash correctly sees as near-dups.  ``style="textured"``
+    varies the pattern STRUCTURE per id (stripe/checker/diagonal mode ×
+    cell size), so different ids hash far apart — the fixture shape
+    ``video_dedup`` needs to demonstrate cluster separation."""
+    if style not in ("gradient", "textured"):
+        raise ValueError(f"unsupported style: {style!r} "
+                         "(gradient | textured)")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w, h = 24, 16
@@ -124,13 +134,27 @@ def with_avi_payload(
         for pdf in batches:
             payloads = []
             for i in pdf[id_col]:
-                base = (int(i) * 37) % 200
+                k = int(i)
                 frames = []
                 for t in range(n_frames):
                     img = np.zeros((h, w, 3), np.uint8)
-                    img[:, :, 0] = (base + 10 * t + xx * 4) % 256
-                    img[:, :, 1] = (yy * 8 + 5 * t) % 256
-                    img[:, :, 2] = (base + 31 * t) % 256
+                    if style == "gradient":
+                        base = (k * 37) % 200
+                        img[:, :, 0] = (base + 10 * t + xx * 4) % 256
+                        img[:, :, 1] = (yy * 8 + 5 * t) % 256
+                        img[:, :, 2] = (base + 31 * t) % 256
+                    else:
+                        c = 3 + (k % 5)
+                        mode = (k // 5) % 4
+                        if mode == 0:
+                            g = ((xx + t) // c) % 2 * 255
+                        elif mode == 1:
+                            g = ((yy + t) // c) % 2 * 255
+                        elif mode == 2:
+                            g = (((xx + t) // c) + (yy // c)) % 2 * 255
+                        else:
+                            g = ((xx + yy + t) // c) % 2 * 255
+                        img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = g
                     frames.append(img)
                 payloads.append(encode_avi_mjpeg(frames, fps=5))
             yield pd.DataFrame(

@@ -95,3 +95,78 @@ def test_video_features_solid_frames_known_histograms(spark):
         hot = {int(v) % 8 for v in vals}
         assert sum(hist[b] for b in hot) == pytest.approx(1.0, abs=1e-6)
         assert sum(hist) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestVideoDedup:
+    """video_dedup (round 14, VERDICT r13 #7): slot-aligned perceptual
+    near-dup clusters over sampled MJPEG frames."""
+
+    @pytest.fixture(scope="class")
+    def vids(self, spark):
+        from hive2es_offline_spark.operators.jpeg import decode_jpeg_pixels
+
+        def grad_h(shift=0, w=48, h=32):
+            g = np.tile(
+                np.clip(np.linspace(0, 255, w) + shift, 0, 255)
+                .astype(np.uint8), (h, 1))
+            return np.stack([g, g, g], axis=2)
+
+        def checker(cell, w=48, h=32):
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = (((yy // cell) + (xx // cell)) % 2 * 255).astype(np.uint8)
+            return np.stack([g, g, g], axis=2)
+
+        def grad_v(w=48, h=32):
+            g = np.tile(np.linspace(0, 255, h, dtype=np.uint8)[:, None],
+                        (1, w))
+            return np.stack([g, g, g], axis=2)
+
+        base = [grad_h(), checker(5), grad_v(), checker(7)]
+        near = [grad_h(shift=4), checker(5), grad_v(), checker(7)]
+        # shares ONLY slot 0 with base — below min_matching_frames=3
+        partial = [grad_h(), checker(11), grad_h()[::-1].copy(),
+                   checker(13)]
+        distinct = [grad_v(), grad_v(), checker(11), checker(11)]
+        rows = [
+            (1, video.encode_avi_mjpeg(base, fps=5)),
+            (2, video.encode_avi_mjpeg(near, fps=5)),      # near-dup of 1
+            (3, video.encode_avi_mjpeg(base, fps=5)),      # exact re-mux
+            (4, video.encode_avi_mjpeg(partial, fps=5)),   # 1 shared slot
+            (5, video.encode_avi_mjpeg(distinct, fps=5)),  # unrelated
+            (6, b"not a video"),                           # undecodable
+        ]
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def test_clusters(self, vids):
+        from hive2es_offline_spark.operators.dedup import video_dedup
+
+        out = video_dedup(vids, num_frames=4, max_hamming=3,
+                          min_matching_frames=3).collect()
+        comp = {r["doc_id"]: r["component"] for r in out}
+        ok = {r["doc_id"]: r["frames_ok"] for r in out}
+        # 1, 2, 3 cluster (exact re-mux + per-frame near-dup)
+        assert comp[1] == comp[2] == comp[3] == 1
+        # 4 shares only one slot -> its own component; 5 unrelated
+        assert comp[4] == 4 and comp[5] == 5
+        # undecodable: zero ok frames, own component
+        assert comp[6] == 6 and ok[6] == 0
+        assert ok[1] == 4
+
+    def test_threshold_boundary(self, vids):
+        from hive2es_offline_spark.operators.dedup import video_dedup
+
+        # with min_matching_frames=1 the shared slot 0 pulls 4 into the
+        # 1/2/3 cluster
+        out = video_dedup(vids, num_frames=4, max_hamming=3,
+                          min_matching_frames=1).collect()
+        comp = {r["doc_id"]: r["component"] for r in out}
+        assert comp[4] == comp[1] == 1
+        assert comp[5] == 5
+
+    def test_rejects(self, vids):
+        from hive2es_offline_spark.operators.dedup import video_dedup
+
+        with pytest.raises(ValueError, match="num_chunks"):
+            video_dedup(vids, num_chunks=5)
+        with pytest.raises(ValueError, match="min_matching_frames"):
+            video_dedup(vids, num_frames=4, min_matching_frames=9)
