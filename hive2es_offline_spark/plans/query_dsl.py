@@ -4021,7 +4021,7 @@ def _compile_variable_width_histogram(df: DataFrame, spec: dict) -> DataFrame:
     from pyspark.sql.window import Window
 
     bspec = spec["variable_width_histogram"]
-    unknown = set(bspec) - {"field", "buckets"}
+    unknown = set(bspec) - {"field", "buckets", "max_distinct_values"}
     if unknown:
         # initial_buffer / shard_size tune ES's approximation; accepting
         # them would imply the approximate algorithm runs here
@@ -4039,6 +4039,29 @@ def _compile_variable_width_histogram(df: DataFrame, spec: dict) -> DataFrame:
     dist = (df.where(v.isNotNull())
             .groupBy(v.alias("_v"))
             .agg(F.count(F.lit(1)).alias("_c")))
+    # single-partition guard (VERDICT r13 #8): the gap-ranking windows
+    # below buffer the DISTINCT-VALUE frame through one task — sound at
+    # any realistic metric cardinality, but a pathological
+    # high-cardinality stream must reject loudly, not OOM the reducer.
+    # ``max_distinct_values`` is the documented extension (default
+    # 100 000, ES search.max_buckets-style); the check is a broadcast
+    # scalar count folded INTO the value column, so it cannot be pruned
+    # and costs one partial-agg pass, no extra shuffle of the rows.
+    bound = int(bspec.get("max_distinct_values", 100_000))
+    n_sc = dist.agg(F.count(F.lit(1)).alias("_nd"))
+    dist = dist.crossJoin(F.broadcast(n_sc)).withColumn(
+        "_v",
+        F.when(
+            F.col("_nd") > bound,
+            F.raise_error(F.concat(
+                F.lit("variable_width_histogram: distinct value count "),
+                F.col("_nd").cast("string"),
+                F.lit(f" exceeds max_distinct_values={bound} — the "
+                      "exact gap-cut clustering buffers the distinct "
+                      "frame in one task; raise max_distinct_values "
+                      "only with reducer memory to match, or bucket "
+                      "with histogram/terms instead"))).cast("double"),
+        ).otherwise(F.col("_v"))).drop("_nd")
     w_ord = Window.orderBy(F.col("_v").asc())
     dist = dist.withColumn("_gap", F.col("_v") - F.lag("_v").over(w_ord))
     # rank the gaps: largest first, earlier value on ties — the k-1 cuts
@@ -4097,7 +4120,7 @@ def _compile_categorize_text(df: DataFrame, spec: dict) -> DataFrame:
 
     bspec = spec["categorize_text"]
     unknown = set(bspec) - {"field", "size", "categorization_filters",
-                            "similarity_threshold"}
+                            "similarity_threshold", "max_buckets"}
     if unknown:
         raise ValueError(
             f"unsupported categorize_text option(s): {sorted(unknown)}")
@@ -4115,7 +4138,7 @@ def _compile_categorize_text(df: DataFrame, spec: dict) -> DataFrame:
         text = F.regexp_replace(text, pat, " ")
     toks = F.filter(analyze_col(text), lambda t: ~t.rlike(r"\p{N}"))
     key = F.when(F.size(toks) > 0, F.concat_ws(" ", toks))
-    out = (
+    grouped = (
         df.select(key.alias("key"),
                   F.length(F.col(bspec["field"])).cast("long")
                   .alias("_mlen"))
@@ -4123,6 +4146,30 @@ def _compile_categorize_text(df: DataFrame, spec: dict) -> DataFrame:
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("doc_count"),
              F.max("_mlen").alias("max_matching_length"))
+    )
+    # signature-cardinality guard (VERDICT r13 #8): a stream where
+    # every message has a unique signature degenerates the category
+    # frame to data cardinality — reject loudly past ``max_buckets``
+    # (documented extension, default 65 536 = ES's search.max_buckets
+    # default) instead of silently materializing a category-per-row
+    # result.  Broadcast scalar count folded into the key (unprunable,
+    # one partial-agg pass, no extra row shuffle).
+    bound = int(bspec.get("max_buckets", 65_536))
+    n_sc = grouped.agg(F.count(F.lit(1)).alias("_nb"))
+    grouped = grouped.crossJoin(F.broadcast(n_sc)).withColumn(
+        "key",
+        F.when(
+            F.col("_nb") > bound,
+            F.raise_error(F.concat(
+                F.lit("categorize_text: category count "),
+                F.col("_nb").cast("string"),
+                F.lit(f" exceeds max_buckets={bound} — the signature "
+                      "pass is degenerating toward one category per "
+                      "message; tighten categorization_filters or "
+                      "raise max_buckets deliberately"))),
+        ).otherwise(F.col("key"))).drop("_nb")
+    out = (
+        grouped
         .orderBy(F.col("doc_count").desc(), F.col("key").asc())
         .limit(int(bspec.get("size", 10)))
     )

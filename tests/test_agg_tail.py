@@ -344,3 +344,48 @@ class TestTimeSeries:
         out = compile_aggs(df, {"ts": {
             "time_series": {"dimensions": ["host"]}}}).collect()
         assert [r["host"] for r in out] == ["h1", "h2"]
+
+
+class TestReduceGuards:
+    """VERDICT r13 #8: the single-partition reduce frames in
+    variable_width_histogram / categorize_text reject loudly past their
+    cardinality bounds instead of OOMing the reducer."""
+
+    def test_variable_width_rejects_past_bound(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double")
+        body = {"size": 0, "aggs": {"h": {"variable_width_histogram": {
+            "field": "v", "buckets": 3, "max_distinct_values": 5}}}}
+        with pytest.raises(Exception, match="max_distinct_values=5"):
+            es_search(df, body, id_field="id").collect()
+        # at the bound it still runs (10 distinct > 5, so use 10)
+        body["aggs"]["h"]["variable_width_histogram"][
+            "max_distinct_values"] = 10
+        out = es_search(df, body, id_field="id").collect()
+        assert len(out) == 3
+
+    def test_categorize_text_rejects_past_bound(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.createDataFrame(
+            [(i, f"unique message variant{chr(97 + i)} here")
+             for i in range(8)], "id long, msg string")
+        body = {"size": 0, "aggs": {"c": {"categorize_text": {
+            "field": "msg", "max_buckets": 4}}}}
+        with pytest.raises(Exception, match="max_buckets=4"):
+            es_search(df, body, id_field="id").collect()
+        body["aggs"]["c"]["categorize_text"]["max_buckets"] = 8
+        out = es_search(df, body, id_field="id").collect()
+        assert len(out) == 8
+
+    def test_unknown_option_still_rejects(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        with pytest.raises(ValueError, match="unsupported"):
+            es_search(df, {"size": 0, "aggs": {"h": {
+                "variable_width_histogram": {
+                    "field": "v", "shard_size": 5}}}},
+                id_field="id").collect()
