@@ -212,6 +212,20 @@ BENCH_QUERIES = [
     "es_esql",
     "es_esql_lookup",
     "quality_classifier",
+    # round-14 additions: ES|QL BUCKET (hourly STATS BY over events),
+    # INLINESTATS (hash-partitioned window over orders) and ENRICH
+    # (broadcast policy join), the sparse_vector learned-sparse dot
+    # product (tf encoder + plan-literal query expansion), the russian
+    # and cjk chains on the match path, and slot-aligned perceptual
+    # video dedup (a deliberate Python-path row: frame sampling +
+    # per-frame dHash)
+    "es_esql_bucket",
+    "es_esql_inlinestats",
+    "es_esql_enrich",
+    "es_sparse_vector",
+    "es_match_russian",
+    "es_match_cjk",
+    "video_dedup",
 ]
 
 

@@ -340,6 +340,13 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # the edge set is the loop invariant: every propagation round
+        # joins against it, so without a checkpoint round N re-runs the
+        # whole candidate-pair lineage (LSH banding / pigeonhole
+        # self-join / pixel decode) N times over (r14, measured 4.6 s →
+        # 1.3 s on the video_dedup fixture).  Edges are (id, id) pairs —
+        # the graph, not the data — bounded by the near-dup pair count.
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -866,7 +873,12 @@ def image_dedup(
     chunk_bits = 64 // num_chunks
     if chunk_bits * num_chunks != 64:
         raise ValueError("num_chunks must divide 64")
-    hashed = dhash_images(df, id_col, payload_col)
+    # checkpoint the HASH frame (id + 8-byte hash + status — tiny at any
+    # scale): connected_components iterates keyed joins, and without the
+    # checkpoint every round's lineage re-runs the pixel decode pass
+    # (measured ~8× the decode cost on the r14 video sibling)
+    hashed = dhash_images(df, id_col, payload_col).localCheckpoint(
+        eager=False)
     ok = hashed.where(F.col("dhash").isNotNull())
     # 2. exact collapse: representative id per distinct hash
     reps = ok.groupBy("dhash").agg(F.min("doc_id").alias("_rep"))
@@ -974,10 +986,14 @@ def video_dedup(
         frames.where(F.col("frame").isNotNull())
         .select(fid.alias("_fid"), "frame"),
         "_fid", "frame")
+    # checkpoint the (video, slot, 8-byte hash) frame — tiny at any
+    # scale — so the component iteration's keyed joins never re-run the
+    # container-parse + JPEG-decode lineage (measured 7.5 s → decode
+    # cost ~1.4 s on the 60-video fixture without it)
     fh = hashed.where(F.col("dhash").isNotNull()).select(
         (F.col("doc_id") / num_frames).cast("long").alias("vid"),
         (F.col("doc_id") % num_frames).alias("slot"),
-        "dhash")
+        "dhash").localCheckpoint(eager=False)
     mask = (1 << chunk_bits) - 1
     blocked = fh.select(
         "vid", "slot", "dhash",
@@ -1013,7 +1029,8 @@ def video_dedup(
     comp = connected_components(edges)
     per_video = (frames.groupBy("doc_id")
                  .agg(F.sum(F.when(F.col("frame_status") == "ok", 1)
-                            .otherwise(0)).alias("frames_ok")))
+                            .otherwise(0)).alias("frames_ok"))
+                 .localCheckpoint(eager=False))
     return (per_video.join(comp, per_video.doc_id == comp.id, "left")
             .select("doc_id", "frames_ok",
                     F.coalesce("component", F.col("doc_id"))
