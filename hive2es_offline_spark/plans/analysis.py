@@ -95,18 +95,30 @@ DUCKDB_TOKEN_RE = r"[\p{L}\p{N}_]+(?:['.][\p{L}\p{N}_]+)*"
 #: CJK Unified, CJK Compatibility, hangul syllables.
 _CJK_RANGES = ("぀-ヿ" "㐀-䶿" "一-鿿"
                "豈-﫿" "가-힯")
-#: the ``cjk`` tokenizer splits CJK script RUNS from other word runs
-#: (the flat approximation of Lucene's StandardTokenizer ideographic
-#: handling); the apostrophe/dot joining of the standard grammar is
-#: dropped (CJK text has neither).  Java renders word-minus-CJK with
-#: class intersection, Python with \w double negation, RE2 with a
-#: \P{L}-negated class + digit/underscore alternation — three dialects,
-#: one semantics (property-tested three-way).
-_JAVA_CJK_TOKEN = (f"[{_CJK_RANGES}]+"
+#: the ``cjk`` tokenizer is TWO-PASS: the standard token grammar first
+#: (fast — its regex is ASCII-friendly), then a per-token script split
+#: applied ONLY to tokens that contain a CJK character.  One combined
+#: regex over the whole text priced at 12× the two-pass form on an
+#: ASCII corpus (the common case at corpus scale — the intersection
+#: class defeats the regex engine's ASCII fast path on every position)
+#: and was no faster on CJK-heavy text (tools/probe_round14.py).
+#: Tokens with NO CJK character pass through whole, keeping the full
+#: standard grammar (incl. apostrophe/dot joining); a token containing
+#: CJK splits on the plain two-class pattern (its rare interior
+#: apostrophes/dots drop, like the single-regex form did).  Java
+#: renders the split's word-minus-CJK with class intersection, Python
+#: with \w double negation, RE2 with a \P{L}-negated class +
+#: digit/underscore alternation — three dialects, one semantics
+#: (property-tested three-way).
+_JAVA_CJK_SPLIT = (f"[{_CJK_RANGES}]+"
                    f"|[\\p{{L}}\\p{{N}}_&&[^{_CJK_RANGES}]]+")
-_PY_CJK_TOKEN = re.compile(f"[{_CJK_RANGES}]+|[^\\W{_CJK_RANGES}]+")
-_DUCK_CJK_TOKEN = (f"[{_CJK_RANGES}]+"
-                   f"|(?:[^\\P{{L}}{_CJK_RANGES}]|[\\p{{N}}_])+")
+_PY_CJK_SPLIT = re.compile(
+    f"[{_CJK_RANGES}]+|[^\\W{_CJK_RANGES}]+")
+_DUCK_CJK_SPLIT = (
+    f"[{_CJK_RANGES}]+"
+    f"|(?:[^\\P{{L}}{_CJK_RANGES}]|[\\p{{N}}_])+")
+_CJK_ANY = f"[{_CJK_RANGES}]"
+_PY_CJK_ANY = re.compile(_CJK_ANY)
 _CJK_FULL = f"^[{_CJK_RANGES}]+$"
 _PY_CJK_FULL = re.compile(_CJK_FULL)
 
@@ -1003,8 +1015,16 @@ def _tokenize_col(col: Column, tokenizer: str) -> Column:
     if tokenizer == "standard":
         return F.regexp_extract_all(F.lower(col), F.lit(_JAVA_TOKEN), 0)
     if tokenizer == "cjk":
-        return F.regexp_extract_all(
-            F.lower(col), F.lit(_JAVA_CJK_TOKEN), 0)
+        # two-pass (see the pattern comment above): standard grammar,
+        # then split only the tokens that contain a CJK character —
+        # ASCII-dominant corpora price at the standard tokenizer
+        std = F.regexp_extract_all(F.lower(col), F.lit(_JAVA_TOKEN), 0)
+        return F.flatten(F.transform(
+            std,
+            lambda t: F.when(
+                t.rlike(_CJK_ANY),
+                F.regexp_extract_all(t, F.lit(_JAVA_CJK_SPLIT), 0))
+            .otherwise(F.array(t))))
     return F.filter(F.split(F.lower(col), " +"), lambda t: t != "")
 
 
@@ -1136,6 +1156,27 @@ def candidate_tokens_col(
     share the prefix) or anything needing the full stream (positions,
     BM25 tf/dl)."""
     spec = _spec(analyzer or _default)
+    if spec.cjk_bigrams and not (spec.stemmer or spec.synonyms):
+        # bigram-chain contains-guard (r14): a chain output token — a
+        # CJK bigram or a pass-through Latin token — can only derive
+        # from a surface token that CONTAINS it as a substring (a
+        # bigram is two ADJACENT characters of its run; Latin tokens
+        # pass through unchanged).  Filtering on cheap contains() FIRST
+        # means the bigram expansion runs over a near-empty array on
+        # non-matching rows; the stop filter still applies after, so
+        # membership semantics equal analyze_col restricted to the
+        # matching tokens.
+        toks = _char_filters(_tokenize_col(col, spec.tokenizer), spec)
+        terms_l = [str(s) for s in terms]
+        if terms_l:
+            def _keep_contains(t: Column) -> Column:
+                out = t.contains(terms_l[0])
+                for s in terms_l[1:]:
+                    out = out | t.contains(s)
+                return out
+
+            toks = F.filter(toks, _keep_contains)
+        return _chain_filters(toks, spec, chars_done=True)
     if not (spec.stemmer or spec.synonyms):
         return analyze_col(col, analyzer)
     prefixes = set()
@@ -1278,8 +1319,15 @@ def _analyze_tokens(text: str, spec: _AnalyzerSpec) -> list[str]:
     if spec.tokenizer == "standard":
         toks = [m.group(0).lower() for m in _PY_TOKEN.finditer(text or "")]
     elif spec.tokenizer == "cjk":
-        toks = [m.group(0).lower()
-                for m in _PY_CJK_TOKEN.finditer(text or "")]
+        toks = [
+            piece
+            for m in _PY_TOKEN.finditer(text or "")
+            for piece in (
+                (p.group(0) for p in
+                 _PY_CJK_SPLIT.finditer(m.group(0).lower()))
+                if _PY_CJK_ANY.search(m.group(0))
+                else (m.group(0).lower(),))
+        ]
     else:
         # SPACE runs only, like the Spark rendering's split(col, ' +') —
         # .split() with no argument splits on any whitespace and would
@@ -1331,8 +1379,16 @@ def analyze_with_offsets(
         raw = [(m.group(0).lower(), m.start(), m.end())
                for m in _PY_TOKEN.finditer(text or "")]
     elif spec.tokenizer == "cjk":
-        raw = [(m.group(0).lower(), m.start(), m.end())
-               for m in _PY_CJK_TOKEN.finditer(text or "")]
+        raw = []
+        for m in _PY_TOKEN.finditer(text or ""):
+            tok = m.group(0).lower()
+            if _PY_CJK_ANY.search(tok):
+                raw.extend(
+                    (p.group(0), m.start() + p.start(),
+                     m.start() + p.end())
+                    for p in _PY_CJK_SPLIT.finditer(tok))
+            else:
+                raw.append((tok, m.start(), m.end()))
     else:
         raw = []
         offset = 0
@@ -1461,8 +1517,12 @@ def duckdb_tokens(expr: str, analyzer: str = "standard") -> str:
         pat = DUCKDB_TOKEN_RE.replace("'", "''")
         sql = f"regexp_extract_all(lower({expr}), '{pat}')"
     elif spec.tokenizer == "cjk":
-        pat = _DUCK_CJK_TOKEN.replace("'", "''")
-        sql = f"regexp_extract_all(lower({expr}), '{pat}')"
+        std = DUCKDB_TOKEN_RE.replace("'", "''")
+        split = _DUCK_CJK_SPLIT.replace("'", "''")
+        sql = (f"flatten(list_transform("
+               f"regexp_extract_all(lower({expr}), '{std}'), t -> "
+               f"CASE WHEN regexp_matches(t, '{_CJK_ANY}') THEN "
+               f"regexp_extract_all(t, '{split}') ELSE [t] END))")
     else:
         sql = (f"list_filter(string_split_regex(lower({expr}), ' +'), "
                "t -> t != '')")

@@ -766,6 +766,11 @@ def _inline_agg(kind: str, args: list[Column]):
     if kind == "COUNT_STAR":
         return (F.count(F.lit(1)),
                 lambda w: F.count(F.lit(1)).over(w))
+    need = 2 if kind == "PERCENTILE" else 1
+    if len(args) != need:
+        raise ValueError(
+            f"ES|QL: INLINESTATS {kind} takes {need} argument(s), "
+            f"got {len(args)}")
     a0 = args[0]
     if kind == "COUNT":
         return F.count(a0), lambda w: F.count(a0).over(w)
@@ -871,12 +876,13 @@ def _stage_inlinestats(df: DataFrame, p: _P) -> DataFrame:
         for name, (_, win_builder) in compiled:
             df = df.withColumn(name, win_builder(w))
         return df
+    # like EVAL (and the window path's withColumn), an INLINESTATS name
+    # that already exists REPLACES the column — ES|QL semantics; the
+    # aggregates are computed from the pre-drop frame
     scalars = df.agg(*[plain.alias(n) for n, (plain, _) in compiled])
     clash = [n for n, _ in compiled if n in df.columns]
     if clash:
-        raise ValueError(
-            f"ES|QL: INLINESTATS name(s) {clash} already exist in the "
-            "frame (RENAME or DROP first)")
+        df = df.drop(*clash)
     return df.crossJoin(F.broadcast(scalars))
 
 
@@ -1109,6 +1115,11 @@ def _stage_enrich(df: DataFrame, p: _P,
             "policies are modeled; geo_match/range have no equality key")
     if not picks:
         picks = [(c, c) for c in pol.columns if c != key]
+    dup = {o for i, (o, _) in enumerate(picks)
+           if o in [p[0] for p in picks[:i]]}
+    if dup:
+        raise ValueError(
+            f"ES|QL: duplicate enrich output name(s) {sorted(dup)}")
     missing = [src for _, src in picks if src not in pol.columns]
     if missing:
         raise ValueError(

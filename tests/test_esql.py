@@ -618,5 +618,19 @@ class TestInlinestats:
         with pytest.raises(ValueError,
                            match="unsupported INLINESTATS aggregate"):
             esql(catalog, "FROM sales | INLINESTATS x = LENGTH(cat)")
-        with pytest.raises(ValueError, match="already exist"):
-            esql(catalog, "FROM sales | INLINESTATS amount = COUNT(*)")
+        with pytest.raises(ValueError, match="takes 2 argument"):
+            esql(catalog, "FROM sales | INLINESTATS p = PERCENTILE(amount)")
+
+    def test_name_replaces_column_like_eval(self, catalog):
+        # ES|QL INLINESTATS replaces an existing column, like EVAL —
+        # in BOTH the window and the broadcast-scalar paths
+        r = esql(catalog, """
+            FROM sales | INLINESTATS amount = COUNT(*) BY cat
+            | WHERE id == 1 | KEEP amount
+        """).first()
+        assert r["amount"] == 2
+        r = esql(catalog, """
+            FROM sales | INLINESTATS amount = COUNT(*)
+            | WHERE id == 1 | KEEP amount
+        """).first()
+        assert r["amount"] == 5
