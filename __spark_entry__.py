@@ -3617,6 +3617,183 @@ def q_es_match_cjk(spark, sf_dir):
     return es_search(d, body, id_field="doc_id", analyzer="cjk")
 
 
+#: deterministic Dutch vocabulary for the es_match_dutch golden —
+#: plural/singular/diminutive surface forms, the ĳ ligature spelling,
+#: and stopwords so the folded dutch chain has real work to do
+_NL_WORDS = [
+    "Katten", "kat", "boeken", "mogelijkheden", "mogelijkheid",
+    "huisjes", "vrĳe", "vrije", "jongens", "zonder", "vogels", "twee",
+]
+
+
+def _nl_text_col():
+    k = F.col("doc_id")
+    return F.concat_ws(
+        " ",
+        F.element_at(F.lit(_NL_WORDS), (k % 12).cast("int") + 1),
+        F.element_at(F.lit(_NL_WORDS),
+                     ((k / F.lit(5)).cast("long") % 12).cast("int") + 1),
+        F.element_at(F.lit(_NL_WORDS), ((k * 7 + 3) % 12).cast("int") + 1),
+    )
+
+
+def _nl_text_sql() -> str:
+    words = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _NL_WORDS) + "]"
+    return (f"({words}[(doc_id % 12) + 1] || ' ' || "
+            f"{words}[((doc_id // 5) % 12) + 1] || ' ' || "
+            f"{words}[(((doc_id * 7) + 3) % 12) + 1])")
+
+
+def q_es_match_dutch(spark, sf_dir):
+    """The built-in dutch chain on the match surface (round 14, the
+    VERDICT r13 'missing #4' tail): fold (één→een, ĳ→ij via
+    _FOLD_MULTI) → folded dutch stop set → three-step light stemmer
+    (s-layer / en-e-layer / undouble), all codegen anchored regexes
+    (plans/analysis.py).  Query "kat mogelijkheid" hits
+    Katten/mogelijkheden docs — case-, number- and diminutive-blind
+    matching; vrĳe and vrije spell one token.  Same deterministic text
+    synthesis + one-grammar oracle lockstep as es_match_german; the
+    chain is re-fuzzed for the stem-prefix guard and 3-way grammar
+    parity in tests/test_analysis.py."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    d = _t(spark, sf_dir, "documents").withColumn("ntext", _nl_text_col())
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"ntext": "kat mogelijkheid"}}],
+            "filter": [{"range": {"n_chars": {"gte": 150}}}],
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 40,
+        "_source": ["doc_id", "source", "ntext"],
+    }
+    return es_search(d, body, id_field="doc_id", analyzer="dutch")
+
+
+def q_es_rule_query(spark, sf_dir):
+    """Query rules (round 14): the ``_query_rules`` registry + the
+    ``rule`` query (plans/rules.py) — ES 8.10 search business rules.
+    The ruleset pins two docs when the user query starts with
+    "getting" (prefix criterion) or the topic fuzzy-matches "guides"
+    (AUTO OSA ladder), excludes two docs for dutch-market users (exact
+    criterion), and carries one non-matching rule; criteria evaluate
+    over the query's literal ``match_criteria`` DRIVER-SIDE, then the
+    rule query REWRITES to the existing pinned/bool machinery — zero
+    new plan nodes, the 100 TB cost is the organic query's.  A doc both
+    pinned and excluded (doc 17) is excluded (documented divergence,
+    COVERAGE.md).  Filter context: hits = pinned ∪ organic minus
+    excluded; the oracle hard-codes the same literal arithmetic."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+    from hive2es_offline_spark.plans.rules import put_query_ruleset
+
+    put_query_ruleset("docs-promo", [
+        {"rule_id": "pin-getting-started", "type": "pinned",
+         "criteria": [{"type": "prefix", "metadata": "user_query",
+                       "values": ["getting", "intro"]}],
+         "actions": {"ids": ["3", "17"]}},
+        {"rule_id": "pin-guides", "type": "pinned",
+         "criteria": [{"type": "fuzzy", "metadata": "topic",
+                       "values": ["guides"]}],
+         "actions": {"ids": ["23"]}},
+        {"rule_id": "hide-nl", "type": "exclude",
+         "criteria": [{"type": "exact", "metadata": "user_country",
+                       "values": ["nl", "be"]}],
+         "actions": {"ids": ["17", "41"]}},
+        {"rule_id": "never-fires", "type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "user_query",
+                       "values": ["pricing"]}],
+         "actions": {"ids": ["99"]}},
+    ])
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "query": {"rule": {
+            "organic": {"bool": {
+                "must": [{"term": {"source": "src3"}}],
+                "filter": [{"range": {"n_chars": {"gte": 300}}}],
+            }},
+            "ruleset_ids": ["docs-promo"],
+            "match_criteria": {"user_query": "getting started guide",
+                               "topic": "guide",
+                               "user_country": "nl"},
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 60,
+        "_source": ["doc_id", "source", "n_chars"],
+    }
+    return es_search(d, body, id_field="doc_id")
+
+
+def q_es_esql_sample(spark, sf_dir):
+    """ES|QL ``SAMPLE`` (round 14 second batch): probability row
+    sampling as a pipe stage.  Live ES|QL samples with an RNG; this
+    engine's documented extension names the integral id column and
+    gates on the random_sampler LCG prime-field hash — deterministic
+    across runs/retries/partitionings AND oracle-replayable in ANSI
+    SQL (the reject-over-approximate policy, COVERAGE.md divergence
+    list).  The gate is a codegen filter riding the scan: at 100 TB the
+    dropped 80% never reach the aggregation exchange."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"events": _t(spark, sf_dir, "events")}, '''
+        FROM events
+        | WHERE event_type IS NOT NULL
+        | SAMPLE 0.2 event_id
+        | STATS n = COUNT(*), total = SUM(value) BY event_type
+        | SORT event_type ASC
+    ''')
+
+
+def q_es_esql_categorize(spark, sf_dir):
+    """ES|QL ``CATEGORIZE()`` grouping (round 14 second batch): the
+    log-categorization idiom ``STATS … BY cat = CATEGORIZE(msg)`` —
+    the same deterministic exact-signature contract as the
+    categorize_text agg (number-bearing tokens removed, pure codegen
+    signature feeding ONE terms-shaped groupBy; live ES runs the
+    drain-style ML categorizer — documented divergence).  Same
+    synthesized log corpus as es_categorize_text; the oracle rebuilds
+    the signature with the machine-generated DuckDB token grammar."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("n_chars") >= 120)
+         .select(_log_text_col().alias("msg")))
+    return esql({"logs": d}, '''
+        FROM logs
+        | STATS doc_count = COUNT(*) BY cat = CATEGORIZE(msg)
+        | WHERE cat IS NOT NULL
+        | SORT doc_count DESC, cat ASC
+        | LIMIT 8
+    ''')
+
+
+def q_es_esql_changepoint(spark, sf_dir):
+    """ES|QL ``CHANGE_POINT`` (round 14 second batch): the 8.18
+    command on the canonical compose — STATS down to a per-day series,
+    then annotate the break row.  Compiles onto the SAME
+    variance-explained detector as the change_point pipeline agg
+    (query_dsl.change_point_scalar, extracted round 14), so the
+    es_change_point fixture (level 1→6 step at day 25) must mark
+    exactly that bucket with score 1.0; the second output column
+    carries the variance-explained score, not live ES's p-value
+    (documented divergence).  Scale shape: one groupBy reduce, then
+    O(buckets) window math + a 1-row broadcast annotate."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    k = F.col("doc_id")
+    d = (_t(spark, sf_dir, "documents")
+         .select(F.date_add(F.lit("2024-01-01"), (k % 40).cast("int"))
+                 .cast("timestamp").alias("day"),
+                 F.when(k % 40 >= 25, F.lit(6.0)).otherwise(F.lit(1.0))
+                 .alias("v")))
+    return esql({"series": d}, '''
+        FROM series
+        | STATS va = AVG(v) BY day
+        | CHANGE_POINT va ON day AS cp_type, cp_score
+        | SORT day ASC
+    ''')
+
+
 def q_es_match_german(spark, sf_dir):
     """The built-in german chain on the match surface (VERDICT r12 #3):
     asciifolding (the german_normalization approximation — ü→u, ß→ss,
@@ -4960,6 +5137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_enrich": q_es_esql_enrich,
         "es_esql_inlinestats": q_es_esql_inlinestats,
         "quality_classifier": q_quality_classifier,
+        # round-14 fodder (r15 window candidates, local goldens for now)
+        "es_match_dutch": q_es_match_dutch,
+        "es_rule_query": q_es_rule_query,
+        "es_esql_sample": q_es_esql_sample,
+        "es_esql_categorize": q_es_esql_categorize,
+        "es_esql_changepoint": q_es_esql_changepoint,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -5840,6 +6023,12 @@ def _goldens_b() -> dict[str, str]:
     _cj_or = " OR ".join(
         f"list_contains({_cj_frag}, '{t}')" for t in _cj_terms)
 
+    # es_match_dutch: same lockstep for the round-14 dutch chain
+    _nl_frag = _duck_toks("ntext", "dutch")
+    _nl_terms = _an_text("kat mogelijkheid", "dutch")
+    _nl_or = " OR ".join(
+        f"list_contains({_nl_frag}, '{t}')" for t in _nl_terms)
+
     # es_search_as_you_type: the per-subfield query shingles and the
     # document shingle lists both come from plans/analysis.py (one
     # grammar, three renderings), so engine and oracle cannot drift
@@ -6202,6 +6391,132 @@ def _goldens_b() -> dict[str, str]:
               AND n_chars >= 150
             ORDER BY doc_id ASC
             LIMIT 40
+        """,
+        "es_match_dutch": f"""
+            SELECT doc_id, source, ntext FROM (
+              SELECT doc_id, source, n_chars, {_nl_text_sql()} AS ntext
+              FROM documents
+            )
+            WHERE ({_nl_or})
+              AND n_chars >= 150
+            ORDER BY doc_id ASC
+            LIMIT 40
+        """,
+        # es_rule_query: criteria matching is literal-vs-literal at
+        # plan-build time, so the oracle hard-codes its outcome — pins
+        # [3, 23] (prefix "getting" + fuzzy topic), excluded [17, 41]
+        # (exact country nl; 17 pinned AND excluded → excluded)
+        "es_rule_query": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE (doc_id IN (3, 23)
+                   OR (source = 'src3' AND n_chars >= 300))
+              AND doc_id NOT IN (17, 41)
+            ORDER BY doc_id ASC
+            LIMIT 60
+        """,
+        # es_esql_sample: the LCG prime-field gate replayed literally
+        # (h = (id mod P)·MULT + mix mod P < floor(p·P); P = 1e9+7,
+        # seed-0 mix = 12345 — the random_sampler hash, seedless form)
+        "es_esql_sample": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     AS total
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND (event_id % 1000000007 * 387420489 + 12345)
+                  % 1000000007 < 200000001
+            GROUP BY event_type
+            ORDER BY event_type ASC
+        """,
+        "es_esql_categorize": f"""
+            WITH logs AS (
+              SELECT {_log_text_sql()} AS msg FROM documents
+              WHERE n_chars >= 120
+            ), sig AS (
+              SELECT array_to_string(list_filter(
+                       {_duck_toks("msg")},
+                       t -> NOT regexp_matches(t, '\\p{{N}}')), ' ')
+                     AS cat
+              FROM logs
+            )
+            SELECT cat, CAST(count(*) AS BIGINT) AS doc_count
+            FROM sig WHERE len(cat) > 0
+            GROUP BY cat
+            ORDER BY doc_count DESC, cat ASC
+            LIMIT 8
+        """,
+        # es_esql_changepoint: the change_point detector CTE chain from
+        # the es_change_point oracle, with the final SELECT annotating
+        # ONLY the detected break row (the ES|QL command's contract)
+        "es_esql_changepoint": """
+            WITH src AS (
+              SELECT CAST(DATE '2024-01-01'
+                          + (doc_id % 40) * INTERVAL 1 DAY AS TIMESTAMP)
+                       AS day,
+                     CASE WHEN doc_id % 40 >= 25
+                          THEN 6.0 ELSE 1.0 END AS v
+              FROM documents
+            ), b AS (
+              SELECT day,
+                     round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                           / count(v), 6) AS va
+              FROM src GROUP BY day
+            ), st AS (
+              SELECT day, va,
+                     row_number() OVER (ORDER BY day) AS rn,
+                     lead(CAST(day AS VARCHAR)) OVER (ORDER BY day) AS nk,
+                     sum(va) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS cs,
+                     CAST(count(*) OVER () AS DOUBLE) AS n,
+                     sum(va) OVER () AS ts,
+                     sum(va * va) OVER () AS tss
+              FROM b WHERE va IS NOT NULL
+            ), sc AS (
+              SELECT rn, nk, CAST(day AS VARCHAR) AS k, n,
+                     CASE WHEN rn >= 2 AND (n - rn) >= 2
+                               AND (tss - ts * ts / n) > 1e-12 THEN
+                       round((rn * (cs / rn - ts / n) * (cs / rn - ts / n)
+                              + (n - rn) * ((ts - cs) / (n - rn) - ts / n)
+                                         * ((ts - cs) / (n - rn) - ts / n))
+                             / (tss - ts * ts / n), 6)
+                     END AS step_s,
+                     CASE WHEN (tss - ts * ts / n) > 1e-12 AND n > 1 THEN
+                       round((va - ts / n) * (va - ts / n) * n
+                             / ((n - 1) * (tss - ts * ts / n)), 6)
+                     END AS spk_s,
+                     (va >= ts / n) AS up
+              FROM st
+            ), scalar AS (
+              SELECT
+                (SELECT max(n) FROM sc) AS nn,
+                (SELECT step_s FROM sc WHERE step_s IS NOT NULL
+                 ORDER BY step_s DESC, rn LIMIT 1) AS bs,
+                (SELECT nk FROM sc WHERE step_s IS NOT NULL
+                 ORDER BY step_s DESC, rn LIMIT 1) AS bk,
+                (SELECT spk_s FROM sc WHERE spk_s IS NOT NULL
+                 ORDER BY spk_s DESC, rn LIMIT 1) AS ss,
+                (SELECT k FROM sc WHERE spk_s IS NOT NULL
+                 ORDER BY spk_s DESC, rn LIMIT 1) AS sk,
+                (SELECT up FROM sc WHERE spk_s IS NOT NULL
+                 ORDER BY spk_s DESC, rn LIMIT 1) AS su
+            )
+            SELECT b.day, b.va,
+                   CASE WHEN nn >= 4 AND bs >= 0.6
+                             AND CAST(b.day AS VARCHAR) = bk
+                          THEN 'step_change'
+                        WHEN nn >= 4 AND bs < 0.6 AND ss >= 0.6
+                             AND CAST(b.day AS VARCHAR) = sk
+                          THEN (CASE WHEN su THEN 'spike' ELSE 'dip' END)
+                   END AS cp_type,
+                   CASE WHEN nn >= 4 AND bs >= 0.6
+                             AND CAST(b.day AS VARCHAR) = bk THEN bs
+                        WHEN nn >= 4 AND bs < 0.6 AND ss >= 0.6
+                             AND CAST(b.day AS VARCHAR) = sk THEN ss
+                   END AS cp_score
+            FROM b CROSS JOIN scalar
+            ORDER BY b.day ASC
         """,
         "es_variable_width": """
             WITH vals AS (

@@ -226,6 +226,11 @@ BENCH_QUERIES = [
     "es_match_russian",
     "es_match_cjk",
     "video_dedup",
+    # round-14 second batch: the dutch chain on the match path and the
+    # query-rules rewrite (driver-side criteria → pinned/bool; the row
+    # prices at its organic query's cost by construction)
+    "es_match_dutch",
+    "es_rule_query",
 ]
 
 

@@ -52,6 +52,20 @@ anti-silent policy):
                                   with BY keys; the ungrouped form uses
                                   the broadcast scalar crossJoin shape
                                   (never an empty global window)
+- ``SAMPLE p id_col``             probability row sample (ES|QL 9.1);
+                                  the id column is a documented
+                                  extension — live ES|QL's RNG sample
+                                  is not retry-deterministic, this
+                                  engine gates on the random_sampler
+                                  LCG prime-field hash (codegen filter
+                                  riding the scan, oracle-replayable)
+- ``CHANGE_POINT v [ON k] [AS t, pv]``
+                                  annotate the series break row via the
+                                  change_point detector
+                                  (query_dsl.change_point_scalar); the
+                                  second column carries the
+                                  variance-explained score, not a
+                                  p-value (documented divergence)
 - ``DISSECT col "%{a} %{b}"``     delimiter extraction → one anchored
                                   regex, codegen; non-matching rows
                                   keep NULL fields like ES|QL
@@ -67,8 +81,12 @@ anchored regex), RLIKE, IS [NOT] NULL, CASE(cond, val, …, default),
 and a scalar-function whitelist (ABS CEIL FLOOR ROUND SQRT POW CONCAT
 LENGTH SUBSTRING TO_UPPER TO_LOWER TRIM LTRIM RTRIM STARTS_WITH
 ENDS_WITH COALESCE GREATEST LEAST TO_STRING TO_LONG TO_INT TO_DOUBLE
-DATE_TRUNC DATE_FORMAT DATE_DIFF DATE_EXTRACT BUCKET
-MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG).  ``BUCKET(ts, 1 hour)`` /
+DATE_TRUNC DATE_FORMAT DATE_DIFF DATE_EXTRACT BUCKET CATEGORIZE
+MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG).  ``CATEGORIZE(msg)`` is the
+STATS-BY log-categorization key — the deterministic exact-signature
+contract of the categorize_text agg (number-bearing tokens removed,
+pure codegen; live ES runs the drain-style ML categorizer — documented
+divergence).  ``BUCKET(ts, 1 hour)`` /
 ``BUCKET(v, 50)`` is the STATS-BY date/numeric histogram idiom
 (calendar spans via date_trunc, N-unit fixed spans via epoch
 flooring, numeric spans via floor-div).  ``NOW()`` rejects (a lazily-re-evaluated now() would
@@ -499,6 +517,23 @@ class _P:
             arg = self.expr()
             self.expect_op(")")
             return builders[field](arg).cast("long")
+        if fn == "CATEGORIZE":
+            # ES|QL CATEGORIZE(field) — the STATS-BY log-categorization
+            # grouping function (ES 8.18).  Same deterministic
+            # exact-signature contract as the categorize_text agg
+            # (documented divergence: live ES runs the drain-style ML
+            # categorizer): the category key is the token stream with
+            # number-bearing tokens removed, pure codegen, so the
+            # groupBy it feeds is one terms-shaped shuffle.  Rows whose
+            # tokens are all variable get a NULL category (they form
+            # ES's null bucket).
+            from .analysis import analyze_col
+
+            arg = self.expr()
+            self.expect_op(")")
+            toks = F.filter(analyze_col(arg),
+                            lambda t: ~t.rlike(r"\p{N}"))
+            return F.when(F.size(toks) > 0, F.concat_ws(" ", toks))
         args: list[Column] = []
         if self.peek() != ("op", ")"):
             args.append(self.expr())
@@ -597,7 +632,8 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
             "breaks retry determinism — pass the timestamp as a literal)")
     supported = " ".join(sorted(
         [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
-         "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "COUNT(*)"]))
+         "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
+         "COUNT(*)"]))
     raise ValueError(
         f"ES|QL: unsupported function {fn} (supported: {supported})")
 
@@ -1281,6 +1317,114 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
                 raise ValueError(
                     f"ES|QL: {up} pattern extracts no fields")
             df = _extract_groups(df, t[1], regex, fields)
+        elif up == "SAMPLE":
+            # ES|QL SAMPLE (9.1): keep each row with probability p.
+            # Live ES|QL samples with an RNG — non-deterministic across
+            # retries, which this engine rejects as a class; the
+            # documented extension takes the integral id column to gate
+            # on and reuses the random_sampler LCG prime-field hash
+            # (oracle-replayable in ANSI SQL).  The gate is a codegen
+            # filter that rides the scan: at 100 TB the dropped rows
+            # never reach the next stage.
+            t = p.next()
+            if t[0] != "num":
+                raise ValueError(
+                    f"ES|QL: SAMPLE needs a probability literal{_at(t)}")
+            prob = float(t[1])
+            if not 0.0 < prob < 1.0:
+                raise ValueError(
+                    f"ES|QL: SAMPLE probability must be in (0, 1), "
+                    f"got {t[1]}{_at(t)}")
+            col_t = None if p.done() else p.next()
+            if col_t is None or col_t[0] != "id" or not p.done():
+                raise ValueError(
+                    "ES|QL: SAMPLE <probability> <id_column> — live "
+                    "ES|QL's RNG sample is not retry-deterministic; "
+                    "this engine gates on a documented hash of an "
+                    "integral id column (COVERAGE.md divergence list)")
+            fld = col_t[1]
+            if fld not in df.columns:
+                raise ValueError(
+                    f"ES|QL: unknown column {fld!r} (have {df.columns})")
+            ftype = df.schema[fld].dataType.simpleString()
+            if ftype not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"ES|QL: SAMPLE id column must be integral (got "
+                    f"{fld!r}: {ftype})")
+            P, MULT = 1_000_000_007, 387_420_489
+            mix = 12_345  # seed 0 of the random_sampler mix
+            h = F.pmod(F.col(fld).cast("bigint"), F.lit(P))
+            h = F.pmod(h * MULT + F.lit(mix), F.lit(P))
+            df = df.where(h < F.lit(int(prob * P)))
+        elif up == "CHANGE_POINT":
+            # ES|QL CHANGE_POINT value [ON key] [AS type, pvalue]
+            # (8.18 tech preview): annotate the row where the series
+            # (ordered by key) breaks.  Compiles onto the SAME
+            # variance-explained detector as the change_point pipeline
+            # agg (query_dsl.change_point_scalar — extracted for this);
+            # the second output column carries that detector's
+            # variance-explained score, NOT live ES's p-value
+            # (documented divergence, same class as the agg).  Only a
+            # detected break (step_change/spike/dip) annotates a row;
+            # stationary/indeterminable series keep both columns NULL
+            # everywhere.  Scale: the detector is O(rows) window math —
+            # ES|QL callers run it AFTER a STATS reduce, same as ES.
+            from .query_dsl import change_point_scalar
+
+            val_t = p.next()
+            if val_t[0] != "id" or val_t[1] not in df.columns:
+                raise ValueError(
+                    "ES|QL: CHANGE_POINT needs a value column "
+                    f"(have {df.columns})")
+            key = "@timestamp"
+            names = ["type", "pvalue"]
+            while not p.done():
+                kw = p.next()
+                if kw[0] == "id" and kw[1].upper() == "ON":
+                    kt = p.next()
+                    if kt[0] != "id":
+                        raise ValueError(
+                            f"ES|QL: CHANGE_POINT ON needs a column"
+                            f"{_at(kt)}")
+                    key = kt[1]
+                elif kw[0] == "id" and kw[1].upper() == "AS":
+                    t1 = p.next()
+                    c = p.next()
+                    t2 = p.next()
+                    if (t1[0] != "id" or t2[0] != "id"
+                            or c != ("op", ",")):
+                        raise ValueError(
+                            "ES|QL: CHANGE_POINT … AS type_name, "
+                            "pvalue_name")
+                    names = [t1[1], t2[1]]
+                else:
+                    raise ValueError(
+                        f"ES|QL: unexpected CHANGE_POINT token "
+                        f"{kw[1]!r}{_at(kw)}")
+            if key not in df.columns:
+                raise ValueError(
+                    f"ES|QL: CHANGE_POINT key column {key!r} missing — "
+                    "name one with ON (the @timestamp default is not "
+                    f"on this frame: {df.columns})")
+            for n in names:
+                if n in df.columns:
+                    raise ValueError(
+                        f"ES|QL: CHANGE_POINT output column {n!r} "
+                        "collides with an existing column (RENAME or "
+                        "AS different names)")
+            scalar = change_point_scalar(
+                df.select(F.col(key).alias("key"),
+                          F.col(val_t[1]).alias("_v")),
+                F.col("_v"), "_cp")
+            annotated = df.crossJoin(F.broadcast(scalar))
+            at_break = (F.col("_cp_key").isNotNull()
+                        & (F.col(key).cast("string") == F.col("_cp_key")))
+            df = (annotated
+                  .withColumn(names[0],
+                              F.when(at_break, F.col("_cp_type")))
+                  .withColumn(names[1],
+                              F.when(at_break, F.col("_cp_score")))
+                  .drop("_cp_type", "_cp_key", "_cp_score"))
         elif up == "MV_EXPAND":
             t = p.next()
             if t[0] != "id" or not p.done():
@@ -1295,5 +1439,5 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
             raise ValueError(
                 f"ES|QL: unsupported command {up} (supported: WHERE EVAL "
                 "STATS INLINESTATS SORT LIMIT KEEP DROP RENAME MV_EXPAND "
-                "LOOKUP JOIN ENRICH DISSECT GROK)")
+                "LOOKUP JOIN ENRICH DISSECT GROK SAMPLE CHANGE_POINT)")
     return df

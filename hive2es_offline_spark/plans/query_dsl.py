@@ -3788,109 +3788,15 @@ def _compile_sibling_pipeline(
             (n * F.col("_sxy") - sx * sy) / F.sqrt(vx * vy))
         scalar = mom.select(F.round(corr, 6).alias(f"{name}_value"))
     elif pkind == "change_point":
-        # ES change_point (round 13, VERDICT r12 #5): detect the
-        # dominant change in a bucket-metric series.  Live ES runs a
-        # battery of statistical tests (p-values from t/chi2
-        # distributions); this engine implements a deterministic
-        # variance-explained subset — both detectors score in [0, 1] as
-        # the fraction of the series' total sum of squares a single
-        # structural break explains, so the same documented threshold
-        # (0.6) governs both:
-        #   step_change  — best two-segment split (each side >= 2
-        #                  buckets); score = between-segment SS / total
-        #                  SS, the classic CUSUM/ANOVA R².  The change
-        #                  key is the FIRST bucket of the right segment.
-        #   spike / dip  — single-bucket break; score =
-        #                  (x-mean)^2 * n / ((n-1) * total SS), which is
-        #                  1.0 exactly when one bucket carries all the
-        #                  variance.  Sign of (x - mean) picks the type.
-        # Precedence: step_change, then spike/dip, else "stationary".
-        # Contracts: < 4 buckets -> "indeterminable" (ES errors below
-        # its minimum; a lazy plan cannot know n at build time, so the
-        # row says so instead); a flat series (total SS <= 1e-12) ->
-        # "stationary" with NULL key/score — the t_test degenerate-frame
-        # class.  trend_change / distribution_change are NOT detected: a
-        # strong monotonic trend reports its best split as step_change
-        # (documented subset).  All O(buckets) window math on the
-        # reduced frame — two single-partition windows, no data-scale
-        # work.
+        # ES change_point (round 13, VERDICT r12 #5): the deterministic
+        # variance-explained detector — full semantics, contracts and
+        # documented divergences on ``change_point_scalar`` (extracted
+        # round 14 so the ES|QL CHANGE_POINT command shares the math)
         unknown = set(pspec) - {"buckets_path"}
         if unknown:
             raise ValueError(
                 f"unsupported change_point option(s): {sorted(unknown)}")
-        from pyspark.sql.window import Window
-
-        THR = 0.6
-        # order by the REAL key (numeric histogram keys would misorder
-        # under the string cast); _k is only the reported form
-        w_ord = Window.orderBy(F.col("_key").asc())
-        w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-        w_all = Window.partitionBy(F.lit(1))
-        b = (
-            buckets.select(F.col("key").alias("_key"),
-                           F.col("key").cast("string").alias("_k"),
-                           src.cast("double").alias("_x"))
-            # NULL-metric buckets leave the SERIES entirely (code-review
-            # r13: row_number counted them while sum/count skipped them,
-            # desynchronizing n1/n2 and pushing scores outside [0, 1]);
-            # the annotation below still attaches to every bucket row
-            .where(F.col("_x").isNotNull())
-            .withColumn("_rn", F.row_number().over(w_ord))
-            .withColumn("_nk", F.lead("_k", 1).over(w_ord))
-            .withColumn("_cs", F.sum("_x").over(w_cum))
-            .withColumn("_n", F.count("_x").over(w_all).cast("double"))
-            .withColumn("_ts", F.sum("_x").over(w_all))
-            .withColumn("_tss", F.sum(F.col("_x") * F.col("_x"))
-                        .over(w_all))
-        )
-        n, ts = F.col("_n"), F.col("_ts")
-        g = ts / n
-        tot_ss = F.col("_tss") - ts * ts / n
-        n1 = F.col("_rn").cast("double")
-        n2 = n - n1
-        m1 = F.col("_cs") / n1
-        m2 = (ts - F.col("_cs")) / n2
-        bss = n1 * (m1 - g) * (m1 - g) + n2 * (m2 - g) * (m2 - g)
-        var_ok = tot_ss > F.lit(1e-12)
-        step_score = F.when((n1 >= 2) & (n2 >= 2) & var_ok, bss / tot_ss)
-        dev = F.col("_x") - g
-        spike_score = F.when(var_ok & (n > 1),
-                             dev * dev * n / ((n - 1) * tot_ss))
-        # argmax via orderable structs: score desc, then -rn (earliest
-        # candidate wins ties deterministically)
-        cand = b.select(
-            "_n",
-            F.struct(F.coalesce(F.round(step_score, 6), F.lit(-1.0))
-                     .alias("s"),
-                     (-F.col("_rn")).cast("double").alias("o"),
-                     F.col("_nk").alias("k")).alias("_st"),
-            F.struct(F.coalesce(F.round(spike_score, 6), F.lit(-1.0))
-                     .alias("s"),
-                     (-F.col("_rn")).cast("double").alias("o"),
-                     F.col("_k").alias("k"),
-                     (dev >= 0).alias("u")).alias("_sp"),
-        )
-        agg = cand.agg(F.max("_n").alias("_nn"),
-                       F.max("_st").alias("_st"),
-                       F.max("_sp").alias("_sp"))
-        st_s, sp_s = F.col("_st")["s"], F.col("_sp")["s"]
-        typ = (
-            F.when(F.col("_nn") < 4, F.lit("indeterminable"))
-            .when(st_s >= THR, F.lit("step_change"))
-            .when(sp_s >= THR,
-                  F.when(F.col("_sp")["u"], F.lit("spike"))
-                  .otherwise(F.lit("dip")))
-            .otherwise(F.lit("stationary"))
-        )
-        scalar = agg.select(
-            typ.alias(f"{name}_type"),
-            F.when(typ == "step_change", F.col("_st")["k"])
-            .when(typ.isin("spike", "dip"), F.col("_sp")["k"])
-            .alias(f"{name}_key"),
-            F.when(typ == "step_change", st_s)
-            .when(typ.isin("spike", "dip"), sp_s)
-            .alias(f"{name}_score"),
-        )
+        scalar = change_point_scalar(buckets, src, name)
     elif pkind in ("avg_bucket", "sum_bucket"):
         fn = F.avg if pkind == "avg_bucket" else F.sum
         scalar = buckets.agg(fn(src).alias(f"{name}_value"))
@@ -3915,6 +3821,117 @@ def _compile_sibling_pipeline(
             ).alias(f"{name}_keys"),
         )
     return buckets.crossJoin(F.broadcast(scalar))
+
+
+def change_point_scalar(buckets: DataFrame, src: Column,
+                        name: str) -> DataFrame:
+    """The change_point detector as a reusable 1-row scalar build
+    (round 14: extracted verbatim from the pipeline-agg branch so the
+    ES|QL ``CHANGE_POINT`` command compiles onto the same math).
+
+    ES change_point (round 13, VERDICT r12 #5): detect the dominant
+    change in a bucket-metric series.  Live ES runs a battery of
+    statistical tests (p-values from t/chi2 distributions); this engine
+    implements a deterministic variance-explained subset — both
+    detectors score in [0, 1] as the fraction of the series' total sum
+    of squares a single structural break explains, so the same
+    documented threshold (0.6) governs both:
+
+      step_change  — best two-segment split (each side >= 2 buckets);
+                     score = between-segment SS / total SS, the classic
+                     CUSUM/ANOVA R².  The change key is the FIRST
+                     bucket of the right segment.
+      spike / dip  — single-bucket break; score =
+                     (x-mean)^2 * n / ((n-1) * total SS), which is 1.0
+                     exactly when one bucket carries all the variance.
+                     Sign of (x - mean) picks the type.
+
+    Precedence: step_change, then spike/dip, else "stationary".
+    Contracts: < 4 buckets -> "indeterminable" (ES errors below its
+    minimum; a lazy plan cannot know n at build time, so the row says
+    so instead); a flat series (total SS <= 1e-12) -> "stationary" with
+    NULL key/score — the t_test degenerate-frame class.  trend_change /
+    distribution_change are NOT detected: a strong monotonic trend
+    reports its best split as step_change (documented subset).  All
+    O(buckets) window math on the reduced frame — two single-partition
+    windows, no data-scale work.
+
+    ``buckets`` needs a ``key`` column (series order); ``src`` is the
+    metric expression.  Returns a 1-row frame with ``{name}_type`` /
+    ``{name}_key`` / ``{name}_score``."""
+    from pyspark.sql.window import Window
+
+    THR = 0.6
+    # order by the REAL key (numeric histogram keys would misorder
+    # under the string cast); _k is only the reported form
+    w_ord = Window.orderBy(F.col("_key").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1))
+    b = (
+        buckets.select(F.col("key").alias("_key"),
+                       F.col("key").cast("string").alias("_k"),
+                       src.cast("double").alias("_x"))
+        # NULL-metric buckets leave the SERIES entirely (code-review
+        # r13: row_number counted them while sum/count skipped them,
+        # desynchronizing n1/n2 and pushing scores outside [0, 1]);
+        # the annotation below still attaches to every bucket row
+        .where(F.col("_x").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_nk", F.lead("_k", 1).over(w_ord))
+        .withColumn("_cs", F.sum("_x").over(w_cum))
+        .withColumn("_n", F.count("_x").over(w_all).cast("double"))
+        .withColumn("_ts", F.sum("_x").over(w_all))
+        .withColumn("_tss", F.sum(F.col("_x") * F.col("_x"))
+                    .over(w_all))
+    )
+    n, ts = F.col("_n"), F.col("_ts")
+    g = ts / n
+    tot_ss = F.col("_tss") - ts * ts / n
+    n1 = F.col("_rn").cast("double")
+    n2 = n - n1
+    m1 = F.col("_cs") / n1
+    m2 = (ts - F.col("_cs")) / n2
+    bss = n1 * (m1 - g) * (m1 - g) + n2 * (m2 - g) * (m2 - g)
+    var_ok = tot_ss > F.lit(1e-12)
+    step_score = F.when((n1 >= 2) & (n2 >= 2) & var_ok, bss / tot_ss)
+    dev = F.col("_x") - g
+    spike_score = F.when(var_ok & (n > 1),
+                         dev * dev * n / ((n - 1) * tot_ss))
+    # argmax via orderable structs: score desc, then -rn (earliest
+    # candidate wins ties deterministically)
+    cand = b.select(
+        "_n",
+        F.struct(F.coalesce(F.round(step_score, 6), F.lit(-1.0))
+                 .alias("s"),
+                 (-F.col("_rn")).cast("double").alias("o"),
+                 F.col("_nk").alias("k")).alias("_st"),
+        F.struct(F.coalesce(F.round(spike_score, 6), F.lit(-1.0))
+                 .alias("s"),
+                 (-F.col("_rn")).cast("double").alias("o"),
+                 F.col("_k").alias("k"),
+                 (dev >= 0).alias("u")).alias("_sp"),
+    )
+    agg = cand.agg(F.max("_n").alias("_nn"),
+                   F.max("_st").alias("_st"),
+                   F.max("_sp").alias("_sp"))
+    st_s, sp_s = F.col("_st")["s"], F.col("_sp")["s"]
+    typ = (
+        F.when(F.col("_nn") < 4, F.lit("indeterminable"))
+        .when(st_s >= THR, F.lit("step_change"))
+        .when(sp_s >= THR,
+              F.when(F.col("_sp")["u"], F.lit("spike"))
+              .otherwise(F.lit("dip")))
+        .otherwise(F.lit("stationary"))
+    )
+    return agg.select(
+        typ.alias(f"{name}_type"),
+        F.when(typ == "step_change", F.col("_st")["k"])
+        .when(typ.isin("spike", "dip"), F.col("_sp")["k"])
+        .alias(f"{name}_key"),
+        F.when(typ == "step_change", st_s)
+        .when(typ.isin("spike", "dip"), sp_s)
+        .alias(f"{name}_score"),
+    )
 
 
 def _sub_agg_exprs(subs: dict) -> list[Column]:
@@ -6022,8 +6039,13 @@ def es_search(
     default / whitespace fallback, ``plans/analysis.py``) around the plan
     build, then delegates.  Full semantics on ``_es_search_impl``."""
     from .analysis import using
+    from .rules import expand_rule_queries
 
     validate_body_keys(body)
+    if body.get("query"):
+        # query-rules pre-pass (round 14): ``rule`` nodes rewrite to
+        # pinned/bool over literals before any compiler walks the tree
+        body = {**body, "query": expand_rule_queries(body["query"])}
     with using(analyzer):
         return _es_search_impl(df, body, id_field, default_sort)
 

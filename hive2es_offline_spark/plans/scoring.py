@@ -1591,8 +1591,13 @@ def es_scored_search(
     on."""
     from .analysis import preanalyzed, using
     from .query_dsl import validate_body_keys
+    from .rules import expand_rule_queries
 
     validate_body_keys(body)
+    if body.get("query"):
+        # query-rules pre-pass (round 14): ``rule`` nodes rewrite to
+        # pinned/bool over literals before any compiler walks the tree
+        body = {**body, "query": expand_rule_queries(body["query"])}
     with using(analyzer):
         from .analysis import current_analyzer
 

@@ -1295,3 +1295,121 @@ class TestRussianCjkChains:
         # "東京" is one bigram: doc1 has it (東京/京都/…), doc2 has 京都
         # but not 東京
         assert sorted(r["doc_id"] for r in hits.collect()) == [1]
+
+
+NL_TEXTS = [
+    "De katten en de boeken van de jongens",
+    "Mogelijkheden, mogelijkheid… MOGELIJK",
+    "één huisje, twee huisjes",   # één→een folds into the stop set
+    "witte vogels zitten; de witte vogel zit",
+    "",
+]
+
+
+class TestDutchChain:
+    """Round 14 tail (VERDICT r13 'missing #4'): dutch light-stemmer
+    chain — fold-first (één→een, ĳ→ij) + folded Snowball-core stop set
+    + three-step suffix-drop stemmer (s-layer, en/e-layer, undouble)."""
+
+    def test_dutch_stem_vectors(self):
+        from hive2es_offline_spark.plans.analysis import stem_text
+
+        vectors = [
+            ("katten", "kat"), ("kat", "kat"),
+            ("boeken", "boek"), ("boek", "boek"),
+            ("mogelijkheden", "mogelijk"), ("mogelijkheid", "mogelijk"),
+            ("jongens", "jong"), ("jongen", "jong"),
+            ("witte", "wit"), ("wit", "wit"),
+            ("vogels", "vogel"), ("vogel", "vogel"),
+            ("huisjes", "huisj"), ("huisje", "huisj"),
+            ("fietsen", "fiets"), ("fiets", "fiets"),
+            ("anders", "ander"), ("andere", "ander"),
+            ("regeringen", "regering"), ("regering", "regering"),
+            ("zitten", "zit"), ("zit", "zit"),
+        ]
+        for w, s in vectors:
+            assert stem_text(w, "dutch") == s, (w, stem_text(w, "dutch"))
+
+    def test_dutch_chain_order(self):
+        # fold → stop → stem: één folds to the stopword een and drops;
+        # the ĳ ligature folds to two-letter ij before stemming
+        assert analyze_text("één kat en twee katten", "dutch") == [
+            "kat", "twee", "kat"]
+        assert analyze_text("vrĳe dagen", "dutch") == \
+            analyze_text("vrije dagen", "dutch")
+
+    def test_three_way_parity_fixed(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        py = [analyze_text(t, "dutch") for t in NL_TEXTS]
+        for t, exp in zip(NL_TEXTS, py):
+            duck = con.execute(
+                f"select {duckdb_tokens('$1', 'dutch')}", {"1": t}
+            ).fetchone()[0]
+            assert duck == exp, (t, duck, exp)
+        df = spark.createDataFrame([(t,) for t in NL_TEXTS], "t string")
+        got = [r["toks"] for r in df.select(
+            analyze_col(F.col("t"), "dutch").alias("toks")).collect()]
+        assert got == py
+
+    def test_three_way_parity_property(self):
+        import duckdb
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        con = duckdb.connect()
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(alphabet=st.sampled_from(
+            list("abdeghijklmnoprstuvwzéëĳ' ._-")), max_size=40))
+        def check(t):
+            py = analyze_text(t, "dutch")
+            duck = con.execute(
+                f"select {duckdb_tokens('$1', 'dutch')}", {"1": t}
+            ).fetchone()[0]
+            assert py == duck, (t, py, duck)
+
+        check()
+
+    def test_dutch_stem_prefix_invariant_fuzzed(self):
+        import itertools
+        import random
+
+        from hive2es_offline_spark.plans.analysis import stem_text
+
+        random.seed(19)
+        alphabet = "abdeghijklmnoprstuvwz"
+        words = itertools.chain(
+            ("".join(p) for n in (1, 2, 3, 4)
+             for p in itertools.product("adehijlnrst", repeat=n)),
+            ("".join(random.choice(alphabet)
+                     for _ in range(random.randint(5, 14)))
+             for _ in range(30000)),
+        )
+        for w in words:
+            s = stem_text(w, "dutch")
+            assert w.startswith(s[:-1]), (w, s)
+
+    def test_match_dutch_plural_hits_singular(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        docs = [
+            (1, "De katten slapen in het huisje"),
+            (2, "Een kat op het dak"),
+            (3, "De mogelijkheid bestaat"),
+            (4, "alle mogelijkheden zijn open"),
+            (5, "niets te zien hier"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        def hits(body):
+            return sorted(r["doc_id"] for r in es_search(
+                df, {"query": body, "_source": ["doc_id"], "size": 10},
+                id_field="doc_id", analyzer="dutch").collect())
+
+        assert hits({"match": {"text": "kat"}}) == [1, 2]
+        assert hits({"match": {"text": "katten"}}) == [1, 2]
+        assert hits({"match": {"text": "mogelijkheden"}}) == [3, 4]
+        assert hits({"match_phrase": {"text": "het huisje"}}) == [1]

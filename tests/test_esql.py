@@ -634,3 +634,92 @@ class TestInlinestats:
             | WHERE id == 1 | KEEP amount
         """).first()
         assert r["amount"] == 5
+
+
+class TestSampleChangePointCategorize:
+    """Round 14 second batch: SAMPLE (deterministic LCG gate),
+    CHANGE_POINT (the change_point_scalar detector as a command), and
+    the CATEGORIZE grouping function."""
+
+    def test_sample_deterministic_and_scaled(self, spark):
+        df = spark.range(1000).toDF("doc_id")
+        q = "FROM t | SAMPLE 0.25 doc_id | STATS n = COUNT(*)"
+        n1 = esql({"t": df}, q).first()["n"]
+        n2 = esql({"t": df}, q).first()["n"]
+        assert n1 == n2                      # retry-deterministic
+        assert 150 < n1 < 350                # ~p·N
+        # the gate matches the random_sampler LCG exactly
+        P, MULT, MIX = 1_000_000_007, 387_420_489, 12_345
+        exp = sum(1 for i in range(1000)
+                  if (i % P * MULT + MIX) % P < int(0.25 * P))
+        assert n1 == exp
+
+    def test_sample_rejects(self, catalog):
+        with pytest.raises(ValueError, match="probability"):
+            esql(catalog, "FROM sales | SAMPLE 2.5 id")
+        with pytest.raises(ValueError, match="id_column"):
+            esql(catalog, "FROM sales | SAMPLE 0.5")
+        with pytest.raises(ValueError, match="unknown column"):
+            esql(catalog, "FROM sales | SAMPLE 0.5 nope")
+        with pytest.raises(ValueError, match="integral"):
+            esql(catalog, "FROM sales | SAMPLE 0.5 cat")
+
+    def test_change_point_step(self, spark):
+        s = spark.createDataFrame(
+            [(i, 10.0 if i < 6 else 30.0) for i in range(12)],
+            "k long, v double")
+        rows = esql({"t": s}, "FROM t | CHANGE_POINT v ON k | SORT k ASC"
+                    ).collect()
+        marked = [r for r in rows if r["type"] is not None]
+        assert len(marked) == 1
+        assert marked[0]["k"] == 6
+        assert marked[0]["type"] == "step_change"
+        assert marked[0]["pvalue"] == 1.0
+        assert len(rows) == 12               # annotation, not a filter
+
+    def test_change_point_spike_and_as_names(self, spark):
+        vals = [10.0] * 11
+        vals[5] = 99.0
+        s = spark.createDataFrame(
+            list(enumerate(vals)), "k long, v double")
+        rows = esql({"t": s},
+                    "FROM t | CHANGE_POINT v ON k AS cptype, score"
+                    ).collect()
+        marked = [r for r in rows if r["cptype"] is not None]
+        assert len(marked) == 1
+        assert marked[0]["k"] == 5
+        assert marked[0]["cptype"] == "spike"
+        assert marked[0]["score"] == 1.0
+
+    def test_change_point_stationary_all_null(self, spark):
+        s = spark.createDataFrame(
+            [(i, 10.0) for i in range(8)], "k long, v double")
+        rows = esql({"t": s}, "FROM t | CHANGE_POINT v ON k").collect()
+        assert all(r["type"] is None and r["pvalue"] is None
+                   for r in rows)
+
+    def test_change_point_rejects(self, catalog, spark):
+        with pytest.raises(ValueError, match="value column"):
+            esql(catalog, "FROM sales | CHANGE_POINT nope ON id")
+        with pytest.raises(ValueError, match="key column"):
+            esql(catalog, "FROM sales | CHANGE_POINT amount")
+        with pytest.raises(ValueError, match="collides"):
+            esql(catalog,
+                 "FROM sales | CHANGE_POINT amount ON id AS cat, x")
+
+    def test_categorize_groups_signatures(self, spark):
+        logs = spark.createDataFrame(
+            [(1, "Connected to 10.1.0.1"),
+             (2, "Connected to 10.1.0.2"),
+             (3, "Connection error at 10.1.0.3"),
+             (4, "Connection error at 10.1.0.9"),
+             (5, "12345")],
+            "id long, msg string")
+        rows = esql({"t": logs}, """
+            FROM t | STATS n = COUNT(*) BY cat = CATEGORIZE(msg)
+            | SORT n DESC, cat ASC
+        """).collect()
+        got = [(r["cat"], r["n"]) for r in rows]
+        assert got == [("connected to", 2),
+                       ("connection error at", 2),
+                       (None, 1)]
