@@ -4140,6 +4140,54 @@ def q_es_sparse_vector(spark, sf_dir):
     return es_scored_search(docs, body, id_field="doc_id")
 
 
+def q_es_weighted_tokens(spark, sf_dir):
+    """``weighted_tokens`` (round 14 second batch): the ES 8.13
+    field-keyed precursor of sparse_vector, still common in the wild —
+    the engine rewrites it onto the sparse_vector dot product in both
+    contexts (plans/query_dsl.py filter branch, plans/scoring.py score
+    branch), so the plan shape and the decimal-rounding contract are
+    byte-identical to es_sparse_vector.  Same corpus, same expansion
+    constant, different boost (so the golden distinguishes the two
+    surfaces); pruning_config rejects loudly (corpus-statistics
+    dependent)."""
+    from hive2es_offline_spark.plans.scoring import (
+        es_scored_search, sparse_tf_vector)
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.withColumn("tok_w", sparse_tf_vector("text"))
+    body = {
+        "query": {"weighted_tokens": {
+            "tok_w": {"tokens": dict(_SPV_QV), "boost": 2.0}}},
+        "size": 25,
+        "_source": ["doc_id", "source"],
+    }
+    return es_scored_search(docs, body, id_field="doc_id")
+
+
+def q_es_esql_fork(spark, sf_dir):
+    """ES|QL ``FORK`` (round 14 second batch): branch sub-pipelines
+    over one input frame, unioned by name with the ``_fork``
+    discriminator — here the canonical triage shape: branch 1 keeps
+    the top-10 highest-value filtered orders, branch 2 reduces the
+    same filtered frame to per-status counts.  Scale shape: the union
+    is a no-shuffle concatenation; each branch keeps its own
+    pushdown/pruning (branch 1 plans TakeOrderedAndProject, branch 2
+    one groupBy exchange).  The oracle is the literal UNION ALL with
+    NULL fill."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"orders": _t(spark, sf_dir, "orders")}, '''
+        FROM orders
+        | WHERE o_totalprice > 100000
+        | FORK (SORT o_totalprice DESC, o_orderkey ASC | LIMIT 10
+                | KEEP o_orderkey, o_totalprice)
+               (STATS n = COUNT(*), total = SUM(o_totalprice)
+                  BY o_orderstatus
+                | KEEP o_orderstatus, n, total)
+        | SORT _fork ASC, o_orderkey ASC, o_orderstatus ASC
+    ''')
+
+
 def q_es_esql_enrich(spark, sf_dir):
     """ES|QL ``ENRICH`` (round 14, VERDICT r13 #3): the enrich-policy
     join — the catalog models the policy's enrich index, and the
@@ -5143,6 +5191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_sample": q_es_esql_sample,
         "es_esql_categorize": q_es_esql_categorize,
         "es_esql_changepoint": q_es_esql_changepoint,
+        "es_weighted_tokens": q_es_weighted_tokens,
+        "es_esql_fork": q_es_esql_fork,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6720,6 +6770,52 @@ def _goldens_b() -> dict[str, str]:
                 f"list_contains(toks, '{t}')" for t in sorted(_SPV_QV))}
             ORDER BY _score DESC, doc_id ASC
             LIMIT 25
+        """,
+        # es_weighted_tokens: the sparse_vector oracle with the 2.0
+        # boost applied AFTER the decimal dot-product sum (the engine
+        # multiplies the cast double by the boost — exact for 2.0)
+        "es_weighted_tokens": f"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     {_duck_toks('text', 'standard')} AS toks
+              FROM documents
+            )
+            SELECT doc_id, source,
+                   CAST({' + '.join(
+                       f"CAST(round(len(list_filter(toks, t -> t = '{t}'))"
+                       f" * {w}, 6) AS DECIMAL(28,6))"
+                       for t, w in sorted(_SPV_QV.items()))}
+                     AS DOUBLE) * 2.0 AS _score
+            FROM tok
+            WHERE {' OR '.join(
+                f"list_contains(toks, '{t}')" for t in sorted(_SPV_QV))}
+            ORDER BY _score DESC, doc_id ASC
+            LIMIT 25
+        """,
+        "es_esql_fork": """
+            WITH f AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_totalprice > 100000
+            ), b1 AS (
+              SELECT o_orderkey, o_totalprice, 'fork1' AS _fork,
+                     CAST(NULL AS VARCHAR) AS o_orderstatus,
+                     CAST(NULL AS BIGINT) AS n,
+                     CAST(NULL AS DOUBLE) AS total
+              FROM f
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+            ), b2 AS (
+              SELECT CAST(NULL AS BIGINT) AS o_orderkey,
+                     CAST(NULL AS DOUBLE) AS o_totalprice,
+                     'fork2' AS _fork, o_orderstatus,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                          AS DOUBLE) AS total
+              FROM f GROUP BY o_orderstatus
+            )
+            SELECT * FROM b1
+            UNION ALL SELECT * FROM b2
+            ORDER BY _fork ASC, o_orderkey ASC NULLS LAST,
+                     o_orderstatus ASC NULLS LAST
         """,
         "es_esql_enrich": """
             SELECT n_name AS nation_name,

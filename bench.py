@@ -226,11 +226,17 @@ BENCH_QUERIES = [
     "es_match_russian",
     "es_match_cjk",
     "video_dedup",
-    # round-14 second batch: the dutch chain on the match path and the
+    # round-14 second batch: the dutch chain on the match path, the
     # query-rules rewrite (driver-side criteria → pinned/bool; the row
-    # prices at its organic query's cost by construction)
+    # prices at its organic query's cost by construction), the ES|QL
+    # SAMPLE/CATEGORIZE/CHANGE_POINT/FORK commands, and weighted_tokens
     "es_match_dutch",
     "es_rule_query",
+    "es_esql_sample",
+    "es_esql_categorize",
+    "es_esql_changepoint",
+    "es_esql_fork",
+    "es_weighted_tokens",
 ]
 
 

@@ -66,6 +66,11 @@ anti-silent policy):
                                   second column carries the
                                   variance-explained score, not a
                                   p-value (documented divergence)
+- ``FORK (branch) (branch) …``    2–8 parenthesized sub-pipelines over
+                                  the same input, unioned by name with
+                                  a ``_fork`` discriminator (fork1…);
+                                  no-shuffle concatenation, per-branch
+                                  pushdown; nested FORK rejects
 - ``DISSECT col "%{a} %{b}"``     delimiter extraction → one anchored
                                   regex, codegen; non-matching rows
                                   keep NULL fields like ES|QL
@@ -81,8 +86,10 @@ anchored regex), RLIKE, IS [NOT] NULL, CASE(cond, val, …, default),
 and a scalar-function whitelist (ABS CEIL FLOOR ROUND SQRT POW CONCAT
 LENGTH SUBSTRING TO_UPPER TO_LOWER TRIM LTRIM RTRIM STARTS_WITH
 ENDS_WITH COALESCE GREATEST LEAST TO_STRING TO_LONG TO_INT TO_DOUBLE
-DATE_TRUNC DATE_FORMAT DATE_DIFF DATE_EXTRACT BUCKET CATEGORIZE
-MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG).  ``CATEGORIZE(msg)`` is the
+TO_BOOLEAN TO_DATETIME REPLACE REVERSE LEFT RIGHT SPLIT LOCATE
+CIDR_MATCH DATE_TRUNC DATE_FORMAT DATE_DIFF DATE_EXTRACT BUCKET
+CATEGORIZE MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG MV_DEDUPE MV_SORT
+MV_FIRST MV_LAST).  ``CATEGORIZE(msg)`` is the
 STATS-BY log-categorization key — the deterministic exact-signature
 contract of the categorize_text agg (number-bearing tokens removed,
 pure codegen; live ES runs the drain-style ML categorizer — documented
@@ -202,9 +209,16 @@ def _at(t) -> str:
 
 
 def _split_pipes(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    # paren-depth-aware: FORK branches carry their own '|' pipelines
+    # inside parentheses, which are NOT top-level stage breaks
     stages: list[list[tuple[str, str]]] = [[]]
+    depth = 0
     for t in toks:
-        if t == ("op", "|"):
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if t == ("op", "|") and depth == 0:
             stages.append([])
         else:
             stages[-1].append(t)
@@ -517,6 +531,66 @@ class _P:
             arg = self.expr()
             self.expect_op(")")
             return builders[field](arg).cast("long")
+        if fn == "SPLIT":
+            # ES|QL SPLIT(str, delim) splits on the LITERAL delimiter
+            # (not a regex) — the literal requirement lets the compiler
+            # regex-escape it for Spark's split
+            arg = self.expr()
+            self.expect_op(",")
+            t = self.next()
+            if t[0] != "str" or not t[1]:
+                raise ValueError(
+                    "ES|QL: SPLIT needs a non-empty literal delimiter "
+                    f"string{_at(t)}")
+            self.expect_op(")")
+            return F.split(arg, re.escape(t[1]))
+        if fn == "LOCATE":
+            # ES|QL LOCATE(string, substring[, start]) — 1-based, 0 when
+            # absent; the substring must be a literal (Spark's locate
+            # takes a Python string)
+            arg = self.expr()
+            self.expect_op(",")
+            t = self.next()
+            if t[0] != "str":
+                raise ValueError(
+                    f"ES|QL: LOCATE needs a literal substring{_at(t)}")
+            start = 1
+            if self.peek() == ("op", ","):
+                self.next()
+                st = self.next()
+                if st[0] != "num":
+                    raise ValueError(
+                        f"ES|QL: LOCATE start must be an integer "
+                        f"literal{_at(st)}")
+                start = int(st[1])
+            self.expect_op(")")
+            return F.locate(t[1], arg, start)
+        if fn == "CIDR_MATCH":
+            # ES|QL CIDR_MATCH(ip, "block", …) — the blocks are literal
+            # CIDR strings, so each folds to a [lo, hi] uint32 compare
+            # at plan-build time (functions/ip.py, the same fold as the
+            # term-on-ip-field DSL path); the column parses in codegen
+            from ..functions import ip as _ip
+
+            arg = self.expr()
+            bounds = []
+            while self.peek() == ("op", ","):
+                self.next()
+                t = self.next()
+                if t[0] != "str" or not _ip.is_cidr_literal(t[1]):
+                    raise ValueError(
+                        f"ES|QL: CIDR_MATCH blocks must be literal "
+                        f"CIDR strings{_at(t)}")
+                bounds.append(_ip.cidr_bounds(t[1]))
+            self.expect_op(")")
+            if not bounds:
+                raise ValueError(
+                    "ES|QL: CIDR_MATCH needs at least one CIDR block")
+            ipl = _ip.ip_to_long(arg)
+            out = F.lit(False)
+            for lo, hi in bounds:
+                out = out | ((ipl >= F.lit(lo)) & (ipl <= F.lit(hi)))
+            return out
         if fn == "CATEGORIZE":
             # ES|QL CATEGORIZE(field) — the STATS-BY log-categorization
             # grouping function (ES 8.18).  Same deterministic
@@ -575,6 +649,17 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
     # SUBSTRING is 1-based in ES|QL, like F.substring
     "SUBSTRING": lambda a: F.substring(a[0], a[1], a[2])
     if len(a) == 3 else F.substring(a[0], a[1], 2_147_483_647),
+    # string round-out (round 14 second batch) — REPLACE is the ES|QL
+    # REGEX form (regexp_replace, like live ES|QL); LEFT/RIGHT clamp
+    # like their ES|QL namesakes via substring arithmetic
+    "REPLACE": lambda a: F.regexp_replace(a[0], a[1], a[2]),
+    "REVERSE": lambda a: F.reverse(a[0]),
+    "LEFT": lambda a: F.substring(a[0], F.lit(1), a[1]),
+    "RIGHT": lambda a: F.when(
+        a[1] <= 0, F.lit("")).otherwise(
+        F.substring(a[0], -a[1].cast("int"), a[1])),
+    "TO_BOOLEAN": lambda a: a[0].cast("boolean"),
+    "TO_DATETIME": lambda a: a[0].cast("timestamp"),
     # MV_* multivalue functions: ES|QL multivalue fields are array
     # columns here; null input → null (array_size/aggregate propagate),
     # and MV_SUM/MV_AVG guard empties to null like a no-value field.
@@ -591,6 +676,13 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
         F.aggregate(a[0], F.lit(0.0),
                     lambda acc, x: acc + x.cast("double"))
         / F.array_size(a[0])),
+    # multivalue round-out (round 14 second batch): F.get is 0-based
+    # and NULL on out-of-bounds (an empty multivalue field has no
+    # first/last — ES|QL returns null there too, never an error)
+    "MV_DEDUPE": lambda a: F.array_distinct(a[0]),
+    "MV_SORT": lambda a: F.sort_array(a[0]),
+    "MV_FIRST": lambda a: F.get(a[0], 0),
+    "MV_LAST": lambda a: F.get(a[0], F.array_size(a[0]) - 1),
 }
 
 #: aggregates (STATS context only)
@@ -633,7 +725,7 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
     supported = " ".join(sorted(
         [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
-         "COUNT(*)"]))
+         "SPLIT", "LOCATE", "CIDR_MATCH", "COUNT(*)"]))
     raise ValueError(
         f"ES|QL: unsupported function {fn} (supported: {supported})")
 
@@ -1217,227 +1309,290 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
     else:
         raise ValueError("ES|QL: the source command must be FROM or ROW")
     for stage in stages[1:]:
-        p = _P(stage)
-        cmd = p.next()
-        if cmd[0] != "id":
-            raise ValueError(f"ES|QL: expected a command, got {cmd[1]!r}")
-        up = cmd[1].upper()
-        if up == "WHERE":
-            df = _stage_where(df, p)
-        elif up == "EVAL":
-            df = _stage_eval(df, p)
-        elif up == "STATS":
-            df = _stage_stats(df, p)
-        elif up == "INLINESTATS":
-            df = _stage_inlinestats(df, p)
-        elif up == "ENRICH":
-            df = _stage_enrich(df, p, tables)
-        elif up == "SORT":
-            df = _stage_sort(df, p)
-        elif up == "LIMIT":
-            t = p.next()
-            if t[0] != "num" or not p.done():
-                raise ValueError("ES|QL: LIMIT needs one integer")
-            df = df.limit(int(t[1]))
-        elif up == "KEEP":
-            df = df.select(*_expand_cols(_name_list(p), df.columns))
-        elif up == "DROP":
-            drop = _expand_cols(_name_list(p), df.columns)
-            df = df.select(*[c for c in df.columns if c not in drop])
-        elif up == "RENAME":
-            while not p.done():
-                old = p.next()
-                as_t = p.next()
-                new = p.next()
-                if (old[0] != "id" or new[0] != "id" or as_t[0] != "id"
-                        or as_t[1].upper() != "AS"):
-                    raise ValueError("ES|QL: RENAME old AS new[, …]")
-                if old[1] not in df.columns:
-                    # withColumnRenamed is documented as a no-op for a
-                    # missing source column — reject loudly instead
-                    # (code-review r13)
-                    raise ValueError(
-                        f"ES|QL: unknown column {old[1]!r} "
-                        f"(have {df.columns})")
-                df = df.withColumnRenamed(old[1], new[1])
-                if p.peek() == ("op", ","):
-                    p.next()
-        elif up == "LOOKUP":
-            # ES|QL LOOKUP JOIN (8.18+): left-join a small lookup index
-            # on equal field names.  ES enforces smallness via
-            # index.mode=lookup; this engine encodes the same contract
-            # as an explicit BROADCAST left join — the scale shape is a
-            # map-side hash join, never a shuffle of the left side.
-            j = p.next()
-            if j[0] != "id" or j[1].upper() != "JOIN":
-                raise ValueError("ES|QL: LOOKUP JOIN <index> ON <field>")
-            idx = p.next()
-            on_t = p.next()
-            if (idx[0] != "id" or on_t[0] != "id"
-                    or on_t[1].upper() != "ON"):
-                raise ValueError("ES|QL: LOOKUP JOIN <index> ON <field>")
-            keys = _name_list(p)
-            if idx[1] not in tables:
-                raise ValueError(
-                    f"ES|QL: unknown lookup index {idx[1]!r} "
-                    f"(catalog: {sorted(tables)})")
-            lk = tables[idx[1]]
-            for k in keys:
-                if k not in df.columns or k not in lk.columns:
-                    raise ValueError(
-                        f"ES|QL: LOOKUP JOIN key {k!r} must exist on "
-                        f"both sides (left: {df.columns}, "
-                        f"lookup: {lk.columns})")
-            clash = [c for c in lk.columns
-                     if c not in keys and c in df.columns]
-            if clash:
-                # ES resolves collisions by lookup-side precedence;
-                # silently replacing a left column is the kind of
-                # surprise this engine rejects — RENAME first
-                raise ValueError(
-                    f"ES|QL: lookup column(s) {clash} collide with "
-                    "existing columns (RENAME one side first)")
-            df = df.join(F.broadcast(lk), on=keys, how="left")
-        elif up in ("DISSECT", "GROK"):
-            t = p.next()
-            pat_t = p.next()
-            if t[0] != "id" or pat_t[0] != "str" or not p.done():
-                raise ValueError(
-                    f"ES|QL: {up} <column> \"<pattern>\" "
-                    "(APPEND_SEPARATOR is not supported)")
-            if t[1] not in df.columns:
-                raise ValueError(
-                    f"ES|QL: unknown column {t[1]!r} (have {df.columns})")
-            if up == "DISSECT":
-                regex, names = _dissect_regex(pat_t[1])
-                fields = [(n, None) for n in names]
-            else:
-                regex, fields = _grok_regex(pat_t[1])
-            if not fields:
-                raise ValueError(
-                    f"ES|QL: {up} pattern extracts no fields")
-            df = _extract_groups(df, t[1], regex, fields)
-        elif up == "SAMPLE":
-            # ES|QL SAMPLE (9.1): keep each row with probability p.
-            # Live ES|QL samples with an RNG — non-deterministic across
-            # retries, which this engine rejects as a class; the
-            # documented extension takes the integral id column to gate
-            # on and reuses the random_sampler LCG prime-field hash
-            # (oracle-replayable in ANSI SQL).  The gate is a codegen
-            # filter that rides the scan: at 100 TB the dropped rows
-            # never reach the next stage.
-            t = p.next()
-            if t[0] != "num":
-                raise ValueError(
-                    f"ES|QL: SAMPLE needs a probability literal{_at(t)}")
-            prob = float(t[1])
-            if not 0.0 < prob < 1.0:
-                raise ValueError(
-                    f"ES|QL: SAMPLE probability must be in (0, 1), "
-                    f"got {t[1]}{_at(t)}")
-            col_t = None if p.done() else p.next()
-            if col_t is None or col_t[0] != "id" or not p.done():
-                raise ValueError(
-                    "ES|QL: SAMPLE <probability> <id_column> — live "
-                    "ES|QL's RNG sample is not retry-deterministic; "
-                    "this engine gates on a documented hash of an "
-                    "integral id column (COVERAGE.md divergence list)")
-            fld = col_t[1]
-            if fld not in df.columns:
-                raise ValueError(
-                    f"ES|QL: unknown column {fld!r} (have {df.columns})")
-            ftype = df.schema[fld].dataType.simpleString()
-            if ftype not in ("tinyint", "smallint", "int", "bigint"):
-                raise ValueError(
-                    f"ES|QL: SAMPLE id column must be integral (got "
-                    f"{fld!r}: {ftype})")
-            P, MULT = 1_000_000_007, 387_420_489
-            mix = 12_345  # seed 0 of the random_sampler mix
-            h = F.pmod(F.col(fld).cast("bigint"), F.lit(P))
-            h = F.pmod(h * MULT + F.lit(mix), F.lit(P))
-            df = df.where(h < F.lit(int(prob * P)))
-        elif up == "CHANGE_POINT":
-            # ES|QL CHANGE_POINT value [ON key] [AS type, pvalue]
-            # (8.18 tech preview): annotate the row where the series
-            # (ordered by key) breaks.  Compiles onto the SAME
-            # variance-explained detector as the change_point pipeline
-            # agg (query_dsl.change_point_scalar — extracted for this);
-            # the second output column carries that detector's
-            # variance-explained score, NOT live ES's p-value
-            # (documented divergence, same class as the agg).  Only a
-            # detected break (step_change/spike/dip) annotates a row;
-            # stationary/indeterminable series keep both columns NULL
-            # everywhere.  Scale: the detector is O(rows) window math —
-            # ES|QL callers run it AFTER a STATS reduce, same as ES.
-            from .query_dsl import change_point_scalar
+        df = _apply_stage(df, stage, tables)
+    return df
 
-            val_t = p.next()
-            if val_t[0] != "id" or val_t[1] not in df.columns:
+
+def _apply_stage(df: DataFrame, stage: list,
+                 tables: Mapping[str, DataFrame], *,
+                 in_fork: bool = False) -> DataFrame:
+    """Compile ONE pipe stage onto ``df`` (extracted round 14 so
+    FORK can run its parenthesized branch sub-pipelines through
+    the same dispatch)."""
+    p = _P(stage)
+    cmd = p.next()
+    if cmd[0] != "id":
+        raise ValueError(f"ES|QL: expected a command, got {cmd[1]!r}")
+    up = cmd[1].upper()
+    if up == "WHERE":
+        df = _stage_where(df, p)
+    elif up == "EVAL":
+        df = _stage_eval(df, p)
+    elif up == "STATS":
+        df = _stage_stats(df, p)
+    elif up == "INLINESTATS":
+        df = _stage_inlinestats(df, p)
+    elif up == "ENRICH":
+        df = _stage_enrich(df, p, tables)
+    elif up == "SORT":
+        df = _stage_sort(df, p)
+    elif up == "LIMIT":
+        t = p.next()
+        if t[0] != "num" or not p.done():
+            raise ValueError("ES|QL: LIMIT needs one integer")
+        df = df.limit(int(t[1]))
+    elif up == "KEEP":
+        df = df.select(*_expand_cols(_name_list(p), df.columns))
+    elif up == "DROP":
+        drop = _expand_cols(_name_list(p), df.columns)
+        df = df.select(*[c for c in df.columns if c not in drop])
+    elif up == "RENAME":
+        while not p.done():
+            old = p.next()
+            as_t = p.next()
+            new = p.next()
+            if (old[0] != "id" or new[0] != "id" or as_t[0] != "id"
+                    or as_t[1].upper() != "AS"):
+                raise ValueError("ES|QL: RENAME old AS new[, …]")
+            if old[1] not in df.columns:
+                # withColumnRenamed is documented as a no-op for a
+                # missing source column — reject loudly instead
+                # (code-review r13)
                 raise ValueError(
-                    "ES|QL: CHANGE_POINT needs a value column "
+                    f"ES|QL: unknown column {old[1]!r} "
                     f"(have {df.columns})")
-            key = "@timestamp"
-            names = ["type", "pvalue"]
-            while not p.done():
-                kw = p.next()
-                if kw[0] == "id" and kw[1].upper() == "ON":
-                    kt = p.next()
-                    if kt[0] != "id":
-                        raise ValueError(
-                            f"ES|QL: CHANGE_POINT ON needs a column"
-                            f"{_at(kt)}")
-                    key = kt[1]
-                elif kw[0] == "id" and kw[1].upper() == "AS":
-                    t1 = p.next()
-                    c = p.next()
-                    t2 = p.next()
-                    if (t1[0] != "id" or t2[0] != "id"
-                            or c != ("op", ",")):
-                        raise ValueError(
-                            "ES|QL: CHANGE_POINT … AS type_name, "
-                            "pvalue_name")
-                    names = [t1[1], t2[1]]
-                else:
-                    raise ValueError(
-                        f"ES|QL: unexpected CHANGE_POINT token "
-                        f"{kw[1]!r}{_at(kw)}")
-            if key not in df.columns:
-                raise ValueError(
-                    f"ES|QL: CHANGE_POINT key column {key!r} missing — "
-                    "name one with ON (the @timestamp default is not "
-                    f"on this frame: {df.columns})")
-            for n in names:
-                if n in df.columns:
-                    raise ValueError(
-                        f"ES|QL: CHANGE_POINT output column {n!r} "
-                        "collides with an existing column (RENAME or "
-                        "AS different names)")
-            scalar = change_point_scalar(
-                df.select(F.col(key).alias("key"),
-                          F.col(val_t[1]).alias("_v")),
-                F.col("_v"), "_cp")
-            annotated = df.crossJoin(F.broadcast(scalar))
-            at_break = (F.col("_cp_key").isNotNull()
-                        & (F.col(key).cast("string") == F.col("_cp_key")))
-            df = (annotated
-                  .withColumn(names[0],
-                              F.when(at_break, F.col("_cp_type")))
-                  .withColumn(names[1],
-                              F.when(at_break, F.col("_cp_score")))
-                  .drop("_cp_type", "_cp_key", "_cp_score"))
-        elif up == "MV_EXPAND":
-            t = p.next()
-            if t[0] != "id" or not p.done():
-                raise ValueError("ES|QL: MV_EXPAND needs one column")
-            if t[1] not in df.columns:
-                raise ValueError(
-                    f"ES|QL: unknown column {t[1]!r} (have {df.columns})")
-            df = df.select(*[
-                F.explode_outer(F.col(c)).alias(c) if c == t[1] else F.col(c)
-                for c in df.columns])
-        else:
+            df = df.withColumnRenamed(old[1], new[1])
+            if p.peek() == ("op", ","):
+                p.next()
+    elif up == "LOOKUP":
+        # ES|QL LOOKUP JOIN (8.18+): left-join a small lookup index
+        # on equal field names.  ES enforces smallness via
+        # index.mode=lookup; this engine encodes the same contract
+        # as an explicit BROADCAST left join — the scale shape is a
+        # map-side hash join, never a shuffle of the left side.
+        j = p.next()
+        if j[0] != "id" or j[1].upper() != "JOIN":
+            raise ValueError("ES|QL: LOOKUP JOIN <index> ON <field>")
+        idx = p.next()
+        on_t = p.next()
+        if (idx[0] != "id" or on_t[0] != "id"
+                or on_t[1].upper() != "ON"):
+            raise ValueError("ES|QL: LOOKUP JOIN <index> ON <field>")
+        keys = _name_list(p)
+        if idx[1] not in tables:
             raise ValueError(
-                f"ES|QL: unsupported command {up} (supported: WHERE EVAL "
-                "STATS INLINESTATS SORT LIMIT KEEP DROP RENAME MV_EXPAND "
-                "LOOKUP JOIN ENRICH DISSECT GROK SAMPLE CHANGE_POINT)")
+                f"ES|QL: unknown lookup index {idx[1]!r} "
+                f"(catalog: {sorted(tables)})")
+        lk = tables[idx[1]]
+        for k in keys:
+            if k not in df.columns or k not in lk.columns:
+                raise ValueError(
+                    f"ES|QL: LOOKUP JOIN key {k!r} must exist on "
+                    f"both sides (left: {df.columns}, "
+                    f"lookup: {lk.columns})")
+        clash = [c for c in lk.columns
+                 if c not in keys and c in df.columns]
+        if clash:
+            # ES resolves collisions by lookup-side precedence;
+            # silently replacing a left column is the kind of
+            # surprise this engine rejects — RENAME first
+            raise ValueError(
+                f"ES|QL: lookup column(s) {clash} collide with "
+                "existing columns (RENAME one side first)")
+        df = df.join(F.broadcast(lk), on=keys, how="left")
+    elif up in ("DISSECT", "GROK"):
+        t = p.next()
+        pat_t = p.next()
+        if t[0] != "id" or pat_t[0] != "str" or not p.done():
+            raise ValueError(
+                f"ES|QL: {up} <column> \"<pattern>\" "
+                "(APPEND_SEPARATOR is not supported)")
+        if t[1] not in df.columns:
+            raise ValueError(
+                f"ES|QL: unknown column {t[1]!r} (have {df.columns})")
+        if up == "DISSECT":
+            regex, names = _dissect_regex(pat_t[1])
+            fields = [(n, None) for n in names]
+        else:
+            regex, fields = _grok_regex(pat_t[1])
+        if not fields:
+            raise ValueError(
+                f"ES|QL: {up} pattern extracts no fields")
+        df = _extract_groups(df, t[1], regex, fields)
+    elif up == "SAMPLE":
+        # ES|QL SAMPLE (9.1): keep each row with probability p.
+        # Live ES|QL samples with an RNG — non-deterministic across
+        # retries, which this engine rejects as a class; the
+        # documented extension takes the integral id column to gate
+        # on and reuses the random_sampler LCG prime-field hash
+        # (oracle-replayable in ANSI SQL).  The gate is a codegen
+        # filter that rides the scan: at 100 TB the dropped rows
+        # never reach the next stage.
+        t = p.next()
+        if t[0] != "num":
+            raise ValueError(
+                f"ES|QL: SAMPLE needs a probability literal{_at(t)}")
+        prob = float(t[1])
+        if not 0.0 < prob < 1.0:
+            raise ValueError(
+                f"ES|QL: SAMPLE probability must be in (0, 1), "
+                f"got {t[1]}{_at(t)}")
+        col_t = None if p.done() else p.next()
+        if col_t is None or col_t[0] != "id" or not p.done():
+            raise ValueError(
+                "ES|QL: SAMPLE <probability> <id_column> — live "
+                "ES|QL's RNG sample is not retry-deterministic; "
+                "this engine gates on a documented hash of an "
+                "integral id column (COVERAGE.md divergence list)")
+        fld = col_t[1]
+        if fld not in df.columns:
+            raise ValueError(
+                f"ES|QL: unknown column {fld!r} (have {df.columns})")
+        ftype = df.schema[fld].dataType.simpleString()
+        if ftype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"ES|QL: SAMPLE id column must be integral (got "
+                f"{fld!r}: {ftype})")
+        P, MULT = 1_000_000_007, 387_420_489
+        mix = 12_345  # seed 0 of the random_sampler mix
+        h = F.pmod(F.col(fld).cast("bigint"), F.lit(P))
+        h = F.pmod(h * MULT + F.lit(mix), F.lit(P))
+        df = df.where(h < F.lit(int(prob * P)))
+    elif up == "CHANGE_POINT":
+        # ES|QL CHANGE_POINT value [ON key] [AS type, pvalue]
+        # (8.18 tech preview): annotate the row where the series
+        # (ordered by key) breaks.  Compiles onto the SAME
+        # variance-explained detector as the change_point pipeline
+        # agg (query_dsl.change_point_scalar — extracted for this);
+        # the second output column carries that detector's
+        # variance-explained score, NOT live ES's p-value
+        # (documented divergence, same class as the agg).  Only a
+        # detected break (step_change/spike/dip) annotates a row;
+        # stationary/indeterminable series keep both columns NULL
+        # everywhere.  Scale: the detector is O(rows) window math —
+        # ES|QL callers run it AFTER a STATS reduce, same as ES.
+        from .query_dsl import change_point_scalar
+
+        val_t = p.next()
+        if val_t[0] != "id" or val_t[1] not in df.columns:
+            raise ValueError(
+                "ES|QL: CHANGE_POINT needs a value column "
+                f"(have {df.columns})")
+        key = "@timestamp"
+        names = ["type", "pvalue"]
+        while not p.done():
+            kw = p.next()
+            if kw[0] == "id" and kw[1].upper() == "ON":
+                kt = p.next()
+                if kt[0] != "id":
+                    raise ValueError(
+                        f"ES|QL: CHANGE_POINT ON needs a column"
+                        f"{_at(kt)}")
+                key = kt[1]
+            elif kw[0] == "id" and kw[1].upper() == "AS":
+                t1 = p.next()
+                c = p.next()
+                t2 = p.next()
+                if (t1[0] != "id" or t2[0] != "id"
+                        or c != ("op", ",")):
+                    raise ValueError(
+                        "ES|QL: CHANGE_POINT … AS type_name, "
+                        "pvalue_name")
+                names = [t1[1], t2[1]]
+            else:
+                raise ValueError(
+                    f"ES|QL: unexpected CHANGE_POINT token "
+                    f"{kw[1]!r}{_at(kw)}")
+        if key not in df.columns:
+            raise ValueError(
+                f"ES|QL: CHANGE_POINT key column {key!r} missing — "
+                "name one with ON (the @timestamp default is not "
+                f"on this frame: {df.columns})")
+        for n in names:
+            if n in df.columns:
+                raise ValueError(
+                    f"ES|QL: CHANGE_POINT output column {n!r} "
+                    "collides with an existing column (RENAME or "
+                    "AS different names)")
+        scalar = change_point_scalar(
+            df.select(F.col(key).alias("key"),
+                      F.col(val_t[1]).alias("_v")),
+            F.col("_v"), "_cp")
+        annotated = df.crossJoin(F.broadcast(scalar))
+        at_break = (F.col("_cp_key").isNotNull()
+                    & (F.col(key).cast("string") == F.col("_cp_key")))
+        df = (annotated
+              .withColumn(names[0],
+                          F.when(at_break, F.col("_cp_type")))
+              .withColumn(names[1],
+                          F.when(at_break, F.col("_cp_score")))
+              .drop("_cp_type", "_cp_key", "_cp_score"))
+    elif up == "FORK":
+        # ES|QL FORK (9.1): run 2–8 parenthesized branch sub-pipelines
+        # over the SAME input frame and union the results by name, each
+        # row tagged with its branch in a ``_fork`` column (fork1,
+        # fork2, … in branch order — ES's discriminator convention).
+        # Scale shape: the union is a no-shuffle concatenation and each
+        # branch keeps its own pushdown/pruning against the shared
+        # source — Catalyst reuses the scan where branches allow.
+        # Nested FORK rejects like live ES|QL.
+        if in_fork:
+            raise ValueError("ES|QL: FORK cannot be nested")
+        if "_fork" in df.columns:
+            raise ValueError(
+                "ES|QL: only one FORK per query (the frame already "
+                "carries a _fork column)")
+        branches: list[list] = []
+        while not p.done():
+            t = p.next()
+            if t != ("op", "("):
+                raise ValueError(
+                    "ES|QL: FORK branches are parenthesized "
+                    f"sub-pipelines{_at(t)}")
+            depth = 1
+            toks: list = []
+            while depth:
+                t2 = p.next()
+                if t2 == ("op", "("):
+                    depth += 1
+                elif t2 == ("op", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                toks.append(t2)
+            if not toks:
+                raise ValueError(
+                    "ES|QL: a FORK branch needs at least one command")
+            branches.append(toks)
+        if not 2 <= len(branches) <= 8:
+            raise ValueError(
+                f"ES|QL: FORK takes 2 to 8 branches, got {len(branches)}")
+        outs = []
+        for bi, btoks in enumerate(branches, 1):
+            bdf = df
+            for bstage in _split_pipes(btoks):
+                bdf = _apply_stage(bdf, bstage, tables, in_fork=True)
+            if "_fork" in bdf.columns:
+                raise ValueError("ES|QL: FORK cannot be nested")
+            outs.append(bdf.withColumn("_fork", F.lit(f"fork{bi}")))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        df = out
+    elif up == "MV_EXPAND":
+        t = p.next()
+        if t[0] != "id" or not p.done():
+            raise ValueError("ES|QL: MV_EXPAND needs one column")
+        if t[1] not in df.columns:
+            raise ValueError(
+                f"ES|QL: unknown column {t[1]!r} (have {df.columns})")
+        df = df.select(*[
+            F.explode_outer(F.col(c)).alias(c) if c == t[1] else F.col(c)
+            for c in df.columns])
+    else:
+        raise ValueError(
+            f"ES|QL: unsupported command {up} (supported: WHERE EVAL "
+            "STATS INLINESTATS SORT LIMIT KEEP DROP RENAME MV_EXPAND "
+            "LOOKUP JOIN ENRICH DISSECT GROK SAMPLE CHANGE_POINT "
+            "FORK)")
     return df

@@ -1772,6 +1772,21 @@ def compile_query(
         return c.isNotNull() & (c > 0)
     if kind == "distance_feature":
         return col(body["field"]).isNotNull()
+    if kind == "weighted_tokens":
+        # ES 8.13 weighted_tokens — the field-keyed precursor of
+        # sparse_vector (same token-weight dot product; deprecated in
+        # favor of sparse_vector but still in the wild).  Rewrite to
+        # the sparse_vector shape and fall through; pruning_config
+        # depends on corpus statistics this engine will not guess.
+        field, spec = _field_spec(body)
+        unknown = set(spec) - {"tokens", "boost"}
+        if unknown:
+            raise ValueError(
+                f"unsupported weighted_tokens option(s): {sorted(unknown)} "
+                "(pruning_config depends on corpus statistics)")
+        kind = "sparse_vector"
+        body = {"field": field, "query_vector": spec["tokens"],
+                **({"boost": spec["boost"]} if "boost" in spec else {})}
     if kind == "sparse_vector":
         # ES 8.15 sparse_vector (ELSER-style learned-sparse retrieval):
         # filter context matches docs whose sparse-vector map shares at

@@ -587,6 +587,16 @@ class _ScoreCompiler:
             s = F.lit(float(pv)) / (F.lit(float(pv)) + dist)
             return F.when(pred, F.round(s * F.lit(boost), 6)
                           ).otherwise(F.lit(0.0))
+        if kind == "weighted_tokens":
+            # field-keyed precursor of sparse_vector — rewrite and
+            # recurse (validation lives in the filter branch, which
+            # compile_query already ran for this clause's predicate)
+            from .query_dsl import _field_spec
+
+            field, spec = _field_spec(body)
+            return self.build({"sparse_vector": {
+                "field": field, "query_vector": spec["tokens"],
+                **({"boost": spec["boost"]} if "boost" in spec else {})}})
         if kind == "sparse_vector":
             # learned-sparse dot product: Σ_t qv[t] * doc_map[t] over
             # the QUERY vector's tokens — the query expansion is small

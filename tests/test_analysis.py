@@ -456,10 +456,10 @@ class TestCustomAnalyzers:
             register_analyzer("english", stemmer=True)
         with pytest.raises(ValueError, match="tokenizer"):
             register_analyzer("x1", tokenizer="icu")
-        # _german_/_spanish_ (r13a) and _italian_/_portuguese_ (r13b)
-        # became supported shorthands
+        # _german_/_spanish_ (r13a), _italian_/_portuguese_ (r13b),
+        # _russian_ (r14) and _dutch_ (r14b) became supported shorthands
         with pytest.raises(ValueError, match="stopword set"):
-            register_analyzer("x2", stopwords="_dutch_")
+            register_analyzer("x2", stopwords="_swedish_")
         with pytest.raises(ValueError, match="stopword"):
             register_analyzer("x3", stopwords="_english_",
                               synonyms=[["the", "car"]])

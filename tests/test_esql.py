@@ -723,3 +723,130 @@ class TestSampleChangePointCategorize:
         assert got == [("connected to", 2),
                        ("connection error at", 2),
                        (None, 1)]
+
+
+class TestFork:
+    """ES|QL FORK (round 14 second batch): branch sub-pipelines over
+    one input, unioned by name with the _fork discriminator."""
+
+    def test_fork_unions_with_discriminator(self, catalog):
+        rows = esql(catalog, """
+            FROM sales
+            | FORK (WHERE amount >= 40 | KEEP id, amount)
+                   (STATS n = COUNT(*) BY cat | RENAME n AS amount
+                    | KEEP cat, amount)
+            | SORT _fork ASC, amount ASC
+        """).collect()
+        f1 = [r for r in rows if r["_fork"] == "fork1"]
+        f2 = [r for r in rows if r["_fork"] == "fork2"]
+        assert [r["id"] for r in f1] == [4, 5]
+        assert [(r["cat"], r["amount"]) for r in f2] == [("a", 2), ("b", 3)]
+        # union-by-name fills the other branch's columns with NULL
+        assert all(r["cat"] is None for r in f1)
+        assert all(r["id"] is None for r in f2)
+
+    def test_fork_branches_share_input(self, catalog):
+        # both branches see the same WHERE-filtered frame
+        rows = esql(catalog, """
+            FROM sales | WHERE cat == "b"
+            | FORK (STATS n = COUNT(*)) (STATS m = MAX(amount))
+        """).collect()
+        by = {r["_fork"]: r for r in rows}
+        assert by["fork1"]["n"] == 3
+        assert by["fork2"]["m"] == 50.0
+
+    def test_fork_pipe_inside_branch_not_a_stage_break(self, catalog):
+        rows = esql(catalog, """
+            FROM sales
+            | FORK (SORT amount DESC | LIMIT 1 | KEEP id)
+                   (SORT amount ASC | LIMIT 1 | KEEP id)
+            | SORT _fork ASC
+        """).collect()
+        assert [(r["_fork"], r["id"]) for r in rows] == [
+            ("fork1", 5), ("fork2", 1)]
+
+    def test_fork_rejects(self, catalog):
+        with pytest.raises(ValueError, match="2 to 8 branches"):
+            esql(catalog, "FROM sales | FORK (WHERE id == 1)")
+        with pytest.raises(ValueError, match="nested"):
+            esql(catalog, """
+                FROM sales
+                | FORK (FORK (WHERE id == 1) (WHERE id == 2))
+                       (WHERE id == 3)
+            """)
+        with pytest.raises(ValueError, match="parenthesized"):
+            esql(catalog, "FROM sales | FORK WHERE id == 1")
+        with pytest.raises(ValueError, match="at least one command"):
+            esql(catalog, "FROM sales | FORK () (WHERE id == 1)")
+        with pytest.raises(ValueError, match="one FORK per query"):
+            esql(catalog, """
+                FROM sales
+                | FORK (WHERE id == 1) (WHERE id == 2)
+                | FORK (WHERE id == 1) (WHERE id == 2)
+            """)
+
+
+class TestScalarRoundOut:
+    """Round 14 second batch: string/multivalue/ip scalar functions."""
+
+    def test_string_functions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "abc")], "id long, s string")
+        r = esql({"t": df}, """
+            FROM t
+            | EVAL rep = REPLACE(s, "o", "0"), rev = REVERSE(s),
+                   l3 = LEFT(s, 3), r3 = RIGHT(s, 3),
+                   parts = SPLIT(s, " "), pos = LOCATE(s, "o"),
+                   pos2 = LOCATE(s, "o", 6)
+            | WHERE id == 1 | LIMIT 1
+        """).first()
+        assert r["rep"] == "hell0 w0rld"
+        assert r["rev"] == "dlrow olleh"
+        assert r["l3"] == "hel"
+        assert r["r3"] == "rld"
+        assert r["parts"] == ["hello", "world"]
+        assert r["pos"] == 5
+        assert r["pos2"] == 8
+
+    def test_split_is_literal_not_regex(self, spark):
+        df = spark.createDataFrame([(1, "a.b.c")], "id long, s string")
+        r = esql({"t": df},
+                 'FROM t | EVAL p = SPLIT(s, ".") | LIMIT 1').first()
+        assert r["p"] == ["a", "b", "c"]
+
+    def test_mv_functions(self, spark):
+        df = spark.createDataFrame(
+            [(1, [3, 1, 3, 2]), (2, []), (3, None)],
+            "id long, v array<int>")
+        rows = {r["id"]: r for r in esql({"t": df}, """
+            FROM t
+            | EVAL d = MV_DEDUPE(v), s = MV_SORT(v),
+                   f = MV_FIRST(v), l = MV_LAST(v)
+        """).collect()}
+        assert sorted(rows[1]["d"]) == [1, 2, 3]
+        assert rows[1]["s"] == [1, 2, 3, 3]
+        assert rows[1]["f"] == 3 and rows[1]["l"] == 2
+        assert rows[2]["f"] is None and rows[2]["l"] is None
+        assert rows[3]["f"] is None and rows[3]["d"] is None
+
+    def test_cidr_match(self, spark):
+        df = spark.createDataFrame(
+            [(1, "10.1.2.3"), (2, "192.168.0.9"), (3, "8.8.8.8")],
+            "id long, ip string")
+        got = [r["id"] for r in esql({"t": df}, """
+            FROM t
+            | WHERE CIDR_MATCH(ip, "10.0.0.0/8", "192.168.0.0/16")
+            | SORT id ASC
+        """).collect()]
+        assert got == [1, 2]
+
+    def test_rejects(self, catalog):
+        with pytest.raises(ValueError, match="literal delimiter"):
+            esql(catalog, "FROM sales | EVAL x = SPLIT(cat, cat)")
+        with pytest.raises(ValueError, match="literal substring"):
+            esql(catalog, "FROM sales | EVAL x = LOCATE(cat, cat)")
+        with pytest.raises(ValueError, match="CIDR"):
+            esql(catalog,
+                 'FROM sales | WHERE CIDR_MATCH(cat, "not-a-cidr")')
+        with pytest.raises(ValueError, match="at least one CIDR"):
+            esql(catalog, "FROM sales | WHERE CIDR_MATCH(cat)")

@@ -1550,3 +1550,59 @@ class TestSparseVector:
         }, id_field="doc_id")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestWeightedTokens:
+    """weighted_tokens (round 14 second batch): the field-keyed
+    precursor of sparse_vector — same dot product, both contexts."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, {"merge": 2.0, "stream": 1.0}),
+             (2, {"batch": 3.0}),
+             (3, {"merge": 0.5})],
+            "id long, sv map<string,double>")
+
+    def test_filter_context_matches_shared_tokens(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        body = {"query": {"weighted_tokens": {
+            "sv": {"tokens": {"merge": 1.2, "stream": 0.9}}}},
+            "sort": [{"id": "asc"}], "_source": ["id"], "size": 10}
+        got = [r["id"] for r in es_search(
+            self._df(spark), body, id_field="id").collect()]
+        assert got == [1, 3]
+
+    def test_scored_equals_sparse_vector(self, spark):
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        qv = {"merge": 1.2, "stream": 0.9}
+        common = {"sort": [{"_score": "desc"}, {"id": "asc"}],
+                  "_source": ["id"], "size": 10}
+        wt = es_scored_search(self._df(spark), {
+            "query": {"weighted_tokens": {"sv": {"tokens": qv}}},
+            **common}, id_field="id").collect()
+        sv = es_scored_search(self._df(spark), {
+            "query": {"sparse_vector": {"field": "sv",
+                                        "query_vector": qv}},
+            **common}, id_field="id").collect()
+        assert [(r["id"], r["_score"]) for r in wt] == \
+            [(r["id"], r["_score"]) for r in sv]
+        assert [r["id"] for r in wt] == [1, 3]
+
+    def test_boost_and_reject(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        wt = es_scored_search(self._df(spark), {
+            "query": {"weighted_tokens": {
+                "sv": {"tokens": {"merge": 1.0}, "boost": 2.0}}},
+            "sort": [{"id": "asc"}], "_source": ["id", "_score"],
+            "size": 10}, id_field="id").collect()
+        assert [r["_score"] for r in wt] == [4.0, 1.0]
+        with pytest.raises(ValueError, match="pruning_config"):
+            es_search(self._df(spark), {
+                "query": {"weighted_tokens": {"sv": {
+                    "tokens": {"a": 1.0},
+                    "pruning_config": {"tokens_freq_ratio_threshold": 5},
+                }}}, "size": 1}, id_field="id")
