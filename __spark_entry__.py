@@ -3049,6 +3049,72 @@ def q_es_retriever_rrf(spark, sf_dir):
     return es_retriever_search(d, body, id_field="doc_id")
 
 
+def q_es_retriever_linear(spark, sf_dir):
+    """ES 8.18 ``linear`` retriever (round 14 second batch): weighted
+    sum of per-child MINMAX-normalized scores — the modern hybrid
+    alternative to rrf when score magnitudes should survive fusion.
+    Same children as es_retriever_rrf (BM25 standard + exact-cosine
+    knn, both rounded-before-rank), weight 2.0 on the lexical child;
+    fusion is a union of the two ≤window ranked frames + ONE groupBy
+    (plans/scoring.py::es_retriever_search).  The oracle replays the
+    BM25 CTE, the cosine ranking, the per-child minmax, and the
+    weighted sum in plain SQL."""
+    from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "emb", F.array(*[
+            ((F.col("doc_id") * (i + 3)) % 17).cast("double")
+            for i in range(4)
+        ]))
+    body = {
+        "retriever": {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {
+                    "query": {"match": {"text": "merge stream"}}}},
+                 "weight": 2.0, "normalizer": "minmax"},
+                {"retriever": {"knn": {
+                    "field": "emb",
+                    "query_vector": [1.0, 5.0, 9.0, 13.0], "k": 20}},
+                 "weight": 1.0, "normalizer": "minmax"},
+            ],
+            "rank_window_size": 20,
+        }},
+        "size": 12,
+        "_source": ["doc_id", "source"],
+    }
+    return es_retriever_search(d, body, id_field="doc_id")
+
+
+def q_es_max_sim(spark, sf_dir):
+    """Late-interaction maxSim over an ES 8.18 ``rank_vectors``-shaped
+    field (round 14 second batch): score = Σ over query vectors of the
+    best dot product against any doc vector — the ColBERT retrieval
+    shape live ES scores via script_score maxSimDotProduct.  The doc
+    multi-vector is the real embeddings table sliced into two 4-dim
+    chunks (both engines slice with the same arithmetic); the query
+    side is two plan-literal vectors, so the whole score is codegen
+    higher-order functions — zero shuffle, zero UDF, per-query maxes
+    rounded to 6 before DECIMAL(28,6) addition so the DuckDB
+    list_dot_product/list_max oracle replays the sum
+    hash-identically."""
+    from hive2es_offline_spark.plans.scoring import es_scored_search
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "rv", F.array(F.slice(F.col("embedding"), 1, 4),
+                      F.slice(F.col("embedding"), 5, 4)))
+    body = {
+        "query": {"max_sim": {
+            "field": "rv",
+            "query_vectors": [[1.0, 0.5, -0.25, 2.0],
+                              [-1.0, 0.75, 1.5, 0.125]],
+        }},
+        "sort": [{"_score": "desc"}, {"vec_id": "asc"}],
+        "size": 20,
+        "_source": ["vec_id", "label"],
+    }
+    return es_scored_search(e, body, id_field="vec_id")
+
+
 def q_es_termvectors(spark, sf_dir):
     """``_termvectors`` API (round 12, an r13 window candidate):
     per-term statistics for one document — term_freq, 0-based positions
@@ -5193,6 +5259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_changepoint": q_es_esql_changepoint,
         "es_weighted_tokens": q_es_weighted_tokens,
         "es_esql_fork": q_es_esql_fork,
+        "es_retriever_linear": q_es_retriever_linear,
+        "es_max_sim": q_es_max_sim,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -7121,6 +7189,111 @@ def _goldens_b() -> dict[str, str]:
                      AS INTEGER) AS rank,
                    b.source
             FROM fused f JOIN base b USING (doc_id)
+        """,
+        # es_retriever_linear: the rrf oracle's BM25/cosine CTE front,
+        # but keeping SCORES — per-child minmax over the 20-row window
+        # (degenerate max==min → 1.0, the engine's documented edge),
+        # child parts rounded ×weight, fused = round(sum, 6) top 12
+        "es_retriever_linear": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text),
+                       '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')
+                       AS toks,
+                     [CAST((doc_id * 3) % 17 AS DOUBLE),
+                      CAST((doc_id * 4) % 17 AS DOUBLE),
+                      CAST((doc_id * 5) % 17 AS DOUBLE),
+                      CAST((doc_id * 6) % 17 AS DOUBLE)] AS emb
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM base, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream')
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), lexs AS (
+              SELECT doc_id, round(CAST(sum(p) AS DOUBLE), 6) AS sc
+              FROM part GROUP BY doc_id
+              ORDER BY sc DESC, doc_id ASC LIMIT 20
+            ), lexn AS (
+              SELECT doc_id,
+                     round(CASE WHEN max(sc) OVER () = min(sc) OVER ()
+                            THEN 1.0
+                            ELSE (sc - min(sc) OVER ())
+                                 / (max(sc) OVER () - min(sc) OVER ())
+                       END * 2.0, 6) AS prt
+              FROM lexs
+            ), knns AS (
+              SELECT doc_id,
+                     round(list_cosine_similarity(
+                       emb, [1.0, 5.0, 9.0, 13.0]), 6) AS sc
+              FROM base
+              ORDER BY sc DESC, doc_id ASC LIMIT 20
+            ), knnn AS (
+              SELECT doc_id,
+                     round(CASE WHEN max(sc) OVER () = min(sc) OVER ()
+                            THEN 1.0
+                            ELSE (sc - min(sc) OVER ())
+                                 / (max(sc) OVER () - min(sc) OVER ())
+                       END * 1.0, 6) AS prt
+              FROM knns
+            ), fused AS (
+              SELECT doc_id, round(sum(prt), 6) AS linear_score
+              FROM (SELECT * FROM lexn UNION ALL SELECT * FROM knnn)
+              GROUP BY doc_id
+              ORDER BY linear_score DESC, doc_id ASC LIMIT 12
+            )
+            SELECT f.doc_id, f.linear_score,
+                   CAST(row_number() OVER (
+                     ORDER BY f.linear_score DESC, f.doc_id ASC)
+                     AS INTEGER) AS rank,
+                   b.source
+            FROM fused f JOIN base b USING (doc_id)
+        """,
+        # es_max_sim: per-query-vector best dot product over the sliced
+        # multi-vector, rounded to 6 before the decimal sum (the
+        # engine's BM25-family convention); embedding chunks cast to
+        # DOUBLE so DuckDB accumulates in the same precision as Spark
+        "es_max_sim": """
+            WITH rv AS (
+              SELECT vec_id, label,
+                     list_transform(embedding[1:4],
+                                    x -> CAST(x AS DOUBLE)) AS c1,
+                     list_transform(embedding[5:8],
+                                    x -> CAST(x AS DOUBLE)) AS c2
+              FROM embeddings
+            ), scored AS (
+              SELECT vec_id, label,
+                     round(
+                       CAST(round(list_max([
+                         list_dot_product(c1, [1.0, 0.5, -0.25, 2.0]),
+                         list_dot_product(c2, [1.0, 0.5, -0.25, 2.0])]),
+                         6) AS DECIMAL(28,6))
+                       + CAST(round(list_max([
+                         list_dot_product(c1, [-1.0, 0.75, 1.5, 0.125]),
+                         list_dot_product(c2, [-1.0, 0.75, 1.5, 0.125])]),
+                         6) AS DECIMAL(28,6)), 6) AS _score
+              FROM rv
+            )
+            SELECT vec_id, CAST(_score AS DOUBLE) AS _score, label
+            FROM scored
+            ORDER BY _score DESC, vec_id ASC
+            LIMIT 20
         """,
         "es_bucket_correlation": f"""
             WITH b AS (

@@ -237,6 +237,10 @@ BENCH_QUERIES = [
     "es_esql_changepoint",
     "es_esql_fork",
     "es_weighted_tokens",
+    # round-14 third batch: the linear retriever (weighted normalized
+    # fusion) and late-interaction maxSim over a multi-vector field
+    "es_retriever_linear",
+    "es_max_sim",
 ]
 
 

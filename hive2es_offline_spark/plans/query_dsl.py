@@ -1772,6 +1772,33 @@ def compile_query(
         return c.isNotNull() & (c > 0)
     if kind == "distance_feature":
         return col(body["field"]).isNotNull()
+    if kind == "max_sim":
+        # Late-interaction retrieval over an ES 8.18 ``rank_vectors``
+        # field (the ColBERT shape): live ES scores it via script_score
+        # maxSimDotProduct(params.query_vector, 'field'); this engine
+        # exposes the same semantics as a first-class query kind —
+        # {"field", "query_vectors", "boost"} — because the painless
+        # subset deliberately stays arithmetic-only.  Filter context
+        # matches docs whose multi-vector field has at least one
+        # vector; scoring (Σ_q max_d dot(q,d)) in plans/scoring.py.
+        # maxSimInvHamming (bit vectors) is not modeled — rejecting
+        # here beats silently treating bytes as floats.
+        unknown = set(body) - {"field", "query_vectors", "boost"}
+        if unknown:
+            raise ValueError(
+                f"unsupported max_sim option(s): {sorted(unknown)}")
+        qvs = body.get("query_vectors")
+        if (not isinstance(qvs, list) or not qvs
+                or not all(isinstance(v, list) and v for v in qvs)):
+            raise ValueError(
+                "max_sim needs query_vectors: a non-empty list of "
+                "non-empty numeric vectors")
+        dims = {len(v) for v in qvs}
+        if len(dims) != 1:
+            raise ValueError(
+                f"max_sim query_vectors must share one dimension, "
+                f"got {sorted(dims)}")
+        return F.size(col(body["field"])) > 0
     if kind == "weighted_tokens":
         # ES 8.13 weighted_tokens — the field-keyed precursor of
         # sparse_vector (same token-weight dot product; deprecated in

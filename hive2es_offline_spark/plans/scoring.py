@@ -587,6 +587,41 @@ class _ScoreCompiler:
             s = F.lit(float(pv)) / (F.lit(float(pv)) + dist)
             return F.when(pred, F.round(s * F.lit(boost), 6)
                           ).otherwise(F.lit(0.0))
+        if kind == "max_sim":
+            # late-interaction maxSim (ES rank_vectors
+            # maxSimDotProduct): Σ over QUERY vectors of the best dot
+            # product against any doc vector.  The query side is a
+            # plan literal (ColBERT queries are ≤ dozens of vectors),
+            # so the sum unrolls like the sparse_vector dot product;
+            # the doc side is one transform+array_max per query vector
+            # — all codegen higher-order functions, zero shuffle, zero
+            # UDF.  Each per-query max rounds to 6 decimals before
+            # DECIMAL(28,6) addition (the BM25-family convention), so
+            # a DuckDB oracle replays the sum hash-identically via
+            # list_dot_product/list_max.
+            doc = F.col(body["field"])
+
+            def _dot_with(lit_q):
+                # closure factory, NOT a default-arg lambda — a
+                # two-param callable looks BINARY to F.transform and
+                # receives the element INDEX as its second argument
+                # (the analysis.py _drop_rule rule)
+                def dot(d):
+                    return F.aggregate(
+                        F.zip_with(d, lit_q,
+                                   lambda a, b: a.cast("double") * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+                return dot
+
+            total: Column = F.lit(0).cast("decimal(28,6)")
+            for qv in body["query_vectors"]:
+                lit_q = F.lit([float(x) for x in qv])
+                best = F.array_max(F.transform(doc, _dot_with(lit_q)))
+                total = total + F.round(F.coalesce(best, F.lit(0.0)),
+                                        6).cast("decimal(28,6)")
+            boost = float(body.get("boost", 1.0))
+            return F.when(pred, total.cast("double") * F.lit(boost)
+                          ).otherwise(F.lit(0.0))
         if kind == "weighted_tokens":
             # field-keyed precursor of sparse_vector — rewrite and
             # recurse (validation lives in the filter branch, which
@@ -1466,8 +1501,11 @@ def es_retriever_search(
     place of ``query`` — ``standard`` (a query-DSL retriever, ranked by
     BM25 ``_score``, optional ``filter``), ``knn`` (exact cosine top-k
     via the canonical rounded-before-rank helper, optional ``filter``
-    pre-restricting candidates), and ``rrf`` (reciprocal-rank fusion of
-    child retrievers with ``rank_constant`` / ``rank_window_size``).
+    pre-restricting candidates), ``rrf`` (reciprocal-rank fusion of
+    child retrievers with ``rank_constant`` / ``rank_window_size``),
+    and ``linear`` (ES 8.18: weighted sum of per-child normalized
+    scores — minmax / l2_norm / none — fused as union + one groupBy,
+    round 14 second batch).
 
     A single (non-rrf) root returns the retriever's REAL score —
     ``_score`` (BM25 or rounded cosine) plus ``rank``; an ``rrf`` root
@@ -1544,10 +1582,78 @@ def es_retriever_search(
                 id_field, F.col("score").alias("_score"),
                 F.row_number().over(w).alias("rank"))
         raise ValueError(
-            f"unsupported retriever: {rkind!r} (standard | knn | rrf)")
+            f"unsupported retriever: {rkind!r} "
+            "(standard | knn | rrf | linear)")
 
     (kind, spec_body), = spec.items()
-    if kind == "rrf":
+    if kind == "linear":
+        # ES 8.18 linear retriever: weighted sum of per-child
+        # NORMALIZED scores — each child entry is {"retriever": node,
+        # "weight": w, "normalizer": "minmax"|"l2_norm"|"none"}.  A doc
+        # absent from a child's top window contributes 0 from that
+        # child (ES's convention).  Documented edge: a degenerate
+        # minmax window (max == min) normalizes every member to 1.0 —
+        # they are jointly the child's best hits; ES leaves this case
+        # unspecified.  Scale shape identical to rrf: the heavy work is
+        # inside each child's pushed-down top-window; normalization is
+        # one tiny global-window pass per ≤window-row child frame and
+        # the fusion is a union + ONE groupBy on the id.
+        from pyspark.sql.window import Window as _W
+
+        unknown = set(spec_body) - {"retrievers", "rank_window_size"}
+        if unknown:
+            raise ValueError(
+                f"unsupported linear option(s): {sorted(unknown)}")
+        window = int(spec_body.get("rank_window_size", max(size, 10)))
+        if window < size:
+            raise ValueError(
+                f"rank_window_size ({window}) must be >= size ({size})")
+        entries = spec_body.get("retrievers") or []
+        if len(entries) < 2:
+            raise ValueError("linear needs at least two child retrievers")
+        parts = []
+        for ent in entries:
+            unk = set(ent) - {"retriever", "weight", "normalizer"}
+            if unk:
+                raise ValueError(
+                    "unsupported linear child option(s): "
+                    f"{sorted(unk)}")
+            norm = str(ent.get("normalizer", "none"))
+            if norm not in ("minmax", "l2_norm", "none"):
+                raise ValueError(
+                    f"unsupported linear normalizer {norm!r} "
+                    "(minmax | l2_norm | none)")
+            child = ranked(ent["retriever"], window)
+            wall = _W.partitionBy(F.lit(1))
+            s = F.col("_score")
+            if norm == "minmax":
+                mn = F.min(s).over(wall)
+                mx = F.max(s).over(wall)
+                ns = F.when(mx == mn, F.lit(1.0)).otherwise(
+                    (s - mn) / (mx - mn))
+            elif norm == "l2_norm":
+                l2 = F.sqrt(F.sum(s * s).over(wall))
+                ns = F.when(l2 == 0, F.lit(0.0)).otherwise(s / l2)
+            else:
+                ns = s
+            w = float(ent.get("weight", 1.0))
+            parts.append(child.select(
+                id_field,
+                F.round(ns * F.lit(w), 6).alias("_part")))
+        uni = parts[0]
+        for prt in parts[1:]:
+            uni = uni.unionByName(prt)
+        fused = (
+            uni.groupBy(id_field)
+            .agg(F.round(F.sum("_part"), 6).alias("linear_score"))
+            .orderBy(F.col("linear_score").desc(), F.col(id_field).asc())
+            .limit(size)
+        )
+        fw = _W.orderBy(F.col("linear_score").desc(),
+                        F.col(id_field).asc())
+        fused = fused.withColumn("rank", F.row_number().over(fw))
+        score_col = "linear_score"
+    elif kind == "rrf":
         unknown = set(spec_body) - {"retrievers", "rank_constant",
                                     "rank_window_size"}
         if unknown:

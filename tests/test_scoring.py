@@ -1606,3 +1606,115 @@ class TestWeightedTokens:
                     "tokens": {"a": 1.0},
                     "pruning_config": {"tokens_freq_ratio_threshold": 5},
                 }}}, "size": 1}, id_field="id")
+
+
+class TestMaxSim:
+    """max_sim (round 14 second batch): late-interaction maxSim over a
+    rank_vectors-shaped array<array<double>> column."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, [[1.0, 0.0], [0.0, 1.0]]),
+             (2, [[0.5, 0.5]]),
+             (3, []),
+             (4, None)],
+            "id long, rv array<array<double>>")
+
+    def test_scores_sum_of_best_dots(self, spark):
+        body = {"query": {"max_sim": {
+            "field": "rv",
+            "query_vectors": [[1.0, 0.0], [0.0, 2.0]]}},
+            "sort": [{"_score": "desc"}, {"id": "asc"}],
+            "_source": ["id"], "size": 10}
+        got = [(r["id"], r["_score"]) for r in es_scored_search(
+            self._df(spark), body, id_field="id").collect()]
+        # doc1: max(1.0, 0.0) + max(0.0, 2.0) = 3.0
+        # doc2: 0.5 + 1.0 = 1.5; doc3/4: empty/null field → no hit
+        assert got == [(1, 3.0), (2, 1.5)]
+
+    def test_boost_and_rejects(self, spark):
+        body = {"query": {"max_sim": {
+            "field": "rv", "query_vectors": [[1.0, 0.0]],
+            "boost": 3.0}},
+            "sort": [{"id": "asc"}], "_source": ["id", "_score"],
+            "size": 10}
+        got = [r["_score"] for r in es_scored_search(
+            self._df(spark), body, id_field="id").collect()]
+        assert got == [3.0, 1.5]
+        with pytest.raises(ValueError, match="share one dimension"):
+            es_scored_search(self._df(spark), {
+                "query": {"max_sim": {
+                    "field": "rv",
+                    "query_vectors": [[1.0], [1.0, 2.0]]}},
+                "size": 1}, id_field="id")
+        with pytest.raises(ValueError, match="query_vectors"):
+            es_scored_search(self._df(spark), {
+                "query": {"max_sim": {"field": "rv",
+                                      "query_vectors": []}},
+                "size": 1}, id_field="id")
+
+
+class TestLinearRetriever:
+    """linear retriever (round 14 second batch): weighted sum of
+    per-child normalized scores."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "dogs dogs dogs", [1.0, 0.0]),
+             (2, "dogs cats", [0.9, 0.1]),
+             (3, "cats", [0.0, 1.0]),
+             (4, "dogs", [0.7, 0.3])],
+            "id long, t string, emb array<double>")
+
+    def _body(self, norm1="minmax", norm2="minmax"):
+        return {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {
+                "query": {"match": {"t": "dogs"}}}},
+             "weight": 2.0, "normalizer": norm1},
+            {"retriever": {"knn": {"field": "emb",
+                                   "query_vector": [1.0, 0.0],
+                                   "k": 4}},
+             "weight": 1.0, "normalizer": norm2},
+        ], "rank_window_size": 10}}, "size": 4, "_source": ["id"]}
+
+    def test_minmax_weighted_fusion(self, spark):
+        from hive2es_offline_spark.plans.scoring import (
+            es_retriever_search)
+
+        rows = {r["id"]: r for r in es_retriever_search(
+            self._docs(spark), self._body(), id_field="id").collect()}
+        # best lexical doc gets 2.0, best knn doc gets 1.0 — doc1 is
+        # both → 3.0 exactly; doc3 never matches lexical and is the
+        # knn minimum → 0.0
+        assert rows[1]["linear_score"] == 3.0
+        assert rows[1]["rank"] == 1
+        assert rows[3]["linear_score"] == 0.0
+
+    def test_absent_child_contributes_zero(self, spark):
+        from hive2es_offline_spark.plans.scoring import (
+            es_retriever_search)
+
+        # doc3 is outside the lexical window entirely (no 'dogs');
+        # its fused score comes from the knn child alone
+        rows = {r["id"]: r for r in es_retriever_search(
+            self._docs(spark), self._body(norm2="none"),
+            id_field="id").collect()}
+        assert rows[3]["linear_score"] == 0.0  # cosine([0,1],[1,0])=0
+
+    def test_rejects(self, spark):
+        from hive2es_offline_spark.plans.scoring import (
+            es_retriever_search)
+
+        bad = self._body()
+        bad["retriever"]["linear"]["retrievers"][0]["normalizer"] = "zscore"
+        with pytest.raises(ValueError, match="normalizer"):
+            es_retriever_search(self._docs(spark), bad, id_field="id")
+        one = self._body()
+        one["retriever"]["linear"]["retrievers"] = \
+            one["retriever"]["linear"]["retrievers"][:1]
+        with pytest.raises(ValueError, match="at least two"):
+            es_retriever_search(self._docs(spark), one, id_field="id")
+        small = self._body()
+        small["retriever"]["linear"]["rank_window_size"] = 2
+        with pytest.raises(ValueError, match="rank_window_size"):
+            es_retriever_search(self._docs(spark), small, id_field="id")
