@@ -9,7 +9,13 @@ optimizer — the compiler never materializes between stages.
 Supported commands (everything else rejects loudly, the repo's
 anti-silent policy):
 
-- ``FROM index[, index…]``        union of the named tables (by name)
+- ``FROM index[, index…] [METADATA _index]``
+                                  union of the named tables (by name);
+                                  METADATA _index adds the source
+                                  table name as a per-branch literal
+                                  (a WHERE on it prunes whole branches
+                                  at plan time); _id/_score/_version
+                                  reject — no flat-frame meaning
 - ``ROW name = <expr>, …``        one-row constant source (full scalar
                                   grammar over range(1); the session
                                   comes from the catalog)
@@ -1297,15 +1303,61 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
         df = spark.range(1).toDF("\x00esql_row").select(
             *[e.alias(n) for n, e in assigns])
     elif cmd[0] == "id" and cmd[1].upper() == "FROM":
-        names = _name_list(head)
+        # index names until an optional METADATA keyword (round 14):
+        # `FROM a, b METADATA _index` — _index is the source table
+        # name, a per-branch literal folded before the union, so a
+        # WHERE on it prunes whole branches at plan time.  _id /
+        # _score / _version metadata have no flat-frame meaning (the
+        # caller's id column is real data) and reject loudly.
+        names: list[str] = []
+        want_meta: list[str] = []
+        while not head.done():
+            t = head.next()
+            if t[0] != "id":
+                raise ValueError(
+                    f"ES|QL: expected an index name, got {t[1]!r}"
+                    f"{_at(t)}")
+            if t[1].upper() == "METADATA":
+                while not head.done():
+                    mt = head.next()
+                    if mt[0] != "id":
+                        raise ValueError(
+                            f"ES|QL: expected a metadata field, got "
+                            f"{mt[1]!r}{_at(mt)}")
+                    if mt[1] != "_index":
+                        raise ValueError(
+                            f"ES|QL: unsupported metadata field "
+                            f"{mt[1]!r}{_at(mt)} — only _index has a "
+                            "flat-frame meaning (_id/_score/_version "
+                            "are index-internal state)")
+                    want_meta.append(mt[1])
+                    if head.peek() == ("op", ","):
+                        head.next()
+                break
+            names.append(t[1])
+            if head.peek() == ("op", ","):
+                head.next()
+        if not names:
+            raise ValueError("ES|QL: FROM needs at least one index")
         missing = [n for n in names if n not in tables]
         if missing:
             raise ValueError(
                 f"ES|QL: unknown index(es) {missing} "
                 f"(catalog: {sorted(tables)})")
-        df = tables[names[0]]
+
+        def _src(n: str) -> DataFrame:
+            t = tables[n]
+            if want_meta:
+                if "_index" in t.columns:
+                    raise ValueError(
+                        "ES|QL: METADATA _index collides with an "
+                        f"existing _index column on {n!r}")
+                t = t.withColumn("_index", F.lit(n))
+            return t
+
+        df = _src(names[0])
         for n in names[1:]:
-            df = df.unionByName(tables[n], allowMissingColumns=True)
+            df = df.unionByName(_src(n), allowMissingColumns=True)
     else:
         raise ValueError("ES|QL: the source command must be FROM or ROW")
     for stage in stages[1:]:

@@ -850,3 +850,33 @@ class TestScalarRoundOut:
                  'FROM sales | WHERE CIDR_MATCH(cat, "not-a-cidr")')
         with pytest.raises(ValueError, match="at least one CIDR"):
             esql(catalog, "FROM sales | WHERE CIDR_MATCH(cat)")
+
+
+class TestFromMetadata:
+    """FROM … METADATA _index (round 14 second batch)."""
+
+    def test_index_column_per_branch(self, catalog):
+        rows = esql(catalog, """
+            FROM sales, extra METADATA _index
+            | STATS n = COUNT(*) BY _index
+            | SORT _index ASC
+        """).collect()
+        assert [(r["_index"], r["n"]) for r in rows] == [
+            ("extra", 1), ("sales", 5)]
+
+    def test_where_on_index_prunes(self, catalog):
+        rows = esql(catalog, """
+            FROM sales, extra METADATA _index
+            | WHERE _index == "extra" | KEEP id, _index
+        """).collect()
+        assert [(r["id"], r["_index"]) for r in rows] == [(6, "extra")]
+
+    def test_rejects(self, catalog, spark):
+        with pytest.raises(ValueError, match="_id"):
+            esql(catalog, "FROM sales METADATA _id")
+        with pytest.raises(ValueError, match="at least one index"):
+            esql(catalog, "FROM METADATA _index")
+        clash = {"t": spark.createDataFrame(
+            [(1, "x")], "id long, _index string")}
+        with pytest.raises(ValueError, match="collides"):
+            esql(clash, "FROM t METADATA _index")
