@@ -4254,6 +4254,32 @@ def q_es_esql_fork(spark, sf_dir):
     ''')
 
 
+def q_es_esql_fuse(spark, sf_dir):
+    """ES|QL ``FORK … | FUSE rrf`` (round 14 second batch): the
+    hybrid-search compose — two ranked branches over one filtered
+    frame, reciprocal-rank fused on the key (1/(60+rank) per branch,
+    rank = score desc / key asc inside each fork, rounded to 9 like
+    rrf_fuse).  Branch scores are EVAL columns so the golden stays
+    fully SQL-replayable; live ES fuses _score metadata (documented
+    divergence: output = key + fused score only).  Scale shape: both
+    branches are bounded top-k, the fuse is one window per tiny branch
+    + ONE groupBy on the key."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"orders": _t(spark, sf_dir, "orders")}, '''
+        FROM orders
+        | WHERE o_totalprice > 100000
+        | FORK (SORT o_totalprice DESC, o_orderkey ASC | LIMIT 15
+                | EVAL _score = o_totalprice | KEEP o_orderkey, _score)
+               (SORT o_orderkey ASC | LIMIT 15
+                | EVAL _score = 0.0 - o_orderkey
+                | KEEP o_orderkey, _score)
+        | FUSE rrf KEY BY o_orderkey
+        | SORT _score DESC, o_orderkey ASC
+        | LIMIT 10
+    ''')
+
+
 def q_es_esql_enrich(spark, sf_dir):
     """ES|QL ``ENRICH`` (round 14, VERDICT r13 #3): the enrich-policy
     join — the catalog models the policy's enrich index, and the
@@ -5261,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fork": q_es_esql_fork,
         "es_retriever_linear": q_es_retriever_linear,
         "es_max_sim": q_es_max_sim,
+        "es_esql_fuse": q_es_esql_fuse,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6884,6 +6911,34 @@ def _goldens_b() -> dict[str, str]:
             UNION ALL SELECT * FROM b2
             ORDER BY _fork ASC, o_orderkey ASC NULLS LAST,
                      o_orderstatus ASC NULLS LAST
+        """,
+        # es_esql_fuse: branch rankings as row_number CTEs (the same
+        # score-desc/key-asc order FUSE ranks by), rrf contributions
+        # 1/(60+rank), fused sum rounded to 9
+        "es_esql_fuse": """
+            WITH f AS (
+              SELECT o_orderkey, o_totalprice
+              FROM orders WHERE o_totalprice > 100000
+            ), b1 AS (
+              SELECT o_orderkey,
+                     row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS r
+              FROM f
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+            ), b2 AS (
+              SELECT o_orderkey,
+                     row_number() OVER (ORDER BY o_orderkey ASC) AS r
+              FROM f
+              ORDER BY o_orderkey ASC LIMIT 15
+            ), contrib AS (
+              SELECT o_orderkey, 1.0 / (60 + r) AS c FROM b1
+              UNION ALL
+              SELECT o_orderkey, 1.0 / (60 + r) FROM b2
+            )
+            SELECT o_orderkey, round(sum(c), 9) AS _score
+            FROM contrib GROUP BY o_orderkey
+            ORDER BY _score DESC, o_orderkey ASC
+            LIMIT 10
         """,
         "es_esql_enrich": """
             SELECT n_name AS nation_name,

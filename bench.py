@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     # fusion) and late-interaction maxSim over a multi-vector field
     "es_retriever_linear",
     "es_max_sim",
+    "es_esql_fuse",
 ]
 
 

@@ -77,6 +77,13 @@ anti-silent policy):
                                   a ``_fork`` discriminator (fork1…);
                                   no-shuffle concatenation, per-branch
                                   pushdown; nested FORK rejects
+- ``FUSE [rrf|linear] [SCORE BY col] [KEY BY col, …]``
+                                  merge FORK branches: rrf scores
+                                  1/(60+rank) per branch, linear sums
+                                  raw scores; output = key columns +
+                                  the fused score (other columns drop
+                                  — documented divergence; live ES
+                                  carries first-wins doc metadata)
 - ``DISSECT col "%{a} %{b}"``     delimiter extraction → one anchored
                                   regex, codegen; non-matching rows
                                   keep NULL fields like ES|QL
@@ -1631,6 +1638,83 @@ def _apply_stage(df: DataFrame, stage: list,
         for o in outs[1:]:
             out = out.unionByName(o, allowMissingColumns=True)
         df = out
+    elif up == "FUSE":
+        # ES|QL FUSE (9.2 tech preview): merge FORK branches into one
+        # ranked result — ``FUSE [rrf|linear] [SCORE BY col]
+        # [KEY BY col, …]``.  rrf scores 1/(60+rank) per branch (the
+        # rrf_fuse constant); linear sums the raw branch scores.  Ranks
+        # are deterministic: score desc, then the key columns asc
+        # within each _fork.  Output = key columns + the fused score
+        # column; other columns drop (live ES carries first-wins
+        # metadata — a flat frame has no doc identity to carry, the
+        # documented divergence) and a SORT stage orders the result.
+        # WITH options reject loudly.  Scale shape: FORK branches are
+        # already bounded (top-k/aggregates); one window per branch
+        # frame + ONE groupBy on the keys.
+        from pyspark.sql.window import Window as _W
+
+        method = "rrf"
+        score_col = "_score"
+        keys = ["_id"]
+        t = p.peek()
+        if (t is not None and t[0] == "id"
+                and t[1].upper() in ("RRF", "LINEAR")):
+            method = p.next()[1].lower()
+        while not p.done():
+            kw = p.next()
+            if kw[0] != "id":
+                raise ValueError(
+                    f"ES|QL: unexpected FUSE token {kw[1]!r}{_at(kw)}")
+            up2 = kw[1].upper()
+            if up2 == "SCORE":
+                by = p.next()
+                sc = p.next()
+                if (by[0] != "id" or by[1].upper() != "BY"
+                        or sc[0] != "id"):
+                    raise ValueError("ES|QL: FUSE SCORE BY <column>")
+                score_col = sc[1]
+            elif up2 == "KEY":
+                by = p.next()
+                if by[0] != "id" or by[1].upper() != "BY":
+                    raise ValueError("ES|QL: FUSE KEY BY <column, …>")
+                keys = []
+                while not p.done():
+                    kt = p.peek()
+                    if (kt[0] != "id"
+                            or kt[1].upper() in ("SCORE", "KEY", "WITH")):
+                        break
+                    keys.append(p.next()[1])
+                    if p.peek() == ("op", ","):
+                        p.next()
+                if not keys:
+                    raise ValueError("ES|QL: FUSE KEY BY <column, …>")
+            elif up2 == "WITH":
+                raise ValueError(
+                    "ES|QL: FUSE WITH options are not supported "
+                    "(rank_constant is fixed at 60, the rrf default)")
+            else:
+                raise ValueError(
+                    f"ES|QL: unexpected FUSE token {kw[1]!r}{_at(kw)}")
+        if "_fork" not in df.columns:
+            raise ValueError(
+                "ES|QL: FUSE needs a _fork column — put a FORK stage "
+                "before it")
+        for c in [score_col, *keys]:
+            if c not in df.columns:
+                raise ValueError(
+                    f"ES|QL: FUSE column {c!r} missing (have "
+                    f"{df.columns}; name them with SCORE BY / KEY BY)")
+        w = _W.partitionBy("_fork").orderBy(
+            F.col(score_col).desc_nulls_last(),
+            *[F.col(k).asc_nulls_last() for k in keys])
+        ranked = df.withColumn("_fuse_rank", F.row_number().over(w))
+        contrib = (F.lit(1.0) / (F.lit(60) + F.col("_fuse_rank"))
+                   if method == "rrf"
+                   else F.coalesce(F.col(score_col).cast("double"),
+                                   F.lit(0.0)))
+        df = (ranked
+              .groupBy(*keys)
+              .agg(F.round(F.sum(contrib), 9).alias(score_col)))
     elif up == "MV_EXPAND":
         t = p.next()
         if t[0] != "id" or not p.done():
@@ -1646,5 +1730,5 @@ def _apply_stage(df: DataFrame, stage: list,
             f"ES|QL: unsupported command {up} (supported: WHERE EVAL "
             "STATS INLINESTATS SORT LIMIT KEEP DROP RENAME MV_EXPAND "
             "LOOKUP JOIN ENRICH DISSECT GROK SAMPLE CHANGE_POINT "
-            "FORK)")
+            "FORK FUSE)")
     return df

@@ -880,3 +880,68 @@ class TestFromMetadata:
             [(1, "x")], "id long, _index string")}
         with pytest.raises(ValueError, match="collides"):
             esql(clash, "FROM t METADATA _index")
+
+
+class TestFuse:
+    """ES|QL FUSE (round 14 second batch): merge FORK branches by key
+    — rrf (rank-based) and linear (raw-score sum)."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0),
+             (4, "b", 40.0), (5, "a", 50.0)],
+            "id long, cat string, v double")
+
+    def test_rrf_fuse_of_two_rankings(self, spark):
+        rows = esql({"t": self._frame(spark)}, """
+            FROM t
+            | FORK (SORT v DESC | LIMIT 3 | EVAL _score = v
+                    | KEEP id, _score)
+                   (SORT v ASC | LIMIT 3 | EVAL _score = 100.0 - v
+                    | KEEP id, _score)
+            | FUSE rrf KEY BY id
+            | SORT _score DESC, id ASC
+        """).collect()
+        assert [r["id"] for r in rows][:2] == [3, 1]
+        # id 3 ranks 3rd in fork1 AND 3rd in fork2 → two contributions
+        assert rows[0]["_score"] == round(2 / 63, 9)
+        # id 1 only in fork2 (rank 1) → 1/61
+        assert rows[1]["_score"] == round(1 / 61, 9)
+        assert set(rows[0].asDict()) == {"id", "_score"}
+
+    def test_linear_fuse_sums_raw_scores(self, spark):
+        rows = esql({"t": self._frame(spark)}, """
+            FROM t
+            | FORK (WHERE cat == "a" | EVAL _score = v | KEEP id, _score)
+                   (WHERE v >= 40 | EVAL _score = 1.0 | KEEP id, _score)
+            | FUSE linear KEY BY id
+            | SORT _score DESC, id ASC
+        """).collect()
+        by = {r["id"]: r["_score"] for r in rows}
+        assert by[5] == 51.0      # 50 from fork1 + 1.0 from fork2
+        assert by[4] == 1.0       # fork2 only
+        assert by[1] == 10.0
+
+    def test_score_by_custom_column(self, spark):
+        rows = esql({"t": self._frame(spark)}, """
+            FROM t
+            | FORK (EVAL s = v | KEEP id, s) (EVAL s = 1.0 | KEEP id, s)
+            | FUSE linear SCORE BY s KEY BY id
+            | SORT s DESC, id ASC
+        """).collect()
+        assert rows[0]["id"] == 5 and rows[0]["s"] == 51.0
+
+    def test_rejects(self, spark, catalog):
+        with pytest.raises(ValueError, match="_fork"):
+            esql(catalog, "FROM sales | FUSE KEY BY id")
+        with pytest.raises(ValueError, match="missing"):
+            esql({"t": self._frame(spark)}, """
+                FROM t | FORK (KEEP id) (KEEP id) | FUSE KEY BY id
+            """)
+        with pytest.raises(ValueError, match="WITH options"):
+            esql({"t": self._frame(spark)}, """
+                FROM t
+                | FORK (EVAL _score = v | KEEP id, _score)
+                       (EVAL _score = v | KEEP id, _score)
+                | FUSE rrf KEY BY id WITH x
+            """)
