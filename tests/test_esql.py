@@ -158,10 +158,11 @@ class TestExpressions:
 class TestRejects:
     def test_unknown_command(self, catalog):
         # GROK/DISSECT/LOOKUP JOIN became supported in round 13,
-        # ENRICH/INLINESTATS in round 14; FORK stays a representative
-        # unknown
-        with pytest.raises(ValueError, match="unsupported command FORK"):
-            esql(catalog, "FROM sales | FORK (WHERE id == 1)")
+        # ENRICH/INLINESTATS then SAMPLE/CHANGE_POINT/FORK/FUSE in
+        # round 14; EXPLAIN stays a representative unknown
+        with pytest.raises(ValueError,
+                           match="unsupported command EXPLAIN"):
+            esql(catalog, "FROM sales | EXPLAIN")
 
     def test_unknown_index(self, catalog):
         with pytest.raises(ValueError, match="unknown index"):
@@ -945,3 +946,76 @@ class TestFuse:
                        (EVAL _score = v | KEEP id, _score)
                 | FUSE rrf KEY BY id WITH x
             """)
+
+
+class TestRound14PlanShapes:
+    """Plan assertions for the round-14 second-batch surfaces."""
+
+    def test_fork_branch_keeps_top_k_shape(self, catalog):
+        plan = esql(catalog, """
+            FROM sales
+            | FORK (SORT amount DESC | LIMIT 3 | KEEP id, amount)
+                   (WHERE cat == "a" | KEEP id, amount)
+        """)._jdf.queryExecution().executedPlan().toString()
+        # branch 1's SORT|LIMIT still plans as a top-k inside the union
+        assert "TakeOrderedAndProject" in plan
+        assert "Union" in plan
+
+    def test_sample_gate_precedes_aggregation(self, spark, tmp_path):
+        path = str(tmp_path / "s.parquet")
+        spark.range(1000).withColumn(
+            "v", (F.col("id") % 5).cast("double")).write.parquet(path)
+        df = spark.read.parquet(path)
+        plan = esql({"t": df}, """
+            FROM t | SAMPLE 0.25 id | STATS n = COUNT(*)
+        """)._jdf.queryExecution().executedPlan().toString()
+        # the LCG gate is a codegen Filter on the scan side of the
+        # aggregation exchange — pmod arithmetic, no UDF
+        assert "pmod" in plan
+        assert "BatchEvalPython" not in plan
+        assert "Filter" in plan.split("Exchange")[-1]  # below the agg
+
+    def test_rule_query_plan_equals_pinned_rewrite(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+        from hive2es_offline_spark.plans.rules import (
+            delete_query_ruleset, put_query_ruleset)
+
+        put_query_ruleset("shape", [
+            {"rule_id": "p", "type": "pinned",
+             "criteria": [{"type": "always"}],
+             "actions": {"ids": ["7"]}}])
+        try:
+            df = spark.createDataFrame(
+                [(str(i), "dogs" if i % 2 else "cats")
+                 for i in range(10)], "id string, t string")
+            body_rule = {"query": {"rule": {
+                "organic": {"match": {"t": "dogs"}},
+                "ruleset_ids": ["shape"],
+                "match_criteria": {"q": "x"}}},
+                "_source": ["id"], "size": 10}
+            body_pinned = {"query": {"pinned": {
+                "ids": ["7"], "organic": {"match": {"t": "dogs"}}}},
+                "_source": ["id"], "size": 10}
+            p1 = es_search(df, body_rule, id_field="id") \
+                ._jdf.queryExecution().executedPlan().toString()
+            p2 = es_search(df, body_pinned, id_field="id") \
+                ._jdf.queryExecution().executedPlan().toString()
+            # the rewrite happens before compilation: byte-identical
+            # physical plans, zero added nodes
+            assert p1 == p2
+        finally:
+            delete_query_ruleset("shape")
+
+    def test_max_sim_stays_codegen(self, spark):
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        df = spark.createDataFrame(
+            [(1, [[1.0, 0.0]])], "id long, rv array<array<double>>")
+        plan = es_scored_search(df, {
+            "query": {"max_sim": {"field": "rv",
+                                  "query_vectors": [[1.0, 2.0]]}},
+            "sort": [{"id": "asc"}], "_source": ["id"], "size": 5},
+            id_field="id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan.split("TakeOrderedAndProject")[-1]
