@@ -6560,9 +6560,10 @@ def _goldens_b() -> dict[str, str]:
             ORDER BY doc_id ASC
             LIMIT 60
         """,
-        # es_esql_sample: the LCG prime-field gate replayed literally
-        # (h = (id mod P)·MULT + mix mod P < floor(p·P); P = 1e9+7,
-        # seed-0 mix = 12345 — the random_sampler hash, seedless form)
+        # es_esql_sample: the shared sampling_gate replayed literally —
+        # three LCG rounds over P = 1e9+7 (seed-0 mix 12345, then the
+        # fixed 987654323 round), keep when h < floor(0.2·P); the SAME
+        # constants as random_sampler (query_dsl.sampling_gate)
         "es_esql_sample": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n,
@@ -6570,7 +6571,8 @@ def _goldens_b() -> dict[str, str]:
                      AS total
             FROM events
             WHERE event_type IS NOT NULL
-              AND (event_id % 1000000007 * 387420489 + 12345)
+              AND ((event_id % 1000000007 * 387420489 + 12345)
+                   % 1000000007 * 387420489 + 987654323)
                   % 1000000007 < 200000001
             GROUP BY event_type
             ORDER BY event_type ASC

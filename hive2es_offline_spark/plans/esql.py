@@ -544,6 +544,21 @@ class _P:
             arg = self.expr()
             self.expect_op(")")
             return builders[field](arg).cast("long")
+        if fn == "MV_SORT":
+            # MV_SORT(field[, "ASC"|"DESC"]) — the order is a literal
+            # (round-14 review: the 1-arg lambda silently dropped it)
+            arg = self.expr()
+            asc = True
+            if self.peek() == ("op", ","):
+                self.next()
+                t = self.next()
+                if t[0] != "str" or t[1].upper() not in ("ASC", "DESC"):
+                    raise ValueError(
+                        'ES|QL: MV_SORT order must be the literal '
+                        f'"ASC" or "DESC"{_at(t)}')
+                asc = t[1].upper() == "ASC"
+            self.expect_op(")")
+            return F.sort_array(arg, asc)
         if fn == "SPLIT":
             # ES|QL SPLIT(str, delim) splits on the LITERAL delimiter
             # (not a regex) — the literal requirement lets the compiler
@@ -609,18 +624,16 @@ class _P:
             # grouping function (ES 8.18).  Same deterministic
             # exact-signature contract as the categorize_text agg
             # (documented divergence: live ES runs the drain-style ML
-            # categorizer): the category key is the token stream with
-            # number-bearing tokens removed, pure codegen, so the
-            # groupBy it feeds is one terms-shaped shuffle.  Rows whose
-            # tokens are all variable get a NULL category (they form
-            # ES's null bucket).
-            from .analysis import analyze_col
+            # categorizer) — literally the SAME construction:
+            # query_dsl.categorize_key is the one shared builder
+            # (round-14 review), pure codegen, so the groupBy it feeds
+            # is one terms-shaped shuffle.  Rows whose tokens are all
+            # variable get a NULL category (ES's null bucket).
+            from .query_dsl import categorize_key
 
             arg = self.expr()
             self.expect_op(")")
-            toks = F.filter(analyze_col(arg),
-                            lambda t: ~t.rlike(r"\p{N}"))
-            return F.when(F.size(toks) > 0, F.concat_ws(" ", toks))
+            return categorize_key(arg)
         args: list[Column] = []
         if self.peek() != ("op", ")"):
             args.append(self.expr())
@@ -668,11 +681,22 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
     "REPLACE": lambda a: F.regexp_replace(a[0], a[1], a[2]),
     "REVERSE": lambda a: F.reverse(a[0]),
     "LEFT": lambda a: F.substring(a[0], F.lit(1), a[1]),
+    # n <= 0 → "" only for a NON-NULL string (round-14 review: the
+    # short-circuit must not turn NULL into "" — every string function
+    # here propagates NULL)
     "RIGHT": lambda a: F.when(
-        a[1] <= 0, F.lit("")).otherwise(
+        a[0].isNotNull() & (a[1] <= 0), F.lit("")).otherwise(
         F.substring(a[0], -a[1].cast("int"), a[1])),
     "TO_BOOLEAN": lambda a: a[0].cast("boolean"),
-    "TO_DATETIME": lambda a: a[0].cast("timestamp"),
+    # ES|QL TO_DATETIME reads numerics as MILLISECONDS since epoch
+    # (round-14 review: Spark's timestamp cast reads seconds — a
+    # silent 1000x); digit-only operands route through
+    # timestamp_millis, everything else (ISO strings, dates) through
+    # the plain cast
+    "TO_DATETIME": lambda a: F.when(
+        a[0].cast("string").rlike("^-?[0-9]+$"),
+        F.timestamp_millis(a[0].cast("long"))).otherwise(
+        a[0].cast("timestamp")),
     # MV_* multivalue functions: ES|QL multivalue fields are array
     # columns here; null input → null (array_size/aggregate propagate),
     # and MV_SUM/MV_AVG guard empties to null like a no-value field.
@@ -691,11 +715,30 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
         / F.array_size(a[0])),
     # multivalue round-out (round 14 second batch): F.get is 0-based
     # and NULL on out-of-bounds (an empty multivalue field has no
-    # first/last — ES|QL returns null there too, never an error)
+    # first/last — ES|QL returns null there too, never an error).
+    # MV_SORT lives in _call (its optional order is a literal).
     "MV_DEDUPE": lambda a: F.array_distinct(a[0]),
-    "MV_SORT": lambda a: F.sort_array(a[0]),
     "MV_FIRST": lambda a: F.get(a[0], 0),
     "MV_LAST": lambda a: F.get(a[0], F.array_size(a[0]) - 1),
+}
+
+#: arity bounds for the whitelisted scalars (round-14 review: the bare
+#: lambdas silently DROPPED extra arguments — MV_SORT(v, "DESC") came
+#: back ascending; now every call is bounds-checked).  (min, max);
+#: None = unbounded.
+_FN_ARITY: dict[str, tuple[int, int | None]] = {
+    "ABS": (1, 1), "CEIL": (1, 1), "FLOOR": (1, 1), "SQRT": (1, 1),
+    "POW": (2, 2), "ROUND": (1, 2), "CONCAT": (1, None),
+    "LENGTH": (1, 1), "TO_UPPER": (1, 1), "TO_LOWER": (1, 1),
+    "TRIM": (1, 1), "LTRIM": (1, 1), "RTRIM": (1, 1),
+    "STARTS_WITH": (2, 2), "ENDS_WITH": (2, 2), "COALESCE": (1, None),
+    "GREATEST": (2, None), "LEAST": (2, None), "TO_STRING": (1, 1),
+    "TO_LONG": (1, 1), "TO_INT": (1, 1), "TO_DOUBLE": (1, 1),
+    "SUBSTRING": (2, 3), "REPLACE": (3, 3), "REVERSE": (1, 1),
+    "LEFT": (2, 2), "RIGHT": (2, 2), "TO_BOOLEAN": (1, 1),
+    "TO_DATETIME": (1, 1), "MV_COUNT": (1, 1), "MV_MIN": (1, 1),
+    "MV_MAX": (1, 1), "MV_SUM": (1, 1), "MV_AVG": (1, 1),
+    "MV_DEDUPE": (1, 1), "MV_FIRST": (1, 1), "MV_LAST": (1, 1),
 }
 
 #: aggregates (STATS context only)
@@ -706,8 +749,18 @@ _AGGS: dict[str, Callable[[list[Column]], Column]] = {
                               / F.count(a[0])).cast("double"), 6),
     "MIN": lambda a: F.min(a[0]),
     "MAX": lambda a: F.max(a[0]),
-    "COUNT_DISTINCT": lambda a: F.count_distinct(*a),
+    # COUNT_DISTINCT's optional second arg is ES's HLL precision
+    # threshold — meaningless for an exact count (the documented
+    # oracle-favoring divergence), accepted and unused; passing it to
+    # count_distinct would silently count (field, precision) TUPLES
+    "COUNT_DISTINCT": lambda a: F.count_distinct(a[0]),
     "MEDIAN": lambda a: F.percentile(a[0], F.lit(0.5)),
+}
+
+#: (min, max) arities for the STATS aggregates
+_AGG_ARITY: dict[str, tuple[int, int | None]] = {
+    "COUNT": (1, 1), "SUM": (1, 1), "AVG": (1, 1), "MIN": (1, 1),
+    "MAX": (1, 1), "COUNT_DISTINCT": (1, 2), "MEDIAN": (1, 1),
 }
 
 
@@ -728,8 +781,20 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
             raise ValueError("ES|QL: PERCENTILE(field, p)")
         return F.percentile(args[0], args[1] / F.lit(100.0))
     if fn in _AGGS:
+        lo, hi = _AGG_ARITY.get(fn, (1, 1))
+        if not lo <= len(args) <= (hi if hi is not None else len(args)):
+            raise ValueError(
+                f"ES|QL: {fn} takes "
+                f"{lo if lo == hi else f'{lo}..{hi}'} argument(s), "
+                f"got {len(args)}")
         return _AGGS[fn](args)
     if fn in _FNS:
+        lo, hi = _FN_ARITY[fn]
+        if not lo <= len(args) <= (hi if hi is not None else len(args)):
+            raise ValueError(
+                f"ES|QL: {fn} takes "
+                f"{lo if lo == hi else f'{lo}..{hi}'} argument(s), "
+                f"got {len(args)}")
         return _FNS[fn](args)
     if fn == "NOW":
         raise ValueError(
@@ -738,7 +803,7 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
     supported = " ".join(sorted(
         [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
-         "SPLIT", "LOCATE", "CIDR_MATCH", "COUNT(*)"]))
+         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "COUNT(*)"]))
     raise ValueError(
         f"ES|QL: unsupported function {fn} (supported: {supported})")
 
@@ -1318,6 +1383,7 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
         # caller's id column is real data) and reject loudly.
         names: list[str] = []
         want_meta: list[str] = []
+        saw_meta = False
         while not head.done():
             t = head.next()
             if t[0] != "id":
@@ -1325,6 +1391,7 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
                     f"ES|QL: expected an index name, got {t[1]!r}"
                     f"{_at(t)}")
             if t[1].upper() == "METADATA":
+                saw_meta = True
                 while not head.done():
                     mt = head.next()
                     if mt[0] != "id":
@@ -1344,8 +1411,21 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
             names.append(t[1])
             if head.peek() == ("op", ","):
                 head.next()
+            elif not head.done():
+                nxt = head.peek()
+                if not (nxt[0] == "id" and nxt[1].upper() == "METADATA"):
+                    # two names with no comma is a syntax error, not a
+                    # silent multi-index union (round-14 review — the
+                    # old _name_list enforced this too)
+                    raise ValueError(
+                        f"ES|QL: expected ',' between index names, got "
+                        f"{nxt[1]!r}{_at(nxt)}")
         if not names:
             raise ValueError("ES|QL: FROM needs at least one index")
+        if saw_meta and not want_meta:
+            raise ValueError(
+                "ES|QL: METADATA needs at least one field (e.g. "
+                "METADATA _index)")
         missing = [n for n in names if n not in tables]
         if missing:
             raise ValueError(
@@ -1512,11 +1592,11 @@ def _apply_stage(df: DataFrame, stage: list,
             raise ValueError(
                 f"ES|QL: SAMPLE id column must be integral (got "
                 f"{fld!r}: {ftype})")
-        P, MULT = 1_000_000_007, 387_420_489
-        mix = 12_345  # seed 0 of the random_sampler mix
-        h = F.pmod(F.col(fld).cast("bigint"), F.lit(P))
-        h = F.pmod(h * MULT + F.lit(mix), F.lit(P))
-        df = df.where(h < F.lit(int(prob * P)))
+        # the ONE shared gate (round-14 review: SAMPLE and
+        # random_sampler must select identical row sets)
+        from .query_dsl import sampling_gate
+
+        df = df.where(sampling_gate(F.col(fld), prob))
     elif up == "CHANGE_POINT":
         # ES|QL CHANGE_POINT value [ON key] [AS type, pvalue]
         # (8.18 tech preview): annotate the row where the series
@@ -1577,15 +1657,32 @@ def _apply_stage(df: DataFrame, stage: list,
             df.select(F.col(key).alias("key"),
                       F.col(val_t[1]).alias("_v")),
             F.col("_v"), "_cp")
-        annotated = df.crossJoin(F.broadcast(scalar))
+        # duplicate ON keys would leave the detector's window order
+        # (and the break annotation) tie-dependent — the pipeline-agg
+        # caller always has unique bucket keys; the command surface
+        # rejects loudly instead (round-14 review: retry determinism is
+        # the contract).  One broadcast scalar, folded into the
+        # annotation column like the max_buckets guard.
+        chk = df.agg(
+            F.count(F.col(key)).alias("_cp_n"),
+            F.count_distinct(F.col(key)).alias("_cp_nd"))
+        annotated = (df.crossJoin(F.broadcast(scalar))
+                     .crossJoin(F.broadcast(chk)))
         at_break = (F.col("_cp_key").isNotNull()
                     & (F.col(key).cast("string") == F.col("_cp_key")))
+        dup = F.col("_cp_n") != F.col("_cp_nd")
         df = (annotated
               .withColumn(names[0],
-                          F.when(at_break, F.col("_cp_type")))
+                          F.when(dup, F.raise_error(F.lit(
+                              f"ES|QL: CHANGE_POINT ON {key} has "
+                              "duplicate key values — the series order "
+                              "is ambiguous; STATS … BY the key first")))
+                          .otherwise(
+                              F.when(at_break, F.col("_cp_type"))))
               .withColumn(names[1],
                           F.when(at_break, F.col("_cp_score")))
-              .drop("_cp_type", "_cp_key", "_cp_score"))
+              .drop("_cp_type", "_cp_key", "_cp_score",
+                    "_cp_n", "_cp_nd"))
     elif up == "FORK":
         # ES|QL FORK (9.1): run 2–8 parenthesized branch sub-pipelines
         # over the SAME input frame and union the results by name, each

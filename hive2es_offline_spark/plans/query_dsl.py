@@ -1811,6 +1811,9 @@ def compile_query(
             raise ValueError(
                 f"unsupported weighted_tokens option(s): {sorted(unknown)} "
                 "(pruning_config depends on corpus statistics)")
+        if "tokens" not in spec:
+            raise ValueError(
+                "weighted_tokens needs a tokens map (token -> weight)")
         kind = "sparse_vector"
         body = {"field": field, "query_vector": spec["tokens"],
                 **({"boost": spec["boost"]} if "boost" in spec else {})}
@@ -2683,15 +2686,8 @@ def compile_aggs(df: DataFrame, aggs: dict, id_field: str = "_id") -> DataFrame:
                 f"{fld!r}: {ftype}) — the deterministic sampling hash is "
                 "defined over integers (documented divergence from ES's "
                 "opaque per-shard hash)")
-        P, MULT = 1_000_000_007, 387_420_489
-        # the seed mix folds to ONE plan-time long literal (int32 literals
-        # would overflow under ANSI); h stays < P so h*MULT < 3.9e17,
-        # comfortably inside int64
-        mix = (seed % P) * 987_654_323 + 12_345
-        h = F.pmod(F.col(fld).cast("bigint"), F.lit(P))
-        h = F.pmod(h * MULT + F.lit(int(mix)), F.lit(P))
-        h = F.pmod(h * MULT + 987_654_323, F.lit(P))
-        sampled = df if p == 1.0 else df.where(h < F.lit(int(p * P)))
+        sampled = df if p == 1.0 else df.where(
+            sampling_gate(F.col(fld), p, seed))
         subs = s.get("aggs") or {}
         scale_cols: list[str] = ["doc_count"]
         for sub_name, sub_spec in subs.items():
@@ -3865,6 +3861,36 @@ def _compile_sibling_pipeline(
     return buckets.crossJoin(F.broadcast(scalar))
 
 
+def sampling_gate(idc: Column, probability: float, seed: int = 0) -> Column:
+    """The deterministic sampling predicate shared by ``random_sampler``
+    and ES|QL ``SAMPLE`` (round 14 review: the two surfaces must select
+    the SAME rows, and the constants must live in one place).  Three
+    LCG rounds over the prime field P = 1e9+7: h = id mod P, then two
+    affine maps h*MULT + c mod P (the seed folds into the first round's
+    plan-time constant; int32 literals would overflow under ANSI, h*MULT
+    < 3.9e17 stays inside int64).  Keep when h < floor(p·P) —
+    reproducible across runs/retries/partitionings and replayable in
+    ANSI SQL so oracles select the exact sample."""
+    P, MULT = 1_000_000_007, 387_420_489
+    mix = (seed % P) * 987_654_323 + 12_345
+    h = F.pmod(idc.cast("bigint"), F.lit(P))
+    h = F.pmod(h * MULT + F.lit(int(mix)), F.lit(P))
+    h = F.pmod(h * MULT + 987_654_323, F.lit(P))
+    return h < F.lit(int(probability * P))
+
+
+def categorize_key(text: Column) -> Column:
+    """The categorize_text exact-signature key (round 14 review: ONE
+    construction shared by the agg and ES|QL ``CATEGORIZE()`` so the
+    contract cannot drift between surfaces): the analyzed token stream
+    with number-bearing tokens removed, space-joined; all-variable
+    messages get NULL."""
+    from .analysis import analyze_col
+
+    toks = F.filter(analyze_col(text), lambda t: ~t.rlike(r"\p{N}"))
+    return F.when(F.size(toks) > 0, F.concat_ws(" ", toks))
+
+
 def change_point_scalar(buckets: DataFrame, src: Column,
                         name: str) -> DataFrame:
     """The change_point detector as a reusable 1-row scalar build
@@ -4175,8 +4201,6 @@ def _compile_categorize_text(df: DataFrame, spec: dict) -> DataFrame:
     ``analyze_col`` token grammar + one array filter + concat), then ONE
     groupBy on a string key — the terms-agg shuffle shape; no pairwise
     comparison anywhere."""
-    from .analysis import analyze_col
-
     bspec = spec["categorize_text"]
     unknown = set(bspec) - {"field", "size", "categorization_filters",
                             "similarity_threshold", "max_buckets"}
@@ -4195,8 +4219,7 @@ def _compile_categorize_text(df: DataFrame, spec: dict) -> DataFrame:
     text = F.col(bspec["field"])
     for pat in bspec.get("categorization_filters") or []:
         text = F.regexp_replace(text, pat, " ")
-    toks = F.filter(analyze_col(text), lambda t: ~t.rlike(r"\p{N}"))
-    key = F.when(F.size(toks) > 0, F.concat_ws(" ", toks))
+    key = categorize_key(text)
     grouped = (
         df.select(key.alias("key"),
                   F.length(F.col(bspec["field"])).cast("long")

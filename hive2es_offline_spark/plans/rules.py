@@ -84,6 +84,11 @@ def put_query_ruleset(ruleset_id: str, rules: list[dict]) -> None:
             raise ValueError(f"rule {rid!r}: criteria must be a "
                              "non-empty list")
         for c in crits:
+            bad = set(c) - {"type", "metadata", "values"}
+            if bad:
+                raise ValueError(
+                    f"rule {rid!r}: unknown criteria key(s): "
+                    f"{sorted(bad)}")
             ctype = c.get("type")
             if ctype not in _CRITERIA_TYPES:
                 raise ValueError(
@@ -104,8 +109,16 @@ def put_query_ruleset(ruleset_id: str, rules: list[dict]) -> None:
                     float(v)  # raises loudly on a non-numeric bound
         actions = rule.get("actions") or {}
         if set(actions) == {"ids"}:
+            if not isinstance(actions["ids"], (list, tuple)):
+                # a bare string would iterate character-by-character
+                # into per-char doc ids (round-14 review)
+                raise ValueError(
+                    f"rule {rid!r}: actions.ids must be a list")
             ids = [str(v) for v in actions["ids"]]
         elif set(actions) == {"docs"}:
+            if not isinstance(actions["docs"], (list, tuple)):
+                raise ValueError(
+                    f"rule {rid!r}: actions.docs must be a list")
             ids = [str(d["_id"]) for d in actions["docs"]]
         else:
             raise ValueError(

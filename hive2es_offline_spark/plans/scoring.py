@@ -613,6 +613,12 @@ class _ScoreCompiler:
                         F.lit(0.0), lambda acc, x: acc + x)
                 return dot
 
+            # a doc vector of the wrong dimension would zip_with into
+            # NULL products that array_max skips and coalesce turns
+            # into a silent 0 score (round-14 review) — reject loudly
+            # at runtime instead, the engine's anti-silent policy
+            dim = len(body["query_vectors"][0])
+            bad_dim = F.exists(doc, lambda d: F.size(d) != F.lit(dim))
             total: Column = F.lit(0).cast("decimal(28,6)")
             for qv in body["query_vectors"]:
                 lit_q = F.lit([float(x) for x in qv])
@@ -620,8 +626,15 @@ class _ScoreCompiler:
                 total = total + F.round(F.coalesce(best, F.lit(0.0)),
                                         6).cast("decimal(28,6)")
             boost = float(body.get("boost", 1.0))
-            return F.when(pred, total.cast("double") * F.lit(boost)
-                          ).otherwise(F.lit(0.0))
+            score = total.cast("double") * F.lit(boost)
+            return F.when(
+                pred,
+                F.when(bad_dim, F.raise_error(F.concat(
+                    F.lit(f"max_sim: doc vector dimension != {dim} "
+                          f"(query_vectors dimension) on field "),
+                    F.lit(str(body["field"])))).cast("double"))
+                .otherwise(score)
+            ).otherwise(F.lit(0.0))
         if kind == "weighted_tokens":
             # field-keyed precursor of sparse_vector — rewrite and
             # recurse (validation lives in the filter branch, which

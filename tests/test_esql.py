@@ -649,10 +649,12 @@ class TestSampleChangePointCategorize:
         n2 = esql({"t": df}, q).first()["n"]
         assert n1 == n2                      # retry-deterministic
         assert 150 < n1 < 350                # ~p·N
-        # the gate matches the random_sampler LCG exactly
+        # the gate IS random_sampler's (query_dsl.sampling_gate):
+        # three LCG rounds, identical row selection across surfaces
         P, MULT, MIX = 1_000_000_007, 387_420_489, 12_345
         exp = sum(1 for i in range(1000)
-                  if (i % P * MULT + MIX) % P < int(0.25 * P))
+                  if ((i % P * MULT + MIX) % P * MULT + 987_654_323)
+                  % P < int(0.25 * P))
         assert n1 == exp
 
     def test_sample_rejects(self, catalog):
@@ -1019,3 +1021,75 @@ class TestRound14PlanShapes:
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan.split("TakeOrderedAndProject")[-1]
+
+
+class TestRound14ReviewFixes:
+    """Regression pins for the round-14 code-review findings."""
+
+    def test_to_datetime_numeric_is_millis(self, spark):
+        df = spark.createDataFrame([(1, 1700000000000)],
+                                   "id long, ms long")
+        r = esql({"t": df}, """
+            FROM t | EVAL ts = TO_DATETIME(ms),
+                        s = TO_DATETIME("2023-11-14 22:13:20")
+            | LIMIT 1
+        """).first()
+        assert r["ts"] == r["s"]             # millis, not seconds
+
+    def test_mv_sort_desc(self, spark):
+        df = spark.createDataFrame([(1, [3, 1, 2])],
+                                   "id long, v array<int>")
+        r = esql({"t": df}, """
+            FROM t | EVAL d = MV_SORT(v, "DESC"), a = MV_SORT(v)
+            | LIMIT 1
+        """).first()
+        assert r["d"] == [3, 2, 1] and r["a"] == [1, 2, 3]
+        with pytest.raises(ValueError, match="MV_SORT order"):
+            esql({"t": df}, 'FROM t | EVAL x = MV_SORT(v, "UP")')
+
+    def test_fn_arity_rejects(self, catalog):
+        with pytest.raises(ValueError, match="argument"):
+            esql(catalog, "FROM sales | EVAL x = MV_FIRST(tags, id)")
+        with pytest.raises(ValueError, match="argument"):
+            esql(catalog, "FROM sales | EVAL x = ABS(id, id)")
+        with pytest.raises(ValueError, match="argument"):
+            esql(catalog, "FROM sales | STATS m = MAX(amount, id)")
+
+    def test_right_propagates_null(self, spark):
+        df = spark.createDataFrame([(1, None), (2, "abc")],
+                                   "id long, s string")
+        rows = {r["id"]: r for r in esql({"t": df}, """
+            FROM t | EVAL z = RIGHT(s, 0), r = RIGHT(s, 2)
+        """).collect()}
+        assert rows[1]["z"] is None and rows[1]["r"] is None
+        assert rows[2]["z"] == "" and rows[2]["r"] == "bc"
+
+    def test_from_missing_comma_rejects(self, catalog):
+        with pytest.raises(ValueError, match="expected ','"):
+            esql(catalog, "FROM sales extra | LIMIT 1")
+        with pytest.raises(ValueError, match="METADATA needs"):
+            esql(catalog, "FROM sales METADATA | LIMIT 1")
+
+    def test_sample_matches_random_sampler(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.range(2000).toDF("doc_id") \
+            .withColumn("v", (F.col("doc_id") % 9).cast("double"))
+        a = esql({"t": df},
+                 "FROM t | SAMPLE 0.3 doc_id | STATS n = COUNT(*)"
+                 ).first()["n"]
+        agg = es_search(df, {"size": 0, "aggs": {"s": {
+            "random_sampler": {"probability": 0.3, "field": "doc_id"},
+            "aggs": {"c": {"value_count": {"field": "v"}}}}}},
+            id_field="doc_id").first()
+        # random_sampler scales counts by 1/p — undo to compare the
+        # RAW selected-row count with SAMPLE's
+        assert a == round(agg["c"] * 0.3)
+
+    def test_change_point_duplicate_keys_reject(self, spark):
+        df = spark.createDataFrame(
+            [(i % 5, float(i)) for i in range(20)],
+            "k long, v double")
+        with pytest.raises(Exception, match="duplicate key"):
+            esql({"t": df},
+                 "FROM t | CHANGE_POINT v ON k").collect()

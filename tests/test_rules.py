@@ -293,3 +293,23 @@ class TestSearchIntegration:
         got = [r["id"] for r in
                es_scored_search(df, body, id_field="id").collect()]
         assert got == ["d1", "d3"]
+
+
+class TestReviewFixes:
+    """Round-14 review pins: loud rejects for malformed rulesets."""
+
+    def test_ids_string_rejects(self):
+        with pytest.raises(ValueError, match="must be a list"):
+            put_query_ruleset("bad", [
+                {"rule_id": "a", "type": "pinned",
+                 "criteria": [{"type": "always"}],
+                 "actions": {"ids": "317"}}])
+        assert "bad" not in list_query_rulesets()
+
+    def test_unknown_criteria_key_rejects(self):
+        with pytest.raises(ValueError, match="unknown criteria key"):
+            put_query_ruleset("bad", [
+                {"rule_id": "a", "type": "pinned",
+                 "criteria": [{"type": "exact", "metadata": "q",
+                               "values": ["x"], "case_sensitive": True}],
+                 "actions": {"ids": ["1"]}}])

@@ -1718,3 +1718,23 @@ class TestLinearRetriever:
         small["retriever"]["linear"]["rank_window_size"] = 2
         with pytest.raises(ValueError, match="rank_window_size"):
             es_retriever_search(self._docs(spark), small, id_field="id")
+
+
+class TestRound14ReviewFixes:
+    def test_max_sim_dim_mismatch_rejects(self, spark):
+        df = spark.createDataFrame(
+            [(1, [[1.0, 0.0, 0.0]])], "id long, rv array<array<double>>")
+        body = {"query": {"max_sim": {
+            "field": "rv", "query_vectors": [[1.0, 0.0]]}},
+            "sort": [{"id": "asc"}], "_source": ["id"], "size": 5}
+        with pytest.raises(Exception, match="dimension"):
+            es_scored_search(df, body, id_field="id").collect()
+
+    def test_weighted_tokens_missing_tokens_rejects(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.createDataFrame(
+            [(1, {"a": 1.0})], "id long, sv map<string,double>")
+        with pytest.raises(ValueError, match="tokens map"):
+            es_search(df, {"query": {"weighted_tokens": {
+                "sv": {"boost": 2.0}}}, "size": 1}, id_field="id")
