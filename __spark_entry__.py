@@ -6571,7 +6571,8 @@ def _goldens_b() -> dict[str, str]:
                      AS total
             FROM events
             WHERE event_type IS NOT NULL
-              AND ((event_id % 1000000007 * 387420489 + 12345)
+              AND ((((event_id % 1000000007) + 1000000007) % 1000000007
+                    * 387420489 + 12345)
                    % 1000000007 * 387420489 + 987654323)
                   % 1000000007 < 200000001
             GROUP BY event_type
@@ -6756,7 +6757,8 @@ def _goldens_b() -> dict[str, str]:
         "es_random_sampler": """
             WITH s AS (
               SELECT n_chars, text FROM documents
-              WHERE ((((doc_id % 1000000007) * 387420489 + 41481493911)
+              WHERE (((((doc_id % 1000000007) + 1000000007) % 1000000007
+                       * 387420489 + 41481493911)
                       % 1000000007) * 387420489 + 987654323) % 1000000007
                     < 500000003
             )

@@ -1390,9 +1390,17 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
                 raise ValueError(
                     f"ES|QL: expected an index name, got {t[1]!r}"
                     f"{_at(t)}")
-            if t[1].upper() == "METADATA":
+            if names and t[1].upper() == "METADATA":
+                # only a KEYWORD once at least one index name has been
+                # read — a LEADING identifier is always an index name,
+                # so an index literally called "metadata" stays
+                # addressable (round-15 review)
                 saw_meta = True
-                while not head.done():
+                while True:
+                    if head.done():
+                        raise ValueError(
+                            "ES|QL: METADATA needs at least one field"
+                            f"{_at(t)}")
                     mt = head.next()
                     if mt[0] != "id":
                         raise ValueError(
@@ -1404,9 +1412,20 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
                             f"{mt[1]!r}{_at(mt)} — only _index has a "
                             "flat-frame meaning (_id/_score/_version "
                             "are index-internal state)")
+                    if mt[1] in want_meta:
+                        raise ValueError(
+                            f"ES|QL: duplicate metadata field "
+                            f"{mt[1]!r}{_at(mt)}")
                     want_meta.append(mt[1])
-                    if head.peek() == ("op", ","):
-                        head.next()
+                    if head.done():
+                        break
+                    sep = head.next()
+                    if sep != ("op", ","):
+                        # missing comma = syntax error, mirroring the
+                        # index-name list right above (round-15 review)
+                        raise ValueError(
+                            f"ES|QL: expected ',' between metadata "
+                            f"fields, got {sep[1]!r}{_at(sep)}")
                 break
             names.append(t[1])
             if head.peek() == ("op", ","):
@@ -1801,14 +1820,30 @@ def _apply_stage(df: DataFrame, stage: list,
                 raise ValueError(
                     f"ES|QL: FUSE column {c!r} missing (have "
                     f"{df.columns}; name them with SCORE BY / KEY BY)")
+        # a FORK branch that never produced the score column gets
+        # NULL-filled by the union-by-name; silently ranking those rows
+        # (by key tiebreak alone) would diverge from live ES's
+        # ranked-branch contract — reject loudly instead (round-15
+        # review; policy documented in COVERAGE.md §es_esql_fuse)
+        checked = F.when(
+            F.col(score_col).isNull(),
+            F.raise_error(F.concat(
+                F.lit(f"ES|QL: FUSE found a NULL {score_col!r} in fork "
+                      "branch "),
+                F.col("_fork"),
+                F.lit(" — every FORK branch feeding FUSE must produce "
+                      "the score column (ranked-branch contract)")))
+        ).otherwise(F.col(score_col))
         w = _W.partitionBy("_fork").orderBy(
-            F.col(score_col).desc_nulls_last(),
+            checked.desc(),
             *[F.col(k).asc_nulls_last() for k in keys])
         ranked = df.withColumn("_fuse_rank", F.row_number().over(w))
+        # rrf reaches `checked` through the window order; linear must
+        # reference it directly or Catalyst prunes the unused window
+        # (and the NULL guard with it)
         contrib = (F.lit(1.0) / (F.lit(60) + F.col("_fuse_rank"))
                    if method == "rrf"
-                   else F.coalesce(F.col(score_col).cast("double"),
-                                   F.lit(0.0)))
+                   else checked.cast("double"))
         df = (ranked
               .groupBy(*keys)
               .agg(F.round(F.sum(contrib), 9).alias(score_col)))

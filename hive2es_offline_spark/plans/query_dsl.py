@@ -3870,7 +3870,12 @@ def sampling_gate(idc: Column, probability: float, seed: int = 0) -> Column:
     plan-time constant; int32 literals would overflow under ANSI, h*MULT
     < 3.9e17 stays inside int64).  Keep when h < floor(p·P) —
     reproducible across runs/retries/partitionings and replayable in
-    ANSI SQL so oracles select the exact sample."""
+    ANSI SQL so oracles select the exact sample.  Replay caveat
+    (round-15 review): Spark's pmod is always non-negative while SQL
+    ``%`` is sign-preserving, so an ANSI replay MUST spell the first
+    round as ``((id % P) + P) % P`` or every negative id silently
+    passes the ``h < threshold`` test; the later rounds operate on a
+    value already in [0, P) and may use plain ``%``."""
     P, MULT = 1_000_000_007, 387_420_489
     mix = (seed % P) * 987_654_323 + 12_345
     h = F.pmod(idc.cast("bigint"), F.lit(P))

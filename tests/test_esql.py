@@ -877,12 +877,34 @@ class TestFromMetadata:
     def test_rejects(self, catalog, spark):
         with pytest.raises(ValueError, match="_id"):
             esql(catalog, "FROM sales METADATA _id")
-        with pytest.raises(ValueError, match="at least one index"):
+        # a LEADING identifier is always an index name (round-15 review)
+        # — so this parses METADATA as an index and trips the comma rule
+        with pytest.raises(ValueError, match="expected ','"):
             esql(catalog, "FROM METADATA _index")
         clash = {"t": spark.createDataFrame(
             [(1, "x")], "id long, _index string")}
         with pytest.raises(ValueError, match="collides"):
             esql(clash, "FROM t METADATA _index")
+
+    def test_index_literally_named_metadata(self, spark):
+        """Round-15 review: 'FROM metadata' must read the index, not
+        eat the keyword."""
+        cat = {"metadata": spark.createDataFrame(
+            [(1, "x"), (2, "y")], "id long, s string")}
+        rows = esql(cat, "FROM metadata | SORT id ASC").collect()
+        assert [r["id"] for r in rows] == [1, 2]
+        rows = esql(cat, "FROM metadata METADATA _index | LIMIT 1"
+                    ).collect()
+        assert rows[0]["_index"] == "metadata"
+
+    def test_metadata_field_list_enforced(self, catalog):
+        """Round-15 review: missing commas and duplicates reject loudly,
+        mirroring the index-name list."""
+        with pytest.raises(ValueError,
+                           match="between metadata fields"):
+            esql(catalog, "FROM sales METADATA _index _index | LIMIT 1")
+        with pytest.raises(ValueError, match="duplicate metadata"):
+            esql(catalog, "FROM sales METADATA _index, _index | LIMIT 1")
 
 
 class TestFuse:
@@ -933,6 +955,20 @@ class TestFuse:
             | SORT s DESC, id ASC
         """).collect()
         assert rows[0]["id"] == 5 and rows[0]["s"] == 51.0
+
+    def test_null_score_branch_rejects_at_runtime(self, spark):
+        """Round-15 review: a FORK branch that never produced the score
+        column gets NULL-filled by the union — silently ranking those
+        rows diverges from the ranked-branch contract; reject loudly."""
+        q = """
+            FROM t
+            | FORK (EVAL _score = v | KEEP id, _score) (KEEP id)
+            | FUSE {m} KEY BY id
+        """
+        for m in ("rrf", "linear"):
+            df = esql({"t": self._frame(spark)}, q.format(m=m))
+            with pytest.raises(Exception, match="NULL '_score'"):
+                df.collect()
 
     def test_rejects(self, spark, catalog):
         with pytest.raises(ValueError, match="_fork"):

@@ -197,3 +197,34 @@ def test_temperature_targets_limits_and_flattening():
     # composes with mix_rates: binding stratum keeps rate 1.0
     rates = mix_rates(counts, t3)
     assert max(rates.values()) == 1.0 and all(0 < r <= 1 for r in rates.values())
+
+
+def test_sampling_gate_negative_ids_replay_in_ansi_sql(spark):
+    """Round-15 review (ADVICE r14): Spark pmod is non-negative while SQL
+    ``%`` is sign-preserving, so a ``%``-based oracle replay keeps EVERY
+    negative id.  The documented replay — first round spelled
+    ``((id % P) + P) % P`` — must match sampling_gate exactly on a frame
+    that is mostly negative ids."""
+    import duckdb
+
+    from hive2es_offline_spark.plans.query_dsl import sampling_gate
+
+    df = spark.range(-1_999, 2_000).withColumnRenamed("id", "doc_id")
+    kept = sorted(
+        r["doc_id"]
+        for r in df.where(sampling_gate(F.col("doc_id"), 0.2)).collect())
+    assert kept, "gate kept nothing — fixture broken"
+    # negatives must be genuinely gated, not all-pass (the % bug kept all)
+    n_neg = sum(1 for k in kept if k < 0)
+    assert 0 < n_neg < 1_999
+
+    con = duckdb.connect()
+    oracle = [r[0] for r in con.execute("""
+        SELECT doc_id FROM range(-1999, 2000) t(doc_id)
+        WHERE ((((doc_id % 1000000007) + 1000000007) % 1000000007
+                * 387420489 + 12345)
+               % 1000000007 * 387420489 + 987654323)
+              % 1000000007 < 200000001
+        ORDER BY doc_id
+    """).fetchall()]
+    assert kept == oracle
