@@ -5073,20 +5073,42 @@ def q_ks_drift(spark, sf_dir):
 #: r9-r10); es_matrix_stats + es_t_test (demote es_completion and
 #: es_msearch, green r9-r10); es_join_aggs (demotes window_ntile, green
 #: r10).
+#: Round-15 rotation (VERDICT r14 #1): the SEVENTEEN banked round-14
+#: fodder goldens rotate IN — es_match_dutch, es_match_russian,
+#: es_match_cjk (dutch/russian/CJK analysis chains), es_rule_query,
+#: es_esql_bucket, es_esql_enrich, es_esql_inlinestats, es_esql_sample,
+#: es_esql_categorize, es_esql_changepoint, es_esql_fork, es_esql_fuse,
+#: es_weighted_tokens, es_sparse_vector, es_retriever_linear,
+#: es_max_sim, plus video_dedup (rows-only by design — the MJPEG frame
+#: decode is an Arrow mapInPandas, not SQL-expressible) — all built and
+#: locally DuckDB-goldened in round 14, never driver-adjudicated.
+#: Rotating OUT the seventeen longest-stable driver-green rows, oldest
+#: cohort first: the r11 holdovers es_rescore, es_wrapper, es_named,
+#: es_scored_msearch (green r11-r14 — VERDICT r14 named them the r15
+#: demotion cohort); the full r12 cohort es_match_folded,
+#: es_rate_normalize, es_geo_shape, es_ip_prefix, es_geo_line,
+#: es_terms_enum, es_rank_eval (green r12-r14) and image_dedup
+#: (rows-only, green r12-r14 — unit goldens in tests/test_image_dedup.py
+#: keep it pinned; its successor video_dedup enters the window); and
+#: five of the r13 cohort es_bucket_correlation, es_moving_percentiles,
+#: es_knn_query, downsample_tsdb, es_frequent_items (green r13-r14).
+#: All oracled demotions keep local DuckDB parity via demoted_goldens().
 DRIVER_WINDOW = [
     "es_match_german", "es_match_italian",
     "es_categorize_text", "es_change_point", "es_routing",
     "partition_counts",
     "dedup_minhash", "dedup_components",
     "curation_pipeline",
-    "es_rescore", "es_wrapper", "es_named", "es_scored_msearch",
+    "es_match_dutch", "es_match_russian", "es_match_cjk",
+    "es_rule_query",
     "es_search_as_you_type",
     "es_variable_width",
-    "es_match_folded", "es_rate_normalize", "es_geo_shape",
-    "image_dedup",
-    "es_hex_grid", "es_ip_prefix", "es_geo_line", "es_terms_enum",
-    "es_rank_eval", "es_bucket_correlation", "es_moving_percentiles",
-    "es_knn_query", "downsample_tsdb", "es_frequent_items",
+    "es_esql_bucket", "es_esql_enrich", "es_esql_inlinestats",
+    "video_dedup",
+    "es_hex_grid", "es_esql_sample", "es_esql_categorize",
+    "es_esql_changepoint",
+    "es_esql_fork", "es_esql_fuse", "es_weighted_tokens",
+    "es_sparse_vector", "es_retriever_linear", "es_max_sim",
     "es_retriever_rrf",
     "es_extended_stats_bucket",
     "es_cumulative_cardinality", "es_random_sampler", "es_time_series",
