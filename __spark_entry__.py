@@ -4174,6 +4174,28 @@ def q_es_esql_bucket(spark, sf_dir):
     ''')
 
 
+def q_es_esql_match(spark, sf_dir):
+    """ES|QL full-text WHERE functions (round 15, VERDICT r14 #2):
+    ``MATCH(field, "query")`` bridges the ES|QL grammar into the DSL
+    match compiler (plans/query_dsl.compile_query — analyzed
+    OR-of-terms over the standard chain) and ``QSTR("field:…")`` into
+    the Lucene query-string parser (plans/query_string), both compiled
+    to codegen boolean predicates so the WHERE pushes into the scan
+    like any scalar filter (WHERE-only, like live ES|QL 8.14+;
+    EVAL of either rejects loudly).  The oracle replays the SAME
+    analyzed terms via plans/analysis.analyze_text/duckdb_tokens —
+    the one-grammar lockstep rule."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"documents": _t(spark, sf_dir, "documents")}, '''
+        FROM documents
+        | WHERE (MATCH(text, "merge stream") OR QSTR("text:vector"))
+                AND n_chars >= 100 AND lang IS NOT NULL
+        | STATS n = COUNT(*), chars = SUM(n_chars) BY lang
+        | SORT lang ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5310,6 +5332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_retriever_linear": q_es_retriever_linear,
         "es_max_sim": q_es_max_sim,
         "es_esql_fuse": q_es_esql_fuse,
+        # round-15 fodder (r16 window candidates, local goldens for now)
+        "es_esql_match": q_es_esql_match,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6196,6 +6220,13 @@ def _goldens_b() -> dict[str, str]:
     _nl_or = " OR ".join(
         f"list_contains({_nl_frag}, '{t}')" for t in _nl_terms)
 
+    # es_esql_match: the ES|QL MATCH()/QSTR() bridge replays the SAME
+    # standard-chain terms the DSL compilers analyze (round 15)
+    _ql_frag = _duck_toks("text")
+    _ql_terms = _an_text("merge stream") + _an_text("vector")
+    _ql_or = " OR ".join(
+        f"list_contains(toks, '{t}')" for t in _ql_terms)
+
     # es_search_as_you_type: the per-subfield query shingles and the
     # document shingle lists both come from plans/analysis.py (one
     # grammar, three renderings), so engine and oracle cannot drift
@@ -6581,6 +6612,24 @@ def _goldens_b() -> dict[str, str]:
               AND doc_id NOT IN (17, 41)
             ORDER BY doc_id ASC
             LIMIT 60
+        """,
+        # es_esql_match: WHERE (MATCH OR QSTR) + STATS BY — the toks
+        # CTE materializes the standard-chain token list once, the OR
+        # replays the analyzed terms (MATCH's two + QSTR's one)
+        "es_esql_match": f"""
+            WITH d AS (
+              SELECT lang, n_chars, {_ql_frag} AS toks
+              FROM documents
+              WHERE n_chars >= 100 AND lang IS NOT NULL
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                     AS chars
+            FROM d
+            WHERE ({_ql_or})
+            GROUP BY lang
+            ORDER BY lang ASC
         """,
         # es_esql_sample: the shared sampling_gate replayed literally —
         # three LCG rounds over P = 1e9+7 (seed-0 mix 12345, then the

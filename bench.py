@@ -242,6 +242,10 @@ BENCH_QUERIES = [
     "es_retriever_linear",
     "es_max_sim",
     "es_esql_fuse",
+    # round-15 additions: ES|QL full-text WHERE functions (MATCH into
+    # the DSL match compiler, QSTR into the query-string grammar — one
+    # pushdown-eligible codegen filter + STATS)
+    "es_esql_match",
 ]
 
 

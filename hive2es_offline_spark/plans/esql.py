@@ -102,7 +102,11 @@ ENDS_WITH COALESCE GREATEST LEAST TO_STRING TO_LONG TO_INT TO_DOUBLE
 TO_BOOLEAN TO_DATETIME REPLACE REVERSE LEFT RIGHT SPLIT LOCATE
 CIDR_MATCH DATE_TRUNC DATE_FORMAT DATE_DIFF DATE_EXTRACT BUCKET
 CATEGORIZE MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG MV_DEDUPE MV_SORT
-MV_FIRST MV_LAST).  ``CATEGORIZE(msg)`` is the
+MV_FIRST MV_LAST), plus the WHERE-only full-text functions
+``MATCH(field, "query")`` (the DSL analyzed-match clause) and
+``QSTR("field:query …")`` (the Lucene query-string grammar; bare
+terms reject loudly — a flat frame has no index mapping to supply
+default fields).  ``CATEGORIZE(msg)`` is the
 STATS-BY log-categorization key — the deterministic exact-signature
 contract of the categorize_text agg (number-bearing tokens removed,
 pure codegen; live ES runs the drain-style ML categorizer — documented
@@ -593,6 +597,58 @@ class _P:
                 start = int(st[1])
             self.expect_op(")")
             return F.locate(t[1], arg, start)
+        if fn in ("MATCH", "QSTR"):
+            # ES|QL full-text WHERE functions (ES 8.14+/8.17+): the
+            # bridge from the ES|QL grammar into the query-DSL
+            # compilers — MATCH(field, "query") compiles the DSL match
+            # clause (analyzed OR-of-terms, plans/query_dsl.compile_query)
+            # and QSTR("field:query …") the Lucene query-string grammar
+            # (plans/query_string.parse_query_string).  Both are
+            # codegen boolean predicates over the analyzed token
+            # stream, so a WHERE on them pushes like any other filter.
+            # Live ES restricts full-text functions to WHERE; the same
+            # rule applies here (an EVAL of a relevance predicate has
+            # no score to carry — _score is not modeled in ES|QL).
+            if not getattr(self, "in_where", False):
+                raise ValueError(
+                    f"ES|QL: {fn}() is a full-text function and is "
+                    "only allowed in WHERE (like live ES|QL)")
+            from .query_dsl import compile_query
+
+            if fn == "MATCH":
+                fld = self.next()
+                if fld[0] != "id":
+                    raise ValueError(
+                        f"ES|QL: MATCH needs a field name first, got "
+                        f"{fld[1]!r}{_at(fld)}")
+                self.expect_op(",")
+                qt = self.next()
+                if qt[0] != "str":
+                    raise ValueError(
+                        f"ES|QL: MATCH query must be a literal string"
+                        f"{_at(qt)}")
+                if self.peek() == ("op", ","):
+                    raise ValueError(
+                        "ES|QL: MATCH named options "
+                        "(operator/fuzziness/…) are not supported — "
+                        "use the query DSL match clause for those")
+                self.expect_op(")")
+                return compile_query({"match": {fld[1]: qt[1]}})
+            qt = self.next()
+            if qt[0] != "str":
+                raise ValueError(
+                    f"ES|QL: QSTR needs a literal query string{_at(qt)}")
+            if self.peek() == ("op", ","):
+                raise ValueError(
+                    "ES|QL: QSTR options are not supported — "
+                    "field-qualify terms inside the query string")
+            self.expect_op(")")
+            # no default_field: bare terms reject loudly inside the
+            # query-string parser (live QSTR falls back to *all*
+            # indexed fields — a flat frame has no index mapping to
+            # enumerate, so requiring field: prefixes is the honest
+            # subset)
+            return compile_query({"query_string": {"query": qt[1]}})
         if fn == "CIDR_MATCH":
             # ES|QL CIDR_MATCH(ip, "block", …) — the blocks are literal
             # CIDR strings, so each folds to a [lo, hi] uint32 compare
@@ -803,7 +859,8 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
     supported = " ".join(sorted(
         [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
-         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "COUNT(*)"]))
+         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "COUNT(*)",
+         "MATCH", "QSTR"]))
     raise ValueError(
         f"ES|QL: unsupported function {fn} (supported: {supported})")
 
@@ -857,6 +914,7 @@ def _name_list(p: _P) -> list[str]:
 
 
 def _stage_where(df: DataFrame, p: _P) -> DataFrame:
+    p.in_where = True  # full-text MATCH()/QSTR() are WHERE-only
     cond = p.expr()
     if not p.done():
         raise ValueError(
