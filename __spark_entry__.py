@@ -4196,6 +4196,43 @@ def q_es_esql_match(spark, sf_dir):
     ''')
 
 
+def q_es_esql_spatial(spark, sf_dir):
+    """ES|QL spatial functions (round 15, VERDICT r14 #3):
+    ``ST_WITHIN(point, TO_GEOSHAPE(wkt))`` compiles the DSL geo_shape
+    relation (plan-time even-odd ray cast, query_dsl._shape_intersects),
+    ``ST_DISTANCE(point, TO_GEOPOINT(wkt))`` the shared haversine
+    (query_dsl.haversine_cols, Lucene's earth radius), and
+    ``ST_X``/``ST_Y`` read the struct{lat,lon} point — all codegen, so
+    the two spatial gates sit in ONE pushdown-eligible filter before
+    the grid aggregation (the established distance-in-filter shape:
+    bucket membership, never float-aggregated distances).  The WKT
+    ring and the oracle's ray cast are generated from the SAME
+    _GEO_POLY vertex list; the oracle haversine replays the engine's
+    term order op-for-op."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    c = _t(spark, sf_dir, "customer")
+    located = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    wkt = "POLYGON((" + ", ".join(
+        f"{lo} {la}" for la, lo in [*_GEO_POLY, _GEO_POLY[0]]) + "))"
+    return esql({"pts": located}, f'''
+        FROM pts
+        | WHERE ST_WITHIN(loc, TO_GEOSHAPE("{wkt}"))
+                AND ST_DISTANCE(loc, TO_GEOPOINT("POINT(20.5 10.5)")) < 3000000
+        | EVAL latb = FLOOR(ST_Y(loc) / 10) * 10,
+               lonb = FLOOR(ST_X(loc) / 20) * 20
+        | STATS n = COUNT(*), acct = SUM(c_acctbal) BY latb, lonb
+        | SORT latb ASC, lonb ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5334,6 +5371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fuse": q_es_esql_fuse,
         # round-15 fodder (r16 window candidates, local goldens for now)
         "es_esql_match": q_es_esql_match,
+        "es_esql_spatial": q_es_esql_spatial,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6630,6 +6668,36 @@ def _goldens_b() -> dict[str, str]:
             WHERE ({_ql_or})
             GROUP BY lang
             ORDER BY lang ASC
+        """,
+        # es_esql_spatial: ray-cast generated from the SAME _GEO_POLY
+        # vertex list as the WKT ring; haversine replays
+        # query_dsl.haversine_cols term-for-term (radians(q - doc),
+        # cos(doc) * cos(q)) so the filter compares bit-identical
+        # doubles against the threshold
+        "es_esql_spatial": f"""
+            WITH l AS (
+              SELECT c_custkey, c_acctbal,
+                     CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE)
+                       AS lon
+              FROM customer
+            ), p AS (
+              SELECT * FROM l
+              WHERE {_raycast_sql(_GEO_POLY, "lat", "lon")}
+                AND 2 * 6371008.7714150598 * asin(least(1.0, sqrt(
+                      pow(sin(radians(10.5 - lat) / 2), 2)
+                      + cos(radians(lat)) * cos(radians(10.5))
+                        * pow(sin(radians(20.5 - lon) / 2), 2)
+                    ))) < 3000000
+            )
+            SELECT CAST(floor(lat / 10) * 10 AS BIGINT) AS latb,
+                   CAST(floor(lon / 20) * 20 AS BIGINT) AS lonb,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                     AS acct
+            FROM p
+            GROUP BY 1, 2
+            ORDER BY latb ASC, lonb ASC
         """,
         # es_esql_sample: the shared sampling_gate replayed literally —
         # three LCG rounds over P = 1e9+7 (seed-0 mix 12345, then the

@@ -244,8 +244,11 @@ BENCH_QUERIES = [
     "es_esql_fuse",
     # round-15 additions: ES|QL full-text WHERE functions (MATCH into
     # the DSL match compiler, QSTR into the query-string grammar — one
-    # pushdown-eligible codegen filter + STATS)
+    # pushdown-eligible codegen filter + STATS) and the spatial
+    # functions (ST_WITHIN ray-cast + ST_DISTANCE haversine in one
+    # codegen filter, ST_X/ST_Y grid STATS)
     "es_esql_match",
+    "es_esql_spatial",
 ]
 
 

