@@ -4233,6 +4233,41 @@ def q_es_esql_spatial(spark, sf_dir):
     ''')
 
 
+def q_es_esql_ip(spark, sf_dir):
+    """ES|QL ``TO_IP`` + ip compare (round 15, VERDICT r14 #4): the
+    dotted-quad → uint32 ordering key (functions/ip.py — the SAME
+    codegen parse the DSL's ip auto-detection and CIDR_MATCH use), so
+    range compares and SORT are numeric ("9.*" < "10.*"), composed
+    with CIDR_MATCH over the same synthetic access log as
+    es_ip_prefix/es_ip_range.  Malformed non-NULL values raise at
+    runtime (_to_ip docstring); this frame is valid by construction.
+    The oracle replays functions/ip.ip_to_long_sql — the established
+    engine↔oracle twin."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    logs = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ".",
+            (F.lit(10) + k % 5).cast("string"),
+            ((k * 7) % 256).cast("string"),
+            ((k * 13) % 256).cast("string"),
+            (k % 256).cast("string"),
+        ).alias("ip"),
+    )
+    return esql({"logs": logs}, '''
+        FROM logs
+        | WHERE TO_IP(ip) >= TO_IP("11.0.0.0")
+                AND TO_IP(ip) < TO_IP("14.0.0.0")
+                AND CIDR_MATCH(ip, "11.0.0.0/8", "13.128.0.0/9")
+        | EVAL ipn = TO_IP(ip), net = FLOOR(TO_IP(ip) / 16777216)
+        | STATS n = COUNT(*), lo = MIN(ipn), hi = MAX(ipn) BY net
+        | SORT net ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5372,6 +5407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-15 fodder (r16 window candidates, local goldens for now)
         "es_esql_match": q_es_esql_match,
         "es_esql_spatial": q_es_esql_spatial,
+        "es_esql_ip": q_es_esql_ip,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6265,6 +6301,18 @@ def _goldens_b() -> dict[str, str]:
     _ql_or = " OR ".join(
         f"list_contains(toks, '{t}')" for t in _ql_terms)
 
+    # es_esql_ip: the uint32 parse and the CIDR bounds both come from
+    # functions/ip.py (ip_to_long_sql / cidr_bounds — the established
+    # engine↔oracle twins), so the compare constants cannot drift
+    from hive2es_offline_spark.functions.ip import (
+        cidr_bounds as _cidrb,
+        ip_literal_value as _ipv,
+        ip_to_long_sql as _ipsql,
+    )
+
+    _eq_ipn = _ipsql("ip")
+    _eq_c1, _eq_c2 = _cidrb("11.0.0.0/8"), _cidrb("13.128.0.0/9")
+
     # es_search_as_you_type: the per-subfield query shingles and the
     # document shingle lists both come from plans/analysis.py (one
     # grammar, three renderings), so engine and oracle cannot drift
@@ -6698,6 +6746,30 @@ def _goldens_b() -> dict[str, str]:
             FROM p
             GROUP BY 1, 2
             ORDER BY latb ASC, lonb ASC
+        """,
+        # es_esql_ip: numeric ip range + CIDR gates replayed with the
+        # shared uint32 parse and plan-time CIDR bounds
+        "es_esql_ip": f"""
+            WITH l AS (
+              SELECT o_orderkey,
+                     CAST(10 + o_orderkey % 5 AS VARCHAR) || '.' ||
+                     CAST((o_orderkey * 7) % 256 AS VARCHAR) || '.' ||
+                     CAST((o_orderkey * 13) % 256 AS VARCHAR) || '.' ||
+                     CAST(o_orderkey % 256 AS VARCHAR) AS ip
+              FROM orders
+            ), p AS (
+              SELECT {_eq_ipn} AS ipn FROM l
+              WHERE {_eq_ipn} >= {_ipv('11.0.0.0')}
+                AND {_eq_ipn} < {_ipv('14.0.0.0')}
+                AND (({_eq_ipn} >= {_eq_c1[0]} AND {_eq_ipn} <= {_eq_c1[1]})
+                  OR ({_eq_ipn} >= {_eq_c2[0]} AND {_eq_ipn} <= {_eq_c2[1]}))
+            )
+            SELECT CAST(floor(ipn / 16777216) AS BIGINT) AS net,
+                   CAST(count(*) AS BIGINT) AS n,
+                   MIN(ipn) AS lo, MAX(ipn) AS hi
+            FROM p
+            GROUP BY 1
+            ORDER BY net ASC
         """,
         # es_esql_sample: the shared sampling_gate replayed literally —
         # three LCG rounds over P = 1e9+7 (seed-0 mix 12345, then the

@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     # codegen filter, ST_X/ST_Y grid STATS)
     "es_esql_match",
     "es_esql_spatial",
+    "es_esql_ip",
 ]
 
 

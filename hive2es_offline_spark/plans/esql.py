@@ -107,7 +107,9 @@ haversine on Lucene's earth radius; ST_INTERSECTS / ST_CONTAINS /
 ST_WITHIN = point-vs-WKT-shape through the geo_shape relation
 compiler; ST_X / ST_Y; TO_GEOPOINT / TO_GEOSHAPE for literal WKT —
 point COLUMNS are struct{lat,lon}, the engine's geo_point
-representation), plus the WHERE-only full-text functions
+representation), ``TO_IP`` (dotted-quad → uint32 ordering key, so
+ip compares/sorts are numeric; malformed non-NULL raises — see
+``_to_ip``), plus the WHERE-only full-text functions
 ``MATCH(field, "query")`` (the DSL analyzed-match clause) and
 ``QSTR("field:query …")`` (the Lucene query-string grammar; bare
 terms reject loudly — a flat frame has no index mapping to supply
@@ -897,6 +899,33 @@ def _decimal_sum(c: Column) -> Column:
     return F.sum(c.cast("decimal(28,6)")).cast("double")
 
 
+def _to_ip(c: Column) -> Column:
+    """ES|QL ``TO_IP`` (round 15, VERDICT r14 #4): dotted-quad string →
+    uint32 long, the engine's ip ordering key (functions/ip.py — the
+    same codegen parse the DSL's term/range-on-ip auto-detection uses),
+    so ==/</>/SORT compare numerically: "9.0.0.0" orders BEFORE
+    "10.0.0.0".  NULL passes through; a non-NULL value that does not
+    parse as IPv4 raises at runtime (live ES nulls it with a warning
+    header — a flat frame has no warning channel, so silent NULL would
+    hide data corruption; IPv6 rejects like everywhere else in the
+    engine).  Documented divergence: the value is the NUMERIC key, not
+    an ip-rendered string — feed CIDR_MATCH the original string column."""
+    from ..functions.ip import ip_to_long
+
+    s = c.cast("string")
+    valid = (
+        s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+        & F.forall(F.split(s, r"\."), lambda o: o.cast("int") <= 255)
+    )
+    return (
+        F.when(s.isNull(), F.lit(None).cast("long"))
+        .when(valid, ip_to_long(s))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("ES|QL: TO_IP cannot parse "), s,
+            F.lit(" as an IPv4 address"))).cast("long"))
+    )
+
+
 #: scalar whitelist: name → (arity check, builder)
 _FNS: dict[str, Callable[[list[Column]], Column]] = {
     "ABS": lambda a: F.abs(a[0]),
@@ -937,6 +966,7 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
         a[0].isNotNull() & (a[1] <= 0), F.lit("")).otherwise(
         F.substring(a[0], -a[1].cast("int"), a[1])),
     "TO_BOOLEAN": lambda a: a[0].cast("boolean"),
+    "TO_IP": lambda a: _to_ip(a[0]),
     # ES|QL TO_DATETIME reads numerics as MILLISECONDS since epoch
     # (round-14 review: Spark's timestamp cast reads seconds — a
     # silent 1000x); digit-only operands route through
@@ -985,6 +1015,7 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "TO_LONG": (1, 1), "TO_INT": (1, 1), "TO_DOUBLE": (1, 1),
     "SUBSTRING": (2, 3), "REPLACE": (3, 3), "REVERSE": (1, 1),
     "LEFT": (2, 2), "RIGHT": (2, 2), "TO_BOOLEAN": (1, 1),
+    "TO_IP": (1, 1),
     "TO_DATETIME": (1, 1), "MV_COUNT": (1, 1), "MV_MIN": (1, 1),
     "MV_MAX": (1, 1), "MV_SUM": (1, 1), "MV_AVG": (1, 1),
     "MV_DEDUPE": (1, 1), "MV_FIRST": (1, 1), "MV_LAST": (1, 1),

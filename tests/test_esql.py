@@ -987,6 +987,59 @@ class TestSpatial:
             esql(cat, 'FROM t | WHERE ST_WITHIN(loc, "POLYGON((0 0 1, 1 1))")')
 
 
+class TestToIp:
+    """ES|QL TO_IP (round 15, VERDICT r14 #4): numeric ip ordering."""
+
+    def _logs(self, spark):
+        return spark.createDataFrame(
+            [(1, "9.0.0.0"), (2, "10.0.0.1"), (3, "10.0.0.255"),
+             (4, "192.168.1.1"), (5, None)],
+            "id long, ip string")
+
+    def test_numeric_not_lexicographic_order(self, spark):
+        rows = esql({"t": self._logs(spark)}, '''
+            FROM t | WHERE ip IS NOT NULL
+            | EVAL ipn = TO_IP(ip) | SORT ipn ASC | KEEP id
+        ''').collect()
+        # lexicographic would put "10.*" before "9.*"
+        assert [r["id"] for r in rows] == [1, 2, 3, 4]
+
+    def test_compare_and_null_passthrough(self, spark):
+        rows = esql({"t": self._logs(spark)}, '''
+            FROM t
+            | WHERE TO_IP(ip) >= TO_IP("10.0.0.0")
+                    AND TO_IP(ip) < TO_IP("11.0.0.0")
+            | KEEP id | SORT id ASC
+        ''').collect()
+        assert [r["id"] for r in rows] == [2, 3]
+        n = esql({"t": self._logs(spark)}, '''
+            FROM t | EVAL ipn = TO_IP(ip) | WHERE ipn IS NULL
+            | STATS n = COUNT(*)
+        ''').first()["n"]
+        assert n == 1  # the NULL row passes through, no raise
+
+    def test_composes_with_cidr_match(self, spark):
+        rows = esql({"t": self._logs(spark)}, '''
+            FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/8")
+            | EVAL ipn = TO_IP(ip) | SORT ipn DESC | KEEP id
+        ''').collect()
+        assert [r["id"] for r in rows] == [3, 2]
+
+    def test_malformed_raises_at_runtime(self, spark):
+        bad = spark.createDataFrame(
+            [(1, "10.0.0.1"), (2, "300.1.1.1"), (3, "::1")],
+            "id long, ip string")
+        for v in ("300.1.1.1", "::1", "not-an-ip"):
+            df = spark.createDataFrame([(1, v)], "id long, ip string")
+            out = esql({"t": df}, "FROM t | EVAL ipn = TO_IP(ip)")
+            with pytest.raises(Exception, match="TO_IP cannot parse"):
+                out.collect()
+        # and the valid rows of a mixed frame never mask the bad one
+        out = esql({"t": bad}, "FROM t | EVAL ipn = TO_IP(ip)")
+        with pytest.raises(Exception, match="TO_IP cannot parse"):
+            out.collect()
+
+
 class TestFromMetadata:
     """FROM … METADATA _index (round 14 second batch)."""
 
