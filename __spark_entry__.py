@@ -4268,6 +4268,47 @@ def q_es_esql_ip(spark, sf_dir):
     ''')
 
 
+#: es_retriever_rerank model — ONE constant feeds both the Spark query
+#: and the DuckDB oracle (lockstep, like the classifier weights)
+_RERANK_MODEL = {"weights": {"merge": 0.8, "stream": 0.6},
+                 "default_weight": 0.5, "bias": -1.0}
+
+
+def q_es_retriever_rerank(spark, sf_dir):
+    """ES 8.15 ``text_similarity_reranker`` retriever (round 15,
+    VERDICT r14 #5): the third retriever kind — fetch the standard
+    (BM25) child's top rank_window_size, rescore each (inference_text,
+    doc text) pair, re-order, return the top size.  Live ES calls an
+    inference endpoint; offline the model behind ``inference_id`` must
+    be a DETERMINISTIC linear scorer passed via ``rerank_models=``
+    (unknown ids reject loudly): sigmoid(bias + Σ over doc-token
+    occurrences that appear in the analyzed inference_text of
+    weights[token], default_weight off-table) — the SAME fold/sigmoid
+    sites as the quality classifier (operators/classify.py), so the
+    oracle replays one rounding rule.  Scale shape: the heavy work is
+    the child's pushed-down top-window; the rerank joins the ≤20-row
+    window BROADCAST onto the corpus to fetch texts, scores in
+    codegen, one tiny global-window re-rank."""
+    from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {
+                "query": {"match": {"text": "merge stream"}}}},
+            "field": "text",
+            "inference_id": "lexical-linear-v1",
+            "inference_text": "merge stream vector",
+            "rank_window_size": 20,
+        }},
+        "size": 12,
+        "_source": ["doc_id", "source"],
+    }
+    return es_retriever_search(
+        d, body, id_field="doc_id",
+        rerank_models={"lexical-linear-v1": _RERANK_MODEL})
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5408,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_match": q_es_esql_match,
         "es_esql_spatial": q_es_esql_spatial,
         "es_esql_ip": q_es_esql_ip,
+        "es_retriever_rerank": q_es_retriever_rerank,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6301,6 +6343,17 @@ def _goldens_b() -> dict[str, str]:
     _ql_or = " OR ".join(
         f"list_contains(toks, '{t}')" for t in _ql_terms)
 
+    # es_retriever_rerank: the effective per-query-term weights are
+    # derived from the SAME _RERANK_MODEL constant + analyzed
+    # inference_text the Spark query uses (lockstep)
+    _rr_terms = _an_text("merge stream vector")
+    _rr_w = {t: float(_RERANK_MODEL["weights"].get(
+        t, _RERANK_MODEL["default_weight"]))
+        for t in dict.fromkeys(_rr_terms)}
+    _rr_case = " ".join(f"WHEN '{t}' THEN {w!r}"
+                        for t, w in _rr_w.items())
+    _rr_bias = float(_RERANK_MODEL["bias"])
+
     # es_esql_ip: the uint32 parse and the CIDR bounds both come from
     # functions/ip.py (ip_to_long_sql / cidr_bounds — the established
     # engine↔oracle twins), so the compare constants cannot drift
@@ -6746,6 +6799,66 @@ def _goldens_b() -> dict[str, str]:
             FROM p
             GROUP BY 1, 2
             ORDER BY latb ASC, lonb ASC
+        """,
+        # es_retriever_rerank: the BM25 child CTE is the established
+        # es_retriever_linear replay (top-20 window); the rerank CTE
+        # replays the classifier's fold/sigmoid rounding rule over the
+        # effective query-term weights
+        "es_retriever_rerank": f"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text),
+                       '[\\p{{L}}\\p{{N}}_]+(?:[''.][\\p{{L}}\\p{{N}}_]+)*')
+                       AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM base, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream')
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), lexs AS (
+              SELECT doc_id, round(CAST(sum(p) AS DOUBLE), 6) AS sc
+              FROM part GROUP BY doc_id
+              ORDER BY sc DESC, doc_id ASC LIMIT 20
+            ), rtf AS (
+              SELECT l.doc_id,
+                     coalesce(sum(CAST(CASE t {_rr_case} ELSE 0 END
+                                       AS DECIMAL(28,6))), 0) AS tot
+              FROM lexs l JOIN base b USING (doc_id),
+                   unnest(b.toks) AS u(t)
+              GROUP BY 1
+            ), rscore AS (
+              SELECT l.doc_id,
+                     round(1.0 / (1.0 + exp(-({_rr_bias!r}
+                       + CAST(coalesce(r.tot, 0) AS DOUBLE)))), 6)
+                       AS _score
+              FROM lexs l LEFT JOIN rtf r USING (doc_id)
+            ), ranked AS (
+              SELECT doc_id, _score,
+                     CAST(row_number() OVER (
+                       ORDER BY _score DESC, doc_id ASC) AS INT) AS rank
+              FROM rscore
+            )
+            SELECT b.doc_id, rk._score, rk.rank, b.source
+            FROM ranked rk JOIN base b USING (doc_id)
+            WHERE rk.rank <= 12
+            ORDER BY rk.rank
         """,
         # es_esql_ip: numeric ip range + CIDR gates replayed with the
         # shared uint32 parse and plan-time CIDR bounds

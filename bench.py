@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     "es_esql_match",
     "es_esql_spatial",
     "es_esql_ip",
+    # the third retriever kind: BM25 child window broadcast back onto
+    # the corpus, deterministic linear rerank in codegen
+    "es_retriever_rerank",
 ]
 
 

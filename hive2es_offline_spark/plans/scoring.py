@@ -1509,6 +1509,7 @@ def es_retriever_search(
     k1: float = 1.2,
     b: float = 0.75,
     analyzer: str | None = None,
+    rerank_models: "dict[str, dict] | None" = None,
 ) -> DataFrame:
     """ES 8.14 ``retriever`` search API (round 12): a retriever TREE in
     place of ``query`` — ``standard`` (a query-DSL retriever, ranked by
@@ -1516,9 +1517,12 @@ def es_retriever_search(
     via the canonical rounded-before-rank helper, optional ``filter``
     pre-restricting candidates), ``rrf`` (reciprocal-rank fusion of
     child retrievers with ``rank_constant`` / ``rank_window_size``),
-    and ``linear`` (ES 8.18: weighted sum of per-child normalized
+    ``linear`` (ES 8.18: weighted sum of per-child normalized
     scores — minmax / l2_norm / none — fused as union + one groupBy,
-    round 14 second batch).
+    round 14 second batch), and ``text_similarity_reranker`` (ES 8.15:
+    rerank the child's top window with the deterministic linear model
+    named by ``inference_id`` in ``rerank_models=`` — round 15, see
+    the branch comment for the scoring contract).
 
     A single (non-rrf) root returns the retriever's REAL score —
     ``_score`` (BM25 or rounded cosine) plus ``rank``; an ``rrf`` root
@@ -1594,9 +1598,96 @@ def es_retriever_search(
             return top.select(
                 id_field, F.col("score").alias("_score"),
                 F.row_number().over(w).alias("rank"))
+        if rkind == "text_similarity_reranker":
+            # ES 8.15 semantic reranker retriever (round 15, VERDICT
+            # r14 #5): fetch the child's top rank_window_size, rescore
+            # each (inference_text, doc field) pair with the model
+            # behind inference_id, re-order by the new score.  Live ES
+            # calls an inference endpoint (usually LLM-backed); an
+            # offline engine cannot serve those, so inference_id must
+            # name a DETERMINISTIC linear model supplied via the
+            # rerank_models= parameter — {"weights": {term: w},
+            # "default_weight": dw, "bias": b, "analyzer": a} — scored
+            # as sigmoid(bias + Σ over doc-token occurrences that
+            # appear in the analyzed inference_text of weights[token])
+            # through the SAME fold/sigmoid sites as the quality
+            # classifier (operators/classify.py — one rounding rule,
+            # oracle-replayable).  Query terms not in the weight table
+            # take default_weight, so a bare model is tf-weighted
+            # query-term overlap.  Unknown inference ids reject loudly.
+            unk = set(rbody) - {"retriever", "field", "inference_id",
+                                "inference_text", "rank_window_size",
+                                "min_score"}
+            if unk:
+                raise ValueError(
+                    "unsupported text_similarity_reranker option(s): "
+                    f"{sorted(unk)}")
+            for req in ("retriever", "field", "inference_id",
+                        "inference_text"):
+                if req not in rbody:
+                    raise ValueError(
+                        f"text_similarity_reranker needs {req!r}")
+            mid = rbody["inference_id"]
+            models = rerank_models or {}
+            if mid not in models:
+                raise ValueError(
+                    f"unknown rerank inference_id {mid!r} — this "
+                    "engine serves only deterministic linear models "
+                    "passed via rerank_models= (available: "
+                    f"{sorted(models)}); remote/LLM-backed inference "
+                    "endpoints are not servable offline")
+            model = models[mid]
+            munk = set(model) - {"weights", "default_weight", "bias",
+                                 "analyzer"}
+            if munk:
+                raise ValueError(
+                    f"unsupported rerank model option(s): {sorted(munk)} "
+                    "(weights | default_weight | bias | analyzer)")
+            from ..operators.classify import (
+                _sigmoid_col,
+                _weight_lookup,
+                _weighted_fold,
+            )
+
+            child_window = int(rbody.get("rank_window_size",
+                                         max(window, 10)))
+            if child_window < window:
+                raise ValueError(
+                    f"rank_window_size ({child_window}) must be >= the "
+                    f"consuming window ({window})")
+            child = ranked(rbody["retriever"], child_window)
+            m_an = model.get("analyzer")
+            qtoks = _analyze_terms(str(rbody["inference_text"]), m_an)
+            if not qtoks:
+                raise ValueError(
+                    "text_similarity_reranker inference_text analyzed "
+                    "to no tokens")
+            weights = model.get("weights") or {}
+            dw = float(model.get("default_weight", 1.0))
+            eff = {t: float(weights.get(t, dw))
+                   for t in dict.fromkeys(qtoks)}
+            field = rbody["field"]
+            # the child frame is <= child_window rows — broadcast it
+            # onto the corpus to fetch ONLY the rerank window's texts
+            docs = df.select(id_field, field).join(
+                F.broadcast(child.select(id_field)), id_field)
+            score = _sigmoid_col(
+                _weighted_fold(analyze_col(F.col(field), m_an),
+                               _weight_lookup(eff)),
+                float(model.get("bias", 0.0)))
+            scored = docs.select(id_field, score.alias("_score"))
+            if "min_score" in rbody:
+                scored = scored.where(
+                    F.col("_score") >= float(rbody["min_score"]))
+            w = Window.orderBy(F.col("_score").desc(),
+                               F.col(id_field).asc())
+            return (scored
+                    .select(id_field, "_score",
+                            F.row_number().over(w).alias("rank"))
+                    .where(F.col("rank") <= window))
         raise ValueError(
             f"unsupported retriever: {rkind!r} "
-            "(standard | knn | rrf | linear)")
+            "(standard | knn | rrf | linear | text_similarity_reranker)")
 
     (kind, spec_body), = spec.items()
     if kind == "linear":

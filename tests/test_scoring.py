@@ -1306,12 +1306,92 @@ class TestRetrieverAPI:
                 id_field="doc_id").collect()
         with pytest.raises(ValueError, match="unsupported retriever"):
             es_retriever_search(docs, {"retriever": {
-                "text_similarity_reranker": {}}},
+                "semantic": {}}},
                 id_field="doc_id").collect()
         with pytest.raises(ValueError, match="rrf option"):
             es_retriever_search(docs, {"retriever": {"rrf": {
                 "retrievers": [], "window": 5}}},
                 id_field="doc_id").collect()
+
+
+class TestTextSimilarityReranker:
+    """ES 8.15 text_similarity_reranker (round 15, VERDICT r14 #5):
+    rerank the child window with a deterministic linear model."""
+
+    MODELS = {"lex-rerank": {"weights": {"merge": 0.8},
+                             "default_weight": 0.5, "bias": -1.0}}
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "merge stream merge table"),
+             (2, "stream stream stream query"),
+             (3, "merge nothing else"),
+             (4, "totally unrelated words"),
+             (5, "merge stream query vector")],
+            "doc_id long, text string")
+
+    def _body(self, **over):
+        spec = {"retriever": {"standard": {
+                    "query": {"match": {"text": "merge stream"}}}},
+                "field": "text", "inference_id": "lex-rerank",
+                "inference_text": "merge stream",
+                "rank_window_size": 10}
+        spec.update(over)
+        return {"retriever": {"text_similarity_reranker": spec},
+                "size": 3}
+
+    def test_reranks_child_window_by_model_score(self, docs):
+        import math
+
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        out = es_retriever_search(docs, self._body(), id_field="doc_id",
+                                  rerank_models=self.MODELS).collect()
+        got = [(r["doc_id"], r["_score"]) for r in
+               sorted(out, key=lambda r: r["rank"])]
+        # doc1: 2*0.8 (merge) + 0.5 (stream) = 2.1; doc2: 3*0.5; doc5:
+        # 0.8 + 0.5 — sigmoid(bias + total) rounded 6, the classifier's
+        # one rounding rule
+        sig = lambda t: round(1 / (1 + math.exp(-(-1.0 + t))), 6)  # noqa: E731
+        assert got == [(1, sig(2.1)), (2, sig(1.5)), (5, sig(1.3))]
+        # BM25 alone would NOT rank doc2 (no 'merge') above doc5
+
+    def test_min_score_filters(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        out = es_retriever_search(
+            docs, self._body(min_score=0.6), id_field="doc_id",
+            rerank_models=self.MODELS).collect()
+        assert [r["doc_id"] for r in out] == [1, 2]
+
+    def test_rejects(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        with pytest.raises(ValueError, match="unknown rerank inference_id"):
+            es_retriever_search(
+                docs, self._body(inference_id="remote-llm"),
+                id_field="doc_id", rerank_models=self.MODELS)
+        with pytest.raises(ValueError, match="unknown rerank inference_id"):
+            es_retriever_search(docs, self._body(), id_field="doc_id")
+        with pytest.raises(ValueError, match="must be >= the consuming"):
+            es_retriever_search(
+                docs, self._body(rank_window_size=2), id_field="doc_id",
+                rerank_models=self.MODELS)
+        with pytest.raises(ValueError, match="needs 'inference_text'"):
+            body = self._body()
+            del body["retriever"]["text_similarity_reranker"][
+                "inference_text"]
+            es_retriever_search(docs, body, id_field="doc_id",
+                                rerank_models=self.MODELS)
+        with pytest.raises(ValueError, match="model option"):
+            es_retriever_search(
+                docs, self._body(), id_field="doc_id",
+                rerank_models={"lex-rerank": {"temperature": 0.7}})
+        with pytest.raises(ValueError, match="reranker option"):
+            es_retriever_search(
+                docs, self._body(model="x"), id_field="doc_id",
+                rerank_models=self.MODELS)
 
 
 def test_retriever_filters_and_validation(spark):
