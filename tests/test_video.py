@@ -170,3 +170,47 @@ class TestVideoDedup:
             video_dedup(vids, num_chunks=5)
         with pytest.raises(ValueError, match="min_matching_frames"):
             video_dedup(vids, num_frames=4, min_matching_frames=9)
+        with pytest.raises(ValueError, match="alignment"):
+            video_dedup(vids, alignment="fuzzy")
+
+    def test_set_alignment_survives_trim_shift(self, spark):
+        """Round 15 (VERDICT r14 #8): a re-cut that shifts the timeline
+        defeats slot alignment but clusters under set overlap."""
+        from hive2es_offline_spark.operators.dedup import video_dedup
+
+        def checker(cell, w=48, h=32):
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = (((yy // cell) + (xx // cell)) % 2 * 255).astype(np.uint8)
+            return np.stack([g, g, g], axis=2)
+
+        def grad_v(w=48, h=32):
+            g = np.tile(np.linspace(0, 255, h, dtype=np.uint8)[:, None],
+                        (1, w))
+            return np.stack([g, g, g], axis=2)
+
+        def grad_h(w=48, h=32):
+            g = np.tile(np.linspace(0, 255, w).astype(np.uint8), (h, 1))
+            return np.stack([g, g, g], axis=2)
+
+        f0, f1, f2, f3 = grad_h(), checker(5), grad_v(), checker(7)
+        base = [f0, f1, f2, f3]
+        trimmed = [f1, f2, f3, checker(11)]   # intro cut, one new tail
+        unrelated = [checker(3), grad_v()[::-1].copy(),
+                     checker(9), grad_h()[:, ::-1].copy()]
+        vids = spark.createDataFrame(
+            [(1, video.encode_avi_mjpeg(base, fps=5)),
+             (2, video.encode_avi_mjpeg(trimmed, fps=5)),
+             (3, video.encode_avi_mjpeg(unrelated, fps=5))],
+            "doc_id long, payload binary")
+        slot = video_dedup(vids, num_frames=4, max_hamming=3,
+                           min_matching_frames=3).collect()
+        comp_slot = {r["doc_id"]: r["component"] for r in slot}
+        # the documented slot-mode recall bound: the shift breaks every
+        # slot pairing
+        assert comp_slot[1] == 1 and comp_slot[2] == 2
+        both = video_dedup(vids, num_frames=4, max_hamming=3,
+                           min_matching_frames=3,
+                           alignment="set").collect()
+        comp_set = {r["doc_id"]: r["component"] for r in both}
+        assert comp_set[1] == comp_set[2] == 1  # trim-shift closed
+        assert comp_set[3] == 3                 # still no false pair
