@@ -4309,6 +4309,27 @@ def q_es_retriever_rerank(spark, sf_dir):
         rerank_models={"lexical-linear-v1": _RERANK_MODEL})
 
 
+def q_es_esql_rerank(spark, sf_dir):
+    """ES|QL ``RERANK`` command (round 15): the 9.x inference rerank on
+    the ES|QL side of the same seam as es_retriever_rerank —
+    deterministic linear model behind the inference id
+    (esql(rerank_models=), the SAME _RERANK_MODEL constant and
+    sigmoid contract, test-pinned identical across the two surfaces),
+    composed with the round-15 full-text WHERE MATCH() so the
+    pipeline is filter → codegen rescore → TakeOrderedAndProject.
+    COMPLETION rejects loudly (LLM-backed, no deterministic subset)."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"documents": _t(spark, sf_dir, "documents")}, '''
+        FROM documents
+        | WHERE MATCH(text, "merge stream")
+        | RERANK "merge stream vector" ON text WITH "lexical-linear-v1"
+        | SORT _score DESC, doc_id ASC
+        | LIMIT 15
+        | KEEP doc_id, _score, source
+    ''', rerank_models={"lexical-linear-v1": _RERANK_MODEL})
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5450,6 +5471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_spatial": q_es_esql_spatial,
         "es_esql_ip": q_es_esql_ip,
         "es_retriever_rerank": q_es_retriever_rerank,
+        "es_esql_rerank": q_es_esql_rerank,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6353,6 +6375,9 @@ def _goldens_b() -> dict[str, str]:
     _rr_case = " ".join(f"WHEN '{t}' THEN {w!r}"
                         for t, w in _rr_w.items())
     _rr_bias = float(_RERANK_MODEL["bias"])
+    # es_esql_rerank: the WHERE MATCH terms, also lockstep-analyzed
+    _rrq_or = " OR ".join(
+        f"list_contains(toks, '{t}')" for t in _an_text("merge stream"))
 
     # es_esql_ip: the uint32 parse and the CIDR bounds both come from
     # functions/ip.py (ip_to_long_sql / cidr_bounds — the established
@@ -6859,6 +6884,34 @@ def _goldens_b() -> dict[str, str]:
             FROM ranked rk JOIN base b USING (doc_id)
             WHERE rk.rank <= 12
             ORDER BY rk.rank
+        """,
+        # es_esql_rerank: WHERE MATCH replayed through the shared token
+        # grammar, the rerank through the SAME fold/sigmoid replay as
+        # es_retriever_rerank (one _RERANK_MODEL constant)
+        "es_esql_rerank": f"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text),
+                       '[\\p{{L}}\\p{{N}}_]+(?:[''.][\\p{{L}}\\p{{N}}_]+)*')
+                       AS toks
+              FROM documents
+            ), matched AS (
+              SELECT * FROM base WHERE ({_rrq_or})
+            ), tot AS (
+              SELECT m.doc_id,
+                     coalesce(sum(CAST(CASE t {_rr_case} ELSE 0 END
+                                       AS DECIMAL(28,6))), 0) AS tot
+              FROM matched m, unnest(m.toks) AS u(t)
+              GROUP BY 1
+            )
+            SELECT m.doc_id,
+                   round(1.0 / (1.0 + exp(-({_rr_bias!r}
+                     + CAST(coalesce(tt.tot, 0) AS DOUBLE)))), 6)
+                     AS _score,
+                   m.source
+            FROM matched m LEFT JOIN tot tt USING (doc_id)
+            ORDER BY _score DESC, doc_id ASC
+            LIMIT 15
         """,
         # es_esql_ip: numeric ip range + CIDR gates replayed with the
         # shared uint32 parse and plan-time CIDR bounds

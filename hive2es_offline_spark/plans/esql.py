@@ -84,6 +84,16 @@ anti-silent policy):
                                   the fused score (other columns drop
                                   — documented divergence; live ES
                                   carries first-wins doc metadata)
+- ``RERANK "q" ON field WITH "inference-id"``
+                                  (ES|QL 9.x) rescore current rows →
+                                  ``_score`` with the deterministic
+                                  linear model behind the id in
+                                  ``esql(rerank_models=)`` — the SAME
+                                  registry + sigmoid contract as the
+                                  text_similarity_reranker retriever;
+                                  unknown ids reject loudly (COMPLETION
+                                  rejects with a pointer: LLM-backed,
+                                  no deterministic subset exists)
 - ``DISSECT col "%{a} %{b}"``     delimiter extraction → one anchored
                                   regex, codegen; non-matching rows
                                   keep NULL fields like ES|QL
@@ -1623,14 +1633,18 @@ def _stage_enrich(df: DataFrame, p: _P,
     return df.join(F.broadcast(proj), on=key, how="left")
 
 
-def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
+def esql(tables: Mapping[str, DataFrame], query: str, *,
+         rerank_models: "Mapping[str, dict] | None" = None) -> DataFrame:
     """Compile one ES|QL pipeline against the given table mapping.
 
     ``tables`` plays the role of the cluster's index catalog: ``FROM``
     resolves names here (comma lists union by name, ES|QL's multi-index
-    read).  Returns the lazy DataFrame — Catalyst sees the WHOLE
-    pipeline, so a ``WHERE`` after ``FROM`` pushes into the scan and a
-    ``SORT | LIMIT`` tail plans as TakeOrderedAndProject."""
+    read).  ``rerank_models`` plays the role of the inference-endpoint
+    registry for the ``RERANK`` command (same deterministic linear
+    models as the text_similarity_reranker retriever —
+    plans/scoring.py).  Returns the lazy DataFrame — Catalyst sees the
+    WHOLE pipeline, so a ``WHERE`` after ``FROM`` pushes into the scan
+    and a ``SORT | LIMIT`` tail plans as TakeOrderedAndProject."""
     stages = _split_pipes(_tokenize(query))
     if not stages:
         raise ValueError("ES|QL: empty query")
@@ -1750,13 +1764,15 @@ def esql(tables: Mapping[str, DataFrame], query: str) -> DataFrame:
     else:
         raise ValueError("ES|QL: the source command must be FROM or ROW")
     for stage in stages[1:]:
-        df = _apply_stage(df, stage, tables)
+        df = _apply_stage(df, stage, tables, rerank_models=rerank_models)
     return df
 
 
 def _apply_stage(df: DataFrame, stage: list,
                  tables: Mapping[str, DataFrame], *,
-                 in_fork: bool = False) -> DataFrame:
+                 in_fork: bool = False,
+                 rerank_models: "Mapping[str, dict] | None" = None,
+                 ) -> DataFrame:
     """Compile ONE pipe stage onto ``df`` (extracted round 14 so
     FORK can run its parenthesized branch sub-pipelines through
     the same dispatch)."""
@@ -2029,7 +2045,8 @@ def _apply_stage(df: DataFrame, stage: list,
         for bi, btoks in enumerate(branches, 1):
             bdf = df
             for bstage in _split_pipes(btoks):
-                bdf = _apply_stage(bdf, bstage, tables, in_fork=True)
+                bdf = _apply_stage(bdf, bstage, tables, in_fork=True,
+                                   rerank_models=rerank_models)
             if "_fork" in bdf.columns:
                 raise ValueError("ES|QL: FORK cannot be nested")
             outs.append(bdf.withColumn("_fork", F.lit(f"fork{bi}")))
@@ -2130,6 +2147,88 @@ def _apply_stage(df: DataFrame, stage: list,
         df = (ranked
               .groupBy(*keys)
               .agg(F.round(F.sum(contrib), 9).alias(score_col)))
+    elif up == "RERANK":
+        # ES|QL 9.x RERANK (round 15): rescore the CURRENT rows against
+        # a query text with the model behind an inference id, writing
+        # the result to _score.  Live ES calls an inference endpoint
+        # (usually LLM-backed); offline the id must name a
+        # DETERMINISTIC linear model passed via esql(rerank_models=) —
+        # the SAME registry shape and sigmoid(bias + Σ weights over
+        # doc-token occurrences appearing in the analyzed query) scoring
+        # contract as the text_similarity_reranker retriever
+        # (plans/scoring.py), so the two surfaces cannot drift.  Syntax
+        # subset: RERANK "query" ON field WITH "inference-id" (the 9.x
+        # options-map form carries only inference_id for this engine);
+        # rows keep their lazy unordered frame semantics — follow with
+        # SORT _score to make the new order explicit.
+        from ..operators.classify import (
+            _sigmoid_col,
+            _weight_lookup,
+            _weighted_fold,
+        )
+        from .analysis import analyze_col, analyze_text
+
+        qt = p.next()
+        if qt[0] != "str":
+            raise ValueError(
+                f"ES|QL: RERANK needs a literal query string{_at(qt)}")
+        on_t = p.next()
+        if on_t[0] != "id" or on_t[1].upper() != "ON":
+            raise ValueError(
+                f"ES|QL: RERANK expects ON <field>, got {on_t[1]!r}"
+                f"{_at(on_t)}")
+        fld = p.next()
+        if fld[0] != "id":
+            raise ValueError(
+                f"ES|QL: RERANK ON needs a field name{_at(fld)}")
+        if fld[1] not in df.columns:
+            raise ValueError(
+                f"ES|QL: unknown column {fld[1]!r} (have {df.columns})")
+        with_t = p.next()
+        if with_t[0] != "id" or with_t[1].upper() != "WITH":
+            raise ValueError(
+                f"ES|QL: RERANK expects WITH <inference-id>, got "
+                f"{with_t[1]!r}{_at(with_t)}")
+        mid_t = p.next()
+        if mid_t[0] not in ("str", "id") or not p.done():
+            raise ValueError(
+                "ES|QL: RERANK \"query\" ON field WITH \"inference-id\"")
+        models = rerank_models or {}
+        if mid_t[1] not in models:
+            raise ValueError(
+                f"ES|QL: unknown rerank inference id {mid_t[1]!r} — "
+                "this engine serves only deterministic linear models "
+                "passed via esql(rerank_models=) (available: "
+                f"{sorted(models)}); remote/LLM-backed inference "
+                "endpoints are not servable offline")
+        model = models[mid_t[1]]
+        munk = set(model) - {"weights", "default_weight", "bias",
+                             "analyzer"}
+        if munk:
+            raise ValueError(
+                f"ES|QL: unsupported rerank model option(s): "
+                f"{sorted(munk)} (weights | default_weight | bias | "
+                "analyzer)")
+        m_an = model.get("analyzer")
+        qtoks = analyze_text(qt[1], m_an)
+        if not qtoks:
+            raise ValueError(
+                "ES|QL: RERANK query analyzed to no tokens")
+        weights = model.get("weights") or {}
+        dw = float(model.get("default_weight", 1.0))
+        eff = {t: float(weights.get(t, dw)) for t in dict.fromkeys(qtoks)}
+        score = _sigmoid_col(
+            _weighted_fold(analyze_col(F.col(fld[1]), m_an),
+                           _weight_lookup(eff)),
+            float(model.get("bias", 0.0)))
+        df = df.withColumn("_score", score)
+    elif up == "COMPLETION":
+        raise ValueError(
+            "ES|QL: COMPLETION is LLM-backed text generation — not "
+            "servable by an offline engine (no deterministic public-"
+            "spec subset exists).  For deterministic scoring use "
+            "RERANK with a linear model (esql(rerank_models=)) or the "
+            "classifier operators (operators/classify.py)")
     elif up == "MV_EXPAND":
         t = p.next()
         if t[0] != "id" or not p.done():
@@ -2145,5 +2244,5 @@ def _apply_stage(df: DataFrame, stage: list,
             f"ES|QL: unsupported command {up} (supported: WHERE EVAL "
             "STATS INLINESTATS SORT LIMIT KEEP DROP RENAME MV_EXPAND "
             "LOOKUP JOIN ENRICH DISSECT GROK SAMPLE CHANGE_POINT "
-            "FORK FUSE)")
+            "FORK FUSE RERANK)")
     return df

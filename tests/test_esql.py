@@ -1040,6 +1040,75 @@ class TestToIp:
             out.collect()
 
 
+class TestRerankCommand:
+    """ES|QL 9.x RERANK (round 15): deterministic scorer-backed subset
+    sharing the text_similarity_reranker registry + sigmoid contract."""
+
+    MODELS = {"lex-v1": {"weights": {"merge": 0.8},
+                         "default_weight": 0.5, "bias": -1.0}}
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "merge stream merge table"),
+             (2, "stream stream stream query"),
+             (3, "totally unrelated words")],
+            "id long, txt string")
+
+    def test_rerank_writes_score_and_sorts(self, spark):
+        import math
+
+        rows = esql({"t": self._docs(spark)}, '''
+            FROM t
+            | RERANK "merge stream" ON txt WITH "lex-v1"
+            | SORT _score DESC, id ASC
+            | KEEP id, _score
+        ''', rerank_models=self.MODELS).collect()
+        sig = lambda t: round(1 / (1 + math.exp(-(-1.0 + t))), 6)  # noqa: E731
+        # doc1: 2*0.8 + 0.5; doc2: 3*0.5; doc3: 0 overlap -> sigmoid(bias)
+        assert [(r["id"], r["_score"]) for r in rows] == [
+            (1, sig(2.1)), (2, sig(1.5)), (3, sig(0.0))]
+
+    def test_matches_retriever_scoring_contract(self, spark):
+        """The ES|QL command and the retriever kind must score a given
+        (query, doc) pair identically — one contract, two surfaces."""
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        docs = self._docs(spark).withColumnRenamed("txt", "text") \
+            .withColumnRenamed("id", "doc_id")
+        via_retriever = {r["doc_id"]: r["_score"] for r in es_retriever_search(
+            docs, {"retriever": {"text_similarity_reranker": {
+                "retriever": {"standard": {
+                    "query": {"match": {"text": "merge stream"}}}},
+                "field": "text", "inference_id": "lex-v1",
+                "inference_text": "merge stream",
+                "rank_window_size": 10}}, "size": 3},
+            id_field="doc_id", rerank_models=self.MODELS).collect()}
+        via_esql = {r["doc_id"]: r["_score"] for r in esql(
+            {"t": docs}, '''
+                FROM t | RERANK "merge stream" ON text WITH "lex-v1"
+                | KEEP doc_id, _score
+            ''', rerank_models=self.MODELS).collect()}
+        for k, v in via_retriever.items():
+            assert via_esql[k] == v
+
+    def test_rejects(self, spark):
+        docs = {"t": self._docs(spark)}
+        with pytest.raises(ValueError, match="unknown rerank inference"):
+            esql(docs, 'FROM t | RERANK "q" ON txt WITH "other"',
+                 rerank_models=self.MODELS)
+        with pytest.raises(ValueError, match="unknown rerank inference"):
+            esql(docs, 'FROM t | RERANK "q" ON txt WITH "lex-v1"')
+        with pytest.raises(ValueError, match="ON <field>"):
+            esql(docs, 'FROM t | RERANK "q" txt WITH "lex-v1"',
+                 rerank_models=self.MODELS)
+        with pytest.raises(ValueError, match="unknown column"):
+            esql(docs, 'FROM t | RERANK "q" ON nope WITH "lex-v1"',
+                 rerank_models=self.MODELS)
+        with pytest.raises(ValueError, match="LLM-backed"):
+            esql(docs, 'FROM t | COMPLETION "write a poem" WITH "llm"',
+                 rerank_models=self.MODELS)
+
+
 class TestFromMetadata:
     """FROM … METADATA _index (round 14 second batch)."""
 
