@@ -2124,26 +2124,43 @@ def _apply_stage(df: DataFrame, stage: list,
         # NULL-filled by the union-by-name; silently ranking those rows
         # (by key tiebreak alone) would diverge from live ES's
         # ranked-branch contract — reject loudly instead (round-15
-        # review; policy documented in COVERAGE.md §es_esql_fuse)
-        checked = F.when(
-            F.col(score_col).isNull(),
-            F.raise_error(F.concat(
-                F.lit(f"ES|QL: FUSE found a NULL {score_col!r} in fork "
+        # review; policy documented in COVERAGE.md §es_esql_fuse).
+        # The reject is a COALESCE onto an ANSI-cast poison, NOT
+        # raise_error and NOT when/otherwise: raise_error is
+        # non-deterministic (blocks CollapseProject — the benched
+        # FORK|FUSE lost its branch TakeOrderedAndProject rewrites and
+        # gained a full range-partition sort exchange, measured ~2.7x),
+        # and when(isnull(s), …, s) references the branch's score alias
+        # TWICE, which also stops CollapseProject (duplicate non-cheap
+        # reference) with the same top-k loss.  coalesce references the
+        # score once, folds into the branch top-k projection like any
+        # scalar, and under ANSI (Spark 4's default, this engine's
+        # documented execution contract) the poison cast throws
+        # CAST_INVALID_INPUT carrying the message; a branch that
+        # STATICALLY lacks the column (literal NULL fill) even fails at
+        # plan time via constant folding.
+        checked = F.coalesce(
+            F.col(score_col).cast("double"),
+            F.concat(
+                F.lit(f"ES|QL: FUSE found a NULL {score_col} in fork "
                       "branch "),
                 F.col("_fork"),
                 F.lit(" — every FORK branch feeding FUSE must produce "
-                      "the score column (ranked-branch contract)")))
-        ).otherwise(F.col(score_col))
+                      "the score column (ranked-branch contract)"))
+            .cast("double"))
+        # materialize the guarded score once so the window sorts on a
+        # concrete attribute
+        df = df.withColumn("\x00fuse_chk", checked)
         w = _W.partitionBy("_fork").orderBy(
-            checked.desc(),
+            F.col("\x00fuse_chk").desc(),
             *[F.col(k).asc_nulls_last() for k in keys])
         ranked = df.withColumn("_fuse_rank", F.row_number().over(w))
-        # rrf reaches `checked` through the window order; linear must
+        # rrf reaches the guard through the window order; linear must
         # reference it directly or Catalyst prunes the unused window
         # (and the NULL guard with it)
         contrib = (F.lit(1.0) / (F.lit(60) + F.col("_fuse_rank"))
                    if method == "rrf"
-                   else checked.cast("double"))
+                   else F.col("\x00fuse_chk").cast("double"))
         df = (ranked
               .groupBy(*keys)
               .agg(F.round(F.sum(contrib), 9).alias(score_col)))

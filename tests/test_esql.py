@@ -1221,7 +1221,10 @@ class TestFuse:
         """
         for m in ("rrf", "linear"):
             df = esql({"t": self._frame(spark)}, q.format(m=m))
-            with pytest.raises(Exception, match="NULL '_score'"):
+            # the guard is an ANSI-cast poison: a branch that statically
+            # lacks the column raises at plan time via constant folding,
+            # a data-dependent NULL at run time — both carry the message
+            with pytest.raises(Exception, match="NULL _score"):
                 df.collect()
 
     def test_rejects(self, spark, catalog):

@@ -83,6 +83,9 @@ def _host_factor(ref: str, prior_artifact: Path, env: dict) -> dict:
                               else prior_artifact),
         "prior_rerun_total": parsed["value"],
         "prior_recorded_total": recorded["parsed"].get("value"),
+        # the rerun's per-query minima, so diagnoses can ratio
+        # row-by-row without re-running the prior tree
+        "prior_rerun_queries": now_q,
     }
 
 
