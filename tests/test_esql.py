@@ -1210,6 +1210,25 @@ class TestFuse:
         """).collect()
         assert rows[0]["id"] == 5 and rows[0]["s"] == 51.0
 
+    def test_guard_keeps_branch_top_k_plan(self, spark):
+        """Round 15: the NULL guard must NOT cost the branch
+        TakeOrderedAndProject rewrites — raise_error (non-deterministic)
+        and when/otherwise (duplicate score reference) both blocked
+        CollapseProject and planned a range-partition sort exchange
+        (~2.7x on the benched row)."""
+        plan = esql({"t": self._frame(spark)}, """
+            FROM t
+            | FORK (SORT v DESC, id ASC | LIMIT 3 | EVAL _score = v
+                    | KEEP id, _score)
+                   (SORT id ASC | LIMIT 3 | EVAL _score = 100.0 - v
+                    | KEEP id, _score)
+            | FUSE rrf KEY BY id
+            | SORT _score DESC, id ASC | LIMIT 3
+        """)._jdf.queryExecution().executedPlan().toString()
+        # both branches AND the final cut plan as top-k heaps
+        assert plan.count("TakeOrderedAndProject") == 3
+        assert "rangepartitioning" not in plan
+
     def test_null_score_branch_rejects_at_runtime(self, spark):
         """Round-15 review: a FORK branch that never produced the score
         column gets NULL-filled by the union — silently ranking those
