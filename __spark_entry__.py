@@ -4241,8 +4241,10 @@ def q_es_esql_ip(spark, sf_dir):
     with CIDR_MATCH over the same synthetic access log as
     es_ip_prefix/es_ip_range.  Malformed non-NULL values raise at
     runtime (_to_ip docstring); this frame is valid by construction.
-    The oracle replays functions/ip.ip_to_long_sql — the established
-    engine↔oracle twin."""
+    EVAL-once shape: the guarded parse runs once and the WHERE/EVAL
+    read the column (probed 2.04x vs spelling TO_IP(ip) at every use —
+    tools/probe_round15.py #3).  The oracle replays
+    functions/ip.ip_to_long_sql — the established engine↔oracle twin."""
     from hive2es_offline_spark.plans.esql import esql
 
     o = _t(spark, sf_dir, "orders")
@@ -4259,10 +4261,10 @@ def q_es_esql_ip(spark, sf_dir):
     )
     return esql({"logs": logs}, '''
         FROM logs
-        | WHERE TO_IP(ip) >= TO_IP("11.0.0.0")
-                AND TO_IP(ip) < TO_IP("14.0.0.0")
+        | EVAL ipn = TO_IP(ip)
+        | WHERE ipn >= TO_IP("11.0.0.0") AND ipn < TO_IP("14.0.0.0")
                 AND CIDR_MATCH(ip, "11.0.0.0/8", "13.128.0.0/9")
-        | EVAL ipn = TO_IP(ip), net = FLOOR(TO_IP(ip) / 16777216)
+        | EVAL net = FLOOR(ipn / 16777216)
         | STATS n = COUNT(*), lo = MIN(ipn), hi = MAX(ipn) BY net
         | SORT net ASC
     ''')

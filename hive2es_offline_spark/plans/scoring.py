@@ -1667,10 +1667,17 @@ def es_retriever_search(
             eff = {t: float(weights.get(t, dw))
                    for t in dict.fromkeys(qtoks)}
             field = rbody["field"]
-            # the child frame is <= child_window rows — broadcast it
-            # onto the corpus to fetch ONLY the rerank window's texts
-            docs = df.select(id_field, field).join(
-                F.broadcast(child.select(id_field)), id_field)
+            # the child frame is <= child_window rows (a bounded,
+            # user-set window) — collect its ids and push an In filter
+            # into the corpus scan, so the text fetch prunes row groups
+            # instead of re-scanning the whole text column (a broadcast
+            # semi-join still paid a corpus-sized column read — probed
+            # +1.0 s at 1M docs, tools/probe_round15.py #4).  Same
+            # bounded-collect shape as the terms-lookup and rescore
+            # windows.
+            win_ids = [r[0] for r in child.select(id_field).collect()]
+            docs = df.select(id_field, field).where(
+                F.col(id_field).isin(win_ids))
             score = _sigmoid_col(
                 _weighted_fold(analyze_col(F.col(field), m_an),
                                _weight_lookup(eff)),
