@@ -927,12 +927,18 @@ def _to_ip(c: Column) -> Column:
         s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
         & F.forall(F.split(s, r"\."), lambda o: o.cast("int") <= 255)
     )
+    # the reject is an ANSI-cast poison, not raise_error — raise_error
+    # is non-deterministic, which blocks filter pushdown through the
+    # EVAL projection and stops CollapseProject (the FUSE guard lesson,
+    # SCALE.md round 15); the deterministic cast throws
+    # CAST_INVALID_INPUT carrying the message under ANSI, the engine's
+    # documented execution contract
     return (
         F.when(s.isNull(), F.lit(None).cast("long"))
         .when(valid, ip_to_long(s))
-        .otherwise(F.raise_error(F.concat(
+        .otherwise(F.concat(
             F.lit("ES|QL: TO_IP cannot parse "), s,
-            F.lit(" as an IPv4 address"))).cast("long"))
+            F.lit(" as an IPv4 address")).cast("long"))
     )
 
 
