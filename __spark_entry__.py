@@ -4332,6 +4332,37 @@ def q_es_esql_rerank(spark, sf_dir):
     ''', rerank_models={"lexical-linear-v1": _RERANK_MODEL})
 
 
+def q_es_esql_grid(spark, sf_dir):
+    """ES|QL spatial grid functions (round 15, ES 8.16):
+    ``ST_GEOTILE``/``ST_GEOHASH``/``ST_GEOHEX`` expose the grid aggs'
+    cell builders (query_dsl.geotile_cell/geohash_cell/hex_cell — one
+    construction per grid, so agg and scalar cannot drift) as scalar
+    key functions, here grouping a STATS BY geotile with
+    geohash/hex-cell diversity sub-metrics per tile — all codegen bit
+    math, ONE aggregation exchange.  ST_GEOHEX is the engine's
+    documented non-H3 axial extension (like the hex_grid agg; live
+    geohex is H3)."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5).cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    return esql({"pts": pts}, '''
+        FROM pts
+        | EVAL tile = ST_GEOTILE(loc, 4), gh = ST_GEOHASH(loc, 2),
+               hx = ST_GEOHEX(loc, 2)
+        | STATS n = COUNT(*), n_gh = COUNT_DISTINCT(gh),
+                n_hx = COUNT_DISTINCT(hx) BY tile
+        | SORT n DESC, tile ASC
+        | LIMIT 12
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5474,6 +5505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_ip": q_es_esql_ip,
         "es_retriever_rerank": q_es_retriever_rerank,
         "es_esql_rerank": q_es_esql_rerank,
+        "es_esql_grid": q_es_esql_grid,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6914,6 +6946,75 @@ def _goldens_b() -> dict[str, str]:
             FROM matched m LEFT JOIN tot tt USING (doc_id)
             ORDER BY _score DESC, doc_id ASC
             LIMIT 15
+        """,
+        # es_esql_grid: the three grid-key replays are the SAME SQL
+        # fragments as the es_geo_grid / es_hex_grid oracles (geotile
+        # mercator, geohash interleave, axial hex cube-round)
+        "es_esql_grid": """
+            WITH pts AS (
+              SELECT CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+                     CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE)
+                       AS lon
+              FROM customer
+            ), q AS (
+              SELECT lat, lon,
+                     least(greatest(CAST(floor((lon + 180.0) / 360.0 * 32.0)
+                                         AS BIGINT), 0), 31) AS loni,
+                     least(greatest(CAST(floor((lat + 90.0) / 180.0 * 32.0)
+                                         AS BIGINT), 0), 31) AS lati,
+                     (0.5773502691896257 * lon
+                      - 0.3333333333333333 * lat) / 11.25 AS hq,
+                     (0.6666666666666666 * lat) / 11.25 AS hr
+              FROM pts
+            ), hh AS (
+              SELECT lat, lon, hq, hr,
+                     (((loni >> 4) & 1) << 9) + (((lati >> 4) & 1) << 8)
+                   + (((loni >> 3) & 1) << 7) + (((lati >> 3) & 1) << 6)
+                   + (((loni >> 2) & 1) << 5) + (((lati >> 2) & 1) << 4)
+                   + (((loni >> 1) & 1) << 3) + (((lati >> 1) & 1) << 2)
+                   + (((loni >> 0) & 1) << 1) + (((lati >> 0) & 1) << 0)
+                       AS h,
+                     round(hq) AS rq, round(hr) AS rr,
+                     round(-hq - hr) AS rs
+              FROM q
+            ), keys AS (
+              SELECT '4/'
+                     || least(greatest(CAST(floor((lon + 180.0) / 360.0
+                                                  * 16.0)
+                                            AS BIGINT), 0), 15)
+                     || '/'
+                     || least(greatest(CAST(floor(
+                          (1.0 - ln(tan(radians(least(greatest(lat,
+                                        -85.05112878), 85.05112878)))
+                                    + 1.0 / cos(radians(least(greatest(lat,
+                                        -85.05112878), 85.05112878))))
+                           / pi())
+                          / 2.0 * 16.0) AS BIGINT), 0), 15) AS tile,
+                     substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                            CAST((h >> 5) & 31 AS INT) + 1, 1)
+                     || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                               CAST(h & 31 AS INT) + 1, 1) AS gh,
+                     '2/'
+                     || CAST(CAST(CASE WHEN abs(rq - hq) > abs(rr - hr)
+                                        AND abs(rq - hq) > abs(rs + hq + hr)
+                                       THEN -rr - rs ELSE rq END
+                                  AS BIGINT) AS VARCHAR)
+                     || '/'
+                     || CAST(CAST(CASE WHEN NOT (abs(rq - hq) > abs(rr - hr)
+                                        AND abs(rq - hq) > abs(rs + hq + hr))
+                                        AND abs(rr - hr) > abs(rs + hq + hr)
+                                       THEN -rq - rs ELSE rr END
+                                  AS BIGINT) AS VARCHAR) AS hx
+              FROM hh
+            )
+            SELECT tile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT gh) AS BIGINT) AS n_gh,
+                   CAST(count(DISTINCT hx) AS BIGINT) AS n_hx
+            FROM keys
+            GROUP BY tile
+            ORDER BY n DESC, tile ASC
+            LIMIT 12
         """,
         # es_esql_ip: numeric ip range + CIDR gates replayed with the
         # shared uint32 parse and plan-time CIDR bounds

@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     # -> TakeOrderedAndProject)
     "es_retriever_rerank",
     "es_esql_rerank",
+    # the spatial grid scalar functions grouping a STATS (one
+    # aggregation exchange, pure codegen bit math)
+    "es_esql_grid",
 ]
 
 

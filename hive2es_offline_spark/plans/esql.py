@@ -115,7 +115,10 @@ CATEGORIZE MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG MV_DEDUPE MV_SORT
 MV_FIRST MV_LAST), the spatial functions (ST_DISTANCE = the DSL's
 haversine on Lucene's earth radius; ST_INTERSECTS / ST_CONTAINS /
 ST_WITHIN = point-vs-WKT-shape through the geo_shape relation
-compiler; ST_X / ST_Y; TO_GEOPOINT / TO_GEOSHAPE for literal WKT —
+compiler; ST_X / ST_Y; ST_GEOHASH / ST_GEOTILE / ST_GEOHEX = the
+grid aggs' cell builders as scalar key functions (string keys;
+ST_GEOHEX is the documented non-H3 axial extension, like the
+hex_grid agg); TO_GEOPOINT / TO_GEOSHAPE for literal WKT —
 point COLUMNS are struct{lat,lon}, the engine's geo_point
 representation), ``TO_IP`` (dotted-quad → uint32 ordering key, so
 ip compares/sorts are numeric; malformed non-NULL raises — see
@@ -748,7 +751,8 @@ class _P:
                 "ST_CONTAINS/ST_WITHIN argument (a shape literal is "
                 "plan-time state, not a column)")
         if fn in ("ST_DISTANCE", "ST_INTERSECTS", "ST_CONTAINS",
-                  "ST_WITHIN", "ST_X", "ST_Y"):
+                  "ST_WITHIN", "ST_X", "ST_Y",
+                  "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"):
             return self._st_call(fn)
         if fn == "CIDR_MATCH":
             # ES|QL CIDR_MATCH(ip, "block", …) — the blocks are literal
@@ -848,6 +852,33 @@ class _P:
             e = self.expr()
             self.expect_op(")")
             return e.getField("lon" if fn == "ST_X" else "lat")
+        if fn in ("ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"):
+            # ES 8.16 spatial grid functions — the ES|QL bridge onto
+            # the SAME cell builders as the geohash_grid / geotile_grid
+            # / hex_grid bucket aggs (query_dsl.geohash_cell /
+            # geotile_cell / hex_cell — pure codegen bit math, one
+            # construction per grid so agg and function cannot drift).
+            # The key is the agg's STRING key (live ES returns a packed
+            # long plus *_TO_STRING converters — the string IS that
+            # rendering; documented divergence).  ST_GEOHEX is the
+            # engine's documented non-H3 axial hex extension, exactly
+            # like the hex_grid agg (live geohex is H3).  Precision is
+            # a literal (plan-time), range-checked by the builders.
+            from .query_dsl import geohash_cell, geotile_cell, hex_cell
+
+            e = self.expr()
+            self.expect_op(",")
+            pt = self.next()
+            if pt[0] != "num" or "." in pt[1]:
+                raise ValueError(
+                    f"ES|QL: {fn} precision must be an integer "
+                    f"literal{_at(pt)}")
+            self.expect_op(")")
+            lat, lon = e.getField("lat"), e.getField("lon")
+            build = {"ST_GEOHASH": geohash_cell,
+                     "ST_GEOTILE": geotile_cell,
+                     "ST_GEOHEX": hex_cell}[fn]
+            return build(lat, lon, int(pt[1]))
         a = self._geo_arg()
         self.expect_op(",")
         b = self._geo_arg()
@@ -1101,7 +1132,8 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
          "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "COUNT(*)",
          "MATCH", "QSTR", "TO_GEOPOINT", "TO_GEOSHAPE", "ST_DISTANCE",
-         "ST_INTERSECTS", "ST_CONTAINS", "ST_WITHIN", "ST_X", "ST_Y"]))
+         "ST_INTERSECTS", "ST_CONTAINS", "ST_WITHIN", "ST_X", "ST_Y",
+         "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"]))
     raise ValueError(
         f"ES|QL: unsupported function {fn} (supported: {supported})")
 

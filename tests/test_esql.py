@@ -969,6 +969,42 @@ class TestSpatial:
         assert "Filter" in plan and "Join" not in plan
         assert "pythonUDF" not in plan  # pure codegen trig/ray-cast
 
+    def test_grid_functions_match_agg_builders(self, spark):
+        """ST_GEOHASH/ST_GEOTILE/ST_GEOHEX compile the SAME cell
+        builders as the grid aggs — keys must be identical."""
+        from hive2es_offline_spark.plans.query_dsl import (
+            geohash_cell,
+            geotile_cell,
+            hex_cell,
+        )
+
+        pts = self._pts(spark)
+        rows = esql({"t": pts}, '''
+            FROM t | EVAL gh = ST_GEOHASH(loc, 2), gt = ST_GEOTILE(loc, 4),
+                          hx = ST_GEOHEX(loc, 2)
+            | KEEP id, gh, gt, hx | SORT id ASC
+        ''').collect()
+        want = pts.select(
+            "id",
+            geohash_cell(F.col("loc.lat"), F.col("loc.lon"), 2).alias("gh"),
+            geotile_cell(F.col("loc.lat"), F.col("loc.lon"), 4).alias("gt"),
+            hex_cell(F.col("loc.lat"), F.col("loc.lon"), 2).alias("hx"),
+        ).orderBy("id").collect()
+        assert [r.asDict() for r in rows] == [r.asDict() for r in want]
+        # sane key shapes
+        assert rows[0]["gt"].startswith("4/")
+        assert len(rows[0]["gh"]) == 2
+        assert rows[0]["hx"].startswith("2/")
+
+    def test_grid_rejects(self, spark):
+        cat = {"t": self._pts(spark)}
+        with pytest.raises(ValueError, match="integer literal"):
+            esql(cat, "FROM t | EVAL g = ST_GEOHASH(loc, 2.5)")
+        with pytest.raises(ValueError, match="geotile precision"):
+            esql(cat, "FROM t | EVAL g = ST_GEOTILE(loc, 99)")
+        with pytest.raises(ValueError, match="geohash precision"):
+            esql(cat, "FROM t | EVAL g = ST_GEOHASH(loc, 0)")
+
     def test_rejects(self, spark):
         cat = {"t": self._pts(spark)}
         with pytest.raises(ValueError, match="cannot contain"):
