@@ -4363,6 +4363,37 @@ def q_es_esql_grid(spark, sf_dir):
     ''')
 
 
+def q_es_esql_stats(spark, sf_dir):
+    """ES|QL STATS round-out (round 15): the ES 8.16 per-aggregate
+    ``WHERE`` (compiled as when(cond, arg) INSIDE the aggregate — the
+    FILTER(WHERE) rewrite, one groupBy, no extra pass), plus the
+    aggregate tail — ``WEIGHTED_AVG`` (decimal sums, one double
+    division), ``STD_DEV`` (population, decimal-routed sum-of-squares
+    identity), ``TOP(f, n, order)`` / ``VALUES`` (multivalues,
+    scalarized via MV_FIRST/MV_LAST/MV_COUNT so the result frame stays
+    hashable), and the LOG10 math tail on an aggregate output.  The
+    oracle replays every formula term-for-term (FILTER clauses,
+    ordered list indexing for TOP)."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"orders": _t(spark, sf_dir, "orders")}, '''
+        FROM orders
+        | EVAL w = o_custkey % 5 + 1
+        | STATS n = COUNT(*),
+                n_big = COUNT(*) WHERE o_totalprice > 150000,
+                s_big = SUM(o_totalprice) WHERE o_totalprice > 150000,
+                wavg = WEIGHTED_AVG(o_totalprice, w),
+                sd = STD_DEV(o_totalprice),
+                t3 = TOP(o_totalprice, 3, "desc"),
+                vals = VALUES(o_orderstatus)
+          BY o_orderpriority
+        | EVAL hi = MV_FIRST(t3), third = MV_LAST(t3),
+               n_status = MV_COUNT(vals), lg = ROUND(LOG10(s_big), 6)
+        | DROP t3, vals
+        | SORT o_orderpriority ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5506,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_retriever_rerank": q_es_retriever_rerank,
         "es_esql_rerank": q_es_esql_rerank,
         "es_esql_grid": q_es_esql_grid,
+        "es_esql_stats": q_es_esql_stats,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6946,6 +6978,48 @@ def _goldens_b() -> dict[str, str]:
             FROM matched m LEFT JOIN tot tt USING (doc_id)
             ORDER BY _score DESC, doc_id ASC
             LIMIT 15
+        """,
+        # es_esql_stats: per-aggregate WHERE as FILTER clauses, TOP via
+        # ordered list indexing, WEIGHTED_AVG/STD_DEV replaying the
+        # decimal-sum + single-double-division formulas term-for-term
+        "es_esql_stats": """
+            WITH o AS (
+              SELECT o_orderpriority, o_orderstatus, o_totalprice,
+                     o_custkey % 5 + 1 AS w
+              FROM orders
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE o_totalprice > 150000)
+                        AS BIGINT) AS n_big,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                          FILTER (WHERE o_totalprice > 150000)
+                        AS DOUBLE) AS s_big,
+                   round(CAST(sum(CAST(o_totalprice * w
+                                       AS DECIMAL(28,6))) AS DOUBLE)
+                         / CAST(sum(CAST(w AS DECIMAL(28,6)))
+                                AS DOUBLE), 6) AS wavg,
+                   round(sqrt(greatest(0.0,
+                     CAST(sum(CAST(o_totalprice * o_totalprice
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                       / count(o_totalprice)
+                     - pow(CAST(sum(CAST(o_totalprice
+                                         AS DECIMAL(28,6))) AS DOUBLE)
+                           / count(o_totalprice), 2))), 6) AS sd,
+                   (list(o_totalprice ORDER BY o_totalprice DESC))[1]
+                     AS hi,
+                   (list(o_totalprice ORDER BY o_totalprice DESC))[3]
+                     AS third,
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                     AS n_status,
+                   round(log10(CAST(sum(CAST(o_totalprice
+                                             AS DECIMAL(28,6)))
+                                      FILTER (WHERE o_totalprice
+                                              > 150000)
+                                    AS DOUBLE)), 6) AS lg
+            FROM o
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority ASC
         """,
         # es_esql_grid: the three grid-key replays are the SAME SQL
         # fragments as the es_geo_grid / es_hex_grid oracles (geotile

@@ -259,6 +259,9 @@ BENCH_QUERIES = [
     # the spatial grid scalar functions grouping a STATS (one
     # aggregation exchange, pure codegen bit math)
     "es_esql_grid",
+    # per-aggregate WHERE + the aggregate tail (WEIGHTED_AVG/STD_DEV/
+    # TOP/VALUES) in ONE groupBy
+    "es_esql_stats",
 ]
 
 

@@ -22,12 +22,23 @@ anti-silent policy):
 - ``WHERE <expr>``                codegen filter (pushdown-eligible)
 - ``EVAL name = <expr>, …``       sequential projections (later exprs
                                   may read earlier names, like ES|QL)
-- ``STATS name = AGG(…)[, …] [BY [name =] <expr>, …]``
+- ``STATS name = AGG(…) [WHERE cond][, …] [BY [name =] <expr>, …]``
                                   ONE groupBy; aggregate names are
                                   REQUIRED (ES|QL's default
                                   expression-text column names are not
                                   stable frame columns — documented
-                                  deviation, loud reject)
+                                  deviation, loud reject).  The ES 8.16
+                                  per-aggregate WHERE gates that
+                                  aggregate's rows only — compiled as
+                                  when(cond, arg) inside the aggregate
+                                  (the FILTER(WHERE) rewrite, no extra
+                                  pass).  Aggregates: COUNT COUNT(*)
+                                  COUNT_DISTINCT SUM AVG MIN MAX MEDIAN
+                                  PERCENTILE VALUES (distinct set,
+                                  SORTED — live leaves order
+                                  unspecified) TOP(f, n, "asc"|"desc")
+                                  WEIGHTED_AVG STD_DEV (population,
+                                  decimal-routed sum-of-squares)
 - ``SORT expr [ASC|DESC] [NULLS FIRST|NULLS LAST], …``
                                   default null ordering is ES|QL's
                                   (null sorts as the largest value:
@@ -122,7 +133,9 @@ hex_grid agg); TO_GEOPOINT / TO_GEOSHAPE for literal WKT —
 point COLUMNS are struct{lat,lon}, the engine's geo_point
 representation), ``TO_IP`` (dotted-quad → uint32 ordering key, so
 ip compares/sorts are numeric; malformed non-NULL raises — see
-``_to_ip``), plus the WHERE-only full-text functions
+``_to_ip``), the math tail (LOG LOG10 EXP SIN COS TAN ASIN ACOS ATAN
+ATAN2 SINH COSH TANH SIGNUM CBRT HYPOT TO_DEGREES TO_RADIANS PI E
+TAU), plus the WHERE-only full-text functions
 ``MATCH(field, "query")`` (the DSL analyzed-match clause) and
 ``QSTR("field:query …")`` (the Lucene query-string grammar; bare
 terms reject loudly — a flat frame has no index mapping to supply
@@ -487,7 +500,36 @@ class _P:
             # COUNT(*) parses here so '*' never reaches the expr grammar
             self.next()
             self.expect_op(")")
+            gate = getattr(self, "agg_where", None)
+            if gate is not None:  # per-aggregate WHERE (ES 8.16)
+                return F.count(F.when(gate, True))
             return F.count(F.lit(1))
+        if fn == "TOP":
+            # ES|QL TOP(field, limit, "asc"|"desc") aggregate — the
+            # top-N values as a multivalue; limit/order are literals
+            # (plan-time), the build is sort_array over collect_list +
+            # slice (reduce-phase sized per group, deterministic order)
+            arg = self.expr()
+            self.expect_op(",")
+            nt = self.next()
+            if nt[0] != "num" or "." in nt[1] or int(nt[1]) < 1:
+                raise ValueError(
+                    f"ES|QL: TOP limit must be a positive integer "
+                    f"literal{_at(nt)}")
+            self.expect_op(",")
+            ot = self.next()
+            if ot[0] != "str" or ot[1].lower() not in ("asc", "desc"):
+                raise ValueError(
+                    f"ES|QL: TOP order must be \"asc\" or \"desc\""
+                    f"{_at(ot)}")
+            self.expect_op(")")
+            gate = getattr(self, "agg_where", None)
+            if gate is not None:
+                arg = F.when(gate, arg)
+            return F.slice(
+                F.sort_array(F.collect_list(arg),
+                             asc=ot[1].lower() == "asc"),
+                1, int(nt[1]))
         if fn == "DATE_TRUNC":
             # ES|QL time-span first argument: DATE_TRUNC(1 day, ts)
             n = self.next()
@@ -802,7 +844,8 @@ class _P:
                 self.next()
                 args.append(self.expr())
         self.expect_op(")")
-        return _compile_fn(fn, args)
+        return _compile_fn(fn, args,
+                           agg_where=getattr(self, "agg_where", None))
 
     def _geo_arg(self):
         """One ST_* argument: ('shape', geojson-dict) for a plan-time
@@ -1046,6 +1089,32 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
     "MV_DEDUPE": lambda a: F.array_distinct(a[0]),
     "MV_FIRST": lambda a: F.get(a[0], 0),
     "MV_LAST": lambda a: F.get(a[0], F.array_size(a[0]) - 1),
+    # math tail (round 15): straight whole-stage-codegen trig/log —
+    # LOG follows ES|QL's argument order (LOG(base, value); one-arg =
+    # natural log), the zero-arg constants fold at plan time
+    # two-arg LOG(base, value) = ln(value)/ln(base) — F.log's two-arg
+    # form only takes a PYTHON float base, not a column expression
+    "LOG": lambda a: F.log(a[0]) if len(a) == 1 else F.log(a[1]) / F.log(a[0]),
+    "LOG10": lambda a: F.log10(a[0]),
+    "EXP": lambda a: F.exp(a[0]),
+    "SIN": lambda a: F.sin(a[0]),
+    "COS": lambda a: F.cos(a[0]),
+    "TAN": lambda a: F.tan(a[0]),
+    "ASIN": lambda a: F.asin(a[0]),
+    "ACOS": lambda a: F.acos(a[0]),
+    "ATAN": lambda a: F.atan(a[0]),
+    "ATAN2": lambda a: F.atan2(a[0], a[1]),
+    "SINH": lambda a: F.sinh(a[0]),
+    "COSH": lambda a: F.cosh(a[0]),
+    "TANH": lambda a: F.tanh(a[0]),
+    "SIGNUM": lambda a: F.signum(a[0]),
+    "CBRT": lambda a: F.cbrt(a[0]),
+    "HYPOT": lambda a: F.hypot(a[0], a[1]),
+    "TO_DEGREES": lambda a: F.degrees(a[0]),
+    "TO_RADIANS": lambda a: F.radians(a[0]),
+    "PI": lambda a: F.lit(3.141592653589793),
+    "E": lambda a: F.lit(2.718281828459045),
+    "TAU": lambda a: F.lit(6.283185307179586),
 }
 
 #: arity bounds for the whitelisted scalars (round-14 review: the bare
@@ -1066,6 +1135,12 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "TO_DATETIME": (1, 1), "MV_COUNT": (1, 1), "MV_MIN": (1, 1),
     "MV_MAX": (1, 1), "MV_SUM": (1, 1), "MV_AVG": (1, 1),
     "MV_DEDUPE": (1, 1), "MV_FIRST": (1, 1), "MV_LAST": (1, 1),
+    "LOG": (1, 2), "LOG10": (1, 1), "EXP": (1, 1), "SIN": (1, 1),
+    "COS": (1, 1), "TAN": (1, 1), "ASIN": (1, 1), "ACOS": (1, 1),
+    "ATAN": (1, 1), "ATAN2": (2, 2), "SINH": (1, 1), "COSH": (1, 1),
+    "TANH": (1, 1), "SIGNUM": (1, 1), "CBRT": (1, 1), "HYPOT": (2, 2),
+    "TO_DEGREES": (1, 1), "TO_RADIANS": (1, 1),
+    "PI": (0, 0), "E": (0, 0), "TAU": (0, 0),
 }
 
 #: aggregates (STATS context only)
@@ -1082,16 +1157,47 @@ _AGGS: dict[str, Callable[[list[Column]], Column]] = {
     # count_distinct would silently count (field, precision) TUPLES
     "COUNT_DISTINCT": lambda a: F.count_distinct(a[0]),
     "MEDIAN": lambda a: F.percentile(a[0], F.lit(0.5)),
+    # round-15 aggregate tail.  VALUES returns the distinct set SORTED
+    # (live ES|QL leaves the order unspecified — sorting is the
+    # deterministic choice, documented divergence).  WEIGHTED_AVG and
+    # STD_DEV are decimal-routed so the result is order-independent:
+    # exact decimal sums, double math only at the very end (STD_DEV is
+    # the population form, like ES|QL, via the sum-of-squares identity
+    # on per-row 6dp-quantized decimals — replayable in ANSI SQL).
+    "VALUES": lambda a: F.sort_array(F.collect_set(a[0])),
+    # the denominator gates the weight on the VALUE being non-null —
+    # a NULL-value row must not count its weight (ES skips the row)
+    # exact decimal sums, then ONE double division (the AVG oracle
+    # form — engine-neutral IEEE, no decimal-division scale rules)
+    "WEIGHTED_AVG": lambda a: F.round(
+        F.sum((a[0] * a[1]).cast("decimal(28,6)")).cast("double")
+        / F.sum(F.when(a[0].isNotNull(), a[1])
+                .cast("decimal(28,6)")).cast("double"), 6),
+    "STD_DEV": lambda a: F.round(F.sqrt(F.greatest(F.lit(0.0), (
+        F.sum((a[0] * a[0]).cast("decimal(28,6)")).cast("double")
+        / F.count(a[0])
+        - F.pow(F.sum(a[0].cast("decimal(28,6)")).cast("double")
+                / F.count(a[0]), 2)))), 6),
 }
 
 #: (min, max) arities for the STATS aggregates
 _AGG_ARITY: dict[str, tuple[int, int | None]] = {
     "COUNT": (1, 1), "SUM": (1, 1), "AVG": (1, 1), "MIN": (1, 1),
     "MAX": (1, 1), "COUNT_DISTINCT": (1, 2), "MEDIAN": (1, 1),
+    "VALUES": (1, 1), "WEIGHTED_AVG": (2, 2), "STD_DEV": (1, 1),
 }
 
 
-def _compile_fn(fn: str, args: list[Column]) -> Column:
+def _compile_fn(fn: str, args: list[Column],
+                agg_where: "Column | None" = None) -> Column:
+    if agg_where is not None and (fn in _AGGS or fn == "PERCENTILE"):
+        # per-aggregate WHERE (ES 8.16): gate the VALUE argument —
+        # every aggregate here skips NULLs, so when(cond, arg) is
+        # exactly FILTER(WHERE cond); trailing args (percentile p,
+        # COUNT_DISTINCT's accepted-unused precision, the weight) stay
+        # ungated — WEIGHTED_AVG's denominator already gates the
+        # weight on the (now-gated) value being non-null
+        args = [F.when(agg_where, args[0]), *args[1:]]
     if fn == "CASE":
         # CASE(cond1, val1[, cond2, val2…][, default])
         if len(args) < 2:
@@ -1130,7 +1236,7 @@ def _compile_fn(fn: str, args: list[Column]) -> Column:
     supported = " ".join(sorted(
         [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
-         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "COUNT(*)",
+         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "COUNT(*)", "TOP",
          "MATCH", "QSTR", "TO_GEOPOINT", "TO_GEOSHAPE", "ST_DISTANCE",
          "ST_INTERSECTS", "ST_CONTAINS", "ST_WITHIN", "ST_X", "ST_Y",
          "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"]))
@@ -1247,7 +1353,43 @@ def _stage_stats(df: DataFrame, p: _P) -> DataFrame:
                 "(name = AGG(...)) — ES|QL's expression-text default "
                 "names are not stable frame columns")
         ap.expect_op("=")
-        aggs.append((t[1], ap.expr()))
+        # collect this aggregate's token span (to the next top-level
+        # comma) and split a trailing top-level WHERE off it — the
+        # ES 8.16 per-aggregate filter: the condition gates THIS
+        # aggregate's input rows only, compiled as when(cond, arg)
+        # inside the aggregate (one groupBy, no extra pass — the
+        # FILTER(WHERE) rewrite every SQL engine does)
+        span: list = []
+        depth = 0
+        while not ap.done():
+            nt = ap.peek()
+            if nt == ("op", "("):
+                depth += 1
+            elif nt == ("op", ")"):
+                depth -= 1
+            elif depth == 0 and nt == ("op", ","):
+                break
+            span.append(ap.next())
+        w_i = next((i for i, st in enumerate(span)
+                    if st[0] == "id" and st[1].upper() == "WHERE"
+                    and _depth_at(span, i) == 0), None)
+        if w_i is not None:
+            cp = _P(span[w_i + 1:])
+            cond = cp.expr()
+            if not cp.done():
+                raise ValueError(
+                    "ES|QL: trailing tokens after the aggregate's "
+                    f"WHERE: {cp.peek()[1]!r}{_at(cp.peek())}")
+            sub = _P(span[:w_i])
+            sub.agg_where = cond
+        else:
+            sub = _P(span)
+        e = sub.expr()
+        if not sub.done():
+            raise ValueError(
+                f"ES|QL: trailing tokens in aggregate {t[1]!r}: "
+                f"{sub.peek()[1]!r}{_at(sub.peek())}")
+        aggs.append((t[1], e))
         if ap.peek() == ("op", ","):
             ap.next()
     if not aggs:
@@ -1258,6 +1400,17 @@ def _stage_stats(df: DataFrame, p: _P) -> DataFrame:
     if keys:
         return df.groupBy(*keys).agg(*exprs)
     return df.agg(*exprs)
+
+
+def _depth_at(toks: list, i: int) -> int:
+    """Paren depth of position ``i`` within a token span."""
+    d = 0
+    for t in toks[:i]:
+        if t == ("op", "("):
+            d += 1
+        elif t == ("op", ")"):
+            d -= 1
+    return d
 
 
 def _parse_by_keys(p: _P, by_i: int | None) -> list[tuple[str, Column | None]]:

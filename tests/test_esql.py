@@ -1076,6 +1076,78 @@ class TestToIp:
             out.collect()
 
 
+class TestStatsRoundOut:
+    """Round 15: per-aggregate WHERE (ES 8.16), VALUES/TOP/
+    WEIGHTED_AVG/STD_DEV aggregates, and the math scalar tail."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0, 1), (2, "a", 20.0, 2), (3, "b", 30.0, 1),
+             (4, "b", 40.0, 3), (5, "a", 50.0, 2), (6, "b", None, 1)],
+            "id long, cat string, v double, w int")
+
+    def test_per_aggregate_where(self, spark):
+        r = esql({"t": self._frame(spark)}, '''
+            FROM t | STATS n = COUNT(*), n_hi = COUNT(*) WHERE v >= 30,
+                           s_hi = SUM(v) WHERE v >= 30,
+                           d_hi = COUNT_DISTINCT(cat) WHERE v >= 40
+        ''').first()
+        assert (r["n"], r["n_hi"], r["s_hi"], r["d_hi"]) == (6, 3, 120.0, 2)
+
+    def test_per_aggregate_where_with_by(self, spark):
+        rows = esql({"t": self._frame(spark)}, '''
+            FROM t | STATS s = SUM(v) WHERE w == 1 BY cat | SORT cat ASC
+        ''').collect()
+        assert [(r["cat"], r["s"]) for r in rows] == [("a", 10.0), ("b", 30.0)]
+
+    def test_new_aggregates(self, spark):
+        import math
+
+        r = esql({"t": self._frame(spark)}, '''
+            FROM t
+            | STATS wavg = WEIGHTED_AVG(v, w), sd = STD_DEV(v),
+                    vals = VALUES(cat), t2 = TOP(v, 2, "desc"),
+                    b2 = TOP(v, 2, "asc")
+        ''').first()
+        # NULL-v row 6 contributes NEITHER numerator nor weight
+        assert r["wavg"] == round((10 + 40 + 30 + 120 + 100) / 9, 6)
+        vs = [10.0, 20.0, 30.0, 40.0, 50.0]
+        mean = sum(vs) / 5
+        assert r["sd"] == round(math.sqrt(sum(x * x for x in vs) / 5
+                                          - mean ** 2), 6)
+        assert r["vals"] == ["a", "b"]
+        assert r["t2"] == [50.0, 40.0] and r["b2"] == [10.0, 20.0]
+
+    def test_math_scalars(self, spark):
+        import math
+
+        r = esql({"t": self._frame(spark)}, '''
+            FROM t | WHERE id == 4
+            | EVAL l = LOG(v), l2 = LOG(2, v), lg = LOG10(v),
+                   deg = TO_DEGREES(PI()), atn = ATAN2(1.0, 1.0),
+                   sg = SIGNUM(0.0 - v), hy = HYPOT(3.0, 4.0)
+            | KEEP l, l2, lg, deg, atn, sg, hy
+        ''').first()
+        assert abs(r["l"] - math.log(40.0)) < 1e-12
+        assert abs(r["l2"] - math.log2(40.0)) < 1e-12
+        assert abs(r["lg"] - math.log10(40.0)) < 1e-12
+        assert r["deg"] == 180.0 and r["sg"] == -1.0 and r["hy"] == 5.0
+        assert abs(r["atn"] - math.pi / 4) < 1e-12
+
+    def test_rejects(self, spark):
+        cat = {"t": self._frame(spark)}
+        with pytest.raises(ValueError, match="positive integer"):
+            esql(cat, 'FROM t | STATS x = TOP(v, 0, "desc")')
+        with pytest.raises(ValueError, match='"asc" or "desc"'):
+            esql(cat, 'FROM t | STATS x = TOP(v, 2, "up")')
+        with pytest.raises(ValueError, match="takes"):
+            esql(cat, "FROM t | STATS x = WEIGHTED_AVG(v)")
+        with pytest.raises(ValueError, match="trailing tokens after the"):
+            esql(cat, "FROM t | STATS x = SUM(v) WHERE v > 1 v")
+        with pytest.raises(ValueError, match="takes 0"):
+            esql(cat, "FROM t | EVAL p = PI(v)")
+
+
 class TestRerankCommand:
     """ES|QL 9.x RERANK (round 15): deterministic scorer-backed subset
     sharing the text_similarity_reranker registry + sigmoid contract."""
