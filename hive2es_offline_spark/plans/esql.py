@@ -123,7 +123,7 @@ ENDS_WITH COALESCE GREATEST LEAST TO_STRING TO_LONG TO_INT TO_DOUBLE
 TO_BOOLEAN TO_DATETIME REPLACE REVERSE LEFT RIGHT SPLIT LOCATE
 CIDR_MATCH DATE_TRUNC DATE_FORMAT DATE_DIFF DATE_EXTRACT BUCKET
 CATEGORIZE MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG MV_DEDUPE MV_SORT
-MV_FIRST MV_LAST), the spatial functions (ST_DISTANCE = the DSL's
+MV_FIRST MV_LAST MV_APPEND MV_SLICE MV_MEDIAN MV_ZIP MV_CONCAT), the spatial functions (ST_DISTANCE = the DSL's
 haversine on Lucene's earth radius; ST_INTERSECTS / ST_CONTAINS /
 ST_WITHIN = point-vs-WKT-shape through the geo_shape relation
 compiler; ST_X / ST_Y; ST_GEOHASH / ST_GEOTILE / ST_GEOHEX = the
@@ -679,6 +679,18 @@ class _P:
                 asc = t[1].upper() == "ASC"
             self.expect_op(")")
             return F.sort_array(arg, asc)
+        if fn == "MV_CONCAT":
+            # MV_CONCAT(string_mv, delim) — the delimiter is a literal
+            # (F.array_join takes a Python string)
+            arg = self.expr()
+            self.expect_op(",")
+            t = self.next()
+            if t[0] != "str":
+                raise ValueError(
+                    f"ES|QL: MV_CONCAT delimiter must be a literal "
+                    f"string{_at(t)}")
+            self.expect_op(")")
+            return F.array_join(arg, t[1])
         if fn == "SPLIT":
             # ES|QL SPLIT(str, delim) splits on the LITERAL delimiter
             # (not a regex) — the literal requirement lets the compiler
@@ -983,6 +995,34 @@ def _decimal_sum(c: Column) -> Column:
     return F.sum(c.cast("decimal(28,6)")).cast("double")
 
 
+def _mv_slice(v: Column, start: Column, end: Column) -> Column:
+    """ES|QL MV_SLICE semantics on F.slice's 1-based (start, length)
+    API: normalize negative indices against the size, clamp into
+    range, and an inverted window yields the empty array."""
+    n = F.array_size(v)
+    lo = F.when(start >= 0, start).otherwise(n + start)
+    hi = F.when(end >= 0, end).otherwise(n + end)
+    lo = F.greatest(lo, F.lit(0))
+    hi = F.least(hi, n - 1)
+    return F.when(
+        v.isNotNull(),
+        F.slice(v, (lo + 1).cast("int"),
+                F.greatest(hi - lo + 1, F.lit(0)).cast("int")))
+
+
+def _mv_median(v: Column) -> Column:
+    """Median of a multivalue: sorted array, middle element, or the
+    average of the two middles on even cardinality (double)."""
+    s = F.sort_array(v)
+    n = F.array_size(v)
+    mid = (n / 2).cast("int")
+    return F.when(
+        n > 0,
+        F.when(n % 2 == 1, F.get(s, mid).cast("double"))
+        .otherwise((F.get(s, mid - 1).cast("double")
+                    + F.get(s, mid).cast("double")) / 2))
+
+
 def _to_ip(c: Column) -> Column:
     """ES|QL ``TO_IP`` (round 15, VERDICT r14 #4): dotted-quad string →
     uint32 long, the engine's ip ordering key (functions/ip.py — the
@@ -1089,6 +1129,22 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
     "MV_DEDUPE": lambda a: F.array_distinct(a[0]),
     "MV_FIRST": lambda a: F.get(a[0], 0),
     "MV_LAST": lambda a: F.get(a[0], F.array_size(a[0]) - 1),
+    # multivalue round-out (round 15) — still all codegen higher-order
+    # functions.  MV_SLICE is ES|QL's 0-based INCLUSIVE [start, end]
+    # with negatives counting from the end; out-of-range clamps to an
+    # empty/short result like live ES, never an error.  MV_APPEND
+    # concatenates; MV_MEDIAN averages the two middle values on even
+    # cardinality (double result, like ES on non-integer fields).
+    # MV_ZIP pairs elements with the delimiter (default ","), keeping
+    # the longer side's tail verbatim — live ES's behavior.
+    "MV_APPEND": lambda a: F.concat(a[0], a[1]),
+    "MV_SLICE": lambda a: _mv_slice(a[0], a[1],
+                                    a[2] if len(a) == 3 else a[1]),
+    "MV_MEDIAN": lambda a: _mv_median(a[0]),
+    "MV_ZIP": lambda a: F.zip_with(
+        a[0], a[1],
+        lambda x, y: F.when(x.isNull(), y).when(y.isNull(), x)
+        .otherwise(F.concat(x, a[2] if len(a) == 3 else F.lit(","), y))),
     # math tail (round 15): straight whole-stage-codegen trig/log —
     # LOG follows ES|QL's argument order (LOG(base, value); one-arg =
     # natural log), the zero-arg constants fold at plan time
@@ -1135,6 +1191,8 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "TO_DATETIME": (1, 1), "MV_COUNT": (1, 1), "MV_MIN": (1, 1),
     "MV_MAX": (1, 1), "MV_SUM": (1, 1), "MV_AVG": (1, 1),
     "MV_DEDUPE": (1, 1), "MV_FIRST": (1, 1), "MV_LAST": (1, 1),
+    "MV_APPEND": (2, 2), "MV_SLICE": (2, 3), "MV_MEDIAN": (1, 1),
+    "MV_ZIP": (2, 3),
     "LOG": (1, 2), "LOG10": (1, 1), "EXP": (1, 1), "SIN": (1, 1),
     "COS": (1, 1), "TAN": (1, 1), "ASIN": (1, 1), "ACOS": (1, 1),
     "ATAN": (1, 1), "ATAN2": (2, 2), "SINH": (1, 1), "COSH": (1, 1),
@@ -1236,7 +1294,7 @@ def _compile_fn(fn: str, args: list[Column],
     supported = " ".join(sorted(
         [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
-         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "COUNT(*)", "TOP",
+         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "MV_CONCAT", "COUNT(*)", "TOP",
          "MATCH", "QSTR", "TO_GEOPOINT", "TO_GEOSHAPE", "ST_DISTANCE",
          "ST_INTERSECTS", "ST_CONTAINS", "ST_WITHIN", "ST_X", "ST_Y",
          "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"]))

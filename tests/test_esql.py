@@ -1148,6 +1148,49 @@ class TestStatsRoundOut:
             esql(cat, "FROM t | EVAL p = PI(v)")
 
 
+class TestMvRoundOut:
+    """Round 15: MV_SLICE/MV_APPEND/MV_CONCAT/MV_MEDIAN/MV_ZIP."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, [3.0, 1.0, 2.0, 4.0], ["a", "b"], ["x", "y", "z"]),
+             (2, None, None, ["q"])],
+            "id long, v array<double>, s1 array<string>, s2 array<string>")
+
+    def test_slice_median_zip_concat(self, spark):
+        r = esql({"t": self._frame(spark)}, '''
+            FROM t | WHERE id == 1
+            | EVAL sl = MV_SLICE(v, 1, 2), one = MV_SLICE(v, -2),
+                   emp = MV_SLICE(v, 3, 1), app = MV_APPEND(s1, s2),
+                   med = MV_MEDIAN(v), medo = MV_MEDIAN(MV_SLICE(v, 0, 2)),
+                   z = MV_ZIP(s1, s2), zd = MV_ZIP(s1, s2, "-"),
+                   c = MV_CONCAT(s1, "|")
+        ''').first()
+        assert r["sl"] == [1.0, 2.0]          # 0-based INCLUSIVE
+        assert r["one"] == [2.0]              # negative from the end
+        assert r["emp"] == []                 # inverted window -> empty
+        assert r["app"] == ["a", "b", "x", "y", "z"]
+        assert r["med"] == 2.5                # even: mean of middles
+        assert r["medo"] == 2.0               # odd: middle of {1,2,3}
+        assert r["z"] == ["a,x", "b,y", "z"]  # longer tail verbatim
+        assert r["zd"] == ["a-x", "b-y", "z"]
+        assert r["c"] == "a|b"
+
+    def test_null_propagation(self, spark):
+        r = esql({"t": self._frame(spark)}, '''
+            FROM t | WHERE id == 2
+            | EVAL sl = MV_SLICE(v, 0), med = MV_MEDIAN(v)
+        ''').first()
+        assert r["sl"] is None and r["med"] is None
+
+    def test_rejects(self, spark):
+        cat = {"t": self._frame(spark)}
+        with pytest.raises(ValueError, match="MV_CONCAT delimiter"):
+            esql(cat, "FROM t | EVAL c = MV_CONCAT(s1, s2)")
+        with pytest.raises(ValueError, match="MV_SLICE takes"):
+            esql(cat, "FROM t | EVAL c = MV_SLICE(v)")
+
+
 class TestRerankCommand:
     """ES|QL 9.x RERANK (round 15): deterministic scorer-backed subset
     sharing the text_similarity_reranker registry + sigmoid contract."""
