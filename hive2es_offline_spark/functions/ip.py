@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "is_ip_literal", "is_cidr_literal", "cidr_bounds", "ip_to_long",
-    "ip_to_long_sql", "ip_literal_value",
+    "ip_to_long_sql", "ip_literal_value", "ip_from_long",
+    "ip_from_long_sql",
 ]
 
 _IP_RE = re.compile(r"^\d{1,3}(?:\.\d{1,3}){3}$")
@@ -92,6 +93,31 @@ def ip_to_long(c: Column) -> Column:
         + F.element_at(four, 2).try_cast("bigint") * F.lit(65536)
         + F.element_at(four, 3).try_cast("bigint") * F.lit(256)
         + F.element_at(four, 4).try_cast("bigint")
+    )
+
+
+def ip_from_long(c: Column) -> Column:
+    """uint32 BIGINT → dotted-quad string — the render twin of
+    :func:`ip_to_long` (pure codegen shifts; NULL propagates through
+    concat_ws' typed casts via the shiftrightunsigned/NULL arithmetic).
+    Callers guarantee the value is within [0, 2^32) — the ES|QL
+    IP_PREFIX masks before rendering."""
+    return F.concat_ws(
+        ".",
+        F.shiftrightunsigned(c, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftrightunsigned(c, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftrightunsigned(c, 8).bitwiseAND(F.lit(255)).cast("string"),
+        c.bitwiseAND(F.lit(255)).cast("string"),
+    )
+
+
+def ip_from_long_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ip_from_long` for oracle SQL."""
+    return (
+        f"(CAST(({expr} >> 24) & 255 AS VARCHAR) || '.' || "
+        f"CAST(({expr} >> 16) & 255 AS VARCHAR) || '.' || "
+        f"CAST(({expr} >> 8) & 255 AS VARCHAR) || '.' || "
+        f"CAST({expr} & 255 AS VARCHAR))"
     )
 
 

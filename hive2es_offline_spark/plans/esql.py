@@ -133,9 +133,12 @@ hex_grid agg); TO_GEOPOINT / TO_GEOSHAPE for literal WKT —
 point COLUMNS are struct{lat,lon}, the engine's geo_point
 representation), ``TO_IP`` (dotted-quad → uint32 ordering key, so
 ip compares/sorts are numeric; malformed non-NULL raises — see
-``_to_ip``), the math tail (LOG LOG10 EXP SIN COS TAN ASIN ACOS ATAN
-ATAN2 SINH COSH TANH SIGNUM CBRT HYPOT TO_DEGREES TO_RADIANS PI E
-TAU), plus the WHERE-only full-text functions
+``_to_ip``), ``IP_PREFIX`` (mask + render through the same guarded
+parse), ``DATE_PARSE`` (literal pattern; malformed throws under ANSI),
+the hash digests (MD5 SHA1 SHA256), the math tail (LOG LOG10 EXP SIN
+COS TAN ASIN ACOS ATAN ATAN2 SINH COSH TANH SIGNUM CBRT HYPOT
+TO_DEGREES TO_RADIANS PI E TAU), plus the WHERE-only full-text
+functions
 ``MATCH(field, "query")`` (the DSL analyzed-match clause) and
 ``QSTR("field:query …")`` (the Lucene query-string grammar; bare
 terms reject loudly — a flat frame has no index mapping to supply
@@ -679,6 +682,49 @@ class _P:
                 asc = t[1].upper() == "ASC"
             self.expect_op(")")
             return F.sort_array(arg, asc)
+        if fn == "DATE_PARSE":
+            # ES|QL DATE_PARSE(pattern, string) — the pattern is a
+            # literal (Spark's to_timestamp takes a Python format
+            # string).  Malformed values THROW under ANSI (the
+            # engine's anti-silent contract; live ES nulls them with a
+            # warning header a flat frame cannot carry).
+            t = self.next()
+            if t[0] != "str":
+                raise ValueError(
+                    f"ES|QL: DATE_PARSE needs a literal pattern first"
+                    f"{_at(t)}")
+            self.expect_op(",")
+            arg = self.expr()
+            self.expect_op(")")
+            return F.to_timestamp(arg, t[1])
+        if fn == "IP_PREFIX":
+            # ES|QL IP_PREFIX(ip, v4_len, v6_len): mask to the network
+            # prefix and render — uint32 math through the SAME guarded
+            # parse as TO_IP, rendered back by functions/ip.ip_from_long
+            # (the render twin).  v6_len is accepted for signature
+            # parity and validated, but IPv6 DATA rejects loudly like
+            # everywhere else in the engine (functions/ip.py module
+            # contract).
+            from ..functions.ip import ip_from_long
+
+            arg = self.expr()
+            self.expect_op(",")
+            v4t = self.next()
+            if v4t[0] != "num" or "." in v4t[1] \
+                    or not 0 <= int(v4t[1]) <= 32:
+                raise ValueError(
+                    f"ES|QL: IP_PREFIX v4 length must be an integer "
+                    f"literal in [0, 32]{_at(v4t)}")
+            self.expect_op(",")
+            v6t = self.next()
+            if v6t[0] != "num" or "." in v6t[1] \
+                    or not 0 <= int(v6t[1]) <= 128:
+                raise ValueError(
+                    f"ES|QL: IP_PREFIX v6 length must be an integer "
+                    f"literal in [0, 128]{_at(v6t)}")
+            self.expect_op(")")
+            mask = 0xFFFFFFFF ^ ((1 << (32 - int(v4t[1]))) - 1)
+            return ip_from_long(_to_ip(arg).bitwiseAND(F.lit(mask)))
         if fn == "MV_CONCAT":
             # MV_CONCAT(string_mv, delim) — the delimiter is a literal
             # (F.array_join takes a Python string)
@@ -1097,6 +1143,10 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
         F.substring(a[0], -a[1].cast("int"), a[1])),
     "TO_BOOLEAN": lambda a: a[0].cast("boolean"),
     "TO_IP": lambda a: _to_ip(a[0]),
+    # hash functions (ES|QL 8.12+): hex-string digests, pure codegen
+    "MD5": lambda a: F.md5(a[0]),
+    "SHA1": lambda a: F.sha1(a[0]),
+    "SHA256": lambda a: F.sha2(a[0], 256),
     # ES|QL TO_DATETIME reads numerics as MILLISECONDS since epoch
     # (round-14 review: Spark's timestamp cast reads seconds — a
     # silent 1000x); digit-only operands route through
@@ -1187,7 +1237,7 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "TO_LONG": (1, 1), "TO_INT": (1, 1), "TO_DOUBLE": (1, 1),
     "SUBSTRING": (2, 3), "REPLACE": (3, 3), "REVERSE": (1, 1),
     "LEFT": (2, 2), "RIGHT": (2, 2), "TO_BOOLEAN": (1, 1),
-    "TO_IP": (1, 1),
+    "TO_IP": (1, 1), "MD5": (1, 1), "SHA1": (1, 1), "SHA256": (1, 1),
     "TO_DATETIME": (1, 1), "MV_COUNT": (1, 1), "MV_MIN": (1, 1),
     "MV_MAX": (1, 1), "MV_SUM": (1, 1), "MV_AVG": (1, 1),
     "MV_DEDUPE": (1, 1), "MV_FIRST": (1, 1), "MV_LAST": (1, 1),
@@ -1294,7 +1344,8 @@ def _compile_fn(fn: str, args: list[Column],
     supported = " ".join(sorted(
         [*_FNS, *_AGGS, "CASE", "PERCENTILE", "DATE_TRUNC", "BUCKET",
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
-         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "MV_CONCAT", "COUNT(*)", "TOP",
+         "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "MV_CONCAT",
+         "COUNT(*)", "TOP", "DATE_PARSE", "IP_PREFIX",
          "MATCH", "QSTR", "TO_GEOPOINT", "TO_GEOSHAPE", "ST_DISTANCE",
          "ST_INTERSECTS", "ST_CONTAINS", "ST_WITHIN", "ST_X", "ST_Y",
          "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"]))

@@ -1191,6 +1191,62 @@ class TestMvRoundOut:
             esql(cat, "FROM t | EVAL c = MV_SLICE(v)")
 
 
+class TestParseHashIpPrefix:
+    """Round 15 second batch: DATE_PARSE, MD5/SHA1/SHA256, IP_PREFIX."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, "2024-03-05 10:30:00", "abc", "10.1.200.77"),
+             (2, "2025-12-31 23:59:59", "xyz", "192.168.31.9")],
+            "id long, ts string, s string, ip string")
+
+    def test_date_parse(self, spark):
+        rows = esql({"t": self._frame(spark)}, '''
+            FROM t | EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm:ss", ts),
+                          day = DATE_FORMAT("yyyy-MM-dd", d)
+            | KEEP id, day | SORT id ASC
+        ''').collect()
+        assert [r["day"] for r in rows] == ["2024-03-05", "2025-12-31"]
+        bad = esql({"t": self._frame(spark)},
+                   'FROM t | EVAL d = DATE_PARSE("yyyy-MM-dd", s)')
+        with pytest.raises(Exception):
+            bad.collect()  # malformed throws under ANSI, never NULLs
+
+    def test_hashes(self, spark):
+        import hashlib
+
+        r = esql({"t": self._frame(spark)}, '''
+            FROM t | WHERE id == 1
+            | EVAL m = MD5(s), s1 = SHA1(s), s2 = SHA256(s)
+        ''').first()
+        assert r["m"] == hashlib.md5(b"abc").hexdigest()
+        assert r["s1"] == hashlib.sha1(b"abc").hexdigest()
+        assert r["s2"] == hashlib.sha256(b"abc").hexdigest()
+
+    def test_ip_prefix(self, spark):
+        rows = esql({"t": self._frame(spark)}, '''
+            FROM t | EVAL net = IP_PREFIX(ip, 24, 128),
+                          wide = IP_PREFIX(ip, 12, 128)
+            | KEEP id, net, wide | SORT id ASC
+        ''').collect()
+        assert [(r["net"], r["wide"]) for r in rows] == [
+            ("10.1.200.0", "10.0.0.0"), ("192.168.31.0", "192.160.0.0")]
+
+    def test_rejects(self, spark):
+        cat = {"t": self._frame(spark)}
+        with pytest.raises(ValueError, match="literal pattern"):
+            esql(cat, "FROM t | EVAL d = DATE_PARSE(ts, ts)")
+        with pytest.raises(ValueError, match=r"v4 length"):
+            esql(cat, 'FROM t | EVAL n = IP_PREFIX(ip, 33, 128)')
+        with pytest.raises(ValueError, match=r"v6 length"):
+            esql(cat, 'FROM t | EVAL n = IP_PREFIX(ip, 24, 200)')
+        out = esql({"t": spark.createDataFrame([(1, "::1")],
+                                               "id long, ip string")},
+                   "FROM t | EVAL n = IP_PREFIX(ip, 24, 64)")
+        with pytest.raises(Exception, match="TO_IP cannot parse"):
+            out.collect()  # IPv6 data rejects loudly, like TO_IP
+
+
 class TestRerankCommand:
     """ES|QL 9.x RERANK (round 15): deterministic scorer-backed subset
     sharing the text_similarity_reranker registry + sigmoid contract."""
