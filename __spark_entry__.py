@@ -4394,6 +4394,40 @@ def q_es_esql_stats(spark, sf_dir):
     ''')
 
 
+def q_es_esql_fn(spark, sf_dir):
+    """ES|QL scalar-function batch (round 15 second wave): IP_PREFIX
+    (mask + render through the shared guarded uint32 parse and the
+    functions/ip.ip_from_long render twin), DATE_PARSE (literal
+    pattern, ANSI-loud on malformed) round-tripping a DATE_FORMAT
+    rendering, and the MD5 digest feeding a COUNT_DISTINCT — one
+    pushdown-eligible filter + one aggregation exchange.  The oracle
+    replays via ip_from_long_sql, strptime/strftime, and DuckDB's
+    md5."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    logs = o.select(
+        "o_orderkey", "o_orderdate",
+        F.concat_ws(
+            ".",
+            (F.lit(10) + k % 5).cast("string"),
+            ((k * 7) % 256).cast("string"),
+            ((k * 13) % 256).cast("string"),
+            (k % 256).cast("string"),
+        ).alias("ip"),
+    )
+    return esql({"logs": logs}, '''
+        FROM logs
+        | EVAL net = IP_PREFIX(ip, 12, 128),
+               mon = DATE_PARSE("yyyy-MM", DATE_FORMAT("yyyy-MM", o_orderdate)),
+               h = MD5(ip)
+        | WHERE mon >= TO_DATETIME("1996-01-01")
+        | STATS n = COUNT(*), uniq = COUNT_DISTINCT(h) BY net
+        | SORT net ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5538,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_rerank": q_es_esql_rerank,
         "es_esql_grid": q_es_esql_grid,
         "es_esql_stats": q_es_esql_stats,
+        "es_esql_fn": q_es_esql_fn,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6456,6 +6491,12 @@ def _goldens_b() -> dict[str, str]:
 
     _eq_ipn = _ipsql("ip")
     _eq_c1, _eq_c2 = _cidrb("11.0.0.0/8"), _cidrb("13.128.0.0/9")
+    from hive2es_offline_spark.functions.ip import (
+        ip_from_long_sql as _iprsql,
+    )
+
+    # es_esql_fn: /12 mask = clear the low 20 bits, rendered back
+    _eq_net = _iprsql(f"({_eq_ipn} & {0xFFFFFFFF ^ ((1 << 20) - 1)})")
 
     # es_search_as_you_type: the per-subfield query shingles and the
     # document shingle lists both come from plans/analysis.py (one
@@ -7089,6 +7130,31 @@ def _goldens_b() -> dict[str, str]:
             GROUP BY tile
             ORDER BY n DESC, tile ASC
             LIMIT 12
+        """,
+        # es_esql_fn: IP_PREFIX via the ip_from_long_sql render twin,
+        # DATE_PARSE/DATE_FORMAT via strptime/strftime, MD5 native
+        "es_esql_fn": f"""
+            WITH l AS (
+              SELECT o_orderdate,
+                     CAST(10 + o_orderkey % 5 AS VARCHAR) || '.' ||
+                     CAST((o_orderkey * 7) % 256 AS VARCHAR) || '.' ||
+                     CAST((o_orderkey * 13) % 256 AS VARCHAR) || '.' ||
+                     CAST(o_orderkey % 256 AS VARCHAR) AS ip
+              FROM orders
+            ), k AS (
+              SELECT {_eq_net} AS net,
+                     strptime(strftime(o_orderdate, '%Y-%m'), '%Y-%m')
+                       AS mon,
+                     md5(ip) AS h
+              FROM l
+            )
+            SELECT net,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT h) AS BIGINT) AS uniq
+            FROM k
+            WHERE mon >= TIMESTAMP '1996-01-01'
+            GROUP BY net
+            ORDER BY net ASC
         """,
         # es_esql_ip: numeric ip range + CIDR gates replayed with the
         # shared uint32 parse and plan-time CIDR bounds

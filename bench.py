@@ -262,6 +262,9 @@ BENCH_QUERIES = [
     # per-aggregate WHERE + the aggregate tail (WEIGHTED_AVG/STD_DEV/
     # TOP/VALUES) in ONE groupBy
     "es_esql_stats",
+    # IP_PREFIX mask+render, DATE_PARSE round-trip, MD5 digest in one
+    # filter + aggregation
+    "es_esql_fn",
 ]
 
 
