@@ -1655,6 +1655,16 @@ def es_retriever_search(
                 raise ValueError(
                     f"rank_window_size ({child_window}) must be >= the "
                     f"consuming window ({window})")
+            if child_window > 10_000:
+                # the window ids are COLLECTED to push the text-fetch
+                # In filter, so the window must stay bounded — live ES
+                # enforces the same ceiling (index.max_result_window,
+                # default 10000) on rank_window_size
+                raise ValueError(
+                    f"rank_window_size ({child_window}) exceeds 10000 "
+                    "(the index.max_result_window ceiling live ES "
+                    "applies; the rerank window is collected driver-"
+                    "side to push the text-fetch filter)")
             child = ranked(rbody["retriever"], child_window)
             m_an = model.get("analyzer")
             qtoks = _analyze_terms(str(rbody["inference_text"]), m_an)

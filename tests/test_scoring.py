@@ -1378,6 +1378,10 @@ class TestTextSimilarityReranker:
             es_retriever_search(
                 docs, self._body(rank_window_size=2), id_field="doc_id",
                 rerank_models=self.MODELS)
+        with pytest.raises(ValueError, match="exceeds 10000"):
+            es_retriever_search(
+                docs, self._body(rank_window_size=20_000),
+                id_field="doc_id", rerank_models=self.MODELS)
         with pytest.raises(ValueError, match="needs 'inference_text'"):
             body = self._body()
             del body["retriever"]["text_similarity_reranker"][
