@@ -287,24 +287,32 @@ def _parse_wkt(s: str) -> dict:
     import re as _re
 
     txt = s.strip()
-    m = _re.match(r"(?is)^POINT\s*\(\s*(-?\d+(?:\.\d+)?)\s+"
-                  r"(-?\d+(?:\.\d+)?)\s*\)$", txt)
+
+    def coord(tok: str) -> float:
+        # one number grammar for POINT and ring coordinates (whatever
+        # float() takes, incl. exponents), one loud error otherwise
+        try:
+            return float(tok)
+        except ValueError:
+            raise ValueError(
+                f"ES|QL: malformed WKT number {tok!r} in {s!r}")
+
+    def pair(text: str) -> list[float]:
+        xy = text.split()
+        if len(xy) != 2:
+            raise ValueError(
+                f"ES|QL: malformed WKT coordinate {text.strip()!r} "
+                f"in {s!r}")
+        return [coord(xy[0]), coord(xy[1])]
+
+    m = _re.match(r"(?is)^POINT\s*\(([^()]*)\)$", txt)
     if m:
-        return {"type": "point",
-                "coordinates": [float(m.group(1)), float(m.group(2))]}
+        return {"type": "point", "coordinates": pair(m.group(1))}
 
     def rings(body: str) -> list[list[list[float]]]:
         out = []
         for ring in _re.findall(r"\(([^()]*)\)", body):
-            pts = []
-            for pair in ring.split(","):
-                xy = pair.split()
-                if len(xy) != 2:
-                    raise ValueError(
-                        f"ES|QL: malformed WKT coordinate {pair.strip()!r} "
-                        f"in {s!r}")
-                pts.append([float(xy[0]), float(xy[1])])
-            out.append(pts)
+            out.append([pair(p) for p in ring.split(",")])
         if not out:
             raise ValueError(f"ES|QL: WKT has no coordinate rings: {s!r}")
         return out
