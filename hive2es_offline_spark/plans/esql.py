@@ -290,12 +290,19 @@ def _parse_wkt(s: str) -> dict:
 
     def coord(tok: str) -> float:
         # one number grammar for POINT and ring coordinates (whatever
-        # float() takes, incl. exponents), one loud error otherwise
+        # finite float() takes, incl. exponents), one loud error
+        # otherwise — float() also accepts nan/inf, which are not
+        # coordinates
+        import math as _math
+
         try:
-            return float(tok)
+            v = float(tok)
         except ValueError:
+            v = _math.nan
+        if not _math.isfinite(v):
             raise ValueError(
                 f"ES|QL: malformed WKT number {tok!r} in {s!r}")
+        return v
 
     def pair(text: str) -> list[float]:
         xy = text.split()
