@@ -377,3 +377,60 @@ def test_query_cli_suggest_body(spark, capsys):
                    "term": {"field": "text", "size": 1}}}})])
     lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
     assert lines[0]["suggestion"] == "merge"
+
+
+def test_esql_cli(spark, capsys, tmp_path):
+    """The ES|QL CLI (round 15): a pipeline straight against parquet
+    paths — multi-index catalog, @file queries, RERANK with a model
+    registry, parquet output, and loud catalog errors."""
+    import json
+
+    from hive2es_offline_spark.jobs import esql as ejob
+
+    from conftest import SF_SMOKE
+
+    src = f"{SF_SMOKE}/orders.parquet"
+    ejob.main(["--index", f"orders={src}", "--query", '''
+        FROM orders
+        | WHERE o_totalprice > 100000
+        | STATS n = COUNT(*), total = SUM(o_totalprice)
+          BY o_orderpriority
+        | SORT o_orderpriority ASC
+    '''])
+    lines = [json.loads(ln)
+             for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5 and all(ln["n"] > 0 for ln in lines)
+    assert [ln["o_orderpriority"] for ln in lines] == sorted(
+        ln["o_orderpriority"] for ln in lines)
+
+    # @file query + parquet output
+    qf = tmp_path / "q.esql"
+    qf.write_text("FROM orders | STATS n = COUNT(*)")
+    out_dir = str(tmp_path / "out")
+    ejob.main(["--index", f"orders={src}", "--query", f"@{qf}",
+               "--output", out_dir])
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["rows"] == 1
+
+    # RERANK with a registry passed on the CLI
+    docs = f"{SF_SMOKE}/documents.parquet"
+    ejob.main(["--index", f"documents={docs}",
+               "--rerank-models",
+               json.dumps({"m": {"weights": {"merge": 0.8},
+                                 "default_weight": 0.5, "bias": -1.0}}),
+               "--query", '''
+        FROM documents
+        | WHERE MATCH(text, "merge stream")
+        | RERANK "merge stream" ON text WITH "m"
+        | SORT _score DESC, doc_id ASC | LIMIT 3
+        | KEEP doc_id, _score
+    '''])
+    rows = [json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3
+    assert rows[0]["_score"] >= rows[1]["_score"] >= rows[2]["_score"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="name=path"):
+        ejob.main(["--index", "orders", "--query", "FROM orders"])
