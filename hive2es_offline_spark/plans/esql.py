@@ -1669,6 +1669,33 @@ def _stage_inlinestats(df: DataFrame, p: _P) -> DataFrame:
                 ap.next()
                 args.append(ap.expr())
         ap.expect_op(")")
+        nt = ap.peek()
+        if nt is not None and nt[0] == "id" and nt[1].upper() == "WHERE":
+            # per-aggregate WHERE (ES 8.16), same when(cond, arg)
+            # compile as STATS — the gate rides inside the window
+            # aggregate, no extra pass
+            ap.next()
+            span: list = []
+            depth = 0
+            while not ap.done():
+                st = ap.peek()
+                if st == ("op", "("):
+                    depth += 1
+                elif st == ("op", ")"):
+                    depth -= 1
+                elif depth == 0 and st == ("op", ","):
+                    break
+                span.append(ap.next())
+            cp = _P(span)
+            cond = cp.expr()
+            if not cp.done():
+                raise ValueError(
+                    "ES|QL: trailing tokens after the aggregate's "
+                    f"WHERE: {cp.peek()[1]!r}{_at(cp.peek())}")
+            if kind == "COUNT_STAR":
+                kind, args = "COUNT", [F.when(cond, F.lit(True))]
+            elif args:
+                args = [F.when(cond, args[0]), *args[1:]]
         aggs.append((t[1], kind, args))
         if ap.peek() == ("op", ","):
             ap.next()

@@ -1094,6 +1094,19 @@ class TestStatsRoundOut:
         ''').first()
         assert (r["n"], r["n_hi"], r["s_hi"], r["d_hi"]) == (6, 3, 120.0, 2)
 
+    def test_inlinestats_per_aggregate_where(self, spark):
+        rows = esql({"t": self._frame(spark)}, '''
+            FROM t
+            | INLINESTATS n_hi = COUNT(*) WHERE v >= 30,
+                          s_lo = SUM(v) WHERE v < 30 BY cat
+            | KEEP id, cat, n_hi, s_lo | SORT id ASC
+        ''').collect()
+        by = {r["id"]: (r["n_hi"], r["s_lo"]) for r in rows}
+        # cat a: v = 10, 20, 50 -> one >= 30, 30.0 below
+        assert by[1] == (1, 30.0) and by[5] == (1, 30.0)
+        # cat b: v = 30, 40, NULL -> two >= 30, nothing below
+        assert by[3] == (2, None) and by[6] == (2, None)
+
     def test_per_aggregate_where_with_by(self, spark):
         rows = esql({"t": self._frame(spark)}, '''
             FROM t | STATS s = SUM(v) WHERE w == 1 BY cat | SORT cat ASC
