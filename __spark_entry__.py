@@ -5347,6 +5347,13 @@ def q_ks_drift(spark, sf_dir):
 #: five of the r13 cohort es_bucket_correlation, es_moving_percentiles,
 #: es_knn_query, downsample_tsdb, es_frequent_items (green r13-r14).
 #: All oracled demotions keep local DuckDB parity via demoted_goldens().
+#: Round-16 rotation fodder (banked round 15, never driver-adjudicated,
+#: all locally DuckDB-goldened): es_esql_match, es_esql_spatial,
+#: es_esql_ip, es_retriever_rerank, es_esql_rerank, es_esql_grid,
+#: es_esql_stats, es_esql_fn (+ video_dedup's set-alignment mode,
+#: unit-goldened).  Demotion candidates, oldest driver-green first:
+#: the r13 holdovers es_retriever_rrf/es_termvectors/es_sliced_export
+#: (green r13-r15 by then), then the r14 cohort.
 DRIVER_WINDOW = [
     "es_match_german", "es_match_italian",
     "es_categorize_text", "es_change_point", "es_routing",
