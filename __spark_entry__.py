@@ -4428,6 +4428,30 @@ def q_es_esql_fn(spark, sf_dir):
     ''')
 
 
+def q_es_esql_fulltext(spark, sf_dir):
+    """ES|QL full-text WHERE round-out (round 15, second batch):
+    ``MATCH_PHRASE`` (positional phrase, 8.18), ``MULTI_MATCH``
+    (per-field match OR, 8.18), ``TERM`` (exact un-analyzed equality,
+    8.16) and ``KQL`` (the Kibana Query Language grammar —
+    plans/kql.py — compiled into the same DSL clauses, 8.17), all
+    bridged through plans/query_dsl.compile_query into ONE codegen
+    pushdown-eligible filter before the aggregation.  The oracle
+    replays phrase adjacency as 2-shingle containment and the analyzed
+    matches as token containment via plans/analysis.duckdb_tokens /
+    duckdb_shingles — the one-grammar lockstep rule."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"documents": _t(spark, sf_dir, "documents")}, '''
+        FROM documents
+        | WHERE (MATCH_PHRASE(text, "data stream")
+                 OR MULTI_MATCH("vector", text, source)
+                 OR TERM(source, "src7"))
+                AND KQL("n_chars >= 120 and lang:(en or de or es) and not source:src3")
+        | STATS n = COUNT(*), chars = SUM(n_chars) BY lang
+        | SORT lang ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5350,7 +5374,8 @@ def q_ks_drift(spark, sf_dir):
 #: Round-16 rotation fodder (banked round 15, never driver-adjudicated,
 #: all locally DuckDB-goldened): es_esql_match, es_esql_spatial,
 #: es_esql_ip, es_retriever_rerank, es_esql_rerank, es_esql_grid,
-#: es_esql_stats, es_esql_fn (+ video_dedup's set-alignment mode,
+#: es_esql_stats, es_esql_fn, es_esql_fulltext (MATCH_PHRASE / TERM /
+#: MULTI_MATCH / KQL) (+ video_dedup's set-alignment mode,
 #: unit-goldened).  Demotion candidates, oldest driver-green first:
 #: the r13 holdovers es_retriever_rrf/es_termvectors/es_sliced_export
 #: (green r13-r15 by then), then the r14 cohort.
@@ -5580,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_grid": q_es_esql_grid,
         "es_esql_stats": q_es_esql_stats,
         "es_esql_fn": q_es_esql_fn,
+        "es_esql_fulltext": q_es_esql_fulltext,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -6531,6 +6557,21 @@ def _goldens_b() -> dict[str, str]:
     _bigrams = (f"list_transform(generate_series(1, len({_std_frag}) - 1), "
                 f"i -> {_std_frag}[i] || ' ' || {_std_frag}[i + 1])")
 
+    # es_esql_fulltext: the full-text WHERE round-out replayed through
+    # the SAME analyzed grammar — MATCH_PHRASE as 2-shingle
+    # containment, MULTI_MATCH / KQL field matches as token
+    # containment, TERM as exact equality (un-analyzed, like the
+    # engine's term clause)
+    _ftq_phr_pred = " AND ".join(
+        f"list_contains({_duck_sh('text', 2)}, '{s}')"
+        for s in _sh_terms(_an_text("data stream"), 2))
+    _ftq_mm = " OR ".join(
+        f"list_contains({_duck_toks(f)}, 'vector')"
+        for f in ("text", "source"))
+    _ftq_langs = " OR ".join(
+        f"list_contains({_duck_toks('lang')}, '{v}')"
+        for v in ("en", "de", "es"))
+
     # es_geo_shape: the three relation predicates re-generated from the
     # SAME GeoJSON vertex lists the Spark clause compiles
     _in_outer = _raycast_sql([(la, lo) for lo, la in _GS_OUTER[:-1]],
@@ -7162,6 +7203,30 @@ def _goldens_b() -> dict[str, str]:
             WHERE mon >= TIMESTAMP '1996-01-01'
             GROUP BY net
             ORDER BY net ASC
+        """,
+        # es_esql_fulltext: phrase = shingle containment, matches =
+        # token containment, TERM/KQL numerics = direct compares — the
+        # same fragments the analysis-grammar goldens replay
+        "es_esql_fulltext": f"""
+            WITH d AS (
+              SELECT lang, n_chars,
+                     ({_ftq_phr_pred}) AS is_phrase,
+                     ({_ftq_mm}) AS is_mm,
+                     source = 'src7' AS is_term,
+                     ({_ftq_langs}) AS lang_ok,
+                     list_contains({_duck_toks('source')}, 'src3')
+                       AS is_src3
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                     AS chars
+            FROM d
+            WHERE (is_phrase OR is_mm OR is_term)
+              AND n_chars >= 120 AND lang_ok AND NOT is_src3
+            GROUP BY lang
+            ORDER BY lang ASC
         """,
         # es_esql_ip: numeric ip range + CIDR gates replayed with the
         # shared uint32 parse and plan-time CIDR bounds

@@ -139,10 +139,14 @@ the hash digests (MD5 SHA1 SHA256), the math tail (LOG LOG10 EXP SIN
 COS TAN ASIN ACOS ATAN ATAN2 SINH COSH TANH SIGNUM CBRT HYPOT
 TO_DEGREES TO_RADIANS PI E TAU), plus the WHERE-only full-text
 functions
-``MATCH(field, "query")`` (the DSL analyzed-match clause) and
-``QSTR("field:query …")`` (the Lucene query-string grammar; bare
-terms reject loudly — a flat frame has no index mapping to supply
-default fields).  ``CATEGORIZE(msg)`` is the
+``MATCH(field, "query")`` (the DSL analyzed-match clause),
+``MATCH_PHRASE(field, "query")`` (the positional phrase clause, 8.18),
+``TERM(field, value)`` (exact un-analyzed equality, 8.16),
+``MULTI_MATCH("query", f1, f2, …)`` (per-field match OR, 8.18),
+``QSTR("field:query …")`` (the Lucene query-string grammar) and
+``KQL("field:value and …")`` (the Kibana Query Language grammar,
+plans/kql.py, 8.17; for QSTR/KQL bare terms reject loudly — a flat
+frame has no index mapping to supply default fields).  ``CATEGORIZE(msg)`` is the
 STATS-BY log-categorization key — the deterministic exact-signature
 contract of the categorize_text agg (number-bearing tokens removed,
 pure codegen; live ES runs the drain-style ML categorizer — documented
@@ -786,14 +790,19 @@ class _P:
                 start = int(st[1])
             self.expect_op(")")
             return F.locate(t[1], arg, start)
-        if fn in ("MATCH", "QSTR"):
-            # ES|QL full-text WHERE functions (ES 8.14+/8.17+): the
+        if fn in ("MATCH", "QSTR", "MATCH_PHRASE", "TERM",
+                  "MULTI_MATCH", "KQL"):
+            # ES|QL full-text WHERE functions (ES 8.14→8.18): the
             # bridge from the ES|QL grammar into the query-DSL
             # compilers — MATCH(field, "query") compiles the DSL match
-            # clause (analyzed OR-of-terms, plans/query_dsl.compile_query)
-            # and QSTR("field:query …") the Lucene query-string grammar
-            # (plans/query_string.parse_query_string).  Both are
-            # codegen boolean predicates over the analyzed token
+            # clause (analyzed OR-of-terms, plans/query_dsl.compile_query),
+            # MATCH_PHRASE(field, "query") the positional phrase clause,
+            # TERM(field, value) the un-analyzed exact term clause,
+            # MULTI_MATCH("query", f1, f2, …) the per-field match OR,
+            # QSTR("field:query …") the Lucene query-string grammar
+            # (plans/query_string.parse_query_string) and KQL("…") the
+            # Kibana Query Language grammar (plans/kql.parse_kql).  All
+            # are codegen boolean predicates over the analyzed token
             # stream, so a WHERE on them pushes like any other filter.
             # Live ES restricts full-text functions to WHERE; the same
             # rule applies here (an EVAL of a relevance predicate has
@@ -804,25 +813,90 @@ class _P:
                     "only allowed in WHERE (like live ES|QL)")
             from .query_dsl import compile_query
 
-            if fn == "MATCH":
+            if fn in ("MATCH", "MATCH_PHRASE"):
                 fld = self.next()
                 if fld[0] != "id":
                     raise ValueError(
-                        f"ES|QL: MATCH needs a field name first, got "
+                        f"ES|QL: {fn} needs a field name first, got "
                         f"{fld[1]!r}{_at(fld)}")
                 self.expect_op(",")
                 qt = self.next()
                 if qt[0] != "str":
                     raise ValueError(
-                        f"ES|QL: MATCH query must be a literal string"
+                        f"ES|QL: {fn} query must be a literal string"
                         f"{_at(qt)}")
                 if self.peek() == ("op", ","):
                     raise ValueError(
-                        "ES|QL: MATCH named options "
-                        "(operator/fuzziness/…) are not supported — "
-                        "use the query DSL match clause for those")
+                        f"ES|QL: {fn} named options "
+                        "(operator/fuzziness/slop/…) are not supported "
+                        "— use the query DSL clause for those")
                 self.expect_op(")")
-                return compile_query({"match": {fld[1]: qt[1]}})
+                kind = "match" if fn == "MATCH" else "match_phrase"
+                return compile_query({kind: {fld[1]: qt[1]}})
+            if fn == "TERM":
+                # ES 8.16 TERM(field, value): exact un-analyzed
+                # equality (the DSL term clause — value literal may be
+                # a string or a number, like the DSL)
+                fld = self.next()
+                if fld[0] != "id":
+                    raise ValueError(
+                        f"ES|QL: TERM needs a field name first, got "
+                        f"{fld[1]!r}{_at(fld)}")
+                self.expect_op(",")
+                vt = self.next()
+                if vt[0] not in ("str", "num"):
+                    raise ValueError(
+                        "ES|QL: TERM value must be a literal string or "
+                        f"number{_at(vt)}")
+                self.expect_op(")")
+                val = vt[1]
+                if vt[0] == "num":
+                    val = float(val) if "." in str(val) else int(val)
+                return compile_query({"term": {fld[1]: val}})
+            if fn == "MULTI_MATCH":
+                # ES 8.18 MULTI_MATCH("query", field1, field2, …):
+                # the DSL multi_match in filter context (per-field
+                # analyzed match, OR across fields)
+                qt = self.next()
+                if qt[0] != "str":
+                    raise ValueError(
+                        "ES|QL: MULTI_MATCH needs a literal query "
+                        f"string first{_at(qt)}")
+                fields = []
+                while self.peek() == ("op", ","):
+                    self.next()
+                    ft = self.next()
+                    if ft[0] != "id":
+                        raise ValueError(
+                            "ES|QL: MULTI_MATCH fields must be column "
+                            f"names, got {ft[1]!r}{_at(ft)} (named "
+                            "options are not supported — use the query "
+                            "DSL multi_match for those)")
+                    fields.append(ft[1])
+                self.expect_op(")")
+                if not fields:
+                    raise ValueError(
+                        "ES|QL: MULTI_MATCH needs at least one field "
+                        "after the query string")
+                return compile_query(
+                    {"multi_match": {"query": qt[1], "fields": fields}})
+            if fn == "KQL":
+                qt = self.next()
+                if qt[0] != "str":
+                    raise ValueError(
+                        f"ES|QL: KQL needs a literal query string"
+                        f"{_at(qt)}")
+                if self.peek() == ("op", ","):
+                    raise ValueError(
+                        "ES|QL: KQL options are not supported — "
+                        "express them inside the KQL string")
+                self.expect_op(")")
+                from .kql import parse_kql
+
+                # bare terms reject loudly inside the KQL parser (live
+                # KQL falls back to every mapped field — no mapping in
+                # a flat frame), same policy as QSTR below
+                return compile_query(parse_kql(qt[1]))
             qt = self.next()
             if qt[0] != "str":
                 raise ValueError(
@@ -1361,7 +1435,8 @@ def _compile_fn(fn: str, args: list[Column],
          "DATE_FORMAT", "DATE_DIFF", "DATE_EXTRACT", "CATEGORIZE",
          "SPLIT", "LOCATE", "CIDR_MATCH", "MV_SORT", "MV_CONCAT",
          "COUNT(*)", "TOP", "DATE_PARSE", "IP_PREFIX",
-         "MATCH", "QSTR", "TO_GEOPOINT", "TO_GEOSHAPE", "ST_DISTANCE",
+         "MATCH", "QSTR", "MATCH_PHRASE", "TERM", "MULTI_MATCH", "KQL",
+         "TO_GEOPOINT", "TO_GEOSHAPE", "ST_DISTANCE",
          "ST_INTERSECTS", "ST_CONTAINS", "ST_WITHIN", "ST_X", "ST_Y",
          "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"]))
     raise ValueError(

@@ -911,6 +911,97 @@ class TestFullTextWhere:
             esql(docs, 'FROM t | WHERE QSTR("no field prefix")')
 
 
+class TestFullTextRoundOut:
+    """ES|QL full-text WHERE round-out (round 15, second batch):
+    MATCH_PHRASE (8.18), TERM (8.16), MULTI_MATCH (8.18) and KQL
+    (8.17) ride the same DSL-compiler bridge as MATCH/QSTR."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "the quick brown fox", "a", 10),
+             (2, "brown quick reversal", "b", 20),
+             (3, "quick silver lining", "a", 30),
+             (4, "nothing here", "b", 40)],
+            "id long, txt string, cat string, n long")
+
+    def test_match_phrase_is_positional(self, spark):
+        rows = esql({"t": self._docs(spark)}, '''
+            FROM t | WHERE MATCH_PHRASE(txt, "quick brown") | KEEP id
+        ''').collect()
+        # doc 2 has both terms but reversed — phrase adjacency excludes it
+        assert [r["id"] for r in rows] == [1]
+
+    def test_term_is_exact_unanalyzed(self, spark):
+        docs = {"t": self._docs(spark)}
+        rows = esql(docs, '''
+            FROM t | WHERE TERM(cat, "a") | KEEP id | SORT id ASC
+        ''').collect()
+        assert [r["id"] for r in rows] == [1, 3]
+        # numeric literal value → numeric equality
+        rows = esql(docs, '''
+            FROM t | WHERE TERM(n, 20) | KEEP id
+        ''').collect()
+        assert [r["id"] for r in rows] == [2]
+        # TERM does not analyze: a multi-word value matches nothing
+        rows = esql(docs, '''
+            FROM t | WHERE TERM(txt, "quick brown") | KEEP id
+        ''').collect()
+        assert rows == []
+
+    def test_multi_match_or_across_fields(self, spark):
+        rows = esql({"t": self._docs(spark)}, '''
+            FROM t | WHERE MULTI_MATCH("b", cat, txt) | KEEP id | SORT id ASC
+        ''').collect()
+        # cat=b on 2,4; analyzed "b" appears in no txt token
+        assert [r["id"] for r in rows] == [2, 4]
+
+    def test_kql_boolean_grammar(self, spark):
+        rows = esql({"t": self._docs(spark)}, '''
+            FROM t | WHERE KQL("txt:quick and not txt:fox and n <= 30")
+            | KEEP id | SORT id ASC
+        ''').collect()
+        assert [r["id"] for r in rows] == [2, 3]
+
+    def test_kql_value_group_and_phrase(self, spark):
+        rows = esql({"t": self._docs(spark)}, '''
+            FROM t | WHERE KQL("cat:(a or b) and txt:\\"quick brown\\"")
+            | KEEP id
+        ''').collect()
+        assert [r["id"] for r in rows] == [1]
+
+    def test_pushes_into_scan(self, catalog):
+        for q in ('FROM sales | WHERE MATCH_PHRASE(cat, "a b")',
+                  'FROM sales | WHERE TERM(cat, "a")',
+                  'FROM sales | WHERE MULTI_MATCH("a", cat)',
+                  'FROM sales | WHERE KQL("cat:a")'):
+            plan = esql(catalog, q)._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert "Filter" in plan and "Join" not in plan
+
+    def test_rejects(self, spark):
+        docs = {"t": self._docs(spark)}
+        for q in ('FROM t | EVAL m = MATCH_PHRASE(txt, "q b")',
+                  'FROM t | EVAL m = TERM(cat, "a")',
+                  'FROM t | EVAL m = MULTI_MATCH("a", cat)',
+                  'FROM t | EVAL m = KQL("cat:a")'):
+            with pytest.raises(ValueError, match="only allowed in WHERE"):
+                esql(docs, q)
+        with pytest.raises(ValueError, match="named options"):
+            esql(docs, 'FROM t | WHERE MATCH_PHRASE(txt, "q", "s")')
+        with pytest.raises(ValueError, match="field name first"):
+            esql(docs, 'FROM t | WHERE TERM("a", cat)')
+        with pytest.raises(ValueError, match="literal string or"):
+            esql(docs, 'FROM t | WHERE TERM(cat, txt)')
+        with pytest.raises(ValueError, match="at least one field"):
+            esql(docs, 'FROM t | WHERE MULTI_MATCH("a")')
+        with pytest.raises(ValueError, match="column names"):
+            esql(docs, 'FROM t | WHERE MULTI_MATCH("a", "b")')
+        with pytest.raises(ValueError, match="KQL options"):
+            esql(docs, 'FROM t | WHERE KQL("cat:a", "x")')
+        with pytest.raises(ValueError, match="bare term"):
+            esql(docs, 'FROM t | WHERE KQL("unqualified")')
+
+
 class TestSpatial:
     """ES|QL spatial functions (round 15, VERDICT r14 #3): ST_DISTANCE
     via the shared haversine, relation predicates via the geo_shape
