@@ -4452,6 +4452,42 @@ def q_es_esql_fulltext(spark, sf_dir):
     ''')
 
 
+def q_es_esql_ts(spark, sf_dir):
+    """ES|QL ``TS`` time-series command (round 15, ES 9.x): two-stage
+    ``OUTER(INNER(col))`` aggregation — RATE (counter-reset
+    compensation, observed first→last span; live ES extrapolates to
+    the bucket boundary like PromQL — documented divergence) plus the
+    *_OVER_TIME family per series per bucket, then the outer aggregate
+    across series.  Series = the declared dimension tuple
+    (``ts_specs``, the flat-frame stand-in for the TSDB mapping).
+    Scale shape: the RATE lag-window and the stage-1 groupBy share ONE
+    hash partitioning over (dimensions, bucket) so the wide data
+    shuffles once; stage 2 re-groups only the per-series-bucket rows.
+    The counter here is a deterministic sawtooth (epoch-seconds mod
+    1800 — resets mid-bucket, exercising the compensation), replayed
+    term-for-term by the oracle's window-lag SQL."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        (F.col("user_id") % 10).alias("host"),
+        "ts",
+        (F.unix_seconds(F.col("ts").cast("timestamp")) % 1800)
+        .cast("double").alias("ctr"),
+        "value",
+    )
+    return esql({"metrics": m}, '''
+        TS metrics
+        | STATS r = SUM(RATE(ctr)),
+                peak = MAX(MAX_OVER_TIME(value)),
+                avg_last = AVG(LAST_OVER_TIME(value)),
+                series = COUNT(COUNT_OVER_TIME(value))
+          BY b = BUCKET(ts, 1 hour)
+        | SORT b ASC
+    ''', ts_specs={"metrics": {"dimensions": ["host"],
+                               "timestamp": "ts"}})
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5375,7 +5411,8 @@ def q_ks_drift(spark, sf_dir):
 #: all locally DuckDB-goldened): es_esql_match, es_esql_spatial,
 #: es_esql_ip, es_retriever_rerank, es_esql_rerank, es_esql_grid,
 #: es_esql_stats, es_esql_fn, es_esql_fulltext (MATCH_PHRASE / TERM /
-#: MULTI_MATCH / KQL) (+ video_dedup's set-alignment mode,
+#: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
+#: *_OVER_TIME two-stage nests) (+ video_dedup's set-alignment mode,
 #: unit-goldened).  Demotion candidates, oldest driver-green first:
 #: the r13 holdovers es_retriever_rrf/es_termvectors/es_sliced_export
 #: (green r13-r15 by then), then the r14 cohort.
@@ -5606,6 +5643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_stats": q_es_esql_stats,
         "es_esql_fn": q_es_esql_fn,
         "es_esql_fulltext": q_es_esql_fulltext,
+        "es_esql_ts": q_es_esql_ts,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -7227,6 +7265,58 @@ def _goldens_b() -> dict[str, str]:
               AND n_chars >= 120 AND lang_ok AND NOT is_src3
             GROUP BY lang
             ORDER BY lang ASC
+        """,
+        # es_esql_ts: the TS two-stage nest replayed with window-lag
+        # SQL — identical increment CASE, identical observed-span
+        # division, identical decimal routing at every stage boundary
+        "es_esql_ts": """
+            WITH m AS (
+              SELECT user_id % 10 AS host, ts,
+                     CAST(CAST(floor(epoch(ts)) AS BIGINT) % 1800
+                          AS DOUBLE) AS ctr,
+                     value,
+                     date_trunc('hour', ts) AS b
+              FROM events
+            ), pairs AS (
+              SELECT host, b, ts, ctr, value,
+                     lag(ctr) OVER (PARTITION BY host, b
+                                    ORDER BY ts, ctr) AS prev
+              FROM m
+            ), s1 AS (
+              SELECT host, b,
+                     CAST(sum(CAST(CASE WHEN prev IS NULL THEN NULL
+                                        WHEN ctr >= prev THEN ctr - prev
+                                        ELSE ctr END
+                                   AS DECIMAL(28,6))) AS DOUBLE) AS rsum,
+                     max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+                     count(*) AS nrows,
+                     max(value) AS mx,
+                     count(value) AS cnt
+              FROM pairs GROUP BY host, b
+            ), lastv AS (
+              SELECT host, b, value AS lastval FROM (
+                SELECT host, b, value,
+                       row_number() OVER (PARTITION BY host, b
+                                          ORDER BY ts DESC, value DESC)
+                         AS rn
+                FROM m) WHERE rn = 1
+            ), s AS (
+              SELECT s1.b, s1.mx, s1.cnt, lastv.lastval,
+                     CASE WHEN nrows >= 2 AND span_us > 0
+                          THEN rsum / (span_us / 1e6) END AS rate
+              FROM s1 JOIN lastv
+                ON s1.host = lastv.host AND s1.b = lastv.b
+            )
+            SELECT b,
+                   CAST(sum(CAST(rate AS DECIMAL(28,6))) AS DOUBLE) AS r,
+                   max(mx) AS peak,
+                   round(CAST(sum(CAST(lastval AS DECIMAL(28,6)))
+                              AS DOUBLE) / count(lastval), 6)
+                     AS avg_last,
+                   CAST(count(cnt) AS BIGINT) AS series
+            FROM s
+            GROUP BY b
+            ORDER BY b ASC
         """,
         # es_esql_ip: numeric ip range + CIDR gates replayed with the
         # shared uint32 parse and plan-time CIDR bounds

@@ -19,6 +19,19 @@ anti-silent policy):
 - ``ROW name = <expr>, …``        one-row constant source (full scalar
                                   grammar over range(1); the session
                                   comes from the catalog)
+- ``TS index``                    time-series source (ES 9.x): the
+                                  first STATS becomes the two-stage
+                                  ``OUTER(INNER(col))`` nest — inner
+                                  over-time functions RATE
+                                  (counter-reset-compensated, observed
+                                  span) AVG/SUM/MIN/MAX/COUNT/LAST/
+                                  FIRST_OVER_TIME per series per
+                                  bucket, outer SUM/AVG/MIN/MAX/COUNT
+                                  across series.  Dimensions and the
+                                  timestamp column come from the
+                                  ``ts_specs`` kwarg (the flat-frame
+                                  stand-in for the TSDB mapping);
+                                  single index only
 - ``WHERE <expr>``                codegen filter (pushdown-eligible)
 - ``EVAL name = <expr>, …``       sequential projections (later exprs
                                   may read earlier names, like ES|QL)
@@ -1647,6 +1660,188 @@ def _parse_by_keys(p: _P, by_i: int | None) -> list[tuple[str, Column | None]]:
     return keys
 
 
+#: TS-mode STATS (ES|QL time-series, 9.x): outer aggregates allowed
+#: around an over-time inner function, and the inner functions
+#: themselves.  The outer set reuses _AGGS so SUM/AVG stay
+#: decimal-routed (order-independent, ANSI-replayable).
+_TS_OUTER = ("SUM", "AVG", "MIN", "MAX", "COUNT")
+_TS_INNER = ("RATE", "AVG_OVER_TIME", "SUM_OVER_TIME", "MIN_OVER_TIME",
+             "MAX_OVER_TIME", "COUNT_OVER_TIME", "LAST_OVER_TIME",
+             "FIRST_OVER_TIME")
+
+
+def _stage_stats_ts(df: DataFrame, p: _P,
+                    ts_state: tuple[list[str], str]) -> DataFrame:
+    """ES|QL ``TS`` STATS (the 9.x time-series aggregation command):
+    every aggregate is a two-stage ``OUTER(INNER(col))`` nest — the
+    INNER over-time function collapses each time series (the declared
+    dimension tuple) within each BY bucket, the OUTER aggregate then
+    combines across series.  Compiled as two grouped aggregations:
+
+    * stage 1 groups by (dimensions ∪ BY keys).  ``RATE`` needs
+      per-series sample ordering, which rides ONE window over the same
+      partition keys (lag-based pairwise increments with counter-reset
+      compensation: a decrease contributes the new value, the restart
+      semantics of a monotonic counter) — the window's exchange is the
+      same hash partitioning the stage-1 groupBy needs, so the wide
+      data shuffles once; stage 2 re-groups the tiny per-series-bucket
+      frame by the BY keys only.
+    * rate = Σ increments / observed span seconds (first→last sample
+      inside the bucket, NULL under two samples or a zero span).  Live
+      ES extrapolates toward the bucket boundaries like PromQL; the
+      observed-span form is the deterministic, ANSI-replayable subset
+      — documented divergence (COVERAGE.md).
+    * ``LAST_/FIRST_OVER_TIME`` order by (timestamp, value) so
+      duplicate-timestamp ties are deterministic (documented).
+    * increments and the over-time sums are decimal-routed, so every
+      stage-1 value is order-independent and the whole nest replays
+      in ANSI SQL.
+
+    Per-aggregate WHERE filters are not supported inside TS STATS
+    (reject loudly — the gating row set would be ambiguous between the
+    two stages)."""
+    dims, ts_col = ts_state
+    by_i = None
+    depth = 0
+    for i in range(p.i, len(p.toks)):
+        t = p.toks[i]
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and t[0] == "id" and t[1].upper() == "BY":
+            by_i = i
+            break
+    ap = _P(p.toks[p.i:by_i if by_i is not None else len(p.toks)])
+    aggs: list[tuple[str, str, str, str]] = []
+    while not ap.done():
+        t = ap.next()
+        if t[0] != "id" or ap.peek() != ("op", "="):
+            raise ValueError(
+                "ES|QL: STATS aggregates need explicit names "
+                "(name = AGG(...)) — ES|QL's expression-text default "
+                "names are not stable frame columns")
+        ap.expect_op("=")
+        o = ap.next()
+        if o[0] != "id" or o[1].upper() not in _TS_OUTER:
+            raise ValueError(
+                f"ES|QL: TS STATS aggregates must be "
+                f"OUTER(INNER(col)) nests with OUTER one of "
+                f"{' '.join(_TS_OUTER)}, got {o[1]!r}{_at(o)}")
+        ap.expect_op("(")
+        inner = ap.next()
+        if inner[0] != "id" or inner[1].upper() not in _TS_INNER:
+            raise ValueError(
+                f"ES|QL: TS STATS aggregates must wrap an over-time "
+                f"function ({' '.join(_TS_INNER)}), got "
+                f"{inner[1]!r}{_at(inner)}")
+        ap.expect_op("(")
+        c = ap.next()
+        if c[0] != "id":
+            raise ValueError(
+                f"ES|QL: {inner[1]} takes a column name, got "
+                f"{c[1]!r}{_at(c)}")
+        if c[1] not in df.columns:
+            raise ValueError(
+                f"ES|QL: unknown column {c[1]!r} (have {df.columns})")
+        ap.expect_op(")")
+        ap.expect_op(")")
+        if ap.peek() is not None and ap.peek()[0] == "id" \
+                and ap.peek()[1].upper() == "WHERE":
+            raise ValueError(
+                "ES|QL: per-aggregate WHERE is not supported inside "
+                "TS STATS (filter the rows with a WHERE stage before "
+                "STATS instead)")
+        aggs.append((t[1], o[1].upper(), inner[1].upper(), c[1]))
+        if ap.peek() == ("op", ","):
+            ap.next()
+        elif not ap.done():
+            raise ValueError(
+                f"ES|QL: expected ',' between aggregates, got "
+                f"{ap.peek()[1]!r}{_at(ap.peek())}")
+    if not aggs:
+        raise ValueError("ES|QL: STATS needs at least one aggregate")
+    keys = _parse_by_keys(p, by_i)
+    key_names = [n for n, _ in keys]
+    for n, e in keys:
+        if e is not None and n in dims:
+            raise ValueError(
+                f"ES|QL: computed BY key {n!r} collides with the "
+                f"dimension column of the same name")
+    for n, _, _, _ in aggs:
+        if n in key_names or n in dims:
+            raise ValueError(
+                f"ES|QL: aggregate name {n!r} collides with a "
+                "BY key / dimension column")
+
+    # stage-1 grouping: every dimension plus every BY key (bare keys
+    # that ARE dimensions would duplicate the output column — skip)
+    gb: list[Column] = [F.col(d) for d in dims]
+    for n, e in keys:
+        if e is None:
+            if n not in dims:
+                gb.append(F.col(n))
+        else:
+            gb.append(e.alias(n))
+
+    rate_cols = sorted({c for _, _, inner, c in aggs if inner == "RATE"})
+    work = df
+    if rate_cols:
+        from pyspark.sql import Window
+
+        part = [F.col(d) for d in dims] + \
+            [(e if e is not None else F.col(n)) for n, e in keys]
+        for rc in rate_cols:
+            w = Window.partitionBy(*part).orderBy(
+                F.col(ts_col).asc(), F.col(rc).asc())
+            prev = F.lag(F.col(rc)).over(w)
+            # counter-reset compensation: a decrease means the counter
+            # restarted — the whole new value is the increase
+            work = work.withColumn(
+                f"\x00incr_{rc}",
+                F.when(prev.isNull(), F.lit(None).cast("double"))
+                .when(F.col(rc) >= prev, F.col(rc) - prev)
+                .otherwise(F.col(rc).cast("double")))
+
+    s1: list[Column] = []
+    for i, (_, _, inner, c) in enumerate(aggs):
+        v = f"\x00v{i}"
+        if inner == "RATE":
+            s1.append(F.sum(F.col(f"\x00incr_{c}").cast("decimal(28,6)"))
+                      .cast("double").alias(f"\x00rsum{i}"))
+        elif inner in ("AVG_OVER_TIME", "SUM_OVER_TIME"):
+            s1.append(_AGGS[inner[:3]]([F.col(c)]).alias(v))
+        elif inner in ("MIN_OVER_TIME", "MAX_OVER_TIME",
+                       "COUNT_OVER_TIME"):
+            s1.append(_AGGS[inner.split("_")[0]]([F.col(c)]).alias(v))
+        elif inner == "LAST_OVER_TIME":
+            s1.append(F.max_by(F.col(c), F.struct(
+                F.col(ts_col), F.col(c))).alias(v))
+        else:  # FIRST_OVER_TIME
+            s1.append(F.min_by(F.col(c), F.struct(
+                F.col(ts_col), F.col(c))).alias(v))
+    if rate_cols:
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        s1.append(F.min(us).alias("\x00ts_min"))
+        s1.append(F.max(us).alias("\x00ts_max"))
+        s1.append(F.count(F.lit(1)).alias("\x00n_rows"))
+    g1 = work.groupBy(*gb).agg(*s1)
+    if rate_cols:
+        span_s = (F.col("\x00ts_max") - F.col("\x00ts_min")) / F.lit(1e6)
+        for i, (_, _, inner, _) in enumerate(aggs):
+            if inner == "RATE":
+                g1 = g1.withColumn(
+                    f"\x00v{i}",
+                    F.when((F.col("\x00n_rows") >= 2) & (span_s > 0),
+                           F.col(f"\x00rsum{i}") / span_s))
+
+    s2 = [_AGGS[outer]([F.col(f"\x00v{i}")]).alias(name)
+          for i, (name, outer, _, _) in enumerate(aggs)]
+    if key_names:
+        return g1.groupBy(*[F.col(n) for n in key_names]).agg(*s2)
+    return g1.agg(*s2)
+
+
 #: INLINESTATS aggregate builders: kind → (plain agg Column for the
 #: ungrouped scalar path, window builder for the BY path).  The window
 #: builders apply .over() to the RAW window function and decimal-route
@@ -2051,7 +2246,8 @@ def _stage_enrich(df: DataFrame, p: _P,
 
 
 def esql(tables: Mapping[str, DataFrame], query: str, *,
-         rerank_models: "Mapping[str, dict] | None" = None) -> DataFrame:
+         rerank_models: "Mapping[str, dict] | None" = None,
+         ts_specs: "Mapping[str, Mapping] | None" = None) -> DataFrame:
     """Compile one ES|QL pipeline against the given table mapping.
 
     ``tables`` plays the role of the cluster's index catalog: ``FROM``
@@ -2059,9 +2255,14 @@ def esql(tables: Mapping[str, DataFrame], query: str, *,
     read).  ``rerank_models`` plays the role of the inference-endpoint
     registry for the ``RERANK`` command (same deterministic linear
     models as the text_similarity_reranker retriever —
-    plans/scoring.py).  Returns the lazy DataFrame — Catalyst sees the
-    WHOLE pipeline, so a ``WHERE`` after ``FROM`` pushes into the scan
-    and a ``SORT | LIMIT`` tail plans as TakeOrderedAndProject."""
+    plans/scoring.py).  ``ts_specs`` plays the role of the TSDB index
+    mapping for the ``TS`` source command (9.x time series): per index
+    ``{"dimensions": [cols…], "timestamp": col}`` — the flat-frame
+    stand-in for ``time_series_dimension: true`` annotations and the
+    mandatory ``@timestamp`` field.  Returns the lazy DataFrame —
+    Catalyst sees the WHOLE pipeline, so a ``WHERE`` after ``FROM``
+    pushes into the scan and a ``SORT | LIMIT`` tail plans as
+    TakeOrderedAndProject."""
     stages = _split_pipes(_tokenize(query))
     if not stages:
         raise ValueError("ES|QL: empty query")
@@ -2178,8 +2379,64 @@ def esql(tables: Mapping[str, DataFrame], query: str, *,
         df = _src(names[0])
         for n in names[1:]:
             df = df.unionByName(_src(n), allowMissingColumns=True)
+    elif cmd[0] == "id" and cmd[1].upper() == "TS":
+        # ES|QL TS source command (9.x time series): like FROM, but
+        # the frame is a time-series index whose STATS aggregates are
+        # the two-stage OUTER(INNER(col)) nests (_stage_stats_ts).
+        # Single index only — a multi-index TS union would need
+        # per-index dimension reconciliation the flat catalog cannot
+        # express honestly.
+        t = head.next()
+        if t[0] != "id":
+            raise ValueError(
+                f"ES|QL: expected an index name after TS, got "
+                f"{t[1]!r}{_at(t)}")
+        if not head.done():
+            raise ValueError(
+                "ES|QL: TS takes exactly one index (a multi-index TS "
+                "union has no shared dimension spec in a flat catalog)")
+        if t[1] not in tables:
+            raise ValueError(
+                f"ES|QL: unknown index {t[1]!r} "
+                f"(catalog: {sorted(tables)})")
+        spec = (ts_specs or {}).get(t[1])
+        if spec is None:
+            raise ValueError(
+                f"ES|QL: TS {t[1]} needs a time-series spec — pass "
+                "ts_specs={" + repr(t[1]) + ": {'dimensions': [cols…],"
+                " 'timestamp': col}} (the flat-frame stand-in for the "
+                "TSDB mapping's time_series_dimension/@timestamp)")
+        unk = set(spec) - {"dimensions", "timestamp"}
+        if unk:
+            raise ValueError(
+                f"ES|QL: unsupported ts_specs key(s) {sorted(unk)}")
+        df = tables[t[1]]
+        dims = list(spec.get("dimensions") or [])
+        tcol = spec.get("timestamp")
+        if not dims or not isinstance(tcol, str):
+            raise ValueError(
+                "ES|QL: a TS spec needs a non-empty 'dimensions' list "
+                "and a 'timestamp' column name")
+        missing = [c for c in [*dims, tcol] if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"ES|QL: TS spec column(s) {missing} not on "
+                f"{t[1]!r} (have {df.columns})")
+        ts_state = (dims, tcol)
+        for si, stage in enumerate(stages[1:]):
+            sp = _P(stage)
+            c0 = sp.next()
+            if ts_state is not None and c0[0] == "id" \
+                    and c0[1].upper() == "STATS":
+                df = _stage_stats_ts(df, sp, ts_state)
+                ts_state = None  # downstream stages see a plain frame
+            else:
+                df = _apply_stage(df, stage, tables,
+                                  rerank_models=rerank_models)
+        return df
     else:
-        raise ValueError("ES|QL: the source command must be FROM or ROW")
+        raise ValueError(
+            "ES|QL: the source command must be FROM, ROW or TS")
     for stage in stages[1:]:
         df = _apply_stage(df, stage, tables, rerank_models=rerank_models)
     return df

@@ -193,7 +193,7 @@ class TestRejects:
             esql(catalog, "FROM sales | KEEP zz*")
 
     def test_source_must_be_from_or_row(self, catalog):
-        with pytest.raises(ValueError, match="must be FROM or ROW"):
+        with pytest.raises(ValueError, match="must be FROM, ROW or TS"):
             esql(catalog, "SHOW INFO")
         with pytest.raises(ValueError, match="at least one assignment"):
             esql(catalog, "ROW")
@@ -1716,3 +1716,145 @@ class TestRound14ReviewFixes:
         with pytest.raises(Exception, match="duplicate key"):
             esql({"t": df},
                  "FROM t | CHANGE_POINT v ON k").collect()
+
+
+class TestTimeSeries:
+    """ES|QL TS command (9.x time series): two-stage OUTER(INNER(col))
+    aggregation over declared dimensions — RATE with counter-reset
+    compensation over the observed span, the *_OVER_TIME family, and
+    the loud-reject contract for everything the flat catalog cannot
+    honestly express."""
+
+    SPEC = {"metrics": {"dimensions": ["host"], "timestamp": "ts"}}
+
+    def _metrics(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        data = {
+            # (offset_s, counter, gauge) — counter resets at 90s
+            "a": [(0, 0.0, 10.0), (30, 5.0, 12.0), (60, 8.0, 11.0),
+                  (90, 2.0, 15.0), (120, 4.0, 13.0)],
+            "b": [(0, 100.0, 1.0), (60, 160.0, 2.0), (120, 220.0, 3.0)],
+        }
+        rows = [(h, base + dt.timedelta(seconds=o), c, g)
+                for h, ss in data.items() for o, c, g in ss]
+        return spark.createDataFrame(
+            rows, "host string, ts timestamp, requests double, load double")
+
+    def _run(self, spark, q):
+        return esql({"metrics": self._metrics(spark)}, q,
+                    ts_specs=self.SPEC)
+
+    def test_rate_and_over_time_by_bucket(self, spark):
+        rows = self._run(spark, '''
+            TS metrics
+            | STATS r = SUM(RATE(requests)),
+                    mx = MAX(MAX_OVER_TIME(load)),
+                    lg = AVG(LAST_OVER_TIME(load)),
+                    n = COUNT(COUNT_OVER_TIME(load))
+              BY b = BUCKET(ts, 1 minute)
+            | SORT b ASC
+        ''').collect()
+        got = [(r["r"], r["mx"], r["lg"], r["n"]) for r in rows]
+        # bucket 0: host a incr 5 over 30 s = 1/6 (6dp decimal route);
+        # host b single sample -> NULL rate, skipped by SUM
+        # bucket 1: host a 8->2 is a reset -> incr = 2 over 30 s
+        # bucket 2: both hosts single-sample -> SUM of no rates = NULL
+        assert got == [(0.166667, 12.0, 6.5, 2),
+                       (0.066667, 15.0, 8.5, 2),
+                       (None, 13.0, 8.0, 2)]
+
+    def test_first_min_sum_avg_over_time(self, spark):
+        rows = self._run(spark, '''
+            TS metrics
+            | STATS f = MIN(FIRST_OVER_TIME(load)),
+                    mn = MIN(MIN_OVER_TIME(load)),
+                    s = SUM(SUM_OVER_TIME(load)),
+                    av = AVG(AVG_OVER_TIME(load))
+              BY b = BUCKET(ts, 1 minute)
+            | SORT b ASC
+        ''').collect()
+        got = [(r["f"], r["mn"], r["s"], r["av"]) for r in rows]
+        # bucket 0: a first/min 10, sum 22, avg 11; b 1/1/1/1
+        assert got[0] == (1.0, 1.0, 23.0, 6.0)
+        # bucket 1: a first 11 min 11 sum 26 avg 13; b 2
+        assert got[1] == (2.0, 2.0, 28.0, 7.5)
+
+    def test_dimension_as_by_key(self, spark):
+        rows = self._run(spark, '''
+            TS metrics
+            | STATS mx = MAX(MAX_OVER_TIME(load)) BY host
+            | SORT host ASC
+        ''').collect()
+        assert [(r["host"], r["mx"]) for r in rows] == \
+            [("a", 15.0), ("b", 3.0)]
+
+    def test_whole_series_rate_no_bucket(self, spark):
+        rows = self._run(spark, '''
+            TS metrics | STATS r = SUM(RATE(requests))
+        ''').collect()
+        # a: incr 5+3+2+2 = 12 over 120 s = 0.1; b: 120 over 120 s = 1
+        assert rows[0]["r"] == 1.1
+
+    def test_where_before_stats_filters_raw_rows(self, spark):
+        rows = self._run(spark, '''
+            TS metrics
+            | WHERE host == "b"
+            | STATS r = SUM(RATE(requests))
+        ''').collect()
+        assert rows[0]["r"] == 1.0
+
+    def test_stats_after_ts_stats_is_plain(self, spark):
+        rows = self._run(spark, '''
+            TS metrics
+            | STATS mx = MAX(MAX_OVER_TIME(load)) BY host
+            | STATS total = SUM(mx)
+        ''').collect()
+        assert rows[0]["total"] == 18.0
+
+    def test_plan_single_wide_shuffle(self, spark):
+        plan = self._run(spark, '''
+            TS metrics
+            | STATS r = SUM(RATE(requests)) BY b = BUCKET(ts, 1 minute)
+        ''')._jdf.queryExecution().executedPlan().toString()
+        # the window and the stage-1 groupBy share one hash
+        # partitioning over (dims, bucket); stage 2 re-shuffles only
+        # the per-series-bucket rows
+        assert plan.count("Exchange") <= 3
+        assert "Window" in plan
+
+    def test_rejects(self, spark):
+        m = {"metrics": self._metrics(spark),
+             "other": self._metrics(spark)}
+        spec = self.SPEC
+
+        def run(q, **kw):
+            return esql(m, q, **kw)
+
+        with pytest.raises(ValueError, match="exactly one index"):
+            run("TS metrics, other | LIMIT 1", ts_specs=spec)
+        with pytest.raises(ValueError, match="time-series spec"):
+            run("TS metrics | LIMIT 1")
+        with pytest.raises(ValueError, match="OUTER"):
+            run("TS metrics | STATS r = RATE(requests)", ts_specs=spec)
+        with pytest.raises(ValueError, match="over-time"):
+            run("TS metrics | STATS r = SUM(requests)", ts_specs=spec)
+        with pytest.raises(ValueError, match="per-aggregate WHERE"):
+            run('TS metrics | STATS r = SUM(RATE(requests)) WHERE host == "a"',
+                ts_specs=spec)
+        with pytest.raises(ValueError, match="unsupported function"):
+            # over-time functions only exist inside TS STATS
+            run("FROM metrics | STATS r = SUM(RATE(requests))",
+                ts_specs=spec)
+        with pytest.raises(ValueError, match="collides"):
+            run("TS metrics | STATS host = SUM(RATE(requests))",
+                ts_specs=spec)
+        with pytest.raises(ValueError, match="not on"):
+            run("TS metrics | LIMIT 1",
+                ts_specs={"metrics": {"dimensions": ["nope"],
+                                      "timestamp": "ts"}})
+        with pytest.raises(ValueError, match="unsupported ts_specs"):
+            run("TS metrics | LIMIT 1",
+                ts_specs={"metrics": {"dimensions": ["host"],
+                                      "timestamp": "ts", "x": 1}})
