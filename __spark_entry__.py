@@ -4311,6 +4311,51 @@ def q_es_retriever_rerank(spark, sf_dir):
         rerank_models={"lexical-linear-v1": _RERANK_MODEL})
 
 
+def q_es_retriever_rule(spark, sf_dir):
+    """ES 8.16 ``rule`` retriever (round 15, second batch): query rules
+    applied on top of a child retriever — matched pinned rules inject
+    their ids ABOVE every organic hit with the pinned query's score
+    rule (1e10 - position), matched exclude rules drop theirs, via the
+    SAME driver-side matcher as the ``rule`` query rewrite
+    (plans/rules.matched_rule_ids — one matcher, two surfaces,
+    test-pinned identical in tests/test_scoring.py).  Rule evaluation
+    is pure plan-literal Python: the 100 TB cost is the child
+    retriever's pushed-down top-window plus an ≤100-id isin fetch and
+    one tiny global re-rank.  The oracle replays the BM25 child
+    (the established CTE) and the pin/exclude arithmetic literally."""
+    from hive2es_offline_spark.plans.rules import put_query_ruleset
+    from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+    put_query_ruleset("retr-promo", [
+        {"rule_id": "pin-faq", "type": "pinned",
+         "criteria": [{"type": "prefix", "metadata": "user_query",
+                       "values": ["how", "what"]}],
+         "actions": {"ids": ["7", "2"]}},
+        {"rule_id": "drop-stale", "type": "exclude",
+         "criteria": [{"type": "exact", "metadata": "market",
+                       "values": ["eu"]}],
+         "actions": {"ids": ["12"]}},
+        {"rule_id": "never-fires", "type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "user_query",
+                       "values": ["pricing"]}],
+         "actions": {"ids": ["99"]}},
+    ])
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "retriever": {"rule": {
+            "retriever": {"standard": {
+                "query": {"match": {"text": "merge stream"}}}},
+            "ruleset_ids": ["retr-promo"],
+            "match_criteria": {"user_query": "how to merge streams",
+                               "market": "eu"},
+            "rank_window_size": 20,
+        }},
+        "size": 10,
+        "_source": ["doc_id", "source"],
+    }
+    return es_retriever_search(d, body, id_field="doc_id")
+
+
 def q_es_esql_rerank(spark, sf_dir):
     """ES|QL ``RERANK`` command (round 15): the 9.x inference rerank on
     the ES|QL side of the same seam as es_retriever_rerank —
@@ -5412,7 +5457,8 @@ def q_ks_drift(spark, sf_dir):
 #: es_esql_ip, es_retriever_rerank, es_esql_rerank, es_esql_grid,
 #: es_esql_stats, es_esql_fn, es_esql_fulltext (MATCH_PHRASE / TERM /
 #: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
-#: *_OVER_TIME two-stage nests) (+ video_dedup's set-alignment mode,
+#: *_OVER_TIME two-stage nests), es_retriever_rule (query rules over a
+#: child retriever) (+ video_dedup's set-alignment mode,
 #: unit-goldened).  Demotion candidates, oldest driver-green first:
 #: the r13 holdovers es_retriever_rrf/es_termvectors/es_sliced_export
 #: (green r13-r15 by then), then the r14 cohort.
@@ -5644,6 +5690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fn": q_es_esql_fn,
         "es_esql_fulltext": q_es_esql_fulltext,
         "es_esql_ts": q_es_esql_ts,
+        "es_retriever_rule": q_es_retriever_rule,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
         "es_join_aggs": q_es_join_aggs,
@@ -7076,6 +7123,60 @@ def _goldens_b() -> dict[str, str]:
             SELECT b.doc_id, rk._score, rk.rank, b.source
             FROM ranked rk JOIN base b USING (doc_id)
             WHERE rk.rank <= 12
+            ORDER BY rk.rank
+        """,
+        # es_retriever_rule: the BM25 child window replayed with the
+        # established CTE, then the matched rules' pin/exclude
+        # arithmetic as literals — pinned ids score 1e10 - position
+        # (the pinned-query rule), organic keeps BM25, excluded drops
+        "es_retriever_rule": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text),
+                       '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')
+                       AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM base, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream')
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), lexs AS (
+              SELECT doc_id, round(CAST(sum(p) AS DOUBLE), 6) AS _score
+              FROM part GROUP BY doc_id
+              ORDER BY _score DESC, doc_id ASC LIMIT 20
+            ), fused AS (
+              SELECT doc_id, _score FROM lexs
+              WHERE doc_id NOT IN (7, 2, 12)
+              UNION ALL
+              SELECT 7 AS doc_id, 1e10 AS _score
+              UNION ALL
+              SELECT 2 AS doc_id, 1e10 - 1 AS _score
+            ), ranked AS (
+              SELECT doc_id, _score,
+                     CAST(row_number() OVER (
+                       ORDER BY _score DESC, doc_id ASC) AS INT) AS rank
+              FROM fused
+            )
+            SELECT b.doc_id, rk._score, rk.rank, b.source
+            FROM ranked rk JOIN base b USING (doc_id)
+            WHERE rk.rank <= 10
             ORDER BY rk.rank
         """,
         # es_esql_rerank: WHERE MATCH replayed through the shared token

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 __all__ = [
     "put_query_ruleset", "get_query_ruleset", "delete_query_ruleset",
-    "list_query_rulesets", "expand_rule_queries",
+    "list_query_rulesets", "expand_rule_queries", "matched_rule_ids",
 ]
 
 #: ruleset registry — cluster state stand-in, same pattern as the
@@ -208,30 +208,26 @@ def _criterion_matches(c: dict, match_criteria: dict) -> bool:
         _osa_distance(m, v, _auto_fuzz(v)) <= _auto_fuzz(v) for v in svals)
 
 
-def _expand_one(spec: dict) -> dict:
-    unknown = set(spec) - {"organic", "ruleset_ids", "ruleset_id",
-                           "match_criteria"}
-    if unknown:
-        raise ValueError(f"unknown rule query key(s): {sorted(unknown)}")
-    if "organic" not in spec:
-        raise ValueError("rule query needs an organic query")
-    # ES 8.10 shipped singular ruleset_id; 8.15 the ruleset_ids list
-    rsids = spec.get("ruleset_ids")
-    if rsids is None:
-        rsids = [spec["ruleset_id"]] if "ruleset_id" in spec else None
-    if not rsids or not isinstance(rsids, list):
-        raise ValueError("rule query needs a non-empty ruleset_ids list")
-    if len(rsids) > _MAX_RULESETS:
+def matched_rule_ids(ruleset_ids, match_criteria,
+                     what: str = "rule query",
+                     ) -> tuple[list[str], list[str]]:
+    """Evaluate the named rulesets against a literal ``match_criteria``
+    map → ``(pinned_ids, excluded_ids)``, deduplicated in ruleset/rule
+    order, exclusion winning over pinning, pinned capped at
+    ``_MAX_PINNED`` (ES's pinned-query ceiling).  Pure driver-side
+    Python — shared by the ``rule`` query rewrite and the ``rule``
+    retriever (ES 8.16) so the two surfaces cannot drift."""
+    if not ruleset_ids or not isinstance(ruleset_ids, list):
+        raise ValueError(f"{what} needs a non-empty ruleset_ids list")
+    if len(ruleset_ids) > _MAX_RULESETS:
         raise ValueError(
-            f"rule query allows at most {_MAX_RULESETS} rulesets, "
-            f"got {len(rsids)}")
-    match_criteria = spec.get("match_criteria")
+            f"{what} allows at most {_MAX_RULESETS} rulesets, "
+            f"got {len(ruleset_ids)}")
     if not isinstance(match_criteria, dict) or not match_criteria:
-        raise ValueError("rule query needs a non-empty match_criteria map")
-
+        raise ValueError(f"{what} needs a non-empty match_criteria map")
     pinned: list[str] = []
     excluded: list[str] = []
-    for rsid in rsids:
+    for rsid in ruleset_ids:
         if rsid not in _RULESETS:
             raise ValueError(f"unknown query ruleset {rsid!r}")
         for rule in _RULESETS[rsid]:
@@ -243,6 +239,21 @@ def _expand_one(spec: dict) -> dict:
                 if i not in sink:
                     sink.append(i)
     pinned = [i for i in pinned if i not in excluded][:_MAX_PINNED]
+    return pinned, excluded
+
+
+def _expand_one(spec: dict) -> dict:
+    unknown = set(spec) - {"organic", "ruleset_ids", "ruleset_id",
+                           "match_criteria"}
+    if unknown:
+        raise ValueError(f"unknown rule query key(s): {sorted(unknown)}")
+    if "organic" not in spec:
+        raise ValueError("rule query needs an organic query")
+    # ES 8.10 shipped singular ruleset_id; 8.15 the ruleset_ids list
+    rsids = spec.get("ruleset_ids")
+    if rsids is None:
+        rsids = [spec["ruleset_id"]] if "ruleset_id" in spec else None
+    pinned, excluded = matched_rule_ids(rsids, spec.get("match_criteria"))
 
     organic = spec["organic"]
     if excluded:

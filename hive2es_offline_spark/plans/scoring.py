@@ -1702,9 +1702,66 @@ def es_retriever_search(
                     .select(id_field, "_score",
                             F.row_number().over(w).alias("rank"))
                     .where(F.col("rank") <= window))
+        if rkind == "rule":
+            # ES 8.16 rule retriever: apply query rules on top of a
+            # child retriever.  Rule evaluation is pure driver-side
+            # Python over plan literals (plans/rules.matched_rule_ids —
+            # the SAME matcher the `rule` query rewrite uses, so the
+            # two surfaces cannot drift): matched exclude rules drop
+            # their ids from the child window, matched pinned rules
+            # inject their ids ABOVE every organic hit with the pinned
+            # query's score rule (1e10 - position — one constant, both
+            # surfaces).  Pinned docs are injected even when the child
+            # window missed them (the pinned-query semantics: promoted
+            # docs need not match the organic query) — that fetch is an
+            # isin over <= 100 ids, pruned at the scan.  The re-rank is
+            # one tiny global window over <= rank_window_size + 100
+            # rows.
+            unk = set(rbody) - {"retriever", "ruleset_ids",
+                                "match_criteria", "rank_window_size"}
+            if unk:
+                raise ValueError(
+                    f"unsupported rule retriever option(s): "
+                    f"{sorted(unk)}")
+            for req in ("retriever", "ruleset_ids", "match_criteria"):
+                if req not in rbody:
+                    raise ValueError(f"rule retriever needs {req!r}")
+            from .rules import matched_rule_ids
+
+            pinned, excluded = matched_rule_ids(
+                rbody["ruleset_ids"], rbody["match_criteria"],
+                what="rule retriever")
+            child_window = int(rbody.get("rank_window_size",
+                                         max(window, 10)))
+            if child_window < window:
+                raise ValueError(
+                    f"rank_window_size ({child_window}) must be >= "
+                    f"the consuming window ({window})")
+            child = ranked(rbody["retriever"], child_window)
+            idc = F.col(id_field).cast("string")
+            if excluded:
+                child = child.where(~idc.isin(excluded))
+            if pinned:
+                child = child.where(~idc.isin(pinned))
+                score = F.lit(None).cast("double")
+                for i in range(len(pinned) - 1, -1, -1):
+                    score = F.when(idc == pinned[i],
+                                   F.lit(1e10 - i)).otherwise(score)
+                pins = (df.where(idc.isin(pinned))
+                        .select(id_field, score.alias("_score"),
+                                F.lit(0).alias("rank")))
+                child = child.select(id_field, "_score", "rank") \
+                    .unionByName(pins)
+            w = Window.orderBy(F.col("_score").desc(),
+                               F.col(id_field).asc())
+            return (child
+                    .select(id_field, "_score",
+                            F.row_number().over(w).alias("rank"))
+                    .where(F.col("rank") <= window))
         raise ValueError(
             f"unsupported retriever: {rkind!r} "
-            "(standard | knn | rrf | linear | text_similarity_reranker)")
+            "(standard | knn | rrf | linear | rule | "
+            "text_similarity_reranker)")
 
     (kind, spec_body), = spec.items()
     if kind == "linear":

@@ -1822,3 +1822,117 @@ class TestRound14ReviewFixes:
         with pytest.raises(ValueError, match="tokens map"):
             es_search(df, {"query": {"weighted_tokens": {
                 "sv": {"boost": 2.0}}}, "size": 1}, id_field="id")
+
+
+class TestRuleRetriever:
+    """ES 8.16 ``rule`` retriever: query rules applied on top of a
+    child retriever — the SAME driver-side matcher and pinned score
+    rule (1e10 - position) as the ``rule`` query rewrite
+    (plans/rules.matched_rule_ids), so the two surfaces cannot
+    drift."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        rows = [(i, f"merge stream doc {i}" if i % 3 == 0
+                 else "other text here") for i in range(1, 21)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.fixture()
+    def ruleset(self):
+        from hive2es_offline_spark.plans.rules import (
+            delete_query_ruleset,
+            put_query_ruleset,
+        )
+
+        put_query_ruleset("promo", [
+            {"rule_id": "pin-hot", "type": "pinned",
+             "criteria": [{"type": "exact", "metadata": "topic",
+                           "values": ["streams"]}],
+             "actions": {"ids": ["7", "2"]}},
+            {"rule_id": "drop-spam", "type": "exclude",
+             "criteria": [{"type": "exact", "metadata": "topic",
+                           "values": ["streams"]}],
+             "actions": {"ids": ["3"]}},
+        ])
+        yield "promo"
+        delete_query_ruleset("promo")
+
+    def _body(self, crit, size=5):
+        return {"retriever": {"rule": {
+            "retriever": {"standard": {
+                "query": {"match": {"text": "merge stream"}}}},
+            "ruleset_ids": ["promo"],
+            "match_criteria": crit,
+            "rank_window_size": 10,
+        }}, "size": size}
+
+    def test_pin_exclude_and_injection(self, docs, ruleset):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        out = es_retriever_search(
+            docs, self._body({"topic": "streams"}), id_field="doc_id")
+        rows = out.orderBy("rank").collect()
+        got = [r["doc_id"] for r in rows]
+        # pinned 7 (NOT an organic hit — injected from the corpus) and
+        # 2 (also not organic) lead in rule order; excluded 3 is gone;
+        # organic hits (multiples of 3) follow by BM25
+        assert got[:2] == [7, 2]
+        assert 3 not in got
+        assert rows[0]["_score"] == 1e10 and rows[1]["_score"] == 1e10 - 1
+        assert all(g % 3 == 0 for g in got[2:])
+
+    def test_unmatched_criteria_is_child_passthrough(self, docs, ruleset):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        out = es_retriever_search(
+            docs, self._body({"topic": "other"}), id_field="doc_id")
+        got = [r["doc_id"] for r in out.orderBy("rank").collect()]
+        assert 7 not in got and 2 not in got and 3 in got
+        assert all(g % 3 == 0 for g in got)
+
+    def test_rule_parity_with_rule_query(self, docs, ruleset):
+        # the retriever and the query rewrite must rank identically
+        from hive2es_offline_spark.plans.query_dsl import es_search
+        from hive2es_offline_spark.plans.scoring import (
+            es_retriever_search,
+            es_scored_search,
+        )
+
+        ret = [r["doc_id"] for r in es_retriever_search(
+            docs, self._body({"topic": "streams"}), id_field="doc_id")
+            .orderBy("rank").collect()]
+        q = {"query": {"rule": {
+            "organic": {"match": {"text": "merge stream"}},
+            "ruleset_ids": ["promo"],
+            "match_criteria": {"topic": "streams"}}},
+            "size": 5}
+        qr = [r["doc_id"] for r in es_scored_search(
+            docs, q, "doc_id").orderBy(
+                F.col("_score").desc(), F.col("doc_id").asc()).collect()]
+        assert ret == qr
+
+    def test_rejects(self, docs, ruleset):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        with pytest.raises(ValueError, match="rule retriever needs"):
+            es_retriever_search(docs, {"retriever": {"rule": {
+                "retriever": {"standard": {"query": {"match":
+                                                     {"text": "x"}}}},
+                "ruleset_ids": ["promo"]}}}, id_field="doc_id")
+        with pytest.raises(ValueError, match="unsupported rule retriever"):
+            es_retriever_search(docs, {"retriever": {"rule": {
+                "retriever": {"standard": {"query": {"match":
+                                                     {"text": "x"}}}},
+                "ruleset_ids": ["promo"], "match_criteria": {"a": "b"},
+                "boost": 2}}}, id_field="doc_id")
+        with pytest.raises(ValueError, match="unknown query ruleset"):
+            es_retriever_search(
+                docs, {"retriever": {"rule": {
+                    "retriever": {"standard": {"query": {"match":
+                                                         {"text": "x"}}}},
+                    "ruleset_ids": ["nope"],
+                    "match_criteria": {"a": "b"}}}}, id_field="doc_id")
+        with pytest.raises(ValueError, match="must be >= the consuming"):
+            body = self._body({"topic": "streams"}, size=20)
+            body["retriever"]["rule"]["rank_window_size"] = 5
+            es_retriever_search(docs, body, id_field="doc_id")
