@@ -4533,6 +4533,41 @@ def q_es_esql_ts(spark, sf_dir):
                                "timestamp": "ts"}})
 
 
+def q_es_esql_fn2(spark, sf_dir):
+    """ES|QL scalar round-out, third batch (round 15): the MV
+    percentile family — MV_PERCENTILE (quantile_cont interpolation),
+    MV_MEDIAN_ABSOLUTE_DEVIATION, MV_PSERIES_WEIGHTED_SUM (stored-order
+    p-series fold) — over the embeddings table's real array<float>
+    column, plus the generalized HASH(alg, v) digest, the base64
+    round-trip, BYTE_LENGTH/BIT_LENGTH and SPACE/REPEAT.  Everything is
+    codegen (array sort + element get + fold; no explode, no UDF), so
+    the whole EVAL block collapses into one projection over the scan
+    and the only exchange is the final STATS.  The oracle replays the
+    MV family with DuckDB list_aggregate('quantile_cont'/'median') and
+    an index-lambda list_transform over double-cast elements — the
+    interpolation form (lo + frac·(hi−lo)) is matched on both sides."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    e = _t(spark, sf_dir, "embeddings")
+    return esql({"embeddings": e}, '''
+        FROM embeddings
+        | EVAL p50 = ROUND(MV_PERCENTILE(embedding, 50), 6),
+               p90 = ROUND(MV_PERCENTILE(embedding, 90), 6),
+               mad = ROUND(MV_MEDIAN_ABSOLUTE_DEVIATION(embedding), 6),
+               ps = ROUND(MV_PSERIES_WEIGHTED_SUM(embedding, 1.5), 6),
+               h = HASH("sha256", TO_STRING(vec_id)),
+               rt = FROM_BASE64(TO_BASE64(LEFT(h, 8))),
+               bits = TO_LONG(BIT_LENGTH(REPEAT(rt, 2))),
+               tag = CONCAT(TO_STRING(label), SPACE(1), LEFT(h, 1))
+        | WHERE BYTE_LENGTH(h) == 64 AND rt == LEFT(h, 8) AND p90 >= p50
+        | STATS n = COUNT(*), u = COUNT_DISTINCT(tag),
+                avg_p50 = AVG(p50), avg_mad = AVG(mad),
+                sum_ps = SUM(ps), bits = MAX(bits)
+          BY label
+        | SORT label ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5455,7 +5490,8 @@ def q_ks_drift(spark, sf_dir):
 #: Round-16 rotation fodder (banked round 15, never driver-adjudicated,
 #: all locally DuckDB-goldened): es_esql_match, es_esql_spatial,
 #: es_esql_ip, es_retriever_rerank, es_esql_rerank, es_esql_grid,
-#: es_esql_stats, es_esql_fn, es_esql_fulltext (MATCH_PHRASE / TERM /
+#: es_esql_stats, es_esql_fn, es_esql_fn2 (MV percentile family over
+#: array<float> + HASH/base64/byte-length tail), es_esql_fulltext (MATCH_PHRASE / TERM /
 #: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
 #: *_OVER_TIME two-stage nests), es_retriever_rule (query rules over a
 #: child retriever) (+ video_dedup's set-alignment mode,
@@ -5690,6 +5726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fn": q_es_esql_fn,
         "es_esql_fulltext": q_es_esql_fulltext,
         "es_esql_ts": q_es_esql_ts,
+        "es_esql_fn2": q_es_esql_fn2,
         "es_retriever_rule": q_es_retriever_rule,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -7342,6 +7379,53 @@ def _goldens_b() -> dict[str, str]:
             WHERE mon >= TIMESTAMP '1996-01-01'
             GROUP BY net
             ORDER BY net ASC
+        """,
+        # es_esql_fn2: the MV percentile family over the real
+        # array<float> column via list_aggregate on double-cast
+        # elements (quantile_cont = the same lo + frac·(hi−lo)
+        # interpolation the engine compiles), the p-series fold via an
+        # index lambda (DuckDB i is 1-based = the engine's i+1), and
+        # the hash/base64/byte-length string tail
+        "es_esql_fn2": """
+            WITH d AS (
+              SELECT label,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v,
+                     sha256(CAST(vec_id AS VARCHAR)) AS h
+              FROM embeddings
+            ), m AS (
+              SELECT label, h,
+                     round(list_aggregate(v, 'quantile_cont', 0.50), 6)
+                       AS p50,
+                     round(list_aggregate(v, 'quantile_cont', 0.90), 6)
+                       AS p90,
+                     round(list_aggregate(
+                         list_transform(v, x -> abs(
+                             x - list_aggregate(v, 'median'))),
+                         'median'), 6) AS mad,
+                     round(list_sum(list_transform(
+                         v, (x, i) -> x / pow(CAST(i AS DOUBLE), 1.5))),
+                         6) AS ps,
+                     decode(from_base64(base64(encode(substr(h, 1, 8)))))
+                       AS rt,
+                     CAST(label AS VARCHAR) || repeat(' ', 1)
+                       || substr(h, 1, 1) AS tag
+              FROM d
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT tag) AS BIGINT) AS u,
+                   round(CAST(sum(CAST(p50 AS DECIMAL(28,6)))
+                              AS DOUBLE) / count(p50), 6) AS avg_p50,
+                   round(CAST(sum(CAST(mad AS DECIMAL(28,6)))
+                              AS DOUBLE) / count(mad), 6) AS avg_mad,
+                   CAST(sum(CAST(ps AS DECIMAL(28,6))) AS DOUBLE)
+                     AS sum_ps,
+                   max(bit_length(repeat(rt, 2))) AS bits
+            FROM m
+            WHERE strlen(h) = 64 AND rt = substr(h, 1, 8) AND p90 >= p50
+            GROUP BY label
+            ORDER BY label ASC
         """,
         # es_esql_fulltext: phrase = shingle containment, matches =
         # token containment, TERM/KQL numerics = direct compares — the

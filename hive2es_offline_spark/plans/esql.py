@@ -1171,6 +1171,89 @@ def _mv_median(v: Column) -> Column:
                     + F.get(s, mid).cast("double")) / 2))
 
 
+def _mv_percentile(v: Column, p: Column) -> Column:
+    """ES|QL MV_PERCENTILE (8.14): value at percentile ``p`` of the
+    multivalue, linear interpolation between closest ranks (the same
+    method as the PERCENTILE aggregate: pos = p/100·(n−1)).  Empty →
+    NULL (the MV family's convention); an out-of-range percentile
+    raises (live ES nulls with a warning header — no warning channel
+    in a flat frame, the anti-silent policy)."""
+    s = F.sort_array(v)
+    n = F.array_size(v)
+    pos = p.cast("double") / F.lit(100.0) * (n - 1).cast("double")
+    lo = F.floor(pos).cast("int")
+    frac = pos - F.floor(pos)
+    # lo + frac·(hi−lo), the canonical quantile_cont form (same FP
+    # rounding as the DuckDB oracle twin, not just the same math)
+    lov = F.get(s, lo).cast("double")
+    hiv = F.get(s, F.least(lo + 1, n - 1)).cast("double")
+    val = lov + frac * (hiv - lov)
+    # out-of-range reject is an ANSI-cast poison, not raise_error —
+    # raise_error is non-deterministic and blocks pushdown through the
+    # EVAL projection (the TO_IP/FUSE lesson, SCALE.md round 15)
+    return F.when(
+        n > 0,
+        F.when((p >= 0) & (p <= 100), val).otherwise(F.concat(
+            F.lit("ES|QL: MV_PERCENTILE percentile must be in "
+                  "0..100, got "), p.cast("string")).cast("double")))
+
+
+def _mv_mad(v: Column) -> Column:
+    """ES|QL MV_MEDIAN_ABSOLUTE_DEVIATION (8.16): median of the
+    absolute deviations from the multivalue's median (both medians via
+    the shared even-cardinality-averaging rule, _mv_median)."""
+    med = _mv_median(v)
+    return _mv_median(F.transform(
+        v, lambda x: F.abs(x.cast("double") - med)))
+
+
+def _mv_pseries(v: Column, p: Column) -> Column:
+    """ES|QL MV_PSERIES_WEIGHTED_SUM (8.14): Σ v[i] / (i+1)^p over the
+    multivalue in stored order (i 0-based) — the p-series weighting
+    used to fold ranked score lists.  Left-to-right double sum,
+    deterministic (one stored order in, one fold order out)."""
+    terms = F.transform(
+        v, lambda x, i: x.cast("double")
+        / F.pow((i + 1).cast("double"), p.cast("double")))
+    return F.when(
+        F.array_size(v) > 0,
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _hash_fn(alg: Column, v: Column) -> Column:
+    """ES|QL ``HASH(alg, input)`` (8.16): hex digest of ``input`` under
+    the named algorithm — the generalized form of the MD5/SHA1/SHA256
+    shortcuts, dispatching over the same JVM digests Spark exposes
+    (``md5``/``sha1``/``sha2``).  Algorithm names are matched
+    case-insensitively; an unsupported algorithm poisons via ANSI cast
+    (CAST_INVALID_INPUT carrying the message — deterministic, so
+    pushdown through the EVAL projection survives, unlike
+    raise_error).  NULL input → NULL, like the shortcut forms."""
+    b = v.cast("binary")
+    a = F.lower(alg)
+    poison = F.concat(
+        F.lit("ES|QL: HASH algorithm must be one of md5 sha1 sha224 "
+              "sha256 sha384 sha512, got "), alg).cast("int")
+    return (
+        F.when(a == "md5", F.md5(b))
+        .when(a == "sha1", F.sha1(b))
+        .when(a == "sha224", F.sha2(b, 224))
+        .when(a == "sha256", F.sha2(b, 256))
+        .when(a == "sha384", F.sha2(b, 384))
+        .when(a == "sha512", F.sha2(b, 512))
+        .otherwise(poison.cast("string")))
+
+
+def _nonneg_count(n: Column, fn: str) -> Column:
+    """Guard for SPACE/REPEAT counts: live ES|QL errors on a negative
+    count (Spark's ``repeat`` silently returns "" — a silent-divergence
+    trap).  ANSI-cast poison on the negative branch, same rationale as
+    _hash_fn."""
+    return F.when(n >= 0, n).otherwise(F.concat(
+        F.lit(f"ES|QL: {fn} count must be non-negative, got "),
+        n.cast("string")).cast("int"))
+
+
 def _to_ip(c: Column) -> Column:
     """ES|QL ``TO_IP`` (round 15, VERDICT r14 #4): dotted-quad string →
     uint32 long, the engine's ip ordering key (functions/ip.py — the
@@ -1293,6 +1376,17 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
     "MV_SLICE": lambda a: _mv_slice(a[0], a[1],
                                     a[2] if len(a) == 3 else a[1]),
     "MV_MEDIAN": lambda a: _mv_median(a[0]),
+    "MV_PERCENTILE": lambda a: _mv_percentile(a[0], a[1]),
+    "MV_MEDIAN_ABSOLUTE_DEVIATION": lambda a: _mv_mad(a[0]),
+    "MV_PSERIES_WEIGHTED_SUM": lambda a: _mv_pseries(a[0], a[1]),
+    # string tail (round 15, second batch) — all codegen
+    "SPACE": lambda a: F.repeat(F.lit(" "), _nonneg_count(a[0], "SPACE")),
+    "REPEAT": lambda a: F.repeat(a[0], _nonneg_count(a[1], "REPEAT")),
+    "BIT_LENGTH": lambda a: F.bit_length(a[0]),
+    "BYTE_LENGTH": lambda a: F.octet_length(a[0]),
+    "TO_BASE64": lambda a: F.base64(a[0].cast("binary")),
+    "FROM_BASE64": lambda a: F.unbase64(a[0]).cast("string"),
+    "HASH": lambda a: _hash_fn(a[0], a[1]),
     "MV_ZIP": lambda a: F.zip_with(
         a[0], a[1],
         lambda x, y: F.when(x.isNull(), y).when(y.isNull(), x)
@@ -1351,6 +1445,11 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "TANH": (1, 1), "SIGNUM": (1, 1), "CBRT": (1, 1), "HYPOT": (2, 2),
     "TO_DEGREES": (1, 1), "TO_RADIANS": (1, 1),
     "PI": (0, 0), "E": (0, 0), "TAU": (0, 0),
+    "MV_PERCENTILE": (2, 2), "MV_MEDIAN_ABSOLUTE_DEVIATION": (1, 1),
+    "MV_PSERIES_WEIGHTED_SUM": (2, 2),
+    "SPACE": (1, 1), "REPEAT": (2, 2), "BIT_LENGTH": (1, 1),
+    "BYTE_LENGTH": (1, 1), "TO_BASE64": (1, 1), "FROM_BASE64": (1, 1),
+    "HASH": (2, 2),
 }
 
 #: aggregates (STATS context only)

@@ -855,6 +855,104 @@ class TestScalarRoundOut:
             esql(catalog, "FROM sales | WHERE CIDR_MATCH(cat)")
 
 
+class TestScalarTail15:
+    """Round 15 third batch: MV percentile family, string tail
+    (SPACE/REPEAT/BIT_LENGTH/BYTE_LENGTH/base64), generalized HASH."""
+
+    def test_mv_percentile(self, spark):
+        df = spark.createDataFrame(
+            [(1, [5, 1, 3, 9]), (2, []), (3, None)],
+            "id long, v array<int>")
+        rows = {r["id"]: r for r in esql({"t": df}, """
+            FROM t
+            | EVAL p50 = MV_PERCENTILE(v, 50), p0 = MV_PERCENTILE(v, 0),
+                   p100 = MV_PERCENTILE(v, 100),
+                   p25 = MV_PERCENTILE(v, 25)
+        """).collect()}
+        # sorted: 1 3 5 9; p50 = (3+5)/2, p25 = 1 + 0.75·(3−1)
+        assert rows[1]["p50"] == pytest.approx(4.0)
+        assert rows[1]["p0"] == pytest.approx(1.0)
+        assert rows[1]["p100"] == pytest.approx(9.0)
+        assert rows[1]["p25"] == pytest.approx(2.5)
+        assert rows[2]["p50"] is None and rows[3]["p50"] is None
+
+    def test_mv_percentile_out_of_range_poisons(self, spark):
+        df = spark.createDataFrame([(1, [1, 2])], "id long, v array<int>")
+        with pytest.raises(Exception, match="MV_PERCENTILE"):
+            esql({"t": df},
+                 "FROM t | EVAL p = MV_PERCENTILE(v, 101)").collect()
+
+    def test_mv_mad(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3, 100]), (2, [7])], "id long, v array<int>")
+        rows = {r["id"]: r for r in esql({"t": df}, """
+            FROM t | EVAL m = MV_MEDIAN_ABSOLUTE_DEVIATION(v)
+        """).collect()}
+        # median 2.5; |dev| = 1.5 0.5 0.5 97.5 → median (0.5+1.5)/2
+        assert rows[1]["m"] == pytest.approx(1.0)
+        assert rows[2]["m"] == pytest.approx(0.0)
+
+    def test_mv_pseries_weighted_sum(self, spark):
+        df = spark.createDataFrame(
+            [(1, [10.0, 4.0, 1.0]), (2, [])],
+            "id long, v array<double>")
+        rows = {r["id"]: r for r in esql({"t": df}, """
+            FROM t | EVAL w = MV_PSERIES_WEIGHTED_SUM(v, 2.0)
+        """).collect()}
+        # 10/1 + 4/4 + 1/9, stored order (NOT sorted)
+        assert rows[1]["w"] == pytest.approx(10 + 1 + 1 / 9)
+        assert rows[2]["w"] is None
+
+    def test_string_tail(self, spark):
+        df = spark.createDataFrame([(1, "héllo")], "id long, s string")
+        r = esql({"t": df}, """
+            FROM t
+            | EVAL sp = CONCAT("a", SPACE(3), "b"), rp = REPEAT(s, 2),
+                   bits = BIT_LENGTH(s), bytes = BYTE_LENGTH(s),
+                   b64 = TO_BASE64("spark"), rt = FROM_BASE64(TO_BASE64(s))
+            | LIMIT 1
+        """).first()
+        assert r["sp"] == "a   b"
+        assert r["rp"] == "héllohéllo"
+        # é is 2 bytes in UTF-8 → 6 bytes, 48 bits
+        assert r["bytes"] == 6 and r["bits"] == 48
+        assert r["b64"] == "c3Bhcms="
+        assert r["rt"] == "héllo"
+
+    def test_space_negative_poisons(self, spark):
+        df = spark.createDataFrame([(1, -3)], "id long, n int")
+        with pytest.raises(Exception, match="SPACE"):
+            esql({"t": df}, "FROM t | EVAL x = SPACE(n)").collect()
+        with pytest.raises(Exception, match="REPEAT"):
+            esql({"t": df}, 'FROM t | EVAL x = REPEAT("a", n)').collect()
+
+    def test_hash(self, spark):
+        import hashlib
+        df = spark.createDataFrame([(1, "spark")], "id long, s string")
+        r = esql({"t": df}, """
+            FROM t
+            | EVAL h1 = HASH("md5", s), h2 = HASH("SHA256", s),
+                   h3 = HASH("sha512", s), hn = HASH("sha1", NULL)
+            | LIMIT 1
+        """).first()
+        assert r["h1"] == hashlib.md5(b"spark").hexdigest()
+        assert r["h2"] == hashlib.sha256(b"spark").hexdigest()
+        assert r["h3"] == hashlib.sha512(b"spark").hexdigest()
+        assert r["hn"] is None
+
+    def test_hash_unknown_algorithm_poisons(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, s string")
+        with pytest.raises(Exception, match="HASH algorithm"):
+            esql({"t": df},
+                 'FROM t | EVAL h = HASH("crc32", s)').collect()
+
+    def test_arity_enforced(self, catalog):
+        for bad in ("MV_PERCENTILE(cat)", "SPACE()", "REPEAT(cat)",
+                    "HASH(cat)", "MV_PSERIES_WEIGHTED_SUM(cat)"):
+            with pytest.raises(ValueError, match="argument"):
+                esql(catalog, f"FROM sales | EVAL x = {bad}")
+
+
 class TestFullTextWhere:
     """ES|QL MATCH()/QSTR() in WHERE (round 15, VERDICT r14 #2): the
     bridge into the DSL match compiler and the Lucene query-string
