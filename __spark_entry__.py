@@ -4568,6 +4568,45 @@ def q_es_esql_fn2(spark, sf_dir):
     ''')
 
 
+def q_es_esql_spatial_agg(spark, sf_dir):
+    """ES|QL aggregate round-out, third batch (round 15):
+    ``ST_CENTROID_AGG`` (decimal-routed coordinate averages returning
+    the composable struct{lat,lon} geo_point — read back with
+    ST_X/ST_Y), ``ST_EXTENT_AGG`` (the "BBOX (minLon, maxLon, maxLat,
+    minLat)" rendering, 6dp decimal-formatted so both engines print
+    identically), and the EXACT per-group
+    ``MEDIAN_ABSOLUTE_DEVIATION`` (sorted-group median of absolute
+    deviations — live ES is TDigest-approximate; exact is the
+    documented oracle-favoring divergence, same as MEDIAN).  One
+    STATS exchange; the centroid/extent are plain min/max/decimal-sum
+    aggregates, the MAD carries the same O(group) buffer Spark's
+    exact percentile already uses.  The oracle replays with DuckDB's
+    native mad() (verified same median-of-deviations semantics) and
+    the same decimal renders."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    c = _t(spark, sf_dir, "customer")
+    located = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.struct(
+            ((F.col("c_custkey") % 160) - 80 + 0.5)
+            .cast("double").alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5)
+            .cast("double").alias("lon"),
+        ).alias("loc"),
+    )
+    return esql({"pts": located}, '''
+        FROM pts
+        | STATS c = ST_CENTROID_AGG(loc), ext = ST_EXTENT_AGG(loc),
+                mad = MEDIAN_ABSOLUTE_DEVIATION(c_acctbal),
+                n = COUNT(*)
+          BY c_mktsegment
+        | EVAL clat = ST_Y(c), clon = ST_X(c)
+        | DROP c
+        | SORT c_mktsegment ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5491,7 +5530,9 @@ def q_ks_drift(spark, sf_dir):
 #: all locally DuckDB-goldened): es_esql_match, es_esql_spatial,
 #: es_esql_ip, es_retriever_rerank, es_esql_rerank, es_esql_grid,
 #: es_esql_stats, es_esql_fn, es_esql_fn2 (MV percentile family over
-#: array<float> + HASH/base64/byte-length tail), es_esql_fulltext (MATCH_PHRASE / TERM /
+#: array<float> + HASH/base64/byte-length tail), es_esql_spatial_agg
+#: (ST_CENTROID_AGG / ST_EXTENT_AGG / exact per-group
+#: MEDIAN_ABSOLUTE_DEVIATION), es_esql_fulltext (MATCH_PHRASE / TERM /
 #: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
 #: *_OVER_TIME two-stage nests), es_retriever_rule (query rules over a
 #: child retriever) (+ video_dedup's set-alignment mode,
@@ -5727,6 +5768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fulltext": q_es_esql_fulltext,
         "es_esql_ts": q_es_esql_ts,
         "es_esql_fn2": q_es_esql_fn2,
+        "es_esql_spatial_agg": q_es_esql_spatial_agg,
         "es_retriever_rule": q_es_retriever_rule,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -7426,6 +7468,40 @@ def _goldens_b() -> dict[str, str]:
             WHERE strlen(h) = 64 AND rt = substr(h, 1, 8) AND p90 >= p50
             GROUP BY label
             ORDER BY label ASC
+        """,
+        # es_esql_spatial_agg: centroid = decimal-routed coordinate
+        # averages, extent = the same 6dp-decimal BBOX render, MAD =
+        # DuckDB's native mad() (same median-of-deviations semantics,
+        # double-cast first so both engines interpolate in double)
+        "es_esql_spatial_agg": """
+            WITH p AS (
+              SELECT c_mktsegment,
+                     CAST(c_acctbal AS DOUBLE) AS bal,
+                     CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE)
+                       AS lat,
+                     CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE)
+                       AS lon
+              FROM customer
+            )
+            SELECT c_mktsegment,
+                   'BBOX ('
+                     || CAST(CAST(min(lon) AS DECIMAL(18,6)) AS VARCHAR)
+                     || ', '
+                     || CAST(CAST(max(lon) AS DECIMAL(18,6)) AS VARCHAR)
+                     || ', '
+                     || CAST(CAST(max(lat) AS DECIMAL(18,6)) AS VARCHAR)
+                     || ', '
+                     || CAST(CAST(min(lat) AS DECIMAL(18,6)) AS VARCHAR)
+                     || ')' AS ext,
+                   round(mad(bal), 6) AS mad,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(lat AS DECIMAL(28,6)))
+                              AS DOUBLE) / count(lat), 6) AS clat,
+                   round(CAST(sum(CAST(lon AS DECIMAL(28,6)))
+                              AS DOUBLE) / count(lon), 6) AS clon
+            FROM p
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment ASC
         """,
         # es_esql_fulltext: phrase = shingle containment, matches =
         # token containment, TERM/KQL numerics = direct compares — the

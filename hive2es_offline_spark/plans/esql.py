@@ -1487,6 +1487,40 @@ _AGGS: dict[str, Callable[[list[Column]], Column]] = {
         / F.count(a[0])
         - F.pow(F.sum(a[0].cast("decimal(28,6)")).cast("double")
                 / F.count(a[0]), 2)))), 6),
+    # round-15 third batch.  MEDIAN_ABSOLUTE_DEVIATION is EXACT per
+    # group (collect the group's values, then the same sorted-array
+    # median-of-deviations as MV_MEDIAN_ABSOLUTE_DEVIATION) — live ES
+    # is TDigest-approximate; exact is the documented oracle-favoring
+    # divergence, same as MEDIAN/PERCENTILE above.  Memory is
+    # O(group values), the SAME profile as Spark's exact percentile
+    # buffer that MEDIAN/PERCENTILE already carry — acceptable where
+    # they are.  ST_CENTROID_AGG returns the geo_point struct{lat,lon}
+    # (composable with ST_X/ST_Y/ST_DISTANCE), decimal-routed averages
+    # so the result is partition-order-independent.  ST_EXTENT_AGG
+    # returns the ES display rendering "BBOX (minLon, maxLon, maxLat,
+    # minLat)" as a string — a terminal result, 6dp decimal-formatted
+    # so both engines render identically (live ES returns a geoshape
+    # object; the string IS its canonical rendering — documented
+    # divergence).
+    "MEDIAN_ABSOLUTE_DEVIATION": lambda a: F.round(
+        _mv_mad(F.collect_list(a[0].cast("double"))), 6),
+    "ST_CENTROID_AGG": lambda a: F.struct(
+        F.round((F.sum(a[0].getField("lat").cast("decimal(28,6)"))
+                 / F.count(a[0].getField("lat"))).cast("double"), 6)
+        .alias("lat"),
+        F.round((F.sum(a[0].getField("lon").cast("decimal(28,6)"))
+                 / F.count(a[0].getField("lon"))).cast("double"), 6)
+        .alias("lon")),
+    "ST_EXTENT_AGG": lambda a: F.concat(
+        F.lit("BBOX ("),
+        F.min(a[0].getField("lon")).cast("decimal(18,6)").cast("string"),
+        F.lit(", "),
+        F.max(a[0].getField("lon")).cast("decimal(18,6)").cast("string"),
+        F.lit(", "),
+        F.max(a[0].getField("lat")).cast("decimal(18,6)").cast("string"),
+        F.lit(", "),
+        F.min(a[0].getField("lat")).cast("decimal(18,6)").cast("string"),
+        F.lit(")")),
 }
 
 #: (min, max) arities for the STATS aggregates
@@ -1494,6 +1528,8 @@ _AGG_ARITY: dict[str, tuple[int, int | None]] = {
     "COUNT": (1, 1), "SUM": (1, 1), "AVG": (1, 1), "MIN": (1, 1),
     "MAX": (1, 1), "COUNT_DISTINCT": (1, 2), "MEDIAN": (1, 1),
     "VALUES": (1, 1), "WEIGHTED_AVG": (2, 2), "STD_DEV": (1, 1),
+    "MEDIAN_ABSOLUTE_DEVIATION": (1, 1), "ST_CENTROID_AGG": (1, 1),
+    "ST_EXTENT_AGG": (1, 1),
 }
 
 

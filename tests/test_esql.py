@@ -953,6 +953,64 @@ class TestScalarTail15:
                 esql(catalog, f"FROM sales | EVAL x = {bad}")
 
 
+class TestAggTail15:
+    """Round 15 third batch STATS aggregates: exact per-group
+    MEDIAN_ABSOLUTE_DEVIATION, ST_CENTROID_AGG, ST_EXTENT_AGG."""
+
+    def _pts(self, spark):
+        from pyspark.sql import functions as SF
+        return (spark.createDataFrame(
+            [(1, 1.0, 10.0, 20.0), (1, 2.0, 12.0, 24.0),
+             (1, 3.0, 14.0, 28.0), (1, 100.0, 16.0, 30.0),
+             (2, 5.0, -10.0, 40.0), (3, None, 1.0, 1.0)],
+            "g int, x double, lat double, lon double")
+            .withColumn("loc", SF.struct("lat", "lon"))
+            .drop("lat", "lon"))
+
+    def test_mad_exact_per_group(self, spark):
+        rows = {r["g"]: r for r in esql({"t": self._pts(spark)}, """
+            FROM t | STATS m = MEDIAN_ABSOLUTE_DEVIATION(x) BY g
+        """).collect()}
+        # group 1: median 2.5, |dev| = 1.5 0.5 0.5 97.5 → median 1.0
+        assert rows[1]["m"] == pytest.approx(1.0)
+        assert rows[2]["m"] == pytest.approx(0.0)
+        assert rows[3]["m"] is None  # all-NULL group
+
+    def test_centroid_and_extent(self, spark):
+        rows = {r["g"]: r for r in esql({"t": self._pts(spark)}, """
+            FROM t
+            | STATS c = ST_CENTROID_AGG(loc), e = ST_EXTENT_AGG(loc)
+              BY g
+            | EVAL clat = ST_Y(c), clon = ST_X(c)
+            | DROP c
+        """).collect()}
+        assert rows[1]["clat"] == pytest.approx(13.0)
+        assert rows[1]["clon"] == pytest.approx(25.5)
+        assert rows[1]["e"] == (
+            "BBOX (20.000000, 30.000000, 16.000000, 10.000000)")
+        assert rows[2]["e"] == (
+            "BBOX (40.000000, 40.000000, -10.000000, -10.000000)")
+
+    def test_mad_with_agg_where(self, spark):
+        # the per-aggregate WHERE gate (8.16) composes: the outlier
+        # row is filtered out of the MAD's value stream only
+        r = esql({"t": self._pts(spark)}, """
+            FROM t
+            | STATS m = MEDIAN_ABSOLUTE_DEVIATION(x) WHERE x < 50,
+                    all_m = MEDIAN_ABSOLUTE_DEVIATION(x)
+              BY g
+            | WHERE g == 1
+        """).first()
+        # without outlier: values 1 2 3, median 2, |dev| 1 0 1 → 1.0
+        assert r["m"] == pytest.approx(1.0)
+        assert r["all_m"] == pytest.approx(1.0)
+
+    def test_arity(self, catalog):
+        with pytest.raises(ValueError, match="argument"):
+            esql(catalog,
+                 "FROM sales | STATS m = MEDIAN_ABSOLUTE_DEVIATION()")
+
+
 class TestFullTextWhere:
     """ES|QL MATCH()/QSTR() in WHERE (round 15, VERDICT r14 #2): the
     bridge into the DSL match compiler and the Lucene query-string
