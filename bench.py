@@ -265,6 +265,12 @@ BENCH_QUERIES = [
     # IP_PREFIX mask+render, DATE_PARSE round-trip, MD5 digest in one
     # filter + aggregation
     "es_esql_fn",
+    # MV percentile family over the real array<float> column + the
+    # HASH/base64/byte-length string tail (one projection + one STATS)
+    "es_esql_fn2",
+    # exact per-group MAD (collect buffer) + centroid/extent
+    # min/max/decimal-sum aggregates in one exchange
+    "es_esql_spatial_agg",
 ]
 
 

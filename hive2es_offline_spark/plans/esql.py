@@ -1201,10 +1201,19 @@ def _mv_percentile(v: Column, p: Column) -> Column:
 def _mv_mad(v: Column) -> Column:
     """ES|QL MV_MEDIAN_ABSOLUTE_DEVIATION (8.16): median of the
     absolute deviations from the multivalue's median (both medians via
-    the shared even-cardinality-averaging rule, _mv_median)."""
+    the shared even-cardinality-averaging rule, _mv_median).
+
+    The median is materialized ONCE per row via array_repeat and bound
+    into the deviation lambda through zip_with's argument — a lambda
+    that referenced ``med`` directly would re-evaluate the whole
+    median subtree (including its sort_array) PER ELEMENT, turning an
+    O(n log n) row into O(n² log n).  Measured on the aggregate form
+    (30 k-value groups at sf0.1): 100.8 s → sub-second."""
     med = _mv_median(v)
-    return _mv_median(F.transform(
-        v, lambda x: F.abs(x.cast("double") - med)))
+    devs = F.zip_with(
+        v, F.array_repeat(med, F.array_size(v)),
+        lambda x, m: F.abs(x.cast("double") - m))
+    return _mv_median(devs)
 
 
 def _mv_pseries(v: Column, p: Column) -> Column:
