@@ -4607,6 +4607,35 @@ def q_es_esql_spatial_agg(spark, sf_dir):
     ''')
 
 
+def q_es_esql_version(spark, sf_dir):
+    """ES|QL ``TO_VERSION`` (round 15 third batch): semver-aware
+    ordering over synthesized version strings — numeric segments
+    compare numerically (9.x before 10.x), a prerelease sorts before
+    its release, prerelease identifiers follow SemVer precedence.
+    TO_VERSION compiles to a pure-codegen ordering KEY (zero-padded
+    segments + release/prerelease markers, plans/esql.py _to_version),
+    so the SORT is one TakeOrderedAndProject over the scan — no UDF,
+    no extra exchange beyond the top-k.  The oracle replays the SAME
+    total order directly on the numeric components (core segments,
+    prerelease-before-release, prerelease counter, key tiebreak) —
+    order equivalence, not key-string replay, is the contract."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"part": _t(spark, sf_dir, "part")}, '''
+        FROM part
+        | EVAL core = CONCAT(TO_STRING(p_size), ".",
+                             TO_STRING(p_partkey % 100), ".",
+                             TO_STRING(p_partkey % 7)),
+               ver = CASE(p_partkey % 11 == 0,
+                          CONCAT(core, "-rc.", TO_STRING(p_partkey % 3)),
+                          core),
+               k = TO_VERSION(ver)
+        | SORT k ASC, p_partkey ASC
+        | KEEP ver, p_partkey
+        | LIMIT 40
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5532,7 +5561,8 @@ def q_ks_drift(spark, sf_dir):
 #: es_esql_stats, es_esql_fn, es_esql_fn2 (MV percentile family over
 #: array<float> + HASH/base64/byte-length tail), es_esql_spatial_agg
 #: (ST_CENTROID_AGG / ST_EXTENT_AGG / exact per-group
-#: MEDIAN_ABSOLUTE_DEVIATION), es_esql_fulltext (MATCH_PHRASE / TERM /
+#: MEDIAN_ABSOLUTE_DEVIATION), es_esql_version (TO_VERSION semver
+#: ordering), es_esql_fulltext (MATCH_PHRASE / TERM /
 #: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
 #: *_OVER_TIME two-stage nests), es_retriever_rule (query rules over a
 #: child retriever) (+ video_dedup's set-alignment mode,
@@ -5769,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_ts": q_es_esql_ts,
         "es_esql_fn2": q_es_esql_fn2,
         "es_esql_spatial_agg": q_es_esql_spatial_agg,
+        "es_esql_version": q_es_esql_version,
         "es_retriever_rule": q_es_retriever_rule,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -7502,6 +7533,33 @@ def _goldens_b() -> dict[str, str]:
             FROM p
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment ASC
+        """,
+        # es_esql_version: the semver order replayed directly on the
+        # numeric components — prerelease rows sort before their
+        # release, the rc counter orders prereleases, partkey breaks
+        # ties; order equivalence is the contract (the engine's key
+        # string never leaves the plan)
+        "es_esql_version": """
+            WITH v AS (
+              SELECT p_partkey, p_size,
+                     p_partkey % 100 AS k100,
+                     p_partkey % 7 AS k7,
+                     (p_partkey % 11 = 0) AS has_pre,
+                     p_partkey % 3 AS pren,
+                     CAST(p_size AS VARCHAR) || '.'
+                       || CAST(p_partkey % 100 AS VARCHAR) || '.'
+                       || CAST(p_partkey % 7 AS VARCHAR)
+                       || CASE WHEN p_partkey % 11 = 0
+                               THEN '-rc.' || CAST(p_partkey % 3 AS VARCHAR)
+                               ELSE '' END AS ver
+              FROM part
+            )
+            SELECT ver, p_partkey
+            FROM v
+            ORDER BY p_size, k100, k7,
+                     CASE WHEN has_pre THEN 0 ELSE 1 END, pren,
+                     p_partkey
+            LIMIT 40
         """,
         # es_esql_fulltext: phrase = shingle containment, matches =
         # token containment, TERM/KQL numerics = direct compares — the

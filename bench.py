@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     # exact per-group MAD (collect buffer) + centroid/extent
     # min/max/decimal-sum aggregates in one exchange
     "es_esql_spatial_agg",
+    # TO_VERSION semver ordering key feeding one TakeOrderedAndProject
+    "es_esql_version",
 ]
 
 

@@ -1229,6 +1229,58 @@ def _mv_pseries(v: Column, p: Column) -> Column:
         F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _to_version(c: Column) -> Column:
+    """ES|QL ``TO_VERSION`` (round 15): string → the engine's
+    version ORDERING KEY, so ==/</>/SORT compare semver-aware:
+    ``1.0.0-alpha`` < ``1.0.0-alpha.1`` < ``1.0.0`` < ``1.0.10`` <
+    ``2.0.0`` and ``9.0.0`` < ``10.0.0``.  Same contract shape as
+    TO_IP (the value is the KEY, not a version-rendered string —
+    documented divergence; keep the original column for display).
+
+    Key layout, all codegen string math:
+    - valid ``major[.minor[.patch[.build]]][-prerelease]``: ``'0'`` +
+      four 10-digit zero-padded segments (missing segments pad as 0,
+      with the segment COUNT appended so ``1.0`` and ``1.0.0`` stay
+      distinct, shorter first) + either ``'~'`` (release — sorts
+      after any prerelease, ASCII 126) or ``'-'`` + the prerelease
+      identifiers, each keyed ``'0'``+zero-padded when numeric else
+      ``'1'``+identifier (SemVer: numeric identifiers compare
+      numerically and before alphanumerics; a prefix prerelease sorts
+      first via plain string prefix order).
+    - invalid: ``'1'`` + the original string — live ES's version type
+      accepts any string and sorts invalid AFTER valid, alphabetically
+      (so this is the documented contract, not a silent fallback).
+    - NULL passes through."""
+    s = c.cast("string")
+    valid = s.rlike(
+        r"^\d+(\.\d+){0,3}(-[0-9A-Za-z-]+(\.[0-9A-Za-z-]+)*)?$")
+    parts = F.split(s, "-", 2)
+    core = F.get(parts, 0)
+    segs = F.split(core, r"\.")
+    core_key = F.concat_ws(".", *[
+        F.lpad(F.coalesce(F.get(segs, i), F.lit("0")), 10, "0")
+        for i in range(4)])
+    nseg = F.array_size(segs).cast("string")
+    pre = F.get(parts, 1)
+    # ',' (44) separator: BELOW every identifier char ('-' is 45), so
+    # a prefix prerelease list sorts first even against identifiers
+    # that themselves contain '-' (alpha.1 < alpha-1 because alpha <
+    # alpha-1 — '.'(46) as separator would invert it)
+    pre_key = F.array_join(
+        F.transform(
+            F.split(pre, r"\."),
+            lambda t: F.when(t.rlike(r"^\d+$"),
+                             F.concat(F.lit("0"), F.lpad(t, 10, "0")))
+            .otherwise(F.concat(F.lit("1"), t))), ",")
+    tail = F.when(F.array_size(parts) == 2,
+                  F.concat(F.lit("-"), pre_key)).otherwise(F.lit("~"))
+    return (
+        F.when(s.isNull(), F.lit(None).cast("string"))
+        .when(valid, F.concat(F.lit("0"), core_key, F.lit("."),
+                              nseg, tail))
+        .otherwise(F.concat(F.lit("1"), s)))
+
+
 def _hash_fn(alg: Column, v: Column) -> Column:
     """ES|QL ``HASH(alg, input)`` (8.16): hex digest of ``input`` under
     the named algorithm — the generalized form of the MD5/SHA1/SHA256
@@ -1396,6 +1448,7 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
     "TO_BASE64": lambda a: F.base64(a[0].cast("binary")),
     "FROM_BASE64": lambda a: F.unbase64(a[0]).cast("string"),
     "HASH": lambda a: _hash_fn(a[0], a[1]),
+    "TO_VERSION": lambda a: _to_version(a[0]),
     "MV_ZIP": lambda a: F.zip_with(
         a[0], a[1],
         lambda x, y: F.when(x.isNull(), y).when(y.isNull(), x)
@@ -1458,7 +1511,7 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "MV_PSERIES_WEIGHTED_SUM": (2, 2),
     "SPACE": (1, 1), "REPEAT": (2, 2), "BIT_LENGTH": (1, 1),
     "BYTE_LENGTH": (1, 1), "TO_BASE64": (1, 1), "FROM_BASE64": (1, 1),
-    "HASH": (2, 2),
+    "HASH": (2, 2), "TO_VERSION": (1, 1),
 }
 
 #: aggregates (STATS context only)

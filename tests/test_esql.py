@@ -948,9 +948,38 @@ class TestScalarTail15:
 
     def test_arity_enforced(self, catalog):
         for bad in ("MV_PERCENTILE(cat)", "SPACE()", "REPEAT(cat)",
-                    "HASH(cat)", "MV_PSERIES_WEIGHTED_SUM(cat)"):
+                    "HASH(cat)", "MV_PSERIES_WEIGHTED_SUM(cat)",
+                    "TO_VERSION()"):
             with pytest.raises(ValueError, match="argument"):
                 esql(catalog, f"FROM sales | EVAL x = {bad}")
+
+    def test_to_version_ordering(self, spark):
+        vers = ["1.0.0", "1.0.0-alpha", "1.0.0-alpha.1", "1.0.0-alpha.beta",
+                "1.0.0-beta", "1.0.0-1", "1.0.10", "1.2.0", "2.0.0",
+                "9.0.0", "10.0.0", "1.0", "bogus", "alpha"]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vers)],
+                                   "id long, v string")
+        got = [r["v"] for r in esql({"t": df}, """
+            FROM t | EVAL k = TO_VERSION(v) | SORT k ASC | KEEP v
+        """).collect()]
+        # semver precedence: numeric prerelease < alpha prereleases <
+        # release; 1.0 (two segments) before 1.0.0; numeric 9 < 10;
+        # invalid strings after every valid version, alphabetical
+        assert got == [
+            "1.0", "1.0.0-1", "1.0.0-alpha", "1.0.0-alpha.1",
+            "1.0.0-alpha.beta", "1.0.0-beta", "1.0.0", "1.0.10",
+            "1.2.0", "2.0.0", "9.0.0", "10.0.0", "alpha", "bogus"]
+
+    def test_to_version_null_and_equality(self, spark):
+        df = spark.createDataFrame(
+            [(1, "1.2.3", "1.2.3"), (2, "1.0", "1.0.0"), (3, None, "1")],
+            "id long, a string, b string")
+        rows = {r["id"]: r for r in esql({"t": df}, """
+            FROM t | EVAL eq = TO_VERSION(a) == TO_VERSION(b)
+        """).collect()}
+        assert rows[1]["eq"] is True
+        assert rows[2]["eq"] is False  # 1.0 and 1.0.0 stay distinct
+        assert rows[3]["eq"] is None
 
 
 class TestAggTail15:
