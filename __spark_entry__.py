@@ -4692,6 +4692,33 @@ def q_es_weighted_tokens(spark, sf_dir):
     return es_scored_search(docs, body, id_field="doc_id")
 
 
+def q_es_semantic(spark, sf_dir):
+    """ES 8.15 ``semantic`` query over a semantic_text field (round 15
+    third batch): live ES runs the field's inference endpoint on the
+    query text; the deterministic stand-in treats the standard
+    analysis chain AS the inference — the query expands to its
+    distinct analyzed tokens at weight 1.0 and the clause rewrites
+    onto the sparse_vector dot product (plans/query_dsl.py filter
+    branch, plans/scoring.py score branch), so the plan shape and the
+    decimal-rounding contract are byte-identical to es_sparse_vector:
+    zero shuffle, zero UDF, TakeOrderedAndProject top-k.  The doc side
+    is the same honest tf encoder (sparse_tf_vector).  Boost applies
+    after the decimal sum (exact for 1.5 at 6dp)."""
+    from hive2es_offline_spark.plans.scoring import (
+        es_scored_search, sparse_tf_vector)
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.withColumn("tok_w", sparse_tf_vector("text"))
+    body = {
+        "query": {"semantic": {"field": "tok_w",
+                               "query": "Merge STREAM batch",
+                               "boost": 1.5}},
+        "size": 25,
+        "_source": ["doc_id", "source"],
+    }
+    return es_scored_search(docs, body, id_field="doc_id")
+
+
 def q_es_esql_fork(spark, sf_dir):
     """ES|QL ``FORK`` (round 14 second batch): branch sub-pipelines
     over one input frame, unioned by name with the ``_fork``
@@ -5562,7 +5589,9 @@ def q_ks_drift(spark, sf_dir):
 #: array<float> + HASH/base64/byte-length tail), es_esql_spatial_agg
 #: (ST_CENTROID_AGG / ST_EXTENT_AGG / exact per-group
 #: MEDIAN_ABSOLUTE_DEVIATION), es_esql_version (TO_VERSION semver
-#: ordering), es_esql_fulltext (MATCH_PHRASE / TERM /
+#: ordering), es_semantic (the semantic_text query,
+#: analysis-chain-as-inference onto sparse_vector),
+#: es_esql_fulltext (MATCH_PHRASE / TERM /
 #: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
 #: *_OVER_TIME two-stage nests), es_retriever_rule (query rules over a
 #: child retriever) (+ video_dedup's set-alignment mode,
@@ -5800,6 +5829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fn2": q_es_esql_fn2,
         "es_esql_spatial_agg": q_es_esql_spatial_agg,
         "es_esql_version": q_es_esql_version,
+        "es_semantic": q_es_semantic,
         "es_retriever_rule": q_es_retriever_rule,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -7968,6 +7998,28 @@ def _goldens_b() -> dict[str, str]:
             FROM tok
             WHERE {' OR '.join(
                 f"list_contains(toks, '{t}')" for t in sorted(_SPV_QV))}
+            ORDER BY _score DESC, doc_id ASC
+            LIMIT 25
+        """,
+        # es_semantic: the sparse_vector oracle at unit weights over
+        # the analyzed query tokens (batch/merge/stream — the standard
+        # chain lowercases), 1.5 boost after the decimal sum
+        "es_semantic": f"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     {_duck_toks('text', 'standard')} AS toks
+              FROM documents
+            )
+            SELECT doc_id, source,
+                   CAST({' + '.join(
+                       f"CAST(round(len(list_filter(toks, t -> t = '{t}'))"
+                       f" * 1.0, 6) AS DECIMAL(28,6))"
+                       for t in ['batch', 'merge', 'stream'])}
+                     AS DOUBLE) * 1.5 AS _score
+            FROM tok
+            WHERE {' OR '.join(
+                f"list_contains(toks, '{t}')"
+                for t in ['batch', 'merge', 'stream'])}
             ORDER BY _score DESC, doc_id ASC
             LIMIT 25
         """,

@@ -273,6 +273,9 @@ BENCH_QUERIES = [
     "es_esql_spatial_agg",
     # TO_VERSION semver ordering key feeding one TakeOrderedAndProject
     "es_esql_version",
+    # semantic query: analysis-chain-as-inference rewrite onto the
+    # sparse_vector dot product (scan-riding score, top-k heap)
+    "es_semantic",
 ]
 
 

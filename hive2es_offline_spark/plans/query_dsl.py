@@ -1834,6 +1834,34 @@ def compile_query(
         kind = "sparse_vector"
         body = {"field": field, "query_vector": spec["tokens"],
                 **({"boost": spec["boost"]} if "boost" in spec else {})}
+    if kind == "semantic":
+        # ES 8.15 semantic query over a semantic_text field.  Live ES
+        # runs the field's INFERENCE ENDPOINT on the query text; this
+        # engine has no model, so the deterministic stand-in is the
+        # standard analysis chain as the "inference": the query text
+        # expands to its distinct analyzed tokens at weight 1.0 and the
+        # clause rewrites to sparse_vector over the field's
+        # map<token,double> column (the flat-frame rendering of the
+        # field's sparse embedding — encode the doc side with the same
+        # deterministic expansion).  Same public-shape-stand-in policy
+        # as the reranker's linear scorer; documented divergence.
+        unknown = set(body) - {"field", "query", "boost"}
+        if unknown:
+            raise ValueError(
+                f"unsupported semantic option(s): {sorted(unknown)} "
+                "(lenient and inference-endpoint options need a live "
+                "inference service this engine does not have)")
+        if not str(body.get("query", "")).strip():
+            raise ValueError("semantic needs a non-empty query string")
+        toks = sorted(set(_analyze_terms(str(body["query"]))))
+        if not toks:
+            raise ValueError(
+                "semantic query analyzed to zero tokens — the "
+                "stand-in expansion would match nothing")
+        kind = "sparse_vector"
+        body = {"field": body["field"],
+                "query_vector": {t: 1.0 for t in toks},
+                **({"boost": body["boost"]} if "boost" in body else {})}
     if kind == "sparse_vector":
         # ES 8.15 sparse_vector (ELSER-style learned-sparse retrieval):
         # filter context matches docs whose sparse-vector map shares at

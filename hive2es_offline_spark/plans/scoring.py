@@ -635,6 +635,18 @@ class _ScoreCompiler:
                     F.lit(str(body["field"])))).cast("double"))
                 .otherwise(score)
             ).otherwise(F.lit(0.0))
+        if kind == "semantic":
+            # semantic_text stand-in: the standard analysis chain IS
+            # the "inference" — distinct query tokens at weight 1.0,
+            # rewritten onto sparse_vector (validation in the filter
+            # branch, which compile_query already ran)
+            from .query_dsl import _analyze_terms
+
+            toks = sorted(set(_analyze_terms(str(body["query"]))))
+            return self.build({"sparse_vector": {
+                "field": body["field"],
+                "query_vector": {t: 1.0 for t in toks},
+                **({"boost": body["boost"]} if "boost" in body else {})}})
         if kind == "weighted_tokens":
             # field-keyed precursor of sparse_vector — rewrite and
             # recurse (validation lives in the filter branch, which

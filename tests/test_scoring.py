@@ -1636,6 +1636,74 @@ class TestSparseVector:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestSemanticQuery:
+    """ES 8.15 semantic query over a semantic_text field (round 15):
+    the standard analysis chain stands in for the inference endpoint —
+    distinct analyzed query tokens at weight 1.0, rewritten onto
+    sparse_vector in both contexts."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, {"merge": 2.0, "stream": 1.0}),
+                (2, {"stream": 3.0, "batch": 1.0}),
+                (3, {"batch": 4.0}),
+                (4, None),
+            ],
+            "doc_id long, emb map<string,double>")
+
+    def test_scores_match_unit_weight_sparse_vector(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        sem = es_scored_search(docs, {
+            "query": {"semantic": {
+                "field": "emb", "query": "Merge the STREAM"}},
+            "size": 10, "_source": ["doc_id"],
+        }, id_field="doc_id")
+        ref = es_scored_search(docs, {
+            "query": {"sparse_vector": {
+                "field": "emb",
+                "query_vector": {"merge": 1.0, "the": 1.0,
+                                 "stream": 1.0}}},
+            "size": 10, "_source": ["doc_id"],
+        }, id_field="doc_id")
+        assert [tuple(r) for r in sem.collect()] == \
+            [tuple(r) for r in ref.collect()]
+        # doc1: 2+1 = 3; doc2: 3
+        rows = [(r["doc_id"], r["_score"]) for r in sem.collect()]
+        assert rows == [(1, 3.0), (2, 3.0)]
+
+    def test_filter_context_and_boost(self, docs):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        out = es_search(docs, {
+            "query": {"semantic": {"field": "emb", "query": "batch"}},
+            "size": 10, "_source": ["doc_id"],
+        }, id_field="doc_id")
+        assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+        boosted = es_scored_search(docs, {
+            "query": {"semantic": {"field": "emb", "query": "batch",
+                                   "boost": 2.0}},
+            "size": 10, "_source": ["doc_id"],
+        }, id_field="doc_id")
+        assert [(r["doc_id"], r["_score"]) for r in boosted.collect()] \
+            == [(3, 8.0), (2, 2.0)]
+
+    def test_rejects(self, docs):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        with pytest.raises(ValueError, match="semantic option"):
+            es_search(docs, {"query": {"semantic": {
+                "field": "emb", "query": "x", "lenient": True}},
+                "size": 1}, id_field="doc_id")
+        with pytest.raises(ValueError, match="non-empty query"):
+            es_search(docs, {"query": {"semantic": {
+                "field": "emb", "query": "  "}}, "size": 1},
+                id_field="doc_id")
+
+
 class TestWeightedTokens:
     """weighted_tokens (round 14 second batch): the field-keyed
     precursor of sparse_vector — same dot product, both contexts."""
