@@ -2935,6 +2935,35 @@ def q_es_bucket_correlation(spark, sf_dir):
     return es_search(o, body, id_field="o_orderkey")
 
 
+#: es_ks_test expected fractions — ONE constant feeds the Spark body
+#: and the DuckDB oracle (lockstep, like the classifier weights)
+_KS_FRACTIONS = [0.05, 0.1, 0.15, 0.2, 0.2, 0.15, 0.1, 0.05]
+
+
+def q_es_ks_test(spark, sf_dir):
+    """``bucket_count_ks_test`` sibling pipeline agg (round 15, the ML
+    plugin's Kolmogorov–Smirnov doc-count test): KS statistics of the
+    bucket doc_count distribution vs caller fractions, aligned
+    key-ascending — empirical/expected CDFs via window cumsums on the
+    reduced bucket frame, less/greater/two_sided each clamped at 0 and
+    rounded to 6dp.  Returns the STATISTIC, not the p-value (the
+    Kolmogorov CDF has no closed form expressible in both engines —
+    the t_test precedent).  O(buckets) reduce-phase work; the oracle
+    replays the same cumsums with SQL window functions."""
+    from hive2es_offline_spark.plans.query_dsl import es_search
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "k8", (F.col("o_orderkey") % 8).cast("int"))
+    body = {"size": 0, "aggs": {
+        "m": {"terms": {"field": "k8", "size": 8}},
+        "ks": {"bucket_count_ks_test": {
+            "buckets_path": "m>_count",
+            "fractions": list(_KS_FRACTIONS),
+            "alternative": ["less", "greater", "two_sided"]}},
+    }}
+    return es_search(o, body, id_field="o_orderkey")
+
+
 def q_es_moving_percentiles(spark, sf_dir):
     """``moving_percentiles`` pipeline agg (round 12, an r13 window
     candidate): exact p50/p90 of the trailing six monthly revenue
@@ -5590,7 +5619,8 @@ def q_ks_drift(spark, sf_dir):
 #: (ST_CENTROID_AGG / ST_EXTENT_AGG / exact per-group
 #: MEDIAN_ABSOLUTE_DEVIATION), es_esql_version (TO_VERSION semver
 #: ordering), es_semantic (the semantic_text query,
-#: analysis-chain-as-inference onto sparse_vector),
+#: analysis-chain-as-inference onto sparse_vector), es_ks_test
+#: (bucket_count_ks_test KS statistics over the bucket frame),
 #: es_esql_fulltext (MATCH_PHRASE / TERM /
 #: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
 #: *_OVER_TIME two-stage nests), es_retriever_rule (query rules over a
@@ -5830,6 +5860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_spatial_agg": q_es_esql_spatial_agg,
         "es_esql_version": q_es_esql_version,
         "es_semantic": q_es_semantic,
+        "es_ks_test": q_es_ks_test,
         "es_retriever_rule": q_es_retriever_rule,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -8544,6 +8575,39 @@ def _goldens_b() -> dict[str, str]:
                                       / sqrt((n * sxx - sx * sx)
                                              * (n * syy - sy * sy))
                                  END, 6) FROM mom) AS corr_value
+            FROM b
+        """,
+        # es_ks_test: the same key-ascending CDF cumsums as SQL window
+        # functions; the 8-bucket frame always matches the 8 fractions
+        # at every SF (o_orderkey % 8 covers all classes)
+        "es_ks_test": f"""
+            WITH b AS (
+              SELECT CAST(o_orderkey % 8 AS INTEGER) AS key,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1
+            ), fr AS (
+              SELECT key, doc_count,
+                     ({_KS_FRACTIONS})[
+                         row_number() OVER (ORDER BY key ASC)] AS f
+              FROM b
+            ), s AS (
+              SELECT
+                sum(doc_count * 1.0) OVER (ORDER BY key ASC
+                    ROWS UNBOUNDED PRECEDING)
+                  / sum(doc_count * 1.0) OVER () AS emp,
+                sum(f) OVER (ORDER BY key ASC ROWS UNBOUNDED PRECEDING)
+                  / sum(f) OVER () AS expc
+              FROM fr
+            ), d AS (
+              SELECT round(greatest(max(emp - expc), 0), 6) AS l,
+                     round(greatest(max(expc - emp), 0), 6) AS g,
+                     round(greatest(max(abs(emp - expc)), 0), 6) AS t
+              FROM s
+            )
+            SELECT b.key, b.doc_count,
+                   (SELECT l FROM d) AS ks_less,
+                   (SELECT g FROM d) AS ks_greater,
+                   (SELECT t FROM d) AS ks_two_sided
             FROM b
         """,
         "es_moving_percentiles": """

@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     # semantic query: analysis-chain-as-inference rewrite onto the
     # sparse_vector dot product (scan-riding score, top-k heap)
     "es_semantic",
+    # KS doc-count test: one terms exchange + reduce-phase CDF windows
+    "es_ks_test",
 ]
 
 

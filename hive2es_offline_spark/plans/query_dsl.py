@@ -3442,7 +3442,7 @@ _PIPELINE_KINDS = {
 _SIBLING_PIPELINE_KINDS = {
     "max_bucket", "min_bucket", "avg_bucket", "sum_bucket",
     "stats_bucket", "extended_stats_bucket", "percentiles_bucket",
-    "bucket_correlation", "change_point",
+    "bucket_correlation", "change_point", "bucket_count_ks_test",
 }
 
 
@@ -3870,6 +3870,90 @@ def _compile_sibling_pipeline(
             (n == F.lit(float(len(exp)))) & (vx > 0) & (vy > 0),
             (n * F.col("_sxy") - sx * sy) / F.sqrt(vx * vy))
         scalar = mom.select(F.round(corr, 6).alias(f"{name}_value"))
+    elif pkind == "bucket_count_ks_test":
+        # ES ML bucket_count_ks_test: one-sample Kolmogorov–Smirnov
+        # test of the bucket doc-count distribution against the
+        # caller's expected fractions.  Returns the KS STATISTICS —
+        # NOT p-values: the p-value needs the Kolmogorov distribution
+        # CDF, which has no closed form expressible in both engines
+        # (the t_test precedent; convert the statistic downstream).
+        # Definitions, aligned by key-ascending position: empirical
+        # CDF = cumulative counts / total; expected CDF = cumulative
+        # normalized fractions (uniform when absent);
+        #   less      = max(empCDF − expCDF)   (counts stochastically
+        #               smaller → their mass arrives EARLIER, so the
+        #               empirical CDF runs above the expected one)
+        #   greater   = max(expCDF − empCDF)
+        #   two_sided = max of both
+        # each clamped at 0 and rounded to 6dp.  A fractions length
+        # mismatch or an all-zero count series yields NULL (the
+        # degenerate-frame contract, like bucket_correlation), never
+        # NaN.  sampling_method upper_tail/lower_tail depend on live
+        # ES's doc-count sampling and reject loudly.  O(buckets) over
+        # the reduced frame — the global-order windows are
+        # reduce-phase sized (the bucket_correlation precedent).
+        unknown = set(pspec) - {"buckets_path", "alternative",
+                                "fractions", "sampling_method"}
+        if unknown:
+            raise ValueError(
+                f"unsupported bucket_count_ks_test option(s): "
+                f"{sorted(unknown)}")
+        meth = str(pspec.get("sampling_method", "uniform"))
+        if meth != "uniform":
+            raise ValueError(
+                f"unsupported sampling_method {meth!r} — upper_tail/"
+                "lower_tail weight buckets by live ES's doc-count "
+                "sampling, which this engine does not model")
+        alts = list(pspec.get("alternative",
+                              ["less", "greater", "two_sided"]))
+        bad = set(alts) - {"less", "greater", "two_sided"}
+        if bad or not alts:
+            raise ValueError(
+                f"bucket_count_ks_test alternative must be a non-empty "
+                f"subset of less/greater/two_sided, got {alts!r}")
+        fr = pspec.get("fractions")
+        if fr is not None:
+            exp = [float(v) for v in fr]
+            if len(exp) < 2 or any(v < 0 for v in exp) or sum(exp) <= 0:
+                raise ValueError(
+                    "bucket_count_ks_test fractions must be >= 2 "
+                    "non-negative values with a positive sum")
+        from pyspark.sql.window import Window
+
+        tot = Window.partitionBy()
+        cum = Window.orderBy(F.col("key").asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        pos = F.row_number().over(Window.orderBy(F.col("key").asc()))
+        x = src.cast("double")
+        if fr is not None:
+            frac = F.try_element_at(F.lit(exp), pos)
+        else:
+            frac = F.lit(1.0) / F.count(F.lit(1)).over(tot)
+        base = buckets.select(
+            F.col("key"), x.alias("_x"), frac.alias("_f"))
+        per = base.select(
+            (F.sum("_x").over(cum) / F.sum("_x").over(tot))
+            .alias("_emp"),
+            (F.sum("_f").over(cum) / F.sum("_f").over(tot))
+            .alias("_exp"),
+            F.col("_f").isNull().cast("int").alias("_fnull"),
+            F.count(F.lit(1)).over(tot).alias("_nb"),
+            F.sum("_x").over(tot).alias("_tot"),
+        )
+        # window sums SKIP NULLs, so a fractions/bucket length mismatch
+        # must be caught explicitly (the _fnull flag + bucket count),
+        # not inferred from a NULL cumsum
+        ok = ((F.max("_fnull") == 0) & (F.min("_tot") > 0)
+              & ((F.lit(fr is None))
+                 | (F.first("_nb") == F.lit(len(fr or [])))))
+        d = {
+            "less": F.max(F.col("_emp") - F.col("_exp")),
+            "greater": F.max(F.col("_exp") - F.col("_emp")),
+            "two_sided": F.max(F.abs(F.col("_emp") - F.col("_exp"))),
+        }
+        scalar = per.agg(*[
+            F.when(ok, F.round(F.greatest(d[a], F.lit(0.0)), 6))
+            .alias(f"{name}_{a}") for a in alts])
     elif pkind == "change_point":
         # ES change_point (round 13, VERDICT r12 #5): the deterministic
         # variance-explained detector — full semantics, contracts and

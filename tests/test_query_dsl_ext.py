@@ -3027,6 +3027,70 @@ class TestRound12Fodder:
                     "function": {"spearman": {}}}}}},
                 id_field="id").collect()
 
+    def test_bucket_count_ks_test_hand_computed(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        # counts 1,2,3 (total 6) vs uniform fractions:
+        # empCDF = 1/6, 3/6, 1; expCDF = 1/3, 2/3, 1
+        # less = max(emp-exp) clamped = 0; greater = max(exp-emp) = 1/6
+        df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate([0, 1, 1, 2, 2, 2])],
+            "id long, k int")
+        body = {"size": 0, "aggs": {
+            "m": {"terms": {"field": "k", "size": 10}},
+            "ks": {"bucket_count_ks_test": {
+                "buckets_path": "m>_count"}}}}
+        r = es_search(df, body, id_field="id").first()
+        assert r["ks_less"] == pytest.approx(0.0)
+        assert r["ks_greater"] == pytest.approx(1 / 6, abs=2e-6)
+        assert r["ks_two_sided"] == pytest.approx(1 / 6, abs=2e-6)
+        # explicit fractions matching the counts exactly -> all zero
+        body["aggs"]["ks"]["bucket_count_ks_test"]["fractions"] = \
+            [1 / 6, 2 / 6, 3 / 6]
+        r = es_search(df, body, id_field="id").first()
+        assert r["ks_less"] == pytest.approx(0.0)
+        assert r["ks_greater"] == pytest.approx(0.0)
+        assert r["ks_two_sided"] == pytest.approx(0.0)
+        # mass shifted early: counts stochastically smaller ->
+        # "less" evidence positive
+        body["aggs"]["ks"]["bucket_count_ks_test"]["fractions"] = \
+            [0.0, 0.2, 0.8]
+        r = es_search(df, body, id_field="id").first()
+        # empCDF = 1/6, 1/2, 1; expCDF = 0, 0.2, 1 -> max(emp-exp) = 0.3
+        assert r["ks_less"] == pytest.approx(0.3, abs=2e-6)
+        # alternative subset limits the output columns
+        body["aggs"]["ks"]["bucket_count_ks_test"]["alternative"] = \
+            ["two_sided"]
+        r = es_search(df, body, id_field="id").first()
+        assert "ks_less" not in r.asDict() and "ks_two_sided" in r.asDict()
+        # fractions length mismatch -> NULL (degenerate contract)
+        body["aggs"]["ks"]["bucket_count_ks_test"] = {
+            "buckets_path": "m>_count", "fractions": [0.5, 0.5]}
+        r = es_search(df, body, id_field="id").first()
+        assert r["ks_less"] is None and r["ks_two_sided"] is None
+
+    def test_bucket_count_ks_test_rejects(self, spark):
+        from hive2es_offline_spark.plans.query_dsl import es_search
+
+        df = spark.createDataFrame([(1, 0)], "id long, k int")
+        base = {"size": 0, "aggs": {
+            "m": {"terms": {"field": "k"}},
+            "ks": {"bucket_count_ks_test": {"buckets_path": "m>_count"}}}}
+        import copy
+        b = copy.deepcopy(base)
+        b["aggs"]["ks"]["bucket_count_ks_test"]["sampling_method"] = \
+            "upper_tail"
+        with pytest.raises(ValueError, match="sampling_method"):
+            es_search(df, b, id_field="id").collect()
+        b = copy.deepcopy(base)
+        b["aggs"]["ks"]["bucket_count_ks_test"]["alternative"] = ["both"]
+        with pytest.raises(ValueError, match="alternative"):
+            es_search(df, b, id_field="id").collect()
+        b = copy.deepcopy(base)
+        b["aggs"]["ks"]["bucket_count_ks_test"]["fractions"] = [-1.0, 2.0]
+        with pytest.raises(ValueError, match="fractions"):
+            es_search(df, b, id_field="id").collect()
+
     def test_moving_percentiles_exact_windows(self, spark):
         import datetime as dt
 
