@@ -4665,6 +4665,33 @@ def q_es_esql_version(spark, sf_dir):
     ''')
 
 
+def q_es_esql_first_last(spark, sf_dir):
+    """ES|QL ``FIRST``/``LAST`` aggregates (9.2) + the ``SAMPLE``
+    aggregate (8.16), round 15 third batch: value at the min/max sort
+    key via one min/max over a (sort, value) struct — a plain codegen
+    aggregate, no window, no collect — with sort-key ties broken by
+    VALUE (live ES leaves ties unspecified; deterministic is the
+    documented divergence).  SAMPLE keeps the 3 values with the
+    smallest (md5, value) key per group — live ES samples randomly;
+    the value-keyed deterministic subset is the random_sampler
+    family's documented-divergence argument, replayable in SQL.  One
+    STATS exchange total."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    e = _t(spark, sf_dir, "events")
+    return esql({"events": e}, '''
+        FROM events
+        | EVAL g = user_id % 10
+        | STATS f = FIRST(event_type, ts), l = LAST(event_type, ts),
+                fv = FIRST(value, ts),
+                smp = SAMPLE(event_type, 3), n = COUNT(*)
+          BY g
+        | EVAL s1 = MV_FIRST(smp), s3 = MV_LAST(smp)
+        | DROP smp
+        | SORT g ASC
+    ''')
+
+
 #: es_sparse_vector query expansion — ONE constant feeds both the Spark
 #: query and the DuckDB oracle (lockstep, like the classifier weights)
 _SPV_QV = {"merge": 1.2, "stream": 0.9, "batch": 0.4}
@@ -5621,7 +5648,8 @@ def q_ks_drift(spark, sf_dir):
 #: ordering), es_semantic (the semantic_text query,
 #: analysis-chain-as-inference onto sparse_vector), es_ks_test
 #: (bucket_count_ks_test KS statistics over the bucket frame),
-#: es_esql_fulltext (MATCH_PHRASE / TERM /
+#: es_esql_first_last (FIRST/LAST struct-min aggregates + the
+#: deterministic SAMPLE), es_esql_fulltext (MATCH_PHRASE / TERM /
 #: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
 #: *_OVER_TIME two-stage nests), es_retriever_rule (query rules over a
 #: child retriever) (+ video_dedup's set-alignment mode,
@@ -5861,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_version": q_es_esql_version,
         "es_semantic": q_es_semantic,
         "es_ks_test": q_es_ks_test,
+        "es_esql_first_last": q_es_esql_first_last,
         "es_retriever_rule": q_es_retriever_rule,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -7621,6 +7650,31 @@ def _goldens_b() -> dict[str, str]:
                      CASE WHEN has_pre THEN 0 ELSE 1 END, pren,
                      p_partkey
             LIMIT 40
+        """,
+        # es_esql_first_last: FIRST/LAST replayed as ordered-list
+        # heads with the same (sort, value) tie order; SAMPLE replayed
+        # with the same (md5, value) key
+        "es_esql_first_last": """
+            WITH e AS (
+              SELECT user_id % 10 AS g, ts, event_type, value
+              FROM events
+            ), agg AS (
+              SELECT g,
+                     (list(event_type ORDER BY ts ASC, event_type ASC))[1]
+                       AS f,
+                     (list(event_type ORDER BY ts DESC, event_type DESC))[1]
+                       AS l,
+                     (list(value ORDER BY ts ASC, value ASC))[1] AS fv,
+                     list(event_type ORDER BY md5(event_type) ASC,
+                          event_type ASC) AS sl,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY g
+            )
+            SELECT g, f, l, fv, n,
+                   sl[1] AS s1,
+                   sl[least(3, len(sl))] AS s3
+            FROM agg
+            ORDER BY g ASC
         """,
         # es_esql_fulltext: phrase = shingle containment, matches =
         # token containment, TERM/KQL numerics = direct compares — the

@@ -278,6 +278,9 @@ BENCH_QUERIES = [
     "es_semantic",
     # KS doc-count test: one terms exchange + reduce-phase CDF windows
     "es_ks_test",
+    # FIRST/LAST struct-min aggregates + deterministic SAMPLE in one
+    # STATS exchange
+    "es_esql_first_last",
 ]
 
 

@@ -565,6 +565,34 @@ class _P:
                 F.sort_array(F.collect_list(arg),
                              asc=ot[1].lower() == "asc"),
                 1, int(nt[1]))
+        if fn == "SAMPLE":
+            # ES|QL SAMPLE(field, limit) aggregate (8.16): a subset of
+            # the group's values as a multivalue.  Live ES samples
+            # RANDOMLY; randomness breaks retry determinism and oracle
+            # replay, so the deterministic variant keeps the `limit`
+            # values with the smallest (md5-of-value, value) key —
+            # value-dependent and uniform-ish, stable across
+            # runs/partitionings, replayable in SQL (the random_sampler
+            # family's documented-divergence argument).  NULLs are
+            # skipped like every aggregate; the limit is a plan-time
+            # literal like TOP's.
+            arg = self.expr()
+            self.expect_op(",")
+            nt = self.next()
+            if nt[0] != "num" or "." in nt[1] or int(nt[1]) < 1:
+                raise ValueError(
+                    f"ES|QL: SAMPLE limit must be a positive integer "
+                    f"literal{_at(nt)}")
+            self.expect_op(")")
+            gate = getattr(self, "agg_where", None)
+            if gate is not None:
+                arg = F.when(gate, arg)
+            keyed = F.when(arg.isNotNull(), F.struct(
+                F.md5(arg.cast("string")).alias("h"), arg.alias("v")))
+            return F.transform(
+                F.slice(F.array_sort(F.collect_list(keyed)),
+                        1, int(nt[1])),
+                lambda x: x.getField("v"))
         if fn == "DATE_TRUNC":
             # ES|QL time-span first argument: DATE_TRUNC(1 day, ts)
             n = self.next()
@@ -1573,6 +1601,20 @@ _AGGS: dict[str, Callable[[list[Column]], Column]] = {
         F.round((F.sum(a[0].getField("lon").cast("decimal(28,6)"))
                  / F.count(a[0].getField("lon"))).cast("double"), 6)
         .alias("lon")),
+    # FIRST/LAST (ES|QL 9.2): the value at the min/max sort key.  Rows
+    # with a NULL value OR a NULL sort key are skipped (ES ignores
+    # rows missing the sort field); sort-key ties break by VALUE via
+    # the struct's lexicographic order — live ES leaves ties
+    # unspecified, the deterministic choice is the documented
+    # divergence (the VALUES-sorting precedent).
+    "FIRST": lambda a: F.min(
+        F.when(a[0].isNotNull() & a[1].isNotNull(),
+               F.struct(a[1].alias("s"), a[0].alias("v"))))
+        .getField("v"),
+    "LAST": lambda a: F.max(
+        F.when(a[0].isNotNull() & a[1].isNotNull(),
+               F.struct(a[1].alias("s"), a[0].alias("v"))))
+        .getField("v"),
     "ST_EXTENT_AGG": lambda a: F.concat(
         F.lit("BBOX ("),
         F.min(a[0].getField("lon")).cast("decimal(18,6)").cast("string"),
@@ -1591,7 +1633,7 @@ _AGG_ARITY: dict[str, tuple[int, int | None]] = {
     "MAX": (1, 1), "COUNT_DISTINCT": (1, 2), "MEDIAN": (1, 1),
     "VALUES": (1, 1), "WEIGHTED_AVG": (2, 2), "STD_DEV": (1, 1),
     "MEDIAN_ABSOLUTE_DEVIATION": (1, 1), "ST_CENTROID_AGG": (1, 1),
-    "ST_EXTENT_AGG": (1, 1),
+    "ST_EXTENT_AGG": (1, 1), "FIRST": (2, 2), "LAST": (2, 2),
 }
 
 

@@ -1038,6 +1038,49 @@ class TestAggTail15:
         with pytest.raises(ValueError, match="argument"):
             esql(catalog,
                  "FROM sales | STATS m = MEDIAN_ABSOLUTE_DEVIATION()")
+        with pytest.raises(ValueError, match="argument"):
+            esql(catalog, "FROM sales | STATS f = FIRST(id)")
+
+    def test_first_last(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (1, 30, "c"), (1, 20, "b"),
+             (2, 5, "x"), (2, 5, "w"),        # tie on sort key
+             (3, None, "only-null-sort"), (3, 7, None)],
+            "g int, ts int, v string")
+        rows = {r["g"]: r for r in esql({"t": df}, """
+            FROM t | STATS f = FIRST(v, ts), l = LAST(v, ts) BY g
+        """).collect()}
+        assert rows[1]["f"] == "a" and rows[1]["l"] == "c"
+        # tie on the sort key breaks by value (documented)
+        assert rows[2]["f"] == "w" and rows[2]["l"] == "x"
+        # NULL sort key and NULL value rows are both skipped
+        assert rows[3]["f"] is None and rows[3]["l"] is None
+
+    def test_first_with_agg_where(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "low"), (1, 2, "hi"), (1, 3, "hi2")],
+            "g int, ts int, v string")
+        r = esql({"t": df}, """
+            FROM t | STATS f = FIRST(v, ts) WHERE ts >= 2 BY g
+        """).first()
+        assert r["f"] == "hi"
+
+    def test_sample_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, f"v{i}") for i in range(20)] + [(2, None)],
+            "g int, v string")
+        q = "FROM t | STATS s = SAMPLE(v, 5), n = COUNT(*) BY g"
+        a = {r["g"]: r for r in esql({"t": df}, q).collect()}
+        b = {r["g"]: r for r in esql(
+            {"t": df.repartition(7)}, q).collect()}
+        # deterministic across partitionings, subset of the values
+        assert a[1]["s"] == b[1]["s"] and len(a[1]["s"]) == 5
+        assert set(a[1]["s"]) <= {f"v{i}" for i in range(20)}
+        assert a[2]["s"] == []  # NULLs skipped
+
+    def test_sample_limit_literal(self, catalog):
+        with pytest.raises(ValueError, match="positive integer"):
+            esql(catalog, "FROM sales | STATS s = SAMPLE(cat, 0)")
 
 
 class TestFullTextWhere:
