@@ -4597,6 +4597,26 @@ def q_es_esql_fn2(spark, sf_dir):
     ''')
 
 
+def q_es_esql_fn3(spark, sf_dir):
+    """ES|QL math/date scalar stragglers (round 15 third batch):
+    ``ROUND_TO`` (8.19 — round DOWN to the nearest fixed point, the
+    smallest point below range) bands prices, ``DAY_NAME``/
+    ``MONTH_NAME`` (9.1 — root-locale English names, the same strings
+    DuckDB's dayname/monthname emit) shape the group keys, all codegen
+    in one projection before a single STATS exchange.  The oracle
+    replays ROUND_TO as a CASE descent and the names natively."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"orders": _t(spark, sf_dir, "orders")}, '''
+        FROM orders
+        | EVAL dn = DAY_NAME(o_orderdate), mn = MONTH_NAME(o_orderdate),
+               band = ROUND_TO(o_totalprice, 0.0, 50000.0, 100000.0,
+                               200000.0, 300000.0)
+        | STATS n = COUNT(*), rev = SUM(o_totalprice) BY dn, mn, band
+        | SORT dn ASC, mn ASC, band ASC
+    ''')
+
+
 def q_es_esql_spatial_agg(spark, sf_dir):
     """ES|QL aggregate round-out, third batch (round 15):
     ``ST_CENTROID_AGG`` (decimal-routed coordinate averages returning
@@ -5642,7 +5662,8 @@ def q_ks_drift(spark, sf_dir):
 #: all locally DuckDB-goldened): es_esql_match, es_esql_spatial,
 #: es_esql_ip, es_retriever_rerank, es_esql_rerank, es_esql_grid,
 #: es_esql_stats, es_esql_fn, es_esql_fn2 (MV percentile family over
-#: array<float> + HASH/base64/byte-length tail), es_esql_spatial_agg
+#: array<float> + HASH/base64/byte-length tail), es_esql_fn3
+#: (ROUND_TO/DAY_NAME/MONTH_NAME banding), es_esql_spatial_agg
 #: (ST_CENTROID_AGG / ST_EXTENT_AGG / exact per-group
 #: MEDIAN_ABSOLUTE_DEVIATION), es_esql_version (TO_VERSION semver
 #: ordering), es_semantic (the semantic_text query,
@@ -5885,6 +5906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fulltext": q_es_esql_fulltext,
         "es_esql_ts": q_es_esql_ts,
         "es_esql_fn2": q_es_esql_fn2,
+        "es_esql_fn3": q_es_esql_fn3,
         "es_esql_spatial_agg": q_es_esql_spatial_agg,
         "es_esql_version": q_es_esql_version,
         "es_semantic": q_es_semantic,
@@ -7589,6 +7611,23 @@ def _goldens_b() -> dict[str, str]:
             WHERE strlen(h) = 64 AND rt = substr(h, 1, 8) AND p90 >= p50
             GROUP BY label
             ORDER BY label ASC
+        """,
+        # es_esql_fn3: ROUND_TO as a CASE descent, the date names
+        # native (both engines render root-locale English)
+        "es_esql_fn3": """
+            SELECT dayname(o_orderdate) AS dn,
+                   monthname(o_orderdate) AS mn,
+                   CASE WHEN o_totalprice >= 300000 THEN 300000.0
+                        WHEN o_totalprice >= 200000 THEN 200000.0
+                        WHEN o_totalprice >= 100000 THEN 100000.0
+                        WHEN o_totalprice >= 50000 THEN 50000.0
+                        ELSE 0.0 END AS band,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DOUBLE) AS rev
+            FROM orders
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         # es_esql_spatial_agg: centroid = decimal-routed coordinate
         # averages, extent = the same 6dp-decimal BBOX render, MAD =

@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     # FIRST/LAST struct-min aggregates + deterministic SAMPLE in one
     # STATS exchange
     "es_esql_first_last",
+    # ROUND_TO banding + date names, one projection + one STATS
+    "es_esql_fn3",
 ]
 
 

@@ -1477,6 +1477,23 @@ _FNS: dict[str, Callable[[list[Column]], Column]] = {
     "FROM_BASE64": lambda a: F.unbase64(a[0]).cast("string"),
     "HASH": lambda a: _hash_fn(a[0], a[1]),
     "TO_VERSION": lambda a: _to_version(a[0]),
+    # math/date stragglers (round 15, third batch) — all codegen.
+    # ROUND_TO (8.19): round DOWN to the nearest of the fixed points;
+    # below the smallest point, the smallest point (live ES contract).
+    # COPY_SIGN (9.2): magnitude with the second argument's sign (a
+    # non-negative sign arg keeps the magnitude positive, like Java's
+    # copySign for +0).  DAY_NAME/MONTH_NAME (9.1): English names —
+    # date_format's root-locale rendering, same strings DuckDB's
+    # dayname/monthname emit.
+    "ROUND_TO": lambda a: F.coalesce(
+        F.array_max(F.filter(F.array(*a[1:]), lambda p: p <= a[0])),
+        F.array_min(F.array(*a[1:]))),
+    "SCALB": lambda a: a[0].cast("double")
+    * F.pow(F.lit(2.0), a[1].cast("double")),
+    "COPY_SIGN": lambda a: F.abs(a[0])
+    * F.when(a[1] < 0, F.lit(-1.0)).otherwise(F.lit(1.0)),
+    "DAY_NAME": lambda a: F.date_format(a[0], "EEEE"),
+    "MONTH_NAME": lambda a: F.date_format(a[0], "MMMM"),
     "MV_ZIP": lambda a: F.zip_with(
         a[0], a[1],
         lambda x, y: F.when(x.isNull(), y).when(y.isNull(), x)
@@ -1540,6 +1557,8 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "SPACE": (1, 1), "REPEAT": (2, 2), "BIT_LENGTH": (1, 1),
     "BYTE_LENGTH": (1, 1), "TO_BASE64": (1, 1), "FROM_BASE64": (1, 1),
     "HASH": (2, 2), "TO_VERSION": (1, 1),
+    "ROUND_TO": (2, None), "SCALB": (2, 2), "COPY_SIGN": (2, 2),
+    "DAY_NAME": (1, 1), "MONTH_NAME": (1, 1),
 }
 
 #: aggregates (STATS context only)

@@ -970,6 +970,26 @@ class TestScalarTail15:
             "1.0.0-alpha.beta", "1.0.0-beta", "1.0.0", "1.0.10",
             "1.2.0", "2.0.0", "9.0.0", "10.0.0", "alpha", "bogus"]
 
+    def test_math_date_stragglers(self, spark):
+        import datetime as dt
+        df = spark.createDataFrame(
+            [(1, 104.0, dt.datetime(2024, 3, 4, 12, 0))],  # a Monday
+            "id long, x double, ts timestamp")
+        r = esql({"t": df}, """
+            FROM t
+            | EVAL r1 = ROUND_TO(x, 0.0, 50.0, 100.0, 200.0),
+                   r2 = ROUND_TO(-5.0, 0.0, 50.0),
+                   sc = SCALB(3.0, 4),
+                   cs = COPY_SIGN(7.5, -2), cs2 = COPY_SIGN(-7.5, 2),
+                   dn = DAY_NAME(ts), mn = MONTH_NAME(ts)
+            | LIMIT 1
+        """).first()
+        assert r["r1"] == 100.0
+        assert r["r2"] == 0.0  # below the smallest point -> smallest
+        assert r["sc"] == 48.0
+        assert r["cs"] == -7.5 and r["cs2"] == 7.5
+        assert r["dn"] == "Monday" and r["mn"] == "March"
+
     def test_to_version_null_and_equality(self, spark):
         df = spark.createDataFrame(
             [(1, "1.2.3", "1.2.3"), (2, "1.0", "1.0.0"), (3, None, "1")],
