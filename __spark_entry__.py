@@ -4385,6 +4385,38 @@ def q_es_retriever_rule(spark, sf_dir):
     return es_retriever_search(d, body, id_field="doc_id")
 
 
+def q_es_retriever_pinned(spark, sf_dir):
+    """ES 8.18 ``pinned`` + ``rescorer`` retriever kinds (round 15,
+    third batch), composed: the pinned root ranks ids 7, 2 first (the
+    rule retriever's descending-1e10 pin mechanism — one construction,
+    two surfaces) above a rescorer child that re-scores the standard
+    BM25 'merge' window with a 2×-weighted 'stream' rescore query
+    through the SAME _apply_query_rescore path as the search body's
+    ``rescore`` (score_frame against corpus-wide stats, Lucene's
+    non-matching combine).  Scale shape: the child window is bounded
+    (20), its ids collect to an In-pushdown doc fetch, pins are an
+    ≤2-id isin — all reduce-phase beyond the child's own top-k."""
+    from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+    d = _t(spark, sf_dir, "documents")
+    body = {
+        "retriever": {"pinned": {
+            "ids": ["7", "2"],
+            "rank_window_size": 12,
+            "retriever": {"rescorer": {
+                "retriever": {"standard": {
+                    "query": {"match": {"text": "merge"}}}},
+                "rescore": {"window_size": 20, "query": {
+                    "rescore_query": {"match": {"text": "stream"}},
+                    "rescore_query_weight": 2.0}},
+            }},
+        }},
+        "size": 10,
+        "_source": ["doc_id", "source"],
+    }
+    return es_retriever_search(d, body, id_field="doc_id")
+
+
 def q_es_esql_rerank(spark, sf_dir):
     """ES|QL ``RERANK`` command (round 15): the 9.x inference rerank on
     the ES|QL side of the same seam as es_retriever_rerank —
@@ -5670,7 +5702,9 @@ def q_ks_drift(spark, sf_dir):
 #: analysis-chain-as-inference onto sparse_vector), es_ks_test
 #: (bucket_count_ks_test KS statistics over the bucket frame),
 #: es_esql_first_last (FIRST/LAST struct-min aggregates + the
-#: deterministic SAMPLE), es_esql_fulltext (MATCH_PHRASE / TERM /
+#: deterministic SAMPLE), es_retriever_pinned (pinned root over a
+#: rescorer child — the two ES 8.18 retriever kinds that complete
+#: the GA retriever tree), es_esql_fulltext (MATCH_PHRASE / TERM /
 #: MULTI_MATCH / KQL), es_esql_ts (the TS time-series command: RATE +
 #: *_OVER_TIME two-stage nests), es_retriever_rule (query rules over a
 #: child retriever) (+ video_dedup's set-alignment mode,
@@ -5912,6 +5946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_semantic": q_es_semantic,
         "es_ks_test": q_es_ks_test,
         "es_esql_first_last": q_es_esql_first_last,
+        "es_retriever_pinned": q_es_retriever_pinned,
         "es_retriever_rule": q_es_retriever_rule,
         "es_matrix_stats": q_es_matrix_stats,
         "es_t_test": q_es_t_test,
@@ -7351,6 +7386,74 @@ def _goldens_b() -> dict[str, str]:
         # established CTE, then the matched rules' pin/exclude
         # arithmetic as literals — pinned ids score 1e10 - position
         # (the pinned-query rule), organic keeps BM25, excluded drops
+        # es_retriever_pinned: the BM25 'merge' child window (top 20),
+        # the 2x 'stream' rescore blend with Lucene's non-matching
+        # combine, the rescorer's 12-row cut, then the pin arithmetic
+        "es_retriever_pinned": """
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                       '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')
+                       AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream') GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id, tf.t,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), base AS (
+              SELECT doc_id, round(CAST(sum(p) AS DOUBLE), 6) AS s0
+              FROM part WHERE t = 'merge' GROUP BY 1
+            ), w AS (
+              SELECT doc_id, s0,
+                     row_number() OVER (ORDER BY s0 DESC, doc_id ASC)
+                       AS rn
+              FROM base
+            ), str AS (
+              SELECT doc_id, round(CAST(sum(p) AS DOUBLE), 6) AS r
+              FROM part WHERE t = 'stream' GROUP BY 1
+            ), rs AS (
+              SELECT w.doc_id,
+                     round(CASE WHEN str.doc_id IS NOT NULL
+                                THEN 1.0 * w.s0 + 2.0 * str.r
+                                ELSE 1.0 * w.s0 END, 6) AS s1
+              FROM w LEFT JOIN str ON str.doc_id = w.doc_id
+              WHERE w.rn <= 20
+            ), rw AS (
+              SELECT doc_id, s1,
+                     row_number() OVER (ORDER BY s1 DESC, doc_id ASC)
+                       AS rn2
+              FROM rs
+            ), fused AS (
+              SELECT doc_id, s1 AS _score FROM rw
+              WHERE rn2 <= 12 AND doc_id NOT IN (7, 2)
+              UNION ALL SELECT 7 AS doc_id, 1e10 AS _score
+              UNION ALL SELECT 2 AS doc_id, 1e10 - 1 AS _score
+            ), rk AS (
+              SELECT doc_id, _score,
+                     CAST(row_number() OVER (
+                       ORDER BY _score DESC, doc_id ASC) AS INT) AS rank
+              FROM fused
+            )
+            SELECT b.doc_id, rk._score, rk.rank, b.source
+            FROM rk JOIN documents b USING (doc_id)
+            WHERE rk.rank <= 10
+        """,
         "es_retriever_rule": """
             WITH base AS (
               SELECT doc_id, source,

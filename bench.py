@@ -283,6 +283,9 @@ BENCH_QUERIES = [
     "es_esql_first_last",
     # ROUND_TO banding + date names, one projection + one STATS
     "es_esql_fn3",
+    # pinned root over a rescorer child: bounded window collect +
+    # In-pushdown doc fetch + pin isin
+    "es_retriever_pinned",
 ]
 
 

@@ -1434,6 +1434,45 @@ def _any_tk_contains(n_fields: int, term: str) -> Column:
     return c.cast("int")
 
 
+def _apply_query_rescore(
+    top: DataFrame, rspec: dict, id_field: str, *,
+    k1: float, b: float, stats_over: DataFrame | None,
+) -> DataFrame:
+    """Lucene QueryRescorer.combine over a bounded window frame ``top``
+    that carries ``_score0`` (the first-pass score) plus the doc
+    columns: score the rescore query against index-wide stats
+    (``stats_over``), blend per ``score_mode``, and let a window doc
+    the rescore query does NOT match keep ``query_weight * original``
+    — the secondary score is omitted, not treated as 0 (which would
+    zero the doc under multiply/min and halve it under avg).  ONE
+    construction shared by the search-body ``rescore`` and the
+    ``rescorer`` retriever (the one-grammar lockstep rule)."""
+    top = score_frame(
+        top, rspec["rescore_query"], id_field, k1=k1, b=b,
+        stats_over=stats_over,
+    ).withColumnRenamed("_score", "_rescore")
+    qw = F.lit(float(rspec.get("query_weight", 1.0)))
+    rqw = F.lit(float(rspec.get("rescore_query_weight", 1.0)))
+    a, b_ = qw * F.col("_score0"), rqw * F.col("_rescore")
+    mode = str(rspec.get("score_mode", "total"))
+    blend = {
+        "total": a + b_,
+        "multiply": a * b_,
+        "avg": (a + b_) / F.lit(2.0),
+        "max": F.greatest(a, b_),
+        "min": F.least(a, b_),
+    }.get(mode)
+    if blend is None:
+        raise ValueError(f"unsupported rescore score_mode: {mode}")
+    rpred = F.coalesce(
+        compile_query(_normalize(rspec["rescore_query"]), id_field),
+        F.lit(False),
+    )
+    return top.withColumn(
+        "_score", F.round(F.when(rpred, blend).otherwise(a), 6)
+    ).drop("_score0", "_rescore")
+
+
 def score_frame(
     df: DataFrame,
     query: dict,
@@ -1714,6 +1753,127 @@ def es_retriever_search(
                     .select(id_field, "_score",
                             F.row_number().over(w).alias("rank"))
                     .where(F.col("rank") <= window))
+        if rkind == "pinned":
+            # ES 8.18 pinned retriever: the named docs rank FIRST in
+            # their given order, then the child retriever's organic
+            # results with the pinned ids removed — the same
+            # descending-1e10 pin scores and dedup the rule retriever's
+            # pin path uses (one mechanism, two surfaces).
+            unk = set(rbody) - {"retriever", "ids", "docs",
+                                "rank_window_size"}
+            if unk:
+                raise ValueError(
+                    f"unsupported pinned retriever option(s): "
+                    f"{sorted(unk)}")
+            if ("ids" in rbody) == ("docs" in rbody):
+                raise ValueError(
+                    "pinned retriever needs exactly one of ids | docs")
+            if "docs" in rbody:
+                pinned = []
+                for d in rbody["docs"]:
+                    dunk = set(d) - {"_id", "_index"}
+                    if dunk or "_id" not in d:
+                        raise ValueError(
+                            "pinned docs entries take _id (+ optional "
+                            f"_index), got {sorted(d)}")
+                    pinned.append(str(d["_id"]))
+            else:
+                pinned = [str(i) for i in rbody["ids"]]
+            if not pinned:
+                raise ValueError("pinned retriever needs >= 1 pin")
+            if len(set(pinned)) != len(pinned):
+                raise ValueError("pinned ids must be distinct")
+            child_window = int(rbody.get("rank_window_size",
+                                         max(window, 10)))
+            if child_window < window:
+                raise ValueError(
+                    f"rank_window_size ({child_window}) must be >= "
+                    f"the consuming window ({window})")
+            child = ranked(rbody["retriever"], child_window)
+            idc = F.col(id_field).cast("string")
+            child = child.where(~idc.isin(pinned))
+            score = F.lit(None).cast("double")
+            for i in range(len(pinned) - 1, -1, -1):
+                score = F.when(idc == pinned[i],
+                               F.lit(1e10 - i)).otherwise(score)
+            pins = (df.where(idc.isin(pinned))
+                    .select(id_field, score.alias("_score"),
+                            F.lit(0).alias("rank")))
+            merged = child.select(id_field, "_score", "rank") \
+                .unionByName(pins)
+            w = Window.orderBy(F.col("_score").desc(),
+                               F.col(id_field).asc())
+            return (merged
+                    .select(id_field, "_score",
+                            F.row_number().over(w).alias("rank"))
+                    .where(F.col("rank") <= window))
+        if rkind == "rescorer":
+            # ES 8.18 rescorer retriever: apply a query rescore to the
+            # child retriever's top window — the SAME
+            # _apply_query_rescore construction as the search body's
+            # ``rescore`` (score_frame against index-wide stats,
+            # score_mode blend, Lucene's non-matching combine), so the
+            # two surfaces cannot drift.  The window ids are collected
+            # (bounded by the same 10 000 max_result_window ceiling as
+            # the reranker) to push an In filter into the doc fetch.
+            unk = set(rbody) - {"retriever", "rescore",
+                                "rank_window_size"}
+            if unk:
+                raise ValueError(
+                    f"unsupported rescorer retriever option(s): "
+                    f"{sorted(unk)}")
+            for req in ("retriever", "rescore"):
+                if req not in rbody:
+                    raise ValueError(f"rescorer retriever needs {req!r}")
+            rescore = rbody["rescore"]
+            if isinstance(rescore, list):
+                if len(rescore) != 1:
+                    raise ValueError("only a single rescorer is "
+                                     "supported")
+                rescore = rescore[0]
+            runk = set(rescore) - {"query", "window_size"}
+            if runk:
+                raise ValueError(
+                    f"unsupported rescore option(s): {sorted(runk)}")
+            rspec = dict(rescore["query"])
+            child_window = int(rescore.get(
+                "window_size", int(rbody.get("rank_window_size",
+                                             max(window, 10)))))
+            if child_window < window:
+                raise ValueError(
+                    f"rescore window_size ({child_window}) must be >= "
+                    f"the consuming window ({window})")
+            if child_window > 10_000:
+                raise ValueError(
+                    f"rescore window_size ({child_window}) exceeds "
+                    "10000 (the index.max_result_window ceiling; the "
+                    "window is collected driver-side to push the doc-"
+                    "fetch filter)")
+            from .query_dsl import expand_lookups
+
+            rspec["rescore_query"] = expand_lookups(
+                df, rspec["rescore_query"], id_field)
+            child = ranked(rbody["retriever"], child_window)
+            # materialize the ≤window child frame ONCE (the body-
+            # rescore LocalRelation rule): collecting only the ids and
+            # re-referencing the child plan would re-run its whole
+            # scoring pipeline at every downstream consumer
+            win_plan = child.select(id_field,
+                                    F.col("_score").alias("_score0"))
+            win_rows = win_plan.collect()
+            win = df.sparkSession.createDataFrame(
+                win_rows, win_plan.schema)
+            win_ids = [r[0] for r in win_rows]
+            top = df.where(F.col(id_field).isin(win_ids)) \
+                .join(F.broadcast(win), id_field)
+            rescored = _apply_query_rescore(
+                top, rspec, id_field, k1=k1, b=b, stats_over=df)
+            w = Window.orderBy(F.col("_score").desc(),
+                               F.col(id_field).asc())
+            return (rescored
+                    .select(id_field, "_score",
+                            F.row_number().over(w).alias("rank"))
+                    .where(F.col("rank") <= window))
         if rkind == "rule":
             # ES 8.16 rule retriever: apply query rules on top of a
             # child retriever.  Rule evaluation is pure driver-side
@@ -1772,8 +1932,8 @@ def es_retriever_search(
                     .where(F.col("rank") <= window))
         raise ValueError(
             f"unsupported retriever: {rkind!r} "
-            "(standard | knn | rrf | linear | rule | "
-            "text_similarity_reranker)")
+            "(standard | knn | rrf | linear | rule | pinned | "
+            "rescorer | text_similarity_reranker)")
 
     (kind, spec_body), = spec.items()
     if kind == "linear":
@@ -2125,34 +2285,8 @@ def _es_scored_search_impl(
         # broadcast corpus aggregate — no full-corpus id shuffle
         # (VERDICT r8 #4; plan-asserted in tests/test_scoring.py,
         # measured in tools/probe_round9.py)
-        top = score_frame(
-            top, rspec["rescore_query"], id_field, k1=k1, b=b,
-            stats_over=_pre_slice,
-        ).withColumnRenamed("_score", "_rescore")
-        qw = F.lit(float(rspec.get("query_weight", 1.0)))
-        rqw = F.lit(float(rspec.get("rescore_query_weight", 1.0)))
-        a, b_ = qw * F.col("_score0"), rqw * F.col("_rescore")
-        mode = str(rspec.get("score_mode", "total"))
-        blend = {
-            "total": a + b_,
-            "multiply": a * b_,
-            "avg": (a + b_) / F.lit(2.0),
-            "max": F.greatest(a, b_),
-            "min": F.least(a, b_),
-        }.get(mode)
-        if blend is None:
-            raise ValueError(f"unsupported rescore score_mode: {mode}")
-        # Lucene's QueryRescorer.combine: a window doc the rescore query
-        # does NOT match keeps query_weight * original — the secondary
-        # score is omitted, not treated as 0 (which would zero the doc
-        # under multiply/min and halve it under avg)
-        rpred = F.coalesce(
-            compile_query(_normalize(rspec["rescore_query"]), id_field),
-            F.lit(False),
-        )
-        scored = top.withColumn(
-            "_score", F.round(F.when(rpred, blend).otherwise(a), 6)
-        ).drop("_score0", "_rescore")
+        scored = _apply_query_rescore(
+            top, rspec, id_field, k1=k1, b=b, stats_over=_pre_slice)
     if sort_spec:
         # reuse es_search's _sort_columns (missing/mode/_geo_distance
         # handling identical between the filter and scored paths, ADVICE

@@ -1549,6 +1549,104 @@ def test_filter_context_slice_rejects_knn(spark):
     assert sorted(parts[0] + parts[1]) == full
 
 
+class TestPinnedRescorerRetrievers:
+    """ES 8.18 pinned + rescorer retriever kinds (round 15): pins ride
+    the rule retriever's mechanism, the rescore rides the search
+    body's _apply_query_rescore — one construction per behavior."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        rows = [(i, f"merge stream doc {i}" if i % 3 == 0
+                 else "other text here",
+                 [float(i % 7), 1.0]) for i in range(1, 21)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<double>")
+
+    def test_pinned_order_and_organic_dedup(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        body = {"retriever": {"pinned": {
+            "ids": ["7", "3"],
+            "retriever": {"standard": {
+                "query": {"match": {"text": "merge stream"}}}},
+        }}, "size": 5, "_source": ["doc_id"]}
+        rows = sorted(es_retriever_search(docs, body, id_field="doc_id")
+                      .collect(), key=lambda r: r["rank"])
+        got = [r["doc_id"] for r in rows]
+        # pins first IN GIVEN ORDER; 3 matches organically but is
+        # deduped out of the organic tail
+        assert got[:2] == [7, 3]
+        assert 3 not in got[2:]
+        assert all(i % 3 == 0 for i in got[2:])  # organic matches only
+
+    def test_pinned_docs_form_and_rejects(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        body = {"retriever": {"pinned": {
+            "docs": [{"_id": 5}],
+            "retriever": {"standard": {
+                "query": {"match": {"text": "merge"}}}},
+        }}, "size": 3}
+        rows = sorted(es_retriever_search(docs, body, id_field="doc_id")
+                      .collect(), key=lambda r: r["rank"])
+        assert rows[0]["doc_id"] == 5
+        with pytest.raises(ValueError, match="exactly one of"):
+            es_retriever_search(docs, {"retriever": {"pinned": {
+                "ids": ["1"], "docs": [{"_id": 2}],
+                "retriever": {"standard": {"query": {
+                    "match": {"text": "merge"}}}}}}, "size": 1},
+                id_field="doc_id")
+        with pytest.raises(ValueError, match="distinct"):
+            es_retriever_search(docs, {"retriever": {"pinned": {
+                "ids": ["1", "1"],
+                "retriever": {"standard": {"query": {
+                    "match": {"text": "merge"}}}}}}, "size": 1},
+                id_field="doc_id")
+
+    def test_rescorer_reorders_window(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        base = {"retriever": {"standard": {
+            "query": {"match": {"text": "merge stream"}}}}}
+        plain = sorted(es_retriever_search(
+            docs, {"retriever": dict(base["retriever"]), "size": 5},
+            id_field="doc_id").collect(), key=lambda r: r["rank"])
+        body = {"retriever": {"rescorer": {
+            "rescore": {"window_size": 10, "query": {
+                "rescore_query": {"match": {"text": "6"}},
+                "rescore_query_weight": 5.0}},
+            **base,
+        }}, "size": 5}
+        rows = sorted(es_retriever_search(docs, body, id_field="doc_id")
+                      .collect(), key=lambda r: r["rank"])
+        # only doc 6's text contains the token "6": it gets the
+        # rescore boost and jumps to rank 1
+        assert rows[0]["doc_id"] == 6
+        # non-matching window docs keep query_weight * original
+        plain_scores = {r["doc_id"]: r["_score"] for r in plain}
+        for r in rows[1:]:
+            if r["doc_id"] in plain_scores:
+                assert r["_score"] == pytest.approx(
+                    plain_scores[r["doc_id"]], abs=1e-6)
+
+    def test_rescorer_rejects(self, docs):
+        from hive2es_offline_spark.plans.scoring import es_retriever_search
+
+        with pytest.raises(ValueError, match="needs 'rescore'"):
+            es_retriever_search(docs, {"retriever": {"rescorer": {
+                "retriever": {"standard": {"query": {
+                    "match": {"text": "merge"}}}}}}, "size": 1},
+                id_field="doc_id")
+        with pytest.raises(ValueError, match="score_mode"):
+            es_retriever_search(docs, {"retriever": {"rescorer": {
+                "retriever": {"standard": {"query": {
+                    "match": {"text": "merge"}}}},
+                "rescore": {"query": {
+                    "rescore_query": {"match": {"text": "x"}},
+                    "score_mode": "bogus"}}}}, "size": 1},
+                id_field="doc_id").collect()
+
+
 class TestSparseVector:
     """ES 8.15 sparse_vector query (round 14, VERDICT r13 #4):
     learned-sparse token-weight dot product over a map column."""
