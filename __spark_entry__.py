@@ -4649,6 +4649,29 @@ def q_es_esql_fn3(spark, sf_dir):
     ''')
 
 
+def q_es_esql_score(spark, sf_dir):
+    """ES|QL 9.1 scored search — ``FROM … METADATA _score`` (round 15
+    third batch): full-text WHERE functions contribute their clause
+    scores, here MATCH's BM25 over the documents corpus, composed with
+    a scoreless scalar filter.  Corpus statistics (N, avgdl, per-term
+    df) are collected ONCE at plan-build into PLAN LITERALS (the
+    classifier-weights shape), so the per-row score is pure codegen —
+    tf/dl from the row's analyzed tokens, no id column, no join, no
+    shuffle — and the SORT + LIMIT tail plans as
+    TakeOrderedAndProject.  Construction parity is test-pinned against
+    the DSL scorer (tests/test_esql.py::TestMetadataScore); the oracle
+    replays the same BM25 CTE as the retriever goldens."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    return esql({"documents": _t(spark, sf_dir, "documents")}, '''
+        FROM documents METADATA _score
+        | WHERE MATCH(text, "merge stream") AND n_chars >= 50
+        | KEEP doc_id, source, _score
+        | SORT _score DESC, doc_id ASC
+        | LIMIT 25
+    ''')
+
+
 def q_es_esql_spatial_agg(spark, sf_dir):
     """ES|QL aggregate round-out, third batch (round 15):
     ``ST_CENTROID_AGG`` (decimal-routed coordinate averages returning
@@ -5695,7 +5718,9 @@ def q_ks_drift(spark, sf_dir):
 #: es_esql_ip, es_retriever_rerank, es_esql_rerank, es_esql_grid,
 #: es_esql_stats, es_esql_fn, es_esql_fn2 (MV percentile family over
 #: array<float> + HASH/base64/byte-length tail), es_esql_fn3
-#: (ROUND_TO/DAY_NAME/MONTH_NAME banding), es_esql_spatial_agg
+#: (ROUND_TO/DAY_NAME/MONTH_NAME banding), es_esql_score (METADATA
+#: _score scored search: plan-literal corpus stats, row-local BM25),
+#: es_esql_spatial_agg
 #: (ST_CENTROID_AGG / ST_EXTENT_AGG / exact per-group
 #: MEDIAN_ABSOLUTE_DEVIATION), es_esql_version (TO_VERSION semver
 #: ordering), es_semantic (the semantic_text query,
@@ -5942,6 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fn2": q_es_esql_fn2,
         "es_esql_fn3": q_es_esql_fn3,
         "es_esql_spatial_agg": q_es_esql_spatial_agg,
+        "es_esql_score": q_es_esql_score,
         "es_esql_version": q_es_esql_version,
         "es_semantic": q_es_semantic,
         "es_ks_test": q_es_ks_test,
@@ -7765,6 +7791,47 @@ def _goldens_b() -> dict[str, str]:
             FROM p
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment ASC
+        """,
+        # es_esql_score: the retriever goldens' BM25 CTE — the match
+        # contribution joins in (inner join = the match predicate:
+        # a part row exists iff >=1 query term is present), the
+        # n_chars gate is scoreless
+        "es_esql_score": """
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                       '[\\p{L}\\p{N}_]+(?:[''.][\\p{L}\\p{N}_]+)*')
+                       AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok, unnest(toks) AS u(t)
+              WHERE t IN ('merge', 'stream') GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), part AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                       6) AS DECIMAL(28,6)) AS p
+              FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), s
+            ), sc AS (
+              SELECT doc_id, round(CAST(sum(p) AS DOUBLE), 6) AS ms
+              FROM part GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.source, round(0.0 + sc.ms, 6) AS _score
+            FROM documents d JOIN sc USING (doc_id)
+            WHERE d.n_chars >= 50
+            ORDER BY _score DESC, d.doc_id ASC
+            LIMIT 25
         """,
         # es_esql_version: the semver order replayed directly on the
         # numeric components — prerelease rows sort before their

@@ -376,6 +376,17 @@ class _P:
     def peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
+    def _ft(self, pred: Column, dsl: dict) -> Column:
+        """Route one full-text WHERE function's predicate through the
+        METADATA _score accumulator: when a scored compile is active,
+        record the clause's gated score contribution (collected by
+        _stage_where after the filter applies)."""
+        if _SCORE_CTX is not None:
+            contribs = getattr(self, "score_contribs", None) or []
+            contribs.append(_ft_score_contrib(dsl, pred))
+            self.score_contribs = contribs
+        return pred
+
     def peek_kw(self) -> str | None:
         t = self.peek()
         return t[1].upper() if t and t[0] == "id" else None
@@ -846,8 +857,10 @@ class _P:
             # are codegen boolean predicates over the analyzed token
             # stream, so a WHERE on them pushes like any other filter.
             # Live ES restricts full-text functions to WHERE; the same
-            # rule applies here (an EVAL of a relevance predicate has
-            # no score to carry — _score is not modeled in ES|QL).
+            # rule applies here.  Under ``FROM … METADATA _score``
+            # (9.1) MATCH/MATCH_PHRASE/TERM/MULTI_MATCH additionally
+            # contribute their clause scores (_ft_score_contrib);
+            # QSTR/KQL stay filter-only and reject in a scored query.
             if not getattr(self, "in_where", False):
                 raise ValueError(
                     f"ES|QL: {fn}() is a full-text function and is "
@@ -873,7 +886,8 @@ class _P:
                         "— use the query DSL clause for those")
                 self.expect_op(")")
                 kind = "match" if fn == "MATCH" else "match_phrase"
-                return compile_query({kind: {fld[1]: qt[1]}})
+                dsl = {kind: {fld[1]: qt[1]}}
+                return self._ft(compile_query(dsl), dsl)
             if fn == "TERM":
                 # ES 8.16 TERM(field, value): exact un-analyzed
                 # equality (the DSL term clause — value literal may be
@@ -893,7 +907,8 @@ class _P:
                 val = vt[1]
                 if vt[0] == "num":
                     val = float(val) if "." in str(val) else int(val)
-                return compile_query({"term": {fld[1]: val}})
+                dsl = {"term": {fld[1]: val}}
+                return self._ft(compile_query(dsl), dsl)
             if fn == "MULTI_MATCH":
                 # ES 8.18 MULTI_MATCH("query", field1, field2, …):
                 # the DSL multi_match in filter context (per-field
@@ -919,8 +934,8 @@ class _P:
                     raise ValueError(
                         "ES|QL: MULTI_MATCH needs at least one field "
                         "after the query string")
-                return compile_query(
-                    {"multi_match": {"query": qt[1], "fields": fields}})
+                dsl = {"multi_match": {"query": qt[1], "fields": fields}}
+                return self._ft(compile_query(dsl), dsl)
             if fn == "KQL":
                 qt = self.next()
                 if qt[0] != "str":
@@ -937,6 +952,11 @@ class _P:
                 # bare terms reject loudly inside the KQL parser (live
                 # KQL falls back to every mapped field — no mapping in
                 # a flat frame), same policy as QSTR below
+                if _SCORE_CTX is not None:
+                    raise ValueError(
+                        "ES|QL: KQL() is filter-only and cannot "
+                        "contribute to METADATA _score — score with "
+                        "MATCH/MATCH_PHRASE/TERM/MULTI_MATCH")
                 return compile_query(parse_kql(qt[1]))
             qt = self.next()
             if qt[0] != "str":
@@ -952,6 +972,11 @@ class _P:
             # indexed fields — a flat frame has no index mapping to
             # enumerate, so requiring field: prefixes is the honest
             # subset)
+            if _SCORE_CTX is not None:
+                raise ValueError(
+                    "ES|QL: QSTR() is filter-only and cannot "
+                    "contribute to METADATA _score — score with "
+                    "MATCH/MATCH_PHRASE/TERM/MULTI_MATCH")
             return compile_query({"query_string": {"query": qt[1]}})
         if fn in ("TO_GEOPOINT", "TO_GEOSHAPE"):
             # literal WKT only: a geo column in a flat frame IS a
@@ -1762,6 +1787,124 @@ def _name_list(p: _P) -> list[str]:
     return names
 
 
+#: METADATA _score compile context (ES|QL 9.1 scored search): set by
+#: esql() for the span of ONE compilation when the query declares
+#: ``FROM … METADATA _score`` — {"src": the FROM-time frame (corpus
+#: statistics are INDEX-wide, the engine's stats_over convention),
+#: "cache": {(field, terms) -> stats}}.  Single-threaded per call,
+#: reset in a finally.
+_SCORE_CTX: dict | None = None
+
+
+def _ft_corpus_stats(field: str, terms: tuple[str, ...]):
+    """Eager 1-row corpus-stats job for one (field, terms) pair: N,
+    avgdl, per-term document frequency — collected at plan-build time
+    so idf/avgdl become PLAN LITERALS (the classifier-weights shape:
+    the per-row score is pure codegen and a SQL oracle replays it from
+    the same statistics).  Bounded driver work, one job per distinct
+    pair per query (cached); the precedent is the rescore window's
+    eager collect."""
+    ctx = _SCORE_CTX
+    key = (field, terms)
+    if key in ctx["cache"]:
+        return ctx["cache"][key]
+    from .query_dsl import _analyze as _an_col
+
+    toks = _an_col(F.col(field))
+    row = ctx["src"].agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size(toks).cast("double")).alias("avgdl"),
+        *[F.sum(F.array_contains(toks, t).cast("int")).cast("double")
+          .alias(f"d{i}") for i, t in enumerate(terms)],
+    ).first()
+    stats = (float(row["n"]), float(row["avgdl"] or 0.0),
+             {t: float(row[f"d{i}"] or 0.0)
+              for i, t in enumerate(terms)})
+    ctx["cache"][key] = stats
+    return stats
+
+
+def _ft_bm25_sum(field: str, terms: list[str]) -> Column:
+    """Row-local BM25 sum for ``terms`` over ``field`` — the SAME
+    partial formula and rounding as plans/scoring._term_score_map
+    (k1=1.2, b=0.75, per-partial round-6, DECIMAL(28,6) sum), but with
+    tf/dl computed from THIS row's analyzed tokens and idf/avgdl as
+    plan literals — no id column needed, so it serves ES|QL frames
+    that have no document identity."""
+    import math
+
+    from .query_dsl import _analyze as _an_col
+
+    k1, b = 1.2, 0.75
+    n, avgdl, dfs = _ft_corpus_stats(field, tuple(sorted(set(terms))))
+    toks = _an_col(F.col(field))
+    dl = F.size(toks).cast("double")
+
+    def _eq(term: str):
+        # closure factory, NOT a default-arg lambda — a two-param
+        # callable looks BINARY to F.filter and receives the element
+        # INDEX as its second argument (the analysis.py _drop_rule)
+        def f(x):
+            return x == F.lit(term)
+        return f
+
+    total: Column = F.lit(0).cast("decimal(28,6)")
+    for t in sorted(set(terms)):
+        dft = dfs[t]
+        if dft <= 0 or avgdl <= 0:
+            continue  # term absent from the corpus scores 0 everywhere
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        tf = F.size(F.filter(toks, _eq(t))).cast("double")
+        partial = F.round(
+            F.lit(idf) * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl))), 6)
+        total = total + partial.cast("decimal(28,6)")
+    return total.cast("double")
+
+
+def _ft_score_contrib(dsl: dict, pred: Column) -> Column:
+    """METADATA _score contribution of ONE full-text WHERE function:
+    the clause's relevance when its predicate matches, else 0 (Lucene's
+    sum-over-matching-clauses).  match/match_phrase = the BM25 term
+    sum (phrase scored by its terms — the es_rescore phrase-replay
+    convention); term = keyword idf (tf=1, dl=avgdl — the DSL term-leaf
+    convention); multi_match = best_fields max over per-field sums."""
+    import math
+
+    (kind, spec), = dsl.items()
+    if kind in ("match", "match_phrase"):
+        (field, query), = spec.items()
+        terms = _es_analyze_text(str(query))
+        score = _ft_bm25_sum(field, terms)
+    elif kind == "term":
+        (field, value), = spec.items()
+        n, _avgdl, _ = _ft_corpus_stats(field, ())
+        dft = float(_SCORE_CTX["src"].agg(
+            F.sum((F.col(field) == F.lit(value)).cast("int"))
+            .cast("double")).first()[0] or 0.0)
+        idf = round(math.log(1.0 + (n - dft + 0.5) / (dft + 0.5)), 6) \
+            if dft > 0 else 0.0
+        score = F.lit(idf)
+    elif kind == "multi_match":
+        terms = _es_analyze_text(str(spec["query"]))
+        score = F.greatest(*[_ft_bm25_sum(f, terms)
+                             for f in spec["fields"]]) \
+            if len(spec["fields"]) > 1 \
+            else _ft_bm25_sum(spec["fields"][0], terms)
+    else:
+        raise ValueError(
+            f"ES|QL: {kind.upper()} cannot contribute to METADATA "
+            "_score — score with MATCH/MATCH_PHRASE/TERM/MULTI_MATCH "
+            "(QSTR/KQL compile to filter-only predicates here)")
+    return F.when(pred, score).otherwise(F.lit(0.0))
+
+
+def _es_analyze_text(q: str) -> list[str]:
+    from .analysis import analyze_text
+
+    return analyze_text(q)
+
+
 def _stage_where(df: DataFrame, p: _P) -> DataFrame:
     p.in_where = True  # full-text MATCH()/QSTR() are WHERE-only
     cond = p.expr()
@@ -1769,7 +1912,19 @@ def _stage_where(df: DataFrame, p: _P) -> DataFrame:
         raise ValueError(
             f"ES|QL: trailing tokens after WHERE: "
             f"{p.peek()[1]!r}{_at(p.peek())}")
-    return df.where(cond)
+    out = df.where(cond)
+    contribs = getattr(p, "score_contribs", None)
+    if contribs:
+        # METADATA _score: this WHERE's full-text contributions add to
+        # the running score — each is already a round-6 decimal-summed
+        # clause score gated on its own predicate, so the addition is
+        # order-exact and oracle-replayable
+        total = contribs[0]
+        for c in contribs[1:]:
+            total = total + c
+        out = out.withColumn(
+            "_score", F.round(F.col("_score") + total, 6))
+    return out
 
 
 def _assignments(p: _P) -> list[tuple[str, Column]]:
@@ -2524,6 +2679,7 @@ def esql(tables: Mapping[str, DataFrame], query: str, *,
     stages = _split_pipes(_tokenize(query))
     if not stages:
         raise ValueError("ES|QL: empty query")
+    score_requested = False
     head = _P(stages[0])
     cmd = head.next()
     if cmd[0] == "id" and cmd[1].upper() == "ROW":
@@ -2579,11 +2735,11 @@ def esql(tables: Mapping[str, DataFrame], query: str, *,
                         raise ValueError(
                             f"ES|QL: expected a metadata field, got "
                             f"{mt[1]!r}{_at(mt)}")
-                    if mt[1] != "_index":
+                    if mt[1] not in ("_index", "_score"):
                         raise ValueError(
                             f"ES|QL: unsupported metadata field "
-                            f"{mt[1]!r}{_at(mt)} — only _index has a "
-                            "flat-frame meaning (_id/_score/_version "
+                            f"{mt[1]!r}{_at(mt)} — _index and _score "
+                            "have flat-frame meanings (_id/_version "
                             "are index-internal state)")
                     if mt[1] in want_meta:
                         raise ValueError(
@@ -2626,7 +2782,7 @@ def esql(tables: Mapping[str, DataFrame], query: str, *,
 
         def _src(n: str) -> DataFrame:
             t = tables[n]
-            if want_meta:
+            if "_index" in want_meta:
                 if "_index" in t.columns:
                     raise ValueError(
                         "ES|QL: METADATA _index collides with an "
@@ -2637,6 +2793,17 @@ def esql(tables: Mapping[str, DataFrame], query: str, *,
         df = _src(names[0])
         for n in names[1:]:
             df = df.unionByName(_src(n), allowMissingColumns=True)
+        if "_score" in want_meta:
+            # ES|QL 9.1 scored search: _score starts at 0.0 and each
+            # WHERE's full-text functions ADD their clause scores
+            # (_stage_where / _ft_score_contrib); corpus statistics
+            # are index-wide = this FROM-time frame
+            if "_score" in df.columns:
+                raise ValueError(
+                    "ES|QL: METADATA _score collides with an existing "
+                    "_score column")
+            df = df.withColumn("_score", F.lit(0.0))
+            score_requested = True
     elif cmd[0] == "id" and cmd[1].upper() == "TS":
         # ES|QL TS source command (9.x time series): like FROM, but
         # the frame is a time-series index whose STATS aggregates are
@@ -2695,8 +2862,15 @@ def esql(tables: Mapping[str, DataFrame], query: str, *,
     else:
         raise ValueError(
             "ES|QL: the source command must be FROM, ROW or TS")
-    for stage in stages[1:]:
-        df = _apply_stage(df, stage, tables, rerank_models=rerank_models)
+    global _SCORE_CTX
+    prev_ctx = _SCORE_CTX
+    _SCORE_CTX = {"src": df, "cache": {}} if score_requested else None
+    try:
+        for stage in stages[1:]:
+            df = _apply_stage(df, stage, tables,
+                              rerank_models=rerank_models)
+    finally:
+        _SCORE_CTX = prev_ctx
     return df
 
 

@@ -1159,6 +1159,105 @@ class TestFullTextWhere:
             esql(docs, 'FROM t | WHERE QSTR("no field prefix")')
 
 
+class TestMetadataScore:
+    """ES|QL 9.1 ``FROM … METADATA _score``: full-text WHERE functions
+    contribute their clause scores — parity-pinned against the DSL
+    scorer (es_scored_search), which IS the reference construction."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"merge stream doc {i}" if i % 3 == 0
+              else ("merge only here" if i % 3 == 1 else "other text"),
+              f"k{i % 4}") for i in range(1, 21)],
+            "id long, text string, kw string")
+
+    def test_match_score_parity_with_dsl(self, spark):
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        df = self._docs(spark)
+        got = [(r["id"], r["_score"]) for r in esql({"t": df}, '''
+            FROM t METADATA _score
+            | WHERE MATCH(text, "merge stream")
+            | KEEP id, _score
+            | SORT _score DESC, id ASC
+        ''').collect()]
+        ref = es_scored_search(df, {
+            "query": {"match": {"text": "merge stream"}},
+            "size": 100, "_source": ["id"]}, id_field="id").collect()
+        want = sorted([(r["id"], r["_score"]) for r in ref],
+                      key=lambda x: (-x[1], x[0]))
+        assert got == want
+
+    def test_term_scores_keyword_idf(self, spark):
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        df = self._docs(spark)
+        r = esql({"t": df}, '''
+            FROM t METADATA _score
+            | WHERE TERM(kw, "k1") | KEEP id, _score | LIMIT 1
+        ''').first()
+        ref = es_scored_search(df, {
+            "query": {"term": {"kw": "k1"}},
+            "size": 1, "_source": ["id"]}, id_field="id").first()
+        assert r["_score"] == pytest.approx(ref["_score"], abs=1e-9)
+
+    def test_scores_accumulate_across_wheres(self, spark):
+        df = self._docs(spark)
+        one = {r["id"]: r["_score"] for r in esql({"t": df}, '''
+            FROM t METADATA _score
+            | WHERE MATCH(text, "merge") | KEEP id, _score
+        ''').collect()}
+        two = {r["id"]: r["_score"] for r in esql({"t": df}, '''
+            FROM t METADATA _score
+            | WHERE MATCH(text, "merge")
+            | WHERE MATCH(text, "stream") OR id <= 100
+            | KEEP id, _score
+        ''').collect()}
+        # doc 3 matches both; doc 1 only the first (OR keeps the row,
+        # contribution 0)
+        assert two[3] > one[3]
+        assert two[1] == pytest.approx(one[1])
+
+    def test_multi_match_is_best_fields_max(self, spark):
+        from hive2es_offline_spark.plans.scoring import es_scored_search
+
+        df = self._docs(spark).withColumn("alt", F.col("text"))
+        r = esql({"t": df}, '''
+            FROM t METADATA _score
+            | WHERE MULTI_MATCH("merge", text, alt)
+            | KEEP id, _score | SORT _score DESC, id ASC | LIMIT 1
+        ''').first()
+        ref = es_scored_search(df, {
+            "query": {"match": {"text": "merge"}},
+            "size": 1, "_source": ["id"]}, id_field="id").first()
+        # identical fields: best_fields max == the single-field score
+        assert r["_score"] == pytest.approx(ref["_score"], abs=1e-9)
+
+    def test_score_column_without_fulltext_stays_zero(self, spark):
+        r = esql({"t": self._docs(spark)}, '''
+            FROM t METADATA _score | WHERE id == 5 | KEEP id, _score
+        ''').first()
+        assert r["_score"] == 0.0
+
+    def test_rejects(self, spark):
+        df = self._docs(spark)
+        with pytest.raises(ValueError, match="filter-only"):
+            esql({"t": df}, '''
+                FROM t METADATA _score
+                | WHERE QSTR("text:merge")
+            ''')
+        with pytest.raises(ValueError, match="filter-only"):
+            esql({"t": df}, '''
+                FROM t METADATA _score | WHERE KQL("id >= 3")
+            ''')
+        clash = df.withColumn("_score", F.lit(1.0))
+        with pytest.raises(ValueError, match="collides"):
+            esql({"t": clash}, "FROM t METADATA _score")
+        # unscored queries keep QSTR fully working
+        assert esql({"t": df},
+                    'FROM t | WHERE QSTR("text:merge")').count() > 0
+
+
 class TestFullTextRoundOut:
     """ES|QL full-text WHERE round-out (round 15, second batch):
     MATCH_PHRASE (8.18), TERM (8.16), MULTI_MATCH (8.18) and KQL
