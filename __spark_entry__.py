@@ -4672,6 +4672,33 @@ def q_es_esql_score(spark, sf_dir):
     ''')
 
 
+#: es_esql_knn query vector — ONE deterministic constant feeds the
+#: ES|QL literal and the DuckDB oracle (lockstep)
+_KNN_QV = [round(__import__("math").sin(i + 1), 6) for i in range(64)]
+
+
+def q_es_esql_knn(spark, sf_dir):
+    """ES|QL 9.1 ``KNN(field, [v…], k)`` (round 15 third batch):
+    pre-filtered exact knn over the embeddings table — the engine's
+    canonical rounded-before-rank cosine, with the k-th-best boundary
+    collected as ONE bounded plan-build job (the rescore-collect
+    precedent) and rows tying the boundary all kept (live ES returns
+    exactly k; tie-inclusive is the deterministic documented
+    divergence).  Under METADATA _score the match contributes the
+    rounded cosine, so the SORT + LIMIT tail rides the scan into a
+    TakeOrderedAndProject — no join, no shuffle in the final plan."""
+    from hive2es_offline_spark.plans.esql import esql
+
+    vec = ", ".join(str(x) for x in _KNN_QV)
+    return esql({"embeddings": _t(spark, sf_dir, "embeddings")}, f'''
+        FROM embeddings METADATA _score
+        | WHERE KNN(embedding, [{vec}], 20)
+        | KEEP vec_id, label, _score
+        | SORT _score DESC, vec_id ASC
+        | LIMIT 40
+    ''')
+
+
 def q_es_esql_spatial_agg(spark, sf_dir):
     """ES|QL aggregate round-out, third batch (round 15):
     ``ST_CENTROID_AGG`` (decimal-routed coordinate averages returning
@@ -5720,7 +5747,8 @@ def q_ks_drift(spark, sf_dir):
 #: array<float> + HASH/base64/byte-length tail), es_esql_fn3
 #: (ROUND_TO/DAY_NAME/MONTH_NAME banding), es_esql_score (METADATA
 #: _score scored search: plan-literal corpus stats, row-local BM25),
-#: es_esql_spatial_agg
+#: es_esql_knn (the 9.1 KNN function: rounded-before-rank cosine,
+#: tie-inclusive k-th boundary), es_esql_spatial_agg
 #: (ST_CENTROID_AGG / ST_EXTENT_AGG / exact per-group
 #: MEDIAN_ABSOLUTE_DEVIATION), es_esql_version (TO_VERSION semver
 #: ordering), es_semantic (the semantic_text query,
@@ -5968,6 +5996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fn3": q_es_esql_fn3,
         "es_esql_spatial_agg": q_es_esql_spatial_agg,
         "es_esql_score": q_es_esql_score,
+        "es_esql_knn": q_es_esql_knn,
         "es_esql_version": q_es_esql_version,
         "es_semantic": q_es_semantic,
         "es_ks_test": q_es_ks_test,
@@ -7832,6 +7861,34 @@ def _goldens_b() -> dict[str, str]:
             WHERE d.n_chars >= 50
             ORDER BY _score DESC, d.doc_id ASC
             LIMIT 25
+        """,
+        # es_esql_knn: the engine's cosine association replayed
+        # exactly (dot/(norm_e * norm_q), round 6), the boundary as
+        # min over the top-20, ties kept
+        "es_esql_knn": f"""
+            WITH s AS (
+              SELECT vec_id, label,
+                     round(list_dot_product(
+                             CAST(embedding AS DOUBLE[]),
+                             {_KNN_QV}::DOUBLE[])
+                           / (sqrt(list_dot_product(
+                                CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(
+                                  {_KNN_QV}::DOUBLE[],
+                                  {_KNN_QV}::DOUBLE[]))),
+                           6) AS sim
+              FROM embeddings
+            ), b AS (
+              SELECT min(sim) AS t FROM (
+                SELECT sim FROM s WHERE sim IS NOT NULL
+                ORDER BY sim DESC LIMIT 20)
+            )
+            SELECT vec_id, label, sim AS _score
+            FROM s, b
+            WHERE sim >= b.t
+            ORDER BY _score DESC, vec_id ASC
+            LIMIT 40
         """,
         # es_esql_version: the semver order replayed directly on the
         # numeric components — prerelease rows sort before their

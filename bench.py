@@ -289,6 +289,8 @@ BENCH_QUERIES = [
     # METADATA _score: plan-literal corpus stats + row-local BM25
     # riding the scan into a TakeOrderedAndProject
     "es_esql_score",
+    # ES|QL KNN: one bounded boundary job + a scan-riding cosine
+    "es_esql_knn",
 ]
 
 

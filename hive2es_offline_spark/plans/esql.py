@@ -197,7 +197,7 @@ _TOKEN_RE = re.compile(
       | (?P<number>\d+\.\d+|\d+)
       | (?P<quoted_id>`[^`]+`)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
-      | (?P<op>==|!=|<=|>=|[|(),=<>+\-*/%])
+      | (?P<op>==|!=|<=|>=|[|(),=<>+\-*/%\[\]])
     )''',
     re.X,
 )
@@ -843,7 +843,7 @@ class _P:
             self.expect_op(")")
             return F.locate(t[1], arg, start)
         if fn in ("MATCH", "QSTR", "MATCH_PHRASE", "TERM",
-                  "MULTI_MATCH", "KQL"):
+                  "MULTI_MATCH", "KQL", "KNN"):
             # ES|QL full-text WHERE functions (ES 8.14→8.18): the
             # bridge from the ES|QL grammar into the query-DSL
             # compilers — MATCH(field, "query") compiles the DSL match
@@ -867,6 +867,81 @@ class _P:
                     "only allowed in WHERE (like live ES|QL)")
             from .query_dsl import compile_query
 
+            if fn == "KNN":
+                # ES|QL 9.1 KNN(field, [v, …][, k]) — keep the rows
+                # whose ROUNDED cosine similarity to the literal query
+                # vector reaches the k-th best over the frame AT THIS
+                # WHERE (pre-filtered knn, the retriever-filter
+                # semantic).  The boundary similarity is ONE bounded
+                # eager top-k job at plan build (the rescore-collect
+                # precedent); the per-row cosine is the engine's
+                # canonical rounded-before-rank exact cosine
+                # (operators/similarity._cosine_to_literal), so rows
+                # TYING the k-th similarity are all kept — live ES
+                # returns exactly k; the tie-inclusive cut is the
+                # deterministic documented divergence.  Under METADATA
+                # _score the match contributes the rounded cosine (the
+                # knn retriever's score convention).
+                from ..operators.similarity import _cosine_to_literal
+
+                fld = self.next()
+                if fld[0] != "id":
+                    raise ValueError(
+                        f"ES|QL: KNN needs a field name first, got "
+                        f"{fld[1]!r}{_at(fld)}")
+                self.expect_op(",")
+                self.expect_op("[")
+                qv: list[float] = []
+                while True:
+                    neg = False
+                    if self.peek() == ("op", "-"):
+                        self.next()
+                        neg = True
+                    t = self.next()
+                    if t[0] != "num":
+                        raise ValueError(
+                            f"ES|QL: KNN query vector must be numeric "
+                            f"literals, got {t[1]!r}{_at(t)}")
+                    qv.append(-float(t[1]) if neg else float(t[1]))
+                    nxt = self.next()
+                    if nxt == ("op", "]"):
+                        break
+                    if nxt != ("op", ","):
+                        raise ValueError(
+                            f"ES|QL: expected ',' or ']' in the KNN "
+                            f"query vector, got {nxt[1]!r}{_at(nxt)}")
+                k = 10
+                if self.peek() == ("op", ","):
+                    self.next()
+                    kt = self.next()
+                    if kt[0] != "num" or "." in kt[1] or int(kt[1]) < 1:
+                        raise ValueError(
+                            f"ES|QL: KNN k must be a positive integer "
+                            f"literal{_at(kt)}")
+                    k = int(kt[1])
+                self.expect_op(")")
+                frame = getattr(self, "frame", None)
+                if frame is None:
+                    raise ValueError(
+                        "ES|QL: KNN needs the WHERE frame context")
+                qarr = F.array(*[F.lit(x) for x in qv])
+                sim = F.round(
+                    _cosine_to_literal(F.col(fld[1]), qarr, qv), 6)
+                boundary = [r[0] for r in frame.select(sim.alias("_s"))
+                            .where(F.col("_s").isNotNull())
+                            .orderBy(F.col("_s").desc()).limit(k)
+                            .collect()]
+                if not boundary:
+                    pred = F.lit(False)  # no comparable vectors at all
+                else:
+                    pred = sim >= F.lit(float(boundary[-1]))
+                if _SCORE_CTX is not None:
+                    contribs = getattr(self, "score_contribs",
+                                       None) or []
+                    contribs.append(
+                        F.when(pred, sim).otherwise(F.lit(0.0)))
+                    self.score_contribs = contribs
+                return pred
             if fn in ("MATCH", "MATCH_PHRASE"):
                 fld = self.next()
                 if fld[0] != "id":
@@ -1907,6 +1982,7 @@ def _es_analyze_text(q: str) -> list[str]:
 
 def _stage_where(df: DataFrame, p: _P) -> DataFrame:
     p.in_where = True  # full-text MATCH()/QSTR() are WHERE-only
+    p.frame = df       # KNN's k-th-similarity boundary needs the frame
     cond = p.expr()
     if not p.done():
         raise ValueError(

@@ -1258,6 +1258,52 @@ class TestMetadataScore:
                     'FROM t | WHERE QSTR("text:merge")').count() > 0
 
 
+class TestEsqlKnn:
+    """ES|QL 9.1 KNN(field, [v…][, k]): pre-filtered exact knn with
+    the engine's rounded-before-rank cosine and a tie-inclusive k-th
+    boundary (documented divergence from live ES's exactly-k)."""
+
+    def _vecs(self, spark):
+        rows = [(i, [float(i % 7), 1.0]) for i in range(1, 21)] \
+            + [(99, None)]
+        return spark.createDataFrame(rows, "id long, emb array<double>")
+
+    def test_boundary_and_score(self, spark):
+        out = esql({"t": self._vecs(spark)}, '''
+            FROM t METADATA _score
+            | WHERE KNN(emb, [6.0, 1.0], 4)
+            | KEEP id, _score | SORT _score DESC, id ASC
+        ''').collect()
+        got = [(r["id"], r["_score"]) for r in out]
+        # ids ≡ 6 (mod 7) are exact matches (cos = 1.0); the 4th-best
+        # similarity ties across ids ≡ 5, so the cut keeps all ties
+        assert got[:3] == [(6, 1.0), (13, 1.0), (20, 1.0)]
+        assert {g[0] for g in got[3:]} == {5, 12, 19}
+        assert all(g[1] == got[3][1] for g in got[3:])
+
+    def test_filter_only_and_null_vectors_drop(self, spark):
+        ids = [r["id"] for r in esql({"t": self._vecs(spark)}, '''
+            FROM t | WHERE KNN(emb, [6.0, 1.0], 3) | KEEP id
+        ''').collect()]
+        assert set(ids) == {6, 13, 20}
+        assert 99 not in ids  # NULL vector rows never match
+
+    def test_composes_with_scalar_filter(self, spark):
+        ids = sorted(r["id"] for r in esql({"t": self._vecs(spark)}, '''
+            FROM t | WHERE KNN(emb, [6.0, 1.0], 3) AND id <= 13 | KEEP id
+        ''').collect())
+        assert ids == [6, 13]
+
+    def test_rejects(self, spark):
+        df = self._vecs(spark)
+        with pytest.raises(ValueError, match="numeric"):
+            esql({"t": df}, 'FROM t | WHERE KNN(emb, [6.0, "x"])')
+        with pytest.raises(ValueError, match="positive integer"):
+            esql({"t": df}, "FROM t | WHERE KNN(emb, [6.0, 1.0], 0)")
+        with pytest.raises(ValueError, match="only allowed in WHERE"):
+            esql({"t": df}, "FROM t | EVAL x = KNN(emb, [6.0, 1.0])")
+
+
 class TestFullTextRoundOut:
     """ES|QL full-text WHERE round-out (round 15, second batch):
     MATCH_PHRASE (8.18), TERM (8.16), MULTI_MATCH (8.18) and KQL
