@@ -639,9 +639,12 @@ class _ScoreCompiler:
             # semantic_text stand-in: the standard analysis chain IS
             # the "inference" — distinct query tokens at weight 1.0,
             # rewritten onto sparse_vector (validation in the filter
-            # branch, which compile_query already ran)
-            from .query_dsl import _analyze_terms
-
+            # branch, which compile_query already ran).  NOTE: use the
+            # module-level _analyze_terms (= analysis.analyze_text,
+            # identical to query_dsl's wrapper) — a local import here
+            # would shadow the name for the WHOLE method and break the
+            # earlier combined_fields/_bm25 call sites with
+            # UnboundLocalError.
             toks = sorted(set(_analyze_terms(str(body["query"]))))
             return self.build({"sparse_vector": {
                 "field": body["field"],
