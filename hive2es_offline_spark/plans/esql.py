@@ -9,12 +9,17 @@ optimizer — the compiler never materializes between stages.
 Supported commands (everything else rejects loudly, the repo's
 anti-silent policy):
 
-- ``FROM index[, index…] [METADATA _index]``
+- ``FROM index[, index…] [METADATA _index|_score]``
                                   union of the named tables (by name);
                                   METADATA _index adds the source
                                   table name as a per-branch literal
                                   (a WHERE on it prunes whole branches
-                                  at plan time); _id/_score/_version
+                                  at plan time); METADATA _score (9.1)
+                                  starts _score at 0.0 and each
+                                  WHERE's full-text functions ADD
+                                  their clause scores (plan-literal
+                                  corpus stats, row-local BM25 — see
+                                  _ft_score_contrib); _id/_version
                                   reject — no flat-frame meaning
 - ``ROW name = <expr>, …``        one-row constant source (full scalar
                                   grammar over range(1); the session
@@ -148,18 +153,25 @@ representation), ``TO_IP`` (dotted-quad → uint32 ordering key, so
 ip compares/sorts are numeric; malformed non-NULL raises — see
 ``_to_ip``), ``IP_PREFIX`` (mask + render through the same guarded
 parse), ``DATE_PARSE`` (literal pattern; malformed throws under ANSI),
-the hash digests (MD5 SHA1 SHA256), the math tail (LOG LOG10 EXP SIN
-COS TAN ASIN ACOS ATAN ATAN2 SINH COSH TANH SIGNUM CBRT HYPOT
-TO_DEGREES TO_RADIANS PI E TAU), plus the WHERE-only full-text
-functions
+the hash digests (MD5 SHA1 SHA256 + generalized HASH(alg, v)), the
+math tail (LOG LOG10 EXP SIN COS TAN ASIN ACOS ATAN ATAN2 SINH COSH
+TANH SIGNUM CBRT HYPOT TO_DEGREES TO_RADIANS PI E TAU ROUND_TO SCALB
+COPY_SIGN), the string tail (SPACE REPEAT BIT_LENGTH BYTE_LENGTH
+TO_BASE64 FROM_BASE64), DAY_NAME/MONTH_NAME, TO_VERSION (semver
+ordering key), the MV percentile family (MV_PERCENTILE
+MV_MEDIAN_ABSOLUTE_DEVIATION MV_PSERIES_WEIGHTED_SUM), plus the
+WHERE-only full-text functions
 ``MATCH(field, "query")`` (the DSL analyzed-match clause),
 ``MATCH_PHRASE(field, "query")`` (the positional phrase clause, 8.18),
 ``TERM(field, value)`` (exact un-analyzed equality, 8.16),
 ``MULTI_MATCH("query", f1, f2, …)`` (per-field match OR, 8.18),
-``QSTR("field:query …")`` (the Lucene query-string grammar) and
+``QSTR("field:query …")`` (the Lucene query-string grammar),
 ``KQL("field:value and …")`` (the Kibana Query Language grammar,
 plans/kql.py, 8.17; for QSTR/KQL bare terms reject loudly — a flat
-frame has no index mapping to supply default fields).  ``CATEGORIZE(msg)`` is the
+frame has no index mapping to supply default fields) and
+``KNN(field, [v…], k)`` (9.1 — pre-filtered exact knn: rounded
+cosine vs a literal vector, tie-inclusive k-th boundary from one
+bounded plan-build job; scores the cosine under METADATA _score).  ``CATEGORIZE(msg)`` is the
 STATS-BY log-categorization key — the deterministic exact-signature
 contract of the categorize_text agg (number-bearing tokens removed,
 pure codegen; live ES runs the drain-style ML categorizer — documented
