@@ -2558,10 +2558,13 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     ``.*?`` would backtrack on overall failure and fabricate a
     different parse (code-review r13, verified: "%{a}:%{b}-" on
     "1:2-3:4-" must be a NO-match, not b="2-3:4").  ``%{}`` and
-    ``%{?name}`` are skips.  Modifiers (``->``, ``+key``, ``*key``,
-    ``&key``, append separators) are not implemented and reject
-    loudly; adjacent keys with no delimiter between them are ambiguous
-    and reject too."""
+    ``%{?name}`` are skips.  ``%{key->}`` skips right padding: the
+    delimiter that follows may repeat (dissect's ``->`` modifier —
+    ``"%{a->} %{b}"`` parses ``"x    y"``).  The remaining modifiers
+    (``+key`` append, ``/n`` order, ``*key``/``&key`` references,
+    append separators) are not implemented and reject loudly; adjacent
+    keys with no delimiter between them are ambiguous and reject
+    too."""
     parts = re.split(r"(%\{[^}]*\})", pattern)
     parts = [p for p in parts if p]
     if any("%{" in p for p in parts if not p.startswith("%{")):
@@ -2570,6 +2573,7 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
         raise ValueError(
             f"ES|QL: malformed %{{…}} in DISSECT pattern {pattern!r}")
     regex, names = "^", []
+    pad_delim = False
     for i, part in enumerate(parts):
         if part.startswith("%{"):
             key = part[2:-1]
@@ -2580,12 +2584,20 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
                 raise ValueError(
                     f"ES|QL: malformed %{{…}} in DISSECT pattern "
                     f"{pattern!r}")
+            pad = key.endswith("->")
+            if pad:
+                key = key[:-2]
             if any(m in key for m in ("->", "+", "/", "*", "&")):
                 raise ValueError(
                     f"ES|QL: DISSECT modifier in {part!r} is not "
-                    "supported (plain %{key} and %{?skip} only)")
+                    "supported (plain %{key}, %{?skip} and the "
+                    "%{key->} right-padding modifier only)")
             nxt = parts[i + 1] if i + 1 < len(parts) else None
             if nxt is None:
+                if pad:
+                    raise ValueError(
+                        f"ES|QL: {part!r} right-padding needs a "
+                        "delimiter after it")
                 body = ".*"
             elif nxt.startswith("%{"):
                 raise ValueError(
@@ -2593,13 +2605,19 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
                     f"between them are ambiguous ({part}{nxt})")
             else:
                 body = f"(?:(?!{re.escape(nxt)}).)*"
+            pad_delim = pad
             if not key or key.startswith("?"):
                 regex += f"(?:{body})"
             else:
                 names.append(key)
                 regex += f"({body})"
         else:
-            regex += re.escape(part)
+            # after %{key->}, the delimiter may REPEAT (right padding)
+            # — one-or-more of the whole literal, which is what
+            # dissect's -> skips
+            regex += (f"(?:{re.escape(part)})+" if pad_delim
+                      else re.escape(part))
+            pad_delim = False
     return regex + "$", names
 
 

@@ -298,8 +298,27 @@ class TestLookupDissectGrok:
             | KEEP id, level | SORT id ASC
         ''').first()
         assert out["level"] == "ERROR"
-        with pytest.raises(ValueError, match="modifier"):
-            esql(cat2, 'FROM logs | DISSECT msg "%{ts->} %{level}"')
+
+    def test_dissect_right_padding(self, spark):
+        # %{key->}: the delimiter after it may repeat (round 15 — was
+        # a loud reject before; the other modifiers still are)
+        df = spark.createDataFrame(
+            [(1, "alpha    beta"), (2, "x y"), (3, "padded   ")],
+            "id long, msg string")
+        rows = {r["id"]: r for r in esql({"t": df}, '''
+            FROM t | DISSECT msg "%{a->} %{b}"
+        ''').collect()}
+        assert (rows[1]["a"], rows[1]["b"]) == ("alpha", "beta")
+        assert (rows[2]["a"], rows[2]["b"]) == ("x", "y")
+        assert (rows[3]["a"], rows[3]["b"]) == ("padded", "")
+        # skip keys take the modifier too
+        r = esql({"t": df}, '''
+            FROM t | DISSECT msg "%{?junk->} %{rest}" | WHERE id == 1
+        ''').first()
+        assert r["rest"] == "beta"
+        # padding with nothing after it is meaningless -> loud reject
+        with pytest.raises(ValueError, match="right-padding"):
+            esql({"t": df}, 'FROM t | DISSECT msg "x %{a->}"')
 
     def test_grok_with_casts_and_null_on_no_match(self, cat2):
         out = esql(cat2, '''
