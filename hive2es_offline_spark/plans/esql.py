@@ -2560,11 +2560,16 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     "1:2-3:4-" must be a NO-match, not b="2-3:4").  ``%{}`` and
     ``%{?name}`` are skips.  ``%{key->}`` skips right padding: the
     delimiter that follows may repeat (dissect's ``->`` modifier —
-    ``"%{a->} %{b}"`` parses ``"x    y"``).  The remaining modifiers
-    (``+key`` append, ``/n`` order, ``*key``/``&key`` references,
-    append separators) are not implemented and reject loudly; adjacent
-    keys with no delimiter between them are ambiguous and reject
-    too."""
+    ``"%{a->} %{b}"`` parses ``"x    y"``).  ``%{+key}`` appends to
+    the key's earlier captures (optionally ordered with ``/n``: all
+    pieces of an ordered key must carry distinct orders), joined by
+    the command's APPEND_SEPARATOR.  Reference modifiers
+    (``*key``/``&key`` — key names from the data) are not implemented
+    and reject loudly, as do plain duplicate keys and adjacent keys
+    with no delimiter between them.
+
+    Returns ``(regex, entries)`` where entries lists the CAPTURED keys
+    in group order as ``(name, is_append, order_or_None)``."""
     parts = re.split(r"(%\{[^}]*\})", pattern)
     parts = [p for p in parts if p]
     if any("%{" in p for p in parts if not p.startswith("%{")):
@@ -2572,7 +2577,8 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
         # silently match nothing (code-review r13)
         raise ValueError(
             f"ES|QL: malformed %{{…}} in DISSECT pattern {pattern!r}")
-    regex, names = "^", []
+    regex = "^"
+    entries: list[tuple[str, bool, int | None]] = []
     pad_delim = False
     for i, part in enumerate(parts):
         if part.startswith("%{"):
@@ -2587,11 +2593,23 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
             pad = key.endswith("->")
             if pad:
                 key = key[:-2]
+            is_append = key.startswith("+")
+            if is_append:
+                key = key[1:]
+            order: int | None = None
+            om = re.match(r"^(.*)/(\d+)$", key)
+            if om and is_append:
+                key, order = om.group(1), int(om.group(2))
+            if not key and is_append:
+                raise ValueError(
+                    f"ES|QL: DISSECT append modifier needs a key "
+                    f"name in {part!r}")
             if any(m in key for m in ("->", "+", "/", "*", "&")):
                 raise ValueError(
                     f"ES|QL: DISSECT modifier in {part!r} is not "
-                    "supported (plain %{key}, %{?skip} and the "
-                    "%{key->} right-padding modifier only)")
+                    "supported (plain %{key}, %{?skip}, %{+key[/n]} "
+                    "append and the %{key->} right-padding modifier "
+                    "only)")
             nxt = parts[i + 1] if i + 1 < len(parts) else None
             if nxt is None:
                 if pad:
@@ -2609,7 +2627,7 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
             if not key or key.startswith("?"):
                 regex += f"(?:{body})"
             else:
-                names.append(key)
+                entries.append((key, is_append, order))
                 regex += f"({body})"
         else:
             # after %{key->}, the delimiter may REPEAT (right padding)
@@ -2618,7 +2636,7 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
             regex += (f"(?:{re.escape(part)})+" if pad_delim
                       else re.escape(part))
             pad_delim = False
-    return regex + "$", names
+    return regex + "$", entries
 
 
 def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
@@ -3072,22 +3090,71 @@ def _apply_stage(df: DataFrame, stage: list,
     elif up in ("DISSECT", "GROK"):
         t = p.next()
         pat_t = p.next()
-        if t[0] != "id" or pat_t[0] != "str" or not p.done():
-            raise ValueError(
-                f"ES|QL: {up} <column> \"<pattern>\" "
-                "(APPEND_SEPARATOR is not supported)")
+        if t[0] != "id" or pat_t[0] != "str":
+            raise ValueError(f"ES|QL: {up} <column> \"<pattern>\"")
+        sep = ""
+        if not p.done():
+            kt = p.next()
+            if not (up == "DISSECT" and kt[0] == "id"
+                    and kt[1].upper() == "APPEND_SEPARATOR"):
+                raise ValueError(
+                    f"ES|QL: {up} <column> \"<pattern>\" "
+                    "[APPEND_SEPARATOR=\"s\" — DISSECT only]"
+                    f"{_at(kt)}")
+            p.expect_op("=")
+            st = p.next()
+            if st[0] != "str":
+                raise ValueError(
+                    f"ES|QL: APPEND_SEPARATOR takes a literal string"
+                    f"{_at(st)}")
+            sep = st[1]
+            if not p.done():
+                raise ValueError(
+                    f"ES|QL: trailing tokens after {up}: "
+                    f"{p.peek()[1]!r}{_at(p.peek())}")
         if t[1] not in df.columns:
             raise ValueError(
                 f"ES|QL: unknown column {t[1]!r} (have {df.columns})")
         if up == "DISSECT":
-            regex, names = _dissect_regex(pat_t[1])
-            fields = [(n, None) for n in names]
+            regex, entries = _dissect_regex(pat_t[1])
+            if not entries:
+                raise ValueError("ES|QL: DISSECT pattern extracts no "
+                                 "fields")
+            # group the capture pieces per key: a later plain
+            # (non-+) duplicate is ambiguous; ordered (+key/n) pieces
+            # must be consistently and distinctly ordered, and sort by
+            # n — unnumbered appends keep appearance order
+            plan: dict[str, list[tuple[int, int | None]]] = {}
+            for gi, (name, is_app, order) in enumerate(entries, 1):
+                if name in plan and not is_app:
+                    raise ValueError(
+                        f"ES|QL: duplicate DISSECT key {name!r} — "
+                        "append with %{+" + name + "}")
+                plan.setdefault(name, []).append((gi, order))
+            src = F.col(t[1])
+            matched = src.rlike(regex)
+            for name, pieces in plan.items():
+                orders = [o for _, o in pieces]
+                if any(o is not None for o in orders):
+                    if None in orders or len(set(orders)) != len(orders):
+                        raise ValueError(
+                            f"ES|QL: DISSECT key {name!r} mixes "
+                            "ordered and unordered appends (all "
+                            "pieces of an ordered key need distinct "
+                            "/n orders)")
+                    pieces = sorted(pieces, key=lambda x: x[1])
+                exprs = [F.regexp_extract(src, regex, gi)
+                         for gi, _ in pieces]
+                joined = exprs[0]
+                for e in exprs[1:]:
+                    joined = F.concat(joined, F.lit(sep), e)
+                df = df.withColumn(name, F.when(matched, joined))
         else:
             regex, fields = _grok_regex(pat_t[1])
-        if not fields:
-            raise ValueError(
-                f"ES|QL: {up} pattern extracts no fields")
-        df = _extract_groups(df, t[1], regex, fields)
+            if not fields:
+                raise ValueError("ES|QL: GROK pattern extracts no "
+                                 "fields")
+            df = _extract_groups(df, t[1], regex, fields)
     elif up == "SAMPLE":
         # ES|QL SAMPLE (9.1): keep each row with probability p.
         # Live ES|QL samples with an RNG — non-deterministic across

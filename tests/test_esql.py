@@ -320,6 +320,35 @@ class TestLookupDissectGrok:
         with pytest.raises(ValueError, match="right-padding"):
             esql({"t": df}, 'FROM t | DISSECT msg "x %{a->}"')
 
+    def test_dissect_append(self, spark):
+        df = spark.createDataFrame(
+            [(1, "john jacob smith")], "id long, msg string")
+        r = esql({"t": df}, '''
+            FROM t | DISSECT msg "%{name} %{+name} %{+name}"
+        ''').first()
+        assert r["name"] == "johnjacobsmith"
+        r = esql({"t": df}, '''
+            FROM t
+            | DISSECT msg "%{name} %{+name} %{+name}" APPEND_SEPARATOR=" "
+        ''').first()
+        assert r["name"] == "john jacob smith"
+        # /n ordering reorders the pieces
+        r = esql({"t": df}, '''
+            FROM t
+            | DISSECT msg "%{+name/2} %{+name/3} %{+name/1}" APPEND_SEPARATOR=","
+        ''').first()
+        assert r["name"] == "smith,john,jacob"
+
+    def test_dissect_append_rejects(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "id long, msg string")
+        with pytest.raises(ValueError, match="duplicate DISSECT key"):
+            esql({"t": df}, 'FROM t | DISSECT msg "%{a} %{a}"')
+        with pytest.raises(ValueError, match="ordered"):
+            esql({"t": df}, 'FROM t | DISSECT msg "%{+a/1} %{+a}"')
+        with pytest.raises(ValueError, match="APPEND_SEPARATOR"):
+            esql({"t": df},
+                 'FROM t | GROK msg "%{WORD:w}" APPEND_SEPARATOR=","')
+
     def test_grok_with_casts_and_null_on_no_match(self, cat2):
         out = esql(cat2, '''
             FROM logs
