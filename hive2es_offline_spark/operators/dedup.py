@@ -967,11 +967,10 @@ def video_dedup(
 
     Scale shape, in order:
 
-    1. ``sample_video_frames`` — container parse + MJPEG decode in ONE
-       Arrow mapInPandas; after it pixels move once more (the sampled
-       PNG frames), never the full video payload.
-    2. ``dhash_images`` over the frames — after it only (video, slot,
-       8-byte hash) rows move.
+    1. ``video.video_frame_dhashes`` — container parse + MJPEG decode +
+       per-frame dHash FUSED in ONE Arrow mapInPandas (round 15): after
+       it only (video, slot, 8-byte hash) rows move — no intermediate
+       PNG encode/decode, and no frame bytes ever leave Python.
     3. Pigeonhole blocking per (slot, chunk): any pair within hamming
        ``num_chunks - 1`` shares a chunk, so the self-join keys on
        (slot, chunk_index, chunk_value) — never all-pairs;
@@ -981,7 +980,7 @@ def video_dedup(
     4. Per-pair slot count ≥ ``min_matching_frames`` → video edges →
        ``connected_components`` over the (small) video-pair graph.
     """
-    from .video import sample_video_frames
+    from .video import video_frame_dhashes
 
     chunk_bits = 64 // num_chunks
     if chunk_bits * num_chunks != 64:
@@ -992,22 +991,21 @@ def video_dedup(
     if alignment not in ("slot", "set"):
         raise ValueError(
             f"unsupported alignment {alignment!r} (slot | set)")
-    from .multimodal import dhash_images
 
-    frames = sample_video_frames(df, num_frames, id_col, payload_col)
-    # composite frame id → one dhash_images pass; recover (video, slot)
-    fid = (F.col("doc_id") * num_frames + F.col("frame_index"))
-    hashed = dhash_images(
-        frames.where(F.col("frame").isNotNull())
-        .select(fid.alias("_fid"), "frame"),
-        "_fid", "frame")
+    # fused decode+hash (round 15, guide §4.2): one Arrow pass from AVI
+    # payload to (video, slot, 8-byte hash) — the composed
+    # sample_video_frames + dhash_images pair PNG-encoded every sampled
+    # frame only to immediately PNG-decode it, and shipped the encoded
+    # frames across the Python boundary twice; hashes are bit-identical
+    # (lossless uint8 round-trip, pinned in tests/test_video.py)
+    frames = video_frame_dhashes(df, num_frames, id_col, payload_col)
     # checkpoint the (video, slot, 8-byte hash) frame — tiny at any
     # scale — so the component iteration's keyed joins never re-run the
     # container-parse + JPEG-decode lineage (measured 7.5 s → decode
     # cost ~1.4 s on the 60-video fixture without it)
-    fh = hashed.where(F.col("dhash").isNotNull()).select(
-        (F.col("doc_id") / num_frames).cast("long").alias("vid"),
-        (F.col("doc_id") % num_frames).alias("slot"),
+    fh = frames.where(F.col("dhash").isNotNull()).select(
+        F.col("doc_id").alias("vid"),
+        F.col("frame_index").alias("slot"),
         "dhash").localCheckpoint(eager=False)
     mask = (1 << chunk_bits) - 1
     blocked = fh.select(

@@ -36,6 +36,7 @@ __all__ = [
     "with_avi_payload",
     "decode_video_meta",
     "sample_video_frames",
+    "video_frame_dhashes",
 ]
 
 
@@ -251,3 +252,65 @@ def sample_video_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(sample, VIDEO_FRAME_SCHEMA)
+
+
+VIDEO_FRAME_DHASH_SCHEMA = (
+    "doc_id long, frame_index int, dhash long, frame_status string"
+)
+
+
+def video_frame_dhashes(
+    df: DataFrame,
+    num_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """AVI payload -> per-slot 64-bit dHash in ONE Arrow pass: the fused
+    form of ``sample_video_frames`` + ``multimodal.dhash_images`` for
+    consumers that only need the hash (``dedup.video_dedup``).
+
+    The composed pair PNG-encodes every sampled frame only for
+    ``dhash_images`` to immediately PNG-decode it — a lossless uint8
+    round-trip (``encode_png``/``decode_png_pixels`` preserve the RGB
+    array bit-for-bit), so hashing the JPEG-decoded pixels directly
+    yields the IDENTICAL hash while skipping both PNG codec passes and
+    shipping 8 bytes per frame out of Python instead of the encoded
+    frame image (equality is regression-pinned in tests/test_video.py).
+    Status strings match ``sample_video_frames``: ``ok`` rows carry the
+    hash, ``undecodable`` / ``no_pixel_codec`` rows carry NULL."""
+    from .multimodal import dhash64
+
+    def hash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes, status = [], [], [], []
+
+            def emit(did: int, i: int, h, st: str) -> None:
+                ids.append(did)
+                idxs.append(i)
+                hashes.append(h)
+                status.append(st)
+
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_avi(bytes(p))
+                if m is None:
+                    for i in range(num_frames):
+                        emit(int(did), i, None, "undecodable")
+                    continue
+                picks = (
+                    np.linspace(0, len(m["frames"]) - 1, num_frames)
+                    .round().astype(int)
+                )
+                for i, fi in enumerate(picks):
+                    pixels = decode_jpeg_pixels(m["frames"][fi])
+                    if pixels is None:
+                        emit(int(did), i, None, "no_pixel_codec")
+                    else:
+                        emit(int(did), i, dhash64(pixels), "ok")
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": idxs,
+                 "dhash": pd.array(hashes, dtype="Int64"),
+                 "frame_status": status}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hash_frames, VIDEO_FRAME_DHASH_SCHEMA)

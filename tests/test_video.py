@@ -214,3 +214,41 @@ class TestVideoDedup:
         comp_set = {r["doc_id"]: r["component"] for r in both}
         assert comp_set[1] == comp_set[2] == 1  # trim-shift closed
         assert comp_set[3] == 3                 # still no false pair
+
+
+def test_fused_frame_dhash_matches_composed_path(spark):
+    """Round-15 fusion pin (guide §4.2): ``video_frame_dhashes`` must
+    produce bit-identical hashes to the composed sample_video_frames →
+    dhash_images pipeline it replaced inside ``video_dedup`` — the PNG
+    encode/decode it skips is a lossless uint8 round-trip."""
+    from hive2es_offline_spark.operators.multimodal import dhash_images
+
+    ids = spark.range(5).withColumnRenamed("id", "doc_id")
+    payloads = video.with_avi_payload(ids, n_frames=6, style="textured")
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"mp4junk"))], "doc_id long, payload binary")
+    payloads = payloads.unionByName(bad)
+
+    fused = {
+        (r["doc_id"], r["frame_index"]): (r["dhash"], r["frame_status"])
+        for r in video.video_frame_dhashes(payloads, num_frames=3).collect()
+    }
+    frames = video.sample_video_frames(payloads, num_frames=3)
+    composed_ok = {
+        (r["doc_id"] // 3, r["doc_id"] % 3): r["dhash"]
+        for r in dhash_images(
+            frames.where("frame is not null")
+            .selectExpr("doc_id * 3 + frame_index as doc_id", "frame"),
+            "doc_id", "frame").collect()
+    }
+    statuses = {
+        (r["doc_id"], r["frame_index"]): r["frame_status"]
+        for r in frames.collect()
+    }
+    assert set(fused) == set(statuses)
+    for key, (h, st) in fused.items():
+        assert st == statuses[key]
+        if st == "ok":
+            assert h == composed_ok[key], key
+        else:
+            assert h is None and key not in composed_ok
