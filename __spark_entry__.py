@@ -1329,10 +1329,17 @@ def q_multimodal_prepare(spark, sf_dir):
     from hive2es_offline_spark.sinks import export
 
     d = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
-    payloads = multimodal.with_png_payload(d)
+    # four downstream ACTIONS (meta count, feature count, quantize count,
+    # the WebDataset export) consume `payloads`, and two consume `feats`;
+    # each action re-runs its full lineage, so without materialization the
+    # PNG synthesis executes 4x and the pixel featurization 2x per call
+    # (guide §5: reuse-worthy intermediates).  localCheckpoint is built
+    # fresh on every invocation — no cross-run caching.
+    payloads = multimodal.with_png_payload(d).localCheckpoint(eager=False)
     meta = multimodal.decode_image_meta(payloads)
     n_ok = meta.where(F.col("decode_status") == "ok").count()
-    feats = multimodal.extract_features(payloads, dim=16)
+    feats = multimodal.extract_features(payloads, dim=16).localCheckpoint(
+        eager=False)
     n_feat = feats.where(F.col("decode_status") == "ok").count()
     q = quantize_embeddings(
         feats.select("doc_id", F.col("feature").alias("embedding")), id_col="doc_id"
