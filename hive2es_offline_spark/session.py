@@ -54,6 +54,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Allow shuffled-hash join where its size conditions hold (guide
+        # §3.1/§9): SHJ skips the per-partition sort of both sides that
+        # sort-merge pays, and AQE's skew splitting covers SHJ too.  The
+        # planner still falls back to sort-merge when neither side can
+        # build a local map, so spill-safety at scale is unchanged.
+        # Parameterised so a cluster profile can restore the default.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # 128 MB input splits: the sweet spot for parquet scans at scale.
