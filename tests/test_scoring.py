@@ -508,11 +508,15 @@ def test_scored_sort_reuses_filter_path_parser(corpus):
             "_source": ["doc_id", "source"]}
     out = es_scored_search(corpus, body, id_field="doc_id").collect()
     exp = _bm25_expected(DOCS, ["merge"])
-    expected = sorted(
-        [(d, s) for d, s in exp.items()],
-        key=lambda kv: ({1: "web", 2: "web", 3: "api"}[kv[0]], -kv[1]),
-    )
-    assert [r["doc_id"] for r in out] == [d for d, _ in expected]
+    src = {1: "web", 2: "web", 3: "api"}
+    # docs 1 and 2 tie EXACTLY (tf=1, dl=4 each): like ES (shard order),
+    # the engine leaves order among equal (source, _score) keys
+    # unspecified, so assert the sort-KEY sequence and the hit set — not
+    # one arbitrary serialization of the tie (r15: the old id-sequence
+    # assertion flaked once shuffled-hash joins changed row order)
+    expected_keys = sorted((src[d], -s) for d, s in exp.items())
+    assert [(src[r["doc_id"]], -exp[r["doc_id"]]) for r in out] == expected_keys
+    assert {r["doc_id"] for r in out} == set(exp)
     # _geo_distance option handling now comes from the shared parser too:
     # unsupported companions reject loudly instead of silently sorting
     with pytest.raises(ValueError, match="_geo_distance"):
