@@ -65,6 +65,7 @@ module's state.
 
 from __future__ import annotations
 
+import contextvars
 import re
 from dataclasses import dataclass, field
 from contextlib import contextmanager
@@ -1001,7 +1002,7 @@ def plain_chain(analyzer: str | None = None) -> bool:
     stem / synonyms) rewrites or removes tokens; fast paths must fall
     back to the positions engine over ``analyze_col`` (code-review r11:
     the regex path silently missed stemmed phrases)."""
-    spec = _spec(analyzer or _default)
+    spec = _spec(analyzer or current_analyzer())
     return not (spec.possessive or spec.elision or spec.asciifolding
                 or spec.cjk_bigrams or spec.stopwords or spec.stemmer
                 or spec.synonyms)
@@ -1011,7 +1012,7 @@ def chain_tokenizer(analyzer: str | None = None) -> str:
     """The analyzer's TOKENIZER name — boundary-class choices must key
     off this, not the analyzer's registered name (a custom whitespace
     chain is not named 'whitespace')."""
-    return _spec(analyzer or _default).tokenizer
+    return _spec(analyzer or current_analyzer()).tokenizer
 
 
 def _spec(name: str) -> _AnalyzerSpec:
@@ -1023,11 +1024,19 @@ def _spec(name: str) -> _AnalyzerSpec:
             f"(one of {' | '.join(_REGISTRY)})") from None
 
 
-_default = "standard"
+#: Scope state lives in ContextVars (r15 optimization): the multi-body
+#: plan builders (``es_msearch``) compile request arms on driver THREADS
+#: to overlap py4j round-trips (guide §2.6), and a swapped process
+#: global would let one thread's scope exit clobber another's mid-build.
+#: ContextVars give each thread (via ``contextvars.copy_context``) an
+#: isolated view seeded from the spawning scope; single-threaded
+#: behaviour is byte-identical to the old globals.
+_default_var: "contextvars.ContextVar[str]" = contextvars.ContextVar(
+    "hive2es_analyzer_default", default="standard")
 
 
 def current_analyzer() -> str:
-    return _default
+    return _default_var.get()
 
 
 @contextmanager
@@ -1036,28 +1045,26 @@ def using(analyzer: str | None):
     current default (lets entry points forward an optional kwarg
     unconditionally).
 
-    CONCURRENCY: this swaps a process-global default — two threads
-    building plans concurrently with different ``using(...)`` scopes
-    would cross-contaminate each other's token grammar.  Plan builds are
-    driver-side and ordinarily single-threaded; callers who build plans
-    from multiple threads must instead pass ``analyzer=`` explicitly
-    through the entry points (es_search / es_scored_search / es_suggest
-    all accept it), which is the only concurrency-safe form."""
-    global _default
+    CONCURRENCY: the scope is a ContextVar — a thread spawned with
+    ``contextvars.copy_context()`` inherits the value active at spawn
+    and its own nested ``using(...)`` scopes stay thread-local, so
+    multi-threaded plan builds (es_msearch) cannot cross-contaminate
+    each other's token grammar."""
     if analyzer is None:
         yield
         return
     _spec(analyzer)
-    prev = _default
-    _default = analyzer
+    token = _default_var.set(analyzer)
     try:
         yield
     finally:
-        _default = prev
+        _default_var.reset(token)
 
 
-_pre_fields: dict[str, str] = {}
-_pre_analyzer: str | None = None
+#: (field -> materialized token column name, analyzer) for the active
+#: :func:`preanalyzed` scope; ContextVar for the same threading reason.
+_pre_var: "contextvars.ContextVar[tuple[dict[str, str], str | None]]" = (
+    contextvars.ContextVar("hive2es_preanalyzed", default=({}, None)))
 
 
 @contextmanager
@@ -1069,15 +1076,13 @@ def preanalyzed(mapping: dict[str, str], analyzer: str | None = None):
     re-tokenizing.  The override records the analyzer it was built
     under; ``preanalyzed_stream`` returns None on mismatch, so a nested
     ``using()`` scope with a different grammar can never silently read
-    stale tokens.  Same driver-side single-threaded caveat as
-    ``using()``."""
-    global _pre_fields, _pre_analyzer
-    prev, prev_a = _pre_fields, _pre_analyzer
-    _pre_fields, _pre_analyzer = dict(mapping), (analyzer or _default)
+    stale tokens.  ContextVar-scoped like ``using()`` (safe under the
+    multi-threaded es_msearch build)."""
+    token = _pre_var.set((dict(mapping), analyzer or current_analyzer()))
     try:
         yield
     finally:
-        _pre_fields, _pre_analyzer = prev, prev_a
+        _pre_var.reset(token)
 
 
 def preanalyzed_stream(
@@ -1088,11 +1093,12 @@ def preanalyzed_stream(
     ``positions=True`` additionally requires a PLAIN chain: the
     positions engines consume the pre-stem stream, which equals the
     full-chain output only when no token filters apply."""
-    name = _pre_fields.get(field)
+    pre_fields, pre_analyzer = _pre_var.get()
+    name = pre_fields.get(field)
     if name is None:
         return None
-    a = analyzer or _default
-    if a != _pre_analyzer:
+    a = analyzer or current_analyzer()
+    if a != pre_analyzer:
         return None
     if positions and not plain_chain(a):
         return None
@@ -1219,7 +1225,7 @@ def analyze_col(col: Column, analyzer: str | None = None) -> Column:
     split + transform/filter for the language chain; no UDF).  NULL input
     stays NULL (callers that aggregate coalesce to the empty array
     themselves)."""
-    spec = _spec(analyzer or _default)
+    spec = _spec(analyzer or current_analyzer())
     return _post_stem_col(_pre_stem_col(col, spec), spec)
 
 
@@ -1243,7 +1249,7 @@ def candidate_tokens_col(
     valid for per-token FUZZY matching (an edit-1 neighbor need not
     share the prefix) or anything needing the full stream (positions,
     BM25 tf/dl)."""
-    spec = _spec(analyzer or _default)
+    spec = _spec(analyzer or current_analyzer())
     if spec.cjk_bigrams and not (spec.stemmer or spec.synonyms):
         # bigram-chain contains-guard (r14): a chain output token — a
         # CJK bigram or a pass-through Latin token — can only derive
@@ -1344,7 +1350,7 @@ def candidate_positions_col(
     ``t.startswith(term[:-1])`` (synonym sources included; for
     ``prefix`` mode every canonical starting with ``term`` contributes
     its sources)."""
-    spec = _spec(analyzer or _default)
+    spec = _spec(analyzer or current_analyzer())
     return with_chain_positions(
         col, [(term, prefix)], lambda pos: pos[0], analyzer)
 
@@ -1391,7 +1397,7 @@ def with_chain_positions(col: Column, term_specs, fn,
     once per row no matter how many terms the phrase has (see
     ``let_cols``; a per-term ``candidate_positions_col`` would tokenize
     once PER TERM)."""
-    spec = _spec(analyzer or _default)
+    spec = _spec(analyzer or current_analyzer())
     toks = _pre_stem_col(col, spec)
 
     def body(bound):
@@ -1452,7 +1458,7 @@ def analyze_text(text: str, analyzer: str | None = None) -> list[str]:
     """Driver-side twin of ``analyze_col`` for query strings: identical
     token grammar and filter chain, so a query tokenizes exactly like the
     corpus."""
-    return _analyze_tokens(text, _spec(analyzer or _default))
+    return _analyze_tokens(text, _spec(analyzer or current_analyzer()))
 
 
 def analyze_with_offsets(
@@ -1462,7 +1468,7 @@ def analyze_with_offsets(
     Offsets span the ORIGINAL surface token; positions are post-filter
     (gapless), matching the positional arrays the phrase engine builds
     from ``analyze_col``."""
-    spec = _spec(analyzer or _default)
+    spec = _spec(analyzer or current_analyzer())
     if spec.tokenizer == "standard":
         raw = [(m.group(0).lower(), m.start(), m.end())
                for m in _PY_TOKEN.finditer(text or "")]

@@ -56,10 +56,11 @@ Determinism: per-(doc, term) partials are rounded to 6 decimals (same as
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from contextlib import contextmanager
 
 from .analysis import analyze_col
 from .analysis import analyze_text as _analyze_terms
@@ -1112,22 +1113,33 @@ def with_shared_analysis(df: DataFrame, fields) -> DataFrame:
 #: partials combine), and without sharing each body rebuilds the
 #: identical aggregate+join frame
 _tsmap_cache: dict | None = None
+#: per-cache-key build locks + their registry guard (r15): es_msearch
+#: compiles its bodies on driver threads, and two arms wanting the SAME
+#: term map must end up sharing ONE frame (sequential-build plan shape)
+#: rather than racing to build duplicates.  The guard only protects the
+#: tiny dict operations; the expensive plan build runs under the per-key
+#: lock so distinct keys still build concurrently.
+_tsmap_guard = threading.Lock()
+_tsmap_locks: dict | None = None
 
 
 @contextmanager
 def shared_tsmaps():
     """Scope a cache of ``_term_score_map`` frames across several scored
-    plan builds (es_msearch).  Cached frames are localCheckpointed so
-    reuse is PHYSICAL — the second consumer reads the materialized map
-    instead of re-running the aggregate.  Driver-side single-threaded
-    like the analyzer scopes."""
-    global _tsmap_cache
-    prev = _tsmap_cache
-    _tsmap_cache = {}
+    plan builds (es_msearch) — multiple bodies often score the SAME
+    terms on the SAME field, and without sharing each body rebuilds the
+    identical aggregate+join frame (the duplicate subtrees then also
+    defeat Catalyst exchange reuse heuristics and bloat the plan).
+    Thread-safe: builders of the same key serialize on a per-key lock,
+    so the multi-threaded es_msearch build reuses one frame exactly
+    like the sequential build did."""
+    global _tsmap_cache, _tsmap_locks
+    prev, prev_locks = _tsmap_cache, _tsmap_locks
+    _tsmap_cache, _tsmap_locks = {}, {}
     try:
         yield
     finally:
-        _tsmap_cache = prev
+        _tsmap_cache, _tsmap_locks = prev, prev_locks
 
 
 def _term_score_map(df: DataFrame, id_field: str, field: str,
@@ -1146,7 +1158,6 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
     sums) and the per-doc join is ≤ window rows."""
     from .analysis import current_analyzer
 
-    cache_key = None
     if _tsmap_cache is not None and stats_over is None:
         # id(df) anchors the key to the SOURCE FRAME (ADVICE r12): a
         # shared_tsmaps() scope spanning scored searches over two
@@ -1155,9 +1166,36 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
         # recycled while the scope lives.
         cache_key = (id(df), id_field, field, tuple(sorted(terms)), k1, b,
                      current_analyzer())
-        hit = _tsmap_cache.get(cache_key)
-        if hit is not None:
-            return hit[1]
+        with _tsmap_guard:
+            hit = _tsmap_cache.get(cache_key)
+            if hit is not None:
+                return hit[1]
+            klock = _tsmap_locks.setdefault(cache_key, threading.Lock())
+        with klock:
+            # double-checked: a concurrent arm may have built this key
+            # while we waited; reuse its frame so the plan shape matches
+            # the sequential build exactly
+            with _tsmap_guard:
+                hit = _tsmap_cache.get(cache_key)
+            if hit is not None:
+                return hit[1]
+            out = _term_score_map_build(df, id_field, field, terms, k1, b,
+                                        None)
+            with _tsmap_guard:
+                # the entry PINS df (value is (df, out)): the id(df) key
+                # component stays valid for the scope's lifetime —
+                # CPython cannot recycle the address of an object the
+                # cache itself keeps alive
+                _tsmap_cache[cache_key] = (df, out)
+            return out
+    return _term_score_map_build(df, id_field, field, terms, k1, b,
+                                 stats_over)
+
+
+def _term_score_map_build(df: DataFrame, id_field: str, field: str,
+                          terms: set[str], k1: float, b: float,
+                          stats_over: DataFrame | None) -> DataFrame:
+    """Uncached plan build behind :func:`_term_score_map`."""
     toks = _toks_expr(df, field)
     base = df.select(
         F.col(id_field).alias("_did"), toks.alias("_toks")
@@ -1229,16 +1267,12 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
             F.array_sort(F.collect_list(F.struct("_term", "_p")))
         ).alias(_tsmap_name(field))
     ).withColumnRenamed("_did", id_field)
-    if cache_key is not None:
-        # cached WITHOUT checkpointing: the consumers union into ONE
-        # query, where the identical (same object = structurally equal)
-        # subplan reuses the first copy's shuffle via ReusedExchange —
-        # a checkpoint would materialize each map as its own serial job
-        # and cost more than it saves (measured)
-        # the entry PINS df (value is (df, out)): the id(df) key component
-        # stays valid for the scope's lifetime — CPython cannot recycle
-        # the address of an object the cache itself keeps alive
-        _tsmap_cache[cache_key] = (df, out)
+    # cached WITHOUT checkpointing (when the shared_tsmaps wrapper stores
+    # this frame): the consumers union into ONE query, where the
+    # identical (same object = structurally equal) subplan reuses the
+    # first copy's shuffle via ReusedExchange — a checkpoint would
+    # materialize each map as its own serial job and cost more than it
+    # saves (measured)
     return out
 
 
