@@ -313,7 +313,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
-    check_every: int = 2,
+    check_every: int = 1,
 ) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions: every document gets
     the MINIMUM id of its connected component as ``component``; survivors
@@ -328,14 +328,20 @@ def connected_components(
     joins; ``localCheckpoint`` truncates the growing lineage so round N
     doesn't replay rounds 1..N-1.
 
-    The convergence probe is a driver round-trip (an extra job per check), so
-    it only runs every ``check_every`` iterations — propagation is cheap
-    relative to the probe on shallow graphs, and an extra propagation round
-    past the fixpoint is a no-op.  If the loop exits via ``max_iterations``
-    with labels still changing (a chain longer than the cap), a warning is
-    raised — silently returning split components would make downstream
-    keep/drop retain both halves of one duplicate family.
+    The convergence probe RIDES the round's own checkpoint job as an
+    ``observe()`` metric (did any label change this round?), so checking
+    costs no extra driver round-trip — the loop exits at the earliest
+    fixpoint instead of paying a separate probe job every ``check_every``
+    rounds (r15: the probe job was itself a join of the two label frames;
+    at check_every=2 a converged graph also ran one propagation round past
+    the fixpoint).  ``check_every`` > 1 now only *delays* reacting to the
+    free metric — kept for API compatibility, default 1.  If the loop exits
+    via ``max_iterations`` with labels still changing (a chain longer than
+    the cap), a warning is raised — silently returning split components
+    would make downstream keep/drop retain both halves of one duplicate
+    family.
     """
+    from pyspark.sql import Observation
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -364,36 +370,43 @@ def connected_components(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
         )
         # pointer jump: component <- component's component (labels form a
-        # forest pointing at smaller ids, so the shortcut only moves down)
-        lft, rgt = propagated.alias("l"), propagated.alias("r")
+        # forest pointing at smaller ids, so the shortcut only moves down).
+        # The jump side is projected to (id, component) so carrying _prev
+        # for the convergence metric does not widen the self-join.
+        lft = propagated.alias("l")
+        rgt = propagated.select("id", "component").alias("r")
         new_labels = lft.join(
             rgt, F.col("l.component") == F.col("r.id"), "left"
         ).select(
             F.col("l.id").alias("id"),
             F.coalesce(F.col("r.component"), F.col("l.component")).alias("component"),
+            (
+                F.coalesce(F.col("r.component"), F.col("l.component"))
+                != F.col("l._prev")
+            ).alias("_changed"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        last_round = it == max_iterations - 1
-        if it % check_every == check_every - 1 or last_round:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
+        # convergence metric rides the checkpoint job — no separate probe
+        obs = Observation()
+        new_labels = (
+            new_labels.observe(
+                obs, F.max(F.col("_changed").cast("int")).alias("changed")
             )
-            labels = new_labels
-            if changed == 0:
+            .select("id", "component")
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+        changed = obs.get["changed"]  # None on an empty label frame
+        if it % check_every == check_every - 1 or it == max_iterations - 1:
+            if not changed:
                 converged = True
                 break
-        else:
-            labels = new_labels
     if not converged:
         import warnings
 

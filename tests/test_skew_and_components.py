@@ -79,6 +79,45 @@ def test_minhash_to_components_end_to_end(spark):
     assert 3 not in kept | dropped  # never paired -> not in decision set
 
 
+def test_connected_components_probe_rides_checkpoint(spark, monkeypatch):
+    # r15: the convergence probe is an observe() metric on the round's own
+    # eager-checkpoint job — the loop must issue NO separate driver count
+    # job (the old probe was a .limit(1).count() every check_every rounds).
+    # The loop materializes inside the call (eager checkpoints), so poisoning
+    # DataFrame.count during the call proves no probe job exists.
+    from pyspark.sql import DataFrame
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+
+    def _boom(self):
+        raise AssertionError(
+            "convergence probe must ride the checkpoint job, not a count()")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    out = dedup.connected_components(pairs)
+    monkeypatch.undo()
+    rows = {r["id"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(9)}
+
+
+def test_connected_components_deep_chain_converges_log_rounds(spark):
+    # 64-node chain: pointer jumping must resolve within the default
+    # 20-round cap (log2(64)+slack), with the free per-round probe exiting
+    # at the first no-change round — no RuntimeWarning may escape.
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = dedup.connected_components(pairs)
+        comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+
+
 def test_connected_components_warns_when_iteration_capped(spark):
     import pytest
 
