@@ -93,6 +93,25 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return shingles_from_tokens(F.split(c, " "), k)
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for a SQL expression string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _shingle_sql(toks_sql: str, k: int) -> str:
+    """SQL-string twin of :func:`shingles_from_tokens` — byte-identical
+    semantics, built in ONE parser call instead of ~20 py4j round trips
+    (r15: each JVM call costs ~0.5 ms on the driver, so hot plan builders
+    are assembled as expression strings; guide §7.3 — driver latency)."""
+    parts = ", ".join(f"element_at({toks_sql}, i + {j + 1})" for j in range(k))
+    return (
+        f"CASE WHEN size({toks_sql}) < {k} "
+        f"THEN array(concat_ws(' ', {toks_sql})) "
+        f"ELSE transform(sequence(0, size({toks_sql}) - {k}), "
+        f"i -> concat_ws(' ', {parts})) END"
+    )
+
+
 def _doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle_hash32) pairs.  The 32-bit reduction keeps the MinHash
     permutation arithmetic inside bigint range.
@@ -103,9 +122,10 @@ def _doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> Da
     rows cross the wire either way."""
     df = fan_out(df)  # shingling is compute-bound; spread small inputs
     return (
-        df.select(F.col(id_col).alias("_did"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select("_did", F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("_sh"))
-        .select("_did", F.pmod(F.xxhash64("_sh"), F.lit(1 << 32)).alias("_h"))
+        df.selectExpr(f"{_bq(id_col)} AS _did",
+                      f"split({_bq(text_col)}, ' ') AS _toks")
+        .selectExpr("_did", f"explode({_shingle_sql('_toks', k)}) AS _sh")
+        .selectExpr("_did", f"pmod(xxhash64(_sh), {1 << 32}) AS _h")
     )
 
 
@@ -141,15 +161,15 @@ def minhash_signatures(
     # slower measured); raise it for this session
     df.sparkSession.conf.set("spark.sql.codegen.maxFields", str(max(200, 2 * num_perm)))
     pairs = _doc_shingle_hashes(df, id_col, text_col, shingle_k)
-    mins = [
-        F.min(F.pmod(F.col("_h") * a + b, F.lit(_MH_PRIME))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = pairs.groupBy("_did").agg(*mins)
-    return sig.select(
-        F.col("_did").alias(id_col),
-        F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("signature"),
+    # all num_perm min-aggregates + the array reassembly in ONE parsed
+    # expression: the per-permutation Column-API build was ~num_perm x 8 py4j
+    # round trips (~1 s of pure driver latency at num_perm=64, measured r15)
+    mins = ", ".join(
+        f"min(pmod(_h * {a} + {b}, {_MH_PRIME}))" for a, b in params
     )
+    return pairs.groupBy("_did").agg(
+        F.expr(f"array({mins}) AS signature")
+    ).withColumnRenamed("_did", id_col)
 
 
 def minhash_candidate_pairs(
@@ -195,38 +215,28 @@ def minhash_candidate_pairs(
             f"oversized must be 'star' or 'drop', got {oversized!r}"
         )
     rows_per_band = num_perm // bands
-    banded = signatures.select(
-        F.col(id_col).alias("_did"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col("signature"), b * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("_band"),
+    # band explode in ONE parsed expression (py4j round-trip economy, r15)
+    elems = ", ".join(
+        f"element_at(signature, b * {rows_per_band} + {j + 1})"
+        for j in range(rows_per_band)
+    )
+    banded = signatures.selectExpr(
+        f"{_bq(id_col)} AS _did",
+        f"explode(transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b AS band, xxhash64(concat_ws(',', {elems})) AS bh)"
+        f")) AS _band",
     ).select("_did", "_band.band", "_band.bh")
     star_pairs = None
     if max_bucket_size is not None:
         # bucket size + hub id in ONE window pass over the same (band, bh)
         # key the pair self-join shuffles on — the exchange is shared, so
         # the cap costs no extra shuffle stage
-        wb = Window.partitionBy("band", "bh")
-        tagged = banded.select(
+        tagged = banded.selectExpr(
             "_did",
             "band",
             "bh",
-            F.count(F.lit(1)).over(wb).alias("_bsz"),
-            F.min("_did").over(wb).alias("_bmin"),
+            "count(1) OVER (PARTITION BY band, bh) AS _bsz",
+            "min(_did) OVER (PARTITION BY band, bh) AS _bmin",
         )
         if oversized == "star":
             # hub-and-spoke pairs for hot buckets: (bucket min, member);
@@ -260,12 +270,14 @@ def minhash_candidate_pairs(
     sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     scored = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ).cast("double") / F.lit(float(num_perm))
-    return scored.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"), "is_star")
+    return scored.selectExpr(
+        "id_a",
+        "id_b",
+        "round(CAST(aggregate(zip_with(sig_a, sig_b, "
+        "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) AS DOUBLE)"
+        f" / CAST({num_perm} AS DOUBLE), 6) AS est_jaccard",
+        "is_star",
+    )
 
 
 def dedup_minhash(
@@ -559,15 +571,12 @@ def ngram_jaccard_pairs(
     # for exact-Jaccard purposes)
     sh = (
         fan_out(df)
-        .select(F.col(id_col).alias("_did"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select(
+        .selectExpr(f"{_bq(id_col)} AS _did",
+                    f"split({_bq(text_col)}, ' ') AS _toks")
+        .selectExpr(
             "_did",
-            F.explode(
-                F.transform(
-                    shingles_from_tokens(F.col("_toks"), shingle_k),
-                    lambda s: F.xxhash64(s),
-                )
-            ).alias("_sh"),
+            f"explode(transform({_shingle_sql('_toks', shingle_k)}, "
+            "s -> xxhash64(s))) AS _sh",
         )
         .distinct()
     )
@@ -575,7 +584,8 @@ def ngram_jaccard_pairs(
     # document frequency via a window over the SAME _sh key the blocking
     # self-join shuffles on — one pass instead of a groupBy + join back
     rare = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("_sh")))
+        sh.selectExpr("_did", "_sh",
+                      "count(1) OVER (PARTITION BY _sh) AS _df")
         .where(F.col("_df") <= max_shingle_df)
         .select("_did", "_sh")
     )
