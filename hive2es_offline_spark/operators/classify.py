@@ -103,7 +103,7 @@ def score_linear(
         method = "map" if len(weights) <= _MAP_LITERAL_MAX else "join"
     if method not in ("map", "join"):
         raise ValueError(f"unsupported method: {method!r} (map | join)")
-    toks = analyze_col(F.col(text_col), analyzer)
+    toks = analyze_col(text_col, analyzer)
     if method == "map":
         total = _weighted_fold(toks, _weight_lookup(weights))
         return df.withColumn(out, _sigmoid_col(total, bias))
@@ -158,7 +158,7 @@ def train_logreg(
         raise ValueError(
             f"train_logreg vocab_size is capped at {_MAP_LITERAL_MAX} "
             "(the plan-literal trainer shape)")
-    toks = analyze_col(F.col(text_col), analyzer)
+    toks = analyze_col(text_col, analyzer)
     y = F.col(label_col).cast("double")
     # NULL text folds as the empty document EVERYWHERE (z, gradients,
     # doc count) — coalesced once here so the passes cannot disagree

@@ -60,7 +60,7 @@ def bm25_topk(
     if not terms:
         raise ValueError("query has no terms after analysis")
 
-    toks = analyze_col(F.col(text_col))
+    toks = analyze_col(text_col)
     base = docs.select(
         F.col(id_col).alias("_did"),
         toks.alias("_toks"),

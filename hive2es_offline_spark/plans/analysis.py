@@ -1220,20 +1220,241 @@ def _post_stem_col(toks: Column, spec: _AnalyzerSpec) -> Column:
     return toks
 
 
-def analyze_col(col: Column, analyzer: str | None = None) -> Column:
+def analyze_col(col: "Column | str", analyzer: str | None = None) -> Column:
     """Token array for a text column — codegen only (regexp_extract_all /
     split + transform/filter for the language chain; no UDF).  NULL input
     stays NULL (callers that aggregate coalesce to the empty array
-    themselves)."""
+    themselves).
+
+    Pass the column NAME (str) where known: the chain then assembles as
+    ONE parsed SQL expression (``analyze_sql``) instead of hundreds of
+    Column-API py4j round trips — the language chains cost 0.3-1.4 s of
+    pure driver latency per build through the Column API (measured r15;
+    ~0.5 ms per JVM call in this environment), ~10 ms as a parsed string.
+    Both paths produce the same analyzed semantics, pinned by
+    tests/test_analysis.py::test_sql_chain_matches_column_chain."""
+    if isinstance(col, str):
+        # mirror F.col's dotted-path semantics (a.b = nested access)
+        ref = ".".join(_bq_ident(seg) for seg in col.split("."))
+        return F.expr(analyze_sql(ref, analyzer))
     spec = _spec(analyzer or current_analyzer())
     return _post_stem_col(_pre_stem_col(col, spec), spec)
 
 
+# ---------------------------------------------------------------------------
+# SQL-string rendering of the chain (py4j round-trip economy, r15)
+# ---------------------------------------------------------------------------
+
+
+def _bq_ident(name: str) -> str:
+    """Backtick-quote an identifier for a SQL expression string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq(s: str) -> str:
+    """Spark-SQL single-quoted string literal (escapedStringLiterals=false
+    default: backslash escapes are processed, so double them)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _spark_stem_steps(lang: str = "english") -> list[str]:
+    """Spark-SQL rendering of the stemmer steps — per-step CASE bodies
+    over the lambda variable ``t``, machine-generated from the SAME rule
+    tables as the Column rendering (``_stem_steps_list``) and the DuckDB
+    oracle rendering (``_duckdb_stem_steps``), so none of the three can
+    drift by transcription."""
+    def drop1(expr: str) -> str:
+        return f"regexp_replace({expr}, '.{{1}}$', '')"
+
+    def step_case(rows) -> str:
+        whens = "".join(
+            f" WHEN t RLIKE {_sq(cond)} "
+            f"THEN regexp_replace(t, {_sq(suf)}, {_sq(rep)})"
+            for cond, suf, rep in rows)
+        return f"(CASE{whens} ELSE t END)"
+
+    def cleanup(expr: str) -> str:
+        return (f"(CASE WHEN {expr} RLIKE {_sq(_P_ATBLIZ)} "
+                f"THEN concat({expr}, 'e') "
+                f"WHEN {expr} RLIKE {_sq(_P_DOUBLE)} "
+                f"THEN {drop1(expr)} ELSE {expr} END)")
+
+    def drop_case(cond: str) -> str:
+        return (f"(CASE WHEN t RLIKE {_sq(cond)} "
+                f"THEN {drop1('t')} ELSE t END)")
+
+    if lang == "french":
+        return ([step_case(_FR_STEP_X)]
+                + [drop_case(c) for c in _FR_DROPS]
+                + [drop_case(_FR_DOUBLE)])
+    if lang == "german":
+        return [step_case(_DE_STEP_1), step_case(_DE_STEP_2)]
+    if lang == "spanish":
+        return [step_case(_ES_STEP)]
+    if lang == "italian":
+        return [step_case(_IT_STEP)]
+    if lang == "portuguese":
+        return [step_case(_PT_STEP_1), step_case(_PT_STEP_2)]
+    if lang == "russian":
+        return [step_case(_RU_STEP_1), step_case(_RU_STEP_2)]
+    if lang == "dutch":
+        return [step_case(_NL_STEP_1), step_case(_NL_STEP_2),
+                step_case(_NL_STEP_3)]
+
+    ed = "regexp_replace(t, 'ed$', '')"
+    ing = "regexp_replace(t, 'ing$', '')"
+    step_1b = (
+        f"(CASE WHEN t RLIKE {_sq(_P_EED_ANY)} THEN "
+        f"(CASE WHEN t RLIKE {_sq(_P_EED_OK)} "
+        f"THEN {drop1('t')} ELSE t END) "
+        f"WHEN t RLIKE {_sq(_P_ED)} THEN {cleanup(ed)} "
+        f"WHEN t RLIKE {_sq(_P_ING)} THEN {cleanup(ing)} "
+        f"ELSE t END)")
+    return [
+        step_case(_STEP_1A),
+        step_1b,
+        step_case(_STEP_2),
+        (f"(CASE WHEN t RLIKE {_sq(_P_Y)} "
+         f"THEN regexp_replace(t, 'y$', 'i') ELSE t END)"),
+        (f"(CASE WHEN t RLIKE {_sq(_P_E)} "
+         f"THEN {drop1('t')} ELSE t END)"),
+        (f"(CASE WHEN t RLIKE {_sq(_P_LL)} "
+         f"THEN {drop1('t')} ELSE t END)"),
+    ]
+
+
+def _tokenize_sql(col_sql: str, tokenizer: str) -> str:
+    if tokenizer == "standard":
+        return (f"regexp_extract_all(lower({col_sql}), "
+                f"{_sq(_JAVA_TOKEN)}, 0)")
+    if tokenizer == "cjk":
+        return (
+            f"flatten(transform("
+            f"regexp_extract_all(lower({col_sql}), {_sq(_JAVA_TOKEN)}, 0), "
+            f"t -> CASE WHEN t RLIKE {_sq(_CJK_ANY)} "
+            f"THEN regexp_extract_all(t, {_sq(_JAVA_CJK_SPLIT)}, 0) "
+            f"ELSE array(t) END))"
+        )
+    return f"filter(split(lower({col_sql}), ' +'), t -> t != '')"
+
+
+def _fold_tok_sql(expr: str) -> str:
+    out = f"translate({expr}, {_sq(_FOLD_FROM)}, {_sq(_FOLD_TO)})"
+    for a, b in _FOLD_MULTI:
+        out = f"replace({out}, {_sq(a)}, {_sq(b)})"
+    return out
+
+
+def _char_filters_sql(toks: str, spec: _AnalyzerSpec) -> str:
+    """SQL twin of ``_char_filters``."""
+    rewrote = False
+    if spec.possessive:
+        toks = (f"transform({toks}, t -> CASE WHEN contains(t, '\\'') "
+                f"THEN regexp_replace(t, {_sq(_P_POSS)}, '') ELSE t END)")
+        rewrote = True
+    if spec.elision:
+        pat = _elision_pat(spec.elision)
+        toks = (f"transform({toks}, t -> CASE WHEN contains(t, '\\'') "
+                f"THEN regexp_replace(t, {_sq(pat)}, '') ELSE t END)")
+        rewrote = True
+    if rewrote:
+        toks = f"filter({toks}, t -> t != '')"
+    if spec.asciifolding:
+        toks = f"transform({toks}, t -> {_fold_tok_sql('t')})"
+    return toks
+
+
+def _chain_filters_sql(toks: str, spec: _AnalyzerSpec,
+                       *, chars_done: bool = False) -> str:
+    """SQL twin of ``_chain_filters``."""
+    if not chars_done:
+        toks = _char_filters_sql(toks, spec)
+    if spec.cjk_bigrams:
+        toks = (
+            f"flatten(transform({toks}, t -> "
+            f"CASE WHEN (t RLIKE {_sq(_CJK_FULL)}) AND (length(t) >= 2) "
+            f"THEN transform(sequence(1, length(t) - 1), i -> substr(t, i, 2)) "
+            f"ELSE array(t) END))"
+        )
+    if spec.stopwords:
+        in_list = ", ".join(_sq(w) for w in spec.stopwords)
+        toks = f"filter({toks}, t -> NOT (t IN ({in_list})))"
+    return toks
+
+
+def _post_stem_sql(toks: str, spec: _AnalyzerSpec) -> str:
+    """SQL twin of ``_post_stem_col``."""
+    if spec.stemmer:
+        for body in _spark_stem_steps(spec.stemmer):
+            toks = f"transform({toks}, t -> {body})"
+    if spec.synonyms:
+        # reversed: the Column rendering nests later entries OUTERMOST
+        whens = "".join(
+            f" WHEN t = {_sq(frm)} THEN {_sq(to)}"
+            for frm, to in reversed(spec.synonyms))
+        toks = f"transform({toks}, t -> CASE{whens} ELSE t END)"
+    return toks
+
+
+def analyze_sql(col_sql: str, analyzer: str | None = None) -> str:
+    """SQL-string twin of the Column-API chain (``_pre_stem_col`` +
+    ``_post_stem_col``): same tokenizer, char filters, stop filter,
+    stemmer steps and synonym rewrite, assembled in pure Python and
+    parsed in ONE ``F.expr`` call.  ``col_sql`` must already be a valid
+    SQL reference/expression (quote identifiers with ``_bq_ident``)."""
+    spec = _spec(analyzer or current_analyzer())
+    return _post_stem_sql(
+        _chain_filters_sql(_tokenize_sql(col_sql, spec.tokenizer), spec),
+        spec)
+
+
+def candidate_tokens_sql(
+    col_sql: str, terms, analyzer: str | None = None
+) -> str:
+    """SQL-string twin of :func:`candidate_tokens_col` — identical
+    branch structure and guard placement, one parser call (see
+    ``analyze_col`` on why: ~0.5 ms/py4j call makes Column-API chain
+    builds cost 0.3-1.4 s of driver latency each)."""
+    spec = _spec(analyzer or current_analyzer())
+    if spec.cjk_bigrams and not (spec.stemmer or spec.synonyms):
+        toks = _char_filters_sql(
+            _tokenize_sql(col_sql, spec.tokenizer), spec)
+        terms_l = [str(s) for s in terms]
+        if terms_l:
+            keep = " OR ".join(
+                f"contains(t, {_sq(s)})" for s in terms_l)
+            toks = f"filter({toks}, t -> {keep})"
+        return _chain_filters_sql(toks, spec, chars_done=True)
+    if not (spec.stemmer or spec.synonyms):
+        return analyze_sql(col_sql, analyzer)
+    prefixes = set()
+    for s in terms:
+        s = str(s)
+        prefixes.add(s[:-1])
+        for src, dst in spec.synonyms:
+            if dst == s:
+                prefixes.add(src[:-1])
+    toks = _tokenize_sql(col_sql, spec.tokenizer)
+    chars_done = spec.elision or spec.asciifolding
+    if chars_done:
+        toks = _char_filters_sql(toks, spec)
+    if "" not in prefixes:
+        keep = " OR ".join(
+            f"startswith(t, {_sq(p)})" for p in sorted(prefixes))
+        toks = f"filter({toks}, t -> {keep})"
+    return _post_stem_sql(
+        _chain_filters_sql(toks, spec, chars_done=bool(chars_done)), spec)
+
+
 def candidate_tokens_col(
-    col: Column, terms, analyzer: str | None = None
+    col: "Column | str", terms, analyzer: str | None = None
 ) -> Column:
     """``analyze_col`` restricted to tokens that can possibly map to one
     of ``terms`` — the membership fast path for filter chains.
+
+    Pass the column NAME (str) where known — the chain then assembles as
+    ONE parsed SQL expression (``candidate_tokens_sql``), like
+    ``analyze_col``'s string path.
 
     Every stemmer rule edits only the SUFFIX, so ``stem(t)[:-1]`` is
     always a prefix of ``t`` (property-fuzzed over 256k words in
@@ -1249,6 +1470,9 @@ def candidate_tokens_col(
     valid for per-token FUZZY matching (an edit-1 neighbor need not
     share the prefix) or anything needing the full stream (positions,
     BM25 tf/dl)."""
+    if isinstance(col, str):
+        ref = ".".join(_bq_ident(seg) for seg in col.split("."))
+        return F.expr(candidate_tokens_sql(ref, terms, analyzer))
     spec = _spec(analyzer or current_analyzer())
     if spec.cjk_bigrams and not (spec.stemmer or spec.synonyms):
         # bigram-chain contains-guard (r14): a chain output token — a

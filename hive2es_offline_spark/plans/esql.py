@@ -3514,7 +3514,7 @@ def _apply_stage(df: DataFrame, stage: list,
         dw = float(model.get("default_weight", 1.0))
         eff = {t: float(weights.get(t, dw)) for t in dict.fromkeys(qtoks)}
         score = _sigmoid_col(
-            _weighted_fold(analyze_col(F.col(fld[1]), m_an),
+            _weighted_fold(analyze_col(fld[1], m_an),
                            _weight_lookup(eff)),
             float(model.get("bias", 0.0)))
         df = df.withColumn("_score", score)

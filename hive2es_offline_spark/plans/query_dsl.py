@@ -122,13 +122,24 @@ __all__ = ["compile_query", "compile_aggs", "es_search", "es_count",
 CIDR_TERM_RANGE_ARM = True
 
 
-def _analyze(col: Column) -> Column:
+def _analyze(col: "Column | str") -> Column:
     """The session's analysis chain (``plans/analysis.py`` — ``standard``
     punctuation-aware tokenization by default, ``whitespace`` fallback via
-    ``analysis.using()`` / the entry points' ``analyzer=`` option)."""
+    ``analysis.using()`` / the entry points' ``analyzer=`` option).
+    Accepts a column NAME for the one-parse SQL chain path (r15, see
+    ``analysis.analyze_col``)."""
     from .analysis import analyze_col
 
     return analyze_col(col)
+
+
+def _ref(field: str, col) -> "Column | str":
+    """Chain-builder input for ``field`` under resolver ``col``: the bare
+    NAME when the resolver is the plain ``F.col`` (letting analyze_col /
+    candidate_tokens_col assemble the chain as ONE parsed SQL expression
+    — r15 driver-latency fix), else the resolved Column (custom
+    resolvers, e.g. nested/inner-hit scopes, keep full generality)."""
+    return field if col is F.col else col(field)
 
 
 def _pre_stream(field: str, *, positions: bool = False):
@@ -1158,7 +1169,7 @@ def _term_centric_predicate(
 
     # each field's token array binds once per row (T terms x F fields
     # used to re-tokenize TxF times — analysis.let_cols)
-    return _let_cols([_analyze(col(f)) for f in flds], grouped)
+    return _let_cols([_analyze(_ref(f, col)) for f in flds], grouped)
 
 
 def compile_query(
@@ -1570,9 +1581,9 @@ def compile_query(
             # share the prefix).
             from .analysis import candidate_tokens_col
 
-            toks = candidate_tokens_col(col(field), terms)
+            toks = candidate_tokens_col(_ref(field, col), terms)
         else:
-            toks = _analyze(col(field))
+            toks = _analyze(_ref(field, col))
         if fuzz is not None:
             # per-TOKEN fuzzy matching (ES match fuzziness): each query
             # term matches if any analyzed token is within its edit
@@ -1646,7 +1657,7 @@ def compile_query(
             return _chain_phrase_predicate(col(field), terms, slop)
         pre = _pre_stream(field, positions=True)
         return _phrase_predicate(
-            pre if pre is not None else _analyze(col(field)), terms, slop)
+            pre if pre is not None else _analyze(_ref(field, col)), terms, slop)
     if kind == "match_phrase_prefix":
         # phrase whose LAST term is a prefix (search-as-you-type): the
         # first n-1 analyzed tokens match exactly and the window's nth
@@ -1670,7 +1681,7 @@ def compile_query(
                                            last_is_prefix=True)
         pre = _pre_stream(field, positions=True)
         return _phrase_predicate(
-            pre if pre is not None else _analyze(col(field)), terms, slop,
+            pre if pre is not None else _analyze(_ref(field, col)), terms, slop,
             last_is_prefix=True)
     if kind == "match_bool_prefix":
         # search-as-you-type: every analyzed term except the last is an
@@ -1721,7 +1732,7 @@ def compile_query(
 
         # the analyzed stream evaluates once per row, not once per term
         pre = _pre_stream(field)
-        stream = pre if pre is not None else _analyze(col(field))
+        stream = pre if pre is not None else _analyze(_ref(field, col))
         if sub is not None:
             stream = shingle_col(stream, gram_n)
         return _let_cols([stream], bool_prefix)
@@ -1731,7 +1742,7 @@ def compile_query(
         # _intervals_predicate for the supported algebra)
         field, rule = next(iter(body.items()))
         return _let_cols(
-            [_analyze(col(field))],
+            [_analyze(_ref(field, col))],
             lambda b: _intervals_predicate(b[0], rule))
     if kind == "combined_fields":
         # ES combined_fields (the modern replacement for cross_fields):
@@ -1891,7 +1902,7 @@ def compile_query(
     if kind == "span_term":
         field, spec = _field_spec(body)
         value = spec["value"] if isinstance(spec, dict) else spec
-        return F.array_contains(_analyze(col(field)), str(value).lower())
+        return F.array_contains(_analyze(_ref(field, col)), str(value).lower())
     if kind == "span_or":
         subs = [compile_query(c, id_field, fields) for c in body["clauses"]]
         out = F.coalesce(subs[0], F.lit(False))
@@ -1904,7 +1915,7 @@ def compile_query(
         # span_within child (positions via _span_multi_positions)
         sfield, _ = _span_terms({kind: body})
         return F.size(
-            _span_multi_positions(_analyze(col(sfield)), body["match"])
+            _span_multi_positions(_analyze(_ref(sfield, col)), body["match"])
         ) > 0
     if kind in ("span_within", "span_containing"):
         # little span enclosed by big span (Lucene SpanWithin /
@@ -1930,14 +1941,14 @@ def compile_query(
                     iv[1],
                     lambda l: (l["s"] >= b["s"]) & (l["e"] <= b["e"]))))
 
-        return _let_cols([_analyze(col(lfield))], contained)
+        return _let_cols([_analyze(_ref(lfield, col))], contained)
     if kind == "span_first":
         # the inner span must END at position <= end (Lucene end is
         # exclusive; unit spans at 0-based p end at p+1)
         end = int(body["end"])
         inner = body["match"]
         sfield, _ = _span_terms(inner)
-        P = _span_positions(_analyze(col(sfield)), inner)
+        P = _span_positions(_analyze(_ref(sfield, col)), inner)
         return F.exists(P, lambda p: (p + 1) <= F.lit(end))
     if kind == "span_not":
         # an include span that does not overlap any exclude span (unit
@@ -1946,7 +1957,7 @@ def compile_query(
         efield, _ = _span_terms(body["exclude"])
         if ifield != efield:
             raise ValueError("span_not include/exclude must share a field")
-        toks = _analyze(col(ifield))
+        toks = _analyze(_ref(ifield, col))
         Pi = _span_positions(toks, body["include"])
         Pe = _span_positions(toks, body["exclude"])
         return F.exists(Pi, lambda p: ~F.array_contains(Pe, p))
@@ -1971,7 +1982,7 @@ def compile_query(
             return _let_cols(
                 pos, lambda ps: _span_near_combinator(ps, slop, in_order))
 
-        return _let_cols([_analyze(col(cfields.pop()))], near)
+        return _let_cols([_analyze(_ref(cfields.pop(), col))], near)
     if kind == "terms_set":
         # at least minimum_should_match_script/field of the given terms
         # appear in the analyzed field.  The constant-script form
@@ -1979,7 +1990,7 @@ def compile_query(
         # usage; a per-document field threshold reads that column.
         field, spec = _field_spec(body)
         terms = [str(t).lower() for t in spec["terms"]]
-        toks = _analyze(col(field))
+        toks = _analyze(_ref(field, col))
         hits: Column = F.lit(0)
         for t in terms:
             hits = hits + F.array_contains(toks, t).cast("int")
@@ -5614,7 +5625,7 @@ def _mlt_to_bool(df: DataFrame, body: dict, id_field: str) -> dict:
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for fi, f in enumerate(fields):
-        toks = analyze_col(F.col(f))
+        toks = analyze_col(f)
         for ti, t in enumerate(cand):
             aggs.append(
                 F.sum(F.coalesce(F.array_contains(toks, t), F.lit(False))
@@ -6109,7 +6120,7 @@ def es_termvectors(
         fields = list(body["fields"])
         parts = []
         for field in fields:
-            toks = _analyze(F.col(field))
+            toks = _analyze(field)
             one = df.where(F.col(id_field) == F.lit(doc_id)).select(
                 F.coalesce(toks, F.lit([]).cast("array<string>"))
                 .alias("_toks"))
@@ -6363,7 +6374,7 @@ def _es_search_impl(
             tokens = df.select(
                 fg.alias("_fg"),
                 F.explode(
-                    F.array_distinct(_analyze(F.col(spec["field"])))
+                    F.array_distinct(_analyze(spec["field"]))
                 ).alias("_token"),
             )
             return significant_terms(

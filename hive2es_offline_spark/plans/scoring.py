@@ -83,7 +83,7 @@ def sparse_tf_vector(text, analyzer: str | None = None):
     comparisons per row on in-register tokens."""
     from .analysis import let_cols
 
-    toks = analyze_col(F.col(text) if isinstance(text, str) else text,
+    toks = analyze_col(text,
                        analyzer)
     return let_cols([toks], lambda ts: F.map_from_entries(
         F.transform(
@@ -305,7 +305,7 @@ class _ScoreCompiler:
             root = sub[0] if sub is not None else field
             pre = preanalyzed_stream(root)
             toks = F.coalesce(
-                pre if pre is not None else analyze_col(F.col(root)),
+                pre if pre is not None else analyze_col(root),
                 F.lit([]).cast("array<string>"))
             if sub is not None:
                 toks = shingle_col(toks, sub[1])
@@ -1086,7 +1086,7 @@ def _toks_expr(frame: DataFrame, field: str) -> Column:
         return shingle_col(_toks_expr(frame, root), n)
     pre = _analyzed_col_name(field)
     base = (F.col(pre) if pre in frame.columns
-            else analyze_col(F.col(field)))
+            else analyze_col(field))
     return F.coalesce(base, F.lit([]).cast("array<string>"))
 
 
@@ -1103,7 +1103,7 @@ def with_shared_analysis(df: DataFrame, fields) -> DataFrame:
     scope as the queries that will consume it."""
     out = df
     for f in sorted(set(fields)):
-        out = out.withColumn(_analyzed_col_name(f), analyze_col(F.col(f)))
+        out = out.withColumn(_analyzed_col_name(f), analyze_col(f))
     return out.localCheckpoint(eager=False)
 
 
@@ -1777,7 +1777,7 @@ def es_retriever_search(
             docs = df.select(id_field, field).where(
                 F.col(id_field).isin(win_ids))
             score = _sigmoid_col(
-                _weighted_fold(analyze_col(F.col(field), m_an),
+                _weighted_fold(analyze_col(field, m_an),
                                _weight_lookup(eff)),
                 float(model.get("bias", 0.0)))
             scored = docs.select(id_field, score.alias("_score"))

@@ -91,7 +91,7 @@ def vocab_frame(df: DataFrame, field: str) -> DataFrame:
     every occurrence exactly once; the groupBy output is vocabulary-sized.
     Shared by term_suggest and phrase_suggest so the phrase pipeline stays
     within its two-corpus-pass budget (VERDICT r8 #6)."""
-    toks = analyze_col(F.col(field))
+    toks = analyze_col(field)
     return (
         df.select(F.monotonically_increasing_id().alias("_rid"),
                   toks.alias("_toks"))
@@ -139,7 +139,7 @@ def term_suggest(
         )
 
     if vocab is None:
-        toks = F.array_distinct(analyze_col(F.col(field)))
+        toks = F.array_distinct(analyze_col(field))
         vocab = (
             df.select(F.explode(toks).alias("term"))
             .groupBy("term")
@@ -458,7 +458,7 @@ def phrase_suggest(
             for r in vocab.where(F.col("term").isin(words)).collect()
         }
         vocab_n = vocab.count()
-        toks = analyze_col(F.col(field))
+        toks = analyze_col(field)
         base = df.select(toks.alias("_toks"))
         # guard short docs: size<2 yields a DESCENDING sequence(1, size-1)
         # whose element_at(i+1) indexes out of bounds — they have no bigrams

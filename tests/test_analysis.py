@@ -1413,3 +1413,66 @@ class TestDutchChain:
         assert hits({"match": {"text": "katten"}}) == [1, 2]
         assert hits({"match": {"text": "mogelijkheden"}}) == [3, 4]
         assert hits({"match_phrase": {"text": "het huisje"}}) == [1]
+
+
+class TestSqlChainTwin:
+    """r15: analyze_col / candidate_tokens_col accept the column NAME and
+    assemble the chain as ONE parsed SQL expression (analyze_sql /
+    candidate_tokens_sql) instead of hundreds of Column-API py4j round
+    trips.  The two renderings must stay token-for-token identical for
+    every registered analyzer on a fixture exercising apostrophes,
+    accents/ligatures, Cyrillic, CJK, empties and NULLs."""
+
+    ROWS = [
+        (0, "The cats' owners' l'article jusqu'au qu'il O'Brien's merging"),
+        (1, "Übergrößen straße œuvre ælfred ĳsbrand één chłopiec"),
+        (2, "больших годами ёлка пример хорошего"),
+        (3, "日本語のテキスト and English words 中文 mixed 한국어 tokens"),
+        (4, ""),
+        (5, None),
+        (6, "running runner runs ran hopeful hopefully caresses ponies ties"),
+        (7, "geléͤe  multiple   spaces\tand\ttabs 123 num_42 a.b.c"),
+    ]
+
+    def test_sql_chain_matches_column_chain(self, spark):
+        from pyspark.sql import functions as F
+
+        from hive2es_offline_spark.plans import analysis as A
+
+        df = spark.createDataFrame(self.ROWS, "id long, text string")
+        for an in A.analyzer_names():
+            old = {r["id"]: r["t"] for r in df.select(
+                "id", A.analyze_col(F.col("text"), an).alias("t")).collect()}
+            new = {r["id"]: r["t"] for r in df.select(
+                "id", A.analyze_col("text", an).alias("t")).collect()}
+            assert old == new, f"analyzer {an} drifted between renderings"
+
+    def test_candidate_sql_matches_column(self, spark):
+        from pyspark.sql import functions as F
+
+        from hive2es_offline_spark.plans import analysis as A
+
+        df = spark.createDataFrame(self.ROWS, "id long, text string")
+        probes = {
+            "english": ["run", "cat", "owner"],
+            "dutch": ["kat", "mogelijk"],
+            "russian": ["больш"],
+            "cjk": ["本語", "english"],
+            "italian": ["articol"],
+        }
+        for an, terms in probes.items():
+            old = {r["id"]: r["t"] for r in df.select(
+                "id", A.candidate_tokens_col(F.col("text"), terms, an)
+                .alias("t")).collect()}
+            new = {r["id"]: r["t"] for r in df.select(
+                "id", A.candidate_tokens_col("text", terms, an)
+                .alias("t")).collect()}
+            assert old == new, f"candidate chain {an} drifted"
+
+    def test_dotted_name_resolves_nested(self, spark):
+        from hive2es_offline_spark.plans import analysis as A
+
+        df = spark.createDataFrame(
+            [(1, ("The Cats' merging",))], "id long, s struct<text: string>")
+        got = df.select(A.analyze_col("s.text", "english").alias("t")).first()["t"]
+        assert got == ["cat", "merg"]
