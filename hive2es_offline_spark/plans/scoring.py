@@ -1192,6 +1192,24 @@ def _term_score_map(df: DataFrame, id_field: str, field: str,
                                  stats_over)
 
 
+def _sqs(s: str) -> str:
+    """Spark-SQL single-quoted string literal (expression-string builders
+    below — each py4j round trip costs ~0.5 ms, r15)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bm25_partial_sql(k1: float, b: float) -> str:
+    """The BM25 per-(doc, term) partial as ONE SQL expression over the
+    ``_tf``/``_dl``/``_df``/``_n_docs``/``_avgdl`` columns — float
+    literals pre-folded in Python exactly like the Column rendering did
+    (``k1 + 1.0`` / ``1.0 - b`` were Python-side constants there too)."""
+    return (
+        "round(ln(1.0D + (_n_docs - _df + 0.5D) / (_df + 0.5D))"
+        f" * (_tf * {k1 + 1.0!r}D)"
+        f" / (_tf + {k1!r}D * ({1.0 - b!r}D + {b!r}D * _dl / _avgdl)), 6)"
+    )
+
+
 def _term_score_map_build(df: DataFrame, id_field: str, field: str,
                           terms: set[str], k1: float, b: float,
                           stats_over: DataFrame | None) -> DataFrame:
@@ -1199,73 +1217,61 @@ def _term_score_map_build(df: DataFrame, id_field: str, field: str,
     toks = _toks_expr(df, field)
     base = df.select(
         F.col(id_field).alias("_did"), toks.alias("_toks")
-    ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))
+    ).selectExpr("_did", "_toks", "CAST(size(_toks) AS DOUBLE) AS _dl")
+    in_list = ", ".join(_sqs(t) for t in sorted(terms))
     hits = (
-        base.select("_did", "_dl", F.explode("_toks").alias("_term"))
-        .where(F.col("_term").isin(sorted(terms)))
+        base.selectExpr("_did", "_dl", "explode(_toks) AS _term")
+        .where(F.expr(f"_term IN ({in_list})") if terms else F.lit(False))
     )
     tf = hits.groupBy("_did", "_term").agg(
-        F.count(F.lit(1)).cast("double").alias("_tf"),
-        F.first("_dl").alias("_dl"),
+        F.expr("CAST(count(1) AS DOUBLE) AS _tf"),
+        F.expr("first(_dl) AS _dl"),
     )
     if stats_over is None:
         stats = base.agg(
-            F.count(F.lit(1)).cast("double").alias("_n_docs"),
-            F.avg("_dl").alias("_avgdl"),
+            F.expr("CAST(count(1) AS DOUBLE) AS _n_docs"),
+            F.expr("avg(_dl) AS _avgdl"),
         )
         dfreq = tf.groupBy("_term").agg(
-            F.count(F.lit(1)).cast("double").alias("_df"))
+            F.expr("CAST(count(1) AS DOUBLE) AS _df"))
     else:
         # corpus stats in ONE pass and ONE row: N, avgdl, and every
         # query term's document frequency as array_contains sums — no
         # second scan, no vocab shuffle; the row broadcasts
         sterms = sorted(terms)
         stats_base = stats_over.select(
-            _toks_expr(stats_over, field).alias("_toks")).select(
-            "_toks", F.size("_toks").cast("double").alias("_dl")
+            _toks_expr(stats_over, field).alias("_toks")).selectExpr(
+            "_toks", "CAST(size(_toks) AS DOUBLE) AS _dl"
         )
         corpus = stats_base.agg(
-            F.count(F.lit(1)).cast("double").alias("_n_docs"),
-            F.avg("_dl").alias("_avgdl"),
+            F.expr("CAST(count(1) AS DOUBLE) AS _n_docs"),
+            F.expr("avg(_dl) AS _avgdl"),
             *[
-                F.sum(F.array_contains("_toks", t).cast("int"))
-                .cast("double").alias(f"_df_{i}")
+                F.expr(
+                    "CAST(sum(CAST(array_contains(_toks, "
+                    f"{_sqs(t)}) AS INT)) AS DOUBLE) AS _df_{i}")
                 for i, t in enumerate(sterms)
             ],
         )
         stats = corpus.select("_n_docs", "_avgdl")
-        dfreq = corpus.select(
-            F.explode(
-                F.map_from_arrays(
-                    F.lit(sterms),
-                    F.array(*[F.col(f"_df_{i}") for i in range(len(sterms))]),
-                )
-            ).alias("_term", "_df")
+        dfreq = corpus.selectExpr(
+            "explode(map_from_arrays("
+            f"array({', '.join(_sqs(t) for t in sterms)}), "
+            f"array({', '.join(f'_df_{i}' for i in range(len(sterms)))})"
+            ")) AS (_term, _df)"
         )
     partial = (
         tf.join(F.broadcast(dfreq), "_term")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "_did", "_term",
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
-                )
-                * (F.col("_tf") * (k1 + 1.0))
-                / (F.col("_tf")
-                   + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))),
-                6,
-            ).alias("_p"),
-        )
+        .selectExpr("_did", "_term", f"{_bm25_partial_sql(k1, b)} AS _p")
     )
     # sort the entries: collect_list order follows shuffle arrival, and
     # a nondeterministic key order would leak into the _explanation JSON
     # (map lookups themselves are order-independent)
     out = partial.groupBy("_did").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("_term", "_p")))
-        ).alias(_tsmap_name(field))
+        F.expr(
+            "map_from_entries(array_sort(collect_list(struct(_term, _p))))"
+            f" AS `{_tsmap_name(field)}`")
     ).withColumnRenamed("_did", id_field)
     # cached WITHOUT checkpointing (when the shared_tsmaps wrapper stores
     # this frame): the consumers union into ONE query, where the
@@ -1294,41 +1300,41 @@ def _xf_term_score_maps(
     union (|fields| × |terms| rows) is the blended-df broadcast.  No
     extra corpus pass for the blend."""
     sterms = sorted(terms)
+    in_list = ", ".join(_sqs(t) for t in sterms)
     per_field: list[tuple[DataFrame, DataFrame]] = []
     dfreqs: list[DataFrame] = []
     for f in fields:
         toks = _toks_expr(df, f)
         base = df.select(
             F.col(id_field).alias("_did"), toks.alias("_toks")
-        ).select("_did", "_toks", F.size("_toks").cast("double").alias("_dl"))
+        ).selectExpr("_did", "_toks", "CAST(size(_toks) AS DOUBLE) AS _dl")
         hits = (
-            base.select("_did", "_dl", F.explode("_toks").alias("_term"))
-            .where(F.col("_term").isin(sterms))
+            base.selectExpr("_did", "_dl", "explode(_toks) AS _term")
+            .where(F.expr(f"_term IN ({in_list})") if sterms else F.lit(False))
         )
         tf = hits.groupBy("_did", "_term").agg(
-            F.count(F.lit(1)).cast("double").alias("_tf"),
-            F.first("_dl").alias("_dl"),
+            F.expr("CAST(count(1) AS DOUBLE) AS _tf"),
+            F.expr("first(_dl) AS _dl"),
         )
         src = stats_over if stats_over is not None else df
-        stats_base = src.select(_toks_expr(src, f).alias("_toks")).select(
-            "_toks", F.size("_toks").cast("double").alias("_dl"))
+        stats_base = src.select(_toks_expr(src, f).alias("_toks")).selectExpr(
+            "_toks", "CAST(size(_toks) AS DOUBLE) AS _dl")
         corpus = stats_base.agg(
-            F.count(F.lit(1)).cast("double").alias("_n_docs"),
-            F.avg("_dl").alias("_avgdl"),
+            F.expr("CAST(count(1) AS DOUBLE) AS _n_docs"),
+            F.expr("avg(_dl) AS _avgdl"),
             *[
-                F.sum(F.array_contains("_toks", t).cast("int"))
-                .cast("double").alias(f"_df_{i}")
+                F.expr(
+                    "CAST(sum(CAST(array_contains(_toks, "
+                    f"{_sqs(t)}) AS INT)) AS DOUBLE) AS _df_{i}")
                 for i, t in enumerate(sterms)
             ],
         )
         per_field.append((tf, corpus.select("_n_docs", "_avgdl")))
-        dfreqs.append(corpus.select(
-            F.explode(
-                F.map_from_arrays(
-                    F.lit(sterms),
-                    F.array(*[F.col(f"_df_{i}") for i in range(len(sterms))]),
-                )
-            ).alias("_term", "_df")
+        dfreqs.append(corpus.selectExpr(
+            "explode(map_from_arrays("
+            f"array({', '.join(_sqs(t) for t in sterms)}), "
+            f"array({', '.join(f'_df_{i}' for i in range(len(sterms)))})"
+            ")) AS (_term, _df)"
         ))
     blended = dfreqs[0]
     for d2 in dfreqs[1:]:
@@ -1339,26 +1345,15 @@ def _xf_term_score_maps(
         partial = (
             tf.join(F.broadcast(blended), "_term")
             .crossJoin(F.broadcast(stats))
-            .select(
-                "_did", "_term",
-                F.round(
-                    F.log(
-                        F.lit(1.0)
-                        + (F.col("_n_docs") - F.col("_df") + 0.5)
-                        / (F.col("_df") + 0.5)
-                    )
-                    * (F.col("_tf") * (k1 + 1.0))
-                    / (F.col("_tf")
-                       + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))),
-                    6,
-                ).alias("_p"),
-            )
+            .selectExpr("_did", "_term",
+                        f"{_bm25_partial_sql(k1, b)} AS _p")
         )
         maps.append(
             partial.groupBy("_did").agg(
-                F.map_from_entries(
-                    F.array_sort(F.collect_list(F.struct("_term", "_p")))
-                ).alias(f"_xfmap_{gi}_{f}")
+                F.expr(
+                    "map_from_entries(array_sort("
+                    "collect_list(struct(_term, _p))))"
+                    f" AS `_xfmap_{gi}_{f}`")
             ).withColumnRenamed("_did", id_field)
         )
     return maps
