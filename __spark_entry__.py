@@ -1334,13 +1334,13 @@ def q_multimodal_prepare(spark, sf_dir):
     # each action re-runs its full lineage, so without materialization the
     # PNG synthesis executes 4x and the pixel featurization 2x per call
     # (guide §5: reuse-worthy intermediates).  localCheckpoint is built
-    # fresh on every invocation — no cross-run caching.
+    # fresh on every invocation — no cross-run caching.  `meta` is
+    # checkpointed too (r15): BOTH its consumers (the ok-count and the
+    # export join) used to re-run the header decode.
     payloads = multimodal.with_png_payload(d).localCheckpoint(eager=False)
-    meta = multimodal.decode_image_meta(payloads)
-    n_ok = meta.where(F.col("decode_status") == "ok").count()
+    meta = multimodal.decode_image_meta(payloads).localCheckpoint(eager=False)
     feats = multimodal.extract_features(payloads, dim=16).localCheckpoint(
         eager=False)
-    n_feat = feats.where(F.col("decode_status") == "ok").count()
     q = quantize_embeddings(
         feats.select("doc_id", F.col("feature").alias("embedding")), id_col="doc_id"
     )
@@ -1351,13 +1351,29 @@ def q_multimodal_prepare(spark, sf_dir):
         )
     )
     dest = os.path.join(tempfile.mkdtemp(prefix="mmprep_"), "wds")
-    manifest = export.write_webdataset(
-        sample, dest, key_col="doc_id",
-        members={"payload": ".png", "meta_json": ".json"}, num_shards=4,
-    )
+    # the five independent actions (input/meta/feature/quantize counts +
+    # the WebDataset export) overlap on driver threads (guide §2.6: the
+    # scheduler happily runs concurrent jobs; actions were only
+    # sequential because this function called them sequentially).  The
+    # shared lazy checkpoints stay safe under concurrency — BlockManager
+    # computes each partition once behind a per-block lock.  Same
+    # counts, same export, less wall time.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_in = pool.submit(d.count)
+        f_ok = pool.submit(meta.where(F.col("decode_status") == "ok").count)
+        f_feat = pool.submit(feats.where(F.col("decode_status") == "ok").count)
+        f_q = pool.submit(q.count)
+        manifest = export.write_webdataset(
+            sample, dest, key_col="doc_id",
+            members={"payload": ".png", "meta_json": ".json"}, num_shards=4,
+        )
+        n_in, n_ok, n_feat, n_q = (
+            f_in.result(), f_ok.result(), f_feat.result(), f_q.result())
     return spark.createDataFrame(
         [(
-            d.count(), n_ok, n_feat, q.count(),
+            n_in, n_ok, n_feat, n_q,
             int(manifest["sample_count"]), len(manifest["tar_counts"]),
         )],
         "input long, meta_ok long, feat_ok long, quantized long, "
