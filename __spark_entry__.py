@@ -1303,8 +1303,14 @@ def q_snapshot_upsert(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="snap_")
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    S.upsert_snapshot(spark, root, d, ["doc_id"], "source")
-    one_source = d.select("source").first()["source"]
+    # the changed-batch source probe is independent of the initial
+    # publish — overlap the two jobs on a driver thread (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_src = pool.submit(d.select("source").first)
+        S.upsert_snapshot(spark, root, d, ["doc_id"], "source")
+        one_source = f_src.result()["source"]
     changed = (
         d.where(F.col("source") == one_source)
         .limit(20)
