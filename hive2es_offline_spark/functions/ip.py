@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "is_ip_literal", "is_cidr_literal", "cidr_bounds", "ip_to_long",
     "ip_to_long_sql", "ip_literal_value", "ip_from_long",
-    "ip_from_long_sql",
+    "ip_from_long_sql", "ip_to_long_spark", "ip_from_long_spark",
 ]
 
 _IP_RE = re.compile(r"^\d{1,3}(?:\.\d{1,3}){3}$")
@@ -118,6 +118,35 @@ def ip_from_long_sql(expr: str) -> str:
         f"CAST(({expr} >> 16) & 255 AS VARCHAR) || '.' || "
         f"CAST(({expr} >> 8) & 255 AS VARCHAR) || '.' || "
         f"CAST({expr} & 255 AS VARCHAR))"
+    )
+
+
+def ip_to_long_spark(expr: str) -> str:
+    """Spark-SQL string twin of :func:`ip_to_long` — the SAME analyzed
+    expression, rendered as text so hot plan builders parse it in one
+    ``F.expr`` call instead of ~10 py4j round trips (the round-15/16
+    expression-string pattern).  Twin discipline: any change here must
+    change :func:`ip_to_long` identically (pinned by
+    tests/test_ip.py's twin equality)."""
+    p = f"split({expr}, '\\\\.')"
+    four = f"(CASE WHEN (size({p}) = 4) THEN {p} END)"
+    return (
+        f"((((TRY_CAST(element_at({four}, 1) AS BIGINT) * 16777216)"
+        f" + (TRY_CAST(element_at({four}, 2) AS BIGINT) * 65536))"
+        f" + (TRY_CAST(element_at({four}, 3) AS BIGINT) * 256))"
+        f" + TRY_CAST(element_at({four}, 4) AS BIGINT))"
+    )
+
+
+def ip_from_long_spark(expr: str) -> str:
+    """Spark-SQL string twin of :func:`ip_from_long` (see
+    :func:`ip_to_long_spark` for the twin discipline)."""
+    return (
+        "concat_ws('.', "
+        f"CAST((shiftrightunsigned({expr}, 24) & 255) AS STRING), "
+        f"CAST((shiftrightunsigned({expr}, 16) & 255) AS STRING), "
+        f"CAST((shiftrightunsigned({expr}, 8) & 255) AS STRING), "
+        f"CAST(({expr} & 255) AS STRING))"
     )
 
 

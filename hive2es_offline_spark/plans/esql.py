@@ -377,6 +377,65 @@ def _parse_wkt(s: str) -> dict:
 
 
 # ---------------------------------------------------------- expression parse
+#
+# Round-16 SQL-string backend (guide §7.3, the round-15 pattern): a
+# py4j round trip costs ~0.5 ms on a PySpark driver, so building each
+# expression node through the Column API made one ES|QL compile cost
+# 0.3-1 s of pure driver latency (es_esql_ip measured ~1 830 calls).
+# The parser therefore carries expressions as a UNION type
+# ``str | Column``: pure grammar nodes (literals, column refs,
+# arithmetic, comparisons, the whitelisted scalars/aggregates) render
+# as Spark-SQL text in plain Python and are parsed ONCE per stage
+# (``df.where(str)`` / one ``F.expr``), while bridge nodes that reuse
+# other modules' Column builders (full-text predicates, geo shapes,
+# KNN, CATEGORIZE) stay Columns — ``_c`` promotes a string operand at
+# the first mixed combination.  Setting ``_COLUMN_BACKEND = True``
+# forces the legacy Column tier at the leaves, which cascades through
+# the whole tree: tests A/B the two backends for row-identical results
+# (tests/test_esql.py::TestSqlTierTwin), the same twin discipline as
+# plans/analysis.py's chain strings.
+
+_COLUMN_BACKEND = False  # test/measure hook — True = legacy Column tier
+
+
+def _c(e):
+    """Promote a SQL-string expression to a Column (bridge boundary)."""
+    return F.expr(e) if isinstance(e, str) else e
+
+
+def _bq_name(name: str) -> str:
+    """Identifier → SQL text with F.col's dotted-name semantics (dots
+    split into nested references, every segment backtick-quoted)."""
+    return ".".join("`" + seg.replace("`", "``") + "`"
+                    for seg in name.split("."))
+
+
+def _sql_str(s: str) -> str:
+    """String literal → SQL text under the default parser mode
+    (``spark.sql.parser.escapedStringLiterals=false``: backslash
+    escapes are processed, so both backslashes and quotes double)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _num_sql(text: str) -> str:
+    """Numeric token text → SQL literal matching ``F.lit``'s types: a
+    bare SQL decimal like ``2.5`` parses as DECIMAL(2,1), but
+    ``F.lit(2.5)`` is a DOUBLE — the D suffix keeps the tiers
+    identical.  Integers parse to int/bigint on both paths."""
+    return text + "D" if "." in text else text
+
+
+def _py_sql(v) -> str:
+    """Folded Python literal (IN lists, WKT coordinates) → SQL text,
+    same type mapping as ``F.lit``."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v) + "D"
+    if isinstance(v, int):
+        return str(v)
+    return _sql_str(v)
+
 
 class _P:
     """Recursive-descent parser over the token list of one stage slice."""
@@ -419,36 +478,53 @@ class _P:
     def done(self) -> bool:
         return self.i >= len(self.toks)
 
-    # precedence climbing: OR < AND < NOT < cmp < add < mul < unary
-    def expr(self) -> Column:
+    # precedence climbing: OR < AND < NOT < cmp < add < mul < unary.
+    # Every method returns the union type ``str | Column`` (see the
+    # SQL-string backend note above class _P): both-string operands
+    # compose as parenthesized SQL text, a Column operand promotes the
+    # other side via _c.
+    def expr(self):
         return self._or()
 
-    def _or(self) -> Column:
+    def _or(self):
         left = self._and()
         while self.peek_kw() == "OR":
             self.next()
-            left = left | self._and()
+            right = self._and()
+            if isinstance(left, str) and isinstance(right, str):
+                left = f"({left} OR {right})"
+            else:
+                left = _c(left) | _c(right)
         return left
 
-    def _and(self) -> Column:
+    def _and(self):
         left = self._not()
         while self.peek_kw() == "AND":
             self.next()
-            left = left & self._not()
+            right = self._not()
+            if isinstance(left, str) and isinstance(right, str):
+                left = f"({left} AND {right})"
+            else:
+                left = _c(left) & _c(right)
         return left
 
-    def _not(self) -> Column:
+    def _not(self):
         if self.peek_kw() == "NOT":
             self.next()
-            return ~self._not()
+            e = self._not()
+            return f"(NOT {e})" if isinstance(e, str) else ~e
         return self._cmp()
 
-    def _cmp(self) -> Column:
+    def _cmp(self):
         left = self._add()
         t = self.peek()
         if t and t[0] == "op" and t[1] in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
             right = self._add()
+            if isinstance(left, str) and isinstance(right, str):
+                op = "=" if t[1] == "==" else t[1]
+                return f"({left} {op} {right})"
+            left, right = _c(left), _c(right)
             return {"==": left == right, "!=": left != right,
                     "<": left < right, "<=": left <= right,
                     ">": left > right, ">=": left >= right}[t[1]]
@@ -460,12 +536,17 @@ class _P:
                 raise ValueError("ES|QL: LIKE needs a string pattern")
             from .query_dsl import _wildcard_to_regex
 
-            return left.rlike(_wildcard_to_regex(t2[1]))
+            pat = _wildcard_to_regex(t2[1])
+            if isinstance(left, str):
+                return f"({left} RLIKE {_sql_str(pat)})"
+            return left.rlike(pat)
         if kw == "RLIKE":
             self.next()
             t2 = self.next()
             if t2[0] != "str":
                 raise ValueError("ES|QL: RLIKE needs a string pattern")
+            if isinstance(left, str):
+                return f"({left} RLIKE {_sql_str(t2[1])})"
             return left.rlike(t2[1])
         if kw == "IN":
             self.next()
@@ -475,6 +556,8 @@ class _P:
                 self.next()
                 vals.append(self._literal_value())
             self.expect_op(")")
+            if isinstance(left, str):
+                return f"({left} IN ({', '.join(map(_py_sql, vals))}))"
             return left.isin(vals)
         if kw == "IS":
             self.next()
@@ -485,37 +568,48 @@ class _P:
             t2 = self.next()
             if not (t2[0] == "id" and t2[1].upper() == "NULL"):
                 raise ValueError("ES|QL: IS must be followed by [NOT] NULL")
+            if isinstance(left, str):
+                return f"({left} IS {'NOT ' if neg else ''}NULL)"
             return left.isNotNull() if neg else left.isNull()
         return left
 
-    def _add(self) -> Column:
+    def _add(self):
         left = self._mul()
         while True:
             t = self.peek()
             if t and t[0] == "op" and t[1] in ("+", "-"):
                 self.next()
                 right = self._mul()
-                left = left + right if t[1] == "+" else left - right
+                if isinstance(left, str) and isinstance(right, str):
+                    left = f"({left} {t[1]} {right})"
+                else:
+                    left, right = _c(left), _c(right)
+                    left = left + right if t[1] == "+" else left - right
             else:
                 return left
 
-    def _mul(self) -> Column:
+    def _mul(self):
         left = self._unary()
         while True:
             t = self.peek()
             if t and t[0] == "op" and t[1] in ("*", "/", "%"):
                 self.next()
                 right = self._unary()
-                left = {"*": left * right, "/": left / right,
-                        "%": left % right}[t[1]]
+                if isinstance(left, str) and isinstance(right, str):
+                    left = f"({left} {t[1]} {right})"
+                else:
+                    left, right = _c(left), _c(right)
+                    left = {"*": left * right, "/": left / right,
+                            "%": left % right}[t[1]]
             else:
                 return left
 
-    def _unary(self) -> Column:
+    def _unary(self):
         t = self.peek()
         if t == ("op", "-"):
             self.next()
-            return -self._unary()
+            e = self._unary()
+            return f"(- {e})" if isinstance(e, str) else -e
         return self._primary()
 
     def _literal_value(self):
@@ -531,12 +625,18 @@ class _P:
             return -(float(t2[1]) if "." in t2[1] else int(t2[1]))
         raise ValueError(f"ES|QL: expected a literal, got {t[1]!r}")
 
-    def _primary(self) -> Column:
+    def _primary(self):
+        # the ONE backend switch: _COLUMN_BACKEND turns every leaf into
+        # a Column, which cascades the whole tree onto the legacy tier
         t = self.next()
         if t[0] == "str":
-            return F.lit(t[1])
+            if _COLUMN_BACKEND:
+                return F.lit(t[1])
+            return _sql_str(t[1])
         if t[0] == "num":
-            return F.lit(float(t[1]) if "." in t[1] else int(t[1]))
+            if _COLUMN_BACKEND:
+                return F.lit(float(t[1]) if "." in t[1] else int(t[1]))
+            return _num_sql(t[1])
         if t == ("op", "("):
             inner = self.expr()
             self.expect_op(")")
@@ -545,23 +645,27 @@ class _P:
             raise ValueError(f"ES|QL: unexpected token {t[1]!r}{_at(t)}")
         name, up = t[1], t[1].upper()
         if up in ("TRUE", "FALSE"):
-            return F.lit(up == "TRUE")
+            if _COLUMN_BACKEND:
+                return F.lit(up == "TRUE")
+            return up
         if up == "NULL":
-            return F.lit(None)
+            return F.lit(None) if _COLUMN_BACKEND else "NULL"
         if self.peek() == ("op", "("):
             self.next()
             return self._call(up)
-        return F.col(name)
+        return F.col(name) if _COLUMN_BACKEND else _bq_name(name)
 
-    def _call(self, fn: str) -> Column:
+    def _call(self, fn: str):
         if fn == "COUNT" and self.peek() == ("op", "*"):
             # COUNT(*) parses here so '*' never reaches the expr grammar
             self.next()
             self.expect_op(")")
             gate = getattr(self, "agg_where", None)
             if gate is not None:  # per-aggregate WHERE (ES 8.16)
+                if isinstance(gate, str):
+                    return f"count(CASE WHEN {gate} THEN TRUE END)"
                 return F.count(F.when(gate, True))
-            return F.count(F.lit(1))
+            return F.count(F.lit(1)) if _COLUMN_BACKEND else "count(1)"
         if fn == "TOP":
             # ES|QL TOP(field, limit, "asc"|"desc") aggregate — the
             # top-N values as a multivalue; limit/order are literals
@@ -582,11 +686,18 @@ class _P:
                     f"{_at(ot)}")
             self.expect_op(")")
             gate = getattr(self, "agg_where", None)
+            asc = ot[1].lower() == "asc"
+            if isinstance(arg, str) and (gate is None
+                                         or isinstance(gate, str)):
+                if gate is not None:
+                    arg = f"CASE WHEN {gate} THEN {arg} END"
+                return (f"slice(sort_array(collect_list({arg}), "
+                        f"{'true' if asc else 'false'}), 1, {int(nt[1])})")
+            arg = _c(arg)
             if gate is not None:
-                arg = F.when(gate, arg)
+                arg = F.when(_c(gate), arg)
             return F.slice(
-                F.sort_array(F.collect_list(arg),
-                             asc=ot[1].lower() == "asc"),
+                F.sort_array(F.collect_list(arg), asc=asc),
                 1, int(nt[1]))
         if fn == "SAMPLE":
             # ES|QL SAMPLE(field, limit) aggregate (8.16): a subset of
@@ -608,8 +719,19 @@ class _P:
                     f"literal{_at(nt)}")
             self.expect_op(")")
             gate = getattr(self, "agg_where", None)
+            if isinstance(arg, str) and (gate is None
+                                         or isinstance(gate, str)):
+                if gate is not None:
+                    arg = f"CASE WHEN {gate} THEN {arg} END"
+                keyed = (f"CASE WHEN ({arg} IS NOT NULL) THEN "
+                         f"named_struct('h', md5(CAST({arg} AS STRING)), "
+                         f"'v', {arg}) END")
+                return (f"transform(slice(array_sort("
+                        f"collect_list({keyed})), 1, {int(nt[1])}), "
+                        f"x -> x.v)")
+            arg = _c(arg)
             if gate is not None:
-                arg = F.when(gate, arg)
+                arg = F.when(_c(gate), arg)
             keyed = F.when(arg.isNotNull(), F.struct(
                 F.md5(arg.cast("string")).alias("h"), arg.alias("v")))
             return F.transform(
@@ -634,6 +756,8 @@ class _P:
             self.expect_op(",")
             arg = self.expr()
             self.expect_op(")")
+            if isinstance(arg, str):
+                return f"date_trunc({_sql_str(unit)}, {arg})"
             return F.date_trunc(unit, arg)
         if fn == "BUCKET":
             # ES|QL BUCKET(field, span): the date-histogram idiom of
@@ -664,6 +788,8 @@ class _P:
                         raise ValueError(
                             f"ES|QL: BUCKET calendar span must be "
                             f"1 {unit} (got {t[1]}{_at(t)})")
+                    if isinstance(arg, str):
+                        return f"date_trunc({_sql_str(unit)}, {arg})"
                     return F.date_trunc(unit, arg)
                 if unit not in fixed or count < 1:
                     raise ValueError(
@@ -671,8 +797,15 @@ class _P:
                         f"{unit_t[1]}{_at(t)} (N minute|hour|day or "
                         "1 week|month|quarter|year)")
                 if count == 1:
+                    if isinstance(arg, str):
+                        return f"date_trunc({_sql_str(unit)}, {arg})"
                     return F.date_trunc(unit, arg)
                 secs = count * fixed[unit]
+                if isinstance(arg, str):
+                    return (
+                        "timestamp_seconds((FLOOR((CAST(CAST("
+                        f"{arg} AS TIMESTAMP) AS DOUBLE) / {secs})) "
+                        f"* {secs}))")
                 return F.timestamp_seconds(
                     F.floor(arg.cast("timestamp").cast("double") / secs)
                     * secs)
@@ -683,7 +816,9 @@ class _P:
                     "supported — pass the span explicitly, e.g. "
                     "BUCKET(v, 50) or BUCKET(ts, 1 hour)")
             self.expect_op(")")
-            return F.floor(arg / span) * span
+            if isinstance(arg, str) and isinstance(span, str):
+                return f"(FLOOR(({arg} / {span})) * {span})"
+            return F.floor(_c(arg) / _c(span)) * _c(span)
         if fn == "DATE_FORMAT":
             # ES|QL: DATE_FORMAT("yyyy-MM-dd", date) — format FIRST,
             # and it must be a literal (Spark's date_format takes a
@@ -696,6 +831,8 @@ class _P:
             self.expect_op(",")
             arg = self.expr()
             self.expect_op(")")
+            if isinstance(arg, str):
+                return f"date_format({arg}, {_sql_str(t[1])})"
             return F.date_format(arg, t[1])
         if fn == "DATE_DIFF":
             # DATE_DIFF("hour", start, end): signed count of WHOLE
@@ -720,6 +857,11 @@ class _P:
             self.expect_op(",")
             end = self.expr()
             self.expect_op(")")
+            if isinstance(start, str) and isinstance(end, str):
+                d = (f"(CAST(CAST({end} AS TIMESTAMP) AS DOUBLE) - "
+                     f"CAST(CAST({start} AS TIMESTAMP) AS DOUBLE))")
+                return f"CAST(({d} / {_py_sql(float(secs))}) AS BIGINT)"
+            start, end = _c(start), _c(end)
             d = (end.cast("timestamp").cast("double")
                  - start.cast("timestamp").cast("double"))
             return (d / F.lit(float(secs))).cast("long")
@@ -741,6 +883,15 @@ class _P:
                 "second_of_minute": F.second,
                 "day_of_week": lambda c: F.weekday(c) + F.lit(1),
             }
+            sql_fns = {
+                "year": "year({0})", "month_of_year": "month({0})",
+                "day_of_month": "dayofmonth({0})",
+                "day_of_year": "dayofyear({0})",
+                "hour_of_day": "hour({0})",
+                "minute_of_hour": "minute({0})",
+                "second_of_minute": "second({0})",
+                "day_of_week": "(weekday({0}) + 1)",
+            }
             if field not in builders:
                 raise ValueError(
                     f"ES|QL: unsupported DATE_EXTRACT field "
@@ -749,6 +900,8 @@ class _P:
             self.expect_op(",")
             arg = self.expr()
             self.expect_op(")")
+            if isinstance(arg, str):
+                return f"CAST({sql_fns[field].format(arg)} AS BIGINT)"
             return builders[field](arg).cast("long")
         if fn == "MV_SORT":
             # MV_SORT(field[, "ASC"|"DESC"]) — the order is a literal
@@ -764,6 +917,8 @@ class _P:
                         f'"ASC" or "DESC"{_at(t)}')
                 asc = t[1].upper() == "ASC"
             self.expect_op(")")
+            if isinstance(arg, str):
+                return f"sort_array({arg}, {'true' if asc else 'false'})"
             return F.sort_array(arg, asc)
         if fn == "DATE_PARSE":
             # ES|QL DATE_PARSE(pattern, string) — the pattern is a
@@ -779,6 +934,8 @@ class _P:
             self.expect_op(",")
             arg = self.expr()
             self.expect_op(")")
+            if isinstance(arg, str):
+                return f"to_timestamp({arg}, {_sql_str(t[1])})"
             return F.to_timestamp(arg, t[1])
         if fn == "IP_PREFIX":
             # ES|QL IP_PREFIX(ip, v4_len, v6_len): mask to the network
@@ -807,6 +964,11 @@ class _P:
                     f"literal in [0, 128]{_at(v6t)}")
             self.expect_op(")")
             mask = 0xFFFFFFFF ^ ((1 << (32 - int(v4t[1]))) - 1)
+            if isinstance(arg, str):
+                from ..functions.ip import ip_from_long_spark
+
+                return ip_from_long_spark(
+                    f"({_to_ip_sql(arg)} & {mask})")
             return ip_from_long(_to_ip(arg).bitwiseAND(F.lit(mask)))
         if fn == "MV_CONCAT":
             # MV_CONCAT(string_mv, delim) — the delimiter is a literal
@@ -819,6 +981,8 @@ class _P:
                     f"ES|QL: MV_CONCAT delimiter must be a literal "
                     f"string{_at(t)}")
             self.expect_op(")")
+            if isinstance(arg, str):
+                return f"array_join({arg}, {_sql_str(t[1])})"
             return F.array_join(arg, t[1])
         if fn == "SPLIT":
             # ES|QL SPLIT(str, delim) splits on the LITERAL delimiter
@@ -832,6 +996,8 @@ class _P:
                     "ES|QL: SPLIT needs a non-empty literal delimiter "
                     f"string{_at(t)}")
             self.expect_op(")")
+            if isinstance(arg, str):
+                return f"split({arg}, {_sql_str(re.escape(t[1]))})"
             return F.split(arg, re.escape(t[1]))
         if fn == "LOCATE":
             # ES|QL LOCATE(string, substring[, start]) — 1-based, 0 when
@@ -853,6 +1019,8 @@ class _P:
                         f"literal{_at(st)}")
                 start = int(st[1])
             self.expect_op(")")
+            if isinstance(arg, str):
+                return f"locate({_sql_str(t[1])}, {arg}, {start})"
             return F.locate(t[1], arg, start)
         if fn in ("MATCH", "QSTR", "MATCH_PHRASE", "TERM",
                   "MULTI_MATCH", "KQL", "KNN"):
@@ -1084,6 +1252,9 @@ class _P:
                         f"ES|QL: TO_GEOPOINT needs a WKT POINT, got "
                         f"{t[1]!r}")
                 lon, lat = shape["coordinates"]
+                if not _COLUMN_BACKEND:
+                    return (f"named_struct('lat', {_py_sql(lat)}, "
+                            f"'lon', {_py_sql(lon)})")
                 return F.struct(F.lit(lat).alias("lat"),
                                 F.lit(lon).alias("lon"))
             # TO_GEOSHAPE outside an ST_* argument has no column
@@ -1117,6 +1288,13 @@ class _P:
             if not bounds:
                 raise ValueError(
                     "ES|QL: CIDR_MATCH needs at least one CIDR block")
+            if isinstance(arg, str):
+                ipl = _ip.ip_to_long_spark(arg)
+                out = "FALSE"
+                for lo, hi in bounds:
+                    out = (f"({out} OR (({ipl} >= {lo}) "
+                           f"AND ({ipl} <= {hi})))")
+                return out
             ipl = _ip.ip_to_long(arg)
             out = F.lit(False)
             for lo, hi in bounds:
@@ -1136,8 +1314,8 @@ class _P:
 
             arg = self.expr()
             self.expect_op(")")
-            return categorize_key(arg)
-        args: list[Column] = []
+            return categorize_key(_c(arg))
+        args: list = []
         if self.peek() != ("op", ")"):
             args.append(self.expr())
             while self.peek() == ("op", ","):
@@ -1174,7 +1352,7 @@ class _P:
         if t is not None and t[0] == "str":
             self.next()
             return ("shape", _parse_wkt(t[1]))
-        e = self.expr()
+        e = _c(self.expr())  # geo bridges take Columns
         return ("point", e.getField("lat"), e.getField("lon"))
 
     def _st_call(self, fn: str) -> Column:
@@ -1194,7 +1372,10 @@ class _P:
         if fn in ("ST_X", "ST_Y"):
             e = self.expr()
             self.expect_op(")")
-            return e.getField("lon" if fn == "ST_X" else "lat")
+            fld = "lon" if fn == "ST_X" else "lat"
+            if isinstance(e, str):
+                return f"{e}.{fld}"
+            return e.getField(fld)
         if fn in ("ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"):
             # ES 8.16 spatial grid functions — the ES|QL bridge onto
             # the SAME cell builders as the geohash_grid / geotile_grid
@@ -1217,6 +1398,17 @@ class _P:
                     f"ES|QL: {fn} precision must be an integer "
                     f"literal{_at(pt)}")
             self.expect_op(")")
+            if isinstance(e, str):
+                from .query_dsl import (
+                    geohash_cell_sql,
+                    geotile_cell_sql,
+                    hex_cell_sql,
+                )
+
+                build_sql = {"ST_GEOHASH": geohash_cell_sql,
+                             "ST_GEOTILE": geotile_cell_sql,
+                             "ST_GEOHEX": hex_cell_sql}[fn]
+                return build_sql(f"{e}.lat", f"{e}.lon", int(pt[1]))
             lat, lon = e.getField("lat"), e.getField("lon")
             build = {"ST_GEOHASH": geohash_cell,
                      "ST_GEOTILE": geotile_cell,
@@ -1488,6 +1680,138 @@ def _to_ip(c: Column) -> Column:
     )
 
 
+# ---- SQL-string twins of the Column helpers above (round 16).  Twin
+# discipline: each *_sql function must render the EXACT analyzed
+# expression its Column sibling builds — literal types (D-suffixed
+# doubles), CAST placement, CASE structure, lambda shapes.  Repeated
+# interpolation of a sub-expression is equivalent to the Column path's
+# object reuse (an expression tree repeats the subtree either way).
+# Equality is pinned by tests/test_esql.py::TestSqlTierTwin running
+# every query twice with _COLUMN_BACKEND toggled.
+
+def _decimal_sum_sql(a: str) -> str:
+    return f"CAST(sum(CAST({a} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _mv_slice_sql(v: str, start: str, end: str) -> str:
+    n = f"array_size({v})"
+    lo = f"CASE WHEN ({start} >= 0) THEN {start} ELSE ({n} + {start}) END"
+    hi = f"CASE WHEN ({end} >= 0) THEN {end} ELSE ({n} + {end}) END"
+    lo2 = f"greatest({lo}, 0)"
+    hi2 = f"least({hi}, ({n} - 1))"
+    return (f"CASE WHEN ({v} IS NOT NULL) THEN slice({v}, "
+            f"CAST(({lo2} + 1) AS INT), "
+            f"CAST(greatest((({hi2} - {lo2}) + 1), 0) AS INT)) END")
+
+
+def _mv_median_sql(v: str) -> str:
+    s = f"sort_array({v})"
+    n = f"array_size({v})"
+    mid = f"CAST(({n} / 2) AS INT)"
+    return (
+        f"CASE WHEN ({n} > 0) THEN "
+        f"CASE WHEN (({n} % 2) = 1) THEN CAST(get({s}, {mid}) AS DOUBLE) "
+        f"ELSE ((CAST(get({s}, ({mid} - 1)) AS DOUBLE) "
+        f"+ CAST(get({s}, {mid}) AS DOUBLE)) / 2) END END")
+
+
+def _mv_percentile_sql(v: str, p: str) -> str:
+    s = f"sort_array({v})"
+    n = f"array_size({v})"
+    pos = f"((CAST({p} AS DOUBLE) / 100.0D) * CAST(({n} - 1) AS DOUBLE))"
+    lo = f"CAST(FLOOR({pos}) AS INT)"
+    frac = f"({pos} - FLOOR({pos}))"
+    lov = f"CAST(get({s}, {lo}) AS DOUBLE)"
+    hiv = f"CAST(get({s}, least(({lo} + 1), ({n} - 1))) AS DOUBLE)"
+    val = f"({lov} + ({frac} * ({hiv} - {lov})))"
+    msg = _sql_str("ES|QL: MV_PERCENTILE percentile must be in "
+                   "0..100, got ")
+    return (
+        f"CASE WHEN ({n} > 0) THEN "
+        f"CASE WHEN (({p} >= 0) AND ({p} <= 100)) THEN {val} "
+        f"ELSE CAST(concat({msg}, CAST({p} AS STRING)) AS DOUBLE) "
+        f"END END")
+
+
+def _mv_mad_sql(v: str) -> str:
+    med = _mv_median_sql(v)
+    devs = (f"zip_with({v}, array_repeat({med}, array_size({v})), "
+            f"(x, m) -> abs((CAST(x AS DOUBLE) - m)))")
+    return _mv_median_sql(devs)
+
+
+def _mv_pseries_sql(v: str, p: str) -> str:
+    terms = (f"transform({v}, (x, i) -> (CAST(x AS DOUBLE) / "
+             f"pow(CAST((i + 1) AS DOUBLE), CAST({p} AS DOUBLE))))")
+    return (f"CASE WHEN (array_size({v}) > 0) THEN "
+            f"aggregate({terms}, 0.0D, (acc, x) -> (acc + x)) END")
+
+
+def _to_version_sql(c: str) -> str:
+    dot = _sql_str(r"\.")
+    digits = _sql_str(r"^\d+$")
+    s = f"CAST({c} AS STRING)"
+    valid = (f"({s} RLIKE " + _sql_str(
+        r"^\d+(\.\d+){0,3}(-[0-9A-Za-z-]+(\.[0-9A-Za-z-]+)*)?$") + ")")
+    parts = f"split({s}, '-', 2)"
+    core = f"get({parts}, 0)"
+    segs = f"split({core}, {dot})"
+    core_key = "concat_ws('.', " + ", ".join(
+        f"lpad(coalesce(get({segs}, {i}), '0'), 10, '0')"
+        for i in range(4)) + ")"
+    nseg = f"CAST(array_size({segs}) AS STRING)"
+    pre = f"get({parts}, 1)"
+    pre_key = (
+        f"array_join(transform(split({pre}, {dot}), "
+        f"t -> CASE WHEN (t RLIKE {digits}) "
+        f"THEN concat('0', lpad(t, 10, '0')) "
+        f"ELSE concat('1', t) END), ',')")
+    tail = (f"CASE WHEN (array_size({parts}) = 2) "
+            f"THEN concat('-', {pre_key}) ELSE '~' END")
+    return (f"CASE WHEN ({s} IS NULL) THEN CAST(NULL AS STRING) "
+            f"WHEN {valid} THEN concat('0', {core_key}, '.', {nseg}, "
+            f"{tail}) ELSE concat('1', {s}) END")
+
+
+def _hash_fn_sql(alg: str, v: str) -> str:
+    b = f"CAST({v} AS BINARY)"
+    a = f"lower({alg})"
+    msg = _sql_str("ES|QL: HASH algorithm must be one of md5 sha1 "
+                   "sha224 sha256 sha384 sha512, got ")
+    poison = f"CAST(concat({msg}, {alg}) AS INT)"
+    return (
+        f"CASE WHEN ({a} = 'md5') THEN md5({b}) "
+        f"WHEN ({a} = 'sha1') THEN sha1({b}) "
+        f"WHEN ({a} = 'sha224') THEN sha2({b}, 224) "
+        f"WHEN ({a} = 'sha256') THEN sha2({b}, 256) "
+        f"WHEN ({a} = 'sha384') THEN sha2({b}, 384) "
+        f"WHEN ({a} = 'sha512') THEN sha2({b}, 512) "
+        f"ELSE CAST({poison} AS STRING) END")
+
+
+def _nonneg_count_sql(n: str, fn: str) -> str:
+    msg = _sql_str(f"ES|QL: {fn} count must be non-negative, got ")
+    return (f"CASE WHEN ({n} >= 0) THEN {n} ELSE "
+            f"CAST(concat({msg}, CAST({n} AS STRING)) AS INT) END")
+
+
+def _to_ip_sql(c: str) -> str:
+    from ..functions.ip import ip_to_long_spark
+
+    dot = _sql_str(r"\.")
+    s = f"CAST({c} AS STRING)"
+    valid = (
+        f"(({s} RLIKE "
+        + _sql_str(r"^\d{1,3}(\.\d{1,3}){3}$")
+        + f") AND forall(split({s}, {dot}), "
+        f"o -> (CAST(o AS INT) <= 255)))")
+    msg_a = _sql_str("ES|QL: TO_IP cannot parse ")
+    msg_b = _sql_str(" as an IPv4 address")
+    return (f"CASE WHEN ({s} IS NULL) THEN CAST(NULL AS BIGINT) "
+            f"WHEN {valid} THEN {ip_to_long_spark(s)} "
+            f"ELSE CAST(concat({msg_a}, {s}, {msg_b}) AS BIGINT) END")
+
+
 #: scalar whitelist: name → (arity check, builder)
 _FNS: dict[str, Callable[[list[Column]], Column]] = {
     "ABS": lambda a: F.abs(a[0]),
@@ -1673,6 +1997,119 @@ _FN_ARITY: dict[str, tuple[int, int | None]] = {
     "DAY_NAME": (1, 1), "MONTH_NAME": (1, 1),
 }
 
+#: SQL-string twins of _FNS (round 16): same name set (asserted at
+#: import), each rendering the exact expression its Column sibling
+#: builds — see the twin-discipline note above _decimal_sum_sql.
+_FNS_SQL: dict[str, Callable[[list[str]], str]] = {
+    "ABS": lambda a: f"abs({a[0]})",
+    "CEIL": lambda a: f"ceil({a[0]})",
+    "FLOOR": lambda a: f"floor({a[0]})",
+    "SQRT": lambda a: f"sqrt({a[0]})",
+    "POW": lambda a: f"pow({a[0]}, {a[1]})",
+    "ROUND": lambda a: (f"round({a[0]}, 0)" if len(a) == 1
+                        else f"round({a[0]}, {a[1]})"),
+    "CONCAT": lambda a: f"concat({', '.join(a)})",
+    "LENGTH": lambda a: f"length({a[0]})",
+    "TO_UPPER": lambda a: f"upper({a[0]})",
+    "TO_LOWER": lambda a: f"lower({a[0]})",
+    "TRIM": lambda a: f"trim({a[0]})",
+    "LTRIM": lambda a: f"ltrim({a[0]})",
+    "RTRIM": lambda a: f"rtrim({a[0]})",
+    "STARTS_WITH": lambda a: f"startswith({a[0]}, {a[1]})",
+    "ENDS_WITH": lambda a: f"endswith({a[0]}, {a[1]})",
+    "COALESCE": lambda a: f"coalesce({', '.join(a)})",
+    "GREATEST": lambda a: f"greatest({', '.join(a)})",
+    "LEAST": lambda a: f"least({', '.join(a)})",
+    "TO_STRING": lambda a: f"CAST({a[0]} AS STRING)",
+    "TO_LONG": lambda a: f"CAST({a[0]} AS BIGINT)",
+    "TO_INT": lambda a: f"CAST({a[0]} AS INT)",
+    "TO_DOUBLE": lambda a: f"CAST({a[0]} AS DOUBLE)",
+    "SUBSTRING": lambda a: (
+        f"substring({a[0]}, {a[1]}, {a[2]})" if len(a) == 3
+        else f"substring({a[0]}, {a[1]}, 2147483647)"),
+    "REPLACE": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    "REVERSE": lambda a: f"reverse({a[0]})",
+    "LEFT": lambda a: f"substring({a[0]}, 1, {a[1]})",
+    "RIGHT": lambda a: (
+        f"CASE WHEN (({a[0]} IS NOT NULL) AND ({a[1]} <= 0)) THEN '' "
+        f"ELSE substring({a[0]}, (- CAST({a[1]} AS INT)), {a[1]}) END"),
+    "TO_BOOLEAN": lambda a: f"CAST({a[0]} AS BOOLEAN)",
+    "TO_IP": lambda a: _to_ip_sql(a[0]),
+    "MD5": lambda a: f"md5({a[0]})",
+    "SHA1": lambda a: f"sha1({a[0]})",
+    "SHA256": lambda a: f"sha2({a[0]}, 256)",
+    "TO_DATETIME": lambda a: (
+        f"CASE WHEN (CAST({a[0]} AS STRING) RLIKE '^-?[0-9]+$') "
+        f"THEN timestamp_millis(CAST({a[0]} AS BIGINT)) "
+        f"ELSE CAST({a[0]} AS TIMESTAMP) END"),
+    "MV_COUNT": lambda a: f"array_size({a[0]})",
+    "MV_MIN": lambda a: f"array_min({a[0]})",
+    "MV_MAX": lambda a: f"array_max({a[0]})",
+    "MV_SUM": lambda a: (
+        f"CASE WHEN (array_size({a[0]}) > 0) THEN aggregate({a[0]}, "
+        f"0.0D, (acc, x) -> (acc + CAST(x AS DOUBLE))) END"),
+    "MV_AVG": lambda a: (
+        f"CASE WHEN (array_size({a[0]}) > 0) THEN (aggregate({a[0]}, "
+        f"0.0D, (acc, x) -> (acc + CAST(x AS DOUBLE))) "
+        f"/ array_size({a[0]})) END"),
+    "MV_DEDUPE": lambda a: f"array_distinct({a[0]})",
+    "MV_FIRST": lambda a: f"get({a[0]}, 0)",
+    "MV_LAST": lambda a: f"get({a[0]}, (array_size({a[0]}) - 1))",
+    "MV_APPEND": lambda a: f"concat({a[0]}, {a[1]})",
+    "MV_SLICE": lambda a: _mv_slice_sql(a[0], a[1],
+                                        a[2] if len(a) == 3 else a[1]),
+    "MV_MEDIAN": lambda a: _mv_median_sql(a[0]),
+    "MV_PERCENTILE": lambda a: _mv_percentile_sql(a[0], a[1]),
+    "MV_MEDIAN_ABSOLUTE_DEVIATION": lambda a: _mv_mad_sql(a[0]),
+    "MV_PSERIES_WEIGHTED_SUM": lambda a: _mv_pseries_sql(a[0], a[1]),
+    "SPACE": lambda a: f"repeat(' ', {_nonneg_count_sql(a[0], 'SPACE')})",
+    "REPEAT": lambda a: (
+        f"repeat({a[0]}, {_nonneg_count_sql(a[1], 'REPEAT')})"),
+    "BIT_LENGTH": lambda a: f"bit_length({a[0]})",
+    "BYTE_LENGTH": lambda a: f"octet_length({a[0]})",
+    "TO_BASE64": lambda a: f"base64(CAST({a[0]} AS BINARY))",
+    "FROM_BASE64": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+    "HASH": lambda a: _hash_fn_sql(a[0], a[1]),
+    "TO_VERSION": lambda a: _to_version_sql(a[0]),
+    "ROUND_TO": lambda a: (
+        f"coalesce(array_max(filter(array({', '.join(a[1:])}), "
+        f"p -> (p <= {a[0]}))), array_min(array({', '.join(a[1:])})))"),
+    "SCALB": lambda a: (
+        f"(CAST({a[0]} AS DOUBLE) * pow(2.0D, CAST({a[1]} AS DOUBLE)))"),
+    "COPY_SIGN": lambda a: (
+        f"(abs({a[0]}) * CASE WHEN ({a[1]} < 0) THEN -1.0D "
+        f"ELSE 1.0D END)"),
+    "DAY_NAME": lambda a: f"date_format({a[0]}, 'EEEE')",
+    "MONTH_NAME": lambda a: f"date_format({a[0]}, 'MMMM')",
+    "MV_ZIP": lambda a: (
+        f"zip_with({a[0]}, {a[1]}, (x, y) -> "
+        f"CASE WHEN (x IS NULL) THEN y WHEN (y IS NULL) THEN x "
+        f"ELSE concat(x, {a[2] if len(a) == 3 else chr(39) + ',' + chr(39)}, y) END)"),
+    "LOG": lambda a: (f"ln({a[0]})" if len(a) == 1
+                      else f"(ln({a[1]}) / ln({a[0]}))"),
+    "LOG10": lambda a: f"log10({a[0]})",
+    "EXP": lambda a: f"exp({a[0]})",
+    "SIN": lambda a: f"sin({a[0]})",
+    "COS": lambda a: f"cos({a[0]})",
+    "TAN": lambda a: f"tan({a[0]})",
+    "ASIN": lambda a: f"asin({a[0]})",
+    "ACOS": lambda a: f"acos({a[0]})",
+    "ATAN": lambda a: f"atan({a[0]})",
+    "ATAN2": lambda a: f"atan2({a[0]}, {a[1]})",
+    "SINH": lambda a: f"sinh({a[0]})",
+    "COSH": lambda a: f"cosh({a[0]})",
+    "TANH": lambda a: f"tanh({a[0]})",
+    "SIGNUM": lambda a: f"signum({a[0]})",
+    "CBRT": lambda a: f"cbrt({a[0]})",
+    "HYPOT": lambda a: f"hypot({a[0]}, {a[1]})",
+    "TO_DEGREES": lambda a: f"degrees({a[0]})",
+    "TO_RADIANS": lambda a: f"radians({a[0]})",
+    "PI": lambda a: "3.141592653589793D",
+    "E": lambda a: "2.718281828459045D",
+    "TAU": lambda a: "6.283185307179586D",
+}
+
+
 #: aggregates (STATS context only)
 _AGGS: dict[str, Callable[[list[Column]], Column]] = {
     "COUNT": lambda a: F.count(a[0]),
@@ -1768,8 +2205,78 @@ _AGG_ARITY: dict[str, tuple[int, int | None]] = {
 }
 
 
-def _compile_fn(fn: str, args: list[Column],
-                agg_where: "Column | None" = None) -> Column:
+def _centroid_axis_sql(a: str, axis: str) -> str:
+    f = f"{a}.{axis}"
+    return (f"round(CAST((sum(CAST({f} AS DECIMAL(28,6))) "
+            f"/ count({f})) AS DOUBLE), 6)")
+
+
+def _first_last_sql(a: list[str], agg: str) -> str:
+    keyed = (f"CASE WHEN (({a[0]} IS NOT NULL) AND ({a[1]} IS NOT NULL)) "
+             f"THEN named_struct('s', {a[1]}, 'v', {a[0]}) END")
+    return f"{agg}({keyed}).v"
+
+
+def _extent_bound_sql(a: str, agg: str, axis: str) -> str:
+    return f"CAST(CAST({agg}({a}.{axis}) AS DECIMAL(18,6)) AS STRING)"
+
+
+#: SQL-string twins of _AGGS (round 16, same twin discipline as
+#: _FNS_SQL — name sets asserted equal at import)
+_AGGS_SQL: dict[str, Callable[[list[str]], str]] = {
+    "COUNT": lambda a: f"count({a[0]})",
+    "SUM": lambda a: _decimal_sum_sql(a[0]),
+    "AVG": lambda a: (
+        f"round(CAST((sum(CAST({a[0]} AS DECIMAL(28,6))) "
+        f"/ count({a[0]})) AS DOUBLE), 6)"),
+    "MIN": lambda a: f"min({a[0]})",
+    "MAX": lambda a: f"max({a[0]})",
+    "COUNT_DISTINCT": lambda a: f"count(DISTINCT {a[0]})",
+    "MEDIAN": lambda a: f"percentile({a[0]}, 0.5D)",
+    "VALUES": lambda a: f"sort_array(collect_set({a[0]}))",
+    "WEIGHTED_AVG": lambda a: (
+        f"round((CAST(sum(CAST(({a[0]} * {a[1]}) AS DECIMAL(28,6))) "
+        f"AS DOUBLE) / CAST(sum(CAST(CASE WHEN ({a[0]} IS NOT NULL) "
+        f"THEN {a[1]} END AS DECIMAL(28,6))) AS DOUBLE)), 6)"),
+    "STD_DEV": lambda a: (
+        f"round(sqrt(greatest(0.0D, ((CAST(sum(CAST(({a[0]} * {a[0]}) "
+        f"AS DECIMAL(28,6))) AS DOUBLE) / count({a[0]})) "
+        f"- pow((CAST(sum(CAST({a[0]} AS DECIMAL(28,6))) AS DOUBLE) "
+        f"/ count({a[0]})), 2)))), 6)"),
+    "MEDIAN_ABSOLUTE_DEVIATION": lambda a: (
+        "round("
+        + _mv_mad_sql(f"collect_list(CAST({a[0]} AS DOUBLE))")
+        + ", 6)"),
+    "ST_CENTROID_AGG": lambda a: (
+        f"named_struct('lat', {_centroid_axis_sql(a[0], 'lat')}, "
+        f"'lon', {_centroid_axis_sql(a[0], 'lon')})"),
+    "FIRST": lambda a: _first_last_sql(a, "min"),
+    "LAST": lambda a: _first_last_sql(a, "max"),
+    "ST_EXTENT_AGG": lambda a: (
+        "concat('BBOX (', "
+        + _extent_bound_sql(a[0], "min", "lon") + ", ', ', "
+        + _extent_bound_sql(a[0], "max", "lon") + ", ', ', "
+        + _extent_bound_sql(a[0], "max", "lat") + ", ', ', "
+        + _extent_bound_sql(a[0], "min", "lat") + ", ')')"),
+}
+
+# twin-completeness guard: a function added to one tier without its
+# twin must fail at import, not silently fall back
+assert set(_FNS_SQL) == set(_FNS), \
+    set(_FNS_SQL) ^ set(_FNS)
+assert set(_AGGS_SQL) == set(_AGGS), \
+    set(_AGGS_SQL) ^ set(_AGGS)
+
+
+def _compile_fn(fn: str, args: list,
+                agg_where=None):
+    # str tier: every operand (and the gate) rendered as SQL text and
+    # the function has a string twin — compose in pure Python; any
+    # Column operand (a bridge node upstream) or _COLUMN_BACKEND drops
+    # the whole call onto the legacy Column tier via _c promotion.
+    str_tier = (not _COLUMN_BACKEND
+                and all(isinstance(a, str) for a in args)
+                and (agg_where is None or isinstance(agg_where, str)))
     if agg_where is not None and (fn in _AGGS or fn == "PERCENTILE"):
         # per-aggregate WHERE (ES 8.16): gate the VALUE argument —
         # every aggregate here skips NULLs, so when(cond, arg) is
@@ -1777,7 +2284,11 @@ def _compile_fn(fn: str, args: list[Column],
         # COUNT_DISTINCT's accepted-unused precision, the weight) stay
         # ungated — WEIGHTED_AVG's denominator already gates the
         # weight on the (now-gated) value being non-null
-        args = [F.when(agg_where, args[0]), *args[1:]]
+        if str_tier:
+            args = [f"CASE WHEN {agg_where} THEN {args[0]} END",
+                    *args[1:]]
+        else:
+            args = [F.when(_c(agg_where), _c(args[0])), *args[1:]]
     if fn == "CASE":
         # CASE(cond1, val1[, cond2, val2…][, default])
         if len(args) < 2:
@@ -1785,14 +2296,23 @@ def _compile_fn(fn: str, args: list[Column],
         pairs, default = args, None
         if len(args) % 2 == 1:
             pairs, default = args[:-1], args[-1]
-        out = F.when(pairs[0], pairs[1])
+        if str_tier:
+            out = "CASE"
+            for i in range(0, len(pairs), 2):
+                out += f" WHEN {pairs[i]} THEN {pairs[i + 1]}"
+            if default is not None:
+                out += f" ELSE {default}"
+            return out + " END"
+        out = F.when(_c(pairs[0]), _c(pairs[1]))
         for i in range(2, len(pairs), 2):
-            out = out.when(pairs[i], pairs[i + 1])
-        return out if default is None else out.otherwise(default)
+            out = out.when(_c(pairs[i]), _c(pairs[i + 1]))
+        return out if default is None else out.otherwise(_c(default))
     if fn == "PERCENTILE":
         if len(args) != 2:
             raise ValueError("ES|QL: PERCENTILE(field, p)")
-        return F.percentile(args[0], args[1] / F.lit(100.0))
+        if str_tier:
+            return f"percentile({args[0]}, ({args[1]} / 100.0D))"
+        return F.percentile(_c(args[0]), _c(args[1]) / F.lit(100.0))
     if fn in _AGGS:
         lo, hi = _AGG_ARITY.get(fn, (1, 1))
         if not lo <= len(args) <= (hi if hi is not None else len(args)):
@@ -1800,7 +2320,9 @@ def _compile_fn(fn: str, args: list[Column],
                 f"ES|QL: {fn} takes "
                 f"{lo if lo == hi else f'{lo}..{hi}'} argument(s), "
                 f"got {len(args)}")
-        return _AGGS[fn](args)
+        if str_tier:
+            return _AGGS_SQL[fn](args)
+        return _AGGS[fn]([_c(a) for a in args])
     if fn in _FNS:
         lo, hi = _FN_ARITY[fn]
         if not lo <= len(args) <= (hi if hi is not None else len(args)):
@@ -1808,7 +2330,9 @@ def _compile_fn(fn: str, args: list[Column],
                 f"ES|QL: {fn} takes "
                 f"{lo if lo == hi else f'{lo}..{hi}'} argument(s), "
                 f"got {len(args)}")
-        return _FNS[fn](args)
+        if str_tier:
+            return _FNS_SQL[fn](args)
+        return _FNS[fn]([_c(a) for a in args])
     if fn == "NOW":
         raise ValueError(
             "ES|QL: NOW() is not supported (a lazily re-evaluated clock "
@@ -2015,8 +2539,8 @@ def _stage_where(df: DataFrame, p: _P) -> DataFrame:
     return out
 
 
-def _assignments(p: _P) -> list[tuple[str, Column]]:
-    out: list[tuple[str, Column]] = []
+def _assignments(p: _P) -> list[tuple]:
+    out: list[tuple] = []
     while not p.done():
         t = p.next()
         if t[0] != "id":
@@ -2038,7 +2562,7 @@ def _stage_eval(df: DataFrame, p: _P) -> DataFrame:
     # against F.col, which resolves lazily at plan time, so ordering
     # works by applying withColumn in declaration order
     for name, expr in _assignments(p):
-        df = df.withColumn(name, expr)
+        df = df.withColumn(name, _c(expr))
     return df
 
 
@@ -2107,9 +2631,9 @@ def _stage_stats(df: DataFrame, p: _P) -> DataFrame:
             ap.next()
     if not aggs:
         raise ValueError("ES|QL: STATS needs at least one aggregate")
-    keys = [(e.alias(n) if e is not None else F.col(n))
+    keys = [(_c(e).alias(n) if e is not None else F.col(n))
             for n, e in _parse_by_keys(p, by_i)]
-    exprs = [e.alias(n) for n, e in aggs]
+    exprs = [_c(e).alias(n) for n, e in aggs]
     if keys:
         return df.groupBy(*keys).agg(*exprs)
     return df.agg(*exprs)
@@ -2126,10 +2650,11 @@ def _depth_at(toks: list, i: int) -> int:
     return d
 
 
-def _parse_by_keys(p: _P, by_i: int | None) -> list[tuple[str, Column | None]]:
+def _parse_by_keys(p: _P, by_i: int | None) -> list[tuple]:
     """Parse a STATS/INLINESTATS BY key list into (name, expr) pairs —
-    expr is None for a bare column key (the name IS the column)."""
-    keys: list[tuple[str, Column | None]] = []
+    expr (``str | Column``) is None for a bare column key (the name IS
+    the column)."""
+    keys: list[tuple] = []
     if by_i is None:
         return keys
     kp = _P(p.toks[by_i + 1:])
@@ -2283,7 +2808,7 @@ def _stage_stats_ts(df: DataFrame, p: _P,
             if n not in dims:
                 gb.append(F.col(n))
         else:
-            gb.append(e.alias(n))
+            gb.append(_c(e).alias(n))
 
     rate_cols = sorted({c for _, _, inner, c in aggs if inner == "RATE"})
     work = df
@@ -2291,7 +2816,7 @@ def _stage_stats_ts(df: DataFrame, p: _P,
         from pyspark.sql import Window
 
         part = [F.col(d) for d in dims] + \
-            [(e if e is not None else F.col(n)) for n, e in keys]
+            [(_c(e) if e is not None else F.col(n)) for n, e in keys]
         for rc in rate_cols:
             w = Window.partitionBy(*part).orderBy(
                 F.col(ts_col).asc(), F.col(rc).asc())
@@ -2356,6 +2881,7 @@ def _inline_agg(kind: str, args: list[Column]):
         raise ValueError(
             f"ES|QL: INLINESTATS {kind} takes {need} argument(s), "
             f"got {len(args)}")
+    args = [_c(a) for a in args]  # window builders are Column bridges
     a0 = args[0]
     if kind == "COUNT":
         return F.count(a0), lambda w: F.count(a0).over(w)
@@ -2464,9 +2990,9 @@ def _stage_inlinestats(df: DataFrame, p: _P) -> DataFrame:
                     "ES|QL: trailing tokens after the aggregate's "
                     f"WHERE: {cp.peek()[1]!r}{_at(cp.peek())}")
             if kind == "COUNT_STAR":
-                kind, args = "COUNT", [F.when(cond, F.lit(True))]
+                kind, args = "COUNT", [F.when(_c(cond), F.lit(True))]
             elif args:
-                args = [F.when(cond, args[0]), *args[1:]]
+                args = [F.when(_c(cond), _c(args[0])), *args[1:]]
         aggs.append((t[1], kind, args))
         if ap.peek() == ("op", ","):
             ap.next()
@@ -2483,7 +3009,7 @@ def _stage_inlinestats(df: DataFrame, p: _P) -> DataFrame:
         # in the output frame), bare keys partition directly
         for name, expr in keys:
             if expr is not None:
-                df = df.withColumn(name, expr)
+                df = df.withColumn(name, _c(expr))
         w = Window.partitionBy(*[name for name, _ in keys])
         for name, (_, win_builder) in compiled:
             df = df.withColumn(name, win_builder(w))
@@ -2501,7 +3027,7 @@ def _stage_inlinestats(df: DataFrame, p: _P) -> DataFrame:
 def _stage_sort(df: DataFrame, p: _P) -> DataFrame:
     cols: list[Column] = []
     while not p.done():
-        e = p.expr()
+        e = _c(p.expr())
         desc = False
         if p.peek_kw() in ("ASC", "DESC"):
             desc = p.next()[1].upper() == "DESC"
@@ -2826,7 +3352,7 @@ def esql(tables: Mapping[str, DataFrame], query: str, *,
         # instead of failing at analysis (ADVICE r13 #2); rename it to
         # a name the identifier grammar cannot produce
         df = spark.range(1).toDF("\x00esql_row").select(
-            *[e.alias(n) for n, e in assigns])
+            *[_c(e).alias(n) for n, e in assigns])
     elif cmd[0] == "id" and cmd[1].upper() == "FROM":
         # index names until an optional METADATA keyword (round 14):
         # `FROM a, b METADATA _index` — _index is the source table

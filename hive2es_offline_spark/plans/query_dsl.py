@@ -3293,6 +3293,107 @@ def hex_cell(lat: Column, lon: Column, precision: int) -> Column:
         lat.isNotNull() & lon.isNotNull(), _let_cols([q, r], _snap))
 
 
+# ---- Spark-SQL string twins of the grid cell builders (round 16,
+# guide §7.3): the Column builders above cost ~100-600 py4j round
+# trips per use (geohash's bit loop alone is 5·precision nodes); the
+# twins render the IDENTICAL analyzed expression as text so hot plan
+# builders (ES|QL ST_* scalars, the grid bucket aggs) parse it in one
+# call.  Twin discipline: any change to a builder must change its twin
+# identically — pinned by tests/test_geo_grid.py's twin-equality sweep
+# (fixture points incl. NULLs, poles, antimeridian edges).
+
+def _fd(v: float) -> str:
+    """Python float → SQL DOUBLE literal (repr round-trips IEEE)."""
+    return repr(float(v)) + "D"
+
+
+def _bq_field(name: str) -> str:
+    """Field name → SQL text with F.col's dotted-name semantics."""
+    return ".".join("`" + seg.replace("`", "``") + "`"
+                    for seg in name.split("."))
+
+
+def geohash_cell_sql(lat: str, lon: str, precision: int) -> str:
+    """String twin of :func:`geohash_cell` (lat/lon are SQL exprs)."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"geohash precision must be 1..12, got {precision}")
+    nbits = 5 * precision
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    loni = (f"least(greatest(CAST(FLOOR(((({lon} + 180.0D) / 360.0D) "
+            f"* {_fd(2 ** lonbits)})) AS BIGINT), 0), {2 ** lonbits - 1})")
+    lati = (f"least(greatest(CAST(FLOOR(((({lat} + 90.0D) / 180.0D) "
+            f"* {_fd(2 ** latbits)})) AS BIGINT), 0), {2 ** latbits - 1})")
+    h = "CAST(0 AS BIGINT)"
+    for k in range(nbits):
+        if k % 2 == 0:
+            src, b = loni, lonbits - 1 - k // 2
+        else:
+            src, b = lati, latbits - 1 - (k - 1) // 2
+        bit = f"(shiftright({src}, {b}) & 1)"
+        h = f"({h} + shiftleft({bit}, {nbits - 1 - k}))"
+    alphabet = "array(" + ", ".join(
+        "'" + ch + "'" for ch in _GEOHASH32) + ")"
+    chars = [
+        (f"element_at({alphabet}, CAST(((shiftright({h}, "
+         f"{5 * (precision - 1 - i)}) & 31) + 1) AS INT))")
+        for i in range(precision)
+    ]
+    out = (f"concat({', '.join(chars)})" if len(chars) > 1 else chars[0])
+    return (f"CASE WHEN (({lat} IS NOT NULL) AND ({lon} IS NOT NULL)) "
+            f"THEN {out} END")
+
+
+def geotile_cell_sql(lat: str, lon: str, zoom: int) -> str:
+    """String twin of :func:`geotile_cell`."""
+    import math as _math
+
+    if not 0 <= zoom <= 29:
+        raise ValueError(f"geotile precision must be 0..29, got {zoom}")
+    n = _fd(2 ** zoom)
+    lim = int(2 ** zoom - 1)
+    x = (f"least(greatest(CAST(FLOOR(((({lon} + 180.0D) / 360.0D) "
+         f"* {n})) AS BIGINT), 0), {lim})")
+    merc = f"least(greatest({lat}, -85.05112878D), 85.05112878D)"
+    latr = f"radians({merc})"
+    y = (f"least(greatest(CAST(FLOOR((((1.0D - (ln((tan({latr}) "
+         f"+ (1.0D / cos({latr})))) / {_fd(_math.pi)})) / 2.0D) "
+         f"* {n})) AS BIGINT), 0), {lim})")
+    return (f"CASE WHEN (({lat} IS NOT NULL) AND ({lon} IS NOT NULL)) "
+            f"THEN concat('{zoom}/', CAST({x} AS STRING), '/', "
+            f"CAST({y} AS STRING)) END")
+
+
+def hex_cell_sql(lat: str, lon: str, precision: int) -> str:
+    """String twin of :func:`hex_cell` (the let-binding renders as the
+    same array-of-struct transform shape as analysis.let_cols)."""
+    if not 0 <= precision <= 15:
+        raise ValueError(f"hex_grid precision must be 0..15, got {precision}")
+    size = 45.0 / (2.0 ** precision)
+    x, y = f"CAST({lon} AS DOUBLE)", f"CAST({lat} AS DOUBLE)"
+    q0 = (f"((({_fd(3.0 ** 0.5 / 3.0)} * {x}) - ({_fd(1.0 / 3.0)} "
+          f"* {y})) / {_fd(size)})")
+    r0 = f"(({_fd(2.0 / 3.0)} * {y}) / {_fd(size)})"
+    q, r = "s.c0", "s.c1"
+    s_ = f"((- {q}) - {r})"
+    rq, rr, rs = f"round({q}, 0)", f"round({r}, 0)", f"round({s_}, 0)"
+    dq = f"abs(({rq} - {q}))"
+    dr = f"abs(({rr} - {r}))"
+    ds = f"abs(({rs} - {s_}))"
+    q_fix = f"(({dq} > {dr}) AND ({dq} > {ds}))"
+    r_fix = f"((NOT {q_fix}) AND ({dr} > {ds}))"
+    fq = (f"CAST(CASE WHEN {q_fix} THEN ((- {rr}) - {rs}) "
+          f"ELSE {rq} END AS BIGINT)")
+    fr = (f"CAST(CASE WHEN {r_fix} THEN ((- {rq}) - {rs}) "
+          f"ELSE {rr} END AS BIGINT)")
+    body = (f"concat('{precision}/', CAST({fq} AS STRING), '/', "
+            f"CAST({fr} AS STRING))")
+    let = (f"element_at(transform(array(named_struct('c0', {q0}, "
+           f"'c1', {r0})), s -> {body}), 1)")
+    return (f"CASE WHEN (({lat} IS NOT NULL) AND ({lon} IS NOT NULL)) "
+            f"THEN {let} END")
+
+
 def _bucket_key_col(kind: str, bspec: dict) -> Column:
     """The (unaliased) bucket key expression for terms / histogram /
     date_histogram / geohash_grid / geotile_grid — shared by the
@@ -3316,33 +3417,30 @@ def _bucket_key_col(kind: str, bspec: dict) -> Column:
             raise ValueError(
                 f"ip_prefix prefix_length out of range: {plen}")
         host = 32 - plen
-        net = _ip.ip_to_long(F.col(field))
+        # rendered via the functions/ip string twins and parsed once
+        # (round 16, guide §7.3) — same analyzed expression as the old
+        # Column build, pinned by tests/test_ip.py's twin equality
+        net = _ip.ip_to_long_spark(_bq_field(field))
         if host:
-            net = F.shiftleft(F.shiftrightunsigned(net, host), host)
-        dotted = F.concat_ws(
-            ".",
-            F.shiftrightunsigned(net, 24).bitwiseAND(F.lit(255))
-             .cast("string"),
-            F.shiftrightunsigned(net, 16).bitwiseAND(F.lit(255))
-             .cast("string"),
-            F.shiftrightunsigned(net, 8).bitwiseAND(F.lit(255))
-             .cast("string"),
-            net.bitwiseAND(F.lit(255)).cast("string"),
-        )
+            net = f"shiftleft(shiftrightunsigned({net}, {host}), {host})"
         # concat_ws SKIPS null parts — an unparseable ip must yield a
         # NULL key (dropped like the grid kinds), not a malformed one
-        return F.when(net.isNotNull(), dotted)
+        return F.expr(f"CASE WHEN ({net} IS NOT NULL) THEN "
+                      f"{_ip.ip_from_long_spark(net)} END")
     if kind in ("geohash_grid", "geotile_grid", "hex_grid"):
         unknown = set(bspec) - {"field", "precision", "size"}
         if unknown:
             raise ValueError(
                 f"unsupported {kind} option(s): {sorted(unknown)}")
-        lat, lon = F.col(field)["lat"], F.col(field)["lon"]
+        lat, lon = f"{_bq_field(field)}.lat", f"{_bq_field(field)}.lon"
         if kind == "geohash_grid":
-            return geohash_cell(lat, lon, int(bspec.get("precision", 5)))
+            return F.expr(geohash_cell_sql(
+                lat, lon, int(bspec.get("precision", 5))))
         if kind == "hex_grid":
-            return hex_cell(lat, lon, int(bspec.get("precision", 5)))
-        return geotile_cell(lat, lon, int(bspec.get("precision", 7)))
+            return F.expr(hex_cell_sql(
+                lat, lon, int(bspec.get("precision", 5))))
+        return F.expr(geotile_cell_sql(
+            lat, lon, int(bspec.get("precision", 7))))
     if kind == "terms":
         # `missing` buckets docs without the field under the given value
         # (exact ES semantics).  Without it, NULL keys keep their own
